@@ -1,0 +1,167 @@
+"""Filter-expression implication: decide whether one filter AST is Equal
+to, Wider than, or NotEqual to another.
+
+This is the heart of materialized-view routing: a query may be served
+from an index whose filter is *equal to* or *wider than* the query's
+filter (the residual filter is re-applied either way). Catalyst has no
+OSS materialized-view rewrite, so this is custom planner code.
+
+Semantics re-implemented from the reference (Comparation.scala:19-172)
+and pinned by its test table (AstComparationTest.scala:11-47):
+
+- range widening: ``x > 4`` is Wider than ``x > 5`` (and the >=, <, <=
+  symmetric cases), comparing constant-folded operands;
+- ``has`` widening: ``x has [1,2,3]`` is Wider than ``x has [1,2]``
+  (superset rule); ``has not`` reverses the subset direction;
+- ``or`` widening: ``a or b`` is Wider than ``a`` (checked on the left
+  expression against the whole right one);
+- ``and`` narrowing: ``x`` is Wider than ``x and y`` (checked on the
+  right expression's conjuncts);
+- functions compare name/arity then aggregate per-argument results;
+- aggregate algebra: Equal·Wider→Wider, anything·NotEqual→NotEqual.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from typing import Any, Callable
+
+from ..expression.ast_nodes import (
+    BinaryOp,
+    Expression,
+    FunctionCall,
+    Identifier,
+    UnaryOp,
+    is_constant_expression,
+)
+from ..expression.evaluator import EvalError, evaluate, has_bop, value_eq, value_greater
+
+
+class AstComparation(Enum):
+    NOT_EQUAL = 0
+    EQUAL = 1
+    WIDER = 2
+
+
+NotEqual = AstComparation.NOT_EQUAL
+Equal = AstComparation.EQUAL
+Wider = AstComparation.WIDER
+
+
+def compare(a: Expression, b: Expression) -> AstComparation:
+    """Is ``a`` Equal / Wider / NotEqual w.r.t. ``b``?
+
+    "a Wider b" means every row matching b also matches a (b ⊆ a), so an
+    index with filter ``a`` can serve a query with filter ``b``.
+    """
+    if isinstance(a, UnaryOp):
+        if isinstance(b, UnaryOp) and a.op == b.op:
+            return compare(a.arg, b.arg)
+        return NotEqual
+
+    if isinstance(a, BinaryOp):
+        if isinstance(b, BinaryOp):
+            return _compare_binary(a, b)
+        return _compare_bop_with_expr(a, b)
+
+    if isinstance(a, FunctionCall):
+        if isinstance(b, FunctionCall) and a.name == b.name and len(a.args) == len(b.args):
+            return _aggregate([compare(x, y) for x, y in zip(a.args, b.args)])
+        return NotEqual
+
+    if a == b:
+        return Equal
+    if isinstance(b, BinaryOp):
+        return _compare_expr_with_bop(a, b)
+    return NotEqual
+
+
+def _aggregate(results: list[AstComparation]) -> AstComparation:
+    out = Equal
+    for r in results:
+        if r is NotEqual:
+            return NotEqual
+        if r is Wider:
+            out = Wider
+    return out
+
+
+def _compare_binary(a: BinaryOp, b: BinaryOp) -> AstComparation:
+    if a == b:
+        return Equal
+    ops = (a.op, b.op)
+    if ops == (">", ">") or ops == (">=", ">="):
+        return _compare_ranges(a, b, lambda ac, bc: value_greater(bc, ac) or (a.op == ">=" and value_eq(ac, bc)))
+    if ops == ("<", "<"):
+        return _compare_ranges(b, a, lambda ac, bc: value_greater(bc, ac))
+    if ops == ("<=", "<="):
+        return _compare_ranges(b, a, lambda ac, bc: value_greater(bc, ac) or value_eq(ac, bc))
+    if ops == ("has", "has"):
+        return _compare_ranges(a, b, lambda ac, bc: _safe_has(ac, bc))
+    if ops == ("has not", "has not"):
+        return _compare_ranges(a, b, lambda ac, bc: _safe_has(bc, ac))
+    # fall through: try or-widening on a, then and-narrowing on b
+    r = _compare_bop_with_expr(a, b)
+    if r is NotEqual:
+        return _compare_expr_with_bop(a, b)
+    return r
+
+
+def _safe_has(l: Any, r: Any) -> bool:
+    try:
+        return has_bop(l, r)
+    except EvalError:
+        return False
+
+
+def _compare_ranges(a: BinaryOp, b: BinaryOp, wider: Callable[[Any, Any], bool]) -> AstComparation:
+    return _aggregate(
+        [
+            _compare_operand(a.right, b.right, wider),
+            _compare_operand(a.left, b.left, wider),
+        ]
+    )
+
+
+def _compare_operand(a: Expression, b: Expression, wider: Callable[[Any, Any], bool]) -> AstComparation:
+    if is_constant_expression(a) and is_constant_expression(b):
+        try:
+            ac = evaluate(a, {})
+            bc = evaluate(b, {})
+        except EvalError:
+            return NotEqual
+        if value_eq(ac, bc):
+            return Equal
+        if wider(ac, bc):
+            return Wider
+        return NotEqual
+    # non-constant operands: only structural equality is safe; a Wider
+    # verdict from a sub-compare can't establish range containment here
+    r = compare(a, b)
+    return NotEqual if r is Wider else r
+
+
+def _compare_bop_with_expr(a: BinaryOp, b: Expression) -> AstComparation:
+    """``a = (l or r)`` is Wider than b when either side covers b."""
+    if a.op != "or":
+        return NotEqual
+    left = compare(a.left, b)
+    if left in (Equal, Wider):
+        return Wider
+    right = compare(a.right, b)
+    if right is Equal:
+        return Wider
+    return right
+
+
+def _compare_expr_with_bop(a: Expression, b: BinaryOp) -> AstComparation:
+    """a is Wider than ``b = (l and r)`` when a covers either conjunct."""
+    if b.op != "and":
+        return NotEqual
+    left = compare(a, b.left)
+    if left in (Equal, Wider):
+        return Wider
+    right = compare(a, b.right)
+    if right is Equal:
+        return Wider
+    return right
