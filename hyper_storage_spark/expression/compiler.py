@@ -1,0 +1,393 @@
+"""Compile expression ASTs to PySpark Columns.
+
+The reference evaluates filter expressions row-at-a-time in the JVM
+with an interpreted evaluator (HyperbusAdapter.scala:236-243). Here the
+same expression becomes a Catalyst Column tree — whole-stage-codegen'd,
+pushdown-eligible — with the reference's dynamic-typing semantics
+preserved per row:
+
+- every sub-expression is a :class:`DynCol`: a bundle of typed columns
+  (string form, decimal form, boolean form) plus type-tag columns
+  (``isnum``/``isbool``), because a schemaless body field's runtime
+  type varies per row;
+- ordering compares numerically only when BOTH sides are numbers,
+  string-vs-string lexicographically, otherwise NULL (⇒ row rejected,
+  matching eval-error⇒false);
+- equality is typed: Number(10) ≠ Text("10");
+- the top-level filter wraps in ``coalesce(..., false)`` so NULLs from
+  missing fields / type mismatches reject the row.
+
+Identifier resolution is pluggable: a resolver maps a dotted identifier
+path to a DynCol. :func:`variant_resolver` resolves into a schemaless
+JSON body column via Spark 4 VARIANT (``try_parse_json`` +
+``try_variant_get``); :func:`typed_resolver` resolves against a typed
+DataFrame's native columns (used for the oracle-checked queries over
+parquet tables), optionally falling through to a JSON column for
+unknown names.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from decimal import Decimal
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .ast_nodes import BinaryOp, Constant, Expression, FunctionCall, Identifier, UnaryOp
+from .evaluator import canonical_str
+
+DEC = "decimal(38,12)"
+
+
+class CompileError(ValueError):
+    """Expression uses a construct the Column compiler can't express;
+    callers fall back to the Arrow-batched Python evaluator."""
+
+
+@dataclass
+class DynCol:
+    """A dynamically-typed value as a bundle of typed columns."""
+
+    s: Column  # string form (NULL when value has none)
+    n: Column  # decimal(38,12) form (NULL unless isnum)
+    isnum: Column  # bool: value is a number
+    isbool: Column  # bool: value is a boolean
+    bval: Column  # boolean form (NULL unless isbool)
+    arr: Optional[Column] = None  # array<string> form when value is an array
+    isnull: Optional[Column] = None  # value exists and is JSON null
+    defined: Optional[Column] = None  # value exists at all (vs missing field)
+
+    @property
+    def isstr(self) -> Column:
+        return self.s.isNotNull() & ~self.isnum & ~self.isbool
+
+    @property
+    def isnull_c(self) -> Column:
+        return self.isnull if self.isnull is not None else F.lit(False)
+
+    @property
+    def defined_c(self) -> Column:
+        if self.defined is not None:
+            return self.defined
+        base = self.isnum | self.isbool | self.s.isNotNull()
+        if self.arr is not None:
+            base = base | self.arr.isNotNull()
+        return base
+
+
+Resolver = Callable[[str], DynCol]
+
+def _false() -> Column:
+    return F.lit(False)
+
+
+def _null_s() -> Column:
+    return F.lit(None).cast("string")
+
+
+def _null_n() -> Column:
+    return F.lit(None).cast(DEC)
+
+
+def _null_b() -> Column:
+    return F.lit(None).cast("boolean")
+
+
+def _bool_dyn(c: Column) -> DynCol:
+    return DynCol(
+        s=F.when(c, F.lit("true")).otherwise(F.lit("false")),
+        n=_null_n(),
+        isnum=_false(),
+        isbool=c.isNotNull(),
+        bval=c,
+    )
+
+
+def _num_dyn(n: Column) -> DynCol:
+    return DynCol(s=n.cast("string"), n=n, isnum=n.isNotNull(), isbool=_false(), bval=_null_b())
+
+
+def from_literal(value) -> DynCol:
+    if value is None:
+        return DynCol(
+            s=_null_s(),
+            n=_null_n(),
+            isnum=_false(),
+            isbool=_false(),
+            bval=_null_b(),
+            isnull=F.lit(True),
+            defined=F.lit(True),
+        )
+    if isinstance(value, bool):
+        return DynCol(
+            s=F.lit("true" if value else "false"),
+            n=_null_n(),
+            isnum=_false(),
+            isbool=F.lit(True),
+            bval=F.lit(value),
+        )
+    if isinstance(value, Decimal):
+        return DynCol(
+            s=F.lit(canonical_str(value)),
+            n=F.lit(value).cast(DEC),
+            isnum=F.lit(True),
+            isbool=_false(),
+            bval=_null_b(),
+        )
+    if isinstance(value, str):
+        return DynCol(s=F.lit(value), n=_null_n(), isnum=_false(), isbool=_false(), bval=_null_b())
+    if isinstance(value, tuple):
+        return DynCol(
+            s=_null_s(),
+            n=_null_n(),
+            isnum=_false(),
+            isbool=_false(),
+            bval=_null_b(),
+            arr=F.array(*[F.lit(canonical_str(v)) for v in value]),
+        )
+    raise CompileError(f"unsupported literal {value!r}")
+
+
+def variant_resolver(body_col: Column) -> Resolver:
+    """Resolve identifiers as paths into a schemaless JSON body column.
+
+    Uses VARIANT so the field's runtime JSON type is observable per row
+    (the raw JSON text's first character tags numbers/strings/bools),
+    mirroring the reference's binders Value dynamic typing.
+    """
+    v = F.try_parse_json(body_col)
+
+    def resolve(name: str) -> DynCol:
+        path = "$." + name
+        raw = F.to_json(F.try_variant_get(v, path, "variant"))
+        isnum = raw.rlike(r"^-?[0-9]")
+        isbool = raw.isin("true", "false")
+        return DynCol(
+            s=F.try_variant_get(v, path, "string"),
+            n=F.when(isnum, F.try_variant_get(v, path, DEC)).otherwise(_null_n()),
+            isnum=F.coalesce(isnum, _false()),
+            isbool=F.coalesce(isbool, _false()),
+            bval=F.when(isbool, raw == "true").otherwise(_null_b()),
+            arr=F.when(raw.startswith("["), F.try_variant_get(v, path, "array<string>")),
+            isnull=F.coalesce(raw == "null", _false()),
+            defined=raw.isNotNull(),
+        )
+
+    return resolve
+
+
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "long")
+
+
+def from_typed_column(col: Column, dtype: str) -> DynCol:
+    dtype = dtype.lower()
+    isnull = col.isNull()
+    defined = F.lit(True)
+    if dtype.startswith(_NUMERIC_PREFIXES):
+        return DynCol(
+            s=col.cast("string"),
+            n=col.cast(DEC),
+            isnum=col.isNotNull(),
+            isbool=_false(),
+            bval=_null_b(),
+            isnull=isnull,
+            defined=defined,
+        )
+    if dtype == "boolean":
+        return DynCol(
+            s=col.cast("string"),
+            n=_null_n(),
+            isnum=_false(),
+            isbool=col.isNotNull(),
+            bval=col,
+            isnull=isnull,
+            defined=defined,
+        )
+    if dtype.startswith("array"):
+        return DynCol(
+            s=_null_s(),
+            n=_null_n(),
+            isnum=_false(),
+            isbool=_false(),
+            bval=_null_b(),
+            arr=col.cast("array<string>"),
+            isnull=isnull,
+            defined=defined,
+        )
+    # string / timestamp / date / binary → string semantics
+    return DynCol(
+        s=col.cast("string"),
+        n=_null_n(),
+        isnum=_false(),
+        isbool=_false(),
+        bval=_null_b(),
+        isnull=isnull,
+        defined=defined,
+    )
+
+
+def typed_resolver(df: DataFrame, json_col: Optional[str] = None) -> Resolver:
+    """Resolve against a typed DataFrame's columns; unknown identifiers
+    fall through to paths inside ``json_col`` (a JSON-string column)."""
+    dtypes = dict(df.dtypes)
+    json_resolver = variant_resolver(F.col(json_col)) if json_col else None
+
+    def resolve(name: str) -> DynCol:
+        root = name.split(".", 1)[0]
+        if root in dtypes and "." not in name:
+            return from_typed_column(F.col(name), dtypes[name])
+        if json_resolver is not None:
+            return json_resolver(name)
+        raise CompileError(f"unknown identifier {name!r}")
+
+    return resolve
+
+
+def _truthy(d: DynCol) -> Column:
+    s_low = F.lower(d.s)
+    str_truth = (
+        F.when(s_low.isin("true", "1", "y", "yes", "on"), F.lit(True))
+        .when(s_low.isin("false", "0", "n", "no", "off"), F.lit(False))
+        .otherwise(_null_b())
+    )
+    c = (
+        F.when(d.isnull_c, F.lit(False))
+        .when(d.isbool, d.bval)
+        .when(d.isnum, d.n != F.lit(0))
+        .otherwise(str_truth)
+    )
+    if d.arr is not None:
+        c = F.when(~d.isnull_c & d.arr.isNotNull(), F.size(d.arr) > 0).otherwise(c)
+    return c
+
+
+def _eq(l: DynCol, r: DynCol) -> Column:
+    # typed equality; present-but-null equals only null; cross-type is
+    # unequal; a missing field yields NULL (row rejected at the top)
+    return (
+        F.when(l.isnum & r.isnum, l.n == r.n)
+        .when(l.isbool & r.isbool, l.bval == r.bval)
+        .when(l.isstr & r.isstr, l.s == r.s)
+        .when(l.isnull_c & r.isnull_c, F.lit(True))
+        .when(l.defined_c & r.defined_c, F.lit(False))
+        .otherwise(_null_b())
+    )
+
+
+def _gt(l: DynCol, r: DynCol) -> Column:
+    return (
+        F.when(l.isnum & r.isnum, l.n > r.n)
+        .when(l.isstr & r.isstr, l.s > r.s)
+        .otherwise(_null_b())
+    )
+
+
+def _arith(op: str, l: DynCol, r: DynCol) -> DynCol:
+    both_num = l.isnum & r.isnum
+    if op == "+":
+        n = F.when(both_num, l.n + r.n)
+        s = F.when(both_num, n.cast("string")).when(l.isstr & r.isstr, F.concat(l.s, r.s))
+        return DynCol(s=s, n=n, isnum=F.coalesce(both_num, _false()), isbool=_false(), bval=_null_b())
+    if op == "-":
+        n = F.when(both_num, l.n - r.n)
+    elif op == "*":
+        n = F.when(both_num, l.n * r.n)
+    elif op == "/":
+        n = F.when(both_num, F.try_divide(l.n, r.n))
+    elif op == "%":
+        n = F.when(both_num, l.n % r.n)
+    else:  # pragma: no cover
+        raise CompileError(f"unknown arithmetic op {op!r}")
+    return _num_dyn(n)
+
+
+def _has(l: DynCol, r_expr: Expression) -> Column:
+    if not isinstance(r_expr, Constant):
+        raise CompileError("'has' requires a constant right-hand side to compile")
+    rv = r_expr.value
+    elems = list(rv) if isinstance(rv, tuple) else [rv]
+    if l.arr is None:
+        # no array form: only string-contains is possible
+        if isinstance(rv, str):
+            return F.when(l.isstr, l.s.contains(rv)).otherwise(_null_b())
+        raise CompileError("'has' on a non-array value")
+    arr_check = F.lit(True)
+    for e in elems:
+        arr_check = arr_check & F.array_contains(l.arr, canonical_str(e))
+    if isinstance(rv, str):
+        str_check = F.when(l.isstr, l.s.contains(rv)).otherwise(_null_b())
+    else:
+        str_check = _null_b()
+    return F.when(l.arr.isNotNull(), arr_check).otherwise(str_check)
+
+
+def compile_dyn(node: Expression, resolve: Resolver) -> DynCol:
+    if isinstance(node, Constant):
+        return from_literal(node.value)
+    if isinstance(node, Identifier):
+        return resolve(node.name)
+    if isinstance(node, UnaryOp):
+        arg = compile_dyn(node.arg, resolve)
+        if node.op == "not":
+            return _bool_dyn(~_truthy(arg))
+        if node.op == "-":
+            return _num_dyn(F.when(arg.isnum, -arg.n))
+        raise CompileError(f"unknown unary op {node.op!r}")
+    if isinstance(node, BinaryOp):
+        op = node.op
+        if op == "and":
+            return _bool_dyn(
+                _truthy(compile_dyn(node.left, resolve)) & _truthy(compile_dyn(node.right, resolve))
+            )
+        if op == "or":
+            return _bool_dyn(
+                _truthy(compile_dyn(node.left, resolve)) | _truthy(compile_dyn(node.right, resolve))
+            )
+        l = compile_dyn(node.left, resolve)
+        if op == "has":
+            return _bool_dyn(_has(l, node.right))
+        if op == "has not":
+            return _bool_dyn(~_has(l, node.right))
+        r = compile_dyn(node.right, resolve)
+        if op == "=":
+            return _bool_dyn(_eq(l, r))
+        if op == "!=":
+            return _bool_dyn(~_eq(l, r))
+        if op == ">":
+            return _bool_dyn(_gt(l, r))
+        if op == "<":
+            return _bool_dyn(_gt(r, l))
+        if op == ">=":
+            return _bool_dyn(_eq(l, r) | _gt(l, r))
+        if op == "<=":
+            return _bool_dyn(_eq(l, r) | _gt(r, l))
+        if op in ("+", "-", "*", "/", "%"):
+            return _arith(op, l, r)
+        raise CompileError(f"unknown binary op {op!r}")
+    if isinstance(node, FunctionCall):
+        args = [compile_dyn(a, resolve) for a in node.args]
+        if node.name == "length" and len(args) == 1:
+            a = args[0]
+            n = F.when(a.arr.isNotNull(), F.size(a.arr)).otherwise(F.length(a.s)) if a.arr is not None else F.length(a.s)
+            return _num_dyn(n.cast(DEC))
+        if node.name == "lower" and len(args) == 1:
+            return DynCol(s=F.lower(args[0].s), n=_null_n(), isnum=_false(), isbool=_false(), bval=_null_b())
+        if node.name == "upper" and len(args) == 1:
+            return DynCol(s=F.upper(args[0].s), n=_null_n(), isnum=_false(), isbool=_false(), bval=_null_b())
+        if node.name == "abs" and len(args) == 1:
+            return _num_dyn(F.when(args[0].isnum, F.abs(args[0].n)))
+        raise CompileError(f"unknown function {node.name!r}")
+    raise CompileError(f"unknown node {node!r}")
+
+
+def compile_filter(node: Expression, resolve: Resolver) -> Column:
+    """Compile to a boolean Column with eval-error⇒false semantics."""
+    return F.coalesce(_truthy(compile_dyn(node, resolve)), _false())
+
+
+def compile_filter_str(text: str, resolve: Resolver) -> Column:
+    from .parser import parse
+
+    return compile_filter(parse(text), resolve)

@@ -1,0 +1,38 @@
+"""Loaders for the synthetic test tables (TESTDATA.md).
+
+The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+Spark's vectorized reader rejects; we read it via the
+``nanosAsLong`` legacy switch and convert to a microsecond timestamp
+so downstream code sees a normal TimestampType column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
