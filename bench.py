@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_change",
+    "q_window_running_total",
+    "q_sessionization",
+    "q_distinct_users_daily",
+    "parity_residual_filter",
+    "parity_topn_sort",
+    "parity_latest_revision",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from hyper_storage_spark.queries import QUERIES
+    from hyper_storage_spark.session import get_spark
+
+    spark = get_spark("hyper_storage_spark_bench")
+
+    # one warm-up pass to exclude JVM/session init from per-query numbers
+    QUERIES["q1_pricing_summary"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count() if name != "q_window_running_total" else len(df.collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
