@@ -1,0 +1,16 @@
+"""The document store: the reference's Cassandra data model re-expressed
+as bucketed parquet datasets with an atomic manifest (a minimal
+Delta-style commit protocol), plus the CRUD/indexing/query engine on top.
+
+- :mod:`storage` — physical layer: hash-bucketed parquet + manifest.
+- :mod:`merge` — merge-patch + null-stripping body semantics.
+- :mod:`idgen` — time-ordered unique ids for POST auto-id.
+- :mod:`documents` — DocumentStore: CRUD, revisions, WAL, feed events,
+  index lifecycle + incremental maintenance.
+- :mod:`query` — the collection query planner/executor on Spark.
+"""
+
+from .documents import DocumentStore, NotFoundError
+from .query import QueryBudgetExceeded, QueryResult
+
+__all__ = ["DocumentStore", "NotFoundError", "QueryResult", "QueryBudgetExceeded"]

@@ -1,0 +1,637 @@
+"""DocumentStore: the reference's document/collection CRUD engine.
+
+Semantics mirrored from the reference (citations inline):
+
+- monotonic, gapless per-document revisions shared by all items of a
+  collection (static column; PrimaryWorker.scala:217-227) — achieved
+  here by strict per-store single-writer serialization (a lock in
+  library mode, mirroring ShardProcessor's one-worker-per-key,
+  ShardProcessor.scala:378-414);
+- merge-patch with null-deletion; null-stripping on PUT/POST
+  (PrimaryWorker.scala:45-60,297-308);
+- POST → PUT with generated sortable id injected into the body
+  (PrimaryWorker.scala:76-91);
+- delete semantics (L15): document delete = tombstone; item delete =
+  row removal + revision bump; collection delete also drops its indexes
+  (PrimaryWorker.scala:310-328, BackgroundContentTaskCompleter.scala:128-139);
+- write-ahead transactions + background completion publishing
+  ``feed:*`` events with the revision header, at-least-once,
+  idempotent by revision (BackgroundContentTaskCompleter.scala:75-113);
+- index lifecycle INDEXING→NORMAL / DELETING with backfill and
+  incremental maintenance on every write (IndexContentTaskWorker.scala,
+  IndexDefTaskWorker.scala). The reference must track obsolete sort
+  values because Cassandra clustering keys are immutable
+  (PrimaryWorker.scala:183-215); our bucket rewrite replaces the row
+  wholesale, which subsumes L17's delete-then-insert.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import pyarrow as pa
+
+from ..expression.evaluator import (
+    EvalError,
+    EvalIdentifierNotFound,
+    canonical_str,
+    evaluate,
+    is_number,
+    to_decimal,
+    truthy,
+)
+from ..expression.parser import parse
+from ..paths import is_collection_uri, split_path
+from ..plans.index_logic import extract_sort_field_values, table_field_name, table_name
+from ..plans.model import (
+    DECIMAL,
+    STATUS_DELETING,
+    STATUS_INDEXING,
+    STATUS_NORMAL,
+    SortItem,
+)
+from .idgen import create_id
+from .merge import filter_nulls, merge_patch
+from .storage import Storage, bucket_of
+
+
+class NotFoundError(KeyError):
+    pass
+
+
+CONTENT = "content"
+STATICS = "statics"
+INDEX_DEFS = "index_defs"
+TRANSACTIONS = "transactions"
+FEED = "feed"
+
+DEC_ARROW = pa.decimal128(38, 12)
+
+CONTENT_SCHEMA = pa.schema(
+    [
+        ("document_uri", pa.string()),
+        ("item_id", pa.string()),
+        ("revision", pa.int64()),
+        ("body", pa.string()),
+        ("is_deleted", pa.bool_()),
+        ("created_at", pa.int64()),
+        ("modified_at", pa.int64()),
+    ]
+)
+CONTENT_SPARK = (
+    "document_uri string, item_id string, revision long, body string, "
+    "is_deleted boolean, created_at long, modified_at long"
+)
+
+STATICS_SCHEMA = pa.schema(
+    [
+        ("document_uri", pa.string()),
+        ("revision", pa.int64()),
+        ("is_deleted", pa.bool_()),
+        ("created_at", pa.int64()),
+        ("modified_at", pa.int64()),
+    ]
+)
+
+INDEX_DEFS_SCHEMA = pa.schema(
+    [
+        ("document_uri", pa.string()),
+        ("index_id", pa.string()),
+        ("status", pa.int32()),
+        ("sort_by", pa.string()),  # JSON list of {field_name, field_type, order}
+        ("filter_by", pa.string()),
+        ("table_name", pa.string()),
+    ]
+)
+
+TRANSACTIONS_SCHEMA = pa.schema(
+    [
+        ("uuid", pa.string()),
+        ("document_uri", pa.string()),
+        ("item_id", pa.string()),
+        ("revision", pa.int64()),
+        ("method", pa.string()),
+        ("body", pa.string()),
+        ("dt_quantum", pa.int64()),
+        ("partition", pa.int32()),
+        ("completed_at", pa.int64()),
+    ]
+)
+
+FEED_SCHEMA = pa.schema(
+    [
+        ("uuid", pa.string()),
+        ("document_uri", pa.string()),
+        ("item_id", pa.string()),
+        ("revision", pa.int64()),
+        ("method", pa.string()),
+        ("body", pa.string()),
+        ("ts", pa.int64()),
+    ]
+)
+FEED_SPARK = (
+    "uuid string, document_uri string, item_id string, revision long, "
+    "method string, body string, ts long"
+)
+
+
+@dataclass(frozen=True)
+class IndexDef:
+    document_uri: str
+    index_id: str
+    status: int
+    sort_by: tuple[SortItem, ...]
+    filter_by: Optional[str]
+    table_name: str
+
+    @property
+    def storage_table(self) -> str:
+        return f"index::{self.document_uri}::{self.index_id}"
+
+    @property
+    def sort_by_with_id(self) -> list[SortItem]:
+        """Index sort key + implicit trailing id (HyperbusAdapter.scala:121 defIdSort)."""
+        return list(self.sort_by) + [SortItem("id", "text", "asc")]
+
+
+def _index_schema(sort_by: tuple[SortItem, ...]) -> pa.Schema:
+    fields = [
+        ("document_uri", pa.string()),
+        ("index_id", pa.string()),
+        ("item_id", pa.string()),
+        ("revision", pa.int64()),
+        ("body", pa.string()),
+    ]
+    size = len(sort_by)
+    for i, item in enumerate(sort_by):
+        name = table_field_name(item, size, i)
+        if name == "item_id":
+            continue
+        fields.append((name, DEC_ARROW if item.effective_type == DECIMAL else pa.string()))
+    return pa.schema(fields)
+
+
+def index_spark_schema(sort_by: tuple[SortItem, ...]) -> str:
+    cols = [
+        "document_uri string",
+        "index_id string",
+        "item_id string",
+        "revision long",
+        "body string",
+    ]
+    size = len(sort_by)
+    for i, item in enumerate(sort_by):
+        name = table_field_name(item, size, i)
+        if name == "item_id":
+            continue
+        cols.append(f"{name} {'decimal(38,12)' if item.effective_type == DECIMAL else 'string'}")
+    return ", ".join(cols)
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _sort_value(item: SortItem, value: Any):
+    """Typed sort-column value (IndexLogic.scala:177-182 type semantics)."""
+    if value is None:
+        return None
+    if item.effective_type == DECIMAL:
+        try:
+            return to_decimal(value)
+        except EvalError:
+            return None
+    try:
+        return canonical_str(value)
+    except EvalError:
+        return None
+
+
+class DocumentStore:
+    """Library-mode document store. All writes serialize through one
+    lock (single-writer ⇒ gapless revisions); queries run on Spark."""
+
+    def __init__(self, root: str, spark=None, n_buckets: int = 16, auto_complete: bool = True):
+        self.storage = Storage(root, n_buckets)
+        self.spark = spark
+        self.auto_complete = auto_complete
+        self._lock = threading.RLock()
+
+    # -- helpers -------------------------------------------------------------
+
+    def _bucket(self, uri: str) -> int:
+        return bucket_of(uri, self.storage.n_buckets)
+
+    def _content_bucket(self, uri: str) -> list[dict]:
+        return self.storage.bucket_rows(CONTENT, self._bucket(uri))
+
+    def _statics_bucket(self, uri: str) -> list[dict]:
+        return self.storage.bucket_rows(STATICS, self._bucket(uri))
+
+    def _get_static(self, uri: str) -> Optional[dict]:
+        return next((r for r in self._statics_bucket(uri) if r["document_uri"] == uri), None)
+
+    def _get_content(self, uri: str, item_id: str) -> Optional[dict]:
+        return next(
+            (
+                r
+                for r in self._content_bucket(uri)
+                if r["document_uri"] == uri and r["item_id"] == item_id
+            ),
+            None,
+        )
+
+    def index_defs(self, uri: str) -> list[IndexDef]:
+        rows = self.storage.bucket_rows(INDEX_DEFS, 0)
+        out = []
+        for r in rows:
+            if r["document_uri"] != uri:
+                continue
+            sort_by = tuple(
+                SortItem(d["field_name"], d.get("field_type"), d.get("order"))
+                for d in json.loads(r["sort_by"])
+            )
+            out.append(
+                IndexDef(uri, r["index_id"], r["status"], sort_by, r["filter_by"], r["table_name"])
+            )
+        return out
+
+    # -- write path (PrimaryWorker analog) ------------------------------------
+
+    def put(self, path: str, body: Any) -> tuple[bool, int]:
+        """PUT a document or collection item; returns (created, revision)."""
+        return self._write("put", path, body)
+
+    def post(self, path: str, body: Any) -> tuple[str, int]:
+        """POST to a collection: generates a sortable id, rewrites to PUT
+        (PrimaryWorker.scala:76-91); returns (generated_path, revision)."""
+        rp = split_path(path)
+        if not (is_collection_uri(rp.document_uri) and rp.item_id == ""):
+            raise ValueError("POST is allowed only for a collection~")
+        item_id = create_id()
+        _, revision = self.put(f"{path}/{item_id}", body)
+        return f"{path}/{item_id}", revision
+
+    def patch(self, path: str, body: Any) -> tuple[bool, int]:
+        return self._write("patch", path, body)
+
+    def delete(self, path: str) -> int:
+        _, revision = self._write("delete", path, None)
+        return revision
+
+    def _write(self, method: str, path: str, body: Any) -> tuple[bool, int]:
+        rp = split_path(path)
+        uri, item_id = rp.document_uri, rp.item_id
+        if method == "patch" and is_collection_uri(uri) and item_id == "":
+            raise ValueError("PATCH is not allowed for a collection~")
+
+        with self._lock:
+            bucket = self._bucket(uri)
+            content_rows = self._content_bucket(uri)
+            statics_rows = self._statics_bucket(uri)
+            static = next((r for r in statics_rows if r["document_uri"] == uri), None)
+            existing = next(
+                (r for r in content_rows if r["document_uri"] == uri and r["item_id"] == item_id),
+                None,
+            )
+
+            revision = (static["revision"] + 1) if static else 1
+            now = _now_ms()
+            created = existing is None or existing["is_deleted"]
+
+            if method == "put":
+                new_body = filter_nulls(body)
+                if item_id:
+                    if not isinstance(new_body, dict):
+                        raise ValueError("collection item body must be an object")
+                    new_body = {**new_body, "id": item_id}
+                new_row = {
+                    "document_uri": uri,
+                    "item_id": item_id,
+                    "revision": revision,
+                    "body": json.dumps(new_body),
+                    "is_deleted": False,
+                    "created_at": existing["created_at"] if existing and not existing["is_deleted"] else now,
+                    "modified_at": now,
+                }
+            elif method == "patch":
+                if existing is None or existing["is_deleted"]:
+                    raise NotFoundError(path)
+                merged = merge_patch(json.loads(existing["body"]), body)
+                new_row = {
+                    **existing,
+                    "revision": revision,
+                    "body": json.dumps(merged) if merged is not None else None,
+                    "modified_at": now,
+                }
+                created = False
+            elif method == "delete":
+                if static is None or (static["is_deleted"] and not item_id):
+                    raise NotFoundError(path)
+                if item_id:
+                    if existing is None or existing["is_deleted"]:
+                        raise NotFoundError(path)
+                    new_row = None  # row removal (db/Db.scala:190-198)
+                else:
+                    new_row = {
+                        "document_uri": uri,
+                        "item_id": "",
+                        "revision": revision,
+                        "body": None,
+                        "is_deleted": True,
+                        "created_at": existing["created_at"] if existing else now,
+                        "modified_at": now,
+                    }
+            else:  # pragma: no cover
+                raise ValueError(method)
+
+            # content bucket rewrite
+            new_content = [
+                r for r in content_rows if not (r["document_uri"] == uri and r["item_id"] == item_id)
+            ]
+            if new_row is not None:
+                new_content.append(new_row)
+
+            # statics upsert (shared revision counter; db/scheme.cql:4 static)
+            new_statics = [r for r in statics_rows if r["document_uri"] != uri]
+            new_statics.append(
+                {
+                    "document_uri": uri,
+                    "revision": revision,
+                    "is_deleted": (method == "delete" and not item_id),
+                    "created_at": static["created_at"] if static else now,
+                    "modified_at": now,
+                }
+            )
+
+            # WAL entry first (README «Обработка транзакций»: a write whose
+            # transaction lands without content is simply not accepted)
+            txn = {
+                "uuid": uuid.uuid4().hex,
+                "document_uri": uri,
+                "item_id": item_id,
+                "revision": revision,
+                "method": f"feed:{method}",
+                "body": json.dumps(body) if body is not None else None,
+                "dt_quantum": now // 60000,  # TransactionLogic.scala:32-34
+                "partition": bucket,
+                "completed_at": None,
+            }
+            txn_rows = self.storage.bucket_rows(TRANSACTIONS, bucket) + [txn]
+
+            self.storage.commit(
+                {
+                    (CONTENT, bucket): new_content,
+                    (STATICS, bucket): new_statics,
+                    (TRANSACTIONS, bucket): txn_rows,
+                },
+                {CONTENT: CONTENT_SCHEMA, STATICS: STATICS_SCHEMA, TRANSACTIONS: TRANSACTIONS_SCHEMA},
+            )
+
+            if self.auto_complete:
+                self.complete_transactions(uri)
+            return created, revision
+
+    # -- background completion (BackgroundContentTaskCompleter analog) --------
+
+    def complete_transactions(self, uri: str) -> int:
+        """Complete incomplete WAL entries for a document: maintain
+        indexes, publish feed events (idempotent by revision), stamp
+        completed_at. At-least-once, safe to re-run (recovery path)."""
+        with self._lock:
+            bucket = self._bucket(uri)
+            txn_rows = self.storage.bucket_rows(TRANSACTIONS, bucket)
+            incomplete = sorted(
+                (t for t in txn_rows if t["document_uri"] == uri and t["completed_at"] is None),
+                key=lambda t: t["revision"],
+            )
+            if not incomplete:
+                return 0
+
+            feed_rows = self.storage.bucket_rows(FEED, 0)
+            seen = {(f["document_uri"], f["item_id"], f["revision"]) for f in feed_rows}
+            now = _now_ms()
+
+            updates: dict = {}
+            drop_tables: list[str] = []
+            collection_deleted = any(
+                t["method"] == "feed:delete" and t["item_id"] == "" for t in incomplete
+            )
+            if collection_deleted and is_collection_uri(uri):
+                # collection delete drops its indexes
+                # (BackgroundContentTaskCompleter.scala:128-139)
+                for idef in self.index_defs(uri):
+                    drop_tables.append(idef.storage_table)
+                defs_rows = [
+                    r for r in self.storage.bucket_rows(INDEX_DEFS, 0) if r["document_uri"] != uri
+                ]
+                updates[(INDEX_DEFS, 0)] = defs_rows
+            else:
+                self._refresh_indexes(uri, [t["item_id"] for t in incomplete], updates)
+
+            for t in incomplete:
+                key = (t["document_uri"], t["item_id"], t["revision"])
+                if key not in seen:
+                    feed_rows.append(
+                        {
+                            "uuid": t["uuid"],
+                            "document_uri": uri,
+                            "item_id": t["item_id"],
+                            "revision": t["revision"],
+                            "method": t["method"],
+                            "body": t["body"],
+                            "ts": now,
+                        }
+                    )
+                    seen.add(key)
+                t["completed_at"] = now
+
+            updates[(FEED, 0)] = feed_rows
+            updates[(TRANSACTIONS, bucket)] = txn_rows
+            schemas = {
+                FEED: FEED_SCHEMA,
+                TRANSACTIONS: TRANSACTIONS_SCHEMA,
+                INDEX_DEFS: INDEX_DEFS_SCHEMA,
+            }
+            for idef in self.index_defs(uri):
+                schemas[idef.storage_table] = _index_schema(idef.sort_by)
+            self.storage.commit(updates, schemas, drop_tables=drop_tables)
+            return len(incomplete)
+
+    def recover(self) -> int:
+        """Re-drive every incomplete transaction (RecoveryWorker analog:
+        hot/stale scan over the WAL; recovery/RecoveryWorker.scala)."""
+        total = 0
+        for b in range(self.storage.n_buckets):
+            uris = {
+                t["document_uri"]
+                for t in self.storage.bucket_rows(TRANSACTIONS, b)
+                if t["completed_at"] is None
+            }
+            for uri in sorted(uris):
+                total += self.complete_transactions(uri)
+        return total
+
+    def _index_row(self, idef: IndexDef, content_row: dict) -> Optional[dict]:
+        """Membership + sort-value extraction for one item
+        (IndexLogic.scala:81-87: eval error ⇒ excluded)."""
+        if content_row["is_deleted"] or content_row["body"] is None:
+            return None
+        body = json.loads(content_row["body"])
+        if idef.filter_by:
+            try:
+                if not truthy(evaluate(parse(idef.filter_by), body if isinstance(body, dict) else {})):
+                    return None
+            except EvalError:
+                return None
+        row = {
+            "document_uri": idef.document_uri,
+            "index_id": idef.index_id,
+            "item_id": content_row["item_id"],
+            "revision": content_row["revision"],
+            "body": content_row["body"],
+        }
+        for name, value in extract_sort_field_values(list(idef.sort_by), body if isinstance(body, dict) else {}):
+            if name == "item_id":
+                continue
+            item = next(
+                s
+                for i, s in enumerate(idef.sort_by)
+                if table_field_name(s, len(idef.sort_by), i) == name
+            )
+            row[name] = _sort_value(item, value)
+        return row
+
+    def _refresh_indexes(self, uri: str, item_ids: list[str], updates: dict) -> None:
+        """Delete-then-insert maintenance for the touched items across
+        all of the document's indexes (L17/L18 subsumed by rewrite)."""
+        idefs = [d for d in self.index_defs(uri) if d.status != STATUS_DELETING]
+        if not idefs:
+            return
+        content = {r["item_id"]: r for r in self._content_bucket(uri) if r["document_uri"] == uri}
+        touched = set(item_ids)
+        for idef in idefs:
+            rows = self.storage.bucket_rows(idef.storage_table, 0)
+            rows = [r for r in rows if r["item_id"] not in touched]
+            for item_id in sorted(touched):
+                c = content.get(item_id)
+                if c is None:
+                    continue
+                new_row = self._index_row(idef, c)
+                if new_row is not None:
+                    rows.append(new_row)
+            updates[(idef.storage_table, 0)] = rows
+
+    # -- reads (queryDocument analog) -----------------------------------------
+
+    def get(self, path: str) -> tuple[Any, int]:
+        """GET a document or item → (body, revision); 404 ⇒ NotFoundError
+        (HyperbusAdapter.scala:358-372)."""
+        rp = split_path(path)
+        row = self._get_content(rp.document_uri, rp.item_id)
+        if row is None or row["is_deleted"]:
+            raise NotFoundError(path)
+        static = self._get_static(rp.document_uri)
+        revision = static["revision"] if static else row["revision"]
+        return (json.loads(row["body"]) if row["body"] is not None else None), revision
+
+    # -- index DDL (IndexDefTaskWorker analog) ---------------------------------
+
+    def create_index(
+        self,
+        uri: str,
+        index_id: Optional[str],
+        sort_by: list[SortItem] | None = None,
+        filter_by: Optional[str] = None,
+    ) -> str:
+        """POST an index: validate, register INDEXING, backfill, flip to
+        NORMAL (IndexDefTaskWorker.scala:71-110 + IndexContentTaskWorker)."""
+        from ..expression.evaluator import validate_filter_expression
+
+        if not is_collection_uri(uri):
+            raise ValueError("indexes are only supported for collections")
+        sort_by = list(sort_by or [])
+        if filter_by is not None and not validate_filter_expression(filter_by):
+            raise ValueError(f"invalid filter expression: {filter_by!r}")
+        index_id = index_id or f"index-{create_id()}"
+
+        with self._lock:
+            defs_rows = self.storage.bucket_rows(INDEX_DEFS, 0)
+            if any(r["document_uri"] == uri and r["index_id"] == index_id for r in defs_rows):
+                raise ValueError(f"index {index_id!r} already exists on {uri!r}")
+            tname = table_name(sort_by)
+            defs_rows.append(
+                {
+                    "document_uri": uri,
+                    "index_id": index_id,
+                    "status": STATUS_INDEXING,
+                    "sort_by": json.dumps(
+                        [
+                            {"field_name": s.field_name, "field_type": s.field_type, "order": s.order}
+                            for s in sort_by
+                        ]
+                    ),
+                    "filter_by": filter_by,
+                    "table_name": tname,
+                }
+            )
+            self.storage.commit({(INDEX_DEFS, 0): defs_rows}, {INDEX_DEFS: INDEX_DEFS_SCHEMA})
+
+            idef = IndexDef(uri, index_id, STATUS_INDEXING, tuple(sort_by), filter_by, tname)
+            # backfill (IndexContentTaskWorker.scala:39-90; bucketed keyset
+            # resume is unnecessary here — the collection is one bucket)
+            rows = []
+            for c in sorted(
+                (r for r in self._content_bucket(uri) if r["document_uri"] == uri and r["item_id"]),
+                key=lambda r: r["item_id"],
+            ):
+                row = self._index_row(idef, c)
+                if row is not None:
+                    rows.append(row)
+            self.storage.commit(
+                {(idef.storage_table, 0): rows}, {idef.storage_table: _index_schema(idef.sort_by)}
+            )
+
+            # flip to NORMAL — only now is the index visible to the planner
+            # (db/Db.scala:103-107, HyperbusAdapter.scala:152)
+            for r in defs_rows:
+                if r["document_uri"] == uri and r["index_id"] == index_id:
+                    r["status"] = STATUS_NORMAL
+            self.storage.commit({(INDEX_DEFS, 0): defs_rows}, {INDEX_DEFS: INDEX_DEFS_SCHEMA})
+            return index_id
+
+    def delete_index(self, uri: str, index_id: str) -> None:
+        with self._lock:
+            defs_rows = self.storage.bucket_rows(INDEX_DEFS, 0)
+            target = next(
+                (r for r in defs_rows if r["document_uri"] == uri and r["index_id"] == index_id),
+                None,
+            )
+            if target is None:
+                raise NotFoundError(index_id)
+            remaining = [r for r in defs_rows if r is not target]
+            self.storage.commit(
+                {(INDEX_DEFS, 0): remaining},
+                {INDEX_DEFS: INDEX_DEFS_SCHEMA},
+                drop_tables=[f"index::{uri}::{index_id}"],
+            )
+
+    # -- feed ------------------------------------------------------------------
+
+    def feed_events(self) -> list[dict]:
+        """The published change feed, in publication order (Kafka-topic
+        parity: at-least-once, revision-idempotent)."""
+        return sorted(
+            self.storage.bucket_rows(FEED, 0),
+            key=lambda f: (f["document_uri"], f["revision"]),
+        )
+
+    def feed_df(self):
+        """The change feed as a DataFrame (the batch face of the Kafka
+        topic; streaming face in hyper_storage_spark.streaming)."""
+        return self.storage.spark_df_or_empty(self.spark, FEED, FEED_SPARK)

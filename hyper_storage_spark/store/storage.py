@@ -1,0 +1,121 @@
+"""Physical storage: hash-bucketed parquet datasets + an atomic manifest.
+
+The reference keeps every collection in one Cassandra partition keyed by
+``document_uri`` and spreads work over ``CRC32(uri) % 1024`` shard
+partitions (db/scheme.cql:10, TransactionLogic.scala:26-30). Here the
+same idea becomes: each logical table is N hash buckets of parquet; a
+write rewrites only the touched buckets and flips ``manifest.json``
+atomically (``os.replace``), so readers always see a consistent
+snapshot — the same ACID role Delta's transaction log would play, with
+zero dependencies.
+
+Scale note: bucket count is configurable (default 16 for local tests,
+1024 at cluster scale to mirror the reference's shard constant); Spark
+reads address the bucket *files* directly, so a single-document lookup
+touches exactly one bucket and collection scans parallelize across
+buckets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+import zlib
+from typing import Any, Iterable, Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def bucket_of(key: str, n_buckets: int) -> int:
+    """CRC32(key) % n — the reference's partitionFromUri
+    (TransactionLogic.scala:26-30) with configurable modulus."""
+    return zlib.crc32(key.encode("utf-8")) % n_buckets
+
+
+def _sanitize(name: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_.\-]", "_", name)
+
+
+class Storage:
+    """Versioned, bucketed parquet tables under one root directory."""
+
+    def __init__(self, root: str, n_buckets: int = 16):
+        self.root = root
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        self._manifest_path = os.path.join(root, "manifest.json")
+        if not os.path.exists(self._manifest_path):
+            self._write_manifest({"version": 0, "n_buckets": n_buckets, "tables": {}})
+
+    # -- manifest -----------------------------------------------------------
+
+    def _read_manifest(self) -> dict:
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)
+
+    # -- reads --------------------------------------------------------------
+
+    def bucket_rows(self, table: str, bucket: int) -> list[dict]:
+        manifest = self._read_manifest()
+        rel = manifest["tables"].get(table, {}).get(str(bucket))
+        if rel is None:
+            return []
+        return pq.read_table(os.path.join(self.root, rel)).to_pylist()
+
+    def files(self, table: str) -> list[str]:
+        manifest = self._read_manifest()
+        return [
+            os.path.join(self.root, rel)
+            for rel in manifest["tables"].get(table, {}).values()
+        ]
+
+    def tables(self) -> list[str]:
+        return list(self._read_manifest()["tables"].keys())
+
+    # -- writes -------------------------------------------------------------
+
+    def commit(
+        self,
+        updates: dict[tuple[str, int], list[dict]],
+        schemas: dict[str, pa.Schema],
+        drop_tables: Iterable[str] = (),
+    ) -> int:
+        """Atomically replace the given (table, bucket) datasets (and/or
+        drop whole tables). One manifest flip = one commit."""
+        manifest = self._read_manifest()
+        version = manifest["version"] + 1
+        for (table, bucket), rows in updates.items():
+            schema = schemas[table]
+            tbl = pa.Table.from_pylist(rows, schema=schema)
+            rel = os.path.join("data", _sanitize(table), f"b{bucket:04d}-v{version:08d}.parquet")
+            abspath = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(abspath), exist_ok=True)
+            pq.write_table(tbl, abspath)
+            manifest["tables"].setdefault(table, {})[str(bucket)] = rel
+        for table in drop_tables:
+            manifest["tables"].pop(table, None)
+        manifest["version"] = version
+        self._write_manifest(manifest)
+        return version
+
+    def spark_df(self, spark, table: str, spark_schema: str):
+        files = self.files(table)
+        reader = spark.read.schema(spark_schema)
+        if not files:
+            return reader.parquet()  # pragma: no cover - empty handled below
+        return reader.parquet(*files)
+
+    def spark_df_or_empty(self, spark, table: str, spark_schema: str):
+        files = self.files(table)
+        if not files:
+            return spark.createDataFrame([], spark_schema)
+        return spark.read.schema(spark_schema).parquet(*files)

@@ -1,0 +1,143 @@
+"""Index lifecycle + incremental maintenance — IndexingSpec parity
+(IndexingSpec.scala: build before/after data, write/patch/delete
+propagation, decimal/desc table placement, index delete, collection
+delete drops indexes)."""
+
+import json
+from decimal import Decimal
+
+import pytest
+
+from hyper_storage_spark.plans import SortBy, SortItem
+from hyper_storage_spark.store import DocumentStore, NotFoundError
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return DocumentStore(str(tmp_path / "idx"), spark=spark)
+
+
+def index_items(store, uri, index_id):
+    idef = next(d for d in store.index_defs(uri) if d.index_id == index_id)
+    return sorted(
+        (r["item_id"] for r in store.storage.bucket_rows(idef.storage_table, 0)),
+    )
+
+
+def test_index_created_after_data_backfills(store):
+    store.put("col~/item1", {"a": "hello", "b": 100500})
+    store.put("col~/item2", {"a": "goodbye", "b": 1})
+    store.create_index("col~", "index1", [], "b > 10")
+    assert index_items(store, "col~", "index1") == ["item1"]
+
+
+def test_index_created_before_data_maintained_on_write(store):
+    store.put("col~/seed", {"b": 0})  # collection must exist
+    store.create_index("col~", "index1", [], "b > 10")
+    store.put("col~/item1", {"a": "hello", "b": 100500})
+    store.put("col~/item2", {"a": "goodbye", "b": 1})
+    assert index_items(store, "col~", "index1") == ["item1"]
+
+
+def test_patch_propagates_membership(store):
+    store.put("col~/item1", {"a": "x", "b": 100})
+    store.create_index("col~", "index1", [], "b > 10")
+    assert index_items(store, "col~", "index1") == ["item1"]
+    store.patch("col~/item1", {"b": 5})  # falls out of the filter
+    assert index_items(store, "col~", "index1") == []
+    store.patch("col~/item1", {"b": 50})  # back in
+    assert index_items(store, "col~", "index1") == ["item1"]
+
+
+def test_delete_item_removes_index_row(store):
+    store.put("col~/item1", {"b": 100})
+    store.put("col~/item2", {"b": 200})
+    store.create_index("col~", "index1", [], "b > 10")
+    store.delete("col~/item1")
+    assert index_items(store, "col~", "index1") == ["item2"]
+
+
+def test_sort_field_values_materialized_text_and_decimal(store):
+    store.put("col~/item1", {"a": "hello", "b": 100500})
+    store.put("col~/item2", {"a": "goodbye", "b": 1})
+    store.create_index(
+        "col~",
+        "index2",
+        [SortItem("a", "text", "asc"), SortItem("b", "decimal", "desc")],
+        None,
+    )
+    idef = next(d for d in store.index_defs("col~") if d.index_id == "index2")
+    assert idef.table_name == "index_content_ta0dd1"
+    rows = {r["item_id"]: r for r in store.storage.bucket_rows(idef.storage_table, 0)}
+    assert rows["item1"]["t0"] == "hello"
+    assert rows["item1"]["d1"] == Decimal("100500")
+    assert rows["item2"]["t0"] == "goodbye"
+    assert rows["item2"]["d1"] == Decimal("1")
+
+
+def test_desc_decimal_index_serves_sorted_query(store):
+    store.put("col~/item1", {"a": "hello", "b": 100500})
+    store.put("col~/item2", {"a": "goodbye", "b": 1})
+    store.put("col~/item3", {"a": "way way", "b": 12})
+    store.create_index("col~", "bdesc", [SortItem("b", "decimal", "desc")], None)
+    res = store.query("col~", sort=[SortBy("b", True)], size=10)
+    assert [i["b"] for i in res.items] == [100500, 12, 1]
+    assert res.plan.index_id == "bdesc"
+    assert res.plan.table_name == "index_content_dd0"
+    # reversed scan of the desc index serves the asc query
+    res2 = store.query("col~", sort=[SortBy("b")], size=10)
+    assert [i["b"] for i in res2.items] == [1, 12, 100500]
+    assert res2.plan.index_id == "bdesc"
+    assert res2.plan.reversed
+
+
+def test_missing_sort_field_is_null_and_sorts(store):
+    store.put("col~/item1", {"a": "x", "b": 5})
+    store.put("col~/item2", {"b": 7})  # no `a`
+    store.create_index("col~", "bya", [SortItem("a", "text", "asc")], None)
+    idef = next(d for d in store.index_defs("col~") if d.index_id == "bya")
+    rows = {r["item_id"]: r for r in store.storage.bucket_rows(idef.storage_table, 0)}
+    assert rows["item2"]["t0"] is None
+
+
+def test_delete_index(store):
+    store.put("col~/item1", {"b": 100})
+    store.create_index("col~", "index1", [], "b > 10")
+    store.delete_index("col~", "index1")
+    assert store.index_defs("col~") == []
+    with pytest.raises(NotFoundError):
+        store.delete_index("col~", "index1")
+
+
+def test_collection_delete_drops_indexes(store):
+    store.put("col~/item1", {"b": 100})
+    store.create_index("col~", "index1", [], "b > 10")
+    idef = next(d for d in store.index_defs("col~"))
+    store.delete("col~")
+    assert store.index_defs("col~") == []
+    assert store.storage.files(idef.storage_table) == []
+    with pytest.raises(NotFoundError):
+        store.query("col~")
+
+
+def test_invalid_filter_expression_rejected(store):
+    store.put("col~/x", {"b": 1})
+    with pytest.raises(ValueError):
+        store.create_index("col~", "bad", [], '1 / 0 > "a"')
+
+
+def test_conflicting_index_id_rejected(store):
+    store.put("col~/x", {"b": 1})
+    store.create_index("col~", "index1", [], None)
+    with pytest.raises(ValueError):
+        store.create_index("col~", "index1", [], None)
+
+
+def test_eval_error_rows_excluded_from_index(store):
+    # filter references a missing/badly-typed field ⇒ excluded, not error
+    # (IndexLogic.scala:81-87)
+    store.put("col~/item1", {"b": 100})
+    store.put("col~/item2", {"c": "no b here"})
+    store.put("col~/item3", {"b": "not a number"})
+    store.create_index("col~", "index1", [], "b > 10")
+    assert index_items(store, "col~", "index1") == ["item1"]

@@ -1,0 +1,263 @@
+"""The 17 QueryCollectionsSpec scenarios (QueryCollectionsSpec.scala:80-310)
+— results AND access-path assertions (which table the planner scanned,
+which conjuncts were pushed), the reference's single most valuable
+correctness corpus.
+
+Fixture F1: 3 items; indexes:
+  index1: no sort,     filter "b > 10"  → table index_content
+  index2: sort a asc,  filter "b > 10"  → table index_content_ta0
+  index3: sort a asc,  no filter        → table index_content_ta0
+"""
+
+from decimal import Decimal
+
+import pytest
+
+from hyper_storage_spark.plans import FieldFilter, FilterOp, SortBy, SortItem
+from hyper_storage_spark.store import DocumentStore, NotFoundError, QueryBudgetExceeded
+
+C1 = {"a": "hello", "b": 100500, "id": "item1"}
+C2 = {"a": "goodbye", "b": 1, "id": "item2"}
+C3 = {"a": "way way", "b": 12, "id": "item3"}
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = DocumentStore(str(tmp_path / "qc"), spark=spark)
+    s.put("collection-1~/item1", {"a": "hello", "b": 100500})
+    s.put("collection-1~/item2", {"a": "goodbye", "b": 1})
+    s.put("collection-1~/item3", {"a": "way way", "b": 12})
+    return s
+
+
+@pytest.fixture()
+def indexed(store):
+    store.create_index("collection-1~", "index1", [], "b > 10")
+    store.create_index(
+        "collection-1~", "index2", [SortItem("a", "text", "asc")], "b > 10"
+    )
+    store.create_index("collection-1~", "index3", [SortItem("a", "text", "asc")], None)
+    return store
+
+
+def test_no_sort_no_index_filter_by_id(store):
+    res = store.query("collection-1~", filter='id ="item3"', size=5)
+    assert res.items == [C3]
+    assert res.plan.table_name == "content"
+    assert res.plan.filter_fields == [FieldFilter("item_id", "item3", FilterOp.EQ)]
+    assert res.hal() == {"_embedded": {"els": [C3]}}
+
+
+def test_no_sort_no_index_filter_by_other_field(store):
+    res = store.query("collection-1~", filter='a ="way way"', size=1)
+    assert res.items == [C3]
+    assert res.plan.table_name == "content"
+    # paged variant reproduces the reference's two-select trace:
+    # selects with limit 1 then limit 500 resuming after item1
+    paged = store.query_paged("collection-1~", filter='a ="way way"', size=1)
+    assert paged.items == [C3]
+    assert [s["limit"] for s in paged.selects] == [1, 500]
+    assert paged.selects[1]["filters"] == [FieldFilter("item_id", "item1", FilterOp.GT)]
+
+
+def test_query_by_id_asc(indexed):
+    res = indexed.query("collection-1~", sort=[SortBy("id")], size=50)
+    assert res.items == [C1, C2, C3]
+    assert res.plan.table_name == "content"
+
+
+def test_query_by_id_desc(indexed):
+    res = indexed.query("collection-1~", sort=[SortBy("id", True)], size=50)
+    assert res.items == [C3, C2, C1]
+    assert res.plan.table_name == "content"
+
+
+def test_by_id_asc_filter_by_id(indexed):
+    res = indexed.query("collection-1~", sort=[SortBy("id")], size=50, filter='id >"item1"')
+    assert res.items == [C2, C3]
+    assert res.plan.table_name == "content"
+    assert res.plan.filter_fields == [FieldFilter("item_id", "item1", FilterOp.GT)]
+
+
+def test_by_id_desc_filter_by_id(indexed):
+    res = indexed.query(
+        "collection-1~", sort=[SortBy("id", True)], size=50, filter='id <"item3"'
+    )
+    assert res.items == [C2, C1]
+    assert res.plan.table_name == "content"
+    assert res.plan.filter_fields == [FieldFilter("item_id", "item3", FilterOp.LT)]
+
+
+def test_filter_by_non_index_field(indexed):
+    res = indexed.query("collection-1~", filter='a ="way way"', size=2)
+    assert res.items == [C3]
+    assert res.plan.table_name == "content"
+    paged = indexed.query_paged("collection-1~", filter='a ="way way"', size=2)
+    assert paged.items == [C3]
+    assert [s["limit"] for s in paged.selects] == [2, 501]
+    assert paged.selects[1]["filters"] == [FieldFilter("item_id", "item2", FilterOp.GT)]
+
+
+def test_filter_by_non_index_field_desc(indexed):
+    res = indexed.query(
+        "collection-1~", sort=[SortBy("id", True)], size=2, filter='a ="hello"'
+    )
+    assert res.items == [C1]
+    assert res.plan.table_name == "content"
+    paged = indexed.query_paged(
+        "collection-1~", sort=[SortBy("id", True)], size=2, filter='a ="hello"'
+    )
+    assert paged.items == [C1]
+    assert [s["limit"] for s in paged.selects] == [2, 501]
+    assert paged.selects[1]["filters"] == [FieldFilter("item_id", "item2", FilterOp.LT)]
+
+
+def test_filter_and_sort_non_index_full_scan(store):
+    res = store.query("collection-1~", sort=[SortBy("a")], size=2, filter='a >"goodbye"')
+    assert res.items == [C1, C3]
+    assert res.plan.table_name == "content"
+    assert not res.plan.exact_sort  # full fetch + in-memory sort path
+
+
+def test_filter_and_sort_desc_non_index_full_scan(store):
+    res = store.query(
+        "collection-1~", sort=[SortBy("a", True)], size=2, filter='a >"goodbye"'
+    )
+    assert res.items == [C3, C1]
+    assert not res.plan.exact_sort
+
+
+def test_filter_matches_index_filter_and_sort(indexed):
+    res = indexed.query("collection-1~", sort=[SortBy("id")], size=50, filter="b > 10")
+    assert res.items == [C1, C3]
+    assert res.plan.table_name == "index_content"
+    assert res.plan.index_id == "index1"
+    assert res.plan.filter_fields == []
+
+    res2 = indexed.query("collection-1~", sort=[SortBy("a")], size=50, filter="b > 10")
+    assert res2.items == [C1, C3]
+    assert res2.plan.table_name == "index_content_ta0"
+    assert res2.plan.index_id == "index2"
+
+
+def test_filter_matches_index_filter_reversed_sort(indexed):
+    res = indexed.query("collection-1~", sort=[SortBy("a", True)], size=50, filter="b > 10")
+    assert res.items == [C3, C1]
+    assert res.plan.table_name == "index_content_ta0"
+    assert res.plan.index_id == "index2"
+    assert res.plan.reversed
+
+    res2 = indexed.query(
+        "collection-1~",
+        sort=[SortBy("a", True), SortBy("id", True)],
+        size=50,
+        filter="b > 10",
+    )
+    assert res2.items == [C3, C1]
+    assert res2.plan.index_id == "index2"
+    assert [(c.name, c.ascending) for c in res2.plan.ck_fields] == [
+        ("t0", False),
+        ("item_id", False),
+    ]
+
+
+def test_filter_partially_matches_index_filter(indexed):
+    # query b > 12 ⊂ index filter b > 10 (Wider) → index1 serves it,
+    # residual re-filter drops item3
+    res = indexed.query("collection-1~", sort=[SortBy("id")], size=50, filter="b > 12")
+    assert res.items == [C1]
+    assert res.plan.table_name == "index_content"
+    assert res.plan.index_id == "index1"
+
+
+def test_partial_index_filter_with_ck_field_filter(indexed):
+    res = indexed.query(
+        "collection-1~", sort=[SortBy("a")], size=50, filter='b > 10 and a > "hello"'
+    )
+    assert res.items == [C3]
+    assert res.plan.index_id == "index2"
+    assert res.plan.filter_fields == [FieldFilter("t0", "hello", FilterOp.GT)]
+
+    res2 = indexed.query(
+        "collection-1~",
+        sort=[SortBy("a"), SortBy("id")],
+        size=50,
+        filter='b > 10 and a = "hello" and id > "item2"',
+    )
+    assert res2.items == []
+    assert res2.plan.index_id == "index2"
+    assert res2.plan.filter_fields == [
+        FieldFilter("t0", "hello", FilterOp.EQ),
+        FieldFilter("item_id", "item2", FilterOp.GT),
+    ]
+    assert [(c.name, c.ascending) for c in res2.plan.ck_fields] == [
+        ("t0", True),
+        ("item_id", True),
+    ]
+
+
+def test_sort_matches_ck_fields_skipping_unmatched_filter(indexed):
+    # sort a + filter b < 50 → index3 (sort matches, no index filter)
+    res = indexed.query("collection-1~", sort=[SortBy("a")], size=2, filter="b < 50")
+    assert res.items == [C2, C3]
+    assert res.plan.table_name == "index_content_ta0"
+    assert res.plan.index_id == "index3"
+    paged = indexed.query_paged("collection-1~", sort=[SortBy("a")], size=2, filter="b < 50")
+    assert paged.items == [C2, C3]
+    # the spec verifies the first two selects; a third (suffix-shrunk
+    # t0 > 'hello', adaptive limit 1001) finds item3
+    assert [s["limit"] for s in paged.selects] == [2, 501, 1001]
+    # resume filter: t0='hello' & item_id>'item1' (after the rejected c1)
+    assert paged.selects[1]["filters"] == [
+        FieldFilter("t0", "hello", FilterOp.EQ),
+        FieldFilter("item_id", "item1", FilterOp.GT),
+    ]
+    assert paged.selects[2]["filters"] == [FieldFilter("t0", "hello", FilterOp.GT)]
+
+
+def test_sort_matches_ck_fields_with_query_ck_filter(indexed):
+    res = indexed.query(
+        "collection-1~", sort=[SortBy("a")], size=2, filter='b < 50 and a < "zzz"'
+    )
+    assert res.items == [C2, C3]
+    assert res.plan.index_id == "index3"
+    assert res.plan.filter_fields == [FieldFilter("t0", "zzz", FilterOp.LT)]
+
+
+def test_sort_matches_ck_fields_with_query_ck_filter_reversed(indexed):
+    res = indexed.query(
+        "collection-1~", sort=[SortBy("a", True)], size=2, filter='b < 50 and a > "aaa"'
+    )
+    assert res.items == [C3, C2]
+    assert res.plan.index_id == "index3"
+    assert res.plan.filter_fields == [FieldFilter("t0", "aaa", FilterOp.GT)]
+    assert res.plan.reversed
+    paged = indexed.query_paged(
+        "collection-1~", sort=[SortBy("a", True)], size=2, filter='b < 50 and a > "aaa"'
+    )
+    assert paged.items == [C3, C2]
+    assert paged.selects[1]["filters"] == [
+        FieldFilter("t0", "hello", FilterOp.EQ),
+        FieldFilter("item_id", "item1", FilterOp.LT),
+    ]
+
+
+# -- beyond the 17: collection 404 + budget semantics ------------------------
+
+
+def test_collection_404_semantics(store):
+    with pytest.raises(NotFoundError):
+        store.query("missing~")
+    store.delete("collection-1~")
+    with pytest.raises(NotFoundError):
+        store.query("collection-1~")
+
+
+def test_skip_budget_exceeded(store):
+    # inexact-sort path fetches at most size+skipMax accepted rows and
+    # errors when the budget fills (HyperbusAdapter.scala:183-187)
+    with pytest.raises(QueryBudgetExceeded):
+        store.query("collection-1~", sort=[SortBy("a")], filter="b >= 1", size=1, skip_max=1)
+    # under budget: fine
+    res = store.query("collection-1~", sort=[SortBy("a")], filter="b >= 1", size=1, skip_max=5)
+    assert res.items == [C2]

@@ -1,0 +1,155 @@
+"""DocumentStore CRUD / merge-patch / revision / feed semantics —
+ported from HyperStorageSpec, CollectionsSpec, IntegratedSpec (F3)."""
+
+import pytest
+
+from hyper_storage_spark.store import DocumentStore, NotFoundError
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return DocumentStore(str(tmp_path / "store"), spark=spark)
+
+
+def test_put_get_document(store):
+    created, rev = store.put("abc/123", {"a": 10, "x": "hello"})
+    assert created and rev == 1
+    body, rev2 = store.get("abc/123")
+    assert body == {"a": 10, "x": "hello"} and rev2 == 1
+
+
+def test_put_strips_nulls(store):
+    # {"text": ..., "null": null} stored without the null field
+    store.put("res1", {"text": "Test resource value", "null": None})
+    body, _ = store.get("res1")
+    assert body == {"text": "Test resource value"}
+
+
+def test_scalar_body_document(store):
+    # bodies need not be objects (IntegratedSpec.scala:115)
+    store.put("scalar-doc", "Hello")
+    body, _ = store.get("scalar-doc")
+    assert body == "Hello"
+
+
+def test_put_replaces_and_bumps_revision(store):
+    store.put("doc1", {"a": 1})
+    created, rev = store.put("doc1", {"b": 2})
+    assert not created and rev == 2
+    body, rev2 = store.get("doc1")
+    assert body == {"b": 2} and rev2 == 2
+
+
+def test_merge_patch(store):
+    # F3: patch base {"text1":"abc","text2":"klmn"} with
+    # {"text1":"efg","text2":null,"text3":"zzz"}
+    store.put("patched", {"text1": "abc", "text2": "klmn"})
+    store.patch("patched", {"text1": "efg", "text2": None, "text3": "zzz"})
+    body, rev = store.get("patched")
+    assert body == {"text1": "efg", "text3": "zzz"} and rev == 2
+
+
+def test_null_patch_event_flow(store):
+    store.put("npdoc", {"a": "1", "b": "2", "c": "3"})
+    store.patch("npdoc", {"b": None})
+    body, _ = store.get("npdoc")
+    assert body == {"a": "1", "c": "3"}
+    # feed event carries the raw patch (IntegratedSpec null-patch flow)
+    ev = [e for e in store.feed_events() if e["method"] == "feed:patch"]
+    assert len(ev) == 1 and ev[0]["body"] == '{"b": null}'
+
+
+def test_patch_missing_404(store):
+    with pytest.raises(NotFoundError):
+        store.patch("nope", {"a": 1})
+
+
+def test_patch_after_delete_404(store):
+    store.put("gone", {"a": 1})
+    store.delete("gone")
+    with pytest.raises(NotFoundError):
+        store.patch("gone", {"a": 2})
+    with pytest.raises(NotFoundError):
+        store.get("gone")
+
+
+def test_delete_missing_404(store):
+    with pytest.raises(NotFoundError):
+        store.delete("never-existed")
+
+
+def test_collection_items_share_revision_counter(store):
+    # CollectionsSpec.scala:60-79: rev 1 then 2 across two items
+    _, r1 = store.put("collection-1~/item1", {"a": "hello"})
+    _, r2 = store.put("collection-1~/item2", {"a": "goodbye"})
+    assert (r1, r2) == (1, 2)
+    _, rev = store.get("collection-1~/item1")
+    assert rev == 2  # static revision is shared
+
+
+def test_item_body_gets_id_injected(store):
+    store.put("col~/item1", {"a": 1})
+    body, _ = store.get("col~/item1")
+    assert body["id"] == "item1"
+
+
+def test_post_generates_monotonic_ids(store):
+    p1, _ = store.post("col2~", {"x": 1})
+    p2, _ = store.post("col2~", {"x": 2})
+    id1, id2 = p1.split("/")[-1], p2.split("/")[-1]
+    assert id1 < id2  # sortable, insertion-ordered
+    body, _ = store.get(p1)
+    assert body["x"] == 1 and body["id"] == id1
+
+
+def test_item_delete_removes_row_and_bumps_revision(store):
+    store.put("col3~/a", {"v": 1})
+    store.put("col3~/b", {"v": 2})
+    rev = store.delete("col3~/a")
+    assert rev == 3
+    with pytest.raises(NotFoundError):
+        store.get("col3~/a")
+    body, rev2 = store.get("col3~/b")
+    assert body["v"] == 2 and rev2 == 3
+
+
+def test_feed_events_published_with_revision(store):
+    store.put("feeddoc", {"a": 1})
+    store.patch("feeddoc", {"b": 2})
+    store.delete("feeddoc")
+    evs = [e for e in store.feed_events() if e["document_uri"] == "feeddoc"]
+    assert [(e["method"], e["revision"]) for e in evs] == [
+        ("feed:put", 1),
+        ("feed:patch", 2),
+        ("feed:delete", 3),
+    ]
+
+
+def test_recovery_redrives_incomplete_transactions(spark, tmp_path):
+    # faulty-publish parity (HyperStorageSpec "Test faulty publish"):
+    # writes land, background completion doesn't run; recover() re-drives.
+    store = DocumentStore(str(tmp_path / "s"), spark=spark, auto_complete=False)
+    store.put("recdoc", {"a": 1})
+    store.put("recdoc", {"a": 2})
+    assert store.feed_events() == []
+    body, rev = store.get("recdoc")  # the write itself IS accepted
+    assert body == {"a": 2} and rev == 2
+    n = store.recover()
+    assert n == 2
+    evs = store.feed_events()
+    assert [e["revision"] for e in evs] == [1, 2]
+    # idempotent: re-running recovery publishes nothing new
+    assert store.recover() == 0
+    assert len(store.feed_events()) == 2
+
+
+def test_atomic_snapshot_isolation(store):
+    # a reader holding the old manifest never sees a half-commit
+    store.put("iso~/x", {"v": 1})
+    files_before = store.storage.files("content")
+    store.put("iso~/y", {"v": 2})
+    # old snapshot files still exist and are readable
+    import pyarrow.parquet as pq
+
+    rows = [r for f in files_before for r in pq.read_table(f).to_pylist()]
+    assert any(r["item_id"] == "x" for r in rows)
