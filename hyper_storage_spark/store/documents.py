@@ -413,8 +413,9 @@ class DocumentStore:
             if not incomplete:
                 return 0
 
-            feed_rows = self.storage.bucket_rows(FEED, 0)
-            seen = {(f["document_uri"], f["item_id"], f["revision"]) for f in feed_rows}
+            published = self.storage.all_rows(FEED)
+            seen = {(f["document_uri"], f["item_id"], f["revision"]) for f in published}
+            feed_rows: list[dict] = []  # append-only: new events only
             now = _now_ms()
 
             updates: dict = {}
@@ -451,15 +452,17 @@ class DocumentStore:
                     seen.add(key)
                 t["completed_at"] = now
 
-            updates[(FEED, 0)] = feed_rows
             updates[(TRANSACTIONS, bucket)] = txn_rows
             schemas = {
-                FEED: FEED_SCHEMA,
                 TRANSACTIONS: TRANSACTIONS_SCHEMA,
                 INDEX_DEFS: INDEX_DEFS_SCHEMA,
             }
             for idef in self.index_defs(uri):
                 schemas[idef.storage_table] = _index_schema(idef.sort_by)
+            # feed first (at-least-once: publish, then mark complete —
+            # a crash in between re-publishes, deduped by revision)
+            if feed_rows:
+                self.storage.append(FEED, feed_rows, FEED_SCHEMA)
             self.storage.commit(updates, schemas, drop_tables=drop_tables)
             return len(incomplete)
 
@@ -627,9 +630,18 @@ class DocumentStore:
         """The published change feed, in publication order (Kafka-topic
         parity: at-least-once, revision-idempotent)."""
         return sorted(
-            self.storage.bucket_rows(FEED, 0),
+            self.storage.all_rows(FEED),
             key=lambda f: (f["document_uri"], f["revision"]),
         )
+
+    def feed_dir(self) -> str:
+        """Directory of append-only feed files — a Structured Streaming
+        file-source path (the local stand-in for the Kafka topic)."""
+        import os
+
+        d = self.storage.table_dir(FEED)
+        os.makedirs(d, exist_ok=True)
+        return d
 
     def feed_df(self):
         """The change feed as a DataFrame (the batch face of the Kafka

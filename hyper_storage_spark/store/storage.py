@@ -107,6 +107,30 @@ class Storage:
         self._write_manifest(manifest)
         return version
 
+    def append(self, table: str, rows: list[dict], schema: pa.Schema) -> int:
+        """Append-only tables (e.g. the change feed): each commit adds a
+        new file and never rewrites old ones — exactly the shape a
+        Structured Streaming file source expects (new files = new data)."""
+        manifest = self._read_manifest()
+        version = manifest["version"] + 1
+        rel = os.path.join("data", _sanitize(table), f"append-v{version:08d}.parquet")
+        abspath = os.path.join(self.root, rel)
+        os.makedirs(os.path.dirname(abspath), exist_ok=True)
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), abspath)
+        manifest["tables"].setdefault(table, {})[f"a{version}"] = rel
+        manifest["version"] = version
+        self._write_manifest(manifest)
+        return version
+
+    def all_rows(self, table: str) -> list[dict]:
+        out: list[dict] = []
+        for f in self.files(table):
+            out.extend(pq.read_table(f).to_pylist())
+        return out
+
+    def table_dir(self, table: str) -> str:
+        return os.path.join(self.root, "data", _sanitize(table))
+
     def spark_df(self, spark, table: str, spark_schema: str):
         files = self.files(table)
         reader = spark.read.schema(spark_schema)

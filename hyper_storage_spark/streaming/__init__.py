@@ -1,0 +1,18 @@
+"""Structured Streaming faces of the engine (SURVEY.md §3.2 Spark shape):
+
+- :mod:`feed` — the change feed as a stream (``readStream`` over the
+  append-only feed log; swap the file source for
+  ``format("kafka")`` + the same transformations on a cluster).
+- :mod:`revisions` — gapless per-document revision assignment with
+  ``applyInPandasWithState`` (the streaming replacement for the
+  reference's ShardProcessor single-writer guarantee).
+- :mod:`ingest` — the write path as a stream job: commands →
+  ``foreachBatch`` → serialized DocumentStore writes (one batch = one
+  atomic storage commit per bucket + feed publication).
+"""
+
+from .feed import feed_readstream
+from .ingest import run_command_stream, write_commands
+from .revisions import assign_revisions_stream
+
+__all__ = ["feed_readstream", "assign_revisions_stream", "run_command_stream", "write_commands"]

@@ -1,0 +1,141 @@
+"""Structured Streaming paths: command ingest (single-writer semantics),
+stateful revision assignment, change-feed consumption."""
+
+import json
+import time
+
+import pytest
+
+from hyper_storage_spark.store import DocumentStore
+from hyper_storage_spark.streaming import (
+    assign_revisions_stream,
+    feed_readstream,
+    run_command_stream,
+    write_commands,
+)
+
+
+def test_command_stream_ingest(spark, tmp_path):
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    cmds = str(tmp_path / "commands")
+    ckpt = str(tmp_path / "ckpt")
+
+    write_commands(
+        cmds,
+        [
+            {"seq": 1, "method": "put", "path": "doc1", "body": {"a": 1}},
+            {"seq": 2, "method": "put", "path": "col~/x", "body": {"v": 1}},
+            {"seq": 3, "method": "patch", "path": "doc1", "body": {"b": 2}},
+        ],
+    )
+    write_commands(
+        cmds,
+        [
+            {"seq": 4, "method": "put", "path": "col~/y", "body": {"v": 2}},
+            {"seq": 5, "method": "delete", "path": "col~/x", "body": None},
+        ],
+    )
+    run_command_stream(spark, store, cmds, ckpt)
+
+    body, rev = store.get("doc1")
+    assert body == {"a": 1, "b": 2} and rev == 2
+    body, rev = store.get("col~/y")
+    assert body["v"] == 2 and rev == 3  # gapless per-collection counter
+    evs = [(e["document_uri"], e["item_id"], e["method"], e["revision"]) for e in store.feed_events()]
+    assert ("col~", "x", "feed:delete", 3) in evs
+
+    # restart with the same checkpoint: nothing re-applies
+    run_command_stream(spark, store, cmds, ckpt)
+    _, rev2 = store.get("doc1")
+    assert rev2 == 2
+
+
+def test_command_stream_resume_processes_only_new(spark, tmp_path):
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    cmds = str(tmp_path / "commands")
+    ckpt = str(tmp_path / "ckpt")
+    write_commands(cmds, [{"seq": 1, "method": "put", "path": "d", "body": {"n": 1}}])
+    run_command_stream(spark, store, cmds, ckpt)
+    write_commands(cmds, [{"seq": 2, "method": "put", "path": "d", "body": {"n": 2}}])
+    run_command_stream(spark, store, cmds, ckpt)
+    body, rev = store.get("d")
+    assert body == {"n": 2} and rev == 2
+
+
+def test_stateful_revision_assignment(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "cmdstream"
+    src.mkdir()
+    schema = pa.schema(
+        [("document_uri", pa.string()), ("seq", pa.int64()), ("method", pa.string()), ("body", pa.string())]
+    )
+    # two files => two micro-batches (maxFilesPerTrigger=1); state must
+    # carry revisions across batches
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"document_uri": "a", "seq": 1, "method": "put", "body": "{}"},
+                {"document_uri": "b", "seq": 2, "method": "put", "body": "{}"},
+                {"document_uri": "a", "seq": 3, "method": "patch", "body": "{}"},
+            ],
+            schema=schema,
+        ),
+        str(src / "f1.parquet"),
+    )
+    time.sleep(0.05)
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"document_uri": "a", "seq": 4, "method": "put", "body": "{}"},
+                {"document_uri": "b", "seq": 5, "method": "delete", "body": None},
+            ],
+            schema=schema,
+        ),
+        str(src / "f2.parquet"),
+    )
+
+    commands = (
+        spark.readStream.schema("document_uri string, seq long, method string, body string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = assign_revisions_stream(commands)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("revs_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT document_uri, seq, revision FROM revs_out ORDER BY document_uri, seq").collect()
+    got = [(r.document_uri, r.seq, r.revision) for r in rows]
+    assert got == [("a", 1, 1), ("a", 3, 2), ("a", 4, 3), ("b", 2, 1), ("b", 5, 2)]
+
+
+def test_feed_readstream(spark, tmp_path):
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    store.put("doc1", {"a": 1})
+    store.put("doc1", {"a": 2})
+    store.delete("doc1")
+    stream = feed_readstream(spark, store)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("feed_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT method, revision FROM feed_out WHERE document_uri='doc1' ORDER BY revision"
+    ).collect()
+    assert [(r.method, r.revision) for r in rows] == [
+        ("feed:put", 1),
+        ("feed:put", 2),
+        ("feed:delete", 3),
+    ]
