@@ -48,7 +48,12 @@ class CompileError(ValueError):
 
 @dataclass
 class DynCol:
-    """A dynamically-typed value as a bundle of typed columns."""
+    """A dynamically-typed value as a bundle of typed columns.
+
+    ``kind`` statically tags values whose runtime type is known
+    ('num'/'str'/'bool'/'arr'; 'dyn' = per-row) so comparisons compile
+    to direct column ops instead of the generic type-dispatch CASE —
+    the difference between a 40-node and a 2000-node Catalyst tree."""
 
     s: Column  # string form (NULL when value has none)
     n: Column  # decimal(38,12) form (NULL unless isnum)
@@ -58,6 +63,7 @@ class DynCol:
     arr: Optional[Column] = None  # array<string> form when value is an array
     isnull: Optional[Column] = None  # value exists and is JSON null
     defined: Optional[Column] = None  # value exists at all (vs missing field)
+    kind: str = "dyn"  # 'num' | 'str' | 'bool' | 'arr' | 'null' | 'dyn'
 
     @property
     def isstr(self) -> Column:
@@ -102,11 +108,14 @@ def _bool_dyn(c: Column) -> DynCol:
         isnum=_false(),
         isbool=c.isNotNull(),
         bval=c,
+        kind="bool",
     )
 
 
 def _num_dyn(n: Column) -> DynCol:
-    return DynCol(s=n.cast("string"), n=n, isnum=n.isNotNull(), isbool=_false(), bval=_null_b())
+    return DynCol(
+        s=n.cast("string"), n=n, isnum=n.isNotNull(), isbool=_false(), bval=_null_b(), kind="num"
+    )
 
 
 def from_literal(value) -> DynCol:
@@ -119,6 +128,7 @@ def from_literal(value) -> DynCol:
             bval=_null_b(),
             isnull=F.lit(True),
             defined=F.lit(True),
+            kind="null",
         )
     if isinstance(value, bool):
         return DynCol(
@@ -127,6 +137,7 @@ def from_literal(value) -> DynCol:
             isnum=_false(),
             isbool=F.lit(True),
             bval=F.lit(value),
+            kind="bool",
         )
     if isinstance(value, Decimal):
         return DynCol(
@@ -135,9 +146,12 @@ def from_literal(value) -> DynCol:
             isnum=F.lit(True),
             isbool=_false(),
             bval=_null_b(),
+            kind="num",
         )
     if isinstance(value, str):
-        return DynCol(s=F.lit(value), n=_null_n(), isnum=_false(), isbool=_false(), bval=_null_b())
+        return DynCol(
+            s=F.lit(value), n=_null_n(), isnum=_false(), isbool=_false(), bval=_null_b(), kind="str"
+        )
     if isinstance(value, tuple):
         return DynCol(
             s=_null_s(),
@@ -146,6 +160,7 @@ def from_literal(value) -> DynCol:
             isbool=_false(),
             bval=_null_b(),
             arr=F.array(*[F.lit(canonical_str(v)) for v in value]),
+            kind="arr",
         )
     raise CompileError(f"unsupported literal {value!r}")
 
@@ -194,6 +209,7 @@ def from_typed_column(col: Column, dtype: str) -> DynCol:
             bval=_null_b(),
             isnull=isnull,
             defined=defined,
+            kind="num",
         )
     if dtype == "boolean":
         return DynCol(
@@ -204,6 +220,7 @@ def from_typed_column(col: Column, dtype: str) -> DynCol:
             bval=col,
             isnull=isnull,
             defined=defined,
+            kind="bool",
         )
     if dtype.startswith("array"):
         return DynCol(
@@ -215,6 +232,7 @@ def from_typed_column(col: Column, dtype: str) -> DynCol:
             arr=col.cast("array<string>"),
             isnull=isnull,
             defined=defined,
+            kind="arr",
         )
     # string / timestamp / date / binary → string semantics
     return DynCol(
@@ -225,6 +243,7 @@ def from_typed_column(col: Column, dtype: str) -> DynCol:
         bval=_null_b(),
         isnull=isnull,
         defined=defined,
+        kind="str",
     )
 
 
@@ -246,12 +265,22 @@ def typed_resolver(df: DataFrame, json_col: Optional[str] = None) -> Resolver:
 
 
 def _truthy(d: DynCol) -> Column:
+    if d.kind == "bool":
+        return d.bval
+    if d.kind == "num":
+        return d.n != F.lit(0)
+    if d.kind == "null":
+        return F.lit(False)
+    if d.kind == "arr":
+        return F.size(d.arr) > 0
     s_low = F.lower(d.s)
     str_truth = (
         F.when(s_low.isin("true", "1", "y", "yes", "on"), F.lit(True))
         .when(s_low.isin("false", "0", "n", "no", "off"), F.lit(False))
         .otherwise(_null_b())
     )
+    if d.kind == "str":
+        return str_truth
     c = (
         F.when(d.isnull_c, F.lit(False))
         .when(d.isbool, d.bval)
@@ -263,7 +292,17 @@ def _truthy(d: DynCol) -> Column:
     return c
 
 
+_VALUED = {"num", "str", "bool"}
+
+
 def _eq(l: DynCol, r: DynCol) -> Column:
+    # fast paths: both runtime types known statically (typed values are
+    # always defined; a NULL value compares equal only to null)
+    if l.kind in _VALUED and r.kind in _VALUED:
+        if l.kind != r.kind:
+            return F.lit(False)
+        direct = {"num": l.n == r.n, "bool": l.bval == r.bval, "str": l.s == r.s}[l.kind]
+        return F.when(l.isnull_c | r.isnull_c, l.isnull_c & r.isnull_c).otherwise(direct)
     # typed equality; present-but-null equals only null; cross-type is
     # unequal; a missing field yields NULL (row rejected at the top)
     return (
@@ -277,6 +316,12 @@ def _eq(l: DynCol, r: DynCol) -> Column:
 
 
 def _gt(l: DynCol, r: DynCol) -> Column:
+    if l.kind in _VALUED and r.kind in _VALUED:
+        if l.kind == "num" and r.kind == "num":
+            return l.n > r.n
+        if l.kind == "str" and r.kind == "str":
+            return l.s > r.s
+        return _null_b()  # unorderable types ⇒ eval error ⇒ rejected
     return (
         F.when(l.isnum & r.isnum, l.n > r.n)
         .when(l.isstr & r.isstr, l.s > r.s)
@@ -391,3 +436,90 @@ def compile_filter_str(text: str, resolve: Resolver) -> Column:
     from .parser import parse
 
     return compile_filter(parse(text), resolve)
+
+
+def collect_identifiers(node: Expression) -> set[str]:
+    if isinstance(node, Identifier):
+        return {node.name}
+    if isinstance(node, UnaryOp):
+        return collect_identifiers(node.arg)
+    if isinstance(node, BinaryOp):
+        return collect_identifiers(node.left) | collect_identifiers(node.right)
+    if isinstance(node, FunctionCall):
+        out: set[str] = set()
+        for a in node.args:
+            out |= collect_identifiers(a)
+        return out
+    return set()
+
+
+def apply_filter(
+    df: DataFrame, expression, json_col: Optional[str] = None, json_only: bool = False
+) -> DataFrame:
+    """Apply an expression-language filter to a DataFrame efficiently.
+
+    Identifiers matching typed columns resolve directly; the rest
+    resolve into ``json_col`` (a schemaless JSON string column). The
+    JSON identifiers' base values are **pre-projected once per row**
+    (variant parse + field extraction materialized as helper columns)
+    instead of being re-evaluated at every reference inside the filter
+    tree — Catalyst's CollapseProject keeps expensive multi-referenced
+    aliases materialized, so this turns O(references) JSON parses per
+    row into one.
+    """
+    from .parser import parse as _parse
+
+    ast = _parse(expression) if isinstance(expression, str) else expression
+    names = sorted(collect_identifiers(ast))
+    dtypes = dict(df.dtypes)
+    if json_only:
+        json_names = list(names)  # schemaless body: never resolve to table columns
+    else:
+        json_names = [n for n in names if n.split(".", 1)[0] not in dtypes or "." in n]
+    if json_names and json_col is None:
+        raise CompileError(f"identifiers {json_names} need a json_col")
+
+    helpers: dict[str, Column] = {}
+    dyncols: dict[str, DynCol] = {}
+    if json_names:
+        vcol = "__hs_v"
+        helpers[vcol] = F.try_parse_json(F.col(json_col))
+        df = df.withColumns({vcol: helpers[vcol]})
+        base: dict[str, Column] = {}
+        for i, name in enumerate(json_names):
+            path = "$." + name
+            raw = F.to_json(F.try_variant_get(F.col(vcol), path, "variant"))
+            base[f"__hs_raw_{i}"] = raw
+            base[f"__hs_s_{i}"] = F.try_variant_get(F.col(vcol), path, "string")
+            base[f"__hs_n_{i}"] = F.when(
+                raw.rlike(r"^-?[0-9]"), F.try_variant_get(F.col(vcol), path, DEC)
+            ).otherwise(_null_n())
+            base[f"__hs_arr_{i}"] = F.when(
+                raw.startswith("["), F.try_variant_get(F.col(vcol), path, "array<string>")
+            )
+        df = df.withColumns(base)
+        for i, name in enumerate(json_names):
+            raw = F.col(f"__hs_raw_{i}")
+            isnum = F.coalesce(raw.rlike(r"^-?[0-9]"), F.lit(False))
+            isbool = F.coalesce(raw.isin("true", "false"), F.lit(False))
+            dyncols[name] = DynCol(
+                s=F.col(f"__hs_s_{i}"),
+                n=F.col(f"__hs_n_{i}"),
+                isnum=isnum,
+                isbool=isbool,
+                bval=F.when(isbool, raw == "true").otherwise(_null_b()),
+                arr=F.col(f"__hs_arr_{i}"),
+                isnull=F.coalesce(raw == "null", _false()),
+                defined=raw.isNotNull(),
+            )
+        drop = [vcol] + list(base)
+    else:
+        drop = []
+
+    def resolve(name: str) -> DynCol:
+        if name in dyncols:
+            return dyncols[name]
+        return from_typed_column(F.col(name), dtypes[name])
+
+    out = df.filter(compile_filter(ast, resolve))
+    return out.drop(*drop) if drop else out

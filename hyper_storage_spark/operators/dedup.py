@@ -37,32 +37,55 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_df(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct n-word shingles per document: (doc_id, shingle)."""
-    toks = tokens_col(F.col(text_col))
+    """Distinct n-word shingles per document: (doc_id, shingle).
+
+    The token array is materialized as a column first: inlining the
+    split() into every element_at() would re-tokenize the document once
+    per shingle position (O(len²) per row)."""
+    toks = F.col("__toks")
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     shingles = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)])
     )
     return (
-        docs.filter(F.size(toks) >= n)
+        docs.withColumn("__toks", tokens_col(F.col(text_col)))
+        .filter(F.size(toks) >= n)
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, n: int = 3, text_col: str = "text"
-) -> DataFrame:
-    """Exact n-gram-shingle Jaccard for every pair sharing ≥1 shingle:
-    (a_id, b_id, jaccard) with jaccard ≥ threshold, rounded to 6."""
-    sh = shingle_df(docs, text_col, n)
+def _hashed_shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, h) distinct shingles as 64-bit hashes: the join/shuffle
+    runs on longs instead of strings (same equality modulo a ~2^-64
+    collision, which only matters inside one document pair)."""
+    return shingle_df(docs, text_col, n).select("doc_id", F.xxhash64("shingle").alias("h"))
+
+
+def _jaccard_from_shingles(sh: DataFrame, threshold: float, candidates: DataFrame | None) -> DataFrame:
+    """(a_id, b_id, jaccard≥threshold) from a (doc_id, h) shingle set.
+
+    Without candidates: inverted-index self-join (pairs sharing ≥1
+    shingle). With candidates (from LSH): the intersection counts are
+    computed only for the candidate pairs — the posting-list blowup
+    never happens, which is the whole point of LSH at scale."""
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count("*").alias("c"))
-    )
+    if candidates is None:
+        inter = (
+            a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            .agg(F.count("*").alias("c"))
+        )
+    else:
+        inter = (
+            F.broadcast(candidates)
+            .join(a, F.col("a_id") == F.col("a.doc_id"))
+            .join(b, (F.col("b_id") == F.col("b.doc_id")) & (F.col("a.h") == F.col("b.h")))
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("c"))
+        )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     j = (
@@ -71,22 +94,29 @@ def ngram_jaccard_pairs(
         .select(
             "a_id",
             "b_id",
-            F.round(
-                F.col("c") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("c")), 6
-            ).cast("double").alias("jaccard"),
+            F.round(F.col("c") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("c")), 6)
+            .cast("double")
+            .alias("jaccard"),
         )
     )
     return j.filter(F.col("jaccard") >= threshold)
 
 
-def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 32, n: int = 3, text_col: str = "text"
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, sig: array<bigint>) MinHash signatures over n-word
-    shingles. Hash family: murmur3(shingle, seed=i) — one aggregation
-    over the exploded shingle list, all JVM-side."""
-    sh = shingle_df(docs, text_col, n)
-    mins = [F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    """Exact n-gram-shingle Jaccard for every pair sharing ≥1 shingle:
+    (a_id, b_id, jaccard) with jaccard ≥ threshold, rounded to 6."""
+    return _jaccard_from_shingles(_hashed_shingles(docs, text_col, n), threshold, None)
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) MinHash signatures over a
+    (doc_id, h) shingle set. Hash family: murmur3(h, seed=i) — one
+    aggregation over the shingle list, all JVM-side."""
+    mins = [F.min(F.hash(F.col("h"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy("doc_id").agg(*mins)
     return sig.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
@@ -107,7 +137,8 @@ def minhash_lsh_pairs(
     Returns (a_id, b_id, jaccard ≥ threshold).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, text_col)
+    sh = _hashed_shingles(docs, text_col, n)
+    sig = minhash_signatures(sh, num_hashes)
     band_cols = [
         F.hash(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias(f"band{b}")
         for b in range(bands)
@@ -134,12 +165,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, threshold=0.0, n=n, text_col=text_col)
-    return (
-        candidates.join(exact, ["a_id", "b_id"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    # exact-Jaccard verify restricted to the candidate pairs — no
+    # inverted-index blowup, the LSH scale win stays intact
+    return _jaccard_from_shingles(sh, threshold, candidates).select("a_id", "b_id", "jaccard")
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -40,8 +40,9 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/punctuation/stopword-ratio quality features + a composite
     score in [0,1]. Formula is deliberately simple and portable (the
     DuckDB oracle computes the identical expression)."""
+    df = df.withColumn("__toks", tokens_col(F.col(text_col)))
     text = F.col(text_col)
-    toks = tokens_col(text)
+    toks = F.col("__toks")
     n_tokens = F.size(toks)
     n_chars = F.length(text)
     punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
@@ -61,6 +62,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("stopword_ratio", stop_ratio.cast("double"))
         .withColumn("mean_token_len", mean_tok_len.cast("double"))
         .withColumn("quality_score", score.cast("double"))
+        .drop("__toks")
     )
 
 
@@ -68,7 +70,8 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-marker language ID: count marker hits per language,
     argmax with deterministic tie-break on language code; no markers
     hit ⇒ 'und' (undetermined)."""
-    toks = tokens_col(F.lower(F.col(text_col)))
+    df = df.withColumn("__ltoks", tokens_col(F.lower(F.col(text_col))))
+    toks = F.col("__ltoks")
 
     def marker_score(markers: tuple[str, ...]):
         ms = list(markers)
@@ -83,15 +86,18 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             (pair["score"] > best["score"]), pair
         ).otherwise(best)
     pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
-    return df.withColumn("lang_pred", pred)
+    return df.withColumn("lang_pred", pred).drop("__ltoks")
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Document fingerprint: the minimum md5 over the document's n-word
-    shingles — a 1-permutation MinHash, stable across engines."""
-    toks = tokens_col(F.col(text_col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+    shingles — a 1-permutation MinHash, stable across engines. Documents
+    shorter than n tokens get a NULL fingerprint."""
+    from .dedup import shingle_df
+
+    fp = (
+        shingle_df(df.select("doc_id", text_col), text_col, n)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("shingle")).alias("fingerprint"))
     )
-    return df.withColumn("fingerprint", F.array_min(F.transform(shingles, F.md5)))
+    return df.join(fp, "doc_id", "left")

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .expression import parse
-from .expression.compiler import compile_filter, typed_resolver
+from .expression.compiler import apply_filter
 from .operators import dedup, multimodal, similarity, text
 from .plans import FieldFilter, FilterOp, SortItem, least_rows_filter_fields
 from .sources import load_table
@@ -151,10 +151,9 @@ def parity_residual_filter(spark, sf_dir):
     expression language, parsed and compiled to a Catalyst Column over a
     schemaless JSON column (`k` lives inside events.props)."""
     events = _t(spark, sf_dir, "events")
-    col = compile_filter(
-        parse('k > 50 and event_type = "click"'), typed_resolver(events, json_col="props")
+    return apply_filter(events, 'k > 50 and event_type = "click"', json_col="props").select(
+        "event_id", "value"
     )
-    return events.filter(col).select("event_id", "value")
 
 
 @register(

@@ -32,7 +32,7 @@ from typing import Any, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..expression.compiler import CompileError, compile_filter, variant_resolver
+from ..expression.compiler import CompileError, apply_filter
 from ..expression.evaluator import EvalError, evaluate, is_number, to_decimal, truthy
 from ..expression.parser import parse
 from ..paths import is_collection_uri
@@ -118,11 +118,12 @@ def _apply_field_filters(df: DataFrame, filters: list[FieldFilter], decimal_cols
     return df
 
 
-def _residual_column(filter_ast, df: DataFrame):
-    """Compile the full filter as the residual predicate; fall back to an
-    Arrow-batched Python evaluator only for non-compilable constructs."""
+def _apply_residual(df: DataFrame, filter_ast) -> tuple[DataFrame, bool]:
+    """Apply the full filter as the residual predicate (prepared frame —
+    one JSON parse per row); fall back to an Arrow-batched Python
+    evaluator only for non-compilable constructs."""
     try:
-        return compile_filter(filter_ast, variant_resolver(F.col("body"))), True
+        return apply_filter(df, filter_ast, json_col="body", json_only=True), True
     except CompileError:
         from pyspark.sql.types import BooleanType
 
@@ -142,7 +143,7 @@ def _residual_column(filter_ast, df: DataFrame):
 
             return pd.Series([ok(b) for b in bodies])
 
-        return residual(F.col("body")), False
+        return df.filter(residual(F.col("body"))), False
 
 
 def _dynamic_sort_cols(sort_by: list[SortBy]):
@@ -251,8 +252,7 @@ def _plan(store: DocumentStore, uri: str, filter: Optional[str], sort: list[Sort
         plan = PlanInfo(idef.table_name, idef.index_id, filter_fields, ck_fields, reversed_, exact)
 
     if filter_ast is not None:
-        residual, compiled = _residual_column(filter_ast, df)
-        df = df.filter(residual)
+        df, compiled = _apply_residual(df, filter_ast)
         plan.residual_compiled = compiled
     return plan, df, filter_ast
 
