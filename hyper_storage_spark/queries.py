@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from .expression import parse
 from .expression.compiler import apply_filter
 from .operators import dedup, multimodal, similarity, text
-from .plans import FieldFilter, FilterOp, SortItem, least_rows_filter_fields
+from .plans import FieldFilter, FilterOp, SortBy, SortItem, least_rows_filter_fields
 from .sources import load_table
 
 
@@ -686,6 +686,87 @@ def mm_feature_extract(spark, sf_dir):
     return feats.select(
         "doc_id", "media_type", "byte_len", F.round(F.element_at("features", 1), 6).alias("f0")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# store_* — the document-store engine end-to-end: Spark bulk ingest →
+# MV index build → planner-routed collection queries (SURVEY.md §3.1)
+# --------------------------------------------------------------------------
+
+_STORES: dict[str, object] = {}
+
+
+def _docs_store(spark, sf_dir):
+    """One store per sf_dir/process: documents.parquet bulk-ingested as
+    collection ``docs~`` (item_id = zero-padded doc_id so lexicographic
+    item order == numeric order), with a text index on lang."""
+    store = _STORES.get(sf_dir)
+    if store is None:
+        import tempfile
+
+        from .store import DocumentStore
+
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "item", F.lpad(F.col("doc_id").cast("string"), 10, "0")
+        )
+        store = DocumentStore(tempfile.mkdtemp(prefix="hs_store_"), spark=spark)
+        store.ingest_collection(docs, "docs~", "item")
+        store.create_index("docs~", "by_lang", [SortItem("lang", "text", "asc")], None)
+        store.create_index("docs~", "long_docs", [], "n_chars > 300")
+        _STORES[sf_dir] = store
+    return store
+
+
+def _items_df(spark, items, cols: str):
+    rows = [tuple(i.get(c.split()[0]) for c in cols.split(", ")) for i in items]
+    return spark.createDataFrame(rows, cols)
+
+
+@register(
+    "store_query_mv_sorted",
+    """SELECT doc_id, lang, n_chars FROM documents
+       ORDER BY lang, lpad(CAST(doc_id AS VARCHAR), 10, '0') LIMIT 40""",
+)
+def store_query_mv_sorted(spark, sf_dir):
+    """Collection GET sorted by an indexed field: the planner must route
+    to the lang MV (index_content_ta0) and order by its clustering key."""
+    store = _docs_store(spark, sf_dir)
+    res = store.query("docs~", sort=[SortBy("lang")], size=40)
+    assert res.plan.index_id == "by_lang", res.plan
+    return _items_df(spark, res.items, "doc_id long, lang string, n_chars long")
+
+
+@register(
+    "store_query_filter_implication",
+    """SELECT doc_id, lang, n_chars FROM documents
+       WHERE n_chars > 400
+       ORDER BY lpad(CAST(doc_id AS VARCHAR), 10, '0') LIMIT 40""",
+)
+def store_query_filter_implication(spark, sf_dir):
+    """Query filter narrower than the MV filter (n_chars>400 ⊂
+    n_chars>300, range widening in the AST comparator): implication
+    routes to the filtered MV, the residual re-filter drops the
+    300..400 rows."""
+    store = _docs_store(spark, sf_dir)
+    res = store.query("docs~", filter="n_chars > 400", sort=[SortBy("id")], size=40)
+    assert res.plan.index_id == "long_docs", res.plan
+    return _items_df(spark, res.items, "doc_id long, lang string, n_chars long")
+
+
+@register(
+    "store_query_paged_keyset",
+    """SELECT doc_id, lang FROM documents
+       WHERE lang = 'zh'
+       ORDER BY lpad(CAST(doc_id AS VARCHAR), 10, '0') LIMIT 15""",
+)
+def store_query_paged_keyset(spark, sf_dir):
+    """The REST fetch loop end-to-end: residual filter (lang='zh' is not
+    sargable on the base table) + keyset resume filters across multiple
+    bounded storage selects."""
+    store = _docs_store(spark, sf_dir)
+    res = store.query_paged("docs~", filter='lang = "zh"', size=15)
+    assert len(res.selects) >= 1
+    return _items_df(spark, res.items, "doc_id long, lang string")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

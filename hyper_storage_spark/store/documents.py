@@ -530,6 +530,72 @@ class DocumentStore:
                     rows.append(new_row)
             updates[(idef.storage_table, 0)] = rows
 
+    # -- bulk ingest (the 100 TB write path) -----------------------------------
+
+    def ingest_collection(self, df, collection_uri: str, item_id_col: str) -> int:
+        """Bulk-load a Spark DataFrame as a collection: every row becomes
+        an item whose body is the row as JSON (+ the server-injected
+        ``id``), written by Spark executors directly into the bucket —
+        no driver round-trip per item. One atomic manifest flip makes
+        the whole collection visible (revision 1), exactly like the
+        reference's backfill jobs. This is the ingest path that scales:
+        per-item PUT is for the operational API, ingest_collection for
+        backfills/migrations.
+        """
+        import os
+
+        from pyspark.sql import functions as F
+
+        if not collection_uri.endswith("~"):
+            raise ValueError("ingest_collection requires a collection~ URI")
+        with self._lock:
+            if self._get_static(collection_uri) is not None:
+                raise ValueError(f"{collection_uri!r} already exists")
+            bucket = self._bucket(collection_uri)
+            if self._content_bucket(collection_uri):
+                raise ValueError("bucket already has data; per-item API required")
+            now = _now_ms()
+            body_cols = [c for c in df.columns if c != "id"]
+            out = df.select(
+                F.lit(collection_uri).alias("document_uri"),
+                F.col(item_id_col).cast("string").alias("item_id"),
+                F.lit(1).cast("long").alias("revision"),
+                F.to_json(
+                    F.struct(
+                        *[F.col(c) for c in body_cols],
+                        F.col(item_id_col).cast("string").alias("id"),
+                    )
+                ).alias("body"),
+                F.lit(False).alias("is_deleted"),
+                F.lit(now).alias("created_at"),
+                F.lit(now).alias("modified_at"),
+            )
+            outdir = os.path.join(self.storage.root, "data", "content", f"ingest-b{bucket:04d}")
+            out.write.mode("overwrite").parquet(outdir)
+            files = [
+                os.path.join(outdir, f)
+                for f in os.listdir(outdir)
+                if f.endswith(".parquet")
+            ]
+            n = sum(1 for _ in files)  # at least one part file required
+            if n == 0:
+                raise RuntimeError("ingest produced no files")
+            self.storage.commit_external(CONTENT, {bucket: files})
+            statics_rows = [r for r in self._statics_bucket(collection_uri)]
+            statics_rows.append(
+                {
+                    "document_uri": collection_uri,
+                    "revision": 1,
+                    "is_deleted": False,
+                    "created_at": now,
+                    "modified_at": now,
+                }
+            )
+            self.storage.commit(
+                {(STATICS, bucket): statics_rows}, {STATICS: STATICS_SCHEMA}
+            )
+            return 1
+
     # -- reads (queryDocument analog) -----------------------------------------
 
     def get(self, path: str) -> tuple[Any, int]:

@@ -69,14 +69,32 @@ class Storage:
         rel = manifest["tables"].get(table, {}).get(str(bucket))
         if rel is None:
             return []
-        return pq.read_table(os.path.join(self.root, rel)).to_pylist()
+        rels = rel if isinstance(rel, list) else [rel]
+        out: list[dict] = []
+        for r in rels:
+            out.extend(pq.read_table(os.path.join(self.root, r)).to_pylist())
+        return out
 
     def files(self, table: str) -> list[str]:
         manifest = self._read_manifest()
-        return [
-            os.path.join(self.root, rel)
-            for rel in manifest["tables"].get(table, {}).values()
-        ]
+        out: list[str] = []
+        for rel in manifest["tables"].get(table, {}).values():
+            for r in rel if isinstance(rel, list) else [rel]:
+                out.append(os.path.join(self.root, r))
+        return out
+
+    def commit_external(self, table: str, bucket_files: dict[int, list[str]]) -> int:
+        """Register externally-written parquet files (e.g. a Spark bulk
+        ingest) as the new content of the given buckets — one atomic
+        manifest flip, same as :meth:`commit`."""
+        manifest = self._read_manifest()
+        version = manifest["version"] + 1
+        for bucket, paths in bucket_files.items():
+            rels = [os.path.relpath(p, self.root) for p in paths]
+            manifest["tables"].setdefault(table, {})[str(bucket)] = rels
+        manifest["version"] = version
+        self._write_manifest(manifest)
+        return version
 
     def tables(self) -> list[str]:
         return list(self._read_manifest()["tables"].keys())

@@ -153,3 +153,31 @@ def test_atomic_snapshot_isolation(store):
 
     rows = [r for f in files_before for r in pq.read_table(f).to_pylist()]
     assert any(r["item_id"] == "x" for r in rows)
+
+
+def test_bulk_ingest_collection(spark, tmp_path, sf_dir):
+    from hyper_storage_spark.sources import load_table
+    from hyper_storage_spark.plans import SortBy
+    from pyspark.sql import functions as F
+
+    store = DocumentStore(str(tmp_path / "bulk"), spark=spark)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "item", F.lpad(F.col("doc_id").cast("string"), 10, "0")
+    )
+    store.ingest_collection(docs, "docs~", "item")
+    n = docs.count()
+    # point read through the normal API
+    body, rev = store.get("docs~/0000000001")
+    assert body["doc_id"] == 1 and body["id"] == "0000000001" and rev == 1
+    # query through the planner
+    res = store.query("docs~", sort=[SortBy("id")], size=3)
+    assert [i["doc_id"] for i in res.items] == [0, 1, 2]
+    # per-item API keeps working on top of the bulk data
+    store.put("docs~/zzz-extra", {"doc_id": -1})
+    res2 = store.query("docs~", sort=[SortBy("id", True)], size=1)
+    assert res2.items[0]["id"] == "zzz-extra" and res2.revision == 2
+    # double ingest is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store.ingest_collection(docs, "docs~", "item")
