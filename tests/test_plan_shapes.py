@@ -1,0 +1,65 @@
+"""Physical-plan regression guards: the optimizations we rely on at
+100 TB must be visible in explain() output — a correct-but-shuffling
+plan is a regression even when results match."""
+
+import pytest
+
+from hyper_storage_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # nothing should sort-merge at this scale
+
+
+def test_q5_star_join_all_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q6_pushes_every_predicate(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_revenue_change")
+    assert "PushedFilters: [" in plan
+    # all three predicate families reach the parquet scan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    assert "l_discount" in plan.split("PushedFilters")[1][:400]
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+
+
+def test_point_get_prunes_columns_and_pushes_key(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "parity_static_get")
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "doc_id" in pushed
+    read = plan.split("ReadSchema")[1][:200]
+    assert "text" not in read  # header-only projection prunes the body
+
+
+def test_topn_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "parity_topn_sort")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_broadcasts_queries(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_residual_filter_parses_json_once(spark, sf_dir):
+    """The prepared-identifier projection must keep a single parse_json
+    per row — a regression reintroduces O(references) parses."""
+    plan = plan_of(spark, sf_dir, "parity_residual_filter")
+    # one parse per materialized base column survives CollapseProject;
+    # the regression this guards against is ~20 (one per AST reference)
+    assert plan.count("parseJson") + plan.count("parse_json") <= 4
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
