@@ -1,0 +1,46 @@
+"""Skew mitigation utilities.
+
+At 100 TB a handful of hot keys (one returnflag value, one power user)
+can pin a single reducer. AQE's skew-join handling covers joins; for
+aggregations over pathologically hot grouping keys this provides the
+classic salting pattern: explode each key into ``salt_buckets``
+sub-keys, partially aggregate, then re-aggregate the partials — two
+small shuffles instead of one skewed one.
+
+Only algebraic aggregates (sum/count/min/max) re-aggregate losslessly;
+that's what's offered. (avg = salted sum / salted count.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str] = (),
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+    count: bool = True,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """groupBy(keys).agg(sum/min/max/count) with salted two-phase
+    execution. Output columns: ``sum_<c>``, ``min_<c>``, ``max_<c>``,
+    ``n`` — identical values to the direct aggregation."""
+    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)))
+    partial_aggs = (
+        [F.sum(c).alias(f"__ps_{c}") for c in sum_cols]
+        + [F.min(c).alias(f"__pmin_{c}") for c in min_cols]
+        + [F.max(c).alias(f"__pmax_{c}") for c in max_cols]
+        + ([F.count("*").alias("__pn")] if count else [])
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
+    final_aggs = (
+        [F.sum(f"__ps_{c}").alias(f"sum_{c}") for c in sum_cols]
+        + [F.min(f"__pmin_{c}").alias(f"min_{c}") for c in min_cols]
+        + [F.max(f"__pmax_{c}").alias(f"max_{c}") for c in max_cols]
+        + ([F.sum("__pn").alias("n")] if count else [])
+    )
+    return partial.groupBy(*keys).agg(*final_aggs)

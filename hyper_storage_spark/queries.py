@@ -502,6 +502,230 @@ def q_sessionization(spark, sf_dir):
     )
 
 
+@register(
+    "q_percentiles",
+    """SELECT event_type,
+              ROUND(quantile_cont(value, 0.5), 6) AS p50,
+              ROUND(quantile_cont(value, 0.9), 6) AS p90,
+              ROUND(quantile_cont(value, 0.99), 6) AS p99
+       FROM events GROUP BY event_type""",
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (both engines: linear
+    interpolation over the sorted set)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+    )
+
+
+@register(
+    "q_moving_average",
+    """WITH daily AS (
+         SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS rev
+         FROM orders GROUP BY 1
+       )
+       SELECT day,
+              ROUND(CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                    / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+       FROM daily""",
+)
+def q_moving_average(spark, sf_dir):
+    """7-day moving average over a pre-aggregated daily series."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round(F.sum("rev").over(w).cast("double") / F.count("*").over(w), 6).alias("ma7"),
+    )
+
+
+@register(
+    "q_lag_delta",
+    """WITH daily AS (
+         SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS rev
+         FROM orders GROUP BY 1
+       )
+       SELECT day, CAST(rev - lag(rev) OVER (ORDER BY day) AS DECIMAL(38,4)) AS delta
+       FROM daily""",
+)
+def q_lag_delta(spark, sf_dir):
+    """Day-over-day delta via lag()."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day", (F.col("rev") - F.lag("rev").over(w)).cast("decimal(38,4)").alias("delta")
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "q_pivot_status_priority",
+    """SELECT o_orderstatus,
+              COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+              COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+              COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+              COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+              COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low
+       FROM orders GROUP BY o_orderstatus""",
+)
+def q_pivot_status_priority(spark, sf_dir):
+    """Pivot: order counts status × priority."""
+    aliases = ["urgent", "high", "medium", "unspecified", "low"]
+    df = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    for p, a in zip(_PRIORITIES, aliases):
+        df = df.withColumnRenamed(p, a)
+    return df.na.fill(0, aliases)
+
+
+@register(
+    "q_monthly_revenue",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS revenue,
+              COUNT(*) AS n
+       FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY 1, 2""",
+)
+def q_monthly_revenue(spark, sf_dir):
+    """Date-part bucketing (year/month semantics agree across engines)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1998-01-01")
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(38,4)").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q_above_avg_orders",
+    """WITH a AS (
+         SELECT o_custkey AS k,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_price
+         FROM orders GROUP BY 1
+       )
+       SELECT o_orderkey, o_custkey FROM orders JOIN a ON o_custkey = k
+       WHERE o_totalprice > avg_price""",
+)
+def q_above_avg_orders(spark, sf_dir):
+    """Correlated-subquery shape (orders above their customer's average)
+    decorrelated into an aggregate + join — what Catalyst does to the
+    subquery form anyway."""
+    o = _t(spark, sf_dir, "orders")
+    avg = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count("*")).alias("avg_price")
+    )
+    return (
+        o.join(F.broadcast(avg), o.o_custkey == avg.k)
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+@register(
+    "q_string_functions",
+    """SELECT c_custkey, upper(c_name) AS name_upper, length(c_name) AS name_len,
+              substring(c_name, 1, 8) AS name_prefix,
+              concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation
+       FROM customer WHERE c_name LIKE '%001%'""",
+)
+def q_string_functions(spark, sf_dir):
+    """Scalar string function surface (the reference delegates all
+    scalar work to its expression library; SURVEY §2.4)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_name").like("%001%"))
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+    )
+
+
+@register(
+    "q_conditional_agg",
+    """SELECT c_nationkey,
+              COUNT(*) FILTER (c_acctbal > 5000) AS rich,
+              COUNT(*) FILTER (c_acctbal < 0) AS negative,
+              CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(12,4)) ELSE 0 END) AS DECIMAL(38,4)) AS building_bal
+       FROM customer GROUP BY c_nationkey""",
+)
+def q_conditional_agg(spark, sf_dir):
+    """Conditional aggregation (FILTER / CASE-sum)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count_if(F.col("c_acctbal") > 5000).alias("rich"),
+        F.count_if(F.col("c_acctbal") < 0).alias("negative"),
+        F.sum(
+            F.when(F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal").cast(DEC)).otherwise(
+                F.lit(0).cast(DEC)
+            )
+        )
+        .cast("decimal(38,4)")
+        .alias("building_bal"),
+    )
+
+
+@register(
+    "q_set_ops",
+    """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < -900
+       EXCEPT
+       SELECT s_nationkey FROM supplier WHERE s_acctbal < 0""",
+)
+def q_set_ops(spark, sf_dir):
+    """Set operation (EXCEPT = subtract): nations with deeply-negative
+    customers but no negative-balance suppliers."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < -900)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)
+
+
+@register(
+    "q_cube_events",
+    """SELECT event_type, CAST(year(ts) AS BIGINT) AS y, COUNT(*) AS n
+       FROM events GROUP BY CUBE(event_type, y)""",
+)
+def q_cube_events(spark, sf_dir):
+    """CUBE grouping sets over the event stream."""
+    e = _t(spark, sf_dir, "events").withColumn("y", F.year("ts").cast("bigint"))
+    return e.cube("event_type", "y").agg(F.count("*").alias("n"))
+
+
 # --------------------------------------------------------------------------
 # dedup_* / ann_* / text_* / mm_* — pipeline operators
 # --------------------------------------------------------------------------

@@ -14,5 +14,12 @@
 from .feed import feed_readstream
 from .ingest import run_command_stream, write_commands
 from .revisions import assign_revisions_stream
+from .windows import windowed_event_counts
 
-__all__ = ["feed_readstream", "assign_revisions_stream", "run_command_stream", "write_commands"]
+__all__ = [
+    "feed_readstream",
+    "assign_revisions_stream",
+    "run_command_stream",
+    "write_commands",
+    "windowed_event_counts",
+]

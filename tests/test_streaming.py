@@ -139,3 +139,45 @@ def test_feed_readstream(spark, tmp_path):
         ("feed:put", 2),
         ("feed:delete", 3),
     ]
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.sources import load_table
+    from hyper_storage_spark.streaming import windowed_event_counts
+
+    # replay the events table as a stream (ts already normalized to µs)
+    src = str(tmp_path / "events_stream")
+    batch = load_table(spark, sf_dir, "events")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    out = windowed_event_counts(stream, window="1 day", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    expected = {
+        (r.ws, r.event_type): (r.n, r.total_value)
+        for r in batch.groupBy(
+            F.date_trunc("day", "ts").alias("ws"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .collect()
+    }
+    # append mode emits only watermark-closed windows; the final window
+    # may be withheld — everything emitted must match the batch result
+    assert len(got) >= len(expected) - 5 * 1  # ≤1 open window per type
+    for k, v in got.items():
+        assert expected[k] == v
