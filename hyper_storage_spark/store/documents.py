@@ -617,6 +617,7 @@ class DocumentStore:
         index_id: Optional[str],
         sort_by: list[SortItem] | None = None,
         filter_by: Optional[str] = None,
+        use_spark: Optional[bool] = None,
     ) -> str:
         """POST an index: validate, register INDEXING, backfill, flip to
         NORMAL (IndexDefTaskWorker.scala:71-110 + IndexContentTaskWorker)."""
@@ -652,19 +653,29 @@ class DocumentStore:
             self.storage.commit({(INDEX_DEFS, 0): defs_rows}, {INDEX_DEFS: INDEX_DEFS_SCHEMA})
 
             idef = IndexDef(uri, index_id, STATUS_INDEXING, tuple(sort_by), filter_by, tname)
-            # backfill (IndexContentTaskWorker.scala:39-90; bucketed keyset
-            # resume is unnecessary here — the collection is one bucket)
-            rows = []
-            for c in sorted(
-                (r for r in self._content_bucket(uri) if r["document_uri"] == uri and r["item_id"]),
-                key=lambda r: r["item_id"],
-            ):
-                row = self._index_row(idef, c)
-                if row is not None:
-                    rows.append(row)
-            self.storage.commit(
-                {(idef.storage_table, 0): rows}, {idef.storage_table: _index_schema(idef.sort_by)}
-            )
+            if use_spark is None:
+                use_spark = self.spark is not None and len(self._content_bucket(uri)) > 10000
+            if use_spark:
+                self._backfill_index_spark(idef)
+            else:
+                # driver-side backfill (IndexContentTaskWorker.scala:39-90;
+                # keyset-resume buckets are unnecessary — one bucket)
+                rows = []
+                for c in sorted(
+                    (
+                        r
+                        for r in self._content_bucket(uri)
+                        if r["document_uri"] == uri and r["item_id"]
+                    ),
+                    key=lambda r: r["item_id"],
+                ):
+                    row = self._index_row(idef, c)
+                    if row is not None:
+                        rows.append(row)
+                self.storage.commit(
+                    {(idef.storage_table, 0): rows},
+                    {idef.storage_table: _index_schema(idef.sort_by)},
+                )
 
             # flip to NORMAL — only now is the index visible to the planner
             # (db/Db.scala:103-107, HyperbusAdapter.scala:152)
@@ -673,6 +684,53 @@ class DocumentStore:
                     r["status"] = STATUS_NORMAL
             self.storage.commit({(INDEX_DEFS, 0): defs_rows}, {INDEX_DEFS: INDEX_DEFS_SCHEMA})
             return index_id
+
+    def _backfill_index_spark(self, idef: IndexDef) -> None:
+        """Distributed index backfill: membership filter + sort-column
+        extraction run as Column expressions on executors; the MV lands
+        via one manifest flip. This is the L19 path that scales to
+        collections far beyond driver memory."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from ..expression.compiler import apply_filter
+
+        df = self.storage.spark_df_or_empty(self.spark, CONTENT, CONTENT_SPARK).filter(
+            (F.col("document_uri") == idef.document_uri)
+            & (F.col("item_id") != "")
+            & (~F.col("is_deleted"))
+        )
+        if idef.filter_by:
+            df = apply_filter(df, idef.filter_by, json_col="body", json_only=True)
+        v = F.try_parse_json(F.col("body"))
+        cols = [
+            F.col("document_uri"),
+            F.lit(idef.index_id).alias("index_id"),
+            F.col("item_id"),
+            F.col("revision"),
+            F.col("body"),
+        ]
+        size = len(idef.sort_by)
+        for i, item in enumerate(idef.sort_by):
+            name = table_field_name(item, size, i)
+            if name == "item_id":
+                continue
+            path = "$." + item.field_name
+            if item.effective_type == DECIMAL:
+                raw = F.to_json(F.try_variant_get(v, path, "variant"))
+                val = F.when(
+                    raw.rlike(r"^-?[0-9]"), F.try_variant_get(v, path, "decimal(38,12)")
+                )
+            else:
+                val = F.try_variant_get(v, path, "string")
+            cols.append(val.alias(name))
+        outdir = os.path.join(
+            self.storage.root, "data", f"index_backfill_{idef.index_id}"
+        )
+        df.select(*cols).write.mode("overwrite").parquet(outdir)
+        files = [os.path.join(outdir, f) for f in os.listdir(outdir) if f.endswith(".parquet")]
+        self.storage.commit_external(idef.storage_table, {0: files})
 
     def delete_index(self, uri: str, index_id: str) -> None:
         with self._lock:

@@ -432,10 +432,27 @@ def _plan_raw(store: DocumentStore, uri: str, plan: PlanInfo, filters: list[Fiel
     return plan, df, None
 
 
+def explain(
+    store: DocumentStore,
+    uri: str,
+    filter: Optional[str] = None,
+    sort: Optional[list[SortBy]] = None,
+) -> PlanInfo:
+    """Plan a collection query without executing it — the `explain`
+    surface the reference lists as future work (README «Что на
+    будущее»): which access path (base/MV), pushed conjuncts, ORDER BY
+    prefix, scan direction, exact-vs-residual sort."""
+    plan, _, _ = _plan(store, uri, filter, list(sort or []))
+    return plan
+
+
 # attach as DocumentStore methods
 DocumentStore.query = lambda self, uri, filter=None, sort=None, size=DEFAULT_PAGE_SIZE, skip_max=DEFAULT_MAX_SKIPPED_ROWS: query(  # noqa: E731
     self, uri, filter, sort, size, skip_max
 )
 DocumentStore.query_paged = lambda self, uri, filter=None, sort=None, size=DEFAULT_PAGE_SIZE, skip_max=DEFAULT_MAX_SKIPPED_ROWS: query_paged(  # noqa: E731
     self, uri, filter, sort, size, skip_max
+)
+DocumentStore.explain = lambda self, uri, filter=None, sort=None: explain(  # noqa: E731
+    self, uri, filter, sort
 )

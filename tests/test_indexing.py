@@ -141,3 +141,45 @@ def test_eval_error_rows_excluded_from_index(store):
     store.put("col~/item3", {"b": "not a number"})
     store.create_index("col~", "index1", [], "b > 10")
     assert index_items(store, "col~", "index1") == ["item1"]
+
+
+def test_spark_backfill_matches_driver_backfill(store):
+    from hyper_storage_spark.plans import SortBy
+
+    for i in range(20):
+        store.put(f"col~/item{i:02d}", {"a": f"v{i % 5}", "b": i * 10})
+    store.create_index(
+        "col~",
+        "drv",
+        [SortItem("a", "text", "asc"), SortItem("b", "decimal", "desc")],
+        "b > 30",
+        use_spark=False,
+    )
+    store.create_index(
+        "col~",
+        "spk",
+        [SortItem("a", "text", "asc"), SortItem("b", "decimal", "desc")],
+        "b > 30",
+        use_spark=True,
+    )
+
+    def rows_of(index_id):
+        idef = next(d for d in store.index_defs("col~") if d.index_id == index_id)
+        return sorted(
+            (r["item_id"], r["t0"], r["d1"])
+            for r in store.storage.bucket_rows(idef.storage_table, 0)
+        )
+
+    assert rows_of("drv") == rows_of("spk")
+    assert len(rows_of("spk")) == 16  # items with b > 30
+
+
+def test_explain_surface(store):
+    from hyper_storage_spark.plans import SortBy
+
+    store.put("col~/x", {"a": "p", "b": 1})
+    store.create_index("col~", "bya", [SortItem("a", "text", "asc")], None)
+    plan = store.explain("col~", sort=[SortBy("a")])
+    assert plan.index_id == "bya" and plan.table_name == "index_content_ta0"
+    plan2 = store.explain("col~", filter='id = "x"')
+    assert plan2.index_id is None and plan2.filter_fields[0].name == "item_id"
