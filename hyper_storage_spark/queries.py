@@ -503,6 +503,120 @@ def q_sessionization(spark, sf_dir):
 
 
 @register(
+    "q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       GROUP BY o_orderpriority""",
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS with a non-equi correlated condition →
+    left-semi join with a compound join predicate."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    """SELECT c_custkey, c_name, n_name,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,8)) AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue ranking."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+@register(
+    "q14_promo_share",
+    """SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))
+                     ELSE CAST(0 AS DECIMAL(21,8)) END) AS DOUBLE)
+              / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE), 6) AS promo_share
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share (conditional ratio over a
+    dimension join)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(21,8)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_join",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,8)) AS revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+          OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 40)""",
+)
+def q19_disjunctive_join(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & qty.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & qty.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & qty.between(20, 40))
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    return j.filter(cond).agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+
+
+@register(
     "q_percentiles",
     """SELECT event_type,
               ROUND(quantile_cont(value, 0.5), 6) AS p50,

@@ -750,6 +750,51 @@ class DocumentStore:
 
     # -- feed ------------------------------------------------------------------
 
+    def collection_df(self, uri: str, schema: Optional[str] = None):
+        """A typed DataFrame over a collection's item bodies — the bridge
+        from the document store to the analytics surface: every catalog
+        operator (joins/aggs/dedup/...) runs directly on the result.
+
+        ``schema`` is a DDL string for the body; omitted → inferred from
+        the stored JSON (driver samples up to 1000 items)."""
+        from pyspark.sql import functions as F
+
+        static = self._get_static(uri)
+        if static is None or static["is_deleted"]:
+            raise NotFoundError(uri)
+        df = self.storage.spark_df_or_empty(self.spark, CONTENT, CONTENT_SPARK).filter(
+            (F.col("document_uri") == uri) & (F.col("item_id") != "") & (~F.col("is_deleted"))
+        )
+        if schema is None:
+            sample = [r.body for r in df.select("body").limit(1000).collect()]
+            inferred = self.spark.read.json(
+                self.spark.sparkContext.parallelize(sample or ["{}"])
+            ).schema
+            parsed = F.from_json(F.col("body"), inferred)
+        else:
+            parsed = F.from_json(F.col("body"), schema)
+        return df.select(
+            F.col("item_id"), F.col("revision"), parsed.alias("item")
+        ).select("item_id", "revision", "item.*")
+
+    def vacuum(self) -> int:
+        """Delete data files no longer referenced by the current
+        manifest (superseded bucket versions). Returns files removed."""
+        import os
+
+        referenced = set()
+        for table in self.storage.tables():
+            referenced.update(os.path.abspath(p) for p in self.storage.files(table))
+        removed = 0
+        data_root = os.path.join(self.storage.root, "data")
+        for dirpath, _dirs, files in os.walk(data_root):
+            for f in files:
+                p = os.path.abspath(os.path.join(dirpath, f))
+                if p.endswith(".parquet") and p not in referenced:
+                    os.remove(p)
+                    removed += 1
+        return removed
+
     def feed_events(self) -> list[dict]:
         """The published change feed, in publication order (Kafka-topic
         parity: at-least-once, revision-idempotent)."""

@@ -181,3 +181,26 @@ def test_bulk_ingest_collection(spark, tmp_path, sf_dir):
 
     with _pytest.raises(ValueError):
         store.ingest_collection(docs, "docs~", "item")
+
+
+def test_collection_df_typed_view(store):
+    store.put("team~/a", {"name": "ann", "score": 10})
+    store.put("team~/b", {"name": "bob", "score": 20})
+    df = store.collection_df("team~")
+    rows = {r.item_id: (r.name, r.score, r.revision) for r in df.collect()}
+    assert rows["a"][0] == "ann" and rows["b"][1] == 20
+    # explicit schema + analytics on top
+    from pyspark.sql import functions as F
+
+    df2 = store.collection_df("team~", "name string, score long, id string")
+    assert df2.agg(F.sum("score")).collect()[0][0] == 30
+
+
+def test_vacuum_removes_superseded_files(store):
+    for i in range(5):
+        store.put("vdoc", {"n": i})
+    before = store.vacuum()
+    assert before > 0
+    body, rev = store.get("vdoc")  # current snapshot intact
+    assert body == {"n": 4} and rev == 5
+    assert store.vacuum() == 0
