@@ -179,8 +179,11 @@ def variant_resolver(body_col: Column) -> Resolver:
         raw = F.to_json(F.try_variant_get(v, path, "variant"))
         isnum = raw.rlike(r"^-?[0-9]")
         isbool = raw.isin("true", "false")
+        # scalar-only string form: variant casts arrays/objects to their
+        # JSON text, which must NOT order/compare like a string
+        is_container = raw.startswith("[") | raw.startswith("{")
         return DynCol(
-            s=F.try_variant_get(v, path, "string"),
+            s=F.when(~is_container, F.try_variant_get(v, path, "string")),
             n=F.when(isnum, F.try_variant_get(v, path, DEC)).otherwise(_null_n()),
             isnum=F.coalesce(isnum, _false()),
             isbool=F.coalesce(isbool, _false()),
@@ -305,11 +308,15 @@ def _eq(l: DynCol, r: DynCol) -> Column:
         return F.when(l.isnull_c | r.isnull_c, l.isnull_c & r.isnull_c).otherwise(direct)
     # typed equality; present-but-null equals only null; cross-type is
     # unequal; a missing field yields NULL (row rejected at the top)
-    return (
+    c = (
         F.when(l.isnum & r.isnum, l.n == r.n)
         .when(l.isbool & r.isbool, l.bval == r.bval)
         .when(l.isstr & r.isstr, l.s == r.s)
-        .when(l.isnull_c & r.isnull_c, F.lit(True))
+    )
+    if l.arr is not None and r.arr is not None:
+        c = c.when(l.arr.isNotNull() & r.arr.isNotNull(), l.arr == r.arr)
+    return (
+        c.when(l.isnull_c & r.isnull_c, F.lit(True))
         .when(l.defined_c & r.defined_c, F.lit(False))
         .otherwise(_null_b())
     )
@@ -330,19 +337,21 @@ def _gt(l: DynCol, r: DynCol) -> Column:
 
 
 def _arith(op: str, l: DynCol, r: DynCol) -> DynCol:
+    # try_* variants: overflow / division-by-zero yields NULL (⇒ the
+    # eval-error⇒rejected semantics) instead of an ANSI runtime error
     both_num = l.isnum & r.isnum
     if op == "+":
-        n = F.when(both_num, l.n + r.n)
+        n = F.when(both_num, F.try_add(l.n, r.n))
         s = F.when(both_num, n.cast("string")).when(l.isstr & r.isstr, F.concat(l.s, r.s))
         return DynCol(s=s, n=n, isnum=F.coalesce(both_num, _false()), isbool=_false(), bval=_null_b())
     if op == "-":
-        n = F.when(both_num, l.n - r.n)
+        n = F.when(both_num, F.try_subtract(l.n, r.n))
     elif op == "*":
-        n = F.when(both_num, l.n * r.n)
+        n = F.when(both_num, F.try_multiply(l.n, r.n))
     elif op == "/":
         n = F.when(both_num, F.try_divide(l.n, r.n))
     elif op == "%":
-        n = F.when(both_num, l.n % r.n)
+        n = F.when(both_num, F.try_mod(l.n, r.n))
     else:  # pragma: no cover
         raise CompileError(f"unknown arithmetic op {op!r}")
     return _num_dyn(n)
@@ -382,14 +391,17 @@ def compile_dyn(node: Expression, resolve: Resolver) -> DynCol:
         raise CompileError(f"unknown unary op {node.op!r}")
     if isinstance(node, BinaryOp):
         op = node.op
+        # strict logical ops, NOT SQL three-valued logic: an eval error
+        # (NULL) in the left operand poisons the result, matching the
+        # evaluator's left-to-right short-circuit + error propagation
         if op == "and":
-            return _bool_dyn(
-                _truthy(compile_dyn(node.left, resolve)) & _truthy(compile_dyn(node.right, resolve))
-            )
+            lb = _truthy(compile_dyn(node.left, resolve))
+            rb = _truthy(compile_dyn(node.right, resolve))
+            return _bool_dyn(F.when(lb.isNull(), _null_b()).when(~lb, F.lit(False)).otherwise(rb))
         if op == "or":
-            return _bool_dyn(
-                _truthy(compile_dyn(node.left, resolve)) | _truthy(compile_dyn(node.right, resolve))
-            )
+            lb = _truthy(compile_dyn(node.left, resolve))
+            rb = _truthy(compile_dyn(node.right, resolve))
+            return _bool_dyn(F.when(lb, F.lit(True)).when(lb.isNull(), _null_b()).otherwise(rb))
         l = compile_dyn(node.left, resolve)
         if op == "has":
             return _bool_dyn(_has(l, node.right))

@@ -1,0 +1,113 @@
+"""Differential testing: randomly generated expressions must evaluate
+identically under the Python evaluator (the semantics reference) and
+the Catalyst Column compiler (the production path).
+
+All compiled expressions run in a single select() so the Spark overhead
+is one job regardless of corpus size.
+"""
+
+import json
+import random
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from hyper_storage_spark.expression import evaluate_bool, parse
+from hyper_storage_spark.expression.compiler import (
+    CompileError,
+    compile_filter,
+    variant_resolver,
+)
+
+FIELDS = ["a", "b", "c", "s", "t", "flag", "tags", "missing"]
+NUM_LITS = ["0", "1", "5", "10", "100500", "3.5"]
+STR_LITS = ['"hello"', '"way way"', '"10"', '""']
+
+
+def gen_value(rnd):
+    kind = rnd.choice(["num", "str", "bool", "null", "arr", "absent"])
+    if kind == "num":
+        return rnd.choice([0, 1, 5, 10, 100500, 3.5, -7])
+    if kind == "str":
+        return rnd.choice(["hello", "way way", "10", "", "true"])
+    if kind == "bool":
+        return rnd.choice([True, False])
+    if kind == "arr":
+        return rnd.sample([1, 2, 3, 5, 10], k=rnd.randint(0, 4))
+    if kind == "null":
+        return None
+    return "__ABSENT__"
+
+
+def gen_context(rnd):
+    ctx = {}
+    for f in FIELDS:
+        v = gen_value(rnd)
+        if v != "__ABSENT__":
+            ctx[f] = v
+    return ctx
+
+
+def gen_expr(rnd, depth=0):
+    ident = lambda: rnd.choice(FIELDS)  # noqa: E731
+    num = lambda: rnd.choice(NUM_LITS)  # noqa: E731
+    s = lambda: rnd.choice(STR_LITS)  # noqa: E731
+    if depth >= 2:
+        return rnd.choice([ident(), num(), s()])
+    r = rnd.random()
+    if r < 0.35:
+        op = rnd.choice(["=", "!=", ">", ">=", "<", "<="])
+        left = rnd.choice([ident(), num(), s()])
+        right = rnd.choice([ident(), num(), s()])
+        return f"({left} {op} {right})"
+    if r < 0.55:
+        op = rnd.choice(["and", "or"])
+        return f"({gen_expr(rnd, depth + 1)} {op} {gen_expr(rnd, depth + 1)})"
+    if r < 0.65:
+        return f"(not {gen_expr(rnd, depth + 1)})"
+    if r < 0.75:
+        arr = "[" + ",".join(rnd.sample(["1", "2", "3", "5"], k=rnd.randint(1, 3))) + "]"
+        neg = rnd.choice(["has", "has not"])
+        return f"({ident()} {neg} {arr})"
+    if r < 0.9:
+        op = rnd.choice(["+", "-", "*", "/", "%"])
+        cmp_op = rnd.choice([">", "<", "=", ">=", "<="])
+        return f"(({ident()} {op} {num()}) {cmp_op} {num()})"
+    return ident()
+
+
+def test_differential_random_corpus(spark):
+    rnd = random.Random(20260813)
+    contexts = [gen_context(rnd) for _ in range(25)]
+    exprs = []
+    while len(exprs) < 120:
+        text = gen_expr(rnd)
+        try:
+            ast = parse(text)
+        except Exception:  # pragma: no cover
+            continue
+        exprs.append((text, ast))
+
+    df = spark.createDataFrame(
+        [(i, json.dumps(ctx)) for i, ctx in enumerate(contexts)], "ctx_id int, body string"
+    )
+    resolver = variant_resolver(F.col("body"))
+    cols, compiled_idx = [], []
+    for i, (text, ast) in enumerate(exprs):
+        try:
+            cols.append(compile_filter(ast, resolver).alias(f"e{i}"))
+            compiled_idx.append(i)
+        except CompileError:
+            continue  # non-constant `has` rhs etc. — evaluator-only path
+    assert len(compiled_idx) >= 100  # the corpus must mostly compile
+
+    rows = {r.ctx_id: r for r in df.select("ctx_id", *cols).collect()}
+    mismatches = []
+    for ctx_id, ctx in enumerate(contexts):
+        for i in compiled_idx:
+            text, ast = exprs[i]
+            expected = evaluate_bool(ast, ctx)
+            got = rows[ctx_id][f"e{i}"]
+            if bool(got) != bool(expected):
+                mismatches.append((text, ctx, expected, got))
+    assert not mismatches, mismatches[:5]
