@@ -491,18 +491,27 @@ def apply_filter(
     if json_names and json_col is None:
         raise CompileError(f"identifiers {json_names} need a json_col")
 
-    helpers: dict[str, Column] = {}
     dyncols: dict[str, DynCol] = {}
     if json_names:
+        # three projection layers so the expensive pieces materialize
+        # once each: (1) variant parse, (2) per-identifier raw JSON
+        # text, (3) typed forms referencing the materialized columns
         vcol = "__hs_v"
-        helpers[vcol] = F.try_parse_json(F.col(json_col))
-        df = df.withColumns({vcol: helpers[vcol]})
+        df = df.withColumns({vcol: F.try_parse_json(F.col(json_col))})
+        raws: dict[str, Column] = {}
+        for i, name in enumerate(json_names):
+            raws[f"__hs_raw_{i}"] = F.to_json(
+                F.try_variant_get(F.col(vcol), "$." + name, "variant")
+            )
+        df = df.withColumns(raws)
         base: dict[str, Column] = {}
         for i, name in enumerate(json_names):
             path = "$." + name
-            raw = F.to_json(F.try_variant_get(F.col(vcol), path, "variant"))
-            base[f"__hs_raw_{i}"] = raw
-            base[f"__hs_s_{i}"] = F.try_variant_get(F.col(vcol), path, "string")
+            raw = F.col(f"__hs_raw_{i}")
+            is_container = raw.startswith("[") | raw.startswith("{")
+            base[f"__hs_s_{i}"] = F.when(
+                ~is_container, F.try_variant_get(F.col(vcol), path, "string")
+            )
             base[f"__hs_n_{i}"] = F.when(
                 raw.rlike(r"^-?[0-9]"), F.try_variant_get(F.col(vcol), path, DEC)
             ).otherwise(_null_n())
@@ -524,7 +533,7 @@ def apply_filter(
                 isnull=F.coalesce(raw == "null", _false()),
                 defined=raw.isNotNull(),
             )
-        drop = [vcol] + list(base)
+        drop = [vcol] + list(raws) + list(base)
     else:
         drop = []
 
