@@ -170,6 +170,34 @@ def minhash_lsh_pairs(
     return _jaccard_from_shingles(sh, threshold, candidates).select("a_id", "b_id", "jaccard")
 
 
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a_id, b_id, cosine ≥
+    threshold). Brute-force all-pairs here (exact, oracle-pinned); at
+    corpus scale the LSH bucketing in operators/similarity.py restricts
+    the pair generation the same way banded MinHash does for text."""
+    from .similarity import _dot, _norm
+
+    # norms are computed once per vector, not once per pair
+    a = emb.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"), _norm(F.col(vec_col)).alias("an")
+    )
+    b = emb.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"), _norm(F.col(vec_col)).alias("bn")
+    )
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    cos = _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash: bigint) — 64-bit SimHash over token xxhash64s:
     per bit, sum +1/-1 across tokens; bit set where the sum is positive."""

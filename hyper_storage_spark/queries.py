@@ -881,6 +881,19 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@register(
+    "dedup_embedding_cosine",
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
 @register("dedup_minhash_lsh", None)  # murmur3 hash family is engine-specific
 def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5).orderBy(
