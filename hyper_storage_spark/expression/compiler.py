@@ -165,6 +165,49 @@ def from_literal(value) -> DynCol:
     raise CompileError(f"unsupported literal {value!r}")
 
 
+def variant_raw(v: Column, path: str) -> Column:
+    """Raw JSON text of a variant field (the per-row type tag: first
+    character distinguishes number/string/bool/null/array/object)."""
+    return F.to_json(F.try_variant_get(v, path, "variant"))
+
+
+def variant_parts(v: Column, path: str, raw: Optional[Column] = None) -> dict[str, Column]:
+    """The dynamic-typing column bundle for one schemaless field —
+    THE single definition of the engine's variant typing rules, shared
+    by the resolver, the prepared-filter frame, index backfill, and
+    dynamic sort keys. The string form is scalar-only (containers must
+    not order/compare like strings)."""
+    if raw is None:
+        raw = variant_raw(v, path)
+    isnum = raw.rlike(r"^-?[0-9]")
+    isbool = raw.isin("true", "false")
+    is_container = raw.startswith("[") | raw.startswith("{")
+    return {
+        "raw": raw,
+        "s": F.when(~is_container, F.try_variant_get(v, path, "string")),
+        "n": F.when(isnum, F.try_variant_get(v, path, DEC)).otherwise(_null_n()),
+        "isnum": F.coalesce(isnum, F.lit(False)),
+        "isbool": F.coalesce(isbool, F.lit(False)),
+        "bval": F.when(isbool, raw == "true").otherwise(_null_b()),
+        "arr": F.when(raw.startswith("["), F.try_variant_get(v, path, "array<string>")),
+        "isnull": F.coalesce(raw == "null", F.lit(False)),
+        "defined": raw.isNotNull(),
+    }
+
+
+def dyncol_from_parts(p: dict[str, Column]) -> DynCol:
+    return DynCol(
+        s=p["s"],
+        n=p["n"],
+        isnum=p["isnum"],
+        isbool=p["isbool"],
+        bval=p["bval"],
+        arr=p["arr"],
+        isnull=p["isnull"],
+        defined=p["defined"],
+    )
+
+
 def variant_resolver(body_col: Column) -> Resolver:
     """Resolve identifiers as paths into a schemaless JSON body column.
 
@@ -175,23 +218,7 @@ def variant_resolver(body_col: Column) -> Resolver:
     v = F.try_parse_json(body_col)
 
     def resolve(name: str) -> DynCol:
-        path = "$." + name
-        raw = F.to_json(F.try_variant_get(v, path, "variant"))
-        isnum = raw.rlike(r"^-?[0-9]")
-        isbool = raw.isin("true", "false")
-        # scalar-only string form: variant casts arrays/objects to their
-        # JSON text, which must NOT order/compare like a string
-        is_container = raw.startswith("[") | raw.startswith("{")
-        return DynCol(
-            s=F.when(~is_container, F.try_variant_get(v, path, "string")),
-            n=F.when(isnum, F.try_variant_get(v, path, DEC)).otherwise(_null_n()),
-            isnum=F.coalesce(isnum, _false()),
-            isbool=F.coalesce(isbool, _false()),
-            bval=F.when(isbool, raw == "true").otherwise(_null_b()),
-            arr=F.when(raw.startswith("["), F.try_variant_get(v, path, "array<string>")),
-            isnull=F.coalesce(raw == "null", _false()),
-            defined=raw.isNotNull(),
-        )
+        return dyncol_from_parts(variant_parts(v, "$." + name))
 
     return resolve
 
@@ -342,7 +369,13 @@ def _arith(op: str, l: DynCol, r: DynCol) -> DynCol:
     both_num = l.isnum & r.isnum
     if op == "+":
         n = F.when(both_num, F.try_add(l.n, r.n))
-        s = F.when(both_num, n.cast("string")).when(l.isstr & r.isstr, F.concat(l.s, r.s))
+        # concat when EITHER side is a string and the other has a scalar
+        # string form (evaluator.py '+': canonical_str on the non-string
+        # side). The dyn string form of numbers is the canonical variant
+        # cast; nested-arithmetic results carry decimal-scale text.
+        s = F.when(both_num, n.cast("string")).when(
+            (l.isstr | r.isstr) & l.s.isNotNull() & r.s.isNotNull(), F.concat(l.s, r.s)
+        )
         return DynCol(s=s, n=n, isnum=F.coalesce(both_num, _false()), isbool=_false(), bval=_null_b())
     if op == "-":
         n = F.when(both_num, F.try_subtract(l.n, r.n))
@@ -506,32 +539,22 @@ def apply_filter(
         df = df.withColumns(raws)
         base: dict[str, Column] = {}
         for i, name in enumerate(json_names):
-            path = "$." + name
-            raw = F.col(f"__hs_raw_{i}")
-            is_container = raw.startswith("[") | raw.startswith("{")
-            base[f"__hs_s_{i}"] = F.when(
-                ~is_container, F.try_variant_get(F.col(vcol), path, "string")
-            )
-            base[f"__hs_n_{i}"] = F.when(
-                raw.rlike(r"^-?[0-9]"), F.try_variant_get(F.col(vcol), path, DEC)
-            ).otherwise(_null_n())
-            base[f"__hs_arr_{i}"] = F.when(
-                raw.startswith("["), F.try_variant_get(F.col(vcol), path, "array<string>")
-            )
+            p = variant_parts(F.col(vcol), "$." + name, raw=F.col(f"__hs_raw_{i}"))
+            base[f"__hs_s_{i}"] = p["s"]
+            base[f"__hs_n_{i}"] = p["n"]
+            base[f"__hs_arr_{i}"] = p["arr"]
         df = df.withColumns(base)
         for i, name in enumerate(json_names):
-            raw = F.col(f"__hs_raw_{i}")
-            isnum = F.coalesce(raw.rlike(r"^-?[0-9]"), F.lit(False))
-            isbool = F.coalesce(raw.isin("true", "false"), F.lit(False))
+            p = variant_parts(F.col(vcol), "$." + name, raw=F.col(f"__hs_raw_{i}"))
             dyncols[name] = DynCol(
                 s=F.col(f"__hs_s_{i}"),
                 n=F.col(f"__hs_n_{i}"),
-                isnum=isnum,
-                isbool=isbool,
-                bval=F.when(isbool, raw == "true").otherwise(_null_b()),
+                isnum=p["isnum"],
+                isbool=p["isbool"],
+                bval=p["bval"],
                 arr=F.col(f"__hs_arr_{i}"),
-                isnull=F.coalesce(raw == "null", _false()),
-                defined=raw.isNotNull(),
+                isnull=p["isnull"],
+                defined=p["defined"],
             )
         drop = [vcol] + list(raws) + list(base)
     else:

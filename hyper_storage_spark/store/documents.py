@@ -399,10 +399,18 @@ class DocumentStore:
 
     # -- background completion (BackgroundContentTaskCompleter analog) --------
 
+    # completed WAL entries older than this are pruned on the next
+    # bucket rewrite (the reference's stale-recovery horizon,
+    # application.conf:10 — recovery never looks further back)
+    WAL_KEEP_MS = 24 * 3600 * 1000
+
     def complete_transactions(self, uri: str) -> int:
         """Complete incomplete WAL entries for a document: maintain
-        indexes, publish feed events (idempotent by revision), stamp
-        completed_at. At-least-once, safe to re-run (recovery path)."""
+        indexes, publish feed events, stamp completed_at. At-least-once
+        — a crash between publish and stamp re-publishes the same
+        (uri, item, revision) on recovery, and consumers dedup by
+        revision (the reference's delivery model, README «Обработка
+        транзакций»); completion itself never scans the feed."""
         with self._lock:
             bucket = self._bucket(uri)
             txn_rows = self.storage.bucket_rows(TRANSACTIONS, bucket)
@@ -413,8 +421,6 @@ class DocumentStore:
             if not incomplete:
                 return 0
 
-            published = self.storage.all_rows(FEED)
-            seen = {(f["document_uri"], f["item_id"], f["revision"]) for f in published}
             feed_rows: list[dict] = []  # append-only: new events only
             now = _now_ms()
 
@@ -436,22 +442,27 @@ class DocumentStore:
                 self._refresh_indexes(uri, [t["item_id"] for t in incomplete], updates)
 
             for t in incomplete:
-                key = (t["document_uri"], t["item_id"], t["revision"])
-                if key not in seen:
-                    feed_rows.append(
-                        {
-                            "uuid": t["uuid"],
-                            "document_uri": uri,
-                            "item_id": t["item_id"],
-                            "revision": t["revision"],
-                            "method": t["method"],
-                            "body": t["body"],
-                            "ts": now,
-                        }
-                    )
-                    seen.add(key)
+                feed_rows.append(
+                    {
+                        "uuid": t["uuid"],
+                        "document_uri": uri,
+                        "item_id": t["item_id"],
+                        "revision": t["revision"],
+                        "method": t["method"],
+                        "body": t["body"],
+                        "ts": now,
+                    }
+                )
                 t["completed_at"] = now
 
+            # prune old completed entries so the WAL bucket stays
+            # bounded (removeCompleteTransactionsFromList analog)
+            horizon = now - self.WAL_KEEP_MS
+            txn_rows = [
+                t
+                for t in txn_rows
+                if t["completed_at"] is None or t["completed_at"] >= horizon
+            ]
             updates[(TRANSACTIONS, bucket)] = txn_rows
             schemas = {
                 TRANSACTIONS: TRANSACTIONS_SCHEMA,
@@ -600,12 +611,16 @@ class DocumentStore:
 
     def get(self, path: str) -> tuple[Any, int]:
         """GET a document or item → (body, revision); 404 ⇒ NotFoundError
-        (HyperbusAdapter.scala:358-372)."""
+        (HyperbusAdapter.scala:358-372). ``is_deleted`` is a *static*
+        column in the reference (db/scheme.cql:6), so a document-level
+        tombstone hides every item of the collection too."""
         rp = split_path(path)
         row = self._get_content(rp.document_uri, rp.item_id)
         if row is None or row["is_deleted"]:
             raise NotFoundError(path)
         static = self._get_static(rp.document_uri)
+        if static is not None and static["is_deleted"]:
+            raise NotFoundError(path)
         revision = static["revision"] if static else row["revision"]
         return (json.loads(row["body"]) if row["body"] is not None else None), revision
 
@@ -703,6 +718,8 @@ class DocumentStore:
         )
         if idef.filter_by:
             df = apply_filter(df, idef.filter_by, json_col="body", json_only=True)
+        from ..expression.compiler import variant_parts
+
         v = F.try_parse_json(F.col("body"))
         cols = [
             F.col("document_uri"),
@@ -716,14 +733,11 @@ class DocumentStore:
             name = table_field_name(item, size, i)
             if name == "item_id":
                 continue
-            path = "$." + item.field_name
-            if item.effective_type == DECIMAL:
-                raw = F.to_json(F.try_variant_get(v, path, "variant"))
-                val = F.when(
-                    raw.rlike(r"^-?[0-9]"), F.try_variant_get(v, path, "decimal(38,12)")
-                )
-            else:
-                val = F.try_variant_get(v, path, "string")
+            parts = variant_parts(v, "$." + item.field_name)
+            # same typing rules as the driver-side _sort_value: decimal
+            # columns only for numeric values, text columns only for
+            # scalar string forms (containers → NULL)
+            val = parts["n"] if item.effective_type == DECIMAL else parts["s"]
             cols.append(val.alias(name))
         outdir = os.path.join(
             self.storage.root, "data", f"index_backfill_{idef.index_id}"

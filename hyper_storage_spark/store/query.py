@@ -152,16 +152,14 @@ def _dynamic_sort_cols(sort_by: list[SortBy]):
     HyperbusAdapter.scala:341-376). Mixed-type fields order numbers
     before strings (a consistent total order; the reference's pairwise
     comparator is not transitive for mixed types)."""
+    from ..expression.compiler import variant_parts
+
     v = F.try_parse_json(F.col("body"))
     cols = []
     for sb in sort_by:
-        path = "$." + sb.field_name
-        raw = F.to_json(F.try_variant_get(v, path, "variant"))
-        isnum = raw.rlike(r"^-?[0-9]")
-        rank = F.when(isnum, 0).otherwise(1)
-        num = F.when(isnum, F.try_variant_get(v, path, "decimal(38,12)"))
-        s = F.try_variant_get(v, path, "string")
-        for c in (rank, num, s):
+        p = variant_parts(v, "$." + sb.field_name)
+        rank = F.when(p["isnum"], 0).otherwise(1)
+        for c in (rank, p["n"], p["s"]):
             cols.append(c.desc() if sb.descending else c.asc())
     return cols
 
@@ -383,6 +381,11 @@ def query_paged(
         items.extend(accepted)
         total_fetched = len(fetched)
 
+        # deliberately the reference's per-CALL accepted count, not the
+        # accumulated total (queryUntilFetched, HyperbusAdapter.scala:
+        # 316-318 `totalAccepted >= ops.limit`) — it may issue extra
+        # selects after enough rows accumulate, but reproduces the
+        # reference's select traces exactly
         if len(accepted) >= size or (
             (not least or (len(least) == 1 and least[0].op != FilterOp.EQ))
             and total_fetched < fetch_limit

@@ -62,9 +62,31 @@ def run_command_stream(
     document_uri in seq order — per-key serialization ⇒ gapless
     revisions; the checkpoint makes restarts resume exactly after the
     last fully-applied batch (recovery parity without RecoveryWorker)."""
+    import hashlib
+
     from ..paths import split_path
 
+    # foreachBatch is at-least-once: a crash between apply and the
+    # checkpoint commit re-delivers the batch, and re-applying writes
+    # would mint NEW revisions (not revision-idempotent). The standard
+    # remedy is a batch-id watermark committed WITH the store's state:
+    # batch ids are monotonic per checkpoint, so "already at or past
+    # this id" ⇒ skip the replay.
+    marker = os.path.join(
+        store.storage.root,
+        f"stream_watermark_{hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]}.json",
+    )
+
+    def last_applied() -> int:
+        try:
+            with open(marker) as f:
+                return json.load(f)["batch_id"]
+        except (OSError, ValueError, KeyError):
+            return -1
+
     def apply_batch(batch_df, batch_id: int):
+        if batch_id <= last_applied():
+            return
         rows = sorted(batch_df.collect(), key=lambda r: (split_path(r.path).document_uri, r.seq))
         for r in rows:
             body = json.loads(r.body) if r.body is not None else None
@@ -76,8 +98,12 @@ def run_command_stream(
                 elif r.method == "delete":
                     store.delete(r.path)
             except KeyError:
-                # at-least-once replay of an already-applied delete/patch
+                # replay of an already-applied delete/patch within a batch
                 pass
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, marker)
 
     stream = (
         spark.readStream.schema(COMMANDS_SPARK)

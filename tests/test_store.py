@@ -204,3 +204,22 @@ def test_vacuum_removes_superseded_files(store):
     body, rev = store.get("vdoc")  # current snapshot intact
     assert body == {"n": 4} and rev == 5
     assert store.vacuum() == 0
+
+
+def test_item_get_sees_collection_tombstone(store):
+    # is_deleted is a STATIC column in the reference (db/scheme.cql:6):
+    # deleting the collection hides its items from GET too
+    store.put("tomb~/a", {"v": 1})
+    store.delete("tomb~")
+    with pytest.raises(NotFoundError):
+        store.get("tomb~/a")
+
+
+def test_wal_pruning_bounds_bucket(store):
+    store.WAL_KEEP_MS = 0  # prune everything completed immediately
+    for i in range(10):
+        store.put("pruned", {"n": i})
+    b = store.storage.bucket_rows("transactions", store._bucket("pruned"))
+    # only the entry completed in the newest commit may linger
+    assert len([t for t in b if t["completed_at"] is not None]) <= 1
+    assert store.recover() == 0

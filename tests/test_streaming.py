@@ -181,3 +181,22 @@ def test_windowed_event_counts_stream_matches_batch(spark, tmp_path, sf_dir):
     assert len(got) >= len(expected) - 5 * 1  # ≤1 open window per type
     for k, v in got.items():
         assert expected[k] == v
+
+
+def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    # simulate the crash window: same batch id delivered twice must not
+    # re-apply (revisions would double otherwise)
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    cmds = str(tmp_path / "commands")
+    ckpt = str(tmp_path / "ckpt")
+    write_commands(cmds, [{"seq": 1, "method": "put", "path": "dd", "body": {"x": 1}}])
+    run_command_stream(spark, store, cmds, ckpt)
+    _, rev1 = store.get("dd")
+    # wipe the checkpoint (worst-case replay of every batch) but keep
+    # the store's watermark: nothing re-applies
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run_command_stream(spark, store, cmds, ckpt)
+    body, rev2 = store.get("dd")
+    assert rev2 == rev1 == 1 and body == {"x": 1}
