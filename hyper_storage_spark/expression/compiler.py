@@ -368,15 +368,26 @@ def _arith(op: str, l: DynCol, r: DynCol) -> DynCol:
     # eval-error⇒rejected semantics) instead of an ANSI runtime error
     both_num = l.isnum & r.isnum
     if op == "+":
+        # evaluator.py '+' domain, exactly: null operand propagates as a
+        # *defined* null; string + (string|number|bool) concatenates the
+        # canonical forms; number + number adds; anything else (bool
+        # arithmetic, containers) is an eval error (undefined ⇒ reject)
+        def concat_ok(d: DynCol) -> Column:
+            return d.isstr | d.isnum | d.isbool
+
+        isnull_res = l.isnull_c | r.isnull_c
+        concat_case = ~isnull_res & (l.isstr | r.isstr) & concat_ok(l) & concat_ok(r)
         n = F.when(both_num, F.try_add(l.n, r.n))
-        # concat when EITHER side is a string and the other has a scalar
-        # string form (evaluator.py '+': canonical_str on the non-string
-        # side). The dyn string form of numbers is the canonical variant
-        # cast; nested-arithmetic results carry decimal-scale text.
-        s = F.when(both_num, n.cast("string")).when(
-            (l.isstr | r.isstr) & l.s.isNotNull() & r.s.isNotNull(), F.concat(l.s, r.s)
+        s = F.when(both_num, n.cast("string")).when(concat_case, F.concat(l.s, r.s))
+        return DynCol(
+            s=s,
+            n=n,
+            isnum=F.coalesce(both_num, _false()),
+            isbool=_false(),
+            bval=_null_b(),
+            isnull=isnull_res,
+            defined=F.coalesce(isnull_res | both_num | concat_case, _false()),
         )
-        return DynCol(s=s, n=n, isnum=F.coalesce(both_num, _false()), isbool=_false(), bval=_null_b())
     if op == "-":
         n = F.when(both_num, F.try_subtract(l.n, r.n))
     elif op == "*":

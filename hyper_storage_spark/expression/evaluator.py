@@ -171,6 +171,8 @@ def evaluate(node: Expression, context: Mapping[str, Any] | None = None) -> Any:
         if op == "has not":
             return not has_bop(l, r)
         if op == "+":
+            if l is None or r is None:
+                return None  # binders-style null propagation
             if isinstance(l, str) or isinstance(r, str):
                 return canonical_str(l) + canonical_str(r)
             return to_decimal(l) + to_decimal(r)

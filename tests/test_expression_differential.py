@@ -69,10 +69,14 @@ def gen_expr(rnd, depth=0):
         arr = "[" + ",".join(rnd.sample(["1", "2", "3", "5"], k=rnd.randint(1, 3))) + "]"
         neg = rnd.choice(["has", "has not"])
         return f"({ident()} {neg} {arr})"
-    if r < 0.9:
+    if r < 0.85:
         op = rnd.choice(["+", "-", "*", "/", "%"])
         cmp_op = rnd.choice([">", "<", "=", ">=", "<="])
         return f"(({ident()} {op} {num()}) {cmp_op} {num()})"
+    if r < 0.93:
+        # string concatenation compared to a string (mixed-operand '+')
+        other = rnd.choice([num(), s(), ident()])
+        return f'(({ident()} + {other}) = {s()})'
     return ident()
 
 
