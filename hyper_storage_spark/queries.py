@@ -14,11 +14,19 @@ Naming convention:
 
 Cross-engine exactness rules (hash-compare is exact):
 - money math is cast to DECIMAL before aggregation (exact in both
-  engines; identical final scales via explicit casts);
+  engines), but NO final output column is DECIMAL-typed: the driver's
+  hasher canonicalizes DECIMAL cells engine-specifically, so every
+  money aggregate is emitted as ROUND(dec, 2)::DOUBLE — both engines
+  round decimals half-away-from-zero and the exact 2-decimal value has
+  one nearest double, so the bits agree;
 - double averages are computed as ROUND(CAST(sum AS DOUBLE)/count, 6)
   in both engines (identical IEEE ops);
-- every computed column is aliased identically on both sides;
-- LIMIT queries carry a total tie-break order.
+- ORDER BY ... LIMIT over a money aggregate sorts on the EXACT decimal
+  (with a total tie-break order) and only the projection is rounded;
+- timestamps: parquet nanos are truncated to micros on the Spark side,
+  so oracles over `events.ts` pin DuckDB to the same µs domain via
+  CAST(ts AS TIMESTAMP) (TIMESTAMP_NS→TIMESTAMP truncates);
+- every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -234,10 +242,10 @@ def parity_latest_revision(spark, sf_dir):
 @register(
     "q1_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_base_price,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) * (1 + CAST(l_tax AS DECIMAL(12,4)))) AS DECIMAL(38,12)) AS sum_charge,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_qty,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_base_price,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS sum_disc_price,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) * (1 + CAST(l_tax AS DECIMAL(12,4)))), 2) AS DOUBLE) AS sum_charge,
               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
               COUNT(*) AS count_order
        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -245,18 +253,20 @@ def parity_latest_revision(spark, sf_dir):
 )
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: single scan, map-side partial aggregation, one
-    shuffle on a low-cardinality key. Money math in DECIMAL for
-    cross-engine exactness."""
+    shuffle on a low-cardinality key. Money math stays DECIMAL (exact in
+    both engines) until the final projection, which canonicalizes to
+    ROUND(dec, 2)::DOUBLE — the driver's hasher treats DECIMAL cells
+    engine-specifically, doubles are bit-identical across engines."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
     qty = F.col("l_quantity").cast(DEC)
     price = F.col("l_extendedprice").cast(DEC)
     disc = F.col("l_discount").cast(DEC)
     tax = F.col("l_tax").cast(DEC)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qty).cast("decimal(38,4)").alias("sum_qty"),
-        F.sum(price).cast("decimal(38,4)").alias("sum_base_price"),
-        F.sum(price * (F.lit(1) - disc)).cast("decimal(38,8)").alias("sum_disc_price"),
-        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("decimal(38,12)").alias("sum_charge"),
+        F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)), 2).cast("double").alias("sum_charge"),
         F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
         F.count("*").alias("count_order"),
     )
@@ -264,20 +274,25 @@ def q1_pricing_summary(spark, sf_dir):
 
 @register(
     "q3_shipping_priority",
-    """SELECT l_orderkey,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,8)) AS revenue,
+    """SELECT l_orderkey, CAST(ROUND(revenue_x, 2) AS DOUBLE) AS revenue,
               o_orderdate, o_orderpriority
-       FROM customer JOIN orders ON c_custkey = o_custkey
-            JOIN lineitem ON l_orderkey = o_orderkey
-       WHERE c_mktsegment = 'BUILDING'
-         AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-         AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-       GROUP BY l_orderkey, o_orderdate, o_orderpriority
-       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+       FROM (
+         SELECT l_orderkey,
+                SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS revenue_x,
+                o_orderdate, o_orderpriority
+         FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue_x DESC, l_orderkey LIMIT 10)""",
 )
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: selective dimension (customer) broadcast into the
-    fact join; revenue top-10 via TakeOrdered."""
+    fact join; revenue top-10 via TakeOrdered. The top-10 order uses the
+    EXACT decimal revenue (identical in both engines); the rounded
+    double is only the output representation."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
@@ -286,17 +301,22 @@ def q3_shipping_priority(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .agg(F.sum(rev).alias("revenue_x"))
+        .orderBy(F.col("revenue_x").desc(), F.col("l_orderkey"))
         .limit(10)
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select(
+            "l_orderkey",
+            F.round("revenue_x", 2).cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
     )
 
 
 @register(
     "q5_local_supplier_volume",
     """SELECT n_name,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,8)) AS revenue
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS revenue
        FROM customer JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
             JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -326,13 +346,13 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
     )
 
 
 @register(
     "q6_revenue_change",
-    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,8)) AS revenue
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue
        FROM lineitem
        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -349,8 +369,8 @@ def q6_revenue_change(spark, sf_dir):
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
-        .cast("decimal(38,8)")
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)), 2)
+        .cast("double")
         .alias("revenue")
     )
 
@@ -358,8 +378,8 @@ def q6_revenue_change(spark, sf_dir):
 @register(
     "q_window_running_total",
     """SELECT o_orderkey, o_custkey,
-              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
-                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(38,4)) AS running_total
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS DOUBLE) AS running_total
        FROM orders""",
 )
 def q_window_running_total(spark, sf_dir):
@@ -368,7 +388,9 @@ def q_window_running_total(spark, sf_dir):
     return _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("decimal(38,4)").alias("running_total"),
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w), 2)
+        .cast("double")
+        .alias("running_total"),
     )
 
 
@@ -393,7 +415,7 @@ def q_window_rank(spark, sf_dir):
 @register(
     "q_rollup_orders",
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS total
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total
        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
 )
 def q_rollup_orders(spark, sf_dir):
@@ -403,7 +425,7 @@ def q_rollup_orders(spark, sf_dir):
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(38,4)").alias("total"),
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 2).cast("double").alias("total"),
         )
     )
 
@@ -467,11 +489,16 @@ def q_distinct_users_daily(spark, sf_dir):
 
 @register(
     "q_sessionization",
-    """WITH gaps AS (
+    """WITH e AS (
+         -- Spark reads the nanosecond parquet timestamps truncated to
+         -- microseconds; pin the oracle to the same µs domain so window
+         -- order and durations agree exactly.
+         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+       ), gaps AS (
          SELECT user_id, event_id, ts,
                 CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
        ), sessions AS (
          SELECT user_id, event_id, ts,
                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
@@ -532,16 +559,18 @@ def q4_order_priority(spark, sf_dir):
 
 @register(
     "q10_returned_items",
-    """SELECT c_custkey, c_name, n_name,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,8)) AS revenue
-       FROM customer JOIN orders ON c_custkey = o_custkey
-            JOIN lineitem ON l_orderkey = o_orderkey
-            JOIN nation ON c_nationkey = n_nationkey
-       WHERE l_returnflag = 'R'
-         AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-         AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
-       GROUP BY c_custkey, c_name, n_name
-       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    """SELECT c_custkey, c_name, n_name, CAST(ROUND(revenue_x, 2) AS DOUBLE) AS revenue
+       FROM (
+         SELECT c_custkey, c_name, n_name,
+                SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS revenue_x
+         FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue_x DESC, c_custkey LIMIT 20)""",
 )
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: returned-item revenue ranking."""
@@ -557,10 +586,15 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .agg(F.sum(rev).alias("revenue_x"))
+        .orderBy(F.col("revenue_x").desc(), F.col("c_custkey"))
         .limit(20)
-        .select("c_custkey", "c_name", "n_name", "revenue")
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("revenue_x", 2).cast("double").alias("revenue"),
+        )
     )
 
 
@@ -595,7 +629,7 @@ def q14_promo_share(spark, sf_dir):
 
 @register(
     "q19_disjunctive_join",
-    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,8)) AS revenue
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS revenue
        FROM lineitem JOIN part ON l_partkey = p_partkey
        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
@@ -613,7 +647,7 @@ def q19_disjunctive_join(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & qty.between(20, 40))
     )
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
-    return j.filter(cond).agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+    return j.filter(cond).agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
 
 
 @register(
@@ -671,7 +705,7 @@ def q_moving_average(spark, sf_dir):
                 SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS rev
          FROM orders GROUP BY 1
        )
-       SELECT day, CAST(rev - lag(rev) OVER (ORDER BY day) AS DECIMAL(38,4)) AS delta
+       SELECT day, CAST(ROUND(rev - lag(rev) OVER (ORDER BY day), 2) AS DOUBLE) AS delta
        FROM daily""",
 )
 def q_lag_delta(spark, sf_dir):
@@ -683,7 +717,7 @@ def q_lag_delta(spark, sf_dir):
     )
     w = Window.orderBy("day")
     return daily.select(
-        "day", (F.col("rev") - F.lag("rev").over(w)).cast("decimal(38,4)").alias("delta")
+        "day", F.round(F.col("rev") - F.lag("rev").over(w), 2).cast("double").alias("delta")
     )
 
 
@@ -717,7 +751,7 @@ def q_pivot_status_priority(spark, sf_dir):
 @register(
     "q_monthly_revenue",
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
-              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS revenue,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue,
               COUNT(*) AS n
        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
        GROUP BY 1, 2""",
@@ -732,7 +766,7 @@ def q_monthly_revenue(spark, sf_dir):
             F.month("o_orderdate").cast("bigint").alias("m"),
         )
         .agg(
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(38,4)").alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 2).cast("double").alias("revenue"),
             F.count("*").alias("n"),
         )
     )
@@ -788,7 +822,7 @@ def q_string_functions(spark, sf_dir):
     """SELECT c_nationkey,
               COUNT(*) FILTER (c_acctbal > 5000) AS rich,
               COUNT(*) FILTER (c_acctbal < 0) AS negative,
-              CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(12,4)) ELSE 0 END) AS DECIMAL(38,4)) AS building_bal
+              CAST(ROUND(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(12,4)) ELSE 0 END), 2) AS DOUBLE) AS building_bal
        FROM customer GROUP BY c_nationkey""",
 )
 def q_conditional_agg(spark, sf_dir):
@@ -797,12 +831,15 @@ def q_conditional_agg(spark, sf_dir):
     return c.groupBy("c_nationkey").agg(
         F.count_if(F.col("c_acctbal") > 5000).alias("rich"),
         F.count_if(F.col("c_acctbal") < 0).alias("negative"),
-        F.sum(
-            F.when(F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal").cast(DEC)).otherwise(
-                F.lit(0).cast(DEC)
-            )
+        F.round(
+            F.sum(
+                F.when(F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal").cast(DEC)).otherwise(
+                    F.lit(0).cast(DEC)
+                )
+            ),
+            2,
         )
-        .cast("decimal(38,4)")
+        .cast("double")
         .alias("building_bal"),
     )
 
@@ -1083,7 +1120,8 @@ def store_query_mv_sorted(spark, sf_dir):
     to the lang MV (index_content_ta0) and order by its clustering key."""
     store = _docs_store(spark, sf_dir)
     res = store.query("docs~", sort=[SortBy("lang")], size=40)
-    assert res.plan.index_id == "by_lang", res.plan
+    # plan routing (index_id == "by_lang") is asserted in tests/test_catalog_store.py;
+    # the driver-facing body stays assertion-free.
     return _items_df(spark, res.items, "doc_id long, lang string, n_chars long")
 
 
@@ -1100,7 +1138,7 @@ def store_query_filter_implication(spark, sf_dir):
     300..400 rows."""
     store = _docs_store(spark, sf_dir)
     res = store.query("docs~", filter="n_chars > 400", sort=[SortBy("id")], size=40)
-    assert res.plan.index_id == "long_docs", res.plan
+    # plan routing (index_id == "long_docs") is asserted in tests/test_catalog_store.py.
     return _items_df(spark, res.items, "doc_id long, lang string, n_chars long")
 
 
@@ -1116,7 +1154,8 @@ def store_query_paged_keyset(spark, sf_dir):
     bounded storage selects."""
     store = _docs_store(spark, sf_dir)
     res = store.query_paged("docs~", filter='lang = "zh"', size=15)
-    assert len(res.selects) >= 1
+    # the multi-select fetch-loop shape (len(res.selects) >= 1) is asserted
+    # in tests/test_catalog_store.py.
     return _items_df(spark, res.items, "doc_id long, lang string")
 
 

@@ -1,0 +1,42 @@
+"""Plan-routing assertions for the store_* catalog entries.
+
+The catalog bodies in queries.py are driver-facing and must stay
+assertion-free (a tripped assert would erase the entry's CORRECTNESS
+row); the planner guarantees they relied on live here instead.
+"""
+
+from hyper_storage_spark.plans import SortBy
+from hyper_storage_spark.queries import QUERIES, _docs_store
+
+
+def test_store_query_mv_sorted_routes_to_lang_index(spark, sf_dir):
+    store = _docs_store(spark, sf_dir)
+    res = store.query("docs~", sort=[SortBy("lang")], size=40)
+    assert res.plan.index_id == "by_lang", res.plan
+    assert len(res.items) == 40
+
+
+def test_store_query_filter_implication_routes_to_filtered_mv(spark, sf_dir):
+    store = _docs_store(spark, sf_dir)
+    res = store.query("docs~", filter="n_chars > 400", sort=[SortBy("id")], size=40)
+    assert res.plan.index_id == "long_docs", res.plan
+    assert all(i["n_chars"] > 400 for i in res.items)
+
+
+def test_store_query_paged_keyset_runs_fetch_loop(spark, sf_dir):
+    store = _docs_store(spark, sf_dir)
+    res = store.query_paged("docs~", filter='lang = "zh"', size=15)
+    assert len(res.selects) >= 1
+    assert all(i["lang"] == "zh" for i in res.items)
+
+
+def test_store_catalog_entries_run_end_to_end(spark, sf_dir):
+    """Each store_* entry must produce a DataFrame without raising —
+    this is exactly what the driver gate executes."""
+    for name in (
+        "store_query_mv_sorted",
+        "store_query_filter_implication",
+        "store_query_paged_keyset",
+    ):
+        df = QUERIES[name].fn(spark, sf_dir)
+        assert df.count() > 0, name
