@@ -328,8 +328,11 @@ def q3_shipping_priority(spark, sf_dir):
        GROUP BY n_name""",
 )
 def q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5 shape: star join — all dimension sides broadcast, the
-    lineitem fact never shuffles until the final small aggregation."""
+    """TPC-H Q5 shape: star join. Broadcast hints only on the true
+    dimensions (supplier/nation/region — bounded size at any SF);
+    orders (a year of the fact table) and customer (data-proportional)
+    carry no hint, so AQE picks broadcast at small SF and a shuffle
+    join at 100 TB instead of OOMing a forced broadcast."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
@@ -340,9 +343,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -573,7 +576,9 @@ def q4_order_priority(spark, sf_dir):
          ORDER BY revenue_x DESC, c_custkey LIMIT 20)""",
 )
 def q10_returned_items(spark, sf_dir):
-    """TPC-H Q10 shape: returned-item revenue ranking."""
+    """TPC-H Q10 shape: returned-item revenue ranking. Only nation is
+    hint-broadcast; orders (6-month window) and customer grow with the
+    data, so their join strategy is left to AQE."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
@@ -582,8 +587,8 @@ def q10_returned_items(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).alias("revenue_x"))
@@ -784,14 +789,18 @@ def q_monthly_revenue(spark, sf_dir):
 )
 def q_above_avg_orders(spark, sf_dir):
     """Correlated-subquery shape (orders above their customer's average)
-    decorrelated into an aggregate + join — what Catalyst does to the
-    subquery form anyway."""
+    as a single window pass: avg(o_totalprice) OVER (PARTITION BY
+    o_custkey) — one shuffle on the customer key, no join, and no
+    broadcast of a data-proportional aggregate (the per-customer
+    average's cardinality grows with the data, so the aggregate+join
+    decorrelation would not survive 100×)."""
     o = _t(spark, sf_dir, "orders")
-    avg = o.groupBy(F.col("o_custkey").alias("k")).agg(
-        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count("*")).alias("avg_price")
-    )
+    w = Window.partitionBy("o_custkey")
+    avg_price = F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double") / F.count(
+        "*"
+    ).over(w)
     return (
-        o.join(F.broadcast(avg), o.o_custkey == avg.k)
+        o.withColumn("avg_price", avg_price)
         .filter(F.col("o_totalprice") > F.col("avg_price"))
         .select("o_orderkey", "o_custkey")
     )

@@ -19,9 +19,28 @@ def test_q3_broadcasts_dimensions(spark, sf_dir):
 
 
 def test_q5_star_join_all_broadcast(spark, sf_dir):
+    """No forced broadcast of data-proportional sides: at this SF the
+    size-based planner still broadcasts everything (tables are tiny),
+    while at 100 TB the hint-free orders/customer joins degrade
+    gracefully to shuffle joins instead of OOMing."""
     plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
+
+
+def test_q10_broadcasts_only_nation_by_hint(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q10_returned_items")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_above_avg_orders_is_window_not_join(spark, sf_dir):
+    """The per-customer average must come from a window pass (one
+    shuffle on o_custkey), not an aggregate broadcast back into a join
+    — the aggregate's cardinality grows with the data."""
+    plan = plan_of(spark, sf_dir, "q_above_avg_orders")
+    assert "Window" in plan
+    assert "Join" not in plan
 
 
 def test_q6_pushes_every_predicate(spark, sf_dir):
