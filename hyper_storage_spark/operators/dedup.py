@@ -61,13 +61,28 @@ def _hashed_shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     return shingle_df(docs, text_col, n).select("doc_id", F.xxhash64("shingle").alias("h"))
 
 
-def _jaccard_from_shingles(sh: DataFrame, threshold: float, candidates: DataFrame | None) -> DataFrame:
+def _jaccard_from_shingles(
+    sh: DataFrame,
+    threshold: float,
+    candidates: DataFrame | None,
+    max_df: int | None = None,
+) -> DataFrame:
     """(a_id, b_id, jaccard≥threshold) from a (doc_id, h) shingle set.
 
     Without candidates: inverted-index self-join (pairs sharing ≥1
     shingle). With candidates (from LSH): the intersection counts are
     computed only for the candidate pairs — the posting-list blowup
-    never happens, which is the whole point of LSH at scale."""
+    never happens, which is the whole point of LSH at scale.
+
+    ``max_df`` drops shingles whose document frequency exceeds the cap
+    BEFORE the self-join (and from the set sizes, so the metric stays
+    a true Jaccard over the surviving shingles). A stop-shingle shared
+    by L documents otherwise produces L² join rows — the classic
+    skewed-key quadratic blowup; capping df bounds every posting list,
+    so the self-join output is ≤ max_df² per shingle."""
+    if max_df is not None:
+        keep = sh.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+        sh = sh.join(keep.select("h"), "h")
     sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -103,11 +118,22 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float, candidates: DataFram
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, n: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    max_df: int = 100,
 ) -> DataFrame:
-    """Exact n-gram-shingle Jaccard for every pair sharing ≥1 shingle:
-    (a_id, b_id, jaccard) with jaccard ≥ threshold, rounded to 6."""
-    return _jaccard_from_shingles(_hashed_shingles(docs, text_col, n), threshold, None)
+    """Exact n-gram-shingle Jaccard for every pair sharing ≥1 surviving
+    shingle: (a_id, b_id, jaccard ≥ threshold), rounded to 6.
+
+    Shingles in more than ``max_df`` documents are dropped first (from
+    both the posting lists and the set sizes): they carry no
+    discriminative signal and their posting lists are the quadratic
+    skew term of the self-join. Standard practice for inverted-index
+    Jaccard; corpora where even capped lists are too hot should route
+    to :func:`minhash_lsh_pairs`."""
+    return _jaccard_from_shingles(_hashed_shingles(docs, text_col, n), threshold, None, max_df)
 
 
 def minhash_signatures(
@@ -193,6 +219,77 @@ def embedding_cosine_pairs(
     cos = _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
     return (
         pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_tables: int = 12,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed embedding near-duplicate pairs — the scale path for
+    :func:`embedding_cosine_pairs` (which is all-pairs and exists as the
+    small-n oracle twin only).
+
+    Candidate generation: ``n_tables`` independent random-hyperplane
+    signatures of ``n_planes`` bits each (OR-amplification), with
+    Hamming-1 probing — side a of the self-join is exploded to its
+    signature plus the ``n_planes`` one-bit-flipped neighbors, so a pair
+    is a candidate when some table's signatures differ by ≤1 bit. The
+    join key is (table_id, signature): bucketed, shuffle-proportional to
+    bucket occupancy, never a BroadcastNestedLoopJoin over the corpus.
+    Verification: exact cosine on the candidate pairs only.
+
+    Recall is tunable: P(candidate) per table is p^b + b·p^(b-1)(1-p)
+    with p = 1 - θ/π; amplified across tables. The defaults hold
+    recall ≳ 0.9 down to cosine ≈ 0.45 (θ ≈ 63°) — real near-duplicate
+    corpora (cosine ≥ 0.8) get there with far fewer tables, and denser
+    corpora should raise ``n_planes`` to keep buckets small.
+    """
+    from .similarity import _dot, _hyperplanes, _norm, melted_signatures
+
+    tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    exact = melted_signatures(emb, id_col, vec_col, tables, "doc_id").persist()
+    probes = exact.select(
+        "doc_id",
+        "table_id",
+        F.explode(
+            F.array(*[
+                F.col("sig").bitwiseXOR(F.lit(flip))
+                for flip in [0] + [1 << i for i in range(n_planes)]
+            ])
+        ).alias("sig"),
+    )
+    a = probes.alias("a")
+    b = exact.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    av = emb.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"), _norm(F.col(vec_col)).alias("an")
+    )
+    bv = emb.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"), _norm(F.col(vec_col)).alias("bn")
+    )
+    cos = _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    return (
+        candidates.join(av, "a_id")
+        .join(bv, "b_id")
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
     )

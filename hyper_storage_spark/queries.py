@@ -907,8 +907,14 @@ WITH toks AS (
 idx AS (
   SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks WHERE len(t) >= 3
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx
+),
+-- document-frequency cap (mirrors ngram_jaccard_pairs max_df=100):
+-- stop-shingles carry no signal and are the quadratic skew term
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= 100)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 inter AS (
@@ -937,7 +943,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
                                     CAST(b.embedding AS DOUBLE[])) >= 0.45""",
 )
 def dedup_embedding_cosine(spark, sf_dir):
+    """Exact all-pairs cosine — the small-n oracle twin of
+    dedup_embedding_lsh (which is the bucketed scale path)."""
     return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@register("dedup_embedding_lsh", None)  # hyperplane constants live Spark-side
+def dedup_embedding_lsh(spark, sf_dir):
+    """Bucketed near-dup pairs: multi-table hyperplane LSH candidates +
+    exact-cosine verify; no all-pairs join anywhere in the plan."""
+    return dedup.embedding_lsh_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45).orderBy(
+        "a_id", "b_id"
+    )
 
 
 @register("dedup_minhash_lsh", None)  # murmur3 hash family is engine-specific

@@ -63,6 +63,58 @@ def test_lsh_bucket_finds_clustered_neighbors(spark):
     assert min(r.cosine for r in rows_out) > 0.99
 
 
+def test_embedding_lsh_recall_vs_exact(spark):
+    """The bucketed near-dup path must recover ≥90% of the exact
+    all-pairs result at the near-dup threshold (sf0.01's planted pairs
+    sit at cosine ≈ 0.45-0.51 — near the random-pair baseline, which is
+    the adversarial case for hyperplane LSH)."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {(r.a_id, r.b_id) for r in dedup.embedding_cosine_pairs(emb, 0.45).collect()}
+    lsh = {(r.a_id, r.b_id) for r in dedup.embedding_lsh_pairs(emb, 0.45).collect()}
+    assert lsh <= exact  # exact-cosine verify ⇒ precision 1.0
+    assert exact and len(lsh) / len(exact) >= 0.9
+
+
+def test_embedding_lsh_plan_has_no_all_pairs_join(spark, sf_dir):
+    """The scale guarantee: candidate generation joins on
+    (table_id, signature) buckets — never a BroadcastNestedLoopJoin /
+    CartesianProduct over the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = dedup.embedding_lsh_pairs(emb, 0.45)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_multiprobe_recall_vs_exact(spark):
+    """Multi-table + Hamming-1 probing must hold recall ≥ 0.9 against
+    the exact top-k on the real test vectors (top-10 cosines ≈ 0.3)."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_bucket_topk(emb, qids, k=10).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
+    """A shingle shared by every document must not create the L² join
+    blowup: with the df cap it is dropped from posting lists AND set
+    sizes, and documents that share ONLY the stop-shingle pair up at
+    jaccard computed over their distinctive shingles only."""
+    stop = "the quick brown"  # one shared 3-shingle across all docs
+    rows = [(i, f"the quick brown unique{i} word{i} tail{i} extra{i}") for i in range(50)]
+    # two real near-dups sharing all their distinctive shingles
+    rows += [(100, "alpha beta gamma delta epsilon zeta"), (101, "alpha beta gamma delta epsilon zeta")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(d, threshold=0.5, max_df=10).collect()
+    pairs = {(r.a_id, r.b_id) for r in out}
+    assert (100, 101) in pairs  # true dups survive
+    # the 50 stop-shingle-only docs produce zero of their 1225 possible pairs
+    assert all(a == 100 for a, _ in pairs), pairs
+
+
 def test_langid_accuracy_on_labeled_docs(spark, sf_dir):
     d = text.with_lang_id(docs(spark, sf_dir))
     scored = d.filter(F.col("lang") != "zh")  # no zh markers in the heuristic
