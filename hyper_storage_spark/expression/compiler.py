@@ -295,14 +295,18 @@ def typed_resolver(df: DataFrame, json_col: Optional[str] = None) -> Resolver:
 
 
 def _truthy(d: DynCol) -> Column:
+    # every kind fast path must honor isnull first: the evaluator's
+    # truthy(None) is False, so a present-but-null typed value is falsy
+    # — NOT SQL-NULL (which would poison enclosing and/or into rejecting
+    # rows the evaluator accepts, e.g. 'not nullcol').
     if d.kind == "bool":
-        return d.bval
+        return F.when(d.isnull_c, F.lit(False)).otherwise(d.bval)
     if d.kind == "num":
-        return d.n != F.lit(0)
+        return F.when(d.isnull_c, F.lit(False)).otherwise(d.n != F.lit(0))
     if d.kind == "null":
         return F.lit(False)
     if d.kind == "arr":
-        return F.size(d.arr) > 0
+        return F.when(d.isnull_c, F.lit(False)).otherwise(F.size(d.arr) > 0)
     s_low = F.lower(d.s)
     str_truth = (
         F.when(s_low.isin("true", "1", "y", "yes", "on"), F.lit(True))
@@ -310,7 +314,7 @@ def _truthy(d: DynCol) -> Column:
         .otherwise(_null_b())
     )
     if d.kind == "str":
-        return str_truth
+        return F.when(d.isnull_c, F.lit(False)).otherwise(str_truth)
     c = (
         F.when(d.isnull_c, F.lit(False))
         .when(d.isbool, d.bval)

@@ -80,6 +80,43 @@ def gen_expr(rnd, depth=0):
     return ident()
 
 
+def test_typed_null_truthiness_parity(spark):
+    """typed_resolver's kind fast paths must treat a present-but-NULL
+    typed column as falsy (evaluator: truthy(None) is False), not as
+    SQL NULL — 'not nullcol' must accept the row, and a NULL operand
+    must not poison enclosing and/or chains."""
+    from hyper_storage_spark.expression.compiler import typed_resolver
+
+    rows = [
+        (0, None, None, None, None),
+        (1, 5, "true", True, [1, 2]),
+        (2, 0, "", False, []),
+        (3, None, "yes", None, None),
+        (4, 7, None, False, [3]),
+    ]
+    df = spark.createDataFrame(rows, "id long, n bigint, s string, b boolean, arr array<bigint>")
+    exprs = [
+        "not n", "not s", "not b", "not arr", "n", "b", "s", "arr",
+        "(n and b) or s", "(b or n) and (not s)", "not (n and s)",
+        "(arr and b) or n",
+    ]
+    asts = [parse(e) for e in exprs]
+    resolver = typed_resolver(df)
+    cols = []
+    for i, ast in enumerate(asts):
+        cols.append(compile_filter(ast, resolver).alias(f"e{i}"))
+    out = {r.id: r for r in df.select("id", *cols).collect()}
+    mismatches = []
+    for row in rows:
+        ctx = dict(zip(["id", "n", "s", "b", "arr"], row))
+        for i, (text, ast) in enumerate(zip(exprs, asts)):
+            expected = evaluate_bool(ast, ctx)
+            got = bool(out[row[0]][f"e{i}"])
+            if got != expected:
+                mismatches.append((text, ctx, expected, got))
+    assert not mismatches, mismatches
+
+
 def test_differential_random_corpus(spark):
     rnd = random.Random(20260813)
     contexts = [gen_context(rnd) for _ in range(25)]
