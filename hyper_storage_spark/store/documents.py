@@ -216,8 +216,18 @@ class DocumentStore:
     """Library-mode document store. All writes serialize through one
     lock (single-writer ⇒ gapless revisions); queries run on Spark."""
 
-    def __init__(self, root: str, spark=None, n_buckets: int = 16, auto_complete: bool = True):
-        self.storage = Storage(root, n_buckets)
+    def __init__(
+        self,
+        root: str,
+        spark=None,
+        n_buckets: int = 16,
+        auto_complete: bool = True,
+        storage: Optional[Storage] = None,
+    ):
+        # ``storage`` injection lets the distributed write path run the
+        # unmodified write code against a copy-on-write OverlayStorage
+        # on executors (streaming/ingest.py)
+        self.storage = storage if storage is not None else Storage(root, n_buckets)
         self.spark = spark
         self.auto_complete = auto_complete
         self._lock = threading.RLock()

@@ -87,11 +87,25 @@ class Storage:
         """Register externally-written parquet files (e.g. a Spark bulk
         ingest) as the new content of the given buckets — one atomic
         manifest flip, same as :meth:`commit`."""
+        return self.commit_external_many({table: bucket_files})
+
+    def commit_external_many(
+        self,
+        table_bucket_files: dict[str, dict[int, list[str]]],
+        drop_tables: Iterable[str] = (),
+    ) -> int:
+        """Register externally-written files across MANY tables (and/or
+        drop tables) in ONE atomic manifest flip — the commit point of
+        the distributed write path, where executors stage bucket files
+        and the driver publishes them all-or-nothing."""
         manifest = self._read_manifest()
         version = manifest["version"] + 1
-        for bucket, paths in bucket_files.items():
-            rels = [os.path.relpath(p, self.root) for p in paths]
-            manifest["tables"].setdefault(table, {})[str(bucket)] = rels
+        for table, bucket_files in table_bucket_files.items():
+            for bucket, paths in bucket_files.items():
+                rels = [os.path.relpath(p, self.root) for p in paths]
+                manifest["tables"].setdefault(table, {})[str(bucket)] = rels
+        for table in drop_tables:
+            manifest["tables"].pop(table, None)
         manifest["version"] = version
         self._write_manifest(manifest)
         return version
@@ -161,3 +175,50 @@ class Storage:
         if not files:
             return spark.createDataFrame([], spark_schema)
         return spark.read.schema(spark_schema).parquet(*files)
+
+
+class OverlayStorage(Storage):
+    """Copy-on-write view over a base :class:`Storage`.
+
+    Reads fall through to the base snapshot; commits and appends buffer
+    in memory and NEVER touch the manifest. This is how an executor task
+    applies a bucket's write commands through the unmodified
+    DocumentStore code path (same semantics by construction): the task
+    drains the overlay into staged parquet files, and the driver
+    publishes every staged file with one atomic
+    :meth:`Storage.commit_external_many` flip."""
+
+    def __init__(self, base: Storage):
+        # deliberately NOT calling super().__init__ — no manifest I/O
+        self.base = base
+        self.root = base.root
+        self.n_buckets = base.n_buckets
+        self.overlay: dict[tuple[str, int], list[dict]] = {}
+        self.schemas: dict[str, pa.Schema] = {}
+        self.appended: dict[str, list[dict]] = {}
+        self.append_schemas: dict[str, pa.Schema] = {}
+        self.dropped: set[str] = set()
+
+    def bucket_rows(self, table: str, bucket: int) -> list[dict]:
+        if table in self.dropped:
+            return []
+        if (table, bucket) in self.overlay:
+            return [dict(r) for r in self.overlay[(table, bucket)]]
+        return self.base.bucket_rows(table, bucket)
+
+    def commit(self, updates, schemas, drop_tables=()):
+        for key, rows in updates.items():
+            self.overlay[key] = [dict(r) for r in rows]
+        self.schemas.update(schemas)
+        for t in drop_tables:
+            self.dropped.add(t)
+            self.overlay = {k: v for k, v in self.overlay.items() if k[0] != t}
+        return 0
+
+    def append(self, table: str, rows: list[dict], schema: pa.Schema):
+        self.appended.setdefault(table, []).extend(dict(r) for r in rows)
+        self.append_schemas[table] = schema
+        return 0
+
+    def _write_manifest(self, manifest):  # pragma: no cover - guard
+        raise RuntimeError("OverlayStorage never writes the manifest")

@@ -183,6 +183,73 @@ def test_windowed_event_counts_stream_matches_batch(spark, tmp_path, sf_dir):
         assert expected[k] == v
 
 
+def test_distributed_batch_applies_on_executors(spark, tmp_path):
+    """One micro-batch touching several documents must be applied by
+    the bucket-grouped executor path (staged *-stream-* bucket files +
+    one manifest flip), not a driver-side row loop — per-document seq
+    order and gapless revisions intact."""
+    import glob
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    cmds = str(tmp_path / "commands")
+    ckpt = str(tmp_path / "ckpt")
+    write_commands(
+        cmds,
+        [
+            {"seq": 1, "method": "put", "path": "docA", "body": {"n": 1}},
+            {"seq": 2, "method": "put", "path": "docB", "body": {"m": 1}},
+            {"seq": 3, "method": "patch", "path": "docA", "body": {"n2": 2}},
+            {"seq": 4, "method": "put", "path": "kol~/i1", "body": {"v": 10}},
+            {"seq": 5, "method": "patch", "path": "docB", "body": {"m2": 9}},
+        ],
+    )
+    run_command_stream(spark, store, cmds, ckpt)
+
+    a_body, a_rev = store.get("docA")
+    b_body, b_rev = store.get("docB")
+    assert a_body == {"n": 1, "n2": 2} and a_rev == 2
+    assert b_body == {"m": 1, "m2": 9} and b_rev == 2
+    i_body, i_rev = store.get("kol~/i1")
+    assert i_body["v"] == 10 and i_rev == 1
+
+    # the executor path stages per-bucket files; the serial path never
+    # creates these
+    staged = glob.glob(str(tmp_path / "store" / "data" / "*" / "*-stream-*.parquet"))
+    assert staged, "distributed write path did not run"
+
+    # feed events were published through the driver's single append
+    evs = {(e["document_uri"], e["revision"], e["method"]) for e in store.feed_events()}
+    assert {("docA", 1, "feed:put"), ("docA", 2, "feed:patch"),
+            ("docB", 1, "feed:put"), ("docB", 2, "feed:patch"),
+            ("kol~", 1, "feed:put")} <= evs
+
+
+def test_collection_delete_falls_back_to_serial(spark, tmp_path):
+    """A batch containing a collection-document delete must still apply
+    correctly (serial fallback: INDEX_DEFS is a global bucket)."""
+    from hyper_storage_spark.plans import SortItem
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    store.put("gone~/x", {"a": 1})
+    store.create_index("gone~", "bya", [SortItem("a", "decimal", "asc")], None)
+    cmds = str(tmp_path / "commands")
+    ckpt = str(tmp_path / "ckpt")
+    write_commands(
+        cmds,
+        [
+            {"seq": 1, "method": "put", "path": "keep", "body": {"k": 1}},
+            {"seq": 2, "method": "delete", "path": "gone~", "body": None},
+        ],
+    )
+    run_command_stream(spark, store, cmds, ckpt)
+    assert store.get("keep")[0] == {"k": 1}
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        store.get("gone~/x")
+    assert store.index_defs("gone~") == []
+
+
 def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
     # simulate the crash window: same batch id delivered twice must not
     # re-apply (revisions would double otherwise)
