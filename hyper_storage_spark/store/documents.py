@@ -244,15 +244,21 @@ class DocumentStore:
         return self.storage.bucket_rows(STATICS, self._bucket(uri))
 
     def _get_static(self, uri: str) -> Optional[dict]:
-        return next((r for r in self._statics_bucket(uri) if r["document_uri"] == uri), None)
+        """Point read: the uri predicate is pushed into the parquet scan
+        (row-group pruning) — never materializes the bucket."""
+        rows = self.storage.bucket_rows(
+            STATICS, self._bucket(uri), filters=[("document_uri", "==", uri)]
+        )
+        return next((r for r in rows if r["document_uri"] == uri), None)
 
     def _get_content(self, uri: str, item_id: str) -> Optional[dict]:
+        rows = self.storage.bucket_rows(
+            CONTENT,
+            self._bucket(uri),
+            filters=[("document_uri", "==", uri), ("item_id", "==", item_id)],
+        )
         return next(
-            (
-                r
-                for r in self._content_bucket(uri)
-                if r["document_uri"] == uri and r["item_id"] == item_id
-            ),
+            (r for r in rows if r["document_uri"] == uri and r["item_id"] == item_id),
             None,
         )
 

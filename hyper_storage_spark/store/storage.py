@@ -39,6 +39,17 @@ def _sanitize(name: str) -> str:
     return re.sub(r"[^A-Za-z0-9_.\-]", "_", name)
 
 
+# At cluster scale, size the bucket modulus like the reference's shard
+# constant (1024, TransactionLogic.scala:26-30): with ≥256 buckets a
+# point operation's bucket is a small fraction of the table, and the
+# row-group pruning below narrows it to one row group.
+CLUSTER_N_BUCKETS = 1024
+
+# bounded row groups + key-sorted bucket files ⇒ selective min/max
+# stats ⇒ point reads decode one row group
+ROW_GROUP_SIZE = 8192
+
+
 class Storage:
     """Versioned, bucketed parquet tables under one root directory."""
 
@@ -64,7 +75,13 @@ class Storage:
 
     # -- reads --------------------------------------------------------------
 
-    def bucket_rows(self, table: str, bucket: int) -> list[dict]:
+    def bucket_rows(self, table: str, bucket: int, filters: Optional[list] = None) -> list[dict]:
+        """Rows of one bucket; ``filters`` (pyarrow DNF tuples, e.g.
+        ``[("document_uri", "==", uri)]``) push the predicate into the
+        parquet read — row groups whose min/max stats exclude the key
+        are never decoded, so a point GET reads one row group instead of
+        materializing the whole bucket (commit() writes buckets sorted
+        by key with bounded row groups to make the stats selective)."""
         manifest = self._read_manifest()
         rel = manifest["tables"].get(table, {}).get(str(bucket))
         if rel is None:
@@ -72,7 +89,9 @@ class Storage:
         rels = rel if isinstance(rel, list) else [rel]
         out: list[dict] = []
         for r in rels:
-            out.extend(pq.read_table(os.path.join(self.root, r)).to_pylist())
+            out.extend(
+                pq.read_table(os.path.join(self.root, r), filters=filters).to_pylist()
+            )
         return out
 
     def files(self, table: str) -> list[str]:
@@ -127,11 +146,14 @@ class Storage:
         version = manifest["version"] + 1
         for (table, bucket), rows in updates.items():
             schema = schemas[table]
+            key = [k for k in ("document_uri", "item_id") if k in schema.names]
+            if key:
+                rows = sorted(rows, key=lambda r: tuple(r.get(k) or "" for k in key))
             tbl = pa.Table.from_pylist(rows, schema=schema)
             rel = os.path.join("data", _sanitize(table), f"b{bucket:04d}-v{version:08d}.parquet")
             abspath = os.path.join(self.root, rel)
             os.makedirs(os.path.dirname(abspath), exist_ok=True)
-            pq.write_table(tbl, abspath)
+            pq.write_table(tbl, abspath, row_group_size=ROW_GROUP_SIZE)
             manifest["tables"].setdefault(table, {})[str(bucket)] = rel
         for table in drop_tables:
             manifest["tables"].pop(table, None)
@@ -199,12 +221,17 @@ class OverlayStorage(Storage):
         self.append_schemas: dict[str, pa.Schema] = {}
         self.dropped: set[str] = set()
 
-    def bucket_rows(self, table: str, bucket: int) -> list[dict]:
+    def bucket_rows(self, table: str, bucket: int, filters: Optional[list] = None) -> list[dict]:
         if table in self.dropped:
             return []
         if (table, bucket) in self.overlay:
-            return [dict(r) for r in self.overlay[(table, bucket)]]
-        return self.base.bucket_rows(table, bucket)
+            rows = [dict(r) for r in self.overlay[(table, bucket)]]
+            if filters:
+                for col, op, val in filters:
+                    assert op == "==", f"overlay filter op {op!r} unsupported"
+                    rows = [r for r in rows if r.get(col) == val]
+            return rows
+        return self.base.bucket_rows(table, bucket, filters)
 
     def commit(self, updates, schemas, drop_tables=()):
         for key, rows in updates.items():

@@ -223,3 +223,35 @@ def test_wal_pruning_bounds_bucket(store):
     # only the entry completed in the newest commit may linger
     assert len([t for t in b if t["completed_at"] is not None]) <= 1
     assert store.recover() == 0
+
+
+def test_point_read_pushes_filters_into_scan(store):
+    """bucket_rows(filters=) must return only the matching rows from a
+    multi-row-group bucket file (key-sorted + bounded row groups ⇒ a
+    point GET decodes one row group, not the bucket)."""
+    import json as _json
+
+    from hyper_storage_spark.store.documents import CONTENT, CONTENT_SCHEMA
+
+    # one bucket, many documents: bypass the per-write API and commit a
+    # 20k-row bucket directly (>2 row groups at ROW_GROUP_SIZE=8192)
+    rows = [
+        {
+            "document_uri": f"bulk{i:06d}",
+            "item_id": "",
+            "revision": 1,
+            "body": _json.dumps({"n": i}),
+            "is_deleted": False,
+            "created_at": 1,
+            "modified_at": 1,
+        }
+        for i in range(20000)
+    ]
+    store.storage.commit({(CONTENT, 3): rows}, {CONTENT: CONTENT_SCHEMA})
+    got = store.storage.bucket_rows(CONTENT, 3, filters=[("document_uri", "==", "bulk010000")])
+    assert len(got) == 1 and _json.loads(got[0]["body"]) == {"n": 10000}
+    # and the parquet file really has multiple row groups to prune
+    import pyarrow.parquet as _pq
+
+    f = store.storage.files(CONTENT)[0]
+    assert _pq.ParquetFile(f).num_row_groups >= 2
