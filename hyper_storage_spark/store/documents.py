@@ -493,19 +493,71 @@ class DocumentStore:
             self.storage.commit(updates, schemas, drop_tables=drop_tables)
             return len(incomplete)
 
-    def recover(self) -> int:
-        """Re-drive every incomplete transaction (RecoveryWorker analog:
-        hot/stale scan over the WAL; recovery/RecoveryWorker.scala)."""
+    def recover(self, scan_all: bool = False) -> int:
+        """Re-drive incomplete transactions (RecoveryWorker analog).
+
+        Like the reference's hot/stale workers
+        (recovery/RecoveryWorker.scala:143-186,204-356, checkpoints in
+        db/scheme.cql:26-29), the scan is CHECKPOINTED per bucket: only
+        minute-quanta in [checkpoint, now] are read (the quantum
+        predicate pushes into the parquet scan), so recovery cost is
+        proportional to the un-scanned window, not the WAL size.
+        ``scan_all=True`` forces a full-history walk.
+
+        Incomplete transactions older than ``WAL_KEEP_MS`` are ABANDONED
+        — dropped from the WAL without completion or feed publication,
+        mirroring the reference's bounded stale-recovery horizon
+        (application.conf:10: recovery never looks further back)."""
         total = 0
-        for b in range(self.storage.n_buckets):
-            uris = {
-                t["document_uri"]
-                for t in self.storage.bucket_rows(TRANSACTIONS, b)
-                if t["completed_at"] is None
-            }
-            for uri in sorted(uris):
-                total += self.complete_transactions(uri)
+        now = _now_ms()
+        now_q = now // 60000
+        horizon_q = (now - self.WAL_KEEP_MS) // 60000
+        with self._lock:
+            ckpt = self._read_recovery_checkpoint()
+            for b in range(self.storage.n_buckets):
+                from_q = 0 if scan_all else ckpt.get(str(b), 0)
+                rows = self.storage.bucket_rows(
+                    TRANSACTIONS, b, filters=[("dt_quantum", ">=", from_q)] if from_q else None
+                )
+                incomplete = [t for t in rows if t["completed_at"] is None]
+                abandoned = {t["uuid"] for t in incomplete if t["dt_quantum"] < horizon_q}
+                if abandoned:
+                    keep = [
+                        t
+                        for t in self.storage.bucket_rows(TRANSACTIONS, b)
+                        if t["uuid"] not in abandoned
+                    ]
+                    self.storage.commit(
+                        {(TRANSACTIONS, b): keep}, {TRANSACTIONS: TRANSACTIONS_SCHEMA}
+                    )
+                live_uris = {
+                    t["document_uri"] for t in incomplete if t["uuid"] not in abandoned
+                }
+                for uri in sorted(live_uris):
+                    total += self.complete_transactions(uri)
+                ckpt[str(b)] = now_q
+            self._write_recovery_checkpoint(ckpt)
         return total
+
+    def _recovery_checkpoint_path(self) -> str:
+        import os
+
+        return os.path.join(self.storage.root, "recovery_checkpoint.json")
+
+    def _read_recovery_checkpoint(self) -> dict:
+        try:
+            with open(self._recovery_checkpoint_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _write_recovery_checkpoint(self, ckpt: dict) -> None:
+        import os
+
+        tmp = self._recovery_checkpoint_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ckpt, f)
+        os.replace(tmp, self._recovery_checkpoint_path())
 
     def _index_row(self, idef: IndexDef, content_row: dict) -> Optional[dict]:
         """Membership + sort-value extraction for one item

@@ -227,9 +227,13 @@ class OverlayStorage(Storage):
         if (table, bucket) in self.overlay:
             rows = [dict(r) for r in self.overlay[(table, bucket)]]
             if filters:
+                ops = {
+                    "==": lambda a, b: a == b,
+                    ">=": lambda a, b: a is not None and a >= b,
+                    "<=": lambda a, b: a is not None and a <= b,
+                }
                 for col, op, val in filters:
-                    assert op == "==", f"overlay filter op {op!r} unsupported"
-                    rows = [r for r in rows if r.get(col) == val]
+                    rows = [r for r in rows if ops[op](r.get(col), val)]
             return rows
         return self.base.bucket_rows(table, bucket, filters)
 

@@ -255,3 +255,55 @@ def test_point_read_pushes_filters_into_scan(store):
 
     f = store.storage.files(CONTENT)[0]
     assert _pq.ParquetFile(f).num_row_groups >= 2
+
+
+def test_recovery_checkpoint_advances_and_bounds_scan(spark, tmp_path):
+    """RecoveryWorkersSpec checkpoint-advancement analog: recover()
+    walks only [checkpoint, now] quanta; after a full pass the
+    checkpoint sits at the current quantum, and a forced re-scan of
+    history (scan_all) finds nothing new."""
+    import json as _json
+
+    store = DocumentStore(str(tmp_path / "s"), spark=spark, auto_complete=False)
+    store.put("r1", {"a": 1})
+    store.put("r2", {"b": 2})
+    assert store.recover() == 2
+    ckpt = _json.load(open(str(tmp_path / "s" / "recovery_checkpoint.json")))
+    import time as _time
+
+    now_q = int(_time.time() * 1000) // 60000
+    assert all(now_q - 1 <= q <= now_q for q in ckpt.values())
+    assert store.recover() == 0
+    assert store.recover(scan_all=True) == 0
+
+
+def test_recovery_expires_abandoned_transactions(spark, tmp_path):
+    """An incomplete transaction older than the WAL horizon is dropped
+    without completion: no feed event, and the WAL bucket no longer
+    carries it (the reference's bounded stale-recovery window)."""
+    from hyper_storage_spark.store.documents import TRANSACTIONS, TRANSACTIONS_SCHEMA
+
+    store = DocumentStore(str(tmp_path / "s"), spark=spark, auto_complete=False)
+    b = store._bucket("ghost")
+    old_quantum = 1  # 1970 — far past any horizon
+    store.storage.commit(
+        {
+            (TRANSACTIONS, b): [
+                {
+                    "uuid": "dead00",
+                    "document_uri": "ghost",
+                    "item_id": "",
+                    "revision": 1,
+                    "method": "feed:put",
+                    "body": "{}",
+                    "dt_quantum": old_quantum,
+                    "partition": b,
+                    "completed_at": None,
+                }
+            ]
+        },
+        {TRANSACTIONS: TRANSACTIONS_SCHEMA},
+    )
+    assert store.recover(scan_all=True) == 0  # abandoned, not completed
+    assert all(t["uuid"] != "dead00" for t in store.storage.bucket_rows(TRANSACTIONS, b))
+    assert all(e["document_uri"] != "ghost" for e in store.feed_events())
