@@ -7,12 +7,16 @@
   ``applyInPandasWithState`` (the streaming replacement for the
   reference's ShardProcessor single-writer guarantee).
 - :mod:`ingest` — the write path as a stream job: commands →
-  ``foreachBatch`` → serialized DocumentStore writes (one batch = one
-  atomic storage commit per bucket + feed publication).
+  ``foreachBatch`` → bucket-grouped executor-side DocumentStore writes
+  (one batch = one feed publication + one atomic manifest flip).
+- :mod:`kafka` — the production transport: command topic in, feed
+  topic out (``format("kafka")`` wiring + payload codecs; the codecs
+  and option plumbing are broker-free testable).
 """
 
 from .feed import feed_readstream
 from .ingest import run_command_stream, write_commands
+from .kafka import feed_kafka_sink, kafka_command_stream
 from .revisions import assign_revisions_stream
 from .windows import windowed_event_counts
 
@@ -22,4 +26,6 @@ __all__ = [
     "run_command_stream",
     "write_commands",
     "windowed_event_counts",
+    "kafka_command_stream",
+    "feed_kafka_sink",
 ]
