@@ -82,6 +82,9 @@ class PlanInfo:
     reversed: bool = False
     exact_sort: bool = True
     residual_compiled: bool = True
+    # the chosen index's own clustering order [(physical col, asc)] —
+    # the result order when the query asks for no explicit sort
+    default_order: list[tuple[str, bool]] = field(default_factory=list)
 
 
 @dataclass
@@ -248,6 +251,13 @@ def _plan(store: DocumentStore, uri: str, filter: Optional[str], sort: list[Sort
         }
         df = _apply_field_filters(df, filter_fields, decimal_cols)
         plan = PlanInfo(idef.table_name, idef.index_id, filter_fields, ck_fields, reversed_, exact)
+        # the reference returns MV rows in the index table's clustering
+        # order (sort columns per DDL asc/desc, then item_id) even when
+        # the query asks for no sort — record it for _physical_order
+        plan.default_order = [
+            (_field_name(idef, i), (s.order or "asc") != "desc")
+            for i, s in enumerate(idef.sort_by)
+        ] + [("item_id", True)]
 
     if filter_ast is not None:
         df, compiled = _apply_residual(df, filter_ast)
@@ -268,6 +278,13 @@ def _physical_order(plan: PlanInfo):
     if plan.index_id is None:
         asc = next((ck.ascending for ck in plan.ck_fields if ck.name == "item_id"), True)
         return [F.col("item_id").asc() if asc else F.col("item_id").desc()]
+    if not plan.ck_fields and plan.default_order:
+        # no explicit sort: the index's own clustering order (flipped
+        # when the scan direction is reversed)
+        return [
+            F.col(name).asc() if asc != plan.reversed else F.col(name).desc()
+            for name, asc in plan.default_order
+        ]
     order = [F.col(ck.name).asc() if ck.ascending else F.col(ck.name).desc() for ck in plan.ck_fields]
     # stabilize with item_id in scan direction (clustering-key suffix)
     if not any(ck.name == "item_id" for ck in plan.ck_fields):

@@ -91,6 +91,20 @@ def test_desc_decimal_index_serves_sorted_query(store):
     assert res2.plan.reversed
 
 
+def test_filtered_query_without_sort_returns_index_clustering_order(store):
+    """Reference parity: a filtered query with NO explicit sort that
+    routes to an MV comes back in the index table's clustering order
+    (sort columns per DDL asc/desc, then item_id) — not item_id order."""
+    store.put("col~/item1", {"b": 100500})
+    store.put("col~/item2", {"b": 1})
+    store.put("col~/item3", {"b": 12})
+    # a FILTERED index wins a filter-only query via implication (+20)
+    store.create_index("col~", "bpos", [SortItem("b", "decimal", "desc")], "b > 0")
+    res = store.query("col~", filter="b > 0", size=10)
+    assert res.plan.index_id == "bpos"
+    assert [i["b"] for i in res.items] == [100500, 12, 1]  # DDL desc order
+
+
 def test_missing_sort_field_is_null_and_sorts(store):
     store.put("col~/item1", {"a": "x", "b": 5})
     store.put("col~/item2", {"b": 7})  # no `a`
