@@ -139,6 +139,17 @@ FEED_SPARK = (
     "method string, body string, ts long"
 )
 
+PENDING_INDEXES = "pending_indexes"
+PENDING_INDEXES_SCHEMA = pa.schema(
+    [
+        ("document_uri", pa.string()),
+        ("index_id", pa.string()),
+        ("last_item_id", pa.string()),  # keyset-resume watermark
+        ("retry_count", pa.int64()),
+        ("next_retry_at", pa.int64()),
+    ]
+)
+
 
 @dataclass(frozen=True)
 class IndexDef:
@@ -701,9 +712,18 @@ class DocumentStore:
         sort_by: list[SortItem] | None = None,
         filter_by: Optional[str] = None,
         use_spark: Optional[bool] = None,
+        background: bool = False,
     ) -> str:
         """POST an index: validate, register INDEXING, backfill, flip to
-        NORMAL (IndexDefTaskWorker.scala:71-110 + IndexContentTaskWorker)."""
+        NORMAL (IndexDefTaskWorker.scala:71-110 + IndexContentTaskWorker).
+
+        ``background=True`` registers the index and a pending-build row
+        and returns immediately (the reference's pending_index table,
+        IndexManager.scala:94-175): the build is driven in bounded
+        chunks by :meth:`process_pending_indexes`, with keyset resume
+        and a retry timer. Writes keep maintaining an INDEXING index
+        incrementally in both modes, so the chunked backfill and live
+        traffic converge."""
         from ..expression.evaluator import validate_filter_expression
 
         if not is_collection_uri(uri):
@@ -736,6 +756,21 @@ class DocumentStore:
             self.storage.commit({(INDEX_DEFS, 0): defs_rows}, {INDEX_DEFS: INDEX_DEFS_SCHEMA})
 
             idef = IndexDef(uri, index_id, STATUS_INDEXING, tuple(sort_by), filter_by, tname)
+            if background:
+                pending = self.storage.bucket_rows(PENDING_INDEXES, 0)
+                pending.append(
+                    {
+                        "document_uri": uri,
+                        "index_id": index_id,
+                        "last_item_id": "",
+                        "retry_count": 0,
+                        "next_retry_at": 0,
+                    }
+                )
+                self.storage.commit(
+                    {(PENDING_INDEXES, 0): pending}, {PENDING_INDEXES: PENDING_INDEXES_SCHEMA}
+                )
+                return index_id
             if use_spark is None:
                 use_spark = self.spark is not None and len(self._content_bucket(uri)) > 10000
             if use_spark:
@@ -813,6 +848,114 @@ class DocumentStore:
         df.select(*cols).write.mode("overwrite").parquet(outdir)
         files = [os.path.join(outdir, f) for f in os.listdir(outdir) if f.endswith(".parquet")]
         self.storage.commit_external(idef.storage_table, {0: files})
+
+    # retry backoff for failed background builds — the reference's
+    # PendingIndexWorker re-arms a 60 s timer (PendingIndexWorker.scala:24-98)
+    INDEX_RETRY_MS = 60_000
+
+    def pending_indexes(self) -> list[dict]:
+        return self.storage.bucket_rows(PENDING_INDEXES, 0)
+
+    def process_pending_indexes(
+        self, max_concurrent: int = 2, chunk_size: int = 1000, now_ms: Optional[int] = None
+    ) -> int:
+        """One IndexManager tick (IndexManager.scala:94-175 +
+        PendingIndexWorker.scala:24-98): drive at most ``max_concurrent``
+        pending builds forward by ONE chunk of ``chunk_size`` items each
+        (keyset resume from ``last_item_id``), flipping an index to
+        NORMAL when its scan completes. A failing build records
+        retry_count and re-arms ``next_retry_at`` = now + 60 s instead
+        of poisoning the tick. Returns the number of builds progressed.
+
+        Call this from a scheduler loop (or once per micro-batch in a
+        streaming job) — it is crash-safe: all progress lives in the
+        pending row's watermark, committed with the chunk."""
+        now = _now_ms() if now_ms is None else now_ms
+        progressed = 0
+        with self._lock:
+            pending = self.storage.bucket_rows(PENDING_INDEXES, 0)
+            eligible = [p for p in pending if p["next_retry_at"] <= now][:max_concurrent]
+            for p in eligible:
+                try:
+                    done, new_last = self._backfill_chunk(
+                        p["document_uri"], p["index_id"], p["last_item_id"], chunk_size
+                    )
+                except Exception:
+                    p["retry_count"] += 1
+                    p["next_retry_at"] = now + self.INDEX_RETRY_MS
+                    self.storage.commit(
+                        {(PENDING_INDEXES, 0): pending},
+                        {PENDING_INDEXES: PENDING_INDEXES_SCHEMA},
+                    )
+                    continue
+                progressed += 1
+                if done:
+                    defs_rows = self.storage.bucket_rows(INDEX_DEFS, 0)
+                    for r in defs_rows:
+                        if (
+                            r["document_uri"] == p["document_uri"]
+                            and r["index_id"] == p["index_id"]
+                            and r["status"] == STATUS_INDEXING
+                        ):
+                            r["status"] = STATUS_NORMAL
+                    pending = [
+                        q
+                        for q in pending
+                        if not (
+                            q["document_uri"] == p["document_uri"]
+                            and q["index_id"] == p["index_id"]
+                        )
+                    ]
+                    self.storage.commit(
+                        {(INDEX_DEFS, 0): defs_rows, (PENDING_INDEXES, 0): pending},
+                        {INDEX_DEFS: INDEX_DEFS_SCHEMA, PENDING_INDEXES: PENDING_INDEXES_SCHEMA},
+                    )
+                else:
+                    p["last_item_id"] = new_last
+                    self.storage.commit(
+                        {(PENDING_INDEXES, 0): pending},
+                        {PENDING_INDEXES: PENDING_INDEXES_SCHEMA},
+                    )
+        return progressed
+
+    def _backfill_chunk(
+        self, uri: str, index_id: str, last_item_id: str, chunk_size: int
+    ) -> tuple[bool, str]:
+        """Backfill one keyset chunk (item_id > last_item_id, first
+        chunk_size items in id order) into the MV; merge-by-item_id so
+        live writes that already materialized an item stay idempotent.
+        Returns (scan complete?, new watermark)."""
+        idef = next(
+            (d for d in self.index_defs(uri) if d.index_id == index_id), None
+        )
+        if idef is None:
+            return True, last_item_id  # index dropped while pending
+        items = sorted(
+            (
+                r
+                for r in self._content_bucket(uri)
+                if r["document_uri"] == uri
+                and r["item_id"]
+                and r["item_id"] > last_item_id
+                and not r["is_deleted"]
+            ),
+            key=lambda r: r["item_id"],
+        )
+        chunk = items[:chunk_size]
+        if chunk:
+            existing = self.storage.bucket_rows(idef.storage_table, 0)
+            chunk_ids = {c["item_id"] for c in chunk}
+            merged = [r for r in existing if r["item_id"] not in chunk_ids]
+            for c in chunk:
+                row = self._index_row(idef, c)
+                if row is not None:
+                    merged.append(row)
+            self.storage.commit(
+                {(idef.storage_table, 0): merged},
+                {idef.storage_table: _index_schema(idef.sort_by)},
+            )
+        done = len(items) <= chunk_size
+        return done, (chunk[-1]["item_id"] if chunk else last_item_id)
 
     def delete_index(self, uri: str, index_id: str) -> None:
         with self._lock:

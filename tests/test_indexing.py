@@ -197,3 +197,78 @@ def test_explain_surface(store):
     assert plan.index_id == "bya" and plan.table_name == "index_content_ta0"
     plan2 = store.explain("col~", filter='id = "x"')
     assert plan2.index_id is None and plan2.filter_fields[0].name == "item_id"
+
+
+def test_background_index_chunked_build(store):
+    """IndexManager/PendingIndexWorker analog: background create
+    registers INDEXING + a pending row; process_pending_indexes drives
+    the build in bounded keyset chunks; the index flips NORMAL only
+    when the scan completes, then serves queries."""
+    for i in range(7):
+        store.put(f"bg~/i{i}", {"a": f"v{i:02d}"})
+    store.create_index("bg~", "bya", [SortItem("a", "text", "asc")], None, background=True)
+
+    from hyper_storage_spark.plans.model import STATUS_INDEXING as _IDX0
+
+    idef = next(d for d in store.index_defs("bg~") if d.index_id == "bya")
+    assert idef.status == _IDX0
+    pend = store.pending_indexes()
+    assert len(pend) == 1 and pend[0]["last_item_id"] == ""
+
+    # chunk 1 of 3 (chunk_size=3): watermark advances, still INDEXING
+    assert store.process_pending_indexes(chunk_size=3) == 1
+    pend = store.pending_indexes()
+    assert pend and pend[0]["last_item_id"] == "i2"
+    from hyper_storage_spark.plans.model import STATUS_INDEXING as _IDX
+    assert next(d for d in store.index_defs("bg~") if d.index_id == "bya").status == _IDX
+
+    # live write during the build is maintained incrementally
+    store.put("bg~/i1", {"a": "UPDATED"})
+
+    while store.pending_indexes():
+        assert store.process_pending_indexes(chunk_size=3) >= 0
+    from hyper_storage_spark.plans.model import STATUS_NORMAL as _N
+    assert next(d for d in store.index_defs("bg~") if d.index_id == "bya").status == _N
+
+    res = store.query("bg~", sort=[SortBy("a")], size=10)
+    assert res.plan.index_id == "bya"
+    assert [i["a"] for i in res.items] == ["UPDATED"] + [f"v{i:02d}" for i in (0, 2, 3, 4, 5, 6)]
+
+
+def test_background_index_retry_on_failure(store, monkeypatch):
+    """A failing chunk re-arms the 60 s retry timer instead of
+    completing or poisoning the tick (PendingIndexWorker retry)."""
+    store.put("rt~/x", {"a": 1})
+    store.create_index("rt~", "idx", [SortItem("a", "decimal", "asc")], None, background=True)
+
+    calls = {"n": 0}
+    real = store._backfill_chunk
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected backfill failure")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(store, "_backfill_chunk", flaky)
+    t0 = 1_000_000
+    assert store.process_pending_indexes(now_ms=t0) == 0  # failed → no progress
+    p = store.pending_indexes()[0]
+    assert p["retry_count"] == 1 and p["next_retry_at"] == t0 + store.INDEX_RETRY_MS
+    # before the timer: not eligible
+    assert store.process_pending_indexes(now_ms=t0 + 1000) == 0
+    # after the timer: succeeds and completes
+    assert store.process_pending_indexes(now_ms=p["next_retry_at"] + 1) == 1
+    assert store.pending_indexes() == []
+
+
+def test_background_index_concurrency_cap(store):
+    """At most max_concurrent builds progress per tick."""
+    store.put("c1~/x", {"a": 1})
+    store.put("c2~/x", {"a": 1})
+    store.create_index("c1~", "i1", [SortItem("a", "decimal", "asc")], None, background=True)
+    store.create_index("c2~", "i2", [SortItem("a", "decimal", "asc")], None, background=True)
+    assert store.process_pending_indexes(max_concurrent=1) == 1
+    assert len(store.pending_indexes()) == 1
+    assert store.process_pending_indexes(max_concurrent=1) == 1
+    assert store.pending_indexes() == []
