@@ -81,8 +81,11 @@ def _jaccard_from_shingles(
     skewed-key quadratic blowup; capping df bounds every posting list,
     so the self-join output is ≤ max_df² per shingle."""
     if max_df is not None:
-        keep = sh.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
-        sh = sh.join(keep.select("h"), "h")
+        # persist the raw shingle set so the df-count aggregation and
+        # the cap join read it once instead of re-tokenizing the corpus
+        raw = sh.persist()
+        keep = raw.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+        sh = raw.join(keep.select("h"), "h")
     sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
