@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .expression import parse
 from .expression.compiler import apply_filter
-from .operators import dedup, multimodal, similarity, text
+from .operators import dedup, multimodal, similarity, text, timeseries
 from .plans import FieldFilter, FilterOp, SortBy, SortItem, least_rows_filter_fields
 from .sources import load_table
 
@@ -1100,6 +1100,105 @@ def mm_feature_extract(spark, sf_dir):
     return feats.select(
         "doc_id", "media_type", "byte_len", F.round(F.element_at("features", 1), 6).alias("f0")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# ts_* — timeseries operators Spark lacks natively (as-of join, range
+# join, hypertable rollup), composed shuffle-lean from DataFrame ops
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_asof_join",
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+                  FROM events),
+       c AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'click'),
+       p AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+             FROM e WHERE event_type = 'purchase')
+       SELECT c.user_id, c.event_id, c.ts, p_event_id, p_value
+       FROM c ASOF JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts""",
+)
+def ts_asof_join(spark, sf_dir):
+    """Backward as-of join: each click gets the user's latest preceding
+    (inclusive) purchase. Physically NOT a join: one union + one
+    shuffle on user_id + a running last(...) window — no join
+    explosion, no non-equi condition. Oracle: DuckDB's native ASOF
+    JOIN. Timestamps are unique per (user_id, ts) in the test data, so
+    the match is deterministic."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    return timeseries.asof_join(
+        clicks, purchases, on=["user_id"], right_cols=["p_event_id", "p_value"]
+    )
+
+
+@register(
+    "ts_range_join",
+    """WITH bands AS (SELECT b AS band_id, b * 5.0 AS lo, b * 5.0 + 7.5 AS hi
+                      FROM range(0, 20) t(b))
+       SELECT band_id, COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
+       FROM events e JOIN bands ON e.value >= lo AND e.value < hi
+       GROUP BY band_id""",
+)
+def ts_range_join(spark, sf_dir):
+    """Containment join of events.value against overlapping value
+    bands, executed as an EQUI join on interval buckets (ranges explode
+    into width-5 buckets; exact containment filtered after) — the plan
+    has a shuffle/broadcast HASH join, never a nested-loop over
+    points × ranges."""
+    bands = spark.createDataFrame(
+        [(b, b * 5.0, b * 5.0 + 7.5) for b in range(20)], "band_id long, lo double, hi double"
+    )
+    j = timeseries.range_join(
+        _t(spark, sf_dir, "events").select("event_id", "value"),
+        bands,
+        "value",
+        "lo",
+        "hi",
+        bucket_width=5.0,
+    )
+    return j.groupBy("band_id").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "ts_rollup_hypertable",
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, CAST(value AS DECIMAL(18,6)) AS v
+                  FROM events)
+       SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket_start,
+              COUNT(*) AS n, CAST(ROUND(SUM(v), 2) AS DOUBLE) AS total
+       FROM e GROUP BY 2
+       UNION ALL
+       SELECT 'day', date_trunc('day', ts), COUNT(*), CAST(ROUND(SUM(v), 2) AS DOUBLE)
+       FROM e GROUP BY 2
+       UNION ALL
+       SELECT 'week', date_trunc('week', ts), COUNT(*), CAST(ROUND(SUM(v), 2) AS DOUBLE)
+       FROM e GROUP BY 2""",
+)
+def ts_rollup_hypertable(spark, sf_dir):
+    """Hour/day/week rollups from ONE scan of the fact table: coarser
+    levels re-aggregate the finer level's partials (decimal sums and
+    counts compose exactly), matching the oracle's three direct
+    aggregations value-for-value."""
+    e = _t(spark, sf_dir, "events").select(
+        "ts", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    out = timeseries.hypertable_rollup(e, "ts", "v", resolutions=("hour", "day", "week"))
+    return out.select(
+        "resolution",
+        "bucket_start",
+        "n",
+        F.round("total", 2).cast("double").alias("total"),
+    )
 
 
 # --------------------------------------------------------------------------

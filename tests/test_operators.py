@@ -157,3 +157,67 @@ def test_salted_aggregate_matches_direct(spark, sf_dir):
         ).collect()
     }
     assert salted == direct
+
+
+def test_asof_join_semantics(spark):
+    from hyper_storage_spark.operators import timeseries
+
+    left = spark.createDataFrame(
+        [("u1", 100, "c1"), ("u1", 200, "c2"), ("u2", 50, "c3")],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, 1.0), ("u1", 150, 2.0), ("u2", 60, 9.0)],
+        "k string, ts long, v double",
+    )
+    out = {
+        (r.k, r.ts): r.v
+        for r in timeseries.asof_join(left, right, on=["k"], right_cols=["v"], how="left").collect()
+    }
+    assert out[("u1", 100)] == 1.0  # inclusive: same-ts right row matches
+    assert out[("u1", 200)] == 2.0  # latest preceding
+    assert out[("u2", 50)] is None  # no preceding right row
+    inner = timeseries.asof_join(left, right, on=["k"], right_cols=["v"]).collect()
+    assert len(inner) == 2  # inner drops the unmatched left row
+
+
+def test_asof_join_plan_has_no_join(spark, sf_dir):
+    from hyper_storage_spark.queries import QUERIES
+
+    plan = QUERIES["ts_asof_join"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union + window, never a join
+    assert "Window" in plan
+
+
+def test_range_join_plan_is_equi_hash_join(spark, sf_dir):
+    from hyper_storage_spark.queries import QUERIES
+
+    plan = QUERIES["ts_range_join"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # bucketed equi join
+
+
+def test_hypertable_rollup_composes_exactly(spark, sf_dir):
+    """Coarser levels re-aggregated from finer partials must equal a
+    direct aggregation at that grain."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import timeseries
+    from hyper_storage_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "ts", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    rolled = {
+        (r.resolution, r.bucket_start): (r.n, r.total)
+        for r in timeseries.hypertable_rollup(e, "ts", "v").collect()
+    }
+    direct_week = {
+        ("week", r.b): (r.n, r.total)
+        for r in e.groupBy(F.date_trunc("week", "ts").alias("b"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    for k, v in direct_week.items():
+        assert rolled[k] == v
