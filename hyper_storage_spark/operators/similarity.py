@@ -116,6 +116,83 @@ def melted_signatures(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means cells + multi-cell probing.
+
+    Build: fit KMeans (``pyspark.ml``, optionally on a
+    ``train_fraction`` sample — at corpus scale you train on a sample
+    and assign everything) and assign each vector to its nearest
+    centroid (its CELL). Search: each query scores only the vectors in
+    its ``n_probe`` nearest cells — the centroid table is tiny
+    (n_cells × dim) and broadcast, the corpus joins by cell id
+    (equi/hash), exact cosine + window top-k inside the probed cells.
+
+    Unlike hyperplane LSH the cells adapt to the data distribution,
+    which is what you want when the corpus is clustered (the common
+    case for embeddings). Returns (query_id, neighbor_id, rank,
+    cosine); recall trades against n_probe/n_cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    vecs = emb.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("__fv")
+    )
+    train = vecs if train_fraction >= 1.0 else vecs.sample(train_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__fv", predictionCol="__cell").fit(train)
+    assigned = model.transform(vecs).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col("__cell").alias("cell")
+    )
+
+    # tiny centroid table: query → n_probe nearest cells via broadcast
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cent_df = emb.sparkSession.createDataFrame(centroids, "cell int, centroid array<double>")
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("cell").asc())
+    probes = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("centroid"), lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn("cr", F.row_number().over(probe_w))
+        .filter(F.col("cr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     query_ids: list[int],

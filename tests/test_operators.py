@@ -221,3 +221,35 @@ def test_hypertable_rollup_composes_exactly(spark, sf_dir):
     }
     for k, v in direct_week.items():
         assert rolled[k] == v
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with 8-of-16-cell probing holds recall ≥ 0.9 against exact
+    top-10 on the real test vectors (fixed KMeans seed)."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, qids, k=10, n_cells=16, n_probe=8).collect()
+    }
+    assert len(exact & ivf) / len(exact) >= 0.9
+
+
+def test_ivf_finds_clustered_neighbors_with_single_probe(spark):
+    """On genuinely clustered data (the embedding common case) IVF
+    cells align with clusters: one probe recovers the full cluster."""
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    for cluster in range(5):
+        base = [rnd.gauss(0, 1) for _ in range(64)]
+        for j in range(10):
+            rows.append((cluster * 10 + j, [b + rnd.gauss(0, 0.01) for b in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.ivf_topk(emb, [0, 10, 20], k=5, n_cells=5, n_probe=1)
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    for q in (0, 10, 20):
+        neighbors = {b for a, b in got if a == q}
+        assert len(neighbors) == 5 and all(q <= b < q + 10 for b in neighbors)
