@@ -886,6 +886,141 @@ def q_cube_events(spark, sf_dir):
     return e.cube("event_type", "y").agg(F.count("*").alias("n"))
 
 
+@register(
+    "q7_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year,
+              CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS revenue
+       FROM (
+         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) AS vol
+         FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       ) GROUP BY supp_nation, cust_nation, l_year""",
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year. Both nation sides broadcast (bounded dims); the fact-fact
+    lineitem⨝orders join and customer join are hint-free for AQE."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.round(F.sum(vol), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    """SELECT o_year,
+              ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(21,8)) END) AS DOUBLE)
+                    / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+       FROM (
+         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) AS vol,
+                n1.n_name AS supp_nation
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         WHERE p_type = 'STANDARD' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       ) GROUP BY o_year""",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of STANDARD-part revenue by
+    year — conditional decimal sums, double division only at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    n = _t(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    nat = F.when(F.col("n_name") == "NATION_3", vol).otherwise(F.lit(0).cast("decimal(21,8)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(F.sum(nat).cast("double") / F.sum(vol).cast("double"), 6).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q_min_per_group_subquery",
+    """SELECT s_suppkey, s_nationkey, s_acctbal
+       FROM supplier
+       WHERE s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                          WHERE s2.s_nationkey = supplier.s_nationkey)""",
+)
+def q_min_per_group_subquery(spark, sf_dir):
+    """Correlated scalar-subquery shape (TPC-H Q2's min-per-group):
+    expressed as a min window over the group — one shuffle, no
+    self-join (Catalyst decorrelates the subquery form into an
+    aggregate+join; the window is strictly leaner)."""
+    w = Window.partitionBy("s_nationkey")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .withColumn("__min", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("__min"))
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+    )
+
+
+@register(
+    "q_string_agg_sorted",
+    """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names, COUNT(*) AS n
+       FROM supplier WHERE s_acctbal > 9000
+       GROUP BY s_nationkey""",
+)
+def q_string_agg_sorted(spark, sf_dir):
+    """Ordered string aggregation: collect → sort → join gives a
+    deterministic result under any partitioning (an UNORDERED listagg
+    is nondeterministic at scale and would never hash-match)."""
+    return (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy("s_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("names"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # dedup_* / ann_* / text_* / mm_* — pipeline operators
 # --------------------------------------------------------------------------
