@@ -89,3 +89,82 @@ def extract_features(media: DataFrame, mode: str = "fake") -> DataFrame:
             yield out
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _resize_fake(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode: resamples
+    the byte stream to width*height bytes by nearest-neighbor index
+    mapping (the real implementation swaps in PIL Image.resize)."""
+    n = max(len(payload), 1)
+    target = width * height
+    return bytes(payload[(i * n) // target] for i in range(target)) if payload else b""
+
+
+def resize_images(media: DataFrame, width: int, height: int, mode: str = "fake") -> DataFrame:
+    """Resize the image payloads (pass-through for non-images), batch
+    at a time over Arrow. Output keeps the binary column plus the new
+    typed dimensions — the downstream contract a training pipeline
+    reads (fixed-shape tensors)."""
+    if mode != "fake":  # pragma: no cover - no media libs in container
+        raise NotImplementedError("real resize requires PIL; use mode='fake'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["media_type"].str.startswith("image/")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [width if i else -1 for i in is_img],
+                    "height": [height if i else -1 for i in is_img],
+                    "payload": [
+                        _resize_fake(p, width, height) if i else p
+                        for p, i in zip(pdf["payload"], is_img)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 64) -> DataFrame:
+    """Sample ``n_frames`` evenly-spaced frames from each video payload
+    — one OUTPUT ROW PER FRAME (the exploding-cardinality shape real
+    frame samplers have; mapInPandas lets one input row yield many).
+    Fake decoder: frame i = the frame_bytes slice starting at the
+    i-th equal division of the payload (real impl: av/ffmpeg keyframe
+    extraction — not available in this container)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if not str(mt).startswith("video/") or not len(payload):
+                    continue
+                n = len(payload)
+                for i in range(n_frames):
+                    start = (i * n) // n_frames
+                    rows.append((doc_id, i, bytes(payload[start : start + frame_bytes])))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

@@ -1247,6 +1247,50 @@ def mm_feature_extract(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "mm_resize",
+    """SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                   WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                   ELSE 'video/mp4' END AS media_type,
+              CASE WHEN doc_id % 3 = 0 THEN 8 ELSE -1 END AS width,
+              CASE WHEN doc_id % 3 = 0 THEN 8 ELSE -1 END AS height,
+              CASE WHEN doc_id % 3 = 0 THEN 64
+                   ELSE octet_length(encode(text)) END AS byte_len
+       FROM documents""",
+)
+def mm_resize(spark, sf_dir):
+    """Image resize plumbing contract, oracle-checked on the parts SQL
+    can see: images land at width×height bytes (fake nearest-neighbor
+    resample stands in for PIL), non-images pass through untouched."""
+    media = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
+    resized = multimodal.resize_images(media, width=8, height=8)
+    return resized.select(
+        "doc_id", "media_type", "width", "height", F.octet_length("payload").alias("byte_len")
+    )
+
+
+@register(
+    "mm_frame_sample",
+    """WITH v AS (
+         SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+         WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+       ), f AS (
+         SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx, n FROM v
+       )
+       SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+              LEAST(64, n - (frame_idx * n) // 4) AS frame_len
+       FROM f""",
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video frame sampling: one output row per sampled frame (the
+    exploding-cardinality mapInPandas shape) — frame offsets/lengths
+    are oracle-checked; the byte slices themselves are engine-side."""
+    media = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
+    frames = multimodal.sample_frames(media, n_frames=4, frame_bytes=64)
+    return frames.select("doc_id", "frame_idx", F.octet_length("frame").alias("frame_len"))
+
+
 # --------------------------------------------------------------------------
 # ts_* — timeseries operators Spark lacks natively (as-of join, range
 # join, hypertable rollup), composed shuffle-lean from DataFrame ops

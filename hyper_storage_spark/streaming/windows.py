@@ -14,6 +14,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """(user_id, session_start, session_end, n_events) per dynamic
+    session window (events within ``gap`` of each other merge) — the
+    STREAMING face of the batch q_sessionization query:
+    ``F.session_window`` keeps per-key open-session state on the
+    executors and the watermark closes sessions whose gap has passed,
+    so state stays bounded at any scale (no driver involvement)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

