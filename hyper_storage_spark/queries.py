@@ -887,6 +887,121 @@ def q_cube_events(spark, sf_dir):
 
 
 @register(
+    "q_window_ntile",
+    """SELECT o_orderkey, o_orderstatus,
+              ntile(4) OVER w AS quartile,
+              ROUND(cume_dist() OVER w, 6) AS cume
+       FROM orders WHERE o_totalprice > 450000
+       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""",
+)
+def q_window_ntile(spark, sf_dir):
+    """Distribution window functions (ntile buckets + cumulative
+    distribution) — deterministic under the total tie-break order."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )
+
+
+@register(
+    "q_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              CAST(grouping(o_orderstatus) AS BIGINT) * 2
+              + CAST(grouping(o_orderpriority) AS BIGINT) AS gid
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (not derivable from rollup/cube) with a
+    grouping id distinguishing the aggregation level."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                  CAST(grouping(o_orderstatus) AS BIGINT) * 2
+                  + CAST(grouping(o_orderpriority) AS BIGINT) AS gid
+           FROM __orders_gs
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+    )
+
+
+@register(
+    "q_date_arithmetic",
+    """SELECT o_orderkey,
+              CAST(o_orderdate AS DATE) AS d,
+              datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+              CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+              last_day(CAST(o_orderdate AS DATE)) AS month_end
+       FROM orders WHERE o_orderkey < 200""",
+)
+def q_date_arithmetic(spark, sf_dir):
+    """Date arithmetic parity: day difference, month addition (both
+    engines clamp to month end), last_day."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+                "days_to_98"
+            ),
+            F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus3m"),
+            F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        )
+    )
+
+
+@register(
+    "q_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900
+       INTERSECT
+       SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000""",
+)
+def q_intersect(spark, sf_dir):
+    """INTERSECT set op: nations with both very-rich customers and
+    rich suppliers."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.intersect(s)
+
+
+@register(
+    "q_regexp_extract",
+    """SELECT c_custkey,
+              CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS name_num,
+              regexp_matches(c_name, '00[0-9]9$') AS ends_odd_pattern
+       FROM customer WHERE c_custkey < 500""",
+)
+def q_regexp_extract(spark, sf_dir):
+    """Regex surface: capture-group extraction + boolean match."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select(
+            "c_custkey",
+            F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("bigint").alias("name_num"),
+            F.col("c_name").rlike("00[0-9]9$").alias("ends_odd_pattern"),
+        )
+    )
+
+
+@register(
     "q7_volume_shipping",
     """SELECT supp_nation, cust_nation, l_year,
               CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS revenue
