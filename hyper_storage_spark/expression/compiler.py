@@ -226,13 +226,25 @@ def variant_resolver(body_col: Column) -> Resolver:
 _NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "long")
 
 
+def _canon_num_str(c: Column) -> Column:
+    """Canonical string form of a numeric column, matching the
+    evaluator's canonical_str: integral values print with no decimal
+    point, others with trailing zeros stripped ('2.0' → '2',
+    '3.50' → '3.5'). A plain cast-to-string would print '2.0' for
+    doubles and '2.000000000000' for scaled decimals — neither equals
+    what `has [2]` or string comparisons canonicalize to."""
+    s = c.cast(DEC).cast("string")
+    s = F.regexp_replace(s, r"(\.\d*?)0+$", "$1")
+    return F.regexp_replace(s, r"\.$", "")
+
+
 def from_typed_column(col: Column, dtype: str) -> DynCol:
     dtype = dtype.lower()
     isnull = col.isNull()
     defined = F.lit(True)
     if dtype.startswith(_NUMERIC_PREFIXES):
         return DynCol(
-            s=col.cast("string"),
+            s=_canon_num_str(col),
             n=col.cast(DEC),
             isnum=col.isNotNull(),
             isbool=_false(),
@@ -253,13 +265,22 @@ def from_typed_column(col: Column, dtype: str) -> DynCol:
             kind="bool",
         )
     if dtype.startswith("array"):
+        elem = dtype[len("array<") : -1]
+        if elem.startswith(_NUMERIC_PREFIXES):
+            # element-wise canonical form: [2.0] must contain "2" (the
+            # evaluator's canonical_str), not "2.0"
+            arr = F.transform(col, _canon_num_str)
+        elif elem == "boolean":
+            arr = F.transform(col, lambda x: F.when(x, "true").otherwise("false"))
+        else:
+            arr = col.cast("array<string>")
         return DynCol(
             s=_null_s(),
             n=_null_n(),
             isnum=_false(),
             isbool=_false(),
             bval=_null_b(),
-            arr=col.cast("array<string>"),
+            arr=arr,
             isnull=isnull,
             defined=defined,
             kind="arr",

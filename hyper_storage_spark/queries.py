@@ -182,16 +182,23 @@ def parity_topn_sort(spark, sf_dir):
 
 @register(
     "parity_keyset_page",
-    """SELECT doc_id, lang, n_chars FROM documents
-       WHERE lang = 'en' AND doc_id > 100
+    """WITH p1 AS (SELECT lang, doc_id FROM documents ORDER BY lang, doc_id LIMIT 10),
+       last AS (SELECT lang AS ll, doc_id AS ld FROM p1 ORDER BY lang DESC, doc_id DESC LIMIT 1)
+       SELECT doc_id, lang, n_chars FROM documents, last
+       WHERE lang = ll AND doc_id > ld
        ORDER BY lang, doc_id LIMIT 30""",
 )
 def parity_keyset_page(spark, sf_dir):
-    """L9/L10 keyset pagination (IndexLogic.scala:108-191): the resume
-    filter for page 2 is *generated* by the ported least-rows logic from
-    page 1's last row, then compiled onto the DataFrame."""
+    """L9/L10 keyset pagination (IndexLogic.scala:108-191),
+    SELF-DRIVING: page 1 (10 rows) actually runs, its last row feeds
+    the ported least-rows generator, and the generated resume filter —
+    the reference's narrow same-prefix continuation (sort-prefix EQ +
+    id GT; the fetch loop widens on later iterations) — fetches page 2.
+    The oracle derives the identical resume point itself."""
+    docs0 = _t(spark, sf_dir, "documents")
+    page1 = docs0.orderBy("lang", "doc_id").limit(10).select("lang", "doc_id").collect()
     sort_items = [SortItem("lang", "text", "asc"), SortItem("id", "decimal", "asc")]
-    last_row = {"lang": "en", "id": Decimal(100)}
+    last_row = {"lang": page1[-1].lang, "id": Decimal(int(page1[-1].doc_id))}
     resume = least_rows_filter_fields(sort_items, [], 0, False, last_row, False)
     colmap = {"t0": F.col("lang"), "item_id": F.col("doc_id")}
     cond = F.lit(True)

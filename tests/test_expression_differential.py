@@ -117,6 +117,83 @@ def test_typed_null_truthiness_parity(spark):
     assert not mismatches, mismatches
 
 
+def test_differential_random_corpus_typed_resolver(spark):
+    """Same random corpus, but identifiers resolve against NATIVE typed
+    columns (with a JSON fallback for unknown names) — exercises the
+    kind fast paths (num/str/bool/arr + NULLs) instead of the variant
+    path, against the same evaluator reference."""
+    from hyper_storage_spark.expression.compiler import typed_resolver
+
+    rnd = random.Random(777)
+    contexts = [gen_context(rnd) for _ in range(25)]
+
+    def cell(ctx, f, caster):
+        v = ctx.get(f, "__ABSENT__")
+        return caster(v) if v != "__ABSENT__" else None
+
+    # typed columns: a/b/c numeric, s/t string, flag bool, tags array;
+    # 'missing' rides in the JSON fallback column (absent ⇒ not in JSON)
+    rows = []
+    for i, ctx in enumerate(contexts):
+        js = {}
+        if ctx.get("missing", "__ABSENT__") != "__ABSENT__":
+            js["missing"] = ctx["missing"]
+        rows.append(
+            (
+                i,
+                cell(ctx, "a", lambda v: float(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else None),
+                cell(ctx, "b", lambda v: float(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else None),
+                cell(ctx, "c", lambda v: float(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else None),
+                cell(ctx, "s", lambda v: v if isinstance(v, str) else None),
+                cell(ctx, "t", lambda v: v if isinstance(v, str) else None),
+                cell(ctx, "flag", lambda v: v if isinstance(v, bool) else None),
+                cell(ctx, "tags", lambda v: [float(x) for x in v] if isinstance(v, list) else None),
+                json.dumps(js),
+            )
+        )
+    # the evaluator sees what the typed row actually stores: a typed
+    # NULL cell is PRESENT-BUT-NULL (ctx value None) — from_typed_column
+    # cannot distinguish SQL NULL from absent, and maps it to
+    # isnull=True/defined=True, i.e. the evaluator's None
+    eval_ctxs = []
+    for r in rows:
+        ctx = dict(zip(["a", "b", "c", "s", "t", "flag", "tags"], r[1:8]))
+        ctx.update(json.loads(r[8]))
+        eval_ctxs.append(ctx)
+
+    df = spark.createDataFrame(
+        rows,
+        "ctx_id int, a double, b double, c double, s string, t string, "
+        "flag boolean, tags array<double>, props string",
+    )
+    resolver = typed_resolver(df, json_col="props")
+    exprs = []
+    while len(exprs) < 80:
+        text = gen_expr(rnd)
+        try:
+            exprs.append((text, parse(text)))
+        except Exception:  # pragma: no cover
+            continue
+    cols, compiled_idx = [], []
+    for i, (text, ast) in enumerate(exprs):
+        try:
+            cols.append(compile_filter(ast, resolver).alias(f"e{i}"))
+            compiled_idx.append(i)
+        except CompileError:
+            continue
+    assert len(compiled_idx) >= 60
+    out = {r.ctx_id: r for r in df.select("ctx_id", *cols).collect()}
+    mismatches = []
+    for ctx_id, ctx in enumerate(eval_ctxs):
+        for i in compiled_idx:
+            text, ast = exprs[i]
+            expected = evaluate_bool(ast, ctx)
+            got = out[ctx_id][f"e{i}"]
+            if bool(got) != bool(expected):
+                mismatches.append((text, ctx, expected, got))
+    assert not mismatches, mismatches[:5]
+
+
 def test_differential_random_corpus(spark):
     rnd = random.Random(20260813)
     contexts = [gen_context(rnd) for _ in range(25)]
