@@ -40,3 +40,21 @@ def test_store_catalog_entries_run_end_to_end(spark, sf_dir):
     ):
         df = QUERIES[name].fn(spark, sf_dir)
         assert df.count() > 0, name
+
+
+def test_query_paged_prefix_consistent_across_page_sizes(spark, sf_dir):
+    """Keyset paging consistency: a smaller page must be an exact
+    prefix of a larger one (no skips, no duplicates, stable order
+    across different internal select/resume boundaries)."""
+    store = _docs_store(spark, sf_dir)
+    pages = {}
+    for size in (3, 7, 15, 50):
+        res = store.query_paged("docs~", filter='lang = "zh"', size=size)
+        ids = [i["id"] for i in res.items]
+        assert len(ids) == len(set(ids)), f"duplicates at size={size}"
+        assert len(ids) <= size
+        pages[size] = ids
+    full = pages[50]
+    assert len(full) >= 15  # enough zh docs to make the check real
+    for size in (3, 7, 15):
+        assert pages[size] == full[: len(pages[size])], size
