@@ -44,3 +44,26 @@ def salted_aggregate(
         + ([F.sum("__pn").alias("n")] if count else [])
     )
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi join resilient to hot keys on the BIG side: the big side
+    gets a deterministic salt (hash of its whole row, so any hot join
+    key spreads over ``salt_buckets`` reducers) and the small side is
+    replicated once per salt value — shuffle skew bounded at the cost
+    of small × salt_buckets duplication. AQE's skew-join handles most
+    cases at runtime; this is the explicit form for when the skew is
+    known and extreme (or AQE is unavailable). Result == ``big.join(
+    small, on)`` with columns in big-then-small order."""
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted_big.join(salted_small, on + ["__salt"]).drop("__salt")

@@ -1009,6 +1009,31 @@ def q_regexp_extract(spark, sf_dir):
 
 
 @register(
+    "q_explode_top_tokens",
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+         FROM documents
+       )
+       SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+       FROM toks WHERE length(token) >= 4
+       GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+)
+def q_explode_top_tokens(spark, sf_dir):
+    """Lateral/explode surface: token stream via explode (one shuffle
+    for the count-distinct aggregation), top-20 with total tie-break."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(text.tokens_col(F.col("text"))).alias("token")
+    )
+    return (
+        toks.filter(F.length("token") >= 4)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
     "q7_volume_shipping",
     """SELECT supp_nation, cust_nation, l_year,
               CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS revenue

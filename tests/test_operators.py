@@ -276,3 +276,24 @@ def test_multimodal_frame_sampling_shape(spark, sf_dir):
         assert doc_id % 3 == 2  # only videos
         assert sorted(f.frame_idx for f in fr) == [0, 1, 2, 3]
         assert all(0 < len(f.frame) <= 64 for f in fr)
+
+
+def test_salted_join_matches_direct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    direct = sorted(
+        (r.l_orderkey, r.l_partkey, r.p_brand)
+        for r in li.join(p, li.l_partkey == p.p_partkey).collect()
+    )
+    salted = sorted(
+        (r.l_orderkey, r.l_partkey, r.p_brand)
+        for r in skew.salted_join(
+            li.withColumnRenamed("l_partkey", "k"),
+            p.withColumnRenamed("p_partkey", "k"),
+            on=["k"],
+            salt_buckets=8,
+        )
+        .withColumnRenamed("k", "l_partkey")
+        .collect()
+    )
+    assert salted == direct and len(direct) > 0
