@@ -75,28 +75,47 @@ def _jaccard_from_shingles(
     never happens, which is the whole point of LSH at scale.
 
     ``max_df`` drops shingles whose document frequency exceeds the cap
-    BEFORE the self-join (and from the set sizes, so the metric stays
-    a true Jaccard over the surviving shingles). A stop-shingle shared
-    by L documents otherwise produces L² join rows — the classic
-    skewed-key quadratic blowup; capping df bounds every posting list,
-    so the self-join output is ≤ max_df² per shingle."""
-    if max_df is not None:
-        # persist the raw shingle set so the df-count aggregation and
-        # the cap join read it once instead of re-tokenizing the corpus
-        raw = sh.persist()
-        keep = raw.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
-        sh = raw.join(keep.select("h"), "h")
-    sh = sh.persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    (and from the set sizes, so the metric stays a true Jaccard over
+    the surviving shingles). A stop-shingle shared by L documents
+    otherwise produces L² pair rows — the classic skewed-key quadratic
+    blowup; the cap bounds every posting list, so pair generation emits
+    ≤ max_df²/2 rows per shingle."""
     if candidates is None:
+        # posting-list form: group once on the shingle hash, apply the
+        # df cap as a free size filter, and emit each list's ordered
+        # pairs directly (array HOFs, no self-join shuffle). One
+        # groupBy(h) + one groupBy(pair) replaces df-count + cap-join +
+        # the a×b join — two fewer shuffles of the full shingle set.
+        posting = sh.groupBy("h").agg(F.collect_list("doc_id").alias("docs"))
+        if max_df is not None:
+            posting = posting.filter(F.size("docs") <= max_df)
+        posting = posting.persist()
+        docs_sorted = F.array_sort(F.col("docs"))
+        pair_arrays = F.flatten(
+            F.transform(
+                docs_sorted,
+                lambda x, i: F.transform(
+                    F.slice(docs_sorted, i + 2, F.size(docs_sorted)),
+                    lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+                ),
+            )
+        )
         inter = (
-            a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            posting.select(F.explode(pair_arrays).alias("p"))
+            .select("p.a_id", "p.b_id")
+            .groupBy("a_id", "b_id")
             .agg(F.count("*").alias("c"))
         )
+        sizes = (
+            posting.select(F.explode("docs").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_sh"))
+        )
     else:
+        sh = sh.persist()
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        a = sh.alias("a")
+        b = sh.alias("b")
         inter = (
             F.broadcast(candidates)
             .join(a, F.col("a_id") == F.col("a.doc_id"))
