@@ -47,13 +47,21 @@ def main() -> None:
     # one warm-up pass to exclude JVM/session init from per-query numbers
     QUERIES["q1_pricing_summary"].fn(spark, sf_dir).collect()
 
+    # two timed runs per query, report the min: the box is shared and a
+    # co-tenant CPU burst during a single run otherwise masquerades as
+    # a plan regression (observed ±2× on identical code)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count() if name != "q_window_running_total" else len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(max(runs, 1)):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count() if name != "q_window_running_total" else len(df.collect())
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

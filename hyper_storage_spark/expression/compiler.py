@@ -232,7 +232,14 @@ def _canon_num_str(c: Column) -> Column:
     point, others with trailing zeros stripped ('2.0' → '2',
     '3.50' → '3.5'). A plain cast-to-string would print '2.0' for
     doubles and '2.000000000000' for scaled decimals — neither equals
-    what `has [2]` or string comparisons canonicalize to."""
+    what `has [2]` or string comparisons canonicalize to.
+
+    Known divergence at extreme magnitudes: |x| < 1e-7 prints in
+    scientific notation evaluator-side ('1E-7') but positionally here,
+    and |x| ≥ 1e26 overflows the decimal(38,12) working type to NULL.
+    The engine's numeric domain (money/quantities/counts) sits far
+    inside both bounds; numeric COMPARISONS are unaffected (they use
+    the decimal form, not the string form)."""
     s = c.cast(DEC).cast("string")
     s = F.regexp_replace(s, r"(\.\d*?)0+$", "$1")
     return F.regexp_replace(s, r"\.$", "")

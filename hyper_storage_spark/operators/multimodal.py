@@ -105,10 +105,15 @@ RESIZE_SCHEMA = T.StructType(
 def _resize_fake(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic stand-in for decode→resize→re-encode: resamples
     the byte stream to width*height bytes by nearest-neighbor index
-    mapping (the real implementation swaps in PIL Image.resize)."""
-    n = max(len(payload), 1)
+    mapping (the real implementation swaps in PIL Image.resize). An
+    empty payload yields a zero-filled frame — the output is ALWAYS
+    width*height bytes (the fixed-shape contract downstream tensor
+    consumers rely on)."""
     target = width * height
-    return bytes(payload[(i * n) // target] for i in range(target)) if payload else b""
+    if not payload:
+        return bytes(target)
+    n = len(payload)
+    return bytes(payload[(i * n) // target] for i in range(target))
 
 
 def resize_images(media: DataFrame, width: int, height: int, mode: str = "fake") -> DataFrame:

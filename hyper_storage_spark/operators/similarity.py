@@ -74,15 +74,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def signature_col(vec_col, planes: list[list[float]]):
-    """Random-hyperplane LSH signature: one bit per plane (sign of dot)."""
-    sig = F.lit(0).cast("bigint")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        sig = sig + F.when(_dot(vec_col, plane) > 0, F.lit(2**i).cast("bigint")).otherwise(0)
-    return sig
-
-
 def melted_signatures(
     df: DataFrame, id_col: str, vec_col: str, tables: list[list[list[float]]], out_id: str
 ) -> DataFrame:

@@ -54,15 +54,22 @@ def asof_join(
         else [c for c in right.columns if c not in set(on) | {right_ts}]
     )
     left_payload = [c for c in left.columns if c not in set(on) | {left_ts}]
+    rtypes = dict(right.dtypes)
 
+    # the right payload travels as ONE struct: the running last() must
+    # pick whole right ROWS, never stitch per-column (a NULL payload
+    # column would otherwise inherit the value of an OLDER right row),
+    # and the struct is non-null for every right row even when all its
+    # fields are null — so the inner-match test is exact
+    rstruct_type = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_cols) + ">"
     l2 = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(rstruct_type).alias("__r"),
         *(
-            [F.lit(None).cast(dict(right.dtypes)[tiebreak]).alias("__tb")]
+            [F.lit(None).cast(rtypes[tiebreak]).alias("__tb")]
             if tiebreak
             else []
         ),
@@ -72,7 +79,7 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_payload],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
         *([F.col(tiebreak).alias("__tb")] if tiebreak else []),
     )
     # right rows sort BEFORE left rows at equal ts (__is_left asc), so a
@@ -85,18 +92,16 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = l2.unionByName(r2)
-    for c in right_cols:
-        carried = carried.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
-    out = carried.filter(F.col("__is_left") == 1).select(
+    carried = l2.unionByName(r2).withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__is_left") == 1)
+    if how == "inner":
+        out = out.filter(F.col("__r").isNotNull())
+    return out.select(
         *on,
         F.col("__ts").alias(left_ts),
         *left_payload,
-        *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+        *[F.col(f"__r.{c}").alias(c) for c in right_cols],
     )
-    if how == "inner":
-        out = out.filter(F.col(right_cols[0]).isNotNull()) if right_cols else out
-    return out
 
 
 def range_join(
@@ -142,8 +147,28 @@ def hypertable_rollup(
     coarser level re-aggregates the previous level's partial sums —
     counts and (decimal) sums compose exactly, so the result equals a
     direct per-resolution aggregation while scanning the data once.
-    ``resolutions`` must be ordered finest → coarsest and be valid
-    ``date_trunc`` fields."""
+
+    ``resolutions`` must be ordered finest → coarsest AND each coarser
+    bucket must be a union of finer buckets — composition is otherwise
+    silently wrong (a week straddling a month boundary would land its
+    whole partial in one month). Validated: weeks don't nest in
+    months/quarters/years and vice versa."""
+    _RANK = {"second": 0, "minute": 1, "hour": 2, "day": 3,
+             "week": 4, "month": 4, "quarter": 5, "year": 6}
+    for fine, coarse in zip(resolutions, resolutions[1:]):
+        if fine not in _RANK or coarse not in _RANK:
+            raise ValueError(f"unsupported resolution {fine!r}/{coarse!r}")
+        nests = _RANK[coarse] > _RANK[fine] and not (
+            # week and month/quarter/year don't tile each other
+            ("week" in (fine, coarse) and _RANK[fine] >= 4)
+            or (coarse in ("month", "quarter", "year") and fine == "week")
+        )
+        if not nests:
+            raise ValueError(
+                f"{coarse!r} buckets are not unions of {fine!r} buckets; "
+                "composition would be wrong — aggregate it directly from "
+                "a day-or-finer level instead"
+            )
     finest = resolutions[0]
     level = (
         df.groupBy(F.date_trunc(finest, F.col(ts_col)).alias("bucket_start"))

@@ -518,7 +518,16 @@ class DocumentStore:
         Incomplete transactions older than ``WAL_KEEP_MS`` are ABANDONED
         — dropped from the WAL without completion or feed publication,
         mirroring the reference's bounded stale-recovery horizon
-        (application.conf:10: recovery never looks further back)."""
+        (application.conf:10: recovery never looks further back).
+
+        The checkpoint is advanced only to ``now - HOT_LAG_QUANTA``
+        minutes: the executor-side streaming path stages WAL rows and
+        publishes them with a manifest flip that does NOT hold this
+        store's lock, so a transaction quantum can become visible
+        shortly after recover() scanned it — the lag re-scans that hot
+        window on the next pass (the reference's hot-recovery worker
+        re-walks a recent window for exactly this reason,
+        RecoveryWorker.scala:143-186)."""
         total = 0
         now = _now_ms()
         now_q = now // 60000
@@ -546,9 +555,14 @@ class DocumentStore:
                 }
                 for uri in sorted(live_uris):
                     total += self.complete_transactions(uri)
-                ckpt[str(b)] = now_q
+                ckpt[str(b)] = max(from_q, now_q - self.HOT_LAG_QUANTA)
             self._write_recovery_checkpoint(ckpt)
         return total
+
+    # checkpoint trails now by this many minute-quanta so WAL rows
+    # published concurrently (executor flips don't hold the lock) are
+    # re-scanned on the next pass
+    HOT_LAG_QUANTA = 2
 
     def _recovery_checkpoint_path(self) -> str:
         import os

@@ -39,6 +39,18 @@ def _sanitize(name: str) -> str:
     return re.sub(r"[^A-Za-z0-9_.\-]", "_", name)
 
 
+def write_bucket_file(rows: list[dict], schema: pa.Schema, abspath: str) -> None:
+    """THE bucket-file writer — every path that materializes a bucket
+    (driver commits AND executor-staged streaming files) goes through
+    it, so the key-sort + bounded row groups that make point-read
+    row-group pruning selective hold for every bucket on disk."""
+    key = [k for k in ("document_uri", "item_id") if k in schema.names]
+    if key:
+        rows = sorted(rows, key=lambda r: tuple(r.get(k) or "" for k in key))
+    os.makedirs(os.path.dirname(abspath), exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), abspath, row_group_size=ROW_GROUP_SIZE)
+
+
 # At cluster scale, size the bucket modulus like the reference's shard
 # constant (1024, TransactionLogic.scala:26-30): with ≥256 buckets a
 # point operation's bucket is a small fraction of the table, and the
@@ -145,15 +157,8 @@ class Storage:
         manifest = self._read_manifest()
         version = manifest["version"] + 1
         for (table, bucket), rows in updates.items():
-            schema = schemas[table]
-            key = [k for k in ("document_uri", "item_id") if k in schema.names]
-            if key:
-                rows = sorted(rows, key=lambda r: tuple(r.get(k) or "" for k in key))
-            tbl = pa.Table.from_pylist(rows, schema=schema)
             rel = os.path.join("data", _sanitize(table), f"b{bucket:04d}-v{version:08d}.parquet")
-            abspath = os.path.join(self.root, rel)
-            os.makedirs(os.path.dirname(abspath), exist_ok=True)
-            pq.write_table(tbl, abspath, row_group_size=ROW_GROUP_SIZE)
+            write_bucket_file(rows, schemas[table], os.path.join(self.root, rel))
             manifest["tables"].setdefault(table, {})[str(bucket)] = rel
         for table in drop_tables:
             manifest["tables"].pop(table, None)

@@ -72,10 +72,9 @@ def _apply_bucket_commands(root: str, n_buckets: int, auto_complete: bool, batch
 
     def apply_group(pdf):
         import pandas as pd
-        import pyarrow.parquet as _pq
 
         from ..store.documents import DocumentStore as _DS
-        from ..store.storage import OverlayStorage, Storage, _sanitize
+        from ..store.storage import OverlayStorage, Storage, _sanitize, write_bucket_file
 
         out = []
         if len(pdf):
@@ -100,11 +99,10 @@ def _apply_bucket_commands(root: str, n_buckets: int, auto_complete: bool, batch
                     _sanitize(table),
                     f"b{bucket:04d}-stream-{batch_id}-{uuid.uuid4().hex[:8]}.parquet",
                 )
-                abspath = os.path.join(root, rel)
-                os.makedirs(os.path.dirname(abspath), exist_ok=True)
-                _pq.write_table(
-                    pa.Table.from_pylist(rows, schema=overlay.schemas[table]), abspath
-                )
+                # the shared writer keeps staged buckets key-sorted with
+                # bounded row groups — point-read pruning must hold for
+                # buckets last written by the streaming path too
+                write_bucket_file(rows, overlay.schemas[table], os.path.join(root, rel))
                 out.append(("file", table, int(bucket), rel, None))
             for table, rows in overlay.appended.items():
                 for row in rows:
@@ -145,12 +143,20 @@ def apply_commands_distributed(store: DocumentStore, batch_df, batch_id: int) ->
             }
         )
 
-    ann = batch_df.withColumn("r", route("path")).select("*", "r.document_uri", "r.bucket").drop("r")
-    rows = ann.collect() if _has_collection_delete(ann) else None
-    if rows is not None:
-        _apply_serial(store, rows)
+    # collection-document delete = delete of a path that IS a
+    # collection uri (ends with '~', no item segment) — a pure Column
+    # predicate on the raw batch, so the fallback check costs no
+    # route-UDF pass over the data
+    if (
+        batch_df.filter((F.col("method") == "delete") & F.col("path").endswith("~"))
+        .limit(1)
+        .count()
+        > 0
+    ):
+        _apply_serial(store, batch_df.collect())
         return
 
+    ann = batch_df.withColumn("r", route("path")).select("*", "r.document_uri", "r.bucket").drop("r")
     func = _apply_bucket_commands(
         store.storage.root, n_buckets, store.auto_complete, batch_id
     )
@@ -174,19 +180,6 @@ def apply_commands_distributed(store: DocumentStore, batch_df, batch_id: int) ->
         store.storage.append(FEED, feed_rows, FEED_SCHEMA)
     if files or drops:
         store.storage.commit_external_many(files, drop_tables=drops)
-
-
-def _has_collection_delete(ann) -> bool:
-    from pyspark.sql import functions as F
-
-    return (
-        ann.filter(
-            (F.col("method") == "delete")
-            & F.col("document_uri").endswith("~")
-            & (F.col("path") == F.col("document_uri"))
-        ).limit(1).count()
-        > 0
-    )
 
 
 def _apply_serial(store: DocumentStore, rows) -> None:

@@ -28,12 +28,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..store.documents import FEED_SPARK  # noqa: F401 - the sink's record schema
 from .ingest import COMMANDS_SPARK
-
-FEED_SPARK = (
-    "uuid string, document_uri string, item_id string, revision long, "
-    "method string, body string, ts long"
-)
 
 
 def kafka_source_options(

@@ -297,3 +297,52 @@ def test_salted_join_matches_direct(spark, sf_dir):
         .collect()
     )
     assert salted == direct and len(direct) > 0
+
+
+def test_asof_join_does_not_stitch_null_payload_columns(spark):
+    """The match is a whole right ROW: a NULL payload column in the
+    matched row must come through as NULL, never inherit an older
+    row's value — and an all-NULL-payload match still counts as a
+    match for how='inner'."""
+    from hyper_storage_spark.operators import timeseries
+
+    left = spark.createDataFrame([("k", 30)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("k", 10, 1.0, None), ("k", 20, None, 5.0)],
+        "k string, ts long, v double, w double",
+    )
+    r = timeseries.asof_join(left, right, on=["k"], right_cols=["v", "w"]).collect()
+    assert len(r) == 1 and r[0].v is None and r[0].w == 5.0  # the ts=20 ROW
+    # all-null payload row still matches
+    left2 = spark.createDataFrame([("z", 30)], "k string, ts long")
+    right2 = spark.createDataFrame([("z", 10, None)], "k string, ts long, v double")
+    r2 = timeseries.asof_join(left2, right2, on=["k"], right_cols=["v"]).collect()
+    assert len(r2) == 1 and r2[0].v is None
+
+
+def test_hypertable_rollup_rejects_non_nesting_resolutions(spark, sf_dir):
+    import pytest as _pytest
+
+    from hyper_storage_spark.operators import timeseries
+    from hyper_storage_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events").select(
+        "ts", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    with _pytest.raises(ValueError, match="not unions"):
+        timeseries.hypertable_rollup(e, "ts", "v", resolutions=("day", "week", "month"))
+    with _pytest.raises(ValueError, match="not unions"):
+        timeseries.hypertable_rollup(e, "ts", "v", resolutions=("week", "month"))
+    # nesting chains still fine
+    timeseries.hypertable_rollup(e, "ts", "v", resolutions=("hour", "day", "month", "year"))
+
+
+def test_resize_empty_payload_keeps_fixed_shape(spark):
+    media = spark.createDataFrame(
+        [(0, "image/png", b""), (3, "image/png", b"abc")],
+        "doc_id long, media_type string, payload binary",
+    )
+    out = {r.doc_id: r for r in multimodal.resize_images(media, 4, 4).collect()}
+    assert len(out[0].payload) == 16  # zero-filled, fixed shape
+    assert len(out[3].payload) == 16

@@ -271,8 +271,12 @@ def test_recovery_checkpoint_advances_and_bounds_scan(spark, tmp_path):
     ckpt = _json.load(open(str(tmp_path / "s" / "recovery_checkpoint.json")))
     import time as _time
 
+    from hyper_storage_spark.store import DocumentStore as _DS
+
     now_q = int(_time.time() * 1000) // 60000
-    assert all(now_q - 1 <= q <= now_q for q in ckpt.values())
+    # the checkpoint trails now by the hot-lag window (concurrently
+    # published WAL rows get re-scanned next pass)
+    assert all(now_q - _DS.HOT_LAG_QUANTA - 1 <= q <= now_q for q in ckpt.values())
     assert store.recover() == 0
     assert store.recover(scan_all=True) == 0
 
