@@ -502,15 +502,29 @@ def compile_dyn(node: Expression, resolve: Resolver) -> DynCol:
     if isinstance(node, FunctionCall):
         args = [compile_dyn(a, resolve) for a in node.args]
         if node.name == "length" and len(args) == 1:
+            # evaluator: len() of a string or array; numbers/bools are
+            # an eval error (⇒ NULL here ⇒ row rejected) — counting the
+            # canonical string form of a number would diverge
             a = args[0]
-            n = F.when(a.arr.isNotNull(), F.size(a.arr)).otherwise(F.length(a.s)) if a.arr is not None else F.length(a.s)
-            return _num_dyn(n.cast(DEC))
-        if node.name == "lower" and len(args) == 1:
-            return DynCol(s=F.lower(args[0].s), n=_null_n(), isnum=_false(), isbool=_false(), bval=_null_b())
-        if node.name == "upper" and len(args) == 1:
-            return DynCol(s=F.upper(args[0].s), n=_null_n(), isnum=_false(), isbool=_false(), bval=_null_b())
+            n = F.when(a.isstr, F.length(a.s).cast(DEC))
+            if a.arr is not None:
+                n = F.when(a.arr.isNotNull(), F.size(a.arr).cast(DEC)).otherwise(n)
+            return _num_dyn(n)
+        if node.name in ("lower", "upper") and len(args) == 1:
+            # present-but-null canonicalizes to '' (evaluator
+            # canonical_str(None)); a MISSING identifier keeps NULL ⇒
+            # the enclosing comparison rejects, like the evaluator's
+            # identifier-not-found error
+            a = args[0]
+            s_in = F.when(a.isnull_c, F.lit("")).otherwise(a.s)
+            out = F.lower(s_in) if node.name == "lower" else F.upper(s_in)
+            return DynCol(s=out, n=_null_n(), isnum=_false(), isbool=_false(), bval=_null_b())
         if node.name == "abs" and len(args) == 1:
             return _num_dyn(F.when(args[0].isnum, F.abs(args[0].n)))
+        if node.name == "round" and len(args) == 1:
+            # evaluator: Decimal.to_integral_value() = banker's rounding
+            # (HALF_EVEN) — Spark's bround, NOT round (HALF_UP)
+            return _num_dyn(F.when(args[0].isnum, F.bround(args[0].n).cast(DEC)))
         raise CompileError(f"unknown function {node.name!r}")
     raise CompileError(f"unknown node {node!r}")
 

@@ -116,8 +116,11 @@ def has_bop(l: Any, r: Any) -> bool:
 
 _FUNCTIONS: dict[str, Callable[..., Any]] = {
     "length": lambda v: Decimal(len(v)),
-    "lower": lambda v: str(v).lower(),
-    "upper": lambda v: str(v).upper(),
+    # string form via canonical_str, NOT str(): str(None) would leak
+    # Python's 'None' repr (null canonicalizes to ''), and containers
+    # raise (⇒ eval error ⇒ row rejected) instead of leaking reprs
+    "lower": lambda v: canonical_str(v).lower(),
+    "upper": lambda v: canonical_str(v).upper(),
     "abs": lambda v: abs(to_decimal(v)),
     "round": lambda v: to_decimal(v).to_integral_value(),
 }

@@ -73,10 +73,17 @@ def gen_expr(rnd, depth=0):
         op = rnd.choice(["+", "-", "*", "/", "%"])
         cmp_op = rnd.choice([">", "<", "=", ">=", "<="])
         return f"(({ident()} {op} {num()}) {cmp_op} {num()})"
-    if r < 0.93:
+    if r < 0.90:
         # string concatenation compared to a string (mixed-operand '+')
         other = rnd.choice([num(), s(), ident()])
         return f'(({ident()} + {other}) = {s()})'
+    if r < 0.97:
+        # function call surface: length/abs/round compare numerically,
+        # lower/upper compare as strings
+        fn = rnd.choice(["length", "abs", "round", "lower", "upper"])
+        cmp_op = rnd.choice(["=", "!=", ">", "<"])
+        rhs = s() if fn in ("lower", "upper") else num()
+        return f"({fn}({ident()}) {cmp_op} {rhs})"
     return ident()
 
 
