@@ -944,10 +944,21 @@ class DocumentStore:
         )
         if idef is None:
             return True, last_item_id  # index dropped while pending
+        # the watermark pushes into the parquet read: buckets are
+        # key-sorted with bounded row groups, so each chunk decodes
+        # only the row groups past last_item_id instead of re-reading
+        # the whole bucket every chunk (O(n²) over a big collection)
+        rows = self.storage.bucket_rows(
+            CONTENT,
+            self._bucket(uri),
+            filters=[("document_uri", "==", uri), ("item_id", ">", last_item_id)]
+            if last_item_id
+            else [("document_uri", "==", uri)],
+        )
         items = sorted(
             (
                 r
-                for r in self._content_bucket(uri)
+                for r in rows
                 if r["document_uri"] == uri
                 and r["item_id"]
                 and r["item_id"] > last_item_id

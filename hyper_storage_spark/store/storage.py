@@ -236,6 +236,8 @@ class OverlayStorage(Storage):
                     "==": lambda a, b: a == b,
                     ">=": lambda a, b: a is not None and a >= b,
                     "<=": lambda a, b: a is not None and a <= b,
+                    ">": lambda a, b: a is not None and a > b,
+                    "<": lambda a, b: a is not None and a < b,
                 }
                 for col, op, val in filters:
                     rows = [r for r in rows if ops[op](r.get(col), val)]
