@@ -113,8 +113,10 @@ def _bool_dyn(c: Column) -> DynCol:
 
 
 def _num_dyn(n: Column) -> DynCol:
+    # the string form must be canonical ('2', not '2.000000000000') —
+    # lower/upper/concat and string comparisons read it
     return DynCol(
-        s=n.cast("string"), n=n, isnum=n.isNotNull(), isbool=_false(), bval=_null_b(), kind="num"
+        s=_canon_num_str(n), n=n, isnum=n.isNotNull(), isbool=_false(), bval=_null_b(), kind="num"
     )
 
 
@@ -182,10 +184,15 @@ def variant_parts(v: Column, path: str, raw: Optional[Column] = None) -> dict[st
     isnum = raw.rlike(r"^-?[0-9]")
     isbool = raw.isin("true", "false")
     is_container = raw.startswith("[") | raw.startswith("{")
+    num_form = F.when(isnum, F.try_variant_get(v, path, DEC)).otherwise(_null_n())
     return {
         "raw": raw,
-        "s": F.when(~is_container, F.try_variant_get(v, path, "string")),
-        "n": F.when(isnum, F.try_variant_get(v, path, DEC)).otherwise(_null_n()),
+        # numbers canonicalize ('2.0' → '2') so the string form agrees
+        # with the evaluator's canonical_str wherever it's read
+        "s": F.when(isnum, _canon_num_str(num_form)).otherwise(
+            F.when(~is_container, F.try_variant_get(v, path, "string"))
+        ),
+        "n": num_form,
         "isnum": F.coalesce(isnum, F.lit(False)),
         "isbool": F.coalesce(isbool, F.lit(False)),
         "bval": F.when(isbool, raw == "true").otherwise(_null_b()),
@@ -278,7 +285,11 @@ def from_typed_column(col: Column, dtype: str) -> DynCol:
             # evaluator's canonical_str), not "2.0"
             arr = F.transform(col, _canon_num_str)
         elif elem == "boolean":
-            arr = F.transform(col, lambda x: F.when(x, "true").otherwise("false"))
+            # NULL elements stay NULL — otherwise('false') would make a
+            # null element match `has [false]`, unlike the evaluator
+            arr = F.transform(
+                col, lambda x: F.when(x.isNull(), _null_s()).when(x, "true").otherwise("false")
+            )
         else:
             arr = col.cast("array<string>")
         return DynCol(

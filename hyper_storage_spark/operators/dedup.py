@@ -114,6 +114,12 @@ def _jaccard_from_shingles(
             .agg(F.count("*").alias("n_sh"))
         )
     else:
+        if max_df is not None:
+            # same cap semantics as the posting-list branch: drop hot
+            # shingles from intersections AND set sizes
+            raw = sh.persist()
+            keep = raw.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+            sh = raw.join(keep.select("h"), "h")
         sh = sh.persist()
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         a = sh.alias("a")

@@ -164,7 +164,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 64) ->
         for pdf in batches:
             rows = []
             for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
-                if not str(mt).startswith("video/") or not len(payload):
+                if not str(mt).startswith("video/") or not payload:  # None or empty
                     continue
                 n = len(payload)
                 for i in range(n_frames):

@@ -60,8 +60,14 @@ def salted_join(
     cases at runtime; this is the explicit form for when the skew is
     known and extreme (or AQE is unavailable). Result == ``big.join(
     small, on)`` with columns in big-then-small order."""
+    if "__salt" in big.columns or "__salt" in small.columns:
+        raise ValueError("inputs already carry a __salt column")
+    # per-ROW entropy, not a row hash: byte-identical duplicate rows of
+    # a hot key (the classic log-replay case) would all hash to one
+    # salt and stay skewed; the id is unique per row, and join
+    # correctness doesn't depend on WHICH salt a row gets
     salted_big = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     )
     salted_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

@@ -56,18 +56,26 @@ def asof_join(
     left_payload = [c for c in left.columns if c not in set(on) | {left_ts}]
     rtypes = dict(right.dtypes)
 
+    if not right_cols:
+        raise ValueError("asof_join needs at least one right payload column")
+
     # the right payload travels as ONE struct: the running last() must
     # pick whole right ROWS, never stitch per-column (a NULL payload
     # column would otherwise inherit the value of an OLDER right row),
     # and the struct is non-null for every right row even when all its
-    # fields are null — so the inner-match test is exact
-    rstruct_type = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_cols) + ">"
+    # fields are null — so the inner-match test is exact. The typed
+    # NULL struct comes from when(false, struct(...)) so arbitrary
+    # column names never pass through a DDL string
+    null_struct = F.when(
+        F.lit(False),
+        F.struct(*[F.lit(None).cast(rtypes[c]).alias(c) for c in right_cols]),
+    )
     l2 = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in left_payload],
-        F.lit(None).cast(rstruct_type).alias("__r"),
+        null_struct.alias("__r"),
         *(
             [F.lit(None).cast(rtypes[tiebreak]).alias("__tb")]
             if tiebreak
