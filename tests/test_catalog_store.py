@@ -58,3 +58,17 @@ def test_query_paged_prefix_consistent_across_page_sizes(spark, sf_dir):
     assert len(full) >= 15  # enough zh docs to make the check real
     for size in (3, 7, 15):
         assert pages[size] == full[: len(pages[size])], size
+
+
+def test_driver_entry_contract(spark):
+    """The exact surface the driver smoke-checks: entry() returns a
+    non-empty DataFrame with a stable schema; queries()/oracle_sql()
+    agree on keys."""
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert df.columns[:2] == ["l_returnflag", "l_linestatus"]
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 68

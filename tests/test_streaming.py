@@ -305,3 +305,24 @@ def test_session_window_stream_matches_batch(spark, tmp_path, sf_dir):
     assert got, "stream emitted no sessions"
     for k, v in got.items():
         assert expected[k] == v
+
+
+def test_vacuum_reclaims_superseded_stream_staging_files(spark, tmp_path):
+    """Staged bucket files from streaming batches become unreferenced
+    once later writes supersede them; vacuum() must reclaim them."""
+    import glob
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    cmds = str(tmp_path / "commands")
+    write_commands(cmds, [{"seq": 1, "method": "put", "path": "vdoc", "body": {"a": 1}}])
+    run_command_stream(spark, store, cmds, str(tmp_path / "ck1"))
+    # supersede the streamed bucket with a direct write, then vacuum
+    store.put("vdoc", {"a": 2})
+    removed = store.vacuum()
+    assert removed > 0
+    leftover = glob.glob(str(tmp_path / "store" / "data" / "*" / "*-stream-*.parquet"))
+    referenced = set()
+    for t in store.storage.tables():
+        referenced.update(store.storage.files(t))
+    assert all(f in referenced for f in leftover)
+    assert store.get("vdoc")[0] == {"a": 2}
