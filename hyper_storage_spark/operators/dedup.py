@@ -19,6 +19,8 @@ Four strategies, each designed for the 100 TB shape of the problem:
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -152,17 +154,23 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     n: int = 3,
     text_col: str = "text",
-    max_df: int = 100,
+    max_df: Optional[int] = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard for every pair sharing ≥1 surviving
     shingle: (a_id, b_id, jaccard ≥ threshold), rounded to 6.
 
-    Shingles in more than ``max_df`` documents are dropped first (from
-    both the posting lists and the set sizes): they carry no
-    discriminative signal and their posting lists are the quadratic
-    skew term of the self-join. Standard practice for inverted-index
-    Jaccard; corpora where even capped lists are too hot should route
-    to :func:`minhash_lsh_pairs`."""
+    The default (``max_df=None``) is the exact contract: every shingle
+    participates. Passing ``max_df`` drops shingles present in more
+    than that many documents (from both the posting lists and the set
+    sizes): stop-shingles carry no discriminative signal and their
+    posting lists are the quadratic skew term of the self-join —
+    standard practice for inverted-index Jaccard at corpus scale, and
+    what the catalog entry does (max_df=100). Corpora where even
+    capped lists are too hot should route to
+    :func:`minhash_lsh_pairs`. Note the cap keys on xxhash64 shingle
+    hashes, so an oracle capping raw shingle strings can diverge on a
+    hash collision (~2^-64 per shingle pair — negligible, but the
+    asymmetry is real)."""
     return _jaccard_from_shingles(_hashed_shingles(docs, text_col, n), threshold, None, max_df)
 
 
@@ -231,11 +239,24 @@ def embedding_cosine_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: Optional[int] = 50_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a_id, b_id, cosine ≥
-    threshold). Brute-force all-pairs here (exact, oracle-pinned); at
-    corpus scale the LSH bucketing in operators/similarity.py restricts
-    the pair generation the same way banded MinHash does for text."""
+    threshold). Brute-force all-pairs here (exact, oracle-pinned) —
+    this is the small-n ORACLE TWIN of :func:`embedding_lsh_pairs`,
+    deliberately quadratic. The ``max_rows`` guard (default 50k, pass
+    None to override knowingly) makes the 100×-scale misuse impossible:
+    above it, use :func:`embedding_lsh_pairs`, whose bucketed candidate
+    generation restricts the pair join the way banded MinHash does for
+    text."""
+    if max_rows is not None:
+        n_vec = emb.count()
+        if n_vec > max_rows:
+            raise ValueError(
+                f"embedding_cosine_pairs is all-pairs O(n^2) and got n={n_vec} "
+                f"> max_rows={max_rows}; use embedding_lsh_pairs for corpora "
+                "at this scale (or pass max_rows=None if you really mean it)"
+            )
     from .similarity import _dot, _norm
 
     # norms are computed once per vector, not once per pair

@@ -47,6 +47,8 @@ def asof_join(
     drops left rows with no match; ``"left"`` keeps them with NULLs.
     ``tiebreak`` orders right rows sharing one timestamp (last wins).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join how must be 'inner' or 'left', got {how!r}")
     on = list(on)
     right_cols = list(
         right_cols
@@ -58,6 +60,19 @@ def asof_join(
 
     if not right_cols:
         raise ValueError("asof_join needs at least one right payload column")
+    # name collisions would silently produce duplicate/ambiguous output
+    # columns (the output is on + left payload + right_cols)
+    reserved = {"__ts", "__r", "__is_left", "__tb"}
+    for group in (on, left_payload, right_cols):
+        bad = reserved & set(group)
+        if bad:
+            raise ValueError(f"asof_join: column names {sorted(bad)} are reserved")
+    dup = set(right_cols) & (set(on) | set(left_payload) | {left_ts})
+    if dup:
+        raise ValueError(
+            f"asof_join: right_cols {sorted(dup)} collide with left columns; "
+            "rename the right side before joining"
+        )
 
     # the right payload travels as ONE struct: the running last() must
     # pick whole right ROWS, never stitch per-column (a NULL payload

@@ -1215,7 +1215,10 @@ WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
 
 @register("dedup_ngram_jaccard", _JACCARD_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    # max_df passed explicitly: the operator's default is the exact
+    # (uncapped) contract; the catalog opts into the df-capped scale
+    # path, and the oracle SQL above caps identically
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, max_df=100)
 
 
 @register(

@@ -181,6 +181,38 @@ def test_asof_join_semantics(spark):
     assert len(inner) == 2  # inner drops the unmatched left row
 
 
+def test_asof_join_validates_how_and_collisions(spark):
+    import pytest
+
+    from hyper_storage_spark.operators import timeseries
+
+    left = spark.createDataFrame([("u1", 100, "c1")], "k string, ts long, tag string")
+    right = spark.createDataFrame([("u1", 90, 1.0)], "k string, ts long, v double")
+    with pytest.raises(ValueError, match="how"):
+        timeseries.asof_join(left, right, on=["k"], right_cols=["v"], how="outer")
+    # right payload colliding with a left payload column
+    right2 = spark.createDataFrame([("u1", 90, "x")], "k string, ts long, tag string")
+    with pytest.raises(ValueError, match="collide"):
+        timeseries.asof_join(left, right2, on=["k"], right_cols=["tag"])
+    # reserved internal names
+    left3 = spark.createDataFrame([("u1", 100, 1)], "k string, ts long, __r long")
+    with pytest.raises(ValueError, match="reserved"):
+        timeseries.asof_join(left3, right, on=["k"], right_cols=["v"])
+
+
+def test_embedding_cosine_all_pairs_guard(spark):
+    import pytest
+
+    emb = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="all-pairs"):
+        dedup.embedding_cosine_pairs(emb, max_rows=5)
+    # under the cap it runs
+    dedup.embedding_cosine_pairs(emb, max_rows=10).collect()
+
+
 def test_asof_join_plan_has_no_join(spark, sf_dir):
     from hyper_storage_spark.queries import QUERIES
 
