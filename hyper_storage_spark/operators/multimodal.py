@@ -2,12 +2,18 @@
 columns with typed metadata, processed by Arrow-batched Pandas
 functions via ``mapInPandas``.
 
-The container has no media libraries, so the *decode* step is stubbed
-two ways (clearly marked): ``raise`` mode raises NotImplementedError;
-``fake`` mode produces a deterministic feature vector from the raw
-bytes (a 16-bin byte histogram), so the Spark-side plumbing — schema,
-batch shape, partitioning — is fully real and testable. Swapping in a
-real decoder (PIL/librosa/av) changes only ``_decode_real``.
+The *decode* seam has three modes:
+
+- ``real`` — stdlib codecs (:mod:`media_codecs`): PNG (zlib inflate +
+  scanline unfilter) and WAV (PCM) decode to actual pixel/sample
+  grids. video/mp4 has no stdlib decoder and raises
+  NotImplementedError (swapping in av/ffmpeg changes only
+  ``_decode_real``).
+- ``fake`` — deterministic byte-histogram stand-in (no decode at
+  all), kept for plumbing tests and as the fallback.
+- ``auto`` (default) — real where a codec exists (image/png,
+  audio/wav), fake otherwise: the default documented path never
+  raises.
 """
 
 from __future__ import annotations
@@ -20,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import media_codecs
+
 FEATURE_DIM = 16
 
 FEATURE_SCHEMA = T.StructType(
@@ -27,6 +35,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("media_type", T.StringType()),
         T.StructField("byte_len", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
         T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
 )
@@ -45,19 +54,76 @@ def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _decode_real(payload: bytes, media_type: str) -> list[float]:
-    # STUB: real implementation would decode via PIL/librosa/av and
-    # resize/frame-sample/feature-extract. Media libs are not available
-    # in this environment.
+# deterministic synthetic media: uniform intensity doc_id % 256 so an
+# ANSI-SQL oracle can predict the decoded pixel/sample statistics
+_IMG_W, _IMG_H = 12, 9
+_WAV_SAMPLES = 120
+
+
+def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Media column with REAL payloads: images are actual PNGs
+    (12×9 grayscale, every pixel = doc_id % 256), audio is actual WAV
+    (8-bit PCM, 120 samples = doc_id % 256), video stays opaque bytes
+    (UTF-8 text; no stdlib mp4 codec). Generated executor-side over
+    Arrow batches — the driver never touches a payload."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, types = [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
+                g = int(doc_id) % 256
+                if doc_id % 3 == 0:
+                    types.append("image/png")
+                    payloads.append(
+                        media_codecs.png_encode(bytes([g]) * (_IMG_W * _IMG_H), _IMG_W, _IMG_H)
+                    )
+                elif doc_id % 3 == 1:
+                    types.append("audio/wav")
+                    payloads.append(media_codecs.wav_encode([g] * _WAV_SAMPLES))
+                else:
+                    types.append("video/mp4")
+                    payloads.append((txt or "").encode("utf-8"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_type": types, "payload": payloads}
+            )
+
+    schema = "doc_id long, media_type string, payload binary"
+    return docs.select("doc_id", text_col).mapInPandas(gen, schema)
+
+
+def _intensities(payload: bytes, media_type: str) -> list[int]:
+    """REAL decode → 0-255 intensity samples (pixels for images, PCM
+    samples for audio). Raises NotImplementedError for types with no
+    stdlib codec (video)."""
+    if media_type == "image/png":
+        _w, _h, _c, px = media_codecs.png_decode(bytes(payload))
+        return list(px)
+    if media_type == "audio/wav":
+        _rate, width, samples = media_codecs.wav_decode(bytes(payload))
+        if width == 1:
+            return samples
+        return [(s + 32768) >> 8 for s in samples]
     raise NotImplementedError(
-        f"media decode for {media_type} requires an image/audio library; "
-        "use mode='fake' for the deterministic plumbing path"
+        f"no stdlib decoder for {media_type}; plug av/ffmpeg into _decode_real "
+        "or use mode='fake'/'auto'"
     )
+
+
+def _decode_real(payload: bytes, media_type: str) -> list[float]:
+    """Real feature extraction: decode to intensities, normalized
+    16-bin intensity histogram (bin = value // 16)."""
+    vals = _intensities(payload, media_type)
+    hist = [0] * FEATURE_DIM
+    for v in vals:
+        hist[v // FEATURE_DIM] += 1
+    total = max(len(vals), 1)
+    return [round(h / total, 6) for h in hist]
 
 
 def _decode_fake(payload: bytes, media_type: str) -> list[float]:
     """Deterministic fake feature extractor: normalized 16-bin byte
-    histogram. Stands in for decode→resize→embed."""
+    histogram over the RAW bytes (no decode). Stands in for
+    decode→resize→embed where no codec exists."""
     hist = [0] * FEATURE_DIM
     for b in payload:
         hist[b % FEATURE_DIM] += 1
@@ -65,14 +131,29 @@ def _decode_fake(payload: bytes, media_type: str) -> list[float]:
     return [round(h / total, 6) for h in hist]
 
 
-def extract_features(media: DataFrame, mode: str = "fake") -> DataFrame:
+def _n_samples(payload: bytes, media_type: str, mode: str) -> int:
+    if mode == "real" or (mode == "auto" and media_type in ("image/png", "audio/wav")):
+        return len(_intensities(payload, media_type))
+    return len(payload)
+
+
+def extract_features(media: DataFrame, mode: str = "auto") -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 
     ``mapInPandas`` keeps the batch shape explicit (pandas DataFrames of
-    Arrow record batches) — the pattern a real decoder plugs into. The
-    output schema is fixed (FEATURE_SCHEMA) regardless of decoder.
+    Arrow record batches). The output schema is fixed (FEATURE_SCHEMA)
+    regardless of decoder; ``n_samples`` is the decoded sample count
+    (pixels/PCM samples) in real mode, raw byte count in fake mode.
     """
-    decode = _decode_fake if mode == "fake" else _decode_real
+    if mode not in ("real", "fake", "auto"):
+        raise ValueError(f"mode must be real|fake|auto, got {mode!r}")
+
+    def pick(media_type: str):
+        if mode == "real":
+            return _decode_real
+        if mode == "fake":
+            return _decode_fake
+        return _decode_real if media_type in ("image/png", "audio/wav") else _decode_fake
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -81,8 +162,12 @@ def extract_features(media: DataFrame, mode: str = "fake") -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "byte_len": pdf["payload"].map(len).astype("int64"),
+                    "n_samples": [
+                        _n_samples(p, m, mode)
+                        for p, m in zip(pdf["payload"], pdf["media_type"])
+                    ],
                     "features": [
-                        decode(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
+                        pick(m)(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
                     ],
                 }
             )
@@ -116,13 +201,36 @@ def _resize_fake(payload: bytes, width: int, height: int) -> bytes:
     return bytes(payload[(i * n) // target] for i in range(target))
 
 
-def resize_images(media: DataFrame, width: int, height: int, mode: str = "fake") -> DataFrame:
+def _resize_real(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize: PNG decode → nearest-neighbor resample on
+    the pixel grid → PNG re-encode (what PIL's NEAREST resize does,
+    via the stdlib codec)."""
+    w, h, c, px = media_codecs.png_decode(bytes(payload))
+    out = media_codecs.resize_nearest(px, w, h, c, width, height)
+    return media_codecs.png_encode(bytes(out), width, height, c)
+
+
+def resize_images(media: DataFrame, width: int, height: int, mode: str = "auto") -> DataFrame:
     """Resize the image payloads (pass-through for non-images), batch
     at a time over Arrow. Output keeps the binary column plus the new
     typed dimensions — the downstream contract a training pipeline
-    reads (fixed-shape tensors)."""
-    if mode != "fake":  # pragma: no cover - no media libs in container
-        raise NotImplementedError("real resize requires PIL; use mode='fake'")
+    reads (fixed-shape tensors).
+
+    ``real`` decodes/re-encodes actual PNGs; ``fake`` resamples the
+    raw byte stream (no decode); ``auto`` (default) goes real for
+    payloads with a PNG signature and fake otherwise, so the default
+    path never raises on undecodable bytes."""
+    if mode not in ("real", "fake", "auto"):
+        raise ValueError(f"mode must be real|fake|auto, got {mode!r}")
+
+    def one(payload: bytes, is_img: bool):
+        if not is_img:
+            return payload
+        if mode == "real" or (
+            mode == "auto" and bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n"
+        ):
+            return _resize_real(payload, width, height)
+        return _resize_fake(payload, width, height)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -133,14 +241,45 @@ def resize_images(media: DataFrame, width: int, height: int, mode: str = "fake")
                     "media_type": pdf["media_type"],
                     "width": [width if i else -1 for i in is_img],
                     "height": [height if i else -1 for i in is_img],
-                    "payload": [
-                        _resize_fake(p, width, height) if i else p
-                        for p, i in zip(pdf["payload"], is_img)
-                    ],
+                    "payload": [one(p, i) for p, i in zip(pdf["payload"], is_img)],
                 }
             )
 
     return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("img_w", T.IntegerType()),
+        T.StructField("img_h", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("mean_px", T.DoubleType()),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Decode each image/png payload and report its REAL pixel-grid
+    statistics (dims, pixel count, mean intensity); non-images get
+    -1 sentinels. This is the round-trip proof for the real codec
+    path: stats come from decoding the bytes, not from metadata."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if str(mt) == "image/png":
+                    w, h, c, px = media_codecs.png_decode(bytes(payload))
+                    rows.append((doc_id, mt, w, h, len(px), sum(px) / max(len(px), 1)))
+                else:
+                    rows.append((doc_id, mt, -1, -1, -1, -1.0))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "img_w", "img_h", "n_px", "mean_px"]
+            )
+
+    return media.mapInPandas(run, IMAGE_STATS_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

@@ -133,11 +133,109 @@ def test_multimodal_feature_shapes(spark, sf_dir):
     assert abs(sum(row.features) - 1.0) < 0.01  # normalized histogram
 
 
-def test_multimodal_real_decoder_is_stubbed():
+def test_multimodal_video_decode_still_stubbed():
     import pytest
 
+    # no stdlib mp4 codec: the real path raises, auto falls back to fake
     with pytest.raises(NotImplementedError):
-        multimodal._decode_real(b"bytes", "image/png")
+        multimodal._decode_real(b"bytes", "video/mp4")
+
+
+def test_png_codec_round_trip():
+    from hyper_storage_spark.operators import media_codecs as mc
+
+    # grayscale and RGB, non-trivial pixel patterns
+    px = bytes((x * 7 + 3) % 256 for x in range(12 * 9))
+    data = mc.png_encode(px, 12, 9, 1)
+    w, h, c, out = mc.png_decode(data)
+    assert (w, h, c) == (12, 9, 1) and bytes(out) == px
+    rgb = bytes((x * 31 + 5) % 256 for x in range(6 * 4 * 3))
+    w, h, c, out = mc.png_decode(mc.png_encode(rgb, 6, 4, 3))
+    assert (w, h, c) == (6, 4, 3) and bytes(out) == rgb
+
+
+def test_png_decoder_unfilters_all_filter_types():
+    # craft an image whose rows are written with filters 1-4 by hand
+    import struct
+    import zlib
+
+    from hyper_storage_spark.operators import media_codecs as mc
+
+    px = bytes((x * 13 + 1) % 256 for x in range(4 * 5))
+    stride = 4
+    rows = [px[y * stride : (y + 1) * stride] for y in range(5)]
+    raw = bytearray()
+    prev = bytes(stride)
+    for ftype, row in zip([0, 1, 2, 3, 4], rows):
+        raw.append(ftype)
+        for i, b in enumerate(row):
+            left = row[i - 1] if i >= 1 else 0
+            up = prev[i]
+            ul = prev[i - 1] if i >= 1 else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1, 4: mc._paeth(left, up, ul)}[ftype]
+            raw.append((b - pred) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 0, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + mc._chunk(b"IHDR", ihdr)
+        + mc._chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mc._chunk(b"IEND", b"")
+    )
+    w, h, c, out = mc.png_decode(data)
+    assert (w, h, c) == (4, 5, 1) and bytes(out) == px
+
+
+def test_wav_codec_round_trip():
+    from hyper_storage_spark.operators import media_codecs as mc
+
+    samples8 = [(i * 11) % 256 for i in range(100)]
+    rate, width, out = mc.wav_decode(mc.wav_encode(samples8, sample_width=1))
+    assert (rate, width, out) == (8000, 1, samples8)
+    samples16 = [(i * 331 - 16000) % 32767 - 100 for i in range(50)]
+    _, width, out = mc.wav_decode(mc.wav_encode(samples16, sample_rate=16000, sample_width=2))
+    assert width == 2 and out == samples16
+
+
+def test_attach_media_real_decode_round_trip(spark, sf_dir):
+    media = multimodal.attach_media(docs(spark, sf_dir).limit(30))
+    stats = {r.doc_id: r for r in multimodal.image_stats(media).collect()}
+    for doc_id, r in stats.items():
+        if doc_id % 3 == 0:
+            assert (r.img_w, r.img_h, r.n_px) == (12, 9, 108)
+            assert r.mean_px == float(doc_id % 256)  # uniform image
+        else:
+            assert r.img_w == -1 and r.mean_px == -1.0
+
+
+def test_real_resize_preserves_uniform_pixels(spark, sf_dir):
+    media = multimodal.attach_media(docs(spark, sf_dir).limit(30))
+    resized = multimodal.resize_images(media, width=8, height=8, mode="real")
+    stats = {r.doc_id: r for r in multimodal.image_stats(resized).collect()}
+    for doc_id, r in stats.items():
+        if doc_id % 3 == 0:
+            assert (r.img_w, r.img_h, r.n_px) == (8, 8, 64)
+            assert r.mean_px == float(doc_id % 256)
+
+
+def test_real_resize_nearest_neighbor_exact():
+    from hyper_storage_spark.operators import media_codecs as mc
+
+    px = bytes(range(16))  # 4x4 gradient
+    out = mc.resize_nearest(px, 4, 4, 1, 2, 2)
+    # NN picks pixel ((y*4)//2, (x*4)//2) = rows/cols 0 and 2
+    assert bytes(out) == bytes([0, 2, 8, 10])
+
+
+def test_real_features_on_real_media(spark, sf_dir):
+    media = multimodal.attach_media(docs(spark, sf_dir).limit(30))
+    feats = {r.doc_id: r for r in multimodal.extract_features(media, mode="auto").collect()}
+    for doc_id, r in feats.items():
+        if doc_id % 3 == 2:
+            continue  # video falls back to fake histogram
+        g = doc_id % 256
+        assert r.n_samples == (108 if doc_id % 3 == 0 else 120)
+        assert r.features[g // 16] == 1.0  # uniform intensity → one hot bin
 
 
 def test_salted_aggregate_matches_direct(spark, sf_dir):
