@@ -510,8 +510,13 @@ def q_distinct_users_daily(spark, sf_dir):
                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
        ), sessions AS (
+         -- DuckDB's windowed SUM of ints is HUGEINT (int128); the
+         -- driver hasher canonicalizes HUGEINT differently from
+         -- BIGINT even for equal values, so pin the type (same rule
+         -- as the catalog's no-DECIMAL-output rule; q_grouping_sets'
+         -- gid cast is the precedent)
          SELECT user_id, event_id, ts,
-                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+                CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
          FROM gaps
        )
        SELECT user_id, session_id, COUNT(*) AS n_events,
