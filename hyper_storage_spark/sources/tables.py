@@ -1,9 +1,18 @@
 """Loaders for the synthetic test tables (TESTDATA.md).
 
-The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-Spark's vectorized reader rejects; we read it via the
-``nanosAsLong`` legacy switch and convert to a microsecond timestamp
-so downstream code sees a normal TimestampType column.
+The ``events`` table's ``ts`` column has shipped in two parquet shapes
+across testdata regenerations:
+
+* TIMESTAMP(NANOS) — Spark's vectorized reader rejects it; we read it
+  via the ``nanosAsLong`` legacy switch and convert to a microsecond
+  timestamp.
+* ``timestamp[us]`` with no timezone — Spark 4 reads it as
+  TIMESTAMP_NTZ, which breaks ``unix_micros`` and ``withWatermark``
+  downstream.
+
+Either way we normalize to a plain TimestampType column.  The session
+timezone is pinned to UTC (session.py), so the NTZ→TZ cast is
+value-preserving: the same wall-clock micros land in the same instant.
 """
 
 from __future__ import annotations
@@ -28,9 +37,13 @@ TABLE_NAMES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division: float division loses precision at 1.7e18 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division: float division loses precision at 1.7e18 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -14,6 +14,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _as_event_time(events: DataFrame, ts_col: str) -> DataFrame:
+    """``withWatermark`` requires TimestampType; a TIMESTAMP_NTZ source
+    column (parquet timestamp[us] with no timezone under Spark 4) is
+    cast in place.  Session TZ is pinned to UTC, so the cast is
+    value-preserving."""
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events
+
+
 def session_windows(
     events: DataFrame,
     gap: str = "30 minutes",
@@ -28,7 +38,7 @@ def session_windows(
     executors and the watermark closes sessions whose gap has passed,
     so state stays bounded at any scale (no driver involvement)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _as_event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -50,7 +60,7 @@ def windowed_event_counts(
     tumbling event-time window; state for windows older than the
     watermark is dropped (bounded state at any scale)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _as_event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
         .select(
