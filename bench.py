@@ -39,8 +39,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    from hyper_storage_spark.queries import QUERIES
+    from hyper_storage_spark.queries import all_specs
     from hyper_storage_spark.session import get_spark
+
+    QUERIES = all_specs()  # headline list spans the driver and extra tiers
 
     spark = get_spark("hyper_storage_spark_bench")
 

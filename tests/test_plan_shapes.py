@@ -4,11 +4,11 @@ plan is a regression even when results match."""
 
 import pytest
 
-from hyper_storage_spark.queries import QUERIES
+from hyper_storage_spark.queries import all_specs
 
 
 def plan_of(spark, sf_dir, name) -> str:
-    df = QUERIES[name].fn(spark, sf_dir)
+    df = all_specs()[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 

@@ -37,11 +37,23 @@ def normalize(cols, rows):
     return [cols[i] for i in order], out
 
 
+# DuckDB integer results must come out as BIGINT: the driver hasher
+# canonicalizes HUGEINT (and narrower ints) differently from Spark's
+# LongType even for equal values — catch type drift systematically
+# instead of per-query comments (windowed SUM of ints is the classic
+# silent HUGEINT producer).
+_BAD_ORACLE_INT_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT"}
+
+
+def oracle_type_violations(dtypes) -> list[str]:
+    return [str(t) for t in dtypes if str(t) in _BAD_ORACLE_INT_TYPES]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    from hyper_storage_spark.queries import QUERIES
+    from hyper_storage_spark.queries import all_specs
     from hyper_storage_spark.session import get_spark
 
     spark = get_spark("check_oracles", cpus=8)
@@ -54,7 +66,7 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failed = []
-    for name, spec in QUERIES.items():
+    for name, spec in all_specs().items():
         if only and name not in only:
             continue
         t0 = time.time()
@@ -72,9 +84,14 @@ def main():
         try:
             drel = con.sql(spec.sql)
             dcols = list(drel.columns)
+            bad_types = oracle_type_violations(drel.types)
             drows = drel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        if bad_types:
+            print(f"FAIL {name}: oracle emits {bad_types} — cast to BIGINT in the SQL")
             failed.append(name)
             continue
         sc, sv = normalize(scols, srows)
