@@ -12,9 +12,15 @@ the standard library alone (zlib / wave), so the "real decode" seam in
   ``wave`` module (8-bit unsigned / 16-bit signed).
 - :func:`resize_nearest` — nearest-neighbor resample on the decoded
   pixel grid (what PIL's ``Image.resize(..., NEAREST)`` does).
-
-video/mp4 has no stdlib decoder; that path remains a documented stub
-in :mod:`multimodal`.
+- :func:`mp4_encode` / :func:`mp4_decode` — ISO BMFF (MP4) container
+  mux/demux: a real box-tree walker that reads the sample tables
+  (stsc/stsz/stco) and slices the actual stored samples out of mdat.
+  Frame *sampling* is container-level work (what ffmpeg's demuxer
+  does before any codec runs), so this makes the video seam real for
+  the operator we ship (per-frame extraction). Bitstream decode of
+  compressed codecs (H.264 etc.) inside the samples is NOT attempted
+  — samples are returned as stored; the synthetic pipeline stores raw
+  8-bit grayscale frames, so their statistics are honest.
 """
 
 from __future__ import annotations
@@ -158,6 +164,178 @@ def wav_encode(samples: list[int], sample_rate: int = 8000, sample_width: int = 
             frames = b"".join(struct.pack("<h", s) for s in samples)
         w.writeframes(frames)
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# ISO BMFF (MP4) container mux/demux
+# ---------------------------------------------------------------------------
+
+_MP4_TIMESCALE = 1000
+_MP4_FRAME_DUR = 100  # 10 fps
+_BMFF_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _full_box(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(tag, struct.pack(">I", (version << 24) | flags) + body)
+
+
+def mp4_encode(frames: list[bytes], width: int, height: int) -> bytes:
+    """Mux raw video samples into a minimal but structurally valid ISO
+    BMFF file: ftyp + mdat (the concatenated samples) + moov whose
+    sample tables (stts/stsc/stsz/stco) index every frame. Any
+    conforming demuxer can get the frames back; :func:`mp4_decode` is
+    the stdlib one."""
+    if not frames:
+        raise ValueError("mp4_encode needs at least one frame")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"iso2")
+    mdat = _box(b"mdat", b"".join(frames))
+    duration = len(frames) * _MP4_FRAME_DUR
+
+    mvhd = _full_box(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, _MP4_TIMESCALE, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)  # identity
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _full_box(
+        b"tkhd",
+        0,
+        3,  # enabled | in movie
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 16
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = _full_box(
+        b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, _MP4_TIMESCALE, duration, 0x55C4, 0)
+    )
+    hdlr = _full_box(b"hdlr", 0, 0, struct.pack(">I4s", 0, b"vide") + b"\x00" * 12 + b"VideoHandler\x00")
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full_box(b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+
+    # 'raw ' visual sample entry: uncompressed — honest about the
+    # samples being stored as-is (8-bit grayscale rows)
+    sample_entry = _box(
+        b"raw ",
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 0x0018, -1),
+    )
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, len(frames), _MP4_FRAME_DUR))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, len(frames), 1))
+    stsz = _full_box(
+        b"stsz",
+        0,
+        0,
+        struct.pack(">II", 0, len(frames)) + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, len(ftyp) + 8))  # first mdat byte
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _bmff_boxes(data: bytes, start: int, end: int):
+    """Yield (tag, body_start, box_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"malformed BMFF box {tag!r} at {pos}")
+        yield tag, body, pos + size
+        pos += size
+
+
+def _bmff_find(data: bytes, path: list[bytes], start: int, end: int) -> tuple[int, int]:
+    tag, rest = path[0], path[1:]
+    for t, body, box_end in _bmff_boxes(data, start, end):
+        if t == tag:
+            return (body, box_end) if not rest else _bmff_find(data, rest, body, box_end)
+    raise ValueError(f"BMFF box {b'/'.join(path).decode()} not found")
+
+
+def mp4_decode(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Demux an ISO BMFF file → (width, height, samples). Reads the
+    real sample tables: stsc maps samples to chunks, stco locates each
+    chunk, stsz sizes each sample — the general algorithm, not an echo
+    of :func:`mp4_encode`'s single-chunk layout. Samples are returned
+    as stored (no bitstream decode)."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF file (no ftyp)")
+    stbl_s, stbl_e = _bmff_find(data, [b"moov", b"trak", b"mdia", b"minf", b"stbl"], 0, len(data))
+    _tkhd_s, tkhd_e = _bmff_find(data, [b"moov", b"trak", b"tkhd"], 0, len(data))
+    # width/height are the last 8 bytes of tkhd in both versions, 16.16
+    width = struct.unpack(">I", data[tkhd_e - 8 : tkhd_e - 4])[0] >> 16
+    height = struct.unpack(">I", data[tkhd_e - 4 : tkhd_e])[0] >> 16
+
+    tables: dict[bytes, tuple[int, int]] = {}
+    for t, body, box_end in _bmff_boxes(data, stbl_s, stbl_e):
+        tables[t] = (body, box_end)
+
+    def u32s(tag: bytes, skip: int, n: int, stride: int = 4) -> list[int]:
+        body, _ = tables[tag]
+        base = body + 4 + skip  # 4 = version/flags
+        return [struct.unpack(">I", data[base + i * stride : base + i * stride + 4])[0] for i in range(n)]
+
+    if b"stsz" not in tables or b"stsc" not in tables or b"stco" not in tables:
+        raise ValueError("BMFF sample tables incomplete (need stsz/stsc/stco)")
+    stsz_body, _ = tables[b"stsz"]
+    fixed_size, n_samples = struct.unpack(">II", data[stsz_body + 4 : stsz_body + 12])
+    sizes = (
+        [fixed_size] * n_samples if fixed_size else u32s(b"stsz", 8, n_samples)
+    )
+    (n_chunks,) = struct.unpack(">I", data[tables[b"stco"][0] + 4 : tables[b"stco"][0] + 8])
+    chunk_offsets = u32s(b"stco", 4, n_chunks)
+    (n_stsc,) = struct.unpack(">I", data[tables[b"stsc"][0] + 4 : tables[b"stsc"][0] + 8])
+    stsc_flat = u32s(b"stsc", 4, n_stsc * 3)
+    stsc_entries = [tuple(stsc_flat[i * 3 : i * 3 + 3]) for i in range(n_stsc)]
+
+    # expand stsc's run-length chunk map to per-chunk sample counts
+    per_chunk: list[int] = []
+    for i, (first_chunk, spc, _sdi) in enumerate(stsc_entries):
+        last = stsc_entries[i + 1][0] - 1 if i + 1 < len(stsc_entries) else n_chunks
+        per_chunk.extend([spc] * (last - first_chunk + 1))
+
+    samples: list[bytes] = []
+    si = 0
+    for chunk_i, offset in enumerate(chunk_offsets):
+        pos = offset
+        for _ in range(per_chunk[chunk_i] if chunk_i < len(per_chunk) else 0):
+            if si >= n_samples:
+                break
+            samples.append(bytes(data[pos : pos + sizes[si]]))
+            pos += sizes[si]
+            si += 1
+    if si != n_samples:
+        raise ValueError(f"BMFF chunk map covered {si} of {n_samples} samples")
+    return width, height, samples
 
 
 def wav_decode(data: bytes) -> tuple[int, int, list[int]]:

@@ -6,14 +6,16 @@ The *decode* seam has three modes:
 
 - ``real`` — stdlib codecs (:mod:`media_codecs`): PNG (zlib inflate +
   scanline unfilter) and WAV (PCM) decode to actual pixel/sample
-  grids. video/mp4 has no stdlib decoder and raises
-  NotImplementedError (swapping in av/ffmpeg changes only
-  ``_decode_real``).
+  grids; video/mp4 demuxes the ISO BMFF sample tables and returns the
+  actual stored samples (frame extraction is container-level work —
+  bitstream decode of compressed codecs inside the samples is not
+  attempted; swapping in av/ffmpeg changes only ``_intensities`` /
+  ``sample_frames``).
 - ``fake`` — deterministic byte-histogram stand-in (no decode at
   all), kept for plumbing tests and as the fallback.
-- ``auto`` (default) — real where a codec exists (image/png,
-  audio/wav), fake otherwise: the default documented path never
-  raises.
+- ``auto`` (default) — real where the payload is recognized (PNG
+  signature, WAV type, BMFF ftyp), fake otherwise: the default
+  documented path never raises.
 """
 
 from __future__ import annotations
@@ -58,19 +60,21 @@ def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ANSI-SQL oracle can predict the decoded pixel/sample statistics
 _IMG_W, _IMG_H = 12, 9
 _WAV_SAMPLES = 120
+_VID_W, _VID_H, _VID_FRAMES = 8, 6, 6
 
 
 def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Media column with REAL payloads: images are actual PNGs
     (12×9 grayscale, every pixel = doc_id % 256), audio is actual WAV
-    (8-bit PCM, 120 samples = doc_id % 256), video stays opaque bytes
-    (UTF-8 text; no stdlib mp4 codec). Generated executor-side over
-    Arrow batches — the driver never touches a payload."""
+    (8-bit PCM, 120 samples = doc_id % 256), video is an actual ISO
+    BMFF mp4 (6 raw 8×6 grayscale frames, every byte = doc_id % 256).
+    Generated executor-side over Arrow batches — the driver never
+    touches a payload."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, types = [], []
-            for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
+            for doc_id in pdf["doc_id"]:
                 g = int(doc_id) % 256
                 if doc_id % 3 == 0:
                     types.append("image/png")
@@ -82,7 +86,11 @@ def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     payloads.append(media_codecs.wav_encode([g] * _WAV_SAMPLES))
                 else:
                     types.append("video/mp4")
-                    payloads.append((txt or "").encode("utf-8"))
+                    payloads.append(
+                        media_codecs.mp4_encode(
+                            [bytes([g]) * (_VID_W * _VID_H)] * _VID_FRAMES, _VID_W, _VID_H
+                        )
+                    )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "media_type": types, "payload": payloads}
             )
@@ -93,8 +101,8 @@ def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _intensities(payload: bytes, media_type: str) -> list[int]:
     """REAL decode → 0-255 intensity samples (pixels for images, PCM
-    samples for audio). Raises NotImplementedError for types with no
-    stdlib codec (video)."""
+    samples for audio, raw-frame bytes for demuxed video). Raises
+    NotImplementedError for media types with no codec at all."""
     if media_type == "image/png":
         _w, _h, _c, px = media_codecs.png_decode(bytes(payload))
         return list(px)
@@ -103,6 +111,12 @@ def _intensities(payload: bytes, media_type: str) -> list[int]:
         if width == 1:
             return samples
         return [(s + 32768) >> 8 for s in samples]
+    if media_type == "video/mp4":
+        # container demux: real samples out of mdat; honest only for
+        # uncompressed frames (what the synthetic pipeline stores) —
+        # compressed-codec bitstreams need av/ffmpeg plugged in here
+        _w, _h, frames = media_codecs.mp4_decode(bytes(payload))
+        return [b for f in frames for b in f]
     raise NotImplementedError(
         f"no stdlib decoder for {media_type}; plug av/ffmpeg into _decode_real "
         "or use mode='fake'/'auto'"
@@ -131,8 +145,21 @@ def _decode_fake(payload: bytes, media_type: str) -> list[float]:
     return [round(h / total, 6) for h in hist]
 
 
+def _decodable(payload: bytes, media_type: str) -> bool:
+    """Payload sniff for auto mode: real decode only where the bytes
+    actually carry the container the type claims."""
+    head = bytes(payload[:12])
+    if media_type == "image/png":
+        return head[:8] == b"\x89PNG\r\n\x1a\n"
+    if media_type == "audio/wav":
+        return head[:4] == b"RIFF" and head[8:12] == b"WAVE"
+    if media_type == "video/mp4":
+        return head[4:8] == b"ftyp"
+    return False
+
+
 def _n_samples(payload: bytes, media_type: str, mode: str) -> int:
-    if mode == "real" or (mode == "auto" and media_type in ("image/png", "audio/wav")):
+    if mode == "real" or (mode == "auto" and _decodable(payload, media_type)):
         return len(_intensities(payload, media_type))
     return len(payload)
 
@@ -148,12 +175,12 @@ def extract_features(media: DataFrame, mode: str = "auto") -> DataFrame:
     if mode not in ("real", "fake", "auto"):
         raise ValueError(f"mode must be real|fake|auto, got {mode!r}")
 
-    def pick(media_type: str):
+    def pick(payload: bytes, media_type: str):
         if mode == "real":
             return _decode_real
         if mode == "fake":
             return _decode_fake
-        return _decode_real if media_type in ("image/png", "audio/wav") else _decode_fake
+        return _decode_real if _decodable(payload, media_type) else _decode_fake
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -167,7 +194,7 @@ def extract_features(media: DataFrame, mode: str = "auto") -> DataFrame:
                         for p, m in zip(pdf["payload"], pdf["media_type"])
                     ],
                     "features": [
-                        pick(m)(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
+                        pick(p, m)(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
                     ],
                 }
             )
@@ -291,13 +318,34 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 64) -> DataFrame:
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, frame_bytes: int = 64, mode: str = "auto"
+) -> DataFrame:
     """Sample ``n_frames`` evenly-spaced frames from each video payload
     — one OUTPUT ROW PER FRAME (the exploding-cardinality shape real
     frame samplers have; mapInPandas lets one input row yield many).
-    Fake decoder: frame i = the frame_bytes slice starting at the
-    i-th equal division of the payload (real impl: av/ffmpeg keyframe
-    extraction — not available in this container)."""
+
+    ``real``: demux the ISO BMFF sample tables and return the ACTUAL
+    stored samples, evenly spaced over the container's sample list
+    (what ffmpeg's demuxer-level frame extraction does; ``frame_bytes``
+    is ignored — real frames keep their stored size). ``fake``: frame
+    i = the frame_bytes slice at the i-th equal division of the raw
+    payload. ``auto`` (default): real for BMFF payloads (ftyp sniff),
+    fake otherwise."""
+    if mode not in ("real", "fake", "auto"):
+        raise ValueError(f"mode must be real|fake|auto, got {mode!r}")
+
+    def one(doc_id, payload: bytes) -> list[tuple]:
+        if mode == "real" or (mode == "auto" and _decodable(payload, "video/mp4")):
+            _w, _h, samples = media_codecs.mp4_decode(bytes(payload))
+            take = min(n_frames, len(samples))
+            picked = [samples[(i * len(samples)) // take] for i in range(take)]
+            return [(doc_id, i, f) for i, f in enumerate(picked)]
+        n = len(payload)
+        return [
+            (doc_id, i, bytes(payload[(i * n) // n_frames : (i * n) // n_frames + frame_bytes]))
+            for i in range(n_frames)
+        ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -305,10 +353,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 64) ->
             for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
                 if not str(mt).startswith("video/") or not payload:  # None or empty
                     continue
-                n = len(payload)
-                for i in range(n_frames):
-                    start = (i * n) // n_frames
-                    rows.append((doc_id, i, bytes(payload[start : start + frame_bytes])))
+                rows.extend(one(doc_id, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
 
     return media.mapInPandas(run, FRAME_SCHEMA)

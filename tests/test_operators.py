@@ -133,12 +133,45 @@ def test_multimodal_feature_shapes(spark, sf_dir):
     assert abs(sum(row.features) - 1.0) < 0.01  # normalized histogram
 
 
-def test_multimodal_video_decode_still_stubbed():
+def test_multimodal_video_real_path_rejects_non_bmff():
     import pytest
 
-    # no stdlib mp4 codec: the real path raises, auto falls back to fake
-    with pytest.raises(NotImplementedError):
+    # real mode on video bytes that aren't an ISO BMFF container fails
+    # loudly (no silent fake fallback in real mode)...
+    with pytest.raises(ValueError):
         multimodal._decode_real(b"bytes", "video/mp4")
+    # ...and media types with no codec at all stay NotImplementedError
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_real(b"bytes", "model/gltf")
+
+
+def test_mp4_codec_round_trip():
+    from hyper_storage_spark.operators import media_codecs as mc
+
+    frames = [bytes((i * 31 + j) % 256 for j in range(48)) for i in range(5)]
+    data = mc.mp4_encode(frames, 8, 6)
+    w, h, out = mc.mp4_decode(data)
+    assert (w, h) == (8, 6)
+    assert out == frames
+    # variable-size samples exercise the per-sample stsz table
+    var = [b"abc", b"defgh", b"x" * 100]
+    assert mc.mp4_decode(mc.mp4_encode(var, 4, 3))[2] == var
+    import pytest
+
+    with pytest.raises(ValueError):
+        mc.mp4_decode(b"notanmp4" * 8)
+
+
+def test_sample_frames_real_demux(spark, sf_dir):
+    """Real mode returns the ACTUAL stored samples out of the BMFF
+    container, not byte slices of the file."""
+    media = multimodal.attach_media(docs(spark, sf_dir).limit(30))
+    frames = multimodal.sample_frames(media, n_frames=3, mode="real").collect()
+    assert frames
+    for r in frames:
+        assert r.doc_id % 3 == 2
+        g = r.doc_id % 256
+        assert bytes(r.frame) == bytes([g]) * 48  # one full stored 8x6 frame
 
 
 def test_png_codec_round_trip():
@@ -231,10 +264,10 @@ def test_real_features_on_real_media(spark, sf_dir):
     media = multimodal.attach_media(docs(spark, sf_dir).limit(30))
     feats = {r.doc_id: r for r in multimodal.extract_features(media, mode="auto").collect()}
     for doc_id, r in feats.items():
-        if doc_id % 3 == 2:
-            continue  # video falls back to fake histogram
         g = doc_id % 256
-        assert r.n_samples == (108 if doc_id % 3 == 0 else 120)
+        # image: 12*9 px; audio: 120 samples; video: 6 frames * 48 bytes
+        expected = {0: 108, 1: 120, 2: 288}[doc_id % 3]
+        assert r.n_samples == expected
         assert r.features[g // 16] == 1.0  # uniform intensity → one hot bin
 
 

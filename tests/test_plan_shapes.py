@@ -70,6 +70,17 @@ def test_ann_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_skew_salted_agg_is_two_phase(spark, sf_dir):
+    """The salted aggregate must actually execute as two phases: a
+    partial aggregation keyed by (key, __salt) and a final one keyed by
+    the bare key — visible as the salt column plus two exchanges. A
+    regression to a single skewed shuffle would still return correct
+    values, so only the plan can catch it."""
+    plan = plan_of(spark, sf_dir, "q_skew_salted_agg")
+    assert "__salt" in plan
+    assert plan.count("Exchange") >= 2
+
+
 def test_residual_filter_parses_json_once(spark, sf_dir):
     """The prepared-identifier projection must keep a single parse_json
     per row — a regression reintroduces O(references) parses."""
