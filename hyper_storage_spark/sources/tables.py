@@ -37,13 +37,15 @@ TABLE_NAMES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # integer division: float division loses precision at 1.7e18 ns
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer division: float division loses precision at 1.7e18 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # normalize EVERY ntz timestamp column, not just events.ts: the
+    # testdata's timestamp physical type has already shifted once
+    # (round 3: ns-as-bigint → µs-no-tz) and any table could follow
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
