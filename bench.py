@@ -58,11 +58,14 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    from hyper_storage_spark.operators._caches import release_tracked_caches
+
     for name in HEADLINE:
-        fn = QUERIES[name].fn
         best, n = None, 0
-        # one failing query must cost one row, not the whole bench run
+        # one failing (or stale/renamed) query must cost one row, not
+        # the whole bench run — the QUERIES lookup lives INSIDE the try
         try:
+            fn = QUERIES[name].fn
             for _ in range(max(runs, 1)):
                 t0 = time.time()
                 df = fn(spark, sf_dir)
@@ -73,6 +76,11 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
+        finally:
+            # operators that persist mid-plan register their caches;
+            # release between queries so one entry's storage doesn't
+            # evict the next entry's working set
+            release_tracked_caches()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

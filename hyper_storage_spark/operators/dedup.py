@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._caches import tracked_persist
 from .text import tokens_col
 
 
@@ -93,7 +94,7 @@ def _jaccard_from_shingles(
         posting = sh.groupBy("h").agg(F.collect_list("doc_id").alias("docs"))
         if max_df is not None:
             posting = posting.filter(F.size("docs") <= max_df)
-        posting = posting.persist()
+        posting = tracked_persist(posting)
         docs_sorted = F.array_sort(F.col("docs"))
         pair_arrays = F.flatten(
             F.transform(
@@ -119,15 +120,20 @@ def _jaccard_from_shingles(
         if max_df is not None:
             # same cap semantics as the posting-list branch: drop hot
             # shingles from intersections AND set sizes
-            raw = sh.persist()
+            raw = tracked_persist(sh)
             keep = raw.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
             sh = raw.join(keep.select("h"), "h")
-        sh = sh.persist()
+        sh = tracked_persist(sh)
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         a = sh.alias("a")
         b = sh.alias("b")
+        # NO broadcast hint on candidates: the candidate-pair set grows
+        # with corpus size and near-dup density, so forcing it through
+        # the driver is an OOM at 100 TB. The join keys are plain
+        # doc_id equi-keys — AQE broadcasts when it is actually small
+        # and shuffles otherwise, which is exactly the right policy.
         inter = (
-            F.broadcast(candidates)
+            candidates
             .join(a, F.col("a_id") == F.col("a.doc_id"))
             .join(b, (F.col("b_id") == F.col("b.doc_id")) & (F.col("a.h") == F.col("b.h")))
             .groupBy("a_id", "b_id")
@@ -307,7 +313,7 @@ def embedding_lsh_pairs(
     from .similarity import _dot, _hyperplanes, _norm, melted_signatures
 
     tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
-    exact = melted_signatures(emb, id_col, vec_col, tables, "doc_id").persist()
+    exact = tracked_persist(melted_signatures(emb, id_col, vec_col, tables, "doc_id"))
     probes = exact.select(
         "doc_id",
         "table_id",

@@ -283,14 +283,33 @@ def _bmff_find(data: bytes, path: list[bytes], start: int, end: int) -> tuple[in
 
 def mp4_decode(data: bytes) -> tuple[int, int, list[bytes]]:
     """Demux an ISO BMFF file → (width, height, samples). Reads the
-    real sample tables: stsc maps samples to chunks, stco locates each
-    chunk, stsz sizes each sample — the general algorithm, not an echo
-    of :func:`mp4_encode`'s single-chunk layout. Samples are returned
-    as stored (no bitstream decode)."""
+    real sample tables: stsc maps samples to chunks, stco (or co64 for
+    64-bit offsets) locates each chunk, stsz sizes each sample — the
+    general algorithm, not an echo of :func:`mp4_encode`'s
+    single-chunk layout. The VIDEO trak is selected by its hdlr
+    handler type ('vide'), so files with a leading audio trak demux
+    correctly rather than silently returning audio samples. Samples
+    are returned as stored (no bitstream decode)."""
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an ISO BMFF file (no ftyp)")
-    stbl_s, stbl_e = _bmff_find(data, [b"moov", b"trak", b"mdia", b"minf", b"stbl"], 0, len(data))
-    _tkhd_s, tkhd_e = _bmff_find(data, [b"moov", b"trak", b"tkhd"], 0, len(data))
+    moov_s, moov_e = _bmff_find(data, [b"moov"], 0, len(data))
+    video_trak: tuple[int, int] | None = None
+    for t, trak_s, trak_e in _bmff_boxes(data, moov_s, moov_e):
+        if t != b"trak":
+            continue
+        try:
+            hdlr_s, _ = _bmff_find(data, [b"mdia", b"hdlr"], trak_s, trak_e)
+        except ValueError:
+            continue
+        # hdlr full box body: version/flags(4) + pre_defined(4) + handler_type(4)
+        if data[hdlr_s + 8 : hdlr_s + 12] == b"vide":
+            video_trak = (trak_s, trak_e)
+            break
+    if video_trak is None:
+        raise ValueError("no video trak (hdlr 'vide') in BMFF file")
+    trak_s, trak_e = video_trak
+    stbl_s, stbl_e = _bmff_find(data, [b"mdia", b"minf", b"stbl"], trak_s, trak_e)
+    _tkhd_s, tkhd_e = _bmff_find(data, [b"tkhd"], trak_s, trak_e)
     # width/height are the last 8 bytes of tkhd in both versions, 16.16
     width = struct.unpack(">I", data[tkhd_e - 8 : tkhd_e - 4])[0] >> 16
     height = struct.unpack(">I", data[tkhd_e - 4 : tkhd_e])[0] >> 16
@@ -304,15 +323,25 @@ def mp4_decode(data: bytes) -> tuple[int, int, list[bytes]]:
         base = body + 4 + skip  # 4 = version/flags
         return [struct.unpack(">I", data[base + i * stride : base + i * stride + 4])[0] for i in range(n)]
 
-    if b"stsz" not in tables or b"stsc" not in tables or b"stco" not in tables:
-        raise ValueError("BMFF sample tables incomplete (need stsz/stsc/stco)")
+    if b"stsz" not in tables or b"stsc" not in tables or (
+        b"stco" not in tables and b"co64" not in tables
+    ):
+        raise ValueError("BMFF sample tables incomplete (need stsz/stsc/stco|co64)")
     stsz_body, _ = tables[b"stsz"]
     fixed_size, n_samples = struct.unpack(">II", data[stsz_body + 4 : stsz_body + 12])
     sizes = (
         [fixed_size] * n_samples if fixed_size else u32s(b"stsz", 8, n_samples)
     )
-    (n_chunks,) = struct.unpack(">I", data[tables[b"stco"][0] + 4 : tables[b"stco"][0] + 8])
-    chunk_offsets = u32s(b"stco", 4, n_chunks)
+    if b"stco" in tables:
+        (n_chunks,) = struct.unpack(">I", data[tables[b"stco"][0] + 4 : tables[b"stco"][0] + 8])
+        chunk_offsets = u32s(b"stco", 4, n_chunks)
+    else:  # co64: 64-bit chunk offsets (files > 4 GiB)
+        co64_body, _ = tables[b"co64"]
+        (n_chunks,) = struct.unpack(">I", data[co64_body + 4 : co64_body + 8])
+        base = co64_body + 8
+        chunk_offsets = [
+            struct.unpack(">Q", data[base + i * 8 : base + i * 8 + 8])[0] for i in range(n_chunks)
+        ]
     (n_stsc,) = struct.unpack(">I", data[tables[b"stsc"][0] + 4 : tables[b"stsc"][0] + 8])
     stsc_flat = u32s(b"stsc", 4, n_stsc * 3)
     stsc_entries = [tuple(stsc_flat[i * 3 : i * 3 + 3]) for i in range(n_stsc)]

@@ -28,8 +28,21 @@ def salted_aggregate(
 ) -> DataFrame:
     """groupBy(keys).agg(sum/min/max/count) with salted two-phase
     execution. Output columns: ``sum_<c>``, ``min_<c>``, ``max_<c>``,
-    ``n`` — identical values to the direct aggregation."""
-    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)))
+    ``n`` — identical values to the direct aggregation.
+
+    The salt is DETERMINISTIC (row-content hash): attempt-dependent
+    salts (spark_partition_id / monotonically_increasing_id) change
+    when a map stage is partially re-executed after a shuffle fetch
+    failure, so reducers consuming a mix of old and new map output
+    can double-count or drop rows (the SPARK-23207 class of bug) —
+    precisely at the scale where task retries are routine. Caveat:
+    byte-identical duplicate rows of a hot key all hash to ONE salt
+    bucket, so a corpus that is mostly literal copies of one row
+    stays skewed; dedup such inputs first (or add a distinguishing
+    column) — correctness under retry wins over spread here."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    )
     partial_aggs = (
         [F.sum(c).alias(f"__ps_{c}") for c in sum_cols]
         + [F.min(c).alias(f"__pmin_{c}") for c in min_cols]
@@ -62,12 +75,15 @@ def salted_join(
     small, on)`` with columns in big-then-small order."""
     if "__salt" in big.columns or "__salt" in small.columns:
         raise ValueError("inputs already carry a __salt column")
-    # per-ROW entropy, not a row hash: byte-identical duplicate rows of
-    # a hot key (the classic log-replay case) would all hash to one
-    # salt and stay skewed; the id is unique per row, and join
-    # correctness doesn't depend on WHICH salt a row gets
+    # deterministic row-content salt, same rationale as
+    # salted_aggregate: an attempt-dependent salt (e.g.
+    # monotonically_increasing_id) re-buckets rows when a map stage is
+    # partially retried, and reducers holding a mix of attempts then
+    # join a row twice or never. Caveat: byte-identical duplicate rows
+    # collapse to one salt bucket and stay skewed — correctness under
+    # retry wins; dedup literal-copy inputs first if that bites.
     salted_big = big.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
     )
     salted_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

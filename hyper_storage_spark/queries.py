@@ -1119,7 +1119,7 @@ def q_min_per_group_subquery(spark, sf_dir):
 @register(
     "q_string_agg_sorted",
     """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names,
-              list_sort(list(s_name)) AS names_arr,
+              CAST(to_json(list_sort(list(s_name))) AS VARCHAR) AS names_arr,
               COUNT(*) > 2 AS has_many, COUNT(*) AS n
        FROM supplier WHERE s_acctbal > 9000
        GROUP BY s_nationkey""",
@@ -1128,17 +1128,45 @@ def q_string_agg_sorted(spark, sf_dir):
     """Ordered string aggregation: collect → sort → join gives a
     deterministic result under any partitioning (an UNORDERED listagg
     is nondeterministic at scale and would never hash-match). Also the
-    catalog's typed-output proof row: ``names_arr`` (sorted ARRAY) and
-    ``has_many`` (BOOLEAN) exercise the two output classes no other
-    entry emits against the driver hasher."""
+    catalog's typed-output proof row: ``names_arr`` (the sorted ARRAY,
+    emitted in its canonical JSON-string form because the driver's
+    pandas canonicalizer cannot factorize raw list cells) and
+    ``has_many`` (BOOLEAN) exercise output classes no other entry
+    emits against the driver hasher. The raw-ARRAY variant lives in
+    the EXTRA tier (q_string_agg_raw_array) under the engine's own
+    oracle check, which handles list cells."""
     return (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") > 9000)
         .groupBy("s_nationkey")
         .agg(
             F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("names"),
-            F.array_sort(F.collect_list("s_name")).alias("names_arr"),
+            F.to_json(F.array_sort(F.collect_list("s_name"))).alias("names_arr"),
             (F.count("*") > 2).alias("has_many"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register_extra(
+    "q_string_agg_raw_array",
+    """SELECT s_nationkey, list_sort(list(s_name)) AS names_arr, COUNT(*) AS n
+       FROM supplier WHERE s_acctbal > 9000
+       GROUP BY s_nationkey""",
+)
+def q_string_agg_raw_array(spark, sf_dir):
+    """Raw ARRAY<STRING>-typed output proof, EXTRA tier only: the
+    driver's pandas canonicalizer cannot factorize list cells (the
+    r4 q_string_agg_sorted failure), but the engine's own oracle
+    check (tools/check_oracles.py) stringifies cells and digests
+    lists fine — so the raw-array representation stays proven here
+    while the driver-tier entry carries the JSON-string form."""
+    return (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy("s_nationkey")
+        .agg(
+            F.array_sort(F.collect_list("s_name")).alias("names_arr"),
             F.count("*").alias("n"),
         )
     )
@@ -1292,8 +1320,43 @@ def dedup_embedding_lsh(spark, sf_dir):
     )
 
 
-@register("dedup_minhash_lsh", None)  # murmur3 hash family is engine-specific
+# Uncapped exact-Jaccard: the valid oracle for the LSH entry because
+# LSH candidates are VERIFIED with exact Jaccard — whenever banding
+# recall is 1.0 (measured: 25/25 pairs at the gate's sf0.01, 256/256
+# on the SCALE.md corpus), the output set EQUALS the exact set. The
+# murmur3 banding itself stays engine-specific; what the oracle pins
+# is the end-to-end answer, which is the contract that matters.
+_JACCARD_SQL_UNCAPPED = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", _JACCARD_SQL_UNCAPPED)
 def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash banding + exact-Jaccard verify. Oracle-pinned against
+    the UNCAPPED exact-Jaccard set: banding recall is 1.0 at the
+    gate's corpus (verified pairwise-equal at sf0.01 before
+    promotion, round 5), and the verify step makes every emitted
+    jaccard exact — so any banding miss OR verify drift fails the
+    row. If a future corpus drops recall below 1.0, demote this back
+    to rows-only rather than ship a flaky gate row."""
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5).orderBy(
         "a_id", "b_id"
     )
@@ -1435,8 +1498,49 @@ def mm_binary_stats(spark, sf_dir):
     )
 
 
-@register("mm_feature_extract", None)  # Arrow/mapInPandas plumbing, fake decoder
+@register(
+    "mm_feature_extract",
+    """SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                   WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                   ELSE 'video/mp4' END AS media_type,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 108
+                        WHEN doc_id % 3 = 1 THEN 120
+                        ELSE 288 END AS BIGINT) AS n_samples,
+              CAST((doc_id % 256) // 16 AS BIGINT) AS peak_bin,
+              CAST(1.0 AS DOUBLE) AS peak_val
+       FROM documents""",
+)
 def mm_feature_extract(spark, sf_dir):
+    """Feature extraction through the REAL stdlib codecs end-to-end:
+    attach_media generates actual PNG / 8-bit-PCM WAV / ISO BMFF mp4
+    payloads (operators/multimodal.py:66), extract_features
+    decodes them (zlib inflate + unfilter, RIFF parse, BMFF demux —
+    operators/media_codecs.py) and computes a 16-bin intensity
+    histogram. The synthetic media is uniform intensity doc_id % 256,
+    so SQL predicts the decode exactly: pixel/sample counts are
+    12*9=108 (png), 120 (wav), 8*6*6=288 (mp4, 6 raw frames), and the
+    histogram peaks at bin (doc_id % 256) // 16 with mass 1.0. A
+    wrong byte anywhere in encode OR decode shifts counts or spreads
+    the histogram — this row fails."""
+    media = multimodal.attach_media(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media, mode="real")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_samples",
+        (F.expr("array_position(features, array_max(features))") - 1)
+        .cast("bigint")
+        .alias("peak_bin"),
+        F.array_max("features").cast("double").alias("peak_val"),
+    )
+
+
+@register_extra("mm_feature_extract_fake", None)  # Arrow plumbing, fake decoder
+def mm_feature_extract_fake(spark, sf_dir):
+    """The fake-decoder plumbing variant (byte histogram, no decode):
+    kept in the EXTRA tier as the no-codec fallback's integration
+    surface; the driver-tier entry runs the real codecs."""
     media = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media, mode="fake")
     return feats.select(
@@ -1701,5 +1805,10 @@ def all_specs() -> dict[str, QuerySpec]:
 # The driver's correctness gate records exactly 50 rows, in catalog
 # order — every driver-tier entry must fit inside that window or it
 # silently gets no correctness signal (rounds 2/3 shipped 68 entries
-# and left 18 unproven). Redundant variants belong in EXTRA_QUERIES.
-assert len(QUERIES) <= 50, f"driver-tier catalog has {len(QUERIES)} entries; the gate records 50"
+# and left 18 unproven), and an underfull window wastes correctness
+# rows. RuntimeError, not assert: asserts vanish under `python -O`.
+# Redundant variants belong in EXTRA_QUERIES.
+if len(QUERIES) != 50:
+    raise RuntimeError(
+        f"driver-tier catalog has {len(QUERIES)} entries; the gate records exactly 50"
+    )

@@ -162,6 +162,105 @@ def test_mp4_codec_round_trip():
         mc.mp4_decode(b"notanmp4" * 8)
 
 
+def _rebuild_boxes(data, s, e, leaf_fn):
+    """Re-emit the box sequence in [s, e): containers are rebuilt
+    recursively (so their declared sizes stay correct after a child
+    changes length); a leaf is replaced by leaf_fn(tag, start, end)
+    when it returns bytes, else copied verbatim."""
+    from hyper_storage_spark.operators import media_codecs as mc
+
+    out = b""
+    for t, body_s, box_e in mc._bmff_boxes(data, s, e):
+        if t in mc._BMFF_CONTAINERS:
+            out += mc._box(t, _rebuild_boxes(data, body_s, box_e, leaf_fn))
+        else:
+            rep = leaf_fn(t, body_s, box_e)
+            out += data[body_s - 8 : box_e] if rep is None else rep
+    return out
+
+
+def _remux(data, audio_first=False, co64=False):
+    """Rewrite an mp4_encode file: optionally prepend a minimal audio
+    ('soun') trak to moov and/or convert stco → co64 — conforming
+    layouts mp4_encode never emits but mp4_decode must handle. mdat
+    offsets are absolute and moov sits after mdat in mp4_encode's
+    layout, so a bigger moov never shifts them."""
+    import struct
+
+    from hyper_storage_spark.operators import media_codecs as mc
+
+    def conv(tag, body_s, box_e):
+        if tag == b"stco" and co64:
+            (n,) = struct.unpack(">I", data[body_s + 4 : body_s + 8])
+            offs = [
+                struct.unpack(">I", data[body_s + 8 + i * 4 : body_s + 12 + i * 4])[0]
+                for i in range(n)
+            ]
+            return mc._full_box(
+                b"co64",
+                0,
+                0,
+                struct.pack(">I", n) + b"".join(struct.pack(">Q", o) for o in offs),
+            )
+        return None
+
+    moov_s, moov_e = mc._bmff_find(data, [b"moov"], 0, len(data))
+    parts = b""
+    for t, body_s, box_e in mc._bmff_boxes(data, moov_s, moov_e):
+        if t == b"trak":
+            if audio_first:
+                hdlr = mc._full_box(
+                    b"hdlr", 0, 0, struct.pack(">I4s", 0, b"soun") + b"\x00" * 12 + b"Sound\x00"
+                )
+                parts += mc._box(b"trak", mc._box(b"mdia", hdlr))
+                audio_first = False
+            parts += mc._box(b"trak", _rebuild_boxes(data, body_s, box_e, conv))
+        else:
+            parts += data[body_s - 8 : box_e]
+    return data[: moov_s - 8] + mc._box(b"moov", parts)
+
+
+def test_mp4_decode_selects_vide_trak_and_co64():
+    """A conforming file with an audio-first trak must yield the VIDEO
+    samples (not silently return audio), and 64-bit co64 chunk offsets
+    must demux identically to stco."""
+    from hyper_storage_spark.operators import media_codecs as mc
+
+    frames = [bytes((i * 7 + j) % 256 for j in range(48)) for i in range(4)]
+    data = mc.mp4_encode(frames, 8, 6)
+    for audio_first in (False, True):
+        for co64 in (False, True):
+            w, h, out = mc.mp4_decode(_remux(data, audio_first=audio_first, co64=co64))
+            assert (w, h) == (8, 6)
+            assert out == frames
+    # a file with no video trak at all fails loudly
+    import pytest
+
+    no_video = _remux(data, audio_first=True)
+    moov_s, _ = mc._bmff_find(no_video, [b"moov"], 0, len(no_video))
+    with pytest.raises(ValueError, match="vide"):
+        # strip the video trak (the one carrying a tkhd in this
+        # construction), leaving an audio-only moov
+        for t, s, e in mc._bmff_boxes(no_video, moov_s, len(no_video)):
+            if t == b"trak":
+                try:
+                    mc._bmff_find(no_video, [b"tkhd"], s, e)
+                except ValueError:
+                    continue
+                stripped = no_video[: s - 8] + no_video[e:]
+                # fix moov size header
+                import struct as _st
+
+                new_sz = len(stripped) - (moov_s - 8)
+                stripped = (
+                    stripped[: moov_s - 8]
+                    + _st.pack(">I", new_sz)
+                    + stripped[moov_s - 4 :]
+                )
+                mc.mp4_decode(stripped)
+                break
+
+
 def test_sample_frames_real_demux(spark, sf_dir):
     """Real mode returns the ACTUAL stored samples out of the BMFF
     container, not byte slices of the file."""
@@ -288,6 +387,27 @@ def test_salted_aggregate_matches_direct(spark, sf_dir):
         ).collect()
     }
     assert salted == direct
+
+
+def test_salt_is_deterministic_across_reevaluation(spark, sf_dir):
+    """The salt must be a pure function of row content: an
+    attempt-dependent salt (partition id / monotonic id) re-buckets
+    rows when a map stage is partially retried after a shuffle fetch
+    failure, and reducers holding a mix of attempts double-count or
+    drop rows (SPARK-23207 class). Re-evaluating the same input —
+    including through a repartition that scrambles partition ids and
+    row order — must produce the identical doc_id→salt mapping."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in li.columns]), F.lit(16))
+    base = sorted(tuple(r) for r in li.withColumn("s", salt).collect())
+    scrambled = li.repartition(7, "l_returnflag").sortWithinPartitions("l_quantity")
+    again = sorted(tuple(r) for r in scrambled.withColumn("s", salt).collect())
+    assert base == again
+    # and the operator's own output column set carries no salt residue
+    out = skew.salted_aggregate(li, ["l_returnflag"], sum_cols=["l_quantity"], salt_buckets=8)
+    assert "__salt" not in out.columns
 
 
 def test_asof_join_semantics(spark):

@@ -53,6 +53,7 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    from hyper_storage_spark.operators._caches import release_tracked_caches
     from hyper_storage_spark.queries import all_specs
     from hyper_storage_spark.session import get_spark
 
@@ -78,6 +79,8 @@ def main():
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             failed.append(name)
             continue
+        finally:
+            release_tracked_caches()
         if spec.sql is None:
             print(f"ok   {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
             continue
