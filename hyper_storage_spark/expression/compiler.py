@@ -551,6 +551,19 @@ def compile_filter_str(text: str, resolve: Resolver) -> Column:
     return compile_filter(parse(text), resolve)
 
 
+def split_conjuncts(node: Expression) -> list:
+    """Top-level AND chain → list of conjuncts. Filter-equivalent to
+    the whole expression: the DSL's ``and`` passes a row iff BOTH
+    sides are independently truthy-true (error/null on either side
+    rejects, same as each side's own error⇒false coalesce), so
+    ``filter(a and b)`` ≡ ``filter(a).filter(b)``. Splitting lets
+    Catalyst push cheap typed-column conjuncts into the scan instead
+    of hiding them inside one opaque CASE tree."""
+    if isinstance(node, BinaryOp) and node.op == "and":
+        return split_conjuncts(node.left) + split_conjuncts(node.right)
+    return [node]
+
+
 def collect_identifiers(node: Expression) -> set[str]:
     if isinstance(node, Identifier):
         return {node.name}
@@ -633,5 +646,64 @@ def apply_filter(
             return dyncols[name]
         return from_typed_column(F.col(name), dtypes[name])
 
-    out = df.filter(compile_filter(ast, resolve))
+    # top-level AND conjuncts apply as separate filters, typed-column
+    # conjuncts first: Catalyst pushes those into the parquet scan
+    # (predicate pushdown + row-group pruning) and the JSON machinery
+    # then runs only on surviving rows — at 100 TB the difference
+    # between parsing every row's JSON and only the matching slice
+    out = df
+    conjuncts = split_conjuncts(ast)
+    conjuncts.sort(key=lambda c: bool(collect_identifiers(c) & set(dyncols)))
+    for c in conjuncts:
+        native = _pushable_form(c, dyncols, dtypes)
+        out = out.filter(native if native is not None else compile_filter(c, resolve))
     return out.drop(*drop) if drop else out
+
+
+_PUSH_FLIP = {"=": "=", "!=": "!=", ">": "<", "<": ">", ">=": "<=", "<=": ">="}
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _pushable_form(c, dyncols: dict, dtypes: dict) -> Optional[Column]:
+    """Native-Catalyst form of a ``typed-column op constant`` conjunct,
+    or None. The DSL's CASE tree is opaque to the parquet source's
+    predicate translator; a plain ``col op lit`` pushes into the scan.
+    Only emitted where semantics provably coincide with the DSL:
+    same-typed comparisons (string col ↔ string const, integral col ↔
+    integral const), where both sides reject NULLs identically (DSL
+    error⇒false ≡ SQL null-rejecting filter) and both orders are the
+    same (UTF-8 binary for strings == the evaluator's codepoint
+    order; integer compare is exact on both)."""
+    if not isinstance(c, BinaryOp) or c.op not in _PUSH_FLIP:
+        return None
+    l, r, op = c.left, c.right, c.op
+    if isinstance(l, Constant) and isinstance(r, Identifier):
+        l, r, op = r, l, _PUSH_FLIP[op]
+    if not (isinstance(l, Identifier) and isinstance(r, Constant)):
+        return None
+    if l.name in dyncols or l.name not in dtypes:
+        return None  # JSON-resolved identifier: the Dyn machinery owns it
+    dt, v = dtypes[l.name], r.value
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, str):
+        if dt != "string":
+            return None
+    elif isinstance(v, Decimal):
+        # integral constants vs integral columns compare exactly; a
+        # fractional constant or a float/decimal column would hit the
+        # DSL's decimal(38,12) rounding, which native compare lacks
+        if dt not in _INT_TYPES or v != v.to_integral_value():
+            return None
+        v = int(v)
+    else:
+        return None
+    col, lit = F.col(l.name), F.lit(v)
+    return {
+        "=": col == lit,
+        "!=": col != lit,
+        ">": col > lit,
+        "<": col < lit,
+        ">=": col >= lit,
+        "<=": col <= lit,
+    }[op]

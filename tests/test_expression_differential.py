@@ -236,3 +236,55 @@ def test_differential_random_corpus(spark):
             if bool(got) != bool(expected):
                 mismatches.append((text, ctx, expected, got))
     assert not mismatches, mismatches[:5]
+
+
+def test_apply_filter_conjunct_split_and_pushdown_parity(spark):
+    """apply_filter (round 5) splits top-level AND conjuncts into
+    chained filters and compiles typed-column-vs-constant conjuncts to
+    native Catalyst predicates so they push into the scan. Both
+    rewrites must be invisible to semantics: every filter here returns
+    exactly the evaluator's row set, across the fast path (same-typed
+    string/int comparisons, both operand orders), the deliberate
+    non-fast-paths (fractional constants, bool constants, cross-typed
+    comparisons, NULL cells), and mixed typed+JSON conjunctions."""
+    from hyper_storage_spark.expression.compiler import apply_filter
+
+    rows = [
+        (0, "click", 10, json.dumps({"k": 60, "tag": "x"})),
+        (1, "click", None, json.dumps({"k": 40})),
+        (2, "view", 5, json.dumps({"k": "60"})),      # string k: typed ≠ number
+        (3, None, 7, json.dumps({})),                  # null event_type
+        (4, "click", -3, json.dumps({"k": 60.5})),
+        (5, "Click", 0, json.dumps({"k": 60})),        # case-sensitive compare
+        (6, "click", 100500, None),                    # null JSON body
+    ]
+    df = spark.createDataFrame(rows, "id long, event_type string, value bigint, props string")
+
+    filters = [
+        'event_type = "click"',
+        '"click" = event_type',                 # reversed operands
+        'event_type != "click"',
+        'event_type > "c"',
+        "value > 5",
+        "value <= 0",
+        "5 < value",                            # reversed operands
+        "value > 5.5",                          # fractional: no fast path
+        "value = 10 and event_type = \"click\"",
+        'k > 50 and event_type = "click"',      # JSON + typed mix
+        'k > 50 and event_type = "click" and value >= 0',
+        'event_type = "click" and k = 60',
+        "value > 1000000000000",                # out-of-data-range constant
+    ]
+    for text in filters:
+        ast = parse(text)
+        got = sorted(r.id for r in apply_filter(df, ast, json_col="props").select("id").collect())
+        expected = []
+        for row in rows:
+            ctx = {"event_type": row[1], "value": row[2]}
+            body = json.loads(row[3]) if row[3] else {}
+            ctx.update(body)
+            # evaluator context: absent typed NULLs behave as missing
+            ctx = {k: v for k, v in ctx.items() if v is not None}
+            if evaluate_bool(ast, ctx):
+                expected.append(row[0])
+        assert got == expected, (text, got, expected)

@@ -91,6 +91,34 @@ def test_residual_filter_parses_json_once(spark, sf_dir):
     assert plan.count("parseJson") + plan.count("parse_json") <= 8
 
 
+def test_residual_filter_pushes_typed_conjunct_to_scan(spark, sf_dir):
+    """Round 5: top-level AND conjuncts split and the typed-column
+    conjunct (event_type = 'click') compiles to a native predicate, so
+    it must reach the parquet scan as a pushed filter (row-group
+    pruning) instead of hiding inside the expression DSL's CASE tree —
+    the JSON variant machinery then runs only on matching rows."""
+    plan = plan_of(spark, sf_dir, "parity_residual_filter")
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "event_type" in pushed
+
+
 def test_aggregation_is_partial_then_final(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q1_pricing_summary")
     assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_lsh_verify_never_hints_broadcast_of_candidates(spark, sf_dir):
+    """The candidate-pair set in the MinHash-LSH verify join grows with
+    corpus size and near-dup density — a forced broadcast of it is a
+    driver OOM at 100 TB (the round-4 finding). The logical plan must
+    carry NO user broadcast hint anywhere in the dedup path; the
+    size-based planner (AQE) may still choose broadcast at test SF,
+    which is fine — the hint is the hazard, not the strategy."""
+    from hyper_storage_spark.operators import dedup
+    from hyper_storage_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in logical
+    assert "ResolvedHint" not in logical
