@@ -26,7 +26,13 @@ _LIVE: list[DataFrame] = []
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
-    """persist() the frame and register it for later bulk release."""
+    """persist() the frame and register it for later bulk release.
+    A frame that is already persisted passes through untouched (its
+    original registration handles release) — lets operators compose
+    without double-caching the same plan."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return df
     df = df.persist()
     with _LOCK:
         _LIVE.append(df)

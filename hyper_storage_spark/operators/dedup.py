@@ -120,10 +120,10 @@ def _jaccard_from_shingles(
         if max_df is not None:
             # same cap semantics as the posting-list branch: drop hot
             # shingles from intersections AND set sizes
-            raw = tracked_persist(sh)
-            keep = raw.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
-            sh = raw.join(keep.select("h"), "h")
-        sh = tracked_persist(sh)
+            keep = sh.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+            sh = sh.join(keep.select("h"), "h")
+        # sh stays unpersisted here (see minhash_lsh_pairs: JVM-cheap
+        # wide intermediates recompute faster than they cache)
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         a = sh.alias("a")
         b = sh.alias("b")
@@ -207,6 +207,15 @@ def minhash_lsh_pairs(
     Returns (a_id, b_id, jaccard ≥ threshold).
     """
     rows = num_hashes // bands
+    # deliberately UNPERSISTED: the shingle set and band table are
+    # JVM-cheap codegen over the base scan, and the plan re-derives
+    # them per consumer faster than a cache materialization barrier
+    # (A/B at sf0.1 local[32]: persisting both = 3.0 s warm, none =
+    # 1.8 s). The persist policy in this module: cache Python-UDF
+    # outputs (expensive per row — simhash signatures) and small
+    # grouped reductions (posting lists); recompute wide JVM-side
+    # intermediates — at 100 TB a cache larger than the corpus spills
+    # and loses to a parallel re-scan for the same reason.
     sh = _hashed_shingles(docs, text_col, n)
     sig = minhash_signatures(sh, num_hashes)
     band_cols = [
@@ -392,8 +401,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text")
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
 
     Banding by 16-bit chunks (pigeonhole over 4 chunks guarantees recall
-    for hamming ≤ 3); exact hamming verify via bit_count(xor)."""
-    sig = simhash_signatures(docs, text_col)
+    for hamming ≤ 3); exact hamming verify via bit_count(xor).
+
+    Signatures persist across the banding self-join: without it both
+    join sides (and their exploded chunk branches) re-run the Arrow
+    signature kernel — 4 Python evaluations of the same corpus in the
+    physical plan. The cache is released by the harness between
+    catalog entries (operators/_caches.py)."""
+    sig = tracked_persist(simhash_signatures(docs, text_col))
     chunks = sig.select(
         "doc_id",
         "simhash",
