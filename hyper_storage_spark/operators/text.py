@@ -89,6 +89,60 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", pred).drop("__ltoks")
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """Gopher-style repetition filters: the fraction of n-gram
+    occurrences that are repeats (``dup_ngram_frac``) and the share of
+    the single most frequent n-gram (``top_ngram_frac``) — the classic
+    corpus-quality signals for boilerplate / looping-generator text.
+
+    Everything is per-row array HOFs (transform/filter/array_distinct)
+    inside codegen: NO explode, NO shuffle — the n-gram multiset never
+    leaves its row, so this scales as a pure map over splits. The
+    top-frequency pass is O(distinct × total) per document, bounded
+    and local. Documents shorter than n tokens get NULL stats."""
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ngrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    df = df.withColumn("__toks", tokens_col(F.col(text_col)))
+    df = df.withColumn("__ng", F.when(F.size(toks) >= n, ngrams))
+    ng = F.col("__ng")
+    total = F.size(ng)
+    distinct = F.size(F.array_distinct(ng))
+    top = F.array_max(
+        F.transform(F.array_distinct(ng), lambda x: F.size(F.filter(ng, lambda y: y == x)))
+    )
+    return (
+        df.withColumn("n_ngrams", F.when(ng.isNotNull(), total))
+        .withColumn(
+            "dup_ngram_frac",
+            F.round(F.lit(1.0) - distinct / total, 6).cast("double"),
+        )
+        .withColumn("top_ngram_frac", F.round(top / total, 6).cast("double"))
+        .drop("__toks", "__ng")
+    )
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def with_pii_redacted(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Email-PII scrubbing for training corpora: counts matches and
+    replaces each with ``[EMAIL]``. The pattern is deliberately
+    restricted to syntax both Java regex and RE2 interpret identically
+    (no backrefs/lookaround), so an ANSI-SQL oracle can replicate the
+    redaction byte-for-byte. Built-in regexp functions only — codegen,
+    no shuffle."""
+    text = F.col(text_col)
+    return df.withColumn(
+        "n_emails", F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0)))
+    ).withColumn("text_redacted", F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]"))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Document fingerprint: the minimum md5 over the document's n-word
     shingles — a 1-permutation MinHash, stable across engines. Documents

@@ -1648,6 +1648,80 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register_extra(
+    "text_repetition",
+    """WITH ngr AS (
+         SELECT doc_id,
+                CASE WHEN len(t) >= 2
+                     THEN [t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t)-1)]
+                END AS ng
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+       )
+       SELECT doc_id,
+              CAST(len(ng) AS BIGINT) AS n_ngrams,
+              ROUND(1.0 - len(list_distinct(ng)) * 1.0 / len(ng), 6) AS dup_ngram_frac,
+              ROUND(list_max([len(list_filter(ng, y -> y = x)) FOR x IN list_distinct(ng)])
+                    * 1.0 / len(ng), 6) AS top_ngram_frac
+       FROM ngr""",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filters (duplicate-2-gram
+    fraction + most-frequent-2-gram share) — pure per-row array HOFs,
+    no explode/shuffle (operators/text.py:with_repetition_stats)."""
+    return text.with_repetition_stats(_t(spark, sf_dir, "documents"), n=2).select(
+        "doc_id",
+        F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+        "dup_ngram_frac",
+        "top_ngram_frac",
+    )
+
+
+@register_extra(
+    "text_pii_redact",
+    """WITH d AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com now'
+                     ELSE text END AS text2
+         FROM documents
+       )
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(
+                  text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                AS n_emails,
+              md5(regexp_replace(
+                  text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '[EMAIL]', 'g')) AS redacted_md5
+       FROM d""",
+)
+def text_pii_redact(spark, sf_dir):
+    """Email-PII scrubbing (operators/text.py:with_pii_redacted). The
+    synthetic corpus contains no PII, so the entry PLANTS a
+    deterministic email on every doc_id % 7 == 0 row — identically in
+    the SQL oracle — to keep the count and the byte-level redaction
+    (compared via md5) genuinely differential. The pattern sticks to
+    syntax Java regex and RE2 read identically."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text2",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    red = text.with_pii_redacted(d, "text2")
+    return red.select(
+        "doc_id",
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+@register_extra(
     "mm_binary_stats",
     """SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS sha FROM documents""",
 )

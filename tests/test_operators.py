@@ -147,6 +147,36 @@ def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
     assert all(a == 100 for a, _ in pairs), pairs
 
 
+def test_repetition_stats_values(spark):
+    rows = [
+        (0, "a b a b a b"),          # 2-grams: ab,ba,ab,ba,ab → 5 total, 2 distinct
+        (1, "one two three four"),   # all distinct
+        (2, "solo"),                 # shorter than n → NULL stats
+        (3, "x x x x"),              # one repeated 2-gram: 3 total, 1 distinct
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.with_repetition_stats(d, n=2).collect()}
+    assert out[0].n_ngrams == 5 and out[0].dup_ngram_frac == 0.6
+    assert out[0].top_ngram_frac == 0.6  # 'a b' appears 3/5
+    assert out[1].dup_ngram_frac == 0.0 and out[1].top_ngram_frac == round(1 / 3, 6)
+    assert out[2].n_ngrams is None and out[2].dup_ngram_frac is None
+    assert out[3].dup_ngram_frac == round(2 / 3, 6) and out[3].top_ngram_frac == 1.0
+
+
+def test_pii_redaction_counts_and_rewrites(spark):
+    rows = [
+        (0, "mail me at a.b+c@test.org or x@y.io today"),
+        (1, "no pii here"),
+        (2, "dup dup@d.com dup@d.com"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.with_pii_redacted(d).collect()}
+    assert out[0].n_emails == 2
+    assert out[0].text_redacted == "mail me at [EMAIL] or [EMAIL] today"
+    assert out[1].n_emails == 0 and out[1].text_redacted == "no pii here"
+    assert out[2].n_emails == 2 and out[2].text_redacted == "dup [EMAIL] [EMAIL]"
+
+
 def test_langid_accuracy_on_labeled_docs(spark, sf_dir):
     d = text.with_lang_id(docs(spark, sf_dir))
     scored = d.filter(F.col("lang") != "zh")  # no zh markers in the heuristic
