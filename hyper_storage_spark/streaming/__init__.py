@@ -18,7 +18,7 @@ from .feed import feed_readstream
 from .ingest import run_command_stream, write_commands
 from .kafka import feed_kafka_sink, kafka_command_stream
 from .revisions import assign_revisions_stream
-from .windows import session_windows, windowed_event_counts
+from .windows import session_windows, stream_dedup, windowed_event_counts
 
 __all__ = [
     "feed_readstream",
@@ -27,6 +27,7 @@ __all__ = [
     "write_commands",
     "windowed_event_counts",
     "session_windows",
+    "stream_dedup",
     "kafka_command_stream",
     "feed_kafka_sink",
 ]

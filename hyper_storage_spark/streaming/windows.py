@@ -24,6 +24,28 @@ def _as_event_time(events: DataFrame, ts_col: str) -> DataFrame:
     return events
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication — the continuous-ingest face of
+    the batch ``exact_duplicates`` operator (a training pipeline
+    dedups the firehose BEFORE it lands, not only the lake after).
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on ``keys``
+    and expires each entry once the watermark passes it, so state is
+    bounded by (key cardinality within the watermark horizon), not by
+    stream history — the property that makes this runnable forever at
+    ingest scale. Duplicates separated by more than the watermark can
+    re-emit (documented at-least-once-per-horizon semantics); widen
+    the watermark or run the batch dedup downstream for exactness
+    across horizons."""
+    ev = _as_event_time(events, ts_col)
+    return ev.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def session_windows(
     events: DataFrame,
     gap: str = "30 minutes",

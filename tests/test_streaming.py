@@ -326,3 +326,39 @@ def test_vacuum_reclaims_superseded_stream_staging_files(spark, tmp_path):
         referenced.update(store.storage.files(t))
     assert all(f in referenced for f in leftover)
     assert store.get("vdoc")[0] == {"a": 2}
+
+
+def test_stream_dedup_matches_batch_distinct(spark, tmp_path, sf_dir):
+    """The watermarked streaming dedup must emit exactly the batch
+    DISTINCT of the keys when all duplicates arrive within the
+    watermark horizon (here: the replayed events table doubled, so
+    every row has at least one duplicate)."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.sources import load_table
+    from hyper_storage_spark.streaming import stream_dedup
+
+    src = str(tmp_path / "dup_stream")
+    batch = load_table(spark, sf_dir, "events").limit(2000)
+    doubled = batch.union(batch)
+    doubled.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(doubled.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    out = stream_dedup(stream, ["event_id"], watermark="10 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r.event_id for r in got]
+    expected = {r.event_id for r in batch.select("event_id").distinct().collect()}
+    assert len(ids) == len(set(ids)), "emitted duplicates"
+    assert set(ids) == expected
