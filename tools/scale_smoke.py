@@ -1,0 +1,131 @@
+"""Scale smoke: run the bucketed dedup/ANN operators at 10× the bench
+corpus and check both wall-time growth and plan safety.
+
+Builds a 50k-document corpus (10 offset replicas of sf0.1's documents
+table — preserves the near-dup structure while multiplying cardinality)
+and a 50k-vector embedding corpus in a temp dir, then:
+
+- times exact/minhash/simhash/ngram dedup and the bucketed ANN at 1×
+  and 10×, printing the growth factor (a quadratic operator shows
+  ~100×; the bucketed designs should stay near-linear modulo fixed
+  overheads);
+- asserts no BroadcastNestedLoopJoin / CartesianProduct appears in any
+  10× plan (the scale-killer shapes).
+
+Usage: python tools/scale_smoke.py [replicas]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+    from hyper_storage_spark.operators import dedup, similarity
+    from hyper_storage_spark.operators._caches import release_tracked_caches
+    from hyper_storage_spark.session import get_spark
+    from hyper_storage_spark.sources.tables import load_table
+
+    spark = get_spark("scale_smoke")
+    sf_dir = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="scale_smoke_")
+
+    docs1 = load_table(spark, sf_dir, "documents")
+    emb1 = load_table(spark, sf_dir, "embeddings")
+    n_docs = docs1.count()
+
+    # id-offset replicas: same text (near-dup structure survives — and
+    # multiplies ACROSS replicas, the stress case), distinct doc_ids
+    big_docs_path = f"{tmp}/docs10x"
+    docs1.select(
+        F.col("doc_id") + F.lit(0).alias("r"), "text"
+    )  # schema probe only
+    union = None
+    for r in range(replicas):
+        part = docs1.select(
+            (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"), "text"
+        )
+        union = part if union is None else union.unionAll(part)
+    union.write.mode("overwrite").parquet(big_docs_path)
+    big_emb_path = f"{tmp}/emb10x"
+    union_e = None
+    for r in range(replicas):
+        part = emb1.select(
+            (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"), "embedding"
+        )
+        union_e = part if union_e is None else union_e.unionAll(part)
+    union_e.write.mode("overwrite").parquet(big_emb_path)
+
+    docs10 = spark.read.parquet(big_docs_path)
+    emb10 = spark.read.parquet(big_emb_path)
+    print(f"# corpus: {n_docs} docs -> {docs10.count()} docs ({replicas}x)")
+
+    qids = [0, 1, 2, 3, 4]
+    cases = {
+        # max_df mirrors the catalog entry; at 10x the cross-replica
+        # duplicate text makes every shingle hot, so the cap is the
+        # difference between bounded pair output and a replica^2 blowup
+        "dedup_exact": lambda d, e: dedup.exact_duplicates(d).count(),
+        "ngram_jaccard": lambda d, e: dedup.ngram_jaccard_pairs(
+            d, threshold=0.5, max_df=100
+        ).count(),
+        "minhash_lsh": lambda d, e: dedup.minhash_lsh_pairs(d, threshold=0.5).count(),
+        "simhash": lambda d, e: dedup.simhash_pairs(d, max_hamming=3).count(),
+        "ann_lsh_bucket": lambda d, e: similarity.lsh_bucket_topk(e, qids, k=10).count(),
+    }
+
+    bad_shapes = ("BroadcastNestedLoopJoin", "CartesianProduct")
+    failures = []
+    for name, fn in cases.items():
+        # warm 1x, then time 1x and replicas-x
+        fn(docs1, emb1)
+        release_tracked_caches()
+        t0 = time.time()
+        n1 = fn(docs1, emb1)
+        t1 = time.time() - t0
+        release_tracked_caches()
+        t0 = time.time()
+        n10 = fn(docs10, emb10)
+        t10 = time.time() - t0
+        release_tracked_caches()
+        growth = t10 / max(t1, 1e-9)
+        print(
+            f"# {name}: 1x {t1:.2f}s ({n1} rows) -> {replicas}x {t10:.2f}s "
+            f"({n10} rows), growth {growth:.1f}x"
+        )
+        if growth > replicas * 3:  # generous: linear + overheads, never ~replicas^2
+            failures.append(f"{name}: wall grew {growth:.1f}x for {replicas}x data")
+
+    # plan-shape audit at 10x
+    plans = {
+        "ngram_jaccard": dedup.ngram_jaccard_pairs(docs10, 0.5, max_df=100),
+        "minhash_lsh": dedup.minhash_lsh_pairs(docs10, 0.5),
+        "simhash": dedup.simhash_pairs(docs10, 3),
+        "ann_lsh_bucket": similarity.lsh_bucket_topk(emb10, qids, k=10),
+        "embedding_lsh": dedup.embedding_lsh_pairs(emb10, 0.45),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for shape in bad_shapes:
+            if shape in plan:
+                failures.append(f"{name}: {shape} in 10x plan")
+
+    print()
+    if failures:
+        print("SCALE SMOKE FAILURES:")
+        for f_ in failures:
+            print(" -", f_)
+        sys.exit(1)
+    print(f"scale smoke OK: near-linear growth at {replicas}x, no quadratic plan shapes")
+
+
+if __name__ == "__main__":
+    main()
