@@ -365,6 +365,121 @@ def embedding_lsh_pairs(
     )
 
 
+def cdc_chunk_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 16,
+    mask_bits: int = 6,
+    min_chunk: int = 32,
+    max_chunk: int = 256,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style rolling hash) →
+    (doc_id, chunk_idx, chunk_len, chunk_hash) — the shift-resistant
+    document fingerprint.
+
+    A boundary falls where the ``window``-byte rolling hash has its
+    low ``mask_bits`` bits zero (expected chunk ≈ 2^mask_bits bytes),
+    clamped to [min_chunk, max_chunk]. Because boundaries depend on
+    CONTENT, inserting or deleting bytes early in a document only
+    perturbs the chunks that contain the edit — downstream chunk-hash
+    dedup still matches the untouched remainder, which fixed-size
+    chunking and whole-document hashing both lose. This is the
+    storage/dedup trick (rsync, LBFS, backup dedupe) applied to
+    training-corpus near-dup detection for LONG documents.
+
+    Execution: mapInPandas; the rolling hash is one vectorized uint64
+    sliding-window dot product per document (wraparound multiply-add
+    IS mod-2^64 arithmetic), no per-byte Python. One output row per
+    chunk — downstream grouping on chunk_hash finds shared content
+    across documents with a plain shuffle, never a pairwise compare."""
+    import hashlib
+    from typing import Iterator
+
+    P = np.uint64(1099511628211)  # FNV-64 prime
+    kernel = P ** np.arange(window - 1, -1, -1, dtype=np.uint64)
+    mask = np.uint64((1 << mask_bits) - 1)
+
+    def chunk_one(data: bytes) -> list[tuple[int, int, str]]:
+        n = len(data)
+        if n == 0:
+            return []
+        if n <= window:
+            return [(0, n, hashlib.md5(data).hexdigest())]
+        b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(b, window)
+        h = (win * kernel).sum(axis=1, dtype=np.uint64)  # wraparound == mod 2^64
+        cut_positions = np.nonzero((h & mask) == 0)[0] + window  # cut AFTER the window
+        bounds = []
+        start = 0
+        for c in cut_positions:
+            if c - start < min_chunk:
+                continue
+            while c - start > max_chunk:  # force-split oversized runs
+                bounds.append(start + max_chunk)
+                start += max_chunk
+            bounds.append(int(c))
+            start = int(c)
+        while n - start > max_chunk:
+            bounds.append(start + max_chunk)
+            start += max_chunk
+        if start < n:
+            bounds.append(n)
+        out = []
+        prev = 0
+        for i, end in enumerate(bounds):
+            piece = data[prev:end]
+            out.append((i, len(piece), hashlib.md5(piece).hexdigest()))
+            prev = end
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
+                if txt is None:
+                    continue
+                for idx, ln, hx in chunk_one(str(txt).encode("utf-8")):
+                    rows.append((doc_id, idx, ln, hx))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_idx", "chunk_len", "chunk_hash"]
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        run, "doc_id long, chunk_idx int, chunk_len int, chunk_hash string"
+    )
+
+
+def cdc_shared_chunk_pairs(
+    docs: DataFrame, min_shared: int = 2, text_col: str = "text", **chunk_kw
+) -> DataFrame:
+    """Near-dup candidates for LONG documents: pairs sharing at least
+    ``min_shared`` content-defined chunks — (a_id, b_id, shared_chunks).
+    Posting-list form over chunk_hash (one groupBy, pair emission per
+    list, df-bounded by construction since identical chunks collapse):
+    the same no-self-join shape as the shingle path."""
+    ch = cdc_chunk_hashes(docs, text_col, **chunk_kw).select(
+        "doc_id", "chunk_hash"
+    ).distinct()
+    posting = ch.groupBy("chunk_hash").agg(F.collect_list("doc_id").alias("docs"))
+    docs_sorted = F.array_sort(F.col("docs"))
+    pair_arrays = F.flatten(
+        F.transform(
+            docs_sorted,
+            lambda x, i: F.transform(
+                F.slice(docs_sorted, i + 2, F.size(docs_sorted)),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
+    return (
+        posting.select(F.explode(pair_arrays).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= min_shared)
+    )
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash: bigint) — 64-bit SimHash over token xxhash64s:
     per bit, sum +1/-1 across tokens; bit set where the sum is positive.

@@ -1354,6 +1354,18 @@ def dedup_embedding_lsh(spark, sf_dir):
     )
 
 
+@register_extra("dedup_cdc_chunks", None)  # rolling-hash family is engine-specific
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined-chunking near-dup candidates (rsync/LBFS-style
+    rolling-hash boundaries; operators/dedup.py:cdc_chunk_hashes):
+    pairs sharing ≥2 content chunks. Shift-resistant — the long-doc
+    partial-overlap case n-gram Jaccard underweights; pytest pins the
+    shift-resistance and coverage properties."""
+    return dedup.cdc_shared_chunk_pairs(_t(spark, sf_dir, "documents"), min_shared=2).orderBy(
+        "a_id", "b_id"
+    )
+
+
 @register_extra("dedup_embedding_lsh_raw", None)  # hyperplane constants live Spark-side
 def dedup_embedding_lsh_raw(spark, sf_dir):
     """Bucketed near-dup pairs: multi-table hyperplane LSH candidates +

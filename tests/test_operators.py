@@ -130,6 +130,52 @@ def test_approx_recall_holds_across_seeds(spark):
         assert len(pairs) / len(exact_pairs) >= 0.9, ("embedding_lsh recall", seed)
 
 
+def test_cdc_chunking_is_shift_resistant(spark):
+    """The defining property of content-defined chunking: prepending
+    text to a document must leave most downstream chunk hashes intact
+    (fixed-size chunking would shift every boundary and share ~0)."""
+    import random
+
+    rnd = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "run", "fast", "slow", "deep"]
+    base = " ".join(rnd.choice(words) for _ in range(400))
+    shifted = "NEW PREFIX INSERTED HERE " + base
+    d = spark.createDataFrame([(0, base), (1, shifted)], "doc_id long, text string")
+    ch = dedup.cdc_chunk_hashes(d).collect()
+    h0 = {r.chunk_hash for r in ch if r.doc_id == 0}
+    h1 = {r.chunk_hash for r in ch if r.doc_id == 1}
+    assert len(h0) > 5  # the doc actually chunked
+    overlap = len(h0 & h1) / len(h0)
+    assert overlap >= 0.5, f"shift resistance lost: {overlap:.2f}"
+    # determinism: re-running produces identical chunking
+    again = {(r.doc_id, r.chunk_idx, r.chunk_hash) for r in dedup.cdc_chunk_hashes(d).collect()}
+    assert again == {(r.doc_id, r.chunk_idx, r.chunk_hash) for r in ch}
+    # chunk lengths cover the document exactly and respect the max
+    n0 = sum(r.chunk_len for r in ch if r.doc_id == 0)
+    assert n0 == len(base.encode())
+    assert all(r.chunk_len <= 256 for r in ch)
+
+
+def test_cdc_shared_chunk_pairs_finds_partial_overlap(spark):
+    """Two long documents sharing a large middle section must pair up
+    via shared chunks even though their prefixes/suffixes differ —
+    the long-document near-dup case n-gram Jaccard underweights."""
+    import random
+
+    rnd = random.Random(5)
+    words = ["one", "two", "three", "four", "five", "six"]
+    shared = " ".join(rnd.choice(words) for _ in range(300))
+    a = "intro text only in a " + shared
+    b = "completely different opening " + shared + " and a different tail"
+    c = " ".join(rnd.choice(words) for _ in range(100))  # unrelated
+    d = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    pairs = {(r.a_id, r.b_id): r.shared_chunks for r in dedup.cdc_shared_chunk_pairs(d).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert all(k == (0, 1) for k in pairs), pairs
+
+
 def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
     """A shingle shared by every document must not create the L² join
     blowup: with the df cap it is dropped from posting lists AND set
