@@ -670,10 +670,13 @@ def _pushable_form(c, dyncols: dict, dtypes: dict) -> Optional[Column]:
     predicate translator; a plain ``col op lit`` pushes into the scan.
     Only emitted where semantics provably coincide with the DSL:
     same-typed comparisons (string col ↔ string const, integral col ↔
-    integral const), where both sides reject NULLs identically (DSL
-    error⇒false ≡ SQL null-rejecting filter) and both orders are the
-    same (UTF-8 binary for strings == the evaluator's codepoint
-    order; integer compare is exact on both)."""
+    integral const), where both orders are the same (UTF-8 binary for
+    strings == the evaluator's codepoint order; integer compare is
+    exact on both). NULL cells: the DSL rejects them for = and every
+    ordering (same as a SQL null-rejecting filter), but its TYPED
+    inequality calls a present null UNEQUAL to any non-null constant
+    — the row PASSES — so != compiles to ``isNull() | (col != lit)``
+    (still one pushable Or of source filters), not bare ``!=``."""
     if not isinstance(c, BinaryOp) or c.op not in _PUSH_FLIP:
         return None
     l, r, op = c.left, c.right, c.op
@@ -701,7 +704,7 @@ def _pushable_form(c, dyncols: dict, dtypes: dict) -> Optional[Column]:
     col, lit = F.col(l.name), F.lit(v)
     return {
         "=": col == lit,
-        "!=": col != lit,
+        "!=": col.isNull() | (col != lit),
         ">": col > lit,
         "<": col < lit,
         ">=": col >= lit,

@@ -280,11 +280,56 @@ def test_apply_filter_conjunct_split_and_pushdown_parity(spark):
         got = sorted(r.id for r in apply_filter(df, ast, json_col="props").select("id").collect())
         expected = []
         for row in rows:
+            # typed NULL cells are PRESENT nulls (the engine's typed
+            # semantics, pinned by test_typed_null_truthiness_parity):
+            # the DSL's typed != calls them unequal, so they stay in
+            # the evaluator context as None rather than going missing
             ctx = {"event_type": row[1], "value": row[2]}
             body = json.loads(row[3]) if row[3] else {}
             ctx.update(body)
-            # evaluator context: absent typed NULLs behave as missing
-            ctx = {k: v for k, v in ctx.items() if v is not None}
             if evaluate_bool(ast, ctx):
                 expected.append(row[0])
         assert got == expected, (text, got, expected)
+
+
+def test_apply_filter_exhaustive_comparison_grid(spark):
+    """Exhaustive grid over the pushdown fast path's decision space:
+    every comparison op x {string, integral, double} column x
+    {matching, mismatched, fractional, boolean, empty} constant x both
+    operand orders, over cells including NULLs, negatives, and ties.
+    Every combination must return exactly the evaluator's row set —
+    whether it took the native fast path or the DSL CASE tree."""
+    from hyper_storage_spark.expression.compiler import apply_filter
+
+    rows = [
+        (0, "a", 0, 5.0),
+        (1, "b", 5, 5.5),
+        (2, "", -3, -1.0),
+        (3, None, None, None),
+        (4, "a", 5, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, i bigint, d double")
+    cells = {r[0]: {"s": r[1], "i": r[2], "d": r[3]} for r in rows}
+
+    consts = {
+        "s": ['"a"', '""', '"zz"', "5", "true"],
+        "i": ["5", "0", "-3", "5.5", '"5"', "true"],
+        "d": ["5", "5.5", "0", '"x"'],
+    }
+    ops = ["=", "!=", ">", "<", ">=", "<="]
+    n_checked = 0
+    for col, col_consts in consts.items():
+        for const in col_consts:
+            for op in ops:
+                for text in (f"{col} {op} {const}", f"{const} {op} {col}"):
+                    ast = parse(text)
+                    got = sorted(
+                        r.id for r in apply_filter(df, ast).select("id").collect()
+                    )
+                    # typed NULL cells = present nulls (see conjunct test)
+                    expected = sorted(
+                        rid for rid, ctx in cells.items() if evaluate_bool(ast, ctx)
+                    )
+                    assert got == expected, (text, got, expected)
+                    n_checked += 1
+    assert n_checked == 180
