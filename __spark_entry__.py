@@ -6,9 +6,13 @@ query catalog (hyper_storage_spark/queries.py) in the driver's shape:
 - ``entry(spark)`` — flagship query (TPC-H Q1 shape) on sf0.001.
 - ``queries()`` — one entry per implemented operator (SURVEY.md §2
   parity ops + the relational/pipeline extension surface).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
-  query (non-expressible ones — engine-specific hash families,
-  Arrow/mapInPandas plumbing — are omitted and get rows-only checks).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for EVERY driver-tier
+  query (50/50 since round 5): operators whose internals are
+  engine-specific (hash families, k-means cells) are gated through
+  SQL-predictable CONTRACT rows — recall floors vs the exact result,
+  verified-precision equalities, banding-completeness invariants —
+  with their raw outputs kept in the extra tier
+  (hyper_storage_spark/queries.py EXTRA_QUERIES).
 """
 
 from __future__ import annotations
