@@ -79,3 +79,29 @@ def test_driver_entry_contract(spark):
 
     assert not (set(qs) & set(EXTRA_QUERIES))
     assert len(EXTRA_QUERIES) >= 13  # demoted variants stay locally verified
+
+
+def test_query_vs_query_paged_equivalence_grid(spark, sf_dir):
+    """The keyset fetch loop (query_paged: bounded selects, least-rows
+    resume filters, adaptive growth) must return EXACTLY what the
+    one-shot query() returns, across a grid of filter shapes (none /
+    sargable-on-index / residual), sort orders (item order, indexed
+    lang, descending, multi-field), and page sizes straddling the
+    internal select boundaries."""
+    store = _docs_store(spark, sf_dir)
+    grid = [
+        dict(filter=None, sort=None),
+        dict(filter='lang = "zh"', sort=None),
+        dict(filter="n_chars > 300", sort=None),
+        dict(filter=None, sort=[SortBy("lang")]),
+        dict(filter='n_chars > 400', sort=[SortBy("lang")]),
+        dict(filter=None, sort=[SortBy("lang"), SortBy("id", descending=True)]),
+        dict(filter='lang != "zh"', sort=[SortBy("id")]),
+    ]
+    for params in grid:
+        for size in (5, 23, 60):
+            one = store.query("docs~", size=size, **params)
+            paged = store.query_paged("docs~", size=size, **params)
+            ids_one = [i["id"] for i in one.items]
+            ids_paged = [i["id"] for i in paged.items]
+            assert ids_one == ids_paged, (params, size, ids_one[:5], ids_paged[:5])
