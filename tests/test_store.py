@@ -311,3 +311,80 @@ def test_recovery_expires_abandoned_transactions(spark, tmp_path):
     assert store.recover(scan_all=True) == 0  # abandoned, not completed
     assert all(t["uuid"] != "dead00" for t in store.storage.bucket_rows(TRANSACTIONS, b))
     assert all(e["document_uri"] != "ghost" for e in store.feed_events())
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [1234, 77, 2025])
+def test_random_crud_sequence_against_model(spark, tmp_path, seed):
+    """Model-based fuzz: a random interleaving of item put / patch /
+    delete / collection query must agree with a plain-Python model
+    using the SAME merge/null-strip helpers and the evaluator as the
+    filter reference. Catches cross-op interactions (patch after
+    delete, re-put after tombstone, index-maintained queries during
+    mutation) that scenario tests enumerate one at a time."""
+    import random
+
+    from hyper_storage_spark.expression import evaluate_bool, parse
+    from hyper_storage_spark.store import DocumentStore, NotFoundError
+    from hyper_storage_spark.store.merge import filter_nulls, merge_patch
+
+    rnd = random.Random(seed)
+    store = DocumentStore(str(tmp_path / "fuzz"), spark=spark)
+    model: dict[str, dict] = {}
+    ids = [f"i{k}" for k in range(8)]
+
+    def rand_body():
+        b = {"a": rnd.randint(0, 20)}
+        if rnd.random() < 0.6:
+            b["s"] = rnd.choice(["x", "y", "zz"])
+        if rnd.random() < 0.3:
+            b["n"] = None  # null field: stripped on put, deletes on patch
+        if rnd.random() < 0.3:
+            b["o"] = {"inner": rnd.randint(0, 5), "gone": None}
+        return b
+
+    for step in range(40):
+        op = rnd.choice(["put", "put", "patch", "delete", "query"])
+        item = rnd.choice(ids)
+        path = f"fuzz~/{item}"
+        if op == "put":
+            body = rand_body()
+            store.put(path, body)
+            model[item] = filter_nulls(body)
+        elif op == "patch":
+            patch = rand_body()
+            try:
+                store.patch(path, patch)
+                assert item in model, f"step {step}: patch succeeded on missing {item}"
+                model[item] = merge_patch(model[item], patch)
+            except NotFoundError:
+                assert item not in model, f"step {step}: patch 404 on existing {item}"
+        elif op == "delete":
+            try:
+                store.delete(path)
+                assert item in model, f"step {step}: delete succeeded on missing {item}"
+                del model[item]
+            except NotFoundError:
+                assert item not in model, f"step {step}: delete 404 on existing {item}"
+        else:
+            flt = rnd.choice([None, "a > 10", 's = "x"', "a > 5 and a < 15"])
+            try:
+                res = store.query("fuzz~", filter=flt, size=50)
+            except NotFoundError:
+                assert not model  # collection not created yet
+                continue
+            got = {i["id"]: {k: v for k, v in i.items() if k != "id"} for i in res.items}
+            ast = parse(flt) if flt else None
+            expected = {
+                k: v
+                for k, v in model.items()
+                if ast is None or evaluate_bool(ast, v)
+            }
+            assert got == expected, (step, flt, got, expected)
+
+    # final full read-back: every surviving item GETs with its model body
+    for item, body in model.items():
+        got_body, _rev = store.get(f"fuzz~/{item}")
+        assert {k: v for k, v in got_body.items() if k != "id"} == body, item
