@@ -388,3 +388,57 @@ def test_random_crud_sequence_against_model(spark, tmp_path, seed):
     for item, body in model.items():
         got_body, _rev = store.get(f"fuzz~/{item}")
         assert {k: v for k, v in got_body.items() if k != "id"} == body, item
+
+
+@pytest.mark.parametrize("seed", [5, 901])
+def test_random_crud_with_live_indexes_against_model(spark, tmp_path, seed):
+    """Same model fuzz but with two indexes (sorted MV + filtered MV)
+    created up front, so every query may route through an index that
+    incremental maintenance must have kept exact through the whole
+    put/patch/delete interleaving. A stale or phantom index row shows
+    up as a query divergence."""
+    import random
+
+    from hyper_storage_spark.expression import evaluate_bool, parse
+    from hyper_storage_spark.plans import SortItem
+    from hyper_storage_spark.store import DocumentStore, NotFoundError
+    from hyper_storage_spark.store.merge import filter_nulls, merge_patch
+
+    rnd = random.Random(seed)
+    store = DocumentStore(str(tmp_path / "fuzzidx"), spark=spark)
+    store.put("fz~/seed", {"a": 1})
+    store.create_index("fz~", "by_a", [SortItem("a", "decimal", "asc")], None)
+    store.create_index("fz~", "big_a", [], "a > 10")
+    model: dict[str, dict] = {"seed": {"a": 1}}
+    ids = [f"i{k}" for k in range(6)] + ["seed"]
+
+    for step in range(30):
+        op = rnd.choice(["put", "patch", "delete", "query", "query"])
+        item = rnd.choice(ids)
+        path = f"fz~/{item}"
+        if op == "put":
+            body = {"a": rnd.randint(0, 20), "s": rnd.choice(["x", "y"])}
+            store.put(path, body)
+            model[item] = filter_nulls(body)
+        elif op == "patch":
+            patch = {"a": rnd.randint(0, 20)}
+            try:
+                store.patch(path, patch)
+                model[item] = merge_patch(model[item], patch)
+            except NotFoundError:
+                assert item not in model
+        elif op == "delete":
+            try:
+                store.delete(path)
+                del model[item]
+            except NotFoundError:
+                assert item not in model
+        else:
+            flt = rnd.choice(["a > 10", "a > 10 and a < 18", None])
+            res = store.query("fz~", filter=flt, size=50)
+            got = {i["id"] for i in res.items}
+            ast = parse(flt) if flt else None
+            expected = {
+                k for k, v in model.items() if ast is None or evaluate_bool(ast, v)
+            }
+            assert got == expected, (step, flt, sorted(got), sorted(expected))
