@@ -1,0 +1,116 @@
+"""Store-operation benchmark — the measurement the reference's
+perftest sketches but never runs (BenchmarkTest.scala:43 exits before
+its insert/measure section; see BASELINE.md).
+
+Times the library-mode write path (sequential puts — the deliberately
+serialized single-writer path), merge-patches, point GETs, indexed and
+residual collection queries, and the paged fetch loop, then prints ONE
+JSON line. The bulk path (ingest_collection) is timed separately: it
+is the scale path and should dominate sequential puts by orders of
+magnitude.
+
+Usage: python tools/bench_store.py [n_items]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.plans import SortBy, SortItem
+    from hyper_storage_spark.session import get_spark
+    from hyper_storage_spark.store import DocumentStore
+
+    spark = get_spark("bench_store")
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # -- sequential per-item writes (the serialized operational path) --
+    store = DocumentStore(tempfile.mkdtemp(prefix="bench_store_"), spark=spark)
+
+    def puts():
+        for i in range(n):
+            store.put(f"bench~/{i:06d}", {"a": i % 50, "s": f"v{i % 7}", "b": i})
+
+    timed(f"put_{n}_items", puts)
+
+    def patches():
+        for i in range(0, n, 4):
+            store.patch(f"bench~/{i:06d}", {"a": (i + 1) % 50})
+
+    timed(f"patch_{n // 4}_items", patches)
+
+    def gets():
+        for i in range(0, n, 2):
+            store.get(f"bench~/{i:06d}")
+
+    timed(f"get_{n // 2}_points", gets)
+
+    timed(
+        "index_build_sorted",
+        lambda: store.create_index("bench~", "by_a", [SortItem("a", "decimal", "asc")], None),
+    )
+    timed(
+        "index_build_filtered",
+        lambda: store.create_index("bench~", "big_a", [], "a > 25"),
+    )
+
+    def queries():
+        for _ in range(10):
+            store.query("bench~", filter="a > 25", sort=[SortBy("a")], size=50)
+
+    timed("query_indexed_x10", queries)
+
+    def residual():
+        for _ in range(10):
+            store.query("bench~", filter='s = "v3"', size=50)
+
+    timed("query_residual_x10", residual)
+
+    timed("query_paged", lambda: store.query_paged("bench~", filter="a > 10", size=25))
+
+    # -- bulk ingest (the scale path) --
+    bulk = DocumentStore(tempfile.mkdtemp(prefix="bench_bulk_"), spark=spark)
+    rows = spark.range(n * 50).select(
+        F.col("id").alias("doc_id"),
+        F.lpad(F.col("id").cast("string"), 10, "0").alias("item"),
+        (F.col("id") % 50).alias("a"),
+        F.concat(F.lit("v"), (F.col("id") % 7).cast("string")).alias("s"),
+    )
+    timed(
+        f"bulk_ingest_{n * 50}_items",
+        lambda: bulk.ingest_collection(rows, "bulk~", "item"),
+    )
+
+    puts_per_sec = round(n / max(timings[f"put_{n}_items"], 1e-9), 1)
+    bulk_per_sec = round((n * 50) / max(timings[f"bulk_ingest_{n * 50}_items"], 1e-9), 1)
+    print(
+        json.dumps(
+            {
+                "metric": "store_ops",
+                "n_items": n,
+                "puts_per_sec": puts_per_sec,
+                "bulk_items_per_sec": bulk_per_sec,
+                "timings": timings,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
