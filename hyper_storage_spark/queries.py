@@ -1785,6 +1785,32 @@ def mm_feature_extract(spark, sf_dir):
     )
 
 
+@register_extra(
+    "mm_image_stats",
+    """SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                   WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                   ELSE 'video/mp4' END AS media_type,
+              CASE WHEN doc_id % 3 = 0 THEN 12 ELSE -1 END AS img_w,
+              CASE WHEN doc_id % 3 = 0 THEN 9 ELSE -1 END AS img_h,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 108 ELSE -1 END AS BIGINT) AS n_px,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 256 ELSE -1.0 END AS DOUBLE)
+                AS mean_px
+       FROM documents""",
+)
+def mm_image_stats(spark, sf_dir):
+    """PNG round-trip proof via decoded pixel statistics
+    (operators/multimodal.py:image_stats): dims, pixel count, and
+    mean intensity come from DECODING the generated PNG bytes (zlib
+    inflate + scanline unfilter), and the uniform-intensity payloads
+    make every one of them SQL-predictable — mean_px must equal
+    doc_id % 256 exactly; non-images carry -1 sentinels."""
+    media = multimodal.attach_media(_t(spark, sf_dir, "documents"))
+    return multimodal.image_stats(media).select(
+        "doc_id", "media_type", "img_w", "img_h", "n_px", "mean_px"
+    )
+
+
 @register_extra("mm_feature_extract_fake", None)  # Arrow plumbing, fake decoder
 def mm_feature_extract_fake(spark, sf_dir):
     """The fake-decoder plumbing variant (byte histogram, no decode):
