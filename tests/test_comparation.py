@@ -46,3 +46,71 @@ def test_narrower_is_not_equal():
     # the inverse direction must not be Wider
     assert compare(parse("x > 5"), parse("x > 4")) is NotEqual
     assert compare(parse("x has [1,2]"), parse("x has [1,2,3]")) is NotEqual
+
+
+def test_implication_claims_are_semantically_sound():
+    """Soundness fuzz for the MV router's implication engine: whenever
+    compare(a, b) claims Equal, a and b must evaluate identically on
+    every sampled context; whenever it claims Wider (b ⊆ a — an index
+    with filter a may serve a query with filter b), no context may
+    match b but not a. An unsound claim here is a wrong-results bug
+    (the router would serve a query from an index missing rows), so
+    this is the highest-stakes pure function in the planner. 2000
+    random pairs x 30 random contexts against the evaluator."""
+    import random
+
+    from hyper_storage_spark.expression import evaluate_bool, parse
+    from hyper_storage_spark.plans.comparation import Equal, Wider, compare
+
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    from test_expression_differential import gen_context, gen_expr
+
+    rnd = random.Random(4242)
+    contexts = [gen_context(rnd) for _ in range(30)]
+
+    def pair(ta, tb=None):
+        # derived pairs bias the fuzz toward Equal/Wider-claiming
+        # shapes; unrelated pairs keep testing the NotEqual side
+        if tb is None:
+            mode = rnd.random()
+            if mode < 0.25:
+                tb = ta  # Equal by construction
+            elif mode < 0.5:
+                tb = f"({ta} and {gen_expr(rnd)})"  # a should widen b
+            elif mode < 0.7:
+                tb, ta = ta, f"({ta} or {gen_expr(rnd)})"  # or-widening
+            elif mode < 0.85:
+                ident = rnd.choice(["a", "b", "c"])
+                lo, hi = sorted(rnd.sample(range(0, 12), 2))
+                op = rnd.choice([">", ">=", "<", "<="])
+                wide, narrow = (lo, hi) if op in (">", ">=") else (hi, lo)
+                return f"{ident} {op} {wide}", f"{ident} {op} {narrow}"
+            else:
+                tb = gen_expr(rnd)
+        return ta, tb
+
+    n_equal = n_wider = 0
+    violations = []
+    for _ in range(2000):
+        ta, tb = pair(gen_expr(rnd))
+        try:
+            a, b = parse(ta), parse(tb)
+        except Exception:
+            continue
+        res = compare(a, b)
+        if res is Equal:
+            n_equal += 1
+            for ctx in contexts:
+                if evaluate_bool(a, ctx) != evaluate_bool(b, ctx):
+                    violations.append(("Equal", ta, tb, ctx))
+                    break
+        elif res is Wider:
+            n_wider += 1
+            for ctx in contexts:
+                if evaluate_bool(b, ctx) and not evaluate_bool(a, ctx):
+                    violations.append(("Wider", ta, tb, ctx))
+                    break
+    assert not violations, violations[:5]
+    # the fuzz must actually exercise the interesting verdicts
+    assert n_equal >= 20 and n_wider >= 5, (n_equal, n_wider)
