@@ -56,10 +56,11 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — the per-query loop will record it
         print(f"# warmup failed: {type(e).__name__}: {e}", file=sys.stderr)
 
-    # two timed runs per query, report the min: the box is shared and a
-    # co-tenant CPU burst during a single run otherwise masquerades as
-    # a plan regression (observed ±2× on identical code)
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # three timed runs per query, report the min: the box is shared and
+    # a co-tenant CPU burst during a single run otherwise masquerades
+    # as a plan regression (observed ±2× on identical code; r4's two
+    # phantom dedup regressions survived min-of-2, hence 3)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     from hyper_storage_spark.operators._caches import release_tracked_caches
