@@ -38,17 +38,33 @@ def asof_join(
     right_cols: Optional[Sequence[str]] = None,
     tiebreak: Optional[str] = None,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the LAST right row with
-    ``right_ts <= left_ts`` in the same ``on`` group (backward as-of,
-    inclusive — DuckDB/pandas ``merge_asof`` semantics).
+    """For each left row, attach the matching right row in the same
+    ``on`` group (inclusive — DuckDB/pandas ``merge_asof`` semantics):
+
+    - ``backward`` (default): LAST right row with ``right_ts <= left_ts``
+    - ``forward``: FIRST right row with ``right_ts >= left_ts``
+    - ``nearest``: whichever of the two is closer in time; exact ties
+      resolve backward (the pandas convention)
+
+    All three run as the SAME physical shape: union both sides into
+    one stream, one shuffle on the key, running ``last(..., ignore
+    nulls)`` windows (forward = the mirrored descending order; nearest
+    = both windows over the one sorted exchange, then a closer-of-two
+    pick). Still zero joins at any scale.
 
     Returns all left columns plus ``right_cols``. ``how="inner"``
     drops left rows with no match; ``"left"`` keeps them with NULLs.
-    ``tiebreak`` orders right rows sharing one timestamp (last wins).
+    ``tiebreak`` orders right rows sharing one timestamp (backward:
+    last wins; forward: first wins — the mirrored convention).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join how must be 'inner' or 'left', got {how!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join direction must be backward|forward|nearest, got {direction!r}"
+        )
     on = list(on)
     right_cols = list(
         right_cols
@@ -62,7 +78,7 @@ def asof_join(
         raise ValueError("asof_join needs at least one right payload column")
     # name collisions would silently produce duplicate/ambiguous output
     # columns (the output is on + left payload + right_cols)
-    reserved = {"__ts", "__r", "__is_left", "__tb"}
+    reserved = {"__ts", "__r", "__is_left", "__tb", "__rts"}
     for group in (on, left_payload, right_cols):
         bad = reserved & set(group)
         if bad:
@@ -80,10 +96,15 @@ def asof_join(
     # and the struct is non-null for every right row even when all its
     # fields are null — so the inner-match test is exact. The typed
     # NULL struct comes from when(false, struct(...)) so arbitrary
-    # column names never pass through a DDL string
+    # column names never pass through a DDL string. The struct also
+    # carries the right row's own timestamp (``__rts``) so ``nearest``
+    # can compare distances; it never reaches the output projection.
     null_struct = F.when(
         F.lit(False),
-        F.struct(*[F.lit(None).cast(rtypes[c]).alias(c) for c in right_cols]),
+        F.struct(
+            *[F.lit(None).cast(rtypes[c]).alias(c) for c in right_cols],
+            F.lit(None).cast(rtypes[right_ts]).alias("__rts"),
+        ),
     )
     l2 = left.select(
         *on,
@@ -102,20 +123,47 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_payload],
-        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+        F.struct(
+            *[F.col(c) for c in right_cols], F.col(right_ts).alias("__rts")
+        ).alias("__r"),
         *([F.col(tiebreak).alias("__tb")] if tiebreak else []),
     )
     # right rows sort BEFORE left rows at equal ts (__is_left asc), so a
-    # left row sees a same-timestamp right row — the inclusive bound
-    order = [F.col("__ts").asc(), F.col("__is_left").asc()] + (
+    # left row sees a same-timestamp right row — the inclusive bound.
+    # backward scans time ascending (last seen = max eligible ts);
+    # forward scans descending (last seen = min eligible ts), with the
+    # tiebreak mirrored so "first right row" wins among equal ts.
+    order_back = [F.col("__ts").asc(), F.col("__is_left").asc()] + (
         [F.col("__tb").asc_nulls_first()] if tiebreak else []
     )
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    order_fwd = [F.col("__ts").desc(), F.col("__is_left").asc()] + (
+        [F.col("__tb").desc_nulls_first()] if tiebreak else []
     )
-    carried = l2.unionByName(r2).withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+
+    def running(order):
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__r", ignorenulls=True).over(w)
+
+    stream = l2.unionByName(r2)
+    if direction == "backward":
+        carried = stream.withColumn("__r", running(order_back))
+    elif direction == "forward":
+        carried = stream.withColumn("__r", running(order_fwd))
+    else:  # nearest: both windows share the one key-partitioned exchange
+        back, fwd = running(order_back), running(order_fwd)
+        dist_back = F.abs(F.col("__ts").cast("double") - back["__rts"].cast("double"))
+        dist_fwd = F.abs(fwd["__rts"].cast("double") - F.col("__ts").cast("double"))
+        carried = stream.withColumn(
+            "__r",
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(dist_back <= dist_fwd, back)  # tie → backward (pandas)
+            .otherwise(fwd),
+        )
     out = carried.filter(F.col("__is_left") == 1)
     if how == "inner":
         out = out.filter(F.col("__r").isNotNull())

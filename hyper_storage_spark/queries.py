@@ -1915,6 +1915,78 @@ def ts_asof_join(spark, sf_dir):
     )
 
 
+@register_extra(
+    "ts_asof_forward",
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+                  FROM events),
+       c AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'click'),
+       p AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+             FROM e WHERE event_type = 'purchase')
+       SELECT c.user_id, c.event_id, c.ts, p_event_id, p_value
+       FROM c ASOF JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts""",
+)
+def ts_asof_forward(spark, sf_dir):
+    """Forward as-of: each click gets the user's NEXT purchase at or
+    after it — the mirrored descending-order window, still zero joins.
+    Oracle: DuckDB ASOF with the >= inequality."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    return timeseries.asof_join(
+        clicks, purchases, on=["user_id"], right_cols=["p_event_id", "p_value"],
+        direction="forward",
+    )
+
+
+@register_extra(
+    "ts_asof_nearest",
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+                  FROM events),
+       c AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'click'),
+       p AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+             FROM e WHERE event_type = 'purchase'),
+       b AS (SELECT c.user_id, c.event_id, c.ts,
+                    p.ts AS b_ts, p_event_id AS b_eid, p_value AS b_val
+             FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts),
+       f AS (SELECT c.user_id, c.event_id,
+                    p.ts AS f_ts, p_event_id AS f_eid, p_value AS f_val
+             FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts)
+       SELECT b.user_id, b.event_id, b.ts,
+              CASE WHEN b_ts IS NULL THEN f_eid
+                   WHEN f_ts IS NULL THEN b_eid
+                   WHEN epoch(b.ts) - epoch(b_ts) <= epoch(f_ts) - epoch(b.ts)
+                   THEN b_eid ELSE f_eid END AS p_event_id,
+              CASE WHEN b_ts IS NULL THEN f_val
+                   WHEN f_ts IS NULL THEN b_val
+                   WHEN epoch(b.ts) - epoch(b_ts) <= epoch(f_ts) - epoch(b.ts)
+                   THEN b_val ELSE f_val END AS p_value
+       FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id
+       WHERE b_ts IS NOT NULL OR f_ts IS NOT NULL""",
+)
+def ts_asof_nearest(spark, sf_dir):
+    """Nearest as-of: each click gets its time-closest purchase (ties
+    resolve backward, the pandas merge_asof convention). Both
+    direction windows run over ONE key-partitioned exchange — still
+    zero joins. Oracle: two DuckDB ASOF LEFT joins + closer-of-two."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    return timeseries.asof_join(
+        clicks, purchases, on=["user_id"], right_cols=["p_event_id", "p_value"],
+        direction="nearest",
+    )
+
+
 @register(
     "ts_range_join",
     """WITH bands AS (SELECT b AS band_id, b * 5.0 AS lo, b * 5.0 + 7.5 AS hi

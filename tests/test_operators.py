@@ -540,6 +540,55 @@ def test_asof_join_semantics(spark):
     assert len(inner) == 2  # inner drops the unmatched left row
 
 
+def test_asof_join_directions(spark):
+    from hyper_storage_spark.operators import timeseries
+
+    left = spark.createDataFrame(
+        [("u1", 100), ("u1", 119), ("u1", 121), ("u1", 300), ("u2", 10)],
+        "k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 90, 1.0), ("u1", 140, 2.0), ("u1", 100, 3.0), ("u2", 5, 9.0)],
+        "k string, ts long, v double",
+    )
+
+    def run(direction):
+        return {
+            (r.k, r.ts): r.v
+            for r in timeseries.asof_join(
+                left, right, on=["k"], right_cols=["v"], how="left", direction=direction
+            ).collect()
+        }
+
+    back = run("backward")
+    assert back[("u1", 100)] == 3.0  # inclusive same-ts
+    assert back[("u1", 119)] == 3.0 and back[("u1", 121)] == 3.0
+    assert back[("u1", 300)] == 2.0
+
+    fwd = run("forward")
+    assert fwd[("u1", 100)] == 3.0  # inclusive same-ts
+    assert fwd[("u1", 119)] == 2.0 and fwd[("u1", 121)] == 2.0
+    assert fwd[("u1", 300)] is None  # nothing at or after
+    assert fwd[("u2", 10)] is None
+
+    near = run("nearest")
+    assert near[("u1", 119)] == 3.0  # 19 back vs 21 forward
+    assert near[("u1", 121)] == 2.0  # 19 forward vs 21 back
+    assert near[("u1", 300)] == 2.0  # only backward exists
+    assert near[("u2", 10)] == 9.0
+    # exact tie resolves backward (pandas merge_asof convention)
+    tie_left = spark.createDataFrame([("u1", 120)], "k string, ts long")
+    tie = timeseries.asof_join(
+        tie_left, right, on=["k"], right_cols=["v"], direction="nearest"
+    ).collect()
+    assert tie[0].v == 3.0  # |120-100| == |140-120| → backward wins
+
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        timeseries.asof_join(left, right, on=["k"], right_cols=["v"], direction="both")
+
+
 def test_asof_join_validates_how_and_collisions(spark):
     import pytest
 
