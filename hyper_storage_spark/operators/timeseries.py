@@ -175,6 +175,62 @@ def asof_join(
     )
 
 
+def gapfill(
+    agg: DataFrame,
+    keys: Sequence[str],
+    bucket_col: str,
+    step: str,
+    value_cols: Sequence[str],
+    how: str = "locf",
+) -> DataFrame:
+    """Fill missing time buckets per key in an already-aggregated frame
+    (the TimescaleDB ``time_bucket_gapfill`` shape): every key gets a
+    dense bucket grid spanning its own [min, max] bucket, missing rows
+    materialize with ``filled = true``, and value columns fill by
+
+    - ``locf``: last observation carried forward (one running
+      last(ignorenulls) window per value column — same single-shuffle
+      hazard profile as sessionization), or
+    - ``null``: left as NULL (the caller interpolates).
+
+    ``step`` is a SQL interval literal body, e.g. ``"interval 1 day"``.
+    The grid generates per key from its own span, so a sparse key
+    contributes only its own range — grid size is Σ per-key spans, not
+    global-span × keys. Scale shape: one groupBy for spans, one
+    explode, one left join on (keys, bucket), one window."""
+    if how not in ("locf", "null"):
+        raise ValueError(f"gapfill how must be locf|null, got {how!r}")
+    keys = list(keys)
+    value_cols = list(value_cols)
+    if "filled" in agg.columns:
+        raise ValueError("gapfill: input already carries a 'filled' column")
+    span = agg.groupBy(*keys).agg(
+        F.min(bucket_col).alias("__mn"), F.max(bucket_col).alias("__mx")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.expr(f"sequence(__mn, __mx, {step})")
+        ).alias(bucket_col),
+    )
+    # presence marker, not value_cols[0].isNull(): an aggregate row
+    # whose value is legitimately NULL must not read as a filled gap
+    filled = (
+        grid.join(agg.withColumn("__present", F.lit(1)), keys + [bucket_col], "left")
+        .withColumn("filled", F.col("__present").isNull())
+        .drop("__present")
+    )
+    if how == "locf":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in value_cols:
+            filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return filled
+
+
 def range_join(
     points: DataFrame,
     ranges: DataFrame,

@@ -1987,6 +1987,45 @@ def ts_asof_nearest(spark, sf_dir):
     )
 
 
+@register_extra(
+    "ts_gapfill_locf",
+    """WITH agg AS (
+         SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                COUNT(*) AS n
+         FROM events WHERE user_id < 40 GROUP BY 1, 2
+       ),
+       span AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM agg GROUP BY 1),
+       grid AS (
+         SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+         FROM span
+       ),
+       j AS (
+         SELECT g.user_id, g.day, a.n, a.n IS NULL AS filled
+         FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.day = a.day
+       )
+       SELECT user_id, day,
+              CAST(last_value(n IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS BIGINT) AS n,
+              filled
+       FROM j""",
+)
+def ts_gapfill_locf(spark, sf_dir):
+    """time_bucket_gapfill + last-observation-carried-forward
+    (operators/timeseries.py:gapfill): per-user daily event counts
+    densified over each user's own [min, max] day span, gaps flagged
+    and LOCF-filled. One groupBy + one explode + one left join + one
+    window — no per-key driver loops."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    agg = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    return timeseries.gapfill(
+        agg, keys=["user_id"], bucket_col="day", step="interval 1 day", value_cols=["n"]
+    ).select("user_id", "day", "n", "filled")
+
+
 @register(
     "ts_range_join",
     """WITH bands AS (SELECT b AS band_id, b * 5.0 AS lo, b * 5.0 + 7.5 AS hi

@@ -589,6 +589,39 @@ def test_asof_join_directions(spark):
         timeseries.asof_join(left, right, on=["k"], right_cols=["v"], direction="both")
 
 
+def test_gapfill_locf_semantics(spark):
+    from hyper_storage_spark.operators import timeseries
+
+    agg = spark.createDataFrame(
+        [("a", 1, 10), ("a", 4, 40), ("b", 7, 70)],
+        "k string, bucket long, n long",
+    )
+    out = timeseries.gapfill(
+        agg, keys=["k"], bucket_col="bucket", step="1", value_cols=["n"]
+    ).collect()
+    rows = {(r.k, r.bucket): (r.n, r.filled) for r in out}
+    # a's grid densifies 1..4; gaps carry 10 forward and flag filled
+    assert rows[("a", 1)] == (10, False)
+    assert rows[("a", 2)] == (10, True)
+    assert rows[("a", 3)] == (10, True)
+    assert rows[("a", 4)] == (40, False)
+    # b has a single bucket: no gaps, nothing invented outside its span
+    assert rows[("b", 7)] == (70, False)
+    assert len(rows) == 5
+    # null mode leaves gaps NULL
+    nulls = {
+        (r.k, r.bucket): r.n
+        for r in timeseries.gapfill(
+            agg, keys=["k"], bucket_col="bucket", step="1", value_cols=["n"], how="null"
+        ).collect()
+    }
+    assert nulls[("a", 2)] is None and nulls[("a", 4)] == 40
+    import pytest
+
+    with pytest.raises(ValueError, match="locf"):
+        timeseries.gapfill(agg, ["k"], "bucket", "1", ["n"], how="linear")
+
+
 def test_asof_join_validates_how_and_collisions(spark):
     import pytest
 
