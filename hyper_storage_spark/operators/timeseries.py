@@ -262,6 +262,56 @@ def range_join(
     return joined.drop("__b")
 
 
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str,
+    a_hi: str,
+    b_lo: str,
+    b_hi: str,
+    bucket_width: float,
+    on: Sequence[str] = (),
+) -> DataFrame:
+    """Interval × interval overlap join (half-open: ``[lo, hi)``
+    overlap iff ``a_lo < b_hi AND b_lo < a_hi``), plus optional equi
+    keys — the ranges×ranges sibling of :func:`range_join`, and like
+    it never a BroadcastNestedLoopJoin: both sides explode into
+    fixed-width buckets and join on the bucket id.
+
+    A pair overlapping k shared buckets would emit k copies; instead
+    of a distinct (a shuffle over the full output, and impossible
+    without row identities) each pair is counted ONCE by keeping only
+    the join at the FIRST shared bucket, ``max(floor(a_lo/w),
+    floor(b_lo/w))`` — always within both bucket sequences when the
+    intervals overlap. Output = all columns of both sides."""
+    on = list(on)
+
+    def bucketed(df, lo, hi):
+        return df.withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / F.lit(bucket_width)).cast("long"),
+                    F.floor(F.col(hi) / F.lit(bucket_width)).cast("long"),
+                )
+            ),
+        )
+
+    joined = (
+        bucketed(a, a_lo, a_hi)
+        .join(bucketed(b, b_lo, b_hi), on + ["__b"])
+        .filter((F.col(a_lo) < F.col(b_hi)) & (F.col(b_lo) < F.col(a_hi)))
+        .filter(
+            F.col("__b")
+            == F.greatest(
+                F.floor(F.col(a_lo) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(b_lo) / F.lit(bucket_width)).cast("long"),
+            )
+        )
+    )
+    return joined.drop("__b")
+
+
 def hypertable_rollup(
     df: DataFrame,
     ts_col: str,

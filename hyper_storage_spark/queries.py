@@ -2026,6 +2026,37 @@ def ts_gapfill_locf(spark, sf_dir):
     ).select("user_id", "day", "n", "filled")
 
 
+@register_extra(
+    "ts_interval_overlap",
+    """WITH bands AS (SELECT b AS band_id, b * 5.0 AS a_lo, b * 5.0 + 7.5 AS a_hi
+                      FROM range(0, 20) t(b)),
+       spans AS (SELECT user_id, MIN(value) AS b_lo, MAX(value) AS b_hi
+                 FROM events WHERE user_id < 50 GROUP BY 1)
+       SELECT band_id, user_id
+       FROM bands JOIN spans ON a_lo < b_hi AND b_lo < a_hi""",
+)
+def ts_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join executed as a bucketed equi join
+    with first-shared-bucket dedup (operators/timeseries.py:
+    interval_overlap_join) — never a BNLJ. Oracle: the plain
+    inequality join (quadratic, fine at gate SF)."""
+    bands = spark.range(0, 20).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 5.0).alias("a_lo"),
+        (F.col("id") * 5.0 + 7.5).alias("a_hi"),
+    )
+    spans = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(F.min("value").alias("b_lo"), F.max("value").alias("b_hi"))
+    )
+    out = timeseries.interval_overlap_join(
+        bands, spans, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=10.0
+    )
+    return out.select("band_id", "user_id")
+
+
 @register(
     "ts_range_join",
     """WITH bands AS (SELECT b AS band_id, b * 5.0 AS lo, b * 5.0 + 7.5 AS hi

@@ -589,6 +589,42 @@ def test_asof_join_directions(spark):
         timeseries.asof_join(left, right, on=["k"], right_cols=["v"], direction="both")
 
 
+def test_interval_overlap_join_exact_and_counted_once(spark):
+    """Hand-built intervals: overlap pairs must match the brute-force
+    inequality join EXACTLY (half-open bounds, touching endpoints
+    excluded) and each pair must appear once even when the pair shares
+    many buckets (the first-shared-bucket dedup)."""
+    from hyper_storage_spark.operators import timeseries
+
+    a = spark.createDataFrame(
+        [(0, 0.0, 100.0), (1, 5.0, 6.0), (2, 10.0, 20.0), (3, 30.0, 31.0)],
+        "aid long, a_lo double, a_hi double",
+    )
+    b = spark.createDataFrame(
+        [(10, 50.0, 60.0), (11, 19.9, 30.0), (12, 31.0, 40.0), (13, 5.5, 5.7)],
+        "bid long, b_lo double, b_hi double",
+    )
+    out = timeseries.interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=7.0
+    ).collect()
+    pairs = sorted((r.aid, r.bid) for r in out)
+    assert len(pairs) == len(set(pairs)), "pair emitted more than once"
+    brute = sorted(
+        (ra.aid, rb.bid)
+        for ra in a.collect()
+        for rb in b.collect()
+        if ra.a_lo < rb.b_hi and rb.b_lo < ra.a_hi
+    )
+    # aid=0 spans 15 buckets and overlaps all four b intervals once
+    # each; (3,12) touch at 31.0 and must NOT pair (half-open)
+    assert pairs == brute
+    assert (3, 12) not in pairs and (0, 13) in pairs
+    plan = timeseries.interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=7.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_gapfill_locf_semantics(spark):
     from hyper_storage_spark.operators import timeseries
 
