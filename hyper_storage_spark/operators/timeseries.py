@@ -190,7 +190,12 @@ def gapfill(
 
     - ``locf``: last observation carried forward (one running
       last(ignorenulls) window per value column — same single-shuffle
-      hazard profile as sessionization), or
+      hazard profile as sessionization),
+    - ``linear``: interpolate between the surrounding observations
+      (two mirrored struct-carry windows over the SAME sorted
+      exchange; interior gaps only — leading/trailing gaps stay NULL,
+      the TimescaleDB ``interpolate`` convention; value columns come
+      back as DOUBLE), or
     - ``null``: left as NULL (the caller interpolates).
 
     ``step`` is a SQL interval literal body, e.g. ``"interval 1 day"``.
@@ -198,8 +203,8 @@ def gapfill(
     contributes only its own range — grid size is Σ per-key spans, not
     global-span × keys. Scale shape: one groupBy for spans, one
     explode, one left join on (keys, bucket), one window."""
-    if how not in ("locf", "null"):
-        raise ValueError(f"gapfill how must be locf|null, got {how!r}")
+    if how not in ("locf", "linear", "null"):
+        raise ValueError(f"gapfill how must be locf|linear|null, got {how!r}")
     keys = list(keys)
     value_cols = list(value_cols)
     if "filled" in agg.columns:
@@ -228,6 +233,36 @@ def gapfill(
         )
         for c in value_cols:
             filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    elif how == "linear":
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        t = F.col(bucket_col).cast("double")
+        for c in value_cols:
+            # carry (bucket, value) as a struct so each neighbor's
+            # value pairs with ITS OWN bucket, never a stitched mix
+            obs = F.when(
+                ~F.col("filled"), F.struct(t.alias("t"), F.col(c).cast("double").alias("v"))
+            )
+            prev = F.last(obs, ignorenulls=True).over(wb)
+            nxt = F.first(obs, ignorenulls=True).over(wf)
+            interp = prev["v"] + (nxt["v"] - prev["v"]) * (t - prev["t"]) / (
+                nxt["t"] - prev["t"]
+            )
+            filled = filled.withColumn(
+                c,
+                F.when(~F.col("filled"), F.col(c).cast("double")).otherwise(
+                    # interior gaps only: both neighbors must exist
+                    F.when(prev.isNotNull() & nxt.isNotNull(), interp)
+                ),
+            )
     return filled
 
 

@@ -2027,6 +2027,59 @@ def ts_gapfill_locf(spark, sf_dir):
 
 
 @register_extra(
+    "ts_gapfill_linear",
+    """WITH agg AS (
+         SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                COUNT(*) AS n
+         FROM events WHERE user_id < 40 GROUP BY 1, 2
+       ),
+       span AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM agg GROUP BY 1),
+       grid AS (
+         SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+         FROM span
+       ),
+       j AS (
+         SELECT g.user_id, g.day, a.n, a.n IS NULL AS filled
+         FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.day = a.day
+       ),
+       w AS (
+         SELECT *,
+                last_value(CASE WHEN NOT filled
+                           THEN struct_pack(t := epoch(day), v := n) END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+                first_value(CASE WHEN NOT filled
+                            THEN struct_pack(t := epoch(day), v := n) END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+         FROM j
+       )
+       SELECT user_id, day,
+              ROUND(CASE WHEN NOT filled THEN CAST(n AS DOUBLE)
+                         ELSE p.v + (nx.v - p.v) * (epoch(day) - p.t) / (nx.t - p.t)
+                    END, 6) AS n_interp,
+              filled
+       FROM w""",
+)
+def ts_gapfill_linear(spark, sf_dir):
+    """Linear-interpolated gap filling (the TimescaleDB interpolate
+    shape): gaps take the value on the line between the surrounding
+    observations — two mirrored struct-carry windows over one sorted
+    exchange (operators/timeseries.py:gapfill how='linear'). Both
+    engines compute p.v + (n.v - p.v) * dt ratio in double and round
+    to 6, so the match is value-exact."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    agg = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    g = timeseries.gapfill(
+        agg, keys=["user_id"], bucket_col="day", step="interval 1 day",
+        value_cols=["n"], how="linear",
+    )
+    return g.select("user_id", "day", F.round("n", 6).alias("n_interp"), "filled")
+
+
+@register_extra(
     "ts_interval_overlap",
     """WITH bands AS (SELECT b AS band_id, b * 5.0 AS a_lo, b * 5.0 + 7.5 AS a_hi
                       FROM range(0, 20) t(b)),

@@ -652,10 +652,21 @@ def test_gapfill_locf_semantics(spark):
         ).collect()
     }
     assert nulls[("a", 2)] is None and nulls[("a", 4)] == 40
+    # linear interpolation: gap values lie on the line between the
+    # surrounding observations
+    lin = {
+        (r.k, r.bucket): r.n
+        for r in timeseries.gapfill(
+            agg, keys=["k"], bucket_col="bucket", step="1", value_cols=["n"], how="linear"
+        ).collect()
+    }
+    assert lin[("a", 1)] == 10.0 and lin[("a", 4)] == 40.0  # observations keep values
+    assert lin[("a", 2)] == 20.0 and lin[("a", 3)] == 30.0  # on the line
+    assert lin[("b", 7)] == 70.0
     import pytest
 
     with pytest.raises(ValueError, match="locf"):
-        timeseries.gapfill(agg, ["k"], "bucket", "1", ["n"], how="linear")
+        timeseries.gapfill(agg, ["k"], "bucket", "1", ["n"], how="spline")
 
 
 def test_asof_join_validates_how_and_collisions(spark):
