@@ -2027,6 +2027,36 @@ def ts_gapfill_locf(spark, sf_dir):
 
 
 @register_extra(
+    "q_approx_distinct_contract",
+    """SELECT event_type,
+              COUNT(DISTINCT user_id) AS n_exact,
+              true AS within_5pct
+       FROM events GROUP BY event_type""",
+)
+def q_approx_distinct_contract(spark, sf_dir):
+    """Sketch surface with an honest gate: HyperLogLog++ approximate
+    distinct counts (approx_count_distinct, rsd=0.02) per event_type,
+    gated by the contract |approx - exact| <= 5% of exact — the bound
+    the sketch is sold on, computed in-plan against the exact
+    distinct. At 100 TB the sketch is the only viable path (fixed
+    ~kB of state per group vs a shuffle of every distinct user); the
+    exact twin here exists only to verify it at gate SF."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact")) * 100
+            <= F.col("n_exact") * 5
+        ).alias("within_5pct"),
+    )
+
+
+@register_extra(
     "ts_gapfill_linear",
     """WITH agg AS (
          SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
