@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .expression import parse
 from .expression.compiler import apply_filter
-from .operators import dedup, multimodal, similarity, skew, text, timeseries
+from .operators import dedup, multimodal, sampling, similarity, skew, text, timeseries
 from .plans import FieldFilter, FilterOp, SortBy, SortItem, least_rows_filter_fields
 from .sources import load_table
 
@@ -2024,6 +2024,39 @@ def ts_gapfill_locf(spark, sf_dir):
     return timeseries.gapfill(
         agg, keys=["user_id"], bucket_col="day", step="interval 1 day", value_cols=["n"]
     ).select("user_id", "day", "n", "filled")
+
+
+@register_extra(
+    "q_hash_split_contract",
+    """SELECT s AS split, true AS frac_ok, true AS covers_all
+       FROM (SELECT unnest(['test', 'train', 'val']) AS s)""",
+)
+def q_hash_split_contract(spark, sf_dir):
+    """Deterministic train/val/test splitting
+    (operators/sampling.py:hash_split), driven through its contract:
+    the three splits are exhaustive (their counts sum to the corpus)
+    and each realized fraction lands within 3 points of its target —
+    the statistical bound a content-hash split guarantees. The
+    murmur-family bucket itself is engine-specific; determinism and
+    disjointness are pytest-pinned."""
+    docs = _t(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    n_total = docs.count()
+    targets = {"train": 0.8, "val": 0.1, "test": 0.1}
+    target_col = F.create_map(
+        *[x for k, v in targets.items() for x in (F.lit(k), F.lit(v))]
+    )
+    agg = split.groupBy("split").agg(F.count("*").alias("n"))
+    return agg.select(
+        "split",
+        (
+            F.abs(F.col("n") / F.lit(n_total) - target_col[F.col("split")])
+            <= 0.03
+        ).alias("frac_ok"),
+        (F.sum("n").over(Window.partitionBy()) == n_total).alias("covers_all"),
+    ).orderBy("split")
 
 
 @register_extra(

@@ -589,6 +589,61 @@ def test_asof_join_directions(spark):
         timeseries.asof_join(left, right, on=["k"], right_cols=["v"], direction="both")
 
 
+def test_hash_split_properties(spark):
+    """The properties a corpus split lives and dies by: exhaustive and
+    disjoint by construction, deterministic across re-evaluation AND
+    across partitioning, and STABLE under corpus growth — rows keep
+    their split when new rows arrive (no re-shuffling of old data
+    between train and test, which would leak)."""
+    from hyper_storage_spark.operators import sampling
+
+    docs = spark.range(5000).select(F.col("id").alias("doc_id"))
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = {r.doc_id: r.split for r in sampling.hash_split(docs, "doc_id", frac).collect()}
+    assert len(s1) == 5000  # exhaustive, one split per row
+    counts = {}
+    for v in s1.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.03
+    # deterministic across re-evaluation and partition scrambling
+    scrambled = docs.repartition(13)
+    s2 = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(scrambled, "doc_id", frac).collect()
+    }
+    assert s1 == s2
+    # stable under growth: the first 1000 ids keep their assignments
+    small = spark.range(1000).select(F.col("id").alias("doc_id"))
+    s3 = {r.doc_id: r.split for r in sampling.hash_split(small, "doc_id", frac).collect()}
+    assert all(s1[k] == v for k, v in s3.items())
+    # a different salt reshuffles
+    s4 = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(docs, "doc_id", frac, salt=1).collect()
+    }
+    assert s4 != s1
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.hash_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_sample_rates(spark):
+    from hyper_storage_spark.operators import sampling
+
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 2 == 0).cast("string").alias("s")
+    )
+    out = sampling.stratified_sample(df, "s", {"true": 0.5, "false": 0.1}, seed=3)
+    counts = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["true"] / 5000 - 0.5) < 0.05
+    assert abs(counts["false"] / 5000 - 0.1) < 0.05
+    # dropped stratum convention: missing keys sample at 0
+    none_sampled = sampling.stratified_sample(df, "s", {"true": 0.5}, seed=3)
+    assert none_sampled.filter(F.col("s") == "false").count() == 0
+
+
 def test_interval_overlap_join_exact_and_counted_once(spark):
     """Hand-built intervals: overlap pairs must match the brute-force
     inequality join EXACTLY (half-open bounds, touching endpoints
