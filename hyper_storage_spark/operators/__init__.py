@@ -4,9 +4,22 @@ The reference has no joins/aggregations/dedup (SURVEY.md §2.4); these
 are the extension operators a 100 TB training-data pipeline needs,
 expressed as DataFrame transformations (JVM-side, shuffle-aware):
 
-- :mod:`dedup` — exact, n-gram Jaccard, MinHash+LSH, SimHash.
-- :mod:`similarity` — brute-force cosine top-k, LSH-bucketed ANN.
-- :mod:`text` — token stats, quality scoring, language ID, fingerprints.
+- :mod:`dedup` — exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  embedding near-dup (hyperplane LSH), content-defined chunking.
+- :mod:`similarity` — brute-force cosine top-k, multi-probe LSH ANN,
+  IVF (k-means cells) ANN.
+- :mod:`text` — token stats, quality scoring, language ID,
+  fingerprints, Gopher repetition filters, PII redaction.
 - :mod:`multimodal` — opaque binary columns + Arrow-batched feature
-  extraction plumbing (decode stubbed; no media libs in the container).
+  extraction / resize / frame sampling over the REAL stdlib codecs in
+  :mod:`media_codecs` (PNG, WAV PCM, ISO BMFF mp4 mux/demux).
+- :mod:`timeseries` — as-of join (backward/forward/nearest), range &
+  interval-overlap joins, hypertable rollup, gap filling (LOCF /
+  linear).
+- :mod:`skew` — salted aggregation/join with deterministic
+  content-hash salts (retry-safe).
+- :mod:`sampling` — hash-based train/val/test splitting, stratified
+  sampling.
+- :mod:`_caches` — tracked persist() so harnesses release operator
+  caches between catalog entries.
 """
