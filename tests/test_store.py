@@ -400,7 +400,7 @@ def test_random_crud_with_live_indexes_against_model(spark, tmp_path, seed):
     import random
 
     from hyper_storage_spark.expression import evaluate_bool, parse
-    from hyper_storage_spark.plans import SortItem
+    from hyper_storage_spark.plans import SortBy, SortItem
     from hyper_storage_spark.store import DocumentStore, NotFoundError
     from hyper_storage_spark.store.merge import filter_nulls, merge_patch
 
@@ -435,10 +435,27 @@ def test_random_crud_with_live_indexes_against_model(spark, tmp_path, seed):
                 assert item not in model
         else:
             flt = rnd.choice(["a > 10", "a > 10 and a < 18", None])
-            res = store.query("fz~", filter=flt, size=50)
+            sort = rnd.choice([None, [SortItem("a", "decimal", "asc")]])
+            sort_by = [SortBy("a")] if sort else None
+            res = store.query("fz~", filter=flt, sort=sort_by, size=50)
             got = {i["id"] for i in res.items}
             ast = parse(flt) if flt else None
             expected = {
                 k for k, v in model.items() if ast is None or evaluate_bool(ast, v)
             }
             assert got == expected, (step, flt, sorted(got), sorted(expected))
+            if sort_by:
+                # ORDER check: an index-routed result's physical order
+                # must equal the in-memory collection ordering — a
+                # divergence here is the index returning rows in its
+                # own order, not the query's
+                from hyper_storage_spark.store.query import _collection_ordering_sort
+
+                model_rows = [dict(v, id=k) for k, v in model.items() if k in expected]
+                want = [r["id"] for r in _collection_ordering_sort(model_rows, sort_by)]
+                got_order = [i["id"] for i in res.items]
+                # ties on 'a' may order differently; compare the sort keys
+                key_of = {k: model[k].get("a") for k in expected}
+                assert [key_of[i] for i in got_order] == [key_of[i] for i in want], (
+                    step, flt, got_order, want,
+                )
