@@ -309,6 +309,56 @@ def image_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, IMAGE_STATS_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """DSP features from REAL WAV decode: RMS energy of the signal
+    normalized to [-1, 1] (8-bit PCM is unsigned: (s - 128) / 128)
+    and zero-crossing rate (sign changes / (n - 1), zeros counted as
+    positive). Non-audio rows get -1 sentinels. Arrow-batched numpy
+    per payload — the feature math is vectorized, never per-sample
+    Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rows = []
+        for pdf in batches:
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if str(mt) != "audio/wav":
+                    rows.append((doc_id, mt, -1, -1.0, -1.0))
+                    continue
+                _rate, width, samples = media_codecs.wav_decode(bytes(payload))
+                x = np.asarray(samples, dtype=np.float64)
+                if width == 1:
+                    x = (x - 128.0) / 128.0
+                else:
+                    x = x / 32768.0
+                rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+                sign = np.where(x >= 0, 1, -1)
+                zcr = (
+                    float(np.count_nonzero(sign[1:] != sign[:-1]) / (len(x) - 1))
+                    if len(x) > 1
+                    else 0.0
+                )
+                rows.append((doc_id, mt, len(x), rms, zcr))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "n_samples", "rms", "zcr"]
+            )
+            rows = []
+
+    return media.mapInPandas(run, AUDIO_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

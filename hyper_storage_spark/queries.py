@@ -1811,6 +1811,38 @@ def mm_image_stats(spark, sf_dir):
     )
 
 
+@register_extra(
+    "mm_audio_features",
+    """SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                   WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                   ELSE 'video/mp4' END AS media_type,
+              CAST(CASE WHEN doc_id % 3 = 1 THEN 120 ELSE -1 END AS BIGINT) AS n_samples,
+              CAST(CASE WHEN doc_id % 3 = 1
+                        THEN ROUND(ABS((doc_id % 256) - 128) / 128.0, 7)
+                        ELSE -1.0 END AS DOUBLE) AS rms,
+              CAST(CASE WHEN doc_id % 3 = 1 THEN 0.0 ELSE -1.0 END AS DOUBLE) AS zcr
+       FROM documents""",
+)
+def mm_audio_features(spark, sf_dir):
+    """Audio DSP features through the REAL WAV decode
+    (operators/multimodal.py:audio_features): constant-amplitude
+    synthetic PCM makes RMS exactly |g-128|/128 (a dyadic rational —
+    exact in float AND at 7 decimal digits, so the rounding mode
+    can't diverge) and the zero-crossing rate exactly 0. A decode
+    that mis-reads even one sample shifts the RMS and fails the
+    row."""
+    media = multimodal.attach_media(_t(spark, sf_dir, "documents"))
+    feats = multimodal.audio_features(media)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_samples",
+        F.round("rms", 7).cast("double").alias("rms"),
+        F.round("zcr", 7).cast("double").alias("zcr"),
+    )
+
+
 @register_extra("mm_feature_extract_fake", None)  # Arrow plumbing, fake decoder
 def mm_feature_extract_fake(spark, sf_dir):
     """The fake-decoder plumbing variant (byte histogram, no decode):

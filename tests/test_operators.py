@@ -253,6 +253,27 @@ def test_multimodal_video_real_path_rejects_non_bmff():
         multimodal._decode_real(b"bytes", "model/gltf")
 
 
+def test_audio_features_on_alternating_signal(spark):
+    """A square wave alternating ±64 around the 8-bit midpoint has
+    rms exactly 0.5 and zcr exactly 1 (every adjacent pair crosses);
+    a constant signal has zcr 0 — decoded through the real WAV
+    codec, not computed from metadata."""
+    from hyper_storage_spark.operators import media_codecs as mc
+    from hyper_storage_spark.operators import multimodal
+
+    square = mc.wav_encode([192, 64] * 50)  # (x-128)/128 = ±0.5
+    flat = mc.wav_encode([200] * 40)
+    media = spark.createDataFrame(
+        [(0, "audio/wav", bytearray(square)), (1, "audio/wav", bytearray(flat)),
+         (2, "image/png", bytearray(b"notaudio"))],
+        "doc_id long, media_type string, payload binary",
+    )
+    out = {r.doc_id: r for r in multimodal.audio_features(media).collect()}
+    assert out[0].n_samples == 100 and out[0].rms == 0.5 and out[0].zcr == 1.0
+    assert out[1].zcr == 0.0 and abs(out[1].rms - 72 / 128) < 1e-12
+    assert out[2].n_samples == -1 and out[2].rms == -1.0  # non-audio sentinel
+
+
 def test_mp4_codec_round_trip():
     from hyper_storage_spark.operators import media_codecs as mc
 
