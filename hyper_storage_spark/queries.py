@@ -2059,6 +2059,50 @@ def ts_gapfill_locf(spark, sf_dir):
 
 
 @register_extra(
+    "pipeline_filter_dedup",
+    """WITH scored AS (
+         SELECT doc_id, lang, text,
+                ROUND(least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0) * 0.5
+                      + 0.3 * (1.0 - least(ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                                                 / greatest(length(text), 1), 6) * 4, 1.0))
+                      + 0.2 * least(ROUND(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                                          x -> x IN ('the','and','of','a','is'))) * 1.0
+                                          / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) * 5, 1.0),
+                      6) AS q
+         FROM documents
+       ),
+       kept AS (SELECT * FROM scored WHERE q >= 0.5),
+       canonical AS (
+         SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+       )
+       SELECT k.lang, COUNT(*) AS n_docs
+       FROM kept k JOIN canonical c ON k.doc_id = c.doc_id
+       GROUP BY k.lang""",
+)
+def pipeline_filter_dedup(spark, sf_dir):
+    """End-to-end corpus-pipeline composition in ONE plan: quality
+    scoring (operators/text.py) → threshold filter → exact dedup
+    keeping the canonical (min doc_id) copy → per-language counts.
+    The operators compose as plain DataFrame stages, so Catalyst
+    optimizes across them (the quality projection and the dedup
+    groupBy pipeline into two shuffles total); the oracle replays the
+    identical pipeline in SQL, making the whole composition
+    value-checked, not just its pieces."""
+    docs = text.with_quality_score(_t(spark, sf_dir, "documents"))
+    kept = docs.filter(F.col("quality_score") >= 0.5)
+    canonical = (
+        kept.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        kept.join(canonical, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register_extra(
     "q_hash_split_contract",
     """SELECT s AS split, true AS frac_ok, true AS covers_all
        FROM (SELECT unnest(['test', 'train', 'val']) AS s)""",
