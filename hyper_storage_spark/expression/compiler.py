@@ -373,7 +373,15 @@ def _eq(l: DynCol, r: DynCol) -> Column:
     # always defined; a NULL value compares equal only to null)
     if l.kind in _VALUED and r.kind in _VALUED:
         if l.kind != r.kind:
-            return F.lit(False)
+            # cross-kind is statically unequal EXCEPT both-null: two
+            # present nulls are equal regardless of their columns'
+            # declared types (evaluator value_eq(None, None) is True —
+            # the dynamic path below gets this right; the static path
+            # missed it until the round-5 differential corpus hit
+            # `flag != a` with both cells NULL)
+            return F.when(
+                l.isnull_c | r.isnull_c, l.isnull_c & r.isnull_c
+            ).otherwise(F.lit(False))
         direct = {"num": l.n == r.n, "bool": l.bval == r.bval, "str": l.s == r.s}[l.kind]
         return F.when(l.isnull_c | r.isnull_c, l.isnull_c & r.isnull_c).otherwise(direct)
     # typed equality; present-but-null equals only null; cross-type is

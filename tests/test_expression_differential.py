@@ -175,7 +175,7 @@ def test_differential_random_corpus_typed_resolver(spark):
     )
     resolver = typed_resolver(df, json_col="props")
     exprs = []
-    while len(exprs) < 80:
+    while len(exprs) < 140:
         text = gen_expr(rnd)
         try:
             exprs.append((text, parse(text)))
@@ -205,7 +205,7 @@ def test_differential_random_corpus(spark):
     rnd = random.Random(20260813)
     contexts = [gen_context(rnd) for _ in range(25)]
     exprs = []
-    while len(exprs) < 120:
+    while len(exprs) < 200:
         text = gen_expr(rnd)
         try:
             ast = parse(text)
