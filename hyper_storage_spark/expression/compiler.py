@@ -420,13 +420,21 @@ def _arith(op: str, l: DynCol, r: DynCol) -> DynCol:
     both_num = l.isnum & r.isnum
     if op == "+":
         # evaluator.py '+' domain, exactly: null operand propagates as a
-        # *defined* null; string + (string|number|bool) concatenates the
-        # canonical forms; number + number adds; anything else (bool
-        # arithmetic, containers) is an eval error (undefined ⇒ reject)
+        # *defined* null ONLY when the other operand is itself defined —
+        # the evaluator evaluates both operands BEFORE '+', so a missing
+        # identifier on either side is an eval error no matter what the
+        # other side holds (round-5 differential find: null + missing
+        # wrongly produced a defined null, which a comparison then
+        # turned into a defined False that an enclosing `or` rescued —
+        # the evaluator rejects the row). String + (string|number|bool)
+        # concatenates the canonical forms; number + number adds;
+        # anything else (bool arithmetic, containers) is an eval error
+        # (undefined ⇒ reject).
         def concat_ok(d: DynCol) -> Column:
             return d.isstr | d.isnum | d.isbool
 
-        isnull_res = l.isnull_c | r.isnull_c
+        both_defined = l.defined_c & r.defined_c
+        isnull_res = F.coalesce(both_defined & (l.isnull_c | r.isnull_c), _false())
         concat_case = ~isnull_res & (l.isstr | r.isstr) & concat_ok(l) & concat_ok(r)
         n = F.when(both_num, F.try_add(l.n, r.n))
         s = F.when(both_num, n.cast("string")).when(concat_case, F.concat(l.s, r.s))

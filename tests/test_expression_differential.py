@@ -333,3 +333,27 @@ def test_apply_filter_exhaustive_comparison_grid(spark):
                     assert got == expected, (text, got, expected)
                     n_checked += 1
     assert n_checked == 180
+
+
+def test_plus_with_missing_operand_poisons_enclosing_or(spark):
+    """The evaluator evaluates both '+' operands BEFORE applying it, so
+    a missing identifier on either side is an eval error even when the
+    other side is a present null — and that error must poison an
+    enclosing `or` (no Kleene rescue by a truthy right branch). The
+    round-5 corpus found null + missing compiling to a defined null,
+    whose comparison became a defined False that `or` then rescued."""
+    ctx = {"a": True, "t": None}  # t present-null, b missing
+    df = spark.createDataFrame([(0, json.dumps(ctx))], "i int, body string")
+    resolver = variant_resolver(F.col("body"))
+    cases = [
+        '((t + b) = "way way") or (10 and a)',  # error-or-true → rejected
+        '(t + b) = "way way"',
+        'not ((t + b) = "x")',  # not(error) is still an error
+        '(t + t) = ""',  # null + null IS a defined null; '' != null
+        '(b + b) = ""',
+    ]
+    for text in cases:
+        ast = parse(text)
+        got = bool(df.filter(compile_filter(ast, resolver)).count())
+        expected = evaluate_bool(ast, ctx)
+        assert got == expected, (text, got, expected)
