@@ -61,6 +61,7 @@ class DynCol:
     isbool: Column  # bool: value is a boolean
     bval: Column  # boolean form (NULL unless isbool)
     arr: Optional[Column] = None  # array<string> form when value is an array
+    obj: Optional[Column] = None  # raw JSON text when value is an object
     isnull: Optional[Column] = None  # value exists and is JSON null
     defined: Optional[Column] = None  # value exists at all (vs missing field)
     kind: str = "dyn"  # 'num' | 'str' | 'bool' | 'arr' | 'null' | 'dyn'
@@ -197,6 +198,7 @@ def variant_parts(v: Column, path: str, raw: Optional[Column] = None) -> dict[st
         "isbool": F.coalesce(isbool, F.lit(False)),
         "bval": F.when(isbool, raw == "true").otherwise(_null_b()),
         "arr": F.when(raw.startswith("["), F.try_variant_get(v, path, "array<string>")),
+        "obj": F.when(raw.startswith("{"), raw),
         "isnull": F.coalesce(raw == "null", F.lit(False)),
         "defined": raw.isNotNull(),
     }
@@ -210,6 +212,7 @@ def dyncol_from_parts(p: dict[str, Column]) -> DynCol:
         isbool=p["isbool"],
         bval=p["bval"],
         arr=p["arr"],
+        obj=p["obj"],
         isnull=p["isnull"],
         defined=p["defined"],
     )
@@ -362,6 +365,10 @@ def _truthy(d: DynCol) -> Column:
     )
     if d.arr is not None:
         c = F.when(~d.isnull_c & d.arr.isNotNull(), F.size(d.arr) > 0).otherwise(c)
+    if d.obj is not None:
+        # binders Value.asBoolean on Obj: non-empty is truthy (the
+        # evaluator's len(dict) > 0); '{}' is the canonical empty form
+        c = F.when(~d.isnull_c & d.obj.isNotNull(), d.obj != F.lit("{}")).otherwise(c)
     return c
 
 
@@ -650,6 +657,7 @@ def apply_filter(
                 isbool=p["isbool"],
                 bval=p["bval"],
                 arr=F.col(f"__hs_arr_{i}"),
+                obj=p["obj"],
                 isnull=p["isnull"],
                 defined=p["defined"],
             )

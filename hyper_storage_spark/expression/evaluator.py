@@ -114,8 +114,18 @@ def has_bop(l: Any, r: Any) -> bool:
     raise EvalError(f"'has' not supported between {l!r} and {r!r}")
 
 
+def _fn_length(v: Any) -> Decimal:
+    # length() is defined for strings and arrays ONLY (the documented
+    # contract, matching the Column compiler); an object slipping
+    # through Python's len(dict) would silently diverge from the
+    # compiled path, which has no object-length form
+    if isinstance(v, (str, list, tuple)):
+        return Decimal(len(v))
+    raise EvalError(f"length() of {type(v).__name__}")
+
+
 _FUNCTIONS: dict[str, Callable[..., Any]] = {
-    "length": lambda v: Decimal(len(v)),
+    "length": _fn_length,
     # string form via canonical_str, NOT str(): str(None) would leak
     # Python's 'None' repr (null canonicalizes to ''), and containers
     # raise (⇒ eval error ⇒ row rejected) instead of leaking reprs

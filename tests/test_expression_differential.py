@@ -357,3 +357,87 @@ def test_plus_with_missing_operand_poisons_enclosing_or(spark):
         got = bool(df.filter(compile_filter(ast, resolver)).count())
         expected = evaluate_bool(ast, ctx)
         assert got == expected, (text, got, expected)
+
+
+def test_differential_nested_objects_and_dotted_paths(spark):
+    """Nested-object corpus: object-valued fields (truthy per binders
+    Value.asBoolean — non-empty object is true, '{}' false), dotted
+    identifiers into them (o.x), paths through missing roots, and
+    length() on objects (an eval error on BOTH sides — the compiler
+    has no object-length form, so the evaluator must not silently
+    len(dict)). This corpus found two round-5 divergences (object
+    truthiness, length-of-object); it stays as the net."""
+
+    def gen_value_n(rnd, depth=0):
+        kinds = ["num", "str", "bool", "null", "arr", "absent"] + (
+            ["obj"] if depth < 1 else []
+        )
+        kind = rnd.choice(kinds)
+        if kind == "obj":
+            return {
+                k: gen_value_n(rnd, depth + 1)
+                for k in rnd.sample(["x", "y", "z"], k=rnd.randint(1, 2))
+            }
+        return gen_value(rnd)
+
+    def gen_context_n(rnd):
+        ctx = {}
+        for f in ["a", "b", "o", "p", "s", "tags"]:
+            v = gen_value_n(rnd)
+            if v != "__ABSENT__":
+                ctx[f] = (
+                    {k: w for k, w in v.items() if w != "__ABSENT__"}
+                    if isinstance(v, dict)
+                    else v
+                )
+        return ctx
+
+    fields = ["a", "b", "s", "tags", "o.x", "o.y", "p.z", "o", "missing.q"]
+
+    def gen_expr_n(rnd, depth=0):
+        ident = lambda: rnd.choice(fields)  # noqa: E731
+        num = lambda: rnd.choice(["0", "1", "5", "3.5"])  # noqa: E731
+        st = lambda: rnd.choice(['"hello"', '"10"', '""'])  # noqa: E731
+        if depth >= 2:
+            return rnd.choice([ident(), num(), st()])
+        r = rnd.random()
+        if r < 0.45:
+            op = rnd.choice(["=", "!=", ">", ">=", "<", "<="])
+            return f"({rnd.choice([ident(), num(), st()])} {op} {rnd.choice([ident(), num(), st()])})"
+        if r < 0.65:
+            return f"({gen_expr_n(rnd, depth + 1)} {rnd.choice(['and', 'or'])} {gen_expr_n(rnd, depth + 1)})"
+        if r < 0.75:
+            return f"(not {gen_expr_n(rnd, depth + 1)})"
+        if r < 0.9:
+            arr = "[" + ",".join(rnd.sample(["1", "2", "3"], k=rnd.randint(1, 2))) + "]"
+            return f"({ident()} {rnd.choice(['has', 'has not'])} {arr})"
+        return f"(length({ident()}) {rnd.choice(['>', '='])} {num()})"
+
+    rnd = random.Random(2)  # the seed that hit both round-5 divergences
+    contexts = [gen_context_n(rnd) for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, json.dumps(c)) for i, c in enumerate(contexts)], "ctx_id int, body string"
+    )
+    resolver = variant_resolver(F.col("body"))
+    exprs = []
+    while len(exprs) < 200:
+        text = gen_expr_n(rnd)
+        try:
+            exprs.append((text, parse(text)))
+        except Exception:  # pragma: no cover
+            continue
+    cols, idx = [], []
+    for i, (text, ast) in enumerate(exprs):
+        try:
+            cols.append(compile_filter(ast, resolver).alias(f"e{i}"))
+            idx.append(i)
+        except CompileError:
+            continue
+    out = {r.ctx_id: r for r in df.select("ctx_id", *cols).collect()}
+    mismatches = []
+    for cid, ctx in enumerate(contexts):
+        for i in idx:
+            text, ast = exprs[i]
+            if bool(out[cid][f"e{i}"]) != bool(evaluate_bool(ast, ctx)):
+                mismatches.append((text, ctx))
+    assert not mismatches, mismatches[:5]
