@@ -61,6 +61,7 @@ class DynCol:
     isbool: Column  # bool: value is a boolean
     bval: Column  # boolean form (NULL unless isbool)
     arr: Optional[Column] = None  # array<string> form when value is an array
+    arrv: Optional[Column] = None  # array<variant> form (typed element compare)
     obj: Optional[Column] = None  # raw JSON text when value is an object
     isnull: Optional[Column] = None  # value exists and is JSON null
     defined: Optional[Column] = None  # value exists at all (vs missing field)
@@ -198,6 +199,7 @@ def variant_parts(v: Column, path: str, raw: Optional[Column] = None) -> dict[st
         "isbool": F.coalesce(isbool, F.lit(False)),
         "bval": F.when(isbool, raw == "true").otherwise(_null_b()),
         "arr": F.when(raw.startswith("["), F.try_variant_get(v, path, "array<string>")),
+        "arrv": F.when(raw.startswith("["), F.try_variant_get(v, path, "array<variant>")),
         "obj": F.when(raw.startswith("{"), raw),
         "isnull": F.coalesce(raw == "null", F.lit(False)),
         "defined": raw.isNotNull(),
@@ -212,6 +214,7 @@ def dyncol_from_parts(p: dict[str, Column]) -> DynCol:
         isbool=p["isbool"],
         bval=p["bval"],
         arr=p["arr"],
+        arrv=p["arrv"],
         obj=p["obj"],
         isnull=p["isnull"],
         defined=p["defined"],
@@ -375,6 +378,20 @@ def _truthy(d: DynCol) -> Column:
 _VALUED = {"num", "str", "bool"}
 
 
+def _variant_elem_eq(x: Column, y: Column) -> Column:
+    """Typed equality of two VARIANT array elements (value_eq analog):
+    numeric pairs compare as decimals, any other pair by raw JSON text
+    (first character tags the type, so cross-type never matches; null
+    elements compare equal as 'null' == 'null')."""
+    xr, yr = F.to_json(x), F.to_json(y)
+    xnum = xr.rlike(r"^-?[0-9]")
+    ynum = yr.rlike(r"^-?[0-9]")
+    return F.when(
+        xnum & ynum,
+        F.try_variant_get(x, "$", DEC) == F.try_variant_get(y, "$", DEC),
+    ).otherwise(xr == yr)
+
+
 def _eq(l: DynCol, r: DynCol) -> Column:
     # fast paths: both runtime types known statically (typed values are
     # always defined; a NULL value compares equal only to null)
@@ -398,7 +415,24 @@ def _eq(l: DynCol, r: DynCol) -> Column:
         .when(l.isbool & r.isbool, l.bval == r.bval)
         .when(l.isstr & r.isstr, l.s == r.s)
     )
-    if l.arr is not None and r.arr is not None:
+    if l.arrv is not None and r.arrv is not None:
+        # variant arrays: TYPED per-element equality (evaluator
+        # value_eq recursion) — the canonical-string array form would
+        # call [1] equal to ["1"]. Numbers compare numerically (so
+        # [2.0] == [2]); everything else compares by raw JSON, which
+        # preserves the type tag in its first character.
+        c = c.when(
+            l.arrv.isNotNull() & r.arrv.isNotNull(),
+            (F.size(l.arrv) == F.size(r.arrv))
+            & F.aggregate(
+                F.zip_with(l.arrv, r.arrv, _variant_elem_eq),
+                F.lit(True),
+                lambda acc, z: acc & z,
+            ),
+        )
+    elif l.arr is not None and r.arr is not None:
+        # typed array columns are homogeneous, so the canonical string
+        # form compares exactly
         c = c.when(l.arr.isNotNull() & r.arr.isNotNull(), l.arr == r.arr)
     return (
         c.when(l.isnull_c & r.isnull_c, F.lit(True))
@@ -467,6 +501,26 @@ def _arith(op: str, l: DynCol, r: DynCol) -> DynCol:
     return _num_dyn(n)
 
 
+def _typed_contains(arrv: Column, value) -> Column:
+    """value ∈ variant array, with the evaluator's TYPED value_eq per
+    element — canonical-string array_contains would call Number(1) a
+    member of ["1"]."""
+    import json as _json
+
+    if isinstance(value, bool):
+        return F.exists(arrv, lambda x: F.to_json(x) == F.lit("true" if value else "false"))
+    if value is None:
+        return F.exists(arrv, lambda x: F.to_json(x) == F.lit("null"))
+    if isinstance(value, str):
+        return F.exists(arrv, lambda x: F.to_json(x) == F.lit(_json.dumps(value)))
+    dv = value if isinstance(value, Decimal) else Decimal(str(value))
+    return F.exists(
+        arrv,
+        lambda x: F.to_json(x).rlike(r"^-?[0-9]")
+        & (F.try_variant_get(x, "$", DEC) == F.lit(dv)),
+    )
+
+
 def _has(l: DynCol, r_expr: Expression) -> Column:
     if not isinstance(r_expr, Constant):
         raise CompileError("'has' requires a constant right-hand side to compile")
@@ -478,8 +532,14 @@ def _has(l: DynCol, r_expr: Expression) -> Column:
             return F.when(l.isstr, l.s.contains(rv)).otherwise(_null_b())
         raise CompileError("'has' on a non-array value")
     arr_check = F.lit(True)
-    for e in elems:
-        arr_check = arr_check & F.array_contains(l.arr, canonical_str(e))
+    if l.arrv is not None:
+        for e in elems:
+            arr_check = arr_check & _typed_contains(l.arrv, e)
+    else:
+        # typed array columns are homogeneous: canonical-string
+        # membership is exact
+        for e in elems:
+            arr_check = arr_check & F.array_contains(l.arr, canonical_str(e))
     if isinstance(rv, str):
         str_check = F.when(l.isstr, l.s.contains(rv)).otherwise(_null_b())
     else:
@@ -657,6 +717,7 @@ def apply_filter(
                 isbool=p["isbool"],
                 bval=p["bval"],
                 arr=F.col(f"__hs_arr_{i}"),
+                arrv=p["arrv"],
                 obj=p["obj"],
                 isnull=p["isnull"],
                 defined=p["defined"],

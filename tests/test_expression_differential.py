@@ -441,3 +441,32 @@ def test_differential_nested_objects_and_dotted_paths(spark):
             if bool(out[cid][f"e{i}"]) != bool(evaluate_bool(ast, ctx)):
                 mismatches.append((text, ctx))
     assert not mismatches, mismatches[:5]
+
+
+def test_variant_array_equality_and_has_are_typed(spark):
+    """Array equality and `has` membership over variant fields must
+    use the evaluator's TYPED per-element value_eq: Number(1) is not
+    Text("1") even though both canonicalize to the string '1', while
+    [2.0] equals [2] numerically and null elements equal each other.
+    The canonical-string array form (which the typed-column path
+    correctly keeps — homogeneous element types) called [1] equal to
+    ["1"] on variant fields until round 5."""
+    ctxs = [
+        {"a": [1, 2], "b": [1, 2]},
+        {"a": [1], "b": ["1"]},
+        {"a": [2.0], "b": [2]},
+        {"a": ["x", 1], "b": ["x", 1]},
+        {"a": [1, None], "b": [1, None]},
+        {"a": [1, 2], "b": [2, 1]},
+        {"a": ["1"]},
+        {"a": [1]},
+    ]
+    df = spark.createDataFrame(
+        [(i, json.dumps(c)) for i, c in enumerate(ctxs)], "i int, body string"
+    )
+    resolver = variant_resolver(F.col("body"))
+    for text in ["a = b", "a != b", "a has [1]", "a has [1,2]", 'a has "1"']:
+        ast = parse(text)
+        got = sorted(r.i for r in df.filter(compile_filter(ast, resolver)).collect())
+        expected = sorted(i for i, c in enumerate(ctxs) if evaluate_bool(ast, c))
+        assert got == expected, (text, got, expected)
