@@ -365,6 +365,100 @@ def embedding_lsh_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (doc_id, cluster_id) for every document that appears in ``pairs``,
+    where cluster_id is the component's minimum doc_id — the canonical
+    representative downstream "keep one per cluster" filters key on.
+
+    Pairwise dedup output is NOT a dedup decision yet: if A~B and B~C
+    but A≁C (similarity is not transitive), keeping "one per pair"
+    either drops too much or too little; the industry-standard move
+    (MinHash dedup in C4/RefinedWeb/Dolma pipelines) is to take
+    connected components of the pair graph and keep one doc per
+    component. This is that operator.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round is two groupBy/join passes over the edge set, and the edge
+    set contracts toward a forest of stars rooted at each component's
+    minimum in O(log² n) rounds (2 rounds for the clique-shaped
+    components real dup graphs produce). No driver-side graph state:
+    the driver loop only compares a (count, checksum) pair per round,
+    so a 100 TB pair set never leaves the executors. Each round ends
+    in ``localCheckpoint`` to truncate the growing lineage (iterative
+    plans otherwise re-derive every prior round per action; swap for
+    ``checkpoint`` with a reliable dir on a real cluster).
+
+    Works for any orderable id type (longs here; strings cluster to
+    their lexicographic min)."""
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev: tuple | None = None
+    for _ in range(max_rounds):
+        # large-star: every neighbor LARGER than u re-points at the
+        # minimum of u's closed neighborhood (keeps connectivity,
+        # never grows the edge count beyond n+m)
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        large = (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient each edge (larger, smaller); the larger
+        # endpoint and all its smaller neighbors point at the minimum
+        d = large.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        mn = d.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            d.join(mn, "u")
+            .select(F.col("v").alias("node"), F.col("m"))
+            .union(mn.select(F.col("u").alias("node"), F.col("m")))
+            .filter(F.col("node") != F.col("m"))
+            .select(F.col("node").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # order-independent edge-set checksum (XOR never overflows,
+        # unlike SUM under ANSI arithmetic)
+        chk_row = small.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("s")
+        ).first()
+        chk = (chk_row["n"], chk_row["s"])
+        e = small
+        if prev == chk:
+            break
+        prev = chk
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_rounds} rounds "
+            "(pathological graph?); raise max_rounds"
+        )
+    # fixed point = stars (member -> component minimum); the root
+    # itself gets a row so every clustered document is labeled
+    members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()
+    return members.union(roots).distinct()
+
+
 def cdc_chunk_hashes(
     docs: DataFrame,
     text_col: str = "text",

@@ -1354,6 +1354,44 @@ def dedup_embedding_lsh(spark, sf_dir):
     )
 
 
+# Connected components as a recursive CTE: seed every node with its own
+# id, propagate labels along edges to a fixed point (DuckDB's UNION
+# dedup terminates the recursion), take the min label per node. The
+# pair graph is the SAME df-capped Jaccard set the dedup_ngram_jaccard
+# entry is pinned on, so this oracle checks the clustering END TO END:
+# pair generation AND the component labeling.
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@register_extra("dedup_clusters", _CLUSTERS_SQL)
+def dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS (operators/dedup.py:duplicate_clusters):
+    connected components of the df-capped n-gram-Jaccard pair graph,
+    labeled by component-minimum doc_id — the "keep one per cluster"
+    decision pairwise output alone cannot make (similarity is not
+    transitive). Distributed alternating large-star/small-star, driver
+    holds only a per-round checksum; the oracle replays it as a DuckDB
+    recursive CTE over the identical pair set, so the check is
+    end-to-end (pairs + labeling), not just the graph step."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_df=100
+    )
+    return dedup.duplicate_clusters(pairs).orderBy("doc_id")
+
+
 @register_extra("dedup_cdc_chunks", None)  # rolling-hash family is engine-specific
 def dedup_cdc_chunks(spark, sf_dir):
     """Content-defined-chunking near-dup candidates (rsync/LBFS-style

@@ -942,3 +942,52 @@ def test_resize_empty_payload_keeps_fixed_shape(spark):
     out = {r.doc_id: r for r in multimodal.resize_images(media, 4, 4).collect()}
     assert len(out[0].payload) == 16  # zero-filled, fixed shape
     assert len(out[3].payload) == 16
+
+
+def _uf_components(pairs):
+    """Ground-truth union-find (driver-side, test-only)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    # two cliques, a bridge chain, an isolated pair — nontrivial shapes
+    pairs = [
+        (1, 2), (2, 3), (1, 3),          # clique {1,2,3}
+        (10, 11), (11, 12),              # path {10,11,12}
+        (3, 10),                         # bridge: one big component
+        (100, 101),                      # isolated pair
+        (7, 5), (5, 9),                  # out-of-order ids
+    ]
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(df).collect()
+    }
+    assert got == _uf_components(pairs)
+
+
+def test_duplicate_clusters_long_path_converges(spark):
+    # a 64-node path is the worst diameter case for naive propagation;
+    # large-star/small-star must converge well inside max_rounds
+    pairs = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    got = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(df).collect()}
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_duplicate_clusters_empty_and_self_pairs(spark):
+    df = spark.createDataFrame([(5, 5)], "a_id long, b_id long")
+    assert dedup.duplicate_clusters(df).count() == 0
