@@ -459,6 +459,52 @@ def duplicate_clusters(
     return members.union(roots).distinct()
 
 
+def benchmark_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of
+    its distinct ``n``-gram shingles appear anywhere in the benchmark
+    corpus — (doc_id, n_ngrams, n_hit_ngrams, contaminated).
+
+    The GPT-3/Llama eval-leakage check: a training document sharing
+    even one long n-gram (13 words is the published convention) with
+    an eval benchmark inflates downstream scores and must be dropped
+    or flagged before training. Expressed as one equi-join: train
+    shingles (doc_id, hash) against the DISTINCT benchmark shingle-
+    hash set, then a per-document count. The benchmark side is a
+    fixed eval suite — usually broadcast-sized — but the join stays
+    UNHINTED: AQE broadcasts it when it is actually small, and a
+    pathologically large benchmark degrades to a shuffle join instead
+    of a driver OOM (the same policy as the LSH verify join).
+
+    Documents shorter than ``n`` tokens have no shingles; they appear
+    with n_ngrams = 0 and contaminated = false rather than vanishing,
+    so the output is a total function of the training corpus."""
+    train_sh = _hashed_shingles(train, text_col, n)
+    bench_sh = _hashed_shingles(benchmark, text_col, n).select("h").distinct()
+    totals = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        train_sh.join(bench_sh, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+    return (
+        train.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
 def cdc_chunk_hashes(
     docs: DataFrame,
     text_col: str = "text",

@@ -1392,6 +1392,59 @@ def dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs).orderBy("doc_id")
 
 
+# Benchmark split: doc_id % 13 = 0 plays the eval benchmark, the rest
+# is the training corpus — deterministic, so both engines derive the
+# identical partition. 5-gram shingles (every test doc has ≥ 10
+# tokens; the operator's 13-gram default is the published convention
+# for real corpora).
+_DECONTAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i FROM toks WHERE len(t) >= 5
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS shingle
+  FROM idx
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0),
+train_ids AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0),
+totals AS (
+  SELECT doc_id, COUNT(*) AS n_ngrams FROM sh WHERE doc_id % 13 <> 0 GROUP BY 1
+),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_hit_ngrams
+  FROM sh s JOIN bench b USING (shingle)
+  WHERE s.doc_id % 13 <> 0 GROUP BY 1
+)
+SELECT t.doc_id,
+       COALESCE(tt.n_ngrams, 0) AS n_ngrams,
+       COALESCE(h.n_hit_ngrams, 0) AS n_hit_ngrams,
+       COALESCE(h.n_hit_ngrams, 0) >= 1 AS contaminated
+FROM train_ids t
+LEFT JOIN totals tt USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register_extra("text_decontaminate", _DECONTAM_SQL)
+def text_decontaminate(spark, sf_dir):
+    """Eval-benchmark decontamination
+    (operators/dedup.py:benchmark_contamination): flag every training
+    document sharing an n-gram with the benchmark corpus — the
+    leakage check LLM training pipelines run before a corpus ships.
+    One unhinted equi-join of train shingle hashes against the
+    distinct benchmark shingle set (AQE broadcasts the benchmark side
+    when small), then a per-document count; short docs surface with
+    zero counts instead of vanishing."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 13 != 0)
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    return dedup.benchmark_contamination(train, bench, n=5).orderBy("doc_id")
+
+
 @register_extra("dedup_cdc_chunks", None)  # rolling-hash family is engine-specific
 def dedup_cdc_chunks(spark, sf_dir):
     """Content-defined-chunking near-dup candidates (rsync/LBFS-style

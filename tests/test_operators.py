@@ -991,3 +991,28 @@ def test_duplicate_clusters_long_path_converges(spark):
 def test_duplicate_clusters_empty_and_self_pairs(spark):
     df = spark.createDataFrame([(5, 5)], "a_id long, b_id long")
     assert dedup.duplicate_clusters(df).count() == 0
+
+
+def test_benchmark_contamination_flags_ngram_overlap(spark):
+    # train doc 1 contains benchmark doc 100's 5-gram verbatim;
+    # train doc 2 shares no 5-gram; doc 3 is too short to shingle
+    train = spark.createDataFrame(
+        [
+            (1, "x y the quick brown fox jumps z w"),
+            (2, "entirely different words with no overlap here at all"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b the quick brown fox jumps c")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.benchmark_contamination(train, bench, n=5).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].contaminated and out[1].n_hit_ngrams == 1
+    assert not out[2].contaminated and out[2].n_hit_ngrams == 0
+    assert out[3].n_ngrams == 0 and not out[3].contaminated
