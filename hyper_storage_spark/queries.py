@@ -1392,6 +1392,51 @@ def dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs).orderBy("doc_id")
 
 
+@register_extra(
+    "q_pack_sequences_contract",
+    """SELECT COUNT(*) AS n_docs,
+              CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+              true AS assigned_once, true AS capacity_ok, true AS fill_ok
+       FROM documents""",
+)
+def q_pack_sequences_contract(spark, sf_dir):
+    """Sequence packing for training batches
+    (operators/sampling.py:pack_sequences — hash-grouped
+    first-fit-decreasing, applyInPandas over (id, count) pairs only),
+    driven through its contract: every document assigned exactly once
+    with total tokens conserved (n_docs/total_tokens must equal the
+    corpus numbers the oracle computes directly), no sequence over the
+    256-token budget (capacity_ok), and at most n_groups underfull
+    bins (fill_ok — the FFD at-most-one-half-empty-bin-per-group
+    guarantee). The assignment itself is engine-specific (bin order);
+    the contract is the part a training pipeline depends on."""
+    n_groups = 8
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(text.tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    packed = sampling.pack_sequences(docs, max_tokens=256, n_groups=n_groups)
+    seqs = packed.groupBy("seq_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.max(F.col("oversize").cast("int")).alias("over"),
+    )
+    totals = packed.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_distinct"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    seq_stats = seqs.filter(F.col("over") == 0).agg(
+        F.max("fill").alias("max_fill"),
+        F.sum((F.col("fill") * 2 < 256).cast("long")).alias("n_underfull"),
+    )
+    return totals.crossJoin(seq_stats).select(
+        F.col("n_rows").alias("n_docs"),
+        "total_tokens",
+        (F.col("n_rows") == F.col("n_distinct")).alias("assigned_once"),
+        (F.col("max_fill") <= 256).alias("capacity_ok"),
+        (F.col("n_underfull") <= n_groups).alias("fill_ok"),
+    )
+
+
 # Benchmark split: doc_id % 13 = 0 plays the eval benchmark, the rest
 # is the training corpus — deterministic, so both engines derive the
 # identical partition. 5-gram shingles (every test doc has ≥ 10

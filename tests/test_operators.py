@@ -1016,3 +1016,45 @@ def test_benchmark_contamination_flags_ngram_overlap(spark):
     assert out[1].contaminated and out[1].n_hit_ngrams == 1
     assert not out[2].contaminated and out[2].n_hit_ngrams == 0
     assert out[3].n_ngrams == 0 and not out[3].contaminated
+
+
+def test_pack_sequences_ffd_properties(spark):
+    from hyper_storage_spark.operators import sampling
+
+    rows = [(i, 10 + (i * 37) % 190) for i in range(200)] + [(900, 512)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = sampling.pack_sequences(df, max_tokens=256, n_groups=4).collect()
+    by_doc = {r.doc_id: r for r in packed}
+    # every doc assigned exactly once, counts preserved
+    assert len(packed) == len(rows) and len(by_doc) == len(rows)
+    assert all(by_doc[d].n_tokens == n for d, n in rows)
+    # oversize flagged, alone in its bin
+    assert by_doc[900].oversize
+    fills = {}
+    for r in packed:
+        fills.setdefault(r.seq_id, []).append(r)
+    for seq, members in fills.items():
+        if any(m.oversize for m in members):
+            assert len(members) == 1
+        else:
+            assert sum(m.n_tokens for m in members) <= 256
+    # FFD: at most one bin <= half-full per group
+    under = {}
+    for seq, members in fills.items():
+        if any(m.oversize for m in members):
+            continue
+        if sum(m.n_tokens for m in members) * 2 < 256:
+            under[members[0].group_id] = under.get(members[0].group_id, 0) + 1
+    assert all(v <= 1 for v in under.values())
+
+
+def test_pack_sequences_deterministic(spark):
+    from hyper_storage_spark.operators import sampling
+
+    rows = [(i, 10 + (i * 13) % 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = sorted(map(tuple, sampling.pack_sequences(df, 128, n_groups=4).collect()))
+    b = sorted(
+        map(tuple, sampling.pack_sequences(df.repartition(13), 128, n_groups=4).collect())
+    )
+    assert a == b
