@@ -8,6 +8,8 @@ expressed as DataFrame transformations (JVM-side, shuffle-aware):
   embedding near-dup (hyperplane LSH), content-defined chunking.
 - :mod:`similarity` — brute-force cosine top-k, multi-probe LSH ANN,
   IVF (k-means cells) ANN.
+- :mod:`search` — BM25 top-k keyword retrieval over reusable
+  posting-list reductions (the sparse twin of :mod:`similarity`).
 - :mod:`text` — token stats, quality scoring, language ID,
   fingerprints, Gopher repetition filters, PII redaction.
 - :mod:`multimodal` — opaque binary columns + Arrow-batched feature

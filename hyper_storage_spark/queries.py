@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .expression import parse
 from .expression.compiler import apply_filter
-from .operators import dedup, multimodal, sampling, similarity, skew, text, timeseries
+from .operators import dedup, multimodal, sampling, search, similarity, skew, text, timeseries
 from .plans import FieldFilter, FilterOp, SortBy, SortItem, least_rows_filter_fields
 from .sources import load_table
 
@@ -1390,6 +1390,64 @@ def dedup_clusters(spark, sf_dir):
         _t(spark, sf_dir, "documents"), threshold=0.5, max_df=100
     )
     return dedup.duplicate_clusters(pairs).orderBy("doc_id")
+
+
+# The query batch is a fixed literal VALUES list so both engines see
+# the identical retrieval workload; scores are ranked on full doubles
+# and rounded to 6 only in the output (ln/avg run in IEEE double on
+# both sides — a 1-ulp divergence sits ~10 orders below the rounding).
+_BM25_SQL = """
+WITH q(query_id, query) AS (
+  VALUES ('q1', 'table scan'), ('q2', 'hash merge batch'), ('q3', 'window sort fast')
+),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+post AS (
+  SELECT doc_id, u AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS u FROM toks)
+  WHERE u <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+qterms AS (
+  SELECT DISTINCT query_id, u AS term
+  FROM (SELECT query_id, unnest(string_split_regex(trim(query), '\\s+')) AS u FROM q)
+  WHERE u <> ''
+),
+scored AS (
+  SELECT query_id, p.doc_id,
+         SUM(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+             * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+  FROM qterms qt
+  JOIN post p USING (term)
+  JOIN dfreq f USING (term)
+  JOIN dl d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register_extra("search_bm25_topk", _BM25_SQL)
+def search_bm25_topk(spark, sf_dir):
+    """Sparse lexical retrieval (operators/search.py:bm25_topk): Okapi
+    BM25 top-10 per query over the documents corpus — the keyword
+    counterpart of ann_cosine_topk's dense side. Postings + df are
+    one-shuffle corpus reductions (reusable artifacts at scale); the
+    query batch joins in unhinted (AQE broadcasts it), scoring is a
+    grouped partial sum, top-k is a per-query rank window. The oracle
+    replays the identical formula in SQL end to end."""
+    queries = spark.createDataFrame(
+        [("q1", "table scan"), ("q2", "hash merge batch"), ("q3", "window sort fast")],
+        "query_id string, query string",
+    )
+    return search.bm25_topk(_t(spark, sf_dir, "documents"), queries, k=10)
 
 
 @register_extra(

@@ -1058,3 +1058,27 @@ def test_pack_sequences_deterministic(spark):
         map(tuple, sampling.pack_sequences(df.repartition(13), 128, n_groups=4).collect())
     )
     assert a == b
+
+
+def test_bm25_scores_match_hand_formula(spark):
+    import math
+
+    from hyper_storage_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple cherry"), (3, "durian elderberry fig")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame([("q", "apple")], "query_id string, query string")
+    got = {r.doc_id: r for r in search.bm25_topk(docs, queries, k=10).collect()}
+    # hand BM25: N=3, df(apple)=2, idf=ln(1+(3-2+0.5)/(2+0.5)); avgdl=8/3
+    idf = math.log(1 + 1.5 / 2.5)
+    avgdl = 8 / 3
+
+    def s(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert set(got) == {1, 2}  # doc 3 shares no term
+    assert abs(got[1].score - round(s(2, 3), 6)) < 1e-9
+    assert abs(got[2].score - round(s(1, 2), 6)) < 1e-9
+    assert got[1].rank == 1 and got[2].rank == 2  # tf wins
