@@ -71,6 +71,53 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed=seed)
 
 
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Downsample the corpus to a target domain mixture (the
+    data-mixing step of corpus prep: "40% web, 15% code, ..."),
+    keeping as much data as the mixture allows.
+
+    The total is set by the BINDING domain — the one that runs out
+    first at its target share (T = min_d n_d / w_d) — so that domain
+    keeps everything and every other domain downsamples to its share;
+    no domain ever upsamples (epochs/repetition is a training-loop
+    decision, not a corpus transform). Row selection reuses
+    :func:`split_bucket`'s content-hash Bernoulli, so the sample is a
+    pure function of (id, salt): reproducible across runs/partitioning
+    and stable under corpus growth, unlike seeded ``sample()``.
+
+    Per-domain counts are collected to the driver — domains are a
+    bounded vocabulary (sources/languages), not data-proportional.
+    Domains absent from ``weights`` (or weighted 0) are dropped.
+    Weights need not sum to 1; they are normalized."""
+    pos = {d: w for d, w in weights.items() if w > 0}
+    if not pos:
+        raise ValueError("need at least one positive weight")
+    total_w = sum(pos.values())
+    pos = {d: w / total_w for d, w in pos.items()}
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()
+    }
+    absent = [d for d in pos if counts.get(d, 0) == 0]
+    if absent:
+        raise ValueError(f"target domains have no rows: {absent}")
+    cap = min(counts[d] / w for d, w in pos.items())
+    thresholds = {
+        d: int(round(min(1.0, w * cap / counts[d]) * _BUCKETS)) for d, w in pos.items()
+    }
+    thr = F.create_map(
+        *[x for d, t in thresholds.items() for x in (F.lit(d), F.lit(t))]
+    )
+    bucket = split_bucket(F.col(id_col), salt)
+    return df.filter(bucket < F.coalesce(thr[F.col(domain_col)], F.lit(0)))
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,

@@ -1392,6 +1392,56 @@ def dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs).orderBy("doc_id")
 
 
+@register_extra(
+    "q_domain_mixture_contract",
+    """SELECT lang AS domain, true AS share_ok, true AS saturated_ok, true AS no_upsample
+       FROM documents WHERE lang IS NOT NULL GROUP BY 1""",
+)
+def q_domain_mixture_contract(spark, sf_dir):
+    """Domain-mixture resampling (operators/sampling.py:domain_mixture)
+    under a 40/15/15/15/15 language target, driven through its
+    contract: every realized share lands within 5 points of target
+    (share_ok — the content-hash Bernoulli is deterministic, so this
+    is a fixed property of the corpus, not a flaky draw), the binding
+    domain keeps ~all its rows (saturated_ok — the mixture wastes no
+    keepable data), and no domain exceeds its availability
+    (no_upsample). The kept-row set itself is hash-family-specific;
+    what a pipeline depends on is the mixture, which this row pins."""
+    weights = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    docs = _t(spark, sf_dir, "documents")
+    kept = sampling.domain_mixture(docs, "lang", weights)
+    avail = docs.groupBy(F.col("lang").alias("domain")).agg(
+        F.count("*").alias("n_avail")
+    )
+    got = kept.groupBy(F.col("lang").alias("domain")).agg(
+        F.count("*").alias("n_kept")
+    )
+    tgt = F.create_map(*[x for d, w in weights.items() for x in (F.lit(d), F.lit(w))])
+    joined = avail.join(got, "domain", "left").na.fill(0, ["n_kept"])
+    total = joined.agg(F.sum("n_kept").alias("n_total"))
+    per_domain = joined.crossJoin(total).select(
+        "domain",
+        (
+            F.abs(F.col("n_kept") / F.col("n_total") - tgt[F.col("domain")]) <= 0.05
+        ).alias("share_ok"),
+        F.col("n_kept").alias("_k"),
+        F.col("n_avail").alias("_a"),
+    )
+    saturated = per_domain.agg(
+        (F.max(F.col("_k") / F.col("_a")) >= 1.0).alias("sat")
+    )
+    return (
+        per_domain.crossJoin(saturated)
+        .select(
+            "domain",
+            "share_ok",
+            F.col("sat").alias("saturated_ok"),
+            (F.col("_k") <= F.col("_a")).alias("no_upsample"),
+        )
+        .orderBy("domain")
+    )
+
+
 # The query batch is a fixed literal VALUES list so both engines see
 # the identical retrieval workload; scores are ranked on full doubles
 # and rounded to 6 only in the output (ln/avg run in IEEE double on

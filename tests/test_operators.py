@@ -1082,3 +1082,29 @@ def test_bm25_scores_match_hand_formula(spark):
     assert abs(got[1].score - round(s(2, 3), 6)) < 1e-9
     assert abs(got[2].score - round(s(1, 2), 6)) < 1e-9
     assert got[1].rank == 1 and got[2].rank == 2  # tf wins
+
+
+def test_domain_mixture_shares_and_determinism(spark):
+    from hyper_storage_spark.operators import sampling
+
+    rows = [(i, "a" if i % 4 else "b") for i in range(400)]  # a:300 b:100
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = sampling.domain_mixture(df, "lang", {"a": 0.5, "b": 0.5})
+    counts = {r[0]: r[1] for r in kept.groupBy("lang").count().collect()}
+    # b binds (100/0.5=200 < 300/0.5=600): b keeps everything
+    assert counts["b"] == 100
+    # a downsamples toward 100; content-hash Bernoulli is approximate
+    assert 70 <= counts["a"] <= 130
+    # deterministic: same rows kept on re-evaluation and repartition
+    k1 = sorted(r.doc_id for r in kept.collect())
+    k2 = sorted(
+        r.doc_id
+        for r in sampling.domain_mixture(df.repartition(7), "lang", {"a": 0.5, "b": 0.5}).collect()
+    )
+    assert k1 == k2
+    # unknown domain dropped, zero weight dropped
+    df2 = spark.createDataFrame(
+        [(1, "a"), (2, "zzz")], "doc_id long, lang string"
+    )
+    out = sampling.domain_mixture(df2, "lang", {"a": 1.0, "zzz": 0.0})
+    assert [r.lang for r in out.collect()] == ["a"]
