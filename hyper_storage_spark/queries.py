@@ -1116,6 +1116,189 @@ def q_min_per_group_subquery(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q13_customer_distribution",
+    """SELECT c_count, COUNT(*) AS custdist
+       FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             FROM customer LEFT JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             GROUP BY c_custkey)
+       GROUP BY c_count""",
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: outer join with an ON-clause residual (the
+    non-matching customers must survive with count 0 — a WHERE would
+    delete them), then a distribution-of-counts re-aggregation. Both
+    groupBys reduce before they shuffle; the second input is one row
+    per customer."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register_extra(
+    "q15_top_supplier",
+    """WITH rev AS (
+         SELECT l_suppkey AS s_suppkey,
+                SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS r
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01'
+         GROUP BY 1
+       )
+       SELECT s.s_suppkey, s_name, CAST(ROUND(r, 2) AS DOUBLE) AS total_revenue
+       FROM supplier s JOIN rev USING (s_suppkey)
+       WHERE r = (SELECT MAX(r) FROM rev)""",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier by quarterly revenue): the view +
+    scalar-max subquery becomes one grouped reduction, a 1-row max
+    cross-joined back (no unpartitioned window, no re-scan of the
+    fact), and a broadcast dimension join. The max comparison runs on
+    the EXACT decimal; rounding is output-only."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+        ).alias("r")
+    )
+    mx = rev.agg(F.max("r").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(mx)
+        .filter(F.col("r") == F.col("mx"))
+        .join(F.broadcast(s), "s_suppkey")
+        .select("s_suppkey", "s_name", F.round("r", 2).cast("double").alias("total_revenue"))
+    )
+
+
+@register_extra(
+    "q17_small_quantity_revenue",
+    """SELECT CAST(ROUND(ROUND(SUM(CAST(l1.l_extendedprice AS DECIMAL(12,4))), 2) / 7.0, 6) AS DOUBLE) AS avg_yearly
+       FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+       WHERE p_brand = 'Brand#1'
+         AND l1.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                              WHERE l2.l_partkey = l1.l_partkey)""",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (correlated per-part average): the correlated
+    subquery decorrelates into an avg WINDOW over the brand-filtered
+    fact — one shuffle on l_partkey, no self-join of lineitem. The
+    brand dimension broadcasts. The decimal sum is rounded BEFORE the
+    /7 double division so both engines divide the identical exact
+    value."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("__avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 2) / F.lit(7.0), 6
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register_extra(
+    "q18_large_volume_customers",
+    """SELECT c_custkey, c_name, o_orderkey,
+              CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+       FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+       GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+       HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 200""",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): aggregate the fact FIRST
+    (per-order quantity, HAVING > 200), then join the two dimensions —
+    the join input shrinks from 60k line items to ~900 orders before
+    any dimension shuffle. The HAVING comparison runs on the exact
+    decimal."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sq"))
+        .filter(F.col("sq") > 200)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register_extra(
+    "q22_dormant_balances",
+    """WITH seg AS (
+         SELECT * FROM customer
+         WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY') AND c_acctbal > 0
+       ),
+       tot AS (
+         SELECT COUNT(*) AS cnt, SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS t FROM seg
+       ),
+       eligible AS (
+         SELECT c_custkey, c_mktsegment, c_acctbal FROM seg, tot
+         WHERE CAST(c_acctbal AS DECIMAL(12,4)) * cnt > t
+       )
+       SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+              CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,4))), 2) AS DOUBLE) AS totacctbal
+       FROM eligible e
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = e.c_custkey
+                           AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+       GROUP BY 1""",
+)
+def q22_dormant_balances(spark, sf_dir):
+    """TPC-H Q22 shape (above-average balances with no recent orders):
+    the global-average threshold is expressed as the exact decimal
+    cross-multiplication acctbal*cnt > sum — a float average would
+    make the boundary rows nondeterministic between engines — and the
+    NOT EXISTS becomes a left_anti against the date-filtered orders
+    (anti join input pre-filtered, never the whole fact)."""
+    seg = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY")
+        & (F.col("c_acctbal") > 0)
+    )
+    tot = seg.agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("t"),
+    )
+    eligible = seg.crossJoin(tot).filter(
+        F.col("c_acctbal").cast(DEC) * F.col("cnt") > F.col("t")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01"
+    )
+    dormant = eligible.join(
+        recent, eligible.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return dormant.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum(F.col("c_acctbal").cast(DEC)), 2).cast("double").alias("totacctbal"),
+    )
+
+
 @register(
     "q_string_agg_sorted",
     """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names,
