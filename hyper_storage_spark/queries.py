@@ -2593,6 +2593,42 @@ def q_approx_distinct_contract(spark, sf_dir):
 
 
 @register_extra(
+    "q_approx_percentile_contract",
+    """SELECT event_type,
+              ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50_exact,
+              ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99_exact,
+              true AS p50_ok, true AS p99_ok
+       FROM events GROUP BY event_type""",
+)
+def q_approx_percentile_contract(spark, sf_dir):
+    """Quantile-sketch surface with an honest gate (the
+    q_approx_distinct_contract pattern for percentile_approx):
+    per-group approximate p50/p99 must land within 2% of the group's
+    value RANGE of the exact interpolated percentile, computed
+    in-plan. At 100 TB the sketch is the only viable path — bounded
+    per-group state and mergeable partials vs a per-group sort; the
+    exact percentile twin is also emitted and oracle-matched, so the
+    row checks both the exact algebra and the sketch's bound."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_exact"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("a99"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    tol = (F.col("mx") - F.col("mn")) * 0.02
+    return agg.select(
+        "event_type",
+        "p50_exact",
+        "p99_exact",
+        (F.abs(F.col("a50") - F.col("p50_exact")) <= tol).alias("p50_ok"),
+        (F.abs(F.col("a99") - F.col("p99_exact")) <= tol).alias("p99_ok"),
+    )
+
+
+@register_extra(
     "ts_gapfill_linear",
     """WITH agg AS (
          SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
