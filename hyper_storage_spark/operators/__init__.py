@@ -21,7 +21,9 @@ expressed as DataFrame transformations (JVM-side, shuffle-aware):
 - :mod:`skew` — salted aggregation/join with deterministic
   content-hash salts (retry-safe).
 - :mod:`sampling` — hash-based train/val/test splitting, stratified
-  sampling.
+  sampling, domain-mixture resampling, fixed-budget sequence packing.
+- :mod:`layout` — Z-order (Morton) clustering for multi-dimensional
+  parquet data skipping.
 - :mod:`_caches` — tracked persist() so harnesses release operator
   caches between catalog entries.
 """

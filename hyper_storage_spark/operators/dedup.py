@@ -15,6 +15,11 @@ Four strategies, each designed for the 100 TB shape of the problem:
 - :func:`simhash_pairs` — 64-bit SimHash + chunk-banding (pigeonhole:
   hamming ≤ 3 ⇒ at least one of 4 16-bit chunks equal), verified by
   exact hamming distance.
+
+On top of the pairwise strategies: :func:`duplicate_clusters` turns
+pair output into keep-one-per-component decisions (distributed
+connected components), and :func:`benchmark_contamination` flags
+training documents sharing n-grams with an eval benchmark.
 """
 
 from __future__ import annotations
@@ -435,7 +440,9 @@ def duplicate_clusters(
             .filter(F.col("node") != F.col("m"))
             .select(F.col("node").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint()
+            # lazy: the checksum action right below materializes the
+            # checkpoint, so each round costs ONE job, not two
+            .localCheckpoint(eager=False)
         )
         # order-independent edge-set checksum (XOR never overflows,
         # unlike SUM under ANSI arithmetic)
