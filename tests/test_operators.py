@@ -1149,3 +1149,47 @@ def test_zorder_handles_skew_and_low_cardinality(spark):
     z = layout.zorder_layout(df, ["x", "y"], 4)
     assert z.count() == 1000
     assert sorted(map(tuple, z.collect())) == sorted(rows)
+
+
+def test_duplicate_clusters_random_graphs_match_union_find(spark):
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = 120
+        pairs = list(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(150)
+                )
+                if a != b
+            }
+        )
+        df = spark.createDataFrame(pairs, "a_id long, b_id long")
+        got = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(df).collect()}
+        assert got == _uf_components(pairs), f"seed {seed}"
+
+
+def test_pack_sequences_random_invariants(spark):
+    import random
+
+    from hyper_storage_spark.operators import sampling
+
+    rng = random.Random(99)
+    cap = 777
+    rows = [(i, rng.randrange(1, 1200)) for i in range(300)]
+    packed = sampling.pack_sequences(
+        spark.createDataFrame(rows, "doc_id long, n_tokens long"), cap, n_groups=5
+    ).collect()
+    assert sorted((r.doc_id, r.n_tokens) for r in packed) == sorted(rows)
+    fills: dict = {}
+    for r in packed:
+        fills.setdefault(r.seq_id, []).append(r)
+    for members in fills.values():
+        if any(m.oversize for m in members):
+            assert len(members) == 1 and members[0].n_tokens > cap
+        else:
+            assert sum(m.n_tokens for m in members) <= cap
+    # oversize iff > cap
+    assert all((r.n_tokens > cap) == r.oversize for r in packed)
