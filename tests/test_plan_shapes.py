@@ -122,3 +122,49 @@ def test_lsh_verify_never_hints_broadcast_of_candidates(spark, sf_dir):
     logical = df._jdf.queryExecution().analyzed().toString()
     assert "UnresolvedHint" not in logical
     assert "ResolvedHint" not in logical
+
+
+def test_bm25_no_cartesian_over_corpus(spark, sf_dir):
+    """The query-batch join must be an equi join on term; the only
+    cross joins in the plan are the two 1-row scalar attachments
+    (corpus stats), never a product over postings."""
+    plan = plan_of(spark, sf_dir, "search_bm25_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats attach
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q17_correlated_avg_is_window_not_self_join(spark, sf_dir):
+    """The per-part average must decorrelate into a window over the
+    already-joined fact — a second lineitem scan (self-join) would
+    double the 100 TB read."""
+    plan = plan_of(spark, sf_dir, "q17_small_quantity_revenue")
+    assert "Window" in plan
+    # exactly one lineitem scan feeds the plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q18_aggregates_fact_before_dimension_joins(spark, sf_dir):
+    """HAVING on the per-order quantity must run BEFORE the
+    customer/orders joins: the join input is ~900 orders, not 60k
+    line items. In the plan tree the aggregate appears deeper than
+    (below) the first join."""
+    plan = plan_of(spark, sf_dir, "q18_large_volume_customers")
+    lines = plan.splitlines()
+    first_join = next(i for i, l in enumerate(lines) if "Join" in l)
+    agg_lines = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    assert any(i > first_join for i in agg_lines)
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_uses_anti_join_on_filtered_orders(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q22_dormant_balances")
+    assert "LeftAnti" in plan
+    # the date filter reaches the orders scan feeding the anti join
+    assert "o_orderdate" in plan.split("PushedFilters")[-1][:300] or "o_orderdate" in plan
+
+
+def test_decontaminate_is_single_equi_join_per_doc_count(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
