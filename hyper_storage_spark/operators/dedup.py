@@ -466,6 +466,39 @@ def duplicate_clusters(
     return members.union(roots).distinct()
 
 
+def incremental_exact_dedup(
+    batch: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    hash_col: str = "text_hash",
+) -> DataFrame:
+    """Admit only NEW documents: batch rows whose content hash appears
+    neither in the historical corpus index (``seen_hashes``, one
+    ``text_hash`` column — the 32-byte/doc digest table a pipeline
+    maintains) nor earlier in the batch itself (first = min doc_id).
+    Returns the admitted batch rows plus their ``text_hash`` (append
+    it to the index after ingest).
+
+    The daily-crawl pattern: full-corpus re-dedup per increment is
+    O(corpus) every day; against a digest index the increment costs
+    one left_anti equi-join on the digest (batch-side shuffle only —
+    the index side is pre-reduced and can be bucketed by hash so the
+    join co-locates) plus a within-batch first-row window. The text
+    column never shuffles."""
+    hashed = batch.withColumn(hash_col, F.md5(F.col(text_col)))
+    fresh = hashed.join(
+        seen_hashes.select(F.col(hash_col)).distinct(), hash_col, "left_anti"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(hash_col).orderBy("doc_id")
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def benchmark_contamination(
     train: DataFrame,
     benchmark: DataFrame,

@@ -1728,6 +1728,44 @@ def q_pack_sequences_contract(spark, sf_dir):
     )
 
 
+@register_extra(
+    "dedup_incremental",
+    """WITH hist AS (
+         SELECT md5(text) AS text_hash FROM documents WHERE doc_id % 7 = 0
+       ),
+       batch AS (
+         SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % 7 <> 0
+       ),
+       fresh AS (
+         SELECT * FROM batch WHERE text_hash NOT IN (SELECT text_hash FROM hist)
+       ),
+       first AS (
+         SELECT doc_id, text_hash,
+                ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+         FROM fresh
+       )
+       SELECT doc_id, text_hash FROM first WHERE rn = 1""",
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental (daily-batch) exact dedup
+    (operators/dedup.py:incremental_exact_dedup): docs with
+    doc_id % 7 = 0 play the already-ingested corpus (as its digest
+    index); the rest arrive as the new batch and are admitted only if
+    their hash is absent from the index AND first within the batch —
+    one left_anti equi-join on the 32-byte digest plus a first-row
+    window, never a re-dedup of the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.md5("text").alias("text_hash")
+    )
+    batch = docs.filter(F.col("doc_id") % 7 != 0)
+    return (
+        dedup.incremental_exact_dedup(batch, hist)
+        .select("doc_id", "text_hash")
+        .orderBy("doc_id")
+    )
+
+
 # Benchmark split: doc_id % 13 = 0 plays the eval benchmark, the rest
 # is the training corpus — deterministic, so both engines derive the
 # identical partition. 5-gram shingles (every test doc has ≥ 10

@@ -1193,3 +1193,20 @@ def test_pack_sequences_random_invariants(spark):
             assert sum(m.n_tokens for m in members) <= cap
     # oversize iff > cap
     assert all((r.n_tokens > cap) == r.oversize for r in packed)
+
+
+def test_incremental_exact_dedup_semantics(spark):
+    batch = spark.createDataFrame(
+        [
+            (10, "already ingested"),
+            (11, "brand new"),
+            (12, "brand new"),   # within-batch dup of 11
+            (13, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame(
+        [("already ingested",)], "t string"
+    ).select(F.md5("t").alias("text_hash"))
+    got = sorted(r.doc_id for r in dedup.incremental_exact_dedup(batch, seen).collect())
+    assert got == [11, 13]  # 10 in history, 12 loses within-batch tie
