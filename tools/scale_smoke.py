@@ -29,12 +29,19 @@ from pyspark.sql import functions as F  # noqa: E402
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 
-    from hyper_storage_spark.operators import dedup, similarity
+    from hyper_storage_spark.operators import dedup, sampling, search, similarity
     from hyper_storage_spark.operators._caches import release_tracked_caches
     from hyper_storage_spark.session import get_spark
     from hyper_storage_spark.sources.tables import load_table
 
     spark = get_spark("scale_smoke")
+
+    def _bm25(d):
+        queries = spark.createDataFrame(
+            [("q1", "table scan"), ("q2", "hash merge batch")],
+            "query_id string, query string",
+        )
+        return search.bm25_topk(d, queries, k=10)
     sf_dir = "/root/testdata/sf0.1"
     tmp = tempfile.mkdtemp(prefix="scale_smoke_")
 
@@ -80,6 +87,16 @@ def main() -> None:
         "minhash_lsh": lambda d, e: dedup.minhash_lsh_pairs(d, threshold=0.5).count(),
         "simhash": lambda d, e: dedup.simhash_pairs(d, max_hamming=3).count(),
         "ann_lsh_bucket": lambda d, e: similarity.lsh_bucket_topk(e, qids, k=10).count(),
+        # round-5 additions: clustering over the pair graph (edge-set
+        # bounded, O(log) rounds), BM25 (posting-list reductions), and
+        # packing (applyInPandas over (id, count) pairs only)
+        "dedup_clusters": lambda d, e: dedup.duplicate_clusters(
+            dedup.ngram_jaccard_pairs(d, threshold=0.5, max_df=100)
+        ).count(),
+        "bm25_topk": lambda d, e: _bm25(d).count(),
+        "pack_sequences": lambda d, e: sampling.pack_sequences(
+            d.select("doc_id", F.length("text").alias("n_tokens")), 2048
+        ).count(),
     }
 
     bad_shapes = ("BroadcastNestedLoopJoin", "CartesianProduct")
@@ -111,12 +128,18 @@ def main() -> None:
         "simhash": dedup.simhash_pairs(docs10, 3),
         "ann_lsh_bucket": similarity.lsh_bucket_topk(emb10, qids, k=10),
         "embedding_lsh": dedup.embedding_lsh_pairs(emb10, 0.45),
+        "bm25_topk": _bm25(docs10),
     }
+    # bm25 attaches its two 1-row corpus scalars (n_docs, avgdl) via a
+    # single-row nested-loop broadcast — O(1) rows by construction, not
+    # a corpus product; everything else must be product-free
+    allowed_bnlj = {"bm25_topk": 1}
     for name, df in plans.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
-        for shape in bad_shapes:
-            if shape in plan:
-                failures.append(f"{name}: {shape} in 10x plan")
+        if plan.count("BroadcastNestedLoopJoin") > allowed_bnlj.get(name, 0):
+            failures.append(f"{name}: BroadcastNestedLoopJoin in 10x plan")
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in 10x plan")
 
     print()
     if failures:
