@@ -1210,3 +1210,12 @@ def test_incremental_exact_dedup_semantics(spark):
     ).select(F.md5("t").alias("text_hash"))
     got = sorted(r.doc_id for r in dedup.incremental_exact_dedup(batch, seen).collect())
     assert got == [11, 13]  # 10 in history, 12 loses within-batch tie
+
+
+def test_duplicate_clusters_string_ids(spark):
+    pairs = [("urlB", "urlA"), ("urlB", "urlC"), ("x", "y")]
+    df = spark.createDataFrame(pairs, "a_id string, b_id string")
+    got = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(df).collect()}
+    assert got == {
+        "urlA": "urlA", "urlB": "urlA", "urlC": "urlA", "x": "x", "y": "x",
+    }
