@@ -471,6 +471,7 @@ def incremental_exact_dedup(
     seen_hashes: DataFrame,
     text_col: str = "text",
     hash_col: str = "text_hash",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Admit only NEW documents: batch rows whose content hash appears
     neither in the historical corpus index (``seen_hashes``, one
@@ -486,12 +487,13 @@ def incremental_exact_dedup(
     join co-locates) plus a within-batch first-row window. The text
     column never shuffles."""
     hashed = batch.withColumn(hash_col, F.md5(F.col(text_col)))
-    fresh = hashed.join(
-        seen_hashes.select(F.col(hash_col)).distinct(), hash_col, "left_anti"
-    )
+    # no .distinct() on the index side: duplicates in an anti-join
+    # build side are harmless, and re-aggregating the ENTIRE
+    # historical index per daily batch would defeat the point
+    fresh = hashed.join(seen_hashes.select(hash_col), hash_col, "left_anti")
     from pyspark.sql import Window
 
-    w = Window.partitionBy(hash_col).orderBy("doc_id")
+    w = Window.partitionBy(hash_col).orderBy(id_col)
     return (
         fresh.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -67,7 +67,14 @@ def zorder_code(
             splits=splits, inputCol=f"__d_{c}", outputCol=f"__r_{c}", handleInvalid="keep"
         )
         tmp = bucketizer.transform(tmp)
-    code = _interleave([F.col(f"__r_{c}").cast("int") for c in cols], bits)
+    # handleInvalid="keep" maps NaN/null to one-past-the-last bucket,
+    # which would overflow the bit budget and ALIAS to rank 0 (the
+    # min-value files) in the interleave; clamp invalids to the top
+    # rank instead so they cluster together at the high end
+    max_rank = F.lit((1 << bits) - 1)
+    code = _interleave(
+        [F.least(F.col(f"__r_{c}").cast("int"), max_rank) for c in cols], bits
+    )
     drop = [f"__d_{c}" for c in cols] + [f"__r_{c}" for c in cols]
     return tmp.withColumn("__zcode", code).drop(*drop)
 

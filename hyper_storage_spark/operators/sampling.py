@@ -164,7 +164,10 @@ def pack_sequences(
             n = int(n)
             if n > max_tokens:
                 out_seq.append(base + len(bins))
-                bins.append(0)  # oversize occupies its own full bin
+                # -1 closes the bin: a 0 would still admit zero-token
+                # docs (rem >= 0 holds), breaking the oversize-
+                # singleton guarantee
+                bins.append(-1)
                 out_over.append(True)
                 continue
             for i, rem in enumerate(bins):

@@ -1219,3 +1219,18 @@ def test_duplicate_clusters_string_ids(spark):
     assert got == {
         "urlA": "urlA", "urlB": "urlA", "urlC": "urlA", "x": "x", "y": "x",
     }
+
+
+def test_pack_sequences_zero_token_docs_never_join_oversize_bins(spark):
+    from hyper_storage_spark.operators import sampling
+
+    rows = [(1, 500), (2, 0), (3, 0), (4, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = sampling.pack_sequences(df, 100, n_groups=1).collect()
+    fills: dict = {}
+    for r in packed:
+        fills.setdefault(r.seq_id, []).append(r)
+    for members in fills.values():
+        if any(m.oversize for m in members):
+            assert len(members) == 1  # oversize stays a singleton
+    assert sorted(r.doc_id for r in packed) == [1, 2, 3, 4]

@@ -160,8 +160,10 @@ def test_q18_aggregates_fact_before_dimension_joins(spark, sf_dir):
 def test_q22_uses_anti_join_on_filtered_orders(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q22_dormant_balances")
     assert "LeftAnti" in plan
-    # the date filter reaches the orders scan feeding the anti join
-    assert "o_orderdate" in plan.split("PushedFilters")[-1][:300] or "o_orderdate" in plan
+    # the date filter reaches one of the parquet scans (the orders
+    # side feeding the anti join) as a pushed filter
+    pushed_sections = plan.split("PushedFilters")[1:]
+    assert any("o_orderdate" in s[:300] for s in pushed_sections)
 
 
 def test_decontaminate_is_single_equi_join_per_doc_count(spark, sf_dir):

@@ -9,8 +9,9 @@ and a 50k-vector embedding corpus in a temp dir, then:
   and 10×, printing the growth factor (a quadratic operator shows
   ~100×; the bucketed designs should stay near-linear modulo fixed
   overheads);
-- asserts no BroadcastNestedLoopJoin / CartesianProduct appears in any
-  10× plan (the scale-killer shapes).
+- asserts no CartesianProduct appears in any 10× plan, and no
+  BroadcastNestedLoopJoin beyond BM25's single-row corpus-scalar
+  attach (the scale-killer shapes).
 
 Usage: python tools/scale_smoke.py [replicas]
 """
@@ -99,7 +100,6 @@ def main() -> None:
         ).count(),
     }
 
-    bad_shapes = ("BroadcastNestedLoopJoin", "CartesianProduct")
     failures = []
     for name, fn in cases.items():
         # warm 1x, then time 1x and replicas-x
