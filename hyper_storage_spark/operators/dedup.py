@@ -486,7 +486,13 @@ def incremental_exact_dedup(
     the index side is pre-reduced and can be bucketed by hash so the
     join co-locates) plus a within-batch first-row window. The text
     column never shuffles."""
-    hashed = batch.withColumn(hash_col, F.md5(F.col(text_col)))
+    # NULL text has no content identity: drop it up front. (This also
+    # keeps SQL parity well-defined — a NULL hash never matches in a
+    # left_anti but poisons a NOT IN, the classic three-valued-logic
+    # divergence.)
+    hashed = batch.filter(F.col(text_col).isNotNull()).withColumn(
+        hash_col, F.md5(F.col(text_col))
+    )
     # no .distinct() on the index side: duplicates in an anti-join
     # build side are harmless, and re-aggregating the ENTIRE
     # historical index per daily batch would defeat the point

@@ -1234,3 +1234,12 @@ def test_pack_sequences_zero_token_docs_never_join_oversize_bins(spark):
         if any(m.oversize for m in members):
             assert len(members) == 1  # oversize stays a singleton
     assert sorted(r.doc_id for r in packed) == [1, 2, 3, 4]
+
+
+def test_incremental_exact_dedup_null_text_dropped(spark):
+    batch = spark.createDataFrame(
+        [(1, None), (2, "real")], "doc_id long, text string"
+    )
+    seen = spark.createDataFrame([("zzz",)], "text_hash string")
+    got = [r.doc_id for r in dedup.incremental_exact_dedup(batch, seen).collect()]
+    assert got == [2]
