@@ -1819,6 +1819,113 @@ def text_decontaminate(spark, sf_dir):
     return dedup.benchmark_contamination(train, bench, n=5).orderBy("doc_id")
 
 
+# The WHOLE corpus-prep flow in one plan and one oracle: quality gate
+# → eval-benchmark decontamination → near-dup clustering with
+# keep-one-per-component → per-language corpus stats. Every stage is
+# oracle-checked on its own elsewhere; this entry proves the
+# COMPOSITION (Catalyst fuses the stages; the recursive-CTE labeling
+# runs inside the same oracle query).
+_PREP_SQL = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang, text,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x IN ('the','and','of','a','is'))) AS stop
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, lang, text, n_tokens FROM base
+  WHERE ROUND(least(n_tokens / 100.0, 1.0) * 0.5
+        + 0.3 * (1.0 - least(ROUND(punct * 1.0 / greatest(n_chars, 1), 6) * 4, 1.0))
+        + 0.2 * least(ROUND(stop * 1.0 / greatest(n_tokens, 1), 6) * 5, 1.0), 6) >= 0.5
+),
+train AS (SELECT * FROM kept WHERE doc_id % 13 <> 0),
+toks5 AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  WHERE doc_id % 13 = 0
+),
+bench_sh AS (
+  SELECT DISTINCT t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i FROM toks5 WHERE len(t) >= 5)
+),
+train5 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM train),
+train_sh AS (
+  SELECT DISTINCT doc_id,
+         t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i FROM train5 WHERE len(t) >= 5)
+),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM train_sh s JOIN bench_sh b USING (shingle)
+),
+clean AS (
+  SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+toks3 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM clean),
+sh0 AS (
+  SELECT DISTINCT doc_id, t[i]||' '||t[i+1]||' '||t[i+2] AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks3 WHERE len(t) >= 3)
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= 100)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id
+  FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+  WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+),
+labels AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+dropped AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id),
+final AS (SELECT * FROM clean WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM final GROUP BY lang
+"""
+
+
+@register_extra("pipeline_corpus_prep", _PREP_SQL)
+def pipeline_corpus_prep(spark, sf_dir):
+    """End-to-end corpus preparation as ONE composed plan: quality
+    gate (score ≥ 0.5) → eval-benchmark decontamination (drop docs
+    sharing a 5-gram with the doc_id%13 benchmark) → n-gram-Jaccard
+    near-dup clustering with keep-one-per-component → per-language
+    doc/token totals. Four operator families fuse under Catalyst;
+    the oracle replays the identical pipeline (including the
+    connected-components labeling as a recursive CTE), so the
+    composition — not just the pieces — is value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = text.with_quality_score(docs).filter(F.col("quality_score") >= 0.5)
+    train = kept.filter(F.col("doc_id") % 13 != 0)
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    decon = dedup.benchmark_contamination(train, bench, n=5)
+    clean = train.join(
+        decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    pairs = dedup.ngram_jaccard_pairs(clean, threshold=0.5, max_df=100)
+    clusters = dedup.duplicate_clusters(pairs)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    final = clean.join(dropped, "doc_id", "left_anti")
+    return final.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(text.tokens_col(F.col("text")))).alias("total_tokens"),
+    )
+
+
 @register_extra("dedup_cdc_chunks", None)  # rolling-hash family is engine-specific
 def dedup_cdc_chunks(spark, sf_dir):
     """Content-defined-chunking near-dup candidates (rsync/LBFS-style
