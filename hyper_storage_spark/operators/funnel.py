@@ -1,0 +1,98 @@
+"""Ordered-funnel analysis over an event stream.
+
+The product-analytics staple: of the users who did step 1, how many
+went on to do step 2 AFTER it, then step 3 after that — strict
+temporal ordering, earliest-eligible match per step.
+
+Scale shape: ONE shuffle (groupBy user) and an all-JVM array
+aggregation. Each user's relevant events are collected sorted and
+folded left-to-right with ``F.aggregate``: the accumulator is the
+per-step completion-timestamp array, and an event fills the first
+unfilled step when its type matches and its timestamp is strictly
+after the previous step's fill. A greedy earliest-first fold over the
+sorted stream is exactly the classical min-chaining definition
+(t1 = min ts of step1; t2 = min ts of step2 with ts > t1; ...), which
+is what the SQL oracle computes. No per-event Python, no join chain —
+k steps cost one pass over each user's events, not k scans of the
+fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    max_gap_seconds: int | None = None,
+) -> DataFrame:
+    """Per-step completion counts: (step, step_name, n_users) where a
+    user counts for step i when they performed steps[0..i] in strict
+    timestamp order (earliest-eligible matching). With
+    ``max_gap_seconds`` each step must also land within that horizon
+    of the previous step's completion — the "converted within N
+    hours" form. (No backtracking in either form: step i's completion
+    is pinned to the earliest eligible event, matching the SQL
+    min-chaining definition; later step-1 events are never retried.)"""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    relevant = events.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("u"),
+        F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("tp")).alias("ev"),
+    )
+    init = F.array_repeat(F.lit(None).cast(events.schema[ts_col].dataType), k)
+
+    def fold(acc, ev):
+        # number of steps already filled == index of the next to fill
+        filled = F.size(F.filter(acc, lambda a: a.isNotNull()))
+        after_prev = (filled == 0) | (ev["ts"] > F.element_at(acc, filled))
+        if max_gap_seconds is not None:
+            after_prev = after_prev & (
+                (filled == 0)
+                | (
+                    ev["ts"]
+                    <= F.element_at(acc, filled)
+                    + F.make_interval(secs=F.lit(max_gap_seconds))
+                )
+            )
+        eligible = (
+            (filled < k)
+            & (ev["tp"] == F.element_at(steps_arr, filled + 1))
+            & after_prev
+        )
+        return F.when(
+            eligible,
+            F.transform(
+                acc, lambda a, i: F.when(i == filled, ev["ts"]).otherwise(a)
+            ),
+        ).otherwise(acc)
+
+    per_user = (
+        relevant.groupBy("u")
+        .agg(F.array_sort(F.collect_list("ev")).alias("evs"))
+        .select(F.aggregate("evs", init, fold).alias("acc"))
+    )
+    counts = per_user.agg(
+        *[
+            F.sum(F.element_at("acc", i + 1).isNotNull().cast("long")).alias(f"n{i}")
+            for i in range(k)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(steps[i]).alias("step_name"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i in range(k)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.step", "r.step_name", "r.n_users")

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .expression import parse
 from .expression.compiler import apply_filter
-from .operators import dedup, multimodal, sampling, search, similarity, skew, text, timeseries
+from .operators import dedup, funnel, multimodal, sampling, search, similarity, skew, text, timeseries
 from .plans import FieldFilter, FilterOp, SortBy, SortItem, least_rows_filter_fields
 from .sources import load_table
 
@@ -2734,6 +2734,45 @@ def q_approx_distinct_contract(spark, sf_dir):
             F.abs(F.col("n_approx") - F.col("n_exact")) * 100
             <= F.col("n_exact") * 5
         ).alias("within_5pct"),
+    )
+
+
+@register_extra(
+    "q_funnel_ordered",
+    """WITH s1 AS (
+         SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+       ),
+       s2 AS (
+         SELECT e.user_id, MIN(e.ts) AS t
+         FROM events e JOIN s1 ON e.user_id = s1.user_id
+         WHERE e.event_type = 'click' AND e.ts > s1.t
+           AND e.ts <= s1.t + INTERVAL 259200 SECOND
+         GROUP BY 1
+       ),
+       s3 AS (
+         SELECT e.user_id, MIN(e.ts) AS t
+         FROM events e JOIN s2 ON e.user_id = s2.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > s2.t
+           AND e.ts <= s2.t + INTERVAL 259200 SECOND
+         GROUP BY 1
+       )
+       SELECT 1 AS step, 'view' AS step_name, (SELECT COUNT(*) FROM s1) AS n_users
+       UNION ALL
+       SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+       UNION ALL
+       SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)""",
+)
+def q_funnel_ordered(spark, sf_dir):
+    """Ordered conversion funnel (operators/funnel.py): view → click
+    → purchase with each step within 3 days of the previous. One
+    shuffle + one JVM array fold per user — the oracle's k-level
+    min-chaining join cascade re-scans the fact table per step, which
+    is exactly what the fold form avoids at 100 TB. Counts at sf0.01:
+    150 → 115 → 81."""
+    return funnel.funnel(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        max_gap_seconds=259200,
     )
 
 

@@ -1243,3 +1243,41 @@ def test_incremental_exact_dedup_null_text_dropped(spark):
     seen = spark.createDataFrame([("zzz",)], "text_hash string")
     got = [r.doc_id for r in dedup.incremental_exact_dedup(batch, seen).collect()]
     assert got == [2]
+
+
+def test_funnel_ordering_and_gap_semantics(spark):
+    from hyper_storage_spark.operators import funnel as fn
+
+    rows = [
+        # u1 completes in order
+        (1, "2020-01-01 00:00:00", "view"),
+        (1, "2020-01-01 01:00:00", "click"),
+        (1, "2020-01-01 02:00:00", "buy"),
+        # u2 clicks BEFORE viewing -> stuck at view
+        (2, "2020-01-01 01:00:00", "click"),
+        (2, "2020-01-01 02:00:00", "view"),
+        # u3 views then clicks outside the 1h gap -> stuck at view
+        (3, "2020-01-01 00:00:00", "view"),
+        (3, "2020-01-01 03:00:00", "click"),
+        # u4 never views
+        (4, "2020-01-01 00:00:00", "buy"),
+        # u5: first view's click misses the window; NO backtracking to
+        # the second view (min-chaining pins t1 to the earliest view)
+        (5, "2020-01-01 00:00:00", "view"),
+        (5, "2020-01-01 05:00:00", "view"),
+        (5, "2020-01-01 05:30:00", "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_type string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    got = {
+        r.step_name: r.n_users
+        for r in fn.funnel(df, ["view", "click", "buy"], max_gap_seconds=3600).collect()
+    }
+    assert got == {"view": 4, "click": 1, "buy": 1}
+    # without the gap, u3 and u5 convert their click
+    got2 = {
+        r.step_name: r.n_users
+        for r in fn.funnel(df, ["view", "click", "buy"]).collect()
+    }
+    assert got2 == {"view": 4, "click": 3, "buy": 1}
