@@ -1,4 +1,4 @@
-"""Ordered-funnel analysis over an event stream.
+"""Event analytics: ordered funnels and cohort retention.
 
 The product-analytics staple: of the users who did step 1, how many
 went on to do step 2 AFTER it, then step 3 after that — strict
@@ -96,3 +96,38 @@ def funnel(
         ]
     )
     return counts.select(F.explode(rows).alias("r")).select("r.step", "r.step_name", "r.n_users")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_weeks: int = 8,
+) -> DataFrame:
+    """Weekly cohort retention: (cohort_week, week_offset, n_active,
+    cohort_size) — of the users first seen in cohort_week, how many
+    were active again `week_offset` weeks later.
+
+    Two grouped reductions over one scan: per-user first week (the
+    cohort), then distinct (user, week) activity joined back on the
+    user — shuffles on user_id only, counts as plain aggregates.
+    Offsets beyond ``max_weeks`` are dropped (bounded output). Counts,
+    not ratios, cross the engine boundary: ratio = n_active /
+    cohort_size is a presentation concern and a float hazard."""
+    week = F.date_trunc("week", F.col(ts_col))
+    activity = events.select(
+        F.col(user_col).alias("u"), week.cast("date").alias("w")
+    ).distinct()
+    cohorts = activity.groupBy("u").agg(F.min("w").alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    joined = activity.join(cohorts, "u").select(
+        "cohort_week",
+        (F.datediff(F.col("w"), F.col("cohort_week")) / 7).cast("long").alias("week_offset"),
+        "u",
+    )
+    return (
+        joined.filter(F.col("week_offset") <= max_weeks)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("u").alias("n_active"))
+        .join(sizes, "cohort_week")
+    )

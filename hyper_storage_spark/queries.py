@@ -2777,6 +2777,32 @@ def q_funnel_ordered(spark, sf_dir):
 
 
 @register_extra(
+    "q_cohort_retention",
+    """WITH activity AS (
+         SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w
+         FROM events
+       ),
+       cohorts AS (SELECT u, MIN(w) AS cohort_week FROM activity GROUP BY 1),
+       sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1),
+       joined AS (
+         SELECT cohort_week, CAST((w - cohort_week) / 7 AS BIGINT) AS week_offset, a.u
+         FROM activity a JOIN cohorts c ON a.u = c.u
+       )
+       SELECT j.cohort_week, week_offset, COUNT(DISTINCT u) AS n_active, cohort_size
+       FROM joined j JOIN sizes s ON j.cohort_week = s.cohort_week
+       WHERE week_offset <= 8
+       GROUP BY 1, 2, 4""",
+)
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention (operators/funnel.py:cohort_retention):
+    first-seen week × activity offset × distinct active users, with
+    cohort sizes attached — two grouped reductions over one scan,
+    counts only across the engine boundary (ratios are presentation
+    and a float hazard)."""
+    return funnel.cohort_retention(_t(spark, sf_dir, "events"), max_weeks=8)
+
+
+@register_extra(
     "q_approx_percentile_contract",
     """SELECT event_type,
               ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50_exact,

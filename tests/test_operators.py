@@ -1281,3 +1281,26 @@ def test_funnel_ordering_and_gap_semantics(spark):
         for r in fn.funnel(df, ["view", "click", "buy"]).collect()
     }
     assert got2 == {"view": 4, "click": 3, "buy": 1}
+
+
+def test_cohort_retention_offsets_and_sizes(spark):
+    from hyper_storage_spark.operators import funnel as fn
+
+    rows = [
+        (1, "2020-01-06"), (1, "2020-01-14"),  # cohort w1, back in w2
+        (2, "2020-01-07"),                       # cohort w1, never back
+        (3, "2020-01-13"), (3, "2020-01-27"),   # cohort w2, back at +2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        (str(r.cohort_week), r.week_offset): (r.n_active, r.cohort_size)
+        for r in fn.cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2020-01-06", 0): (2, 2),
+        ("2020-01-06", 1): (1, 2),
+        ("2020-01-13", 0): (1, 1),
+        ("2020-01-13", 2): (1, 1),
+    }
