@@ -2777,6 +2777,47 @@ def q_funnel_ordered(spark, sf_dir):
 
 
 @register_extra(
+    "q_argminmax_nth",
+    """WITH ranked AS (
+         SELECT user_id, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         FROM events
+       ),
+       agg AS (
+         SELECT user_id,
+                arg_min(value, event_id) AS first_value,
+                arg_max(value, event_id) AS last_value,
+                COUNT(*) AS n_events
+         FROM events GROUP BY 1
+       )
+       SELECT a.user_id, first_value, last_value, t.value AS third_value, n_events
+       FROM agg a LEFT JOIN (SELECT user_id, value FROM ranked WHERE rn = 3) t
+         USING (user_id)""",
+)
+def q_argminmax_nth(spark, sf_dir):
+    """Ordered-selection aggregates: min_by/max_by (argmin/argmax —
+    one grouped pass, no sort) plus an nth-row pick via a rank window,
+    keyed on the unique event_id so selection is deterministic.
+    Values cross the boundary uncopied (no arithmetic), so the hash
+    comparison is exact."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("user_id").agg(
+        F.min_by("value", "event_id").alias("first_value"),
+        F.max_by("value", "event_id").alias("last_value"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    third = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 3)
+        .select("user_id", F.col("value").alias("third_value"))
+    )
+    return agg.join(third, "user_id", "left").select(
+        "user_id", "first_value", "last_value", "third_value", "n_events"
+    )
+
+
+@register_extra(
     "q_cohort_retention",
     """WITH activity AS (
          SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w
