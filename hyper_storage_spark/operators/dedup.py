@@ -553,6 +553,77 @@ def benchmark_contamination(
     )
 
 
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Record-linkage pairs by edit distance: (a_id, b_id, distance ≤
+    max_distance) over a name/key column — the entity-resolution
+    sibling of the text near-dup family.
+
+    Blocking by the pigeonhole principle: each name splits into
+    ``max_distance + 1`` positional segments; two equal-length names
+    within distance d must agree on at least one segment (d edits
+    cannot touch d+1 segments), so the candidate join runs on
+    (segment_index, segment_text) equality — never an all-pairs
+    product — and candidates are verified with exact ``levenshtein``.
+    Recall is COMPLETE for equal-length (substitution-only) pairs;
+    pairs of different lengths are found only when an aligned segment
+    survives the shift (use q-gram blocking where insertions
+    dominate). The quadratic all-pairs form exists only as the
+    small-n oracle in the catalog entry."""
+    n_seg = max_distance + 1
+    name = F.col(name_col)
+    ln = F.length(name)
+    # positional segments over each name's own length: segment i spans
+    # [floor(i*len/n), floor((i+1)*len/n)) — equal-length names agree
+    # on boundaries, which is what the pigeonhole argument needs
+    exploded = df.select(
+        F.col(id_col).alias("rid"),
+        name.alias("nm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("si"),
+                        name.substr(
+                            (F.floor(ln * i / n_seg) + 1).cast("int"),
+                            (F.floor(ln * (i + 1) / n_seg) - F.floor(ln * i / n_seg)).cast(
+                                "int"
+                            ),
+                        ).alias("seg"),
+                    )
+                    for i in range(n_seg)
+                ]
+            )
+        ).alias("s"),
+    ).select("rid", "nm", F.col("s.si"), F.col("s.seg"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.si") == F.col("b.si"))
+            & (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.rid") < F.col("b.rid")),
+        )
+        .select(
+            F.col("a.rid").alias("a_id"),
+            F.col("b.rid").alias("b_id"),
+            F.col("a.nm").alias("an"),
+            F.col("b.nm").alias("bn"),
+        )
+        .distinct()
+    )
+    return (
+        candidates.withColumn("distance", F.levenshtein("an", "bn"))
+        .filter(F.col("distance") <= max_distance)
+        .select("a_id", "b_id", "distance")
+    )
+
+
 def cdc_chunk_hashes(
     docs: DataFrame,
     text_col: str = "text",

@@ -2777,6 +2777,30 @@ def q_funnel_ordered(spark, sf_dir):
 
 
 @register_extra(
+    "dedup_fuzzy_names",
+    """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+              levenshtein(a.c_name, b.c_name) AS distance
+       FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+       WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+)
+def dedup_fuzzy_names(spark, sf_dir):
+    """Record linkage by edit distance (operators/dedup.py:fuzzy_pairs):
+    pigeonhole segment blocking + exact levenshtein verify, checked
+    against the quadratic all-pairs oracle. Honest caveat: the
+    synthetic Customer#%09d names share 15 constant characters, so
+    the non-digit segment blocks are degenerate and the candidate set
+    approaches all-pairs AT THIS CORPUS — real name corpora spread
+    blocks, and the join stays a keyed equi-join (skewed, never a
+    nested-loop product) even here. Recall is complete for the
+    equal-length substitution pairs this table contains, which is why
+    the exact oracle is valid."""
+    c = _t(spark, sf_dir, "customer")
+    return dedup.fuzzy_pairs(c, "c_custkey", "c_name", max_distance=1).orderBy(
+        "a_id", "b_id"
+    )
+
+
+@register_extra(
     "q_argminmax_nth",
     """WITH ranked AS (
          SELECT user_id, value,

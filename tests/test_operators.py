@@ -1304,3 +1304,39 @@ def test_cohort_retention_offsets_and_sizes(spark):
         ("2020-01-13", 0): (1, 1),
         ("2020-01-13", 2): (1, 1),
     }
+
+
+def test_fuzzy_pairs_substitution_recall_complete(spark):
+    rows = [
+        (1, "jonathan"), (2, "jonathon"),   # distance 1 (substitution)
+        (3, "jonixhan"),                     # distance 2 from 1
+        (4, "entirely"),                     # unrelated, same length
+        (5, "jon"),                          # different length
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r.a_id, r.b_id): r.distance for r in dedup.fuzzy_pairs(df, "id", "name").collect()}
+    assert got == {(1, 2): 1}
+    # distance 2 found when the budget allows it
+    got2 = {
+        (r.a_id, r.b_id): r.distance
+        for r in dedup.fuzzy_pairs(df, "id", "name", max_distance=2).collect()
+    }
+    assert got2[(1, 3)] == 2 and (1, 2) in got2
+    assert (2, 3) not in got2  # jonathon↔jonixhan is distance 3
+    # brute-force cross-check at max_distance=1 over all equal-length pairs
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    expect = {
+        (x[0], y[0]): lev(x[1], y[1])
+        for x, y in itertools.combinations(rows, 2)
+        if len(x[1]) == len(y[1]) and lev(x[1], y[1]) <= 1
+    }
+    assert got == expect
