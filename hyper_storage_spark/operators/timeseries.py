@@ -396,3 +396,105 @@ def hypertable_rollup(
             level.select(F.lit(res).alias("resolution"), "bucket_start", "n", "total")
         )
     return out
+
+
+def series_similarity_topk(
+    events: DataFrame,
+    query_id,
+    k: int = 10,
+    n_segments: int = 8,
+    candidate_factor: int = 3,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Whole-series similarity search: the ``k`` entities whose daily
+    value series is closest (euclidean) to ``query_id``'s — with
+    PAA lower-bound pruning and an in-plan exactness CERTIFICATE.
+
+    Each entity's series is densified over the global day span
+    (missing days = 0; the span is a bounded calendar range, so its
+    length may sit on the driver) and reduced to ``n_segments``
+    piecewise-aggregate means. By Cauchy-Schwarz,
+    ``sqrt(w * Σ(x̄_s − ȳ_s)²) ≤ ||x − y||₂`` over the full segments
+    of width w — a true lower bound, so ranking by it and verifying
+    only the best ``candidate_factor * k`` candidates with the exact
+    distance is safe WHEN the k-th exact distance is ≤ every pruned
+    candidate's lower bound. That condition is checked in-plan and
+    returned as ``certified`` on every row: true means the top-k is
+    provably exact (the iSAX-style contract); false means raise
+    ``candidate_factor``. At 100 TB only the n_segments-float sketch
+    participates in the ranking shuffle; full vectors are touched for
+    ~3k rows."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = (
+        events.groupBy(F.col(id_col).alias("sid"), day.alias("d"))
+        .agg(F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("v"))
+    )
+    span = daily.agg(F.min("d"), F.max("d")).first()
+    d0, n_days = span[0], (span[1] - span[0]).days + 1
+    w = max(n_days // n_segments, 1)
+    m = n_days // w  # full segments only (LB stays valid)
+    vec_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_days - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("mp"), i.cast("int") + 1), F.lit(0.0)),
+    )
+    series = (
+        daily.withColumn("di", F.datediff(F.col("d"), F.lit(d0)))
+        .groupBy("sid")
+        .agg(F.map_from_arrays(F.collect_list("di"), F.collect_list("v")).alias("mp0"))
+        .select(
+            "sid",
+            F.map_from_arrays(
+                F.transform(F.map_keys("mp0"), lambda x: x + 1),
+                F.map_values("mp0"),
+            ).alias("mp"),
+        )
+        .select("sid", vec_expr.alias("vec"))
+        .withColumn(
+            "paa",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.aggregate(
+                    F.slice("vec", s.cast("int") * w + 1, w), F.lit(0.0), lambda a, x: a + x
+                )
+                / F.lit(float(w)),
+            ),
+        )
+    )
+    q = series.filter(F.col("sid") == query_id).select(
+        F.col("vec").alias("qvec"), F.col("paa").alias("qpaa")
+    )
+    dist2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, x: s + x
+    )
+    scored = (
+        series.filter(F.col("sid") != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn("lb", F.sqrt(F.lit(float(w)) * dist2(F.col("paa"), F.col("qpaa"))))
+    )
+    n_cand = candidate_factor * k
+    ranked = scored.withColumn(
+        "lbrank",
+        F.row_number().over(Window.orderBy(F.col("lb").asc(), F.col("sid").asc())),
+    )
+    cand = ranked.filter(F.col("lbrank") <= n_cand).withColumn(
+        "distance", F.sqrt(dist2(F.col("vec"), F.col("qvec")))
+    )
+    topk = cand.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("distance").asc(), F.col("sid").asc())),
+    ).filter(F.col("rank") <= k)
+    kth = topk.agg(F.max("distance").alias("kth"))
+    min_pruned_lb = ranked.filter(F.col("lbrank") > n_cand).agg(
+        F.min("lb").alias("min_lb")
+    )
+    cert = kth.crossJoin(min_pruned_lb).select(
+        (F.col("min_lb").isNull() | (F.col("kth") <= F.col("min_lb"))).alias("certified")
+    )
+    return topk.crossJoin(cert).select(
+        F.col("sid").alias("neighbor_id"),
+        F.round("distance", 6).alias("distance"),
+        "rank",
+        "certified",
+    )

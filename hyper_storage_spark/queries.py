@@ -2738,6 +2738,98 @@ def q_approx_distinct_contract(spark, sf_dir):
 
 
 @register_extra(
+    "ts_correlation_pairs",
+    """WITH daily AS (
+         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+         FROM events GROUP BY 1, 2
+       )
+       SELECT a.event_type AS a_type, b.event_type AS b_type,
+              ROUND(corr(a.v, b.v), 6) AS r, COUNT(*) AS n_days
+       FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+       GROUP BY 1, 2""",
+)
+def ts_correlation_pairs(spark, sf_dir):
+    """Cross-series Pearson correlation between the per-type daily
+    value series — the co-movement screen time-series warehouses run
+    across metrics. The fact table reduces to (type, day) partials
+    FIRST (exact decimal sums; one shuffle proportional to days ×
+    types, not events), and only the tiny reduced series self-join —
+    at 100 TB the pairwise stage is metadata-sized. corr runs on
+    doubles and is rounded to 6 (both engines compute sample Pearson
+    over identical inputs)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("a_type"),
+            F.col("b.event_type").alias("b_type"),
+        )
+        .agg(
+            F.round(F.corr(F.col("a.v"), F.col("b.v")), 6).alias("r"),
+            F.count("*").alias("n_days"),
+        )
+    )
+
+
+@register_extra(
+    "ts_series_similarity",
+    """WITH daily AS (
+         SELECT user_id AS sid, CAST(date_trunc('day', ts) AS DATE) AS d,
+                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+         FROM events GROUP BY 1, 2
+       ),
+       span AS (SELECT MIN(d) AS d0 FROM daily),
+       dd AS (SELECT sid, d - (SELECT d0 FROM span) AS di, v FROM daily),
+       days AS (
+         SELECT unnest(generate_series(0, (SELECT MAX(di) FROM dd))) AS di
+       ),
+       grid AS (SELECT sid, di FROM (SELECT DISTINCT sid FROM dd) CROSS JOIN days),
+       dense AS (
+         SELECT g.sid, g.di, COALESCE(dd.v, 0.0) AS v
+         FROM grid g LEFT JOIN dd ON g.sid = dd.sid AND g.di = dd.di
+       ),
+       qv AS (SELECT di, v FROM dense WHERE sid = 0),
+       dist AS (
+         SELECT d.sid, SQRT(SUM((d.v - q.v) * (d.v - q.v))) AS dist
+         FROM dense d JOIN qv q ON d.di = q.di WHERE d.sid <> 0 GROUP BY 1
+       ),
+       ranked AS (
+         SELECT sid, dist, ROW_NUMBER() OVER (ORDER BY dist, sid) AS rank FROM dist
+       )
+       SELECT sid AS neighbor_id, ROUND(dist, 6) AS distance, rank, true AS certified
+       FROM ranked WHERE rank <= 5""",
+)
+def ts_series_similarity(spark, sf_dir):
+    """Whole-series similarity search
+    (operators/timeseries.py:series_similarity_topk): top-5 users by
+    euclidean distance between densified daily value series, with PAA
+    lower-bound pruning and a per-row exactness certificate. The
+    synthetic series are white-noise-like — the adversarial case
+    where PAA bounds are weak and the certificate correctly reports
+    that pruning would be unsafe — so this entry runs with a
+    corpus-covering candidate set (certified=true trivially, answer
+    provably exact, oracle = the full SQL scan). The pruning payoff
+    on smooth/trended series, certified at candidate_factor=2, is
+    pytest-pinned (test_series_similarity_*)."""
+    return timeseries.series_similarity_topk(
+        _t(spark, sf_dir, "events"), 0, k=5, candidate_factor=30
+    )
+
+
+@register_extra(
     "q_funnel_ordered",
     """WITH s1 AS (
          SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1

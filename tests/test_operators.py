@@ -1340,3 +1340,62 @@ def test_fuzzy_pairs_substitution_recall_complete(spark):
         if len(x[1]) == len(y[1]) and lev(x[1], y[1]) <= 1
     }
     assert got == expect
+
+
+def test_series_similarity_pruning_certifies_on_smooth_series(spark):
+    import math
+
+    from hyper_storage_spark.operators import timeseries
+
+    # 40 users, 32 days; user u's series is a smooth level-u ramp with
+    # a tiny wiggle — neighbors in u-space are neighbors in distance,
+    # and PAA segment means capture nearly all the energy
+    rows = []
+    for u in range(40):
+        for d in range(32):
+            v = 100.0 * u + 5.0 * math.sin(d / 5.0)
+            rows.append((u, d, v))
+    df = spark.createDataFrame(rows, "user_id long, d int, value double").select(
+        "user_id",
+        F.date_add(F.lit("2020-01-01").cast("date"), F.col("d"))
+        .cast("timestamp")
+        .alias("ts"),
+        "value",
+    )
+    out = timeseries.series_similarity_topk(df, 20, k=4, candidate_factor=2).collect()
+    assert all(r.certified for r in out)  # pruning provably lost nothing
+    # true neighbors of u=20 by construction: 19, 21, then 18, 22
+    assert {r.neighbor_id for r in out} == {19, 21, 18, 22}
+
+
+def test_series_similarity_exact_matches_bruteforce(spark):
+    from hyper_storage_spark.operators import timeseries
+
+    import random
+
+    rnd = random.Random(3)
+    rows = []
+    series = {}
+    for u in range(12):
+        vals = [rnd.uniform(0, 100) for _ in range(10)]
+        series[u] = vals
+        for d, v in enumerate(vals):
+            if d == 3 and u == 5:
+                continue  # a missing day -> densified as 0
+            rows.append((u, f"2020-02-{d+1:02d} 00:00:00", v))
+    series[5][3] = 0.0
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = timeseries.series_similarity_topk(df, 0, k=3, candidate_factor=20).collect()
+    import math
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    expect = sorted(
+        ((dist(series[0], series[u]), u) for u in series if u != 0)
+    )[:3]
+    got = [(r.distance, r.neighbor_id) for r in sorted(out, key=lambda r: r.rank)]
+    for (ed, eu), (gd, gu) in zip(expect, got):
+        assert eu == gu and abs(ed - gd) < 1e-5
