@@ -79,9 +79,13 @@ def funnel(
         .agg(F.array_sort(F.collect_list("ev")).alias("evs"))
         .select(F.aggregate("evs", init, fold).alias("acc"))
     )
+    # coalesce: SUM over zero groups is null, but an empty funnel has
+    # 0 completions, not unknown (matches the oracle's COUNT(*) = 0)
     counts = per_user.agg(
         *[
-            F.sum(F.element_at("acc", i + 1).isNotNull().cast("long")).alias(f"n{i}")
+            F.coalesce(
+                F.sum(F.element_at("acc", i + 1).isNotNull().cast("long")), F.lit(0)
+            ).alias(f"n{i}")
             for i in range(k)
         ]
     )

@@ -403,7 +403,7 @@ def series_similarity_topk(
     query_id,
     k: int = 10,
     n_segments: int = 8,
-    candidate_factor: int = 3,
+    candidate_factor: int | None = 3,
     id_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
@@ -423,33 +423,32 @@ def series_similarity_topk(
     candidate's lower bound. That condition is checked in-plan and
     returned as ``certified`` on every row: true means the top-k is
     provably exact (the iSAX-style contract); false means raise
-    ``candidate_factor``. At 100 TB only the n_segments-float sketch
-    participates in the ranking shuffle; full vectors are touched for
-    ~3k rows."""
+    ``candidate_factor`` — or pass ``candidate_factor=None`` for the
+    exact mode (every entity verified, no pruning; certified is then
+    trivially true at any corpus size). At 100 TB only the
+    n_segments-float sketch participates in the ranking shuffle; full
+    vectors are touched for ~candidate_factor*k rows."""
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
     daily = (
         events.groupBy(F.col(id_col).alias("sid"), day.alias("d"))
         .agg(F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("v"))
     )
     span = daily.agg(F.min("d"), F.max("d")).first()
+    if span[0] is None:
+        raise ValueError("series_similarity_topk: no events to search")
     d0, n_days = span[0], (span[1] - span[0]).days + 1
     w = max(n_days // n_segments, 1)
     m = n_days // w  # full segments only (LB stays valid)
+    # element_at on a MAP is a key lookup (missing key => null), so the
+    # day-index map is used directly — no 1-based shift needed
     vec_expr = F.transform(
         F.sequence(F.lit(0), F.lit(n_days - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("mp"), i.cast("int") + 1), F.lit(0.0)),
+        lambda i: F.coalesce(F.element_at(F.col("mp"), i.cast("int")), F.lit(0.0)),
     )
     series = (
         daily.withColumn("di", F.datediff(F.col("d"), F.lit(d0)))
         .groupBy("sid")
-        .agg(F.map_from_arrays(F.collect_list("di"), F.collect_list("v")).alias("mp0"))
-        .select(
-            "sid",
-            F.map_from_arrays(
-                F.transform(F.map_keys("mp0"), lambda x: x + 1),
-                F.map_values("mp0"),
-            ).alias("mp"),
-        )
+        .agg(F.map_from_arrays(F.collect_list("di"), F.collect_list("v")).alias("mp"))
         .select("sid", vec_expr.alias("vec"))
         .withColumn(
             "paa",
@@ -462,9 +461,10 @@ def series_similarity_topk(
             ),
         )
     )
-    q = series.filter(F.col("sid") == query_id).select(
-        F.col("vec").alias("qvec"), F.col("paa").alias("qpaa")
-    )
+    qrows = series.filter(F.col("sid") == query_id)
+    if qrows.limit(1).count() == 0:
+        raise ValueError(f"series_similarity_topk: query id {query_id!r} has no events")
+    q = qrows.select(F.col("vec").alias("qvec"), F.col("paa").alias("qpaa"))
     dist2 = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, x: s + x
     )
@@ -473,11 +473,13 @@ def series_similarity_topk(
         .crossJoin(F.broadcast(q))
         .withColumn("lb", F.sqrt(F.lit(float(w)) * dist2(F.col("paa"), F.col("qpaa"))))
     )
-    n_cand = candidate_factor * k
     ranked = scored.withColumn(
         "lbrank",
         F.row_number().over(Window.orderBy(F.col("lb").asc(), F.col("sid").asc())),
     )
+    # candidate_factor=None = exact mode: verify everyone (lbrank has
+    # no upper bound), so the certificate below is trivially true
+    n_cand = (1 << 62) if candidate_factor is None else candidate_factor * k
     cand = ranked.filter(F.col("lbrank") <= n_cand).withColumn(
         "distance", F.sqrt(dist2(F.col("vec"), F.col("qvec")))
     )

@@ -2778,7 +2778,15 @@ def ts_correlation_pairs(spark, sf_dir):
             F.col("b.event_type").alias("b_type"),
         )
         .agg(
-            F.round(F.corr(F.col("a.v"), F.col("b.v")), 6).alias("r"),
+            # Spark corr yields NaN on zero-variance/single-point
+            # groups where SQL corr yields NULL — normalize to NULL
+            F.round(
+                F.when(
+                    ~F.isnan(F.corr(F.col("a.v"), F.col("b.v"))),
+                    F.corr(F.col("a.v"), F.col("b.v")),
+                ),
+                6,
+            ).alias("r"),
             F.count("*").alias("n_days"),
         )
     )
@@ -2820,12 +2828,13 @@ def ts_series_similarity(spark, sf_dir):
     synthetic series are white-noise-like — the adversarial case
     where PAA bounds are weak and the certificate correctly reports
     that pruning would be unsafe — so this entry runs with a
-    corpus-covering candidate set (certified=true trivially, answer
-    provably exact, oracle = the full SQL scan). The pruning payoff
-    on smooth/trended series, certified at candidate_factor=2, is
-    pytest-pinned (test_series_similarity_*)."""
+    corpus-covering candidate set (candidate_factor=None = exact
+    no-pruning mode at ANY scale factor; certified=true trivially,
+    answer provably exact, oracle = the full SQL scan). The pruning
+    payoff on smooth/trended series, certified at candidate_factor=2,
+    is pytest-pinned (test_series_similarity_*)."""
     return timeseries.series_similarity_topk(
-        _t(spark, sf_dir, "events"), 0, k=5, candidate_factor=30
+        _t(spark, sf_dir, "events"), 0, k=5, candidate_factor=None
     )
 
 

@@ -1399,3 +1399,29 @@ def test_series_similarity_exact_matches_bruteforce(spark):
     got = [(r.distance, r.neighbor_id) for r in sorted(out, key=lambda r: r.rank)]
     for (ed, eu), (gd, gu) in zip(expect, got):
         assert eu == gu and abs(ed - gd) < 1e-5
+
+
+def test_funnel_empty_corpus_counts_zero(spark):
+    from hyper_storage_spark.operators import funnel as fn
+
+    df = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00", "other")],
+        "user_id long, ts string, event_type string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    got = {r.step_name: r.n_users for r in fn.funnel(df, ["view", "click"]).collect()}
+    assert got == {"view": 0, "click": 0}
+
+
+def test_series_similarity_input_validation(spark):
+    import pytest as _pytest
+
+    from hyper_storage_spark.operators import timeseries
+
+    empty = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    with _pytest.raises(ValueError, match="no events"):
+        timeseries.series_similarity_topk(empty, 0)
+    df = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00", 1.0)], "user_id long, ts string, value double"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    with _pytest.raises(ValueError, match="has no events"):
+        timeseries.series_similarity_topk(df, 999)

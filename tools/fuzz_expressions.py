@@ -2,9 +2,10 @@
 
 The pytest differential corpus pins fixed seeds (fast, reproducible);
 this tool hunts with MANY seeds — thousands of random expressions ×
-contexts through BOTH identifier resolvers (variant JSON and native
-typed columns), compared against the Python evaluator, in a handful
-of Spark jobs (one select per seed batch). Any divergence prints the
+contexts through the VARIANT (JSON) identifier resolver, compared
+against the Python evaluator, in a handful of Spark jobs (one select
+per seed batch). (The typed-column resolver keeps its own pinned
+corpus in tests/test_expression_differential.py.) Any divergence prints the
 expression + context so it can be pinned as a regression test.
 
 Usage: python tools/fuzz_expressions.py [n_seeds] [exprs_per_seed]
