@@ -704,6 +704,10 @@ def q_moving_average(spark, sf_dir):
         .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
     )
+    # unpartitioned window is intentional: the input is the DAILY
+    # series — bounded by the calendar (a few thousand rows at any
+    # corpus size), not by the data. The single-partition warning is
+    # about data-proportional inputs; this one is pre-reduced.
     w = Window.orderBy("day").rowsBetween(-6, 0)
     wl = Window.orderBy("day")
     return daily.select(
