@@ -2910,6 +2910,41 @@ def dedup_fuzzy_names(spark, sf_dir):
 
 
 @register_extra(
+    "q_array_functions",
+    """WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       )
+       SELECT doc_id,
+              len(t) AS n_tokens,
+              len(list_distinct(t)) AS n_distinct,
+              list_has_any(t, ['the', 'and', 'of']) AS has_stopword,
+              list_sort(t)[1] AS first_sorted,
+              list_sort(t)[len(t)] AS last_sorted,
+              len(list_filter(t, x -> length(x) >= 6)) AS n_long_tokens
+       FROM toks""",
+)
+def q_array_functions(spark, sf_dir):
+    """Array/higher-order-function surface in one row-local pass:
+    distinct count, membership against a literal set, sorted extremes,
+    and a filtered length — all inside whole-stage codegen, zero
+    shuffles (set results cross the boundary as sizes/booleans/
+    extremes because element ORDER of intersections is
+    engine-specific)."""
+    t = text.tokens_col(F.col("text"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        F.arrays_overlap(t, F.array(F.lit("the"), F.lit("and"), F.lit("of"))).alias(
+            "has_stopword"
+        ),
+        F.array_sort(t)[0].alias("first_sorted"),
+        F.element_at(F.array_sort(t), F.size(t)).alias("last_sorted"),
+        F.size(F.filter(t, lambda x: F.length(x) >= 6)).alias("n_long_tokens"),
+    )
+
+
+@register_extra(
     "q_argminmax_nth",
     """WITH ranked AS (
          SELECT user_id, value,
