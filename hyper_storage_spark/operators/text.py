@@ -143,6 +143,17 @@ def with_pii_redacted(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("text_redacted", F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]"))
 
 
+def normalized_text(text: Column) -> Column:
+    """Canonical text form for robust dedup hashing: lowercase, strip
+    punctuation, collapse runs of whitespace, trim. Exact dedup on the
+    RAW bytes misses trivial variants ("Hello,  World" vs "hello
+    world"); hashing the normalized form is the standard first rung of
+    the near-dup ladder (cheaper than shingles, catches the bulk).
+    Pure codegen expressions; the regexes are RE2/Java-portable."""
+    stripped = F.regexp_replace(F.lower(text), r"[^\w\s]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Document fingerprint: the minimum md5 over the document's n-word
     shingles — a 1-permutation MinHash, stable across engines. Documents

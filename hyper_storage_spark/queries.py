@@ -2910,6 +2910,40 @@ def dedup_fuzzy_names(spark, sf_dir):
 
 
 @register_extra(
+    "text_normalized_dedup",
+    """WITH n AS (
+         SELECT doc_id,
+                md5(text) AS raw_hash,
+                md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                                        '\\s+', ' ', 'g'))) AS norm_hash
+         FROM documents
+       )
+       SELECT COUNT(*) AS n_docs,
+              COUNT(DISTINCT raw_hash) AS n_raw_distinct,
+              COUNT(DISTINCT norm_hash) AS n_norm_distinct
+       FROM n""",
+)
+def text_normalized_dedup(spark, sf_dir):
+    """Normalization-robust exact dedup
+    (operators/text.py:normalized_text): hash the canonical text form
+    (lowercase, punctuation stripped, whitespace collapsed) next to
+    the raw hash — the cheap first rung of the near-dup ladder that
+    catches trivial variants before any shingling. Emits corpus-level
+    distinct counts for both hash families; at 100 TB each distinct
+    count is one shuffle of 16-byte digests."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select(
+        F.md5("text").alias("raw_hash"),
+        F.md5(text.normalized_text(F.col("text"))).alias("norm_hash"),
+    )
+    return n.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("raw_hash").alias("n_raw_distinct"),
+        F.count_distinct("norm_hash").alias("n_norm_distinct"),
+    )
+
+
+@register_extra(
     "q_array_functions",
     """WITH toks AS (
          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents

@@ -1425,3 +1425,14 @@ def test_series_similarity_input_validation(spark):
     ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
     with _pytest.raises(ValueError, match="has no events"):
         timeseries.series_similarity_topk(df, 999)
+
+
+def test_normalized_text_catches_trivial_variants(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = df.select("doc_id", text.normalized_text(F.col("text")).alias("n")).collect()
+    by = {r.doc_id: r.n for r in out}
+    assert by[1] == by[2] == "hello world"
+    assert by[3] == "other text"
