@@ -2944,6 +2944,40 @@ def text_normalized_dedup(spark, sf_dir):
 
 
 @register_extra(
+    "q_range_frame_window",
+    """SELECT user_id, event_id,
+              COUNT(*) OVER w AS n_3d,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) AS sum_3d
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW)""",
+)
+def q_range_frame_window(spark, sf_dir):
+    """Time-based sliding window via a RANGE frame: per user, the
+    rolling 3-day event count and decimal value sum ending at each
+    event — the frame is defined by TIME distance, not row count
+    (rows frames undercount on irregular event spacing). Spark's
+    rangeBetween needs a numeric ordering key, so the frame runs on
+    epoch seconds; same per-user single sort either way. Ties on ts
+    are safe: RANGE frames include ALL peers of the boundary value in
+    both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3 * 86400, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_3d"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
+        .cast("double")
+        .alias("sum_3d"),
+    )
+
+
+@register_extra(
     "q_array_functions",
     """WITH toks AS (
          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
