@@ -149,9 +149,13 @@ def normalized_text(text: Column) -> Column:
     RAW bytes misses trivial variants ("Hello,  World" vs "hello
     world"); hashing the normalized form is the standard first rung of
     the near-dup ladder (cheaper than shingles, catches the bulk).
-    Pure codegen expressions; the regexes are RE2/Java-portable."""
-    stripped = F.regexp_replace(F.lower(text), r"[^\w\s]", "")
-    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    Pure codegen expressions. The whitespace class is spelled out
+    instead of ``\\s`` because Java's ``\\s`` includes vertical tab
+    while RE2's does not — the explicit class keeps Spark and
+    SQL-oracle normalization byte-identical on any input."""
+    ws = " \\t\\n\\f\\r"
+    stripped = F.regexp_replace(F.lower(text), f"[^\\w{ws}]", "")
+    return F.trim(F.regexp_replace(stripped, f"[{ws}]+", " "))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:

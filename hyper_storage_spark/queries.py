@@ -2914,8 +2914,8 @@ def dedup_fuzzy_names(spark, sf_dir):
     """WITH n AS (
          SELECT doc_id,
                 md5(text) AS raw_hash,
-                md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
-                                        '\\s+', ' ', 'g'))) AS norm_hash
+                md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w \\t\\n\\f\\r]', '', 'g'),
+                                        '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS norm_hash
          FROM documents
        )
        SELECT COUNT(*) AS n_docs,
@@ -2958,14 +2958,15 @@ def q_range_frame_window(spark, sf_dir):
     event — the frame is defined by TIME distance, not row count
     (rows frames undercount on irregular event spacing). Spark's
     rangeBetween needs a numeric ordering key, so the frame runs on
-    epoch seconds; same per-user single sort either way. Ties on ts
-    are safe: RANGE frames include ALL peers of the boundary value in
-    both engines."""
+    epoch MICROseconds — full timestamp precision; flooring to whole
+    seconds would misclassify boundary events and same-second peers
+    against the oracle's INTERVAL arithmetic (caught at sf0.1). Same
+    per-user single sort either way."""
     e = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3 * 86400, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3 * 86400 * 1_000_000, 0)
     )
     return e.select(
         "user_id",
