@@ -15,7 +15,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 1_000_000  # split resolution: 1e-6 of probability mass
@@ -116,6 +116,32 @@ def domain_mixture(
     )
     bucket = split_bucket(F.col(id_col), salt)
     return df.filter(bucket < F.coalesce(thr[F.col(domain_col)], F.lit(0)))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap each group at ``max_rows`` rows, chosen by a deterministic
+    content-hash order — the "at most N documents per domain/source"
+    rule corpus preps apply against mega-domains.
+
+    The selection key is md5 of the id (not a seeded random() — the
+    kept set is a pure function of the data, reproducible across
+    runs, partitionings, and engines), so over-cap groups keep a
+    stable pseudo-random subset and under-cap groups keep everything.
+    One hash-partitioned sort per group (the row_number window);
+    no sampling state, no driver involvement."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )
 
 
 def pack_sequences(

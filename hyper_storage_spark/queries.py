@@ -1688,6 +1688,28 @@ def search_bm25_topk(spark, sf_dir):
 
 
 @register_extra(
+    "q_cap_per_group",
+    """WITH ranked AS (
+         SELECT doc_id, lang,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM documents
+       )
+       SELECT doc_id, lang FROM ranked WHERE rn <= 50""",
+)
+def q_cap_per_group(spark, sf_dir):
+    """Per-domain document cap (operators/sampling.py:cap_per_group):
+    keep at most 50 docs per language, selected by a deterministic
+    md5-of-id order both engines share — the mega-domain cap rule of
+    corpus prep, reproducible with no sampler state. Output is the
+    kept id set itself, so the oracle checks the exact selection, not
+    just the counts."""
+    return sampling.cap_per_group(
+        _t(spark, sf_dir, "documents"), "lang", 50
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+@register_extra(
     "q_pack_sequences_contract",
     """SELECT COUNT(*) AS n_docs,
               CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,

@@ -1436,3 +1436,18 @@ def test_normalized_text_catches_trivial_variants(spark):
     by = {r.doc_id: r.n for r in out}
     assert by[1] == by[2] == "hello world"
     assert by[3] == "other text"
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    from hyper_storage_spark.operators import sampling
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = sampling.cap_per_group(df, "lang", 30)
+    counts = {r[0]: r[1] for r in kept.groupBy("lang").count().collect()}
+    assert counts == {"big": 30, "small": 20}  # under-cap keeps all
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(
+        r.doc_id for r in sampling.cap_per_group(df.repartition(7), "lang", 30).collect()
+    )
+    assert a == b  # pure function of the data
