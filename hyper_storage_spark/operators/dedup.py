@@ -553,6 +553,75 @@ def benchmark_contamination(
     )
 
 
+def dup_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    span: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span profile: per document, how many
+    of its distinct ``span``-token windows also occur in at least
+    ``min_docs`` documents (itself included) —
+    (doc_id, n_spans, n_dup_spans, dup_fraction).
+
+    The corpus-level complement of the intra-document repetition
+    stats (text.with_repetition_stats): sliding windows of ``span``
+    tokens catch a duplicated run at ANY alignment (every duplicated
+    substring of ≥ span tokens contains a duplicated span-window), so
+    this is the fixed-granularity form of exact substring dedup
+    (Lee et al., "Deduplicating Training Data", use suffix arrays for
+    variable-length spans; fixed windows trade maximality for a pure
+    equi-join plan). High dup_fraction marks boilerplate and
+    near-copies for removal before training.
+
+    Plan shape at 100 TB: explode distinct windows (rows ∝ corpus
+    tokens), aggregate window→distinct-doc-count on an 8-byte
+    xxhash64 key (one digest shuffle, never the text), left-join the
+    flagged-window set back (unhinted — AQE broadcasts the usually
+    tiny duplicated set, degrades to a digest shuffle join otherwise),
+    then one per-document count. Linear throughout; no pairwise
+    compare. Hash collisions (~2⁻⁶⁴ per window pair) can overcount a
+    span's doc frequency — the standard xxhash64 caveat shared with
+    _hashed_shingles. Documents shorter than ``span`` tokens appear
+    with n_spans = 0 rather than vanishing (total function of the
+    corpus, same policy as benchmark_contamination)."""
+    sh = tracked_persist(
+        shingle_df(docs, text_col, n=span).select(
+            "doc_id", F.xxhash64("shingle").alias("h")
+        )
+    )
+    dup_spans = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("h", F.lit(True).alias("__dup"))
+    )
+    per_doc = (
+        sh.join(dup_spans, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("__dup").alias("n_dup_spans"),  # count() skips the null non-dups
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0)).cast("decimal(18,12)")
+                / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("dup_fraction"),
+        )
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,

@@ -63,6 +63,31 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def seeded_shuffle(
+    df: DataFrame, id_col: str, seed: int = 0, ord_col: str = "ord_key"
+) -> DataFrame:
+    """Deterministic global shuffle for training order: sort by
+    ``md5(id ':' seed)``.
+
+    Training runs need the corpus in a shuffled-but-REPRODUCIBLE order
+    (restartable jobs, bit-identical ablations, auditable curricula).
+    ``df.orderBy(rand(seed))`` fails all three at scale: rand() is
+    seeded per-partition, so the order changes with partitioning and
+    under task retry. A content hash of the row id is a pure function —
+    the same corpus always yields the same order on any cluster, new
+    documents interleave uniformly without moving existing neighbors,
+    and a different ``seed`` gives an independent permutation.
+
+    Spark executes the sort as a range exchange (sampled hash-value
+    boundaries) + per-partition sort — no single-node merge — and a
+    downstream ``.limit(k)`` collapses it to TakeOrdered. md5 (not
+    xxhash64) so external systems and SQL engines can reproduce the
+    exact order from the published recipe. ``id_col`` ties any hash
+    collisions deterministically."""
+    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    return df.withColumn(ord_col, key).orderBy(ord_col, id_col)
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, fractions: dict, seed: int = 7
 ) -> DataFrame:

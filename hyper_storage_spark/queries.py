@@ -2734,6 +2734,25 @@ def q_hash_split_contract(spark, sf_dir):
 
 
 @register_extra(
+    "q_seeded_shuffle",
+    """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS ord_key
+       FROM documents ORDER BY ord_key, doc_id LIMIT 100""",
+)
+def q_seeded_shuffle(spark, sf_dir):
+    """Reproducible training order (operators/sampling.py:
+    seeded_shuffle): the corpus sorted by md5(doc_id ':' seed) — a
+    pure content-hash permutation that is identical across clusters,
+    partitionings, and task retries, where orderBy(rand(seed)) is
+    none of those. md5 deliberately, so the oracle (and any external
+    consumer) reproduces the exact order from the recipe; the head of
+    the shuffled corpus is compared value-for-value. The full sort is
+    a range exchange + local sort; with the limit it collapses to
+    TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.seeded_shuffle(docs, "doc_id", seed=42).limit(100)
+
+
+@register_extra(
     "q_approx_distinct_contract",
     """SELECT event_type,
               COUNT(DISTINCT user_id) AS n_exact,
@@ -2962,6 +2981,45 @@ def text_normalized_dedup(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.count_distinct("raw_hash").alias("n_raw_distinct"),
         F.count_distinct("norm_hash").alias("n_norm_distinct"),
+    )
+
+
+@register_extra(
+    "dedup_span_stats",
+    """WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       ),
+       idx AS (
+         SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS i
+         FROM toks WHERE len(t) >= 8
+       ),
+       sp AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS span FROM idx),
+       boiler AS (SELECT span FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+       per_doc AS (
+         SELECT s.doc_id, COUNT(*) AS n_spans, COUNT(b.span) AS n_dup_spans
+         FROM sp s LEFT JOIN boiler b ON s.span = b.span
+         GROUP BY s.doc_id
+       )
+       SELECT d.doc_id,
+              COALESCE(p.n_spans, 0) AS n_spans,
+              COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+              CAST(ROUND(CAST(COALESCE(p.n_dup_spans, 0) AS DECIMAL(18,12))
+                         / GREATEST(COALESCE(p.n_spans, 0), 1), 6) AS DOUBLE) AS dup_fraction
+       FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
+)
+def dedup_span_stats(spark, sf_dir):
+    """Cross-document duplicated-span profile
+    (operators/dedup.py:dup_span_stats): per document, how many of its
+    distinct 8-token sliding windows occur in ≥2 documents — the
+    fixed-granularity form of exact substring dedup (a duplicated run
+    of ≥8 tokens is caught at ANY alignment) and the cross-corpus
+    complement of text_repetition's intra-document stats. The oracle
+    replays the full window/flag/count pipeline on raw spans while the
+    engine shuffles only 8-byte span hashes — the counts must still
+    agree exactly. dup_fraction divides as DECIMAL before rounding so
+    both engines round the same digits."""
+    return dedup.dup_span_stats(
+        _t(spark, sf_dir, "documents"), span=8, min_docs=2
     )
 
 

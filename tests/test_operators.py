@@ -650,6 +650,36 @@ def test_hash_split_properties(spark):
         sampling.hash_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
 
 
+def test_seeded_shuffle_is_deterministic_permutation(spark):
+    from hyper_storage_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = [r.doc_id for r in sampling.seeded_shuffle(df, "doc_id", seed=1).collect()]
+    b = [
+        r.doc_id
+        for r in sampling.seeded_shuffle(df.repartition(7), "doc_id", seed=1).collect()
+    ]
+    c = [r.doc_id for r in sampling.seeded_shuffle(df, "doc_id", seed=2).collect()]
+    # permutation of the corpus, identical under re-partitioning,
+    # different (but still a permutation) under a different seed
+    assert sorted(a) == list(range(300))
+    assert a == b
+    assert sorted(c) == list(range(300)) and c != a
+    # hash order is not insertion order
+    assert a != list(range(300))
+
+
+def test_seeded_shuffle_head_is_take_ordered(spark, sf_dir):
+    from hyper_storage_spark.operators import sampling
+    from hyper_storage_spark.sources import load_table
+
+    df = sampling.seeded_shuffle(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id", seed=42
+    ).limit(100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort for a head sample
+
+
 def test_stratified_sample_rates(spark):
     from hyper_storage_spark.operators import sampling
 
@@ -1016,6 +1046,41 @@ def test_benchmark_contamination_flags_ngram_overlap(spark):
     assert out[1].contaminated and out[1].n_hit_ngrams == 1
     assert not out[2].contaminated and out[2].n_hit_ngrams == 0
     assert out[3].n_ngrams == 0 and not out[3].contaminated
+
+
+def test_dup_span_stats_alignment_and_totality(spark):
+    # docs 1 and 2 share one 4-token run at DIFFERENT offsets (sliding
+    # windows must catch any alignment); doc 3 is all-unique; doc 4 is
+    # too short to window but must still appear (total function)
+    df = spark.createDataFrame(
+        [
+            (1, "p q r the quick brown fox s"),
+            (2, "the quick brown fox a b c d"),
+            (3, "u v w x y z zz yy"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.dup_span_stats(df, span=4, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # 8 tokens → 5 sliding 4-windows each; exactly one window is shared
+    assert out[1].n_spans == 5 and out[1].n_dup_spans == 1
+    assert out[2].n_spans == 5 and out[2].n_dup_spans == 1
+    assert out[1].dup_fraction == 0.2
+    assert out[3].n_dup_spans == 0 and out[3].dup_fraction == 0.0
+    assert out[4].n_spans == 0 and out[4].dup_fraction == 0.0
+
+
+def test_dup_span_stats_counts_distinct_windows_once(spark):
+    # a window repeated INSIDE one doc counts once per doc (distinct),
+    # and needs a second doc to become a duplicate
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "c d e f g h")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.dup_span_stats(df, span=2, min_docs=2).collect()}
+    # doc 1 windows: {a b, b a} — repeated internally, still not cross-doc dups
+    assert out[1].n_spans == 2 and out[1].n_dup_spans == 0
 
 
 def test_pack_sequences_ffd_properties(spark):
