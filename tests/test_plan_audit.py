@@ -1,0 +1,76 @@
+"""Unit tests for the plan-audit linter's tree analysis (tools/
+plan_audit.py) on synthetic executed-plan strings — the heuristics
+must keep flagging unbounded nested-loop joins while auto-allowing
+provable 1-row scalar bounds."""
+
+import sys
+
+sys.path.insert(0, "tools")
+
+from plan_audit import audit_plan  # noqa: E402
+
+SCALAR_CROSS = """Project [a#1, ok#2]
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [a#1]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=1]
+      +- HashAggregate(keys=[], functions=[count(1)], output=[n#3L])
+         +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=2]
+            +- HashAggregate(keys=[], functions=[partial_count(1)], output=[c#4L])
+               +- FileScan parquet []"""
+
+CROSS_OF_SCALARS = """Project [ok#1]
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [a#1]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=1]
+      +- Project [flag#5]
+         +- BroadcastNestedLoopJoin BuildRight, Cross
+            :- HashAggregate(keys=[], functions=[max(d#6)], output=[kth#7])
+            :  +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=2]
+            :     +- FileScan parquet [d#6]
+            +- BroadcastExchange IdentityBroadcastMode, [plan_id=3]
+               +- HashAggregate(keys=[], functions=[min(lb#8)], output=[mlb#9])
+                  +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=4]
+                     +- FileScan parquet [lb#8]"""
+
+UNBOUNDED_BNLJ = """Project [a#1, b#2]
++- BroadcastNestedLoopJoin BuildRight, Inner, (a#1 < b#2)
+   :- FileScan parquet [a#1]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=1]
+      +- FileScan parquet [b#2] ReadSchema: struct<b:bigint>, Location: [corpus.parquet]"""
+
+KEYED_AGG_BUILD = """Project [a#1]
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [a#1]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=1]
+      +- HashAggregate(keys=[k#2], functions=[count(1)], output=[k#2, n#3L])
+         +- FileScan parquet [k#2]"""
+
+
+def test_scalar_cross_is_auto_allowed():
+    assert audit_plan("some_entry", SCALAR_CROSS) == []
+
+
+def test_cross_of_two_scalars_is_auto_allowed():
+    assert audit_plan("some_entry", CROSS_OF_SCALARS) == []
+
+
+def test_unbounded_build_side_is_flagged():
+    problems = audit_plan("some_entry", UNBOUNDED_BNLJ)
+    assert len(problems) == 1 and "BroadcastNestedLoopJoin" in problems[0]
+
+
+def test_keyed_aggregate_build_side_is_not_scalar():
+    # keys=[k] can emit many rows — must NOT pass as a scalar bound
+    assert audit_plan("some_entry", KEYED_AGG_BUILD) != []
+
+
+def test_cartesian_and_python_udf_always_flag():
+    assert audit_plan("e", "CartesianProduct\n+- FileScan parquet []") != []
+    assert audit_plan("e", "BatchEvalPython [f(x#1)]\n+- FileScan parquet []") != []
+
+
+def test_waiver_is_entry_scoped():
+    # the waiver text matches dedup_embedding_cosine but not other entries
+    plan = UNBOUNDED_BNLJ.replace("corpus.parquet", "embeddings.parquet")
+    assert audit_plan("dedup_embedding_cosine", plan) == []
+    assert audit_plan("dedup_exact", plan) != []

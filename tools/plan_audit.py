@@ -1,0 +1,219 @@
+"""Physical-plan linter over the FULL catalog (driver + extra tiers).
+
+The plan-shape tests (tests/test_plan_shapes.py) pin the shapes we
+designed deliberately; this tool is the complementary dragnet: it
+builds every catalog entry's DataFrame and scans the executed plan for
+node types that are scale-killers at 100 TB when they touch
+data-proportional inputs:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — an O(n·m)
+  pairwise compare that slipped past the equi-join design.
+- ``BatchEvalPython`` — a row-at-a-time Python UDF (the Arrow paths
+  show up as ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas
+  and are allowed).
+
+A nested-loop join is NOT hazardous when its broadcast side is
+provably bounded, so two shapes pass automatically:
+
+- **Scalar-aggregate build side**: a grouping-key-less
+  HashAggregate/SortAggregate emits exactly one row — the standard
+  physical form of a scalar-subquery bound (corpus totals, thresholds,
+  contract certificates). One row × n is a projection, not a blow-up.
+
+Anything else needs a WAIVER below saying why the build side stays
+O(1) in the data (fixed query set, gate-SF-only exact twin, ...), or
+the tool exits non-zero. Usage::
+
+    python tools/plan_audit.py [sf_dir] [entry ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+HARD_FLAGS = ("CartesianProduct", "BatchEvalPython")
+
+# name -> [(pattern-that-must-appear-in-the-BNLJ-line-or-build-subtree,
+#           reason the build side is bounded)]
+WAIVERS: dict[str, list[tuple[str, str]]] = {
+    "dedup_embedding_cosine": [
+        (
+            "embeddings.parquet",
+            "the deliberately-quadratic exact oracle twin of the LSH scale "
+            "path; hard max_rows=50k guard raises before it can run at scale",
+        )
+    ],
+    "dedup_embedding_lsh": [
+        (
+            "embeddings.parquet",
+            "in-plan recall contract computes the exact cosine pair set as "
+            "its reference — a gate-SF verification harness (guarded "
+            "quadratic twin); the scale output is dedup_embedding_lsh_raw",
+        )
+    ],
+    "dedup_simhash": [
+        (
+            "simhash",
+            "banding-completeness contract brute-forces hamming pairs over "
+            "the cached signature set as its reference — gate-SF harness; "
+            "the scale output is dedup_simhash_raw",
+        )
+    ],
+    "ann_cosine_topk": [
+        (
+            "query_id",
+            "build side is the fixed query set (O(k) rows by construction, "
+            "not data-proportional) — the designed broadcast-queries × "
+            "one-corpus-scan shape",
+        )
+    ],
+    "ann_lsh_bucket": [
+        ("query_id", "fixed query set / exact-reference contract at gate SF"),
+        ("recall", "in-plan recall certificate vs the exact top-k reference"),
+    ],
+    "ann_ivf": [
+        ("query_id", "fixed query set / exact-reference contract at gate SF"),
+        ("recall", "in-plan recall certificate vs the exact top-k reference"),
+        ("centroid", "broadcast centroid table — O(n_cells) config constant"),
+    ],
+    "ann_ivf_raw": [
+        (
+            "query_id",
+            "build side is the fixed query set joined to broadcast "
+            "centroids — O(k · n_cells), not data-proportional",
+        ),
+        ("centroid", "broadcast centroid table — O(n_cells) config constant"),
+    ],
+    "search_bm25_topk": [
+        (
+            "term",
+            "build side is the fixed keyword-query term set — O(queries × "
+            "terms), not data-proportional",
+        )
+    ],
+    "ts_series_similarity": [
+        (
+            "qvec",
+            "build side is the single densified query-series vector "
+            "(bounded by the series span, not the corpus)",
+        )
+    ],
+}
+
+_WRAPPERS = ("Project", "Filter", "BroadcastExchange", "Exchange", "AQEShuffleRead",
+             "InputAdapter", "WholeStageCodegen", "ColumnarToRow", "ReusedExchange")
+_SCALAR = ("HashAggregate(keys=[]", "SortAggregate(keys=[]", "ObjectHashAggregate(keys=[]")
+
+
+def _parse_tree(plan: str) -> list[tuple[int, str]]:
+    """treeString → [(depth, node text)]. Child markers are ':- ' / '+- '
+    at 3-char indent steps; depth = indent // 3."""
+    out = []
+    for line in plan.splitlines():
+        m = re.match(r"^((?::  |\s{3}|:- |\+- )*)(.*)$", line)
+        prefix, node = m.group(1), m.group(2)
+        out.append((len(prefix) // 3, node))
+    return out
+
+
+def _subtree(nodes: list[tuple[int, str]], i: int) -> list[str]:
+    d = nodes[i][0]
+    out = [nodes[i][1]]
+    for j in range(i + 1, len(nodes)):
+        if nodes[j][0] <= d:
+            break
+        out.append(nodes[j][1])
+    return out
+
+
+def _children(nodes: list[tuple[int, str]], i: int) -> list[int]:
+    d = nodes[i][0]
+    kids = []
+    for j in range(i + 1, len(nodes)):
+        if nodes[j][0] <= d:
+            break
+        if nodes[j][0] == d + 1:
+            kids.append(j)
+    return kids
+
+
+def _is_scalar_bound(nodes: list[tuple[int, str]], root: int) -> bool:
+    """True if the subtree at ``root`` provably emits ≤1 row: wrapper
+    chains over a grouping-key-less aggregate, or a join of two such
+    scalars (a cross of 1-row sides is still 1 row)."""
+    node = nodes[root][1]
+    if any(node.startswith(s) for s in _SCALAR):
+        return True
+    kids = _children(nodes, root)
+    if any(node.startswith(w) for w in _WRAPPERS) and len(kids) == 1:
+        return _is_scalar_bound(nodes, kids[0])
+    if "Join" in node.split("(")[0] and len(kids) == 2:
+        return all(_is_scalar_bound(nodes, k) for k in kids)
+    return False
+
+
+def audit_plan(name: str, plan: str) -> list[str]:
+    """Return unexpected-hazard descriptions for one entry's plan."""
+    problems = [f for f in HARD_FLAGS if f in plan]
+    nodes = _parse_tree(plan)
+    for i, (_, node) in enumerate(nodes):
+        if not node.startswith("BroadcastNestedLoopJoin"):
+            continue
+        kids = _children(nodes, i)
+        if len(kids) == 2:
+            build = kids[1] if "BuildRight" in node else kids[0]
+            if _is_scalar_bound(nodes, build):
+                continue  # 1-row scalar bound — a projection, not a join blow-up
+            hay = node + "\n" + "\n".join(_subtree(nodes, build))
+        else:
+            hay = node
+        if any(pat in hay for pat, _ in WAIVERS.get(name, [])):
+            continue
+        problems.append(f"BroadcastNestedLoopJoin (unbounded build side): {node[:120]}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from hyper_storage_spark.operators._caches import release_tracked_caches
+    from hyper_storage_spark.queries import all_specs
+    from hyper_storage_spark.session import get_spark
+
+    spark = get_spark("plan_audit", cpus=8)
+
+    bad: list[tuple[str, str]] = []
+    for name, spec in all_specs().items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = spec.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            bad.append((name, f"plan build failed: {type(e).__name__}: {e}"))
+            print(f"FAIL {name} [{time.time() - t0:.1f}s]")
+            continue
+        finally:
+            release_tracked_caches()
+        problems = audit_plan(name, plan)
+        bad.extend((name, p) for p in problems)
+        print(f"{'FLAG' if problems else 'ok':4} {name} [{time.time() - t0:.1f}s]")
+
+    print()
+    if bad:
+        print(f"{len(bad)} unexpected plan hazard(s):")
+        for name, p in bad:
+            print(f"  {name}: {p}")
+        return 1
+    print("no unexpected plan hazards (scalar bounds auto-allowed; waivers documented in-file)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
