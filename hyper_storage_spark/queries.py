@@ -2753,6 +2753,40 @@ def q_seeded_shuffle(spark, sf_dir):
 
 
 @register_extra(
+    "q_histogram_stats",
+    """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+       b AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM v)
+       SELECT LEAST(CAST(FLOOR((v - mn) / ((mx - mn) / 10)) AS INT), 9) AS bucket,
+              COUNT(*) AS n, MIN(v) AS v_min, MAX(v) AS v_max
+       FROM v, b GROUP BY 1""",
+)
+def q_histogram_stats(spark, sf_dir):
+    """Equi-width histogram construction — the engine-level form of
+    the ANALYZE statistics the store commits per collection
+    (store/stats.py, the reference's «histograms/statistics»
+    future-work item). The min/max bounds come from a scalar
+    aggregate crossed back into the scan (1-row build side — the
+    shape plan_audit auto-allows), then one groupBy on the bucket id:
+    two passes over the column, no sort, partials compose. Bucket
+    arithmetic runs in identical IEEE double steps on both engines so
+    the exact per-bucket counts and extrema must match."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("v")
+    ).filter(F.col("v").isNotNull())
+    b = e.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    j = e.crossJoin(b)
+    bucket = F.least(
+        F.floor((F.col("v") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10)).cast("int"),
+        F.lit(9),
+    )
+    return j.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+    )
+
+
+@register_extra(
     "q_approx_distinct_contract",
     """SELECT event_type,
               COUNT(DISTINCT user_id) AS n_exact,

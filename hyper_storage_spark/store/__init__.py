@@ -8,9 +8,21 @@ Delta-style commit protocol), plus the CRUD/indexing/query engine on top.
 - :mod:`documents` — DocumentStore: CRUD, revisions, WAL, feed events,
   index lifecycle + incremental maintenance.
 - :mod:`query` — the collection query planner/executor on Spark.
+- :mod:`stats` — ANALYZE + histogram/NDV row estimates for explain
+  (a reference future-work item).
 """
 
 from .documents import DocumentStore, NotFoundError
 from .query import QueryBudgetExceeded, QueryResult
+from .stats import FieldStats, analyze_collection, collection_stats, estimate_rows
 
-__all__ = ["DocumentStore", "NotFoundError", "QueryResult", "QueryBudgetExceeded"]
+__all__ = [
+    "DocumentStore",
+    "NotFoundError",
+    "QueryResult",
+    "QueryBudgetExceeded",
+    "FieldStats",
+    "analyze_collection",
+    "collection_stats",
+    "estimate_rows",
+]

@@ -139,6 +139,16 @@ FEED_SPARK = (
     "method string, body string, ts long"
 )
 
+TEMPLATE_INDEXES = "template_indexes"
+TEMPLATE_INDEXES_SCHEMA = pa.schema(
+    [
+        ("uri_pattern", pa.string()),  # '/'-segmented, '*' matches one segment
+        ("index_id", pa.string()),
+        ("sort_by", pa.string()),  # JSON, same encoding as INDEX_DEFS
+        ("filter_by", pa.string()),
+    ]
+)
+
 PENDING_INDEXES = "pending_indexes"
 PENDING_INDEXES_SCHEMA = pa.schema(
     [
@@ -242,6 +252,9 @@ class DocumentStore:
         self.spark = spark
         self.auto_complete = auto_complete
         self._lock = threading.RLock()
+        # collections already checked against the current template set
+        # (cleared when templates change; re-checking is idempotent)
+        self._templated_uris: set[str] = set()
 
     # -- helpers -------------------------------------------------------------
 
@@ -316,6 +329,10 @@ class DocumentStore:
         uri, item_id = rp.document_uri, rp.item_id
         if method == "patch" and is_collection_uri(uri) and item_id == "":
             raise ValueError("PATCH is not allowed for a collection~")
+        if item_id:
+            # template-mandated indexes must exist BEFORE the write so
+            # _refresh_indexes maintains them from the first item
+            self.instantiate_templates(uri)
 
         with self._lock:
             bucket = self._bucket(uri)
@@ -718,6 +735,119 @@ class DocumentStore:
         return (json.loads(row["body"]) if row["body"] is not None else None), revision
 
     # -- index DDL (IndexDefTaskWorker analog) ---------------------------------
+
+    # -- template indexes (reference future work, README «Что на будущее») ----
+
+    def create_index_template(
+        self,
+        uri_pattern: str,
+        index_id: str,
+        sort_by: list[SortItem] | None = None,
+        filter_by: Optional[str] = None,
+    ) -> None:
+        """Register an index TEMPLATE: every collection whose URI
+        matches ``uri_pattern`` ('/'-segmented, ``*`` matches exactly
+        one segment, e.g. ``users/*/posts~``) gets a concrete index
+        named ``index_id`` with this definition — instantiated lazily
+        on the collection's next write or query, with the standard
+        backfill if the collection already has items. The reference
+        lists template indexes as future work; here they compose from
+        the existing index lifecycle (create_index + backfill +
+        incremental maintenance)."""
+        from ..expression.evaluator import validate_filter_expression
+
+        if not is_collection_uri(uri_pattern):
+            raise ValueError("index templates must target collections ('...~')")
+        if not index_id:
+            raise ValueError("index templates need an explicit index_id")
+        if filter_by is not None and not validate_filter_expression(filter_by):
+            raise ValueError(f"invalid filter expression: {filter_by!r}")
+        sort_by = list(sort_by or [])
+        with self._lock:
+            rows = self.storage.bucket_rows(TEMPLATE_INDEXES, 0)
+            if any(
+                r["uri_pattern"] == uri_pattern and r["index_id"] == index_id for r in rows
+            ):
+                raise ValueError(
+                    f"template {index_id!r} already exists for {uri_pattern!r}"
+                )
+            rows.append(
+                {
+                    "uri_pattern": uri_pattern,
+                    "index_id": index_id,
+                    "sort_by": json.dumps(
+                        [
+                            {
+                                "field_name": s.field_name,
+                                "field_type": s.field_type,
+                                "order": s.order,
+                            }
+                            for s in sort_by
+                        ]
+                    ),
+                    "filter_by": filter_by,
+                }
+            )
+            self.storage.commit(
+                {(TEMPLATE_INDEXES, 0): rows}, {TEMPLATE_INDEXES: TEMPLATE_INDEXES_SCHEMA}
+            )
+            self._templated_uris.clear()  # re-check every collection once
+
+    def delete_index_template(self, uri_pattern: str, index_id: str) -> None:
+        """Unregister a template. Already-instantiated concrete indexes
+        stay (they are ordinary indexes owned by their collections —
+        drop them with delete_index); only future instantiation stops."""
+        with self._lock:
+            rows = self.storage.bucket_rows(TEMPLATE_INDEXES, 0)
+            kept = [
+                r
+                for r in rows
+                if not (r["uri_pattern"] == uri_pattern and r["index_id"] == index_id)
+            ]
+            if len(kept) == len(rows):
+                raise NotFoundError(f"no template {index_id!r} for {uri_pattern!r}")
+            self.storage.commit(
+                {(TEMPLATE_INDEXES, 0): kept}, {TEMPLATE_INDEXES: TEMPLATE_INDEXES_SCHEMA}
+            )
+            self._templated_uris.clear()
+
+    def index_templates(self) -> list[dict]:
+        return [dict(r) for r in self.storage.bucket_rows(TEMPLATE_INDEXES, 0)]
+
+    @staticmethod
+    def _template_matches(pattern: str, uri: str) -> bool:
+        """Segment-count-preserving glob: '*' matches within ONE
+        segment (so ``feeds/*~`` matches ``feeds/tech~`` but never
+        ``feeds/a/b~`` — template scope stays structural)."""
+        from fnmatch import fnmatchcase
+
+        ps, us = pattern.split("/"), uri.split("/")
+        return len(ps) == len(us) and all(fnmatchcase(u, p) for p, u in zip(ps, us))
+
+    def instantiate_templates(self, uri: str) -> list[str]:
+        """Create any template-mandated indexes missing on ``uri``;
+        returns the created index ids. Memoized per template-set
+        version, so the write/query hot paths pay one set lookup."""
+        if uri in self._templated_uris or not is_collection_uri(uri):
+            return []
+        created: list[str] = []
+        with self._lock:
+            templates = self.storage.bucket_rows(TEMPLATE_INDEXES, 0)
+            if templates:
+                existing = {d.index_id for d in self.index_defs(uri)}
+                for t in templates:
+                    if t["index_id"] in existing or not self._template_matches(
+                        t["uri_pattern"], uri
+                    ):
+                        continue
+                    sort_by = [
+                        SortItem(d["field_name"], d.get("field_type"), d.get("order"))
+                        for d in json.loads(t["sort_by"])
+                    ]
+                    self.create_index(uri, t["index_id"], sort_by, t["filter_by"])
+                    created.append(t["index_id"])
+            self._templated_uris.add(uri)
+        return created
 
     def create_index(
         self,

@@ -85,6 +85,10 @@ class PlanInfo:
     # the chosen index's own clustering order [(physical col, asc)] —
     # the result order when the query asks for no explicit sort
     default_order: list[tuple[str, bool]] = field(default_factory=list)
+    # histogram/NDV row estimate for the sargable conjuncts (None until
+    # the collection is ANALYZEd — store/stats.py; a reference
+    # future-work item, README «Что на будущее»)
+    estimated_rows: Optional[int] = None
 
 
 @dataclass
@@ -202,6 +206,9 @@ def query(
 
 
 def _plan(store: DocumentStore, uri: str, filter: Optional[str], sort: list[SortBy]):
+    # a collection created before its template registers still gets the
+    # template's index on first query (lazy instantiation + backfill)
+    store.instantiate_templates(uri)
     filter_ast = parse(filter) if filter else None
     def_id_sort = SortItem("id", "text", "asc")
 
@@ -262,6 +269,10 @@ def _plan(store: DocumentStore, uri: str, filter: Optional[str], sort: list[Sort
     if filter_ast is not None:
         df, compiled = _apply_residual(df, filter_ast)
         plan.residual_compiled = compiled
+
+    from .stats import estimate_rows
+
+    plan.estimated_rows = estimate_rows(store, uri, filter_ast)
     return plan, df, filter_ast
 
 

@@ -1,0 +1,281 @@
+"""Collection statistics: ANALYZE + planner row estimates.
+
+The reference's future-work list (README «Что на будущее») names
+"histograms/statistics" as an unbuilt feature; this module builds it
+the Spark way:
+
+- :func:`analyze_collection` scans a collection ONCE with Spark
+  (JVM-side ``get_json_object`` field extraction + one aggregate pass,
+  plus one bucketing pass for numeric histograms — never a driver-side
+  row loop) and commits per-field statistics (row/non-null counts,
+  exact NDV, min/max, an equi-width histogram) to a
+  ``collection_stats`` table through the same atomic manifest flip as
+  every other store table.
+- :func:`estimate_rows` turns a query's sargable conjuncts
+  (``FieldFilter`` list, the planner's own extraction) into a row
+  estimate: equality → non-null fraction / NDV; ranges → histogram
+  mass with linear interpolation inside the boundary bucket. The
+  estimate rides on ``PlanInfo.estimated_rows`` and surfaces through
+  ``DocumentStore.explain`` — the stats exist to explain and bound
+  queries, not to change plan choice (index selection stays the
+  reference's weigher, plans/index_logic.py).
+
+At 100 TB the ANALYZE scan is the same shape as a backfill: one pass
+over the collection's buckets, all aggregation map-side-combined; the
+stats themselves are O(fields × histogram buckets) — driver-trivial.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import pyarrow as pa
+from pyspark.sql import functions as F
+
+from ..plans.model import DECIMAL, FieldFilter, FilterOp
+
+STATS = "collection_stats"
+STATS_SCHEMA = pa.schema(
+    [
+        ("document_uri", pa.string()),
+        ("field_name", pa.string()),
+        ("field_type", pa.string()),  # "decimal" | "text"
+        ("n_rows", pa.int64()),
+        ("n_nonnull", pa.int64()),
+        ("ndv", pa.int64()),
+        ("min_num", pa.float64()),
+        ("max_num", pa.float64()),
+        ("min_text", pa.string()),
+        ("max_text", pa.string()),
+        ("histogram", pa.string()),  # JSON [counts], equi-width over [min_num, max_num]
+        ("analyzed_at", pa.int64()),
+    ]
+)
+
+DEFAULT_HISTOGRAM_BUCKETS = 16
+
+
+@dataclass(frozen=True)
+class FieldStats:
+    field_name: str
+    field_type: str
+    n_rows: int
+    n_nonnull: int
+    ndv: int
+    min_num: Optional[float]
+    max_num: Optional[float]
+    min_text: Optional[str]
+    max_text: Optional[str]
+    histogram: Optional[list[int]]  # len == DEFAULT_HISTOGRAM_BUCKETS for numeric fields
+
+
+def _collection_df(store, uri: str):
+    from .documents import CONTENT, CONTENT_SPARK
+
+    df = store.storage.spark_df_or_empty(store.spark, CONTENT, CONTENT_SPARK)
+    return df.filter(
+        (F.col("document_uri") == uri) & (F.col("item_id") != "") & (~F.col("is_deleted"))
+    )
+
+
+def analyze_collection(
+    store,
+    uri: str,
+    fields: list[tuple[str, str]],
+    n_hist: int = DEFAULT_HISTOGRAM_BUCKETS,
+) -> list[FieldStats]:
+    """ANALYZE: compute and persist stats for the given
+    ``(field_name, field_type)`` list ("decimal" or "text", the
+    expression language's two declared types). Replaces any previous
+    stats for the collection in one commit."""
+    df = _collection_df(store, uri)
+    cols = {}
+    for name, ftype in fields:
+        raw = F.get_json_object("body", f"$.{name}")
+        cols[name] = raw.cast("double") if ftype == DECIMAL else raw
+    proj = df.select([c.alias(n) for n, c in cols.items()] or [F.lit(1).alias("__one")])
+
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for name, ftype in fields:
+        aggs += [
+            F.count(name).alias(f"__nn_{name}"),
+            F.count_distinct(name).alias(f"__ndv_{name}"),
+            F.min(name).alias(f"__min_{name}"),
+            F.max(name).alias(f"__max_{name}"),
+        ]
+    base = proj.agg(*aggs).collect()[0]
+    n_rows = base["__n_rows"]
+
+    # one extra pass for all numeric histograms together: a field's
+    # bucket is floor((v - min) / width), clamped to the last bucket
+    hist: dict[str, list[int]] = {}
+    numeric = [
+        (name, base[f"__min_{name}"], base[f"__max_{name}"])
+        for name, ftype in fields
+        if ftype == DECIMAL and base[f"__min_{name}"] is not None
+    ]
+    if numeric:
+        bucket_cols = []
+        for name, mn, mx in numeric:
+            width = (mx - mn) / n_hist if mx > mn else 1.0
+            b = F.least(
+                F.floor((F.col(name) - F.lit(mn)) / F.lit(width)).cast("int"),
+                F.lit(n_hist - 1),
+            )
+            bucket_cols.append(F.when(F.col(name).isNotNull(), b).alias(f"__b_{name}"))
+        counted = (
+            proj.select(bucket_cols)
+            .agg(
+                *[
+                    F.count(F.when(F.col(f"__b_{name}") == i, 1)).alias(f"__h_{name}_{i}")
+                    for name, _, _ in numeric
+                    for i in range(n_hist)
+                ]
+            )
+            .collect()[0]
+        )
+        for name, _, _ in numeric:
+            hist[name] = [counted[f"__h_{name}_{i}"] for i in range(n_hist)]
+
+    now = int(time.time() * 1000)
+    out = []
+    for name, ftype in fields:
+        is_num = ftype == DECIMAL
+        out.append(
+            FieldStats(
+                field_name=name,
+                field_type=ftype,
+                n_rows=n_rows,
+                n_nonnull=base[f"__nn_{name}"],
+                ndv=base[f"__ndv_{name}"],
+                min_num=base[f"__min_{name}"] if is_num else None,
+                max_num=base[f"__max_{name}"] if is_num else None,
+                min_text=None if is_num else base[f"__min_{name}"],
+                max_text=None if is_num else base[f"__max_{name}"],
+                histogram=hist.get(name),
+            )
+        )
+
+    with store._lock:
+        rows = [r for r in store.storage.bucket_rows(STATS, 0) if r["document_uri"] != uri]
+        for s in out:
+            rows.append(
+                {
+                    "document_uri": uri,
+                    "field_name": s.field_name,
+                    "field_type": s.field_type,
+                    "n_rows": s.n_rows,
+                    "n_nonnull": s.n_nonnull,
+                    "ndv": s.ndv,
+                    "min_num": s.min_num,
+                    "max_num": s.max_num,
+                    "min_text": s.min_text,
+                    "max_text": s.max_text,
+                    "histogram": json.dumps(s.histogram) if s.histogram is not None else None,
+                    "analyzed_at": now,
+                }
+            )
+        store.storage.commit({(STATS, 0): rows}, {STATS: STATS_SCHEMA})
+    return out
+
+
+def collection_stats(store, uri: str) -> dict[str, FieldStats]:
+    """Stats previously committed by :func:`analyze_collection`
+    (empty dict when the collection was never analyzed)."""
+    out = {}
+    for r in store.storage.bucket_rows(
+        STATS, 0, filters=[("document_uri", "==", uri)]
+    ):
+        if r["document_uri"] != uri:
+            continue
+        out[r["field_name"]] = FieldStats(
+            field_name=r["field_name"],
+            field_type=r["field_type"],
+            n_rows=r["n_rows"],
+            n_nonnull=r["n_nonnull"],
+            ndv=r["ndv"],
+            min_num=r["min_num"],
+            max_num=r["max_num"],
+            min_text=r["min_text"],
+            max_text=r["max_text"],
+            histogram=json.loads(r["histogram"]) if r["histogram"] else None,
+        )
+    return out
+
+
+def _range_fraction(s: FieldStats, op: FilterOp, value: float) -> float:
+    """Mass fraction of non-null values satisfying ``op value``, from
+    the equi-width histogram with linear interpolation inside the
+    boundary bucket. <= / < (and >= / >) share an estimate — a
+    continuous histogram cannot separate them."""
+    if s.min_num is None or s.max_num is None or not s.histogram or s.n_nonnull == 0:
+        return 1 / 3  # the no-stats default
+    if s.max_num == s.min_num:
+        eq_mass = 1.0 if value == s.min_num else 0.0
+        below = 1.0 if value > s.min_num else 0.0
+        return below + eq_mass if op in (FilterOp.LT, FilterOp.LTEQ) else (
+            (1.0 - below) if op in (FilterOp.GT, FilterOp.GTEQ) else eq_mass
+        )
+    width = (s.max_num - s.min_num) / len(s.histogram)
+    total = sum(s.histogram) or 1
+    # mass strictly-left of `value` (linear within the bucket)
+    pos = (value - s.min_num) / width
+    below = 0.0
+    for i, c in enumerate(s.histogram):
+        if pos >= i + 1:
+            below += c
+        elif pos > i:
+            below += c * (pos - i)
+    frac_below = min(max(below / total, 0.0), 1.0)
+    if op in (FilterOp.LT, FilterOp.LTEQ):
+        return frac_below
+    return 1.0 - frac_below
+
+
+def estimate_rows(store, uri: str, filter_ast) -> Optional[int]:
+    """Row estimate for a filter over an ANALYZEd collection, or None
+    when the collection has no committed stats. The filter's sargable
+    conjuncts are re-extracted against the ANALYZEd field set (not the
+    chosen index's sort fields — a base-table scan with a residual
+    filter still gets an estimate); selectivities multiply (the
+    textbook independence assumption); conjuncts the extractor cannot
+    express (ors, function calls) contribute no selectivity."""
+    from ..plans.field_filters import FieldFiltersExtractor
+    from ..plans.model import SortItem
+
+    stats = collection_stats(store, uri)
+    if not stats:
+        return None
+    n_rows = next(iter(stats.values())).n_rows
+    if filter_ast is None or n_rows == 0:
+        return n_rows
+    sel = 1.0
+    for s in stats.values():
+        # one single-field extractor per ANALYZEd field: the extractor
+        # emits PHYSICAL index-column names, so a single-field map is
+        # the clean way to attribute each conjunct to its field
+        ffe = FieldFiltersExtractor([SortItem(s.field_name, s.field_type, "asc")])
+        for ff in ffe.extract(filter_ast):
+            nonnull_frac = s.n_nonnull / s.n_rows if s.n_rows else 0.0
+            if ff.op == FilterOp.EQ:
+                sel *= nonnull_frac / s.ndv if s.ndv else 0.0
+                continue
+            try:
+                v = float(ff.value)
+            except (TypeError, ValueError):
+                sel *= 1 / 3  # range over a text field: no histogram
+                continue
+            sel *= nonnull_frac * _range_fraction(s, ff.op, v)
+    return int(round(n_rows * min(max(sel, 0.0), 1.0)))
+
+
+# attach as DocumentStore methods (mirrors query.py's attachment style)
+from .documents import DocumentStore  # noqa: E402
+
+DocumentStore.analyze = lambda self, uri, fields, n_hist=DEFAULT_HISTOGRAM_BUCKETS: analyze_collection(  # noqa: E731
+    self, uri, fields, n_hist
+)
+DocumentStore.collection_stats = lambda self, uri: collection_stats(self, uri)  # noqa: E731

@@ -1,0 +1,83 @@
+"""Collection statistics (store/stats.py): ANALYZE correctness and the
+histogram/NDV row estimates surfaced through explain() — the
+reference's «histograms/statistics» future-work item."""
+
+import pytest
+
+from hyper_storage_spark.store import DocumentStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return DocumentStore(str(tmp_path / "store"), spark=spark)
+
+
+@pytest.fixture()
+def analyzed(store):
+    # 100 items: a = 0..99 uniform, cat cycles over 4 values, one null-a row
+    for i in range(100):
+        store.put(f"coll~/i{i:03d}", {"a": i, "cat": f"c{i % 4}"})
+    store.put("coll~/i999", {"cat": "c0"})  # a missing → null for stats
+    store.analyze("coll~", [("a", "decimal"), ("cat", "text")])
+    return store
+
+
+def test_analyze_basic_stats(analyzed):
+    st = analyzed.collection_stats("coll~")
+    a, cat = st["a"], st["cat"]
+    assert a.n_rows == 101 and a.n_nonnull == 100 and a.ndv == 100
+    assert a.min_num == 0.0 and a.max_num == 99.0
+    assert sum(a.histogram) == 100 and len(a.histogram) == 16
+    # uniform data → every equi-width bucket populated
+    assert all(c > 0 for c in a.histogram)
+    assert cat.ndv == 4 and cat.min_text == "c0" and cat.max_text == "c3"
+    assert cat.histogram is None
+
+
+def test_estimate_equality_uses_ndv(analyzed):
+    plan = analyzed.explain("coll~", filter='cat = "c1"')
+    # 101 rows × (101/101 nonnull) / 4 ndv ≈ 25
+    assert plan.estimated_rows == pytest.approx(25, abs=2)
+    plan = analyzed.explain("coll~", filter="a = 5")
+    assert plan.estimated_rows == pytest.approx(1, abs=1)
+
+
+def test_estimate_range_uses_histogram(analyzed):
+    plan = analyzed.explain("coll~", filter="a > 49")
+    assert plan.estimated_rows == pytest.approx(50, abs=8)
+    plan = analyzed.explain("coll~", filter="a < 10")
+    assert plan.estimated_rows == pytest.approx(10, abs=5)
+    # conjunct selectivities multiply
+    plan = analyzed.explain("coll~", filter='a > 49 and cat = "c1"')
+    assert plan.estimated_rows == pytest.approx(12, abs=5)
+
+
+def test_estimate_no_filter_is_row_count(analyzed):
+    assert analyzed.explain("coll~").estimated_rows == 101
+
+
+def test_unanalyzed_collection_estimates_none(store):
+    store.put("other~/x", {"a": 1})
+    assert store.explain("other~", filter="a = 1").estimated_rows is None
+
+
+def test_reanalyze_replaces_stats(analyzed):
+    for i in range(100, 150):
+        analyzed.put(f"coll~/i{i:03d}", {"a": i, "cat": "c9"})
+    analyzed.analyze("coll~", [("a", "decimal"), ("cat", "text")])
+    st = analyzed.collection_stats("coll~")
+    assert st["a"].n_rows == 151 and st["a"].max_num == 149.0
+    assert st["cat"].ndv == 5
+    # only one stats row set survives per field
+    assert set(st) == {"a", "cat"}
+
+
+def test_estimates_do_not_change_plan_choice(analyzed):
+    # stats inform explain only; index selection stays the weigher's
+    # (a sort on the index's field routes to the MV, reference rules)
+    from hyper_storage_spark.plans.model import SortBy, SortItem
+
+    analyzed.create_index("coll~", "idx_a", [SortItem("a", "decimal", "asc")])
+    plan = analyzed.explain("coll~", filter="a > 90", sort=[SortBy("a")])
+    assert plan.index_id == "idx_a"
+    assert plan.estimated_rows == pytest.approx(9, abs=5)
