@@ -158,6 +158,40 @@ def normalized_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(stripped, f"[{ws}]+", " "))
 
 
+def token_rarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-frequency rarity profile per document:
+    (doc_id, n_tokens, sum_freq, mean_freq) where ``freq`` is each
+    token occurrence's total count across the corpus.
+
+    The unigram-count skeleton of CCNet-style LM quality filtering
+    without the external LM: documents dominated by corpus-rare
+    tokens (low mean_freq) are gibberish/noise candidates, documents
+    dominated by ultra-common tokens are boilerplate candidates —
+    both tails get reviewed or dropped before training. Unlike
+    with_quality_score (per-row, corpus-free) this is a TWO-pass
+    corpus statistic: explode occurrences, count per token, join the
+    frequency table back (unhinted — vocabulary-sized, so AQE
+    broadcasts it when small and degrades to a token-key shuffle
+    join otherwise), one per-document aggregate. All integers until
+    the final DECIMAL mean, so the result is engine-exact."""
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("freq").alias("sum_freq"),
+        )
+        .withColumn(
+            "mean_freq",
+            F.round(F.col("sum_freq").cast("decimal(28,12)") / F.col("n_tokens"), 6).cast(
+                "double"
+            ),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Document fingerprint: the minimum md5 over the document's n-word
     shingles — a 1-permutation MinHash, stable across engines. Documents

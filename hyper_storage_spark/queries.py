@@ -3058,6 +3058,31 @@ def dedup_span_stats(spark, sf_dir):
 
 
 @register_extra(
+    "text_token_rarity",
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         FROM documents
+       ),
+       freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok)
+       SELECT t.doc_id, COUNT(*) AS n_tokens,
+              CAST(SUM(freq) AS BIGINT) AS sum_freq,
+              CAST(ROUND(CAST(SUM(freq) AS DECIMAL(28,12)) / COUNT(*), 6) AS DOUBLE) AS mean_freq
+       FROM toks t JOIN freq USING (tok)
+       GROUP BY t.doc_id""",
+)
+def text_token_rarity(spark, sf_dir):
+    """Corpus token-rarity quality profile
+    (operators/text.py:token_rarity): per document, the total and
+    mean corpus frequency of its token occurrences — the two-pass
+    (vocabulary count + join back) corpus statistic that flags
+    gibberish (rare-heavy) and boilerplate (common-heavy) tails,
+    complementing the corpus-free per-row quality score. Integer
+    sums end-to-end with one DECIMAL division, so both engines must
+    agree exactly."""
+    return text.token_rarity(_t(spark, sf_dir, "documents"))
+
+
+@register_extra(
     "q_range_frame_window",
     """SELECT user_id, event_id,
               COUNT(*) OVER w AS n_3d,

@@ -1071,6 +1071,18 @@ def test_dup_span_stats_alignment_and_totality(spark):
     assert out[4].n_spans == 0 and out[4].dup_fraction == 0.0
 
 
+def test_token_rarity_counts_corpus_frequencies(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.token_rarity(df).collect()}
+    # corpus freqs: a=3, b=1, c=1
+    assert out[1].n_tokens == 3 and out[1].sum_freq == 3 + 3 + 1
+    assert out[2].n_tokens == 2 and out[2].sum_freq == 3 + 1
+    assert out[2].mean_freq == 2.0
+
+
 def test_dup_span_stats_counts_distinct_windows_once(spark):
     # a window repeated INSIDE one doc counts once per doc (distinct),
     # and needs a second doc to become a duplicate

@@ -37,6 +37,12 @@ def main() -> None:
 
     spark = get_spark("scale_smoke")
 
+    def _count_written(df, path):
+        # materialize a sort/shuffle the optimizer would prune under
+        # count(): write the result, report the written row count
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path).count()
+
     def _bm25(d):
         queries = spark.createDataFrame(
             [("q1", "table scan"), ("q2", "hash merge batch")],
@@ -98,6 +104,20 @@ def main() -> None:
         "pack_sequences": lambda d, e: sampling.pack_sequences(
             d.select("doc_id", F.length("text").alias("n_tokens")), 2048
         ).count(),
+        # round-5 second half: sliding-window span dedup (rows ∝ corpus
+        # tokens; cross-replica duplicate text makes EVERY window a
+        # duplicated span — the flagged-set join's worst case) and the
+        # content-hash training-order shuffle (range exchange + sort).
+        # Both are forced through non-prunable actions: a bare count()
+        # lets Catalyst eliminate the aggregate-keyed left join (and a
+        # sort), timing an empty plan.
+        "dup_span_stats": lambda d, e: dedup.dup_span_stats(d, span=8)
+        .agg(F.sum("n_dup_spans"), F.count("*"))
+        .collect()[0][1],
+        "seeded_shuffle": lambda d, e: _count_written(
+            sampling.seeded_shuffle(d.select("doc_id"), "doc_id", seed=7),
+            f"{tmp}/shuffled",
+        ),
     }
 
     failures = []
@@ -129,6 +149,7 @@ def main() -> None:
         "ann_lsh_bucket": similarity.lsh_bucket_topk(emb10, qids, k=10),
         "embedding_lsh": dedup.embedding_lsh_pairs(emb10, 0.45),
         "bm25_topk": _bm25(docs10),
+        "dup_span_stats": dedup.dup_span_stats(docs10, span=8),
     }
     # bm25 attaches its two 1-row corpus scalars (n_docs, avgdl) via a
     # single-row nested-loop broadcast — O(1) rows by construction, not
