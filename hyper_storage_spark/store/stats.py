@@ -50,7 +50,8 @@ STATS_SCHEMA = pa.schema(
         ("max_num", pa.float64()),
         ("min_text", pa.string()),
         ("max_text", pa.string()),
-        ("histogram", pa.string()),  # JSON [counts], equi-width over [min_num, max_num]
+        ("histogram", pa.string()),  # JSON [counts] per bucket
+        ("bounds", pa.string()),  # JSON [edges], len(histogram)+1
         ("analyzed_at", pa.int64()),
     ]
 )
@@ -69,7 +70,8 @@ class FieldStats:
     max_num: Optional[float]
     min_text: Optional[str]
     max_text: Optional[str]
-    histogram: Optional[list[int]]  # len == DEFAULT_HISTOGRAM_BUCKETS for numeric fields
+    histogram: Optional[list[int]]  # per-bucket counts (numeric fields)
+    bounds: Optional[list[float]]  # bucket edges, len(histogram)+1
 
 
 def _collection_df(store, uri: str):
@@ -86,11 +88,22 @@ def analyze_collection(
     uri: str,
     fields: list[tuple[str, str]],
     n_hist: int = DEFAULT_HISTOGRAM_BUCKETS,
+    method: str = "width",
 ) -> list[FieldStats]:
     """ANALYZE: compute and persist stats for the given
     ``(field_name, field_type)`` list ("decimal" or "text", the
     expression language's two declared types). Replaces any previous
-    stats for the collection in one commit."""
+    stats for the collection in one commit.
+
+    ``method`` picks the numeric histogram family: ``"width"`` —
+    equi-width buckets over [min, max] (one codegen'd floor per value;
+    fine for roughly uniform fields); ``"height"`` — equi-height
+    buckets with edges at approxQuantile boundaries (each bucket holds
+    ~1/n of the mass, so heavy skew cannot hide inside one bucket —
+    the estimator's resolution follows the data). Both store explicit
+    bucket edges; the estimator never assumes a width."""
+    if method not in ("width", "height"):
+        raise ValueError(f"unknown histogram method: {method!r}")
     df = _collection_df(store, uri)
     cols = {}
     for name, ftype in fields:
@@ -109,28 +122,39 @@ def analyze_collection(
     base = proj.agg(*aggs).collect()[0]
     n_rows = base["__n_rows"]
 
-    # one extra pass for all numeric histograms together: a field's
-    # bucket is floor((v - min) / width), clamped to the last bucket
+    # one extra pass for all numeric histograms together
     hist: dict[str, list[int]] = {}
+    bounds: dict[str, list[float]] = {}
     numeric = [
         (name, base[f"__min_{name}"], base[f"__max_{name}"])
         for name, ftype in fields
         if ftype == DECIMAL and base[f"__min_{name}"] is not None
     ]
     if numeric:
-        bucket_cols = []
-        for name, mn, mx in numeric:
-            width = (mx - mn) / n_hist if mx > mn else 1.0
-            b = F.least(
-                F.floor((F.col(name) - F.lit(mn)) / F.lit(width)).cast("int"),
-                F.lit(n_hist - 1),
-            )
-            bucket_cols.append(F.when(F.col(name).isNotNull(), b).alias(f"__b_{name}"))
+        if method == "height":
+            probs = [i / n_hist for i in range(n_hist + 1)]
+            qs = proj.approxQuantile([n for n, _, _ in numeric], probs, 0.001)
+            for (name, mn, mx), edges in zip(numeric, qs):
+                # pin the outer edges to the exact extrema
+                bounds[name] = [mn] + [float(e) for e in edges[1:-1]] + [mx]
+        else:
+            for name, mn, mx in numeric:
+                width = (mx - mn) / n_hist if mx > mn else 1.0
+                bounds[name] = [mn + i * width for i in range(n_hist)] + [mx]
         counted = (
-            proj.select(bucket_cols)
-            .agg(
+            proj.agg(
                 *[
-                    F.count(F.when(F.col(f"__b_{name}") == i, 1)).alias(f"__h_{name}_{i}")
+                    F.count(
+                        F.when(
+                            (F.col(name) >= bounds[name][i])
+                            & (
+                                (F.col(name) < bounds[name][i + 1])
+                                if i < n_hist - 1
+                                else (F.col(name) <= bounds[name][i + 1])
+                            ),
+                            1,
+                        )
+                    ).alias(f"__h_{name}_{i}")
                     for name, _, _ in numeric
                     for i in range(n_hist)
                 ]
@@ -156,6 +180,7 @@ def analyze_collection(
                 min_text=None if is_num else base[f"__min_{name}"],
                 max_text=None if is_num else base[f"__max_{name}"],
                 histogram=hist.get(name),
+                bounds=bounds.get(name),
             )
         )
 
@@ -175,6 +200,7 @@ def analyze_collection(
                     "min_text": s.min_text,
                     "max_text": s.max_text,
                     "histogram": json.dumps(s.histogram) if s.histogram is not None else None,
+                    "bounds": json.dumps(s.bounds) if s.bounds is not None else None,
                     "analyzed_at": now,
                 }
             )
@@ -202,15 +228,17 @@ def collection_stats(store, uri: str) -> dict[str, FieldStats]:
             min_text=r["min_text"],
             max_text=r["max_text"],
             histogram=json.loads(r["histogram"]) if r["histogram"] else None,
+            bounds=json.loads(r["bounds"]) if r.get("bounds") else None,
         )
     return out
 
 
 def _range_fraction(s: FieldStats, op: FilterOp, value: float) -> float:
     """Mass fraction of non-null values satisfying ``op value``, from
-    the equi-width histogram with linear interpolation inside the
-    boundary bucket. <= / < (and >= / >) share an estimate — a
-    continuous histogram cannot separate them."""
+    the histogram's explicit bucket edges (equi-width OR equi-height)
+    with linear interpolation inside the boundary bucket. <= / <
+    (and >= / >) share an estimate — a continuous histogram cannot
+    separate them."""
     if s.min_num is None or s.max_num is None or not s.histogram or s.n_nonnull == 0:
         return 1 / 3  # the no-stats default
     if s.max_num == s.min_num:
@@ -219,16 +247,21 @@ def _range_fraction(s: FieldStats, op: FilterOp, value: float) -> float:
         return below + eq_mass if op in (FilterOp.LT, FilterOp.LTEQ) else (
             (1.0 - below) if op in (FilterOp.GT, FilterOp.GTEQ) else eq_mass
         )
-    width = (s.max_num - s.min_num) / len(s.histogram)
+    k = len(s.histogram)
+    edges = s.bounds
+    if not edges or len(edges) != k + 1:  # stats row predating explicit edges
+        width = (s.max_num - s.min_num) / k
+        edges = [s.min_num + i * width for i in range(k)] + [s.max_num]
     total = sum(s.histogram) or 1
-    # mass strictly-left of `value` (linear within the bucket)
-    pos = (value - s.min_num) / width
+    # mass strictly-left of `value` (linear within the bucket; a
+    # zero-width bucket is a point mass, fully left once value > edge)
     below = 0.0
     for i, c in enumerate(s.histogram):
-        if pos >= i + 1:
+        lo, hi = edges[i], edges[i + 1]
+        if value >= hi:
             below += c
-        elif pos > i:
-            below += c * (pos - i)
+        elif value > lo:
+            below += c * ((value - lo) / (hi - lo)) if hi > lo else c
     frac_below = min(max(below / total, 0.0), 1.0)
     if op in (FilterOp.LT, FilterOp.LTEQ):
         return frac_below
@@ -275,7 +308,7 @@ def estimate_rows(store, uri: str, filter_ast) -> Optional[int]:
 # attach as DocumentStore methods (mirrors query.py's attachment style)
 from .documents import DocumentStore  # noqa: E402
 
-DocumentStore.analyze = lambda self, uri, fields, n_hist=DEFAULT_HISTOGRAM_BUCKETS: analyze_collection(  # noqa: E731
-    self, uri, fields, n_hist
+DocumentStore.analyze = lambda self, uri, fields, n_hist=DEFAULT_HISTOGRAM_BUCKETS, method="width": analyze_collection(  # noqa: E731
+    self, uri, fields, n_hist, method
 )
 DocumentStore.collection_stats = lambda self, uri: collection_stats(self, uri)  # noqa: E731

@@ -72,6 +72,34 @@ def test_reanalyze_replaces_stats(analyzed):
     assert set(st) == {"a", "cat"}
 
 
+def test_equi_height_histogram_survives_skew(store):
+    # 90 values in [0, 89] plus 10 outliers at 100000: equi-width puts
+    # ~all mass in bucket 0 (resolution lost), equi-height keeps ~1/16
+    # of the mass per bucket so a selective range stays estimable
+    for i in range(90):
+        store.put(f"skew~/i{i:03d}", {"a": i})
+    for i in range(10):
+        store.put(f"skew~/o{i:03d}", {"a": 100000})
+    store.analyze("skew~", [("a", "decimal")], method="height")
+    st = store.collection_stats("skew~")["a"]
+    assert len(st.bounds) == len(st.histogram) + 1
+    assert sum(st.histogram) == 100
+    # no bucket hoards the in-range mass the way width-bucket 0 would
+    assert max(st.histogram[:-1]) <= 25
+    plan = store.explain("skew~", filter="a < 45")
+    assert plan.estimated_rows == pytest.approx(45, abs=10)
+    # the same data under equi-width: bucket 0 holds all 90 in-range
+    # values, so the interpolated estimate collapses toward ~0
+    store.analyze("skew~", [("a", "decimal")], method="width")
+    wplan = store.explain("skew~", filter="a < 45")
+    assert wplan.estimated_rows < 10
+
+
+def test_analyze_rejects_unknown_method(store):
+    with pytest.raises(ValueError):
+        store.analyze("x~", [("a", "decimal")], method="depth")
+
+
 def test_estimates_do_not_change_plan_choice(analyzed):
     # stats inform explain only; index selection stays the weigher's
     # (a sort on the index's field routes to the MV, reference rules)
