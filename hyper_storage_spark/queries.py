@@ -3082,6 +3082,65 @@ def text_token_rarity(spark, sf_dir):
     return text.token_rarity(_t(spark, sf_dir, "documents"))
 
 
+_STREAM_WINDOW_RESULTS: dict[str, object] = {}
+
+
+@register_extra(
+    "q_stream_window_counts",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+              COUNT(*) AS n,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_stream_window_counts(spark, sf_dir):
+    """Structured Streaming tumbling-window aggregation gated against
+    the BATCH oracle: the events table is replayed through an actual
+    readStream (file source, availableNow trigger) into
+    streaming/windows.py:windowed_event_counts — event-time 1-day
+    windows, watermark, complete-mode memory sink — and the streamed
+    result must equal GROUP BY date_trunc over the same rows. This is
+    the only way to prove the streaming window path computes the same
+    answer as the batch engine, not merely that it runs. Values sum
+    on DECIMAL so stream/batch/oracle agree bit-for-bit; the stream
+    runs once per (session, sf_dir) and is memoized — re-planning the
+    entry must not re-run the query."""
+    df = _STREAM_WINDOW_RESULTS.get(sf_dir)
+    if df is None:
+        from .streaming.windows import windowed_event_counts
+
+        import os
+        import tempfile
+
+        batch = _t(spark, sf_dir, "events")
+        # the file streaming source lists a DIRECTORY; stage the single
+        # parquet file behind a symlink dir (no data copy)
+        d = tempfile.mkdtemp(prefix="hs_stream_win_")
+        os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet"))
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .parquet(d)
+            .withColumn("value", F.col("value").cast("decimal(18,6)"))
+        )
+        agg = windowed_event_counts(stream, window="1 day", watermark="2 hours")
+        name = f"stream_win_{abs(hash(sf_dir))}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        df = spark.table(name)
+        _STREAM_WINDOW_RESULTS[sf_dir] = df
+    return df.select(
+        "window_start",
+        "event_type",
+        "n",
+        F.round("total_value", 2).cast("double").alias("total_value"),
+    )
+
+
 @register_extra(
     "q_range_frame_window",
     """SELECT user_id, event_id,
