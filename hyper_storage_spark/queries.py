@@ -3142,6 +3142,100 @@ def q_stream_window_counts(spark, sf_dir):
 
 
 @register_extra(
+    "q_stream_session_windows",
+    """WITH b AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS cutoff FROM events),
+       o AS (
+         SELECT user_id, ts,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ),
+       s AS (SELECT user_id, ts,
+                    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+             FROM o),
+       g AS (
+         SELECT user_id, MIN(ts) AS session_start,
+                MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sid
+       )
+       SELECT user_id, session_start, session_end, n_events
+       FROM g, b WHERE session_end < cutoff""",
+)
+def q_stream_session_windows(spark, sf_dir):
+    """Streaming SESSION windows gated against a batch gaps-and-islands
+    oracle: events replay through a real readStream into
+    F.session_window (streaming/windows.py:session_windows — dynamic
+    merge within a 30-minute gap, watermark-closed state, append
+    mode), and every emitted session must equal the LAG-based SQL
+    sessionization. Both sides restrict to sessions ending at least
+    one watermark-delay before the stream's end — append mode only
+    emits watermark-CLOSED sessions, so the cutoff makes the
+    comparison set well-defined regardless of exact final-watermark
+    boundary semantics. Session end is last-event + gap (the
+    F.session_window convention), and a gap of exactly 30 minutes
+    starts a new session (half-open windows) — the oracle mirrors
+    both."""
+    df = _STREAM_WINDOW_RESULTS.get(f"sess:{sf_dir}")
+    if df is None:
+        import tempfile
+
+        from .streaming.windows import session_windows
+
+        batch = _t(spark, sf_dir, "events")
+        src = tempfile.mkdtemp(prefix="hs_stream_sess_")
+        # Replay history IN EVENT ORDER (range-partitioned by ts,
+        # sorted files): a hash-partitioned staging makes every file
+        # span the whole time range, so after the first micro-batch
+        # the watermark jumps near the end and every later batch's
+        # rows are dropped as LATE — half the sessions silently
+        # vanish (observed). Time-ordered files keep each batch ahead
+        # of the watermark, which is how a real backfill must feed a
+        # watermarked streaming job.
+        batch.repartitionByRange(8, F.col("ts")).sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(src)
+        # FileStreamSource orders files by MODIFICATION TIME, and a
+        # parallel write leaves ties — observed batches mixing ranges,
+        # which re-creates the late-drop problem. Stamp strictly
+        # increasing mtimes in part order (range partition k is
+        # part-0000k) so replay order == event order.
+        import glob
+        import os as _os
+        import time as _time
+
+        base = _time.time() - 3600
+        for i, p in enumerate(sorted(glob.glob(f"{src}/part-*.parquet"))):
+            _os.utime(p, (base + i, base + i))
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        agg = session_windows(stream, gap="30 minutes", watermark="1 hour")
+        name = f"stream_sess_{abs(hash(sf_dir))}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        df = spark.table(name)
+        _STREAM_WINDOW_RESULTS[f"sess:{sf_dir}"] = df
+    cutoff = (
+        _t(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("c"))
+        .collect()[0]["c"]
+    )
+    return df.filter(F.col("session_end") < F.lit(cutoff)).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+@register_extra(
     "q_range_frame_window",
     """SELECT user_id, event_id,
               COUNT(*) OVER w AS n_3d,
