@@ -3236,6 +3236,58 @@ def q_stream_session_windows(spark, sf_dir):
 
 
 @register_extra(
+    "q_stream_dedup",
+    """SELECT DISTINCT event_id, user_id, event_type, ts, value
+       FROM events WHERE event_id < 5000""",
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup gated against the batch DISTINCT oracle:
+    a slice of events is DOUBLED (every row gets an identical twin)
+    and replayed through dropDuplicatesWithinWatermark
+    (streaming/windows.py:stream_dedup, keyed on event_id). Because
+    each duplicate pair arrives inside the watermark horizon, the
+    emitted set must equal DISTINCT of the slice value-for-value —
+    the firehose-dedup face of dedup_exact, proven not just to run
+    but to compute the batch answer. Identical twins also make the
+    kept-row content deterministic (whichever arrival survives, the
+    values are the same)."""
+    df = _STREAM_WINDOW_RESULTS.get(f"dedup:{sf_dir}")
+    if df is None:
+        import tempfile
+
+        from .streaming.windows import stream_dedup
+
+        batch = (
+            _t(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 5000)
+            .select("event_id", "user_id", "event_type", "ts", "value")
+        )
+        doubled = batch.unionAll(batch)
+        src = tempfile.mkdtemp(prefix="hs_stream_dedup_")
+        doubled.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(doubled.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        # 100-day watermark >> the slice's span: no pair straddles the
+        # horizon, so at-least-once-per-horizon degenerates to exact
+        out = stream_dedup(stream, ["event_id"], watermark="100 days")
+        name = f"stream_dedup_{abs(hash(sf_dir))}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        df = spark.table(name)
+        _STREAM_WINDOW_RESULTS[f"dedup:{sf_dir}"] = df
+    return df.select("event_id", "user_id", "event_type", "ts", "value")
+
+
+@register_extra(
     "q_range_frame_window",
     """SELECT user_id, event_id,
               COUNT(*) OVER w AS n_3d,
