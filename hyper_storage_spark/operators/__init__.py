@@ -24,6 +24,8 @@ expressed as DataFrame transformations (JVM-side, shuffle-aware):
   sampling, domain-mixture resampling, fixed-budget sequence packing.
 - :mod:`layout` — Z-order (Morton) clustering for multi-dimensional
   parquet data skipping.
+- :mod:`export` — sharded, order-preserving training-data writes
+  with a verifiable manifest (counts, order bounds, id checksums).
 - :mod:`_caches` — tracked persist() so harnesses release operator
   caches between catalog entries.
 """

@@ -1,0 +1,142 @@
+"""Training-data export: sharded, order-preserving corpus writes with
+a verifiable manifest.
+
+The output side of the pipeline: after filtering/dedup/mixing, a
+training run consumes the corpus as N equal-ish shards in a
+REPRODUCIBLE global order (data loaders stride over shard files; an
+ablation must see bit-identical order; an auditor must be able to
+prove the delivered shards are complete and untampered).
+
+- :func:`write_training_shards` — seeded content-hash shuffle
+  (sampling.seeded_shuffle: cluster/partitioning/retry-invariant),
+  range-partitioned into exactly ``n_shards`` sorted parquet files
+  (shard k = the k-th contiguous slice of the global order; the hash
+  ord key is uniform, so the range partitioner balances the slices),
+  plus ``manifest.json`` with per-shard row counts, order bounds, and
+  an order-insensitive integer checksum over the id column.
+- :func:`verify_training_shards` — recompute every per-shard stat
+  from the files and compare to the manifest; any missing, extra,
+  reordered-across-shards, or altered-id content fails.
+
+At 100 TB this is one range exchange + local sorts (no single-node
+merge) and the verification is one grouped aggregate over the shard
+files — both linear, both partition-parallel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sampling import seeded_shuffle
+
+MANIFEST = "manifest.json"
+
+
+def _shard_stats(spark: SparkSession, data_dir: str):
+    """Per-file (n_rows, checksum, ord bounds), keyed by file name —
+    computed with one grouped aggregate over the shard files."""
+    df = spark.read.parquet(data_dir).withColumn(
+        "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    rows = (
+        df.groupBy("__file")
+        .agg(
+            F.count("*").alias("n_rows"),
+            # DECIMAL(38,0) sum: a long sum of 64-bit hashes overflows
+            # under ANSI arithmetic after a few thousand rows
+            F.sum(F.xxhash64("__id").cast("decimal(38,0)")).alias("checksum"),
+            F.min("__ord").alias("ord_min"),
+            F.max("__ord").alias("ord_max"),
+        )
+        .collect()
+    )
+    return {
+        r["__file"]: {
+            "n_rows": r["n_rows"],
+            "checksum": int(r["checksum"]),
+            "ord_min": r["ord_min"],
+            "ord_max": r["ord_max"],
+        }
+        for r in rows
+    }
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    id_col: str,
+    seed: int = 0,
+) -> dict:
+    """Export ``df`` as ``n_shards`` order-preserving parquet shards
+    under ``out_dir`` and return (and write) the manifest.
+
+    The manifest's checksums are deliberately order-insensitive SUMS
+    of per-row id hashes: shard-internal order is already pinned by
+    the (ord_min, ord_max) bounds plus the sorted write, and a sum
+    verifies content identity in one partial-aggregatable pass."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if "__ord" in df.columns or "__id" in df.columns:
+        raise ValueError("columns __ord/__id are reserved for the exporter")
+    data_dir = os.path.join(out_dir, "data")
+    shuffled = seeded_shuffle(
+        df.withColumn("__id", F.col(id_col)), id_col, seed=seed, ord_col="__ord"
+    )
+    (
+        shuffled.repartitionByRange(n_shards, F.col("__ord"), F.col("__id"))
+        .sortWithinPartitions("__ord", "__id")
+        .write.mode("overwrite")
+        .parquet(data_dir)
+    )
+    spark = df.sparkSession
+    stats = _shard_stats(spark, data_dir)
+    shards = [
+        {"file": name, **st}
+        for name, st in sorted(stats.items(), key=lambda kv: kv[1]["ord_min"])
+    ]
+    manifest = {
+        "format": "hyper-storage-spark/training-shards/v1",
+        "seed": seed,
+        "id_col": id_col,
+        "n_shards": len(shards),
+        "total_rows": sum(s["n_rows"] for s in shards),
+        "shards": shards,
+    }
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def verify_training_shards(
+    spark: SparkSession, out_dir: str
+) -> tuple[bool, Optional[str]]:
+    """Recompute per-shard stats from the files and compare to the
+    manifest. Returns (ok, reason) — reason names the first mismatch
+    (missing/extra file, row count, checksum, or overlapping order
+    ranges across shards)."""
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        manifest = json.load(f)
+    actual = _shard_stats(spark, os.path.join(out_dir, "data"))
+    expected = {s["file"]: s for s in manifest["shards"]}
+    if set(actual) != set(expected):
+        missing = set(expected) - set(actual)
+        extra = set(actual) - set(expected)
+        return False, f"shard files differ (missing={sorted(missing)}, extra={sorted(extra)})"
+    for name, exp in expected.items():
+        act = actual[name]
+        for k in ("n_rows", "checksum", "ord_min", "ord_max"):
+            if act[k] != exp[k]:
+                return False, f"{name}: {k} {act[k]!r} != manifest {exp[k]!r}"
+    ordered = sorted(expected.values(), key=lambda s: s["ord_min"])
+    for a, b in zip(ordered, ordered[1:]):
+        if b["ord_min"] < a["ord_max"]:
+            return False, f"order ranges overlap: {a['ord_max']} > {b['ord_min']}"
+    if manifest["total_rows"] != sum(s["n_rows"] for s in ordered):
+        return False, "total_rows does not match shard sum"
+    return True, None

@@ -1,0 +1,82 @@
+"""Sharded training-data export (operators/export.py): balanced
+order-preserving shards, reproducible manifests, tamper detection."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyper_storage_spark.operators import export
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("text-"), F.col("id")).alias("text")
+    )
+
+
+def test_shards_are_balanced_and_ordered(spark, corpus, tmp_path):
+    out = str(tmp_path / "export")
+    m = export.write_training_shards(corpus, out, n_shards=8, id_col="doc_id", seed=1)
+    assert m["n_shards"] == 8 and m["total_rows"] == 1000
+    sizes = [s["n_rows"] for s in m["shards"]]
+    # uniform hash ord → range partitioner balances the slices
+    assert min(sizes) > 0 and max(sizes) <= 2 * (1000 // 8)
+    # shards tile the global order without overlap
+    for a, b in zip(m["shards"], m["shards"][1:]):
+        assert a["ord_max"] <= b["ord_min"]
+    # reading shards in manifest order reconstructs the seeded order
+    got = []
+    for s in m["shards"]:
+        rows = spark.read.parquet(os.path.join(out, "data", s["file"])).collect()
+        got.extend(sorted((r["__ord"], r["doc_id"]) for r in rows))
+    assert got == sorted(got)
+    assert sorted(doc for _, doc in got) == list(range(1000))
+
+
+def test_manifest_is_reproducible_across_exports(spark, corpus, tmp_path):
+    m1 = export.write_training_shards(corpus, str(tmp_path / "a"), 4, "doc_id", seed=9)
+    m2 = export.write_training_shards(
+        corpus.repartition(13), str(tmp_path / "b"), 4, "doc_id", seed=9
+    )
+    strip = lambda m: [
+        {k: v for k, v in s.items() if k != "file"} for s in m["shards"]
+    ]
+    assert strip(m1) == strip(m2)
+    m3 = export.write_training_shards(corpus, str(tmp_path / "c"), 4, "doc_id", seed=10)
+    assert strip(m3) != strip(m1)  # a new seed is a new permutation
+
+
+def test_verify_accepts_intact_and_rejects_tampered(spark, corpus, tmp_path):
+    out = str(tmp_path / "export")
+    m = export.write_training_shards(corpus, out, n_shards=4, id_col="doc_id", seed=2)
+    ok, reason = export.verify_training_shards(spark, out)
+    assert ok, reason
+
+    # drop a shard file → missing
+    victim = os.path.join(out, "data", m["shards"][0]["file"])
+    saved = victim + ".bak"
+    shutil.move(victim, saved)
+    ok, reason = export.verify_training_shards(spark, out)
+    assert not ok and "missing" in reason
+    shutil.move(saved, victim)
+
+    # corrupt the manifest's checksum → content mismatch
+    mp = os.path.join(out, export.MANIFEST)
+    doc = json.load(open(mp))
+    doc["shards"][1]["checksum"] += 1
+    json.dump(doc, open(mp, "w"))
+    ok, reason = export.verify_training_shards(spark, out)
+    assert not ok and "checksum" in reason
+
+
+def test_reserved_columns_and_bad_shard_count_rejected(spark, corpus):
+    with pytest.raises(ValueError):
+        export.write_training_shards(corpus, "/tmp/x", 0, "doc_id")
+    with pytest.raises(ValueError):
+        export.write_training_shards(
+            corpus.withColumn("__ord", F.lit(1)), "/tmp/x", 2, "doc_id"
+        )
