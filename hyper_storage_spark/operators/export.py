@@ -13,10 +13,16 @@ prove the delivered shards are complete and untampered).
   (shard k = the k-th contiguous slice of the global order; the hash
   ord key is uniform, so the range partitioner balances the slices),
   plus ``manifest.json`` with per-shard row counts, order bounds, and
-  an order-insensitive integer checksum over the id column.
+  an order-insensitive integer checksum over EVERY column of every
+  row (id, ord key, and payload alike).
 - :func:`verify_training_shards` — recompute every per-shard stat
   from the files and compare to the manifest; any missing, extra,
-  reordered-across-shards, or altered-id content fails.
+  cross-shard-reordered, or altered row content fails. What the
+  manifest does NOT pin is byte order INSIDE one shard file: rows are
+  written sorted by the embedded ``__ord`` column, and a consumer
+  needing provable order re-sorts each shard on ``__ord`` (shard-
+  local, cheap) — so a within-file permutation is detectable and
+  recoverable from verified content, just not a verification failure.
 
 At 100 TB this is one range exchange + local sorts (no single-node
 merge) and the verification is one grouped aggregate over the shard
@@ -43,13 +49,16 @@ def _shard_stats(spark: SparkSession, data_dir: str):
     df = spark.read.parquet(data_dir).withColumn(
         "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
     )
+    row_cols = [c for c in df.columns if c != "__file"]
     rows = (
         df.groupBy("__file")
         .agg(
             F.count("*").alias("n_rows"),
-            # DECIMAL(38,0) sum: a long sum of 64-bit hashes overflows
-            # under ANSI arithmetic after a few thousand rows
-            F.sum(F.xxhash64("__id").cast("decimal(38,0)")).alias("checksum"),
+            # hash EVERY column (payload included — an id-only digest
+            # would bless altered payloads); DECIMAL(38,0) sum: a long
+            # sum of 64-bit hashes overflows ANSI arithmetic after a
+            # few thousand rows
+            F.sum(F.xxhash64(*row_cols).cast("decimal(38,0)")).alias("checksum"),
             F.min("__ord").alias("ord_min"),
             F.max("__ord").alias("ord_max"),
         )
@@ -77,9 +86,10 @@ def write_training_shards(
     under ``out_dir`` and return (and write) the manifest.
 
     The manifest's checksums are deliberately order-insensitive SUMS
-    of per-row id hashes: shard-internal order is already pinned by
-    the (ord_min, ord_max) bounds plus the sorted write, and a sum
-    verifies content identity in one partial-aggregatable pass."""
+    of per-row full-content hashes: cross-shard placement is pinned by
+    the (ord_min, ord_max) bounds, intra-shard order is re-derivable
+    from the embedded __ord column, and a sum verifies content
+    identity in one partial-aggregatable pass."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     if "__ord" in df.columns or "__id" in df.columns:
@@ -108,8 +118,14 @@ def write_training_shards(
         "total_rows": sum(s["n_rows"] for s in shards),
         "shards": shards,
     }
-    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+    # atomic publish (same idiom as store/storage.py's manifest): a
+    # crash mid-dump must not leave a truncated manifest, nor destroy
+    # a previous valid one on re-export
+    path = os.path.join(out_dir, MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
     return manifest
 
 

@@ -174,7 +174,14 @@ def token_rarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     broadcasts it when small and degrades to a token-key shuffle
     join otherwise), one per-document aggregate. All integers until
     the final DECIMAL mean, so the result is engine-exact."""
-    toks = docs.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    from ._caches import tracked_persist
+
+    # persisted: the exploded occurrence set feeds BOTH the vocabulary
+    # count and the join probe — unpersisted it would scan+tokenize the
+    # corpus twice (same reasoning as dup_span_stats's shingle cache)
+    toks = tracked_persist(
+        docs.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    )
     freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
     return (
         toks.join(freq, "tok")

@@ -3115,7 +3115,12 @@ def q_stream_window_counts(spark, sf_dir):
         # the file streaming source lists a DIRECTORY; stage the single
         # parquet file behind a symlink dir (no data copy)
         d = tempfile.mkdtemp(prefix="hs_stream_win_")
-        os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet"))
+        # abspath: a relative target would resolve against the TEMP
+        # dir (symlink semantics), dangling silently
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+            os.path.join(d, "events.parquet"),
+        )
         stream = (
             spark.readStream.schema(batch.schema)
             .parquet(d)

@@ -846,6 +846,10 @@ class DocumentStore:
                     ]
                     self.create_index(uri, t["index_id"], sort_by, t["filter_by"])
                     created.append(t["index_id"])
+                    # two templates sharing an index_id can both match
+                    # one collection; first match wins, the second must
+                    # see the id as taken (not crash create_index)
+                    existing.add(t["index_id"])
             self._templated_uris.add(uri)
         return created
 

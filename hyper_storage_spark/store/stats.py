@@ -139,8 +139,15 @@ def analyze_collection(
                 bounds[name] = [mn] + [float(e) for e in edges[1:-1]] + [mx]
         else:
             for name, mn, mx in numeric:
-                width = (mx - mn) / n_hist if mx > mn else 1.0
-                bounds[name] = [mn + i * width for i in range(n_hist)] + [mx]
+                if mx > mn:
+                    width = (mx - mn) / n_hist
+                    bounds[name] = [mn + i * width for i in range(n_hist)] + [mx]
+                else:
+                    # constant field: all edges collapse to the value
+                    # (monotonic degenerate spec; all mass lands in the
+                    # last, inclusive bucket) — a synthetic positive
+                    # width would commit DECREASING edges
+                    bounds[name] = [mn] * (n_hist + 1)
         counted = (
             proj.agg(
                 *[

@@ -73,6 +73,30 @@ def test_verify_accepts_intact_and_rejects_tampered(spark, corpus, tmp_path):
     assert not ok and "checksum" in reason
 
 
+def test_verify_detects_altered_payload(spark, corpus, tmp_path):
+    # same ids, same order, different payload column — the full-row
+    # checksum must catch it (an id-only digest would not)
+    out = str(tmp_path / "export")
+    m = export.write_training_shards(corpus, out, n_shards=4, id_col="doc_id", seed=3)
+    victim = os.path.join(out, "data", m["shards"][2]["file"])
+    rows = spark.read.parquet(victim)
+    tampered = rows.withColumn("text", F.concat(F.col("text"), F.lit("!")))
+    tmp_out = str(tmp_path / "tampered")
+    tampered.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    import glob
+
+    part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+    shutil.copyfile(part, victim)
+    # drop Hadoop's .crc sidecar (it would flag the byte change before
+    # OUR checksum gets a chance — this test targets the manifest)
+    crc = os.path.join(os.path.dirname(victim), f".{os.path.basename(victim)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.refreshByPath(os.path.join(out, "data"))  # drop cached file metadata
+    ok, reason = export.verify_training_shards(spark, out)
+    assert not ok and "checksum" in reason
+
+
 def test_reserved_columns_and_bad_shard_count_rejected(spark, corpus):
     with pytest.raises(ValueError):
         export.write_training_shards(corpus, "/tmp/x", 0, "doc_id")

@@ -85,6 +85,22 @@ def test_template_validation(store):
         store.create_index_template("a~", "t", _rating_sort())  # duplicate
 
 
+def test_two_templates_sharing_an_index_id_first_match_wins(store):
+    # both patterns match the collection and share an index_id: the
+    # first instantiates, the second must be skipped (not crash the
+    # write with "index already exists")
+    store.create_index_template("users/*/posts~", "by_rating", _rating_sort())
+    store.create_index_template(
+        "*/alice/posts~", "by_rating", [SortItem("rating", "decimal", "desc")]
+    )
+    store.put("users/alice/posts~/p0", {"rating": 4})
+    defs = store.index_defs("users/alice/posts~")
+    assert [d.index_id for d in defs] == ["by_rating"]
+    assert defs[0].sort_by[0].order == "asc"  # the first template's definition
+    # and the collection stays writable afterwards
+    store.put("users/alice/posts~/p1", {"rating": 5})
+
+
 def test_wildcard_matches_exactly_one_segment(store):
     store.create_index_template("users/*/posts~", "by_rating", _rating_sort())
     store.put("users/a/b/posts~/p0", {"rating": 1})  # extra segment: no match
