@@ -124,22 +124,36 @@ class Storage:
         self,
         table_bucket_files: dict[str, dict[int, list[str]]],
         drop_tables: Iterable[str] = (),
+        meta: Optional[dict] = None,
     ) -> int:
         """Register externally-written files across MANY tables (and/or
         drop tables) in ONE atomic manifest flip — the commit point of
         the distributed write path, where executors stage bucket files
-        and the driver publishes them all-or-nothing."""
+        and the driver publishes them all-or-nothing. ``meta`` entries
+        ride in the same flip (e.g. the streaming batch watermark — a
+        marker that must be atomic with the data it marks). Drops apply
+        BEFORE registrations, so a drop-and-recreate in one commit
+        keeps the recreated content."""
         manifest = self._read_manifest()
         version = manifest["version"] + 1
+        for table in drop_tables:
+            manifest["tables"].pop(table, None)
         for table, bucket_files in table_bucket_files.items():
             for bucket, paths in bucket_files.items():
                 rels = [os.path.relpath(p, self.root) for p in paths]
                 manifest["tables"].setdefault(table, {})[str(bucket)] = rels
-        for table in drop_tables:
-            manifest["tables"].pop(table, None)
+        if meta:
+            manifest.setdefault("meta", {}).update(meta)
         manifest["version"] = version
         self._write_manifest(manifest)
         return version
+
+    def set_meta(self, key: str, value) -> int:
+        """Commit one manifest-metadata entry (its own flip)."""
+        return self.commit_external_many({}, meta={key: value})
+
+    def get_meta(self, key: str, default=None):
+        return self._read_manifest().get("meta", {}).get(key, default)
 
     def tables(self) -> list[str]:
         return list(self._read_manifest()["tables"].keys())
@@ -156,12 +170,12 @@ class Storage:
         drop whole tables). One manifest flip = one commit."""
         manifest = self._read_manifest()
         version = manifest["version"] + 1
+        for table in drop_tables:  # drops first: drop-and-recreate keeps the recreate
+            manifest["tables"].pop(table, None)
         for (table, bucket), rows in updates.items():
             rel = os.path.join("data", _sanitize(table), f"b{bucket:04d}-v{version:08d}.parquet")
             write_bucket_file(rows, schemas[table], os.path.join(self.root, rel))
             manifest["tables"].setdefault(table, {})[str(bucket)] = rel
-        for table in drop_tables:
-            manifest["tables"].pop(table, None)
         manifest["version"] = version
         self._write_manifest(manifest)
         return version
@@ -191,11 +205,9 @@ class Storage:
         return os.path.join(self.root, "data", _sanitize(table))
 
     def spark_df(self, spark, table: str, spark_schema: str):
-        files = self.files(table)
-        reader = spark.read.schema(spark_schema)
-        if not files:
-            return reader.parquet()  # pragma: no cover - empty handled below
-        return reader.parquet(*files)
+        """Alias of :meth:`spark_df_or_empty` (the zero-files case must
+        return an empty frame, never a zero-path reader call)."""
+        return self.spark_df_or_empty(spark, table, spark_schema)
 
     def spark_df_or_empty(self, spark, table: str, spark_schema: str):
         files = self.files(table)
@@ -234,6 +246,9 @@ class OverlayStorage(Storage):
             if filters:
                 ops = {
                     "==": lambda a, b: a == b,
+                    "!=": lambda a, b: a != b,
+                    "in": lambda a, b: a in b,
+                    "not in": lambda a, b: a not in b,
                     ">=": lambda a, b: a is not None and a >= b,
                     "<=": lambda a, b: a is not None and a <= b,
                     ">": lambda a, b: a is not None and a > b,
@@ -245,12 +260,13 @@ class OverlayStorage(Storage):
         return self.base.bucket_rows(table, bucket, filters)
 
     def commit(self, updates, schemas, drop_tables=()):
-        for key, rows in updates.items():
-            self.overlay[key] = [dict(r) for r in rows]
-        self.schemas.update(schemas)
         for t in drop_tables:
             self.dropped.add(t)
             self.overlay = {k: v for k, v in self.overlay.items() if k[0] != t}
+        for key, rows in updates.items():
+            self.overlay[key] = [dict(r) for r in rows]
+            self.dropped.discard(key[0])  # a re-created table is live again
+        self.schemas.update(schemas)
         return 0
 
     def append(self, table: str, rows: list[dict], schema: pa.Schema):

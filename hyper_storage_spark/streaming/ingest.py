@@ -23,11 +23,28 @@ import pyarrow.parquet as pq
 
 from pyspark.sql import SparkSession
 
-from ..store.documents import DocumentStore
+from ..store.documents import DocumentStore, NotFoundError
 
 COMMANDS_SPARK = "seq long, method string, path string, body string"
 COMMANDS_ARROW = pa.schema(
     [("seq", pa.int64()), ("method", pa.string()), ("path", pa.string()), ("body", pa.string())]
+)
+
+# malformed commands (bad path, bad method, non-object collection item
+# body, ...) are dead-lettered instead of poison-pilling the stream:
+# Structured Streaming retries a failing batch forever, so one bad
+# producer row must not halt ingestion — the reference's workers NACK
+# bad requests back to the client for the same reason.
+DEAD_LETTER = "dead_letter"
+DEAD_LETTER_SCHEMA = pa.schema(
+    [
+        ("seq", pa.int64()),
+        ("method", pa.string()),
+        ("path", pa.string()),
+        ("body", pa.string()),
+        ("error", pa.string()),
+        ("ts", pa.int64()),
+    ]
 )
 
 
@@ -49,6 +66,45 @@ def write_commands(commands_dir: str, commands: list[dict]) -> str:
     return path
 
 
+def _dispatch(ds: DocumentStore, method: str, path: str, body) -> Optional[str]:
+    """Apply ONE command; returns None on success/benign-skip, else the
+    dead-letter reason. Shared by the serial and distributed paths so
+    their skip semantics cannot drift apart.
+
+    - NotFoundError (replay of an already-applied delete within a
+      batch) is the benign skip, as in the reference's idempotent
+      delete handling.
+    - ValueError / KeyError (malformed path, bad method, non-object
+      collection item body, planner KeyErrors from hostile input) are
+      producer bugs: dead-letter the command, keep the stream alive.
+    """
+    try:
+        if method == "put":
+            ds.put(path, body)
+        elif method == "patch":
+            ds.patch(path, body)
+        elif method == "delete":
+            ds.delete(path)
+        else:
+            return f"unknown method {method!r}"
+        return None
+    except NotFoundError:
+        return None
+    except (ValueError, KeyError) as e:  # noqa: PERF203 — per-command isolation
+        return f"{type(e).__name__}: {e}"
+
+
+def _dead_letter_row(seq, method, path, body, error) -> dict:
+    return {
+        "seq": int(seq) if seq is not None else None,
+        "method": method,
+        "path": path,
+        "body": body,
+        "error": error,
+        "ts": int(time.time() * 1000),
+    }
+
+
 # applyInPandas result rows: staged bucket files, feed events to
 # append, and table drops — everything the driver needs for one commit
 _RESULT_SCHEMA = "kind string, table string, bucket int, path string, payload string"
@@ -59,16 +115,19 @@ def _apply_bucket_commands(root: str, n_buckets: int, auto_complete: bool, batch
     group: apply the bucket's commands (per-document, seq order) through
     the REAL DocumentStore write path against a copy-on-write overlay,
     stage the resulting bucket datasets as parquet files, and emit their
-    paths (plus feed events) for the driver's atomic commit.
+    paths (plus feed events and dead letters) for the driver's atomic
+    commit.
 
     The single-writer guarantee holds because commands are
-    hash-partitioned by bucket = crc32(document_uri) % n_buckets (the
+    hash-partitioned by bucket = bucket_of(document_uri) (the
     reference's ShardProcessor consistent-hash ownership,
     TransactionLogic.scala:26-30): every document's commands land in
     exactly one task, applied serially in seq order — gapless revisions
     with no driver-side row loop. Index-table maintenance is also
     conflict-free: an index table is touched only by its collection's
-    own bucket group."""
+    own bucket group (template-mandated indexes are instantiated
+    DRIVER-side before the fan-out for the same reason — two groups
+    must never both stage the global INDEX_DEFS bucket)."""
 
     def apply_group(pdf):
         import pandas as pd
@@ -84,15 +143,13 @@ def _apply_bucket_commands(root: str, n_buckets: int, auto_complete: bool, batch
             pdf = pdf.sort_values(["document_uri", "seq"])
             for r in pdf.itertuples():
                 body = json.loads(r.body) if r.body is not None else None
-                try:
-                    if r.method == "put":
-                        ds.put(r.path, body)
-                    elif r.method == "patch":
-                        ds.patch(r.path, body)
-                    elif r.method == "delete":
-                        ds.delete(r.path)
-                except KeyError:
-                    pass  # same skip semantics as the serial path
+                err = _dispatch(ds, r.method, r.path, body)
+                if err is not None:
+                    overlay.append(
+                        DEAD_LETTER,
+                        [_dead_letter_row(r.seq, r.method, r.path, r.body, err)],
+                        DEAD_LETTER_SCHEMA,
+                    )
             for (table, bucket), rows in overlay.overlay.items():
                 rel = os.path.join(
                     "data",
@@ -114,32 +171,45 @@ def _apply_bucket_commands(root: str, n_buckets: int, auto_complete: bool, batch
     return apply_group
 
 
-def apply_commands_distributed(store: DocumentStore, batch_df, batch_id: int) -> None:
+def apply_commands_distributed(
+    store: DocumentStore, batch_df, batch_id: int, commit_meta: Optional[dict] = None
+) -> None:
     """Apply one micro-batch executor-side: group by storage bucket,
     run each group through the overlayed DocumentStore on its executor,
-    then publish feed events and flip the manifest ONCE on the driver.
+    then publish feed events and flip the manifest ONCE on the driver
+    (``commit_meta`` — e.g. the batch watermark — rides in that flip,
+    making it atomic with the data).
 
     Batches containing a collection-document delete fall back to the
     serial path: dropping a collection's index tables rewrites the
     global INDEX_DEFS bucket, which two groups could otherwise both
-    stage (rare, metadata-only — correctness over parallelism there)."""
+    stage (rare, metadata-only — correctness over parallelism there).
+    Template instantiation has the same global-bucket hazard, so it
+    runs driver-side on the real store BEFORE the fan-out."""
     from pyspark.sql import functions as F
 
-    from ..paths import split_path as _sp
+    from ..paths import is_collection_uri, split_path as _sp
     from ..store.documents import FEED, FEED_SCHEMA
+    from ..store.storage import bucket_of
 
     n_buckets = store.storage.n_buckets
 
     @F.pandas_udf("document_uri string, bucket int")
     def route(paths):
         import pandas as pd
-        import zlib
 
-        uris = [_sp(p).document_uri for p in paths]
+        def uri_of(p):
+            try:
+                return _sp(p).document_uri
+            except ValueError:
+                return p  # malformed: any stable bucket works — the
+                # apply stage dead-letters it without touching state
+
+        uris = [uri_of(p) for p in paths]
         return pd.DataFrame(
             {
                 "document_uri": uris,
-                "bucket": [zlib.crc32(u.encode("utf-8")) % n_buckets for u in uris],
+                "bucket": [bucket_of(u, n_buckets) for u in uris],
             }
         )
 
@@ -154,7 +224,23 @@ def apply_commands_distributed(store: DocumentStore, batch_df, batch_id: int) ->
         > 0
     ):
         _apply_serial(store, batch_df.collect())
+        if commit_meta:
+            with store._lock:
+                store.storage.commit_external_many({}, meta=commit_meta)
         return
+
+    if store.index_templates():
+        # instantiate template indexes on the driver's store (under its
+        # lock) for every collection this batch writes: executor groups
+        # each skip the already-existing index instead of two of them
+        # staging conflicting copies of the global INDEX_DEFS bucket
+        for (p,) in batch_df.select("path").distinct().collect():
+            try:
+                uri = _sp(p).document_uri
+            except ValueError:
+                continue  # malformed path: dead-lettered by the apply
+            if is_collection_uri(uri):
+                store.instantiate_templates(uri)
 
     ann = batch_df.withColumn("r", route("path")).select("*", "r.document_uri", "r.bucket").drop("r")
     func = _apply_bucket_commands(
@@ -166,6 +252,9 @@ def apply_commands_distributed(store: DocumentStore, batch_df, batch_id: int) ->
         (json.loads(r.payload) for r in results if r.kind == "append" and r.table == FEED),
         key=lambda d: (d["document_uri"], d["revision"]),
     )
+    dead_rows = [
+        json.loads(r.payload) for r in results if r.kind == "append" and r.table == DEAD_LETTER
+    ]
     files: dict[str, dict[int, list[str]]] = {}
     drops: list[str] = []
     for r in results:
@@ -173,30 +262,57 @@ def apply_commands_distributed(store: DocumentStore, batch_df, batch_id: int) ->
             files.setdefault(r.table, {})[r.bucket] = [os.path.join(store.storage.root, r.path)]
         elif r.kind == "drop":
             drops.append(r.table)
-    # feed first, manifest flip second: a crash in between re-applies
-    # the whole batch (watermark not yet advanced) and consumers dedup
-    # feed events by (uri, revision) — the reference's delivery model
-    if feed_rows:
-        store.storage.append(FEED, feed_rows, FEED_SCHEMA)
-    if files or drops:
-        store.storage.commit_external_many(files, drop_tables=drops)
+    # Everything below holds store._lock: the manifest has no CAS, so
+    # the driver flip must not interleave with recover() or library-mode
+    # writes on the same store (read-modify-write race).
+    # Feed first, manifest flip second: a crash in between re-applies
+    # the whole batch (the watermark rides INSIDE the flip, so it has
+    # not advanced) — store state stays exactly-once, feed delivery is
+    # at-least-once and consumers dedup by (uri, revision), the
+    # reference's delivery model.
+    with store._lock:
+        if feed_rows:
+            store.storage.append(FEED, feed_rows, FEED_SCHEMA)
+        if dead_rows:
+            store.storage.append(DEAD_LETTER, dead_rows, DEAD_LETTER_SCHEMA)
+        if files or drops or commit_meta:
+            store.storage.commit_external_many(files, drop_tables=drops, meta=commit_meta)
 
 
 def _apply_serial(store: DocumentStore, rows) -> None:
     from ..paths import split_path
 
-    for r in sorted(rows, key=lambda r: (split_path(r.path).document_uri, r.seq)):
-        body = json.loads(r.body) if r.body is not None else None
+    dead: list[dict] = []
+
+    def _key(r):
         try:
-            if r.method == "put":
-                store.put(r.path, body)
-            elif r.method == "patch":
-                store.patch(r.path, body)
-            elif r.method == "delete":
-                store.delete(r.path)
-        except KeyError:
-            # replay of an already-applied delete/patch within a batch
-            pass
+            return (split_path(r.path).document_uri, r.seq)
+        except ValueError:
+            return (r.path, r.seq)  # malformed: order stably, dead-letter below
+
+    for r in sorted(rows, key=_key):
+        body = json.loads(r.body) if r.body is not None else None
+        err = _dispatch(store, r.method, r.path, body)
+        if err is not None:
+            dead.append(_dead_letter_row(r.seq, r.method, r.path, r.body, err))
+    if dead:
+        with store._lock:
+            store.storage.append(DEAD_LETTER, dead, DEAD_LETTER_SCHEMA)
+
+
+def _watermark_key(checkpoint_dir: str) -> str:
+    import hashlib
+
+    return f"stream_watermark_{hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]}"
+
+
+def reset_stream_watermark(store: DocumentStore, checkpoint_dir: str) -> None:
+    """Forget the batch watermark for ``checkpoint_dir`` — call this
+    when DELETING a checkpoint to reprocess a command log from scratch
+    (batch ids restart at 0, so a stale watermark would silently skip
+    every replayed batch)."""
+    with store._lock:
+        store.storage.set_meta(_watermark_key(checkpoint_dir), -1)
 
 
 def run_command_stream(
@@ -214,38 +330,35 @@ def run_command_stream(
     the reference's ShardProcessor ownership model); the driver's only
     work per batch is publishing feed events and one atomic manifest
     flip. The checkpoint makes restarts resume after the last
-    fully-applied batch (recovery parity without RecoveryWorker)."""
-    import hashlib
+    fully-applied batch (recovery parity without RecoveryWorker).
 
-    # foreachBatch is at-least-once: a crash between apply and the
-    # checkpoint commit re-delivers the batch, and re-applying writes
-    # would mint NEW revisions (not revision-idempotent). The standard
-    # remedy is a batch-id watermark committed WITH the store's state:
-    # batch ids are monotonic per checkpoint, so "already at or past
-    # this id" ⇒ skip the replay.
-    marker = os.path.join(
-        store.storage.root,
-        f"stream_watermark_{hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]}.json",
-    )
+    foreachBatch is at-least-once: a crash between apply and the
+    checkpoint commit re-delivers the batch, and re-applying writes
+    would mint NEW revisions (not revision-idempotent). The remedy is a
+    batch-id watermark that rides IN the manifest flip itself — the
+    distributed path is exactly-once for store state (marker and data
+    commit atomically). The serial fallback path advances the watermark
+    in a separate commit after its per-command writes, so a crash
+    MID-serial-batch can re-apply that batch's already-written prefix
+    (rare: serial only runs for collection-delete batches). The
+    watermark is keyed by checkpoint path: if you DELETE a checkpoint
+    to reprocess from scratch, call :func:`reset_stream_watermark`
+    first, or every replayed batch is silently skipped."""
+    wm_key = _watermark_key(checkpoint_dir)
 
     def last_applied() -> int:
-        try:
-            with open(marker) as f:
-                return json.load(f)["batch_id"]
-        except (OSError, ValueError, KeyError):
-            return -1
+        return store.storage.get_meta(wm_key, -1)
 
     def apply_batch(batch_df, batch_id: int):
         if batch_id <= last_applied():
             return
+        meta = {wm_key: batch_id}
         if distributed:
-            apply_commands_distributed(store, batch_df, batch_id)
+            apply_commands_distributed(store, batch_df, batch_id, commit_meta=meta)
         else:
             _apply_serial(store, batch_df.collect())
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        os.replace(tmp, marker)
+            with store._lock:
+                store.storage.commit_external_many({}, meta=meta)
 
     stream = (
         spark.readStream.schema(COMMANDS_SPARK)

@@ -459,3 +459,54 @@ def test_random_crud_with_live_indexes_against_model(spark, tmp_path, seed):
                 assert [key_of[i] for i in got_order] == [key_of[i] for i in want], (
                     step, flt, got_order, want,
                 )
+
+
+def test_commit_drop_and_recreate_keeps_recreated_content(spark, tmp_path):
+    """Drops apply before registrations in one commit: a table dropped
+    and re-created in the same flip must keep the new content."""
+    import pyarrow as pa
+
+    from hyper_storage_spark.store.storage import Storage, write_bucket_file
+
+    st = Storage(str(tmp_path / "s"), n_buckets=4)
+    schema = pa.schema([("k", pa.string())])
+    st.commit({("t", 0): [{"k": "old"}]}, {"t": schema})
+    # external: stage a new file and drop+recreate in one flip
+    staged = str(tmp_path / "s" / "data" / "t" / "new.parquet")
+    write_bucket_file([{"k": "new"}], schema, staged)
+    st.commit_external_many({"t": {0: [staged]}}, drop_tables=["t"])
+    assert [r["k"] for r in st.bucket_rows("t", 0)] == ["new"]
+    # same ordering in the row-level commit
+    st.commit({("t", 0): [{"k": "newer"}]}, {"t": schema}, drop_tables=["t"])
+    assert [r["k"] for r in st.bucket_rows("t", 0)] == ["newer"]
+
+
+def test_overlay_recreate_after_drop_and_filter_ops(tmp_path):
+    import pyarrow as pa
+
+    from hyper_storage_spark.store.storage import OverlayStorage, Storage
+
+    base = Storage(str(tmp_path / "s"), n_buckets=4)
+    ov = OverlayStorage(base)
+    schema = pa.schema([("k", pa.string()), ("n", pa.int64())])
+    ov.commit({("t", 0): [{"k": "a", "n": 1}]}, {"t": schema})
+    ov.commit({}, {}, drop_tables=["t"])
+    assert ov.bucket_rows("t", 0) == []
+    # re-creating the table in a later overlay commit revives it
+    ov.commit({("t", 0): [{"k": "b", "n": 2}]}, {"t": schema})
+    assert [r["k"] for r in ov.bucket_rows("t", 0)] == ["b"]
+    # extended filter ops match the pyarrow DNF surface
+    ov.commit({("u", 1): [{"k": "x", "n": 1}, {"k": "y", "n": 2}]}, {"u": schema})
+    assert [r["k"] for r in ov.bucket_rows("u", 1, filters=[("k", "!=", "x")])] == ["y"]
+    assert [r["k"] for r in ov.bucket_rows("u", 1, filters=[("k", "in", ["x"])])] == ["x"]
+
+
+def test_manifest_meta_roundtrip(tmp_path):
+    from hyper_storage_spark.store.storage import Storage
+
+    st = Storage(str(tmp_path / "s"), n_buckets=4)
+    assert st.get_meta("wm", -1) == -1
+    st.set_meta("wm", 7)
+    assert st.get_meta("wm") == 7
+    st.commit_external_many({}, meta={"wm": 9, "other": "x"})
+    assert st.get_meta("wm") == 9 and st.get_meta("other") == "x"

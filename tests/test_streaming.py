@@ -362,3 +362,87 @@ def test_stream_dedup_matches_batch_distinct(spark, tmp_path, sf_dir):
     expected = {r.event_id for r in batch.select("event_id").distinct().collect()}
     assert len(ids) == len(set(ids)), "emitted duplicates"
     assert set(ids) == expected
+
+
+def test_malformed_commands_dead_letter_not_poison(spark, tmp_path):
+    """A bad producer row must be dead-lettered, not crash the batch:
+    Structured Streaming retries a failing batch forever, so a poison
+    pill would halt ingestion permanently."""
+    from hyper_storage_spark.streaming.ingest import DEAD_LETTER
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    cmds = str(tmp_path / "commands")
+    write_commands(
+        cmds,
+        [
+            {"seq": 1, "method": "put", "path": "good", "body": {"a": 1}},
+            # collection item bodies must be objects — ValueError inside put
+            {"seq": 2, "method": "put", "path": "coll~/i1", "body": "not-an-object"},
+            {"seq": 3, "method": "frobnicate", "path": "x", "body": {}},
+            {"seq": 4, "method": "put", "path": "also-good", "body": {"b": 2}},
+        ],
+    )
+    run_command_stream(spark, store, cmds, str(tmp_path / "ckpt"))
+    assert store.get("good")[0] == {"a": 1}
+    assert store.get("also-good")[0] == {"b": 2}
+    dead = store.storage.all_rows(DEAD_LETTER)
+    assert sorted(d["seq"] for d in dead) == [2, 3]
+    assert all(d["error"] for d in dead)
+
+
+def test_distributed_batch_instantiates_templates_for_all_collections(spark, tmp_path):
+    """Two collections in different buckets, one micro-batch, one
+    matching template: BOTH must end up with the concrete index (the
+    driver instantiates before the fan-out; executor groups must never
+    both stage the global INDEX_DEFS bucket)."""
+    from hyper_storage_spark.plans.model import STATUS_NORMAL, SortItem
+    from hyper_storage_spark.store.storage import bucket_of
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    store.create_index_template("feeds/*~", "by_r", [SortItem("r", "decimal", "asc")])
+    # pick two collection names that land in different buckets
+    a, b = "feeds/a~", None
+    for cand in ("feeds/b~", "feeds/c~", "feeds/d~", "feeds/e~"):
+        if bucket_of(cand, store.storage.n_buckets) != bucket_of(a, store.storage.n_buckets):
+            b = cand
+            break
+    assert b is not None
+    write_commands(
+        str(tmp_path / "commands"),
+        [
+            {"seq": 1, "method": "put", "path": f"{a}/i1", "body": {"r": 1}},
+            {"seq": 2, "method": "put", "path": f"{b}/i1", "body": {"r": 2}},
+        ],
+    )
+    run_command_stream(spark, store, str(tmp_path / "commands"), str(tmp_path / "ckpt"))
+    for uri in (a, b):
+        defs = store.index_defs(uri)
+        assert [d.index_id for d in defs] == ["by_r"], uri
+        assert defs[0].status == STATUS_NORMAL
+        assert store.get(f"{uri}/i1")[0]["r"] in (1, 2)
+
+
+def test_watermark_rides_in_manifest_and_resets(spark, tmp_path):
+    """The batch watermark commits atomically with the manifest flip,
+    and reset_stream_watermark allows checkpoint-delete reprocessing
+    (without it, replayed batch ids are silently skipped)."""
+    import shutil
+
+    from hyper_storage_spark.streaming.ingest import reset_stream_watermark
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    cmds = str(tmp_path / "commands")
+    ckpt = str(tmp_path / "ckpt")
+    write_commands(cmds, [{"seq": 1, "method": "put", "path": "w", "body": {"n": 1}}])
+    run_command_stream(spark, store, cmds, ckpt)
+    assert store.get("w")[1] == 1
+    # reprocess from scratch: delete checkpoint + reset watermark
+    shutil.rmtree(ckpt)
+    reset_stream_watermark(store, ckpt)
+    run_command_stream(spark, store, cmds, ckpt)
+    # the replayed put re-applies (at-least-once across manual resets)
+    assert store.get("w")[1] == 2
+    # without the reset, a stale watermark would have skipped batch 0
+    shutil.rmtree(ckpt)
+    run_command_stream(spark, store, cmds, ckpt)
+    assert store.get("w")[1] == 2  # skipped: watermark still at batch 0
