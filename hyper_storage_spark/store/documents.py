@@ -38,10 +38,8 @@ import pyarrow as pa
 
 from ..expression.evaluator import (
     EvalError,
-    EvalIdentifierNotFound,
     canonical_str,
     evaluate,
-    is_number,
     to_decimal,
     truthy,
 )
@@ -57,7 +55,7 @@ from ..plans.model import (
 )
 from .idgen import create_id
 from .merge import filter_nulls, merge_patch
-from .storage import Storage, bucket_of
+from .storage import Storage, bucket_of, write_bucket_file
 
 
 class NotFoundError(KeyError):
@@ -366,7 +364,10 @@ class DocumentStore:
             elif method == "patch":
                 if existing is None or existing["is_deleted"]:
                     raise NotFoundError(path)
-                merged = merge_patch(json.loads(existing["body"]), body)
+                merged = merge_patch(
+                    json.loads(existing["body"]) if existing["body"] is not None else None,
+                    body,
+                )
                 new_row = {
                     **existing,
                     "revision": revision,
@@ -436,6 +437,12 @@ class DocumentStore:
                 },
                 {CONTENT: CONTENT_SCHEMA, STATICS: STATICS_SCHEMA, TRANSACTIONS: TRANSACTIONS_SCHEMA},
             )
+
+            if method == "delete" and not item_id:
+                # collection delete drops its indexes (completion path);
+                # forgetting the template memo lets a RE-created
+                # collection get its template indexes back
+                self._templated_uris.discard(uri)
 
             if self.auto_complete:
                 self.complete_transactions(uri)
@@ -701,7 +708,10 @@ class DocumentStore:
             n = sum(1 for _ in files)  # at least one part file required
             if n == 0:
                 raise RuntimeError("ingest produced no files")
-            self.storage.commit_external(CONTENT, {bucket: files})
+            # content + statics in ONE manifest flip: two flips let a
+            # crash in between strand a half-created collection that can
+            # neither be queried (no static) nor re-ingested (bucket
+            # non-empty) — commit_external_many exists for exactly this
             statics_rows = [r for r in self._statics_bucket(collection_uri)]
             statics_rows.append(
                 {
@@ -712,8 +722,13 @@ class DocumentStore:
                     "modified_at": now,
                 }
             )
-            self.storage.commit(
-                {(STATICS, bucket): statics_rows}, {STATICS: STATICS_SCHEMA}
+            statics_abs = os.path.join(
+                self.storage.root, "data", "statics",
+                f"b{bucket:04d}-ingest-{uuid.uuid4().hex[:8]}.parquet",
+            )
+            write_bucket_file(statics_rows, STATICS_SCHEMA, statics_abs)
+            self.storage.commit_external_many(
+                {CONTENT: {bucket: files}, STATICS: {bucket: [statics_abs]}}
             )
             return 1
 
@@ -920,7 +935,15 @@ class DocumentStore:
                 )
                 return index_id
             if use_spark is None:
-                use_spark = self.spark is not None and len(self._content_bucket(uri)) > 10000
+                # footer metadata row count — deciding "too big for the
+                # driver" must not itself decode the whole bucket
+                import pyarrow.parquet as _pq
+
+                n_rows = sum(
+                    _pq.ParquetFile(f).metadata.num_rows
+                    for f in self.storage.bucket_files(CONTENT, self._bucket(uri))
+                )
+                use_spark = self.spark is not None and n_rows > 10000
             if use_spark:
                 self._backfill_index_spark(idef)
             else:
@@ -990,8 +1013,13 @@ class DocumentStore:
             # scalar string forms (containers → NULL)
             val = parts["n"] if item.effective_type == DECIMAL else parts["s"]
             cols.append(val.alias(name))
+        # staging dir keyed by the PHYSICAL table (collection + index):
+        # the same index_id on two collections (routine with template
+        # indexes) must never overwrite the other's committed files
+        from .storage import _sanitize
+
         outdir = os.path.join(
-            self.storage.root, "data", f"index_backfill_{idef.index_id}"
+            self.storage.root, "data", f"index_backfill_{_sanitize(idef.storage_table)}"
         )
         df.select(*cols).write.mode("overwrite").parquet(outdir)
         files = [os.path.join(outdir, f) for f in os.listdir(outdir) if f.endswith(".parquet")]
@@ -1149,6 +1177,9 @@ class DocumentStore:
         df = self.storage.spark_df_or_empty(self.spark, CONTENT, CONTENT_SPARK).filter(
             (F.col("document_uri") == uri) & (F.col("item_id") != "") & (~F.col("is_deleted"))
         )
+        # null bodies (a PATCH whose merge result was Null — reference
+        # parity) carry no fields: exclude them from the typed view
+        df = df.filter(F.col("body").isNotNull())
         if schema is None:
             sample = [r.body for r in df.select("body").limit(1000).collect()]
             inferred = self.spark.read.json(
@@ -1161,23 +1192,38 @@ class DocumentStore:
             F.col("item_id"), F.col("revision"), parsed.alias("item")
         ).select("item_id", "revision", "item.*")
 
-    def vacuum(self) -> int:
+    def vacuum(self, grace_seconds: float = 3600.0) -> int:
         """Delete data files no longer referenced by the current
-        manifest (superseded bucket versions). Returns files removed."""
+        manifest (superseded bucket versions). Returns files removed.
+
+        Runs under the store lock (the manifest snapshot and the walk
+        must not interleave with a concurrent commit), and skips files
+        younger than ``grace_seconds``: executor-staged streaming/
+        backfill files exist on disk BEFORE the driver's manifest flip
+        and hold no lock — deleting them mid-batch would break the
+        commit. 0 is only safe with no concurrent writers."""
         import os
 
-        referenced = set()
-        for table in self.storage.tables():
-            referenced.update(os.path.abspath(p) for p in self.storage.files(table))
-        removed = 0
-        data_root = os.path.join(self.storage.root, "data")
-        for dirpath, _dirs, files in os.walk(data_root):
-            for f in files:
-                p = os.path.abspath(os.path.join(dirpath, f))
-                if p.endswith(".parquet") and p not in referenced:
+        with self._lock:
+            now = time.time()
+            referenced = set()
+            for table in self.storage.tables():
+                referenced.update(os.path.abspath(p) for p in self.storage.files(table))
+            removed = 0
+            data_root = os.path.join(self.storage.root, "data")
+            for dirpath, _dirs, files in os.walk(data_root):
+                for f in files:
+                    p = os.path.abspath(os.path.join(dirpath, f))
+                    if not p.endswith(".parquet") or p in referenced:
+                        continue
+                    try:
+                        if now - os.path.getmtime(p) < grace_seconds:
+                            continue
+                    except OSError:
+                        continue  # vanished concurrently
                     os.remove(p)
                     removed += 1
-        return removed
+            return removed
 
     def feed_events(self) -> list[dict]:
         """The published change feed, in publication order (Kafka-topic

@@ -153,24 +153,6 @@ def _apply_residual(df: DataFrame, filter_ast) -> tuple[DataFrame, bool]:
         return df.filter(residual(F.col("body"))), False
 
 
-def _dynamic_sort_cols(sort_by: list[SortBy]):
-    """In-memory top-N sort keys with the reference's dynamic comparator
-    semantics (numbers numeric, else string; CollectionOrdering,
-    HyperbusAdapter.scala:341-376). Mixed-type fields order numbers
-    before strings (a consistent total order; the reference's pairwise
-    comparator is not transitive for mixed types)."""
-    from ..expression.compiler import variant_parts
-
-    v = F.try_parse_json(F.col("body"))
-    cols = []
-    for sb in sort_by:
-        p = variant_parts(v, "$." + sb.field_name)
-        rank = F.when(p["isnum"], 0).otherwise(1)
-        for c in (rank, p["n"], p["s"]):
-            cols.append(c.desc() if sb.descending else c.asc())
-    return cols
-
-
 def query(
     store: DocumentStore,
     uri: str,
@@ -193,13 +175,18 @@ def query(
     if plan.exact_sort:
         order = _physical_order(plan)
         fetched = (df.orderBy(*order) if order else df).limit(size).collect()
-        items = [json.loads(r.body) for r in fetched]
+        # body can be NULL on a live row (reference parity: a PATCH whose
+        # merge result is Null stores body=None with isDeleted=false,
+        # PrimaryWorker.mergeBody) — surface as None, never crash
+        items = [json.loads(r.body) if r.body is not None else None for r in fetched]
     else:
         budget = size + skip_max
         fetched = df.limit(budget + 1).collect()
         if len(fetched) > budget:
             raise QueryBudgetExceeded(f"Maximum skipped row limit is reached: {skip_max}")
-        rows = _collection_ordering_sort([json.loads(r.body) for r in fetched], sort)
+        rows = _collection_ordering_sort(
+            [json.loads(r.body) if r.body is not None else None for r in fetched], sort
+        )
         items = rows[:size]
 
     return QueryResult(items, static["revision"], plan)
@@ -297,10 +284,15 @@ def _physical_order(plan: PlanInfo):
             for name, asc in plan.default_order
         ]
     order = [F.col(ck.name).asc() if ck.ascending else F.col(ck.name).desc() for ck in plan.ck_fields]
-    # stabilize with item_id in scan direction (clustering-key suffix)
+    # stabilize with item_id: the implicit trailing clustering key is
+    # ALWAYS asc in the index DDL (sort_by_with_id's defIdSort), so its
+    # scan direction follows plan.reversed — NOT the previous field's
+    # own direction (a desc-DDL column scanned forward still pages ties
+    # by item_id asc; least_rows_filter_fields computes the resume op
+    # from reversed ^ asc(id)=True, and the two must agree or keyset
+    # paging re-fetches/skips rows inside tie groups)
     if not any(ck.name == "item_id" for ck in plan.ck_fields):
-        last_asc = plan.ck_fields[-1].ascending if plan.ck_fields else not plan.reversed
-        order.append(F.col("item_id").asc() if last_asc else F.col("item_id").desc())
+        order.append(F.col("item_id").desc() if plan.reversed else F.col("item_id").asc())
     return order
 
 
@@ -402,7 +394,7 @@ def query_paged(
 
         accepted = []
         for r in fetched:
-            body = json.loads(r.body)
+            body = json.loads(r.body) if r.body is not None else None
             last_value = body
             if residual_ok(body):
                 accepted.append(body)

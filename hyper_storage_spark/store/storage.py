@@ -106,6 +106,13 @@ class Storage:
             )
         return out
 
+    def bucket_files(self, table: str, bucket: int) -> list[str]:
+        manifest = self._read_manifest()
+        rel = manifest["tables"].get(table, {}).get(str(bucket))
+        if rel is None:
+            return []
+        return [os.path.join(self.root, r) for r in (rel if isinstance(rel, list) else [rel])]
+
     def files(self, table: str) -> list[str]:
         manifest = self._read_manifest()
         out: list[str] = []

@@ -272,3 +272,48 @@ def test_background_index_concurrency_cap(store):
     assert len(store.pending_indexes()) == 1
     assert store.process_pending_indexes(max_concurrent=1) == 1
     assert store.pending_indexes() == []
+
+
+def test_desc_index_ties_page_by_item_id_asc(spark, tmp_path):
+    """A desc-DDL index column scanned FORWARD still pages ties by the
+    implicit trailing item_id ASC (sort_by_with_id's defIdSort): the
+    physical order and the least-rows resume op must agree, or keyset
+    paging re-fetches rows inside a tie group (duplicates) or skips
+    them."""
+    from hyper_storage_spark.plans.model import SortBy, SortItem
+    from hyper_storage_spark.store import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    # 12 items over 3 tie groups on 'a'
+    for i in range(12):
+        store.put(f"c~/i{i:02d}", {"a": i % 3})
+    store.create_index("c~", "idx_a_desc", [SortItem("a", "decimal", "desc")])
+
+    res = store.query_paged("c~", sort=[SortBy("a", descending=True)], size=5)
+    assert res.plan.index_id == "idx_a_desc" and not res.plan.reversed
+    ids = [b["id"] for b in store.query("c~", sort=[SortBy("a", descending=True)], size=100).items]
+    # full scan: a desc, ties by id asc
+    expected = sorted((f"i{i:02d}" for i in range(12)),
+                      key=lambda s: (-(int(s[1:]) % 3), s))
+    assert ids == expected
+    # paged prefix == unpaged prefix, no duplicates across the loop
+    assert [b["id"] for b in res.items] == expected[:5]
+
+
+def test_spark_backfill_same_index_id_on_two_collections(spark, tmp_path):
+    """Backfill staging dirs are keyed by the physical table (collection
+    + index): the same index_id on two collections — routine with
+    template indexes — must not overwrite the other's committed files."""
+    from hyper_storage_spark.plans.model import SortBy, SortItem
+    from hyper_storage_spark.store import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    for c in ("x~", "y~"):
+        for i in range(4):
+            store.put(f"{c}/i{i}", {"a": i})
+    store.create_index("x~", "idx", [SortItem("a", "decimal", "asc")], use_spark=True)
+    store.create_index("y~", "idx", [SortItem("a", "decimal", "asc")], use_spark=True)
+    for c in ("x~", "y~"):
+        res = store.query(c, sort=[SortBy("a")], size=10)
+        assert res.plan.index_id == "idx", c
+        assert [b["a"] for b in res.items] == [0, 1, 2, 3], c

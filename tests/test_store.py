@@ -199,11 +199,14 @@ def test_collection_df_typed_view(store):
 def test_vacuum_removes_superseded_files(store):
     for i in range(5):
         store.put("vdoc", {"n": i})
-    before = store.vacuum()
+    # no concurrent writers in this test, so grace 0 is safe; the
+    # default grace protects executor-staged files mid-batch
+    before = store.vacuum(grace_seconds=0)
     assert before > 0
     body, rev = store.get("vdoc")  # current snapshot intact
     assert body == {"n": 4} and rev == 5
-    assert store.vacuum() == 0
+    assert store.vacuum(grace_seconds=0) == 0
+    assert store.vacuum() == 0  # default grace: young files untouched
 
 
 def test_item_get_sees_collection_tombstone(store):
@@ -510,3 +513,51 @@ def test_manifest_meta_roundtrip(tmp_path):
     assert st.get_meta("wm") == 7
     st.commit_external_many({}, meta={"wm": 9, "other": "x"})
     assert st.get_meta("wm") == 9 and st.get_meta("other") == "x"
+
+
+def test_collection_recreate_resurrects_items_reference_parity(store):
+    """Reference parity pin (NOT a bug): is_deleted is a Cassandra
+    STATIC column (db/scheme.cql:6) and collection delete never purges
+    item rows (PrimaryWorker.deleteContent writes one static tombstone;
+    BackgroundContentTaskCompleter only drops indexes) — so a later
+    write to the same collection flips the static back and PRE-DELETE
+    items reappear. Faithful to the reference's data model; pinned so
+    a future 'fix' knows what it is changing."""
+    store.put("res~/a", {"v": 1})
+    store.delete("res~")
+    with pytest.raises(NotFoundError):
+        store.get("res~/a")
+    store.put("res~/b", {"v": 2})
+    # the static flag flipped back: 'a' is visible again
+    assert store.get("res~/a")[0] == {"v": 1, "id": "a"}
+    ids = sorted(b["id"] for b in store.query("res~", size=10).items)
+    assert ids == ["a", "b"]
+
+
+def test_patch_can_override_id_reference_parity(store):
+    """Reference parity pin: PATCH merges the raw body with NO id
+    re-injection (PrimaryWorker appendId runs only for POST and
+    item-PUT; the PATCH arm passes the request through) — so a patch
+    can override the server-injected id. Pinned as parity; keyset
+    consumers derive resume values from the body, so overriding id is
+    a client footgun in the reference too."""
+    store.put("pp~/x", {"a": 1})
+    store.patch("pp~/x", {"id": "zzz"})
+    assert store.get("pp~/x")[0]["id"] == "zzz"
+
+
+def test_patch_merging_to_null_body_is_query_safe(store):
+    """A PATCH whose merge result is Null stores body=None on a LIVE
+    row (PrimaryWorker.mergeBody returns None for Null — reference
+    parity); every read path must tolerate it instead of crashing."""
+    store.put("nb~/x", {"a": 1})
+    store.patch("nb~/x", None)  # non-object patch wins: merge → Null
+    assert store.get("nb~/x")[0] is None
+    store.patch("nb~/x", None)  # re-patching a null-body row must not crash
+    assert store.get("nb~/x")[0] is None
+    items = store.query("nb~", size=10).items
+    assert items == [None]
+    # filtered queries reject the null body (eval-error ⇒ false)
+    assert store.query("nb~", filter="a = 1", size=10).items == []
+    # the typed analytics view simply excludes field-less rows
+    assert store.collection_df("nb~").count() == 0

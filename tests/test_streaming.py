@@ -318,7 +318,7 @@ def test_vacuum_reclaims_superseded_stream_staging_files(spark, tmp_path):
     run_command_stream(spark, store, cmds, str(tmp_path / "ck1"))
     # supersede the streamed bucket with a direct write, then vacuum
     store.put("vdoc", {"a": 2})
-    removed = store.vacuum()
+    removed = store.vacuum(grace_seconds=0)
     assert removed > 0
     leftover = glob.glob(str(tmp_path / "store" / "data" / "*" / "*-stream-*.parquet"))
     referenced = set()

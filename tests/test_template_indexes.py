@@ -107,3 +107,16 @@ def test_wildcard_matches_exactly_one_segment(store):
     store.put("users/posts~/p0", {"rating": 1})  # missing segment: no match
     assert store.index_defs("users/a/b/posts~") == []
     assert store.index_defs("users/posts~") == []
+
+
+def test_recreated_collection_gets_template_index_again(store):
+    """Deleting a collection drops its indexes; a RE-created collection
+    must get template-mandated indexes back (the memo is forgotten on
+    collection delete)."""
+    store.create_index_template("users/*/posts~", "by_rating", _rating_sort())
+    store.put("users/f/posts~/p0", {"rating": 1})
+    assert [d.index_id for d in store.index_defs("users/f/posts~")] == ["by_rating"]
+    store.delete("users/f/posts~")
+    assert store.index_defs("users/f/posts~") == []  # completion dropped it
+    store.put("users/f/posts~/p1", {"rating": 2})
+    assert [d.index_id for d in store.index_defs("users/f/posts~")] == ["by_rating"]
