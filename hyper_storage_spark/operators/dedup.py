@@ -38,8 +38,12 @@ from .text import tokens_col
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical documents: (text_hash, canonical_doc_id,
     dup_count) for groups with >1 member; canonical = min doc_id."""
+    # NULL text has no content identity (md5(NULL)=NULL and groupBy
+    # treats NULLs as equal — 500 unrelated NULL-text docs would read
+    # as one duplicate group); same policy as incremental_exact_dedup
     return (
-        docs.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("dup_count"))
         .filter(F.col("dup_count") > 1)
@@ -211,6 +215,12 @@ def minhash_lsh_pairs(
     the verify threshold, while keeping the candidate join selective.
     Returns (a_id, b_id, jaccard ≥ threshold).
     """
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) — a "
+            "silent remainder would band only a prefix of the signature "
+            "and change the documented recall curve"
+        )
     rows = num_hashes // bands
     # deliberately UNPERSISTED: the shingle set and band table are
     # JVM-cheap codegen over the base scan, and the plan re-derives
@@ -612,7 +622,10 @@ def dup_span_stats(
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
             F.round(
-                F.coalesce("n_dup_spans", F.lit(0)).cast("decimal(18,12)")
+                # 38,12: an 18,12 decimal holds only 6 integer digits —
+                # a ≥1M-window document would overflow the cast (NULL
+                # fraction, or a hard error under ANSI mode)
+                F.coalesce("n_dup_spans", F.lit(0)).cast("decimal(38,12)")
                 / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)),
                 6,
             )
@@ -778,17 +791,29 @@ def cdc_chunk_hashes(
 
 
 def cdc_shared_chunk_pairs(
-    docs: DataFrame, min_shared: int = 2, text_col: str = "text", **chunk_kw
+    docs: DataFrame,
+    min_shared: int = 2,
+    text_col: str = "text",
+    max_df: int = 100,
+    **chunk_kw,
 ) -> DataFrame:
     """Near-dup candidates for LONG documents: pairs sharing at least
     ``min_shared`` content-defined chunks — (a_id, b_id, shared_chunks).
     Posting-list form over chunk_hash (one groupBy, pair emission per
-    list, df-bounded by construction since identical chunks collapse):
-    the same no-self-join shape as the shingle path."""
+    list): the same no-self-join shape as the shingle path, with the
+    same document-frequency cap — a boilerplate chunk (license header,
+    shared template) in L documents would otherwise emit L²/2 pairs
+    from one posting list. Chunks in more than ``max_df`` documents
+    are dropped as non-discriminative, bounding pair output at
+    max_df²/2 per chunk."""
     ch = cdc_chunk_hashes(docs, text_col, **chunk_kw).select(
         "doc_id", "chunk_hash"
     ).distinct()
-    posting = ch.groupBy("chunk_hash").agg(F.collect_list("doc_id").alias("docs"))
+    posting = (
+        ch.groupBy("chunk_hash")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") <= max_df)
+    )
     docs_sorted = F.array_sort(F.col("docs"))
     pair_arrays = F.flatten(
         F.transform(
@@ -843,15 +868,28 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
 
-    Banding by 16-bit chunks (pigeonhole over 4 chunks guarantees recall
-    for hamming ≤ 3); exact hamming verify via bit_count(xor).
+    Banding by ``max_hamming + 1`` bit-chunks: the pigeonhole principle
+    needs ONE chunk untouched by the differing bits, so the chunk count
+    follows the threshold (a fixed 4-chunk split is only
+    recall-complete for hamming ≤ 3 — a larger threshold would
+    silently miss pairs). Exact hamming verify via bit_count(xor).
 
     Signatures persist across the banding self-join: without it both
     join sides (and their exploded chunk branches) re-run the Arrow
-    signature kernel — 4 Python evaluations of the same corpus in the
-    physical plan. The cache is released by the harness between
+    signature kernel — one Python evaluation of the corpus per branch
+    in the physical plan. The cache is released by the harness between
     catalog entries (operators/_caches.py)."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks  # the last chunk absorbs the remainder bits
     sig = tracked_persist(simhash_signatures(docs, text_col))
+
+    def chunk_bits(c: int):
+        w = 64 - c * width if c == n_chunks - 1 else width
+        mask = (1 << w) - 1
+        return F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
+
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -859,9 +897,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text")
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk_id"),
-                    F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    chunk_bits(c).alias("chunk"),
                 )
-                for c in range(4)
+                for c in range(n_chunks)
             ])
         ).alias("ch"),
     ).select("doc_id", "simhash", F.col("ch.chunk_id"), F.col("ch.chunk"))

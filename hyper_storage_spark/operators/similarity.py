@@ -53,13 +53,22 @@ def cosine_topk(
     """Exact cosine top-k: (query_id, neighbor_id, rank, cosine)."""
     from pyspark.sql import Window
 
+    # norms project ONCE per vector before the join — inlining them in
+    # the joined projection would re-run the O(dim) aggregate per
+    # (query, candidate) pair (same rationale as embedding_cosine_pairs)
     queries = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    corpus = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -143,14 +152,19 @@ def ivf_topk(
     train = vecs if train_fraction >= 1.0 else vecs.sample(train_fraction, seed=seed)
     model = KMeans(k=n_cells, seed=seed, featuresCol="__fv", predictionCol="__cell").fit(train)
     assigned = model.transform(vecs).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col("__cell").alias("cell")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),  # once per vector, not per pair
+        F.col("__cell").alias("cell"),
     )
 
     # tiny centroid table: query → n_probe nearest cells via broadcast
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     cent_df = emb.sparkSession.createDataFrame(centroids, "cell int, centroid array<double>")
     queries = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("cell").asc())
     probes = (
@@ -167,14 +181,12 @@ def ivf_topk(
         )
         .withColumn("cr", F.row_number().over(probe_w))
         .filter(F.col("cr") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qn", "cell")
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-        )
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -232,15 +244,19 @@ def lsh_bucket_topk(
         .distinct()
     )
     queries = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    corpus_vecs = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    corpus_vecs = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         candidates.join(F.broadcast(queries), "query_id")
         .join(corpus_vecs, "neighbor_id")
-        .withColumn(
-            "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-        )
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

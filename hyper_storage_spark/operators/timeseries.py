@@ -165,6 +165,11 @@ def asof_join(
             .otherwise(fwd),
         )
     out = carried.filter(F.col("__is_left") == 1)
+    # a NULL left timestamp matches NOTHING in any direction (backward
+    # gets this free from asc-NULLS-FIRST ordering; forward/nearest
+    # sort NULLs last where the running last() has seen every right
+    # row — without this guard they "match" the extreme right row)
+    out = out.withColumn("__r", F.when(F.col("__ts").isNotNull(), F.col("__r")))
     if how == "inner":
         out = out.filter(F.col("__r").isNotNull())
     return out.select(
@@ -218,6 +223,10 @@ def gapfill(
             F.expr(f"sequence(__mn, __mx, {step})")
         ).alias(bucket_col),
     )
+    # union the ACTUAL buckets: an input row off the min+k*step grid
+    # would otherwise match no grid row and silently vanish from the
+    # output (distinct() collapses the aligned-common case for free)
+    grid = grid.unionByName(agg.select(*keys, bucket_col)).distinct()
     # presence marker, not value_cols[0].isNull(): an aggregate row
     # whose value is legitimately NULL must not read as a filled gap
     filled = (
@@ -247,9 +256,13 @@ def gapfill(
         t = F.col(bucket_col).cast("double")
         for c in value_cols:
             # carry (bucket, value) as a struct so each neighbor's
-            # value pairs with ITS OWN bucket, never a stitched mix
+            # value pairs with ITS OWN bucket, never a stitched mix.
+            # A real row with a NULL value is NOT an observation: the
+            # TimescaleDB interpolate convention bridges ACROSS it
+            # (and fills it), same as the locf branch's ignorenulls
             obs = F.when(
-                ~F.col("filled"), F.struct(t.alias("t"), F.col(c).cast("double").alias("v"))
+                (~F.col("filled")) & F.col(c).isNotNull(),
+                F.struct(t.alias("t"), F.col(c).cast("double").alias("v")),
             )
             prev = F.last(obs, ignorenulls=True).over(wb)
             nxt = F.first(obs, ignorenulls=True).over(wf)
@@ -258,9 +271,12 @@ def gapfill(
             )
             filled = filled.withColumn(
                 c,
-                F.when(~F.col("filled"), F.col(c).cast("double")).otherwise(
-                    # interior gaps only: both neighbors must exist
-                    F.when(prev.isNotNull() & nxt.isNotNull(), interp)
+                # observed values pass through; gap rows AND real rows
+                # with NULL values interpolate (interior only: both
+                # neighbors must exist — leading/trailing stay NULL)
+                F.coalesce(
+                    F.when(~F.col("filled"), F.col(c).cast("double")),
+                    F.when(prev.isNotNull() & nxt.isNotNull(), interp),
                 ),
             )
     return filled
@@ -473,24 +489,40 @@ def series_similarity_topk(
         .crossJoin(F.broadcast(q))
         .withColumn("lb", F.sqrt(F.lit(float(w)) * dist2(F.col("paa"), F.col("qpaa"))))
     )
-    ranked = scored.withColumn(
-        "lbrank",
-        F.row_number().over(Window.orderBy(F.col("lb").asc(), F.col("sid").asc())),
+    # candidate selection without a global row_number window (an
+    # unpartitioned window funnels EVERY sketch row into one task): a
+    # parallel TakeOrdered picks the n_cand best lower bounds, and the
+    # bounded id set (candidate_factor × k — a config constant, not
+    # data-proportional) broadcasts back for the split. Exact mode
+    # (candidate_factor=None) verifies everyone and prunes nothing.
+    if candidate_factor is None:
+        cand_base = scored
+        min_pruned_lb = scored.limit(0).agg(F.min("lb").alias("min_lb"))  # empty ⇒ NULL
+    else:
+        n_cand = candidate_factor * k
+        cand_ids = (
+            scored.orderBy(F.col("lb").asc(), F.col("sid").asc())
+            .limit(n_cand)
+            .select("sid")
+        )
+        cand_base = scored.join(F.broadcast(cand_ids), "sid")
+        min_pruned_lb = scored.join(F.broadcast(cand_ids), "sid", "left_anti").agg(
+            F.min("lb").alias("min_lb")
+        )
+    cand = cand_base.withColumn("distance", F.sqrt(dist2(F.col("vec"), F.col("qvec"))))
+    # top-k: TakeOrdered down to k rows, THEN a row_number over only
+    # those k (never a corpus-wide window)
+    topk = (
+        cand.orderBy(F.col("distance").asc(), F.col("sid").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("distance").asc(), F.col("sid").asc())
+            ),
+        )
     )
-    # candidate_factor=None = exact mode: verify everyone (lbrank has
-    # no upper bound), so the certificate below is trivially true
-    n_cand = (1 << 62) if candidate_factor is None else candidate_factor * k
-    cand = ranked.filter(F.col("lbrank") <= n_cand).withColumn(
-        "distance", F.sqrt(dist2(F.col("vec"), F.col("qvec")))
-    )
-    topk = cand.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.col("distance").asc(), F.col("sid").asc())),
-    ).filter(F.col("rank") <= k)
     kth = topk.agg(F.max("distance").alias("kth"))
-    min_pruned_lb = ranked.filter(F.col("lbrank") > n_cand).agg(
-        F.min("lb").alias("min_lb")
-    )
     cert = kth.crossJoin(min_pruned_lb).select(
         (F.col("min_lb").isNull() | (F.col("kth") <= F.col("min_lb"))).alias("certified")
     )

@@ -3037,7 +3037,7 @@ def text_normalized_dedup(spark, sf_dir):
        SELECT d.doc_id,
               COALESCE(p.n_spans, 0) AS n_spans,
               COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
-              CAST(ROUND(CAST(COALESCE(p.n_dup_spans, 0) AS DECIMAL(18,12))
+              CAST(ROUND(CAST(COALESCE(p.n_dup_spans, 0) AS DECIMAL(38,12))
                          / GREATEST(COALESCE(p.n_spans, 0), 1), 6) AS DOUBLE) AS dup_fraction
        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
 )

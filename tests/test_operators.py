@@ -1528,3 +1528,101 @@ def test_cap_per_group_deterministic_and_bounded(spark):
         r.doc_id for r in sampling.cap_per_group(df.repartition(7), "lang", 30).collect()
     )
     assert a == b  # pure function of the data
+
+
+def test_exact_duplicates_ignores_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "doc_id long, text string",
+    )
+    groups = dedup.exact_duplicates(df).collect()
+    # the two NULL-text docs must NOT read as a duplicate group
+    assert len(groups) == 1 and groups[0].dup_count == 2
+
+
+def test_minhash_bands_must_divide_hashes(spark, sf_dir):
+    import pytest as _pytest
+
+    d = docs(spark, sf_dir).limit(10)
+    with _pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_pairs(d, num_hashes=32, bands=5)
+    with _pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_pairs(d, num_hashes=32, bands=48)
+
+
+def test_simhash_banding_tracks_max_hamming(spark):
+    """Pigeonhole banding must use max_hamming+1 chunks: a pair at
+    hamming 4 with one differing bit per 16-bit quarter defeats a fixed
+    4-chunk split but must be found when max_hamming=4 is requested."""
+    from unittest import mock
+
+    base = 0x0123456789ABCDEF
+    other = base ^ (1 << 3) ^ (1 << 19) ^ (1 << 35) ^ (1 << 51)
+    sigs = mock.patch.object(
+        dedup,
+        "simhash_signatures",
+        lambda d, tc="text": spark.createDataFrame(
+            [(1, base), (2, other)], "doc_id long, simhash long"
+        ),
+    )
+    with sigs:
+        got = dedup.simhash_pairs(spark.range(0), max_hamming=4).collect()
+    assert [(r.a_id, r.b_id, r.hamming) for r in got] == [(1, 2, 4)]
+
+
+def test_cdc_pairs_df_cap_bounds_hot_chunks(spark):
+    # 30 docs sharing one boilerplate prefix chunk: with the cap below
+    # the fan-out, the hot chunk emits no pairs
+    boiler = "LICENSE HEADER " * 20
+    rows = [(i, boiler + f"unique tail {i} " * 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.cdc_shared_chunk_pairs(df, min_shared=1, max_df=10)
+    uncapped = dedup.cdc_shared_chunk_pairs(df, min_shared=1, max_df=1000)
+    assert capped.count() < uncapped.count()
+
+
+def test_gapfill_linear_bridges_null_values_and_offgrid_rows(spark):
+    import pytest
+
+    from hyper_storage_spark.operators import timeseries as ts
+
+    rows = [
+        (1, 0, 5.0),
+        (1, 2, None),  # real row, NULL value: interpolate ACROSS and fill it
+        (1, 6, 10.0),
+        (1, 3, 8.0),  # off the min+2k grid: must survive, not vanish
+    ]
+    df = spark.createDataFrame(rows, "k long, bucket long, v double")
+    out = {
+        r.bucket: (r.v, r.filled)
+        for r in ts.gapfill(df, ["k"], "bucket", "2", ["v"], how="linear").collect()
+    }
+    assert set(out) == {0, 2, 3, 4, 6}
+    assert out[3] == (8.0, False)  # off-grid observation kept
+    # NULL-value real row interpolates between 0→5 and 3→8
+    assert out[2][0] == pytest.approx(5 + (8 - 5) * 2 / 3) and not out[2][1]
+    # the filled 4 bucket interpolates between 3→8 and 6→10
+    assert out[4][0] == pytest.approx(8 + (10 - 8) * 1 / 3) and out[4][1]
+
+
+def test_asof_null_left_ts_never_matches(spark):
+    from hyper_storage_spark.operators import timeseries as ts
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, None, "b")], "k long, ts double, lp string"
+    )
+    right = spark.createDataFrame(
+        [(1, 1.0, "r1"), (1, 5.0, "r5")], "k long, ts double, pay string"
+    )
+    # 'a' (ts=10): backward/nearest match r5, forward has nothing ≥ 10;
+    # 'b' (ts=NULL) must match NOTHING in any direction
+    for direction, a_match in (("backward", ["a"]), ("forward", []), ("nearest", ["a"])):
+        got = {
+            r.lp: r.pay
+            for r in ts.asof_join(
+                left, right, ["k"], how="left", direction=direction
+            ).collect()
+        }
+        assert got["b"] is None, direction
+        inner = ts.asof_join(left, right, ["k"], how="inner", direction=direction)
+        assert sorted(r.lp for r in inner.collect()) == a_match, direction
