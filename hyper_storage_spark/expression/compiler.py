@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .ast_nodes import BinaryOp, Constant, Expression, FunctionCall, Identifier, UnaryOp
-from .evaluator import canonical_str
+from .evaluator import EvalError, canonical_str
 
 DEC = "decimal(38,12)"
 
@@ -104,8 +104,12 @@ def _null_b() -> Column:
 
 
 def _bool_dyn(c: Column) -> DynCol:
+    # s must be NULL-preserving: .otherwise("false") would turn an
+    # ERRORED comparison (NULL c) into the defined string "false",
+    # which lower()/concat/equality then treat as a real value while
+    # the evaluator rejects the row (EvalError)
     return DynCol(
-        s=F.when(c, F.lit("true")).otherwise(F.lit("false")),
+        s=F.when(c, F.lit("true")).when(~c, F.lit("false")),
         n=_null_n(),
         isnum=_false(),
         isbool=c.isNotNull(),
@@ -403,9 +407,14 @@ def _eq(l: DynCol, r: DynCol) -> Column:
             # the dynamic path below gets this right; the static path
             # missed it until the round-5 differential corpus hit
             # `flag != a` with both cells NULL)
-            return F.when(
-                l.isnull_c | r.isnull_c, l.isnull_c & r.isnull_c
-            ).otherwise(F.lit(False))
+            return (
+                F.when(l.isnull_c | r.isnull_c, l.isnull_c & r.isnull_c)
+                # an ERRORED subexpression keeps its static kind but is
+                # undefined — it must compare as NULL (row rejected),
+                # not as defined-unequal (which != would flip to True)
+                .when(l.defined_c & r.defined_c, F.lit(False))
+                .otherwise(_null_b())
+            )
         direct = {"num": l.n == r.n, "bool": l.bval == r.bval, "str": l.s == r.s}[l.kind]
         return F.when(l.isnull_c | r.isnull_c, l.isnull_c & r.isnull_c).otherwise(direct)
     # typed equality; present-but-null equals only null; cross-type is
@@ -478,7 +487,8 @@ def _arith(op: str, l: DynCol, r: DynCol) -> DynCol:
         isnull_res = F.coalesce(both_defined & (l.isnull_c | r.isnull_c), _false())
         concat_case = ~isnull_res & (l.isstr | r.isstr) & concat_ok(l) & concat_ok(r)
         n = F.when(both_num, F.try_add(l.n, r.n))
-        s = F.when(both_num, n.cast("string")).when(concat_case, F.concat(l.s, r.s))
+        # canonical, not cast("string"): '2', never '2.000000000000'
+        s = F.when(both_num, _canon_num_str(n)).when(concat_case, F.concat(l.s, r.s))
         return DynCol(
             s=s,
             n=n,
@@ -512,7 +522,11 @@ def _typed_contains(arrv: Column, value) -> Column:
     if value is None:
         return F.exists(arrv, lambda x: F.to_json(x) == F.lit("null"))
     if isinstance(value, str):
-        return F.exists(arrv, lambda x: F.to_json(x) == F.lit(_json.dumps(value)))
+        # ensure_ascii=False: Spark/Jackson to_json emits raw UTF-8,
+        # Python's default \uXXXX escaping would never match non-ASCII
+        return F.exists(
+            arrv, lambda x: F.to_json(x) == F.lit(_json.dumps(value, ensure_ascii=False))
+        )
     dv = value if isinstance(value, Decimal) else Decimal(str(value))
     return F.exists(
         arrv,
@@ -702,14 +716,16 @@ def apply_filter(
             )
         df = df.withColumns(raws)
         base: dict[str, Column] = {}
+        parts = []  # one bundle per identifier, shared by both loops
         for i, name in enumerate(json_names):
             p = variant_parts(F.col(vcol), "$." + name, raw=F.col(f"__hs_raw_{i}"))
+            parts.append(p)
             base[f"__hs_s_{i}"] = p["s"]
             base[f"__hs_n_{i}"] = p["n"]
             base[f"__hs_arr_{i}"] = p["arr"]
         df = df.withColumns(base)
         for i, name in enumerate(json_names):
-            p = variant_parts(F.col(vcol), "$." + name, raw=F.col(f"__hs_raw_{i}"))
+            p = parts[i]
             dyncols[name] = DynCol(
                 s=F.col(f"__hs_s_{i}"),
                 n=F.col(f"__hs_n_{i}"),

@@ -51,7 +51,11 @@ def canonical_str(v: Any) -> str:
     if is_number(v):
         d = to_decimal(v)
         if d == d.to_integral_value():
-            return str(d.quantize(Decimal(1)))
+            # f-format, not quantize: quantize raises InvalidOperation
+            # past the default 28-digit context (e.g. 1e30), escaping
+            # the EvalError contract entirely; ':f' renders any size
+            # in plain digits and an integral has nothing to strip
+            return f"{d.to_integral_value():f}"
         return str(d.normalize())
     if isinstance(v, str):
         return v

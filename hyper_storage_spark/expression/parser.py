@@ -53,6 +53,15 @@ def _unescape(s: str) -> str:
     while i < len(s):
         c = s[i]
         if c == "\\" and i + 1 < len(s):
+            if s[i + 1] == "u" and i + 5 < len(s):
+                # JSON-style \uXXXX — silently dropping the backslash
+                # would compare against the mangled literal text
+                try:
+                    out.append(chr(int(s[i + 2 : i + 6], 16)))
+                    i += 6
+                    continue
+                except ValueError:
+                    pass
             out.append(_ESCAPES.get(s[i + 1], s[i + 1]))
             i += 2
         else:
@@ -201,6 +210,17 @@ class _Parser:
             self.expect("op", "]")
             vals = []
             for it in items:
+                # fold a leading unary minus: '-1' tokenizes as
+                # UnaryOp('-', Constant(1)) and negative numbers are
+                # ordinary array members
+                if (
+                    isinstance(it, UnaryOp)
+                    and it.op == "-"
+                    and isinstance(it.arg, Constant)
+                    and isinstance(it.arg.value, Decimal)
+                ):
+                    vals.append(-it.arg.value)
+                    continue
                 if not isinstance(it, Constant):
                     raise ParseError(f"array literals must be constant in {self.text!r}")
                 vals.append(it.value)

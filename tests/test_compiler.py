@@ -24,6 +24,7 @@ ROWS = [
     {"id": "item4", "a": "10", "b": "10"},
     {"id": "item5", "tags": [1, 2, 3], "flag": True},
     {"id": "item6", "a": None, "nested": {"x": 5}},
+    {"id": "item7", "tags": ["1"], "u": "héllo", "neg": [-1, 2]},
 ]
 
 EXPRS = [
@@ -54,6 +55,17 @@ EXPRS = [
     "nested.x = 5",
     'length(a) > 6',
     'lower(a) = "hello"',
+    # round-5 second-half review regressions (each diverged compiled
+    # vs interpreted before the fix):
+    '(a * 2) != "foo"',  # errored subexpr with static kind: reject, not defined-unequal
+    'lower(a > 0) = "false"',  # errored bool must not stringify to "false"
+    '"x" + (1 + 1) = "x2"',  # '+' numeric string form must be canonical
+    'tags has "héllo"',  # hits item7.u? no — non-ASCII membership on variant arrays
+    'u = "héllo"',
+    'tags = ["1"]',  # typed arrv vs literal: [1] must NOT equal ["1"], ["1"] must
+    'tags has [-1]',  # negative numbers are valid array-literal members
+    'neg = [-1, 2]',
+    '"a" + 1e30 = "x"',  # >28-digit integral canonical form (InvalidOperation leak)
 ]
 
 

@@ -106,3 +106,31 @@ def test_validate_filter_expression():
     assert validate_filter_expression('a = "x" and b < 5') is True
     # genuinely broken evaluation is not
     assert validate_filter_expression('1 / 0 > "a"') is False
+
+
+def test_unicode_escape_in_string_literal():
+    from hyper_storage_spark.expression import evaluate_bool, parse
+
+    assert parse('"\\u0041"').value == "A"
+    # malformed \u falls back to the dropped-backslash legacy behavior
+    assert parse('"\\uzz"').value == "uzz"
+    assert evaluate_bool(parse('name = "\\u00e9"'), {"name": "é"})
+
+
+def test_negative_numbers_in_array_literals():
+    from decimal import Decimal
+
+    from hyper_storage_spark.expression import evaluate_bool, parse
+
+    assert parse("[-1, 2]").value == (Decimal(-1), Decimal(2))
+    assert evaluate_bool(parse("x has [-1]"), {"x": [-1, 5]})
+
+
+def test_huge_integral_canonical_str_is_eval_not_crash():
+    from hyper_storage_spark.expression import evaluate_bool, parse
+    from hyper_storage_spark.expression.evaluator import canonical_str
+
+    # quantize() raised decimal.InvalidOperation past 28 digits,
+    # escaping the EvalError contract entirely
+    assert canonical_str(10**30) == "1" + "0" * 30
+    assert evaluate_bool(parse('"a" + 1e30 = "a1" '), {}) is False
