@@ -28,6 +28,14 @@ def _interleave(ranks: list[Column], bits: int) -> Column:
     """Morton code: bit-interleave the rank columns into one long.
     Pure Column expression — ``bits * len(ranks)`` shift/or terms, all
     inside whole-stage codegen."""
+    if bits * len(ranks) > 63:
+        # bit 63 is the sign: overflowing into it makes high-rank rows
+        # NEGATIVE, so range partitioning silently inverts their order
+        # and every file spans the full min/max — data skipping dies
+        raise ValueError(
+            f"bits ({bits}) x columns ({len(ranks)}) = {bits * len(ranks)} "
+            "exceeds the 63 value bits of a long; lower bits or columns"
+        )
     z = F.lit(0).cast("long")
     n = len(ranks)
     for b in range(bits):

@@ -359,6 +359,12 @@ def mp4_decode(data: bytes) -> tuple[int, int, list[bytes]]:
         for _ in range(per_chunk[chunk_i] if chunk_i < len(per_chunk) else 0):
             if si >= n_samples:
                 break
+            if pos + sizes[si] > len(data):
+                # a clamped slice would silently return short/empty
+                # frames while the coverage check still passes
+                raise ValueError(
+                    f"BMFF sample {si} at {pos}+{sizes[si]} exceeds file size {len(data)}"
+                )
             samples.append(bytes(data[pos : pos + sizes[si]]))
             pos += sizes[si]
             si += 1

@@ -63,7 +63,7 @@ _WAV_SAMPLES = 120
 _VID_W, _VID_H, _VID_FRAMES = 8, 6, 6
 
 
-def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:  # noqa: ARG001 — text_col kept for API stability; payloads derive from doc_id
     """Media column with REAL payloads: images are actual PNGs
     (12×9 grayscale, every pixel = doc_id % 256), audio is actual WAV
     (8-bit PCM, 120 samples = doc_id % 256), video is an actual ISO
@@ -96,7 +96,9 @@ def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
 
     schema = "doc_id long, media_type string, payload binary"
-    return docs.select("doc_id", text_col).mapInPandas(gen, schema)
+    # only doc_id crosses Arrow: payloads derive from the id alone, and
+    # shipping the full text column would be pure serialization waste
+    return docs.select("doc_id").mapInPandas(gen, schema)
 
 
 def _intensities(payload: bytes, media_type: str) -> list[int]:
@@ -158,10 +160,30 @@ def _decodable(payload: bytes, media_type: str) -> bool:
     return False
 
 
-def _n_samples(payload: bytes, media_type: str, mode: str) -> int:
-    if mode == "real" or (mode == "auto" and _decodable(payload, media_type)):
-        return len(_intensities(payload, media_type))
-    return len(payload)
+def _row_features(payload, media_type: str, mode: str) -> tuple[int, int, list[float]]:
+    """(byte_len, n_samples, features) for ONE row, decoding at most
+    once. ``auto`` honors its documented never-raises contract: a NULL
+    payload and a corrupt-but-correctly-signatured payload (truncated
+    download with a valid PNG/RIFF/ftyp head — the sniff cannot see
+    past the header) both fall back to the fake byte-histogram path;
+    ``real`` mode propagates decoder errors (explicit opt-in)."""
+    if payload is None:
+        return 0, 0, _decode_fake(b"", media_type)
+    p = bytes(payload)
+    if mode == "real" or (mode == "auto" and _decodable(p, media_type)):
+        try:
+            vals = _intensities(p, media_type)
+        except Exception:
+            if mode == "real":
+                raise
+            vals = None
+        if vals is not None:
+            hist = [0] * FEATURE_DIM
+            for v in vals:
+                hist[v // FEATURE_DIM] += 1
+            total = max(len(vals), 1)
+            return len(p), len(vals), [round(h / total, 6) for h in hist]
+    return len(p), len(p), _decode_fake(p, media_type)
 
 
 def extract_features(media: DataFrame, mode: str = "auto") -> DataFrame:
@@ -175,27 +197,19 @@ def extract_features(media: DataFrame, mode: str = "auto") -> DataFrame:
     if mode not in ("real", "fake", "auto"):
         raise ValueError(f"mode must be real|fake|auto, got {mode!r}")
 
-    def pick(payload: bytes, media_type: str):
-        if mode == "real":
-            return _decode_real
-        if mode == "fake":
-            return _decode_fake
-        return _decode_real if _decodable(payload, media_type) else _decode_fake
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            rows = [
+                _row_features(p, m, mode)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "byte_len": pdf["payload"].map(len).astype("int64"),
-                    "n_samples": [
-                        _n_samples(p, m, mode)
-                        for p, m in zip(pdf["payload"], pdf["media_type"])
-                    ],
-                    "features": [
-                        pick(p, m)(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
-                    ],
+                    "byte_len": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "n_samples": [r[1] for r in rows],
+                    "features": [r[2] for r in rows],
                 }
             )
             yield out
@@ -250,13 +264,20 @@ def resize_images(media: DataFrame, width: int, height: int, mode: str = "auto")
     if mode not in ("real", "fake", "auto"):
         raise ValueError(f"mode must be real|fake|auto, got {mode!r}")
 
-    def one(payload: bytes, is_img: bool):
+    def one(payload, is_img: bool):
         if not is_img:
             return payload
+        if payload is None:
+            return _resize_fake(b"", width, height)  # fixed-shape contract holds
         if mode == "real" or (
             mode == "auto" and bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n"
         ):
-            return _resize_real(payload, width, height)
+            try:
+                return _resize_real(payload, width, height)
+            except Exception:
+                if mode == "real":
+                    raise
+                # auto: corrupt-but-signatured falls back, never raises
         return _resize_fake(payload, width, height)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -42,11 +42,11 @@ def hash_split(
     ranges over one hash value). Deterministic under retries for the
     same reason the skew salts are (pure content hash, no
     monotonically_increasing_id / partition id)."""
+    if not fractions:
+        raise ValueError("need at least one split")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    if not fractions:
-        raise ValueError("need at least one split")
     if split_col in df.columns:
         raise ValueError(f"column {split_col!r} already exists")
     bucket = split_bucket(F.col(id_col), salt)
@@ -212,6 +212,13 @@ def pack_sequences(
         bins: list[int] = []  # remaining capacity per open bin
         out_seq, out_over = [], []
         for n in pdf[count_col]:
+            if pd.isna(n) or n < 0:
+                # e.g. size(NULL) = -1 from a null text upstream: a
+                # negative count would slip into a CLOSED bin
+                # (rem = -1 >= -1) or inflate a fresh bin past
+                # max_tokens — fail loudly instead of silently
+                # breaking the capacity/singleton guarantees
+                raise ValueError(f"pack_sequences: invalid token count {n!r}")
             n = int(n)
             if n > max_tokens:
                 out_seq.append(base + len(bins))

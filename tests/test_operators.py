@@ -1626,3 +1626,53 @@ def test_asof_null_left_ts_never_matches(spark):
         assert got["b"] is None, direction
         inner = ts.asof_join(left, right, ["k"], how="inner", direction=direction)
         assert sorted(r.lp for r in inner.collect()) == a_match, direction
+
+
+def test_extract_features_auto_never_raises_on_corrupt_or_null(spark):
+    """auto mode's documented contract: a NULL payload and a
+    corrupt-but-correctly-signatured payload (valid PNG head, garbage
+    body — a truncated download) must fall back fake, never crash."""
+    rows = [
+        (1, "image/png", bytearray(b"\x89PNG\r\n\x1a\n" + b"garbage!")),
+        (2, "audio/wav", bytearray(b"RIFF\x00\x00\x00\x00WAVEjunk")),
+        (3, "image/png", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    got = {r.doc_id: r for r in multimodal.extract_features(df, mode="auto").collect()}
+    assert got[1].n_samples == got[1].byte_len  # fake fallback: raw bytes
+    assert got[3].byte_len == 0 and got[3].n_samples == 0
+    # real mode stays strict: the corrupt PNG must raise
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        multimodal.extract_features(df.filter("doc_id = 1"), mode="real").collect()
+
+
+def test_resize_auto_handles_corrupt_and_null(spark):
+    rows = [
+        (1, "image/png", bytearray(b"\x89PNG\r\n\x1a\n" + b"nope")),
+        (2, "image/png", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    out = {r.doc_id: r for r in multimodal.resize_images(df, 4, 3, mode="auto").collect()}
+    assert len(out[1].payload) == 12 and len(out[2].payload) == 12
+
+
+def test_pack_sequences_rejects_negative_counts(spark):
+    import pytest as _pytest
+
+    from hyper_storage_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, 10), (2, -1)], "doc_id long, n_tokens long")
+    with _pytest.raises(Exception, match="invalid token count"):
+        sampling.pack_sequences(df, max_tokens=256).collect()
+
+
+def test_zorder_rejects_sign_bit_overflow(spark):
+    import pytest as _pytest
+
+    from hyper_storage_spark.operators import layout
+
+    df = spark.createDataFrame([(1.0, 2.0, 3.0, 4.0)], "a double, b double, c double, d double")
+    with _pytest.raises(ValueError, match="63"):
+        layout.zorder_code(df, ["a", "b", "c", "d"], bits=16)
