@@ -55,9 +55,15 @@ def bm25_topk(
     side), partial scores summed per (query_id, doc_id), top-k by a
     rank window partitioned by query_id. The N/avgdl corpus scalars
     ride in on a 1-row cross join, not a driver round-trip."""
-    post = term_postings(docs, text_col)
-    dl = docs.select(
-        "doc_id", F.size(tokens_col(F.col(text_col))).alias("dl")
+    from ._caches import tracked_persist
+
+    # postings feed the score join AND dfreq AND the doc lengths: one
+    # persisted reduction instead of three corpus scans+tokenizes
+    post = tracked_persist(term_postings(docs, text_col))
+    dl = (
+        docs.select("doc_id")  # column-pruned scan: tokenless docs keep dl=0
+        .join(post.groupBy("doc_id").agg(F.sum("tf").alias("dl")), "doc_id", "left")
+        .select("doc_id", F.coalesce("dl", F.lit(0)).alias("dl"))
     )
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")

@@ -24,7 +24,12 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def tokens_col(text: Column) -> Column:
-    return F.split(F.trim(text), TOKEN_SPLIT)
+    # the empty-string filter matters only for empty/whitespace-only
+    # text (split('') yields ['']): the phantom token otherwise leaks
+    # into token counts, BM25 document lengths, and the token-rarity
+    # vocabulary; '\s+' on trimmed non-empty text never produces
+    # interior empties
+    return F.filter(F.split(F.trim(text), TOKEN_SPLIT), lambda t: t != "")
 
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -46,7 +51,10 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(toks)
     n_chars = F.length(text)
     punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    # lowercase first (with_lang_id does the same): sentence-initial
+    # 'The'/'A'/'Is' must count — capitalized prose otherwise gets a
+    # systematically deflated stopword_ratio
+    stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*LANG_MARKERS["en"])))
     punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
     stop_ratio = F.round(stop / F.greatest(n_tokens, F.lit(1)), 6)
     mean_tok_len = F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6)

@@ -1638,7 +1638,7 @@ WITH q(query_id, query) AS (
   VALUES ('q1', 'table scan'), ('q2', 'hash merge batch'), ('q3', 'window sort fast')
 ),
 toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+dl AS (SELECT doc_id, len(list_filter(t, x -> x <> '')) AS dl FROM toks),
 stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
 post AS (
   SELECT doc_id, u AS term, COUNT(*) AS tf
@@ -2185,11 +2185,11 @@ def ann_ivf_raw(spark, sf_dir):
     "text_quality_score",
     """WITH base AS (
          SELECT doc_id, text,
-                len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
                 length(text) AS n_chars,
                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
                 len(list_filter(string_split_regex(trim(text), '\\s+'),
-                                x -> x IN ('the','and','of','a','is'))) AS stop
+                                x -> lower(x) IN ('the','and','of','a','is'))) AS stop
          FROM documents
        )
        SELECT doc_id, n_tokens,
@@ -3060,8 +3060,10 @@ def dedup_span_stats(spark, sf_dir):
 @register_extra(
     "text_token_rarity",
     """WITH toks AS (
-         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-         FROM documents
+         SELECT doc_id, tok
+         FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+               FROM documents)
+         WHERE tok <> ''
        ),
        freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok)
        SELECT t.doc_id, COUNT(*) AS n_tokens,

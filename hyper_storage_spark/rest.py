@@ -82,6 +82,13 @@ class RestFacade:
                     else self.store.query(path, **kwargs)
                 )
                 return RestResponse(200, res.hal(), {"revision": str(res.revision)})
+            if filter is not None or sort is not None or size is not None or paged:
+                # query params on a non-collection path: answering with
+                # the full document would silently pretend the filter
+                # was applied — 400, the documented reference semantics
+                return RestResponse(
+                    400, {"error": f"{path!r} is not a collection URI"}
+                )
             body, revision = self.store.get(path)
             return RestResponse(200, body, {"revision": str(revision)})
         except NotFoundError:

@@ -27,17 +27,23 @@ STATE_SCHEMA = "revision long"
 def _assign(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     (document_uri,) = key
     revision = state.get[0] if state.exists else 0
-    out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("seq")  # deterministic order within batch
-        revs = []
-        for _ in range(len(pdf)):
-            revision += 1
-            revs.append(revision)
-        pdf = pdf.assign(revision=revs)
-        out.append(pdf[["document_uri", "seq", "method", "body", "revision"]])
+    # concatenate BEFORE sorting: the group's micro-batch arrives as an
+    # iterator of Arrow chunks (10k rows each by default), and sorting
+    # each chunk independently assigns revisions out of seq order
+    # across chunk boundaries — nondeterministically, since chunk
+    # composition follows shuffle arrival order (observed live)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        state.update((revision,))
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values("seq")
+    revs = []
+    for _ in range(len(pdf)):
+        revision += 1
+        revs.append(revision)
+    pdf = pdf.assign(revision=revs)
     state.update((revision,))
-    yield from out
+    yield pdf[["document_uri", "seq", "method", "body", "revision"]]
 
 
 def assign_revisions_stream(commands: DataFrame) -> DataFrame:

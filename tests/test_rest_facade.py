@@ -84,3 +84,11 @@ def test_parse_sort():
         ("b", True),
         ("c", False),
     ]
+
+
+def test_get_document_with_query_params_is_400(facade):
+    facade.put("plaindoc", {"a": 1})
+    assert facade.get("plaindoc").status == 200
+    for kwargs in ({"filter": "a > 0"}, {"sort": "-a"}, {"size": 5}, {"paged": True}):
+        resp = facade.get("plaindoc", **kwargs)
+        assert resp.status == 400, kwargs

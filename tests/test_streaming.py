@@ -446,3 +446,47 @@ def test_watermark_rides_in_manifest_and_resets(spark, tmp_path):
     shutil.rmtree(ckpt)
     run_command_stream(spark, store, cmds, ckpt)
     assert store.get("w")[1] == 2  # skipped: watermark still at batch 0
+
+
+def test_revision_assignment_sorts_across_arrow_chunks(spark, tmp_path):
+    """A group's micro-batch arrives as MULTIPLE Arrow chunks; revisions
+    must follow global seq order, not per-chunk order (pinned with a
+    3-row batch size so one doc's commands span several chunks)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyper_storage_spark.streaming import assign_revisions_stream
+
+    src = tmp_path / "chunked"
+    src.mkdir()
+    schema = pa.schema(
+        [("document_uri", pa.string()), ("seq", pa.int64()), ("method", pa.string()), ("body", pa.string())]
+    )
+    rows = [{"document_uri": "d", "seq": s, "method": "put", "body": "{}"} for s in range(1, 11)]
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), str(src / "f1.parquet"))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = spark.readStream.schema(
+            "document_uri string, seq long, method string, body string"
+        ).parquet(str(src))
+        q = (
+            assign_revisions_stream(stream)
+            .writeStream.format("memory")
+            .queryName("rev_chunks")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rev"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.seq: r.revision for r in spark.sql("SELECT * FROM rev_chunks").collect()
+        }
+        assert got == {s: s for s in range(1, 11)}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
