@@ -64,6 +64,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {}
 
 def register(name: str, sql: Optional[str]):
     def deco(fn):
+        if name in QUERIES or name in EXTRA_QUERIES:
+            raise RuntimeError(f"duplicate catalog entry name {name!r}")
         QUERIES[name] = QuerySpec(fn, sql)
         return fn
 
@@ -72,6 +74,10 @@ def register(name: str, sql: Optional[str]):
 
 def register_extra(name: str, sql: Optional[str]):
     def deco(fn):
+        # a silent overwrite would drop an entry from oracle coverage
+        # with no signal (RuntimeError, not assert: -O strips asserts)
+        if name in EXTRA_QUERIES or name in QUERIES:
+            raise RuntimeError(f"duplicate catalog entry name {name!r}")
         EXTRA_QUERIES[name] = QuerySpec(fn, sql)
         return fn
 
@@ -238,7 +244,8 @@ def parity_keyset_page(spark, sf_dir):
     "parity_latest_revision",
     """SELECT user_id, event_id AS last_event_id, value FROM (
          SELECT user_id, event_id, value,
-                row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
          FROM events) WHERE rn = 1""",
 )
 def parity_latest_revision(spark, sf_dir):
@@ -1441,7 +1448,8 @@ def q_stream_ingest(spark, sf_dir):
 @register(
     "dedup_exact",
     """SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS dup_count
-       FROM documents GROUP BY 1 HAVING COUNT(*) > 1""",
+       FROM documents WHERE text IS NOT NULL
+       GROUP BY 1 HAVING COUNT(*) > 1""",
 )
 def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
@@ -1854,11 +1862,11 @@ def text_decontaminate(spark, sf_dir):
 _PREP_SQL = """
 WITH RECURSIVE base AS (
   SELECT doc_id, lang, text,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
          length(text) AS n_chars,
          length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
          len(list_filter(string_split_regex(trim(text), '\\s+'),
-                         x -> x IN ('the','and','of','a','is'))) AS stop
+                         x -> lower(x) IN ('the','and','of','a','is'))) AS stop
   FROM documents
 ),
 kept AS (
@@ -2032,7 +2040,13 @@ def dedup_simhash(spark, sf_dir):
     row at gate SF; the scale-path operator is dedup_simhash_raw
     (EXTRA tier, also the bench entry)."""
     docs = _t(spark, sf_dir, "documents")
-    sig = dedup.simhash_signatures(docs)
+    from hyper_storage_spark.operators._caches import tracked_persist
+
+    # persisted: the brute-force reference self-joins the signature set
+    # (two plan branches) — unpersisted, each branch re-runs the Arrow
+    # kernel over the corpus (simhash_pairs persists its own copy for
+    # the same reason)
+    sig = tracked_persist(dedup.simhash_signatures(docs))
     banded = dedup.simhash_pairs(docs, max_hamming=3)
     a, b = sig.alias("a"), sig.alias("b")
     brute = (
@@ -2660,12 +2674,12 @@ def ts_gapfill_locf(spark, sf_dir):
     "pipeline_filter_dedup",
     """WITH scored AS (
          SELECT doc_id, lang, text,
-                ROUND(least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0) * 0.5
+                ROUND(least(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) / 100.0, 1.0) * 0.5
                       + 0.3 * (1.0 - least(ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
                                                  / greatest(length(text), 1), 6) * 4, 1.0))
                       + 0.2 * least(ROUND(len(list_filter(string_split_regex(trim(text), '\\s+'),
-                                                          x -> x IN ('the','and','of','a','is'))) * 1.0
-                                          / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) * 5, 1.0),
+                                                          x -> lower(x) IN ('the','and','of','a','is'))) * 1.0
+                                          / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1), 6) * 5, 1.0),
                       6) AS q
          FROM documents
        ),
@@ -2717,19 +2731,22 @@ def q_hash_split_contract(spark, sf_dir):
     split = sampling.hash_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
-    n_total = docs.count()
     targets = {"train": 0.8, "val": 0.1, "test": 0.1}
     target_col = F.create_map(
         *[x for k, v in targets.items() for x in (F.lit(k), F.lit(v))]
     )
-    agg = split.groupBy("split").agg(F.count("*").alias("n"))
+    # the corpus total rides in-plan (1-row scalar cross, the
+    # q_domain_mixture_contract pattern) instead of a separate
+    # driver-side count() action re-scanning the table
+    total = docs.agg(F.count("*").alias("__total"))
+    agg = split.groupBy("split").agg(F.count("*").alias("n")).crossJoin(total)
     return agg.select(
         "split",
         (
-            F.abs(F.col("n") / F.lit(n_total) - target_col[F.col("split")])
+            F.abs(F.col("n") / F.col("__total") - target_col[F.col("split")])
             <= 0.03
         ).alias("frac_ok"),
-        (F.sum("n").over(Window.partitionBy()) == n_total).alias("covers_all"),
+        (F.sum("n").over(Window.partitionBy()) == F.col("__total")).alias("covers_all"),
     ).orderBy("split")
 
 
@@ -2919,19 +2936,22 @@ def ts_series_similarity(spark, sf_dir):
 
 @register_extra(
     "q_funnel_ordered",
-    """WITH s1 AS (
-         SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+    """WITH ev AS (
+         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+       ),
+       s1 AS (
+         SELECT user_id, MIN(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY 1
        ),
        s2 AS (
          SELECT e.user_id, MIN(e.ts) AS t
-         FROM events e JOIN s1 ON e.user_id = s1.user_id
+         FROM ev e JOIN s1 ON e.user_id = s1.user_id
          WHERE e.event_type = 'click' AND e.ts > s1.t
            AND e.ts <= s1.t + INTERVAL 259200 SECOND
          GROUP BY 1
        ),
        s3 AS (
          SELECT e.user_id, MIN(e.ts) AS t
-         FROM events e JOIN s2 ON e.user_id = s2.user_id
+         FROM ev e JOIN s2 ON e.user_id = s2.user_id
          WHERE e.event_type = 'purchase' AND e.ts > s2.t
            AND e.ts <= s2.t + INTERVAL 259200 SECOND
          GROUP BY 1
@@ -3150,13 +3170,14 @@ def q_stream_window_counts(spark, sf_dir):
 
 @register_extra(
     "q_stream_session_windows",
-    """WITH b AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS cutoff FROM events),
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       b AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS cutoff FROM ev),
        o AS (
          SELECT user_id, ts,
                 CASE WHEN LAG(ts) OVER w IS NULL
                        OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                      THEN 1 ELSE 0 END AS brk
-         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
        ),
        s AS (SELECT user_id, ts,
                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
@@ -3299,7 +3320,7 @@ def q_stream_dedup(spark, sf_dir):
     """SELECT user_id, event_id,
               COUNT(*) OVER w AS n_3d,
               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) AS sum_3d
-       FROM events
+       FROM (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
        WINDOW w AS (PARTITION BY user_id ORDER BY ts
                     RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW)""",
 )
@@ -3709,7 +3730,8 @@ def all_specs() -> dict[str, QuerySpec]:
     """Driver-tier + extra-tier catalog, for local verification
     (tools/check_oracles.py) and the bench harness."""
     overlap = QUERIES.keys() & EXTRA_QUERIES.keys()
-    assert not overlap, f"catalog name collision: {sorted(overlap)}"
+    if overlap:  # registration already guards; keep -O-safe defense
+        raise RuntimeError(f"catalog name collision: {sorted(overlap)}")
     return {**QUERIES, **EXTRA_QUERIES}
 
 
