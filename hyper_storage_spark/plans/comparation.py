@@ -11,8 +11,12 @@ and pinned by its test table (AstComparationTest.scala:11-47):
 
 - range widening: ``x > 4`` is Wider than ``x > 5`` (and the >=, <, <=
   symmetric cases), comparing constant-folded operands;
-- ``has`` widening: ``x has [1,2,3]`` is Wider than ``x has [1,2]``
-  (superset rule); ``has not`` reverses the subset direction;
+- ``has`` widening: ``x has [1,2]`` is Wider than ``x has [1,2,3]``
+  (an index keeping rows that contain A serves queries requiring a
+  SUPERSET of A); ``has not`` reverses the subset direction. This is
+  the one place the port deliberately diverges from the reference —
+  Comparation.scala:89-90 runs the containment backwards, which under
+  contains-all `has` semantics routes queries to MVs missing rows;
 - ``or`` widening: ``a or b`` is Wider than ``a`` (checked on the left
   expression against the whole right one);
 - ``and`` narrowing: ``x`` is Wider than ``x and y`` (checked on the
@@ -30,7 +34,6 @@ from ..expression.ast_nodes import (
     BinaryOp,
     Expression,
     FunctionCall,
-    Identifier,
     UnaryOp,
     is_constant_expression,
 )
@@ -96,10 +99,19 @@ def _compare_binary(a: BinaryOp, b: BinaryOp) -> AstComparation:
         return _compare_ranges(b, a, lambda ac, bc: value_greater(bc, ac))
     if ops == ("<=", "<="):
         return _compare_ranges(b, a, lambda ac, bc: value_greater(bc, ac) or value_eq(ac, bc))
+    # DELIBERATE DIVERGENCE from Comparation.scala:89-90 / the ported
+    # AstComparationTest:29-32 vectors, which run the containment the
+    # other way around. Under the evaluator's documented `has`
+    # semantics (contains-ALL, evaluator.has_bop), {x ⊇ B} ⊆ {x ⊇ A}
+    # iff A ⊆ B — so an index filtered by `x has A` can only serve a
+    # query `x has B` when B CONTAINS A. The reference's direction
+    # routes queries to MVs that are missing rows (silently wrong
+    # results); the soundness fuzz below this module's tests now
+    # covers has-shapes and pins the corrected direction.
     if ops == ("has", "has"):
-        return _compare_ranges(a, b, lambda ac, bc: _safe_has(ac, bc))
-    if ops == ("has not", "has not"):
         return _compare_ranges(a, b, lambda ac, bc: _safe_has(bc, ac))
+    if ops == ("has not", "has not"):
+        return _compare_ranges(a, b, lambda ac, bc: _safe_has(ac, bc))
     # fall through: try or-widening on a, then and-narrowing on b
     r = _compare_bop_with_expr(a, b)
     if r is NotEqual:

@@ -34,7 +34,6 @@ from ..expression.evaluator import (
 from . import comparation
 from .model import (
     DECIMAL,
-    CkField,
     FieldFilter,
     FilterOp,
     SortBy,

@@ -25,6 +25,9 @@ def _weigh_one(query_el: SortBy, index_el: SortItem) -> int:
 
 
 def weigh_ordering(query: list[SortBy], index_sorted_by: list[SortItem]) -> int:
+    if not index_sorted_by:
+        # no clustering key at all: a query sort can never match it
+        return -10 if query else 0
     weight, index = 0, 0
     for sort_by in query:
         if (weight, index) == (0, 0):
@@ -57,6 +60,12 @@ def extract_index_sort_fields(
     same position and its direction is consistent with a single scan
     direction (forward, or — flipped at position 0 — reversed)."""
     reversed_ = False
+    # FAITHFUL reference quirk (OrderFieldsLogic.scala:49): the
+    # physical-name geometry uses the QUERY sort length, not the index
+    # field-list length — tableFieldName's id→item_id mapping therefore
+    # fires only when 'id' is the query's last sort field. Kept as-is
+    # for vector parity; indexes that declare 'id' mid-list inherit
+    # the same reference behavior.
     size = len(query_sort_by)
     fields: list[CkField] = []
     for index, q in enumerate(query_sort_by):

@@ -35,8 +35,20 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # save/restore the legacy switch: leaving it set session-wide
+    # silently changes how every UNRELATED parquet read interprets
+    # TIMESTAMP(NANOS) columns for the rest of the session
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df.schema  # force analysis while the switch is active
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: float division loses precision at 1.7e18 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -3,8 +3,10 @@
 The reference uses hyperbus IdGenerator (PrimaryWorker.scala:78) to
 produce sortable unique ids so POSTed items are naturally ordered by
 insertion (README «Идентификатор элемента»). This is a ULID-style
-generator: 48-bit millisecond timestamp + 80 random bits, Crockford
-base32, monotonic within a process.
+generator: 48-bit millisecond timestamp + 80 random bits, lowercase
+base32hex (0-9a-v — NOT Crockford: sortability needs the alphabet in
+ASCII order, Crockford's i/l/o/u exclusions break that), monotonic
+within a process.
 """
 
 from __future__ import annotations
@@ -34,5 +36,8 @@ def create_id() -> str:
         if ms < _last[0] or (ms == _last[0] and rnd <= _last[1]):
             ms = _last[0]
             rnd = _last[1] + 1
+            if rnd >= 1 << 80:  # carry instead of wrapping below the predecessor
+                ms += 1
+                rnd = 0
         _last[0], _last[1] = ms, rnd
         return _b32(ms, 10) + _b32(rnd, 16)

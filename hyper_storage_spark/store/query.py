@@ -110,10 +110,42 @@ def _lit_for(ff: FieldFilter, decimal_col: bool):
     return F.lit(ff.value if isinstance(ff.value, str) else canonical_str(ff.value))
 
 
+def _null_value_cond(c, op: FilterOp):
+    """Pushed-filter condition for a NULL comparand. Sort columns store
+    NULL for missing/containerized fields, and Spark orders them
+    NULLS-FIRST ascending / NULLS-LAST descending — a '' literal (the
+    old canonical_str(None) translation) matched neither, so keyset
+    pages resuming from a NULL-valued row silently dropped the rest of
+    the NULL group."""
+    return {
+        FilterOp.EQ: c.isNull(),
+        FilterOp.GT: c.isNotNull(),  # asc resume: everything past the leading NULL run
+        FilterOp.GTEQ: F.lit(True),
+        FilterOp.LT: F.lit(False),  # desc resume: nothing sorts below the trailing NULLs
+        FilterOp.LTEQ: c.isNull(),
+    }[op]
+
+
 def _apply_field_filters(df: DataFrame, filters: list[FieldFilter], decimal_cols: set[str]) -> DataFrame:
+    from ..expression.evaluator import EvalError
+
     for ff in filters:
         c = F.col(ff.name)
-        v = _lit_for(ff, ff.name in decimal_cols)
+        if ff.value is None:
+            df = df.filter(_null_value_cond(c, ff.op))
+            continue
+        try:
+            v = _lit_for(ff, ff.name in decimal_cols)
+        except EvalError:
+            # no typed scalar form (array/object literal, or a
+            # non-numeric constant against a decimal column). Only
+            # NULL-celled rows could still satisfy the TRUE predicate
+            # (containers have no sort value, so their rows store
+            # NULL) — keep those for the residual filter on equality;
+            # ordering against an unconvertible constant eval-errors
+            # per row, which rejects, so ranges push FALSE.
+            df = df.filter(c.isNull() if ff.op == FilterOp.EQ else F.lit(False))
+            continue
         cond = {
             FilterOp.EQ: c == v,
             FilterOp.GT: c > v,

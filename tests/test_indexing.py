@@ -317,3 +317,72 @@ def test_spark_backfill_same_index_id_on_two_collections(spark, tmp_path):
         res = store.query(c, sort=[SortBy("a")], size=10)
         assert res.plan.index_id == "idx", c
         assert [b["a"] for b in res.items] == [0, 1, 2, 3], c
+
+
+def test_keyset_paging_survives_null_sort_values(spark, tmp_path):
+    """Items missing the indexed field store NULL sort cells (sorted
+    NULLS-FIRST asc); pages resuming from inside or past the NULL run
+    must not drop rows (the old '' literal matched neither NULLs nor
+    anything else)."""
+    from hyper_storage_spark.plans.model import SortBy, SortItem
+    from hyper_storage_spark.store import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    for i in range(6):
+        store.put(f"nk~/m{i}", {"other": i})  # no 'a': NULL sort value
+    for i in range(6):
+        store.put(f"nk~/v{i}", {"a": i})
+    store.create_index("nk~", "idx_a", [SortItem("a", "decimal", "asc")])
+
+    full = [b["id"] for b in store.query("nk~", sort=[SortBy("a")], size=50).items]
+    assert len(full) == 12
+    paged = [
+        b["id"] for b in store.query_paged("nk~", sort=[SortBy("a")], size=4).items
+    ]
+    # first page of the paged loop must be a prefix of the full scan
+    assert paged == full[:4]
+
+
+def test_unpushable_filter_values_do_not_crash(spark, tmp_path):
+    """Array literals and type-mismatched constants against an indexed
+    sort column must not crash the pushed-filter build — rows whose
+    cells could still satisfy the predicate stay for the residual."""
+    from hyper_storage_spark.plans.model import SortBy, SortItem
+    from hyper_storage_spark.store import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    store.put("uf~/x", {"tags": [1, 2], "n": 5})
+    store.put("uf~/y", {"tags": [3], "n": 7})
+    store.create_index("uf~", "idx_t", [SortItem("tags", "text", "asc")])
+    store.create_index("uf~", "idx_n", [SortItem("n", "decimal", "asc")])
+
+    got = store.query("uf~", filter="tags = [1,2]", sort=[SortBy("tags")], size=10)
+    assert [b["id"] for b in got.items] == ["x"]
+    got = store.query("uf~", filter='n = "abc"', sort=[SortBy("n")], size=10)
+    assert got.items == []
+
+
+def test_has_index_routing_is_sound(spark, tmp_path):
+    """The corrected has-widening: an MV filtered by `x has A` serves a
+    query `x has B` only when B ⊇ A — the reference's direction routed
+    queries to MVs missing rows."""
+    from hyper_storage_spark.plans.model import SortBy, SortItem
+    from hyper_storage_spark.store import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    store.put("hs~/a", {"x": [1, 2], "r": 1})
+    store.put("hs~/b", {"x": [1, 2, 3], "r": 2})
+    store.create_index(
+        "hs~", "idx_has", [SortItem("r", "decimal", "asc")], filter_by="x has [1,2]"
+    )
+    # narrower query routes to the wider MV and sees complete rows
+    res = store.query("hs~", filter="x has [1,2,3]", sort=[SortBy("r")], size=10)
+    assert res.plan.index_id == "idx_has"
+    assert [b["id"] for b in res.items] == ["b"]
+    # an MV filtered by the SUPERSET must not serve the subset query
+    store.create_index(
+        "hs~", "idx_sup", [SortItem("r", "decimal", "asc")], filter_by="x has [1,2,3]"
+    )
+    res = store.query("hs~", filter="x has [1,2]", sort=[SortBy("r")], size=10)
+    assert res.plan.index_id != "idx_sup"
+    assert [b["id"] for b in res.items] == ["a", "b"]
