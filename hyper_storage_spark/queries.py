@@ -3669,6 +3669,45 @@ def _items_df(spark, items, cols: str):
     return spark.createDataFrame(rows, cols)
 
 
+@register_extra(
+    "store_analyze_stats",
+    """SELECT 'n_chars' AS field_name,
+              COUNT(*) AS n_rows,
+              COUNT(n_chars) AS n_nonnull,
+              COUNT(DISTINCT n_chars) AS ndv,
+              CAST(MIN(n_chars) AS DOUBLE) AS min_num,
+              CAST(MAX(n_chars) AS DOUBLE) AS max_num
+       FROM documents""",
+)
+def store_analyze_stats(spark, sf_dir):
+    """The store's ANALYZE (store/stats.py — the reference's
+    «histograms/statistics» future-work item) gated end-to-end: the
+    documents corpus is bulk-ingested into the catalog store, ANALYZEd
+    through the Spark one-pass stats job over the collection's JSON
+    bodies, and the committed field statistics must equal the oracle's
+    direct aggregates over the source parquet — proving the
+    get_json_object extraction, typing, and commit path value-exact.
+    The equi-width/equi-height histograms and explain() row estimates
+    ride the same stats rows (pytest-pinned, tests/test_stats.py)."""
+    store = _docs_store(spark, sf_dir)
+    if "n_chars" not in store.collection_stats("docs~"):
+        store.analyze("docs~", [("n_chars", "decimal")])
+    st = store.collection_stats("docs~")["n_chars"]
+    return spark.createDataFrame(
+        [
+            (
+                "n_chars",
+                st.n_rows,
+                st.n_nonnull,
+                st.ndv,
+                float(st.min_num),
+                float(st.max_num),
+            )
+        ],
+        "field_name string, n_rows long, n_nonnull long, ndv long, min_num double, max_num double",
+    )
+
+
 @register(
     "store_query_mv_sorted",
     """SELECT doc_id, lang, n_chars FROM documents
