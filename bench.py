@@ -39,6 +39,16 @@ HEADLINE = [
 ]
 
 
+def _sf_number(sf: str):
+    # try/except, not an isdigit heuristic: "0.0.1" passes the
+    # heuristic and float() then crashes AFTER the whole query loop,
+    # discarding every measurement
+    try:
+        return float(sf)
+    except ValueError:
+        return sf
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -74,17 +84,25 @@ def main() -> None:
             for _ in range(max(runs, 1)):
                 t0 = time.time()
                 df = fn(spark, sf_dir)
-                n = df.count() if name != "q_window_running_total" else len(df.collect())
+                # noop sink, not count(): count() lets the optimizer
+                # PRUNE projection-only queries (text_quality_score /
+                # text_langid were timing a bare row-count of the
+                # source table); the noop write materializes every
+                # output column without collecting to the driver
+                df.write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
+                # caches from THIS run must not warm the next run: a
+                # re-persisted identical plan hits the CacheManager and
+                # min-of-N would report warm-cache times for caching
+                # operators while others stay cold
+                release_tracked_caches()
+            n = fn(spark, sf_dir).count()  # row count reported, not timed
         except Exception as e:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         finally:
-            # operators that persist mid-plan register their caches;
-            # release between queries so one entry's storage doesn't
-            # evict the next entry's working set
             release_tracked_caches()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
@@ -95,7 +113,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": _sf_number(sf),
     }
     if errors:
         out["errors"] = errors

@@ -16,7 +16,11 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "hyper_storage_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or min(os.cpu_count() or 4, 32)
+        try:
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0"))
+        except ValueError:  # e.g. "auto" / stray whitespace: fall back
+            cpus = 0
+        cpus = cpus or min(os.cpu_count() or 4, 32)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

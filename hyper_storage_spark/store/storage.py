@@ -196,7 +196,12 @@ class Storage:
         rel = os.path.join("data", _sanitize(table), f"append-v{version:08d}.parquet")
         abspath = os.path.join(self.root, rel)
         os.makedirs(os.path.dirname(abspath), exist_ok=True)
-        pq.write_table(pa.Table.from_pylist(rows, schema=schema), abspath)
+        # tmp + rename: append-only tables double as Structured
+        # Streaming file-source dirs (the feed) — a reader listing the
+        # directory mid-write would see a footerless parquet and die
+        tmp = abspath + f".tmp.{uuid.uuid4().hex[:8]}"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+        os.replace(tmp, abspath)
         manifest["tables"].setdefault(table, {})[f"a{version}"] = rel
         manifest["version"] = version
         self._write_manifest(manifest)

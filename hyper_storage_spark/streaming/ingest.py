@@ -62,7 +62,11 @@ def write_commands(commands_dir: str, commands: list[dict]) -> str:
         }
         for c in commands
     ]
-    pq.write_table(pa.Table.from_pylist(rows, schema=COMMANDS_ARROW), path)
+    # tmp + rename: the command stream's file source lists this dir —
+    # a mid-write listing must never see a footerless parquet
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pylist(rows, schema=COMMANDS_ARROW), tmp)
+    os.replace(tmp, path)
     return path
 
 
@@ -201,9 +205,9 @@ def apply_commands_distributed(
         def uri_of(p):
             try:
                 return _sp(p).document_uri
-            except ValueError:
-                return p  # malformed: any stable bucket works — the
-                # apply stage dead-letters it without touching state
+            except Exception:  # malformed/None: any stable bucket works —
+                # the apply stage dead-letters it without touching state
+                return str(p)
 
         uris = [uri_of(p) for p in paths]
         return pd.DataFrame(
@@ -287,8 +291,8 @@ def _apply_serial(store: DocumentStore, rows) -> None:
     def _key(r):
         try:
             return (split_path(r.path).document_uri, r.seq)
-        except ValueError:
-            return (r.path, r.seq)  # malformed: order stably, dead-letter below
+        except Exception:  # malformed/None path: order stably, dead-letter below
+            return (str(r.path), r.seq if r.seq is not None else -1)
 
     for r in sorted(rows, key=_key):
         body = json.loads(r.body) if r.body is not None else None
@@ -318,10 +322,11 @@ def reset_stream_watermark(store: DocumentStore, checkpoint_dir: str) -> None:
 def run_command_stream(
     spark: SparkSession,
     store: DocumentStore,
-    commands_dir: str,
+    commands_dir: Optional[str],
     checkpoint_dir: str,
     available_now: bool = True,
     distributed: bool = True,
+    source: Optional["object"] = None,
 ):
     """Consume the command log and apply it to the store.
 
@@ -360,11 +365,20 @@ def run_command_stream(
             with store._lock:
                 store.storage.commit_external_many({}, meta=meta)
 
+    if source is None:
+        # default file source over the command-log directory; pass
+        # ``source`` to swap in another streaming DataFrame with the
+        # same columns (e.g. kafka_command_stream(...) on a cluster) —
+        # the watermark/dead-letter/apply machinery is source-agnostic
+        if commands_dir is None:
+            raise ValueError("run_command_stream needs commands_dir or source")
+        source = (
+            spark.readStream.schema(COMMANDS_SPARK)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(commands_dir)
+        )
     stream = (
-        spark.readStream.schema(COMMANDS_SPARK)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(commands_dir)
-        .writeStream.foreachBatch(apply_batch)
+        source.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -64,10 +64,25 @@ def decode_command_payload(raw: DataFrame) -> DataFrame:
     """Kafka record → command rows: ``value`` is a JSON object with the
     same fields as the file-source schema (seq, method, path, body).
     Works on any DataFrame with a binary/string ``value`` column, which
-    is what makes the codec testable without a broker."""
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), COMMANDS_SPARK).alias("c")
-    ).select("c.*")
+    is what makes the codec testable without a broker.
+
+    Undecodable payloads (from_json ⇒ null struct) come out as rows
+    with method='__undecodable__' and the raw text in ``body`` — the
+    ingest dispatcher dead-letters unknown methods, so one bad
+    producer message is recorded instead of poison-pilling the
+    retried batch (an all-null row would crash the path router)."""
+    txt = F.col("value").cast("string")
+    # PERMISSIVE from_json yields all-null FIELDS (not a null struct)
+    # for bad input; a missing/null method is the undecodable marker —
+    # a real command always carries one, and a JSON object without it
+    # is equally malformed
+    bad = F.col("c.method").isNull()
+    return raw.select(txt.alias("__raw"), F.from_json(txt, COMMANDS_SPARK).alias("c")).select(
+        F.col("c.seq").alias("seq"),
+        F.when(bad, F.lit("__undecodable__")).otherwise(F.col("c.method")).alias("method"),
+        F.coalesce(F.col("c.path"), F.lit("")).alias("path"),
+        F.when(bad, F.col("__raw")).otherwise(F.col("c.body")).alias("body"),
+    )
 
 
 def encode_feed_payload(feed: DataFrame) -> DataFrame:

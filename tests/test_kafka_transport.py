@@ -98,3 +98,20 @@ def test_kafka_builders_exist_and_are_wired():
 
     sig = inspect.signature(kafka_command_stream)
     assert list(sig.parameters)[:3] == ["spark", "bootstrap_servers", "topic"]
+
+
+def test_undecodable_payload_becomes_dead_letterable_row(spark):
+    """A non-JSON Kafka message must decode to a row the ingest
+    dispatcher can dead-letter (method='__undecodable__', raw text in
+    body) — an all-null row would crash the path router and poison the
+    retried batch."""
+    from hyper_storage_spark.streaming.kafka import decode_command_payload
+
+    raw = spark.createDataFrame(
+        [(b'{"seq": 1, "method": "put", "path": "d", "body": "{}"}',), (b"not json",)],
+        "value binary",
+    )
+    rows = {r.method: r for r in decode_command_payload(raw).collect()}
+    assert rows["put"].path == "d" and rows["put"].seq == 1
+    bad = rows["__undecodable__"]
+    assert bad.path == "" and bad.body == "not json"
