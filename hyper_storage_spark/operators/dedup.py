@@ -887,6 +887,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text")
 
     def chunk_bits(c: int):
         w = 64 - c * width if c == n_chunks - 1 else width
+        if w >= 64:
+            # single-chunk split (max_hamming=0): the full signature IS
+            # the chunk — a 64-bit mask literal (2^64-1) does not fit
+            # LongType, so skip the mask entirely
+            return F.col("simhash")
         mask = (1 << w) - 1
         return F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
 

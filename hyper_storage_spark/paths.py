@@ -32,6 +32,11 @@ def split_path(path: str) -> ResourcePath:
     validation rules: no leading/trailing '/', no empty segments, restricted
     character set.
     """
+    if not isinstance(path, str):
+        # a nullable command schema makes None representable; every
+        # caller treats ValueError as "malformed path", so raise that
+        # rather than an AttributeError from None.startswith
+        raise ValueError(f"{path!r} is not a valid path")
     if path.startswith("/") or path.endswith("/"):
         raise ValueError(f"{path!r} is invalid (ends or starts with '/')")
     if any(c not in ALLOWED_CHARS for c in path):

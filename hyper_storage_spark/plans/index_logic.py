@@ -130,6 +130,25 @@ def value_range_matches(a: Any, b: Any, op: FilterOp, sort_field_type: str) -> b
         return False
 
 
+def _physical_cell_value(value: Any, effective_type: str) -> Any:
+    """Map a body value to what the PHYSICAL sort cell stores.
+
+    documents._sort_value writes NULL for values with no typed scalar
+    form (containers; non-numeric values in a decimal column), so a
+    keyset resume filter must carry None for them too — the raw body
+    value would reach the planner's EvalError fallback, which pushes
+    FALSE for range ops and ends pagination early, dropping every row
+    that sorts after the NULL run. Convertible scalars pass through
+    unchanged (the planner's _lit_for re-applies the same conversion)."""
+    if value is None:
+        return None
+    try:
+        to_decimal(value) if effective_type == DECIMAL else canonical_str(value)
+    except EvalError:
+        return None
+    return value
+
+
 def least_rows_filter_fields(
     index_sorted_by: list[SortItem],
     query_filter_fields: list[FieldFilter],
@@ -152,7 +171,13 @@ def least_rows_filter_fields(
                 found = False
                 break
         isb_idx.append(
-            (name, cur if found else None, item.ascending, index, item.effective_type)
+            (
+                name,
+                _physical_cell_value(cur, item.effective_type) if found else None,
+                item.ascending,
+                index,
+                item.effective_type,
+            )
         )
 
     reached_end = False

@@ -35,20 +35,17 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # save/restore the legacy switch: leaving it set session-wide
-    # silently changes how every UNRELATED parquet read interprets
-    # TIMESTAMP(NANOS) columns for the rest of the session
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "true")
-    try:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df.schema  # force analysis while the switch is active
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    # The legacy switch must stay set for the SESSION, not just through
+    # df.schema: Spark re-reads it from the session conf when the
+    # physical parquet reader is built at ACTION time, so a
+    # set-analyze-restore dance leaves analysis seeing bigint while
+    # execution runs with the flag off — TIMESTAMP(NANOS) inputs (the
+    # exact case the bigint branch below handles) would fail or misread
+    # at collect. Safe session-wide here: none of the engine's own
+    # parquet (store buckets, staging, exports) carries nanos columns,
+    # so the only reads the flag can affect are these fixture loads.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: float division loses precision at 1.7e18 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

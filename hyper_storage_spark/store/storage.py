@@ -21,12 +21,21 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 import zlib
 from typing import Any, Iterable, Optional
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+
+class ManifestConflict(RuntimeError):
+    """The manifest version moved between a writer's read and its flip
+    — another process committed concurrently. The losing writer's flip
+    is REFUSED (its staged data is untouched on disk); the caller must
+    re-read and re-apply, or give up. This is the cross-process fence:
+    within one process the DocumentStore lock already serializes."""
 
 
 def bucket_of(key: str, n_buckets: int) -> int:
@@ -84,6 +93,54 @@ class Storage:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path)
+
+    # how long a writer waits for the flip lock, and the age past which
+    # a lock file is presumed to belong to a crashed writer and broken
+    # (the critical section is a version check + one rename — ms-scale)
+    LOCK_TIMEOUT_S = 10.0
+    STALE_LOCK_S = 10.0
+
+    def _cas_write_manifest(self, manifest: dict, expected_version: int) -> None:
+        """Compare-and-swap flip: atomically replace the manifest ONLY
+        if its on-disk version still equals ``expected_version``.
+
+        Every read-modify-write commit path routes through this, so two
+        processes on one store root can no longer lose a flip: the
+        second writer's commit raises :class:`ManifestConflict` instead
+        of silently overwriting the first's. The check-and-rename pair
+        is serialized by a short-lived O_EXCL lock file (ms-held;
+        age-broken if a writer crashed inside the window)."""
+        lockp = self._manifest_path + ".lock"
+        deadline = time.time() + self.LOCK_TIMEOUT_S
+        while True:
+            try:
+                fd = os.open(lockp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lockp) > self.STALE_LOCK_S:
+                        os.remove(lockp)
+                        continue
+                except OSError:
+                    continue  # holder released concurrently: retry now
+                if time.time() > deadline:
+                    raise ManifestConflict(
+                        f"timed out waiting for manifest lock {lockp}"
+                    )
+                time.sleep(0.002)
+        try:
+            current = self._read_manifest()["version"]
+            if current != expected_version:
+                raise ManifestConflict(
+                    f"manifest version moved: expected {expected_version}, found {current}"
+                )
+            self._write_manifest(manifest)
+        finally:
+            os.close(fd)
+            try:
+                os.remove(lockp)
+            except OSError:  # pragma: no cover — lock broken by a peer
+                pass
 
     # -- reads --------------------------------------------------------------
 
@@ -152,7 +209,7 @@ class Storage:
         if meta:
             manifest.setdefault("meta", {}).update(meta)
         manifest["version"] = version
-        self._write_manifest(manifest)
+        self._cas_write_manifest(manifest, version - 1)
         return version
 
     def set_meta(self, key: str, value) -> int:
@@ -180,11 +237,18 @@ class Storage:
         for table in drop_tables:  # drops first: drop-and-recreate keeps the recreate
             manifest["tables"].pop(table, None)
         for (table, bucket), rows in updates.items():
-            rel = os.path.join("data", _sanitize(table), f"b{bucket:04d}-v{version:08d}.parquet")
+            # uuid suffix: two PROCESSES racing at the same version must
+            # not write the same path — the CAS flip rejects the loser,
+            # but only if the winner's file wasn't overwritten first
+            rel = os.path.join(
+                "data",
+                _sanitize(table),
+                f"b{bucket:04d}-v{version:08d}-{uuid.uuid4().hex[:6]}.parquet",
+            )
             write_bucket_file(rows, schemas[table], os.path.join(self.root, rel))
             manifest["tables"].setdefault(table, {})[str(bucket)] = rel
         manifest["version"] = version
-        self._write_manifest(manifest)
+        self._cas_write_manifest(manifest, version - 1)
         return version
 
     def append(self, table: str, rows: list[dict], schema: pa.Schema) -> int:
@@ -193,7 +257,9 @@ class Storage:
         Structured Streaming file source expects (new files = new data)."""
         manifest = self._read_manifest()
         version = manifest["version"] + 1
-        rel = os.path.join("data", _sanitize(table), f"append-v{version:08d}.parquet")
+        rel = os.path.join(
+            "data", _sanitize(table), f"append-v{version:08d}-{uuid.uuid4().hex[:6]}.parquet"
+        )
         abspath = os.path.join(self.root, rel)
         os.makedirs(os.path.dirname(abspath), exist_ok=True)
         # tmp + rename: append-only tables double as Structured
@@ -204,7 +270,7 @@ class Storage:
         os.replace(tmp, abspath)
         manifest["tables"].setdefault(table, {})[f"a{version}"] = rel
         manifest["version"] = version
-        self._write_manifest(manifest)
+        self._cas_write_manifest(manifest, version - 1)
         return version
 
     def all_rows(self, table: str) -> list[dict]:
@@ -249,6 +315,11 @@ class OverlayStorage(Storage):
         self.appended: dict[str, list[dict]] = {}
         self.append_schemas: dict[str, pa.Schema] = {}
         self.dropped: set[str] = set()
+        # every table EVER dropped in this overlay (drop-then-recreate
+        # removes it from ``dropped`` but the final atomic flip must
+        # still drop the base entries before registering the recreated
+        # buckets, or stale base buckets outside the staged set survive)
+        self.ever_dropped: set[str] = set()
 
     def bucket_rows(self, table: str, bucket: int, filters: Optional[list] = None) -> list[dict]:
         if table in self.dropped:
@@ -271,9 +342,19 @@ class OverlayStorage(Storage):
             return rows
         return self.base.bucket_rows(table, bucket, filters)
 
+    def bucket_files(self, table: str, bucket: int) -> list[str]:
+        """Overlaid/dropped buckets live as in-memory rows, not files —
+        report none so callers sizing a Spark-vs-driver decision (e.g.
+        create_index's footer row count) take the driver path, which
+        reads through the overlay-aware :meth:`bucket_rows`."""
+        if table in self.dropped or (table, bucket) in self.overlay:
+            return []
+        return self.base.bucket_files(table, bucket)
+
     def commit(self, updates, schemas, drop_tables=()):
         for t in drop_tables:
             self.dropped.add(t)
+            self.ever_dropped.add(t)
             self.overlay = {k: v for k, v in self.overlay.items() if k[0] != t}
         for key, rows in updates.items():
             self.overlay[key] = [dict(r) for r in rows]

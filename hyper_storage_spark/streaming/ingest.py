@@ -70,19 +70,24 @@ def write_commands(commands_dir: str, commands: list[dict]) -> str:
     return path
 
 
-def _dispatch(ds: DocumentStore, method: str, path: str, body) -> Optional[str]:
-    """Apply ONE command; returns None on success/benign-skip, else the
-    dead-letter reason. Shared by the serial and distributed paths so
-    their skip semantics cannot drift apart.
+def _dispatch(ds: DocumentStore, method: str, path: str, raw_body: Optional[str]) -> Optional[str]:
+    """Decode + apply ONE command; returns None on success/benign-skip,
+    else the dead-letter reason. Shared by the serial and distributed
+    paths so their skip semantics cannot drift apart.
 
     - NotFoundError (replay of an already-applied delete within a
       batch) is the benign skip, as in the reference's idempotent
       delete handling.
-    - ValueError / KeyError (malformed path, bad method, non-object
-      collection item body, planner KeyErrors from hostile input) are
-      producer bugs: dead-letter the command, keep the stream alive.
+    - ValueError / KeyError / TypeError / AttributeError (invalid JSON
+      body, malformed or None path, bad method, non-object collection
+      item body, planner KeyErrors from hostile input) are producer
+      bugs: dead-letter the command, keep the stream alive. The JSON
+      decode lives INSIDE the try for the same reason — an undecodable
+      body must never escape as a raw JSONDecodeError and poison-pill
+      the batch (Structured Streaming retries it forever).
     """
     try:
+        body = json.loads(raw_body) if raw_body is not None else None
         if method == "put":
             ds.put(path, body)
         elif method == "patch":
@@ -94,7 +99,7 @@ def _dispatch(ds: DocumentStore, method: str, path: str, body) -> Optional[str]:
         return None
     except NotFoundError:
         return None
-    except (ValueError, KeyError) as e:  # noqa: PERF203 — per-command isolation
+    except (ValueError, KeyError, TypeError, AttributeError) as e:  # noqa: PERF203
         return f"{type(e).__name__}: {e}"
 
 
@@ -146,8 +151,7 @@ def _apply_bucket_commands(root: str, n_buckets: int, auto_complete: bool, batch
             ds = _DS(root, auto_complete=auto_complete, storage=overlay)
             pdf = pdf.sort_values(["document_uri", "seq"])
             for r in pdf.itertuples():
-                body = json.loads(r.body) if r.body is not None else None
-                err = _dispatch(ds, r.method, r.path, body)
+                err = _dispatch(ds, r.method, r.path, r.body)
                 if err is not None:
                     overlay.append(
                         DEAD_LETTER,
@@ -185,11 +189,13 @@ def apply_commands_distributed(
     making it atomic with the data).
 
     Batches containing a collection-document delete fall back to the
-    serial path: dropping a collection's index tables rewrites the
-    global INDEX_DEFS bucket, which two groups could otherwise both
+    serial-STAGED path: dropping a collection's index tables rewrites
+    the global INDEX_DEFS bucket, which two groups could otherwise both
     stage (rare, metadata-only — correctness over parallelism there).
-    Template instantiation has the same global-bucket hazard, so it
-    runs driver-side on the real store BEFORE the fan-out."""
+    The fallback keeps the distributed path's atomicity: one overlay,
+    one manifest flip carrying data + drops + watermark. Template
+    instantiation has the same global-bucket hazard, so it runs
+    driver-side on the real store BEFORE the fan-out."""
     from pyspark.sql import functions as F
 
     from ..paths import is_collection_uri, split_path as _sp
@@ -227,10 +233,7 @@ def apply_commands_distributed(
         .count()
         > 0
     ):
-        _apply_serial(store, batch_df.collect())
-        if commit_meta:
-            with store._lock:
-                store.storage.commit_external_many({}, meta=commit_meta)
+        _apply_serial_staged(store, batch_df.collect(), batch_id, commit_meta)
         return
 
     if store.index_templates():
@@ -241,8 +244,13 @@ def apply_commands_distributed(
         for (p,) in batch_df.select("path").distinct().collect():
             try:
                 uri = _sp(p).document_uri
-            except ValueError:
-                continue  # malformed path: dead-lettered by the apply
+            except Exception:
+                # malformed/None path (AttributeError on None, ValueError
+                # on bad shape, ...): dead-lettered by the apply stage —
+                # anything escaping here poison-pills foreachBatch, which
+                # Structured Streaming retries forever, so match the
+                # route UDF's broad catch
+                continue
             if is_collection_uri(uri):
                 store.instantiate_templates(uri)
 
@@ -266,9 +274,11 @@ def apply_commands_distributed(
             files.setdefault(r.table, {})[r.bucket] = [os.path.join(store.storage.root, r.path)]
         elif r.kind == "drop":
             drops.append(r.table)
-    # Everything below holds store._lock: the manifest has no CAS, so
-    # the driver flip must not interleave with recover() or library-mode
-    # writes on the same store (read-modify-write race).
+    # Everything below holds store._lock: the driver flip must not
+    # interleave with recover() or library-mode writes on the same
+    # store object (in-process read-modify-write race; cross-process
+    # interleavings are fenced by the manifest CAS, which would fail
+    # this flip rather than lose one).
     # Feed first, manifest flip second: a crash in between re-applies
     # the whole batch (the watermark rides INSIDE the flip, so it has
     # not advanced) — store state stays exactly-once, feed delivery is
@@ -283,10 +293,27 @@ def apply_commands_distributed(
             store.storage.commit_external_many(files, drop_tables=drops, meta=commit_meta)
 
 
-def _apply_serial(store: DocumentStore, rows) -> None:
-    from ..paths import split_path
+def _apply_serial_staged(
+    store: DocumentStore, rows, batch_id: int, commit_meta: Optional[dict] = None
+) -> None:
+    """Apply a command batch serially on the driver with the SAME
+    atomicity as the distributed path: every write goes through a
+    copy-on-write OverlayStorage, and the staged bucket files, feed
+    events, table drops, and ``commit_meta`` (the batch watermark)
+    publish in ONE ``commit_external_many`` flip.
 
-    dead: list[dict] = []
+    Exactly-once for store state: a crash anywhere before the flip
+    leaves the base snapshot untouched (replay re-applies the whole
+    batch against unchanged state and stages the same result); a crash
+    after the flip finds the watermark advanced and skips the batch.
+    Feed publication stays at-least-once (its append precedes the flip;
+    consumers dedup by (uri, revision) — the reference's model)."""
+    from ..paths import split_path
+    from ..store.documents import DocumentStore as _DS, FEED
+    from ..store.storage import OverlayStorage, _sanitize, write_bucket_file
+
+    overlay = OverlayStorage(store.storage)
+    ds = _DS(store.storage.root, auto_complete=store.auto_complete, storage=overlay)
 
     def _key(r):
         try:
@@ -294,14 +321,46 @@ def _apply_serial(store: DocumentStore, rows) -> None:
         except Exception:  # malformed/None path: order stably, dead-letter below
             return (str(r.path), r.seq if r.seq is not None else -1)
 
+    collection_deleted = False
     for r in sorted(rows, key=_key):
-        body = json.loads(r.body) if r.body is not None else None
-        err = _dispatch(store, r.method, r.path, body)
+        err = _dispatch(ds, r.method, r.path, r.body)
         if err is not None:
-            dead.append(_dead_letter_row(r.seq, r.method, r.path, r.body, err))
-    if dead:
-        with store._lock:
-            store.storage.append(DEAD_LETTER, dead, DEAD_LETTER_SCHEMA)
+            overlay.append(
+                DEAD_LETTER,
+                [_dead_letter_row(r.seq, r.method, r.path, r.body, err)],
+                DEAD_LETTER_SCHEMA,
+            )
+        elif r.method == "delete" and str(r.path).endswith("~"):
+            collection_deleted = True
+
+    files: dict[str, dict[int, list[str]]] = {}
+    for (table, bucket), bucket_rows in overlay.overlay.items():
+        rel = os.path.join(
+            "data",
+            _sanitize(table),
+            f"b{bucket:04d}-stream-{batch_id}-{uuid.uuid4().hex[:8]}.parquet",
+        )
+        write_bucket_file(bucket_rows, overlay.schemas[table], os.path.join(store.storage.root, rel))
+        files.setdefault(table, {})[int(bucket)] = [os.path.join(store.storage.root, rel)]
+    # drop EVER-dropped tables (not just still-dropped): the flip drops
+    # before registering, so a drop-and-recreate keeps the staged
+    # recreation while stale base buckets of the old table disappear
+    drops = sorted(overlay.ever_dropped)
+
+    with store._lock:
+        for table, appended in overlay.appended.items():
+            if not appended:
+                continue
+            if table == FEED:
+                appended = sorted(appended, key=lambda d: (d["document_uri"], d["revision"]))
+            store.storage.append(table, appended, overlay.append_schemas[table])
+        if files or drops or commit_meta:
+            store.storage.commit_external_many(files, drop_tables=drops, meta=commit_meta)
+        if collection_deleted:
+            # the overlay store's memo discard doesn't reach the REAL
+            # store object: forget its template memo so a re-created
+            # collection gets template indexes back on its next write
+            store._templated_uris.clear()
 
 
 def _watermark_key(checkpoint_dir: str) -> str:
@@ -327,6 +386,8 @@ def run_command_stream(
     available_now: bool = True,
     distributed: bool = True,
     source: Optional["object"] = None,
+    vacuum_every: int = 64,
+    vacuum_grace: float = 3600.0,
 ):
     """Consume the command log and apply it to the store.
 
@@ -340,15 +401,23 @@ def run_command_stream(
     foreachBatch is at-least-once: a crash between apply and the
     checkpoint commit re-delivers the batch, and re-applying writes
     would mint NEW revisions (not revision-idempotent). The remedy is a
-    batch-id watermark that rides IN the manifest flip itself — the
-    distributed path is exactly-once for store state (marker and data
-    commit atomically). The serial fallback path advances the watermark
-    in a separate commit after its per-command writes, so a crash
-    MID-serial-batch can re-apply that batch's already-written prefix
-    (rare: serial only runs for collection-delete batches). The
-    watermark is keyed by checkpoint path: if you DELETE a checkpoint
-    to reprocess from scratch, call :func:`reset_stream_watermark`
-    first, or every replayed batch is silently skipped."""
+    batch-id watermark that rides IN the manifest flip itself — marker
+    and data commit atomically, so store state is exactly-once on BOTH
+    paths: the distributed path stages executor-side, and the serial
+    fallback (collection-delete batches) stages through the same
+    OverlayStorage + single-flip mechanism on the driver
+    (:func:`_apply_serial_staged`). The watermark is keyed by
+    checkpoint path: if you DELETE a checkpoint to reprocess from
+    scratch, call :func:`reset_stream_watermark` first, or every
+    replayed batch is silently skipped.
+
+    Orphan GC: every ``vacuum_every`` batches (0 = off) the store's
+    :meth:`vacuum` reclaims data files no longer referenced by the
+    manifest — superseded bucket versions AND staged files orphaned by
+    crashed/retried batches (a failed flip leaves its staging on disk
+    by design). It runs between batches under the store lock, with
+    ``vacuum_grace`` protecting files another writer may be mid-staging
+    (executor-staged files exist before their flip)."""
     wm_key = _watermark_key(checkpoint_dir)
 
     def last_applied() -> int:
@@ -361,9 +430,9 @@ def run_command_stream(
         if distributed:
             apply_commands_distributed(store, batch_df, batch_id, commit_meta=meta)
         else:
-            _apply_serial(store, batch_df.collect())
-            with store._lock:
-                store.storage.commit_external_many({}, meta=meta)
+            _apply_serial_staged(store, batch_df.collect(), batch_id, commit_meta=meta)
+        if vacuum_every and (batch_id + 1) % vacuum_every == 0:
+            store.vacuum(grace_seconds=vacuum_grace)
 
     if source is None:
         # default file source over the command-log directory; pass

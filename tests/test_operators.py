@@ -1570,6 +1570,27 @@ def test_simhash_banding_tracks_max_hamming(spark):
     assert [(r.a_id, r.b_id, r.hamming) for r in got] == [(1, 2, 4)]
 
 
+def test_simhash_max_hamming_zero_exact_match(spark):
+    """max_hamming=0 (exact-signature dedup) is the guard's own lower
+    bound: the single 64-bit chunk cannot be masked with a LongType
+    literal (2^64-1 overflows), so the chunk IS the signature. Must
+    plan and find identical-signature pairs only."""
+    from unittest import mock
+
+    base = 0x0123456789ABCDEF
+    sigs = mock.patch.object(
+        dedup,
+        "simhash_signatures",
+        lambda d, tc="text": spark.createDataFrame(
+            [(1, base), (2, base), (3, base ^ 1), (4, -1)],
+            "doc_id long, simhash long",
+        ),
+    )
+    with sigs:
+        got = dedup.simhash_pairs(spark.range(0), max_hamming=0).collect()
+    assert [(r.a_id, r.b_id, r.hamming) for r in got] == [(1, 2, 0)]
+
+
 def test_cdc_pairs_df_cap_bounds_hot_chunks(spark):
     # 30 docs sharing one boilerplate prefix chunk: with the cap below
     # the fan-out, the hot chunk emits no pairs

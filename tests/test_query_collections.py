@@ -261,3 +261,27 @@ def test_skip_budget_exceeded(store):
     # under budget: fine
     res = store.query("collection-1~", sort=[SortBy("a")], filter="b >= 1", size=1, skip_max=5)
     assert res.items == [C2]
+
+
+def test_keyset_resume_from_container_sort_value(spark, tmp_path):
+    """A page boundary landing on a row whose sort FIELD is a container
+    (array/object — physical sort cell NULL) must resume through the
+    NULL comparators, not the EvalError→FALSE fallback: the raw body
+    value in the resume filter used to end pagination early and drop
+    every row sorting after the NULL run."""
+    s = DocumentStore(str(tmp_path / "kc"), spark=spark)
+    s.put("kc~/i1", {"a": {"z": 1}, "b": 100})  # container ⇒ NULL cell
+    s.put("kc~/i2", {"a": ["w"], "b": 1})       # container ⇒ NULL cell, rejected by filter
+    s.put("kc~/i3", {"a": "m", "b": 50})
+    s.put("kc~/i4", {"a": "n", "b": 5})         # rejected by filter
+    s.put("kc~/i5", {"a": "o", "b": 77})
+    s.create_index("kc~", "bya", [SortItem("a", "text", "asc")], None)
+
+    # size=2 puts the first page boundary exactly on i2 (NULL-celled):
+    # the resume filter must carry None for the sort column
+    res = s.query_paged("kc~", filter="b > 10", sort=[SortBy("a")], size=2)
+    assert [it["id"] for it in res.items] == ["i1", "i3"]
+    # and the full accepted set survives paging (nothing after the NULL
+    # run is dropped)
+    res3 = s.query_paged("kc~", filter="b > 10", sort=[SortBy("a")], size=3)
+    assert [it["id"] for it in res3.items] == ["i1", "i3", "i5"]

@@ -561,3 +561,62 @@ def test_patch_merging_to_null_body_is_query_safe(store):
     assert store.query("nb~", filter="a = 1", size=10).items == []
     # the typed analytics view simply excludes field-less rows
     assert store.collection_df("nb~").count() == 0
+
+
+def test_manifest_cas_rejects_lost_flip(tmp_path):
+    """Two stores on one root: a writer whose manifest snapshot went
+    stale must have its flip REFUSED (ManifestConflict), not silently
+    overwrite the concurrent winner's commit."""
+    import pyarrow as pa
+
+    from hyper_storage_spark.store.storage import ManifestConflict, Storage
+
+    root = str(tmp_path / "cas")
+    s1, s2 = Storage(root), Storage(root)
+    schema = pa.schema([("k", pa.string())])
+    s1.commit({("t", 0): [{"k": "a"}]}, {"t": schema})  # v1
+    stale = s1._read_manifest()  # writer 1 snapshots at v1
+    s2.commit({("t", 1): [{"k": "b"}]}, {"t": schema})  # v2 lands first
+    stale["version"] = 2
+    with pytest.raises(ManifestConflict):
+        s1._cas_write_manifest(stale, expected_version=1)
+    # the winner's flip survives intact
+    assert s2.bucket_rows("t", 1) == [{"k": "b"}]
+    assert s2._read_manifest()["version"] == 2
+
+
+def test_manifest_cas_concurrent_writers_lose_no_flips(tmp_path):
+    """Hammer: two writer threads (separate Storage instances — no
+    shared in-process lock) each commit 12 times, retrying on
+    ManifestConflict. Every flip must survive: final version equals the
+    total commit count and every bucket is present."""
+    import threading
+
+    import pyarrow as pa
+
+    from hyper_storage_spark.store.storage import ManifestConflict, Storage
+
+    root = str(tmp_path / "hammer")
+    Storage(root)  # init manifest once
+    schema = pa.schema([("k", pa.int64())])
+    n_each, conflicts = 12, []
+
+    def writer(tid: int):
+        st = Storage(root)
+        for i in range(n_each):
+            while True:
+                try:
+                    st.commit({(f"t{tid}", i): [{"k": i}]}, {f"t{tid}": schema})
+                    break
+                except ManifestConflict:
+                    conflicts.append(tid)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    final = Storage(root)._read_manifest()
+    assert final["version"] == 2 * n_each
+    for tid in range(2):
+        assert sorted(final["tables"][f"t{tid}"], key=int) == [str(i) for i in range(n_each)]

@@ -250,6 +250,68 @@ def test_collection_delete_falls_back_to_serial(spark, tmp_path):
     assert store.index_defs("gone~") == []
 
 
+def test_serial_fallback_crash_replay_exactly_once(spark, tmp_path):
+    """Crash-injection for the serial-staged fallback: kill the batch AT
+    the manifest flip (after the per-command writes are staged and the
+    feed append landed), then replay. Exactly-once for store state means
+    the replay must not double-apply the already-staged prefix: document
+    revisions come out gapless and unduplicated, the collection delete
+    lands once, and no command or feed event is lost."""
+    from hyper_storage_spark.plans import SortItem
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    store.put("docs~/x", {"a": 1})  # docs~ revision 1
+    store.put("docs~/y", {"a": 2})  # docs~ revision 2
+    store.put("gone~/z", {"g": 1})  # gone~ revision 1
+    store.create_index("gone~", "byg", [SortItem("g", "decimal", "asc")], None)
+    cmds = str(tmp_path / "commands")
+    ckpt = str(tmp_path / "ckpt")
+    write_commands(
+        cmds,
+        [
+            {"seq": 1, "method": "put", "path": "docs~/w", "body": {"a": 3}},
+            {"seq": 2, "method": "delete", "path": "gone~", "body": None},
+            {"seq": 3, "method": "put", "path": "docs~/v", "body": {"a": 4}},
+        ],
+    )
+
+    real_flip = store.storage.commit_external_many
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash at the manifest flip")
+
+    store.storage.commit_external_many = boom
+    with pytest.raises(Exception, match="injected crash|Query.*terminated"):
+        run_command_stream(spark, store, cmds, ckpt)
+    store.storage.commit_external_many = real_flip
+
+    # crash before the flip ⇒ NOTHING of the batch is visible and the
+    # watermark did not advance: revisions unchanged, no partial prefix
+    assert store.get("docs~/x")[1] == 2
+    with pytest.raises(KeyError):
+        store.get("docs~/w")
+    assert store.get("gone~/z")[1] == 1
+    assert [d.index_id for d in store.index_defs("gone~")] == ["byg"]
+
+    # replay: the un-checkpointed batch re-delivers and applies ONCE
+    run_command_stream(spark, store, cmds, ckpt)
+    assert store.get("docs~/w")[0]["a"] == 3
+    assert store.get("docs~/v")[0]["a"] == 4
+    # 2 setup puts + exactly 2 batch puts — a double-applied prefix
+    # would mint revision 5+
+    assert store.get("docs~/w")[1] == 4
+    with pytest.raises(KeyError):
+        store.get("gone~/z")
+    assert store.index_defs("gone~") == []
+    # feed: at-least-once (the pre-crash append may duplicate), but
+    # deduped by (uri, revision) nothing is lost and nothing extra made
+    docs_revs = sorted(
+        {e["revision"] for e in store.feed_events() if e["document_uri"] == "docs~"}
+    )
+    assert docs_revs == [1, 2, 3, 4]
+    assert store.storage.all_rows("dead_letter") == []
+
+
 def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
     # simulate the crash window: same batch id delivered twice must not
     # re-apply (revisions would double otherwise)
@@ -370,7 +432,17 @@ def test_malformed_commands_dead_letter_not_poison(spark, tmp_path):
     pill would halt ingestion permanently."""
     from hyper_storage_spark.streaming.ingest import DEAD_LETTER
 
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyper_storage_spark.plans.model import SortItem
+    from hyper_storage_spark.streaming.ingest import COMMANDS_ARROW
+
     store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    # a registered template makes the driver's pre-instantiation loop
+    # walk every distinct path in the batch — including the None path,
+    # which must be skipped there, not crash foreachBatch
+    store.create_index_template("tpl/*~", "auto", [SortItem("a", "decimal", "asc")])
     cmds = str(tmp_path / "commands")
     write_commands(
         cmds,
@@ -380,13 +452,28 @@ def test_malformed_commands_dead_letter_not_poison(spark, tmp_path):
             {"seq": 2, "method": "put", "path": "coll~/i1", "body": "not-an-object"},
             {"seq": 3, "method": "frobnicate", "path": "x", "body": {}},
             {"seq": 4, "method": "put", "path": "also-good", "body": {"b": 2}},
+            {"seq": 7, "method": "put", "path": "tpl/t~/i1", "body": {"a": 9}},
         ],
+    )
+    # rows write_commands cannot produce but a hostile producer can:
+    # a None path and a body that is not valid JSON
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"seq": 5, "method": "put", "path": None, "body": "{}"},
+                {"seq": 6, "method": "put", "path": "bad-json", "body": "{not json"},
+            ],
+            schema=COMMANDS_ARROW,
+        ),
+        f"{cmds}/hostile.parquet",
     )
     run_command_stream(spark, store, cmds, str(tmp_path / "ckpt"))
     assert store.get("good")[0] == {"a": 1}
     assert store.get("also-good")[0] == {"b": 2}
+    assert store.get("tpl/t~/i1")[0]["a"] == 9
+    assert [d.index_id for d in store.index_defs("tpl/t~")] == ["auto"]
     dead = store.storage.all_rows(DEAD_LETTER)
-    assert sorted(d["seq"] for d in dead) == [2, 3]
+    assert sorted(d["seq"] for d in dead) == [2, 3, 5, 6]
     assert all(d["error"] for d in dead)
 
 
@@ -490,3 +577,44 @@ def test_revision_assignment_sorts_across_arrow_chunks(spark, tmp_path):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_streaming_vacuum_reclaims_crash_orphans(spark, tmp_path):
+    """A batch that crashes at the manifest flip leaves its staged
+    bucket files on disk by design (the flip owns cleanup semantics);
+    the replay stages FRESH files. The vacuum wired into the streaming
+    path must reclaim the orphans, and every surviving data file must
+    be manifest-referenced."""
+    import glob
+    import os
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    cmds = str(tmp_path / "commands")
+    ckpt = str(tmp_path / "ckpt")
+    write_commands(cmds, [{"seq": 1, "method": "put", "path": "orph", "body": {"a": 1}}])
+
+    real_flip = store.storage.commit_external_many
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash at the manifest flip")
+
+    store.storage.commit_external_many = boom
+    with pytest.raises(Exception):
+        run_command_stream(spark, store, cmds, ckpt)
+    store.storage.commit_external_many = real_flip
+
+    orphans = glob.glob(str(tmp_path / "store" / "data" / "*" / "*-stream-*.parquet"))
+    assert orphans, "crashed batch left no staged files to orphan"
+
+    # replay with per-batch vacuum and no grace (no concurrent writers
+    # in this test): the batch applies, then GC reclaims the orphans
+    run_command_stream(spark, store, cmds, ckpt, vacuum_every=1, vacuum_grace=0.0)
+    assert store.get("orph")[0] == {"a": 1}
+    referenced = set()
+    for table in store.storage.tables():
+        referenced.update(os.path.abspath(p) for p in store.storage.files(table))
+    on_disk = {
+        os.path.abspath(p)
+        for p in glob.glob(str(tmp_path / "store" / "data" / "**" / "*.parquet"), recursive=True)
+    }
+    assert on_disk <= referenced, f"unreferenced files survive GC: {sorted(on_disk - referenced)[:5]}"
