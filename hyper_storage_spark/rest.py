@@ -17,6 +17,17 @@ this module maps the same verb/path/params surface onto
 - ``DELETE`` → 200 tombstone; missing → 404
 - invalid path / non-collection query → 400; skipped-row budget
   exhausted → 416 (the fetch-loop guardrail, QueryBudgetExceeded)
+- conditional requests on the revision header (the reference's
+  optimistic-concurrency surface; its 412 responses ride the same
+  hyperbus error channel): ``if_match`` on PUT/PATCH/DELETE compares
+  against the document's current revision — mismatch (or a missing
+  resource) → 412 Precondition Failed, with the current revision in
+  the response headers when the resource exists; ``if_match="*"``
+  requires bare existence. ``if_none_match="*"`` on PUT makes the
+  write create-only. ``if_none_match`` on GET returns 304 Not
+  Modified when the revision still matches. The precondition check
+  and the write run under the store's writer lock, so a concurrent
+  writer cannot slip between check and apply.
 
 This is a thin adapter by design: every semantic lives in the store /
 planner; the façade only translates verbs, params, and errors.
@@ -54,9 +65,57 @@ def parse_sort(sort: Optional[str]) -> list[SortBy]:
     return out
 
 
+class PreconditionFailed(Exception):
+    def __init__(self, message: str, revision: Optional[int] = None):
+        super().__init__(message)
+        self.revision = revision
+
+
 class RestFacade:
     def __init__(self, store: DocumentStore):
         self.store = store
+
+    # -- conditional requests (reference's revision-header concurrency) ------
+
+    def _revision_of(self, path: str) -> Optional[int]:
+        """Current revision governing ``path`` (the shared per-document
+        counter — the same value every response's ``revision`` header
+        carries), or None when the resource doesn't exist. Items check
+        both their own row and the document tombstone, matching GET."""
+        from .paths import split_path
+
+        rp = split_path(path)
+        static = self.store._get_static(rp.document_uri)
+        if static is None or static["is_deleted"]:
+            return None
+        if rp.item_id:
+            row = self.store._get_content(rp.document_uri, rp.item_id)
+            if row is None or row["is_deleted"]:
+                return None
+        return static["revision"]
+
+    def _check_preconditions(
+        self, path: str, if_match: Optional[str], if_none_match: Optional[str]
+    ) -> None:
+        current = self._revision_of(path)
+        if if_match is not None:
+            if current is None:
+                raise PreconditionFailed(f"{path!r} does not exist")
+            if if_match != "*" and str(current) != str(if_match).strip():
+                raise PreconditionFailed(
+                    f"revision is {current}, not {if_match}", current
+                )
+        if if_none_match is not None:
+            if if_none_match == "*":
+                if current is not None:
+                    raise PreconditionFailed(f"{path!r} already exists", current)
+            elif current is not None and str(current) == str(if_none_match).strip():
+                raise PreconditionFailed(f"revision is still {current}", current)
+
+    @staticmethod
+    def _precondition_response(e: PreconditionFailed) -> RestResponse:
+        headers = {"revision": str(e.revision)} if e.revision is not None else {}
+        return RestResponse(412, {"error": f"precondition failed: {e}"}, headers)
 
     # -- verb handlers -------------------------------------------------------
 
@@ -67,6 +126,7 @@ class RestFacade:
         sort: Optional[str] = None,
         size: Optional[int] = None,
         paged: bool = False,
+        if_none_match: Optional[str] = None,
     ) -> RestResponse:
         try:
             if path.endswith("~"):
@@ -81,6 +141,8 @@ class RestFacade:
                     if paged
                     else self.store.query(path, **kwargs)
                 )
+                if self._not_modified(res.revision, if_none_match):
+                    return RestResponse(304, None, {"revision": str(res.revision)})
                 return RestResponse(200, res.hal(), {"revision": str(res.revision)})
             if filter is not None or sort is not None or size is not None or paged:
                 # query params on a non-collection path: answering with
@@ -90,6 +152,8 @@ class RestFacade:
                     400, {"error": f"{path!r} is not a collection URI"}
                 )
             body, revision = self.store.get(path)
+            if self._not_modified(revision, if_none_match):
+                return RestResponse(304, None, {"revision": str(revision)})
             return RestResponse(200, body, {"revision": str(revision)})
         except NotFoundError:
             return RestResponse(404)
@@ -98,10 +162,29 @@ class RestFacade:
         except ValueError as e:
             return RestResponse(400, {"error": str(e)})
 
-    def put(self, path: str, body: Any) -> RestResponse:
+    @staticmethod
+    def _not_modified(revision: int, if_none_match: Optional[str]) -> bool:
+        if if_none_match is None:
+            return False
+        return if_none_match == "*" or str(revision) == str(if_none_match).strip()
+
+    def put(
+        self,
+        path: str,
+        body: Any,
+        if_match: Optional[str] = None,
+        if_none_match: Optional[str] = None,
+    ) -> RestResponse:
         try:
-            created, revision = self.store.put(path, body)
+            # check + write under the writer lock (RLock — the nested
+            # store.put acquisition is fine): a concurrent writer must
+            # not bump the revision between precondition and apply
+            with self.store._lock:
+                self._check_preconditions(path, if_match, if_none_match)
+                created, revision = self.store.put(path, body)
             return RestResponse(201 if created else 200, None, {"revision": str(revision)})
+        except PreconditionFailed as e:
+            return self._precondition_response(e)
         except ValueError as e:
             return RestResponse(400, {"error": str(e)})
 
@@ -118,19 +201,27 @@ class RestFacade:
         except ValueError as e:
             return RestResponse(400, {"error": str(e)})
 
-    def patch(self, path: str, body: Any) -> RestResponse:
+    def patch(self, path: str, body: Any, if_match: Optional[str] = None) -> RestResponse:
         try:
-            _, revision = self.store.patch(path, body)
+            with self.store._lock:
+                self._check_preconditions(path, if_match, None)
+                _, revision = self.store.patch(path, body)
             return RestResponse(200, None, {"revision": str(revision)})
+        except PreconditionFailed as e:
+            return self._precondition_response(e)
         except NotFoundError:
             return RestResponse(404)
         except ValueError as e:
             return RestResponse(400, {"error": str(e)})
 
-    def delete(self, path: str) -> RestResponse:
+    def delete(self, path: str, if_match: Optional[str] = None) -> RestResponse:
         try:
-            revision = self.store.delete(path)
+            with self.store._lock:
+                self._check_preconditions(path, if_match, None)
+                revision = self.store.delete(path)
             return RestResponse(200, None, {"revision": str(revision)})
+        except PreconditionFailed as e:
+            return self._precondition_response(e)
         except NotFoundError:
             return RestResponse(404)
         except ValueError as e:
@@ -143,11 +234,11 @@ class RestFacade:
         if m == "GET":
             return self.get(path, **params)
         if m == "PUT":
-            return self.put(path, body)
+            return self.put(path, body, **params)
         if m == "POST":
             return self.post(path, body)
         if m == "PATCH":
-            return self.patch(path, body)
+            return self.patch(path, body, **params)
         if m == "DELETE":
-            return self.delete(path)
+            return self.delete(path, **params)
         return RestResponse(405, {"error": f"method {method!r} not allowed"})

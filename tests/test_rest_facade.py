@@ -92,3 +92,68 @@ def test_get_document_with_query_params_is_400(facade):
     for kwargs in ({"filter": "a > 0"}, {"sort": "-a"}, {"size": 5}, {"paged": True}):
         resp = facade.get("plaindoc", **kwargs)
         assert resp.status == 400, kwargs
+
+
+def test_conditional_put_if_match(facade):
+    r1 = facade.put("cdoc", {"a": 1})
+    assert r1.status == 201
+    rev = r1.headers["revision"]
+    # matching revision: write proceeds, revision advances
+    r2 = facade.put("cdoc", {"a": 2}, if_match=rev)
+    assert r2.status == 200 and r2.headers["revision"] == "2"
+    # stale revision: 412 with the CURRENT revision surfaced
+    r3 = facade.put("cdoc", {"a": 3}, if_match=rev)
+    assert r3.status == 412 and r3.headers["revision"] == "2"
+    assert facade.get("cdoc").body == {"a": 2}  # the stale write did not land
+    # if_match="*": bare existence is enough
+    assert facade.put("cdoc", {"a": 4}, if_match="*").status == 200
+    # if_match on a missing resource: 412, and nothing is created
+    assert facade.put("nodoc", {"x": 1}, if_match="*").status == 412
+    assert facade.get("nodoc").status == 404
+
+
+def test_conditional_put_create_only(facade):
+    assert facade.put("fresh", {"a": 1}, if_none_match="*").status == 201
+    r = facade.put("fresh", {"a": 2}, if_none_match="*")
+    assert r.status == 412 and r.headers["revision"] == "1"
+    assert facade.get("fresh").body == {"a": 1}
+    # a DELETEd document no longer exists: create-only succeeds again
+    facade.delete("fresh")
+    assert facade.put("fresh", {"a": 3}, if_none_match="*").status == 201
+
+
+def test_conditional_patch_delete_if_match(facade):
+    facade.put("pd", {"a": 1})
+    assert facade.patch("pd", {"b": 2}, if_match="1").status == 200
+    r = facade.patch("pd", {"b": 3}, if_match="1")
+    assert r.status == 412 and r.headers["revision"] == "2"
+    assert facade.get("pd").body == {"a": 1, "b": 2}
+    assert facade.delete("pd", if_match="1").status == 412
+    assert facade.delete("pd", if_match="2").status == 200
+    assert facade.get("pd").status == 404
+
+
+def test_conditional_if_match_on_collection_item(facade):
+    facade.put("cc~/i1", {"v": 1})
+    facade.put("cc~/i2", {"v": 2})  # shared counter → revision 2
+    # the governing revision is the document-level counter (what the
+    # revision header returns), not the item's own write revision
+    assert facade.get("cc~/i1").headers["revision"] == "2"
+    assert facade.put("cc~/i1", {"v": 9}, if_match="2").status == 200
+    assert facade.put("cc~/i2", {"v": 9}, if_match="2").status == 412
+    # deleted item no longer matches even though the document exists
+    facade.delete("cc~/i1")
+    assert facade.patch("cc~/i1", {"v": 0}, if_match="*").status == 412
+
+
+def test_get_if_none_match_304(facade):
+    facade.put("gdoc", {"a": 1})
+    r = facade.get("gdoc", if_none_match="1")
+    assert r.status == 304 and r.body is None and r.headers["revision"] == "1"
+    assert facade.get("gdoc", if_none_match="9").status == 200
+    facade.put("col304~/x", {"v": 1})
+    assert facade.get("col304~", if_none_match="1").status == 304
+    assert facade.get("col304~", if_none_match="0").status == 200
+    # dispatch surface passes conditionals through
+    assert facade.handle("GET", "gdoc", if_none_match="1").status == 304
+    assert facade.handle("PUT", "gdoc", {"a": 2}, if_match="9").status == 412

@@ -84,6 +84,31 @@ def main() -> None:
 
     timed("query_paged", lambda: store.query_paged("bench~", filter="a > 10", size=25))
 
+    # -- template-index lazy instantiation --
+    # register a template matching a FRESH collection, then time the
+    # first write (pays template match + create_index + backfill of the
+    # one existing... nothing yet — instantiation happens before the
+    # first item lands) vs the memoized steady state
+    store.create_index_template("tmpl/*~", "by_b", [SortItem("b", "decimal", "desc")], None)
+
+    def template_first_write():
+        store.put("tmpl/one~/000001", {"b": 1})
+
+    timed("template_instantiate_first_write", template_first_write)
+
+    def template_steady_writes():
+        for i in range(2, 2 + max(n // 4, 1)):
+            store.put(f"tmpl/one~/{i:06d}", {"b": i})
+
+    timed(f"template_steady_{max(n // 4, 1)}_writes", template_steady_writes)
+    # instantiation on an ALREADY-POPULATED collection (query-triggered
+    # lazy path: template registered after the data → backfill runs)
+    store.create_index_template("bench*~", "by_b_late", [SortItem("b", "decimal", "asc")], None)
+    timed(
+        "template_backfill_on_query",
+        lambda: store.query("bench~", filter="b > 10", sort=[SortBy("b")], size=10),
+    )
+
     # -- bulk ingest (the scale path) --
     bulk = DocumentStore(tempfile.mkdtemp(prefix="bench_bulk_"), spark=spark)
     rows = spark.range(n * 50).select(
