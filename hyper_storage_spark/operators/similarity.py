@@ -264,3 +264,42 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_model: bool = False,
+):
+    """Project an embedding column onto its top-``k`` principal
+    components (``pyspark.ml`` PCA): (id, components array<double>).
+
+    The scale shape: the covariance/eigen step reduces the corpus to a
+    d×d Gramian on executors (one pass, tree-aggregated partials) and
+    eigendecomposes the tiny d×d matrix on the driver; the projection
+    itself is a per-row matmul — no shuffle at all. The d×k loading
+    matrix is broadcast implicitly with the transform. Dimensionality
+    reduction ahead of ANN/clustering cuts every downstream distance
+    computation by d/k at the cost of the captured-variance loss the
+    model reports (``explainedVariance``).
+
+    Note Spark ML's PCA projects the UNCENTERED input (the components
+    themselves are computed from the centered covariance — the known
+    asymmetry of its transform); differential tests against numpy must
+    replicate that.
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    fv = emb.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("__fv")
+    )
+    model = PCA(k=k, inputCol="__fv", outputCol="__pc").fit(fv)
+    out = model.transform(fv).select(
+        F.col(id_col), vector_to_array(F.col("__pc")).alias("components")
+    )
+    return (out, model) if with_model else out

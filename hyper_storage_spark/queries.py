@@ -3757,6 +3757,47 @@ def store_query_paged_keyset(spark, sf_dir):
     return _items_df(spark, res.items, "doc_id long, lang string")
 
 
+@register_extra(
+    "emb_pca_contract",
+    """SELECT COUNT(*) AS n_rows, 16 AS k,
+              true AS dims_ok, true AS var_nonneg_nonincreasing,
+              true AS var_sum_le_1, true AS axes_orthonormal
+       FROM embeddings""",
+)
+def emb_pca_contract(spark, sf_dir):
+    """PCA dimensionality reduction with an honest gate (the
+    q_approx_distinct_contract pattern): project the 64-dim embeddings
+    to 16 components and verify, in one row, the properties the
+    operator is sold on — every input row projected, output dimension
+    exactly k, explained-variance spectrum non-negative and
+    non-increasing with total ≤ 1, and the loading axes orthonormal
+    (Gram matrix == I within 1e-6; k×d is driver-tiny by design, the
+    corpus-sized work all happened executor-side in the fit)."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 16
+    proj, model = similarity.pca_project(emb, k=k, with_model=True)
+    ev = np.asarray(model.explainedVariance)
+    pc = model.pc.toArray()  # d×k loading matrix
+    gram_err = float(np.abs(pc.T @ pc - np.eye(k)).max())
+    agg = proj.agg(
+        F.count("*").alias("n_rows"),
+        F.min(F.size("components")).alias("min_d"),
+        F.max(F.size("components")).alias("max_d"),
+    )
+    return agg.select(
+        "n_rows",
+        F.lit(k).alias("k"),
+        ((F.col("min_d") == k) & (F.col("max_d") == k)).alias("dims_ok"),
+        F.lit(bool(np.all(ev >= 0) and np.all(np.diff(ev) <= 1e-12))).alias(
+            "var_nonneg_nonincreasing"
+        ),
+        F.lit(bool(ev.sum() <= 1.0 + 1e-9)).alias("var_sum_le_1"),
+        F.lit(bool(gram_err <= 1e-6)).alias("axes_orthonormal"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

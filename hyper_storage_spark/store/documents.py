@@ -1225,6 +1225,22 @@ class DocumentStore:
                     removed += 1
             return removed
 
+    def compact_appends(self, min_files: int = 2) -> dict[str, int]:
+        """Compact every append-only table holding ≥ ``min_files``
+        append files (the feed and dead-letter logs grow one parquet
+        per streaming batch) into one file each; returns
+        {table: files merged}. Superseded files are reclaimed by the
+        next :meth:`vacuum`. See Storage.compact_append_table for the
+        feed-readStream re-delivery caveat."""
+        with self._lock:
+            out: dict[str, int] = {}
+            for table, entry in self.storage._read_manifest()["tables"].items():
+                if sum(1 for k in entry if k.startswith("a")) >= max(min_files, 2):
+                    merged = self.storage.compact_append_table(table)
+                    if merged:
+                        out[table] = merged
+            return out
+
     def feed_events(self) -> list[dict]:
         """The published change feed, in publication order (Kafka-topic
         parity: at-least-once, revision-idempotent)."""

@@ -273,6 +273,55 @@ class Storage:
         self._cas_write_manifest(manifest, version - 1)
         return version
 
+    def compact_append_table(self, table: str) -> int:
+        """Merge an append-only table's accumulated files into ONE file
+        (row order preserved — append key order is publication order)
+        and flip the manifest once. Returns the number of files merged
+        away (0 = nothing to do).
+
+        At streaming scale the feed/dead-letter tables grow one parquet
+        per micro-batch append; listings and readers degrade with file
+        count long before data size matters. Compaction bounds that.
+        Superseded files stay on disk until :meth:`DocumentStore.vacuum`
+        reclaims them (readers of the OLD manifest snapshot stay
+        consistent meanwhile). Caveat for the streaming FACE of the
+        feed (a file-source over the table directory, not the
+        manifest): the compacted file is new-by-name, so a tailing
+        readStream re-delivers its events — harmless under the feed's
+        at-least-once contract (consumers dedup by (uri, revision)),
+        but schedule compaction accordingly."""
+        manifest = self._read_manifest()
+        entry = manifest["tables"].get(table, {})
+        append_keys = [k for k in entry if k.startswith("a")]
+        if len(append_keys) <= 1:
+            return 0
+        ordered = sorted(append_keys, key=lambda k: int(k[1:]))
+        tables: list[pa.Table] = []
+        for k in ordered:
+            rel = entry[k]
+            for r in rel if isinstance(rel, list) else [rel]:
+                # every append file of a table shares the schema its
+                # Storage.append writes — plain concat is exact
+                tables.append(pq.read_table(os.path.join(self.root, r)))
+        merged = pa.concat_tables(tables)
+        version = manifest["version"] + 1
+        rel = os.path.join(
+            "data", _sanitize(table), f"compact-v{version:08d}-{uuid.uuid4().hex[:6]}.parquet"
+        )
+        abspath = os.path.join(self.root, rel)
+        os.makedirs(os.path.dirname(abspath), exist_ok=True)
+        tmp = abspath + f".tmp.{uuid.uuid4().hex[:8]}"
+        pq.write_table(merged, tmp, row_group_size=ROW_GROUP_SIZE)
+        os.replace(tmp, abspath)
+        # the merged file takes the FIRST key's slot so later appends
+        # (higher a{version} keys) keep sorting after it
+        new_entry = {k: v for k, v in entry.items() if k not in append_keys}
+        new_entry[ordered[0]] = rel
+        manifest["tables"][table] = new_entry
+        manifest["version"] = version
+        self._cas_write_manifest(manifest, version - 1)
+        return len(append_keys)
+
     def all_rows(self, table: str) -> list[dict]:
         out: list[dict] = []
         for f in self.files(table):

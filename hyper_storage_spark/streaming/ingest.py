@@ -388,6 +388,7 @@ def run_command_stream(
     source: Optional["object"] = None,
     vacuum_every: int = 64,
     vacuum_grace: float = 3600.0,
+    compact_every: int = 0,
 ):
     """Consume the command log and apply it to the store.
 
@@ -417,7 +418,15 @@ def run_command_stream(
     crashed/retried batches (a failed flip leaves its staging on disk
     by design). It runs between batches under the store lock, with
     ``vacuum_grace`` protecting files another writer may be mid-staging
-    (executor-staged files exist before their flip)."""
+    (executor-staged files exist before their flip).
+
+    ``compact_every`` (0 = off, the default) additionally compacts the
+    append-only feed/dead-letter logs every N batches — they otherwise
+    grow one parquet file per batch. Off by default because a tailing
+    feed readStream sees the compacted file as new and re-delivers its
+    events (at-least-once, deduped by revision, but noisy): enable it
+    when feed consumers read the manifest-backed feed_df, or schedule
+    compaction in their quiet windows."""
     wm_key = _watermark_key(checkpoint_dir)
 
     def last_applied() -> int:
@@ -431,6 +440,8 @@ def run_command_stream(
             apply_commands_distributed(store, batch_df, batch_id, commit_meta=meta)
         else:
             _apply_serial_staged(store, batch_df.collect(), batch_id, commit_meta=meta)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            store.compact_appends()
         if vacuum_every and (batch_id + 1) % vacuum_every == 0:
             store.vacuum(grace_seconds=vacuum_grace)
 

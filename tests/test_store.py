@@ -620,3 +620,45 @@ def test_manifest_cas_concurrent_writers_lose_no_flips(tmp_path):
     assert final["version"] == 2 * n_each
     for tid in range(2):
         assert sorted(final["tables"][f"t{tid}"], key=int) == [str(i) for i in range(n_each)]
+
+
+def test_compact_appends_merges_feed_files(spark, tmp_path):
+    """Append-only tables grow one file per publication; compaction
+    must merge them into one file, preserve every event and the
+    publication order, survive subsequent appends, and leave the old
+    files reclaimable by vacuum."""
+    store = DocumentStore(str(tmp_path / "cstore"), spark=spark)
+    for i in range(6):
+        store.put(f"cdoc{i}", {"n": i})
+    before = store.feed_events()
+    assert len(store.storage.files("feed")) == 6
+
+    merged = store.compact_appends()
+    assert merged.get("feed") == 6
+    assert len(store.storage.files("feed")) == 1
+    assert store.feed_events() == before  # nothing lost, order preserved
+
+    # appends after compaction land in new files and sort after
+    store.put("cdoc6", {"n": 6})
+    assert len(store.storage.files("feed")) == 2
+    assert [e["document_uri"] for e in store.feed_events()] == [
+        f"cdoc{i}" for i in range(7)
+    ]
+    # idempotent below the threshold
+    assert store.compact_appends() == {"feed": 2}
+    assert store.compact_appends() == {}
+
+    # superseded append files are unreferenced → vacuum reclaims
+    removed = store.vacuum(grace_seconds=0)
+    assert removed > 0
+    import glob as _glob
+    import os as _os
+
+    referenced = set()
+    for t in store.storage.tables():
+        referenced.update(_os.path.abspath(p) for p in store.storage.files(t))
+    on_disk = {
+        _os.path.abspath(p)
+        for p in _glob.glob(str(tmp_path / "cstore" / "data" / "**" / "*.parquet"), recursive=True)
+    }
+    assert on_disk <= referenced
