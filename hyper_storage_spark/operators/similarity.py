@@ -303,3 +303,29 @@ def pca_project(
         F.col(id_col), vector_to_array(F.col("__pc")).alias("components")
     )
     return (out, model) if with_model else out
+
+
+def kmeans_clusters(
+    emb: DataFrame,
+    k: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_model: bool = False,
+):
+    """Cluster embeddings with ``pyspark.ml`` KMeans:
+    (id, cluster int). The fit is the distributed part (Lloyd
+    iterations over broadcast centroids — per-pass cost linear in the
+    corpus, centroid state k×d driver-tiny); assignment is a per-row
+    map. The corpus-organization primitive behind IVF ANN cells
+    (:func:`ivf_topk` fits its own), diversity-aware sampling, and
+    near-dup triage."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fv = emb.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("__fv")
+    )
+    model = KMeans(k=k, seed=seed, featuresCol="__fv", predictionCol="__cluster").fit(fv)
+    out = model.transform(fv).select(F.col(id_col), F.col("__cluster").alias("cluster"))
+    return (out, model) if with_model else out

@@ -3798,6 +3798,85 @@ def emb_pca_contract(spark, sf_dir):
     )
 
 
+@register_extra(
+    "text_tfidf_topk",
+    r"""WITH toks AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+       ), toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks2 GROUP BY 1, 2),
+       dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks2),
+       scored AS (
+         SELECT tf.doc_id, tf.term,
+                tf.tf * (ln((n.n_docs + 1.0) / (dft.df + 1.0)) + 1.0) AS s
+         FROM tf JOIN dft USING (term) CROSS JOIN n
+       )
+       SELECT doc_id, term, rank, ROUND(s, 6) AS tfidf FROM (
+         SELECT doc_id, term, s,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rank
+         FROM scored
+       ) WHERE rank <= 3""",
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (smooth idf), the classic
+    keyword-extraction / relevance-weighting primitive — full formula
+    replayed in the SQL oracle (the search_bm25_topk precedent for
+    ln()-bearing cross-engine doubles)."""
+    return text.tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register_extra(
+    "emb_kmeans_contract",
+    """SELECT COUNT(*) AS n_rows, true AS clusters_within_k,
+              true AS all_nearest_centroid, true AS nonempty_majority
+       FROM embeddings""",
+)
+def emb_kmeans_contract(spark, sf_dir):
+    """KMeans clustering with an assignment-soundness gate: every
+    vector must be assigned to its NEAREST model centroid (squared
+    L2 recomputed in-plan against all k broadcast-literal centroids,
+    1e-9 tolerance), cluster ids within [0, k), and a majority of
+    cells non-empty (k=10 over 10 synthetic label clusters). The
+    corpus-sized work (Lloyd passes, assignment) is executor-side;
+    only the k×d centroid matrix touches the driver."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 10
+    assigned, model = similarity.kmeans_clusters(emb, k=k, seed=7, with_model=True)
+    centers = [np.asarray(c, dtype=float) for c in model.clusterCenters()]
+
+    def sqdist(c):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                arr,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dists = F.array(*[sqdist(c) for c in centers])
+    joined = assigned.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id",
+        "cluster",
+        (F.element_at(dists, F.col("cluster") + 1) <= F.array_min(dists) + F.lit(1e-9)).alias(
+            "is_nearest"
+        ),
+    )
+    agg = joined.agg(
+        F.count("*").alias("n_rows"),
+        F.min("is_nearest").alias("all_nearest_centroid"),
+        ((F.min("cluster") >= 0) & (F.max("cluster") < k)).alias("clusters_within_k"),
+        (F.count_distinct("cluster") > k / 2).alias("nonempty_majority"),
+    )
+    return agg.select(
+        "n_rows", "clusters_within_k", "all_nearest_centroid", "nonempty_majority"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -1774,3 +1774,55 @@ def test_pca_project_matches_numpy(spark, sf_dir):
     # explained variance mirrors the eigenvalue shares
     ev = np.asarray(model.explainedVariance)
     assert np.allclose(ev, w[order] / w.sum(), atol=1e-6)
+
+
+def test_tfidf_topk_hand_computed(spark):
+    """TF-IDF against hand-computed values on a 3-doc corpus (smooth
+    idf ln((N+1)/(df+1))+1), including the deterministic term
+    tie-break."""
+    import math
+
+    from hyper_storage_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c d")], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tfidf)
+        for r in T.tfidf_topk(docs, k=2).collect()
+    }
+
+    def s(tf, df, n=3):
+        return round(tf * (math.log((n + 1) / (df + 1)) + 1), 6)
+
+    # doc1: a tf=2 df=2 → 2*(ln(4/3)+1); b tf=1 df=1 → ln(2)+1 — a wins
+    assert got[(1, 1)] == ("a", s(2, 2))
+    assert got[(1, 2)] == ("b", s(1, 1))
+    # doc2: a and c both tf=1 df=2 → identical score, tie-break a < c
+    assert got[(2, 1)] == ("a", s(1, 2))
+    assert got[(2, 2)] == ("c", s(1, 2))
+    # doc3: c tf=3 dominates d
+    assert got[(3, 1)] == ("c", s(3, 2))
+    assert got[(3, 2)] == ("d", s(1, 1))
+
+
+def test_kmeans_clusters_deterministic_and_reduces_inertia(spark, sf_dir):
+    """Same seed ⇒ identical assignment; and the k=10 fit must beat the
+    single-centroid baseline (total variance) on within-cluster squared
+    distance — the minimal geometric claim of a working Lloyd loop.
+    (The fixture's `label` column is NOT geometrically clustered —
+    cell/label purity measures ~random — so no purity claim.)"""
+    import numpy as np
+
+    from hyper_storage_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got_a, model = similarity.kmeans_clusters(emb, k=10, seed=7, with_model=True)
+    a = {r.vec_id: r.cluster for r in got_a.collect()}
+    b = {r.vec_id: r.cluster for r in similarity.kmeans_clusters(emb, k=10, seed=7).collect()}
+    assert a == b
+    X = np.array([r.embedding for r in emb.select("embedding").collect()], dtype=float)
+    total_inertia = float(((X - X.mean(axis=0)) ** 2).sum())
+    assert model.summary.trainingCost < 0.95 * total_inertia, (
+        f"k=10 inertia {model.summary.trainingCost:.1f} vs baseline {total_inertia:.1f}"
+    )
