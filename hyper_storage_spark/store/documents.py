@@ -1192,9 +1192,17 @@ class DocumentStore:
             F.col("item_id"), F.col("revision"), parsed.alias("item")
         ).select("item_id", "revision", "item.*")
 
-    def vacuum(self, grace_seconds: float = 3600.0) -> int:
-        """Delete data files no longer referenced by the current
-        manifest (superseded bucket versions). Returns files removed.
+    def vacuum(self, grace_seconds: float = 3600.0, keep_versions: Optional[int] = None) -> int:
+        """Delete data files no longer referenced by any RETAINED
+        manifest — current or time-travel snapshot. Returns files
+        removed.
+
+        ``keep_versions`` overrides the snapshot retention for this
+        pass (the Delta-VACUUM-style trade): None keeps every snapshot
+        the flip-time pruning retained (history stays readable), a
+        smaller number first drops older snapshots — including 0,
+        which unpins everything but the current manifest and
+        deliberately forfeits time travel over the reclaimed history.
 
         Runs under the store lock (the manifest snapshot and the walk
         must not interleave with a concurrent commit), and skips files
@@ -1209,6 +1217,35 @@ class DocumentStore:
             referenced = set()
             for table in self.storage.tables():
                 referenced.update(os.path.abspath(p) for p in self.storage.files(table))
+            # retained time-travel snapshots pin their bucket files too:
+            # a file only becomes garbage once NO retained manifest
+            # (current or historical) references it
+            snapdir = self.storage._snapshot_dir()
+            try:
+                snaps = sorted(
+                    n for n in os.listdir(snapdir)
+                    if n.startswith("v") and n.endswith(".json")
+                )
+            except OSError:
+                snaps = []
+            if keep_versions is not None:
+                drop = snaps[: len(snaps) - keep_versions] if keep_versions else snaps
+                for name in drop:
+                    try:
+                        os.remove(os.path.join(snapdir, name))
+                    except OSError:
+                        pass
+                snaps = snaps[len(snaps) - keep_versions :] if keep_versions else []
+            for name in snaps:
+                try:
+                    with open(os.path.join(snapdir, name)) as f:
+                        tables = json.load(f).get("tables", {})
+                except (OSError, ValueError):
+                    continue
+                for rel in tables.values():
+                    for r in rel.values():
+                        for one in r if isinstance(r, list) else [r]:
+                            referenced.add(os.path.abspath(os.path.join(self.storage.root, one)))
             removed = 0
             data_root = os.path.join(self.storage.root, "data")
             for dirpath, _dirs, files in os.walk(data_root):
@@ -1224,6 +1261,21 @@ class DocumentStore:
                     os.remove(p)
                     removed += 1
             return removed
+
+    def at_version(self, version: int) -> "DocumentStore":
+        """Time travel: a READ-ONLY DocumentStore pinned to the store
+        exactly as it was at manifest ``version`` (every flip snapshots
+        its manifest; ``storage.versions()`` lists what's retained —
+        the last ``Storage.SNAPSHOT_KEEP`` flips). GET/query/
+        collection_df all resolve against the frozen snapshot; any
+        write raises. Vacuum never reclaims a file a retained snapshot
+        still references, so historical reads stay consistent."""
+        return DocumentStore(
+            self.storage.root,
+            spark=self.spark,
+            auto_complete=False,
+            storage=self.storage.snapshot(version),
+        )
 
     def compact_appends(self, min_files: int = 2) -> dict[str, int]:
         """Compact every append-only table holding ≥ ``min_files``

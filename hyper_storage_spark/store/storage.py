@@ -88,11 +88,54 @@ class Storage:
         with open(self._manifest_path) as f:
             return json.load(f)
 
+    # snapshot retention: every flip also writes manifests/v{N}.json,
+    # enabling time-travel reads (snapshot()/DocumentStore.at_version)
+    # back this many versions. Older snapshot manifests are pruned at
+    # flip time; their bucket files become vacuum-reclaimable once no
+    # retained manifest references them.
+    SNAPSHOT_KEEP = 32
+
+    def _snapshot_dir(self) -> str:
+        return os.path.join(self.root, "manifests")
+
     def _write_manifest(self, manifest: dict) -> None:
         tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path)
+        # snapshot the flipped version for time travel (same content,
+        # immutable name), then prune beyond the retention window
+        snapdir = self._snapshot_dir()
+        os.makedirs(snapdir, exist_ok=True)
+        snap = os.path.join(snapdir, f"v{manifest['version']:08d}.json")
+        stmp = snap + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(stmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(stmp, snap)
+        kept = sorted(
+            (n for n in os.listdir(snapdir) if n.startswith("v") and n.endswith(".json"))
+        )
+        for name in kept[: -self.SNAPSHOT_KEEP]:
+            try:
+                os.remove(os.path.join(snapdir, name))
+            except OSError:  # pragma: no cover — pruned by a peer
+                pass
+
+    def versions(self) -> list[int]:
+        """Snapshot versions still available for time-travel reads."""
+        try:
+            names = os.listdir(self._snapshot_dir())
+        except OSError:
+            return []
+        return sorted(
+            int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
+        )
+
+    def snapshot(self, version: int) -> "SnapshotStorage":
+        """A read-only Storage view pinned to a historical manifest
+        version (raises if the version was never written or aged out
+        of the retention window)."""
+        return SnapshotStorage(self, version)
 
     # how long a writer waits for the flip lock, and the age past which
     # a lock file is presumed to belong to a crashed writer and broken
@@ -341,6 +384,54 @@ class Storage:
         if not files:
             return spark.createDataFrame([], spark_schema)
         return spark.read.schema(spark_schema).parquet(*files)
+
+
+class SnapshotStorage(Storage):
+    """Read-only :class:`Storage` pinned to one historical manifest
+    version — every read (bucket_rows/files/spark_df/meta) resolves
+    against the frozen snapshot, so queries see the store exactly as it
+    was at that flip. Writes raise. Files a snapshot references are
+    protected from vacuum for as long as the snapshot is retained
+    (``Storage.SNAPSHOT_KEEP`` flips)."""
+
+    def __init__(self, base: Storage, version: int):
+        # deliberately NOT calling super().__init__ — no manifest I/O
+        self.root = base.root
+        self.n_buckets = base.n_buckets
+        self.version = version
+        path = os.path.join(base._snapshot_dir(), f"v{version:08d}.json")
+        try:
+            with open(path) as f:
+                self._pinned = json.load(f)
+        except OSError:
+            raise ValueError(
+                f"no snapshot for version {version}: never written, or aged out "
+                f"of the {Storage.SNAPSHOT_KEEP}-version retention window "
+                f"(available: {base.versions()!r})"
+            ) from None
+
+    def _read_manifest(self) -> dict:
+        return self._pinned
+
+    def _write_manifest(self, manifest):
+        raise RuntimeError("SnapshotStorage is read-only (time-travel view)")
+
+    def _cas_write_manifest(self, manifest, expected_version):
+        raise RuntimeError("SnapshotStorage is read-only (time-travel view)")
+
+    # fail BEFORE staging any bucket file, not at the final flip — a
+    # write attempt must not leave orphans behind the read-only facade
+    def commit(self, updates, schemas, drop_tables=()):
+        raise RuntimeError("SnapshotStorage is read-only (time-travel view)")
+
+    def commit_external_many(self, table_bucket_files, drop_tables=(), meta=None):
+        raise RuntimeError("SnapshotStorage is read-only (time-travel view)")
+
+    def append(self, table, rows, schema):
+        raise RuntimeError("SnapshotStorage is read-only (time-travel view)")
+
+    def compact_append_table(self, table):
+        raise RuntimeError("SnapshotStorage is read-only (time-travel view)")
 
 
 class OverlayStorage(Storage):

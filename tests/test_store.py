@@ -200,12 +200,15 @@ def test_vacuum_removes_superseded_files(store):
     for i in range(5):
         store.put("vdoc", {"n": i})
     # no concurrent writers in this test, so grace 0 is safe; the
-    # default grace protects executor-staged files mid-batch
-    before = store.vacuum(grace_seconds=0)
+    # default grace protects executor-staged files mid-batch.
+    # keep_versions=0 forfeits time travel so superseded buckets are
+    # reclaimable NOW (default retention pins them for SNAPSHOT_KEEP
+    # flips — test_time_travel_* covers that behavior)
+    before = store.vacuum(grace_seconds=0, keep_versions=0)
     assert before > 0
     body, rev = store.get("vdoc")  # current snapshot intact
     assert body == {"n": 4} and rev == 5
-    assert store.vacuum(grace_seconds=0) == 0
+    assert store.vacuum(grace_seconds=0, keep_versions=0) == 0
     assert store.vacuum() == 0  # default grace: young files untouched
 
 
@@ -649,7 +652,8 @@ def test_compact_appends_merges_feed_files(spark, tmp_path):
     assert store.compact_appends() == {}
 
     # superseded append files are unreferenced → vacuum reclaims
-    removed = store.vacuum(grace_seconds=0)
+    # (keep_versions=0: forfeit time travel for immediate reclaim)
+    removed = store.vacuum(grace_seconds=0, keep_versions=0)
     assert removed > 0
     import glob as _glob
     import os as _os
@@ -662,3 +666,78 @@ def test_compact_appends_merges_feed_files(spark, tmp_path):
         for p in _glob.glob(str(tmp_path / "cstore" / "data" / "**" / "*.parquet"), recursive=True)
     }
     assert on_disk <= referenced
+
+
+def test_time_travel_reads_historical_versions(spark, tmp_path):
+    """Every manifest flip is snapshotted: at_version must read the
+    store exactly as it was, current reads stay latest, writes through
+    a snapshot are refused, and vacuum never reclaims files a retained
+    snapshot still references."""
+    store = DocumentStore(str(tmp_path / "tt"), spark=spark)
+    store.put("doc", {"n": 1})
+    v1 = store.storage._read_manifest()["version"]
+    store.put("doc", {"n": 2})
+    store.put("doc", {"n": 3})
+    assert store.get("doc")[0] == {"n": 3}
+
+    old = store.at_version(v1)
+    body, rev = old.get("doc")
+    assert body == {"n": 1} and rev == 1
+    # snapshot is frozen: later writes don't leak in
+    store.put("doc", {"n": 4})
+    assert old.get("doc")[0] == {"n": 1}
+    assert store.get("doc")[0] == {"n": 4}
+    # read-only: every write verb refuses before touching disk
+    for attempt in (
+        lambda: old.put("doc", {"n": 9}),
+        lambda: old.delete("doc"),
+        lambda: old.patch("doc", {"x": 1}),
+    ):
+        with pytest.raises(RuntimeError, match="read-only"):
+            attempt()
+
+    # vacuum keeps snapshot-referenced files alive → old still reads
+    store.vacuum(grace_seconds=0)
+    assert old.get("doc")[0] == {"n": 1}
+
+    # expired/unknown versions fail loudly with the available list
+    with pytest.raises(ValueError, match="no snapshot"):
+        store.at_version(99999)
+
+
+def test_time_travel_retention_window_frees_files(spark, tmp_path, monkeypatch):
+    """Past SNAPSHOT_KEEP flips, old snapshots prune and their
+    superseded bucket files become vacuum-reclaimable."""
+    from hyper_storage_spark.store.storage import Storage
+
+    monkeypatch.setattr(Storage, "SNAPSHOT_KEEP", 4)
+    store = DocumentStore(str(tmp_path / "ttr"), spark=spark)
+    store.put("d", {"i": 0})
+    v_first = store.storage._read_manifest()["version"]
+    for i in range(1, 10):
+        store.put("d", {"i": i})
+    vers = store.storage.versions()
+    assert len(vers) == 4 and v_first not in vers
+    with pytest.raises(ValueError, match="no snapshot"):
+        store.at_version(v_first)
+    # the earliest retained snapshot still reads consistently after GC
+    oldest = store.at_version(vers[0])
+    before = oldest.get("d")[0]
+    removed = store.vacuum(grace_seconds=0)
+    assert removed > 0  # pre-window bucket versions reclaimed
+    assert oldest.get("d")[0] == before
+
+
+def test_collection_query_time_travel(spark, tmp_path):
+    """Collection queries (the Spark read path) work against a
+    snapshot: items added after the pinned version are invisible."""
+    store = DocumentStore(str(tmp_path / "ttq"), spark=spark)
+    store.put("c~/a", {"v": 1})
+    store.put("c~/b", {"v": 2})
+    v = store.storage._read_manifest()["version"]
+    store.put("c~/c", {"v": 3})
+    res_now = store.query("c~", size=10)
+    res_then = store.at_version(v).query("c~", size=10)
+    assert [i["id"] for i in res_now.items] == ["a", "b", "c"]
+    assert [i["id"] for i in res_then.items] == ["a", "b"]
+    assert res_then.revision == 2

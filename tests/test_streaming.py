@@ -379,8 +379,9 @@ def test_vacuum_reclaims_superseded_stream_staging_files(spark, tmp_path):
     write_commands(cmds, [{"seq": 1, "method": "put", "path": "vdoc", "body": {"a": 1}}])
     run_command_stream(spark, store, cmds, str(tmp_path / "ck1"))
     # supersede the streamed bucket with a direct write, then vacuum
+    # (keep_versions=0: drop time-travel pins for immediate reclaim)
     store.put("vdoc", {"a": 2})
-    removed = store.vacuum(grace_seconds=0)
+    removed = store.vacuum(grace_seconds=0, keep_versions=0)
     assert removed > 0
     leftover = glob.glob(str(tmp_path / "store" / "data" / "*" / "*-stream-*.parquet"))
     referenced = set()
@@ -607,9 +608,14 @@ def test_streaming_vacuum_reclaims_crash_orphans(spark, tmp_path):
     assert orphans, "crashed batch left no staged files to orphan"
 
     # replay with per-batch vacuum and no grace (no concurrent writers
-    # in this test): the batch applies, then GC reclaims the orphans
+    # in this test): the batch applies, then GC reclaims the orphans —
+    # crashed-attempt staging is in NO manifest (current or snapshot),
+    # so default snapshot retention cannot pin it
     run_command_stream(spark, store, cmds, ckpt, vacuum_every=1, vacuum_grace=0.0)
     assert store.get("orph")[0] == {"a": 1}
+    assert not [p for p in orphans if os.path.exists(p)], "crash orphans survived GC"
+    # with time-travel pins dropped, nothing unreferenced survives
+    store.vacuum(grace_seconds=0, keep_versions=0)
     referenced = set()
     for table in store.storage.tables():
         referenced.update(os.path.abspath(p) for p in store.storage.files(table))
