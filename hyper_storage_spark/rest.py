@@ -127,7 +127,20 @@ class RestFacade:
         size: Optional[int] = None,
         paged: bool = False,
         if_none_match: Optional[str] = None,
+        at_version: Optional[int] = None,
     ) -> RestResponse:
+        if at_version is not None:
+            # time-travel read: same verb surface against the pinned
+            # snapshot (404/400 semantics unchanged); unknown/expired
+            # versions are a client error, listed for discoverability
+            try:
+                facade = RestFacade(self.store.at_version(int(at_version)))
+            except (ValueError, TypeError) as e:
+                return RestResponse(400, {"error": str(e)})
+            return facade.get(
+                path, filter=filter, sort=sort, size=size, paged=paged,
+                if_none_match=if_none_match,
+            )
         try:
             if path.endswith("~"):
                 kwargs: dict[str, Any] = {

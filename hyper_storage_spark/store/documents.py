@@ -1277,6 +1277,36 @@ class DocumentStore:
             storage=self.storage.snapshot(version),
         )
 
+    def restore_version(self, version: int) -> int:
+        """Zero-copy rollback: make the store's CURRENT state the table
+        layout of retained snapshot ``version`` — one manifest flip, no
+        data movement (bucket files are immutable, so restoring is just
+        re-pointing at the old file list). Returns the NEW manifest
+        version; history is preserved (the rollback itself snapshots,
+        so a rollback can be rolled back).
+
+        Manifest ``meta`` (streaming watermarks etc.) is deliberately
+        KEPT at its current values, not the snapshot's: rewinding a
+        batch watermark would make a restarted stream re-apply batches
+        against the restored state and double-write. Restoring data
+        while watermarks stand still is the safe direction — already-
+        processed batches stay processed.
+
+        Fails (ManifestConflict) if another process flips concurrently;
+        ValueError if the version aged out of retention."""
+        with self._lock:
+            snap = self.storage.snapshot(version)  # validates retention
+            manifest = self.storage._read_manifest()
+            restored_tables = json.loads(json.dumps(snap._pinned["tables"]))
+            manifest["tables"] = restored_tables
+            new_version = manifest["version"] + 1
+            manifest["version"] = new_version
+            self.storage._cas_write_manifest(manifest, new_version - 1)
+            # cached template memo may reference state the rollback
+            # removed; re-checking is idempotent
+            self._templated_uris.clear()
+            return new_version
+
     def compact_appends(self, min_files: int = 2) -> dict[str, int]:
         """Compact every append-only table holding ≥ ``min_files``
         append files (the feed and dead-letter logs grow one parquet

@@ -741,3 +741,51 @@ def test_collection_query_time_travel(spark, tmp_path):
     assert [i["id"] for i in res_now.items] == ["a", "b", "c"]
     assert [i["id"] for i in res_then.items] == ["a", "b"]
     assert res_then.revision == 2
+
+
+def test_restore_version_zero_copy_rollback(spark, tmp_path):
+    """restore_version re-points the current manifest at a retained
+    snapshot's file list: data rolls back, version moves FORWARD,
+    history (including the pre-rollback state) stays time-travelable,
+    and manifest meta (stream watermarks) is preserved."""
+    store = DocumentStore(str(tmp_path / "rb"), spark=spark)
+    store.put("doc", {"state": "good"})
+    good_v = store.storage._read_manifest()["version"]
+    store.storage.set_meta("wm", 7)  # stands in for a stream watermark
+    store.put("doc", {"state": "bad"})
+    store.put("other", {"x": 1})
+    assert store.get("doc")[0] == {"state": "bad"}
+
+    new_v = store.restore_version(good_v)
+    assert new_v == store.storage._read_manifest()["version"]
+    assert store.get("doc")[0] == {"state": "good"}
+    with pytest.raises(NotFoundError):
+        store.get("other")  # didn't exist at good_v
+    assert store.storage.get_meta("wm") == 7  # meta survives the rollback
+    # the pre-rollback state is still reachable (rollback of a rollback)
+    pre = new_v - 1
+    assert store.at_version(pre).get("doc")[0] == {"state": "bad"}
+    store.restore_version(pre)
+    assert store.get("doc")[0] == {"state": "bad"}
+    assert store.get("other")[0] == {"x": 1}
+
+
+def test_rest_time_travel_get(spark, tmp_path):
+    from hyper_storage_spark.rest import RestFacade
+
+    store = DocumentStore(str(tmp_path / "rtt"), spark=spark)
+    f = RestFacade(store)
+    f.put("doc", {"n": 1})
+    v = store.storage._read_manifest()["version"]
+    f.put("doc", {"n": 2})
+    assert f.get("doc").body == {"n": 2}
+    old = f.get("doc", at_version=v)
+    assert old.status == 200 and old.body == {"n": 1} and old.headers["revision"] == "1"
+    assert f.handle("GET", "doc", at_version=v).body == {"n": 1}
+    assert f.get("doc", at_version=999999).status == 400
+    # collection time travel through the facade
+    f.put("c~/i1", {"a": 1})
+    v2 = store.storage._read_manifest()["version"]
+    f.put("c~/i2", {"a": 2})
+    assert len(f.get("c~", at_version=v2).body["_embedded"]["els"]) == 1
+    assert len(f.get("c~").body["_embedded"]["els"]) == 2
