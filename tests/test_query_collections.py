@@ -285,3 +285,47 @@ def test_keyset_resume_from_container_sort_value(spark, tmp_path):
     # run is dropped)
     res3 = s.query_paged("kc~", filter="b > 10", sort=[SortBy("a")], size=3)
     assert [it["id"] for it in res3.items] == ["i1", "i3", "i5"]
+
+
+def test_query_paged_differential_random_bodies(spark, tmp_path):
+    """Differential: for exact-sort queries, the keyset fetch loop must
+    return exactly what the single-shot query path returns — over a
+    seeded corpus mixing scalar/container/missing/None sort values
+    (containers store NULL sort cells: the resume-filter class fixed
+    this round) and text + desc-decimal indexes, across page sizes that
+    force multi-select paging."""
+    import random
+
+    rng = random.Random(20260814)
+    s = DocumentStore(str(tmp_path / "dp"), spark=spark)
+    values = (
+        lambda: rng.randint(0, 9),
+        lambda: f"s{rng.randint(0, 5)}",
+        lambda: {"z": rng.randint(0, 3)},
+        lambda: [rng.randint(0, 3)],
+        lambda: None,
+        lambda: rng.random() > 0.5,
+    )
+    for i in range(40):
+        body = {"b": rng.randint(0, 100)}
+        if rng.random() > 0.25:  # some docs miss the sort field entirely
+            body["a"] = rng.choice(values)()
+        s.put(f"dp~/i{i:03d}", body)
+    s.create_index("dp~", "by_a", [SortItem("a", "text", "asc")], None)
+    s.create_index("dp~", "by_b", [SortItem("b", "decimal", "desc")], None)
+
+    cases = []
+    for _ in range(12):
+        sort = rng.choice(
+            [[], [SortBy("a")], [SortBy("b", descending=True)], [SortBy("id")]]
+        )
+        filt = rng.choice([None, "b > 30", "b <= 70", 'a = "s1"', "b > 10 and b < 90"])
+        size = rng.choice([3, 5, 7, 40])
+        cases.append((filt, sort, size))
+    for filt, sort, size in cases:
+        full = s.query("dp~", filter=filt, sort=sort or None, size=size)
+        paged = s.query_paged("dp~", filter=filt, sort=sort or None, size=size)
+        assert paged.items == full.items, (
+            f"paged != single-shot for filter={filt!r} "
+            f"sort={[(x.field_name, x.descending) for x in sort]} size={size}"
+        )
