@@ -3877,6 +3877,40 @@ def emb_kmeans_contract(spark, sf_dir):
     )
 
 
+@register_extra(
+    "store_time_travel",
+    """SELECT doc_id, lang, n_chars FROM documents
+       WHERE lang = 'de' AND doc_id < 200""",
+)
+def store_time_travel(spark, sf_dir):
+    """Snapshot isolation across history, gated end-to-end: ingest a
+    deterministic slice as a collection, pin the manifest version, then
+    MUTATE the collection (overwrite one item, delete another, insert a
+    new one) — and prove the time-travel read still returns exactly the
+    pre-mutation state the DuckDB oracle computes from the raw parquet.
+    Exercises ingest → snapshot → at_version → collection query on the
+    frozen file list."""
+    import tempfile
+
+    from .store import DocumentStore
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "de") & (F.col("doc_id") < 200))
+        .withColumn("item", F.lpad(F.col("doc_id").cast("string"), 10, "0"))
+    )
+    store = DocumentStore(tempfile.mkdtemp(prefix="hs_tt_"), spark=spark)
+    store.ingest_collection(docs, "tt~", "item")
+    pinned = store.storage._read_manifest()["version"]
+    first_two = [i["id"] for i in store.query("tt~", size=2).items]
+    store.put(f"tt~/{first_two[0]}", {"doc_id": -1, "lang": "xx", "n_chars": 0})
+    store.delete(f"tt~/{first_two[1]}")
+    store.put("tt~/zzz-new", {"doc_id": 999999, "lang": "zz", "n_chars": 1})
+    res = store.at_version(pinned).query("tt~", size=100000)
+    rows = [(i["doc_id"], i["lang"], i["n_chars"]) for i in res.items]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
