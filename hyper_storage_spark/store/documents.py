@@ -1262,6 +1262,40 @@ class DocumentStore:
                     removed += 1
             return removed
 
+    def info(self) -> dict:
+        """Operational snapshot of the store: manifest version, retained
+        time-travel versions, and per-table file/byte/bucket counts —
+        the numbers an operator needs to size vacuum/compaction and to
+        watch growth. Reads only the manifest + file metadata (no data
+        decode), so it is safe to poll."""
+        import os
+
+        manifest = self.storage._read_manifest()
+        tables: dict[str, dict] = {}
+        for table in manifest["tables"]:
+            files = self.storage.files(table)
+            size = 0
+            for p in files:
+                try:
+                    size += os.path.getsize(p)
+                except OSError:
+                    pass  # vacuumed/renamed concurrently
+            entry = manifest["tables"][table]
+            tables[table] = {
+                "files": len(files),
+                "bytes": size,
+                "buckets": sum(1 for k in entry if not k.startswith("a")),
+                "append_segments": sum(1 for k in entry if k.startswith("a")),
+            }
+        return {
+            "root": self.storage.root,
+            "version": manifest["version"],
+            "n_buckets": self.storage.n_buckets,
+            "retained_versions": self.storage.versions(),
+            "meta": dict(manifest.get("meta", {})),
+            "tables": tables,
+        }
+
     def at_version(self, version: int) -> "DocumentStore":
         """Time travel: a READ-ONLY DocumentStore pinned to the store
         exactly as it was at manifest ``version`` (every flip snapshots

@@ -789,3 +789,20 @@ def test_rest_time_travel_get(spark, tmp_path):
     f.put("c~/i2", {"a": 2})
     assert len(f.get("c~", at_version=v2).body["_embedded"]["els"]) == 1
     assert len(f.get("c~").body["_embedded"]["els"]) == 2
+
+
+def test_store_info_reports_layout(spark, tmp_path):
+    store = DocumentStore(str(tmp_path / "inf"), spark=spark)
+    store.put("c~/a", {"v": 1})
+    store.put("c~/b", {"v": 2})
+    info = store.info()
+    assert info["version"] == store.storage._read_manifest()["version"]
+    assert info["n_buckets"] == 16
+    assert info["version"] in info["retained_versions"]
+    t = info["tables"]
+    assert t["content"]["files"] >= 1 and t["content"]["bytes"] > 0
+    assert t["content"]["buckets"] >= 1 and t["content"]["append_segments"] == 0
+    assert t["feed"]["append_segments"] == 2  # one per publication
+    # poll-safe: no data decode, works on a snapshot too
+    old = store.at_version(info["retained_versions"][0])
+    assert old.info()["version"] == info["retained_versions"][0]
