@@ -3911,6 +3911,31 @@ def store_time_travel(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
 
 
+@register_extra(
+    "q_countmin_heavy_hitters",
+    """SELECT value, n_exact, true AS overestimates, true AS within_eps_n
+       FROM (
+         SELECT user_id AS value, COUNT(*) AS n_exact
+         FROM events GROUP BY user_id
+         ORDER BY n_exact DESC, value LIMIT 20
+       )""",
+)
+def q_countmin_heavy_hitters(spark, sf_dir):
+    """Count-Min frequency sketch with its certificate (the sketch
+    family's third member after HLL++ and percentile_approx): the
+    events table's top-20 users by event count, each row carrying the
+    sketch's one-sided guarantee (estimate ≥ exact) and the
+    eps×N error bound — both computed against the exact counts at gate
+    SF. The cms_estimate column itself is engine-specific (hash-seeded)
+    and stays out of the compared projection."""
+    e = _t(spark, sf_dir, "events")
+    from .operators.sketches import heavy_hitters_cms
+
+    return heavy_hitters_cms(e, "user_id", k=20).select(
+        "value", "n_exact", "overestimates", "within_eps_n"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

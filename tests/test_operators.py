@@ -1826,3 +1826,27 @@ def test_kmeans_clusters_deterministic_and_reduces_inertia(spark, sf_dir):
     assert model.summary.trainingCost < 0.95 * total_inertia, (
         f"k=10 inertia {model.summary.trainingCost:.1f} vs baseline {total_inertia:.1f}"
     )
+
+
+def test_count_min_sketch_properties(spark):
+    """Structural CMS guarantees on a skewed corpus: estimates never
+    undercount, tiny grids still only overcount (width=1 degenerates to
+    estimate == N for every value), and a roomy grid recovers exact
+    counts for well-separated values."""
+    from hyper_storage_spark.operators import sketches
+
+    rows = [(v,) for v in [1] * 50 + [2] * 30 + [3] * 20 + list(range(100, 200))]
+    df = spark.createDataFrame(rows, "user_id long")
+    hh = sketches.heavy_hitters_cms(df, "user_id", k=3, depth=5, width=4096).collect()
+    assert [(r.value, r.n_exact) for r in hh] == [(1, 50), (2, 30), (3, 20)]
+    assert all(r.overestimates and r.within_eps_n for r in hh)
+    # roomy grid + few distincts: estimates are exact
+    assert [r.cms_estimate for r in hh] == [50, 30, 20]
+
+    # degenerate width=1: every value maps to the same cell per row —
+    # the estimate is the TOTAL count, still a pure overestimate
+    grid1 = sketches.cms_build(df, "user_id", depth=3, width=1)
+    vals = spark.createDataFrame([(1,), (999,)], "user_id long")
+    est = {r.user_id: r.cms_estimate
+           for r in sketches.cms_estimate(grid1, vals, "user_id", depth=3, width=1).collect()}
+    assert est[1] == est[999] == df.count()
