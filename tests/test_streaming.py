@@ -624,3 +624,33 @@ def test_streaming_vacuum_reclaims_crash_orphans(spark, tmp_path):
         for p in glob.glob(str(tmp_path / "store" / "data" / "**" / "*.parquet"), recursive=True)
     }
     assert on_disk <= referenced, f"unreferenced files survive GC: {sorted(on_disk - referenced)[:5]}"
+
+
+def test_serial_staged_batch_instantiates_templates(spark, tmp_path):
+    """A collection-delete batch (serial-staged fallback) that ALSO
+    creates a template-matched collection must instantiate the concrete
+    index through the overlay store — DDL, backfill, and the delete all
+    land in the one staged flip."""
+    from hyper_storage_spark.plans.model import STATUS_NORMAL, SortBy, SortItem
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    store.create_index_template("tpl/*~", "by_v", [SortItem("v", "decimal", "asc")])
+    store.put("gone~/x", {"a": 1})
+    cmds = str(tmp_path / "commands")
+    write_commands(
+        cmds,
+        [
+            {"seq": 1, "method": "put", "path": "tpl/a~/i1", "body": {"v": 5}},
+            {"seq": 2, "method": "delete", "path": "gone~", "body": None},
+            {"seq": 3, "method": "put", "path": "tpl/a~/i2", "body": {"v": 3}},
+        ],
+    )
+    run_command_stream(spark, store, cmds, str(tmp_path / "ckpt"))
+    defs = store.index_defs("tpl/a~")
+    assert [(d.index_id, d.status) for d in defs] == [("by_v", STATUS_NORMAL)]
+    with pytest.raises(KeyError):
+        store.get("gone~/x")
+    # the instantiated index actually serves queries, sorted by v
+    res = store.query("tpl/a~", sort=[SortBy("v")], size=10)
+    assert [i["id"] for i in res.items] == ["i2", "i1"]
+    assert res.plan.index_id == "by_v"
