@@ -806,3 +806,47 @@ def test_store_info_reports_layout(spark, tmp_path):
     # poll-safe: no data decode, works on a snapshot too
     old = store.at_version(info["retained_versions"][0])
     assert old.info()["version"] == info["retained_versions"][0]
+
+
+def test_manifest_cas_across_processes(tmp_path):
+    """The CAS fence must hold across real OS processes (the in-process
+    lock can't help there): two subprocess writers hammer one store
+    root with retry-on-conflict; every flip must survive."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "xproc")
+    from hyper_storage_spark.store.storage import Storage
+
+    Storage(root)  # init manifest once
+    script = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import pyarrow as pa
+from hyper_storage_spark.store.storage import ManifestConflict, Storage
+tid, root = sys.argv[1], sys.argv[2]
+st = Storage(root)
+schema = pa.schema([("k", pa.int64())])
+for i in range(8):
+    while True:
+        try:
+            st.commit({{(f"t{{tid}}", i): [{{"k": i}}]}}, {{f"t{{tid}}": schema}})
+            break
+        except ManifestConflict:
+            pass
+print("done", tid)
+""".format(repo="/root/repo")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(t), root],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for t in range(2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()[:500]
+    final = Storage(root)._read_manifest()
+    assert final["version"] == 16
+    for tid in range(2):
+        assert sorted(final["tables"][f"t{tid}"], key=int) == [str(i) for i in range(8)]

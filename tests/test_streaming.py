@@ -654,3 +654,23 @@ def test_serial_staged_batch_instantiates_templates(spark, tmp_path):
     res = store.query("tpl/a~", sort=[SortBy("v")], size=10)
     assert [i["id"] for i in res.items] == ["i2", "i1"]
     assert res.plan.index_id == "by_v"
+
+
+def test_streaming_compaction_hook_bounds_feed_files(spark, tmp_path):
+    """compact_every in the ingest loop must bound the append-only
+    feed's file count across many batches without losing events."""
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    cmds = str(tmp_path / "commands")
+    ckpt = str(tmp_path / "ckpt")
+    # 6 files × maxFilesPerTrigger=4 ⇒ at least 2 batches; every batch
+    # publishes feed events, compaction runs after each batch
+    for i in range(6):
+        write_commands(cmds, [
+            {"seq": 2 * i, "method": "put", "path": f"d{i}", "body": {"n": i}},
+            {"seq": 2 * i + 1, "method": "put", "path": f"e{i}", "body": {"n": i}},
+        ])
+    run_command_stream(spark, store, cmds, ckpt, compact_every=1, vacuum_every=1, vacuum_grace=0.0)
+    evs = {(e["document_uri"], e["revision"]) for e in store.feed_events()}
+    assert evs == {(f"{p}{i}", 1) for p in "de" for i in range(6)}
+    # one compacted file + at most one fresh post-compaction append
+    assert len(store.storage.files("feed")) <= 2
