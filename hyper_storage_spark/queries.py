@@ -3912,6 +3912,69 @@ def store_time_travel(spark, sf_dir):
 
 
 @register_extra(
+    "q_stream_sliding_counts",
+    """WITH ev AS (
+         SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+                CAST(value AS DECIMAL(18,6)) AS v
+         FROM events
+       ),
+       expanded AS (
+         SELECT CAST(date_trunc('day', ts) - INTERVAL (k) DAY AS TIMESTAMP) AS window_start,
+                event_type, v
+         FROM ev, unnest([0, 1]) AS t(k)
+       )
+       SELECT window_start, event_type, COUNT(*) AS n,
+              CAST(ROUND(SUM(v), 2) AS DOUBLE) AS total_value
+       FROM expanded GROUP BY 1, 2""",
+)
+def q_stream_sliding_counts(spark, sf_dir):
+    """SLIDING event-time windows through a real readStream replay —
+    the third member of the streaming-windows family (tumbling and
+    session are driver-gated): 2-day windows sliding 1 day, so every
+    event lands in exactly two windows. The oracle expands the same
+    two-window assignment explicitly (date_trunc minus 0/1 days) and
+    must match the streamed aggregation bit-for-bit (DECIMAL sums).
+    Memoized per (session, sf_dir) like the tumbling entry."""
+    key = f"slide::{sf_dir}"
+    df = _STREAM_WINDOW_RESULTS.get(key)
+    if df is None:
+        import os
+        import tempfile
+
+        from .streaming.windows import windowed_event_counts
+
+        batch = _t(spark, sf_dir, "events")
+        d = tempfile.mkdtemp(prefix="hs_stream_slide_")
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+            os.path.join(d, "events.parquet"),
+        )
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .parquet(d)
+            .withColumn("value", F.col("value").cast("decimal(18,6)"))
+        )
+        agg = windowed_event_counts(stream, window="2 days", watermark="2 hours", slide="1 day")
+        name = f"stream_slide_{abs(hash(sf_dir))}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        df = spark.table(name)
+        _STREAM_WINDOW_RESULTS[key] = df
+    return df.select(
+        "window_start",
+        "event_type",
+        "n",
+        F.round("total_value", 2).cast("double").alias("total_value"),
+    )
+
+
+@register_extra(
     "q_countmin_heavy_hitters",
     """SELECT value, n_exact, true AS overestimates, true AS within_eps_n
        FROM (

@@ -77,13 +77,17 @@ def windowed_event_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
     """(window_start, window_end, event_type, n, total_value) per
-    tumbling event-time window; state for windows older than the
-    watermark is dropped (bounded state at any scale)."""
+    event-time window — tumbling by default, SLIDING when ``slide`` <
+    ``window`` is given (each event lands in window/slide overlapping
+    windows; Spark expands the assignment inline, so state grows by
+    that same factor and the watermark still bounds it)."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     return (
         _as_event_time(events, ts_col).withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
