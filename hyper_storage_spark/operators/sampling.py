@@ -253,3 +253,81 @@ def pack_sequences(
     return grouped.groupBy("__g").applyInPandas(
         pack, "doc_id long, n_tokens long, group_id int, seq_id long, oversize boolean"
     )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    weight_col: str,
+    order_by: list,
+    cum_col: str = "cum_weight",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact GLOBAL running total of ``weight_col`` in ``order_by``
+    order (list of Columns with direction, e.g. ``[F.col("q").desc(),
+    F.col("id")]`` — must be a TOTAL order for determinism), computed
+    scalably: the naive ``Window.orderBy`` global cumsum funnels the
+    whole corpus through ONE task; this is the classic two-level
+    prefix sum instead —
+
+    1. ``repartitionByRange`` on the order (range partition i holds
+       rank-contiguous rows, partition index follows the order);
+    2. per-partition weight totals → driver (one tiny row per
+       partition) → prefix offsets;
+    3. per-partition LOCAL window cumsum (parallel) + broadcast
+       offset.
+
+    Every step is bounded: the only global exchange is the range
+    partitioning itself, and the driver sees #partitions numbers.
+
+    The ranged frame is PERSISTED before the totals pass:
+    ``repartitionByRange`` samples its boundaries with a per-execution
+    seed, so without pinning one materialization the offsets job and
+    the cumsum job can see DIFFERENT partitionings and the offsets
+    land on the wrong rows (observed live as a silent wrong answer).
+    The cache is the price of an exact global order — any exact
+    ranked computation materializes that order somewhere — and it
+    spills to disk and is released by the harness between runs
+    (operators/_caches.py)."""
+    from ._caches import tracked_persist
+
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_by)
+    with_pid = tracked_persist(ranged.withColumn("__pid", F.spark_partition_id()))
+    totals = {
+        r["__pid"]: r["s"]
+        for r in with_pid.groupBy("__pid").agg(F.sum(weight_col).alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(offsets)]),
+            F.array(*[F.lit(offsets[p]) for p in sorted(offsets)]),
+        ),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    return (
+        with_pid.withColumn(cum_col, F.sum(weight_col).over(w) + off)
+        .drop("__pid")
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    weight_col: str,
+    budget,
+    order_by: list,
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Greedy selection under a global budget: take rows in
+    ``order_by`` order while the running ``weight_col`` total stays
+    ≤ ``budget`` — the token-budget corpus-curation primitive ("best
+    documents first until the training budget is full"), exact and
+    deterministic given a total order, built on
+    :func:`distributed_cumsum` so no single task ever sees the whole
+    corpus."""
+    cum = distributed_cumsum(df, weight_col, order_by, cum_col)
+    return cum.filter(F.col(cum_col) <= budget)

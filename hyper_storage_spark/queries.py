@@ -3975,6 +3975,33 @@ def q_stream_sliding_counts(spark, sf_dir):
 
 
 @register_extra(
+    "q_token_budget_select",
+    """WITH w AS (
+         SELECT doc_id, n_chars,
+                CAST(SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_chars
+         FROM documents
+       )
+       SELECT doc_id, n_chars, cum_chars FROM w WHERE cum_chars <= 60000""",
+)
+def q_token_budget_select(spark, sf_dir):
+    """Budget-bounded corpus curation: take the largest documents
+    first until a 60k-char training budget fills (binding at both SFs) — an exact GLOBAL
+    running total computed as a two-level distributed prefix sum
+    (range partition → per-partition totals → offset + LOCAL windows),
+    never the single-task Window.orderBy cumsum the naive form needs.
+    The oracle runs exactly that naive global window; values must
+    match row for row."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.budget_select(
+        docs,
+        "n_chars",
+        60000,
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        cum_col="cum_chars",
+    ).select("doc_id", "n_chars", "cum_chars")
+
+
+@register_extra(
     "q_countmin_heavy_hitters",
     """SELECT value, n_exact, true AS overestimates, true AS within_eps_n
        FROM (

@@ -1850,3 +1850,45 @@ def test_count_min_sketch_properties(spark):
     est = {r.user_id: r.cms_estimate
            for r in sketches.cms_estimate(grid1, vals, "user_id", depth=3, width=1).collect()}
     assert est[1] == est[999] == df.count()
+
+
+def test_distributed_cumsum_matches_naive_global_window(spark):
+    """Two-level prefix sum ≡ the naive single-task global window on a
+    seeded random frame, and its plan must contain NO unpartitioned
+    Window (every Window partitions by the range-partition id)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from hyper_storage_spark.operators import sampling
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 500)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, w long").repartition(16)
+    order = [F.col("w").desc(), F.col("id")]
+    got = {
+        r.id: r.cum_weight
+        for r in sampling.distributed_cumsum(df, "w", order, partitions=8).collect()
+    }
+    naive = {
+        r.id: r.c
+        for r in df.withColumn(
+            "c", F.sum("w").over(Window.orderBy(F.col("w").desc(), F.col("id")))
+        ).collect()
+    }
+    assert got == naive
+
+    plan = (
+        sampling.distributed_cumsum(df, "w", order, partitions=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Window" in line and "windowExpression" not in line.lower():
+            assert "__pid" in line, f"unpartitioned Window in plan: {line.strip()}"
+
+    # budget_select: greedy cut is exact at the boundary
+    sel = sampling.budget_select(df, "w", 10_000, order).collect()
+    total = sum(r.w for r in sel)
+    cut = sorted(naive.items(), key=lambda kv: kv[1])
+    expected_ids = {i for i, c in naive.items() if c <= 10_000}
+    assert {r.id for r in sel} == expected_ids and total <= 10_000
