@@ -850,3 +850,36 @@ print("done", tid)
     assert final["version"] == 16
     for tid in range(2):
         assert sorted(final["tables"][f"t{tid}"], key=int) == [str(i) for i in range(8)]
+
+
+def test_store_admin_cli(spark, tmp_path):
+    """The admin CLI end-to-end against a real root: info, versions,
+    compact, rollback, vacuum — each prints one JSON line."""
+    import json as _json
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "adm")
+    store = DocumentStore(root, spark=spark)
+    store.put("doc", {"s": 1})
+    v_good = store.storage._read_manifest()["version"]
+    store.put("doc", {"s": 2})
+
+    def run(*args):
+        p = subprocess.run(
+            [sys.executable, "tools/store_admin.py", root, *args],
+            capture_output=True, text=True, cwd="/root/repo", timeout=120,
+        )
+        assert p.returncode == 0, p.stderr[:500]
+        return _json.loads(p.stdout.strip().splitlines()[-1])
+
+    info = run("info")
+    assert info["version"] == store.storage._read_manifest()["version"]
+    assert "content" in info["tables"]
+    assert run("versions")["versions"] == store.storage.versions()
+    assert run("compact")["compacted"].get("feed") == 2
+    rb = run("rollback", str(v_good))
+    assert rb["new_version"] > v_good
+    assert store.get("doc")[0] == {"s": 1}
+    assert run("vacuum", "--grace", "0", "--keep", "0")["removed"] > 0
+    assert store.get("doc")[0] == {"s": 1}  # current state intact after GC

@@ -1,0 +1,73 @@
+"""Operational CLI for a document-store root.
+
+The reference runs as a service with its operations driven over the
+bus; this engine is a library, so day-2 operations get a command-line
+face instead:
+
+    python tools/store_admin.py ROOT info
+    python tools/store_admin.py ROOT versions
+    python tools/store_admin.py ROOT vacuum [--grace SECONDS] [--keep N]
+    python tools/store_admin.py ROOT compact
+    python tools/store_admin.py ROOT rollback VERSION
+    python tools/store_admin.py ROOT recover
+
+Every command prints ONE JSON line. No Spark session is started —
+these are manifest/file operations (recover uses the driver-side
+completion path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("root", help="store root directory")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("info")
+    sub.add_parser("versions")
+    vac = sub.add_parser("vacuum")
+    vac.add_argument("--grace", type=float, default=3600.0)
+    vac.add_argument(
+        "--keep",
+        type=int,
+        default=None,
+        help="override snapshot retention for this pass (0 = current-only, "
+        "forfeits time travel over the reclaimed history)",
+    )
+    sub.add_parser("compact")
+    rb = sub.add_parser("rollback")
+    rb.add_argument("version", type=int)
+    sub.add_parser("recover")
+    args = ap.parse_args(argv)
+
+    from hyper_storage_spark.store import DocumentStore
+
+    store = DocumentStore(args.root)
+    if args.cmd == "info":
+        out = store.info()
+    elif args.cmd == "versions":
+        out = {"versions": store.storage.versions()}
+    elif args.cmd == "vacuum":
+        out = {
+            "removed": store.vacuum(grace_seconds=args.grace, keep_versions=args.keep)
+        }
+    elif args.cmd == "compact":
+        out = {"compacted": store.compact_appends()}
+    elif args.cmd == "rollback":
+        out = {"restored_to": args.version, "new_version": store.restore_version(args.version)}
+    elif args.cmd == "recover":
+        out = {"completed_transactions": store.recover()}
+    else:  # pragma: no cover — argparse enforces
+        raise SystemExit(2)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
