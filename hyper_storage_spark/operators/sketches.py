@@ -31,9 +31,13 @@ def _cell(col, row_seed: int, width: int):
 def cms_build(df: DataFrame, col: str, depth: int = 5, width: int = 2719) -> DataFrame:
     """The sparse Count-Min grid: (row, cell, cnt). depth rows of width
     cells; default width 2719 ≈ e/0.001 (ε = 0.001·N additive error),
-    depth 5 (≈99.3% confidence)."""
+    depth 5 (≈99.3% confidence). NULL values are excluded — they have
+    no hash cell, and counting them would silently merge every NULL
+    into one phantom heavy hitter (the estimate join is null-rejecting
+    too, so inclusion here would just undercount them instead)."""
     if depth < 1 or width < 1:
         raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    df = df.filter(F.col(col).isNotNull())
     probes = df.select(
         F.explode(
             F.array(
@@ -98,6 +102,7 @@ def heavy_hitters_cms(
     the k values at gate SF."""
     import math
 
+    df = df.filter(F.col(col).isNotNull())  # match the grid's domain
     grid = cms_build(df, col, depth, width)
     counts = df.groupBy(F.col(col).alias("value")).agg(F.count("*").alias("n_exact"))
     top = counts.orderBy(F.col("n_exact").desc(), F.col("value")).limit(k)
