@@ -13,7 +13,15 @@ Semantics mirrored from the reference (citations inline):
   (PrimaryWorker.scala:76-91);
 - delete semantics (L15): document delete = tombstone; item delete =
   row removal + revision bump; collection delete also drops its indexes
-  (PrimaryWorker.scala:310-328, BackgroundContentTaskCompleter.scala:128-139);
+  (PrimaryWorker.scala:310-328, BackgroundContentTaskCompleter.scala:128-139).
+  A collection tombstone MASKS item rows rather than purging them, and
+  any later item write stores a static row with is_deleted=false —
+  resurrecting the collection with its masked items; item patch/delete
+  check the ITEM row, not the tombstone, so they succeed (and
+  resurrect) on a masked collection. Faithful to the reference's
+  static-column mechanics (deleteContent keeps Some(static) live,
+  PrimaryWorker.scala:315-328; verified by the model-based random CRUD
+  differential in tests/test_store.py);
 - write-ahead transactions + background completion publishing
   ``feed:*`` events with the revision header, at-least-once,
   idempotent by revision (BackgroundContentTaskCompleter.scala:75-113);

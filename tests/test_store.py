@@ -883,3 +883,147 @@ def test_store_admin_cli(spark, tmp_path):
     assert store.get("doc")[0] == {"s": 1}
     assert run("vacuum", "--grace", "0", "--keep", "0")["removed"] > 0
     assert store.get("doc")[0] == {"s": 1}  # current state intact after GC
+
+
+def test_store_model_based_random_crud(spark, tmp_path):
+    """Model-based differential: a seeded random PUT/PATCH/DELETE
+    sequence over collections and plain documents, applied both to the
+    real store and to a pure-Python model implementing the reference
+    semantics (null-stripping, id injection, merge-patch null-deletion,
+    shared gapless revision counter, tombstones, failed ops bump
+    nothing). Periodic checkpoints compare bodies, 404s, revisions, and
+    full collection listings."""
+    import random
+
+    from hyper_storage_spark.store.merge import filter_nulls, merge_patch
+
+    rng = random.Random(99)
+    store = DocumentStore(str(tmp_path / "mb"), spark=spark)
+    colls = ["ca~", "cb~"]
+    items = [f"i{n}" for n in range(6)]
+    docs = ["plain1", "plain2"]
+    # model: per-uri revision counter + live flag + items {id: body}
+    model = {u: {"rev": 0, "live": False, "items": {}} for u in colls}
+    for d in docs:
+        model[d] = {"rev": 0, "live": False, "body": None}
+
+    def rand_body():
+        fields = {}
+        for f in rng.sample(["a", "b", "c", "d"], rng.randint(1, 3)):
+            fields[f] = rng.choice([rng.randint(0, 9), f"s{rng.randint(0,3)}", None, [1, 2], {"z": 1}])
+        return fields
+
+    def check():
+        for u in colls:
+            m = model[u]
+            if not m["live"]:
+                with pytest.raises(KeyError):
+                    store.query(u, size=50)
+                continue
+            res = store.query(u, size=50)
+            assert res.revision == m["rev"], u
+            expected = [
+                dict(m["items"][i], id=i) for i in sorted(m["items"])
+            ]
+            assert res.items == expected, u
+        for d in docs:
+            m = model[d]
+            if not m["live"]:
+                with pytest.raises(KeyError):
+                    store.get(d)
+            else:
+                body, rev = store.get(d)
+                assert body == m["body"] and rev == m["rev"], d
+
+    for step in range(120):
+        kind = rng.random()
+        if kind < 0.55:  # collection item op
+            u = rng.choice(colls)
+            i = rng.choice(items)
+            m = model[u]
+            op = rng.choice(["put", "patch", "delete"])
+            # reference tombstone semantics (PrimaryWorker.scala:282-328 +
+            # the static is_deleted column): a collection delete MASKS the
+            # collection but item rows stay; any subsequent item write
+            # stores a static row with is_deleted=false, resurrecting the
+            # collection WITH its masked items. Item patch/delete check
+            # the ITEM row, not the document tombstone, so they succeed
+            # on a masked collection too (and resurrect it).
+            if op == "put":
+                b = rand_body()
+                store.put(f"{u}/{i}", b)
+                m["rev"] += 1
+                m["live"] = True
+                m["items"][i] = filter_nulls(dict(b))
+            elif op == "patch":
+                if i in m["items"]:
+                    p = rand_body()
+                    store.patch(f"{u}/{i}", p)
+                    m["rev"] += 1
+                    m["live"] = True
+                    merged = merge_patch(dict(m["items"][i], id=i), p)
+                    merged.pop("id", None)
+                    m["items"][i] = merged
+                else:
+                    with pytest.raises(KeyError):
+                        store.patch(f"{u}/{i}", {"x": 1})
+            else:
+                if m["items"] is not None and i in m["items"] and (m["live"] or m["rev"] > 0):
+                    store.delete(f"{u}/{i}")
+                    m["rev"] += 1
+                    m["live"] = True
+                    del m["items"][i]
+                else:
+                    with pytest.raises(KeyError):
+                        store.delete(f"{u}/{i}")
+        elif kind < 0.85:  # plain document op
+            d = rng.choice(docs)
+            m = model[d]
+            op = rng.choice(["put", "patch", "delete"])
+            if op == "put":
+                b = rand_body()
+                store.put(d, b)
+                m["rev"] += 1
+                m["live"] = True
+                m["body"] = filter_nulls(dict(b))
+            elif op == "patch":
+                if m["live"]:
+                    p = rand_body()
+                    store.patch(d, p)
+                    m["rev"] += 1
+                    m["body"] = merge_patch(m["body"], p)
+                else:
+                    with pytest.raises(KeyError):
+                        store.patch(d, {"x": 1})
+            else:
+                if m["live"]:
+                    store.delete(d)
+                    m["rev"] += 1
+                    m["live"] = False
+                    m["body"] = None
+                else:
+                    with pytest.raises(KeyError):
+                        store.delete(d)
+        elif kind < 0.95:  # collection delete (tombstone + re-creatable)
+            u = rng.choice(colls)
+            m = model[u]
+            if m["live"]:
+                store.delete(u)
+                m["rev"] += 1
+                m["live"] = False
+                # items stay masked, NOT purged (reference parity)
+            else:
+                with pytest.raises(KeyError):
+                    store.delete(u)
+        else:  # POST auto-id
+            u = rng.choice(colls)
+            m = model[u]
+            path, rev = store.post(f"{u}", {"p": step})
+            new_id = path.rsplit("/", 1)[-1]
+            m["rev"] += 1
+            m["live"] = True
+            m["items"][new_id] = {"p": step}
+            assert rev == m["rev"]
+        if step % 24 == 23:
+            check()
+    check()
