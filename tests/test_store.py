@@ -1027,3 +1027,68 @@ def test_store_model_based_random_crud(spark, tmp_path):
         if step % 24 == 23:
             check()
     check()
+
+
+def test_time_travel_replays_model_history(spark, tmp_path):
+    """History differential: after a random op sequence, EVERY retained
+    snapshot version that coincides with a recorded post-op state must
+    reproduce that state exactly through at_version — items, bodies,
+    tombstone visibility, and the shared revision counter."""
+    import copy
+    import random
+
+    from hyper_storage_spark.store.merge import filter_nulls, merge_patch
+
+    rng = random.Random(4242)
+    store = DocumentStore(str(tmp_path / "hist"), spark=spark)
+    u = "h~"
+    model = {"rev": 0, "live": False, "items": {}}
+    history = []  # (manifest_version, model deep copy)
+
+    for step in range(40):
+        op = rng.choice(["put", "patch", "delete_item", "delete_coll"])
+        i = f"i{rng.randint(0, 4)}"
+        if op == "put":
+            b = {"n": step, "x": rng.choice([None, "s", 3])}
+            store.put(f"{u}/{i}", b)
+            model["rev"] += 1
+            model["live"] = True
+            model["items"][i] = filter_nulls(dict(b))
+        elif op == "patch" and i in model["items"]:
+            p = {"n": -step}
+            store.patch(f"{u}/{i}", p)
+            model["rev"] += 1
+            model["live"] = True
+            merged = merge_patch(dict(model["items"][i], id=i), p)
+            merged.pop("id", None)
+            model["items"][i] = merged
+        elif op == "delete_item" and i in model["items"] and model["rev"] > 0:
+            store.delete(f"{u}/{i}")
+            model["rev"] += 1
+            model["live"] = True
+            del model["items"][i]
+        elif op == "delete_coll" and model["live"]:
+            store.delete(u)
+            model["rev"] += 1
+            model["live"] = False
+        else:
+            continue
+        history.append(
+            (store.storage._read_manifest()["version"], copy.deepcopy(model))
+        )
+
+    retained = set(store.storage.versions())
+    replayed = 0
+    for version, m in history:
+        if version not in retained:
+            continue
+        snap = store.at_version(version)
+        if not m["live"]:
+            with pytest.raises(KeyError):
+                snap.query(u, size=50)
+        else:
+            res = snap.query(u, size=50)
+            assert res.revision == m["rev"], version
+            assert res.items == [dict(m["items"][i], id=i) for i in sorted(m["items"])], version
+        replayed += 1
+    assert replayed >= 8, f"only {replayed} historical states retained/checked"
