@@ -157,3 +157,19 @@ def test_get_if_none_match_304(facade):
     # dispatch surface passes conditionals through
     assert facade.handle("GET", "gdoc", if_none_match="1").status == 304
     assert facade.handle("PUT", "gdoc", {"a": 2}, if_match="9").status == 412
+
+
+def test_rest_paged_collection_time_travel(facade):
+    """at_version composes with the paged fetch loop: the keyset
+    machinery runs against the snapshot's frozen file lists."""
+    for i in range(8):
+        facade.put(f"tt~/i{i}", {"n": i})
+    store = facade.store
+    v = store.storage._read_manifest()["version"]
+    for i in range(8, 12):
+        facade.put(f"tt~/i{i}", {"n": i})
+    now = facade.get("tt~", size=20, paged=True)
+    then = facade.get("tt~", size=20, paged=True, at_version=v)
+    assert len(now.body["_embedded"]["els"]) == 12
+    assert [e["n"] for e in then.body["_embedded"]["els"]] == list(range(8))
+    assert then.headers["revision"] == "8"

@@ -674,3 +674,27 @@ def test_streaming_compaction_hook_bounds_feed_files(spark, tmp_path):
     assert evs == {(f"{p}{i}", 1) for p in "de" for i in range(6)}
     # one compacted file + at most one fresh post-compaction append
     assert len(store.storage.files("feed")) <= 2
+
+
+def test_compact_appends_covers_dead_letters(spark, tmp_path):
+    """Dead letters are an append-only table too: per-batch malformed
+    commands accumulate one file each; compaction merges them with
+    nothing lost."""
+    from hyper_storage_spark.streaming.ingest import DEAD_LETTER
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    cmds = str(tmp_path / "commands")
+    for i in range(3):
+        write_commands(cmds, [
+            {"seq": 2 * i, "method": "put", "path": f"ok{i}", "body": {"n": i}},
+            {"seq": 2 * i + 1, "method": "bogus", "path": f"x{i}", "body": {}},
+        ])
+    run_command_stream(spark, store, cmds, str(tmp_path / "ckpt"))
+    before = sorted(d["seq"] for d in store.storage.all_rows(DEAD_LETTER))
+    n_files = len(store.storage.files(DEAD_LETTER))
+    assert before == [1, 3, 5] and n_files >= 1
+    merged = store.compact_appends()
+    if n_files >= 2:
+        assert merged.get(DEAD_LETTER) == n_files
+        assert len(store.storage.files(DEAD_LETTER)) == 1
+    assert sorted(d["seq"] for d in store.storage.all_rows(DEAD_LETTER)) == before
