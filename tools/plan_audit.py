@@ -104,6 +104,37 @@ WAIVERS: dict[str, list[tuple[str, str]]] = {
     ],
 }
 
+# Unpartitioned Window nodes (single-task global sort) are flagged
+# unless waived here with the reason the INPUT frame is reduced —
+# bounded by groups/days/queries, not by corpus rows. Anything
+# corpus-proportional must restructure (partitioned window, TakeOrdered,
+# or the two-level prefix sum in operators/sampling.distributed_cumsum).
+WINDOW_WAIVERS: dict[str, list[tuple[str, str]]] = {
+    "q_moving_average": [
+        (
+            "day#",
+            "window input is the pre-aggregated DAILY revenue series — "
+            "rows bounded by the calendar span (thousands at any corpus "
+            "size), not by corpus rows; documented at the query",
+        )
+    ],
+    "q_hash_split_contract": [
+        (
+            "sum(n#",
+            "global frame over the 3-row split summary (one row per "
+            "split name) — a contract certificate, not data",
+        )
+    ],
+    "ts_series_similarity": [
+        (
+            "distance#",
+            "final ranking over per-SERIES distances — one row per "
+            "candidate series (distinct event types), already reduced "
+            "by the PAA pruning stage, not corpus-proportional",
+        )
+    ],
+}
+
 _WRAPPERS = ("Project", "Filter", "BroadcastExchange", "Exchange", "AQEShuffleRead",
              "InputAdapter", "WholeStageCodegen", "ColumnarToRow", "ReusedExchange")
 _SCALAR = ("HashAggregate(keys=[]", "SortAggregate(keys=[]", "ObjectHashAggregate(keys=[]")
@@ -156,10 +187,47 @@ def _is_scalar_bound(nodes: list[tuple[int, str]], root: int) -> bool:
     return False
 
 
+def _window_is_partitioned(node: str) -> bool:
+    """A ``Window`` plan node prints ``[exprs], [partition], [order]``.
+    Partition-only windows drop the order group and order-only windows
+    drop the partition group — BOTH print two groups, so group count
+    alone is ambiguous; the order group is recognizable by its
+    ``ASC/DESC NULLS`` sort markers. Unpartitioned (the single-task
+    global sort that stops scaling first) ⇔ the trailing group is an
+    ORDER spec and no partition group precedes it."""
+    depth, groups, cur = 0, [], []
+    for ch in node:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            depth += 1
+            if depth > 1:
+                cur.append(ch)
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+            else:
+                cur.append(ch)
+        elif depth >= 1:
+            cur.append(ch)
+    if len(groups) >= 3:
+        return True
+    if len(groups) == 2:
+        last = groups[-1]
+        return not ("ASC NULLS" in last or "DESC NULLS" in last)
+    return False  # bare [exprs]: global frame, single task
+
+
 def audit_plan(name: str, plan: str) -> list[str]:
     """Return unexpected-hazard descriptions for one entry's plan."""
     problems = [f for f in HARD_FLAGS if f in plan]
     nodes = _parse_tree(plan)
+    for _, node in nodes:
+        if node.startswith("Window ") and not _window_is_partitioned(node):
+            if any(pat in node for pat, _ in WINDOW_WAIVERS.get(name, [])):
+                continue
+            problems.append(f"unpartitioned Window (single-task sort): {node[:120]}")
     for i, (_, node) in enumerate(nodes):
         if not node.startswith("BroadcastNestedLoopJoin"):
             continue
