@@ -200,6 +200,43 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def _band_table(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band_id, band_hash) from a (doc_id, sig) signature
+    frame — the melted banded form both the self-join and the
+    persistable incremental index use."""
+    band_cols = [
+        F.hash(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band_id"), F.col("bh.band_hash"))
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """The persistable LSH state of a corpus: (doc_id, band_id,
+    band_hash) — ``bands`` rows per document, O(corpus) once. An
+    incremental pipeline stores this table (it IS the index — an
+    equi-join key set) and hands it to
+    :func:`incremental_minhash_pairs` per batch, so near-dup checking
+    a daily increment never recomputes corpus signatures."""
+    sh = _hashed_shingles(docs, text_col, n)
+    return _band_table(minhash_signatures(sh, num_hashes), bands, num_hashes // bands)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -232,21 +269,7 @@ def minhash_lsh_pairs(
     # intermediates — at 100 TB a cache larger than the corpus spills
     # and loses to a parallel re-scan for the same reason.
     sh = _hashed_shingles(docs, text_col, n)
-    sig = minhash_signatures(sh, num_hashes)
-    band_cols = [
-        F.hash(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    melted = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_hash"))
-                for b in range(bands)
-            ])
-        ).alias("bh"),
-    ).select("doc_id", F.col("bh.band_id"), F.col("bh.band_hash"))
+    melted = _band_table(minhash_signatures(sh, num_hashes), bands, rows)
     a = melted.alias("a")
     b = melted.alias("b")
     candidates = (
@@ -261,6 +284,80 @@ def minhash_lsh_pairs(
     )
     # exact-Jaccard verify restricted to the candidate pairs — no
     # inverted-index blowup, the LSH scale win stays intact
+    return _jaccard_from_shingles(sh, threshold, candidates).select("a_id", "b_id", "jaccard")
+
+
+def incremental_minhash_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    corpus_index: DataFrame | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs INVOLVING a new batch — batch×corpus and
+    batch×batch — without re-running LSH over the whole corpus: the
+    near-dup counterpart of :func:`incremental_exact_dedup`'s digest
+    index.
+
+    ``corpus_index`` is the persisted :func:`minhash_band_index` table
+    (computed here when omitted — the one-off bootstrap). Per batch
+    the cost is: batch signatures/bands (O(batch)), a band equi-join
+    against the index (candidates only), and an exact-Jaccard verify
+    whose shingles are computed ONLY for documents appearing in some
+    candidate pair (semi-join pushdown) — corpus text is touched for
+    candidates alone, never wholesale. Same hash family and banding as
+    :func:`minhash_lsh_pairs`, so the recall curve carries over.
+    Assumes batch and corpus ids are distinct sets (re-ingested ids
+    should go through :func:`incremental_exact_dedup` first)."""
+    batch_bands = _band_table(
+        minhash_signatures(_hashed_shingles(batch, text_col, n), num_hashes),
+        bands,
+        num_hashes // bands,
+    )
+    idx = (
+        corpus_index
+        if corpus_index is not None
+        else minhash_band_index(corpus, num_hashes, bands, n, text_col)
+    )
+    cb = batch_bands.alias("b")
+    cross = (
+        idx.alias("a")
+        .join(
+            cb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
+        )
+    )
+    b2 = batch_bands.alias("b2")
+    within = (
+        cb.join(
+            b2,
+            (F.col("b.band_id") == F.col("b2.band_id"))
+            & (F.col("b.band_hash") == F.col("b2.band_hash"))
+            & (F.col("b.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("a_id"), F.col("b2.doc_id").alias("b_id"))
+    )
+    candidates = cross.union(within).distinct()
+    involved = (
+        candidates.select(F.col("a_id").alias("doc_id"))
+        .union(candidates.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    docs_needed = (
+        corpus.select("doc_id", text_col)
+        .join(involved, "doc_id", "left_semi")
+        .unionByName(batch.select("doc_id", text_col).join(involved, "doc_id", "left_semi"))
+    )
+    sh = _hashed_shingles(docs_needed, text_col, n)
     return _jaccard_from_shingles(sh, threshold, candidates).select("a_id", "b_id", "jaccard")
 
 

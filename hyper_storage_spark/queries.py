@@ -3975,6 +3975,45 @@ def q_stream_sliding_counts(spark, sf_dir):
 
 
 @register_extra(
+    "dedup_minhash_incremental",
+    """WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
+  AND (a_id % 10 = 7 OR b_id % 10 = 7)""",
+)
+def dedup_minhash_incremental(spark, sf_dir):
+    """The incremental near-dup path: a 10%% "daily batch" (doc_id %% 10
+    == 7) checked against the other 90%% through the persisted band
+    index — batch×corpus and batch×batch candidates, exact-Jaccard
+    verify over candidate documents only. Oracle = the UNCAPPED exact
+    Jaccard set restricted to pairs involving the batch (same gate
+    style as dedup_minhash_lsh: any banding miss or verify drift fails
+    the row)."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 7)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 7)
+    index = dedup.minhash_band_index(corpus)
+    return dedup.incremental_minhash_pairs(
+        batch, corpus, threshold=0.5, corpus_index=index
+    ).orderBy("a_id", "b_id")
+
+
+@register_extra(
     "q_token_budget_select",
     """WITH w AS (
          SELECT doc_id, n_chars,

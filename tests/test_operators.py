@@ -1892,3 +1892,31 @@ def test_distributed_cumsum_matches_naive_global_window(spark):
     cut = sorted(naive.items(), key=lambda kv: kv[1])
     expected_ids = {i for i, c in naive.items() if c <= 10_000}
     assert {r.id for r in sel} == expected_ids and total <= 10_000
+
+
+def test_incremental_minhash_matches_full_recompute(spark, sf_dir):
+    """The incremental path (batch vs persisted band index) must emit
+    exactly the full-recompute pairs that involve the batch — with or
+    without the precomputed index."""
+    d = docs(spark, sf_dir)
+    batch = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 7)
+    corpus = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 7)
+
+    full = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(d, threshold=0.5).collect()
+        if r.a_id % 10 == 7 or r.b_id % 10 == 7
+    }
+    inc = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in dedup.incremental_minhash_pairs(batch, corpus, threshold=0.5).collect()
+    }
+    idx = dedup.minhash_band_index(corpus)
+    inc_idx = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in dedup.incremental_minhash_pairs(
+            batch, corpus, threshold=0.5, corpus_index=idx
+        ).collect()
+    }
+    assert inc == full and inc_idx == full
+    assert full, "split produced no near-dup pairs — test is vacuous"
