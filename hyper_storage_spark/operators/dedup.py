@@ -477,6 +477,113 @@ def embedding_lsh_pairs(
     )
 
 
+def embedding_signature_index(
+    emb: DataFrame,
+    n_tables: int = 16,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persistable LSH state of an embedding corpus:
+    (doc_id, table_id, sig) — hyperplanes derive deterministically from
+    (seed, table), so signatures computed later for a new batch land in
+    the same buckets. The embedding counterpart of
+    :func:`minhash_band_index`."""
+    from .similarity import _hyperplanes, melted_signatures
+
+    tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    return melted_signatures(emb, id_col, vec_col, tables, "doc_id")
+
+
+def incremental_embedding_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    corpus_index: DataFrame | None = None,
+    n_tables: int = 16,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs INVOLVING a new batch, against the
+    persisted signature index: batch signatures (O(batch)), Hamming-1
+    probes on the batch side only, a (table, sig) equi-join for
+    candidates, exact-cosine verify with vectors fetched via semi-join
+    for candidate ids only. Same hyperplane family as
+    :func:`embedding_lsh_pairs`, so its recall curve carries over.
+    Assumes batch and corpus ids are disjoint."""
+    from .similarity import _dot, _norm
+
+    batch_exact = tracked_persist(
+        embedding_signature_index(batch, n_tables, n_planes, dim, seed, id_col, vec_col)
+    )
+    idx = (
+        corpus_index
+        if corpus_index is not None
+        else embedding_signature_index(corpus, n_tables, n_planes, dim, seed, id_col, vec_col)
+    )
+    probes = batch_exact.select(
+        "doc_id",
+        "table_id",
+        F.explode(
+            F.array(*[
+                F.col("sig").bitwiseXOR(F.lit(flip))
+                for flip in [0] + [1 << i for i in range(n_planes)]
+            ])
+        ).alias("sig"),
+    )
+    p = probes.alias("p")
+    cross = (
+        idx.alias("a")
+        .join(
+            p,
+            (F.col("a.table_id") == F.col("p.table_id"))
+            & (F.col("a.sig") == F.col("p.sig"))
+            & (F.col("a.doc_id") != F.col("p.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("p.doc_id")).alias("a_id"),
+            F.greatest(F.col("a.doc_id"), F.col("p.doc_id")).alias("b_id"),
+        )
+    )
+    b2 = batch_exact.alias("b2")
+    within = (
+        p.join(
+            b2,
+            (F.col("p.table_id") == F.col("b2.table_id"))
+            & (F.col("p.sig") == F.col("b2.sig"))
+            & (F.col("p.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(F.col("p.doc_id").alias("a_id"), F.col("b2.doc_id").alias("b_id"))
+    )
+    candidates = cross.union(within).distinct()
+    involved = (
+        candidates.select(F.col("a_id").alias("__vid"))
+        .union(candidates.select(F.col("b_id").alias("__vid")))
+        .distinct()
+    )
+    vecs = (
+        corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+        .unionByName(batch.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")))
+        .join(involved, "__vid", "left_semi")
+        .select("__vid", "__v", _norm(F.col("__v")).alias("__n"))
+    )
+    av = vecs.select(F.col("__vid").alias("a_id"), F.col("__v").alias("av"), F.col("__n").alias("an"))
+    bv = vecs.select(F.col("__vid").alias("b_id"), F.col("__v").alias("bv"), F.col("__n").alias("bn"))
+    cos = _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    return (
+        candidates.join(av, "a_id")
+        .join(bv, "b_id")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "a_id",

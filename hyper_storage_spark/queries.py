@@ -3975,6 +3975,55 @@ def q_stream_sliding_counts(spark, sf_dir):
 
 
 @register_extra(
+    "dedup_embedding_incremental",
+    """WITH pairs AS (
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
+           AND (a.vec_id % 10 = 7 OR b.vec_id % 10 = 7)
+       )
+       SELECT COUNT(*) AS n_exact_pairs,
+              true AS precision_exact,
+              true AS recall_ok
+       FROM pairs""",
+)
+def dedup_embedding_incremental(spark, sf_dir):
+    """Incremental embedding near-dup (10%% batch vs the persisted
+    hyperplane-signature index), driven through the
+    dedup_embedding_lsh contract style: every emitted pair must sit in
+    the exact batch-involving pair set with the identical rounded
+    cosine (precision_exact — the verify computes true cosines), and
+    recall ≥ 0.9 of that exact set (measured 3/3 at sf0.01, 27/28 at
+    sf0.1). The quadratic exact twin appears only as this gate row's
+    in-plan verifier."""
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7)
+    corpus = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 7)
+    index = dedup.embedding_signature_index(corpus)
+    found = dedup.incremental_embedding_pairs(
+        batch, corpus, threshold=0.45, corpus_index=index
+    )
+    exact = dedup.embedding_cosine_pairs(emb, threshold=0.45).filter(
+        (F.pmod(F.col("a_id"), F.lit(10)) == 7) | (F.pmod(F.col("b_id"), F.lit(10)) == 7)
+    )
+    n_found = found.agg(F.count("*").alias("n_found"))
+    n_true = found.join(exact, ["a_id", "b_id", "cosine"], "left_semi").agg(
+        F.count("*").alias("n_true")
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact_pairs"))
+    return (
+        n_exact.crossJoin(n_found)
+        .crossJoin(n_true)
+        .select(
+            "n_exact_pairs",
+            (F.col("n_true") == F.col("n_found")).alias("precision_exact"),
+            (F.col("n_true") * 10 >= F.col("n_exact_pairs") * 9).alias("recall_ok"),
+        )
+    )
+
+
+@register_extra(
     "dedup_minhash_incremental",
     """WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents

@@ -1920,3 +1920,28 @@ def test_incremental_minhash_matches_full_recompute(spark, sf_dir):
     }
     assert inc == full and inc_idx == full
     assert full, "split produced no near-dup pairs — test is vacuous"
+
+
+def test_incremental_embedding_matches_full_subset(spark, sf_dir):
+    """Incremental embedding near-dup ≡ the exact batch-involving pair
+    set on precision (identical cosines); recall bounded below, with
+    and without the prebuilt signature index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7)
+    corpus = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 7)
+    exact = {
+        (r.a_id, r.b_id, r.cosine)
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.45).collect()
+        if r.a_id % 10 == 7 or r.b_id % 10 == 7
+    }
+    idx = dedup.embedding_signature_index(corpus)
+    for index in (None, idx):
+        found = {
+            (r.a_id, r.b_id, r.cosine)
+            for r in dedup.incremental_embedding_pairs(
+                batch, corpus, threshold=0.45, corpus_index=index
+            ).collect()
+        }
+        assert found <= exact, "precision violated: emitted a non-exact pair"
+        assert len(found) * 10 >= len(exact) * 9, (len(found), len(exact))
+    assert exact, "split produced no near-dup pairs — test is vacuous"

@@ -55,6 +55,15 @@ WAIVERS: dict[str, list[tuple[str, str]]] = {
             "quadratic twin); the scale output is dedup_embedding_lsh_raw",
         )
     ],
+    "dedup_embedding_incremental": [
+        (
+            "embeddings.parquet",
+            "same contract shape as dedup_embedding_lsh: the exact "
+            "batch-involving pair set is the gate row's in-plan verifier "
+            "(quadratic only at gate SF); the incremental operator itself "
+            "is index-bucketed and never all-pairs",
+        )
+    ],
     "dedup_simhash": [
         (
             "simhash",
