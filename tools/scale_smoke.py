@@ -118,6 +118,25 @@ def main() -> None:
             sampling.seeded_shuffle(d.select("doc_id"), "doc_id", seed=7),
             f"{tmp}/shuffled",
         ),
+        # round-6: incremental near-dup (a 10% batch vs the persisted
+        # band index — the batch×corpus candidate join must track
+        # bucket occupancy, not corpus², even when replicas make every
+        # band hot) and the two-level prefix-sum budget selection
+        # (range exchange + pinned materialization + LOCAL windows).
+        "minhash_incremental": lambda d, e: dedup.incremental_minhash_pairs(
+            d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 7),
+            d.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 7),
+            threshold=0.5,
+        ).count(),
+        "budget_select": lambda d, e: _count_written(
+            sampling.budget_select(
+                d.select("doc_id", F.length("text").alias("w")),
+                "w",
+                10_000_000,
+                [F.col("w").desc(), F.col("doc_id")],
+            ),
+            f"{tmp}/budget",
+        ),
     }
 
     failures = []
@@ -150,6 +169,11 @@ def main() -> None:
         "embedding_lsh": dedup.embedding_lsh_pairs(emb10, 0.45),
         "bm25_topk": _bm25(docs10),
         "dup_span_stats": dedup.dup_span_stats(docs10, span=8),
+        "minhash_incremental": dedup.incremental_minhash_pairs(
+            docs10.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 7),
+            docs10.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 7),
+            threshold=0.5,
+        ),
     }
     # bm25 attaches its two 1-row corpus scalars (n_docs, avgdl) via a
     # single-row nested-loop broadcast — O(1) rows by construction, not
