@@ -273,3 +273,49 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "rank", F.round("s", 6).alias("tfidf"))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks:
+    (doc_id, chunk_id, n_chunk_tokens, chunk_text) — the context-window
+    preparation step for RAG indexing and fixed-length training
+    samples.
+
+    Chunk starts step by ``chunk_tokens - overlap``; a trailing window
+    shorter than ``overlap`` is dropped (it is wholly contained in the
+    previous chunk) unless it is the document's only chunk. Everything
+    is per-row array HOFs (sequence/slice/concat_ws) inside codegen —
+    no explode until the final per-chunk fan-out, no shuffle at all, so
+    it scales as a pure map over splits."""
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    df = docs.withColumn("__toks", tokens_col(F.col(text_col)))
+    toks = F.col("__toks")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    chunks = F.filter(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                ((s - 1) / stride).cast("int").alias("chunk_id"),
+                F.slice(toks, s, chunk_tokens).alias("toks"),
+            ),
+        ),
+        lambda c: (c["chunk_id"] == 0) | (F.size(c["toks"]) > overlap),
+    )
+    return (
+        df.filter(n > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.toks").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("c.toks")).alias("chunk_text"),
+        )
+    )

@@ -3975,6 +3975,42 @@ def q_stream_sliding_counts(spark, sf_dir):
 
 
 @register_extra(
+    "text_chunk_documents",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+         FROM documents
+       ),
+       starts AS (
+         SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 24)) AS s
+         FROM toks WHERE len(t) > 0
+       ),
+       chunks AS (
+         SELECT doc_id,
+                CAST((s - 1) / 24 AS INT) AS chunk_id,
+                t[s : least(s + 31, len(t))] AS ct
+         FROM starts
+       )
+       SELECT doc_id, chunk_id,
+              len(ct) AS n_chunk_tokens,
+              array_to_string(ct, ' ') AS chunk_text
+       FROM chunks
+       WHERE chunk_id = 0 OR len(ct) > 8""",
+)
+def text_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (32-token windows, 8-token
+    overlap, stride 24 — sized so the fixture's 10-99-token documents
+    produce MULTI-chunk output and trailing-window drops; production
+    sizes like 512/64 are parameters) — the context-window preparation
+    step for RAG indexes and fixed-length training samples. Trailing
+    windows wholly contained in the previous chunk are dropped; the
+    oracle replays the identical slicing arithmetic in SQL."""
+    return text.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+@register_extra(
     "dedup_embedding_incremental",
     """WITH pairs AS (
          SELECT a.vec_id AS a_id, b.vec_id AS b_id

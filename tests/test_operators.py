@@ -1945,3 +1945,39 @@ def test_incremental_embedding_matches_full_subset(spark, sf_dir):
         assert found <= exact, "precision violated: emitted a non-exact pair"
         assert len(found) * 10 >= len(exact) * 9, (len(found), len(exact))
     assert exact, "split produced no near-dup pairs — test is vacuous"
+
+
+def test_chunk_documents_hand_computed(spark):
+    """Chunking edges: single short chunk, exact-boundary fit, trailing
+    window dropped when wholly contained in the previous chunk, overlap
+    preserved."""
+    from hyper_storage_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                          # 3 toks < window → one chunk
+            (2, " ".join(f"t{i}" for i in range(8))),   # exactly window → one chunk
+            (3, " ".join(f"t{i}" for i in range(10))),  # 10 toks: chunk2 = t6..t9 (4 > overlap) kept
+            (4, " ".join(f"t{i}" for i in range(8 + 2))),  # trailing window == overlap→ kept? 8+2: chunk2 len 4
+            (5, ""),                                # empty: no chunks
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+        for r in T.chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    }
+    # stride = 6
+    assert got[(1, 0)] == (3, "a b c")
+    assert got[(2, 0)] == (8, " ".join(f"t{i}" for i in range(8)))
+    assert (2, 1) not in got  # window at 7..8 has len 2 == overlap → dropped
+    assert got[(3, 0)][0] == 8 and got[(3, 1)] == (4, "t6 t7 t8 t9")
+    # overlap: chunk1 starts at token index 6 (0-based), repeating t6,t7
+    assert got[(3, 0)][1].split()[-2:] == ["t6", "t7"]
+    assert got[(4, 1)][0] == 4
+    assert not any(d == 5 for d, _ in got)
+    # invalid config rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        T.chunk_documents(docs, chunk_tokens=8, overlap=8)
