@@ -109,6 +109,17 @@ def main() -> None:
         lambda: store.query("bench~", filter="b > 10", sort=[SortBy("b")], size=10),
     )
 
+    # -- time-travel reads (round 6): snapshot-pinned point GETs --
+    pinned = store.storage._read_manifest()["version"]
+    store.put("bench~/000000", {"a": -1})  # move history past the pin
+    snap = store.at_version(pinned)
+
+    def tt_gets():
+        for i in range(0, n, 4):
+            snap.get(f"bench~/{i:06d}")
+
+    timed(f"time_travel_get_{n // 4}_points", tt_gets)
+
     # -- bulk ingest (the scale path) --
     bulk = DocumentStore(tempfile.mkdtemp(prefix="bench_bulk_"), spark=spark)
     rows = spark.range(n * 50).select(
