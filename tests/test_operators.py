@@ -1981,3 +1981,35 @@ def test_chunk_documents_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         T.chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_chunk_documents_coverage_and_reconstruction(spark):
+    """Structural properties across every doc length 0..40 and two
+    configs: every token is covered by some chunk, consecutive chunks
+    overlap by exactly `overlap` tokens (or the trailing remainder),
+    and stitching chunk 0 plus each later chunk's post-overlap tail
+    reconstructs the document."""
+    from hyper_storage_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"w{i}" for i in range(n))) for n in range(0, 41)],
+        "doc_id long, text string",
+    )
+    for chunk_tokens, overlap in ((8, 2), (5, 0)):
+        stride = chunk_tokens - overlap
+        out = {}
+        for r in T.chunk_documents(docs, chunk_tokens, overlap).collect():
+            out.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+        assert 0 not in out  # empty doc yields nothing
+        for n in range(1, 41):
+            chunks = [out[n][c] for c in sorted(out[n])]
+            covered = set()
+            for c in chunks:
+                covered.update(c)
+            assert covered == {f"w{i}" for i in range(n)}, (n, chunk_tokens, overlap)
+            rebuilt = list(chunks[0])
+            for prev, cur in zip(chunks, chunks[1:]):
+                exp_overlap = min(overlap, len(cur))
+                assert prev[-exp_overlap:] == cur[:exp_overlap] or overlap == 0, (n, prev, cur)
+                rebuilt.extend(cur[overlap:])
+            assert rebuilt == [f"w{i}" for i in range(n)], (n, chunk_tokens, overlap)
