@@ -740,6 +740,106 @@ class DocumentStore:
             )
             return 1
 
+    def merge_collection(self, df, collection_uri: str, item_id_col: str) -> int:
+        """Bulk UPSERT into an EXISTING collection: every row of ``df``
+        becomes/replaces the item named by ``item_id_col``, untouched
+        items survive, and the whole batch lands as ONE shared-revision
+        bump behind one content+statics manifest flip — the re-crawl /
+        refresh path that complements :meth:`ingest_collection` (which
+        requires an empty collection). Executors write the merged
+        bucket (sorted, so point-read pruning holds); NORMAL indexes
+        are rebuilt through the distributed backfill afterwards.
+
+        Like ingest_collection, the bulk path publishes no per-item
+        feed events and writes no WAL rows — it is the backfill
+        surface, not the operational API; consumers needing per-item
+        change events use per-item writes or diff snapshots
+        (at_version makes that cheap). Returns the new revision."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        if not collection_uri.endswith("~"):
+            raise ValueError("merge_collection requires a collection~ URI")
+        with self._lock:
+            static = self._get_static(collection_uri)
+            if static is None or static["is_deleted"]:
+                raise NotFoundError(collection_uri)
+            bucket = self._bucket(collection_uri)
+            revision = static["revision"] + 1
+            now = _now_ms()
+            body_cols = [c for c in df.columns if c != "id"]
+            new_rows = df.select(
+                F.lit(collection_uri).alias("document_uri"),
+                F.col(item_id_col).cast("string").alias("item_id"),
+                F.lit(revision).cast("long").alias("revision"),
+                F.to_json(
+                    F.struct(
+                        *[F.col(c) for c in body_cols],
+                        F.col(item_id_col).cast("string").alias("id"),
+                    )
+                ).alias("body"),
+                F.lit(False).alias("is_deleted"),
+                F.lit(now).alias("created_at"),
+                F.lit(now).alias("modified_at"),
+            )
+            files = self.storage.bucket_files(CONTENT, bucket)
+            old = (
+                self.spark.read.schema(CONTENT_SPARK).parquet(*files)
+                if files
+                else self.spark.createDataFrame([], CONTENT_SPARK)
+            )
+            # keep every bucket row EXCEPT this collection's replaced
+            # items (other documents hashing into the bucket rewrite
+            # unchanged — the bucket is the commit unit)
+            ids = new_rows.select(F.col("item_id").alias("__mid"))
+            keep = old.join(
+                ids,
+                (F.col("item_id") == F.col("__mid"))
+                & (F.col("document_uri") == collection_uri),
+                "left_anti",
+            )
+            merged = keep.unionByName(new_rows).sort("document_uri", "item_id")
+            outdir = os.path.join(
+                self.storage.root, "data", "content",
+                f"merge-b{bucket:04d}-{uuid.uuid4().hex[:8]}",
+            )
+            merged.write.mode("overwrite").parquet(outdir)
+            out_files = [
+                os.path.join(outdir, f)
+                for f in os.listdir(outdir)
+                if f.endswith(".parquet")
+            ]
+            if not out_files:
+                raise RuntimeError("merge produced no files")
+            statics_rows = [
+                r for r in self._statics_bucket(collection_uri)
+                if r["document_uri"] != collection_uri
+            ]
+            statics_rows.append(
+                {
+                    "document_uri": collection_uri,
+                    "revision": revision,
+                    "is_deleted": False,
+                    "created_at": static["created_at"],
+                    "modified_at": now,
+                }
+            )
+            statics_abs = os.path.join(
+                self.storage.root, "data", "statics",
+                f"b{bucket:04d}-merge-{uuid.uuid4().hex[:8]}.parquet",
+            )
+            write_bucket_file(statics_rows, STATICS_SCHEMA, statics_abs)
+            self.storage.commit_external_many(
+                {CONTENT: {bucket: out_files}, STATICS: {bucket: [statics_abs]}}
+            )
+            # indexes: the touched-item set is the whole batch — the
+            # distributed full rebuild IS the incremental form here
+            for idef in self.index_defs(collection_uri):
+                if idef.status == STATUS_NORMAL:
+                    self._backfill_index_spark(idef)
+            return revision
+
     # -- reads (queryDocument analog) -----------------------------------------
 
     def get(self, path: str) -> tuple[Any, int]:

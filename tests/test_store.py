@@ -1092,3 +1092,40 @@ def test_time_travel_replays_model_history(spark, tmp_path):
             assert res.items == [dict(m["items"][i], id=i) for i in sorted(m["items"])], version
         replayed += 1
     assert replayed >= 8, f"only {replayed} historical states retained/checked"
+
+
+def test_merge_collection_bulk_upsert(spark, tmp_path):
+    """Bulk upsert into a live collection: replaced items take the new
+    body, new items appear, untouched items and OTHER documents sharing
+    the bucket survive, the shared revision bumps exactly once, and a
+    NORMAL index reflects the merged values."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.plans import SortBy, SortItem
+
+    store = DocumentStore(str(tmp_path / "mc"), spark=spark)
+    store.put("m~/a", {"v": 1})
+    store.put("m~/b", {"v": 2})
+    store.put("m~/c", {"v": 3})          # revision 3
+    store.create_index("m~", "byv", [SortItem("v", "decimal", "asc")], None)
+
+    batch = spark.createDataFrame([("b", 20), ("d", 40)], "item string, v long")
+    rev = store.merge_collection(batch, "m~", "item")
+    assert rev == 4
+
+    assert store.get("m~/a") == ({"v": 1, "id": "a"}, 4)      # untouched, shared rev
+    # bulk bodies carry every df column plus the injected id — the
+    # ingest_collection convention
+    assert store.get("m~/b")[0] == {"v": 20, "item": "b", "id": "b"}  # replaced
+    assert store.get("m~/d")[0] == {"v": 40, "item": "d", "id": "d"}  # inserted
+    res = store.query("m~", sort=[SortBy("v")], size=10)
+    assert [i["id"] for i in res.items] == ["a", "c", "b", "d"]
+    assert res.plan.index_id == "byv"  # index rebuilt and routed to
+    # per-item API continues on top
+    store.put("m~/e", {"v": 5})
+    assert store.get("m~/e")[1] == 5
+
+    with pytest.raises(NotFoundError):
+        store.merge_collection(batch, "missing~", "item")
+    with pytest.raises(ValueError):
+        store.merge_collection(batch, "not-a-collection", "item")
