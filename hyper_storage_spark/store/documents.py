@@ -838,6 +838,22 @@ class DocumentStore:
             for idef in self.index_defs(collection_uri):
                 if idef.status == STATUS_NORMAL:
                     self._backfill_index_spark(idef)
+            # in-flight BACKGROUND builds may already have materialized
+            # chunks for items this merge replaced — restart their keyset
+            # scan from the top (chunk merges are item-id idempotent, so
+            # a restart is safe and re-reads the merged content)
+            pending = self.storage.bucket_rows(PENDING_INDEXES, 0)
+            if any(
+                p["document_uri"] == collection_uri and p["last_item_id"]
+                for p in pending
+            ):
+                for p in pending:
+                    if p["document_uri"] == collection_uri:
+                        p["last_item_id"] = ""
+                self.storage.commit(
+                    {(PENDING_INDEXES, 0): pending},
+                    {PENDING_INDEXES: PENDING_INDEXES_SCHEMA},
+                )
             return revision
 
     # -- reads (queryDocument analog) -----------------------------------------

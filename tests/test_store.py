@@ -1129,3 +1129,31 @@ def test_merge_collection_bulk_upsert(spark, tmp_path):
         store.merge_collection(batch, "missing~", "item")
     with pytest.raises(ValueError):
         store.merge_collection(batch, "not-a-collection", "item")
+
+
+def test_merge_collection_restarts_inflight_background_builds(spark, tmp_path):
+    """A bulk merge must rewind in-flight background index builds:
+    chunks materialized before the merge can hold replaced items'
+    values, and the restarted keyset scan re-reads the merged content
+    — the completed index must reflect the merge exactly."""
+    from hyper_storage_spark.plans import SortItem
+
+    store = DocumentStore(str(tmp_path / "mb2"), spark=spark)
+    for i in range(8):
+        store.put(f"bg~/i{i}", {"v": i})
+    store.create_index("bg~", "byv", [SortItem("v", "decimal", "asc")], background=True)
+    store.process_pending_indexes(chunk_size=3)  # materialize i0..i2 only
+    assert store.pending_indexes()[0]["last_item_id"] == "i2"
+
+    batch = spark.createDataFrame([("i1", 100), ("i9", 9)], "item string, v long")
+    store.merge_collection(batch, "bg~", "item")
+    assert store.pending_indexes()[0]["last_item_id"] == ""  # rewound
+
+    while store.process_pending_indexes(chunk_size=3):
+        pass
+    idef = next(d for d in store.index_defs("bg~") if d.index_id == "byv")
+    rows = {r["item_id"]: r for r in store.storage.bucket_rows(idef.storage_table, 0)}
+    from decimal import Decimal
+
+    assert rows["i1"]["d0"] == Decimal(100)  # pre-merge chunk value replaced
+    assert "i9" in rows and len(rows) == 9
