@@ -1157,3 +1157,21 @@ def test_merge_collection_restarts_inflight_background_builds(spark, tmp_path):
 
     assert rows["i1"]["d0"] == Decimal(100)  # pre-merge chunk value replaced
     assert "i9" in rows and len(rows) == 9
+
+
+def test_merge_collection_time_travel_diff(spark, tmp_path):
+    """at_version across a bulk merge gives the change-set view the
+    bulk path (deliberately feed-less) relies on: pre-merge snapshot
+    shows old values, current shows merged."""
+    store = DocumentStore(str(tmp_path / "mtt"), spark=spark)
+    store.put("tt~/x", {"v": 1})
+    store.put("tt~/y", {"v": 2})
+    v_pre = store.storage._read_manifest()["version"]
+    batch = spark.createDataFrame([("x", 10), ("z", 30)], "item string, v long")
+    store.merge_collection(batch, "tt~", "item")
+    old = store.at_version(v_pre)
+    assert old.get("tt~/x")[0] == {"v": 1, "id": "x"}
+    with pytest.raises(KeyError):
+        old.get("tt~/z")
+    assert store.get("tt~/x")[0]["v"] == 10
+    assert store.get("tt~/z")[0]["v"] == 30
