@@ -4150,6 +4150,42 @@ def q_countmin_heavy_hitters(spark, sf_dir):
     )
 
 
+@register_extra(
+    "store_bulk_merge",
+    """SELECT doc_id,
+              CASE WHEN doc_id >= 150 THEN n_chars + 1000
+                   ELSE n_chars END AS n_chars_eff
+       FROM documents WHERE doc_id < 300""",
+)
+def store_bulk_merge(spark, sf_dir):
+    """Bulk merge gated end-to-end: ingest doc_id<250 as a collection,
+    merge a batch covering [150, 300) with a +1000 marker on n_chars
+    (so 150-249 are REPLACED, 250-299 INSERTED, <150 untouched), and
+    read the collection back — the result must equal the oracle's
+    CASE over the raw parquet. Exercises ingest → merge (shared
+    revision bump, one flip, executor-written sorted bucket) → typed
+    collection read."""
+    import tempfile
+
+    from .store import DocumentStore
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 250).withColumn(
+        "item", F.lpad(F.col("doc_id").cast("string"), 10, "0")
+    )
+    store = DocumentStore(tempfile.mkdtemp(prefix="hs_merge_"), spark=spark)
+    store.ingest_collection(base.select("doc_id", "n_chars", "item"), "bm~", "item")
+    batch = (
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+        .withColumn("item", F.lpad(F.col("doc_id").cast("string"), 10, "0"))
+        .select("doc_id", (F.col("n_chars") + 1000).alias("n_chars"), "item")
+    )
+    store.merge_collection(batch, "bm~", "item")
+    return store.collection_df("bm~", "doc_id long, n_chars long, id string").select(
+        "doc_id", F.col("n_chars").alias("n_chars_eff")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
