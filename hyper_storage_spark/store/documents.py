@@ -740,15 +740,20 @@ class DocumentStore:
             )
             return 1
 
-    def merge_collection(self, df, collection_uri: str, item_id_col: str) -> int:
+    def merge_collection(
+        self, df, collection_uri: str, item_id_col: str, delete_missing: bool = False
+    ) -> int:
         """Bulk UPSERT into an EXISTING collection: every row of ``df``
         becomes/replaces the item named by ``item_id_col``, untouched
         items survive, and the whole batch lands as ONE shared-revision
         bump behind one content+statics manifest flip — the re-crawl /
         refresh path that complements :meth:`ingest_collection` (which
-        requires an empty collection). Executors write the merged
-        bucket (sorted, so point-read pruning holds); NORMAL indexes
-        are rebuilt through the distributed backfill afterwards.
+        requires an empty collection). ``delete_missing=True`` switches
+        to FULL-SNAPSHOT semantics: the batch IS the collection, and
+        items absent from it are removed in the same flip. Executors
+        write the merged bucket (sorted, so point-read pruning holds);
+        NORMAL indexes are rebuilt through the distributed backfill
+        afterwards.
 
         Like ingest_collection, the bulk path publishes no per-item
         feed events and writes no WAL rows — it is the backfill
@@ -791,14 +796,18 @@ class DocumentStore:
             )
             # keep every bucket row EXCEPT this collection's replaced
             # items (other documents hashing into the bucket rewrite
-            # unchanged — the bucket is the commit unit)
-            ids = new_rows.select(F.col("item_id").alias("__mid"))
-            keep = old.join(
-                ids,
-                (F.col("item_id") == F.col("__mid"))
-                & (F.col("document_uri") == collection_uri),
-                "left_anti",
-            )
+            # unchanged — the bucket is the commit unit); full-snapshot
+            # mode drops ALL of this collection's old items instead
+            if delete_missing:
+                keep = old.filter(F.col("document_uri") != collection_uri)
+            else:
+                ids = new_rows.select(F.col("item_id").alias("__mid"))
+                keep = old.join(
+                    ids,
+                    (F.col("item_id") == F.col("__mid"))
+                    & (F.col("document_uri") == collection_uri),
+                    "left_anti",
+                )
             merged = keep.unionByName(new_rows).sort("document_uri", "item_id")
             outdir = os.path.join(
                 self.storage.root, "data", "content",

@@ -1175,3 +1175,21 @@ def test_merge_collection_time_travel_diff(spark, tmp_path):
         old.get("tt~/z")
     assert store.get("tt~/x")[0]["v"] == 10
     assert store.get("tt~/z")[0]["v"] == 30
+
+
+def test_merge_collection_full_snapshot_mode(spark, tmp_path):
+    """delete_missing=True: the batch IS the collection — absent items
+    vanish in the same flip, present ones upsert, and the document
+    tombstone path still 404s removed items."""
+    store = DocumentStore(str(tmp_path / "snap"), spark=spark)
+    store.put("s~/a", {"v": 1})
+    store.put("s~/b", {"v": 2})
+    store.put("s~/c", {"v": 3})
+    batch = spark.createDataFrame([("a", 10), ("d", 40)], "item string, v long")
+    rev = store.merge_collection(batch, "s~", "item", delete_missing=True)
+    assert rev == 4
+    assert sorted(i["id"] for i in store.query("s~", size=10).items) == ["a", "d"]
+    assert store.get("s~/a")[0]["v"] == 10
+    for gone in ("s~/b", "s~/c"):
+        with pytest.raises(KeyError):
+            store.get(gone)
