@@ -1193,3 +1193,24 @@ def test_merge_collection_full_snapshot_mode(spark, tmp_path):
     for gone in ("s~/b", "s~/c"):
         with pytest.raises(KeyError):
             store.get(gone)
+
+
+def test_store_admin_cli_recover(spark, tmp_path):
+    """CLI recover re-drives incomplete transactions (feed publication)
+    on a store written with completion disabled."""
+    import json as _json
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "admrec")
+    store = DocumentStore(root, spark=spark, auto_complete=False)
+    store.put("r1", {"a": 1})
+    store.put("r1", {"a": 2})
+    assert store.feed_events() == []
+    p = subprocess.run(
+        [sys.executable, "tools/store_admin.py", root, "recover"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert p.returncode == 0, p.stderr[:400]
+    assert _json.loads(p.stdout.strip().splitlines()[-1])["completed_transactions"] == 2
+    assert [e["revision"] for e in store.feed_events()] == [1, 2]
