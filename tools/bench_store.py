@@ -133,6 +133,13 @@ def main() -> None:
         lambda: bulk.ingest_collection(rows, "bulk~", "item"),
     )
 
+    # bulk merge (round 6): refresh half the ingested items in place
+    refresh = rows.filter((F.col("doc_id") % 2) == 0).withColumn("a", F.col("a") + 1)
+    timed(
+        f"bulk_merge_{n * 25}_items",
+        lambda: bulk.merge_collection(refresh, "bulk~", "item"),
+    )
+
     puts_per_sec = round(n / max(timings[f"put_{n}_items"], 1e-9), 1)
     bulk_per_sec = round((n * 50) / max(timings[f"bulk_ingest_{n * 50}_items"], 1e-9), 1)
     print(
