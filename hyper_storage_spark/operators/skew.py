@@ -89,3 +89,28 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return salted_big.join(salted_small, on + ["__salt"]).drop("__salt")
+
+
+def skew_report(df: DataFrame, keys: list[str], k: int = 10) -> DataFrame:
+    """The decide-before-you-salt diagnostic: the ``k`` heaviest
+    grouping keys with their row counts, share of the corpus, and the
+    hot-key skew factor (key rows ÷ mean rows per key — the reducer
+    imbalance a plain shuffle on this key would suffer).
+
+    One partial-agg shuffle on the key + a TakeOrdered cut; the two
+    corpus scalars (total rows, distinct keys) attach as 1-row
+    broadcast bounds. Rule of thumb: skew_factor ≳ the executor count
+    means the hot key pins a reducer for the whole stage — route the
+    aggregation through :func:`salted_aggregate` (or the join through
+    :func:`salted_join`)."""
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__total"), F.count("*").alias("__nkeys")
+    )
+    top = counts.orderBy(F.col("n").desc(), *keys).limit(k)
+    return top.crossJoin(F.broadcast(totals)).select(
+        *keys,
+        "n",
+        F.round(F.col("n") * 100.0 / F.col("__total"), 4).alias("share_pct"),
+        F.round(F.col("n") * F.col("__nkeys") / F.col("__total"), 2).alias("skew_factor"),
+    )

@@ -2013,3 +2013,16 @@ def test_chunk_documents_coverage_and_reconstruction(spark):
                 assert prev[-exp_overlap:] == cur[:exp_overlap] or overlap == 0, (n, prev, cur)
                 rebuilt.extend(cur[overlap:])
             assert rebuilt == [f"w{i}" for i in range(n)], (n, chunk_tokens, overlap)
+
+
+def test_skew_report_hand_computed(spark):
+    from hyper_storage_spark.operators import skew
+
+    rows = [("hot",)] * 80 + [("warm",)] * 15 + [(f"k{i}",) for i in range(5)]
+    df = spark.createDataFrame(rows, "key string")
+    rep = {r.key: (r.n, r.share_pct, r.skew_factor)
+           for r in skew.skew_report(df, ["key"], k=2).collect()}
+    assert set(rep) == {"hot", "warm"}
+    # 100 rows over 7 distinct keys → mean ≈ 14.29; hot = 80/14.29 = 5.6
+    assert rep["hot"] == (80, 80.0, 5.6)
+    assert rep["warm"][0] == 15 and rep["warm"][2] == 1.05
