@@ -1214,3 +1214,22 @@ def test_store_admin_cli_recover(spark, tmp_path):
     assert p.returncode == 0, p.stderr[:400]
     assert _json.loads(p.stdout.strip().splitlines()[-1])["completed_transactions"] == 2
     assert [e["revision"] for e in store.feed_events()] == [1, 2]
+
+
+def test_time_travel_survives_compaction_and_gc(spark, tmp_path):
+    """Compaction rewrites the feed's file set; a retained snapshot
+    pinned BEFORE compaction must still read the original append files
+    after compaction + vacuum (snapshot refs pin them), and the
+    current view reads the compacted file — same events either way."""
+    store = DocumentStore(str(tmp_path / "ttc"), spark=spark)
+    for i in range(4):
+        store.put(f"c{i}", {"n": i})
+    v = store.storage._read_manifest()["version"]
+    events_before = store.feed_events()
+    assert store.compact_appends()["feed"] == 4
+    store.vacuum(grace_seconds=0)  # default retention: snapshot refs pinned
+    old = store.at_version(v)
+    assert old.feed_events() == events_before
+    assert store.feed_events() == events_before
+    assert len(old.storage.files("feed")) == 4   # pre-compaction file set
+    assert len(store.storage.files("feed")) == 1
