@@ -1490,6 +1490,26 @@ class DocumentStore:
                         out[table] = merged
             return out
 
+    def truncate_feed(self, older_than_ms: int) -> int:
+        """Feed retention — the embedded log's Kafka-topic-retention
+        analog: drop published events with ``ts`` before the cutoff in
+        one CAS flip (vacuum reclaims the superseded files subject to
+        snapshot retention). Returns events removed. Consumers resuming
+        from beyond the horizon must re-sync from a snapshot/at_version
+        read, exactly as with an expired Kafka offset — the dead-letter
+        log has the same shape and can be truncated the same way via
+        ``Storage.replace_append_table``."""
+        with self._lock:
+            rows = self.storage.all_rows(FEED)
+            keep = sorted(
+                (r for r in rows if r["ts"] is not None and r["ts"] >= older_than_ms),
+                key=lambda r: (r["document_uri"], r["revision"]),
+            )
+            removed = len(rows) - len(keep)
+            if removed:
+                self.storage.replace_append_table(FEED, keep, FEED_SCHEMA)
+            return removed
+
     def feed_events(self) -> list[dict]:
         """The published change feed, in publication order (Kafka-topic
         parity: at-least-once, revision-idempotent)."""

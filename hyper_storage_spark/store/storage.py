@@ -365,6 +365,30 @@ class Storage:
         self._cas_write_manifest(manifest, version - 1)
         return len(append_keys)
 
+    def replace_append_table(self, table: str, rows: list[dict], schema: pa.Schema) -> int:
+        """Swap an append-only table's ENTIRE content for ``rows`` in
+        one CAS flip (retention truncation; compaction's backstop).
+        The new file takes an ``a{version}`` key, so later appends
+        (higher versions) keep sorting after it."""
+        manifest = self._read_manifest()
+        version = manifest["version"] + 1
+        rel = os.path.join(
+            "data", _sanitize(table), f"retain-v{version:08d}-{uuid.uuid4().hex[:6]}.parquet"
+        )
+        abspath = os.path.join(self.root, rel)
+        os.makedirs(os.path.dirname(abspath), exist_ok=True)
+        tmp = abspath + f".tmp.{uuid.uuid4().hex[:8]}"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp, row_group_size=ROW_GROUP_SIZE)
+        os.replace(tmp, abspath)
+        entry = manifest["tables"].get(table, {})
+        manifest["tables"][table] = {
+            **{k: v for k, v in entry.items() if not k.startswith("a")},
+            f"a{version}": rel,
+        }
+        manifest["version"] = version
+        self._cas_write_manifest(manifest, version - 1)
+        return version
+
     def all_rows(self, table: str) -> list[dict]:
         out: list[dict] = []
         for f in self.files(table):

@@ -1233,3 +1233,25 @@ def test_time_travel_survives_compaction_and_gc(spark, tmp_path):
     assert store.feed_events() == events_before
     assert len(old.storage.files("feed")) == 4   # pre-compaction file set
     assert len(store.storage.files("feed")) == 1
+
+
+def test_truncate_feed_retention(spark, tmp_path):
+    """Feed retention: events before the cutoff vanish in one flip,
+    later events and subsequent publications survive, and vacuum
+    (history dropped) reclaims the superseded log files."""
+    import time as _time
+
+    store = DocumentStore(str(tmp_path / "tf"), spark=spark)
+    store.put("old1", {"a": 1})
+    store.put("old2", {"a": 2})
+    cutoff = int(_time.time() * 1000) + 1
+    _time.sleep(0.005)
+    store.put("new1", {"a": 3})
+    removed = store.truncate_feed(older_than_ms=cutoff)
+    assert removed == 2
+    assert [e["document_uri"] for e in store.feed_events()] == ["new1"]
+    store.put("new2", {"a": 4})  # appends keep working after truncation
+    assert [e["document_uri"] for e in store.feed_events()] == ["new1", "new2"]
+    assert store.truncate_feed(older_than_ms=0) == 0  # nothing below cutoff
+    store.vacuum(grace_seconds=0, keep_versions=0)
+    assert [e["document_uri"] for e in store.feed_events()] == ["new1", "new2"]

@@ -10,6 +10,7 @@ face instead:
     python tools/store_admin.py ROOT compact
     python tools/store_admin.py ROOT rollback VERSION
     python tools/store_admin.py ROOT recover
+    python tools/store_admin.py ROOT truncate-feed --older-than-ms MS
 
 Every command prints ONE JSON line. No Spark session is started —
 these are manifest/file operations (recover uses the driver-side
@@ -44,6 +45,9 @@ def main(argv: list[str] | None = None) -> int:
     rb = sub.add_parser("rollback")
     rb.add_argument("version", type=int)
     sub.add_parser("recover")
+    tf = sub.add_parser("truncate-feed")
+    tf.add_argument("--older-than-ms", type=int, required=True,
+                    help="drop published feed events with ts before this epoch-ms")
     args = ap.parse_args(argv)
 
     from hyper_storage_spark.store import DocumentStore
@@ -63,6 +67,8 @@ def main(argv: list[str] | None = None) -> int:
         out = {"restored_to": args.version, "new_version": store.restore_version(args.version)}
     elif args.cmd == "recover":
         out = {"completed_transactions": store.recover()}
+    elif args.cmd == "truncate-feed":
+        out = {"events_removed": store.truncate_feed(args.older_than_ms)}
     else:  # pragma: no cover — argparse enforces
         raise SystemExit(2)
     print(json.dumps(out))
