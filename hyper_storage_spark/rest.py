@@ -242,8 +242,30 @@ class RestFacade:
 
     # -- generic dispatch ----------------------------------------------------
 
+    # params each verb accepts; anything else in a request is a client
+    # error (400), never a TypeError out of the facade — write verbs used
+    # to forward **params blindly, so `?size=` on DELETE crashed dispatch
+    _VERB_PARAMS = {
+        "GET": frozenset(
+            {"filter", "sort", "size", "paged", "if_none_match", "at_version"}
+        ),
+        "PUT": frozenset({"if_match", "if_none_match"}),
+        "POST": frozenset(),
+        "PATCH": frozenset({"if_match"}),
+        "DELETE": frozenset({"if_match"}),
+    }
+
     def handle(self, method: str, path: str, body: Any = None, **params) -> RestResponse:
         m = method.upper()
+        allowed = self._VERB_PARAMS.get(m)
+        if allowed is None:
+            return RestResponse(405, {"error": f"method {method!r} not allowed"})
+        unknown = sorted(set(params) - allowed)
+        if unknown:
+            return RestResponse(
+                400,
+                {"error": f"unsupported parameter(s) for {m}: {', '.join(unknown)}"},
+            )
         if m == "GET":
             return self.get(path, **params)
         if m == "PUT":
@@ -252,6 +274,4 @@ class RestFacade:
             return self.post(path, body)
         if m == "PATCH":
             return self.patch(path, body, **params)
-        if m == "DELETE":
-            return self.delete(path, **params)
-        return RestResponse(405, {"error": f"method {method!r} not allowed"})
+        return self.delete(path, **params)

@@ -1362,13 +1362,16 @@ class DocumentStore:
             except OSError:
                 snaps = []
             if keep_versions is not None:
-                drop = snaps[: len(snaps) - keep_versions] if keep_versions else snaps
-                for name in drop:
+                # clamp so keep_versions > len(snaps) keeps everything —
+                # an unclamped negative split point would wrap and delete
+                # the OLDEST snapshots the caller asked to retain
+                cut = len(snaps) if keep_versions == 0 else max(0, len(snaps) - keep_versions)
+                for name in snaps[:cut]:
                     try:
                         os.remove(os.path.join(snapdir, name))
                     except OSError:
                         pass
-                snaps = snaps[len(snaps) - keep_versions :] if keep_versions else []
+                snaps = snaps[cut:]
             for name in snaps:
                 try:
                     with open(os.path.join(snapdir, name)) as f:

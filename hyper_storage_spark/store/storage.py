@@ -162,7 +162,20 @@ class Storage:
             except FileExistsError:
                 try:
                     if time.time() - os.path.getmtime(lockp) > self.STALE_LOCK_S:
-                        os.remove(lockp)
+                        # single-winner break: rename is atomic, so of N
+                        # blocked writers exactly one moves the stale lock
+                        # aside — a plain os.remove here could delete a
+                        # FRESH lock a faster breaker just re-created,
+                        # letting two writers into the critical section
+                        broken = lockp + f".broken.{uuid.uuid4().hex[:8]}"
+                        try:
+                            os.rename(lockp, broken)
+                        except OSError:
+                            continue  # a peer won the break: retry acquire
+                        try:
+                            os.remove(broken)
+                        except OSError:  # pragma: no cover
+                            pass
                         continue
                 except OSError:
                     continue  # holder released concurrently: retry now

@@ -173,3 +173,19 @@ def test_rest_paged_collection_time_travel(facade):
     assert len(now.body["_embedded"]["els"]) == 12
     assert [e["n"] for e in then.body["_embedded"]["els"]] == list(range(8))
     assert then.headers["revision"] == "8"
+
+
+def test_dispatch_unknown_params_are_400_not_typeerror(facade):
+    """Params a verb doesn't accept must map to a 400 RestResponse,
+    never escape dispatch as a TypeError (regression: handle() used to
+    forward **params blindly into put/patch/delete)."""
+    facade.put("pdoc", {"a": 1})
+    assert facade.handle("DELETE", "pdoc", size=5).status == 400
+    assert facade.handle("DELETE", "pdoc", at_version=1).status == 400
+    assert facade.handle("PUT", "pdoc", {"a": 2}, sort="a").status == 400
+    assert facade.handle("PATCH", "pdoc", {"a": 2}, if_none_match="*").status == 400
+    assert facade.handle("POST", "c~", {"a": 1}, filter="a = 1").status == 400
+    assert facade.handle("GET", "pdoc", bogus=1).status == 400
+    # the document survived every rejected call, and legit params still work
+    assert facade.handle("GET", "pdoc").body == {"a": 1}
+    assert facade.handle("DELETE", "pdoc", if_match="1").status == 200

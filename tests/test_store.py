@@ -1255,3 +1255,71 @@ def test_truncate_feed_retention(spark, tmp_path):
     assert store.truncate_feed(older_than_ms=0) == 0  # nothing below cutoff
     store.vacuum(grace_seconds=0, keep_versions=0)
     assert [e["document_uri"] for e in store.feed_events()] == ["new1", "new2"]
+
+
+def test_vacuum_keep_more_than_existing_keeps_all(spark, tmp_path):
+    """keep_versions LARGER than the number of retained snapshots must
+    keep every snapshot (regression: the unclamped negative split point
+    wrapped and deleted the OLDEST 2*len-K snapshots the caller asked
+    to retain, then reclaimed their files)."""
+    store = DocumentStore(str(tmp_path / "vkeep"), spark=spark)
+    store.put("d", {"i": 0})
+    v_first = store.storage._read_manifest()["version"]
+    for i in range(1, 4):
+        store.put("d", {"i": i})
+    vers = store.storage.versions()
+    assert len(vers) >= 4
+    oldest = store.at_version(v_first)
+    before = oldest.get("d")[0]
+    # ask to keep MORE versions than exist: nothing may be pruned
+    store.vacuum(grace_seconds=0, keep_versions=len(vers) + 6)
+    assert store.storage.versions() == vers
+    assert oldest.get("d")[0] == before
+    # and a keep within range still prunes exactly the excess
+    store.vacuum(grace_seconds=0, keep_versions=2)
+    assert store.storage.versions() == vers[-2:]
+
+
+def test_stale_lock_break_single_winner(tmp_path):
+    """A crashed writer's stale lock is broken by exactly one of many
+    concurrent breakers (rename is the single-winner primitive); every
+    waiting writer then proceeds and no flip is lost."""
+    import os as _os
+    import threading
+    import time as _time
+
+    import pyarrow as pa
+
+    from hyper_storage_spark.store.storage import ManifestConflict, Storage
+
+    root = str(tmp_path / "slock")
+    st = Storage(root)
+    schema = pa.schema([("k", pa.int64())])
+    st.commit({("t", 0): [{"k": 0}]}, {"t": schema})  # v1
+    # simulate a crashed writer: a lock file nobody will release,
+    # backdated past the staleness window
+    lockp = st._manifest_path + ".lock"
+    with open(lockp, "w"):
+        pass
+    old = _time.time() - 60
+    _os.utime(lockp, (old, old))
+
+    def writer(tid: int):
+        s = Storage(root)
+        while True:
+            try:
+                s.commit({(f"t{tid}", 0): [{"k": tid}]}, {f"t{tid}": schema})
+                return
+            except ManifestConflict:
+                continue
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    m = st._read_manifest()
+    assert m["version"] == 5  # v1 + 4 contested commits, none lost
+    for t in range(4):
+        assert st.bucket_rows(f"t{t}", 0) == [{"k": t}]
+    assert not _os.path.exists(lockp) or _os.path.getmtime(lockp) > old
