@@ -727,7 +727,7 @@ def q_moving_average(spark, sf_dir):
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
-@register(
+@register_extra(
     "q_pivot_status_priority",
     """SELECT o_orderstatus,
               COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
@@ -961,7 +961,7 @@ def q_grouping_sets(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "q_date_arithmetic",
     """SELECT o_orderkey,
               CAST(o_orderdate AS DATE) AS d,
@@ -1065,7 +1065,7 @@ def q7_volume_shipping(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "q8_market_share",
     """SELECT o_year,
               ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(21,8)) END) AS DOUBLE)
@@ -1310,7 +1310,7 @@ def q22_dormant_balances(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "q_string_agg_sorted",
     """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names,
               CAST(to_json(list_sort(list(s_name))) AS VARCHAR) AS names_arr,
@@ -1506,7 +1506,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
-@register(
+@register_extra(
     "dedup_embedding_lsh",
     """WITH pairs AS (
          SELECT a.vec_id AS a_id, b.vec_id AS b_id
@@ -2023,7 +2023,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "dedup_simhash",
     """SELECT true AS banding_complete, true AS hamming_bound_ok""",
 )
@@ -3877,7 +3877,7 @@ def emb_kmeans_contract(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "store_time_travel",
     """SELECT doc_id, lang, n_chars FROM documents
        WHERE lang = 'de' AND doc_id < 200""",
@@ -3911,7 +3911,7 @@ def store_time_travel(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
 
 
-@register_extra(
+@register(
     "q_stream_sliding_counts",
     """WITH ev AS (
          SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
@@ -4059,7 +4059,7 @@ def dedup_embedding_incremental(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "dedup_minhash_incremental",
     """WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
@@ -4098,7 +4098,7 @@ def dedup_minhash_incremental(spark, sf_dir):
     ).orderBy("a_id", "b_id")
 
 
-@register_extra(
+@register(
     "q_token_budget_select",
     """WITH w AS (
          SELECT doc_id, n_chars,
@@ -4125,7 +4125,7 @@ def q_token_budget_select(spark, sf_dir):
     ).select("doc_id", "n_chars", "cum_chars")
 
 
-@register_extra(
+@register(
     "q_countmin_heavy_hitters",
     """SELECT value, n_exact, true AS overestimates, true AS within_eps_n
        FROM (
@@ -4150,7 +4150,7 @@ def q_countmin_heavy_hitters(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "store_bulk_merge",
     """SELECT doc_id,
               CASE WHEN doc_id >= 150 THEN n_chars + 1000
@@ -4227,6 +4227,22 @@ def all_specs() -> dict[str, QuerySpec]:
 # q_percentiles cover window frames/ranking), q_string_functions
 # (q_string_agg_sorted + q_explode_top_tokens cover string ops),
 # q_set_ops (q_semi_anti_join covers set-membership shapes).
+#
+# Rotated IN (r7) — round-6's new operator tier gets driver rows:
+# store_bulk_merge, store_time_travel, q_countmin_heavy_hitters,
+# q_token_budget_select, dedup_minhash_incremental,
+# q_stream_sliding_counts. Rotated OUT to EXTRA, each redundant with a
+# surviving driver row of the same operator class:
+# q_pivot_status_priority (pivot IS per-column conditional agg —
+# q_conditional_agg survives), q_date_arithmetic (q_distinct_users_daily
+# + q_sessionization cover date/timestamp arithmetic), q_string_agg_sorted
+# (q_explode_top_tokens covers string/array aggregation),
+# q8_market_share (q5_local_supplier_volume covers the multi-table
+# join + ratio-agg shape), dedup_simhash (dedup_minhash_lsh survives for
+# the banded-signature-LSH class; simhash stays double-covered in EXTRA
+# by the contract row + dedup_simhash_raw), dedup_embedding_lsh
+# (dedup_embedding_cosine survives for embedding near-dup;
+# dedup_embedding_lsh_raw + dedup_embedding_incremental stay in EXTRA).
 if len(QUERIES) != 50:
     raise RuntimeError(
         f"driver-tier catalog has {len(QUERIES)} entries; the gate records exactly 50"
