@@ -307,14 +307,25 @@ class Storage:
         self._cas_write_manifest(manifest, version - 1)
         return version
 
+    # bounded CAS retry for append-only commit paths: losing the flip
+    # race there never invalidates the staged content (re-reading the
+    # fresh manifest and re-registering is always safe), so a legitimate
+    # concurrent appender shouldn't fail. Read-modify-write commits
+    # (commit / commit_external_many / replace_append_table) keep
+    # fail-fast — their content was computed against the PRE-flip state
+    # and replaying it could drop the winner's changes.
+    APPEND_CAS_RETRIES = 8
+
     def append(self, table: str, rows: list[dict], schema: pa.Schema) -> int:
         """Append-only tables (e.g. the change feed): each commit adds a
         new file and never rewrites old ones — exactly the shape a
-        Structured Streaming file source expects (new files = new data)."""
-        manifest = self._read_manifest()
-        version = manifest["version"] + 1
+        Structured Streaming file source expects (new files = new data).
+
+        A lost CAS race re-reads the fresh manifest and re-registers the
+        already-staged file under the next version key (bounded retries)
+        — two concurrent appenders both land, neither fails."""
         rel = os.path.join(
-            "data", _sanitize(table), f"append-v{version:08d}-{uuid.uuid4().hex[:6]}.parquet"
+            "data", _sanitize(table), f"append-{uuid.uuid4().hex[:12]}.parquet"
         )
         abspath = os.path.join(self.root, rel)
         os.makedirs(os.path.dirname(abspath), exist_ok=True)
@@ -324,10 +335,18 @@ class Storage:
         tmp = abspath + f".tmp.{uuid.uuid4().hex[:8]}"
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
         os.replace(tmp, abspath)
-        manifest["tables"].setdefault(table, {})[f"a{version}"] = rel
-        manifest["version"] = version
-        self._cas_write_manifest(manifest, version - 1)
-        return version
+        for attempt in range(self.APPEND_CAS_RETRIES):
+            manifest = self._read_manifest()
+            version = manifest["version"] + 1
+            manifest["tables"].setdefault(table, {})[f"a{version}"] = rel
+            manifest["version"] = version
+            try:
+                self._cas_write_manifest(manifest, version - 1)
+                return version
+            except ManifestConflict:
+                if attempt == self.APPEND_CAS_RETRIES - 1:
+                    raise
+        raise AssertionError("unreachable")  # pragma: no cover
 
     def compact_append_table(self, table: str) -> int:
         """Merge an append-only table's accumulated files into ONE file
@@ -345,38 +364,50 @@ class Storage:
         manifest): the compacted file is new-by-name, so a tailing
         readStream re-delivers its events — harmless under the feed's
         at-least-once contract (consumers dedup by (uri, revision)),
-        but schedule compaction accordingly."""
-        manifest = self._read_manifest()
-        entry = manifest["tables"].get(table, {})
-        append_keys = [k for k in entry if k.startswith("a")]
-        if len(append_keys) <= 1:
-            return 0
-        ordered = sorted(append_keys, key=lambda k: int(k[1:]))
-        tables: list[pa.Table] = []
-        for k in ordered:
-            rel = entry[k]
-            for r in rel if isinstance(rel, list) else [rel]:
-                # every append file of a table shares the schema its
-                # Storage.append writes — plain concat is exact
-                tables.append(pq.read_table(os.path.join(self.root, r)))
-        merged = pa.concat_tables(tables)
-        version = manifest["version"] + 1
-        rel = os.path.join(
-            "data", _sanitize(table), f"compact-v{version:08d}-{uuid.uuid4().hex[:6]}.parquet"
-        )
-        abspath = os.path.join(self.root, rel)
-        os.makedirs(os.path.dirname(abspath), exist_ok=True)
-        tmp = abspath + f".tmp.{uuid.uuid4().hex[:8]}"
-        pq.write_table(merged, tmp, row_group_size=ROW_GROUP_SIZE)
-        os.replace(tmp, abspath)
-        # the merged file takes the FIRST key's slot so later appends
-        # (higher a{version} keys) keep sorting after it
-        new_entry = {k: v for k, v in entry.items() if k not in append_keys}
-        new_entry[ordered[0]] = rel
-        manifest["tables"][table] = new_entry
-        manifest["version"] = version
-        self._cas_write_manifest(manifest, version - 1)
-        return len(append_keys)
+        but schedule compaction accordingly.
+
+        A lost CAS race recomputes from the FRESH manifest (re-reading
+        whatever append files exist then) and retries — safe because
+        nothing here depends on pre-flip state; a concurrent appender's
+        new file simply joins the merge or stays a later key."""
+        for attempt in range(self.APPEND_CAS_RETRIES):
+            manifest = self._read_manifest()
+            entry = manifest["tables"].get(table, {})
+            append_keys = [k for k in entry if k.startswith("a")]
+            if len(append_keys) <= 1:
+                return 0
+            ordered = sorted(append_keys, key=lambda k: int(k[1:]))
+            tables: list[pa.Table] = []
+            for k in ordered:
+                rel = entry[k]
+                for r in rel if isinstance(rel, list) else [rel]:
+                    # every append file of a table shares the schema its
+                    # Storage.append writes — plain concat is exact
+                    tables.append(pq.read_table(os.path.join(self.root, r)))
+            merged = pa.concat_tables(tables)
+            version = manifest["version"] + 1
+            rel = os.path.join(
+                "data", _sanitize(table), f"compact-v{version:08d}-{uuid.uuid4().hex[:6]}.parquet"
+            )
+            abspath = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(abspath), exist_ok=True)
+            tmp = abspath + f".tmp.{uuid.uuid4().hex[:8]}"
+            pq.write_table(merged, tmp, row_group_size=ROW_GROUP_SIZE)
+            os.replace(tmp, abspath)
+            # the merged file takes the FIRST key's slot so later appends
+            # (higher a{version} keys) keep sorting after it
+            new_entry = {k: v for k, v in entry.items() if k not in append_keys}
+            new_entry[ordered[0]] = rel
+            manifest["tables"][table] = new_entry
+            manifest["version"] = version
+            try:
+                self._cas_write_manifest(manifest, version - 1)
+                return len(append_keys)
+            except ManifestConflict:
+                # loser's merged file becomes an orphan; vacuum reclaims
+                if attempt == self.APPEND_CAS_RETRIES - 1:
+                    raise
+        raise AssertionError("unreachable")  # pragma: no cover
 
     def replace_append_table(self, table: str, rows: list[dict], schema: pa.Schema) -> int:
         """Swap an append-only table's ENTIRE content for ``rows`` in

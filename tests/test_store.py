@@ -1323,3 +1323,80 @@ def test_stale_lock_break_single_winner(tmp_path):
     for t in range(4):
         assert st.bucket_rows(f"t{t}", 0) == [{"k": t}]
     assert not _os.path.exists(lockp) or _os.path.getmtime(lockp) > old
+
+
+def test_append_cas_retry_both_writers_land_across_processes(tmp_path):
+    """Append-only commits retry internally on a lost CAS race: two
+    subprocess appenders hammer one feed table WITHOUT caller-side
+    retry loops — every append must land and neither process may see
+    ManifestConflict."""
+    import subprocess
+    import sys
+
+    from hyper_storage_spark.store.storage import Storage
+
+    root = str(tmp_path / "xappend")
+    Storage(root)  # init manifest once
+    script = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import pyarrow as pa
+from hyper_storage_spark.store.storage import Storage
+tid, root = sys.argv[1], sys.argv[2]
+st = Storage(root)
+schema = pa.schema([("writer", pa.int64()), ("seq", pa.int64())])
+for i in range(10):
+    st.append("feed", [{{"writer": int(tid), "seq": i}}], schema)  # no retry here
+print("done", tid)
+""".format(repo="/root/repo")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(t), root],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for t in range(3)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()[:800]
+    st = Storage(root)
+    rows = st.all_rows("feed")
+    got = {(r["writer"], r["seq"]) for r in rows}
+    assert got == {(w, i) for w in range(3) for i in range(10)}
+    assert len(rows) == 30  # no duplicate registrations either
+    assert st._read_manifest()["version"] == 30
+
+
+def test_compact_append_retry_with_concurrent_appender(tmp_path):
+    """compact_append_table retries on a lost CAS race by recomputing
+    from the fresh manifest: force a conflict by appending between the
+    compactor's read and its flip — compaction must succeed AND the
+    interleaved append must survive."""
+    import pyarrow as pa
+
+    from hyper_storage_spark.store.storage import Storage
+
+    root = str(tmp_path / "ccompact")
+    st = Storage(root)
+    schema = pa.schema([("seq", pa.int64())])
+    for i in range(3):
+        st.append("feed", [{"seq": i}], schema)
+
+    # first CAS attempt loses: a peer append slips in via a patched
+    # _read_manifest that appends AFTER the compactor reads
+    real_read = st._read_manifest
+    state = {"fired": False}
+
+    def read_with_interloper():
+        m = real_read()
+        if not state["fired"]:
+            state["fired"] = True
+            Storage(root).append("feed", [{"seq": 99}], schema)
+        return m
+
+    st._read_manifest = read_with_interloper
+    merged = st.compact_append_table("feed")
+    st._read_manifest = real_read
+    assert merged >= 3  # compaction happened despite the lost race
+    rows = sorted(r["seq"] for r in st.all_rows("feed"))
+    assert rows == [0, 1, 2, 99]  # interloper's append survived
