@@ -2120,9 +2120,15 @@ def ann_cosine_topk(spark, sf_dir):
 # top-k) and the raw neighbor lists live in the EXTRA tier. A recall
 # regression, a short result list, or a drifted cosine turns the row
 # red — a hard driver signal where rows-only gave none.
-def _ann_contract(ann, exact, min_recall_pct: int):
-    """(query_id, n_results, recall_ok) — integer-arithmetic recall
-    bound (n_hits * 100 >= pct * n_exact) to keep the boolean exact."""
+def _ann_contract(ann, exact, min_recall_pct: int, corpus_min_recall_pct: int = 90):
+    """(query_id, n_results, recall_ok, corpus_recall_ok) —
+    integer-arithmetic recall bounds (n_hits * 100 >= pct * n_exact) to
+    keep the booleans exact. ``recall_ok`` is the per-query floor;
+    ``corpus_recall_ok`` (r7) pins AGGREGATE recall across all queries
+    to the pytest bar (≥ 0.9) — per-query recall on 10-item lists is
+    quantized to 0.1 steps and legitimately dips to 0.8 for an
+    occasional query, but the corpus-level number is what the internal
+    tests certify, so the driver gate now certifies it too."""
     ann_ids = ann.select("query_id", "neighbor_id")
     exact_ids = exact.select("query_id", "neighbor_id")
     n_ann = ann_ids.groupBy("query_id").agg(F.count("*").alias("n_results"))
@@ -2132,23 +2138,29 @@ def _ann_contract(ann, exact, min_recall_pct: int):
         .agg(F.count("*").alias("n_hits"))
     )
     n_exact = exact_ids.groupBy("query_id").agg(F.count("*").alias("n_exact"))
-    return (
-        n_ann.join(n_hit, "query_id")
-        .join(n_exact, "query_id")
-        .select(
-            "query_id",
-            "n_results",
-            (F.col("n_hits") * 100 >= F.lit(min_recall_pct) * F.col("n_exact")).alias(
-                "recall_ok"
-            ),
-        )
+    per_query = n_ann.join(n_hit, "query_id").join(n_exact, "query_id")
+    # corpus-level sums ride a size-n_queries broadcast join (the
+    # contract tables are tiny — one row per query id)
+    corpus = per_query.agg(
+        F.sum("n_hits").alias("c_hits"), F.sum("n_exact").alias("c_exact")
+    )
+    return per_query.crossJoin(F.broadcast(corpus)).select(
+        "query_id",
+        "n_results",
+        (F.col("n_hits") * 100 >= F.lit(min_recall_pct) * F.col("n_exact")).alias(
+            "recall_ok"
+        ),
+        (
+            F.col("c_hits") * 100 >= F.lit(corpus_min_recall_pct) * F.col("c_exact")
+        ).alias("corpus_recall_ok"),
     )
 
 
 _ANN_CONTRACT_SQL = """
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(10 AS BIGINT) AS n_results,
-       true AS recall_ok
+       true AS recall_ok,
+       true AS corpus_recall_ok
 FROM (SELECT unnest([0, 1, 2, 3, 4]) AS query_id)
 """
 
@@ -2156,11 +2168,13 @@ FROM (SELECT unnest([0, 1, 2, 3, 4]) AS query_id)
 @register("ann_lsh_bucket", _ANN_CONTRACT_SQL)
 def ann_lsh_bucket(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN, driven through its contract: 10
-    results per query and per-query recall ≥ 0.8 vs the exact top-10
-    (measured 0.8–1.0 at sf0.01, ≥ 0.9 at sf0.001; pytest pins ≥ 0.9
-    corpus-level). The raw neighbor lists are ann_lsh_bucket_raw in
-    the EXTRA tier; the hyperplane constants stay engine-specific but
-    the contract is SQL-predictable."""
+    results per query, per-query recall ≥ 0.8, AND corpus-level recall
+    ≥ 0.9 vs the exact top-10 (the pytest bar, now gate-enforced via
+    corpus_recall_ok; measured corpus 0.92 at sf0.01, 0.98 at
+    sf0.001 — per-query recall on 10-item lists quantizes to 0.1
+    steps, hence the 0.8 per-query floor). Raw neighbor lists:
+    ann_lsh_bucket_raw (EXTRA); the hyperplane constants stay
+    engine-specific but the contract is SQL-predictable."""
     emb = _t(spark, sf_dir, "embeddings")
     ann = similarity.lsh_bucket_topk(emb, [0, 1, 2, 3, 4], k=10)
     exact = similarity.cosine_topk(emb, [0, 1, 2, 3, 4], k=10)
@@ -2169,15 +2183,22 @@ def ann_lsh_bucket(spark, sf_dir):
 
 @register("ann_ivf", _ANN_CONTRACT_SQL)
 def ann_ivf(spark, sf_dir):
-    """IVF ANN (k-means cells, 8-of-16 probing), driven through its
-    contract: 10 results per query, per-query recall ≥ 0.7 vs exact
-    top-10 (measured 0.8–1.0 at sf0.01, 0.7–1.0 at sf0.001;
-    pytest pins ≥ 0.9 corpus-level). Raw lists: ann_ivf_raw (EXTRA);
-    the k-means cells stay engine-specific."""
+    """IVF ANN (k-means cells, 10-of-16 probing), driven through its
+    contract: 10 results per query, per-query recall ≥ 0.8, AND
+    corpus-level recall ≥ 0.9 vs exact top-10 (the pytest bar, now
+    gate-enforced via corpus_recall_ok). Round 7 raised n_probe 8→10
+    after measuring probe=8 corpus recall at 0.88 on sf0.1 — recall is
+    monotonic in probe count, and 10 probes measure corpus 0.96 /
+    per-query ≥ 0.9 at sf0.1 and ≥ 0.94 at sf0.01 for +25% candidate
+    scans, the right side of the recall/cost knob for a gate contract.
+    At sf0.001 the corpus bar still doesn't hold (16 cells over a few
+    hundred vectors scatters each true top-10 wider than any fixed
+    probe budget) — the gate SFs are 0.01/0.1, where it does. Raw lists: ann_ivf_raw (EXTRA); the
+    k-means cells stay engine-specific."""
     emb = _t(spark, sf_dir, "embeddings")
-    ann = similarity.ivf_topk(emb, [0, 1, 2, 3, 4], k=10, n_cells=16, n_probe=8)
+    ann = similarity.ivf_topk(emb, [0, 1, 2, 3, 4], k=10, n_cells=16, n_probe=10)
     exact = similarity.cosine_topk(emb, [0, 1, 2, 3, 4], k=10)
-    return _ann_contract(ann, exact, min_recall_pct=70)
+    return _ann_contract(ann, exact, min_recall_pct=80)
 
 
 @register_extra("ann_lsh_bucket_raw", None)  # hyperplane constants live Spark-side

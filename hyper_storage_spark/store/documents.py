@@ -39,6 +39,7 @@ import json
 import threading
 import time
 import uuid
+from collections import deque
 from dataclasses import dataclass
 from typing import Any, Optional
 
@@ -239,6 +240,26 @@ def _sort_value(item: SortItem, value: Any):
         return None
 
 
+class _PendingWrite:
+    """A queued per-item write op awaiting group commit. Filled in by
+    whichever caller drains the queue while holding the writer lock.
+    ``done`` is set (after result/error) by the applying leader; waiters
+    poll it and sleep on the store's group-commit condition — they must
+    NOT block on the writer lock itself, or every follower's "is my op
+    done?" check serializes 1:1 with submissions and batches of more
+    than one op never form (measured: 384 of 385 batches had size 1)."""
+
+    __slots__ = ("method", "path", "body", "result", "error", "done")
+
+    def __init__(self, method: str, path: str, body: Any):
+        self.method = method
+        self.path = path
+        self.body = body
+        self.result: Optional[tuple] = None
+        self.error: Optional[BaseException] = None
+        self.done = False
+
+
 class DocumentStore:
     """Library-mode document store. All writes serialize through one
     lock (single-writer ⇒ gapless revisions); queries run on Spark."""
@@ -258,6 +279,11 @@ class DocumentStore:
         self.spark = spark
         self.auto_complete = auto_complete
         self._lock = threading.RLock()
+        # group-commit queue: ops append here; one leader at a time
+        # drains and applies them all in one flip while followers sleep
+        # on the condition until their op's ``done`` flag is set
+        self._write_queue: deque = deque()
+        self._gc_cond = threading.Condition()
         # collections already checked against the current template set
         # (cleared when templates change; re-checking is idempotent)
         self._templated_uris: set[str] = set()
@@ -331,6 +357,13 @@ class DocumentStore:
         return revision
 
     def _write(self, method: str, path: str, body: Any) -> tuple[bool, int]:
+        """Single-op front door with GROUP COMMIT: the op is queued and
+        whichever caller next holds the writer lock drains the queue and
+        applies every queued op in ONE staged manifest flip (plus one
+        completion flip). Under concurrency, N ops cost ~2 flips instead
+        of ~2N; a lone writer degenerates to the old one-op batch.
+        Per-op semantics (revision order, per-op errors) are unchanged —
+        ops are staged sequentially exactly as the serial path did."""
         rp = split_path(path)
         uri, item_id = rp.document_uri, rp.item_id
         if method == "patch" and is_collection_uri(uri) and item_id == "":
@@ -340,121 +373,225 @@ class DocumentStore:
             # _refresh_indexes maintains them from the first item
             self.instantiate_templates(uri)
 
+        op = _PendingWrite(method, path, body)
+        self._write_queue.append(op)
+        while not op.done:
+            # leader election by NON-blocking try-acquire: while a
+            # leader is applying, followers sleep on the condition (the
+            # leader notifies after every batch) instead of queueing on
+            # the lock — that keeps the queue accumulating so the next
+            # leader drains a real batch
+            if self._lock.acquire(blocking=False):
+                try:
+                    batch: list[_PendingWrite] = []
+                    while True:
+                        try:
+                            batch.append(self._write_queue.popleft())
+                        except IndexError:
+                            break
+                    if batch:
+                        self._apply_write_batch(batch)
+                finally:
+                    self._lock.release()
+                if batch:
+                    with self._gc_cond:
+                        self._gc_cond.notify_all()
+            else:
+                with self._gc_cond:
+                    # done is always set BEFORE the leader takes the
+                    # condition to notify, so this re-check can't miss
+                    if not op.done:
+                        self._gc_cond.wait(timeout=0.05)
+        if op.error is not None:
+            raise op.error
+        return op.result
+
+    def write_batch(self, ops) -> list:
+        """Apply many ``(method, path, body)`` ops in one staged flip.
+
+        Serial-equivalent semantics: ops apply in list order against the
+        evolving state, each failing independently (a bad op doesn't
+        abort the rest — exactly what N sequential calls would do).
+        Returns one outcome per op: ``(created, revision)`` for writes,
+        ``revision`` for deletes, or the exception instance for ops that
+        failed (callers decide whether to raise)."""
+        batch = []
+        for method, path, body in ops:
+            rp = split_path(path)
+            if method == "patch" and is_collection_uri(rp.document_uri) and rp.item_id == "":
+                batch.append(_PendingWrite(method, path, body))
+                batch[-1].error = ValueError("PATCH is not allowed for a collection~")
+                continue
+            if rp.item_id:
+                self.instantiate_templates(rp.document_uri)
+            batch.append(_PendingWrite(method, path, body))
         with self._lock:
-            bucket = self._bucket(uri)
-            content_rows = self._content_bucket(uri)
-            statics_rows = self._statics_bucket(uri)
-            static = next((r for r in statics_rows if r["document_uri"] == uri), None)
-            existing = next(
-                (r for r in content_rows if r["document_uri"] == uri and r["item_id"] == item_id),
-                None,
+            self._apply_write_batch([op for op in batch if op.error is None])
+        out = []
+        for op in batch:
+            if op.error is not None:
+                out.append(op.error)
+            elif op.method == "delete":
+                out.append(op.result[1])
+            else:
+                out.append(op.result)
+        return out
+
+    def _apply_write_batch(self, batch: list) -> None:
+        """Stage every op of the batch against cached bucket state, then
+        publish all touched buckets in ONE manifest flip and complete
+        the successful ops' documents in one batched completion flip.
+        Caller holds ``self._lock``."""
+        cache: dict = {CONTENT: {}, STATICS: {}, TRANSACTIONS: {}}
+        dirty: set = set()
+        ok_uris: list[str] = []
+        now = _now_ms()
+        for op in batch:
+            try:
+                op.result = self._stage_op(op.method, op.path, op.body, cache, dirty, now)
+            except Exception as e:  # noqa: BLE001 — per-op isolation
+                op.error = e
+            else:
+                uri = split_path(op.path).document_uri
+                if uri not in ok_uris:
+                    ok_uris.append(uri)
+        if dirty:
+            self.storage.commit(
+                {(table, b): cache[table][b] for (table, b) in dirty},
+                {CONTENT: CONTENT_SCHEMA, STATICS: STATICS_SCHEMA, TRANSACTIONS: TRANSACTIONS_SCHEMA},
             )
+        if self.auto_complete and ok_uris:
+            self._complete_uris(ok_uris)
+        # ``done`` flips only now — after the flip(s) — so no waiter can
+        # observe a success that isn't durable yet
+        for op in batch:
+            op.done = True
 
-            revision = (static["revision"] + 1) if static else 1
-            now = _now_ms()
-            created = existing is None or existing["is_deleted"]
+    def _stage_op(
+        self, method: str, path: str, body: Any, cache: dict, dirty: set, now: int
+    ) -> tuple[bool, int]:
+        """One op's in-memory mutation against the batch cache — the
+        exact serial ``_write`` logic, with bucket reads served from
+        (and results staged back into) ``cache`` so later ops in the
+        batch observe earlier ones. Raises BEFORE mutating on invalid
+        ops, so a failed op leaves the batch state untouched."""
+        rp = split_path(path)
+        uri, item_id = rp.document_uri, rp.item_id
+        bucket = self._bucket(uri)
+        if bucket in cache[CONTENT]:
+            content_rows = cache[CONTENT][bucket]
+        else:
+            content_rows = cache[CONTENT][bucket] = self.storage.bucket_rows(CONTENT, bucket)
+        if bucket in cache[STATICS]:
+            statics_rows = cache[STATICS][bucket]
+        else:
+            statics_rows = cache[STATICS][bucket] = self.storage.bucket_rows(STATICS, bucket)
+        if bucket not in cache[TRANSACTIONS]:
+            cache[TRANSACTIONS][bucket] = self.storage.bucket_rows(TRANSACTIONS, bucket)
+        static = next((r for r in statics_rows if r["document_uri"] == uri), None)
+        existing = next(
+            (r for r in content_rows if r["document_uri"] == uri and r["item_id"] == item_id),
+            None,
+        )
 
-            if method == "put":
-                new_body = filter_nulls(body)
-                if item_id:
-                    if not isinstance(new_body, dict):
-                        raise ValueError("collection item body must be an object")
-                    new_body = {**new_body, "id": item_id}
-                new_row = {
-                    "document_uri": uri,
-                    "item_id": item_id,
-                    "revision": revision,
-                    "body": json.dumps(new_body),
-                    "is_deleted": False,
-                    "created_at": existing["created_at"] if existing and not existing["is_deleted"] else now,
-                    "modified_at": now,
-                }
-            elif method == "patch":
-                if existing is None or existing["is_deleted"]:
-                    raise NotFoundError(path)
-                merged = merge_patch(
-                    json.loads(existing["body"]) if existing["body"] is not None else None,
-                    body,
-                )
-                new_row = {
-                    **existing,
-                    "revision": revision,
-                    "body": json.dumps(merged) if merged is not None else None,
-                    "modified_at": now,
-                }
-                created = False
-            elif method == "delete":
-                if static is None or (static["is_deleted"] and not item_id):
-                    raise NotFoundError(path)
-                if item_id:
-                    if existing is None or existing["is_deleted"]:
-                        raise NotFoundError(path)
-                    new_row = None  # row removal (db/Db.scala:190-198)
-                else:
-                    new_row = {
-                        "document_uri": uri,
-                        "item_id": "",
-                        "revision": revision,
-                        "body": None,
-                        "is_deleted": True,
-                        "created_at": existing["created_at"] if existing else now,
-                        "modified_at": now,
-                    }
-            else:  # pragma: no cover
-                raise ValueError(method)
+        revision = (static["revision"] + 1) if static else 1
+        created = existing is None or existing["is_deleted"]
 
-            # content bucket rewrite
-            new_content = [
-                r for r in content_rows if not (r["document_uri"] == uri and r["item_id"] == item_id)
-            ]
-            if new_row is not None:
-                new_content.append(new_row)
-
-            # statics upsert (shared revision counter; db/scheme.cql:4 static)
-            new_statics = [r for r in statics_rows if r["document_uri"] != uri]
-            new_statics.append(
-                {
-                    "document_uri": uri,
-                    "revision": revision,
-                    "is_deleted": (method == "delete" and not item_id),
-                    "created_at": static["created_at"] if static else now,
-                    "modified_at": now,
-                }
-            )
-
-            # WAL entry first (README «Обработка транзакций»: a write whose
-            # transaction lands without content is simply not accepted)
-            txn = {
-                "uuid": uuid.uuid4().hex,
+        if method == "put":
+            new_body = filter_nulls(body)
+            if item_id:
+                if not isinstance(new_body, dict):
+                    raise ValueError("collection item body must be an object")
+                new_body = {**new_body, "id": item_id}
+            new_row = {
                 "document_uri": uri,
                 "item_id": item_id,
                 "revision": revision,
-                "method": f"feed:{method}",
-                "body": json.dumps(body) if body is not None else None,
-                "dt_quantum": now // 60000,  # TransactionLogic.scala:32-34
-                "partition": bucket,
-                "completed_at": None,
+                "body": json.dumps(new_body),
+                "is_deleted": False,
+                "created_at": existing["created_at"] if existing and not existing["is_deleted"] else now,
+                "modified_at": now,
             }
-            txn_rows = self.storage.bucket_rows(TRANSACTIONS, bucket) + [txn]
-
-            self.storage.commit(
-                {
-                    (CONTENT, bucket): new_content,
-                    (STATICS, bucket): new_statics,
-                    (TRANSACTIONS, bucket): txn_rows,
-                },
-                {CONTENT: CONTENT_SCHEMA, STATICS: STATICS_SCHEMA, TRANSACTIONS: TRANSACTIONS_SCHEMA},
+        elif method == "patch":
+            if existing is None or existing["is_deleted"]:
+                raise NotFoundError(path)
+            merged = merge_patch(
+                json.loads(existing["body"]) if existing["body"] is not None else None,
+                body,
             )
+            new_row = {
+                **existing,
+                "revision": revision,
+                "body": json.dumps(merged) if merged is not None else None,
+                "modified_at": now,
+            }
+            created = False
+        elif method == "delete":
+            if static is None or (static["is_deleted"] and not item_id):
+                raise NotFoundError(path)
+            if item_id:
+                if existing is None or existing["is_deleted"]:
+                    raise NotFoundError(path)
+                new_row = None  # row removal (db/Db.scala:190-198)
+            else:
+                new_row = {
+                    "document_uri": uri,
+                    "item_id": "",
+                    "revision": revision,
+                    "body": None,
+                    "is_deleted": True,
+                    "created_at": existing["created_at"] if existing else now,
+                    "modified_at": now,
+                }
+        else:  # pragma: no cover
+            raise ValueError(method)
 
-            if method == "delete" and not item_id:
-                # collection delete drops its indexes (completion path);
-                # forgetting the template memo lets a RE-created
-                # collection get its template indexes back
-                self._templated_uris.discard(uri)
+        # content bucket rewrite
+        new_content = [
+            r for r in content_rows if not (r["document_uri"] == uri and r["item_id"] == item_id)
+        ]
+        if new_row is not None:
+            new_content.append(new_row)
 
-            if self.auto_complete:
-                self.complete_transactions(uri)
-            return created, revision
+        # statics upsert (shared revision counter; db/scheme.cql:4 static)
+        new_statics = [r for r in statics_rows if r["document_uri"] != uri]
+        new_statics.append(
+            {
+                "document_uri": uri,
+                "revision": revision,
+                "is_deleted": (method == "delete" and not item_id),
+                "created_at": static["created_at"] if static else now,
+                "modified_at": now,
+            }
+        )
+
+        # WAL entry first (README «Обработка транзакций»: a write whose
+        # transaction lands without content is simply not accepted)
+        txn = {
+            "uuid": uuid.uuid4().hex,
+            "document_uri": uri,
+            "item_id": item_id,
+            "revision": revision,
+            "method": f"feed:{method}",
+            "body": json.dumps(body) if body is not None else None,
+            "dt_quantum": now // 60000,  # TransactionLogic.scala:32-34
+            "partition": bucket,
+            "completed_at": None,
+        }
+        cache[CONTENT][bucket] = new_content
+        cache[STATICS][bucket] = new_statics
+        cache[TRANSACTIONS][bucket].append(txn)
+        dirty.update(
+            {(CONTENT, bucket), (STATICS, bucket), (TRANSACTIONS, bucket)}
+        )
+
+        if method == "delete" and not item_id:
+            # collection delete drops its indexes (completion path);
+            # forgetting the template memo lets a RE-created
+            # collection get its template indexes back
+            self._templated_uris.discard(uri)
+
+        return created, revision
 
     # -- background completion (BackgroundContentTaskCompleter analog) --------
 
@@ -470,71 +607,95 @@ class DocumentStore:
         (uri, item, revision) on recovery, and consumers dedup by
         revision (the reference's delivery model, README «Обработка
         транзакций»); completion itself never scans the feed."""
-        with self._lock:
-            bucket = self._bucket(uri)
-            txn_rows = self.storage.bucket_rows(TRANSACTIONS, bucket)
-            incomplete = sorted(
-                (t for t in txn_rows if t["document_uri"] == uri and t["completed_at"] is None),
-                key=lambda t: t["revision"],
-            )
-            if not incomplete:
-                return 0
+        return self._complete_uris([uri])
 
+    def _complete_uris(self, uris: list) -> int:
+        """Batched completion: gather every named document's incomplete
+        WAL entries, then publish ALL their feed events in one append
+        and all index/WAL updates in ONE manifest flip — the group-
+        commit tail (per-uri completion would pay 2 flips per document).
+        Per-document event order is preserved (entries sort by revision
+        within a uri); cross-document feed order is unconstrained, as in
+        the serial path."""
+        with self._lock:
             feed_rows: list[dict] = []  # append-only: new events only
             now = _now_ms()
-
             updates: dict = {}
             drop_tables: list[str] = []
-            collection_deleted = any(
-                t["method"] == "feed:delete" and t["item_id"] == "" for t in incomplete
-            )
-            if collection_deleted and is_collection_uri(uri):
-                # collection delete drops its indexes
-                # (BackgroundContentTaskCompleter.scala:128-139)
-                for idef in self.index_defs(uri):
-                    drop_tables.append(idef.storage_table)
-                defs_rows = [
-                    r for r in self.storage.bucket_rows(INDEX_DEFS, 0) if r["document_uri"] != uri
-                ]
-                updates[(INDEX_DEFS, 0)] = defs_rows
-            else:
-                self._refresh_indexes(uri, [t["item_id"] for t in incomplete], updates)
-
-            for t in incomplete:
-                feed_rows.append(
-                    {
-                        "uuid": t["uuid"],
-                        "document_uri": uri,
-                        "item_id": t["item_id"],
-                        "revision": t["revision"],
-                        "method": t["method"],
-                        "body": t["body"],
-                        "ts": now,
-                    }
-                )
-                t["completed_at"] = now
-
-            # prune old completed entries so the WAL bucket stays
-            # bounded (removeCompleteTransactionsFromList analog)
-            horizon = now - self.WAL_KEEP_MS
-            txn_rows = [
-                t
-                for t in txn_rows
-                if t["completed_at"] is None or t["completed_at"] >= horizon
-            ]
-            updates[(TRANSACTIONS, bucket)] = txn_rows
             schemas = {
                 TRANSACTIONS: TRANSACTIONS_SCHEMA,
                 INDEX_DEFS: INDEX_DEFS_SCHEMA,
             }
-            for idef in self.index_defs(uri):
-                schemas[idef.storage_table] = _index_schema(idef.sort_by)
+            # shared caches so multiple uris in one bucket (or multiple
+            # collection deletes touching INDEX_DEFS) compose instead of
+            # clobbering each other's rewrites
+            txn_cache: dict[int, list] = {}
+            defs_rows: Optional[list] = None
+            total = 0
+            seen: set = set()
+            for uri in uris:
+                if uri in seen:
+                    continue
+                seen.add(uri)
+                bucket = self._bucket(uri)
+                if bucket not in txn_cache:
+                    txn_cache[bucket] = self.storage.bucket_rows(TRANSACTIONS, bucket)
+                txn_rows = txn_cache[bucket]
+                incomplete = sorted(
+                    (t for t in txn_rows if t["document_uri"] == uri and t["completed_at"] is None),
+                    key=lambda t: t["revision"],
+                )
+                if not incomplete:
+                    continue
+                collection_deleted = any(
+                    t["method"] == "feed:delete" and t["item_id"] == "" for t in incomplete
+                )
+                if collection_deleted and is_collection_uri(uri):
+                    # collection delete drops its indexes
+                    # (BackgroundContentTaskCompleter.scala:128-139)
+                    for idef in self.index_defs(uri):
+                        drop_tables.append(idef.storage_table)
+                    if defs_rows is None:
+                        defs_rows = self.storage.bucket_rows(INDEX_DEFS, 0)
+                    defs_rows = [r for r in defs_rows if r["document_uri"] != uri]
+                    updates[(INDEX_DEFS, 0)] = defs_rows
+                else:
+                    self._refresh_indexes(uri, [t["item_id"] for t in incomplete], updates)
+
+                for t in incomplete:
+                    feed_rows.append(
+                        {
+                            "uuid": t["uuid"],
+                            "document_uri": uri,
+                            "item_id": t["item_id"],
+                            "revision": t["revision"],
+                            "method": t["method"],
+                            "body": t["body"],
+                            "ts": now,
+                        }
+                    )
+                    t["completed_at"] = now
+                for idef in self.index_defs(uri):
+                    schemas[idef.storage_table] = _index_schema(idef.sort_by)
+                total += len(incomplete)
+
+            if total == 0:
+                return 0
+            # prune old completed entries so the WAL buckets stay
+            # bounded (removeCompleteTransactionsFromList analog)
+            horizon = now - self.WAL_KEEP_MS
+            for bucket, txn_rows in txn_cache.items():
+                updates[(TRANSACTIONS, bucket)] = [
+                    t
+                    for t in txn_rows
+                    if t["completed_at"] is None or t["completed_at"] >= horizon
+                ]
             # feed first (at-least-once: publish, then mark complete —
             # a crash in between re-publishes, deduped by revision)
             if feed_rows:
                 self.storage.append(FEED, feed_rows, FEED_SCHEMA)
             self.storage.commit(updates, schemas, drop_tables=drop_tables)
-            return len(incomplete)
+            return total
 
     def recover(self, scan_all: bool = False) -> int:
         """Re-drive incomplete transactions (RecoveryWorker analog).
@@ -585,8 +746,9 @@ class DocumentStore:
                 live_uris = {
                     t["document_uri"] for t in incomplete if t["uuid"] not in abandoned
                 }
-                for uri in sorted(live_uris):
-                    total += self.complete_transactions(uri)
+                # one batched completion per bucket: all feed events in
+                # one append, all index/WAL updates in one flip
+                total += self._complete_uris(sorted(live_uris))
                 ckpt[str(b)] = max(from_q, now_q - self.HOT_LAG_QUANTA)
             self._write_recovery_checkpoint(ckpt)
         return total

@@ -13,16 +13,44 @@ everything downstream is unchanged.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..store.documents import FEED_SPARK, DocumentStore
 
 
-def feed_readstream(spark: SparkSession, store: DocumentStore) -> DataFrame:
+def feed_readstream(
+    spark: SparkSession,
+    store: DocumentStore,
+    dedup_within: Optional[str] = None,
+) -> DataFrame:
     """Streaming DataFrame of feed events; at-least-once, idempotent by
-    (document_uri, item_id, revision)."""
-    return (
+    (document_uri, item_id, revision).
+
+    ``dedup_within`` upgrades delivery to consumer-side exactly-once:
+    pass a watermark duration (e.g. ``"1 hour"``) and re-deliveries of
+    the same (document_uri, item_id, revision) key arriving within that
+    event-time bound are dropped via
+    ``dropDuplicatesWithinWatermark`` — state is bounded by the
+    watermark, so this scales to an unbounded feed (a plain
+    dropDuplicates would accumulate every key forever). Crash-replay
+    re-publications (the WAL's at-least-once completion path) land
+    within seconds of the original, so any operationally sane bound
+    covers them; events re-delivered LATER than the bound (e.g. a feed
+    compaction rewriting old files under a tailing reader) fall back to
+    at-least-once, which is the documented floor."""
+    df = (
         spark.readStream.schema(FEED_SPARK)
         .option("maxFilesPerTrigger", 16)
         .parquet(store.feed_dir())
+    )
+    if dedup_within is None:
+        return df
+    return (
+        df.withColumn("event_time", F.timestamp_millis(F.col("ts")))
+        .withWatermark("event_time", dedup_within)
+        .dropDuplicatesWithinWatermark(["document_uri", "item_id", "revision"])
+        .drop("event_time")
     )

@@ -1400,3 +1400,94 @@ def test_compact_append_retry_with_concurrent_appender(tmp_path):
     assert merged >= 3  # compaction happened despite the lost race
     rows = sorted(r["seq"] for r in st.all_rows("feed"))
     assert rows == [0, 1, 2, 99]  # interloper's append survived
+
+
+def test_group_commit_concurrent_writers_serialize_correctly(spark, tmp_path):
+    """8 threads hammer one collection through the plain put() API: the
+    group-commit path must preserve single-writer semantics exactly —
+    gapless shared revision counter 1..N, every item present, every
+    feed event published exactly once in revision order."""
+    import threading
+
+    store = DocumentStore(str(tmp_path / "gc"), spark=spark)
+    n_threads, per_thread = 8, 10
+
+    def worker(t):
+        for i in range(per_thread):
+            store.put(f"gc~/{t:02d}-{i:04d}", {"t": t, "i": i})
+
+    ts = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    n = n_threads * per_thread
+    # shared static counter: gapless 1..N despite concurrency
+    _, rev = store.get("gc~/00-0000")
+    assert rev == n
+    res = store.query("gc~", size=n + 10)
+    assert len(res.items) == n
+    evs = [e for e in store.feed_events() if e["document_uri"] == "gc~"]
+    assert sorted(e["revision"] for e in evs) == list(range(1, n + 1))
+
+
+def test_write_batch_one_flip_serial_semantics(spark, tmp_path):
+    """write_batch applies ops in order against the evolving state in
+    ONE staged flip (+1 feed append +1 completion flip): later ops see
+    earlier ones, failed ops report their exception without aborting
+    the rest, and the manifest moves a constant number of versions."""
+    store = DocumentStore(str(tmp_path / "wb"), spark=spark)
+    v0 = store.storage._read_manifest()["version"]
+    out = store.write_batch(
+        [
+            ("put", "wb~/a", {"x": 1}),
+            ("patch", "wb~/a", {"y": 2}),          # sees the put above
+            ("patch", "wb~/missing", {"z": 3}),    # fails alone
+            ("put", "wb~/b", {"x": 9}),
+            ("delete", "wb~/a", None),
+            ("patch", "other-doc", {"q": 1}),      # fails: never existed
+        ]
+    )
+    assert out[0] == (True, 1)
+    assert out[1] == (False, 2)
+    assert isinstance(out[2], NotFoundError)
+    assert out[3] == (True, 3)
+    assert out[4] == 4  # delete returns the revision
+    assert isinstance(out[5], NotFoundError)
+    with pytest.raises(NotFoundError):
+        store.get("wb~/a")
+    assert store.get("wb~/b")[0] == {"x": 9, "id": "b"}
+    # one staged data flip + one feed append + one completion flip
+    assert store.storage._read_manifest()["version"] - v0 <= 3
+    evs = [(e["method"], e["revision"]) for e in store.feed_events()]
+    assert evs == [
+        ("feed:put", 1),
+        ("feed:patch", 2),
+        ("feed:put", 3),
+        ("feed:delete", 4),
+    ]
+
+
+def test_write_batch_cross_document_and_collection_delete(spark, tmp_path):
+    """Batch spanning documents in different buckets plus a collection
+    delete (index-dropping completion path) composes in one flip set."""
+    store = DocumentStore(str(tmp_path / "wbx"), spark=spark)
+    from hyper_storage_spark.plans import SortItem
+
+    store.put("dropme~/x", {"a": 1})
+    store.create_index("dropme~", "by_a", [SortItem("a", "decimal", "asc")], None)
+    out = store.write_batch(
+        [
+            ("put", "doc-one", {"v": 1}),
+            ("put", "doc-two", {"v": 2}),
+            ("delete", "dropme~", None),
+            ("put", "doc-one", {"v": 3}),
+        ]
+    )
+    assert out[0] == (True, 1) and out[1] == (True, 1)
+    assert out[2] == 2  # dropme~ counter was at 1 from the put
+    assert out[3] == (False, 2)
+    with pytest.raises(NotFoundError):
+        store.get("dropme~/x")
+    assert store.get("doc-one")[0] == {"v": 3}
+    assert store.index_defs("dropme~") == []

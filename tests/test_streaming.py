@@ -698,3 +698,45 @@ def test_compact_appends_covers_dead_letters(spark, tmp_path):
         assert merged.get(DEAD_LETTER) == n_files
         assert len(store.storage.files(DEAD_LETTER)) == 1
     assert sorted(d["seq"] for d in store.storage.all_rows(DEAD_LETTER)) == before
+
+
+def test_feed_readstream_exactly_once_dedup(spark, tmp_path):
+    """Opt-in consumer-side exactly-once: double-publish a batch of
+    feed events (the WAL's at-least-once crash-replay shape) and assert
+    the deduped stream emits each (uri, item, revision) exactly once,
+    while the default stream shows the duplicates."""
+    from hyper_storage_spark.store.documents import FEED, FEED_SCHEMA
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    store.put("doc1", {"a": 1})
+    store.put("doc1", {"a": 2})
+    store.put("col~/item", {"b": 1})
+    # crash-replay: the completer re-publishes the SAME events again
+    # (same uuid/revision — the consumer contract is dedup by key)
+    originals = store.feed_events()
+    assert len(originals) == 3
+    store.storage.append(FEED, originals, FEED_SCHEMA)
+
+    def drain(stream, name):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.sql(
+            f"SELECT document_uri, item_id, revision FROM {name}"
+        ).collect()
+
+    raw = drain(feed_readstream(spark, store), "feed_raw")
+    assert len(raw) == 6  # at-least-once: duplicates visible
+    deduped = drain(
+        feed_readstream(spark, store, dedup_within="1 hour"), "feed_dedup"
+    )
+    keys = [(r.document_uri, r.item_id, r.revision) for r in deduped]
+    assert len(keys) == 3 and len(set(keys)) == 3
+    assert set(keys) == {("doc1", "", 1), ("doc1", "", 2), ("col~", "item", 1)}
+    # deduped stream keeps the raw schema (no watermark column leaks)
+    assert "event_time" not in feed_readstream(spark, store, dedup_within="1 hour").columns

@@ -49,6 +49,41 @@ def main() -> None:
 
     timed(f"put_{n}_items", puts)
 
+    # -- concurrent per-item writes (group commit coalesces queued ops
+    # into one staged flip per leader pass; r7) --
+    import threading
+
+    gstore = DocumentStore(tempfile.mkdtemp(prefix="bench_gc_"), spark=spark)
+    n_threads = 16
+    per_thread = max(n // 8, 25)
+
+    def gc_worker(t):
+        for i in range(per_thread):
+            if i % 5 == 4:
+                gstore.patch(f"gc~/{t:02d}-{i - 1:05d}", {"p": i})
+            else:
+                gstore.put(f"gc~/{t:02d}-{i:05d}", {"a": i, "t": t})
+
+    def concurrent_mixed():
+        ts = [threading.Thread(target=gc_worker, args=(t,)) for t in range(n_threads)]
+        for x in ts:
+            x.start()
+        for x in ts:
+            x.join()
+
+    n_conc = n_threads * per_thread
+    timed(f"concurrent_mixed_{n_conc}_ops", concurrent_mixed)
+
+    # -- explicit batch API: one staged flip for the whole list --
+    bstore = DocumentStore(tempfile.mkdtemp(prefix="bench_wb_"), spark=spark)
+
+    def batched_puts():
+        bstore.write_batch(
+            [("put", f"wb~/{i:06d}", {"a": i % 50, "b": i}) for i in range(n)]
+        )
+
+    timed(f"write_batch_{n}_items", batched_puts)
+
     def patches():
         for i in range(0, n, 4):
             store.patch(f"bench~/{i:06d}", {"a": (i + 1) % 50})
@@ -141,6 +176,8 @@ def main() -> None:
     )
 
     puts_per_sec = round(n / max(timings[f"put_{n}_items"], 1e-9), 1)
+    conc_per_sec = round(n_conc / max(timings[f"concurrent_mixed_{n_conc}_ops"], 1e-9), 1)
+    batch_per_sec = round(n / max(timings[f"write_batch_{n}_items"], 1e-9), 1)
     bulk_per_sec = round((n * 50) / max(timings[f"bulk_ingest_{n * 50}_items"], 1e-9), 1)
     print(
         json.dumps(
@@ -148,6 +185,8 @@ def main() -> None:
                 "metric": "store_ops",
                 "n_items": n,
                 "puts_per_sec": puts_per_sec,
+                "concurrent_ops_per_sec": conc_per_sec,
+                "write_batch_items_per_sec": batch_per_sec,
                 "bulk_items_per_sec": bulk_per_sec,
                 "timings": timings,
             }
