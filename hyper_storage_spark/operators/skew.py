@@ -102,15 +102,28 @@ def skew_report(df: DataFrame, keys: list[str], k: int = 10) -> DataFrame:
     broadcast bounds. Rule of thumb: skew_factor ≳ the executor count
     means the hot key pins a reducer for the whole stage — route the
     aggregation through :func:`salted_aggregate` (or the join through
-    :func:`salted_join`)."""
+    :func:`salted_join`).
+
+    ``suggested_salt`` (r7) closes the loop: the salt factor that
+    flattens this key to roughly mean-sized buckets — ``⌈skew_factor⌉``
+    for keys whose skew exceeds 2× the mean, 1 (don't salt) otherwise,
+    capped at 1024 (past that, per-salt partial-agg rows outweigh the
+    spread; shuffle-partition count is the practical ceiling anyway).
+    Feed the max over the report's rows straight into
+    ``salted_aggregate(..., n_salts=...)``."""
     counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
     totals = counts.agg(
         F.sum("n").alias("__total"), F.count("*").alias("__nkeys")
     )
     top = counts.orderBy(F.col("n").desc(), *keys).limit(k)
+    skew_factor = F.col("n") * F.col("__nkeys") / F.col("__total")
     return top.crossJoin(F.broadcast(totals)).select(
         *keys,
         "n",
         F.round(F.col("n") * 100.0 / F.col("__total"), 4).alias("share_pct"),
-        F.round(F.col("n") * F.col("__nkeys") / F.col("__total"), 2).alias("skew_factor"),
+        F.round(skew_factor, 2).alias("skew_factor"),
+        F.when(skew_factor <= 2.0, F.lit(1))
+        .otherwise(F.least(F.ceil(skew_factor), F.lit(1024)))
+        .cast("int")
+        .alias("suggested_salt"),
     )

@@ -2020,9 +2020,10 @@ def test_skew_report_hand_computed(spark):
 
     rows = [("hot",)] * 80 + [("warm",)] * 15 + [(f"k{i}",) for i in range(5)]
     df = spark.createDataFrame(rows, "key string")
-    rep = {r.key: (r.n, r.share_pct, r.skew_factor)
+    rep = {r.key: (r.n, r.share_pct, r.skew_factor, r.suggested_salt)
            for r in skew.skew_report(df, ["key"], k=2).collect()}
     assert set(rep) == {"hot", "warm"}
     # 100 rows over 7 distinct keys → mean ≈ 14.29; hot = 80/14.29 = 5.6
-    assert rep["hot"] == (80, 80.0, 5.6)
+    assert rep["hot"] == (80, 80.0, 5.6, 6)  # salt suggestion = ceil(5.6)
     assert rep["warm"][0] == 15 and rep["warm"][2] == 1.05
+    assert rep["warm"][3] == 1  # below the 2x threshold: don't salt

@@ -1491,3 +1491,41 @@ def test_write_batch_cross_document_and_collection_delete(spark, tmp_path):
         store.get("dropme~/x")
     assert store.get("doc-one")[0] == {"v": 3}
     assert store.index_defs("dropme~") == []
+
+
+def test_store_admin_retention_command(spark, tmp_path):
+    """The one-shot retention command: old feed events truncated by
+    age, append tables compacted, unreferenced files vacuumed — one
+    JSON line, suitable for cron."""
+    import json as _json
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "admret")
+    store = DocumentStore(root, spark=spark)
+    for i in range(5):
+        store.put("doc", {"n": i})
+    n_events = len(store.feed_events())
+    assert n_events == 5
+    p = subprocess.run(
+        [
+            sys.executable, "tools/store_admin.py", root, "retention",
+            "--feed-keep-ms", "0", "--grace", "0", "--keep", "0",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert p.returncode == 0, p.stderr[:400]
+    out = _json.loads(p.stdout.strip().splitlines()[-1])
+    assert out["feed_events_removed"] == n_events  # all older than "now"
+    assert out["vacuum_removed"] > 0  # superseded buckets reclaimed
+    # the store stays fully functional afterwards
+    assert store.get("doc")[0] == {"n": 4}
+    assert store.feed_events() == []
+    # a second pass is a no-op
+    p2 = subprocess.run(
+        [sys.executable, "tools/store_admin.py", root, "retention",
+         "--feed-keep-ms", "0", "--grace", "0", "--keep", "0"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    out2 = _json.loads(p2.stdout.strip().splitlines()[-1])
+    assert out2["feed_events_removed"] == 0

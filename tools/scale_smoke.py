@@ -160,6 +160,52 @@ def main() -> None:
         if growth > replicas * 3:  # generous: linear + overheads, never ~replicas^2
             failures.append(f"{name}: wall grew {growth:.1f}x for {replicas}x data")
 
+    # round-7: store-tier growth — bulk ingest, bulk merge into the
+    # LIVE collection, and time-travel reads at 1x vs replicas-x. The
+    # scale shape: ingest/merge are executor-side sorted bucket writes
+    # + one manifest flip (cost ∝ data), a time-travel read is the
+    # same pruned parquet scan against a pinned manifest (cost ∝ data,
+    # zero history copies) — growth must stay near-linear.
+    from hyper_storage_spark.store import DocumentStore
+
+    def store_case(docs, label):
+        root = tempfile.mkdtemp(prefix=f"smoke_store_{label}_")
+        store = DocumentStore(root, spark=spark)
+        base = docs.select(
+            "doc_id",
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("item"),
+            "text",
+        )
+        t0 = time.time()
+        store.ingest_collection(base, "c~", "item")
+        t_ingest = time.time() - t0
+        refresh = base.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" v2"))
+        )
+        t0 = time.time()
+        store.merge_collection(refresh, "c~", "item")
+        t_merge = time.time() - t0
+        pinned = store.storage._read_manifest()["version"]
+        store.put("history-mover", {"x": 1})
+        snap = store.at_version(pinned)
+        t0 = time.time()
+        n = snap.collection_df("c~").count()
+        t_tt = time.time() - t0
+        return t_ingest, t_merge, t_tt, n
+
+    i1, m1, tt1, n1 = store_case(docs1, "1x")
+    i10, m10, tt10, n10 = store_case(docs10, f"{replicas}x")
+    for name, a, b in (
+        ("store_bulk_ingest", i1, i10),
+        ("store_bulk_merge", m1, m10),
+        ("store_time_travel_read", tt1, tt10),
+    ):
+        growth = b / max(a, 1e-9)
+        print(f"# {name}: 1x {a:.2f}s -> {replicas}x {b:.2f}s, growth {growth:.1f}x")
+        if growth > replicas * 3:
+            failures.append(f"{name}: wall grew {growth:.1f}x for {replicas}x data")
+    print(f"# store corpus: {n1} -> {n10} items read at pinned version")
+
     # plan-shape audit at 10x
     plans = {
         "ngram_jaccard": dedup.ngram_jaccard_pairs(docs10, 0.5, max_df=100),

@@ -11,6 +11,7 @@ face instead:
     python tools/store_admin.py ROOT rollback VERSION
     python tools/store_admin.py ROOT recover
     python tools/store_admin.py ROOT truncate-feed --older-than-ms MS
+    python tools/store_admin.py ROOT retention [--feed-keep-ms MS] [--grace S] [--keep N]
 
 Every command prints ONE JSON line. No Spark session is started —
 these are manifest/file operations (recover uses the driver-side
@@ -48,6 +49,16 @@ def main(argv: list[str] | None = None) -> int:
     tf = sub.add_parser("truncate-feed")
     tf.add_argument("--older-than-ms", type=int, required=True,
                     help="drop published feed events with ts before this epoch-ms")
+    ret = sub.add_parser(
+        "retention",
+        help="one-shot maintenance pass (cron this): truncate the feed "
+        "by age, compact append tables, vacuum unreferenced files",
+    )
+    ret.add_argument("--feed-keep-ms", type=int, default=7 * 24 * 3600 * 1000,
+                     help="feed event retention window (default 7 days)")
+    ret.add_argument("--grace", type=float, default=3600.0)
+    ret.add_argument("--keep", type=int, default=None,
+                     help="snapshot retention override passed to vacuum")
     args = ap.parse_args(argv)
 
     from hyper_storage_spark.store import DocumentStore
@@ -69,6 +80,19 @@ def main(argv: list[str] | None = None) -> int:
         out = {"completed_transactions": store.recover()}
     elif args.cmd == "truncate-feed":
         out = {"events_removed": store.truncate_feed(args.older_than_ms)}
+    elif args.cmd == "retention":
+        import time as _time
+
+        cutoff = int(_time.time() * 1000) - args.feed_keep_ms
+        # order matters: truncate makes feed files superseded, compact
+        # merges what remains, vacuum reclaims everything unreferenced
+        out = {
+            "feed_events_removed": store.truncate_feed(cutoff),
+            "compacted": store.compact_appends(),
+            "vacuum_removed": store.vacuum(
+                grace_seconds=args.grace, keep_versions=args.keep
+            ),
+        }
     else:  # pragma: no cover — argparse enforces
         raise SystemExit(2)
     print(json.dumps(out))
