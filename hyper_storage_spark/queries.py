@@ -1395,6 +1395,31 @@ def q_skew_salted_agg(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_skew_report",
+    """WITH counts AS (
+           SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+       ),
+       totals AS (SELECT SUM(n) AS total, COUNT(*) AS nkeys FROM counts)
+       SELECT event_type, n,
+              ROUND(CAST(n AS DOUBLE) * 100.0 / total, 4) AS share_pct,
+              ROUND(CAST(n AS DOUBLE) * nkeys / total, 2) AS skew_factor,
+              CAST(CASE WHEN CAST(n AS DOUBLE) * nkeys / total <= 2.0 THEN 1
+                        ELSE LEAST(CAST(CEIL(CAST(n AS DOUBLE) * nkeys / total) AS BIGINT), 1024)
+                   END AS INTEGER) AS suggested_salt
+       FROM counts, totals
+       ORDER BY n DESC, event_type LIMIT 10""",
+)
+def q_skew_report(spark, sf_dir):
+    """The decide-before-you-salt diagnostic (operators/skew.py:94) as
+    an oracle-gated entry: heaviest keys with corpus share, skew factor
+    (key rows ÷ mean rows/key — the reducer imbalance a plain shuffle
+    suffers) and the r7 suggested_salt that feeds straight into
+    salted_aggregate. One partial-agg shuffle + TakeOrdered; the two
+    corpus scalars ride a 1-row broadcast."""
+    return skew.skew_report(_t(spark, sf_dir, "events"), ["event_type"], k=10)
+
+
 _STREAM_STORES: dict[str, object] = {}
 
 
