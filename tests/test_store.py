@@ -1529,3 +1529,128 @@ def test_store_admin_retention_command(spark, tmp_path):
     )
     out2 = _json.loads(p2.stdout.strip().splitlines()[-1])
     assert out2["feed_events_removed"] == 0
+
+
+def test_write_batch_model_based_differential(spark, tmp_path):
+    """Model-based differential for the batch path: a seeded random
+    PUT/PATCH/DELETE sequence is applied through write_batch in random
+    chunk sizes; per-op outcomes (created/revision or NotFoundError)
+    and the final store state must match a pure-Python model applying
+    the ops serially — batching must be semantically invisible."""
+    import random
+
+    from hyper_storage_spark.store.merge import filter_nulls, merge_patch
+
+    rng = random.Random(7)
+    store = DocumentStore(str(tmp_path / "mbb"), spark=spark)
+    colls = ["ca~", "cb~"]
+    items = [f"i{n}" for n in range(5)]
+    docs = ["plain1", "plain2"]
+    model = {u: {"rev": 0, "live": False, "items": {}} for u in colls}
+    for d in docs:
+        model[d] = {"rev": 0, "live": False, "body": None}
+
+    def rand_body():
+        return {
+            f: rng.choice([rng.randint(0, 9), f"s{rng.randint(0, 3)}", None])
+            for f in rng.sample(["a", "b", "c"], rng.randint(1, 2))
+        }
+
+    def model_apply(method, path, body):
+        """Serial-semantics model step → expected write_batch outcome."""
+        if "/" in path:
+            u, i = path.split("/")
+            m = model[u]
+            if method == "put":
+                created = i not in m["items"]
+                m["rev"] += 1
+                m["live"] = True
+                m["items"][i] = filter_nulls(dict(body))
+                return (created, m["rev"])
+            if method == "patch":
+                if i not in m["items"]:
+                    return NotFoundError
+                m["rev"] += 1
+                m["live"] = True
+                merged = merge_patch(dict(m["items"][i], id=i), body)
+                merged.pop("id", None)
+                m["items"][i] = merged
+                return (False, m["rev"])
+            if i not in m["items"] or (not m["live"] and m["rev"] == 0):
+                return NotFoundError
+            m["rev"] += 1
+            m["live"] = True
+            del m["items"][i]
+            return m["rev"]
+        m = model[path]
+        is_coll = path.endswith("~")
+        if method == "put":
+            created = not m["live"]
+            m["rev"] += 1
+            m["live"] = True
+            m["body"] = filter_nulls(dict(body))
+            return (created, m["rev"])
+        if method == "patch":
+            if not m["live"]:
+                return NotFoundError
+            m["rev"] += 1
+            m["body"] = merge_patch(m["body"], body)
+            return (False, m["rev"])
+        if not m["live"]:
+            return NotFoundError
+        m["rev"] += 1
+        m["live"] = False
+        if not is_coll:
+            m["body"] = None
+        return m["rev"]
+
+    def gen_op():
+        k = rng.random()
+        if k < 0.6:
+            u, i = rng.choice(colls), rng.choice(items)
+            return (rng.choice(["put", "patch", "delete"]), f"{u}/{i}")
+        if k < 0.9:
+            return (rng.choice(["put", "patch", "delete"]), rng.choice(docs))
+        return ("delete", rng.choice(colls))
+
+    n_total = 140
+    done = 0
+    while done < n_total:
+        chunk = rng.randint(1, 9)
+        ops, expected = [], []
+        for _ in range(chunk):
+            method, path = gen_op()
+            body = rand_body() if method != "delete" else None
+            ops.append((method, path, body))
+            expected.append(model_apply(method, path, body))
+            done += 1
+        out = store.write_batch(ops)
+        for got, exp in zip(out, expected):
+            if exp is NotFoundError:
+                assert isinstance(got, NotFoundError), (got, exp)
+            else:
+                assert got == exp, (got, exp)
+
+    # final-state equivalence
+    for u in colls:
+        m = model[u]
+        if not m["live"]:
+            with pytest.raises(KeyError):
+                store.query(u, size=50)
+        else:
+            res = store.query(u, size=50)
+            assert res.revision == m["rev"]
+            assert res.items == [dict(m["items"][i], id=i) for i in sorted(m["items"])]
+    for d in docs:
+        m = model[d]
+        if not m["live"]:
+            with pytest.raises(KeyError):
+                store.get(d)
+        else:
+            body, rev = store.get(d)
+            assert body == m["body"] and rev == m["rev"]
+    # feed: one event per successful op, gapless per document
+    evs = store.feed_events()
+    for u in colls + docs:
+        revs = [e["revision"] for e in evs if e["document_uri"] == u]
+        assert revs == list(range(1, model[u]["rev"] + 1)), u
