@@ -36,6 +36,11 @@ HEADLINE = [
     "text_quality_score",
     "text_langid",
     "text_fingerprint",
+    # round-7 additions to the headline list (SCALE.md carries their
+    # canonical min-of-3 rows; totals are comparable across rounds only
+    # per-query once the list changes — the canonical table is per-query)
+    "q_countmin_heavy_hitters",
+    "q_token_budget_select",
 ]
 
 

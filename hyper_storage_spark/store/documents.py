@@ -455,17 +455,27 @@ class DocumentStore:
                 uri = split_path(op.path).document_uri
                 if uri not in ok_uris:
                     ok_uris.append(uri)
-        if dirty:
-            self.storage.commit(
-                {(table, b): cache[table][b] for (table, b) in dirty},
-                {CONTENT: CONTENT_SCHEMA, STATICS: STATICS_SCHEMA, TRANSACTIONS: TRANSACTIONS_SCHEMA},
-            )
-        if self.auto_complete and ok_uris:
-            self._complete_uris(ok_uris)
-        # ``done`` flips only now — after the flip(s) — so no waiter can
-        # observe a success that isn't durable yet
-        for op in batch:
-            op.done = True
+        try:
+            if dirty:
+                self.storage.commit(
+                    {(table, b): cache[table][b] for (table, b) in dirty},
+                    {CONTENT: CONTENT_SCHEMA, STATICS: STATICS_SCHEMA, TRANSACTIONS: TRANSACTIONS_SCHEMA},
+                )
+            if self.auto_complete and ok_uris:
+                self._complete_uris(ok_uris)
+        except BaseException as e:
+            # the flip (or completion) failed for the WHOLE batch: every
+            # drained op must carry the error — a drained op is applied
+            # by nobody else, so leaving done unset would hang its
+            # caller's wait loop forever
+            for op in batch:
+                if op.error is None:
+                    op.error = e
+        finally:
+            # ``done`` flips only now — after the flip(s) — so no waiter
+            # can observe a success that isn't durable yet
+            for op in batch:
+                op.done = True
 
     def _stage_op(
         self, method: str, path: str, body: Any, cache: dict, dirty: set, now: int

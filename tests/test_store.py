@@ -1654,3 +1654,44 @@ def test_write_batch_model_based_differential(spark, tmp_path):
     for u in colls + docs:
         revs = [e["revision"] for e in evs if e["document_uri"] == u]
         assert revs == list(range(1, model[u]["rev"] + 1)), u
+
+
+def test_group_commit_flip_failure_fails_all_waiters_without_hanging(spark, tmp_path):
+    """If the batch's manifest flip raises, EVERY op drained into that
+    batch must surface the error to its caller — a drained op is
+    applied by nobody else, so losing it would hang the caller's wait
+    loop forever. The store must keep working afterwards."""
+    import threading
+
+    store = DocumentStore(str(tmp_path / "gcfail"), spark=spark)
+    store.put("warm", {"x": 0})  # templates/manifest warm
+
+    real_commit = store.storage.commit
+    fail = {"on": True}
+
+    def flaky_commit(*a, **kw):
+        if fail["on"]:
+            raise OSError("disk full (injected)")
+        return real_commit(*a, **kw)
+
+    store.storage.commit = flaky_commit
+    errors, lock = [], threading.Lock()
+
+    def writer(t):
+        try:
+            store.put(f"gc~/{t}", {"t": t})
+        except OSError as e:
+            with lock:
+                errors.append(str(e))
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in ts), "a waiter hung on a failed batch"
+    assert len(errors) == 6 and all("disk full" in e for e in errors)
+    # recovery: flips work again, state is consistent
+    fail["on"] = False
+    assert store.put("gc~/ok", {"fine": 1})[0] is True
+    assert store.get("gc~/ok")[0] == {"fine": 1, "id": "ok"}
