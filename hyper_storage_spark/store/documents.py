@@ -437,45 +437,88 @@ class DocumentStore:
                 out.append(op.result)
         return out
 
+    # bounded re-stage on a lost cross-process CAS race: results were
+    # not exposed yet (``done`` unset), so re-staging the whole batch
+    # against the fresh manifest is indistinguishable from the batch
+    # simply having run after the winner — the per-item path is
+    # therefore safe under MULTIPLE PROCESSES on one root, not just the
+    # documented single-writer norm. Retries are generous with jittered
+    # backoff (_cas_backoff): the loser restarts a WIDE read-stage
+    # window while the winner only re-enters a short CAS, so symmetric
+    # contention needs desynchronization, not just repetition
+    WRITE_CAS_RETRIES = 24
+
+    @staticmethod
+    def _cas_backoff(attempt: int) -> None:
+        import random
+
+        time.sleep(random.uniform(0.001, 0.004) * min(attempt + 1, 8))
+
     def _apply_write_batch(self, batch: list) -> None:
         """Stage every op of the batch against cached bucket state, then
         publish all touched buckets in ONE manifest flip and complete
         the successful ops' documents in one batched completion flip.
         Caller holds ``self._lock``."""
-        cache: dict = {CONTENT: {}, STATICS: {}, TRANSACTIONS: {}}
-        dirty: set = set()
-        ok_uris: list[str] = []
-        now = _now_ms()
-        for op in batch:
-            try:
-                op.result = self._stage_op(op.method, op.path, op.body, cache, dirty, now)
-            except Exception as e:  # noqa: BLE001 — per-op isolation
-                op.error = e
-            else:
-                uri = split_path(op.path).document_uri
-                if uri not in ok_uris:
-                    ok_uris.append(uri)
-        try:
-            if dirty:
-                self.storage.commit(
-                    {(table, b): cache[table][b] for (table, b) in dirty},
-                    {CONTENT: CONTENT_SCHEMA, STATICS: STATICS_SCHEMA, TRANSACTIONS: TRANSACTIONS_SCHEMA},
-                )
-            if self.auto_complete and ok_uris:
-                self._complete_uris(ok_uris)
-        except BaseException as e:
-            # the flip (or completion) failed for the WHOLE batch: every
-            # drained op must carry the error — a drained op is applied
-            # by nobody else, so leaving done unset would hang its
-            # caller's wait loop forever
+        from .storage import ManifestConflict
+
+        for attempt in range(self.WRITE_CAS_RETRIES):
+            # version pinned BEFORE the staging reads: the commit
+            # refuses if any foreign flip lands inside the whole
+            # read-stage-flip window, not just commit's own gap
+            staged_version = self.storage.current_version()
+            cache: dict = {CONTENT: {}, STATICS: {}, TRANSACTIONS: {}}
+            dirty: set = set()
+            ok_uris: list[str] = []
+            now = _now_ms()
             for op in batch:
-                if op.error is None:
+                op.result = op.error = None  # re-stage cleanly on retry
+                try:
+                    op.result = self._stage_op(op.method, op.path, op.body, cache, dirty, now)
+                except Exception as e:  # noqa: BLE001 — per-op isolation
                     op.error = e
-        finally:
+                else:
+                    uri = split_path(op.path).document_uri
+                    if uri not in ok_uris:
+                        ok_uris.append(uri)
+            data_committed = False
+            try:
+                if dirty:
+                    self.storage.commit(
+                        {(table, b): cache[table][b] for (table, b) in dirty},
+                        {CONTENT: CONTENT_SCHEMA, STATICS: STATICS_SCHEMA, TRANSACTIONS: TRANSACTIONS_SCHEMA},
+                        expected_version=staged_version,
+                    )
+                data_committed = True
+                if self.auto_complete and ok_uris:
+                    self._complete_uris(ok_uris)
+            except ManifestConflict as e:
+                # a concurrent PROCESS won a flip. Only the DATA commit
+                # may trigger a batch re-stage (nothing of ours is
+                # visible yet, so re-reading and re-staging is
+                # serial-equivalent to running after the winner). A
+                # conflict AFTER the data commit — i.e. inside
+                # completion, which retries internally — must NOT
+                # re-stage: the writes are durable, re-staging would
+                # double-apply them.
+                if not data_committed and attempt < self.WRITE_CAS_RETRIES - 1:
+                    self._cas_backoff(attempt)
+                    continue
+                for op in batch:
+                    if op.error is None:
+                        op.error = e
+            except BaseException as e:
+                # the flip (or completion) failed for the WHOLE batch:
+                # every drained op must carry the error — a drained op
+                # is applied by nobody else, so leaving done unset would
+                # hang its caller's wait loop forever
+                for op in batch:
+                    if op.error is None:
+                        op.error = e
             # ``done`` flips only now — after the flip(s) — so no waiter
             # can observe a success that isn't durable yet
             for op in batch:
                 op.done = True
+            return
 
     def _stage_op(
         self, method: str, path: str, body: Any, cache: dict, dirty: set, now: int
@@ -626,8 +669,33 @@ class DocumentStore:
         commit tail (per-uri completion would pay 2 flips per document).
         Per-document event order is preserved (entries sort by revision
         within a uri); cross-document feed order is unconstrained, as in
-        the serial path."""
+        the serial path.
+
+        Cross-process safe (r7): if a concurrent process wins the flip
+        race, the whole computation re-runs against fresh reads —
+        completion is idempotent (stamping completed_at and rewriting
+        index rows recompute identically), and events already appended
+        THIS call are not re-appended (tracked by uuid; a crash between
+        append and flip still re-publishes on recovery, which the
+        at-least-once contract covers)."""
+        from .storage import ManifestConflict
+
         with self._lock:
+            published: set = set()
+            for attempt in range(self.WRITE_CAS_RETRIES):
+                try:
+                    return self._complete_uris_once(uris, published)
+                except ManifestConflict:
+                    if attempt == self.WRITE_CAS_RETRIES - 1:
+                        raise
+                    self._cas_backoff(attempt)
+        raise AssertionError("unreachable")  # pragma: no cover
+
+    def _complete_uris_once(self, uris: list, published: set) -> int:
+        from .storage import ManifestConflict
+
+        with self._lock:
+            staged_version = self.storage.current_version()
             feed_rows: list[dict] = []  # append-only: new events only
             now = _now_ms()
             updates: dict = {}
@@ -701,10 +769,32 @@ class DocumentStore:
                     if t["completed_at"] is None or t["completed_at"] >= horizon
                 ]
             # feed first (at-least-once: publish, then mark complete —
-            # a crash in between re-publishes, deduped by revision)
-            if feed_rows:
-                self.storage.append(FEED, feed_rows, FEED_SCHEMA)
-            self.storage.commit(updates, schemas, drop_tables=drop_tables)
+            # a crash in between re-publishes, deduped by revision).
+            # Events appended by an earlier flip-losing attempt of THIS
+            # call are skipped (uuid-tracked) — no same-call duplicates.
+            fresh_events = [r for r in feed_rows if r["uuid"] not in published]
+            expect = staged_version
+            if fresh_events:
+                appended_version = self.storage.append(FEED, fresh_events, FEED_SCHEMA)
+                published.update(r["uuid"] for r in feed_rows)
+                if staged_version is not None:
+                    if appended_version != staged_version + 1:
+                        # a foreign flip interleaved between our reads
+                        # and the append: the staged updates are stale —
+                        # recompute (the appended events stay published;
+                        # the retry skips them by uuid)
+                        raise ManifestConflict(
+                            f"foreign flip during completion: read at "
+                            f"v{staged_version}, feed appended at v{appended_version}"
+                        )
+                    expect = appended_version
+                else:
+                    expect = None
+            else:
+                published.update(r["uuid"] for r in feed_rows)
+            self.storage.commit(
+                updates, schemas, drop_tables=drop_tables, expected_version=expect
+            )
             return total
 
     def recover(self, scan_all: bool = False) -> int:

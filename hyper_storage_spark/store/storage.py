@@ -280,15 +280,34 @@ class Storage:
 
     # -- writes -------------------------------------------------------------
 
+    def current_version(self) -> Optional[int]:
+        """Manifest version for optimistic-concurrency pinning; None
+        for storages without one (overlays)."""
+        return self._read_manifest()["version"]
+
     def commit(
         self,
         updates: dict[tuple[str, int], list[dict]],
         schemas: dict[str, pa.Schema],
         drop_tables: Iterable[str] = (),
+        expected_version: Optional[int] = None,
     ) -> int:
         """Atomically replace the given (table, bucket) datasets (and/or
-        drop whole tables). One manifest flip = one commit."""
+        drop whole tables). One manifest flip = one commit.
+
+        ``expected_version`` pins the WHOLE read-stage-flip window:
+        callers that computed ``updates`` from reads taken at that
+        version pass it, and the commit refuses if ANY flip (ours or a
+        foreign process's) landed since — without it the CAS only
+        guards commit's own read-to-flip gap, and a foreign flip
+        between the caller's reads and this call would be silently
+        overwritten by the stale full-bucket rewrite."""
         manifest = self._read_manifest()
+        if expected_version is not None and manifest["version"] != expected_version:
+            raise ManifestConflict(
+                f"manifest version moved since staging reads: expected "
+                f"{expected_version}, found {manifest['version']}"
+            )
         version = manifest["version"] + 1
         for table in drop_tables:  # drops first: drop-and-recreate keeps the recreate
             manifest["tables"].pop(table, None)
@@ -489,7 +508,7 @@ class SnapshotStorage(Storage):
 
     # fail BEFORE staging any bucket file, not at the final flip — a
     # write attempt must not leave orphans behind the read-only facade
-    def commit(self, updates, schemas, drop_tables=()):
+    def commit(self, updates, schemas, drop_tables=(), expected_version=None):
         raise RuntimeError("SnapshotStorage is read-only (time-travel view)")
 
     def commit_external_many(self, table_bucket_files, drop_tables=(), meta=None):
@@ -559,7 +578,12 @@ class OverlayStorage(Storage):
             return []
         return self.base.bucket_files(table, bucket)
 
-    def commit(self, updates, schemas, drop_tables=()):
+    def current_version(self):
+        # overlays buffer in memory with no manifest — version pinning
+        # is meaningless here (the driver's final flip carries the CAS)
+        return None
+
+    def commit(self, updates, schemas, drop_tables=(), expected_version=None):
         for t in drop_tables:
             self.dropped.add(t)
             self.ever_dropped.add(t)

@@ -1695,3 +1695,93 @@ def test_group_commit_flip_failure_fails_all_waiters_without_hanging(spark, tmp_
     fail["on"] = False
     assert store.put("gc~/ok", {"fine": 1})[0] is True
     assert store.get("gc~/ok")[0] == {"fine": 1, "id": "ok"}
+
+
+def test_per_item_writes_safe_across_processes(spark, tmp_path):
+    """Round 7: the per-item write path is safe under MULTIPLE
+    PROCESSES on one root — the staged version is pinned through the
+    CAS (a foreign flip anywhere in the read-stage-flip window forces
+    a re-stage), so two subprocess writers hammering the same document
+    AND the same collection, with no caller-side retries, must
+    serialize to gapless shared revisions with every write visible."""
+    import subprocess
+    import sys
+
+    from hyper_storage_spark.store import DocumentStore
+
+    root = str(tmp_path / "xitem")
+    DocumentStore(root)  # init
+    script = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from hyper_storage_spark.store import DocumentStore
+tid, root = sys.argv[1], sys.argv[2]
+store = DocumentStore(root)
+for i in range(8):
+    store.put(f"shared~/{{tid}}-{{i:03d}}", {{"w": int(tid), "i": i}})
+    store.patch(f"shared~/{{tid}}-{{i:03d}}", {{"p": i}})
+print("done", tid)
+""".format(repo="/root/repo")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(t), root],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for t in range(2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, err.decode()[:800]
+
+    store = DocumentStore(root, spark=spark)
+    n_ops = 2 * 8 * 2  # 2 writers x 8 items x (put + patch)
+    res = store.query("shared~", size=50)
+    assert len(res.items) == 16
+    # the shared static counter serialized every op: gapless 1..32
+    assert res.revision == n_ops
+    for item in res.items:
+        assert item["p"] == item["i"]  # every patch applied on its put
+    evs = [e for e in store.feed_events() if e["document_uri"] == "shared~"]
+    assert sorted(e["revision"] for e in evs) == list(range(1, n_ops + 1))
+
+
+def test_staging_window_foreign_flip_not_lost(spark, tmp_path):
+    """Deterministic lost-update regression: a foreign writer flips the
+    manifest BETWEEN this store's staging reads and its commit. The
+    version pin must reject the stale full-bucket rewrite and the
+    retry must re-stage — both writes survive (previously the stale
+    rewrite silently erased the foreign writer's document)."""
+    from hyper_storage_spark.store import DocumentStore
+    from hyper_storage_spark.store.documents import bucket_of
+
+    root = str(tmp_path / "fflip")
+    store = DocumentStore(root, spark=spark)
+    store.put("seed", {"s": 0})
+
+    # the lost-update shape needs BOTH documents in one CONTENT bucket
+    # (the stale rewrite replaces whole buckets) — find a collider
+    victim = "victim~"
+    intruder = next(
+        f"intruder{i}"
+        for i in range(10_000)
+        if bucket_of(f"intruder{i}", store.storage.n_buckets)
+        == bucket_of(victim, store.storage.n_buckets)
+    )
+
+    real_commit = store.storage.commit
+    fired = {"done": False}
+
+    def commit_with_interloper(*a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            # a separate handle = a separate process for CAS purposes
+            DocumentStore(root).put(intruder, {"v": 42})
+        return real_commit(*a, **kw)
+
+    store.storage.commit = commit_with_interloper
+    created, rev = store.put(f"{victim}/x", {"a": 1})
+    store.storage.commit = real_commit
+    assert (created, rev) == (True, 1)
+    # BOTH writes visible: the foreign flip was not erased
+    assert store.get(intruder)[0] == {"v": 42}
+    assert store.get(f"{victim}/x")[0] == {"a": 1, "id": "x"}
