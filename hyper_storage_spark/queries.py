@@ -4232,6 +4232,62 @@ def store_bulk_merge(spark, sf_dir):
     )
 
 
+@register_extra(
+    "store_collection_join",
+    """SELECT c.c_mktsegment AS segment,
+              COUNT(*) AS n_orders,
+              CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                  AS total_price
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_custkey < 500
+       GROUP BY 1""",
+)
+def store_collection_join(spark, sf_dir):
+    """Analytics ACROSS live collections: ingest customers and orders
+    as two document collections, then JOIN their typed Spark views
+    (collection_df) and aggregate — the "query your operational store
+    like a warehouse" path no single-collection entry exercises. Must
+    equal the plain-SQL join over the raw parquet: the JSON body
+    round-trip (ingest serializes rows, the view parses them against
+    an explicit schema) may not corrupt keys or DECIMAL money. The
+    collection reads are ordinary parquet scans, so Catalyst plans the
+    join like any other (broadcast the small side at scale); the
+    c_custkey < 500 cut keeps the gate-SF ingest cost bounded."""
+    import tempfile
+
+    from .store import DocumentStore
+
+    store = DocumentStore(tempfile.mkdtemp(prefix="hs_join_"), spark=spark)
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .withColumn("item", F.lpad(F.col("c_custkey").cast("string"), 10, "0"))
+    )
+    store.ingest_collection(
+        cust.select("c_custkey", "c_mktsegment", "item"), "customers~", "item"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 500)
+        .withColumn("item", F.lpad(F.col("o_orderkey").cast("string"), 10, "0"))
+    )
+    store.ingest_collection(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "item"),
+        "orders~",
+        "item",
+    )
+    c = store.collection_df("customers~", "c_custkey long, c_mktsegment string")
+    o = store.collection_df("orders~", "o_custkey long, o_totalprice decimal(18,2)")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).cast("double").alias("total_price"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
