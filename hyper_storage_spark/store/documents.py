@@ -674,26 +674,26 @@ class DocumentStore:
         Cross-process safe (r7): if a concurrent process wins the flip
         race, the whole computation re-runs against fresh reads —
         completion is idempotent (stamping completed_at and rewriting
-        index rows recompute identically), and events already appended
-        THIS call are not re-appended (tracked by uuid; a crash between
-        append and flip still re-publishes on recovery, which the
-        at-least-once contract covers)."""
+        index rows recompute identically), and the feed events ride IN
+        the completion flip (``commit(appends=...)``) so a lost race
+        registers nothing: no duplicate publication on retry, and no
+        crash window between publication and the stamps it marks (the
+        streaming file-source face keeps its at-least-once floor — a
+        written-but-unregistered file is visible to directory
+        listings)."""
         from .storage import ManifestConflict
 
         with self._lock:
-            published: set = set()
             for attempt in range(self.WRITE_CAS_RETRIES):
                 try:
-                    return self._complete_uris_once(uris, published)
+                    return self._complete_uris_once(uris)
                 except ManifestConflict:
                     if attempt == self.WRITE_CAS_RETRIES - 1:
                         raise
                     self._cas_backoff(attempt)
         raise AssertionError("unreachable")  # pragma: no cover
 
-    def _complete_uris_once(self, uris: list, published: set) -> int:
-        from .storage import ManifestConflict
-
+    def _complete_uris_once(self, uris: list) -> int:
         with self._lock:
             staged_version = self.storage.current_version()
             feed_rows: list[dict] = []  # append-only: new events only
@@ -768,32 +768,17 @@ class DocumentStore:
                     for t in txn_rows
                     if t["completed_at"] is None or t["completed_at"] >= horizon
                 ]
-            # feed first (at-least-once: publish, then mark complete —
-            # a crash in between re-publishes, deduped by revision).
-            # Events appended by an earlier flip-losing attempt of THIS
-            # call are skipped (uuid-tracked) — no same-call duplicates.
-            fresh_events = [r for r in feed_rows if r["uuid"] not in published]
-            expect = staged_version
-            if fresh_events:
-                appended_version = self.storage.append(FEED, fresh_events, FEED_SCHEMA)
-                published.update(r["uuid"] for r in feed_rows)
-                if staged_version is not None:
-                    if appended_version != staged_version + 1:
-                        # a foreign flip interleaved between our reads
-                        # and the append: the staged updates are stale —
-                        # recompute (the appended events stay published;
-                        # the retry skips them by uuid)
-                        raise ManifestConflict(
-                            f"foreign flip during completion: read at "
-                            f"v{staged_version}, feed appended at v{appended_version}"
-                        )
-                    expect = appended_version
-                else:
-                    expect = None
-            else:
-                published.update(r["uuid"] for r in feed_rows)
+            # the feed events ride IN the same flip as the completion
+            # stamps/index updates (r7): atomic for manifest readers —
+            # a crash can no longer publish without stamping or vice
+            # versa, and a lost CAS race registers nothing, so the
+            # retry's re-publish is the FIRST publish
             self.storage.commit(
-                updates, schemas, drop_tables=drop_tables, expected_version=expect
+                updates,
+                schemas,
+                drop_tables=drop_tables,
+                expected_version=staged_version,
+                appends={FEED: (feed_rows, FEED_SCHEMA)} if feed_rows else None,
             )
             return total
 

@@ -291,6 +291,7 @@ class Storage:
         schemas: dict[str, pa.Schema],
         drop_tables: Iterable[str] = (),
         expected_version: Optional[int] = None,
+        appends: Optional[dict[str, tuple[list[dict], pa.Schema]]] = None,
     ) -> int:
         """Atomically replace the given (table, bucket) datasets (and/or
         drop whole tables). One manifest flip = one commit.
@@ -301,7 +302,16 @@ class Storage:
         foreign process's) landed since — without it the CAS only
         guards commit's own read-to-flip gap, and a foreign flip
         between the caller's reads and this call would be silently
-        overwritten by the stale full-bucket rewrite."""
+        overwritten by the stale full-bucket rewrite.
+
+        ``appends`` (r7) registers append-only rows (e.g. feed events)
+        in the SAME flip as the updates — atomic with them, where a
+        separate :meth:`append` call would cost a second CAS round trip
+        AND leave a crash window between publication and the state it
+        marks. The file is written before the flip, so directory-based
+        readers (the streaming file-source face) may glimpse it even if
+        the flip then loses — the documented at-least-once floor for
+        that face; manifest-based readers get exact atomicity."""
         manifest = self._read_manifest()
         if expected_version is not None and manifest["version"] != expected_version:
             raise ManifestConflict(
@@ -322,6 +332,18 @@ class Storage:
             )
             write_bucket_file(rows, schemas[table], os.path.join(self.root, rel))
             manifest["tables"].setdefault(table, {})[str(bucket)] = rel
+        for table, (rows, schema) in (appends or {}).items():
+            rel = os.path.join(
+                "data", _sanitize(table), f"append-{uuid.uuid4().hex[:12]}.parquet"
+            )
+            abspath = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(abspath), exist_ok=True)
+            # tmp + rename: the directory doubles as a streaming file
+            # source — no reader may see a footerless parquet
+            tmp = abspath + f".tmp.{uuid.uuid4().hex[:8]}"
+            pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+            os.replace(tmp, abspath)
+            manifest["tables"].setdefault(table, {})[f"a{version}"] = rel
         manifest["version"] = version
         self._cas_write_manifest(manifest, version - 1)
         return version
@@ -508,7 +530,7 @@ class SnapshotStorage(Storage):
 
     # fail BEFORE staging any bucket file, not at the final flip — a
     # write attempt must not leave orphans behind the read-only facade
-    def commit(self, updates, schemas, drop_tables=(), expected_version=None):
+    def commit(self, updates, schemas, drop_tables=(), expected_version=None, appends=None):
         raise RuntimeError("SnapshotStorage is read-only (time-travel view)")
 
     def commit_external_many(self, table_bucket_files, drop_tables=(), meta=None):
@@ -583,7 +605,7 @@ class OverlayStorage(Storage):
         # is meaningless here (the driver's final flip carries the CAS)
         return None
 
-    def commit(self, updates, schemas, drop_tables=(), expected_version=None):
+    def commit(self, updates, schemas, drop_tables=(), expected_version=None, appends=None):
         for t in drop_tables:
             self.dropped.add(t)
             self.ever_dropped.add(t)
@@ -592,6 +614,9 @@ class OverlayStorage(Storage):
             self.overlay[key] = [dict(r) for r in rows]
             self.dropped.discard(key[0])  # a re-created table is live again
         self.schemas.update(schemas)
+        for table, (rows, schema) in (appends or {}).items():
+            self.appended.setdefault(table, []).extend(dict(r) for r in rows)
+            self.append_schemas[table] = schema
         return 0
 
     def append(self, table: str, rows: list[dict], schema: pa.Schema):
