@@ -820,14 +820,30 @@ class DocumentStore:
                 incomplete = [t for t in rows if t["completed_at"] is None]
                 abandoned = {t["uuid"] for t in incomplete if t["dt_quantum"] < horizon_q}
                 if abandoned:
-                    keep = [
-                        t
-                        for t in self.storage.bucket_rows(TRANSACTIONS, b)
-                        if t["uuid"] not in abandoned
-                    ]
-                    self.storage.commit(
-                        {(TRANSACTIONS, b): keep}, {TRANSACTIONS: TRANSACTIONS_SCHEMA}
-                    )
+                    from .storage import ManifestConflict
+
+                    # version-pinned prune with re-read-and-retry: a
+                    # concurrent writer's txn appended between our read
+                    # and this rewrite must not be erased by the stale
+                    # full-bucket replace
+                    for attempt in range(self.WRITE_CAS_RETRIES):
+                        pinned = self.storage.current_version()
+                        keep = [
+                            t
+                            for t in self.storage.bucket_rows(TRANSACTIONS, b)
+                            if t["uuid"] not in abandoned
+                        ]
+                        try:
+                            self.storage.commit(
+                                {(TRANSACTIONS, b): keep},
+                                {TRANSACTIONS: TRANSACTIONS_SCHEMA},
+                                expected_version=pinned,
+                            )
+                            break
+                        except ManifestConflict:
+                            if attempt == self.WRITE_CAS_RETRIES - 1:
+                                raise
+                            self._cas_backoff(attempt)
                 live_uris = {
                     t["document_uri"] for t in incomplete if t["uuid"] not in abandoned
                 }
