@@ -2163,7 +2163,21 @@ def _ann_contract(ann, exact, min_recall_pct: int, corpus_min_recall_pct: int = 
         .agg(F.count("*").alias("n_hits"))
     )
     n_exact = exact_ids.groupBy("query_id").agg(F.count("*").alias("n_exact"))
-    per_query = n_ann.join(n_hit, "query_id").join(n_exact, "query_id")
+    # the EXACT side is the spine, with LEFT joins + coalesce(0): a
+    # query whose ANN result collapsed to zero rows must surface as
+    # n_results=0 / recall_ok=false and still weigh its n_exact in the
+    # corpus sums — inner joins here silently dropped exactly the
+    # worst-case query and overstated corpus recall
+    per_query = (
+        n_exact.join(n_ann, "query_id", "left")
+        .join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_results", F.lit(0)).alias("n_results"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            "n_exact",
+        )
+    )
     # corpus-level sums ride a size-n_queries broadcast join (the
     # contract tables are tiny — one row per query id)
     corpus = per_query.agg(

@@ -364,14 +364,9 @@ class DocumentStore:
         of ~2N; a lone writer degenerates to the old one-op batch.
         Per-op semantics (revision order, per-op errors) are unchanged —
         ops are staged sequentially exactly as the serial path did."""
-        rp = split_path(path)
-        uri, item_id = rp.document_uri, rp.item_id
-        if method == "patch" and is_collection_uri(uri) and item_id == "":
-            raise ValueError("PATCH is not allowed for a collection~")
-        if item_id:
-            # template-mandated indexes must exist BEFORE the write so
-            # _refresh_indexes maintains them from the first item
-            self.instantiate_templates(uri)
+        err = self._prepare_op(method, path)
+        if err is not None:
+            raise err
 
         op = _PendingWrite(method, path, body)
         self._write_queue.append(op)
@@ -417,14 +412,9 @@ class DocumentStore:
         failed (callers decide whether to raise)."""
         batch = []
         for method, path, body in ops:
-            rp = split_path(path)
-            if method == "patch" and is_collection_uri(rp.document_uri) and rp.item_id == "":
-                batch.append(_PendingWrite(method, path, body))
-                batch[-1].error = ValueError("PATCH is not allowed for a collection~")
-                continue
-            if rp.item_id:
-                self.instantiate_templates(rp.document_uri)
-            batch.append(_PendingWrite(method, path, body))
+            op = _PendingWrite(method, path, body)
+            op.error = self._prepare_op(method, path)
+            batch.append(op)
         with self._lock:
             self._apply_write_batch([op for op in batch if op.error is None])
         out = []
@@ -454,11 +444,46 @@ class DocumentStore:
 
         time.sleep(random.uniform(0.001, 0.004) * min(attempt + 1, 8))
 
+    def _prepare_op(self, method: str, path: str):
+        """Shared pre-queue validation + template instantiation for
+        BOTH write entry points (_write and write_batch) — one place to
+        extend, so a rule added for one can't silently miss the other.
+        Returns the validation error (or None); template-mandated
+        indexes must exist BEFORE the write so _refresh_indexes
+        maintains them from the first item."""
+        rp = split_path(path)
+        if method == "patch" and is_collection_uri(rp.document_uri) and rp.item_id == "":
+            return ValueError("PATCH is not allowed for a collection~")
+        if rp.item_id:
+            self.instantiate_templates(rp.document_uri)
+        return None
+
     def _apply_write_batch(self, batch: list) -> None:
         """Stage every op of the batch against cached bucket state, then
         publish all touched buckets in ONE manifest flip and complete
         the successful ops' documents in one batched completion flip.
         Caller holds ``self._lock``."""
+        try:
+            self._apply_write_batch_guarded(batch)
+        finally:
+            # LIVENESS INVARIANT: a drained op is applied by nobody
+            # else, so every exit from this frame — including a
+            # KeyboardInterrupt mid-staging or an OSError from the
+            # version read, which the guarded body doesn't catch —
+            # must leave every op done, or its caller's wait loop
+            # spins forever. An op the guarded body didn't mark was
+            # NOT committed (staged-only results are not durable), so
+            # it gets an error, never its staged result.
+            for op in batch:
+                if not op.done:
+                    if op.error is None:
+                        op.error = RuntimeError(
+                            "write batch aborted before this op was committed"
+                        )
+                    op.result = None
+                    op.done = True
+
+    def _apply_write_batch_guarded(self, batch: list) -> None:
         from .storage import ManifestConflict
 
         for attempt in range(self.WRITE_CAS_RETRIES):
@@ -498,14 +523,21 @@ class DocumentStore:
                 # serial-equivalent to running after the winner). A
                 # conflict AFTER the data commit — i.e. inside
                 # completion, which retries internally — must NOT
-                # re-stage: the writes are durable, re-staging would
-                # double-apply them.
-                if not data_committed and attempt < self.WRITE_CAS_RETRIES - 1:
-                    self._cas_backoff(attempt)
-                    continue
-                for op in batch:
-                    if op.error is None:
-                        op.error = e
+                # re-stage (the writes are durable; a re-stage would
+                # double-apply) and must NOT fail the ops either: a
+                # caller told "failed" would retry a write that IS
+                # applied. Completion lagging a durable write is the
+                # reference's own accepted state (its faulty-publish
+                # test: writes land, recover() re-drives completion),
+                # so the ops keep their results and the WAL carries
+                # the pending completion to the next recover().
+                if not data_committed:
+                    if attempt < self.WRITE_CAS_RETRIES - 1:
+                        self._cas_backoff(attempt)
+                        continue
+                    for op in batch:
+                        if op.error is None:
+                            op.error = e
             except BaseException as e:
                 # the flip (or completion) failed for the WHOLE batch:
                 # every drained op must carry the error — a drained op
@@ -1625,6 +1657,11 @@ class DocumentStore:
             except OSError:
                 snaps = []
             if keep_versions is not None:
+                if keep_versions < 0:
+                    # a negative keep is always caller error — without
+                    # this it would silently behave like keep=0 and
+                    # delete ALL time-travel history
+                    raise ValueError(f"keep_versions must be >= 0, got {keep_versions}")
                 # clamp so keep_versions > len(snaps) keeps everything —
                 # an unclamped negative split point would wrap and delete
                 # the OLDEST snapshots the caller asked to retain

@@ -137,11 +137,9 @@ class Storage:
         of the retention window)."""
         return SnapshotStorage(self, version)
 
-    # how long a writer waits for the flip lock, and the age past which
-    # a lock file is presumed to belong to a crashed writer and broken
-    # (the critical section is a version check + one rename — ms-scale)
+    # how long a writer waits for the flip lock (the critical section
+    # is a version check + one rename — ms-scale)
     LOCK_TIMEOUT_S = 10.0
-    STALE_LOCK_S = 10.0
 
     def _cas_write_manifest(self, manifest: dict, expected_version: int) -> None:
         """Compare-and-swap flip: atomically replace the manifest ONLY
@@ -151,40 +149,28 @@ class Storage:
         processes on one store root can no longer lose a flip: the
         second writer's commit raises :class:`ManifestConflict` instead
         of silently overwriting the first's. The check-and-rename pair
-        is serialized by a short-lived O_EXCL lock file (ms-held;
-        age-broken if a writer crashed inside the window)."""
+        is serialized by ``flock`` on a persistent lock file — the
+        kernel releases the lock when the holder dies, so there is no
+        staleness heuristic to race on (the previous mtime-based
+        break had a TOCTOU: a breaker that stat'ed an old lock could
+        rename away a FRESH lock a faster breaker had just re-created,
+        letting two writers into the critical section)."""
+        import fcntl
+
         lockp = self._manifest_path + ".lock"
         deadline = time.time() + self.LOCK_TIMEOUT_S
-        while True:
-            try:
-                fd = os.open(lockp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lockp) > self.STALE_LOCK_S:
-                        # single-winner break: rename is atomic, so of N
-                        # blocked writers exactly one moves the stale lock
-                        # aside — a plain os.remove here could delete a
-                        # FRESH lock a faster breaker just re-created,
-                        # letting two writers into the critical section
-                        broken = lockp + f".broken.{uuid.uuid4().hex[:8]}"
-                        try:
-                            os.rename(lockp, broken)
-                        except OSError:
-                            continue  # a peer won the break: retry acquire
-                        try:
-                            os.remove(broken)
-                        except OSError:  # pragma: no cover
-                            pass
-                        continue
-                except OSError:
-                    continue  # holder released concurrently: retry now
-                if time.time() > deadline:
-                    raise ManifestConflict(
-                        f"timed out waiting for manifest lock {lockp}"
-                    )
-                time.sleep(0.002)
+        fd = os.open(lockp, os.O_CREAT | os.O_WRONLY)
         try:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.time() > deadline:
+                        raise ManifestConflict(
+                            f"timed out waiting for manifest lock {lockp}"
+                        )
+                    time.sleep(0.002)
             current = self._read_manifest()["version"]
             if current != expected_version:
                 raise ManifestConflict(
@@ -192,11 +178,9 @@ class Storage:
                 )
             self._write_manifest(manifest)
         finally:
+            # closing the fd releases the flock; the lock FILE persists
+            # (it is the lock's identity, not its state)
             os.close(fd)
-            try:
-                os.remove(lockp)
-            except OSError:  # pragma: no cover — lock broken by a peer
-                pass
 
     # -- reads --------------------------------------------------------------
 

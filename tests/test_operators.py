@@ -2027,3 +2027,26 @@ def test_skew_report_hand_computed(spark):
     assert rep["hot"] == (80, 80.0, 5.6, 6)  # salt suggestion = ceil(5.6)
     assert rep["warm"][0] == 15 and rep["warm"][2] == 1.05
     assert rep["warm"][3] == 1  # below the 2x threshold: don't salt
+
+
+def test_ann_contract_zero_hit_query_not_dropped(spark):
+    """A query whose ANN result collapsed to ZERO rows must surface as
+    n_results=0 / recall_ok=false and still weigh its exact top-k in
+    the corpus recall — the inner-join form silently dropped exactly
+    that query and reported corpus_recall_ok=true in the worst case."""
+    from hyper_storage_spark.queries import _ann_contract
+
+    exact = spark.createDataFrame(
+        [(q, n) for q in (0, 1) for n in range(10)],
+        "query_id long, neighbor_id long",
+    )
+    ann = spark.createDataFrame(
+        [(0, n) for n in range(10)],  # query 1: total collapse
+        "query_id long, neighbor_id long",
+    )
+    rows = {r.query_id: r for r in _ann_contract(ann, exact, 80).collect()}
+    assert set(rows) == {0, 1}  # the collapsed query is present
+    assert rows[0].n_results == 10 and rows[0].recall_ok
+    assert rows[1].n_results == 0 and not rows[1].recall_ok
+    # corpus recall = 10/20 = 0.5 < 0.9 on EVERY row
+    assert not rows[0].corpus_recall_ok and not rows[1].corpus_recall_ok

@@ -1278,12 +1278,17 @@ def test_vacuum_keep_more_than_existing_keeps_all(spark, tmp_path):
     # and a keep within range still prunes exactly the excess
     store.vacuum(grace_seconds=0, keep_versions=2)
     assert store.storage.versions() == vers[-2:]
+    # negative keep is caller error, never a silent delete-everything
+    with pytest.raises(ValueError, match="keep_versions"):
+        store.vacuum(grace_seconds=0, keep_versions=-1)
+    assert store.storage.versions() == vers[-2:]  # nothing was pruned
 
 
 def test_stale_lock_break_single_winner(tmp_path):
-    """A crashed writer's stale lock is broken by exactly one of many
-    concurrent breakers (rename is the single-winner primitive); every
-    waiting writer then proceeds and no flip is lost."""
+    """A crashed writer's leftover lock file must not block anyone:
+    the flip lock is a kernel flock (auto-released on process death),
+    so an orphaned lock FILE carries no lock state — every writer
+    proceeds and no flip is lost."""
     import os as _os
     import threading
     import time as _time
@@ -1322,7 +1327,6 @@ def test_stale_lock_break_single_winner(tmp_path):
     assert m["version"] == 5  # v1 + 4 contested commits, none lost
     for t in range(4):
         assert st.bucket_rows(f"t{t}", 0) == [{"k": t}]
-    assert not _os.path.exists(lockp) or _os.path.getmtime(lockp) > old
 
 
 def test_append_cas_retry_both_writers_land_across_processes(tmp_path):
@@ -1785,3 +1789,40 @@ def test_staging_window_foreign_flip_not_lost(spark, tmp_path):
     # BOTH writes visible: the foreign flip was not erased
     assert store.get(intruder)[0] == {"v": 42}
     assert store.get(f"{victim}/x")[0] == {"a": 1, "id": "x"}
+
+
+def test_crashed_lock_holder_releases_automatically(tmp_path):
+    """A writer killed -9 while HOLDING the flip flock must not wedge
+    the store: the kernel drops the flock with the process, so the next
+    writer acquires immediately — no staleness heuristic, no window."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    import pyarrow as pa
+
+    from hyper_storage_spark.store.storage import Storage
+
+    root = str(tmp_path / "crashlock")
+    st = Storage(root)
+    schema = pa.schema([("k", pa.int64())])
+    st.commit({("t", 0): [{"k": 1}]}, {"t": schema})
+    # a subprocess takes the flock and then hangs (simulated crash-hold)
+    holder = subprocess.Popen(
+        [sys.executable, "-c", f"""
+import fcntl, os, time
+fd = os.open({st._manifest_path + '.lock'!r}, os.O_CREAT | os.O_WRONLY)
+fcntl.flock(fd, fcntl.LOCK_EX)
+print("held", flush=True)
+time.sleep(60)
+"""],
+        stdout=subprocess.PIPE,
+    )
+    assert holder.stdout.readline().strip() == b"held"
+    holder.send_signal(signal.SIGKILL)
+    holder.wait()
+    t0 = _time.time()
+    st.commit({("t", 1): [{"k": 2}]}, {"t": schema})  # must not time out
+    assert _time.time() - t0 < Storage.LOCK_TIMEOUT_S / 2
+    assert st.bucket_rows("t", 1) == [{"k": 2}]
