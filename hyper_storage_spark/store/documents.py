@@ -539,13 +539,37 @@ class DocumentStore:
                         if op.error is None:
                             op.error = e
             except BaseException as e:
-                # the flip (or completion) failed for the WHOLE batch:
-                # every drained op must carry the error — a drained op
-                # is applied by nobody else, so leaving done unset would
-                # hang its caller's wait loop forever
-                for op in batch:
-                    if op.error is None:
-                        op.error = e
+                if data_committed:
+                    # ANY completion failure after the durable data
+                    # commit keeps the ops successful — same principle
+                    # as the ManifestConflict branch above: a caller
+                    # told "failed" would retry a write that IS
+                    # applied, double-applying it. The WAL carries the
+                    # pending completion to recover(); surface the
+                    # fault to operators without corrupting semantics.
+                    import warnings
+
+                    warnings.warn(
+                        f"completion failed after durable commit "
+                        f"(recover() will re-drive): {type(e).__name__}: {e}",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    if not isinstance(e, Exception):
+                        # KeyboardInterrupt / SystemExit must propagate
+                        # — but the results ARE durable, so mark every
+                        # op done with its result first
+                        for op in batch:
+                            op.done = True
+                        raise
+                else:
+                    # the data flip itself failed: nothing is durable —
+                    # every drained op must carry the error (a drained
+                    # op is applied by nobody else, so leaving done
+                    # unset would hang its caller's wait loop forever)
+                    for op in batch:
+                        if op.error is None:
+                            op.error = e
             # ``done`` flips only now — after the flip(s) — so no waiter
             # can observe a success that isn't durable yet
             for op in batch:
@@ -1640,6 +1664,12 @@ class DocumentStore:
         commit. 0 is only safe with no concurrent writers."""
         import os
 
+        if keep_versions is not None and keep_versions < 0:
+            # a negative keep is always caller error — validate BEFORE
+            # taking the lock and walking every table's file list
+            # (without this it silently behaved like keep=0 and
+            # deleted ALL time-travel history)
+            raise ValueError(f"keep_versions must be >= 0, got {keep_versions}")
         with self._lock:
             now = time.time()
             referenced = set()
@@ -1657,11 +1687,6 @@ class DocumentStore:
             except OSError:
                 snaps = []
             if keep_versions is not None:
-                if keep_versions < 0:
-                    # a negative keep is always caller error — without
-                    # this it would silently behave like keep=0 and
-                    # delete ALL time-travel history
-                    raise ValueError(f"keep_versions must be >= 0, got {keep_versions}")
                 # clamp so keep_versions > len(snaps) keeps everything —
                 # an unclamped negative split point would wrap and delete
                 # the OLDEST snapshots the caller asked to retain

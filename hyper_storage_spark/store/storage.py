@@ -18,6 +18,11 @@ buckets.
 
 from __future__ import annotations
 
+# fcntl at import time, deliberately: the manifest flip lock is kernel
+# flock (auto-released on holder death — no staleness heuristic to
+# race on), which makes this storage layer POSIX-only. Failing here is
+# clearer than a ModuleNotFoundError deep inside the first commit.
+import fcntl
 import json
 import os
 import re
@@ -155,8 +160,6 @@ class Storage:
         break had a TOCTOU: a breaker that stat'ed an old lock could
         rename away a FRESH lock a faster breaker had just re-created,
         letting two writers into the critical section)."""
-        import fcntl
-
         lockp = self._manifest_path + ".lock"
         deadline = time.time() + self.LOCK_TIMEOUT_S
         fd = os.open(lockp, os.O_CREAT | os.O_WRONLY)
@@ -165,7 +168,14 @@ class Storage:
                 try:
                     fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                     break
-                except OSError:
+                except (BlockingIOError, InterruptedError):
+                    # contention (EWOULDBLOCK) or a signal (EINTR):
+                    # retry until the deadline. Any OTHER OSError
+                    # (ENOLCK on NFS without a lock manager,
+                    # EOPNOTSUPP on exotic mounts) is a real fault and
+                    # must surface as itself — spinning on it for 10 s
+                    # and reporting "lock contention" (then ×24 CAS
+                    # retries upstream) would bury the actual cause
                     if time.time() > deadline:
                         raise ManifestConflict(
                             f"timed out waiting for manifest lock {lockp}"
