@@ -680,6 +680,44 @@ def duplicate_clusters(
     return members.union(roots).distinct()
 
 
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup DECISION: reduce the corpus to one document per
+    near-dup cluster, chosen by the highest ``score_col`` (quality
+    score, length, recency — ties break to the smallest id for
+    determinism), with every unclustered document kept as-is. This is
+    the keep-best policy C4/RefinedWeb-style pipelines apply after
+    clustering — keep-first loses the best copy whenever crawl order
+    and quality disagree.
+
+    ``clusters`` is :func:`duplicate_clusters` output ((doc_id,
+    cluster_id) for CLUSTERED docs only). Unclustered docs get a left
+    join miss and bypass the window entirely — routing them through a
+    NULL cluster_id partition would funnel the whole non-duplicate
+    corpus (the vast majority) into ONE reducer; splitting keeps the
+    window strictly cluster-sized. One broadcast-or-shuffle join + a
+    per-cluster window over cluster-sized groups: O(corpus) with no
+    skyline task at 100 TB."""
+    from pyspark.sql import Window
+
+    labeled = docs.join(clusters, id_col, "left")
+    keep_single = labeled.filter(F.col("cluster_id").isNull()).select(*docs.columns)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    keep_best = (
+        labeled.filter(F.col("cluster_id").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*docs.columns)
+    )
+    return keep_single.unionByName(keep_best)
+
+
 def incremental_exact_dedup(
     batch: DataFrame,
     seen_hashes: DataFrame,

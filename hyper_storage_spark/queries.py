@@ -1612,6 +1612,58 @@ def dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs).orderBy("doc_id")
 
 
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+),
+clusters AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY 1),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id
+         ) AS rn
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT r.cluster_id, r.doc_id AS kept_doc_id, s.cluster_size,
+       r.n_chars AS kept_n_chars
+FROM ranked r JOIN sizes s USING (cluster_id) WHERE r.rn = 1
+"""
+
+
+@register_extra("dedup_keep_best", _KEEP_BEST_SQL)
+def dedup_keep_best(spark, sf_dir):
+    """The dedup DECISION (operators/dedup.py:keep_best_per_cluster):
+    one surviving document per near-dup cluster, chosen by max n_chars
+    (tie → min doc_id) — the keep-best policy corpus preps apply after
+    clustering, where keep-first loses the best copy whenever crawl
+    order and quality disagree. The oracle replays pair generation,
+    the recursive-CTE connected components, AND the keep decision, so
+    the row is end-to-end: a drift anywhere in the pipeline reddens
+    it. Output is the per-cluster decision (cluster id, winner, size,
+    winning score); the kept corpus itself is the operator's return."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
+    clusters = dedup.duplicate_clusters(pairs)
+    kept = dedup.keep_best_per_cluster(docs, clusters, score_col="n_chars")
+    winners = kept.select("doc_id", "n_chars").join(clusters, "doc_id")
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return winners.join(sizes, "cluster_id").select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        "cluster_size",
+        F.col("n_chars").alias("kept_n_chars"),
+    )
+
+
 @register_extra(
     "q_domain_mixture_contract",
     """SELECT lang AS domain, true AS share_ok, true AS saturated_ok, true AS no_upsample

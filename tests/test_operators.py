@@ -2050,3 +2050,24 @@ def test_ann_contract_zero_hit_query_not_dropped(spark):
     assert rows[1].n_results == 0 and not rows[1].recall_ok
     # corpus recall = 10/20 = 0.5 < 0.9 on EVERY row
     assert not rows[0].corpus_recall_ok and not rows[1].corpus_recall_ok
+
+
+def test_keep_best_per_cluster_hand_computed(spark):
+    """keep_best_per_cluster: singletons all survive (no NULL-partition
+    funnel), each cluster keeps its max-score doc, score ties break to
+    the smallest id, and the output schema is the input's."""
+    from hyper_storage_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (10, 7), (11, 99)],
+        "doc_id long, score long",
+    )
+    clusters = spark.createDataFrame(
+        # cluster 1 = {1,2,3}: 2 and 3 tie on score -> 2 wins (min id)
+        # cluster 4 = {4,10}: 10 wins on score
+        [(1, 1), (2, 1), (3, 1), (4, 4), (10, 4)],
+        "doc_id long, cluster_id long",
+    )
+    kept = dd.keep_best_per_cluster(docs, clusters, "score")
+    assert kept.columns == docs.columns
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 10, 11]
