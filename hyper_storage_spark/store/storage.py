@@ -84,6 +84,13 @@ class Storage:
         self.n_buckets = n_buckets
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         self._manifest_path = os.path.join(root, "manifest.json")
+        # reentrant flock state for write_lock()/_cas_write_manifest —
+        # per-INSTANCE depth counting, valid because every multi-thread
+        # user of one Storage instance (DocumentStore) serializes its
+        # writers externally; independent instances get independent fds
+        # and conflict properly through the kernel
+        self._flock_fd: Optional[int] = None
+        self._flock_depth = 0
         if not os.path.exists(self._manifest_path):
             self._write_manifest({"version": 0, "n_buckets": n_buckets, "tables": {}})
 
@@ -160,6 +167,27 @@ class Storage:
         break had a TOCTOU: a breaker that stat'ed an old lock could
         rename away a FRESH lock a faster breaker had just re-created,
         letting two writers into the critical section)."""
+        self._acquire_flock()
+        try:
+            current = self._read_manifest()["version"]
+            if current != expected_version:
+                raise ManifestConflict(
+                    f"manifest version moved: expected {expected_version}, found {current}"
+                )
+            self._write_manifest(manifest)
+        finally:
+            self._release_flock()
+
+    def _acquire_flock(self) -> None:
+        """Take (or re-enter) this instance's exclusive manifest flock.
+        Reentrancy is per-instance depth counting — safe because every
+        multi-threaded user of one instance serializes its writers
+        externally (DocumentStore's lock); a second fd in the same
+        process WOULD self-deadlock, which is exactly what the depth
+        count prevents."""
+        if self._flock_depth > 0:
+            self._flock_depth += 1
+            return
         lockp = self._manifest_path + ".lock"
         deadline = time.time() + self.LOCK_TIMEOUT_S
         fd = os.open(lockp, os.O_CREAT | os.O_WRONLY)
@@ -173,24 +201,52 @@ class Storage:
                     # retry until the deadline. Any OTHER OSError
                     # (ENOLCK on NFS without a lock manager,
                     # EOPNOTSUPP on exotic mounts) is a real fault and
-                    # must surface as itself — spinning on it for 10 s
-                    # and reporting "lock contention" (then ×24 CAS
-                    # retries upstream) would bury the actual cause
+                    # must surface as itself — spinning on it and
+                    # reporting "lock contention" would bury the cause
                     if time.time() > deadline:
                         raise ManifestConflict(
                             f"timed out waiting for manifest lock {lockp}"
                         )
                     time.sleep(0.002)
-            current = self._read_manifest()["version"]
-            if current != expected_version:
-                raise ManifestConflict(
-                    f"manifest version moved: expected {expected_version}, found {current}"
-                )
-            self._write_manifest(manifest)
-        finally:
+        except BaseException:
+            os.close(fd)
+            raise
+        self._flock_fd = fd
+        self._flock_depth = 1
+
+    def _release_flock(self) -> None:
+        self._flock_depth -= 1
+        if self._flock_depth == 0 and self._flock_fd is not None:
             # closing the fd releases the flock; the lock FILE persists
             # (it is the lock's identity, not its state)
-            os.close(fd)
+            os.close(self._flock_fd)
+            self._flock_fd = None
+
+    def write_lock(self):
+        """Context manager holding the manifest flock across a WHOLE
+        read-stage-flip window (not just the CAS) — the pessimistic
+        path for writers whose staging work is cheap relative to the
+        cost of losing the optimistic race. Per-item writes use this:
+        under sustained multi-process contention the optimistic loser
+        restarts a wide staging window against winners who only need
+        the ms-scale CAS, which starves it (observed: 24 jittered
+        retries exhausted with three tight-loop writers); holding the
+        lock serializes the writers fairly, which is what single-
+        writer-per-document semantics require anyway. Reentrant with
+        _cas_write_manifest, so commits inside the block don't
+        self-deadlock. Storages without a manifest (overlays) return a
+        no-op."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _held():
+            self._acquire_flock()
+            try:
+                yield
+            finally:
+                self._release_flock()
+
+        return _held()
 
     # -- reads --------------------------------------------------------------
 
@@ -524,6 +580,9 @@ class SnapshotStorage(Storage):
 
     # fail BEFORE staging any bucket file, not at the final flip — a
     # write attempt must not leave orphans behind the read-only facade
+    def write_lock(self):
+        raise RuntimeError("SnapshotStorage is read-only (time-travel view)")
+
     def commit(self, updates, schemas, drop_tables=(), expected_version=None, appends=None):
         raise RuntimeError("SnapshotStorage is read-only (time-travel view)")
 
@@ -598,6 +657,12 @@ class OverlayStorage(Storage):
         # overlays buffer in memory with no manifest — version pinning
         # is meaningless here (the driver's final flip carries the CAS)
         return None
+
+    def write_lock(self):
+        # no manifest, no cross-process writers: nothing to lock
+        import contextlib
+
+        return contextlib.nullcontext()
 
     def commit(self, updates, schemas, drop_tables=(), expected_version=None, appends=None):
         for t in drop_tables:

@@ -1750,11 +1750,15 @@ print("done", tid)
 
 
 def test_staging_window_foreign_flip_not_lost(spark, tmp_path):
-    """Deterministic lost-update regression: a foreign writer flips the
-    manifest BETWEEN this store's staging reads and its commit. The
-    version pin must reject the stale full-bucket rewrite and the
-    retry must re-stage — both writes survive (previously the stale
-    rewrite silently erased the foreign writer's document)."""
+    """A foreign writer can no longer flip inside another writer's
+    read-stage-flip window at all: the whole window holds the
+    cross-process manifest lock, so the foreign write is EXCLUDED
+    mid-window and serializes after it — both writes survive
+    (previously an interleaved flip was silently erased by the stale
+    full-bucket rewrite; with the lock, the hazard is structurally
+    impossible rather than retried)."""
+    import threading
+
     from hyper_storage_spark.store import DocumentStore
     from hyper_storage_spark.store.documents import bucket_of
 
@@ -1773,20 +1777,29 @@ def test_staging_window_foreign_flip_not_lost(spark, tmp_path):
     )
 
     real_commit = store.storage.commit
-    fired = {"done": False}
+    state = {}
 
     def commit_with_interloper(*a, **kw):
-        if not fired["done"]:
-            fired["done"] = True
-            # a separate handle = a separate process for CAS purposes
-            DocumentStore(root).put(intruder, {"v": 42})
+        if "thread" not in state:
+            # a foreign writer (separate Storage instance = separate
+            # flock fd) starts mid-window: it must BLOCK on the lock
+            t = threading.Thread(
+                target=lambda: DocumentStore(root).put(intruder, {"v": 42})
+            )
+            state["thread"] = t
+            t.start()
+            t.join(timeout=0.4)
+            state["excluded"] = t.is_alive()  # still waiting on our lock
         return real_commit(*a, **kw)
 
     store.storage.commit = commit_with_interloper
     created, rev = store.put(f"{victim}/x", {"a": 1})
     store.storage.commit = real_commit
+    state["thread"].join(timeout=30)
+    assert not state["thread"].is_alive()
+    assert state["excluded"] is True  # the interloper could not flip mid-window
     assert (created, rev) == (True, 1)
-    # BOTH writes visible: the foreign flip was not erased
+    # BOTH writes visible once the lock serialized them
     assert store.get(intruder)[0] == {"v": 42}
     assert store.get(f"{victim}/x")[0] == {"a": 1, "id": "x"}
 
