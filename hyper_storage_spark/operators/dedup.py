@@ -704,6 +704,15 @@ def keep_best_per_cluster(
     skyline task at 100 TB."""
     from pyspark.sql import Window
 
+    if "cluster_id" in docs.columns:
+        raise ValueError(
+            "docs already has a cluster_id column — rename it before "
+            "keep_best_per_cluster (the join would be ambiguous)"
+        )
+    if id_col != "doc_id":
+        # duplicate_clusters emits (doc_id, cluster_id); align its id
+        # column to the caller's so a custom id_col actually works
+        clusters = clusters.select(F.col("doc_id").alias(id_col), "cluster_id")
     labeled = docs.join(clusters, id_col, "left")
     keep_single = labeled.filter(F.col("cluster_id").isNull()).select(*docs.columns)
     w = Window.partitionBy("cluster_id").orderBy(

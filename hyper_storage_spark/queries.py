@@ -1613,18 +1613,7 @@ def dedup_clusters(spark, sf_dir):
 
 
 _KEEP_BEST_SQL = f"""
-WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
-edges AS (
-  SELECT a_id AS u, b_id AS v FROM pairs
-  UNION
-  SELECT b_id, a_id FROM pairs
-),
-reach(node, lbl) AS (
-  SELECT u, u FROM edges
-  UNION
-  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
-),
-clusters AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+WITH clusters AS ({_CLUSTERS_SQL}),
 sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY 1),
 ranked AS (
   SELECT c.cluster_id, c.doc_id, d.n_chars,

@@ -486,103 +486,108 @@ class DocumentStore:
     def _apply_write_batch_guarded(self, batch: list) -> None:
         from .storage import ManifestConflict
 
+        last_conflict = None
         for attempt in range(self.WRITE_CAS_RETRIES):
-            # the WHOLE window — staging reads, data flip, completion —
-            # runs under the cross-process manifest write lock:
-            # optimistic losers restart a wide staging window against
-            # winners who only need the ms CAS and starve under
-            # sustained contention (observed with 3 tight-loop writer
-            # processes); pessimistic hold serializes them fairly. The
-            # version pin stays as belt-and-braces.
-            with self.storage.write_lock():
-                # version pinned BEFORE the staging reads: the commit
-                # refuses if any foreign flip lands inside the whole
-                # read-stage-flip window, not just commit's own gap
-                staged_version = self.storage.current_version()
-                cache: dict = {CONTENT: {}, STATICS: {}, TRANSACTIONS: {}}
-                dirty: set = set()
-                ok_uris: list[str] = []
-                now = _now_ms()
-                for op in batch:
-                    op.result = op.error = None  # re-stage cleanly on retry
-                    try:
-                        op.result = self._stage_op(op.method, op.path, op.body, cache, dirty, now)
-                    except Exception as e:  # noqa: BLE001 — per-op isolation
-                        op.error = e
-                    else:
-                        uri = split_path(op.path).document_uri
-                        if uri not in ok_uris:
-                            ok_uris.append(uri)
-                data_committed = False
-                try:
-                    if dirty:
-                        self.storage.commit(
-                            {(table, b): cache[table][b] for (table, b) in dirty},
-                            {CONTENT: CONTENT_SCHEMA, STATICS: STATICS_SCHEMA, TRANSACTIONS: TRANSACTIONS_SCHEMA},
-                            expected_version=staged_version,
-                        )
-                    data_committed = True
-                    if self.auto_complete and ok_uris:
-                        self._complete_uris(ok_uris)
-                except ManifestConflict as e:
-                    # a concurrent PROCESS won a flip. Only the DATA commit
-                    # may trigger a batch re-stage (nothing of ours is
-                    # visible yet, so re-reading and re-staging is
-                    # serial-equivalent to running after the winner). A
-                    # conflict AFTER the data commit — i.e. inside
-                    # completion, which retries internally — must NOT
-                    # re-stage (the writes are durable; a re-stage would
-                    # double-apply) and must NOT fail the ops either: a
-                    # caller told "failed" would retry a write that IS
-                    # applied. Completion lagging a durable write is the
-                    # reference's own accepted state (its faulty-publish
-                    # test: writes land, recover() re-drives completion),
-                    # so the ops keep their results and the WAL carries
-                    # the pending completion to the next recover().
-                    if not data_committed:
-                        if attempt < self.WRITE_CAS_RETRIES - 1:
-                            self._cas_backoff(attempt)
-                            continue
-                        for op in batch:
-                            if op.error is None:
-                                op.error = e
-                except BaseException as e:
-                    if data_committed:
-                        # ANY completion failure after the durable data
-                        # commit keeps the ops successful — same principle
-                        # as the ManifestConflict branch above: a caller
-                        # told "failed" would retry a write that IS
-                        # applied, double-applying it. The WAL carries the
-                        # pending completion to recover(); surface the
-                        # fault to operators without corrupting semantics.
-                        import warnings
+            try:
+                with self.storage.write_lock():
+                    if self._attempt_write_batch(batch):
+                        return  # terminal: every op marked done inside
+            except ManifestConflict as e:
+                # lock-acquisition timeout (a slow peer holds the
+                # window), or a data-flip race that slipped the lock —
+                # either way nothing of ours is durable: re-stage
+                last_conflict = e
+            # the lock is RELEASED before backing off — sleeping while
+            # holding it would stall the very writers we yield to
+            if attempt < self.WRITE_CAS_RETRIES - 1:
+                self._cas_backoff(attempt)
+        for op in batch:
+            if op.error is None:
+                op.error = last_conflict or ManifestConflict(
+                    "write batch retries exhausted"
+                )
+            op.done = True
 
-                        warnings.warn(
-                            f"completion failed after durable commit "
-                            f"(recover() will re-drive): {type(e).__name__}: {e}",
-                            RuntimeWarning,
-                            stacklevel=2,
-                        )
-                        if not isinstance(e, Exception):
-                            # KeyboardInterrupt / SystemExit must propagate
-                            # — but the results ARE durable, so mark every
-                            # op done with its result first
-                            for op in batch:
-                                op.done = True
-                            raise
-                    else:
-                        # the data flip itself failed: nothing is durable —
-                        # every drained op must carry the error (a drained
-                        # op is applied by nobody else, so leaving done
-                        # unset would hang its caller's wait loop forever)
-                        for op in batch:
-                            if op.error is None:
-                                op.error = e
-                # ``done`` flips only now — after the flip(s) — so no waiter
-                # can observe a success that isn't durable yet
+    def _attempt_write_batch(self, batch: list) -> bool:
+        """One LOCKED attempt at the batch. Returns True when the batch
+        reached a terminal state (every op marked done, with result or
+        error); False to request a re-stage after a lost data-flip race
+        — in that case nothing was exposed and nothing is marked."""
+        from .storage import ManifestConflict
+
+        # version pinned BEFORE the staging reads (defense-in-depth:
+        # with the window lock held a foreign flip can't interleave,
+        # but an unlocked writer path added later would still be
+        # caught by the expected_version check instead of erased)
+        staged_version = self.storage.current_version()
+        cache: dict = {CONTENT: {}, STATICS: {}, TRANSACTIONS: {}}
+        dirty: set = set()
+        ok_uris: list[str] = []
+        now = _now_ms()
+        for op in batch:
+            op.result = op.error = None  # re-stage cleanly on retry
+            try:
+                op.result = self._stage_op(op.method, op.path, op.body, cache, dirty, now)
+            except Exception as e:  # noqa: BLE001 — per-op isolation
+                op.error = e
+            else:
+                uri = split_path(op.path).document_uri
+                if uri not in ok_uris:
+                    ok_uris.append(uri)
+        data_committed = False
+        try:
+            if dirty:
+                self.storage.commit(
+                    {(table, b): cache[table][b] for (table, b) in dirty},
+                    {CONTENT: CONTENT_SCHEMA, STATICS: STATICS_SCHEMA, TRANSACTIONS: TRANSACTIONS_SCHEMA},
+                    expected_version=staged_version,
+                )
+            data_committed = True
+            if self.auto_complete and ok_uris:
+                self._complete_uris(ok_uris)
+        except ManifestConflict:
+            if not data_committed:
+                return False  # lost the data flip: re-stage, mark nothing
+            # a completion conflict AFTER the durable data commit must
+            # NOT re-stage (double-apply) and must NOT fail the ops (a
+            # caller told "failed" would retry an applied write):
+            # completion lagging a durable write is the reference's own
+            # accepted state (its faulty-publish test) — the WAL
+            # carries it to the next recover(). Ops keep their results.
+        except BaseException as e:
+            if data_committed:
+                # ANY completion failure after the durable data commit
+                # keeps the ops successful — same double-apply
+                # argument; surface the fault to operators without
+                # corrupting caller semantics.
+                import warnings
+
+                warnings.warn(
+                    f"completion failed after durable commit "
+                    f"(recover() will re-drive): {type(e).__name__}: {e}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                if not isinstance(e, Exception):
+                    # KeyboardInterrupt / SystemExit must propagate —
+                    # but the results ARE durable, so mark every op
+                    # done with its result first
+                    for op in batch:
+                        op.done = True
+                    raise
+            else:
+                # the data flip itself failed: nothing is durable —
+                # every drained op must carry the error (a drained op
+                # is applied by nobody else, so leaving done unset
+                # would hang its caller's wait loop forever)
                 for op in batch:
-                    op.done = True
-                return
+                    if op.error is None:
+                        op.error = e
+        # ``done`` flips only now — after the flip(s) — so no waiter
+        # can observe a success that isn't durable yet
+        for op in batch:
+            op.done = True
+        return True
 
     def _stage_op(
         self, method: str, path: str, body: Any, cache: dict, dirty: set, now: int

@@ -26,6 +26,7 @@ import fcntl
 import json
 import os
 import re
+import threading as _threading
 import time
 import uuid
 import zlib
@@ -85,12 +86,16 @@ class Storage:
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         self._manifest_path = os.path.join(root, "manifest.json")
         # reentrant flock state for write_lock()/_cas_write_manifest —
-        # per-INSTANCE depth counting, valid because every multi-thread
-        # user of one Storage instance (DocumentStore) serializes its
-        # writers externally; independent instances get independent fds
-        # and conflict properly through the kernel
+        # per-(instance, THREAD) ownership: only the holding thread
+        # re-enters via the depth counter; any other thread (e.g. a
+        # Structured Streaming micro-batch thread appending the feed
+        # while a user thread holds a write window on the same
+        # instance) opens its OWN fd and serializes through the kernel
+        # exactly like a foreign process would
         self._flock_fd: Optional[int] = None
         self._flock_depth = 0
+        self._flock_owner: Optional[int] = None
+        self._flock_mutex = _threading.Lock()
         if not os.path.exists(self._manifest_path):
             self._write_manifest({"version": 0, "n_buckets": n_buckets, "tables": {}})
 
@@ -149,8 +154,12 @@ class Storage:
         of the retention window)."""
         return SnapshotStorage(self, version)
 
-    # how long a writer waits for the flip lock (the critical section
-    # is a version check + one rename — ms-scale)
+    # how long a writer waits for the flip lock. Since r7 the lock can
+    # be held across a WHOLE per-item write window (staging reads +
+    # flip + completion — typically a few ms of local parquet I/O, tens
+    # of ms for large batches), not just the ms-scale CAS, so the
+    # timeout budgets many queued windows, and write-path callers that
+    # hit it retry with backoff rather than failing outright
     LOCK_TIMEOUT_S = 10.0
 
     def _cas_write_manifest(self, manifest: dict, expected_version: int) -> None:
@@ -179,15 +188,22 @@ class Storage:
             self._release_flock()
 
     def _acquire_flock(self) -> None:
-        """Take (or re-enter) this instance's exclusive manifest flock.
-        Reentrancy is per-instance depth counting — safe because every
-        multi-threaded user of one instance serializes its writers
-        externally (DocumentStore's lock); a second fd in the same
-        process WOULD self-deadlock, which is exactly what the depth
-        count prevents."""
-        if self._flock_depth > 0:
-            self._flock_depth += 1
-            return
+        """Take (or re-enter) the exclusive manifest flock.
+
+        Reentrancy is per-(instance, thread): only the thread that
+        holds the lock may re-enter via the depth counter (write_lock
+        windows nest their inner CAS flips). ANY other thread — even
+        on the same instance, e.g. a streaming micro-batch thread
+        flipping the feed while a user thread holds a write window —
+        opens its own fd and blocks in the kernel like a foreign
+        process; a naive per-instance depth counter here would let it
+        straight into the critical section (lost flips between
+        threads of one process)."""
+        me = _threading.get_ident()
+        with self._flock_mutex:
+            if self._flock_owner == me:
+                self._flock_depth += 1
+                return
         lockp = self._manifest_path + ".lock"
         deadline = time.time() + self.LOCK_TIMEOUT_S
         fd = os.open(lockp, os.O_CREAT | os.O_WRONLY)
@@ -211,16 +227,20 @@ class Storage:
         except BaseException:
             os.close(fd)
             raise
-        self._flock_fd = fd
-        self._flock_depth = 1
+        with self._flock_mutex:
+            self._flock_fd = fd
+            self._flock_depth = 1
+            self._flock_owner = me
 
     def _release_flock(self) -> None:
-        self._flock_depth -= 1
-        if self._flock_depth == 0 and self._flock_fd is not None:
-            # closing the fd releases the flock; the lock FILE persists
-            # (it is the lock's identity, not its state)
-            os.close(self._flock_fd)
-            self._flock_fd = None
+        with self._flock_mutex:
+            self._flock_depth -= 1
+            if self._flock_depth == 0 and self._flock_fd is not None:
+                # closing the fd releases the flock; the lock FILE
+                # persists (it is the lock's identity, not its state)
+                os.close(self._flock_fd)
+                self._flock_fd = None
+                self._flock_owner = None
 
     def write_lock(self):
         """Context manager holding the manifest flock across a WHOLE

@@ -1839,3 +1839,49 @@ time.sleep(60)
     st.commit({("t", 1): [{"k": 2}]}, {"t": schema})  # must not time out
     assert _time.time() - t0 < Storage.LOCK_TIMEOUT_S / 2
     assert st.bucket_rows("t", 1) == [{"k": 2}]
+
+
+def test_flock_excludes_other_threads_on_same_instance(tmp_path):
+    """Same-process, same-Storage-instance threads must serialize like
+    processes do: while one thread holds write_lock, another thread's
+    flip (the streaming micro-batch shape — a feed append on the same
+    instance while a user thread holds a write window) must WAIT, not
+    re-enter via the depth counter (regression: per-instance counting
+    let any second thread straight into the critical section)."""
+    import threading
+    import time as _time
+
+    import pyarrow as pa
+
+    from hyper_storage_spark.store.storage import Storage
+
+    root = str(tmp_path / "tlock")
+    st = Storage(root)
+    schema = pa.schema([("k", pa.int64())])
+    st.commit({("t", 0): [{"k": 0}]}, {"t": schema})
+    order = []
+    entered = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with st.write_lock():
+            entered.set()
+            order.append("holder-in")
+            release.wait(timeout=30)
+            _time.sleep(0.05)
+            order.append("holder-out")
+
+    def appender():
+        entered.wait(timeout=30)
+        st.append("feed", [{"k": 1}], schema)  # same instance, other thread
+        order.append("appender-done")
+
+    t1 = threading.Thread(target=holder)
+    t2 = threading.Thread(target=appender)
+    t1.start(); t2.start()
+    entered.wait(timeout=30)
+    _time.sleep(0.1)  # give the appender time to (wrongly) slip in
+    release.set()
+    t1.join(timeout=30); t2.join(timeout=30)
+    assert order == ["holder-in", "holder-out", "appender-done"]
+    assert len(st.all_rows("feed")) == 1
