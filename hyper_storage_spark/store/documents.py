@@ -949,7 +949,13 @@ class DocumentStore:
     def _write_recovery_checkpoint(self, ckpt: dict) -> None:
         import os
 
-        tmp = self._recovery_checkpoint_path() + ".tmp"
+        # uuid-suffixed tmp: two processes running recover()
+        # concurrently must not share a tmp path — with a fixed name,
+        # one replace()s the file away and the other's replace raises
+        # FileNotFoundError (found by the 6-process soak). Last writer
+        # wins on the checkpoint itself, which is safe: a stale
+        # checkpoint only widens the next recovery's re-scan window.
+        tmp = self._recovery_checkpoint_path() + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(ckpt, f)
         os.replace(tmp, self._recovery_checkpoint_path())

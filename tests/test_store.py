@@ -1941,3 +1941,32 @@ for i in range(10_000):
     # and the store is fully writable afterwards
     created, rev = store.put("kdoc~/post-crash", {"ok": True})
     assert created and rev == res.revision + 1
+
+
+def test_concurrent_recover_checkpoint_write_safe(tmp_path):
+    """Two stores running recover() concurrently must not collide on
+    the checkpoint file (regression: a FIXED .tmp name let one
+    process replace the other's tmp away -> FileNotFoundError; found
+    by a 6-process soak)."""
+    import threading
+
+    from hyper_storage_spark.store import DocumentStore
+
+    root = str(tmp_path / "crec")
+    DocumentStore(root).put("d", {"x": 1})
+    errors = []
+
+    def runner():
+        try:
+            st = DocumentStore(root)
+            for _ in range(25):
+                st.recover()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=runner) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert errors == []
