@@ -4343,6 +4343,87 @@ def store_collection_join(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_bloom_prejoin",
+    """SELECT o.o_orderpriority AS priority,
+              COUNT(*) AS n_orders,
+              CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                  AS total_price
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY 1""",
+)
+def q_bloom_prejoin(spark, sf_dir):
+    """Runtime bloom-filter join pruning (operators/bloomjoin.py): the
+    fact side is pre-filtered by an 8 KiB membership sketch of the
+    dim's key set BEFORE the join, so at scale the join exchange moves
+    only (matches + <1% false positives) of the fact instead of all of
+    it — the pattern for a dim too big to broadcast whose keyset still
+    fits a bloom. The real join then removes the false positives, so
+    the result must be bit-identical to the oracle's plain join; the
+    bloom build is one sketch-sized aggregation (map-side bit_or
+    partials), and the probe is pure codegen'd bit math."""
+    from .operators import bloomjoin
+
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    fact = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    joined = bloomjoin.bloom_prejoin(fact, "o_custkey", dim, "c_custkey")
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("price"), 2).cast("double").alias("total_price"),
+    )
+
+
+@register_extra(
+    "mv_incremental_rollup",
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+                         CAST(value AS DECIMAL(18,6)) AS v
+                  FROM events)
+       SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+              COUNT(*) AS n,
+              CAST(ROUND(SUM(v), 2) AS DOUBLE) AS total,
+              CAST(ROUND(MIN(v), 4) AS DOUBLE) AS vmin,
+              CAST(ROUND(MAX(v), 4) AS DOUBLE) AS vmax,
+              CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
+                  AS avg_value
+       FROM e GROUP BY 1, 2""",
+)
+def mv_incremental_rollup(spark, sf_dir):
+    """Continuous-aggregate maintenance (operators/rollup_mv.py): an
+    existing per-(event_type, day) rollup built from events BEFORE
+    2024-01-21 is refreshed with the later rows as a DELTA — delta-
+    scan partials, broadcast bucket-list split of the MV into
+    touched/untouched, re-aggregation of ONLY the touched slice. The
+    merged result must equal the oracle's direct aggregation over ALL
+    events (merge(partials(A), partials(B)) ≡ partials(A ∪ B)); at
+    100 TB the refresh cost is delta + touched buckets, never a
+    rescan of the full MV."""
+    from .operators import rollup_mv
+
+    e = _t(spark, sf_dir, "events").select(
+        "ts", "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    base = rollup_mv.rollup_partials(e.filter(F.col("ts") < cutoff), "ts", ["event_type"], "v")
+    delta = rollup_mv.rollup_partials(e.filter(F.col("ts") >= cutoff), "ts", ["event_type"], "v")
+    mv = rollup_mv.rollup_finalize(rollup_mv.rollup_merge(base, delta, ["event_type"]))
+    return mv.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        F.round("total", 2).cast("double").alias("total"),
+        F.round("vmin", 4).cast("double").alias("vmin"),
+        F.round("vmax", 4).cast("double").alias("vmax"),
+        F.round("avg", 4).cast("double").alias("avg_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -1,0 +1,145 @@
+"""Bloom pre-join pruning and incremental-rollup invariants beyond the
+oracle comparisons: no false negatives, fp-rate sanity, exact join
+equivalence, merge algebra, and the delta-bounded passthrough."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyper_storage_spark.operators import bloomjoin, rollup_mv
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = spark.range(0, 3000).select(F.col("id").alias("k"))
+    words = bloomjoin.bloom_build(keys, "k")
+    hits = keys.filter(bloomjoin.bloom_might_contain(F.col("k"), words)).count()
+    assert hits == 3000  # a bloom may over-admit, never under-admit
+
+
+def test_bloom_false_positive_rate_sane(spark):
+    members = spark.range(0, 3000).select(F.col("id").alias("k"))
+    words = bloomjoin.bloom_build(members, "k")
+    probes = spark.range(1_000_000, 1_020_000).select(F.col("id").alias("k"))
+    fp = probes.filter(bloomjoin.bloom_might_contain(F.col("k"), words)).count()
+    # theory at m=2^16,k=5,n=3000: ~0.1%; allow a wide margin
+    assert fp / 20_000 < 0.02
+
+
+def test_bloom_null_keys_excluded(spark):
+    keys = spark.createDataFrame([(1,), (None,), (2,)], "k long")
+    words = bloomjoin.bloom_build(keys, "k")
+    out = keys.filter(bloomjoin.bloom_might_contain(F.col("k"), words)).collect()
+    assert sorted(r.k for r in out) == [1, 2]  # NULL probes test false
+
+
+def test_bloom_prejoin_equals_plain_join(spark, sf_dir):
+    from hyper_storage_spark.sources import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    fact = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    got = sorted(
+        r.o_orderkey
+        for r in bloomjoin.bloom_prejoin(fact, "o_custkey", dim, "c_custkey")
+        .select("o_orderkey")
+        .collect()
+    )
+    want = sorted(
+        r.o_orderkey
+        for r in fact.join(dim, fact.o_custkey == dim.c_custkey).select("o_orderkey").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bloom_build_validation(spark):
+    keys = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        bloomjoin.bloom_build(keys, "k", num_bits=100)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        bloomjoin.bloom_build(keys, "k", k=0)
+    with pytest.raises(ValueError):
+        bloomjoin.bloom_prejoin(keys, "k", keys, "k", how="left_outer")
+
+
+# --------------------------------------------------------------- rollup
+
+
+def _events(spark):
+    rows = [
+        # (ts, key, v) — two keys across three days
+        ("2024-01-01 01:00:00", "a", "1.5"),
+        ("2024-01-01 02:00:00", "a", "2.5"),
+        ("2024-01-01 03:00:00", "b", "10.0"),
+        ("2024-01-02 01:00:00", "a", "-4.0"),
+        ("2024-01-02 09:00:00", "b", "0.25"),
+        ("2024-01-03 05:00:00", "b", "7.75"),
+    ]
+    return spark.createDataFrame(rows, "ts string, k string, v string").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "k",
+        F.col("v").cast("decimal(18,6)").alias("v"),
+    )
+
+
+def _snap(df):
+    return sorted(
+        (r.k, str(r.bucket_start), r.n, str(r.total), str(r.vmin), str(r.vmax))
+        for r in df.collect()
+    )
+
+
+def test_rollup_merge_equals_direct(spark):
+    e = _events(spark)
+    cut = F.lit("2024-01-02 06:00:00").cast("timestamp")
+    base = rollup_mv.rollup_partials(e.filter(F.col("ts") < cut), "ts", ["k"], "v")
+    delta = rollup_mv.rollup_partials(e.filter(F.col("ts") >= cut), "ts", ["k"], "v")
+    merged = rollup_mv.rollup_merge(base, delta, ["k"])
+    direct = rollup_mv.rollup_partials(e, "ts", ["k"], "v")
+    assert _snap(merged) == _snap(direct)
+
+
+def test_rollup_merge_empty_delta_is_identity(spark):
+    e = _events(spark)
+    base = rollup_mv.rollup_partials(e, "ts", ["k"], "v")
+    empty = rollup_mv.rollup_partials(e.filter(F.lit(False)), "ts", ["k"], "v")
+    assert _snap(rollup_mv.rollup_merge(base, empty, ["k"])) == _snap(base)
+
+
+def test_rollup_merge_only_touched_buckets_reaggregated(spark):
+    # delta hits only Jan 2; Jan 1 / Jan 3 rows must pass through with
+    # their partials unchanged (the delta-bounded refresh contract)
+    e = _events(spark)
+    cut_lo = F.lit("2024-01-02 00:00:00").cast("timestamp")
+    cut_hi = F.lit("2024-01-03 00:00:00").cast("timestamp")
+    base = rollup_mv.rollup_partials(
+        e.filter((F.col("ts") < cut_lo) | (F.col("ts") >= cut_hi)), "ts", ["k"], "v"
+    )
+    delta = rollup_mv.rollup_partials(
+        e.filter((F.col("ts") >= cut_lo) & (F.col("ts") < cut_hi)), "ts", ["k"], "v"
+    )
+    merged = rollup_mv.rollup_merge(base, delta, ["k"])
+    base_rows = {row[:2]: row for row in _snap(base) if not row[1].startswith("2024-01-02")}
+    merged_rows = {row[:2]: row for row in _snap(merged) if row[:2] in base_rows}
+    assert merged_rows == base_rows
+    assert _snap(merged) == _snap(rollup_mv.rollup_partials(e, "ts", ["k"], "v"))
+
+
+def test_rollup_finalize_avg(spark):
+    e = _events(spark)
+    out = rollup_mv.rollup_finalize(rollup_mv.rollup_partials(e, "ts", ["k"], "v"))
+    row = next(
+        r for r in out.collect() if r.k == "a" and str(r.bucket_start).startswith("2024-01-01")
+    )
+    assert row.avg == pytest.approx(2.0)  # (1.5 + 2.5) / 2
+
+
+def test_rollup_merge_missing_column_rejected(spark):
+    e = _events(spark)
+    base = rollup_mv.rollup_partials(e, "ts", ["k"], "v")
+    with pytest.raises(ValueError):
+        rollup_mv.rollup_merge(base.drop("vmin"), base, ["k"])
