@@ -31,9 +31,12 @@ aggregating the union directly.
 
 from __future__ import annotations
 
-from typing import Sequence
+import json
+import os
+import tempfile
+from typing import Callable, Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _PARTIAL_COLS = ("n", "total", "vmin", "vmax")
@@ -87,6 +90,107 @@ def rollup_merge(existing: DataFrame, delta: DataFrame, key_cols: Sequence[str])
     return untouched.select(*grain, *_PARTIAL_COLS).unionByName(
         merged.select(*grain, *_PARTIAL_COLS)
     )
+
+
+def _pointer_path(mv_root: str) -> str:
+    return os.path.join(mv_root, "_CURRENT")
+
+
+def _read_pointer(mv_root: str) -> Optional[dict]:
+    try:
+        with open(_pointer_path(mv_root), "r", encoding="utf-8") as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _flip_pointer(mv_root: str, meta: dict) -> None:
+    # tmp + os.replace: readers see either the old or the new pointer,
+    # never a torn one (same flip discipline as store/storage.py)
+    fd, tmp = tempfile.mkstemp(dir=mv_root, prefix="_CURRENT.tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, _pointer_path(mv_root))
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def read_rollup(spark: SparkSession, mv_root: str) -> Optional[DataFrame]:
+    """The current rollup partials, or None before the first batch."""
+    cur = _read_pointer(mv_root)
+    if cur is None:
+        return None
+    return spark.read.parquet(os.path.join(mv_root, cur["path"]))
+
+
+def streaming_rollup(
+    mv_root: str,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    resolution: str = "day",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining a parquet-backed rollup MV —
+    the continuous-aggregate face of ``rollup_merge``.
+
+    Each micro-batch computes delta partials (batch-sized scan) and
+    merges them into the current MV version; the merged result lands
+    in a NEW version directory ``v{N}`` and a tmp+rename pointer flip
+    publishes it, so a reader never observes a half-written MV and a
+    crash before the flip leaves the old version intact (the orphan
+    directory is re-written by the replayed batch).
+
+    Exactly-once under Structured Streaming's at-least-once
+    ``foreachBatch`` contract: the pointer records the last applied
+    ``batch_id``; a replayed batch (same or lower id after a restart)
+    is SKIPPED, not re-merged — replaying a merge of additive
+    partials would double-count, the same hazard the store's ingest
+    watermark closes. State per flip is one small JSON + one parquet
+    dir; superseded versions are droppable (``vacuum_rollup``)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(mv_root, exist_ok=True)
+        cur = _read_pointer(mv_root)
+        if cur is not None and batch_id <= cur["batch_id"]:
+            return  # replay of an already-applied micro-batch
+        delta = rollup_partials(batch_df, ts_col, key_cols, value_col, resolution)
+        if cur is not None:
+            existing = batch_df.sparkSession.read.parquet(os.path.join(mv_root, cur["path"]))
+            merged = rollup_merge(existing, delta, key_cols)
+            version = cur["version"] + 1
+        else:
+            merged = delta.select(*key_cols, "bucket_start", *_PARTIAL_COLS)
+            version = 1
+        rel = f"v{version:06d}"
+        # write BEFORE the flip; the write reads the old version, so the
+        # old dir must stay live until the new one is fully on disk
+        merged.write.mode("overwrite").parquet(os.path.join(mv_root, rel))
+        _flip_pointer(mv_root, {"version": version, "batch_id": batch_id, "path": rel})
+
+    return apply_batch
+
+
+def vacuum_rollup(mv_root: str) -> int:
+    """Drop superseded MV version directories (all but the pointer's
+    current one). Returns the number of directories removed. Run it
+    from the maintenance cadence, not inside the hot batch path —
+    a concurrent reader may still be scanning the previous version."""
+    import shutil
+
+    cur = _read_pointer(mv_root)
+    if cur is None:
+        return 0
+    removed = 0
+    for name in os.listdir(mv_root):
+        if name.startswith("v") and name != cur["path"]:
+            shutil.rmtree(os.path.join(mv_root, name), ignore_errors=True)
+            removed += 1
+    return removed
 
 
 def rollup_finalize(partials: DataFrame) -> DataFrame:
