@@ -48,18 +48,30 @@ def rollup_partials(
     key_cols: Sequence[str],
     value_col: str,
     resolution: str = "day",
+    distinct_col: Optional[str] = None,
 ) -> DataFrame:
     """One-pass partial aggregates: (keys…, bucket_start, n, total,
-    vmin, vmax) at ``resolution`` (any date_trunc unit)."""
+    vmin, vmax[, dsk]) at ``resolution`` (any date_trunc unit).
+
+    ``distinct_col`` adds ``dsk``, an HLL sketch of that column's
+    distinct values — COUNT(DISTINCT) is the aggregate that does NOT
+    decompose into additive partials (distinct sets overlap across
+    refreshes), and the register-max-merge HLL sketch is its standard
+    mergeable substitute: union(sketch(A), sketch(B)) ≡ sketch(A ∪ B),
+    a few KiB per bucket instead of a per-refresh re-shuffle of every
+    member."""
     keys = [F.col(c) for c in key_cols]
-    return df.groupBy(
-        *keys, F.date_trunc(resolution, F.col(ts_col)).alias("bucket_start")
-    ).agg(
+    aggs = [
         F.count(value_col).alias("n"),
         F.sum(value_col).alias("total"),
         F.min(value_col).alias("vmin"),
         F.max(value_col).alias("vmax"),
-    )
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("dsk"))
+    return df.groupBy(
+        *keys, F.date_trunc(resolution, F.col(ts_col)).alias("bucket_start")
+    ).agg(*aggs)
 
 
 def rollup_merge(existing: DataFrame, delta: DataFrame, key_cols: Sequence[str]) -> DataFrame:
@@ -74,21 +86,28 @@ def rollup_merge(existing: DataFrame, delta: DataFrame, key_cols: Sequence[str])
     for c in (*grain, *_PARTIAL_COLS):
         if c not in existing.columns or c not in delta.columns:
             raise ValueError(f"partial column {c!r} missing from existing/delta rollup")
+    has_dsk = "dsk" in existing.columns
+    if has_dsk != ("dsk" in delta.columns):
+        raise ValueError("distinct sketch column 'dsk' present on only one side")
+    out_cols = [*_PARTIAL_COLS, *(["dsk"] if has_dsk else [])]
+    merge_aggs = [
+        F.sum("n").alias("n"),
+        F.sum("total").alias("total"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    ]
+    if has_dsk:
+        merge_aggs.append(F.hll_union_agg("dsk").alias("dsk"))
     touched_buckets = delta.select("bucket_start").distinct()
     untouched = existing.join(F.broadcast(touched_buckets), on="bucket_start", how="left_anti")
     touched = existing.join(F.broadcast(touched_buckets), on="bucket_start", how="left_semi")
     merged = (
         touched.unionByName(delta.select(*touched.columns))
         .groupBy(*grain)
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("total").alias("total"),
-            F.min("vmin").alias("vmin"),
-            F.max("vmax").alias("vmax"),
-        )
+        .agg(*merge_aggs)
     )
-    return untouched.select(*grain, *_PARTIAL_COLS).unionByName(
-        merged.select(*grain, *_PARTIAL_COLS)
+    return untouched.select(*grain, *out_cols).unionByName(
+        merged.select(*grain, *out_cols)
     )
 
 
@@ -134,6 +153,7 @@ def streaming_rollup(
     key_cols: Sequence[str],
     value_col: str,
     resolution: str = "day",
+    distinct_col: Optional[str] = None,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink maintaining a parquet-backed rollup MV —
     the continuous-aggregate face of ``rollup_merge``.
@@ -158,13 +178,16 @@ def streaming_rollup(
         cur = _read_pointer(mv_root)
         if cur is not None and batch_id <= cur["batch_id"]:
             return  # replay of an already-applied micro-batch
-        delta = rollup_partials(batch_df, ts_col, key_cols, value_col, resolution)
+        delta = rollup_partials(
+            batch_df, ts_col, key_cols, value_col, resolution, distinct_col=distinct_col
+        )
         if cur is not None:
             existing = batch_df.sparkSession.read.parquet(os.path.join(mv_root, cur["path"]))
             merged = rollup_merge(existing, delta, key_cols)
             version = cur["version"] + 1
         else:
-            merged = delta.select(*key_cols, "bucket_start", *_PARTIAL_COLS)
+            extra = ["dsk"] if distinct_col is not None else []
+            merged = delta.select(*key_cols, "bucket_start", *_PARTIAL_COLS, *extra)
             version = 1
         rel = f"v{version:06d}"
         # write BEFORE the flip; the write reads the old version, so the
@@ -201,4 +224,7 @@ def rollup_finalize(partials: DataFrame) -> DataFrame:
     semantics every serving engine agrees on, where decimal-division
     scale rules differ per engine. Keep serving reads on this view,
     never on raw partials."""
-    return partials.withColumn("avg", F.col("total").cast("double") / F.col("n"))
+    out = partials.withColumn("avg", F.col("total").cast("double") / F.col("n"))
+    if "dsk" in partials.columns:
+        out = out.withColumn("n_distinct", F.hll_sketch_estimate("dsk"))
+    return out

@@ -4424,6 +4424,62 @@ def mv_incremental_rollup(spark, sf_dir):
     )
 
 
+@register_extra(
+    "mv_rollup_distinct_contract",
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, user_id FROM events)
+       SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+              COUNT(DISTINCT user_id) AS n_exact,
+              true AS within_5pct, true AS merge_consistent
+       FROM e GROUP BY 1, 2""",
+)
+def mv_rollup_distinct_contract(spark, sf_dir):
+    """Count-distinct inside the incremental rollup: COUNT(DISTINCT)
+    is the aggregate that does NOT decompose into additive partials,
+    so the MV stores an HLL sketch per bucket (rollup_mv
+    distinct_col) and merges refreshes by register-max union. Two
+    contracts, both computed in-plan per (event_type, day) bucket:
+    the base+delta MERGED sketch estimate must (a) land within 5% of
+    the exact distinct count and (b) EQUAL the single-pass sketch's
+    estimate — union(sketch(A), sketch(B)) ≡ sketch(A ∪ B), the
+    mergeability the MV depends on. At 100 TB the sketch is a few
+    KiB per bucket vs re-shuffling every (bucket, user) pair on
+    every refresh."""
+    from .operators import rollup_mv
+
+    e = _t(spark, sf_dir, "events").select(
+        "ts", "event_type", "user_id", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    base = rollup_mv.rollup_partials(
+        e.filter(F.col("ts") < cutoff), "ts", ["event_type"], "v", distinct_col="user_id"
+    )
+    delta = rollup_mv.rollup_partials(
+        e.filter(F.col("ts") >= cutoff), "ts", ["event_type"], "v", distinct_col="user_id"
+    )
+    merged = rollup_mv.rollup_finalize(
+        rollup_mv.rollup_merge(base, delta, ["event_type"])
+    ).select("event_type", "bucket_start", F.col("n_distinct").alias("n_merged"))
+    direct = rollup_mv.rollup_finalize(
+        rollup_mv.rollup_partials(e, "ts", ["event_type"], "v", distinct_col="user_id")
+    ).select("event_type", "bucket_start", F.col("n_distinct").alias("n_direct"))
+    exact = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("bucket_start")
+    ).agg(F.count_distinct("user_id").alias("n_exact"))
+    grain = ["event_type", "bucket_start"]
+    return (
+        exact.join(merged, on=grain)
+        .join(direct, on=grain)
+        .select(
+            *grain,
+            "n_exact",
+            (F.abs(F.col("n_merged") - F.col("n_exact")) * 100 <= F.col("n_exact") * 5).alias(
+                "within_5pct"
+            ),
+            (F.col("n_merged") == F.col("n_direct")).alias("merge_consistent"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

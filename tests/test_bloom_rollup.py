@@ -145,6 +145,41 @@ def test_rollup_merge_missing_column_rejected(spark):
         rollup_mv.rollup_merge(base.drop("vmin"), base, ["k"])
 
 
+def test_rollup_distinct_sketch_merge_equals_direct(spark):
+    # users overlap across the cut: additive counting would be wrong,
+    # the HLL union must agree with the single-pass sketch exactly
+    rows = [
+        ("2024-01-01 01:00:00", "a", u) for u in ("u1", "u2", "u3")
+    ] + [
+        ("2024-01-01 22:00:00", "a", u) for u in ("u2", "u3", "u4")
+    ]
+    e = spark.createDataFrame(rows, "ts string, k string, u string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "k", "u", F.lit(1).alias("v")
+    )
+    cut = F.lit("2024-01-01 12:00:00").cast("timestamp")
+    base = rollup_mv.rollup_partials(
+        e.filter(F.col("ts") < cut), "ts", ["k"], "v", distinct_col="u"
+    )
+    delta = rollup_mv.rollup_partials(
+        e.filter(F.col("ts") >= cut), "ts", ["k"], "v", distinct_col="u"
+    )
+    merged = rollup_mv.rollup_finalize(rollup_mv.rollup_merge(base, delta, ["k"]))
+    row = merged.collect()[0]
+    assert row.n_distinct == 4  # u1..u4, NOT 3+3
+    direct = rollup_mv.rollup_finalize(
+        rollup_mv.rollup_partials(e, "ts", ["k"], "v", distinct_col="u")
+    )
+    assert direct.collect()[0].n_distinct == row.n_distinct
+
+
+def test_rollup_merge_one_sided_sketch_rejected(spark):
+    e = _events(spark)
+    plain = rollup_mv.rollup_partials(e, "ts", ["k"], "v")
+    sketched = rollup_mv.rollup_partials(e, "ts", ["k"], "v", distinct_col="k")
+    with pytest.raises(ValueError):
+        rollup_mv.rollup_merge(sketched, plain, ["k"])
+
+
 # ----------------------------------------------------- streaming rollup
 
 

@@ -30,7 +30,14 @@ from pyspark.sql import functions as F  # noqa: E402
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 
-    from hyper_storage_spark.operators import dedup, sampling, search, similarity
+    from hyper_storage_spark.operators import (
+        bloomjoin,
+        dedup,
+        rollup_mv,
+        sampling,
+        search,
+        similarity,
+    )
     from hyper_storage_spark.operators._caches import release_tracked_caches
     from hyper_storage_spark.session import get_spark
     from hyper_storage_spark.sources.tables import load_table
@@ -49,6 +56,27 @@ def main() -> None:
             "query_id string, query string",
         )
         return search.bm25_topk(d, queries, k=10)
+    def _rollup_refresh(d):
+        # synthesize (ts, key, value) from the doc corpus: 30 daily
+        # buckets × 7 keys, value = text length (decimal partials)
+        ev = (
+            d.withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000) + F.pmod(F.col("doc_id"), F.lit(30)) * F.lit(86_400)
+                ),
+            )
+            .withColumn("k", F.pmod(F.col("doc_id"), F.lit(7)))
+            .withColumn("v", F.length("text").cast("decimal(18,6)"))
+        )
+        base = rollup_mv.rollup_partials(
+            ev.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 3), "ts", ["k"], "v"
+        )
+        delta = rollup_mv.rollup_partials(
+            ev.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 3), "ts", ["k"], "v"
+        )
+        return rollup_mv.rollup_merge(base, delta, ["k"])
+
     sf_dir = "/root/testdata/sf0.1"
     tmp = tempfile.mkdtemp(prefix="scale_smoke_")
 
@@ -137,6 +165,21 @@ def main() -> None:
             ),
             f"{tmp}/budget",
         ),
+        # late round-7: bloom pre-join (build cost ∝ dim keys, probe is
+        # a fixed-size-literal scan filter — the 1M-bit array keeps the
+        # fp rate low even at replicas× the key count) and incremental
+        # rollup refresh (delta partials + touched-bucket merge; the
+        # grouping collapses to (7 keys × 30 days) so every exchange
+        # past the first partial agg is bucket-sized, not corpus-sized)
+        "bloom_prejoin": lambda d, e: bloomjoin.bloom_prejoin(
+            d.select("doc_id"),
+            "doc_id",
+            d.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+            .select(F.col("doc_id").alias("k")),
+            "k",
+            num_bits=1 << 20,
+        ).count(),
+        "rollup_refresh": lambda d, e: _rollup_refresh(d).count(),
     }
 
     failures = []
@@ -220,6 +263,15 @@ def main() -> None:
             docs10.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 7),
             threshold=0.5,
         ),
+        "bloom_prejoin": bloomjoin.bloom_prejoin(
+            docs10.select("doc_id"),
+            "doc_id",
+            docs10.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+            .select(F.col("doc_id").alias("k")),
+            "k",
+            num_bits=1 << 20,
+        ),
+        "rollup_refresh": _rollup_refresh(docs10),
     }
     # bm25 attaches its two 1-row corpus scalars (n_docs, avgdl) via a
     # single-row nested-loop broadcast — O(1) rows by construction, not
