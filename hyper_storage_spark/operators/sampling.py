@@ -331,3 +331,49 @@ def budget_select(
     corpus."""
     cum = distributed_cumsum(df, weight_col, order_by, cum_col)
     return cum.filter(F.col(cum_col) <= budget)
+
+
+def md5_uniform(id_col: Column) -> Column:
+    """A deterministic uniform in [0, 1): the first 13 hex digits of
+    md5(id) as an integer over 2^52. 13 digits = 52 bits keeps the
+    value exactly representable in a double, so engines that parse
+    the same hex prefix (DuckDB: ('0x'||substr)::UBIGINT) get the
+    bit-identical uniform — the md5-order convention of
+    :func:`cap_per_group`, extended from ordering to numeric draws."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 13), 16, 10).cast("double")
+        / F.lit(float(1 << 52))
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``k`` rows, inclusion
+    probability ∝ ``weight_col`` — the Efraimidis–Spirakis one-pass
+    scheme in its exponential-race form: each row draws
+    ``key = -ln(u) / w`` (an Exp(w) arrival time with u the
+    deterministic md5 uniform) and the k EARLIEST arrivals win.
+
+    Deterministic by construction: the draw is a pure content hash,
+    so the sample is a function of the data — reproducible across
+    runs, partitionings, and engines (the catalog oracle replays the
+    identical formula in SQL). The key is rounded to 12 decimals
+    with an id tiebreak so cross-engine libm ulp noise cannot flip a
+    rank. Selection is orderBy+limit → TakeOrdered: per-partition
+    top-k heaps, k rows to the driver, NO global sort — the same
+    plan shape at 100 TB. Rows with non-positive weight are excluded
+    (zero mass; the race is undefined for them)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = F.round(-F.log(md5_uniform(F.col(id_col))) / F.col(weight_col), 12)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wskey", key)
+        .orderBy("__wskey", id_col)
+        .limit(k)
+        .drop("__wskey")
+    )

@@ -4480,6 +4480,29 @@ def mv_rollup_distinct_contract(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_weighted_sample",
+    """WITH keyed AS (
+         SELECT doc_id, lang, n_chars,
+                ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT::DOUBLE)
+                          / 4503599627370496.0) / n_chars, 12) AS k
+         FROM documents WHERE n_chars > 0
+       )
+       SELECT doc_id, lang, n_chars FROM keyed ORDER BY k, doc_id LIMIT 100""",
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py:weighted_sample): 100 documents with
+    inclusion probability ∝ n_chars via the Efraimidis–Spirakis
+    exponential race — key = -ln(md5_uniform(id))/weight, k earliest
+    arrivals win. The draw is a pure content hash both engines
+    share, so the oracle replays the EXACT kept set, not a
+    statistical bound. Plan is TakeOrdered (per-partition top-k
+    heaps, k rows to the driver) — no global sort at any scale."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.weighted_sample(docs, "n_chars", 100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

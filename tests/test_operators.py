@@ -2071,3 +2071,39 @@ def test_keep_best_per_cluster_hand_computed(spark):
     kept = dd.keep_best_per_cluster(docs, clusters, "score")
     assert kept.columns == docs.columns
     assert sorted(r.doc_id for r in kept.collect()) == [2, 10, 11]
+
+
+def test_weighted_sample_properties(spark):
+    from hyper_storage_spark.operators import sampling
+
+    # 200 light rows (w=1) + 200 heavy rows (w=50): the heavy half
+    # must dominate a k=100 sample by construction of the race
+    rows = [(i, 1) for i in range(200)] + [(i, 50) for i in range(200, 400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sampling.weighted_sample(df, "w", 100).collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r.doc_id >= 200)
+    assert heavy > 80  # E[heavy] ≈ 98 under the 50:1 odds
+
+    # deterministic: same data (any partitioning) → same sample
+    again = sampling.weighted_sample(df.repartition(13), "w", 100).collect()
+    assert sorted(r.doc_id for r in got) == sorted(r.doc_id for r in again)
+
+    # non-positive weights carry zero mass and never appear
+    with_zero = df.union(spark.createDataFrame([(999, 0), (998, -5)], "doc_id long, w long"))
+    ids = {r.doc_id for r in sampling.weighted_sample(with_zero, "w", 500).collect()}
+    assert 999 not in ids and 998 not in ids and len(ids) == 400
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.weighted_sample(df, "w", 0)
+
+    # scale shape: top-k must plan as TakeOrdered, not a global Sort
+    plan = (
+        sampling.weighted_sample(df, "w", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrdered" in plan
