@@ -49,9 +49,11 @@ def rollup_partials(
     value_col: str,
     resolution: str = "day",
     distinct_col: Optional[str] = None,
+    ohlc: bool = False,
 ) -> DataFrame:
     """One-pass partial aggregates: (keys…, bucket_start, n, total,
-    vmin, vmax[, dsk]) at ``resolution`` (any date_trunc unit).
+    vmin, vmax[, dsk][, ofirst, olast]) at ``resolution`` (any
+    date_trunc unit).
 
     ``distinct_col`` adds ``dsk``, an HLL sketch of that column's
     distinct values — COUNT(DISTINCT) is the aggregate that does NOT
@@ -59,7 +61,11 @@ def rollup_partials(
     refreshes), and the register-max-merge HLL sketch is its standard
     mergeable substitute: union(sketch(A), sketch(B)) ≡ sketch(A ∪ B),
     a few KiB per bucket instead of a per-refresh re-shuffle of every
-    member."""
+    member.
+
+    ``ohlc`` adds ``ofirst``/``olast`` struct(t, v) partials — with
+    vmin/vmax these finalize to the open-high-low-close candle, the
+    standard finance/telemetry rollup."""
     keys = [F.col(c) for c in key_cols]
     aggs = [
         F.count(value_col).alias("n"),
@@ -69,6 +75,15 @@ def rollup_partials(
     ]
     if distinct_col is not None:
         aggs.append(F.hll_sketch_agg(distinct_col).alias("dsk"))
+    if ohlc:
+        # open/close as min/max over struct(ts, v): lexicographic
+        # struct order gives the earliest/latest row's value with a
+        # deterministic value tiebreak on equal timestamps — and a
+        # struct min/max is itself mergeable, so refreshes compose
+        # exactly like the other partials
+        pair = F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v"))
+        aggs.append(F.min(pair).alias("ofirst"))
+        aggs.append(F.max(pair).alias("olast"))
     return df.groupBy(
         *keys, F.date_trunc(resolution, F.col(ts_col)).alias("bucket_start")
     ).agg(*aggs)
@@ -89,7 +104,14 @@ def rollup_merge(existing: DataFrame, delta: DataFrame, key_cols: Sequence[str])
     has_dsk = "dsk" in existing.columns
     if has_dsk != ("dsk" in delta.columns):
         raise ValueError("distinct sketch column 'dsk' present on only one side")
-    out_cols = [*_PARTIAL_COLS, *(["dsk"] if has_dsk else [])]
+    has_ohlc = "ofirst" in existing.columns
+    if has_ohlc != ("ofirst" in delta.columns):
+        raise ValueError("OHLC columns present on only one side")
+    out_cols = [
+        *_PARTIAL_COLS,
+        *(["dsk"] if has_dsk else []),
+        *(["ofirst", "olast"] if has_ohlc else []),
+    ]
     merge_aggs = [
         F.sum("n").alias("n"),
         F.sum("total").alias("total"),
@@ -98,6 +120,9 @@ def rollup_merge(existing: DataFrame, delta: DataFrame, key_cols: Sequence[str])
     ]
     if has_dsk:
         merge_aggs.append(F.hll_union_agg("dsk").alias("dsk"))
+    if has_ohlc:
+        merge_aggs.append(F.min("ofirst").alias("ofirst"))
+        merge_aggs.append(F.max("olast").alias("olast"))
     touched_buckets = delta.select("bucket_start").distinct()
     untouched = existing.join(F.broadcast(touched_buckets), on="bucket_start", how="left_anti")
     touched = existing.join(F.broadcast(touched_buckets), on="bucket_start", how="left_semi")
@@ -154,6 +179,7 @@ def streaming_rollup(
     value_col: str,
     resolution: str = "day",
     distinct_col: Optional[str] = None,
+    ohlc: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink maintaining a parquet-backed rollup MV —
     the continuous-aggregate face of ``rollup_merge``.
@@ -179,14 +205,23 @@ def streaming_rollup(
         if cur is not None and batch_id <= cur["batch_id"]:
             return  # replay of an already-applied micro-batch
         delta = rollup_partials(
-            batch_df, ts_col, key_cols, value_col, resolution, distinct_col=distinct_col
+            batch_df,
+            ts_col,
+            key_cols,
+            value_col,
+            resolution,
+            distinct_col=distinct_col,
+            ohlc=ohlc,
         )
         if cur is not None:
             existing = batch_df.sparkSession.read.parquet(os.path.join(mv_root, cur["path"]))
             merged = rollup_merge(existing, delta, key_cols)
             version = cur["version"] + 1
         else:
-            extra = ["dsk"] if distinct_col is not None else []
+            extra = [
+                *(["dsk"] if distinct_col is not None else []),
+                *(["ofirst", "olast"] if ohlc else []),
+            ]
             merged = delta.select(*key_cols, "bucket_start", *_PARTIAL_COLS, *extra)
             version = 1
         rel = f"v{version:06d}"
@@ -227,4 +262,8 @@ def rollup_finalize(partials: DataFrame) -> DataFrame:
     out = partials.withColumn("avg", F.col("total").cast("double") / F.col("n"))
     if "dsk" in partials.columns:
         out = out.withColumn("n_distinct", F.hll_sketch_estimate("dsk"))
+    if "ofirst" in partials.columns:
+        out = out.withColumn("open", F.col("ofirst.v")).withColumn(
+            "close", F.col("olast.v")
+        )
     return out

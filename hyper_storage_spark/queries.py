@@ -4503,6 +4503,51 @@ def q_weighted_sample(spark, sf_dir):
     return sampling.weighted_sample(docs, "n_chars", 100)
 
 
+@register_extra(
+    "mv_rollup_ohlc",
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+                         CAST(value AS DECIMAL(18,6)) AS v
+                  FROM events)
+       SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+              CAST(ROUND((MIN(struct_pack(t := ts, v := v))).v, 4) AS DOUBLE) AS open,
+              CAST(ROUND(MAX(v), 4) AS DOUBLE) AS high,
+              CAST(ROUND(MIN(v), 4) AS DOUBLE) AS low,
+              CAST(ROUND((MAX(struct_pack(t := ts, v := v))).v, 4) AS DOUBLE) AS close
+       FROM e GROUP BY 1, 2""",
+)
+def mv_rollup_ohlc(spark, sf_dir):
+    """OHLC candles from the incremental rollup (rollup_mv ohlc=True):
+    open/close are min/max over struct(ts, value) — first/last-by-time
+    partials that stay MERGEABLE (a struct min/max composes across
+    refreshes exactly like a plain min/max, with a deterministic value
+    tiebreak on equal timestamps that both engines share), where a
+    naive FIRST()/LAST() aggregate would be order-dependent and
+    unmergeable. Base/delta split at 2024-01-21 as in the other MV
+    entries; the merged candle must equal the oracle's direct
+    per-bucket aggregation over all events."""
+    from .operators import rollup_mv
+
+    e = _t(spark, sf_dir, "events").select(
+        "ts", "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    base = rollup_mv.rollup_partials(
+        e.filter(F.col("ts") < cutoff), "ts", ["event_type"], "v", ohlc=True
+    )
+    delta = rollup_mv.rollup_partials(
+        e.filter(F.col("ts") >= cutoff), "ts", ["event_type"], "v", ohlc=True
+    )
+    mv = rollup_mv.rollup_finalize(rollup_mv.rollup_merge(base, delta, ["event_type"]))
+    return mv.select(
+        "event_type",
+        "bucket_start",
+        F.round("open", 4).cast("double").alias("open"),
+        F.round("vmax", 4).cast("double").alias("high"),
+        F.round("vmin", 4).cast("double").alias("low"),
+        F.round("close", 4).cast("double").alias("close"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -172,6 +172,41 @@ def test_rollup_distinct_sketch_merge_equals_direct(spark):
     assert direct.collect()[0].n_distinct == row.n_distinct
 
 
+def test_rollup_ohlc_merge_equals_direct(spark):
+    # open/close must reflect GLOBAL first/last across the cut, not
+    # per-side values; ties on ts resolve by value both here and in
+    # the SQL replay
+    rows = [
+        ("2024-01-01 00:30:00", "a", "7.0"),
+        ("2024-01-01 00:30:00", "a", "3.0"),  # tie on ts with the row above
+        ("2024-01-01 09:00:00", "a", "1.0"),
+        ("2024-01-01 23:00:00", "a", "9.5"),
+    ]
+    e = spark.createDataFrame(rows, "ts string, k string, v string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "k", F.col("v").cast("decimal(18,6)").alias("v")
+    )
+    cut = F.lit("2024-01-01 12:00:00").cast("timestamp")
+    base = rollup_mv.rollup_partials(e.filter(F.col("ts") < cut), "ts", ["k"], "v", ohlc=True)
+    delta = rollup_mv.rollup_partials(e.filter(F.col("ts") >= cut), "ts", ["k"], "v", ohlc=True)
+    merged = rollup_mv.rollup_finalize(rollup_mv.rollup_merge(base, delta, ["k"]))
+    row = merged.collect()[0]
+    assert str(row.open) == "3.000000"  # tie at 00:30 → smaller value
+    assert str(row.close) == "9.500000"  # latest row lives in the delta
+    assert str(row.vmin) == "1.000000" and str(row.vmax) == "9.500000"
+    direct = rollup_mv.rollup_finalize(
+        rollup_mv.rollup_partials(e, "ts", ["k"], "v", ohlc=True)
+    ).collect()[0]
+    assert (row.open, row.close) == (direct.open, direct.close)
+
+
+def test_rollup_merge_one_sided_ohlc_rejected(spark):
+    e = _events(spark)
+    plain = rollup_mv.rollup_partials(e, "ts", ["k"], "v")
+    candled = rollup_mv.rollup_partials(e, "ts", ["k"], "v", ohlc=True)
+    with pytest.raises(ValueError):
+        rollup_mv.rollup_merge(candled, plain, ["k"])
+
+
 def test_rollup_merge_one_sided_sketch_rejected(spark):
     e = _events(spark)
     plain = rollup_mv.rollup_partials(e, "ts", ["k"], "v")
