@@ -377,3 +377,29 @@ def weighted_sample(
         .limit(k)
         .drop("__wskey")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stratified :func:`weighted_sample`: the Efraimidis–Spirakis
+    race run independently inside every group — "k documents per
+    domain, weighted by quality" in one pass. Same deterministic
+    md5-draw key (the sample is a pure function of the data), ranked
+    by a per-group row_number window: one hash-partitioned sort per
+    group, state bounded by k, no global ordering anywhere. Groups
+    with fewer than k positive-weight rows keep everything."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = F.round(-F.log(md5_uniform(F.col(id_col))) / F.col(weight_col), 12)
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wsrn", F.row_number().over(w))
+        .filter(F.col("__wsrn") <= k)
+        .drop("__wsrn")
+    )

@@ -4548,6 +4548,31 @@ def mv_rollup_ohlc(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_weighted_sample_per_group",
+    """WITH keyed AS (
+         SELECT doc_id, lang, n_chars,
+                ROW_NUMBER() OVER (
+                  PARTITION BY lang
+                  ORDER BY ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT::DOUBLE)
+                                     / 4503599627370496.0) / n_chars, 12),
+                           doc_id) AS rn
+         FROM documents WHERE n_chars > 0
+       )
+       SELECT doc_id, lang, n_chars FROM keyed WHERE rn <= 20""",
+)
+def q_weighted_sample_per_group(spark, sf_dir):
+    """Stratified weighted sampling
+    (operators/sampling.py:weighted_sample_per_group): 20 documents
+    PER LANGUAGE with inclusion probability ∝ n_chars — the same
+    deterministic exponential race as q_weighted_sample, ranked by a
+    per-group window instead of a global top-k, so the oracle again
+    replays the exact kept set. One hash-partitioned sort per group;
+    per-group state is bounded by k."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.weighted_sample_per_group(docs, "lang", "n_chars", 20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -2107,3 +2107,23 @@ def test_weighted_sample_properties(spark):
         .toString()
     )
     assert "TakeOrdered" in plan
+
+
+def test_weighted_sample_per_group(spark):
+    from hyper_storage_spark.operators import sampling
+
+    rows = [(i, "g1", 1) for i in range(100)] + [(i, "g2", 1) for i in range(100, 130)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w long")
+    got = sampling.weighted_sample_per_group(df, "g", "w", 40, id_col="doc_id").collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.g, set()).add(r.doc_id)
+    assert len(by_g["g1"]) == 40  # over-k group capped
+    assert len(by_g["g2"]) == 30  # under-k group keeps everything
+
+    # per-group draw is the same race as the global sampler: the g1
+    # selection must equal a global k=40 sample over g1 alone
+    only_g1 = sampling.weighted_sample(
+        df.filter(F.col("g") == "g1"), "w", 40, id_col="doc_id"
+    ).collect()
+    assert by_g["g1"] == {r.doc_id for r in only_g1}
