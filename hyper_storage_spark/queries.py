@@ -4573,6 +4573,65 @@ def q_weighted_sample_per_group(spark, sf_dir):
     return sampling.weighted_sample_per_group(docs, "lang", "n_chars", 20)
 
 
+@register_extra(
+    "q_stream_interval_join",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+                  FROM events),
+       c AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'click'),
+       v AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'view')
+       SELECT c.user_id, c.ts, c.event_id,
+              v.ts AS ts_r, v.event_id AS event_id_r
+       FROM c JOIN v ON c.user_id = v.user_id
+                     AND v.ts >= c.ts - INTERVAL 10 MINUTE
+                     AND v.ts <= c.ts""",
+)
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-to-stream interval join (streaming/joins.py): clicks and
+    views replayed as TWO live readStream sources, equi-joined on
+    user_id where the view happened within the 10 minutes before the
+    click — watermarks on both sides plus the event-time bound keep
+    the join state evictable (bounded by keys × interval, not stream
+    history). Inner matches emit as soon as both rows arrive, so the
+    drained stream must equal the oracle's batch interval join
+    row-for-row. Replayed once per (session, sf_dir) and memoized."""
+    key = f"ij:{sf_dir}"
+    df = _STREAM_WINDOW_RESULTS.get(key)
+    if df is None:
+        import os
+        import tempfile
+
+        from .streaming.joins import stream_interval_join
+
+        batch = _t(spark, sf_dir, "events")
+        d = tempfile.mkdtemp(prefix="hs_stream_ij_")
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+            os.path.join(d, "events.parquet"),
+        )
+        src = spark.readStream.schema(batch.schema).parquet(d)
+        clicks = src.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        views = src.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id"
+        )
+        out = stream_interval_join(
+            clicks, views, keys=["user_id"], lower="10 minutes", upper="0 seconds"
+        )
+        name = f"stream_ij_{abs(hash(sf_dir))}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        df = spark.table(name)
+        _STREAM_WINDOW_RESULTS[key] = df
+    return df.select("user_id", "ts", "event_id", "ts_r", "event_id_r")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

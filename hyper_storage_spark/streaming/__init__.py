@@ -18,6 +18,7 @@ from .feed import feed_readstream
 from .ingest import run_command_stream, write_commands
 from .kafka import feed_kafka_sink, kafka_command_stream
 from .revisions import assign_revisions_stream
+from .joins import stream_interval_join
 from .windows import session_windows, stream_dedup, windowed_event_counts
 
 __all__ = [
@@ -28,6 +29,7 @@ __all__ = [
     "windowed_event_counts",
     "session_windows",
     "stream_dedup",
+    "stream_interval_join",
     "kafka_command_stream",
     "feed_kafka_sink",
 ]

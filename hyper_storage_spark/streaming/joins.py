@@ -1,0 +1,79 @@
+"""Stream-to-stream interval joins with watermark-bounded state.
+
+The reference has no stream-join surface at all (its "streaming" is
+CDC publication, SURVEY.md §2.4); this is extension surface covering
+the remaining first-class Structured Streaming capability: joining
+two live streams on a key within an event-time interval ("match each
+click to the impressions of the same user in the preceding 10
+minutes"). The mechanics that make it runnable forever:
+
+ - BOTH sides carry a watermark and the join condition carries an
+   explicit event-time bound, so Spark can prove when a buffered row
+   can never match again and evict it — state is bounded by
+   (key cardinality × interval + watermark horizon), not by stream
+   history. Without the time bound the state store grows without
+   limit; this helper refuses to build such a join.
+ - Inner matches emit as soon as both rows have arrived (no watermark
+   wait), so a replayed-to-completion stream equals the batch join
+   over the same rows — pinned by pytest and by the catalog entry's
+   batch/DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .windows import _as_event_time
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str = "1 hour",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Equi-join two (streaming or batch) frames on ``keys`` where
+    ``right_ts ∈ [left_ts − lower … left_ts + upper]`` (both offsets
+    are INTERVAL strings; ``lower`` reaches back, ``upper`` forward).
+
+    Right-side column names colliding with left ones (including the
+    timestamp) come back suffixed with ``suffix``. Key columns are
+    emitted once. The same call works on batch DataFrames — that
+    equivalence is exactly what the tests pin."""
+    if not keys:
+        raise ValueError("stream-stream joins need at least one equality key")
+    lf = _as_event_time(left, left_ts)
+    rf = _as_event_time(right, right_ts)
+    if lf.isStreaming or rf.isStreaming:
+        lf = lf.withWatermark(left_ts, watermark)
+        rf = rf.withWatermark(right_ts, watermark)
+    lf = lf.alias("l")
+    rf = rf.alias("r")
+    cond = None
+    for k in keys:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & F.expr(f"r.{right_ts} >= l.{left_ts} - INTERVAL {lower}")
+        & F.expr(f"r.{right_ts} <= l.{left_ts} + INTERVAL {upper}")
+    )
+    joined = lf.join(rf, on=cond, how="inner")
+    left_cols = list(left.columns)
+    out = [F.col(f"l.{c}").alias(c) for c in left_cols]
+    taken = set(left_cols)
+    for c in right.columns:
+        if c in keys:
+            continue  # identical by the equi-condition; emit once
+        name = c + suffix if c in taken else c
+        out.append(F.col(f"r.{c}").alias(name))
+        taken.add(name)
+    return joined.select(*out)

@@ -740,3 +740,81 @@ def test_feed_readstream_exactly_once_dedup(spark, tmp_path):
     assert set(keys) == {("doc1", "", 1), ("doc1", "", 2), ("col~", "item", 1)}
     # deduped stream keeps the raw schema (no watermark column leaks)
     assert "event_time" not in feed_readstream(spark, store, dedup_within="1 hour").columns
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.sources import load_table
+    from hyper_storage_spark.streaming import stream_interval_join
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+
+    def snap(df):
+        return sorted(
+            (r.user_id, str(r.ts), r.event_id, str(r.ts_r), r.event_id_r)
+            for r in df.collect()
+        )
+
+    # batch truth, twice: once through the helper, once hand-written
+    got_batch = stream_interval_join(
+        clicks, views, keys=["user_id"], lower="10 minutes", upper="0 seconds"
+    )
+    manual = (
+        clicks.alias("c")
+        .join(
+            views.alias("v"),
+            (F.col("c.user_id") == F.col("v.user_id"))
+            & (F.col("v.ts") >= F.col("c.ts") - F.expr("INTERVAL 10 minutes"))
+            & (F.col("v.ts") <= F.col("c.ts")),
+        )
+        .select(
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.ts").alias("ts"),
+            F.col("c.event_id").alias("event_id"),
+            F.col("v.ts").alias("ts_r"),
+            F.col("v.event_id").alias("event_id_r"),
+        )
+    )
+    want = snap(manual)
+    assert want and snap(got_batch) == want
+
+    # replay both sides as REAL streams; inner interval join must
+    # converge to the batch answer once both streams drain
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    clicks.repartition(3).write.parquet(lsrc)
+    views.repartition(3).write.parquet(rsrc)
+    ls = spark.readStream.schema(clicks.schema).option("maxFilesPerTrigger", 1).parquet(lsrc)
+    rs = spark.readStream.schema(views.schema).option("maxFilesPerTrigger", 1).parquet(rsrc)
+    out = stream_interval_join(
+        ls, rs, keys=["user_id"], lower="10 minutes", upper="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sij_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sij"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert snap(spark.table("sij_out")) == want
+
+
+def test_stream_interval_join_requires_keys(spark, sf_dir):
+    import pytest
+
+    from hyper_storage_spark.sources import load_table
+    from hyper_storage_spark.streaming import stream_interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError):
+        stream_interval_join(e, e, keys=[])
