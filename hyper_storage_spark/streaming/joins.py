@@ -39,6 +39,7 @@ def stream_interval_join(
     upper: str = "10 minutes",
     watermark: str = "1 hour",
     suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
     """Equi-join two (streaming or batch) frames on ``keys`` where
     ``right_ts ∈ [left_ts − lower … left_ts + upper]`` (both offsets
@@ -47,9 +48,23 @@ def stream_interval_join(
     Right-side column names colliding with left ones (including the
     timestamp) come back suffixed with ``suffix``. Key columns are
     emitted once. The same call works on batch DataFrames — that
-    equivalence is exactly what the tests pin."""
+    equivalence is exactly what the tests pin.
+
+    ``how='left_outer'`` additionally emits unmatched left rows with
+    NULL right columns — but, unlike inner matches (which emit as
+    soon as both rows arrive), a null-extended row can only emit once
+    the WATERMARK proves no future right row can match it. Rows
+    younger than the watermark horizon when the stream pauses or ends
+    stay buffered (Structured Streaming semantics, not a bug here);
+    batch-equivalence therefore holds for the horizon-aged prefix,
+    which is exactly what the tests compare."""
     if not keys:
         raise ValueError("stream-stream joins need at least one equality key")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"unsupported join type {how!r}: stream-stream interval joins "
+            "support inner and left_outer"
+        )
     lf = _as_event_time(left, left_ts)
     rf = _as_event_time(right, right_ts)
     if lf.isStreaming or rf.isStreaming:
@@ -66,13 +81,14 @@ def stream_interval_join(
         & F.expr(f"r.{right_ts} >= l.{left_ts} - INTERVAL {lower}")
         & F.expr(f"r.{right_ts} <= l.{left_ts} + INTERVAL {upper}")
     )
-    joined = lf.join(rf, on=cond, how="inner")
+    joined = lf.join(rf, on=cond, how=how)
     left_cols = list(left.columns)
     out = [F.col(f"l.{c}").alias(c) for c in left_cols]
     taken = set(left_cols)
     for c in right.columns:
         if c in keys:
-            continue  # identical by the equi-condition; emit once
+            continue  # identical by the equi-condition (NULL on an
+            # unmatched outer row, but the left copy is authoritative)
         name = c + suffix if c in taken else c
         out.append(F.col(f"r.{c}").alias(name))
         taken.add(name)

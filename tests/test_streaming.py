@@ -788,10 +788,23 @@ def test_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
     assert want and snap(got_batch) == want
 
     # replay both sides as REAL streams; inner interval join must
-    # converge to the batch answer once both streams drain
+    # converge to the batch answer once both streams drain. Staged in
+    # EVENT ORDER (range partition + stamped mtimes): with random
+    # file order the watermark can jump ahead of an unread file and
+    # late-drop right rows, losing genuine matches (observed flake)
+    import glob
+    import os
+    import time
+
+    def stage_ordered(df, path):
+        df.repartitionByRange(3, F.col("ts")).sortWithinPartitions("ts").write.parquet(path)
+        base = time.time() - 3600
+        for i, p in enumerate(sorted(glob.glob(f"{path}/part-*.parquet"))):
+            os.utime(p, (base + i, base + i))
+
     lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
-    clicks.repartition(3).write.parquet(lsrc)
-    views.repartition(3).write.parquet(rsrc)
+    stage_ordered(clicks, lsrc)
+    stage_ordered(views, rsrc)
     ls = spark.readStream.schema(clicks.schema).option("maxFilesPerTrigger", 1).parquet(lsrc)
     rs = spark.readStream.schema(views.schema).option("maxFilesPerTrigger", 1).parquet(rsrc)
     out = stream_interval_join(
@@ -818,3 +831,94 @@ def test_stream_interval_join_requires_keys(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError):
         stream_interval_join(e, e, keys=[])
+
+
+def test_stream_interval_left_outer_join_matches_batch_prefix(spark, tmp_path, sf_dir):
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.sources import load_table
+    from hyper_storage_spark.streaming import stream_interval_join
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+
+    def rows(df):
+        return {
+            (r.user_id, str(r.ts), r.event_id, str(r.ts_r), r.event_id_r)
+            for r in df.collect()
+        }
+
+    batch = rows(
+        stream_interval_join(
+            clicks, views, keys=["user_id"], lower="10 minutes", upper="0 seconds",
+            how="left_outer",
+        )
+    )
+    assert any(r[3] == "None" for r in batch)  # real unmatched rows exist
+
+    # outer emission is watermark-driven, so the replay must be staged
+    # in EVENT ORDER (range-partitioned, stamped mtimes) — a
+    # hash-partitioned staging makes every file span the whole range,
+    # the watermark jumps ahead after the first batch, and genuinely
+    # matched right rows get late-dropped, surfacing as spurious
+    # null-extended rows (observed; same rule as the session entry)
+    def stage_ordered(df, path):
+        df.repartitionByRange(8, F.col("ts")).sortWithinPartitions("ts").write.parquet(path)
+        base = time.time() - 3600
+        files = sorted(glob.glob(f"{path}/part-*.parquet"))
+        for i, p in enumerate(files):
+            os.utime(p, (base + i, base + i))
+        return files
+
+    lsrc, rsrc = str(tmp_path / "lo_l"), str(tmp_path / "lo_r")
+    lfiles = stage_ordered(clicks, lsrc)
+    rfiles = stage_ordered(views, rsrc)
+    ls = spark.readStream.schema(clicks.schema).option("maxFilesPerTrigger", 1).parquet(lsrc)
+    rs = spark.readStream.schema(views.schema).option("maxFilesPerTrigger", 1).parquet(rsrc)
+    out = stream_interval_join(
+        ls, rs, keys=["user_id"], lower="10 minutes", upper="0 seconds",
+        watermark="1 hour", how="left_outer",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sij_lo")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = rows(spark.table("sij_lo"))
+
+    # 1. nothing spurious: the stream may only LAG batch, never invent
+    assert got <= batch
+    # 2. inner matches emit as soon as both rows arrive — exact
+    assert {r for r in got if r[3] != "None"} == {r for r in batch if r[3] != "None"}
+    # 3. null-extended rows emit when the watermark EVICTS the click;
+    # eviction lags a batch, so completeness is guaranteed only below
+    # the watermark as of the second-to-last file of the slower side
+    def fmax(p):
+        return spark.read.parquet(p).agg(F.max("ts")).collect()[0][0]
+
+    import datetime
+
+    wm_safe = min(fmax(lfiles[-2]), fmax(rfiles[-2])) - datetime.timedelta(minutes=70)
+    overdue = {r for r in batch if r[3] == "None" and r[1] < str(wm_safe)}
+    assert overdue  # the bound keeps real unmatched rows in scope
+    assert overdue <= got
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        stream_interval_join(clicks, views, keys=["user_id"], how="full_outer")
