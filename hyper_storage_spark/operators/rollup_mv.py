@@ -164,12 +164,28 @@ def _flip_pointer(mv_root: str, meta: dict) -> None:
         raise
 
 
-def read_rollup(spark: SparkSession, mv_root: str) -> Optional[DataFrame]:
-    """The current rollup partials, or None before the first batch."""
+def read_rollup(
+    spark: SparkSession, mv_root: str, version: Optional[int] = None
+) -> Optional[DataFrame]:
+    """The current rollup partials, or None before the first batch.
+
+    ``version`` reads a historical MV state instead (the version
+    directories are immutable once published, so this is the same
+    zero-copy time travel as the store's ``at_version``) — available
+    until :func:`vacuum_rollup` reclaims superseded versions; a
+    vacuumed version raises."""
     cur = _read_pointer(mv_root)
     if cur is None:
         return None
-    return spark.read.parquet(os.path.join(mv_root, cur["path"]))
+    if version is None:
+        rel = cur["path"]
+    else:
+        if not 1 <= version <= cur["version"]:
+            raise ValueError(f"version {version} out of range 1..{cur['version']}")
+        rel = f"v{version:06d}"
+        if not os.path.isdir(os.path.join(mv_root, rel)):
+            raise ValueError(f"version {version} was vacuumed")
+    return spark.read.parquet(os.path.join(mv_root, rel))
 
 
 def streaming_rollup(

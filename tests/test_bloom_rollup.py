@@ -272,3 +272,66 @@ def test_streaming_rollup_vacuum_keeps_current(spark, tmp_path):
     assert rollup_mv.vacuum_rollup(mv) == 1
     assert _snap(rollup_mv.read_rollup(spark, mv)) == before
     assert sorted(n for n in os.listdir(mv) if n.startswith("v")) == ["v000002"]
+
+
+def test_rollup_time_travel_versions(spark, tmp_path):
+    mv = str(tmp_path / "mv")
+    sink = rollup_mv.streaming_rollup(mv, "ts", ["k"], "v")
+    e = _events(spark)
+    cut = F.lit("2024-01-02 06:00:00").cast("timestamp")
+    sink(e.filter(F.col("ts") < cut), 0)
+    v1 = _snap(rollup_mv.read_rollup(spark, mv))
+    sink(e.filter(F.col("ts") >= cut), 1)
+    # historical version still readable, bit-identical to its snapshot
+    assert _snap(rollup_mv.read_rollup(spark, mv, version=1)) == v1
+    assert _snap(rollup_mv.read_rollup(spark, mv, version=2)) == _snap(
+        rollup_mv.read_rollup(spark, mv)
+    )
+    with pytest.raises(ValueError):
+        rollup_mv.read_rollup(spark, mv, version=3)
+    rollup_mv.vacuum_rollup(mv)
+    with pytest.raises(ValueError):
+        rollup_mv.read_rollup(spark, mv, version=1)  # reclaimed
+
+
+def test_rollup_over_store_change_feed(spark, tmp_path):
+    """Composition: the store's change feed drives a continuous
+    aggregate — writes land in the store, the feed replays as a
+    stream, and the rollup MV converges to a batch aggregation of the
+    same feed events."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.store import DocumentStore
+    from hyper_storage_spark.streaming import feed_readstream
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    store.put("col~/a", {"x": 1})
+    store.put("col~/b", {"x": 2})
+    store.put("col~/a", {"x": 3})
+    store.delete("col~/b")
+
+    mv = str(tmp_path / "mv")
+    stream = (
+        feed_readstream(spark, store)
+        .withColumn("ts_evt", F.timestamp_millis(F.col("ts")))
+        .withColumn("one", F.lit(1).cast("decimal(18,6)"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            rollup_mv.streaming_rollup(mv, "ts_evt", ["method"], "one")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.method, int(r.n))
+        for r in rollup_mv.read_rollup(spark, mv).select("method", "n").collect()
+    }
+    events = store.feed_events()
+    from collections import Counter
+
+    want = set(Counter(e["method"] for e in events).items())
+    assert got == want and ("feed:delete", 1) in got
