@@ -832,7 +832,7 @@ def q_string_functions(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "q_conditional_agg",
     """SELECT c_nationkey,
               COUNT(*) FILTER (c_acctbal > 5000) AS rich,
@@ -988,7 +988,7 @@ def q_date_arithmetic(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "q_explode_top_tokens",
     """WITH toks AS (
          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
@@ -1516,7 +1516,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, max_df=100)
 
 
-@register(
+@register_extra(
     "dedup_embedding_cosine",
     """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -2568,7 +2568,7 @@ def mm_feature_extract_fake(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@register(
+@register_extra(
     "mm_resize",
     """SELECT doc_id,
               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
@@ -4343,7 +4343,7 @@ def store_collection_join(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "q_bloom_prejoin",
     """SELECT o.o_orderpriority AS priority,
               COUNT(*) AS n_orders,
@@ -4380,7 +4380,7 @@ def q_bloom_prejoin(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "mv_incremental_rollup",
     """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
                          CAST(value AS DECIMAL(18,6)) AS v
@@ -4480,7 +4480,7 @@ def mv_rollup_distinct_contract(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "q_weighted_sample",
     """WITH keyed AS (
          SELECT doc_id, lang, n_chars,
@@ -4573,7 +4573,7 @@ def q_weighted_sample_per_group(spark, sf_dir):
     return sampling.weighted_sample_per_group(docs, "lang", "n_chars", 20)
 
 
-@register_extra(
+@register(
     "q_stream_interval_join",
     """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
                   FROM events),
@@ -4689,6 +4689,21 @@ def all_specs() -> dict[str, QuerySpec]:
 # by the contract row + dedup_simhash_raw), dedup_embedding_lsh
 # (dedup_embedding_cosine survives for embedding near-dup;
 # dedup_embedding_lsh_raw + dedup_embedding_incremental stay in EXTRA).
+#
+# Rotated IN (late r7) — this round's new operator tier:
+# q_bloom_prejoin (runtime join pruning), mv_incremental_rollup
+# (continuous aggregates), q_stream_interval_join (stream-stream
+# joins), q_weighted_sample (weighted sampling w/o replacement).
+# Rotated OUT to EXTRA, each redundant with a surviving driver row:
+# q_explode_top_tokens (text_quality_score/text_langid cover
+# tokenize-explode-agg; q_events_json_agg covers explode+agg over
+# parsed structures), q_conditional_agg (q_grouping_sets +
+# q_percentiles cover multi-shape aggregation; the pivot twin in
+# EXTRA is the same per-column conditional agg), dedup_embedding_cosine
+# (ann_cosine_topk covers the cosine kernel, dedup_minhash_lsh the
+# banded near-dup class; the embedding-LSH/incremental variants keep
+# their EXTRA oracles), mm_resize (mm_feature_extract drives the same
+# PNG decode path; mm_frame_sample keeps the mp4 path).
 if len(QUERIES) != 50:
     raise RuntimeError(
         f"driver-tier catalog has {len(QUERIES)} entries; the gate records exactly 50"
