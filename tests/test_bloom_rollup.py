@@ -335,3 +335,60 @@ def test_rollup_over_store_change_feed(spark, tmp_path):
 
     want = set(Counter(e["method"] for e in events).items())
     assert got == want and ("feed:delete", 1) in got
+
+
+# ------------------------------------------------- property: merge algebra
+
+
+def test_rollup_merge_algebra_randomized(spark):
+    """merge(partials(A), partials(B)) ≡ partials(A ∪ B) and chained
+    refreshes compose associatively — randomized over row placements,
+    split points, and values (hypothesis strategies drive the data;
+    one shared Spark session keeps it fast)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(
+        st.integers(1, 4),          # day
+        st.sampled_from(["a", "b"]),  # key
+        st.integers(-1000, 1000),   # value (scaled to decimal below)
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(rows=st.lists(row, min_size=1, max_size=12), cut1=st.integers(0, 12), cut2=st.integers(0, 12))
+    def run(rows, cut1, cut2):
+        lo, hi = sorted((min(cut1, len(rows)), min(cut2, len(rows))))
+        data = [
+            (f"2024-01-0{d} 0{i % 10}:00:00", k, str(v / 4))
+            for i, (d, k, v) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(data, "ts string, k string, v string").select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "k",
+            F.col("v").cast("decimal(18,6)").alias("v"),
+        )
+
+        def partials(rows_subset):
+            if not rows_subset:
+                sub = df.filter(F.lit(False))
+            else:
+                sub = spark.createDataFrame(
+                    rows_subset, "ts string, k string, v string"
+                ).select(
+                    F.col("ts").cast("timestamp").alias("ts"),
+                    "k",
+                    F.col("v").cast("decimal(18,6)").alias("v"),
+                )
+            return rollup_mv.rollup_partials(sub, "ts", ["k"], "v")
+
+        direct = _snap(rollup_mv.rollup_partials(df, "ts", ["k"], "v"))
+        two_way = rollup_mv.rollup_merge(partials(data[:hi]), partials(data[hi:]), ["k"])
+        assert _snap(two_way) == direct
+        chained = rollup_mv.rollup_merge(
+            rollup_mv.rollup_merge(partials(data[:lo]), partials(data[lo:hi]), ["k"]),
+            partials(data[hi:]),
+            ["k"],
+        )
+        assert _snap(chained) == direct
+
+    run()
