@@ -91,8 +91,11 @@ def bloom_might_contain(col: Column, words: List[int], k: int = 5) -> Column:
         != 0
         for p in _positions(col, num_bits, k)
     ]
-    out = checks[0]
-    for c in checks[1:]:
+    # explicit: xxhash64 SKIPS null arguments (the seed path remains),
+    # so without this a NULL key would probe k fixed positions and
+    # could pass once the filter fills — violating the contract
+    out = col.isNotNull()
+    for c in checks:
         out = out & c
     return out
 

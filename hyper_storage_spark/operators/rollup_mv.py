@@ -123,9 +123,14 @@ def rollup_merge(existing: DataFrame, delta: DataFrame, key_cols: Sequence[str])
     if has_ohlc:
         merge_aggs.append(F.min("ofirst").alias("ofirst"))
         merge_aggs.append(F.max("olast").alias("olast"))
-    touched_buckets = delta.select("bucket_start").distinct()
-    untouched = existing.join(F.broadcast(touched_buckets), on="bucket_start", how="left_anti")
-    touched = existing.join(F.broadcast(touched_buckets), on="bucket_start", how="left_semi")
+    # null-safe bucket match: a NULL event time yields a NULL bucket
+    # (date_trunc(NULL)), and a plain equality split would route the
+    # existing NULL-bucket row to `untouched` while the delta's NULL
+    # bucket re-aggregates separately — two rows for one grain
+    touched_buckets = delta.select(F.col("bucket_start").alias("__tb")).distinct()
+    match = F.col("bucket_start").eqNullSafe(F.col("__tb"))
+    untouched = existing.join(F.broadcast(touched_buckets), on=match, how="left_anti")
+    touched = existing.join(F.broadcast(touched_buckets), on=match, how="left_semi")
     merged = (
         touched.unionByName(delta.select(*touched.columns))
         .groupBy(*grain)
@@ -196,6 +201,7 @@ def streaming_rollup(
     resolution: str = "day",
     distinct_col: Optional[str] = None,
     ohlc: bool = False,
+    run_id: Optional[str] = None,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink maintaining a parquet-backed rollup MV —
     the continuous-aggregate face of ``rollup_merge``.
@@ -212,13 +218,25 @@ def streaming_rollup(
     ``batch_id``; a replayed batch (same or lower id after a restart)
     is SKIPPED, not re-merged — replaying a merge of additive
     partials would double-count, the same hazard the store's ingest
-    watermark closes. State per flip is one small JSON + one parquet
-    dir; superseded versions are droppable (``vacuum_rollup``)."""
+    watermark closes. Batch ids are scoped to a CHECKPOINT, and a new
+    checkpoint restarts them at 0 — pass the checkpoint location (or
+    any stable per-pipeline token) as ``run_id`` so a query started
+    from a fresh checkpoint is recognized as new lineage instead of
+    silently skipping every batch below the old high-water mark.
+    Batches of an unrecognized run_id always apply (the skip guard
+    can only dedup within one checkpoint's id sequence, exactly
+    Spark's own foreachBatch contract). State per flip is one small
+    JSON + one parquet dir; superseded versions are droppable
+    (``vacuum_rollup``)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(mv_root, exist_ok=True)
         cur = _read_pointer(mv_root)
-        if cur is not None and batch_id <= cur["batch_id"]:
+        if (
+            cur is not None
+            and cur.get("run_id") == run_id
+            and batch_id <= cur["batch_id"]
+        ):
             return  # replay of an already-applied micro-batch
         delta = rollup_partials(
             batch_df,
@@ -244,7 +262,10 @@ def streaming_rollup(
         # write BEFORE the flip; the write reads the old version, so the
         # old dir must stay live until the new one is fully on disk
         merged.write.mode("overwrite").parquet(os.path.join(mv_root, rel))
-        _flip_pointer(mv_root, {"version": version, "batch_id": batch_id, "path": rel})
+        _flip_pointer(
+            mv_root,
+            {"version": version, "batch_id": batch_id, "path": rel, "run_id": run_id},
+        )
 
     return apply_batch
 

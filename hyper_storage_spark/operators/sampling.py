@@ -334,16 +334,22 @@ def budget_select(
 
 
 def md5_uniform(id_col: Column) -> Column:
-    """A deterministic uniform in [0, 1): the first 13 hex digits of
-    md5(id) as an integer over 2^52. 13 digits = 52 bits keeps the
-    value exactly representable in a double, so engines that parse
-    the same hex prefix (DuckDB: ('0x'||substr)::UBIGINT) get the
+    """A deterministic uniform in the OPEN interval (0, 1): the first
+    13 hex digits of md5(id) as an integer, +0.5, over 2^52. 13 hex
+    digits = 52 bits and the half-step both stay exactly
+    representable in a double, so engines that parse the same hex
+    prefix (DuckDB: (('0x'||substr)::UBIGINT::DOUBLE + 0.5)) get the
     bit-identical uniform — the md5-order convention of
-    :func:`cap_per_group`, extended from ordering to numeric draws."""
+    :func:`cap_per_group`, extended from ordering to numeric draws.
+    The open interval matters: an all-zero prefix would give u = 0,
+    where Spark's log(0) is NULL (sorts FIRST — unconditionally
+    sampled) while other engines give -inf (sorts last); the
+    half-step excludes both endpoints so ``-ln(u)`` is always finite
+    and positive."""
     return (
         F.conv(F.substring(F.md5(id_col.cast("string")), 1, 13), 16, 10).cast("double")
-        / F.lit(float(1 << 52))
-    )
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
 
 
 def weighted_sample(

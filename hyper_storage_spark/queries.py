@@ -3208,6 +3208,39 @@ def text_token_rarity(spark, sf_dir):
 _STREAM_WINDOW_RESULTS: dict[str, object] = {}
 
 
+def _events_stream(spark, sf_dir, prefix="hs_stream_src_"):
+    """The events table as a real file-source stream, staged as one
+    symlinked parquet (no data copy). Single-file replay delivers
+    everything in one micro-batch, so the ordered-replay rule for
+    watermarked multi-file backfills does not come into play here.
+    Returns (batch_df, stream_df)."""
+    import os
+    import tempfile
+
+    batch = _t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(d, "events.parquet"),
+    )
+    return batch, spark.readStream.schema(batch.schema).parquet(d)
+
+
+def _run_to_memory(spark, out, name, mode):
+    """Drain a streaming DataFrame into a memory sink (availableNow)
+    and return the result table — the run-to-completion harness every
+    streaming catalog entry shares."""
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @register(
     "q_stream_window_counts",
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
@@ -3231,35 +3264,10 @@ def q_stream_window_counts(spark, sf_dir):
     if df is None:
         from .streaming.windows import windowed_event_counts
 
-        import os
-        import tempfile
-
-        batch = _t(spark, sf_dir, "events")
-        # the file streaming source lists a DIRECTORY; stage the single
-        # parquet file behind a symlink dir (no data copy)
-        d = tempfile.mkdtemp(prefix="hs_stream_win_")
-        # abspath: a relative target would resolve against the TEMP
-        # dir (symlink semantics), dangling silently
-        os.symlink(
-            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-            os.path.join(d, "events.parquet"),
-        )
-        stream = (
-            spark.readStream.schema(batch.schema)
-            .parquet(d)
-            .withColumn("value", F.col("value").cast("decimal(18,6)"))
-        )
+        _, stream = _events_stream(spark, sf_dir, prefix="hs_stream_win_")
+        stream = stream.withColumn("value", F.col("value").cast("decimal(18,6)"))
         agg = windowed_event_counts(stream, window="1 day", watermark="2 hours")
-        name = f"stream_win_{abs(hash(sf_dir))}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        df = spark.table(name)
+        df = _run_to_memory(spark, agg, f"stream_win_{abs(hash(sf_dir))}", "complete")
         _STREAM_WINDOW_RESULTS[sf_dir] = df
     return df.select(
         "window_start",
@@ -3343,16 +3351,7 @@ def q_stream_session_windows(spark, sf_dir):
             .parquet(src)
         )
         agg = session_windows(stream, gap="30 minutes", watermark="1 hour")
-        name = f"stream_sess_{abs(hash(sf_dir))}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        df = spark.table(name)
+        df = _run_to_memory(spark, agg, f"stream_sess_{abs(hash(sf_dir))}", "append")
         _STREAM_WINDOW_RESULTS[f"sess:{sf_dir}"] = df
     cutoff = (
         _t(spark, sf_dir, "events")
@@ -3402,16 +3401,7 @@ def q_stream_dedup(spark, sf_dir):
         # 100-day watermark >> the slice's span: no pair straddles the
         # horizon, so at-least-once-per-horizon degenerates to exact
         out = stream_dedup(stream, ["event_id"], watermark="100 days")
-        name = f"stream_dedup_{abs(hash(sf_dir))}"
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        df = spark.table(name)
+        df = _run_to_memory(spark, out, f"stream_dedup_{abs(hash(sf_dir))}", "append")
         _STREAM_WINDOW_RESULTS[f"dedup:{sf_dir}"] = df
     return df.select("event_id", "user_id", "event_type", "ts", "value")
 
@@ -4039,33 +4029,12 @@ def q_stream_sliding_counts(spark, sf_dir):
     key = f"slide::{sf_dir}"
     df = _STREAM_WINDOW_RESULTS.get(key)
     if df is None:
-        import os
-        import tempfile
-
         from .streaming.windows import windowed_event_counts
 
-        batch = _t(spark, sf_dir, "events")
-        d = tempfile.mkdtemp(prefix="hs_stream_slide_")
-        os.symlink(
-            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-            os.path.join(d, "events.parquet"),
-        )
-        stream = (
-            spark.readStream.schema(batch.schema)
-            .parquet(d)
-            .withColumn("value", F.col("value").cast("decimal(18,6)"))
-        )
+        _, stream = _events_stream(spark, sf_dir, prefix="hs_stream_slide_")
+        stream = stream.withColumn("value", F.col("value").cast("decimal(18,6)"))
         agg = windowed_event_counts(stream, window="2 days", watermark="2 hours", slide="1 day")
-        name = f"stream_slide_{abs(hash(sf_dir))}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        df = spark.table(name)
+        df = _run_to_memory(spark, agg, f"stream_slide_{abs(hash(sf_dir))}", "complete")
         _STREAM_WINDOW_RESULTS[key] = df
     return df.select(
         "window_start",
@@ -4386,11 +4355,11 @@ def q_bloom_prejoin(spark, sf_dir):
                          CAST(value AS DECIMAL(18,6)) AS v
                   FROM events)
        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
-              COUNT(*) AS n,
+              COUNT(v) AS n,
               CAST(ROUND(SUM(v), 2) AS DOUBLE) AS total,
               CAST(ROUND(MIN(v), 4) AS DOUBLE) AS vmin,
               CAST(ROUND(MAX(v), 4) AS DOUBLE) AS vmax,
-              CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
+              CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(v), 4) AS DOUBLE)
                   AS avg_value
        FROM e GROUP BY 1, 2""",
 )
@@ -4484,7 +4453,7 @@ def mv_rollup_distinct_contract(spark, sf_dir):
     "q_weighted_sample",
     """WITH keyed AS (
          SELECT doc_id, lang, n_chars,
-                ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT::DOUBLE)
+                ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT::DOUBLE + 0.5)
                           / 4503599627370496.0) / n_chars, 12) AS k
          FROM documents WHERE n_chars > 0
        )
@@ -4554,7 +4523,7 @@ def mv_rollup_ohlc(spark, sf_dir):
          SELECT doc_id, lang, n_chars,
                 ROW_NUMBER() OVER (
                   PARTITION BY lang
-                  ORDER BY ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT::DOUBLE)
+                  ORDER BY ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT::DOUBLE + 0.5)
                                      / 4503599627370496.0) / n_chars, 12),
                            doc_id) AS rn
          FROM documents WHERE n_chars > 0
@@ -4602,32 +4571,17 @@ def q_stream_interval_join(spark, sf_dir):
 
         from .streaming.joins import stream_interval_join
 
-        batch = _t(spark, sf_dir, "events")
-        d = tempfile.mkdtemp(prefix="hs_stream_ij_")
-        os.symlink(
-            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-            os.path.join(d, "events.parquet"),
-        )
-        src = spark.readStream.schema(batch.schema).parquet(d)
-        clicks = src.filter(F.col("event_type") == "click").select(
+        _, stream = _events_stream(spark, sf_dir, prefix="hs_stream_ij_")
+        clicks = stream.filter(F.col("event_type") == "click").select(
             "user_id", "ts", "event_id"
         )
-        views = src.filter(F.col("event_type") == "view").select(
+        views = stream.filter(F.col("event_type") == "view").select(
             "user_id", "ts", "event_id"
         )
         out = stream_interval_join(
             clicks, views, keys=["user_id"], lower="10 minutes", upper="0 seconds"
         )
-        name = f"stream_ij_{abs(hash(sf_dir))}"
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        df = spark.table(name)
+        df = _run_to_memory(spark, out, f"stream_ij_{abs(hash(sf_dir))}", "append")
         _STREAM_WINDOW_RESULTS[key] = df
     return df.select("user_id", "ts", "event_id", "ts_r", "event_id_r")
 

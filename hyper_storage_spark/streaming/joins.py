@@ -4,8 +4,11 @@ The reference has no stream-join surface at all (its "streaming" is
 CDC publication, SURVEY.md §2.4); this is extension surface covering
 the remaining first-class Structured Streaming capability: joining
 two live streams on a key within an event-time interval ("match each
-click to the impressions of the same user in the preceding 10
-minutes"). The mechanics that make it runnable forever:
+click to the same user's events within 10 minutes of it" — the
+defaults reach FORWARD from the left timestamp; pass
+``lower="10 minutes", upper="0 seconds"`` for the preceding-window
+form, as the catalog entry does). The mechanics that make it
+runnable forever:
 
  - BOTH sides carry a watermark and the join condition carries an
    explicit event-time bound, so Spark can prove when a buffered row

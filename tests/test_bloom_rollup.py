@@ -392,3 +392,38 @@ def test_rollup_merge_algebra_randomized(spark):
         assert _snap(chained) == direct
 
     run()
+
+
+def test_rollup_merge_null_bucket_single_grain_row(spark):
+    # a NULL event time lands in a NULL bucket on BOTH sides of the
+    # refresh; the split must match it null-safely or the merged MV
+    # holds two rows for one (key, NULL) grain
+    rows = [("2024-01-01 01:00:00", "a", "1.0"), (None, "a", "2.0")]
+    e = spark.createDataFrame(rows, "ts string, k string, v string").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "k",
+        F.col("v").cast("decimal(18,6)").alias("v"),
+    )
+    base = rollup_mv.rollup_partials(e, "ts", ["k"], "v")
+    delta = rollup_mv.rollup_partials(e.filter(F.col("ts").isNull()), "ts", ["k"], "v")
+    merged = rollup_mv.rollup_merge(base, delta, ["k"])
+    null_rows = merged.filter(F.col("bucket_start").isNull()).collect()
+    assert len(null_rows) == 1  # one grain row, not split partials
+    assert null_rows[0].n == 2 and str(null_rows[0].total) == "4.000000"
+
+
+def test_streaming_rollup_new_run_id_is_fresh_lineage(spark, tmp_path):
+    # a new checkpoint restarts batch ids at 0; with a run_id the MV
+    # recognizes new lineage instead of skipping below the old mark
+    mv = str(tmp_path / "mv")
+    e = _events(spark)
+    run1 = rollup_mv.streaming_rollup(mv, "ts", ["k"], "v", run_id="ckpt-A")
+    run1(e, 0)
+    run1(e, 1)
+    n_after_run1 = sum(r.n for r in rollup_mv.read_rollup(spark, mv).collect())
+    run2 = rollup_mv.streaming_rollup(mv, "ts", ["k"], "v", run_id="ckpt-B")
+    run2(e, 0)  # batch 0 again — MUST apply (new lineage)
+    n_after_run2 = sum(r.n for r in rollup_mv.read_rollup(spark, mv).collect())
+    assert n_after_run2 == n_after_run1 + e.count()
+    run2(e, 0)  # replay within run B — must skip
+    assert sum(r.n for r in rollup_mv.read_rollup(spark, mv).collect()) == n_after_run2
