@@ -288,6 +288,33 @@ def vacuum_rollup(mv_root: str) -> int:
     return removed
 
 
+def rollup_coarsen(partials: DataFrame, key_cols: Sequence[str], resolution: str) -> DataFrame:
+    """Re-aggregate fine partials to a coarser ``resolution`` (e.g.
+    the day-grained MV answering month queries) — partials compose,
+    so this is exact, scans ONLY the MV (bucket-count-sized, never
+    the fact table), and inherits the same nesting rule as
+    timeseries.hypertable_rollup: the coarser buckets must be unions
+    of the finer ones (a week straddling a month boundary would land
+    its whole partial in one month — truncate from day-or-finer
+    instead). All partial kinds carry over: additive (n/total),
+    min/max (vmin/vmax and the OHLC struct pair), and HLL union."""
+    grain = [*key_cols]
+    aggs = [
+        F.sum("n").alias("n"),
+        F.sum("total").alias("total"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    ]
+    if "dsk" in partials.columns:
+        aggs.append(F.hll_union_agg("dsk").alias("dsk"))
+    if "ofirst" in partials.columns:
+        aggs.append(F.min("ofirst").alias("ofirst"))
+        aggs.append(F.max("olast").alias("olast"))
+    return partials.groupBy(
+        *grain, F.date_trunc(resolution, F.col("bucket_start")).alias("bucket_start")
+    ).agg(*aggs)
+
+
 def rollup_finalize(partials: DataFrame) -> DataFrame:
     """Derive the non-mergeable serving view from merged partials:
     adds ``avg = double(total) / n``. The partials stay the exact

@@ -4586,6 +4586,43 @@ def q_stream_interval_join(spark, sf_dir):
     return df.select("user_id", "ts", "event_id", "ts_r", "event_id_r")
 
 
+@register_extra(
+    "mv_rollup_coarsen",
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+                         CAST(value AS DECIMAL(18,6)) AS v
+                  FROM events)
+       SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket_start,
+              COUNT(v) AS n,
+              CAST(ROUND(SUM(v), 2) AS DOUBLE) AS total
+       FROM e GROUP BY 1, 2""",
+)
+def mv_rollup_coarsen(spark, sf_dir):
+    """Coarser resolutions served FROM the incremental MV
+    (rollup_mv.rollup_coarsen): the maintained day-grain partials are
+    re-aggregated to week grain — partials compose exactly, so the
+    answer equals the oracle's direct week aggregation while the
+    query scans only the MV (bucket-count-sized), never the fact
+    table. The MV itself is built through the same base/delta refresh
+    as mv_incremental_rollup, so this also re-proves
+    coarsen(merge(A,B)) ≡ direct weekly over A ∪ B."""
+    from .operators import rollup_mv
+
+    e = _t(spark, sf_dir, "events").select(
+        "ts", "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    base = rollup_mv.rollup_partials(e.filter(F.col("ts") < cutoff), "ts", ["event_type"], "v")
+    delta = rollup_mv.rollup_partials(e.filter(F.col("ts") >= cutoff), "ts", ["event_type"], "v")
+    daily = rollup_mv.rollup_merge(base, delta, ["event_type"])
+    weekly = rollup_mv.rollup_coarsen(daily, ["event_type"], "week")
+    return weekly.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        F.round("total", 2).cast("double").alias("total"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

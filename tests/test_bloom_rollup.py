@@ -427,3 +427,37 @@ def test_streaming_rollup_new_run_id_is_fresh_lineage(spark, tmp_path):
     assert n_after_run2 == n_after_run1 + e.count()
     run2(e, 0)  # replay within run B — must skip
     assert sum(r.n for r in rollup_mv.read_rollup(spark, mv).collect()) == n_after_run2
+
+
+def test_rollup_coarsen_equals_direct_weekly(spark):
+    # day partials re-aggregated to week must equal aggregating the
+    # raw rows at week grain directly — including distinct sketches
+    # and OHLC struct pairs
+    rows = [
+        ("2024-01-01 01:00:00", "a", "u1", "1.0"),  # Mon, week of Jan 1
+        ("2024-01-03 05:00:00", "a", "u2", "5.0"),
+        ("2024-01-03 09:00:00", "a", "u1", "2.0"),  # overlapping user
+        ("2024-01-08 02:00:00", "a", "u3", "9.0"),  # next week
+    ]
+    e = spark.createDataFrame(rows, "ts string, k string, u string, v string").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "k",
+        "u",
+        F.col("v").cast("decimal(18,6)").alias("v"),
+    )
+    daily = rollup_mv.rollup_partials(e, "ts", ["k"], "v", distinct_col="u", ohlc=True)
+    weekly = rollup_mv.rollup_finalize(rollup_mv.rollup_coarsen(daily, ["k"], "week"))
+    direct = rollup_mv.rollup_finalize(
+        rollup_mv.rollup_partials(e, "ts", ["k"], "v", distinct_col="u", ohlc=True, resolution="week")
+    )
+    def snap(df):
+        return sorted(
+            (r.k, str(r.bucket_start), r.n, str(r.total), str(r.vmin), str(r.vmax),
+             r.n_distinct, str(r.open), str(r.close))
+            for r in df.collect()
+        )
+    got, want = snap(weekly), snap(direct)
+    assert got == want and len(got) == 2
+    w1 = next(r for r in got if r[1].startswith("2024-01-01"))
+    assert w1[2] == 3 and w1[6] == 2  # 3 rows, 2 distinct users in week 1
+    assert w1[7] == "1.000000" and w1[8] == "2.000000"  # open Mon, close Wed
