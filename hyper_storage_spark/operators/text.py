@@ -319,3 +319,77 @@ def chunk_documents(
             F.concat_ws(" ", F.col("c.toks")).alias("chunk_text"),
         )
     )
+
+
+def char_lm_score(
+    docs: DataFrame,
+    n: int = 3,
+    top_k: int = 50_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character n-gram language-model quality score (the CCNet /
+    KenLM-style perplexity proxy): train a unigram-over-n-grams model
+    on the corpus itself, then score each document by its mean n-gram
+    log-probability — fluent text reuses the corpus's common
+    character patterns, while garbled/boilerplate/binary-ish text
+    lands in the rare tail and scores low. Higher = more fluent.
+
+    Returns (id_col, n_grams, lm_score) for documents with at least
+    one full n-gram.
+
+    Spark-first mechanics: n-gram extraction is a per-row
+    sequence/transform HOF (no shuffle), the model is ONE ``top_k``-
+    row count table (Zipf makes the head carry nearly all mass, so
+    the cap bounds model size regardless of corpus size; ties broken
+    deterministically by count desc, gram asc), and scoring is an
+    equi-join of exploded grams against that bounded table — Catalyst
+    broadcasts it — with unseen grams backed off to a floor of
+    0.5/total. Per-gram log-probs are cast to DECIMAL(20,10) BEFORE
+    the per-document sum, so the mean is order-independent and
+    cross-engine exact (an IEEE double sum would depend on partition
+    order). At 100 TB, train the counts on a sample (pass a sampled
+    ``docs`` to a first call and reuse the join table); scoring
+    stays one scan + one broadcast join either way."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    # CASE guard, not greatest(..., 0): Spark's sequence(1, 0) infers
+    # step -1 and yields [1, 0] — a short doc would emit two bogus
+    # partial grams instead of none
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN length({text_col}) >= {n} THEN"
+                f" transform(sequence(1, length({text_col}) - {n - 1}),"
+                f" i -> substring({text_col}, i, {n}))"
+                f" ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("g").agg(F.count("*").alias("cnt"))
+    # orderBy+limit plans as TakeOrdered (per-partition heaps) — the
+    # sanctioned top-k shape; a global row_number Window here would be
+    # the single-task sort the plan linter exists to catch
+    model = counts.orderBy(F.col("cnt").desc(), F.col("g")).limit(top_k)
+    total = grams.count()
+    floor = 0.5
+    lp = F.log((F.coalesce(F.col("cnt"), F.lit(floor))) / F.lit(float(total))).cast(
+        "decimal(20,10)"
+    )
+    scored = (
+        grams.join(model, on="g", how="left")
+        .select(F.col(id_col), lp.alias("lp"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_grams"), F.sum("lp").alias("sum_lp"))
+    )
+    # double division of the EXACT decimal sum: decimal-division scale
+    # rules differ per engine, IEEE division of identical inputs
+    # doesn't (same determinism argument as rollup_mv.rollup_finalize)
+    return scored.select(
+        id_col,
+        "n_grams",
+        (F.col("sum_lp").cast("double") / F.col("n_grams")).alias("lm_score"),
+    )

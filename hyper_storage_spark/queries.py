@@ -4623,6 +4623,49 @@ def mv_rollup_coarsen(spark, sf_dir):
     )
 
 
+@register_extra(
+    "text_lm_perplexity",
+    """WITH grams AS (
+         SELECT d.doc_id, substr(d.text, CAST(i AS INT), 3) AS g
+         FROM documents d,
+              UNNEST(range(1, greatest(length(d.text) - 1, 1))) AS t(i)
+       ),
+       tot AS (SELECT COUNT(*) AS total FROM grams),
+       model AS (
+         SELECT g, COUNT(*) AS cnt FROM grams GROUP BY g
+         ORDER BY cnt DESC, g LIMIT 50000
+       ),
+       scored AS (
+         SELECT gr.doc_id,
+                CAST(ln(COALESCE(m.cnt, 0.5) / t.total) AS DECIMAL(20,10)) AS lp
+         FROM grams gr LEFT JOIN model m USING (g), tot t
+       )
+       SELECT doc_id, COUNT(*) AS n_grams,
+              CAST(ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+                  AS lm_score
+       FROM scored GROUP BY doc_id""",
+)
+def text_lm_perplexity(spark, sf_dir):
+    """Character-trigram LM quality score (operators/text.py
+    char_lm_score): the CCNet/KenLM-style perplexity proxy — train a
+    unigram-over-trigrams model on the corpus, score each document by
+    mean trigram log-probability (unseen grams floored at 0.5/total).
+    The oracle replays the ENTIRE formula — gram extraction, top-50k
+    Zipf-capped model with deterministic tie-break, backoff, and the
+    decimal-exact per-doc sum — so the score matches to 6 decimals,
+    not just directionally. Scale shape: per-row HOF gram extraction,
+    one bounded (top-k) count table broadcast into the scoring join,
+    per-gram log-probs cast to DECIMAL before summing so the mean is
+    partition-order-independent."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.char_lm_score(docs, n=3, top_k=50_000)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.round("lm_score", 6).cast("double").alias("lm_score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

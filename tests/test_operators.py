@@ -2127,3 +2127,34 @@ def test_weighted_sample_per_group(spark):
         df.filter(F.col("g") == "g1"), "w", 40, id_col="doc_id"
     ).collect()
     assert by_g["g1"] == {r.doc_id for r in only_g1}
+
+
+def test_char_lm_score_hand_computed(spark):
+    import math
+
+    import pytest
+
+    from hyper_storage_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "aaab"), (2, "zzzz"), (3, "ab")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text_ops.char_lm_score(docs, n=3).collect()}
+    # grams: doc1 -> aaa, aab; doc2 -> zzz, zzz; doc3 too short -> absent
+    assert set(out) == {1, 2}
+    assert out[1].n_grams == 2 and out[2].n_grams == 2
+    assert out[1].lm_score == pytest.approx(math.log(0.25), rel=1e-9)
+    assert out[2].lm_score == pytest.approx(math.log(0.5), rel=1e-9)
+    # fluent (common-pattern) text scores higher than rare-pattern text
+    assert out[2].lm_score > out[1].lm_score
+
+    # top_k cap: keep zzz (cnt 2) and aaa (tie on cnt 1, gram asc);
+    # aab falls out of the model and backs off to the 0.5/total floor
+    capped = {r.doc_id: r for r in text_ops.char_lm_score(docs, n=3, top_k=2).collect()}
+    want = (math.log(0.25) + math.log(0.5 / 4)) / 2
+    assert capped[1].lm_score == pytest.approx(want, rel=1e-9)
+
+    with pytest.raises(ValueError):
+        text_ops.char_lm_score(docs, n=0)
+    with pytest.raises(ValueError):
+        text_ops.char_lm_score(docs, top_k=0)
