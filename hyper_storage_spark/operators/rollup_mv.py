@@ -36,7 +36,7 @@ import os
 import tempfile
 from typing import Callable, Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _PARTIAL_COLS = ("n", "total", "vmin", "vmax")
@@ -50,9 +50,12 @@ def rollup_partials(
     resolution: str = "day",
     distinct_col: Optional[str] = None,
     ohlc: bool = False,
+    sample_col: Optional[str] = None,
+    sample_id_col: Optional[str] = None,
+    sample_k: int = 256,
 ) -> DataFrame:
     """One-pass partial aggregates: (keys…, bucket_start, n, total,
-    vmin, vmax[, dsk][, ofirst, olast]) at ``resolution`` (any
+    vmin, vmax[, dsk][, ofirst, olast][, smp]) at ``resolution`` (any
     date_trunc unit).
 
     ``distinct_col`` adds ``dsk``, an HLL sketch of that column's
@@ -65,8 +68,25 @@ def rollup_partials(
 
     ``ohlc`` adds ``ofirst``/``olast`` struct(t, v) partials — with
     vmin/vmax these finalize to the open-high-low-close candle, the
-    standard finance/telemetry rollup."""
+    standard finance/telemetry rollup.
+
+    ``sample_col`` (with ``sample_id_col`` naming a row-unique column
+    to hash) adds ``smp``, a BOTTOM-K-BY-HASH sample of that column —
+    the mergeable substitute for quantiles, the other aggregate that
+    does not decompose into additive partials. Keeping the k rows
+    with the smallest content hash is a uniform without-replacement
+    sample whose merge is EXACT (bottom-k(A ∪ B) ≡
+    bottom-k(bottom-k(A) ∪ bottom-k(B))) and deterministic (pure
+    content hash, no sampler state); ``rollup_quantile`` estimates
+    any percentile from it with O(1/√k) error. The per-bucket rank
+    runs over a window PARTITIONED by the grain (bounded state,
+    same partitioning the groupBy reuses), never a global sort."""
+    if sample_col is not None and sample_id_col is None:
+        raise ValueError("sample_col requires sample_id_col (a row-unique column to hash)")
+    if sample_k < 1:
+        raise ValueError(f"sample_k must be >= 1, got {sample_k}")
     keys = [F.col(c) for c in key_cols]
+    base = df.withColumn("bucket_start", F.date_trunc(resolution, F.col(ts_col)))
     aggs = [
         F.count(value_col).alias("n"),
         F.sum(value_col).alias("total"),
@@ -84,12 +104,27 @@ def rollup_partials(
         pair = F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v"))
         aggs.append(F.min(pair).alias("ofirst"))
         aggs.append(F.max(pair).alias("olast"))
-    return df.groupBy(
-        *keys, F.date_trunc(resolution, F.col(ts_col)).alias("bucket_start")
-    ).agg(*aggs)
+    if sample_col is not None:
+        w = Window.partitionBy(*key_cols, "bucket_start").orderBy(F.col("__h"))
+        base = base.withColumn("__h", F.xxhash64(F.col(sample_id_col))).withColumn(
+            "__r", F.row_number().over(w)
+        )
+        kept = F.when(
+            F.col("__r") <= sample_k,
+            F.struct(F.col("__h").alias("h"), F.col(sample_col).alias("v")),
+        )
+        # collect_list skips NULLs, so the list is bounded by k; the
+        # sort makes it deterministic regardless of task order
+        aggs.append(F.array_sort(F.collect_list(kept)).alias("smp"))
+    return base.groupBy(*keys, F.col("bucket_start")).agg(*aggs)
 
 
-def rollup_merge(existing: DataFrame, delta: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+def rollup_merge(
+    existing: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    sample_k: int = 256,
+) -> DataFrame:
     """Merge delta partials into an existing rollup, delta-bounded.
 
     Buckets absent from the delta are passed through without
@@ -107,10 +142,14 @@ def rollup_merge(existing: DataFrame, delta: DataFrame, key_cols: Sequence[str])
     has_ohlc = "ofirst" in existing.columns
     if has_ohlc != ("ofirst" in delta.columns):
         raise ValueError("OHLC columns present on only one side")
+    has_smp = "smp" in existing.columns
+    if has_smp != ("smp" in delta.columns):
+        raise ValueError("sample sketch column 'smp' present on only one side")
     out_cols = [
         *_PARTIAL_COLS,
         *(["dsk"] if has_dsk else []),
         *(["ofirst", "olast"] if has_ohlc else []),
+        *(["smp"] if has_smp else []),
     ]
     merge_aggs = [
         F.sum("n").alias("n"),
@@ -123,6 +162,13 @@ def rollup_merge(existing: DataFrame, delta: DataFrame, key_cols: Sequence[str])
     if has_ohlc:
         merge_aggs.append(F.min("ofirst").alias("ofirst"))
         merge_aggs.append(F.max("olast").alias("olast"))
+    if has_smp:
+        # bottom-k of the union of bottom-ks ≡ bottom-k of the union:
+        # the grain group holds at most (existing row + delta row), so
+        # the flatten is 2k-bounded before re-slicing
+        merge_aggs.append(
+            _bottom_k(F.flatten(F.collect_list("smp")), sample_k).alias("smp")
+        )
     # null-safe bucket match: a NULL event time yields a NULL bucket
     # (date_trunc(NULL)), and a plain equality split would route the
     # existing NULL-bucket row to `untouched` while the delta's NULL
@@ -202,6 +248,9 @@ def streaming_rollup(
     distinct_col: Optional[str] = None,
     ohlc: bool = False,
     run_id: Optional[str] = None,
+    sample_col: Optional[str] = None,
+    sample_id_col: Optional[str] = None,
+    sample_k: int = 256,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` sink maintaining a parquet-backed rollup MV —
     the continuous-aggregate face of ``rollup_merge``.
@@ -246,15 +295,19 @@ def streaming_rollup(
             resolution,
             distinct_col=distinct_col,
             ohlc=ohlc,
+            sample_col=sample_col,
+            sample_id_col=sample_id_col,
+            sample_k=sample_k,
         )
         if cur is not None:
             existing = batch_df.sparkSession.read.parquet(os.path.join(mv_root, cur["path"]))
-            merged = rollup_merge(existing, delta, key_cols)
+            merged = rollup_merge(existing, delta, key_cols, sample_k=sample_k)
             version = cur["version"] + 1
         else:
             extra = [
                 *(["dsk"] if distinct_col is not None else []),
                 *(["ofirst", "olast"] if ohlc else []),
+                *(["smp"] if sample_col is not None else []),
             ]
             merged = delta.select(*key_cols, "bucket_start", *_PARTIAL_COLS, *extra)
             version = 1
@@ -288,7 +341,31 @@ def vacuum_rollup(mv_root: str) -> int:
     return removed
 
 
-def rollup_coarsen(partials: DataFrame, key_cols: Sequence[str], resolution: str) -> DataFrame:
+def _bottom_k(col: Column, k: int) -> Column:
+    return F.slice(F.array_sort(col), 1, k)
+
+
+def rollup_quantile(partials: DataFrame, q: float, out_col: Optional[str] = None) -> DataFrame:
+    """Estimate the q-quantile per bucket from the ``smp`` bottom-k
+    sample (see ``rollup_partials(sample_col=...)``): the sample is
+    uniform-without-replacement, so the sample quantile is the
+    standard estimator with error O(1/√k) — and, unlike a quantile
+    over raw rows, it survives incremental refreshes."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    if "smp" not in partials.columns:
+        raise ValueError("partials carry no sample sketch; build with sample_col=")
+    vals = F.array_sort(F.expr("transform(smp, x -> x.v)"))
+    idx = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.size(vals)).cast("int"))
+    return partials.withColumn(out_col or f"p{int(q * 100)}", F.element_at(vals, idx))
+
+
+def rollup_coarsen(
+    partials: DataFrame,
+    key_cols: Sequence[str],
+    resolution: str,
+    sample_k: int = 256,
+) -> DataFrame:
     """Re-aggregate fine partials to a coarser ``resolution`` (e.g.
     the day-grained MV answering month queries) — partials compose,
     so this is exact, scans ONLY the MV (bucket-count-sized, never
@@ -310,6 +387,8 @@ def rollup_coarsen(partials: DataFrame, key_cols: Sequence[str], resolution: str
     if "ofirst" in partials.columns:
         aggs.append(F.min("ofirst").alias("ofirst"))
         aggs.append(F.max("olast").alias("olast"))
+    if "smp" in partials.columns:
+        aggs.append(_bottom_k(F.flatten(F.collect_list("smp")), sample_k).alias("smp"))
     return partials.groupBy(
         *grain, F.date_trunc(resolution, F.col("bucket_start")).alias("bucket_start")
     ).agg(*aggs)

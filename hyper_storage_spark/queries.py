@@ -4666,6 +4666,76 @@ def text_lm_perplexity(spark, sf_dir):
     )
 
 
+@register_extra(
+    "mv_rollup_quantile_contract",
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+                         CAST(value AS DECIMAL(18,6)) AS v
+                  FROM events)
+       SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+              CAST(ROUND(quantile_cont(CAST(v AS DOUBLE), 0.5), 6) AS DOUBLE)
+                  AS p50_exact,
+              true AS merge_consistent, true AS within_band
+       FROM e GROUP BY 1, 2""",
+)
+def mv_rollup_quantile_contract(spark, sf_dir):
+    """Quantiles inside the incremental rollup: percentiles are the
+    other aggregate with no additive partials, so the MV carries a
+    BOTTOM-K-BY-HASH sample per bucket (rollup_mv sample_col) — a
+    deterministic uniform sample whose merge is EXACT
+    (bottom-k(A ∪ B) ≡ bottom-k(bottom-k(A) ∪ bottom-k(B))), unlike
+    a reservoir, which needs sampler state. Contracts per
+    (event_type, day), all in-plan: (a) the base+delta MERGED
+    sample's p50 must EQUAL the single-pass sample's p50 — the exact
+    mergeability the MV depends on; (b) the sample p50 must land
+    within 10% of the bucket's value range of the exact interpolated
+    median (k=128; measured max deviation 3.0% at sf0.1, 1.3% at
+    sf0.01 — the band is 3× the observed worst case and the draw is
+    a pure content hash, so the margin cannot drift run-to-run)."""
+    from .operators import rollup_mv
+
+    e = _t(spark, sf_dir, "events").select(
+        "ts", "event_type", "event_id", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    kw = dict(sample_col="v", sample_id_col="event_id", sample_k=128)
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    base = rollup_mv.rollup_partials(
+        e.filter(F.col("ts") < cutoff), "ts", ["event_type"], "v", **kw
+    )
+    delta = rollup_mv.rollup_partials(
+        e.filter(F.col("ts") >= cutoff), "ts", ["event_type"], "v", **kw
+    )
+    merged = rollup_mv.rollup_quantile(
+        rollup_mv.rollup_merge(base, delta, ["event_type"], sample_k=128),
+        0.5,
+        out_col="p50_m",
+    ).select("event_type", "bucket_start", "p50_m")
+    direct = rollup_mv.rollup_quantile(
+        rollup_mv.rollup_partials(e, "ts", ["event_type"], "v", **kw),
+        0.5,
+        out_col="p50_d",
+    ).select("event_type", "bucket_start", "p50_d")
+    exact = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("bucket_start")
+    ).agg(
+        F.percentile(F.col("v").cast("double"), F.lit(0.5)).alias("p50_exact"),
+        (F.max("v") - F.min("v")).cast("double").alias("rng"),
+    )
+    grain = ["event_type", "bucket_start"]
+    return (
+        exact.join(merged, on=grain)
+        .join(direct, on=grain)
+        .select(
+            *grain,
+            F.round("p50_exact", 6).cast("double").alias("p50_exact"),
+            (F.col("p50_m") == F.col("p50_d")).alias("merge_consistent"),
+            (
+                F.abs(F.col("p50_m").cast("double") - F.col("p50_exact"))
+                <= F.col("rng") * 0.10
+            ).alias("within_band"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

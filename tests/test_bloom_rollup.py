@@ -461,3 +461,68 @@ def test_rollup_coarsen_equals_direct_weekly(spark):
     w1 = next(r for r in got if r[1].startswith("2024-01-01"))
     assert w1[2] == 3 and w1[6] == 2  # 3 rows, 2 distinct users in week 1
     assert w1[7] == "1.000000" and w1[8] == "2.000000"  # open Mon, close Wed
+
+
+def test_rollup_sample_sketch_merge_is_exact(spark):
+    # bottom-k-by-hash merges EXACTLY: merged sample == single-pass
+    # sample element-for-element, regardless of the split
+    rows = [
+        ("2024-01-01 0%d:0%d:00" % (i // 10, i % 10), "a", i, str(i * 3 % 17))
+        for i in range(40)
+    ]
+    e = spark.createDataFrame(rows, "ts string, k string, rid long, v string").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "k",
+        "rid",
+        F.col("v").cast("decimal(18,6)").alias("v"),
+    )
+    kw = dict(sample_col="v", sample_id_col="rid", sample_k=8)
+    cut = F.lit("2024-01-01 02:00:00").cast("timestamp")
+    base = rollup_mv.rollup_partials(e.filter(F.col("ts") < cut), "ts", ["k"], "v", **kw)
+    delta = rollup_mv.rollup_partials(e.filter(F.col("ts") >= cut), "ts", ["k"], "v", **kw)
+    merged = rollup_mv.rollup_merge(base, delta, ["k"], sample_k=8)
+    direct = rollup_mv.rollup_partials(e, "ts", ["k"], "v", **kw)
+    msmp = merged.select("smp").collect()[0].smp
+    dsmp = direct.select("smp").collect()[0].smp
+    assert msmp == dsmp and len(msmp) == 8  # capped at k, identical sets
+
+    # under-k union: 3 + 2 rows must keep all 5 samples, not truncate
+    tiny = e.limit(5)
+    b2 = rollup_mv.rollup_partials(tiny.filter(F.col("rid") < 3), "ts", ["k"], "v", **kw)
+    d2 = rollup_mv.rollup_partials(tiny.filter(F.col("rid") >= 3), "ts", ["k"], "v", **kw)
+    m2 = rollup_mv.rollup_merge(b2, d2, ["k"], sample_k=8)
+    assert len(m2.select("smp").collect()[0].smp) == 5
+
+
+def test_rollup_quantile_from_sample(spark):
+    # k >= population: the sample IS the population, quantiles exact
+    rows = [("2024-01-01 01:00:00", "a", i, str(float(i))) for i in range(1, 101)]
+    e = spark.createDataFrame(rows, "ts string, k string, rid long, v string").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "k",
+        "rid",
+        F.col("v").cast("decimal(18,6)").alias("v"),
+    )
+    p = rollup_mv.rollup_partials(
+        e, "ts", ["k"], "v", sample_col="v", sample_id_col="rid", sample_k=256
+    )
+    row = rollup_mv.rollup_quantile(
+        rollup_mv.rollup_quantile(p, 0.5), 0.99, out_col="p99"
+    ).collect()[0]
+    assert float(row.p50) == 50.0 and float(row.p99) == 99.0
+
+    # sub-population sample: estimate within O(1/sqrt(k)) of truth
+    p16 = rollup_mv.rollup_partials(
+        e, "ts", ["k"], "v", sample_col="v", sample_id_col="rid", sample_k=16
+    )
+    est = float(rollup_mv.rollup_quantile(p16, 0.5).collect()[0].p50)
+    assert 20.0 <= est <= 80.0  # very loose: correct order of magnitude
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rollup_mv.rollup_quantile(p, 1.5)
+    with _pytest.raises(ValueError):
+        rollup_mv.rollup_quantile(p.drop("smp"), 0.5)
+    with _pytest.raises(ValueError):
+        rollup_mv.rollup_partials(e, "ts", ["k"], "v", sample_col="v")  # no id col
