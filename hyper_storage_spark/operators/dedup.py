@@ -1176,3 +1176,184 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text")
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 5,
+    text_col: str = "text",
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Asymmetric shingle containment: pairs where the SMALLER
+    document's shingle set is mostly inside the larger one's —
+    (a_id, b_id, n_a, n_b, n_common, containment ≥ threshold), with
+    containment = |S(a) ∩ S(b)| / min(|S(a)|, |S(b)|), rounded to 6.
+
+    Jaccard misses quote-inclusion: a short document fully embedded
+    in a long one has Jaccard ≈ |short|/|long| (arbitrarily low) but
+    containment 1.0. This is the Broder containment metric — the
+    right lens for "doc B is doc A plus boilerplate" and for
+    benchmark-in-training-page leaks, both of which matter for
+    training-corpus prep in ways symmetric near-dup does not.
+
+    Plan shape is the same scale-safe posting-list form as
+    :func:`ngram_jaccard_pairs` (one groupBy on the 8-byte shingle
+    hash, df-capped lists, ordered pairs emitted from each list with
+    array HOFs — no self-join on the shingle set, pair output bounded
+    by max_df²/2 per shingle). The threshold filter runs in integer
+    arithmetic (c·1000 ≥ ⌊th·1000⌋·min) so an oracle engine with
+    different float rounding cannot diverge at the boundary.
+
+    Reference parity note: the reference (InnovaCo/hyper-storage) is a
+    document store with no corpus analytics; this extends the dedup
+    tier mandated by the build brief, not a reference operator."""
+    sh = _hashed_shingles(docs, text_col, n)
+    posting = sh.groupBy("h").agg(F.collect_list("doc_id").alias("docs"))
+    if max_df is not None:
+        posting = posting.filter(F.size("docs") <= max_df)
+    posting = tracked_persist(posting)
+    docs_sorted = F.array_sort(F.col("docs"))
+    pair_arrays = F.flatten(
+        F.transform(
+            docs_sorted,
+            lambda x, i: F.transform(
+                F.slice(docs_sorted, i + 2, F.size(docs_sorted)),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
+    inter = (
+        posting.select(F.explode(pair_arrays).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    th_milli = int(round(threshold * 1000))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("a_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("sa.n_sh").alias("n_a"),
+            F.col("sb.n_sh").alias("n_b"),
+            "n_common",
+            F.round(
+                F.col("n_common").cast("decimal(38,12)")
+                / F.least(F.col("sa.n_sh"), F.col("sb.n_sh")),
+                6,
+            )
+            .cast("double")
+            .alias("containment"),
+        )
+        .filter(
+            F.col("n_common") * 1000
+            >= F.lit(th_milli) * F.least(F.col("n_a"), F.col("n_b"))
+        )
+    )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    span: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the rewrite op that
+    :func:`dup_span_stats` only profiles: per document, drop every
+    token position covered by a ``span``-token window that occurs in
+    ≥ ``min_docs`` documents, and return
+    (doc_id, n_tokens, n_removed, keep_fraction, clean_hash) where
+    clean_hash = md5 of the surviving tokens joined by single spaces
+    (the value an exact-SQL oracle can recompute).
+
+    This is the fixed-granularity form of exact substring dedup (Lee
+    et al., "Deduplicating Training Data Makes Language Models
+    Better"): any duplicated run of ≥ span tokens contains a
+    duplicated window, so removing covered positions removes every
+    such run (plus ≤ span−1 boundary tokens per run — the price of
+    equi-join-only planning vs suffix arrays). Documents shorter than
+    ``span`` tokens pass through untouched (n_removed = 0).
+
+    Plan shape at 100 TB: one explode of per-doc window hashes (rows ∝
+    corpus tokens, 8-byte keys), one groupBy window-hash →
+    distinct-doc count, join the flagged set back (unhinted — AQE
+    broadcasts the usually small duplicated set), collect each doc's
+    flagged START positions (≤ tokens/1 per doc, usually tiny), and
+    rebuild the text with array HOFs inside codegen — the token
+    arrays never shuffle; only (doc_id, start) pairs do. Same
+    xxhash64 collision caveat as dup_span_stats."""
+    toks = docs.select("doc_id", tokens_col(F.col(text_col)).alias("toks"))
+    toks = tracked_persist(toks)
+    # (doc_id, start, h) for every span-window; 1-based starts
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= span,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - span + 1),
+                    lambda i: F.xxhash64(
+                        F.concat_ws("\x1f", F.slice(F.col("toks"), i, span))
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("start"), "h")
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("h")
+    )
+    flagged = (
+        wins.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("start").alias("starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("starts"), lambda s: F.sequence(s, s + span - 1)
+            )
+        )
+    )
+    return (
+        toks.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.coalesce(F.col("starts"), F.array()).alias("starts"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size(covered).alias("n_removed"),
+            F.filter(
+                F.col("toks"),
+                lambda t, i: ~F.array_contains(covered, i + 1),
+            ).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed",
+            F.round(
+                (F.col("n_tokens") - F.col("n_removed")).cast("decimal(38,12)")
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("keep_fraction"),
+            F.md5(F.concat_ws(" ", F.col("kept"))).alias("clean_hash"),
+        )
+    )

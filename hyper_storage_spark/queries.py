@@ -4736,6 +4736,84 @@ def mv_rollup_quantile_contract(spark, sf_dir):
     )
 
 
+@register_extra(
+    "dedup_containment",
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+                    FROM toks WHERE len(t) >= 5)),
+       df AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100),
+       shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh)),
+       inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+                 FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id)
+       SELECT a_id, b_id, sa.n AS n_a, sb.n AS n_b, n_common,
+              CAST(ROUND(CAST(n_common AS DECIMAL(38,12)) / LEAST(sa.n, sb.n), 6)
+                   AS DOUBLE) AS containment
+       FROM inter
+       JOIN sz sa ON sa.doc_id = a_id
+       JOIN sz sb ON sb.doc_id = b_id
+       WHERE n_common * 1000 >= 800 * LEAST(sa.n, sb.n)""",
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric shingle containment (operators/dedup.py:
+    containment_pairs): pairs where the smaller document's 5-gram
+    shingle set is ≥80% inside the larger one's — the Broder
+    containment metric that catches quote-inclusion and
+    doc-plus-boilerplate duplication Jaccard structurally misses (a
+    short doc fully embedded in a long one has Jaccard ≈ short/long
+    but containment 1.0). Same df-capped posting-list plan as
+    dedup_ngram_jaccard (one groupBy on the 8-byte shingle hash,
+    pairs emitted from each capped list with array HOFs — no
+    self-join of the shingle set); the threshold compares in integer
+    arithmetic on both engines so the 0.8 boundary cannot diverge on
+    float rounding. The oracle replays the identical cap + metric on
+    raw shingle strings."""
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, n=5, max_df=100
+    )
+
+
+@register_extra(
+    "dedup_span_removal",
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       w AS (SELECT doc_id, i AS start, array_to_string(t[i:i+7], chr(31)) AS win
+             FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS i
+                   FROM toks WHERE len(t) >= 8)),
+       dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+       cov AS (SELECT DISTINCT doc_id, start + k AS pos
+               FROM w JOIN dup USING (win), unnest(generate_series(0, 7)) g(k)),
+       tp AS (SELECT doc_id, t[i] AS tok, i AS ord
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)),
+       kept AS (SELECT tp.doc_id, tp.tok, tp.ord
+                FROM tp ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.ord = cov.pos),
+       agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ord) AS ct FROM kept GROUP BY doc_id),
+       nrem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+       SELECT toks.doc_id, len(t) AS n_tokens,
+              COALESCE(n_removed, 0) AS n_removed,
+              CAST(ROUND(CAST(len(t) - COALESCE(n_removed, 0) AS DECIMAL(38,12))
+                         / GREATEST(len(t), 1), 6) AS DOUBLE) AS keep_fraction,
+              md5(COALESCE(ct, '')) AS clean_hash
+       FROM toks LEFT JOIN nrem USING (doc_id) LEFT JOIN agg USING (doc_id)""",
+)
+def dedup_span_removal(spark, sf_dir):
+    """Cross-document duplicated-span REMOVAL (operators/dedup.py:
+    remove_dup_spans) — the rewrite op dedup_span_stats only
+    profiles: drop every token position covered by an 8-token window
+    occurring in ≥2 documents (fixed-granularity exact substring
+    dedup à la Lee et al.), and emit per doc the removed-token count
+    plus an md5 of the REBUILT text so the oracle value-checks the
+    actual rewrite, not just the counts. The engine shuffles only
+    (doc_id, 8-byte window hash) and (doc_id, start) pairs — token
+    arrays stay in the scan stage and the rebuild runs in array HOFs
+    inside codegen; the oracle replays the pipeline on raw spans with
+    an anti-join on covered positions."""
+    return dedup.remove_dup_spans(
+        _t(spark, sf_dir, "documents"), span=8, min_docs=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

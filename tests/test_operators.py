@@ -2158,3 +2158,83 @@ def test_char_lm_score_hand_computed(spark):
         text_ops.char_lm_score(docs, n=0)
     with pytest.raises(ValueError):
         text_ops.char_lm_score(docs, top_k=0)
+
+
+def test_containment_catches_quote_inclusion(spark):
+    # doc 1 (8 tokens) is fully embedded in doc 2 (24 tokens):
+    # Jaccard = |A|/|B| is low, but containment = 1.0 — the asymmetric
+    # metric this operator exists for; doc 3 shares nothing
+    quote = "the quick brown fox jumps over the dog"
+    filler = " ".join(f"w{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote), (3, "x y z " + " ".join(f"u{i}" for i in range(8)))],
+        "doc_id long, text string",
+    )
+    pairs = dedup.containment_pairs(df, threshold=0.8, n=5).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.a_id, p.b_id) == (1, 2)
+    # doc 1: 8 tokens → 4 distinct 5-gram shingles, all inside doc 2
+    assert p.n_a == 4 and p.n_common == 4 and p.containment == 1.0
+    # the symmetric metric would have missed it
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.5, n=5).collect()
+    assert all((r.a_id, r.b_id) != (1, 2) for r in jac)
+
+
+def test_containment_df_cap_drops_hot_shingles(spark):
+    # one boilerplate shingle shared by ALL docs; with max_df=2 it is
+    # dropped from intersections AND set sizes, so the pure-boilerplate
+    # pair disappears instead of reading as containment 1.0
+    boiler = "all rights reserved by the site"
+    rows = [(i, boiler + " " + " ".join(f"t{i}_{j}" for j in range(6))) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.containment_pairs(df, threshold=0.1, n=6, max_df=2).collect()
+    assert capped == []
+    # uncapped, each doc has 7 distinct shingles sharing exactly the
+    # one pure-boilerplate shingle → containment 1/7 for every pair
+    uncapped = dedup.containment_pairs(df, threshold=0.1, n=6, max_df=None).collect()
+    assert len(uncapped) == 6 and all(r.n_common == 1 and r.n_a == 7 for r in uncapped)
+
+
+def test_remove_dup_spans_rewrite_values(spark):
+    import hashlib
+
+    # docs 1/2 share one 4-token run at different offsets; doc 3 is
+    # untouched; doc 4 is too short to window (passes through whole)
+    df = spark.createDataFrame(
+        [
+            (1, "p q r the quick brown fox s"),
+            (2, "the quick brown fox a b c d"),
+            (3, "u v w x y z zz yy"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.remove_dup_spans(df, span=4, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # the shared window covers positions 4-7 in doc 1, 1-4 in doc 2
+    assert out[1].n_removed == 4
+    assert out[1].clean_hash == md5("p q r s")
+    assert out[2].n_removed == 4
+    assert out[2].clean_hash == md5("a b c d")
+    assert out[3].n_removed == 0 and out[3].clean_hash == md5("u v w x y z zz yy")
+    assert out[3].keep_fraction == 1.0
+    assert out[4].n_removed == 0 and out[4].clean_hash == md5("tiny doc")
+
+
+def test_remove_dup_spans_full_removal_and_intra_doc(spark):
+    import hashlib
+
+    # identical span-length docs → everything removed (md5 of empty);
+    # a window repeated only INSIDE one doc is NOT removed
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "e f e f e f")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.remove_dup_spans(df, span=4, min_docs=2).collect()}
+    empty = hashlib.md5(b"").hexdigest()
+    assert out[1].n_removed == 4 and out[1].clean_hash == empty
+    assert out[1].keep_fraction == 0.0
+    assert out[2].clean_hash == empty
+    assert out[3].n_removed == 0
