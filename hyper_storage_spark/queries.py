@@ -4814,6 +4814,49 @@ def dedup_span_removal(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_stream_static_join",
+    """SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
+              CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1, 2""",
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment (streaming/joins.py:
+    stream_static_enrich) — the remaining first-class Structured
+    Streaming join pattern after the stream-stream interval entries:
+    events replay through a real readStream, each micro-batch joins
+    the BROADCAST customer dimension (no state store, nothing to
+    watermark), and the streamed per-(segment, event_type) decimal
+    totals must equal the batch join oracle exactly. At 100 TB the
+    plan is the right shape by construction: the bounded dim
+    broadcasts once per micro-batch and the stream side never
+    shuffles or buffers."""
+    df = _STREAM_WINDOW_RESULTS.get(f"static_join:{sf_dir}")
+    if df is None:
+        from .streaming.joins import stream_static_enrich
+
+        _, stream = _events_stream(spark, sf_dir, prefix="hs_stream_stjoin_")
+        dim = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        enriched = stream_static_enrich(stream, dim, ["user_id"])
+        agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+        )
+        df = _run_to_memory(
+            spark, agg, f"stream_stjoin_{abs(hash(sf_dir))}", "complete"
+        )
+        _STREAM_WINDOW_RESULTS[f"static_join:{sf_dir}"] = df
+    return df.select(
+        "c_mktsegment",
+        "event_type",
+        "n",
+        F.round("total_value", 2).cast("double").alias("total_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

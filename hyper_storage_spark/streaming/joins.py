@@ -96,3 +96,36 @@ def stream_interval_join(
         out.append(F.col(f"r.{c}").alias(name))
         taken.add(name)
     return joined.select(*out)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    static: DataFrame,
+    keys: Sequence[str],
+    how: str = "inner",
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Enrich a stream against a STATIC (batch) dimension — the
+    stream-static join pattern: each micro-batch equi-joins the
+    dimension on ``keys``; no state store is involved, so there is
+    nothing to watermark and nothing to evict. The static plan is
+    re-evaluated per micro-batch, which is what makes this the
+    slowly-changing-dimension idiom: a dimension re-read from a
+    table path picks up between-batch updates automatically.
+
+    ``hint_broadcast`` (default) hints the dimension broadcast-side —
+    the right call for bounded dims (the only kind that belongs in a
+    per-batch join at 100 TB: an unbounded static side would shuffle
+    the stream every micro-batch; route that shape through the store
+    or a pre-bucketed layout instead). Pass False to let AQE decide.
+
+    ``how`` supports 'inner' and 'left_outer' (unmatched stream rows
+    pass through with NULL dimension columns — unlike the
+    stream-stream case, no watermark wait applies: the dimension is
+    fully known within the batch). Stream-side rows never buffer, so
+    a replayed-to-completion stream equals the batch join over the
+    same rows — the equivalence the catalog entry's oracle pins."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    dim = F.broadcast(static) if hint_broadcast else static
+    return stream.join(dim, on=list(keys), how=how)

@@ -922,3 +922,66 @@ def test_stream_interval_left_outer_join_matches_batch_prefix(spark, tmp_path, s
 
     with pytest.raises(ValueError):
         stream_interval_join(clicks, views, keys=["user_id"], how="full_outer")
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path, sf_dir):
+    # a multi-batch stream joined per-micro-batch against a static
+    # dim must converge to the batch join; left_outer passes through
+    # unmatched stream rows with NULL dim columns, no watermark wait
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.sources import load_table
+    from hyper_storage_spark.streaming.joins import stream_static_enrich
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+    # dim deliberately missing half the users so left_outer differs
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.pmod(F.col("c_custkey"), F.lit(2)) == 0)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+
+    src = str(tmp_path / "ev")
+    events.repartitionByRange(3, F.col("ts")).sortWithinPartitions("ts").write.parquet(src)
+    base = time.time() - 3600
+    for i, p in enumerate(sorted(glob.glob(f"{src}/part-*.parquet"))):
+        os.utime(p, (base + i, base + i))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def snap(df):
+        return sorted(
+            (r.event_id, r.user_id, r.c_mktsegment) for r in df.collect()
+        )
+
+    for how in ("inner", "left_outer"):
+        out = stream_static_enrich(stream, dim, ["user_id"], how=how).select(
+            "event_id", "user_id", "c_mktsegment"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"sse_{how}")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{how}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        want = snap(events.join(dim, "user_id", how).select("event_id", "user_id", "c_mktsegment"))
+        assert want and snap(spark.table(f"sse_{how}")) == want
+    # left_outer kept every stream row; inner dropped the odd users
+    assert len(snap(spark.table("sse_left_outer"))) > len(snap(spark.table("sse_inner")))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_static_enrich(stream, dim, ["user_id"], how="full_outer")

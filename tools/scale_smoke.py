@@ -180,6 +180,18 @@ def main() -> None:
             num_bits=1 << 20,
         ).count(),
         "rollup_refresh": lambda d, e: _rollup_refresh(d).count(),
+        # late round-7 dedup additions: containment shares the df-capped
+        # posting-list shape with ngram_jaccard (cap = bounded pair
+        # output under replica-saturated shingles); span REMOVAL is the
+        # rewrite worst case — every window duplicated cross-replica, so
+        # every doc's full token array is rebuilt. Forced through a sum
+        # over the rewrite output so the kept-array HOFs can't be pruned.
+        "containment": lambda d, e: dedup.containment_pairs(
+            d, threshold=0.8, n=5, max_df=100
+        ).count(),
+        "span_removal": lambda d, e: dedup.remove_dup_spans(d, span=8)
+        .agg(F.sum("n_removed"), F.count("clean_hash"))
+        .collect()[0][1],
     }
 
     failures = []
