@@ -409,3 +409,34 @@ def weighted_sample_per_group(
         .filter(F.col("__wsrn") <= k)
         .drop("__wsrn")
     )
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    order_by: list,
+    id_col: str = "row_id",
+    start: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0-based (``start``-based) row ids in exact ``order_by``
+    order — global ``row_number`` WITHOUT the single-task global
+    Window: a unit-weight :func:`distributed_cumsum` (range exchange
+    + per-partition counts to the driver + parallel LOCAL windows).
+    The id a row gets is a pure function of the data and the total
+    order, so retries and re-runs reproduce it — unlike
+    ``monotonically_increasing_id`` (partition-layout-dependent) or
+    ``zipWithIndex`` (RDD materialization). ``order_by`` must be a
+    TOTAL order (include a tiebreaker key) or ids within a tie are
+    nondeterministic. This is the shard/packing indexing primitive:
+    training-example numbering, stable offsets for resumable
+    exports, contiguous cluster relabeling."""
+    out = distributed_cumsum(
+        df.withColumn("__one", F.lit(1)),
+        "__one",
+        order_by,
+        cum_col="__rk",
+        partitions=partitions,
+    )
+    return out.withColumn(
+        id_col, (F.col("__rk") - 1 + start).cast("bigint")
+    ).drop("__one", "__rk")

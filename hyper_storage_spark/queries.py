@@ -4857,6 +4857,31 @@ def q_stream_static_join(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_assign_row_ids",
+    """SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS row_id
+       FROM documents""",
+)
+def q_assign_row_ids(spark, sf_dir):
+    """Dense global row numbering (operators/sampling.py:
+    assign_contiguous_ids): 0-based ids in (n_chars DESC, doc_id)
+    order — the training-example indexing primitive (stable shard
+    offsets, resumable exports) — computed WITHOUT the single-task
+    global Window the oracle's ROW_NUMBER uses: a unit-weight
+    two-level prefix sum (range exchange + per-partition counts to
+    the driver + parallel LOCAL windows), the same scale shape the
+    plan linter enforces for all corpus-proportional ranked work.
+    Ids are a pure function of the data and the total order, so both
+    engines must agree row-for-row."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.assign_contiguous_ids(
+        docs, [F.col("n_chars").desc(), F.col("doc_id")]
+    ).select("doc_id", "row_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

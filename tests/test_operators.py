@@ -2238,3 +2238,20 @@ def test_remove_dup_spans_full_removal_and_intra_doc(spark):
     assert out[1].keep_fraction == 0.0
     assert out[2].clean_hash == empty
     assert out[3].n_removed == 0
+
+
+def test_assign_contiguous_ids_dense_and_deterministic(spark):
+    from hyper_storage_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    rows = [(i, (i * 37) % 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    order = [F.col("v").desc(), F.col("k")]
+    out = sampling.assign_contiguous_ids(df, order, partitions=7).collect()
+    assert sorted(r.row_id for r in out) == list(range(500))
+    want = [k for k, v in sorted(rows, key=lambda r: (-r[1], r[0]))]
+    got = [r.k for r in sorted(out, key=lambda r: r.row_id)]
+    assert got == want
+    # start offset + rerun determinism
+    out2 = sampling.assign_contiguous_ids(df, order, start=1000, partitions=3).collect()
+    assert {r.k: r.row_id - 1000 for r in out2} == {r.k: r.row_id for r in out}
