@@ -329,3 +329,130 @@ def kmeans_clusters(
     model = KMeans(k=k, seed=seed, featuresCol="__fv", predictionCol="__cluster").fit(fv)
     out = model.transform(fv).select(F.col(id_col), F.col("__cluster").alias("cluster"))
     return (out, model) if with_model else out
+
+
+def cosine_join_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """EXACT cross-corpus top-k retrieval: for every row of
+    ``queries``, the ``k`` highest-cosine rows of ``corpus`` —
+    (query_id, neighbor_id, rank, cosine). Brute force: norms are
+    projected once per side, then a cross join scores every pair and
+    a per-query window keeps k.
+
+    This is the small-n oracle twin for :func:`ann_join` (the same
+    role dedup_embedding_cosine plays for the LSH dedup path): the
+    cross join is deliberately quadratic and belongs at gate SF or on
+    a bounded query batch ONLY — with a bounded batch the cross join
+    broadcasts the queries and the corpus stays one partition-parallel
+    scan (the shape cosine_topk uses); a data-proportional query set
+    must route through :func:`ann_join`."""
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(qvec).alias("qv"),
+        _norm(F.col(qvec)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = c.crossJoin(q).withColumn(
+        "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ann_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    multi_probe: bool = True,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Cross-corpus ANN JOIN — top-k corpus neighbors for EVERY query
+    row, where BOTH sides are data-proportional tables (retrieval-
+    based decontamination: "nearest training doc for each eval doc";
+    eval-set attribution; cross-snapshot linkage). The existing ANN
+    entry points assume a bounded, broadcastable query set
+    (lsh_bucket_topk probes per-id; cosine_topk broadcasts vectors);
+    this is the shape where neither side fits the driver.
+
+    Same signature family as lsh_bucket_topk (``n_tables``
+    OR-amplified hyperplane tables, Hamming-1 multi-probe on the
+    query side only), but every join runs UNHINTED: candidates come
+    from a (table_id, bucket) equi-join of two melted signature
+    frames — AQE broadcasts a side when it is actually small and
+    shuffles otherwise — and candidate scoring joins vectors back by
+    id. Per-query ranking is a query-partitioned window (parallel,
+    never a global sort). Exchange volume: signatures are
+    O(rows × tables) 8-byte buckets, probes O(queries × tables ×
+    (1 + planes)); the quadratic term exists only inside a bucket,
+    which ``n_planes`` sizes (raise it to keep occupancy bounded as
+    the corpus grows). Rank/cosine are exact within probed buckets.
+    Returns (query_id, neighbor_id, rank, cosine)."""
+    from pyspark.sql import Window as W
+
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    corpus_sig = melted_signatures(corpus, id_col, vec_col, tables, "neighbor_id").select(
+        "neighbor_id", "table_id", F.col("sig").alias("bucket")
+    )
+    q_sig = melted_signatures(queries, qid, qvec, tables, "query_id")
+    flips = [0] + ([1 << i for i in range(n_planes)] if multi_probe else [])
+    probes = q_sig.select(
+        "query_id",
+        "table_id",
+        F.explode(
+            F.array(*[F.col("sig").bitwiseXOR(F.lit(flip)) for flip in flips])
+        ).alias("bucket"),
+    )
+    candidates = (
+        corpus_sig.join(probes, ["table_id", "bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(qvec).alias("qv"),
+        _norm(F.col(qvec)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        candidates.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

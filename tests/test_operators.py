@@ -2255,3 +2255,55 @@ def test_assign_contiguous_ids_dense_and_deterministic(spark):
     # start offset + rerun determinism
     out2 = sampling.assign_contiguous_ids(df, order, start=1000, partitions=3).collect()
     assert {r.k: r.row_id - 1000 for r in out2} == {r.k: r.row_id for r in out}
+
+
+def test_cosine_join_topk_exact_values(spark):
+    from hyper_storage_spark.operators import similarity
+
+    # orthonormal-ish toy vectors with known cosine ordering
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.8, 0.6]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = sorted(
+        similarity.cosine_join_topk(corpus, queries, k=2).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [(r.neighbor_id, r.rank) for r in out] == [(1, 1), (2, 2)]
+    assert out[0].cosine == 1.0 and out[1].cosine == 0.8
+
+
+def test_ann_join_recall_and_completeness(spark, sf_dir):
+    from hyper_storage_spark.operators import similarity
+    from hyper_storage_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    corpus = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_join_topk(corpus, queries, k=10).collect()
+    }
+    ann_rows = similarity.ann_join(corpus, queries, k=10).collect()
+    ann = {(r.query_id, r.neighbor_id) for r in ann_rows}
+    # every query answered with a full k list, corpus recall ≥ 0.9
+    per_q = {}
+    for r in ann_rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+    assert len(per_q) == queries.count()
+    assert len(ann & exact) * 10 >= 9 * len(exact)
+    # cosines are exact within probed buckets: every overlapping pair
+    # carries the same rounded cosine as the exact twin
+    exact_cos = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.cosine_join_topk(corpus, queries, k=10).collect()
+    }
+    for r in ann_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert r.cosine == exact_cos[key]

@@ -97,6 +97,14 @@ WAIVERS: dict[str, list[tuple[str, str]]] = {
         ),
         ("centroid", "broadcast centroid table — O(n_cells) config constant"),
     ],
+    "ann_join_contract": [
+        (
+            "embeddings.parquet",
+            "the exact cross-corpus top-k reference (cosine_join_topk) is "
+            "the contract's gate-SF quadratic twin; the ann_join path under "
+            "test is bucketed and unhinted — never all-pairs",
+        )
+    ],
     "search_bm25_topk": [
         (
             "term",
