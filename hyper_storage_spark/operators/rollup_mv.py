@@ -53,6 +53,7 @@ def rollup_partials(
     sample_col: Optional[str] = None,
     sample_id_col: Optional[str] = None,
     sample_k: int = 256,
+    sumsq: bool = False,
 ) -> DataFrame:
     """One-pass partial aggregates: (keys…, bucket_start, n, total,
     vmin, vmax[, dsk][, ofirst, olast][, smp]) at ``resolution`` (any
@@ -81,6 +82,12 @@ def rollup_partials(
     any percentile from it with O(1/√k) error. The per-bucket rank
     runs over a window PARTITIONED by the grain (bounded state,
     same partitioning the groupBy reuses), never a global sort."""
+    # ``sumsq`` adds ``ssq``, the exact DECIMAL sum of squares — the
+    # additive partial that finalizes to variance/stddev
+    # (rollup_finalize: var = (ssq - total^2/n)/n on doubles). Like
+    # ``total`` it merges by plain addition, so refreshes compose; the
+    # decimal sum keeps the partial exact and order-independent, and
+    # only the final division drops to IEEE doubles.
     if sample_col is not None and sample_id_col is None:
         raise ValueError("sample_col requires sample_id_col (a row-unique column to hash)")
     if sample_k < 1:
@@ -95,6 +102,12 @@ def rollup_partials(
     ]
     if distinct_col is not None:
         aggs.append(F.hll_sketch_agg(distinct_col).alias("dsk"))
+    if sumsq:
+        aggs.append(
+            F.sum(
+                (F.col(value_col) * F.col(value_col)).cast("decimal(38,12)")
+            ).alias("ssq")
+        )
     if ohlc:
         # open/close as min/max over struct(ts, v): lexicographic
         # struct order gives the earliest/latest row's value with a
@@ -145,11 +158,15 @@ def rollup_merge(
     has_smp = "smp" in existing.columns
     if has_smp != ("smp" in delta.columns):
         raise ValueError("sample sketch column 'smp' present on only one side")
+    has_ssq = "ssq" in existing.columns
+    if has_ssq != ("ssq" in delta.columns):
+        raise ValueError("sum-of-squares column 'ssq' present on only one side")
     out_cols = [
         *_PARTIAL_COLS,
         *(["dsk"] if has_dsk else []),
         *(["ofirst", "olast"] if has_ohlc else []),
         *(["smp"] if has_smp else []),
+        *(["ssq"] if has_ssq else []),
     ]
     merge_aggs = [
         F.sum("n").alias("n"),
@@ -159,6 +176,8 @@ def rollup_merge(
     ]
     if has_dsk:
         merge_aggs.append(F.hll_union_agg("dsk").alias("dsk"))
+    if has_ssq:
+        merge_aggs.append(F.sum("ssq").alias("ssq"))
     if has_ohlc:
         merge_aggs.append(F.min("ofirst").alias("ofirst"))
         merge_aggs.append(F.max("olast").alias("olast"))
@@ -405,6 +424,23 @@ def rollup_finalize(partials: DataFrame) -> DataFrame:
     out = partials.withColumn("avg", F.col("total").cast("double") / F.col("n"))
     if "dsk" in partials.columns:
         out = out.withColumn("n_distinct", F.hll_sketch_estimate("dsk"))
+    if "ssq" in partials.columns:
+        # (ssq - total^2/n)/n on DOUBLES cast from the exact decimal
+        # partials: both engines see identical inputs and the identical
+        # IEEE expression, so the result is bit-reproducible. The CASE
+        # clamps the tiny negative that catastrophic cancellation can
+        # produce on near-constant buckets (NULL n=0 propagates as
+        # NULL through the comparison and the clamp alike).
+        var_raw = (
+            F.col("ssq").cast("double")
+            - F.col("total").cast("double")
+            * F.col("total").cast("double")
+            / F.col("n")
+        ) / F.col("n")
+        var_clamped = F.when(var_raw < 0, F.lit(0.0)).otherwise(var_raw)
+        out = out.withColumn("var_pop", F.round(var_clamped, 6)).withColumn(
+            "stddev_pop", F.round(F.sqrt(var_clamped), 6)
+        )
     if "ofirst" in partials.columns:
         out = out.withColumn("open", F.col("ofirst.v")).withColumn(
             "close", F.col("olast.v")

@@ -4912,6 +4912,75 @@ def ann_join_contract(spark, sf_dir):
     return _ann_contract(ann, exact, min_recall_pct=80)
 
 
+@register_extra(
+    "mv_rollup_variance",
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+                         CAST(value AS DECIMAL(18,6)) AS v
+                  FROM events),
+       g AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+                    COUNT(v) AS n, SUM(v) AS total,
+                    SUM(CAST(v * v AS DECIMAL(38,12))) AS ssq
+             FROM e GROUP BY 1, 2),
+       d AS (SELECT *,
+                    (CAST(ssq AS DOUBLE)
+                     - CAST(total AS DOUBLE) * CAST(total AS DOUBLE) / n) / n AS vr
+             FROM g)
+       SELECT event_type, bucket_start, n,
+              CAST(ROUND(CASE WHEN vr < 0 THEN 0 ELSE vr END, 6) AS DOUBLE) AS var_pop,
+              CAST(ROUND(SQRT(CASE WHEN vr < 0 THEN 0 ELSE vr END), 6) AS DOUBLE) AS stddev_pop,
+              true AS merge_consistent
+       FROM d""",
+)
+def mv_rollup_variance(spark, sf_dir):
+    """Exact variance/stddev inside the incremental rollup
+    (operators/rollup_mv.py sumsq partials): the MV carries the
+    DECIMAL sum of squares next to n/total — the additive partial
+    variance decomposes into, unlike the textbook two-pass formula —
+    and rollup_finalize derives var_pop = (ssq − total²/n)/n on
+    doubles cast from the exact decimal sums, so both engines compute
+    the identical IEEE expression over identical inputs (a clamp
+    handles the catastrophic-cancellation negative on near-constant
+    buckets). merge_consistent pins merge(partials(A), partials(B)) ≡
+    partials(A ∪ B) for the new column through the same base/delta
+    split the other MV entries use; refresh cost stays
+    O(delta + touched buckets)."""
+    from .operators import rollup_mv
+
+    e = _t(spark, sf_dir, "events").select(
+        "ts", "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    kw = dict(sumsq=True)
+    base = rollup_mv.rollup_partials(
+        e.filter(F.col("ts") < cutoff), "ts", ["event_type"], "v", **kw
+    )
+    delta = rollup_mv.rollup_partials(
+        e.filter(F.col("ts") >= cutoff), "ts", ["event_type"], "v", **kw
+    )
+    merged = rollup_mv.rollup_finalize(
+        rollup_mv.rollup_merge(base, delta, ["event_type"])
+    ).select("event_type", "bucket_start", "n", "var_pop", "stddev_pop")
+    direct = rollup_mv.rollup_finalize(
+        rollup_mv.rollup_partials(e, "ts", ["event_type"], "v", **kw)
+    ).select(
+        "event_type",
+        "bucket_start",
+        F.col("var_pop").alias("var_d"),
+        F.col("stddev_pop").alias("sd_d"),
+    )
+    grain = ["event_type", "bucket_start"]
+    return merged.join(direct, on=grain).select(
+        *grain,
+        "n",
+        "var_pop",
+        "stddev_pop",
+        (
+            F.col("var_pop").eqNullSafe(F.col("var_d"))
+            & F.col("stddev_pop").eqNullSafe(F.col("sd_d"))
+        ).alias("merge_consistent"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -526,3 +526,42 @@ def test_rollup_quantile_from_sample(spark):
         rollup_mv.rollup_quantile(p.drop("smp"), 0.5)
     with _pytest.raises(ValueError):
         rollup_mv.rollup_partials(e, "ts", ["k"], "v", sample_col="v")  # no id col
+
+
+def test_rollup_variance_partials_exact_and_mergeable(spark):
+    # [1,2,3,4] → var_pop 1.25, stddev √1.25; the ssq partial is an
+    # exact decimal sum, so a 2/2 split merge equals the direct pass
+    rows = [(f"2024-01-01 0{i}:00:00", "a", str(float(i + 1))) for i in range(4)]
+
+    def partials(subset):
+        df = spark.createDataFrame(subset, "ts string, k string, v string").select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "k",
+            F.col("v").cast("decimal(18,6)").alias("v"),
+        )
+        return rollup_mv.rollup_partials(df, "ts", ["k"], "v", sumsq=True)
+
+    direct = rollup_mv.rollup_finalize(partials(rows)).collect()[0]
+    assert direct.var_pop == 1.25
+    assert direct.stddev_pop == round(1.25 ** 0.5, 6)
+    merged = rollup_mv.rollup_finalize(
+        rollup_mv.rollup_merge(partials(rows[:2]), partials(rows[2:]), ["k"])
+    ).collect()[0]
+    assert merged.var_pop == direct.var_pop and merged.stddev_pop == direct.stddev_pop
+    # constant bucket: cancellation must clamp to exactly 0.0
+    const = rollup_mv.rollup_finalize(
+        partials([(f"2024-01-01 0{i}:00:00", "a", "7.77") for i in range(3)])
+    ).collect()[0]
+    assert const.var_pop == 0.0 and const.stddev_pop == 0.0
+    # one side missing the column is a loud error, not a silent drop
+    import pytest as _pytest
+
+    plain = spark.createDataFrame(rows, "ts string, k string, v string").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "k",
+        F.col("v").cast("decimal(18,6)").alias("v"),
+    )
+    with _pytest.raises(ValueError):
+        rollup_mv.rollup_merge(
+            partials(rows), rollup_mv.rollup_partials(plain, "ts", ["k"], "v"), ["k"]
+        )
