@@ -1,0 +1,84 @@
+"""Generic data-quality profiling for any DataFrame.
+
+The pipeline-operability complement of store/stats.py's
+``analyze_collection`` (which profiles a STORE collection into a
+committed stats table): :func:`profile_table` answers "what landed in
+this table?" for arbitrary inputs — per-column null rates and exact
+distinct counts in ONE pass — the pre-flight check every ingest/
+transform stage wants before trusting a join key or a partition
+column.
+
+Scale shape: a single aggregation over one scan. Multiple exact
+COUNT(DISTINCT col) aggregates compile to Spark's Expand operator —
+the input is replicated once per distinct aggregate (k columns ⇒
+k+1× rows into the partial aggregate, each row pruned to one
+column), which is the documented cost of exactness in one pass; the
+partial aggregates collapse each replica to its distinct set before
+the single shuffle. For quick looks at 10^9+-row tables pass
+``approx=True`` (HLL, one replica total, ±2%); the exact mode is
+what the cross-engine oracle pins.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    approx: bool = False,
+) -> DataFrame:
+    """(column, n_rows, n_nulls, null_frac, n_distinct) — one row per
+    profiled column, computed in one aggregation pass.
+
+    ``n_distinct`` excludes NULL (COUNT DISTINCT semantics on both
+    engines); ``null_frac`` divides as DECIMAL before rounding to 6
+    so the oracle rounds the same digits. Column order of the output
+    follows the requested order. ``approx`` swaps the exact distinct
+    for approx_count_distinct (not oracle-exact; profiling only)."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("no columns to profile")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    ndv = F.approx_count_distinct if approx else F.count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(ndv(F.col(c)).alias(f"__nd_{c}"))
+    row = df.agg(*aggs)
+    per_col = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col("__n").alias("n_rows"),
+                    (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                    F.col(f"__nd_{c}").alias("n_distinct"),
+                )
+                for c in cols
+            ]
+        )
+    )
+    return (
+        row.select(per_col.alias("p"))
+        .select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct")
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            F.round(
+                F.col("n_nulls").cast("decimal(38,12)")
+                / F.greatest(F.col("n_rows"), F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("null_frac"),
+            "n_distinct",
+        )
+    )

@@ -4981,6 +4981,49 @@ def mv_rollup_variance(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_profile_table",
+    """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+       SELECT p.column, n.n_rows, p.n_nulls,
+              CAST(ROUND(CAST(p.n_nulls AS DECIMAL(38,12))
+                         / GREATEST(n.n_rows, 1), 6) AS DOUBLE) AS null_frac,
+              p.n_distinct
+       FROM n, (
+         SELECT 'o_orderkey' AS column,
+                COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+                COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+         UNION ALL
+         SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+                COUNT(DISTINCT o_custkey) FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+                COUNT(DISTINCT o_orderstatus) FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+                COUNT(DISTINCT o_totalprice) FROM orders
+         UNION ALL
+         SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+                COUNT(DISTINCT o_orderdate) FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+                COUNT(DISTINCT o_orderpriority) FROM orders
+       ) p""",
+)
+def q_profile_table(spark, sf_dir):
+    """Generic data-quality profiler (operators/profiling.py:
+    profile_table): per-column null counts/rates and EXACT distinct
+    counts for the orders table in ONE aggregation pass — the
+    pre-flight check a pipeline runs before trusting a join key or
+    partition column. The multiple exact distincts compile to one
+    Expand (k+1 pruned replicas into partial aggregates — the
+    documented one-pass exactness cost; approx=True is the 10^9-row
+    mode); the oracle recomputes every column's profile as separate
+    scans and must match exactly."""
+    from .operators.profiling import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -2307,3 +2307,31 @@ def test_ann_join_recall_and_completeness(spark, sf_dir):
         key = (r.query_id, r.neighbor_id)
         if key in exact_cos:
             assert r.cosine == exact_cos[key]
+
+
+def test_profile_table_exact_counts(spark):
+    from hyper_storage_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 1.5), (3, None, 1.5), (4, "b", None)],
+        "id long, s string, v double",
+    )
+    out = {r.column: r for r in profile_table(df).collect()}
+    assert set(out) == {"id", "s", "v"}
+    assert all(r.n_rows == 4 for r in out.values())
+    assert out["id"].n_nulls == 0 and out["id"].n_distinct == 4
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert out["v"].n_nulls == 2 and out["v"].n_distinct == 1
+    assert out["v"].null_frac == 0.5
+    # column subset preserves order; unknown columns are loud
+    cols = [r.column for r in profile_table(df, ["v", "id"]).collect()]
+    assert cols == ["v", "id"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_table(df, ["nope"])
+    with _pytest.raises(ValueError):
+        profile_table(df.select([]))
+    # approx mode still returns a sane profile shape
+    ap = {r.column: r for r in profile_table(df, approx=True).collect()}
+    assert ap["id"].n_nulls == 0 and ap["id"].n_distinct > 0
