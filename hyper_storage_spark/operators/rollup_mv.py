@@ -446,3 +446,59 @@ def rollup_finalize(partials: DataFrame) -> DataFrame:
             "close", F.col("olast.v")
         )
     return out
+
+
+def rollup_anomalies(
+    df: DataFrame,
+    partials: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    z: float = 3.0,
+    resolution: str = "day",
+) -> DataFrame:
+    """Serve the MV for anomaly detection: flag rows whose value sits
+    more than ``z`` population standard deviations from their
+    bucket's mean — (row cols…, bucket_start, bucket_avg,
+    bucket_stddev, zscore), anomalous rows only.
+
+    ``partials`` must carry the ``ssq`` column
+    (rollup_partials(sumsq=True)); avg/stddev come from
+    :func:`rollup_finalize`, i.e. from the exact decimal sums, so the
+    flag is reproducible across engines and refreshes. The join is
+    grain-to-grain: the finalized MV is bucket-cardinality (unhinted —
+    AQE broadcasts a small MV, shuffles a huge one) and the fact side
+    streams through one scan. Buckets with zero variance (constant or
+    single-row) flag nothing: a z-score needs spread, and NULL/0
+    stddev rows are excluded rather than divided by. Z-scores round
+    to 4 for cross-engine hashing; the comparison itself runs on the
+    unrounded doubles both engines derive identically."""
+    if "ssq" not in partials.columns:
+        raise ValueError("partials must include 'ssq' (rollup_partials(sumsq=True))")
+    fin = rollup_finalize(partials).select(
+        *key_cols,
+        "bucket_start",
+        F.col("avg").alias("bucket_avg"),
+        (
+            F.col("ssq").cast("double") / F.col("n")
+            - (F.col("total").cast("double") / F.col("n"))
+            * (F.col("total").cast("double") / F.col("n"))
+        ).alias("__var_raw"),
+        F.col("stddev_pop").alias("bucket_stddev"),
+    )
+    base = df.withColumn("bucket_start", F.date_trunc(resolution, F.col(ts_col)))
+    grain = [*key_cols, "bucket_start"]
+    joined = base.join(fin, on=grain)
+    sd = F.sqrt(F.when(F.col("__var_raw") < 0, F.lit(0.0)).otherwise(F.col("__var_raw")))
+    dev = F.col(value_col).cast("double") - F.col("bucket_avg")
+    return (
+        joined.filter(sd > 0)
+        .filter(F.abs(dev) > F.lit(z) * sd)
+        .select(
+            *[c for c in df.columns],
+            F.col("bucket_start"),
+            F.round("bucket_avg", 4).cast("double").alias("bucket_avg"),
+            F.col("bucket_stddev"),
+            F.round(dev / sd, 4).cast("double").alias("zscore"),
+        )
+    )

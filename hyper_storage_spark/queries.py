@@ -5024,6 +5024,68 @@ def q_profile_table(spark, sf_dir):
     return profile_table(_t(spark, sf_dir, "orders"))
 
 
+@register_extra(
+    "mv_rollup_anomaly",
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+                         CAST(value AS DECIMAL(18,6)) AS v
+                  FROM events),
+       g AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+                    COUNT(v) AS n, SUM(v) AS total,
+                    SUM(CAST(v * v AS DECIMAL(38,12))) AS ssq
+             FROM e GROUP BY 1, 2),
+       f AS (SELECT event_type, bucket_start,
+                    CAST(total AS DOUBLE) / n AS bucket_avg,
+                    CAST(ssq AS DOUBLE) / n
+                      - (CAST(total AS DOUBLE) / n) * (CAST(total AS DOUBLE) / n) AS var_raw,
+                    (CAST(ssq AS DOUBLE)
+                     - CAST(total AS DOUBLE) * CAST(total AS DOUBLE) / n) / n AS vr2
+             FROM g),
+       s AS (SELECT event_type, bucket_start, bucket_avg,
+                    SQRT(CASE WHEN var_raw < 0 THEN 0 ELSE var_raw END) AS sd,
+                    CAST(ROUND(SQRT(CASE WHEN vr2 < 0 THEN 0 ELSE vr2 END), 6) AS DOUBLE)
+                        AS bucket_stddev
+             FROM f)
+       SELECT e.event_id, e.event_type, s.bucket_start,
+              CAST(ROUND(e.v, 4) AS DOUBLE) AS v,
+              CAST(ROUND(s.bucket_avg, 4) AS DOUBLE) AS bucket_avg,
+              s.bucket_stddev,
+              CAST(ROUND((CAST(e.v AS DOUBLE) - s.bucket_avg) / s.sd, 4) AS DOUBLE)
+                  AS zscore
+       FROM e
+       JOIN s ON e.event_type = s.event_type
+             AND CAST(date_trunc('day', e.ts) AS TIMESTAMP) = s.bucket_start
+       WHERE s.sd > 0
+         AND ABS(CAST(e.v AS DOUBLE) - s.bucket_avg) > 3 * s.sd""",
+)
+def mv_rollup_anomaly(spark, sf_dir):
+    """Anomaly serving off the incremental rollup (operators/
+    rollup_mv.py:rollup_anomalies): flag events more than 3
+    population standard deviations from their (event_type, day)
+    bucket mean, with avg/stddev derived from the MV's exact decimal
+    partials (n/total/ssq) rather than a rescan — the alerting read
+    path a continuous aggregate exists for. Both engines derive the
+    flag from the identical IEEE expression over identical decimal
+    sums, so the boundary cannot diverge; zero-variance buckets flag
+    nothing by construction. The oracle replays the full
+    stats-join-flag pipeline from the raw events."""
+    from .operators import rollup_mv
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    mv = rollup_mv.rollup_partials(e, "ts", ["event_type"], "v", sumsq=True)
+    out = rollup_mv.rollup_anomalies(e, mv, "ts", ["event_type"], "v", z=3.0)
+    return out.select(
+        "event_id",
+        "event_type",
+        "bucket_start",
+        F.round("v", 4).cast("double").alias("v"),
+        "bucket_avg",
+        "bucket_stddev",
+        "zscore",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

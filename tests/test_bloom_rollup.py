@@ -565,3 +565,28 @@ def test_rollup_variance_partials_exact_and_mergeable(spark):
         rollup_mv.rollup_merge(
             partials(rows), rollup_mv.rollup_partials(plain, "ts", ["k"], "v"), ["k"]
         )
+
+
+def test_rollup_anomalies_flags_only_outliers(spark):
+    # bucket with 9 values at 10.0 and one at 100.0: the spike is >3σ
+    # out; a constant bucket flags nothing; missing ssq is loud
+    rows = [(f"2024-01-01 0{i}:00:00", "a", "10.0") for i in range(9)]
+    rows.append(("2024-01-01 10:00:00", "a", "100.0"))
+    rows += [(f"2024-01-02 0{i}:00:00", "a", "5.0") for i in range(4)]
+    df = spark.createDataFrame(rows, "ts string, k string, v string").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "k",
+        F.col("v").cast("decimal(18,6)").alias("v"),
+    )
+    mv = rollup_mv.rollup_partials(df, "ts", ["k"], "v", sumsq=True)
+    out = rollup_mv.rollup_anomalies(df, mv, "ts", ["k"], "v", z=2.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert float(r.v) == 100.0 and r.zscore > 2.0
+    assert str(r.bucket_start).startswith("2024-01-01")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rollup_mv.rollup_anomalies(
+            df, rollup_mv.rollup_partials(df, "ts", ["k"], "v"), "ts", ["k"], "v"
+        )
