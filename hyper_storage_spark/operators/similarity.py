@@ -456,3 +456,20 @@ def ann_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def planes_for(corpus_rows: int, target_occupancy: int = 128, lo: int = 4, hi: int = 12) -> int:
+    """The n_planes that keeps expected LSH bucket occupancy near
+    ``target_occupancy`` for a corpus of ``corpus_rows`` — the sizing
+    rule the ann_join/lsh_bucket docstrings prescribe in prose: with
+    2^p buckets per table, occupancy ≈ rows / 2^p, so p =
+    ⌈log2(rows / target)⌉ (clamped to [lo, hi]). Candidate volume per
+    query is occupancy × tables × probes — holding occupancy constant
+    as the corpus grows is what keeps the ANN join linear instead of
+    quadratic-over-2^p. Recall per table falls as p rises; compensate
+    with n_tables/probes (the OR-amplification knob), which scales
+    cost linearly rather than quadratically."""
+    if corpus_rows <= 0:
+        return lo
+    p = math.ceil(math.log2(max(corpus_rows / max(target_occupancy, 1), 1.0)))
+    return max(lo, min(hi, p))

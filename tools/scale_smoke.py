@@ -192,6 +192,21 @@ def main() -> None:
         "span_removal": lambda d, e: dedup.remove_dup_spans(d, span=8)
         .agg(F.sum("n_removed"), F.count("clean_hash"))
         .collect()[0][1],
+        # late round-7: cross-corpus ANN join — 10% of the vectors
+        # query the other 90%. BOTH sides scale with the corpus, so
+        # with FIXED planes the per-bucket candidate term is
+        # queries × occupancy — quadratic-over-2^planes (measured
+        # 7.3x wall at 10x). The documented sizing rule
+        # (similarity.planes_for) holds occupancy constant as the
+        # corpus grows, which is what the case exercises: n_planes
+        # derives from the corpus size, so candidate volume — and
+        # wall — track the data near-linearly.
+        "ann_join": lambda d, e: similarity.ann_join(
+            e.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0),
+            e.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0),
+            k=10,
+            n_planes=similarity.planes_for(e.count()),
+        ).count(),
     }
 
     failures = []
