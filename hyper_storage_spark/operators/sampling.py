@@ -440,3 +440,41 @@ def assign_contiguous_ids(
     return out.withColumn(
         id_col, (F.col("__rk") - 1 + start).cast("bigint")
     ).drop("__one", "__rk")
+
+
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    temperature: float = 2.0,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-flattened domain rebalancing — the standard
+    multilingual/multi-source mixing rule (the XLM-R p^(1/T)
+    schedule): target share ∝ (n_d / N)^(1/T), so T = 1 keeps the
+    natural distribution, T → ∞ approaches uniform, and anything
+    between upweights rare domains WITHOUT upsampling (the binding
+    domain caps the total; epochs are a training-loop decision, same
+    policy as :func:`domain_mixture`, which this derives weights for).
+
+    The per-domain counts collect to the driver (bounded vocabulary)
+    and the kept set is the same content-hash Bernoulli — a pure
+    function of (id, salt), reproducible across runs and corpus
+    repartitioning. T = 2 (sqrt flattening) has the property that
+    both engines of a differential harness compute it bit-identically
+    (IEEE sqrt is correctly rounded; arbitrary pow is not), which is
+    why the catalog contract pins that setting."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(F.col(domain_col).isNotNull())
+        .groupBy(domain_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not counts:
+        raise ValueError(f"no non-null domains in {domain_col!r}")
+    total = sum(counts.values())
+    weights = {d: (n / total) ** (1.0 / temperature) for d, n in counts.items()}
+    return domain_mixture(df, domain_col, weights, id_col=id_col, salt=salt)

@@ -5086,6 +5086,61 @@ def mv_rollup_anomaly(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_temperature_mixture_contract",
+    """SELECT lang AS domain, true AS share_ok, true AS flattened_ok,
+              true AS saturated_ok, true AS no_upsample
+       FROM documents WHERE lang IS NOT NULL GROUP BY 1""",
+)
+def q_temperature_mixture_contract(spark, sf_dir):
+    """Temperature-flattened domain rebalancing (operators/sampling.py:
+    temperature_mixture, the XLM-R p^(1/T) schedule) at T = 2, driven
+    through its contract: every realized share lands within 5 points
+    of the sqrt-flattened target √n_d/Σ√n (share_ok — computed
+    in-plan from the availability counts; IEEE sqrt is correctly
+    rounded, so the target is engine-exact, which is why the contract
+    pins T = 2 rather than an arbitrary pow), the kept-share spread is
+    strictly narrower than the raw availability spread (flattened_ok —
+    the property the temperature exists for), the binding domain keeps
+    ~all its rows (saturated_ok), and no domain exceeds availability
+    (no_upsample). Kept rows are the content-hash Bernoulli — a fixed
+    property of the corpus, not a draw."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = sampling.temperature_mixture(docs, "lang", temperature=2.0)
+    avail = docs.filter(F.col("lang").isNotNull()).groupBy(
+        F.col("lang").alias("domain")
+    ).agg(F.count("*").alias("n_avail"))
+    got = kept.groupBy(F.col("lang").alias("domain")).agg(
+        F.count("*").alias("n_kept")
+    )
+    joined = avail.join(got, "domain", "left").na.fill(0, ["n_kept"])
+    tots = joined.agg(
+        F.sum("n_kept").alias("k_tot"),
+        F.sum("n_avail").alias("a_tot"),
+        F.sum(F.sqrt(F.col("n_avail"))).alias("sq_tot"),
+    )
+    per = joined.crossJoin(F.broadcast(tots)).select(
+        "domain",
+        "n_kept",
+        "n_avail",
+        (F.col("n_kept") / F.col("k_tot")).alias("kshare"),
+        (F.col("n_avail") / F.col("a_tot")).alias("ashare"),
+        (F.sqrt(F.col("n_avail")) / F.col("sq_tot")).alias("tshare"),
+    )
+    spreads = per.agg(
+        (F.max("kshare") - F.min("kshare")).alias("kspread"),
+        (F.max("ashare") - F.min("ashare")).alias("aspread"),
+        (F.max(F.col("n_kept") / F.col("n_avail")) >= 1.0).alias("sat"),
+    )
+    return per.crossJoin(F.broadcast(spreads)).select(
+        "domain",
+        (F.abs(F.col("kshare") - F.col("tshare")) <= 0.05).alias("share_ok"),
+        (F.col("kspread") < F.col("aspread")).alias("flattened_ok"),
+        F.col("sat").alias("saturated_ok"),
+        (F.col("n_kept") <= F.col("n_avail")).alias("no_upsample"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -2335,3 +2335,29 @@ def test_profile_table_exact_counts(spark):
     # approx mode still returns a sane profile shape
     ap = {r.column: r for r in profile_table(df, approx=True).collect()}
     assert ap["id"].n_nulls == 0 and ap["id"].n_distinct > 0
+
+
+def test_temperature_mixture_flattens_without_upsampling(spark):
+    from hyper_storage_spark.operators import sampling
+
+    # 400 'big' vs 100 'small': T=2 targets shares 2/3 vs 1/3
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = sampling.temperature_mixture(df, "lang", temperature=2.0)
+    counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # small is binding (keeps ~everything); big downsamples toward 2x small
+    assert counts["small"] >= 95
+    assert counts["big"] <= 400
+    ratio = counts["big"] / counts["small"]
+    assert 1.7 <= ratio <= 2.3  # sqrt(400)/sqrt(100) = 2
+    # T=1 keeps the natural distribution (nothing downsamples)
+    nat = sampling.temperature_mixture(df, "lang", temperature=1.0)
+    assert nat.count() >= 495  # rounding of bucket thresholds only
+    # determinism: identical call → identical kept ids
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in sampling.temperature_mixture(df, "lang", temperature=2.0).collect()}
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.temperature_mixture(df, "lang", temperature=0)
