@@ -393,3 +393,75 @@ def char_lm_score(
         "n_grams",
         (F.col("sum_lp").cast("double") / F.col("n_grams")).alias("lm_score"),
     )
+
+
+def collocations_topk(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    (w1, w2, n_pair, pmi) for adjacent token bigrams occurring at
+    least ``min_count`` times — PMI = ln(p(w1w2) / (p(w1)·p(w2))),
+    the standard association score separating true collocations
+    ("New York") from chance adjacency; corpus analytics for
+    tokenizer design and boilerplate discovery.
+
+    Counts are exact integers (occurrences, not per-doc distinct):
+    one explode of adjacent pairs + one of tokens, two grouped counts,
+    then the pair table joins the vocabulary-sized unigram counts
+    twice (unhinted — AQE broadcasts a real vocabulary, shuffles a
+    pathological one; same policy as token_rarity). Only the final
+    PMI drops to doubles, with the expression written identically in
+    the SQL oracle so both engines evaluate the same libm calls over
+    the same exact counts. Ranking is TakeOrdered (pmi desc, then
+    (w1, w2) asc — a total order, so the top-k boundary is
+    deterministic), never a global sort."""
+    toks = docs.select(tokens_col(F.col(text_col)).alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i.cast("int")).alias("w1"),
+                        F.element_at(F.col("t"), (i + 1).cast("int")).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    pair_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    totals = pair_counts.agg(F.sum("n_pair").alias("nb")).crossJoin(
+        uni.agg(F.sum("cw").alias("nu"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    scored = (
+        pair_counts.filter(F.col("n_pair") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            (
+                F.log(F.col("n_pair").cast("double") / F.col("nb"))
+                - F.log(F.col("c1").cast("double") / F.col("nu"))
+                - F.log(F.col("c2").cast("double") / F.col("nu"))
+            ).alias("__pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("__pmi").desc(), "w1", "w2")
+        .limit(k)
+        .select("w1", "w2", "n_pair", F.round("__pmi", 6).cast("double").alias("pmi"))
+    )

@@ -5141,6 +5141,50 @@ def q_temperature_mixture_contract(spark, sf_dir):
     )
 
 
+@register_extra(
+    "text_collocations",
+    """WITH toks AS (SELECT doc_id,
+                            list_filter(string_split_regex(trim(text), '\\s+'),
+                                        x -> x <> '') AS t
+                     FROM documents),
+       pairs AS (SELECT t[i] AS w1, t[i+1] AS w2
+                 FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+                       FROM toks WHERE len(t) >= 2)),
+       uni AS (SELECT u.w AS w, COUNT(*) AS cw
+               FROM toks, unnest(t) u(w) GROUP BY 1),
+       pc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY 1, 2),
+       tot AS (SELECT (SELECT SUM(n_pair) FROM pc) AS nb,
+                      (SELECT SUM(cw) FROM uni) AS nu),
+       scored AS (
+         SELECT pc.w1, pc.w2, pc.n_pair,
+                LN(CAST(pc.n_pair AS DOUBLE) / nb)
+                  - LN(CAST(u1.cw AS DOUBLE) / nu)
+                  - LN(CAST(u2.cw AS DOUBLE) / nu) AS pmi_raw
+         FROM pc
+         JOIN uni u1 ON u1.w = pc.w1
+         JOIN uni u2 ON u2.w = pc.w2
+         CROSS JOIN tot
+         WHERE pc.n_pair >= 5
+       )
+       SELECT w1, w2, n_pair, CAST(ROUND(pmi_raw, 6) AS DOUBLE) AS pmi
+       FROM scored
+       ORDER BY pmi_raw DESC, w1, w2
+       LIMIT 20""",
+)
+def text_collocations(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information
+    (operators/text.py:collocations_topk): exact corpus-wide bigram
+    and unigram occurrence counts, PMI = ln(p(w1w2)/(p(w1)p(w2)))
+    with the identical IEEE expression written on both engines over
+    identical integer counts (the text_lm_perplexity precedent for
+    log-formula oracles), TakeOrdered on the total order
+    (pmi desc, w1, w2) so the top-k boundary cannot flap. The
+    unigram table joins unhinted — vocabulary-sized, AQE broadcasts
+    it. Corpus analytics for tokenizer design and boilerplate
+    discovery."""
+    return text.collocations_topk(_t(spark, sf_dir, "documents"), k=20, min_count=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
