@@ -97,3 +97,146 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", F.round("score", 6).alias("score"), "rank")
     )
+
+
+def tfidf_cosine_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` sparse TF-IDF cosine hits per query:
+    (query_id, doc_id, score, rank) — the vector-space-model ranking
+    that complements BM25's probabilistic one (same postings, different
+    weighting), and the second leg of :func:`hybrid_rrf`.
+
+    Weights use the smooth idf ``ln((N+1)/(df+1)) + 1`` (the
+    text.tfidf_topk convention); cosine = dot over SHARED terms divided
+    by both full norms. Query terms absent from the corpus keep
+    ``df = 0`` — they match nothing but still count in the query norm,
+    exactly as a real query vector would. Ties rank by doc_id.
+
+    Scale shape: doc weights and norms are write-once corpus
+    reductions (persist/bucket by term at 100 TB); scoring is one
+    equi-join of the tiny query-term weight table against the postings
+    (AQE broadcasts the query side) + a per-(query, doc) partial sum —
+    identical skeleton to :func:`bm25_topk`, never a corpus×query
+    cross product."""
+    from ._caches import tracked_persist
+
+    tf = tracked_persist(term_postings(docs, text_col))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    dw = tracked_persist(
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
+            ).alias("w"),
+        )
+    )
+    dnorm = dw.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm"))
+    qtf = (
+        queries.select("query_id", F.explode(tokens_col(F.col("query"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    qw = (
+        qtf.join(dft, "term", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "query_id",
+            "term",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.coalesce(F.col("df"), F.lit(0)) + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("qw"),
+        )
+    )
+    qnorm = qw.groupBy("query_id").agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qnorm"))
+    dots = (
+        qw.join(dw, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("dot"))
+    )
+    scored = (
+        dots.join(qnorm, "query_id")
+        .join(dnorm, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("dot") / (F.col("qnorm") * F.col("dnorm"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    leg_k: int = 20,
+    k_rrf: int = 60,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: fuse the BM25 and
+    TF-IDF-cosine rankings of the same query batch into one top-``k``
+    per query — (query_id, doc_id, bm25_rank, cos_rank, rrf, rank).
+
+    RRF (Cormack et al., SIGIR 2009): score(d) = Σ_legs 1/(k_rrf +
+    rank_leg(d)) over the legs that retrieved d (rank-only, so the two
+    legs' incomparable score scales never touch). Docs retrieved by one
+    leg keep that single term — the standard union semantics. k_rrf=60
+    is the published default. The fused rank breaks ties by doc_id.
+
+    Scale shape: each leg is the already-scale-shaped posting-list
+    ranker capped at leg_k rows per query, so the fusion itself is a
+    full-outer join of two (queries × leg_k)-row tables + one window —
+    negligible next to the legs regardless of corpus size. Ranks are
+    exact integers, so the fused scores are bit-identical across
+    engines by construction."""
+    bm = bm25_topk(docs, queries, k=leg_k, text_col=text_col).select(
+        "query_id", "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    cos = tfidf_cosine_topk(docs, queries, k=leg_k, text_col=text_col).select(
+        "query_id", "doc_id", F.col("rank").alias("cos_rank")
+    )
+    fused = bm.join(cos, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("cos_rank")), F.lit(0.0))
+        ).alias("__rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25_rank",
+            "cos_rank",
+            F.round("__rrf", 6).alias("rrf"),
+            "rank",
+        )
+    )

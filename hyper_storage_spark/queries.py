@@ -5185,6 +5185,107 @@ def text_collocations(spark, sf_dir):
     return text.collocations_topk(_t(spark, sf_dir, "documents"), k=20, min_count=5)
 
 
+# Fusion ranks are exact integers, so unlike the legs' double scores
+# the fused ordering is bit-identical across engines by construction;
+# the only doubles (1/(60+rank)) are quotients of exact ints.
+_HYBRID_RRF_SQL = r"""
+WITH q(query_id, query) AS (
+  VALUES ('q1', 'table scan'), ('q2', 'hash merge batch'), ('q3', 'window sort fast')
+),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+toks2 AS (SELECT doc_id, u AS term FROM (SELECT doc_id, unnest(t) AS u FROM toks) WHERE u <> ''),
+post AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, COALESCE(SUM(p.tf), 0) AS dl
+       FROM documents d LEFT JOIN post p ON d.doc_id = p.doc_id GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+qterms AS (
+  SELECT DISTINCT query_id, u AS term
+  FROM (SELECT query_id, unnest(string_split_regex(trim(query), '\s+')) AS u FROM q)
+  WHERE u <> ''
+),
+bm_scored AS (
+  SELECT query_id, p.doc_id,
+         SUM(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+             * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+  FROM qterms qt
+  JOIN post p USING (term)
+  JOIN dfreq f USING (term)
+  JOIN dl d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+bm20 AS (
+  SELECT query_id, doc_id, bm25_rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS bm25_rank
+    FROM bm_scored
+  ) WHERE bm25_rank <= 20
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dw AS (SELECT p.doc_id, p.term,
+              p.tf * (ln((n.n_docs + 1.0) / (f.df + 1.0)) + 1.0) AS w
+       FROM post p JOIN dfreq f USING (term) CROSS JOIN n),
+dnorm AS (SELECT doc_id, sqrt(SUM(w * w)) AS dnorm FROM dw GROUP BY 1),
+qtf AS (
+  SELECT query_id, u AS term, COUNT(*) AS tf
+  FROM (SELECT query_id, unnest(string_split_regex(trim(query), '\s+')) AS u FROM q)
+  WHERE u <> '' GROUP BY 1, 2
+),
+qwt AS (SELECT qtf.query_id, qtf.term,
+               qtf.tf * (ln((n.n_docs + 1.0) / (COALESCE(f.df, 0) + 1.0)) + 1.0) AS qw
+        FROM qtf LEFT JOIN dfreq f USING (term) CROSS JOIN n),
+qnorm AS (SELECT query_id, sqrt(SUM(qw * qw)) AS qnorm FROM qwt GROUP BY 1),
+dots AS (SELECT qwt.query_id, dw.doc_id, SUM(qwt.qw * dw.w) AS dot
+         FROM qwt JOIN dw USING (term) GROUP BY 1, 2),
+cos20 AS (
+  SELECT query_id, doc_id, cos_rank FROM (
+    SELECT d.query_id, d.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY d.query_id
+                              ORDER BY d.dot / (qn.qnorm * dn.dnorm) DESC, d.doc_id ASC) AS cos_rank
+    FROM dots d
+    JOIN qnorm qn USING (query_id)
+    JOIN dnorm dn USING (doc_id)
+  ) WHERE cos_rank <= 20
+),
+fused AS (
+  SELECT COALESCE(b.query_id, c.query_id) AS query_id,
+         COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         b.bm25_rank, c.cos_rank,
+         COALESCE(CAST(1 AS DOUBLE) / (60 + b.bm25_rank), 0)
+           + COALESCE(CAST(1 AS DOUBLE) / (60 + c.cos_rank), 0) AS rrf_raw
+  FROM bm20 b
+  FULL OUTER JOIN cos20 c ON b.query_id = c.query_id AND b.doc_id = c.doc_id
+)
+SELECT query_id, doc_id, bm25_rank, cos_rank, ROUND(rrf_raw, 6) AS rrf, rank FROM (
+  SELECT query_id, doc_id, bm25_rank, cos_rank, rrf_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_raw DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+
+
+@register_extra("search_hybrid_rrf", _HYBRID_RRF_SQL)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion
+    (operators/search.py:hybrid_rrf): the BM25 leg and a sparse
+    TF-IDF-cosine leg each rank the corpus top-20 per query, then RRF
+    (Cormack et al. 2009: Σ 1/(60 + rank) over the legs that retrieved
+    the doc) fuses them into one top-10 — the standard way production
+    retrieval stacks combine lexical and vector rankings without
+    reconciling score scales. The oracle replays both legs' full
+    formulas AND the fusion; because RRF consumes only integer ranks,
+    the fused ordering is exactly reproducible across engines. Both
+    legs share one postings reduction; the fusion is a full-outer join
+    of two (queries × 20)-row tables — query-proportional, never
+    corpus-proportional."""
+    queries = spark.createDataFrame(
+        [("q1", "table scan"), ("q2", "hash merge batch"), ("q3", "window sort fast")],
+        "query_id string, query string",
+    )
+    return search.hybrid_rrf(_t(spark, sf_dir, "documents"), queries, k=10, leg_k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

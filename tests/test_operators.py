@@ -2361,3 +2361,52 @@ def test_temperature_mixture_flattens_without_upsampling(spark):
 
     with _pytest.raises(ValueError):
         sampling.temperature_mixture(df, "lang", temperature=0)
+
+
+def test_hybrid_rrf_union_and_fusion_math(spark):
+    from hyper_storage_spark.operators import search
+
+    # doc 1: strong on the query term both ways; doc 4 appears only in
+    # the cosine leg via a second term; verify union semantics + exact
+    # 1/(60+rank) arithmetic rather than re-deriving the legs.
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, "durian elderberry fig"),
+            (4, "banana banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [("q", "apple banana")], "query_id string, query string"
+    )
+    fused = {r.doc_id: r for r in search.hybrid_rrf(docs, queries, k=10, leg_k=10).collect()}
+    legs_bm = {
+        r.doc_id: r.rank for r in search.bm25_topk(docs, queries, k=10).collect()
+    }
+    legs_cos = {
+        r.doc_id: r.rank
+        for r in search.tfidf_cosine_topk(docs, queries, k=10).collect()
+    }
+    assert set(fused) == set(legs_bm) | set(legs_cos)
+    for doc_id, row in fused.items():
+        expect = 0.0
+        if doc_id in legs_bm:
+            assert row.bm25_rank == legs_bm[doc_id]
+            expect += 1.0 / (60 + legs_bm[doc_id])
+        else:
+            assert row.bm25_rank is None
+        if doc_id in legs_cos:
+            assert row.cos_rank == legs_cos[doc_id]
+            expect += 1.0 / (60 + legs_cos[doc_id])
+        else:
+            assert row.cos_rank is None
+        assert abs(row.rrf - round(expect, 6)) < 1e-12
+    # fused rank is a dense permutation ordered by rrf desc, doc_id asc
+    ordered = sorted(fused.values(), key=lambda r: r.rank)
+    assert [r.rank for r in ordered] == list(range(1, len(ordered) + 1))
+    assert all(
+        (a.rrf, -a.doc_id) >= (b.rrf, -b.doc_id)
+        for a, b in zip(ordered, ordered[1:])
+    )
