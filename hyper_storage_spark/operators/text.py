@@ -8,7 +8,7 @@ shuffle at all except where a groupBy is the semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT = r"\s+"
@@ -464,4 +464,51 @@ def collocations_topk(
         scored.orderBy(F.col("__pmi").desc(), "w1", "w2")
         .limit(k)
         .select("w1", "w2", "n_pair", F.round("__pmi", 6).cast("double").alias("pmi"))
+    )
+
+
+def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document lexical-diversity quality signals:
+    (doc_id, n_tokens, n_types, ttr, entropy) — type-token ratio and
+    Shannon entropy (nats) of the document's own token distribution.
+    Low entropy and low TTR flag the boilerplate / keyword-stuffed /
+    template pages a training-data quality filter drops; the
+    complement of the cross-document repetition score
+    (:func:`repetition_stats` catches copies ACROSS docs, this catches
+    degeneracy WITHIN one).
+
+    entropy = −Σ_t (c_t/n) ln(c_t/n) over the doc's token counts —
+    exact counts, one explode + two aggregations both keyed by doc_id
+    (the second groupBy reuses the first's hash partitioning, so the
+    corpus shuffles once and each doc's state is bounded by its own
+    vocabulary — linear at 100 TB, unlike the per-row quadratic
+    count-in-array alternative). Tokenless docs keep n_tokens=0 with
+    NULL ttr/entropy rather than silently dropping."""
+    counts = (
+        docs.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.col("n")
+    per_doc = (
+        counts.withColumn("n", F.sum("c").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            (-F.sum(p * F.log(p))).alias("h"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).alias("n_types"),
+            F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round("h", 6).alias("entropy"),
+        )
     )

@@ -5286,6 +5286,43 @@ def search_hybrid_rrf(spark, sf_dir):
     return search.hybrid_rrf(_t(spark, sf_dir, "documents"), queries, k=10, leg_k=20)
 
 
+@register_extra(
+    "text_lexical_diversity",
+    r"""WITH toks AS (
+         SELECT doc_id, u AS term
+         FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS u
+               FROM documents)
+         WHERE u <> ''
+       ),
+       c AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+       cn AS (SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM c),
+       per AS (
+         SELECT doc_id,
+                CAST(SUM(c) AS BIGINT) AS n_tokens,
+                COUNT(*) AS n_types,
+                -SUM((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)) AS h
+         FROM cn GROUP BY 1
+       )
+       SELECT d.doc_id,
+              COALESCE(per.n_tokens, 0) AS n_tokens,
+              COALESCE(per.n_types, 0) AS n_types,
+              ROUND(CAST(per.n_types AS DOUBLE) / per.n_tokens, 6) AS ttr,
+              ROUND(per.h, 6) AS entropy
+       FROM documents d LEFT JOIN per USING (doc_id)""",
+)
+def text_lexical_diversity(spark, sf_dir):
+    """Per-document lexical diversity
+    (operators/text.py:lexical_diversity): type-token ratio and exact
+    Shannon entropy of each doc's own token distribution — the
+    within-document degeneracy signal a quality filter pairs with the
+    cross-document repetition score. One explode + window + groupBy all
+    keyed by doc_id (one corpus shuffle, per-doc bounded state); the
+    oracle replays the identical −Σ p ln p over identical integer
+    counts. Tokenless docs surface with n_tokens=0 and NULL
+    ttr/entropy instead of vanishing."""
+    return text.lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
