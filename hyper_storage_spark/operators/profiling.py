@@ -82,3 +82,36 @@ def profile_table(
             "n_distinct",
         )
     )
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: list[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-group percentiles with linear interpolation — one row
+    per group, one column per requested percentile (p25, p50, ...).
+    The exact counterpart of the approx_percentile contract entry:
+    Spark's `percentile` aggregate sorts each group's values and
+    interpolates between order statistics, matching DuckDB/Postgres
+    `quantile_cont`/`percentile_cont` bit-for-bit on doubles.
+
+    Scale shape: one hash shuffle on the group key; each group's
+    values are buffered and sorted WITHIN its aggregation state, so
+    memory is bounded by the largest group, not the table — right for
+    the low-cardinality-group / big-table profile (event types over a
+    100 TB log). For percentile-of-everything over a high-cardinality
+    key, or single groups too big for one executor, use the sketch
+    path (q_approx_percentile_contract) instead; exact global order
+    statistics at corpus scale want the two-level prefix-sum selector
+    (sampling.select_token_budget's skeleton), not this aggregate."""
+    def _name(p: float) -> str:
+        s = f"{p * 100:g}".replace(".", "_")
+        return f"p{s}"
+
+    aggs = [
+        F.percentile(F.col(value_col), F.lit(p)).alias(_name(p))
+        for p in percentiles
+    ]
+    return df.groupBy(group_col).agg(*aggs)

@@ -5323,6 +5323,34 @@ def text_lexical_diversity(spark, sf_dir):
     return text.lexical_diversity(_t(spark, sf_dir, "documents"))
 
 
+@register_extra(
+    "q_exact_percentiles",
+    """SELECT event_type,
+              quantile_cont(value, 0.25) AS p25,
+              quantile_cont(value, 0.5) AS p50,
+              quantile_cont(value, 0.75) AS p75,
+              quantile_cont(value, 0.9) AS p90,
+              quantile_cont(value, 0.99) AS p99
+       FROM events GROUP BY event_type""",
+)
+def q_exact_percentiles(spark, sf_dir):
+    """EXACT grouped percentiles
+    (operators/profiling.py:grouped_percentiles): Spark's sort-based
+    `percentile` aggregate vs DuckDB quantile_cont, matched
+    bit-for-bit on doubles INCLUDING the linearly interpolated order
+    statistics — no rounding anywhere, unlike the sketch-based
+    q_approx_percentile_contract. One hash shuffle on the
+    low-cardinality group key; per-group state bounds memory, the
+    documented fit for event-type-over-100 TB-log profiles (the
+    docstring routes high-cardinality/giant-group cases to the sketch
+    or prefix-sum selector)."""
+    from .operators import profiling
+
+    return profiling.grouped_percentiles(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
