@@ -115,3 +115,51 @@ def grouped_percentiles(
         for p in percentiles
     ]
     return df.groupBy(group_col).agg(*aggs)
+
+
+def auc_binary(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC AUC of ``score_col`` against binary ``label_col``
+    (0/1) — one row (n_pos, n_neg, auc). The eval primitive for
+    quality-filter scores: "does this score actually separate the
+    keep-class from the drop-class" (AUC = P(score_pos > score_neg)
+    + ½·P(tie), the Mann-Whitney U form, ties counted exactly).
+
+    Arithmetic is ALL-INTEGER until one final double division:
+    auc = Σ_s [2·neg_s·pos_above(s) + neg_s·pos_s] / (2·n_pos·n_neg)
+    (pos_above = positives STRICTLY above the negatives' score — the
+    pairs the score ranks correctly), so there is no float-sum order
+    sensitivity to round away — bit-identical across engines by
+    construction.
+
+    Scale shape: the corpus reduces to one row per DISTINCT score
+    (pos/neg counts); pos_below comes from the two-level
+    :func:`~hyper_storage_spark.operators.sampling.distributed_cumsum`
+    (range partition + local windows), so no single task ever sees the
+    whole score domain — the unpartitioned-Window trap the plan linter
+    flags is structurally avoided."""
+    from .sampling import distributed_cumsum
+
+    lab = F.col(label_col).cast("long")
+    g = df.groupBy(score_col).agg(
+        F.sum(lab).alias("pos_s"),
+        F.sum(F.lit(1) - lab).alias("neg_s"),
+    )
+    c = distributed_cumsum(
+        g, "pos_s", [F.col(score_col).desc()], cum_col="cum_pos"
+    ).withColumn("pos_above", F.col("cum_pos") - F.col("pos_s"))
+    return c.agg(
+        F.sum("pos_s").alias("n_pos"),
+        F.sum("neg_s").alias("n_neg"),
+        F.sum(
+            F.lit(2) * F.col("neg_s") * F.col("pos_above")
+            + F.col("neg_s") * F.col("pos_s")
+        ).alias("num2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("num2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )

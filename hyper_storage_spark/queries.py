@@ -5351,6 +5351,46 @@ def q_exact_percentiles(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_auc_score",
+    """WITH b AS (
+         SELECT embedding[1] AS score,
+                CASE WHEN label < 5 THEN 1 ELSE 0 END AS lab
+         FROM embeddings
+       ),
+       g AS (SELECT score, SUM(lab) AS pos_s, SUM(1 - lab) AS neg_s
+             FROM b GROUP BY 1),
+       c AS (SELECT pos_s, neg_s,
+                    SUM(pos_s) OVER (ORDER BY score DESC) - pos_s AS pos_above
+             FROM g),
+       agg AS (SELECT SUM(pos_s) AS np, SUM(neg_s) AS nn,
+                      SUM(2 * neg_s * pos_above + neg_s * pos_s) AS num2
+               FROM c)
+       SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+              ROUND(CAST(num2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc
+       FROM agg""",
+)
+def q_auc_score(spark, sf_dir):
+    """Exact tie-aware ROC AUC (operators/profiling.py:auc_binary) of
+    the first embedding component against the binarized cluster label
+    — the Mann-Whitney rank-sum form with an ALL-INTEGER numerator
+    (2·neg·pos_above + neg·pos per distinct score) and one final
+    double division, so both engines agree bit-for-bit with no
+    float-sum ordering anywhere. The corpus reduces to one row per
+    distinct score; the global prefix sum is the two-level
+    distributed_cumsum, not a single-task Window (the oracle may use
+    one — DuckDB's problem is 500 rows, ours is 100 TB). Evaluates
+    whether a quality/filter score separates classes before you gate a
+    corpus on it."""
+    from .operators import profiling
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.element_at("embedding", 1).alias("score"),
+        F.when(F.col("label") < 5, F.lit(1)).otherwise(F.lit(0)).alias("lab"),
+    )
+    return profiling.auc_binary(emb, "score", "lab")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -2410,3 +2410,23 @@ def test_hybrid_rrf_union_and_fusion_math(spark):
         (a.rrf, -a.doc_id) >= (b.rrf, -b.doc_id)
         for a, b in zip(ordered, ordered[1:])
     )
+
+
+def test_auc_binary_hand_computed_with_ties(spark):
+    from hyper_storage_spark.operators import profiling
+
+    # pos scores {3,2}, neg {1,2}: pairs 3>1, 3>2, 2>1 win, (2,2) ties
+    # -> (3 + 0.5) / 4 = 0.875
+    df = spark.createDataFrame(
+        [(3.0, 1), (2.0, 1), (1.0, 0), (2.0, 0)], "s double, y int"
+    )
+    row = profiling.auc_binary(df, "s", "y").collect()[0]
+    assert (row.n_pos, row.n_neg) == (2, 2)
+    assert abs(row.auc - 0.875) < 1e-12
+    # perfect separation and its inverse
+    perfect = spark.createDataFrame(
+        [(float(i), 1 if i >= 5 else 0) for i in range(10)], "s double, y int"
+    )
+    assert profiling.auc_binary(perfect, "s", "y").collect()[0].auc == 1.0
+    inv = perfect.select((-F.col("s")).alias("s"), "y")
+    assert profiling.auc_binary(inv, "s", "y").collect()[0].auc == 0.0
