@@ -135,3 +135,48 @@ def cohort_retention(
         .agg(F.count_distinct("u").alias("n_active"))
         .join(sizes, "cohort_week")
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (from_type, to_type, n, p) where n counts adjacent
+    (from → to) pairs in each user's timeline and p is the row-
+    normalized transition probability. The "what do users do NEXT"
+    view that complements :func:`funnel`'s fixed-path completion —
+    path discovery instead of path verification.
+
+    The pair order within a user is the total order (ts, id) so ties
+    on equal timestamps are deterministic on both engines. p is one
+    exact-integer division per cell (n / row_total), so no float-sum
+    parity concerns anywhere.
+
+    Scale shape: one hash shuffle on user_id (the lead window's
+    partition key — per-user state, never global), one pair count,
+    and a row-total join over the |types|² matrix — the matrix is
+    type-cardinality-sized, so everything after the window is
+    broadcast-trivial at any corpus size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
+    )

@@ -5391,6 +5391,35 @@ def q_auc_score(spark, sf_dir):
     return profiling.auc_binary(emb, "score", "lab")
 
 
+@register_extra(
+    "q_event_transitions",
+    """WITH pairs AS (
+         SELECT event_type AS from_type,
+                LEAD(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS to_type
+         FROM events
+       ),
+       n AS (SELECT from_type, to_type, COUNT(*) AS n
+             FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+               FROM n GROUP BY 1)
+       SELECT n.from_type, n.to_type, n.n,
+              ROUND(CAST(n.n AS DOUBLE) / tot.tot, 6) AS p
+       FROM n JOIN tot USING (from_type)""",
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix
+    (operators/funnel.py:transition_matrix): adjacent (from → to)
+    event pairs per user under the total order (ts, event_id), counted
+    exactly, with row-normalized probabilities from one exact-integer
+    division per cell — path DISCOVERY next to q_funnel_ordered's
+    path verification. The lead window is per-user (never global); the
+    |types|²-sized matrix broadcasts for the row-total join."""
+    from .operators import funnel as funnel_ops
+
+    return funnel_ops.transition_matrix(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
