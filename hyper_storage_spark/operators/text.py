@@ -512,3 +512,48 @@ def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round("h", 6).alias("entropy"),
         )
     )
+
+
+def kl_unigram_divergence(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group KL divergence of the group's unigram distribution
+    from the whole corpus's: (group, n_tokens, kl) with
+    KL(P_g ‖ P_corpus) = Σ_t p_{t,g} · ln(p_{t,g} / q_t) in nats —
+    the drift measure for "how far does this domain/language/source
+    slice sit from the mixture I'm training on" (0 = identical
+    distribution; grows as the slice specializes). q_t > 0 wherever
+    p_{t,g} > 0 by construction (the corpus contains the group), so
+    no smoothing is needed and the sum is exact.
+
+    Scale shape: one tokenize+explode feeds (group, term) counts;
+    group totals and the global term distribution are reductions OF
+    that table, not re-scans; the scoring join is (group, term) ⨝
+    (term) — vocabulary-sized, unhinted so AQE broadcasts a real
+    vocabulary. Probabilities are exact-integer ratios; only the final
+    Σ p·ln(p/q) is float, rounded to 6 after summing."""
+    gt = (
+        docs.select(F.col(group_col).alias("g"), F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("g", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    from ._caches import tracked_persist
+
+    gt = tracked_persist(gt)
+    gtot = gt.groupBy("g").agg(F.sum("c").alias("ng"))
+    ttot = gt.groupBy("term").agg(F.sum("c").alias("ct"))
+    n = gt.agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("ng")
+    q = F.col("ct").cast("double") / F.col("n")
+    return (
+        gt.join(ttot, "term")
+        .join(F.broadcast(gtot), "g")
+        .crossJoin(F.broadcast(n))
+        .groupBy("g")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
+        .join(gtot, "g")
+        .select(F.col("g").alias(group_col), F.col("ng").alias("n_tokens"), "kl")
+    )

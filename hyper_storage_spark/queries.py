@@ -5420,6 +5420,40 @@ def q_event_transitions(spark, sf_dir):
     return funnel_ops.transition_matrix(_t(spark, sf_dir, "events"))
 
 
+@register_extra(
+    "text_kl_divergence",
+    r"""WITH toks AS (
+         SELECT lang AS g, u AS term
+         FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS u
+               FROM documents)
+         WHERE u <> ''
+       ),
+       gt AS (SELECT g, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+       gtot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM gt GROUP BY 1),
+       ttot AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM gt GROUP BY 1),
+       n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM gt)
+       SELECT gt.g AS lang, gtot.ng AS n_tokens,
+              ROUND(SUM((CAST(gt.c AS DOUBLE) / gtot.ng)
+                        * ln((CAST(gt.c AS DOUBLE) / gtot.ng)
+                             / (CAST(ttot.ct AS DOUBLE) / n.n))), 6) AS kl
+       FROM gt
+       JOIN ttot USING (term)
+       JOIN gtot USING (g)
+       CROSS JOIN n
+       GROUP BY 1, 2""",
+)
+def text_kl_divergence(spark, sf_dir):
+    """Per-language KL divergence from the corpus unigram distribution
+    (operators/text.py:kl_unigram_divergence) — the domain-drift
+    measure for mixture curation: KL(P_lang ‖ P_corpus) in nats over
+    exact integer counts, no smoothing needed because the corpus
+    contains every group's tokens. One explode feeds all four count
+    tables; the scoring join is vocabulary-sized and unhinted. The
+    oracle replays the identical Σ p·ln(p/q); both engines round the
+    one float sum to 6 after summing."""
+    return text.kl_unigram_divergence(_t(spark, sf_dir, "documents"), "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
