@@ -532,3 +532,47 @@ def series_similarity_topk(
         "rank",
         "certified",
     )
+
+
+def interarrival_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key inter-arrival-time statistics:
+    (key, n_gaps, mean_gap_us, p50_gap_us, max_gap_us) over the gaps
+    between consecutive events in each key's timeline — the rate /
+    burstiness profile behind ingestion sizing, bot detection, and
+    session-timeout calibration (pick the session gap where p50 and
+    max diverge).
+
+    Gaps are EXACT integer microseconds (epoch-micros difference under
+    the total order (ts, id)), so mean is one exact-int division and
+    the median is the sort-based interpolating percentile — all
+    engine-parity-safe. Keys with a single event carry no gap and drop
+    out (they have no arrival process to describe).
+
+    Scale shape: one hash shuffle on the key; the lag window and the
+    sort-based percentile both work per-key, so state is bounded by
+    the busiest key, never the table."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    gaps = (
+        events.select(
+            F.col(key_col),
+            (
+                F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    # mean stays UNROUNDED: it is one IEEE division of exact integers
+    # (bit-identical on any engine), while ROUND(x, 6) at 1e10-µs
+    # magnitudes asks for digits beyond double precision and the two
+    # engines' rounding implementations pick different neighbors
+    return gaps.groupBy(key_col).agg(
+        F.count("*").alias("n_gaps"),
+        (F.sum("gap").cast("double") / F.count("*")).alias("mean_gap_us"),
+        F.percentile(F.col("gap"), F.lit(0.5)).alias("p50_gap_us"),
+        F.max("gap").alias("max_gap_us"),
+    )

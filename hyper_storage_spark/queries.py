@@ -5454,6 +5454,39 @@ def text_kl_divergence(spark, sf_dir):
     return text.kl_unigram_divergence(_t(spark, sf_dir, "documents"), "lang")
 
 
+@register_extra(
+    "ts_interarrival_stats",
+    """WITH g AS (
+         SELECT user_id,
+                date_diff('microsecond',
+                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                          ts) AS gap
+         FROM events
+       )
+       SELECT user_id,
+              COUNT(*) AS n_gaps,
+              CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS mean_gap_us,
+              quantile_cont(gap, 0.5) AS p50_gap_us,
+              CAST(MAX(gap) AS BIGINT) AS max_gap_us
+       FROM g WHERE gap IS NOT NULL GROUP BY user_id""",
+)
+def ts_interarrival_stats(spark, sf_dir):
+    """Per-user inter-arrival statistics
+    (operators/timeseries.py:interarrival_stats): exact integer
+    microsecond gaps between consecutive events under the total order
+    (ts, event_id), then count / exact-division mean (UNROUNDED — one
+    IEEE division of exact ints is bit-stable, while ROUND at 1e10
+    magnitude asks for digits past double precision and the engines'
+    rounders pick different neighbors) / interpolating exact median
+    (the q_exact_percentiles parity) / max per user —
+    the burstiness profile behind session-timeout calibration and
+    rate-limit sizing. Per-key window + per-key sort state only; the
+    oracle replays gap extraction and every statistic."""
+    from .operators import timeseries as ts_ops
+
+    return ts_ops.interarrival_stats(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
