@@ -1827,6 +1827,61 @@ class DocumentStore:
             self._templated_uris.clear()
             return new_version
 
+    def diff_versions(
+        self,
+        v_from: int,
+        v_to: Optional[int] = None,
+        uri: Optional[str] = None,
+    ) -> list[dict]:
+        """What changed between two retained manifest versions:
+        [{document_uri, item_id, change, rev_from, rev_to}] with
+        ``change`` ∈ {added, removed, changed}, sorted by (uri, item).
+        ``v_to=None`` diffs against the CURRENT state; ``uri``
+        restricts scope — it matches the document itself (for a
+        collection document ``c~`` that means its items) and every
+        document under ``uri/``. The review face of time travel —
+        "what did that batch actually do" before a :meth:`restore_version`,
+        or an incremental-export change list between two flips.
+
+        Unchanged items never appear: equality is by revision, which
+        bumps on every content write (gapless-revision invariant), so
+        revision equality IS content equality.
+
+        This is the driver-side admin path (reads both snapshots'
+        content rows, dict-diff). At cluster scale, diff two
+        :meth:`at_version` stores' ``collection_df`` frames with a
+        full-outer join on (document_uri, item_id) instead — same
+        semantics, executor-sized."""
+        a = self.at_version(v_from)
+        b = self.at_version(v_to) if v_to is not None else self
+
+        def in_scope(duri: str) -> bool:
+            return uri is None or duri == uri or duri.startswith(uri + "/")
+
+        def live(store: "DocumentStore") -> dict:
+            return {
+                (r["document_uri"], r["item_id"]): r["revision"]
+                for r in store.storage.all_rows(CONTENT)
+                if not r["is_deleted"] and in_scope(r["document_uri"])
+            }
+
+        fa, fb = live(a), live(b)
+        out: list[dict] = []
+        for key in sorted(set(fa) | set(fb)):
+            ra, rb = fa.get(key), fb.get(key)
+            if ra == rb:
+                continue
+            out.append(
+                {
+                    "document_uri": key[0],
+                    "item_id": key[1],
+                    "change": "added" if ra is None else "removed" if rb is None else "changed",
+                    "rev_from": ra,
+                    "rev_to": rb,
+                }
+            )
+        return out
+
     def compact_appends(self, min_files: int = 2) -> dict[str, int]:
         """Compact every append-only table holding ≥ ``min_files``
         append files (the feed and dead-letter logs grow one parquet

@@ -1970,3 +1970,45 @@ def test_concurrent_recover_checkpoint_write_safe(tmp_path):
     for t in ts:
         t.join(timeout=120)
     assert errors == []
+
+
+def test_diff_versions_add_change_remove(spark, tmp_path):
+    store = DocumentStore(str(tmp_path / "diffv"), spark=spark)
+    store.put("c~/a", {"x": 1})
+    store.put("c~/b", {"x": 2})
+    v0 = store.storage._read_manifest()["version"]
+    store.put("c~/a", {"x": 10})      # changed
+    store.put("c~/c", {"x": 3})       # added
+    store.delete("c~/b")              # removed
+    store.put("other/z", {"y": 1})    # unrelated plain document
+    changes = store.diff_versions(v0)
+    by_key = {(c["document_uri"], c["item_id"]): c for c in changes}
+    assert by_key[("c~", "a")]["change"] == "changed"
+    # collection revisions are a per-collection counter: the re-put of
+    # item a lands at a LATER revision than v0's, whatever its number
+    assert by_key[("c~", "a")]["rev_to"] > by_key[("c~", "a")]["rev_from"]
+    assert by_key[("c~", "c")]["change"] == "added"
+    assert by_key[("c~", "c")]["rev_from"] is None
+    assert by_key[("c~", "b")]["change"] == "removed"
+    assert by_key[("c~", "b")]["rev_to"] is None
+    assert ("other/z", "") in by_key
+    # collection filter, and the sorted-order contract
+    only_c = store.diff_versions(v0, uri="c~")
+    assert {(c["document_uri"], c["item_id"]) for c in only_c} == {
+        ("c~", "a"), ("c~", "b"), ("c~", "c")
+    }
+    assert only_c == sorted(only_c, key=lambda c: (c["document_uri"], c["item_id"]))
+    # explicit v_to: diff of a version against itself is empty
+    v1 = store.storage._read_manifest()["version"]
+    assert store.diff_versions(v1, v1) == []
+    # CLI face prints one JSON line with the same changes
+    import json as _json
+    import subprocess, sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "tools/store_admin.py", str(tmp_path / "diffv"),
+         "diff", str(v0), "--uri", "c~"],
+        capture_output=True, text=True, check=True,
+    )
+    cli = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert cli["n_changes"] == 3

@@ -59,6 +59,13 @@ def main(argv: list[str] | None = None) -> int:
     ret.add_argument("--grace", type=float, default=3600.0)
     ret.add_argument("--keep", type=int, default=None,
                      help="snapshot retention override passed to vacuum")
+    dv = sub.add_parser(
+        "diff", help="item-level changes between two retained versions"
+    )
+    dv.add_argument("v_from", type=int)
+    dv.add_argument("v_to", type=int, nargs="?", default=None,
+                    help="omit to diff against the current state")
+    dv.add_argument("--uri", default=None, help="restrict to one collection")
     args = ap.parse_args(argv)
 
     from hyper_storage_spark.store import DocumentStore
@@ -78,6 +85,9 @@ def main(argv: list[str] | None = None) -> int:
         out = {"restored_to": args.version, "new_version": store.restore_version(args.version)}
     elif args.cmd == "recover":
         out = {"completed_transactions": store.recover()}
+    elif args.cmd == "diff":
+        changes = store.diff_versions(args.v_from, args.v_to, uri=args.uri)
+        out = {"n_changes": len(changes), "changes": changes}
     elif args.cmd == "truncate-feed":
         out = {"events_removed": store.truncate_feed(args.older_than_ms)}
     elif args.cmd == "retention":
