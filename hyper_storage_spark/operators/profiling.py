@@ -163,3 +163,47 @@ def auc_binary(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier profile via median absolute deviation:
+    (group, n, med, mad, n_outliers) where mad = median(|x − med|) and
+    an outlier is |x − med| > k · 1.4826 · mad (1.4826 scales MAD to
+    σ for normal data — the standard robust z-score). The
+    mean/stddev-based z-score (mv_rollup_anomaly) breaks when the
+    outliers themselves inflate σ; MAD has a 50% breakdown point, so
+    it is the right gate for heavy-tailed quality scores and latency
+    columns.
+
+    Everything is the exact sort-based percentile (q_exact_percentiles
+    parity — interpolated order statistics match other engines
+    bit-for-bit), so med/mad/n_outliers are all engine-exact with no
+    rounding. Three aggregations and two joins, every one keyed by the
+    group column: per-group sort state, no global ordering anywhere."""
+    med = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("med")
+    )
+    dev = df.join(med, group_col).select(
+        group_col, "med", F.abs(F.col(value_col) - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.first("med").alias("med"),
+        F.percentile(F.col("dev"), F.lit(0.5)).alias("mad"),
+    )
+    return (
+        dev.join(mad.select(group_col, "mad"), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum(
+                F.when(F.col("dev") > F.lit(k) * F.lit(1.4826) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .join(mad, group_col)
+        .select(group_col, "n", "med", "mad", "n_outliers")
+    )

@@ -5487,6 +5487,45 @@ def ts_interarrival_stats(spark, sf_dir):
     return ts_ops.interarrival_stats(_t(spark, sf_dir, "events"))
 
 
+@register_extra(
+    "q_robust_outliers",
+    """WITH med AS (
+         SELECT event_type, quantile_cont(value, 0.5) AS med
+         FROM events GROUP BY event_type
+       ),
+       dev AS (
+         SELECT e.event_type, m.med, ABS(e.value - m.med) AS dev
+         FROM events e JOIN med m USING (event_type)
+       ),
+       mad AS (
+         SELECT event_type, COUNT(*) AS n, ANY_VALUE(med) AS med,
+                quantile_cont(dev, 0.5) AS mad
+         FROM dev GROUP BY event_type
+       )
+       SELECT d.event_type, m.n, m.med, m.mad,
+              CAST(SUM(CASE WHEN d.dev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_outliers
+       FROM dev d JOIN mad m USING (event_type)
+       GROUP BY 1, 2, 3, 4""",
+)
+def q_robust_outliers(spark, sf_dir):
+    """Robust per-group outlier profile
+    (operators/profiling.py:robust_outlier_stats): median absolute
+    deviation with the 1.4826 normal-consistency factor and a 3-robust-
+    z outlier count — the heavy-tail-safe alternative to the rollup's
+    mean/σ anomaly gate (outliers can't inflate their own threshold;
+    MAD's breakdown point is 50%). med and mad are the exact
+    interpolating percentile (proven bit-parity), the deviations and
+    the strict threshold compare are pure double arithmetic on
+    identical bits, so the whole row needs NO rounding. All three
+    aggregations and both joins are keyed by event_type."""
+    from .operators import profiling
+
+    return profiling.robust_outlier_stats(
+        _t(spark, sf_dir, "events"), "event_type", "value", k=3.0
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
