@@ -207,3 +207,36 @@ def robust_outlier_stats(
         .join(mad, group_col)
         .select(group_col, "n", "med", "mad", "n_outliers")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str = "value_w",
+) -> DataFrame:
+    """Winsorized copy of ``value_col``: every row back, plus
+    ``out_col`` = value clipped into the group's [p_lo, p_hi] exact
+    percentile band — the standard tail-taming transform before
+    mean-based aggregation or model fitting (unlike dropping outliers
+    it keeps the row, so counts and joins downstream are unchanged).
+
+    The clip emits either the original value or a group percentile —
+    both already-exact doubles (q_exact_percentiles parity), no
+    arithmetic, no rounding. One percentile aggregation + one
+    broadcast-sized join back on the group key; rows never shuffle
+    (the small bounds table does), so this is scan-shaped at 100 TB."""
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), F.lit(lo)).alias("__lo"),
+        F.percentile(F.col(value_col), F.lit(hi)).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            out_col,
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )

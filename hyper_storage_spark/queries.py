@@ -5526,6 +5526,36 @@ def q_robust_outliers(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_winsorize",
+    """WITH b AS (
+         SELECT event_type,
+                quantile_cont(value, 0.01) AS lo,
+                quantile_cont(value, 0.99) AS hi
+         FROM events GROUP BY event_type
+       )
+       SELECT e.event_id, e.event_type, e.value,
+              LEAST(GREATEST(e.value, b.lo), b.hi) AS value_w
+       FROM events e JOIN b USING (event_type)""",
+)
+def q_winsorize(spark, sf_dir):
+    """Per-group winsorization (operators/profiling.py:winsorize):
+    every event row back with value clipped into its event type's
+    exact [p1, p99] band — the tail-taming transform that keeps rows
+    (so downstream counts/joins are unchanged) instead of dropping
+    them. The clip emits either the original double or an exact
+    interpolated percentile, so the whole column is rounding-free.
+    One percentile agg + one broadcast bounds join; the fact rows
+    never shuffle."""
+    from .operators import profiling
+
+    return profiling.winsorize(
+        _t(spark, sf_dir, "events").select("event_id", "event_type", "value"),
+        "event_type",
+        "value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
