@@ -1,3 +1,4 @@
+from .jsonl import read_jsonl, write_jsonl
 from .tables import TABLE_NAMES, load_table, register_views
 
-__all__ = ["TABLE_NAMES", "load_table", "register_views"]
+__all__ = ["TABLE_NAMES", "load_table", "register_views", "read_jsonl", "write_jsonl"]

@@ -104,3 +104,39 @@ def test_reserved_columns_and_bad_shard_count_rejected(spark, corpus):
         export.write_training_shards(
             corpus.withColumn("__ord", F.lit(1)), "/tmp/x", 2, "doc_id"
         )
+
+
+def test_jsonl_round_trip_and_quarantine(spark, tmp_path):
+    from hyper_storage_spark.sources import read_jsonl, write_jsonl
+
+    src = spark.createDataFrame(
+        [(1, "alpha", 3.5), (2, "beta", None), (3, "gamma", -1.0)],
+        "doc_id long, text string, score double",
+    )
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl(src, out, shards=2)
+    clean, quarantine = read_jsonl(spark, out, "doc_id long, text string, score double")
+    assert quarantine.count() == 0
+    got = sorted(map(tuple, clean.collect()))
+    assert got == sorted(map(tuple, src.collect()))
+    # hand-write a file with malformed lines: they quarantine verbatim,
+    # clean lines still parse, nothing is silently dropped
+    bad_dir = tmp_path / "bad_jsonl"
+    bad_dir.mkdir()
+    (bad_dir / "part-0.json").write_text(
+        '{"doc_id": 10, "text": "ok", "score": 1.0}\n'
+        "this is not json\n"
+        '{"doc_id": 11, "text": "also ok", "score": 2.0}\n'
+        '{"broken": \n'
+    )
+    clean, quarantine = read_jsonl(
+        spark, str(bad_dir), "doc_id long, text string, score double"
+    )
+    assert sorted(r.doc_id for r in clean.collect()) == [10, 11]
+    raws = sorted(r.raw for r in quarantine.collect())
+    assert raws == ["this is not json", '{"broken": ']
+    # reserved-column misuse is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl(spark, str(bad_dir), "_corrupt_record string")
