@@ -405,7 +405,7 @@ def q6_revenue_change(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "q_window_running_total",
     """SELECT o_orderkey, o_custkey,
               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
@@ -667,7 +667,7 @@ def q19_disjunctive_join(spark, sf_dir):
     return j.filter(cond).agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
 
 
-@register(
+@register_extra(
     "q_percentiles",
     """SELECT event_type,
               ROUND(quantile_cont(value, 0.5), 6) AS p50,
@@ -2075,7 +2075,7 @@ WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
 """
 
 
-@register("dedup_minhash_lsh", _JACCARD_SQL_UNCAPPED)
+@register_extra("dedup_minhash_lsh", _JACCARD_SQL_UNCAPPED)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash banding + exact-Jaccard verify. Oracle-pinned against
     the UNCAPPED exact-Jaccard set: banding recall is 1.0 at the
@@ -3663,7 +3663,7 @@ def ts_interval_overlap(spark, sf_dir):
     return out.select("band_id", "user_id")
 
 
-@register(
+@register_extra(
     "ts_range_join",
     """WITH bands AS (SELECT b AS band_id, b * 5.0 AS lo, b * 5.0 + 7.5 AS hi
                       FROM range(0, 20) t(b))
@@ -5265,7 +5265,7 @@ SELECT query_id, doc_id, bm25_rank, cos_rank, ROUND(rrf_raw, 6) AS rrf, rank FRO
 """
 
 
-@register_extra("search_hybrid_rrf", _HYBRID_RRF_SQL)
+@register("search_hybrid_rrf", _HYBRID_RRF_SQL)
 def search_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval by reciprocal-rank fusion
     (operators/search.py:hybrid_rrf): the BM25 leg and a sparse
@@ -5351,7 +5351,7 @@ def q_exact_percentiles(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "q_auc_score",
     """WITH b AS (
          SELECT embedding[1] AS score,
@@ -5420,7 +5420,7 @@ def q_event_transitions(spark, sf_dir):
     return funnel_ops.transition_matrix(_t(spark, sf_dir, "events"))
 
 
-@register_extra(
+@register(
     "text_kl_divergence",
     r"""WITH toks AS (
          SELECT lang AS g, u AS term
@@ -5487,7 +5487,7 @@ def ts_interarrival_stats(spark, sf_dir):
     return ts_ops.interarrival_stats(_t(spark, sf_dir, "events"))
 
 
-@register_extra(
+@register(
     "q_robust_outliers",
     """WITH med AS (
          SELECT event_type, quantile_cont(value, 0.5) AS med
@@ -5649,6 +5649,27 @@ def all_specs() -> dict[str, QuerySpec]:
 # machinery), mv_incremental_rollup (mv_rollup_variance runs the
 # identical partials/merge/finalize path with a superset of columns;
 # the plain refresh stays oracle-checked in EXTRA).
+#
+# Rotated IN (late r7, third pass) — the retrieval-eval / robust-stats
+# tier: search_hybrid_rrf (RRF fusion whose two legs run the full BM25
+# and TF-IDF-cosine rankers in-plan — one driver row proves sparse
+# retrieval AND fusion), q_auc_score (exact Mann-Whitney AUC on the
+# two-level distributed_cumsum — the score-evaluation class had no
+# driver row), q_robust_outliers (MAD robust outliers — runs the
+# sort-based interpolating percentile UNROUNDED, a strictly stronger
+# parity check than the rounded q_percentiles row it replaces),
+# text_kl_divergence (distribution-divergence class, previously
+# driver-uncovered). Rotated OUT to EXTRA, each redundant with a
+# surviving driver row: q_percentiles (q_robust_outliers' med/mad are
+# the same percentile aggregate, unrounded; q_exact_percentiles twins
+# it in EXTRA), q_window_running_total (q_token_budget_select IS the
+# scale-shaped global running total; mv_rollup_variance covers
+# windowed/frame aggregation), ts_range_join (ts_asof_join survives
+# for the temporal-join class, q_stream_interval_join for interval
+# predicates; ts_interval_overlap stays in EXTRA), dedup_minhash_lsh
+# (dedup_minhash_incremental runs the identical banded-LSH join +
+# candidate verify against the persisted index; the uncapped-Jaccard
+# twin stays in EXTRA).
 if len(QUERIES) != 50:
     raise RuntimeError(
         f"driver-tier catalog has {len(QUERIES)} entries; the gate records exactly 50"
