@@ -240,3 +240,66 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two
+    categorical columns, one row: (n, dof, chi2, cramers_v). The
+    drift/association primitive — "did the label mix shift across
+    sources", "is event type independent of weekday" — with Cramér's
+    V as the [0,1] effect size (chi2 alone grows with n).
+
+    chi2 = Σ_cells (o − e)²/e with e = row_total · col_total / n —
+    observed and marginal counts are exact integers; each cell's
+    expectation and contribution is a fixed IEEE expression over them,
+    written identically in the SQL oracle (the r·c-cell sum is tiny,
+    so float-order noise has no room to accumulate before ROUND 6).
+
+    Scale shape: ONE groupBy over the corpus produces the r·c
+    contingency table; marginals and the statistic are aggregations of
+    that tiny table (two broadcast joins). Never a corpus self-join."""
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count("*").alias("o"))
+    from ._caches import tracked_persist
+
+    cells = tracked_persist(cells)
+    ra = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    n = cells.agg(F.sum("o").alias("n"))
+    e = F.col("ra").cast("double") * F.col("cb") / F.col("n")
+    per_cell = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "n",
+            ((F.col("o") - e) * (F.col("o") - e) / e).alias("x"),
+        )
+    )
+    return (
+        per_cell.groupBy("n")
+        .agg(
+            F.count_distinct("a").alias("r"),
+            F.count_distinct("b").alias("c"),
+            F.sum("x").alias("chi2"),
+        )
+        .select(
+            F.col("n").alias("n"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

@@ -5556,6 +5556,46 @@ def q_winsorize(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_chi2_independence",
+    """WITH cells AS (
+         SELECT lang AS a, source AS b, COUNT(*) AS o
+         FROM documents GROUP BY 1, 2
+       ),
+       ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+       cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+       n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+       per AS (
+         SELECT cells.a, cells.b, n.n,
+                (cells.o - CAST(ra.ra AS DOUBLE) * cb.cb / n.n)
+                  * (cells.o - CAST(ra.ra AS DOUBLE) * cb.cb / n.n)
+                  / (CAST(ra.ra AS DOUBLE) * cb.cb / n.n) AS x
+         FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN n
+       )
+       SELECT n,
+              CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT) AS dof,
+              ROUND(SUM(x), 6) AS chi2,
+              ROUND(SQRT(SUM(x) / (n * LEAST(COUNT(DISTINCT a) - 1,
+                                             COUNT(DISTINCT b) - 1))), 6) AS cramers_v
+       FROM per GROUP BY n""",
+)
+def q_chi2_independence(spark, sf_dir):
+    """Chi-squared independence test + Cramér's V
+    (operators/profiling.py:chi2_independence) between document
+    language and source — the categorical drift/association primitive
+    ("did the label mix shift across sources"). One corpus groupBy
+    yields the r·c contingency table; marginals, the statistic, and
+    the effect size are aggregations of that tiny table (broadcast
+    joins), never a corpus self-join. Counts are exact ints; each
+    cell's (o−e)²/e is the identical IEEE expression on both engines,
+    summed over r·c cells and rounded to 6."""
+    from .operators import profiling
+
+    return profiling.chi2_independence(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -2430,3 +2430,26 @@ def test_auc_binary_hand_computed_with_ties(spark):
     assert profiling.auc_binary(perfect, "s", "y").collect()[0].auc == 1.0
     inv = perfect.select((-F.col("s")).alias("s"), "y")
     assert profiling.auc_binary(inv, "s", "y").collect()[0].auc == 0.0
+
+
+def test_chi2_independence_hand_computed(spark):
+    from hyper_storage_spark.operators import profiling
+
+    # 2x2 table: (x,u)=10 (x,v)=20 (y,u)=30 (y,v)=40; n=100
+    # e = 12/18/28/42 -> chi2 = 4/12+4/18+4/28+4/42 = 125/157.5 ≈ 0.793651
+    rows = (
+        [("x", "u")] * 10 + [("x", "v")] * 20 + [("y", "u")] * 30 + [("y", "v")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = profiling.chi2_independence(df, "a", "b").collect()[0]
+    expect = 4 / 12 + 4 / 18 + 4 / 28 + 4 / 42
+    assert got.n == 100 and got.dof == 1
+    assert abs(got.chi2 - round(expect, 6)) < 1e-9
+    assert abs(got.cramers_v - round((expect / 100) ** 0.5, 6)) < 1e-9
+    # independent columns -> chi2 exactly 0 (o == e in every cell)
+    indep = spark.createDataFrame(
+        [(a, b) for a in ("x", "y") for b in ("u", "v") for _ in range(5)],
+        "a string, b string",
+    )
+    got0 = profiling.chi2_independence(indep, "a", "b").collect()[0]
+    assert got0.chi2 == 0.0 and got0.cramers_v == 0.0
