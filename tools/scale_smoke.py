@@ -33,11 +33,13 @@ def main() -> None:
     from hyper_storage_spark.operators import (
         bloomjoin,
         dedup,
+        profiling,
         rollup_mv,
         sampling,
         search,
         similarity,
     )
+    from hyper_storage_spark.operators import text as text_ops
     from hyper_storage_spark.operators._caches import release_tracked_caches
     from hyper_storage_spark.session import get_spark
     from hyper_storage_spark.sources.tables import load_table
@@ -56,6 +58,13 @@ def main() -> None:
             "query_id string, query string",
         )
         return search.bm25_topk(d, queries, k=10)
+
+    def _hybrid(d):
+        queries = spark.createDataFrame(
+            [("q1", "table scan"), ("q2", "hash merge batch")],
+            "query_id string, query string",
+        )
+        return search.hybrid_rrf(d, queries, k=10, leg_k=20)
     def _rollup_refresh(d):
         # synthesize (ts, key, value) from the doc corpus: 30 daily
         # buckets × 7 keys, value = text length (decimal partials)
@@ -206,6 +215,25 @@ def main() -> None:
             e.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0),
             k=10,
             n_planes=similarity.planes_for(e.count()),
+        ).count(),
+        # final round-7 tier: hybrid retrieval (both posting-list legs
+        # + the leg_k-bounded fusion join — fusion cost is
+        # queries × leg_k regardless of corpus), exact AUC (corpus
+        # reduces to distinct scores, prefix sum is the two-level
+        # cumsum), and KL divergence (vocabulary-sized joins; replicas
+        # multiply counts, not vocabulary)
+        "hybrid_rrf": lambda d, e: _hybrid(d).count(),
+        "auc_binary": lambda d, e: profiling.auc_binary(
+            d.select(
+                F.length("text").cast("double").alias("s"),
+                F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("y"),
+            ),
+            "s",
+            "y",
+        ).count(),
+        "kl_divergence": lambda d, e: text_ops.kl_unigram_divergence(
+            d.withColumn("lang", F.pmod(F.col("doc_id"), F.lit(4)).cast("string")),
+            "lang",
         ).count(),
     }
 
