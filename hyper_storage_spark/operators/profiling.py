@@ -303,3 +303,107 @@ def chi2_independence(
             ).alias("cramers_v"),
         )
     )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation with tie correction:
+    (group, n, rho) — the monotonic-association measure that survives
+    outliers and nonlinear scales (Pearson on MIDRANKS, the standard
+    tied-rank treatment). The robust complement of the covariance-
+    based correlation ops: right for "does quality score track doc
+    length at all" questions where the relationship is monotone but
+    not linear.
+
+    Exactness: midranks are quarter-integer-valued and bounded by the
+    group size, so every sum below (Σx, Σy, Σxy, Σx², Σy²) is exactly
+    representable in doubles REGARDLESS of partition summation order;
+    the closing (n·Σxy − ΣxΣy)/√(…) is a fixed IEEE expression over
+    those exact values — bit-identical across engines with no rounding
+    step anywhere.
+
+    Scale shape: two rank windows and one aggregation, all partitioned
+    by the group column — per-group sort state, nothing global."""
+    from pyspark.sql import Window
+
+    def midrank(col: str, out: str):
+        wr = Window.partitionBy(group_col).orderBy(F.col(col))
+        wt = Window.partitionBy(group_col, col)
+        return (
+            F.rank().over(wr).cast("double")
+            + (F.count("*").over(wt) - F.lit(1)) / F.lit(2.0)
+        ).alias(out)
+
+    r = df.select(group_col, midrank(x_col, "rx"), midrank(y_col, "ry"))
+    agg = r.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(group_col, "n", (num / den).alias("rho"))
+
+
+def ks_two_sample(df: DataFrame, value_col: str, side_col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance, one row:
+    (n1, n2, d) with d = max_v |ECDF_1(v) − ECDF_2(v)| — the standard
+    "did this distribution shift" test between two slices (old vs new
+    snapshot of a quality score, source A vs source B latency).
+    ``side_col`` must be 0/1.
+
+    All-integer arithmetic (the q_auc_score discipline): at each
+    distinct value the ECDF gap is |cum1·n2 − cum2·n1| / (n1·n2); the
+    numerator and the max are exact integers, ONE final double
+    division closes — bit parity by construction, no rounding.
+
+    Scale shape: the input reduces to one row per distinct value with
+    per-side counts; both running totals ride ONE two-level
+    :func:`~hyper_storage_spark.operators.sampling.distributed_cumsum`
+    pass (the per-partition offsets trick works per weight column on
+    the same range partitioning), so nothing global ever sits in one
+    task."""
+    from .sampling import distributed_cumsum
+
+    side = F.col(side_col).cast("long")
+    g = df.groupBy(value_col).agg(
+        F.sum(side).alias("c1"),
+        F.sum(F.lit(1) - side).alias("c2"),
+    )
+    c = distributed_cumsum(g, "c1", [F.col(value_col).asc()], cum_col="cum1")
+    # second running total on the SAME ordering: reuse the generic
+    # helper (its repartitionByRange re-samples boundaries, which is
+    # fine — each call is internally consistent and cum values are
+    # order-determined, not partition-determined)
+    c = distributed_cumsum(c, "c2", [F.col(value_col).asc()], cum_col="cum2")
+    return (
+        c.crossJoin(
+            F.broadcast(
+                g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+            )
+        )
+        .select(
+            "n1",
+            "n2",
+            F.abs(
+                F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+            ).alias("gap"),
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max("gap").alias("gap"))
+        .select(
+            "n1",
+            "n2",
+            (F.col("gap").cast("double") / (F.col("n1") * F.col("n2"))).alias("d"),
+        )
+    )

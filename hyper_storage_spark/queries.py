@@ -5596,6 +5596,93 @@ def q_chi2_independence(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_spearman_corr",
+    """WITH b AS (
+         SELECT event_type, value AS x,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+         FROM events
+       ),
+       r AS (
+         SELECT event_type,
+                RANK() OVER (PARTITION BY event_type ORDER BY x)
+                  + (COUNT(*) OVER (PARTITION BY event_type, x) - 1) / 2.0 AS rx,
+                RANK() OVER (PARTITION BY event_type ORDER BY y)
+                  + (COUNT(*) OVER (PARTITION BY event_type, y) - 1) / 2.0 AS ry
+         FROM b
+       ),
+       a AS (
+         SELECT event_type, COUNT(*) AS n,
+                SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+                SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+         FROM r GROUP BY 1
+       )
+       SELECT event_type, n,
+              (n * sxy - sx * sy)
+                / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rho
+       FROM a""",
+)
+def q_spearman_corr(spark, sf_dir):
+    """Per-event-type Spearman rank correlation
+    (operators/profiling.py:spearman_by_group) between the numeric
+    value and the JSON payload's k — tie-corrected via midranks, the
+    outlier-proof monotonic-association measure. Midranks are
+    quarter-integers bounded by group size, so every sum is exactly
+    representable regardless of partition order and rho needs NO
+    rounding — bit parity by construction (the q_auc_score
+    integer-arithmetic discipline extended to rank statistics). Both
+    rank windows are partitioned by event_type; nothing global."""
+    from .operators import profiling
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("y"),
+    )
+    return profiling.spearman_by_group(ev, "event_type", "x", "y")
+
+
+@register_extra(
+    "q_ks_two_sample",
+    """WITH b AS (
+         SELECT value,
+                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s
+         FROM events WHERE event_type IN ('click', 'view')
+       ),
+       g AS (SELECT value, SUM(s) AS c1, SUM(1 - s) AS c2 FROM b GROUP BY 1),
+       c AS (SELECT value, SUM(c1) OVER (ORDER BY value) AS cum1,
+                    SUM(c2) OVER (ORDER BY value) AS cum2
+             FROM g),
+       n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM g)
+       SELECT n.n1, n.n2,
+              CAST(MAX(ABS(c.cum1 * n.n2 - c.cum2 * n.n1)) AS DOUBLE)
+                / (n.n1 * n.n2) AS d
+       FROM c CROSS JOIN n
+       GROUP BY n.n1, n.n2""",
+)
+def q_ks_two_sample(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov distance
+    (operators/profiling.py:ks_two_sample) between the click and view
+    value distributions — the distribution-shift test. At each
+    distinct value the ECDF gap is the exact integer
+    |cum1·n2 − cum2·n1|; the max is integer; ONE double division
+    closes (the q_auc_score all-integer discipline) — bit parity, no
+    rounding. Both running totals are two-level distributed_cumsum
+    passes, never a single-task global window (the oracle's window is
+    DuckDB's problem at 10k rows, not ours at 100 TB)."""
+    from .operators import profiling
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "value",
+            F.when(F.col("event_type") == "click", F.lit(1)).otherwise(F.lit(0)).alias("s"),
+        )
+    )
+    return profiling.ks_two_sample(ev, "value", "s")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

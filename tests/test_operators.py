@@ -2453,3 +2453,51 @@ def test_chi2_independence_hand_computed(spark):
     )
     got0 = profiling.chi2_independence(indep, "a", "b").collect()[0]
     assert got0.chi2 == 0.0 and got0.cramers_v == 0.0
+
+
+def test_spearman_hand_computed_and_ties(spark):
+    from hyper_storage_spark.operators import profiling
+
+    # x=[1,2,3,4], y=[2,1,4,3] -> rho = 12/20 = 0.6 exactly
+    df = spark.createDataFrame(
+        [("g", 1.0, 2.0), ("g", 2.0, 1.0), ("g", 3.0, 4.0), ("g", 4.0, 3.0)],
+        "g string, x double, y double",
+    )
+    row = profiling.spearman_by_group(df, "g", "x", "y").collect()[0]
+    assert row.n == 4 and row.rho == 0.6
+    # monotone nonlinear -> exactly 1; inverse -> exactly -1; ties
+    # shared between x and y keep rho = 1 via identical midranks
+    mono = spark.createDataFrame(
+        [("g", float(i), float(i * i)) for i in range(1, 8)],
+        "g string, x double, y double",
+    )
+    assert profiling.spearman_by_group(mono, "g", "x", "y").collect()[0].rho == 1.0
+    inv = mono.select("g", "x", (-F.col("y")).alias("y"))
+    assert profiling.spearman_by_group(inv, "g", "x", "y").collect()[0].rho == -1.0
+    tied = spark.createDataFrame(
+        [("g", 1.0, 10.0), ("g", 2.0, 20.0), ("g", 2.0, 20.0), ("g", 3.0, 30.0)],
+        "g string, x double, y double",
+    )
+    assert profiling.spearman_by_group(tied, "g", "x", "y").collect()[0].rho == 1.0
+
+
+def test_ks_two_sample_hand_computed(spark):
+    from hyper_storage_spark.operators import profiling
+
+    # side1 = {1,2}, side2 = {2,3}: ECDF gaps 0.5/0.5/0.0 -> d = 0.5
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (2.0, 0), (3.0, 0)], "v double, s int"
+    )
+    row = profiling.ks_two_sample(df, "v", "s").collect()[0]
+    assert (row.n1, row.n2) == (2, 2) and row.d == 0.5
+    # identical samples -> exactly 0
+    same = spark.createDataFrame(
+        [(float(i % 5), i % 2) for i in range(20)], "v double, s int"
+    )
+    assert profiling.ks_two_sample(same, "v", "s").collect()[0].d == 0.0
+    # disjoint supports -> exactly 1
+    dis = spark.createDataFrame(
+        [(float(i), 1) for i in range(5)] + [(float(i + 10), 0) for i in range(5)],
+        "v double, s int",
+    )
+    assert profiling.ks_two_sample(dis, "v", "s").collect()[0].d == 1.0
