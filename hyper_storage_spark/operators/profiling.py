@@ -407,3 +407,104 @@ def ks_two_sample(df: DataFrame, value_col: str, side_col: str) -> DataFrame:
             (F.col("gap").cast("double") / (F.col("n1") * F.col("n2"))).alias("d"),
         )
     )
+
+
+def psi(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Population stability index between the reference (side=1) and
+    target (side=0) distributions of ``value_col``, one row:
+    (n_ref, n_tgt, psi). The model-monitoring drift metric scored
+    over REFERENCE-quantile bins (the industry convention: <0.1
+    stable, 0.1–0.25 shifting, >0.25 drifted) — the binned,
+    magnitude-weighted complement of :func:`ks_two_sample`'s
+    worst-point distance.
+
+    Bin edges are the reference's exact interpolated quantiles
+    (q_exact_percentiles parity), attached as a broadcast 1-row
+    cross join — never collected to the driver. Counts are exact
+    ints; empty bins are kept (explicit bin spine) and every count is
+    smoothed by +0.5 (denominator +bins/2) so the log never sees
+    zero — the smoothing is part of the published formula here and in
+    the oracle. One final Σ over ``bins`` fixed IEEE terms, rounded
+    to 6."""
+    ref = df.filter(F.col(side_col) == 1)
+    edges = ref.agg(
+        *[
+            F.percentile(F.col(value_col), F.lit(i / bins)).alias(f"e{i}")
+            for i in range(1, bins)
+        ]
+    )
+    binned = df.crossJoin(F.broadcast(edges)).select(
+        F.col(side_col).alias("s"),
+        sum(
+            (F.col(value_col) > F.col(f"e{i}")).cast("int") for i in range(1, bins)
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("s").alias("c1"),
+        F.sum(F.lit(1) - F.col("s")).alias("c2"),
+    )
+    spine = df.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    full = spine.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("c2", F.lit(0)).alias("c2"),
+    )
+    totals = full.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    p = (F.col("c1") + F.lit(0.5)) / (F.col("n1") + F.lit(bins / 2.0))
+    q = (F.col("c2") + F.lit(0.5)) / (F.col("n2") + F.lit(bins / 2.0))
+    return (
+        full.crossJoin(F.broadcast(totals))
+        .select("n1", "n2", ((p - q) * F.log(p / q)).alias("term"))
+        .groupBy("n1", "n2")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .select(
+            F.col("n1").alias("n_ref"), F.col("n2").alias("n_tgt"), "psi"
+        )
+    )
+
+
+def gini(df: DataFrame, value_col: str) -> DataFrame:
+    """Gini coefficient of a non-negative INTEGER column, one row:
+    (n, total, gini) — the concentration measure for "how unequal is
+    the corpus": token mass across documents, traffic across keys,
+    documents across domains (0 = perfectly even, →1 = one row holds
+    everything). The summary number behind cap_per_group /
+    domain_mixture decisions.
+
+    Uses the sorted-rank identity G = (2·Σ i·x_(i) − (n+1)·Σx)/(n·Σx)
+    evaluated per tie-run of DISTINCT values: a run at value v
+    spanning ranks a..b contributes v·(a+b)·c to 2·Σ i·x (exact
+    integers; tie order provably cannot matter since the tied x are
+    equal). Everything is integer until ONE closing double division —
+    bit parity by construction, the q_auc_score discipline.
+
+    Scale shape: corpus → distinct-value counts, ranks from the
+    two-level distributed_cumsum, one scalar aggregation. Nothing
+    global in one task; the value domain (not the corpus) bounds the
+    reduced table."""
+    from .sampling import distributed_cumsum
+
+    g = df.groupBy(value_col).agg(F.count("*").alias("c"))
+    c = distributed_cumsum(g, "c", [F.col(value_col).asc()], cum_col="cum")
+    # tie-run at v spans ranks a..b: b = cum, a = cum − c + 1
+    two_six = F.col(value_col).cast("long") * (
+        F.lit(2) * F.col("cum") - F.col("c") + F.lit(1)
+    ) * F.col("c")  # v·(a+b)·c
+    agg = c.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col(value_col).cast("long") * F.col("c")).alias("t"),
+        F.sum(two_six).alias("s2"),
+    )
+    return agg.select(
+        "n",
+        F.col("t").alias("total"),
+        (
+            (F.col("s2") - (F.col("n") + F.lit(1)) * F.col("t")).cast("double")
+            / (F.col("n") * F.col("t"))
+        ).alias("gini"),
+    )

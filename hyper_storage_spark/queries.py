@@ -5683,6 +5683,101 @@ def q_ks_two_sample(spark, sf_dir):
     return profiling.ks_two_sample(ev, "value", "s")
 
 
+@register_extra(
+    "q_psi_drift",
+    """WITH b AS (
+         SELECT value,
+                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s
+         FROM events WHERE event_type IN ('click', 'view')
+       ),
+       e AS (
+         SELECT quantile_cont(value, 0.1) AS e1, quantile_cont(value, 0.2) AS e2,
+                quantile_cont(value, 0.3) AS e3, quantile_cont(value, 0.4) AS e4,
+                quantile_cont(value, 0.5) AS e5, quantile_cont(value, 0.6) AS e6,
+                quantile_cont(value, 0.7) AS e7, quantile_cont(value, 0.8) AS e8,
+                quantile_cont(value, 0.9) AS e9
+         FROM b WHERE s = 1
+       ),
+       binned AS (
+         SELECT s,
+                CAST(value > e1 AS INT) + CAST(value > e2 AS INT)
+                  + CAST(value > e3 AS INT) + CAST(value > e4 AS INT)
+                  + CAST(value > e5 AS INT) + CAST(value > e6 AS INT)
+                  + CAST(value > e7 AS INT) + CAST(value > e8 AS INT)
+                  + CAST(value > e9 AS INT) AS bin
+         FROM b CROSS JOIN e
+       ),
+       counts AS (SELECT bin, SUM(s) AS c1, SUM(1 - s) AS c2 FROM binned GROUP BY 1),
+       spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+       fullb AS (
+         SELECT spine.bin, COALESCE(counts.c1, 0) AS c1, COALESCE(counts.c2, 0) AS c2
+         FROM spine LEFT JOIN counts USING (bin)
+       ),
+       tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM fullb)
+       SELECT tot.n1 AS n_ref, tot.n2 AS n_tgt,
+              ROUND(SUM(((c1 + 0.5) / (n1 + 5.0) - (c2 + 0.5) / (n2 + 5.0))
+                        * ln(((c1 + 0.5) / (n1 + 5.0)) / ((c2 + 0.5) / (n2 + 5.0)))), 6) AS psi
+       FROM fullb CROSS JOIN tot
+       GROUP BY tot.n1, tot.n2""",
+)
+def q_psi_drift(spark, sf_dir):
+    """Population stability index (operators/profiling.py:psi) between
+    click (reference) and view (target) value distributions over the
+    reference's exact decile bins — the binned magnitude-weighted
+    drift score next to q_ks_two_sample's worst-point distance. Edges
+    are the proven-parity interpolating percentiles attached by a
+    broadcast 1-row cross join; counts are exact ints over an explicit
+    10-bin spine (empty bins kept); the +0.5 smoothing is part of the
+    formula on BOTH engines; one Σ of 10 IEEE terms rounds to 6."""
+    from .operators import profiling
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "value",
+            F.when(F.col("event_type") == "click", F.lit(1)).otherwise(F.lit(0)).alias("s"),
+        )
+    )
+    return profiling.psi(ev, "value", "s", bins=10)
+
+
+@register_extra(
+    "q_gini_concentration",
+    r"""WITH x AS (
+         SELECT len(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> t <> '')) AS v
+         FROM documents
+       ),
+       g AS (SELECT v, COUNT(*) AS c FROM x GROUP BY 1),
+       cw AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM g),
+       a AS (
+         SELECT CAST(SUM(c) AS BIGINT) AS n,
+                CAST(SUM(v * c) AS BIGINT) AS total,
+                CAST(SUM(v * (2 * cum - c + 1) * c) AS BIGINT) AS s2
+         FROM cw
+       )
+       SELECT n, total,
+              CAST(s2 - (n + 1) * total AS DOUBLE) / (n * total) AS gini
+       FROM a""",
+)
+def q_gini_concentration(spark, sf_dir):
+    """Gini coefficient of token mass across documents
+    (operators/profiling.py:gini) — the concentration summary behind
+    cap/mixture decisions ("is the corpus a few giant docs or an even
+    spread"). Sorted-rank identity evaluated per tie-run of distinct
+    token counts: v·(a+b)·c terms are exact integers, ranks come from
+    the two-level distributed_cumsum (no single-task window on our
+    side), and ONE closing double division gives bit parity with the
+    oracle's window replay."""
+    from .operators import profiling
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.size(text.tokens_col(F.col("text"))).alias("v")
+    )
+    return profiling.gini(docs, "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -2501,3 +2501,20 @@ def test_ks_two_sample_hand_computed(spark):
         "v double, s int",
     )
     assert profiling.ks_two_sample(dis, "v", "s").collect()[0].d == 1.0
+
+
+def test_gini_hand_computed(spark):
+    from hyper_storage_spark.operators import profiling
+
+    # x = [1,2,3,4]: sorted Σ i·x = 1+4+9+16 = 30, T = 10, n = 4
+    # G = (60 − 5·10)/(4·10) = 0.25
+    df = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x long")
+    row = profiling.gini(df, "x").collect()[0]
+    assert (row.n, row.total) == (4, 10) and row.gini == 0.25
+    # perfectly even -> 0; ties must not perturb the identity
+    even = spark.createDataFrame([(7,)] * 10, "x long")
+    r = profiling.gini(even, "x").collect()[0]
+    assert r.gini == 0.0 and r.total == 70
+    # one row holds everything -> (n−1)/n
+    conc = spark.createDataFrame([(0,)] * 9 + [(100,)], "x long")
+    assert profiling.gini(conc, "x").collect()[0].gini == 0.9
