@@ -985,3 +985,54 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path, sf_dir):
 
     with _pytest.raises(ValueError):
         stream_static_enrich(stream, dim, ["user_id"], how="full_outer")
+
+
+def test_streaming_psi_monitor_scores_batches_and_replays_idempotently(spark, tmp_path, sf_dir):
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.sources import load_table
+    from hyper_storage_spark.streaming.drift import (
+        psi_from_counts,
+        read_psi_log,
+        streaming_psi_monitor,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("ts", "value")
+    reference = events.filter(F.col("value") < 60)  # deliberately skewed ref
+    src = str(tmp_path / "vals")
+    events.repartitionByRange(3, F.col("ts")).sortWithinPartitions("ts").write.parquet(src)
+    base = time.time() - 3600
+    for i, p in enumerate(sorted(_glob.glob(f"{src}/part-*.parquet"))):
+        os.utime(p, (base + i, base + i))
+
+    sink = streaming_psi_monitor(str(tmp_path / "psilog"), reference, "value", bins=10)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    log = {r.batch_id: r for r in read_psi_log(spark, str(tmp_path / "psilog")).collect()}
+    assert len(log) == 3 and sum(r.n for r in log.values()) == events.count()
+    # every batch drifts from the truncated reference: psi strictly > 0
+    assert all(r.psi > 0 for r in log.values())
+    # replaying a batch by hand (the at-least-once case) must leave the
+    # log unchanged: same file, same content
+    batch0_files = sorted(_glob.glob(f"{src}/part-*.parquet"))[:1]
+    replay = spark.read.schema(events.schema).parquet(*batch0_files)
+    before = log[0]
+    sink(replay, 0)
+    after = {r.batch_id: r for r in read_psi_log(spark, str(tmp_path / "psilog")).collect()}
+    assert len(after) == 3 and after[0].n == before.n and after[0].psi == before.psi
+    # the scored value equals the formula over the same counts
+    assert abs(psi_from_counts([10] * 10, [10] * 10)) == 0.0
