@@ -1036,3 +1036,56 @@ def test_streaming_psi_monitor_scores_batches_and_replays_idempotently(spark, tm
     assert len(after) == 3 and after[0].n == before.n and after[0].psi == before.psi
     # the scored value equals the formula over the same counts
     assert abs(psi_from_counts([10] * 10, [10] * 10)) == 0.0
+
+
+def test_streaming_ewma_carries_state_across_batches(spark, tmp_path):
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.streaming.ewma import streaming_ewma
+
+    # two keys, six ordered observations each, alpha = 0.5 — hand-fold
+    rows = []
+    for i in range(6):
+        rows.append((1, i * 2, i, float(10 + i)))       # key 1
+        rows.append((2, i * 2 + 1, i, float(100 - i)))  # key 2
+    df = spark.createDataFrame(rows, "key long, event_id long, ts long, value double")
+    src = str(tmp_path / "ewma_src")
+    # three event-time-ordered files -> three micro-batches
+    df.repartitionByRange(3, F.col("ts")).sortWithinPartitions("ts").write.parquet(src)
+    base = time.time() - 3600
+    for i, p in enumerate(sorted(_glob.glob(f"{src}/part-*.parquet"))):
+        os.utime(p, (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_ewma(stream, alpha=0.5)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.key, r.event_id): r.ewma for r in spark.table("ewma_out").collect()
+    }
+    assert len(got) == 12
+
+    def fold(vals, alpha=0.5):
+        out, e = [], None
+        for v in vals:
+            e = v if e is None else alpha * v + (1 - alpha) * e
+            out.append(e)
+        return out
+
+    want1 = fold([10.0, 11.0, 12.0, 13.0, 14.0, 15.0])
+    want2 = fold([100.0, 99.0, 98.0, 97.0, 96.0, 95.0])
+    for i in range(6):
+        assert got[(1, i * 2)] == want1[i]       # exact: same IEEE fold
+        assert got[(2, i * 2 + 1)] == want2[i]
