@@ -508,3 +508,57 @@ def gini(df: DataFrame, value_col: str) -> DataFrame:
             / (F.col("n") * F.col("t"))
         ).alias("gini"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram data for a probabilistic score vs a 0/1
+    label: one row per score-decile bin — (bin, n, mean_score,
+    frac_pos). A well-calibrated score has frac_pos ≈ mean_score per
+    bin; AUC (q_auc_score) measures RANKING, this measures whether the
+    score's VALUE means what it says — both gates before thresholding
+    a quality filter on "p > 0.8".
+
+    Bin edges are the score's own exact interpolated quantiles
+    (equal-population bins — the reliability-diagram convention that
+    keeps every bin's estimate equally tight). frac_pos is one exact
+    integer division; mean_score is Σscore/n with the sum left to one
+    final division (no rounding — scores here are parity-exact
+    doubles). Empty bins (possible under heavy score ties, since
+    ties all land one side of an edge) are kept via the explicit
+    spine with NULL stats.
+
+    Scale shape: one percentile aggregation, one broadcast edge
+    attach, one groupBy over ``bins`` keys."""
+    edges = df.agg(
+        *[
+            F.percentile(F.col(score_col), F.lit(i / bins)).alias(f"e{i}")
+            for i in range(1, bins)
+        ]
+    )
+    binned = df.crossJoin(F.broadcast(edges)).select(
+        F.col(label_col).cast("long").alias("y"),
+        F.col(score_col).alias("s"),
+        sum(
+            (F.col(score_col) > F.col(f"e{i}")).cast("int") for i in range(1, bins)
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("s").alias("sum_s"),
+        F.sum("y").alias("pos"),
+    )
+    spine = df.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    # mean_score rounds to 6 (a float SUM is partition-order-sensitive
+    # in its last ulp); frac_pos is an exact integer division and ships
+    # unrounded
+    return spine.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(F.col("sum_s") / F.col("n"), 6).alias("mean_score"),
+        (F.col("pos").cast("double") / F.col("n")).alias("frac_pos"),
+    )

@@ -5778,6 +5778,57 @@ def q_gini_concentration(spark, sf_dir):
     return profiling.gini(docs, "v")
 
 
+@register_extra(
+    "q_calibration_bins",
+    """WITH b AS (
+         SELECT embedding[1] AS s,
+                CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+         FROM embeddings
+       ),
+       e AS (
+         SELECT quantile_cont(s, 0.1) AS e1, quantile_cont(s, 0.2) AS e2,
+                quantile_cont(s, 0.3) AS e3, quantile_cont(s, 0.4) AS e4,
+                quantile_cont(s, 0.5) AS e5, quantile_cont(s, 0.6) AS e6,
+                quantile_cont(s, 0.7) AS e7, quantile_cont(s, 0.8) AS e8,
+                quantile_cont(s, 0.9) AS e9
+         FROM b
+       ),
+       binned AS (
+         SELECT y, s,
+                CAST(s > e1 AS INT) + CAST(s > e2 AS INT) + CAST(s > e3 AS INT)
+                  + CAST(s > e4 AS INT) + CAST(s > e5 AS INT) + CAST(s > e6 AS INT)
+                  + CAST(s > e7 AS INT) + CAST(s > e8 AS INT) + CAST(s > e9 AS INT) AS bin
+         FROM b CROSS JOIN e
+       ),
+       counts AS (
+         SELECT bin, COUNT(*) AS n, SUM(s) AS sum_s, SUM(y) AS pos
+         FROM binned GROUP BY 1
+       ),
+       spine AS (SELECT unnest(generate_series(0, 9)) AS bin)
+       SELECT spine.bin,
+              CAST(COALESCE(counts.n, 0) AS BIGINT) AS n,
+              ROUND(counts.sum_s / counts.n, 6) AS mean_score,
+              CAST(counts.pos AS DOUBLE) / counts.n AS frac_pos
+       FROM spine LEFT JOIN counts USING (bin)""",
+)
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins
+    (operators/profiling.py:calibration_bins) for the first embedding
+    component against the binarized cluster label — the calibration
+    complement of q_auc_score's ranking check. Equal-population bins
+    from the score's own exact deciles; frac_pos is an exact integer
+    division (unrounded), mean_score rounds to 6 because a float SUM
+    is last-ulp partition-order-sensitive; empty bins survive via the
+    explicit spine."""
+    from .operators import profiling
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.element_at("embedding", 1).alias("s"),
+        F.when(F.col("label") < 5, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    return profiling.calibration_bins(emb, "s", "y", bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
