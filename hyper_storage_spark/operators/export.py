@@ -43,10 +43,27 @@ from .sampling import seeded_shuffle
 MANIFEST = "manifest.json"
 
 
-def _shard_stats(spark: SparkSession, data_dir: str):
+def _ddl_of(df: DataFrame) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+
+def _read_shards(spark: SparkSession, data_dir: str, fmt: str, schema: Optional[str]):
+    if fmt == "parquet":
+        return spark.read.parquet(data_dir)
+    if fmt == "json":
+        # JSONL MUST read back under the exporter's recorded schema:
+        # inference would widen/narrow types (ints vs doubles,
+        # timestamps vs strings) and silently change every checksum
+        if not schema:
+            raise ValueError("json shards require the manifest schema")
+        return spark.read.schema(schema).json(f"{data_dir}/*.json")
+    raise ValueError(f"unsupported shard format {fmt!r}")
+
+
+def _shard_stats(spark: SparkSession, data_dir: str, fmt: str = "parquet", schema: Optional[str] = None):
     """Per-file (n_rows, checksum, ord bounds), keyed by file name —
     computed with one grouped aggregate over the shard files."""
-    df = spark.read.parquet(data_dir).withColumn(
+    df = _read_shards(spark, data_dir, fmt, schema).withColumn(
         "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
     )
     row_cols = [c for c in df.columns if c != "__file"]
@@ -81,9 +98,14 @@ def write_training_shards(
     n_shards: int,
     id_col: str,
     seed: int = 0,
+    fmt: str = "parquet",
 ) -> dict:
-    """Export ``df`` as ``n_shards`` order-preserving parquet shards
-    under ``out_dir`` and return (and write) the manifest.
+    """Export ``df`` as ``n_shards`` order-preserving shards under
+    ``out_dir`` — parquet by default, ``fmt="json"`` for JSONL (the
+    interchange shape trainers ingest directly; the row schema is
+    recorded in the manifest so verification reads back under the
+    exporter's types, never inference's) — and return (and write) the
+    manifest.
 
     The manifest's checksums are deliberately order-insensitive SUMS
     of per-row full-content hashes: cross-shard placement is pinned by
@@ -98,20 +120,28 @@ def write_training_shards(
     shuffled = seeded_shuffle(
         df.withColumn("__id", F.col(id_col)), id_col, seed=seed, ord_col="__ord"
     )
-    (
+    writer = (
         shuffled.repartitionByRange(n_shards, F.col("__ord"), F.col("__id"))
         .sortWithinPartitions("__ord", "__id")
         .write.mode("overwrite")
-        .parquet(data_dir)
     )
+    if fmt == "parquet":
+        writer.parquet(data_dir)
+    elif fmt == "json":
+        writer.json(data_dir)
+    else:
+        raise ValueError(f"unsupported shard format {fmt!r}")
     spark = df.sparkSession
-    stats = _shard_stats(spark, data_dir)
+    schema_ddl = None if fmt == "parquet" else _ddl_of(shuffled)
+    stats = _shard_stats(spark, data_dir, fmt, schema_ddl)
     shards = [
         {"file": name, **st}
         for name, st in sorted(stats.items(), key=lambda kv: kv[1]["ord_min"])
     ]
     manifest = {
         "format": "hyper-storage-spark/training-shards/v1",
+        "data_format": fmt,
+        "schema": schema_ddl,
         "seed": seed,
         "id_col": id_col,
         "n_shards": len(shards),
@@ -138,7 +168,12 @@ def verify_training_shards(
     ranges across shards)."""
     with open(os.path.join(out_dir, MANIFEST)) as f:
         manifest = json.load(f)
-    actual = _shard_stats(spark, os.path.join(out_dir, "data"))
+    actual = _shard_stats(
+        spark,
+        os.path.join(out_dir, "data"),
+        manifest.get("data_format", "parquet"),
+        manifest.get("schema"),
+    )
     expected = {s["file"]: s for s in manifest["shards"]}
     if set(actual) != set(expected):
         missing = set(expected) - set(actual)
