@@ -179,3 +179,31 @@ def test_jsonl_shards_round_trip_verify_and_tamper(spark, corpus, tmp_path):
     spark.catalog.refreshByPath(os.path.join(out, "data"))
     ok, reason = export.verify_training_shards(spark, out)
     assert not ok and "checksum" in reason
+
+
+def test_csv_round_trip_and_quarantine(spark, tmp_path):
+    from hyper_storage_spark.sources import read_csv, write_csv
+
+    src = spark.createDataFrame(
+        [(1, "alpha", 3.5), (2, "beta", None), (3, "gamma", -1.0)],
+        "doc_id long, text string, score double",
+    )
+    out = str(tmp_path / "corpus_csv")
+    write_csv(src, out, shards=2)
+    clean, quarantine = read_csv(spark, out, "doc_id long, text string, score double")
+    assert quarantine.count() == 0
+    assert sorted(map(tuple, clean.collect())) == sorted(map(tuple, src.collect()))
+    # malformed rows quarantine: a type mismatch and a too-long row
+    bad_dir = tmp_path / "bad_csv"
+    bad_dir.mkdir()
+    (bad_dir / "part-0.csv").write_text(
+        "doc_id,text,score\n"
+        "10,ok,1.0\n"
+        "not_a_number,broken,xyz\n"
+        "11,also ok,2.0\n"
+    )
+    clean, quarantine = read_csv(
+        spark, str(bad_dir), "doc_id long, text string, score double"
+    )
+    assert sorted(r.doc_id for r in clean.collect()) == [10, 11]
+    assert [r.raw for r in quarantine.collect()] == ["not_a_number,broken,xyz"]
