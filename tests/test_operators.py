@@ -816,9 +816,11 @@ def test_asof_join_plan_has_no_join(spark, sf_dir):
 
 
 def test_range_join_plan_is_equi_hash_join(spark, sf_dir):
-    from hyper_storage_spark.queries import QUERIES
+    # all_specs: the entry rotated to the EXTRA tier (r7 third pass)
+    # and plan guarantees are tier-independent
+    from hyper_storage_spark.queries import all_specs
 
-    plan = QUERIES["ts_range_join"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    plan = all_specs()["ts_range_join"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan  # bucketed equi join

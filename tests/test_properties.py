@@ -79,3 +79,112 @@ def test_filter_nulls_is_idempotent_and_json_stable(value):
     once = filter_nulls(value)
     assert filter_nulls(once) == once
     json.dumps(once)  # always serializable
+
+
+# ---- distributed statistics vs pure-Python references -------------
+#
+# The eval/drift operators claim EXACT cross-engine arithmetic; these
+# properties pin the Spark implementations to naive O(n²)/sort-based
+# Python folds on adversarial small inputs (ties, duplicates, constant
+# columns) where formula bugs hide. Few examples — each roundtrips a
+# Spark job — but hypothesis shrinks mercilessly when one fails.
+
+samples = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 1)), min_size=4, max_size=24
+).filter(lambda xs: {y for _, y in xs} == {0, 1})
+
+
+@settings(max_examples=10, deadline=None)
+@given(xs=samples)
+def test_auc_matches_naive_pairwise(spark, xs):
+    from hyper_storage_spark.operators import profiling
+
+    df = spark.createDataFrame([(float(s), y) for s, y in xs], "s double, y int")
+    got = profiling.auc_binary(df, "s", "y").collect()[0]
+    pos = [s for s, y in xs if y == 1]
+    neg = [s for s, y in xs if y == 0]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
+    assert abs(got.auc - round(wins / (len(pos) * len(neg)), 6)) < 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(xs=samples)
+def test_ks_matches_naive_ecdf(spark, xs):
+    from hyper_storage_spark.operators import profiling
+
+    df = spark.createDataFrame([(float(s), y) for s, y in xs], "v double, y int")
+    got = profiling.ks_two_sample(df, "v", "y").collect()[0]
+    a = sorted(s for s, y in xs if y == 1)
+    b = sorted(s for s, y in xs if y == 0)
+    vals = sorted({s for s, _ in xs})
+    d = max(
+        abs(
+            sum(1 for x in a if x <= v) / len(a)
+            - sum(1 for x in b if x <= v) / len(b)
+        )
+        for v in vals
+    )
+    assert abs(got.d - d) < 1e-12
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    xs=st.lists(st.integers(0, 50), min_size=2, max_size=24).filter(
+        lambda v: sum(v) > 0
+    )
+)
+def test_gini_matches_naive_sorted_rank(spark, xs):
+    from hyper_storage_spark.operators import profiling
+
+    df = spark.createDataFrame([(v,) for v in xs], "x long")
+    got = profiling.gini(df, "x").collect()[0]
+    s = sorted(xs)
+    n, t = len(s), sum(s)
+    naive = (2 * sum((i + 1) * x for i, x in enumerate(s)) - (n + 1) * t) / (n * t)
+    assert got.n == n and got.total == t
+    assert abs(got.gini - naive) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    xs=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=3, max_size=20
+    )
+)
+def test_spearman_matches_naive_midranks(spark, xs):
+    from hypothesis import assume
+
+    from hyper_storage_spark.operators import profiling
+
+    # rho undefined for constant columns — skip those draws
+    assume(len({a for a, _ in xs}) > 1 and len({b for _, b in xs}) > 1)
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in xs], "g string, x double, y double"
+    )
+    got = profiling.spearman_by_group(df, "g", "x", "y").collect()[0]
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        r = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            mid = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                r[order[k]] = mid
+            i = j + 1
+        return r
+
+    rx = midranks([a for a, _ in xs])
+    ry = midranks([b for _, b in xs])
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    naive = (n * sxy - sx * sy) / den
+    assert abs(got.rho - naive) < 1e-12
