@@ -562,3 +562,62 @@ def calibration_bins(
         F.round(F.col("sum_s") / F.col("n"), 6).alias("mean_score"),
         (F.col("pos").cast("double") / F.col("n")).alias("frac_pos"),
     )
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns, one row:
+    (n, mi, nmi) — MI in nats plus the sqrt-normalized NMI
+    = MI/√(H(a)·H(b)) in [0,1], the scale-free association measure
+    that (unlike chi2's p-value framing) is comparable ACROSS column
+    pairs — "which metadata field tells me most about the label".
+
+    MI = Σ_cells (o/n)·ln(o·n / (ra·cb)) and the entropies are
+    −Σ (m/n)·ln(m/n) — every ratio is exact integers before one IEEE
+    log per cell/margin, summed over the r·c contingency (tiny) and
+    rounded to 6 after summing. Same one-groupBy contingency shape as
+    :func:`chi2_independence`; H terms come from the margins of that
+    same reduction."""
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count("*").alias("o"))
+    from ._caches import tracked_persist
+
+    cells = tracked_persist(cells)
+    ra = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    n = cells.agg(F.sum("o").alias("n"))
+
+    def entropy(margins: DataFrame, cnt: str):
+        p = F.col(cnt).cast("double") / F.col("n")
+        return (
+            margins.crossJoin(F.broadcast(n)).agg((-F.sum(p * F.log(p))).alias("h"))
+        )
+    ha = entropy(ra, "ra").select(F.col("h").alias("ha"))
+    hb = entropy(cb, "cb").select(F.col("h").alias("hb"))
+    po = F.col("o").cast("double") / F.col("n")
+    mi = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.first("n").alias("n"),
+            F.sum(
+                po
+                * F.log(
+                    (F.col("o").cast("double") * F.col("n"))
+                    / (F.col("ra").cast("double") * F.col("cb"))
+                )
+            ).alias("mi_raw"),
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            "n",
+            F.round("mi_raw", 6).alias("mi"),
+            F.round(
+                F.col("mi_raw") / F.sqrt(F.col("ha") * F.col("hb")), 6
+            ).alias("nmi"),
+        )
+    )

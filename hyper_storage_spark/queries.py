@@ -5829,6 +5829,46 @@ def q_calibration_bins(spark, sf_dir):
     return profiling.calibration_bins(emb, "s", "y", bins=10)
 
 
+@register_extra(
+    "q_mutual_information",
+    """WITH cells AS (
+         SELECT lang AS a, source AS b, COUNT(*) AS o
+         FROM documents GROUP BY 1, 2
+       ),
+       ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+       cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+       n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+       ha AS (SELECT -SUM((CAST(ra AS DOUBLE) / n.n) * ln(CAST(ra AS DOUBLE) / n.n)) AS ha
+              FROM ra CROSS JOIN n),
+       hb AS (SELECT -SUM((CAST(cb AS DOUBLE) / n.n) * ln(CAST(cb AS DOUBLE) / n.n)) AS hb
+              FROM cb CROSS JOIN n),
+       mi AS (
+         SELECT n.n AS n,
+                SUM((CAST(cells.o AS DOUBLE) / n.n)
+                    * ln((CAST(cells.o AS DOUBLE) * n.n)
+                         / (CAST(ra.ra AS DOUBLE) * cb.cb))) AS mi_raw
+         FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN n
+         GROUP BY n.n
+       )
+       SELECT mi.n, ROUND(mi.mi_raw, 6) AS mi,
+              ROUND(mi.mi_raw / SQRT(ha.ha * hb.hb), 6) AS nmi
+       FROM mi CROSS JOIN ha CROSS JOIN hb""",
+)
+def q_mutual_information(spark, sf_dir):
+    """Mutual information + sqrt-normalized NMI between document
+    language and source (operators/profiling.py:mutual_information) —
+    the scale-free association measure comparable ACROSS column pairs,
+    next to q_chi2_independence's significance framing. Same
+    one-groupBy contingency reduction; margins feed the entropies;
+    every probability is an exact-integer ratio before one log per
+    cell, both sums rounded to 6 after summing."""
+    from .operators import profiling
+
+    return profiling.mutual_information(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

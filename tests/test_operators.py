@@ -2520,3 +2520,25 @@ def test_gini_hand_computed(spark):
     # one row holds everything -> (n−1)/n
     conc = spark.createDataFrame([(0,)] * 9 + [(100,)], "x long")
     assert profiling.gini(conc, "x").collect()[0].gini == 0.9
+
+
+def test_mutual_information_hand_computed(spark):
+    import math
+
+    from hyper_storage_spark.operators import profiling
+
+    # perfectly dependent 2x2: a==b always -> MI = H = ln 2, NMI = 1
+    dep = spark.createDataFrame(
+        [("x", "u")] * 5 + [("y", "v")] * 5, "a string, b string"
+    )
+    row = profiling.mutual_information(dep, "a", "b").collect()[0]
+    assert row.n == 10
+    assert abs(row.mi - round(math.log(2), 6)) < 1e-9
+    assert row.nmi == 1.0
+    # independent columns -> MI exactly 0 (every cell o·n == ra·cb)
+    indep = spark.createDataFrame(
+        [(a, b) for a in ("x", "y") for b in ("u", "v") for _ in range(3)],
+        "a string, b string",
+    )
+    row0 = profiling.mutual_information(indep, "a", "b").collect()[0]
+    assert row0.mi == 0.0 and row0.nmi == 0.0
