@@ -557,3 +557,39 @@ def kl_unigram_divergence(
         .join(gtot, "g")
         .select(F.col("g").alias(group_col), F.col("ng").alias("n_tokens"), "kl")
     )
+
+
+def zipf_alpha(
+    docs: DataFrame,
+    xmin: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hill estimator of the Zipf/power-law tail exponent of the token
+    frequency distribution, one row: (n_tail, xmin, alpha) with
+    α = 1 + n / Σ ln(c_t / xmin) over terms with count ≥ xmin — the
+    standard MLE for a discrete power-law tail. Natural corpora sit
+    near α ≈ 2 (Zipf's law); a corpus that drifts far from its
+    baseline α has changed character (template spam flattens the
+    tail, aggressive dedup steepens it) — a one-number corpus
+    fingerprint to track across pipeline versions.
+
+    Exact integer term counts; one log per tail term over a ratio of
+    exact ints; one Σ and one closing division (rounded to 6 after).
+    One tokenize+explode + one groupBy — the same vocabulary-sized
+    reduction every other corpus statistic here rides."""
+    counts = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= xmin)
+    )
+    return counts.agg(
+        F.count("*").alias("n_tail"),
+        F.lit(xmin).cast("int").alias("xmin"),
+        F.round(
+            F.lit(1.0)
+            + F.count("*") / F.sum(F.log(F.col("c").cast("double") / F.lit(float(xmin)))),
+            6,
+        ).alias("alpha"),
+    )

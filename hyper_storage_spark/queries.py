@@ -5869,6 +5869,31 @@ def q_mutual_information(spark, sf_dir):
     )
 
 
+@register_extra(
+    "text_zipf_alpha",
+    r"""WITH toks AS (
+         SELECT u AS term
+         FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS u
+               FROM documents)
+         WHERE u <> ''
+       ),
+       c AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1 HAVING COUNT(*) >= 5)
+       SELECT COUNT(*) AS n_tail,
+              CAST(5 AS INT) AS xmin,
+              ROUND(1.0 + COUNT(*) / SUM(ln(CAST(c AS DOUBLE) / 5.0)), 6) AS alpha
+       FROM c""",
+)
+def text_zipf_alpha(spark, sf_dir):
+    """Hill estimator of the token-frequency power-law exponent
+    (operators/text.py:zipf_alpha) — the one-number Zipf fingerprint
+    a corpus pipeline tracks across versions (template spam flattens
+    the tail, over-dedup steepens it). Exact integer counts ≥ xmin=5,
+    one log per tail term, one closing division rounded to 6 — the
+    same vocabulary-sized reduction as the rest of the corpus
+    statistics."""
+    return text.zipf_alpha(_t(spark, sf_dir, "documents"), xmin=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
