@@ -24,7 +24,7 @@ training documents sharing n-grams with an eval benchmark.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -1357,3 +1357,39 @@ def remove_dup_spans(
             F.md5(F.concat_ws(" ", F.col("kept"))).alias("clean_hash"),
         )
     )
+
+
+def jaccard_threshold_profile(
+    docs: DataFrame,
+    thresholds: Sequence[float] = (0.3, 0.5, 0.7, 0.9),
+    n: int = 3,
+    text_col: str = "text",
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """How many near-dup pairs each threshold would keep — one row per
+    threshold: (threshold, n_pairs, n_docs_affected). The tuning view
+    for "where do I set the dedup cutoff": pair volume and blast
+    radius (distinct docs in ≥1 pair) as the knob moves, from ONE
+    posting-list pass (the pair similarities are computed once at the
+    loosest threshold; each stricter row is a filtered count, not a
+    re-join).
+
+    Jaccard here is an exact ratio of integer shingle-set sizes, so
+    thresholding is engine-exact; the profile inherits
+    :func:`ngram_jaccard_pairs`'s df-cap semantics."""
+    if not thresholds:
+        raise ValueError("at least one threshold required")
+    lo = min(thresholds)
+    pairs = ngram_jaccard_pairs(docs, threshold=lo, n=n, text_col=text_col, max_df=max_df)
+    pairs = tracked_persist(pairs)
+    out = None
+    for t in sorted(thresholds):
+        at = pairs.filter(F.col("jaccard") >= t)
+        docs_at = at.select(F.explode(F.array("a_id", "b_id")).alias("d"))
+        row = at.agg(F.count("*").alias("n_pairs")).crossJoin(
+            docs_at.agg(F.count_distinct("d").alias("n_docs_affected"))
+        ).select(
+            F.lit(float(t)).alias("threshold"), "n_pairs", "n_docs_affected"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

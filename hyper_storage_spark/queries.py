@@ -5894,6 +5894,63 @@ def text_zipf_alpha(spark, sf_dir):
     return text.zipf_alpha(_t(spark, sf_dir, "documents"), xmin=5)
 
 
+@register_extra(
+    "dedup_threshold_profile",
+    """WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       ),
+       idx AS (
+         SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks WHERE len(t) >= 3
+       ),
+       sh0 AS (
+         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx
+       ),
+       sh AS (
+         SELECT doc_id, shingle FROM sh0
+         WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= 100)
+       ),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       ),
+       pairs AS (
+         SELECT a_id, b_id, ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+         FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+         WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.3
+       ),
+       t AS (SELECT CAST(x AS DOUBLE) AS threshold
+             FROM (VALUES (0.3), (0.5), (0.7), (0.9)) v(x)),
+       hits AS (SELECT t.threshold, p.a_id, p.b_id
+                FROM t JOIN pairs p ON p.jaccard >= t.threshold),
+       np AS (SELECT threshold, COUNT(*) AS n_pairs FROM hits GROUP BY 1),
+       nd AS (SELECT threshold, COUNT(DISTINCT d) AS n_docs_affected
+              FROM (SELECT threshold, a_id AS d FROM hits
+                    UNION ALL SELECT threshold, b_id FROM hits)
+              GROUP BY 1)
+       SELECT t.threshold,
+              COALESCE(np.n_pairs, 0) AS n_pairs,
+              COALESCE(nd.n_docs_affected, 0) AS n_docs_affected
+       FROM t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)""",
+)
+def dedup_threshold_profile(spark, sf_dir):
+    """Dedup threshold tuning profile
+    (operators/dedup.py:jaccard_threshold_profile): pair volume and
+    blast radius (distinct docs in ≥1 pair) at thresholds
+    0.3/0.5/0.7/0.9, from ONE df-capped posting-list pass at the
+    loosest cutoff — stricter rows are filtered counts of the
+    persisted pair table, never re-joins. Jaccard is an exact ratio
+    of integer shingle-set sizes, so the threshold compares are
+    engine-exact; zero-pair thresholds still emit (t, 0, 0) on both
+    engines."""
+    return dedup.jaccard_threshold_profile(
+        _t(spark, sf_dir, "documents"),
+        thresholds=(0.3, 0.5, 0.7, 0.9),
+        max_df=100,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
