@@ -621,3 +621,60 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group least-squares time trend: (group, n, slope_per_day,
+    r2) — "is this metric drifting, and how hard" for every event
+    type/source/domain in one pass; the regression complement of the
+    rollup's anomaly flags (those find points, this finds direction).
+
+    Parity discipline: the regression inputs are made EXACT INTEGERS
+    first — x = whole seconds since the group's own first event
+    (per-group offset keeps magnitudes small), y = floor(value·1000)
+    milli-units — so every sum (Σx, Σy, Σxy, Σx², Σy²) is an exact
+    BIGINT regardless of partition order; the closing normal-equation
+    arithmetic then runs in doubles over identical bits on any engine
+    (the q_auc_score discipline extended to regression). slope is
+    reported per DAY in original value units: (num/den)·86.4.
+
+    Scale shape: one min-per-group reduction joined back broadcast,
+    one grouped sum pass. Nothing global, nothing quadratic."""
+    xus = F.unix_micros(F.col(ts_col))
+    mins = df.groupBy(group_col).agg(F.min(xus).alias("__t0"))
+    # `div` (integer division), NOT `/`+cast: float division rounds to
+    # the nearest double and the truncating cast can then land one
+    # second off across an integer boundary — and engines disagree on
+    # cast rounding (Spark truncates, others round)
+    prep = (
+        df.join(F.broadcast(mins), group_col)
+        .withColumn("__us", xus)
+        .select(
+            group_col,
+            F.expr("(__us - __t0) div 1000000").alias("x"),
+            F.floor(F.col(value_col) * F.lit(1000)).cast("long").alias("y"),
+        )
+    )
+    s = prep.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    den_x = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    den_y = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")
+    return s.select(
+        group_col,
+        "n",
+        F.round((num / den_x) * F.lit(86.4), 6).alias("slope_per_day"),
+        F.round((num / den_x) * (num / den_y), 6).alias("r2"),
+    )

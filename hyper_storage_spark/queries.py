@@ -5951,6 +5951,54 @@ def dedup_threshold_profile(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_ols_trend",
+    """WITH m AS (
+         SELECT event_type,
+                MIN(epoch_us(ts)) AS t0
+         FROM events GROUP BY 1
+       ),
+       prep AS (
+         SELECT e.event_type,
+                (epoch_us(e.ts) - m.t0) // 1000000 AS x,
+                CAST(FLOOR(e.value * 1000) AS BIGINT) AS y
+         FROM events e JOIN m USING (event_type)
+       ),
+       s AS (
+         SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                CAST(SUM(x * y) AS BIGINT) AS sxy,
+                CAST(SUM(x * x) AS BIGINT) AS sxx,
+                CAST(SUM(y * y) AS BIGINT) AS syy
+         FROM prep GROUP BY 1
+       )
+       SELECT event_type, n,
+              ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * 86.4, 6)
+                AS slope_per_day,
+              ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                    * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+       FROM s""",
+)
+def q_ols_trend(spark, sf_dir):
+    """Per-event-type least-squares time trend
+    (operators/profiling.py:ols_trend): slope per day in value units
+    + r² — direction-of-drift next to the rollup's point anomalies.
+    Inputs are exactified FIRST (whole seconds from the group's first
+    event via integer `div`, milli-unit floor of the value), so every
+    sum is an exact BIGINT in any partition order; the closing
+    normal-equation arithmetic is the identical IEEE expression on
+    both engines, rounded to 6. One min-reduction broadcast-joined
+    back + one grouped sum pass."""
+    from .operators import profiling
+
+    return profiling.ols_trend(
+        _t(spark, sf_dir, "events"), "event_type", "ts", "value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -2542,3 +2542,29 @@ def test_mutual_information_hand_computed(spark):
     )
     row0 = profiling.mutual_information(indep, "a", "b").collect()[0]
     assert row0.mi == 0.0 and row0.nmi == 0.0
+
+
+def test_ols_trend_hand_computed(spark):
+    from hyper_storage_spark.operators import profiling
+
+    # perfect line: value = 2·seconds + 5 -> slope_per_day = 2·86400,
+    # r2 = 1 (exact: integer inputs survive the milli-floor unchanged)
+    rows = [
+        ("g", i * 1_000_000, float(2 * i + 5)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, us long, value double").select(
+        "g", F.timestamp_micros(F.col("us")).alias("ts"), "value"
+    )
+    got = profiling.ols_trend(df, "g", "ts", "value").collect()[0]
+    assert got.n == 10
+    assert got.slope_per_day == round(2.0 * 86400, 6)
+    assert got.r2 == 1.0
+    # flat series -> slope 0, r2 0/0-free? den_y = 0 -> NaN guard is
+    # the caller's concern; use a noisy-but-flat-x-free case instead:
+    # anti-correlated perfect line -> slope negative, r2 = 1
+    rows = [("g", i * 1_000_000, float(100 - 3 * i)) for i in range(8)]
+    df2 = spark.createDataFrame(rows, "g string, us long, value double").select(
+        "g", F.timestamp_micros(F.col("us")).alias("ts"), "value"
+    )
+    got2 = profiling.ols_trend(df2, "g", "ts", "value").collect()[0]
+    assert got2.slope_per_day == round(-3.0 * 86400, 6) and got2.r2 == 1.0
