@@ -678,3 +678,49 @@ def ols_trend(
         F.round((num / den_x) * F.lit(86.4), 6).alias("slope_per_day"),
         F.round((num / den_x) * (num / den_y), 6).alias("r2"),
     )
+
+
+def welch_ttest(df: DataFrame, value_col: str, side_col: str) -> DataFrame:
+    """Welch's two-sample t statistic + Cohen's d effect size, one
+    row: (n1, n2, mean_diff, t_stat, cohens_d). The parametric
+    mean-shift test next to the distribution-shape tests
+    (:func:`ks_two_sample`, :func:`psi`) — "did the AVERAGE move, and
+    by how many pooled standard deviations". No p-value: neither
+    engine ships Student's CDF, and the statistic is what a monitor
+    thresholds anyway. ``side_col`` must be 0/1.
+
+    Parity discipline (the ols_trend pattern): values are exactified
+    to milli-unit integers first, so Σy and Σy² per side are exact
+    BIGINTs in any partition order; means, Bessel-corrected variances,
+    t and d are then one fixed IEEE expression over identical bits,
+    with /1000 de-scaling applied at the end. mean_diff is reported in
+    original units."""
+    side = F.col(side_col).cast("long")
+    y = F.floor(F.col(value_col) * F.lit(1000)).cast("long")
+    s = df.select(side.alias("s"), y.alias("y")).agg(
+        F.sum("s").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).alias("n2"),
+        F.sum(F.col("s") * F.col("y")).alias("s1"),
+        F.sum((F.lit(1) - F.col("s")) * F.col("y")).alias("s2"),
+        F.sum(F.col("s") * F.col("y") * F.col("y")).alias("q1"),
+        F.sum((F.lit(1) - F.col("s")) * F.col("y") * F.col("y")).alias("q2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    v1 = (n1 * F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1")) / (
+        n1 * (n1 - F.lit(1.0))
+    )
+    v2 = (n2 * F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2")) / (
+        n2 * (n2 - F.lit(1.0))
+    )
+    diff = m1 - m2
+    t = diff / F.sqrt(v1 / n1 + v2 / n2)
+    pooled = F.sqrt(((n1 - F.lit(1.0)) * v1 + (n2 - F.lit(1.0)) * v2) / (n1 + n2 - F.lit(2.0)))
+    return s.select(
+        "n1",
+        "n2",
+        F.round(diff / F.lit(1000.0), 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(diff / pooled, 6).alias("cohens_d"),
+    )

@@ -5999,6 +5999,65 @@ def q_ols_trend(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_welch_ttest",
+    """WITH b AS (
+         SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s,
+                CAST(FLOOR(value * 1000) AS BIGINT) AS y
+         FROM events WHERE event_type IN ('click', 'view')
+       ),
+       agg AS (
+         SELECT CAST(SUM(s) AS BIGINT) AS n1,
+                CAST(SUM(1 - s) AS BIGINT) AS n2,
+                CAST(SUM(s * y) AS BIGINT) AS s1,
+                CAST(SUM((1 - s) * y) AS BIGINT) AS s2,
+                CAST(SUM(s * y * y) AS BIGINT) AS q1,
+                CAST(SUM((1 - s) * y * y) AS BIGINT) AS q2
+         FROM b
+       )
+       SELECT n1, n2,
+              ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 1000.0, 6)
+                AS mean_diff,
+              ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                    / SQRT(((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+                            / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))) / CAST(n1 AS DOUBLE)
+                           + ((CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)
+                              / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))) / CAST(n2 AS DOUBLE)), 6)
+                AS t_stat,
+              ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                    / SQRT(((CAST(n1 AS DOUBLE) - 1.0)
+                              * ((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+                                 / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+                            + (CAST(n2 AS DOUBLE) - 1.0)
+                              * ((CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)
+                                 / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))))
+                           / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)), 6)
+                AS cohens_d
+       FROM agg""",
+)
+def q_welch_ttest(spark, sf_dir):
+    """Welch's t statistic + Cohen's d between click and view values
+    (operators/profiling.py:welch_ttest) — the parametric mean-shift
+    test next to q_ks_two_sample's shape test and q_psi_drift's binned
+    score. Values exactified to milli-unit integers first (the
+    q_ols_trend discipline), so all six sums are exact BIGINTs in any
+    partition order; t and d are one fixed IEEE closing expression
+    per engine over identical bits, rounded to 6. No p-value by
+    design: neither engine ships Student's CDF and monitors threshold
+    the statistic directly."""
+    from .operators import profiling
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "value",
+            F.when(F.col("event_type") == "click", F.lit(1)).otherwise(F.lit(0)).alias("s"),
+        )
+    )
+    return profiling.welch_ttest(ev, "value", "s")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
