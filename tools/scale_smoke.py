@@ -235,6 +235,27 @@ def main() -> None:
             d.withColumn("lang", F.pmod(F.col("doc_id"), F.lit(4)).cast("string")),
             "lang",
         ).count(),
+        # stats-testing tier: each reduces the corpus to distinct
+        # values / a contingency / six scalars — walls must stay flat
+        "ks_two_sample": lambda d, e: profiling.ks_two_sample(
+            d.select(
+                F.length("text").cast("double").alias("v"),
+                F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("s"),
+            ),
+            "v",
+            "s",
+        ).count(),
+        "welch_ttest": lambda d, e: profiling.welch_ttest(
+            d.select(
+                F.length("text").cast("double").alias("v"),
+                F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("s"),
+            ),
+            "v",
+            "s",
+        ).count(),
+        "gini": lambda d, e: profiling.gini(
+            d.select(F.length("text").alias("v")), "v"
+        ).count(),
     }
 
     failures = []
