@@ -6058,6 +6058,97 @@ def q_welch_ttest(spark, sf_dir):
     return profiling.welch_ttest(ev, "value", "s")
 
 
+@register_extra(
+    "pipeline_quality_report",
+    r"""WITH toks AS (
+         SELECT lang, u AS term
+         FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS u
+               FROM documents)
+         WHERE u <> ''
+       ),
+       vocab AS (
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS total_tokens,
+                COUNT(DISTINCT term) AS vocabulary
+         FROM toks GROUP BY 1
+       ),
+       tc AS (SELECT lang, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+       zipf AS (
+         SELECT lang, COUNT(*) AS n_tail,
+                ROUND(1.0 + COUNT(*) / SUM(ln(CAST(c AS DOUBLE) / 5.0)), 6) AS zipf_alpha
+         FROM tc WHERE c >= 5 GROUP BY 1
+       ),
+       norm AS (
+         SELECT lang,
+                md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w \t\n\f\r]', '', 'g'),
+                                        '[ \t\n\f\r]+', ' ', 'g'))) AS h
+         FROM documents
+       ),
+       hc AS (SELECT lang, h, COUNT(*) AS c FROM norm GROUP BY 1, 2),
+       dup AS (
+         SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_docs
+         FROM hc GROUP BY 1
+       )
+       SELECT dup.lang, dup.n_docs, vocab.total_tokens, vocab.vocabulary,
+              CAST(vocab.vocabulary AS DOUBLE) / vocab.total_tokens AS ttr,
+              CAST(dup.dup_docs AS DOUBLE) / dup.n_docs AS dup_share,
+              zipf.zipf_alpha
+       FROM dup JOIN vocab USING (lang) LEFT JOIN zipf USING (lang)""",
+)
+def pipeline_quality_report(spark, sf_dir):
+    """Per-language corpus HEALTH report in one composed plan — the
+    diagnostics face of the prep pipelines (those transform, this
+    measures): n_docs, token mass, vocabulary size, corpus-level TTR
+    (exact integer division vocabulary/tokens — no per-doc float
+    averaging), normalized-exact-dup share (the near-dup ladder's
+    first rung, exact division), and the per-language Zipf/Hill alpha
+    (tail shape). One tokenize+explode feeds vocabulary AND the zipf
+    tail; one normalization pass feeds the dup share; the joins are
+    language-cardinality-sized. Every non-count column is either an
+    exact-integer ratio (unrounded bit parity) or the documented
+    one-Σ-of-logs estimator rounded to 6."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("lang", F.explode(text.tokens_col(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    vocab = toks.groupBy("lang").agg(
+        F.count("*").alias("total_tokens"),
+        F.count_distinct("term").alias("vocabulary"),
+    )
+    tc = toks.groupBy("lang", "term").agg(F.count("*").alias("c")).filter(F.col("c") >= 5)
+    zipf = tc.groupBy("lang").agg(
+        F.count("*").alias("n_tail"),
+        F.round(
+            F.lit(1.0)
+            + F.count("*") / F.sum(F.log(F.col("c").cast("double") / F.lit(5.0))),
+            6,
+        ).alias("zipf_alpha"),
+    )
+    hc = (
+        docs.select("lang", F.md5(text.normalized_text(F.col("text"))).alias("h"))
+        .groupBy("lang", "h")
+        .agg(F.count("*").alias("c"))
+    )
+    dup = hc.groupBy("lang").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_docs"),
+    )
+    return (
+        dup.join(vocab, "lang")
+        .join(zipf.select("lang", "zipf_alpha"), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "vocabulary",
+            (F.col("vocabulary").cast("double") / F.col("total_tokens")).alias("ttr"),
+            (F.col("dup_docs").cast("double") / F.col("n_docs")).alias("dup_share"),
+            "zipf_alpha",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
