@@ -170,3 +170,25 @@ def test_decontaminate_is_single_equi_join_per_doc_count(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_decontaminate")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_explain_entry_cli_lists_and_explains(spark, sf_dir):
+    import subprocess
+    import sys
+
+    listing = subprocess.run(
+        [sys.executable, "tools/explain_entry.py", "--list"],
+        capture_output=True, text=True, check=True,
+    )
+    names = listing.stdout.split()
+    assert "q1_pricing_summary" in names and "search_hybrid_rrf" in names
+    out = subprocess.run(
+        [sys.executable, "tools/explain_entry.py", "q6_revenue_change", sf_dir],
+        capture_output=True, text=True, check=True,
+    )
+    assert "Physical Plan" in out.stdout and "PushedFilters" in out.stdout
+    bad = subprocess.run(
+        [sys.executable, "tools/explain_entry.py", "no_such_entry"],
+        capture_output=True, text=True,
+    )
+    assert bad.returncode == 2 and "unknown entry" in bad.stderr
