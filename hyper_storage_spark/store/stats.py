@@ -312,10 +312,61 @@ def estimate_rows(store, uri: str, filter_ast) -> Optional[int]:
     return int(round(n_rows * min(max(sel, 0.0), 1.0)))
 
 
+def estimate_join_rows(store, uri_a: str, uri_b: str, field: str) -> Optional[int]:
+    """Equi-join cardinality estimate between two ANALYZEd collections
+    on ``field``: |A|·|B| / max(ndv_A, ndv_B) — the classic
+    System-R containment-of-value-sets formula, refined by the
+    overlap of the two [min, max] ranges when both sides carry
+    numeric bounds (disjoint ranges estimate 0; partial overlap
+    scales each side's rows by its overlapping fraction via the
+    committed histogram). None when either side lacks stats for the
+    field.
+
+    Extends the reference-future-work statistics surface
+    (README «Что на будущее»: per-field stats → scan estimates,
+    store/stats.py:estimate_rows) from scans to joins — the number a
+    planner needs to pick broadcast vs shuffle BEFORE running.
+    Driver-side arithmetic over two committed stats rows; no data is
+    scanned."""
+    sa = collection_stats(store, uri_a).get(field)
+    sb = collection_stats(store, uri_b).get(field)
+    if sa is None or sb is None:
+        return None
+    if not sa.ndv or not sb.ndv:
+        return 0
+    rows_a, rows_b = sa.n_nonnull, sb.n_nonnull
+    ndv_a, ndv_b = sa.ndv, sb.ndv
+    if (
+        sa.min_num is not None and sa.max_num is not None
+        and sb.min_num is not None and sb.max_num is not None
+    ):
+        lo = max(sa.min_num, sb.min_num)
+        hi = min(sa.max_num, sb.max_num)
+        if lo > hi:
+            return 0
+        # fraction of each side inside the shared range, histogram-aware
+        def frac_in(s, lo, hi):
+            f = _range_fraction(s, FilterOp.LTEQ, hi) - _range_fraction(s, FilterOp.LT, lo)
+            return min(max(f, 0.0), 1.0)
+
+        fa, fb = frac_in(sa, lo, hi), frac_in(sb, lo, hi)
+        rows_a *= fa
+        rows_b *= fb
+        # the value-set shrinks with the range too (uniform-NDV
+        # assumption): without this the restriction double-counts —
+        # rows scaled down AND divided by the full-domain ndv
+        ndv_a = max(1.0, ndv_a * fa)
+        ndv_b = max(1.0, ndv_b * fb)
+    return int(round(rows_a * rows_b / max(ndv_a, ndv_b)))
+
+
 # attach as DocumentStore methods (mirrors query.py's attachment style)
 from .documents import DocumentStore  # noqa: E402
 
 DocumentStore.analyze = lambda self, uri, fields, n_hist=DEFAULT_HISTOGRAM_BUCKETS, method="width": analyze_collection(  # noqa: E731
     self, uri, fields, n_hist, method
+)
+DocumentStore.estimate_join_rows = lambda self, uri_a, uri_b, field: estimate_join_rows(  # noqa: E731
+    self, uri_a, uri_b, field
 )
 DocumentStore.collection_stats = lambda self, uri: collection_stats(self, uri)  # noqa: E731

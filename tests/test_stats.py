@@ -109,3 +109,27 @@ def test_estimates_do_not_change_plan_choice(analyzed):
     plan = analyzed.explain("coll~", filter="a > 90", sort=[SortBy("a")])
     assert plan.index_id == "idx_a"
     assert plan.estimated_rows == pytest.approx(9, abs=5)
+
+
+def test_estimate_join_rows_system_r_and_range_overlap(analyzed):
+    store = analyzed
+    # second collection: b joins coll~ on a, but only over a = 50..79
+    # (30 distinct values, one row each)
+    for i in range(50, 80):
+        store.put(f"other~/j{i:03d}", {"a": i})
+    store.analyze("other~", [("a", "decimal")])
+    est = store.estimate_join_rows("coll~", "other~", "a")
+    # true join size is 30 (keys 50..79 match one row each side);
+    # containment-of-value-sets with range-overlap refinement must
+    # land within a small factor, never the unrefined 100·30/100 = 30
+    # blown up or zeroed out
+    true = 30
+    assert est is not None and true / 3 <= est <= true * 3
+    # disjoint ranges estimate zero
+    for i in range(1000, 1010):
+        store.put(f"far~/k{i}", {"a": i})
+    store.analyze("far~", [("a", "decimal")])
+    assert store.estimate_join_rows("coll~", "far~", "a") == 0
+    # un-analyzed side → None; un-analyzed field → None
+    assert store.estimate_join_rows("coll~", "nosuch~", "a") is None
+    assert store.estimate_join_rows("coll~", "other~", "zzz") is None
