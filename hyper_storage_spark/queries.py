@@ -6149,6 +6149,39 @@ def pipeline_quality_report(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_user_growth",
+    """WITH first_seen AS (
+         SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS TIMESTAMP) AS day
+         FROM events GROUP BY user_id
+       ),
+       daily AS (SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day)
+       SELECT day, new_users,
+              CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+       FROM daily""",
+)
+def q_user_growth(spark, sf_dir):
+    """Cumulative unique-user growth curve: each user reduces to a
+    first-seen day (one groupBy — the scale step), then per-day
+    new-user counts and a running total over the DAY-cardinality
+    table (the q_moving_average precedent: a global window over a
+    few hundred rows is a scalar-bounded reduction, not the
+    unpartitioned-Window hazard — the corpus-sized work already
+    collapsed). The 'how fast is the audience growing' complement of
+    q_distinct_users_daily's per-day actives."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day")
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
