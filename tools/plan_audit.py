@@ -135,6 +135,14 @@ WINDOW_WAIVERS: dict[str, list[tuple[str, str]]] = {
             "size), not by corpus rows; documented at the query",
         )
     ],
+    "q_user_growth": [
+        (
+            "day#",
+            "running total over the per-day NEW-USER series — the "
+            "corpus already collapsed through the first-seen groupBy, "
+            "so the window input is calendar-bounded",
+        )
+    ],
     "q_hash_split_contract": [
         (
             "sum(n#",
