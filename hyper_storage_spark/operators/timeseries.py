@@ -576,3 +576,36 @@ def interarrival_stats(
         F.percentile(F.col("gap"), F.lit(0.5)).alias("p50_gap_us"),
         F.max("gap").alias("max_gap_us"),
     )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an event log:
+    every observation becomes a validity interval —
+    (key, value, valid_from, valid_to, is_current) with half-open
+    [valid_from, valid_to) semantics, valid_to = the key's NEXT
+    observation (NULL while current). The warehouse-dimension
+    construction that makes :func:`asof_join` unnecessary for
+    repeated lookups: build the intervals once, then point-in-time
+    reads are a plain range predicate.
+
+    The interval order is the total order (ts, id) — equal-timestamp
+    observations chain deterministically instead of fabricating
+    zero-length ties in arbitrary order.
+
+    Scale shape: one hash shuffle on the key, one lead window per
+    key — per-key sort state, row-preserving output."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return events.select(
+        F.col(key_col),
+        F.col(value_col),
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

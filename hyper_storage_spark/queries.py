@@ -6182,6 +6182,28 @@ def q_user_growth(spark, sf_dir):
     )
 
 
+@register_extra(
+    "ts_scd2_intervals",
+    """SELECT user_id, value,
+              ts AS valid_from,
+              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                AS is_current
+       FROM events""",
+)
+def ts_scd2_intervals(spark, sf_dir):
+    """Type-2 SCD validity intervals from the event log
+    (operators/timeseries.py:scd2_intervals): every observation
+    becomes a half-open [valid_from, valid_to) interval under the
+    total order (ts, event_id), the latest per key flagged current —
+    the build-once dimension history that turns repeated as-of
+    lookups into plain range predicates. One per-key lead window,
+    row-preserving; the oracle replays the identical window."""
+    from .operators import timeseries as ts_ops
+
+    return ts_ops.scd2_intervals(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
