@@ -6204,6 +6204,37 @@ def ts_scd2_intervals(spark, sf_dir):
     return ts_ops.scd2_intervals(_t(spark, sf_dir, "events"))
 
 
+@register_extra(
+    "ts_point_in_time_read",
+    """WITH ranked AS (
+         SELECT user_id, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events
+         WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+       )
+       SELECT user_id, value FROM ranked WHERE rn = 1""",
+)
+def ts_point_in_time_read(spark, sf_dir):
+    """Point-in-time dimension read THROUGH the SCD2 intervals
+    (operators/timeseries.py:scd2_intervals): build the type-2
+    history, then the state of every user at T is one range predicate
+    — valid_from ≤ T < valid_to (NULL-open current rows included).
+    The oracle computes the same answer the asof way (last event
+    strictly before T per user), so the interval construction's
+    half-open semantics are value-checked against the independent
+    formulation — intervals and as-of reads must agree or one of
+    them lies."""
+    from .operators import timeseries as ts_ops
+
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    iv = ts_ops.scd2_intervals(_t(spark, sf_dir, "events"))
+    return iv.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
