@@ -57,6 +57,8 @@ def _read_shards(spark: SparkSession, data_dir: str, fmt: str, schema: Optional[
         if not schema:
             raise ValueError("json shards require the manifest schema")
         return spark.read.schema(schema).json(f"{data_dir}/*.json")
+    if fmt == "orc":
+        return spark.read.orc(data_dir)
     raise ValueError(f"unsupported shard format {fmt!r}")
 
 
@@ -104,8 +106,9 @@ def write_training_shards(
     ``out_dir`` — parquet by default, ``fmt="json"`` for JSONL (the
     interchange shape trainers ingest directly; the row schema is
     recorded in the manifest so verification reads back under the
-    exporter's types, never inference's) — and return (and write) the
-    manifest.
+    exporter's types, never inference's) or ``fmt="orc"`` (columnar
+    like parquet, self-describing, for ORC-standardized downstreams)
+    — and return (and write) the manifest.
 
     The manifest's checksums are deliberately order-insensitive SUMS
     of per-row full-content hashes: cross-shard placement is pinned by
@@ -129,6 +132,8 @@ def write_training_shards(
         writer.parquet(data_dir)
     elif fmt == "json":
         writer.json(data_dir)
+    elif fmt == "orc":
+        writer.orc(data_dir)
     else:
         raise ValueError(f"unsupported shard format {fmt!r}")
     spark = df.sparkSession
