@@ -6235,6 +6235,69 @@ def ts_point_in_time_read(spark, sf_dir):
     ).select("user_id", "value")
 
 
+@register_extra(
+    "q_session_duration_stats",
+    """WITH e AS (
+         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+       ), gaps AS (
+         SELECT user_id, event_id, ts,
+                CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                     OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), sessions AS (
+         SELECT user_id,
+                CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id,
+                ts
+         FROM gaps
+       ), durs AS (
+         SELECT user_id, session_id,
+                COUNT(*) AS n_events,
+                epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+         FROM sessions GROUP BY 1, 2
+       )
+       SELECT COUNT(*) AS n_sessions,
+              CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+              quantile_cont(duration_us, 0.5) AS p50_duration_us,
+              quantile_cont(duration_us, 0.9) AS p90_duration_us,
+              CAST(MAX(duration_us) AS BIGINT) AS max_duration_us,
+              quantile_cont(CAST(n_events AS DOUBLE), 0.5) AS p50_events
+       FROM durs""",
+)
+def q_session_duration_stats(spark, sf_dir):
+    """Session-quality summary composing sessionization with the
+    exact interpolating percentile: one row — session count, bounce
+    count (single-event sessions), exact p50/p90 session duration in
+    integer µs, max, and median events-per-session. The number set a
+    product team actually tracks; durations are exact integer
+    differences so the percentile interpolation (the
+    q_exact_percentiles parity) is the only non-integer step. Same
+    per-user windows as q_sessionization; the final percentile
+    aggregates the SESSION table (corpus already collapsed)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    gaps = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > 1800 * 1000 * 1000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = gaps.withColumn("session_id", F.sum("new_session").over(w))
+    durs = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+    return durs.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+        F.percentile(F.col("duration_us"), F.lit(0.5)).alias("p50_duration_us"),
+        F.percentile(F.col("duration_us"), F.lit(0.9)).alias("p90_duration_us"),
+        F.max("duration_us").alias("max_duration_us"),
+        F.percentile(F.col("n_events").cast("double"), F.lit(0.5)).alias("p50_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
