@@ -6298,6 +6298,56 @@ def q_session_duration_stats(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_pareto_share",
+    """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+       ranked AS (
+         SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rn FROM c
+       ),
+       tot AS (SELECT COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT) AS n_events FROM c)
+       SELECT tot.n_users, tot.n_events,
+              CAST(CEIL(tot.n_users / 10.0) AS BIGINT) AS top_users,
+              CAST((SELECT SUM(n) FROM ranked WHERE rn <= CEIL(tot.n_users / 10.0))
+                   AS DOUBLE) / tot.n_events AS top_decile_share
+       FROM tot""",
+)
+def q_pareto_share(spark, sf_dir):
+    """Pareto concentration: what share of all events do the top 10%
+    of users generate — the 80/20 check behind skew planning and
+    per-user caps (the scalar companion of q_skew_report's per-key
+    view and q_gini_concentration's integral). Ranks come from the
+    two-level distributed_cumsum over unit weights (never a
+    single-task global window on our side — the oracle's window is
+    fine at its row counts); counts are exact ints with ONE closing
+    division."""
+    from .operators.sampling import distributed_cumsum
+
+    c = _t(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n"))
+    ranked = distributed_cumsum(
+        c.withColumn("__one", F.lit(1)),
+        "__one",
+        [F.col("n").desc(), F.col("user_id")],
+        cum_col="rn",
+    )
+    tot = c.agg(
+        F.count("*").alias("n_users"), F.sum("n").alias("n_events")
+    )
+    top = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("rn") <= F.ceil(F.col("n_users") / F.lit(10.0)))
+        .agg(F.sum("n").alias("top_n"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(top))
+        .select(
+            "n_users",
+            "n_events",
+            F.ceil(F.col("n_users") / F.lit(10.0)).cast("long").alias("top_users"),
+            (F.col("top_n").cast("double") / F.col("n_events")).alias("top_decile_share"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
