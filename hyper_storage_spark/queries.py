@@ -6348,6 +6348,53 @@ def q_pareto_share(spark, sf_dir):
     )
 
 
+@register_extra(
+    "emb_vector_stats",
+    """WITH n AS (
+         SELECT vec_id, len(embedding) AS dim,
+                sqrt(list_sum(list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE) * x))) AS nrm
+         FROM embeddings
+       )
+       SELECT COUNT(*) AS n_vecs,
+              MIN(dim) AS min_dim, MAX(dim) AS max_dim,
+              CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+              quantile_cont(nrm, 0.5) AS p50_norm,
+              MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+       FROM n""",
+)
+def emb_vector_stats(spark, sf_dir):
+    """Embedding-table QA in one row: vector count, dim bounds (a
+    ragged table breaks every downstream kernel), zero-vector count
+    (cosine against a zero vector is NaN — the classic silent ANN
+    poison), and the norm distribution (min/median/max — unnormalized
+    mixtures break inner-product search). Norms fold each row's own
+    array left-to-right on both engines (same IEEE add sequence, so
+    the doubles agree bit-for-bit and the interpolating median
+    inherits parity); everything else is exact counts. Pure per-row
+    HOFs + one aggregation — scan-shaped."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.select(
+        F.size("embedding").alias("dim"),
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x,
+            )
+        ).alias("nrm"),
+    )
+    return n.agg(
+        F.count("*").alias("n_vecs"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).alias("n_zero"),
+        F.percentile(F.col("nrm"), F.lit(0.5)).alias("p50_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
