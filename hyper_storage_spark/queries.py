@@ -6395,6 +6395,42 @@ def emb_vector_stats(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_dau_mau_stickiness",
+    """WITH d AS (
+         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                COUNT(DISTINCT user_id) AS dau
+         FROM events GROUP BY 1
+       ),
+       t AS (SELECT COUNT(*) AS n_days, CAST(SUM(dau) AS BIGINT) AS sum_dau FROM d),
+       m AS (SELECT COUNT(DISTINCT user_id) AS mau FROM events)
+       SELECT t.n_days, t.sum_dau, m.mau,
+              CAST(t.sum_dau AS DOUBLE) / t.n_days / m.mau AS stickiness
+       FROM t CROSS JOIN m""",
+)
+def q_dau_mau_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness in one row: active days, summed daily
+    actives, period uniques, and stickiness = avg-DAU / MAU — the
+    engagement ratio product teams watch (1.0 = everyone active every
+    day). Exact distinct counts (one per-day reduction + one period
+    reduction), exact-integer numerators, two chained IEEE divisions
+    written identically on both engines — no rounding needed."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    t = d.agg(F.count("*").alias("n_days"), F.sum("dau").alias("sum_dau"))
+    m = ev.agg(F.count_distinct("user_id").alias("mau"))
+    return t.crossJoin(F.broadcast(m)).select(
+        "n_days",
+        "sum_dau",
+        "mau",
+        (F.col("sum_dau").cast("double") / F.col("n_days") / F.col("mau")).alias(
+            "stickiness"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
