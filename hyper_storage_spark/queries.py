@@ -6431,6 +6431,88 @@ def q_dau_mau_stickiness(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_rfm_segments",
+    """WITH mx AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+       u AS (
+         SELECT user_id,
+                mx.tmax - MAX(epoch_us(ts)) AS recency_us,
+                COUNT(*) AS frequency,
+                CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS monetary_milli
+         FROM events CROSS JOIN mx GROUP BY user_id, mx.tmax
+       ),
+       e AS (
+         SELECT quantile_cont(CAST(recency_us AS DOUBLE), 0.25) AS r1,
+                quantile_cont(CAST(recency_us AS DOUBLE), 0.5) AS r2,
+                quantile_cont(CAST(recency_us AS DOUBLE), 0.75) AS r3,
+                quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f1,
+                quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS f2,
+                quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f3,
+                quantile_cont(CAST(monetary_milli AS DOUBLE), 0.25) AS m1,
+                quantile_cont(CAST(monetary_milli AS DOUBLE), 0.5) AS m2,
+                quantile_cont(CAST(monetary_milli AS DOUBLE), 0.75) AS m3
+         FROM u
+       )
+       SELECT 1 + CAST(recency_us > e.r1 AS INT) + CAST(recency_us > e.r2 AS INT)
+                + CAST(recency_us > e.r3 AS INT) AS r_quartile,
+              1 + CAST(frequency > e.f1 AS INT) + CAST(frequency > e.f2 AS INT)
+                + CAST(frequency > e.f3 AS INT) AS f_quartile,
+              1 + CAST(monetary_milli > e.m1 AS INT) + CAST(monetary_milli > e.m2 AS INT)
+                + CAST(monetary_milli > e.m3 AS INT) AS m_quartile,
+              COUNT(*) AS n_users
+       FROM u CROSS JOIN e
+       GROUP BY 1, 2, 3""",
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM user segmentation: recency (µs since the corpus's last
+    event — exact ints), frequency (exact counts), monetary
+    (milli-floor exactified value sums — partition-order-proof), each
+    bucketed by the metric's own exact quartile edges (the PSI
+    binning idiom: broadcast 1-row edge attach, strict > compares),
+    then segment counts over the ≤64-cell (r, f, m) cube. The
+    marketing-analytics staple, fully engine-exact: integer metrics,
+    proven-parity interpolated edges, integer bin arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("tmax"))
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "tmax")
+        .agg(
+            (F.col("tmax") - F.max(F.unix_micros("ts"))).alias("recency_us"),
+            F.count("*").alias("frequency"),
+            F.sum(F.floor(F.col("value") * F.lit(1000)).cast("long")).alias(
+                "monetary_milli"
+            ),
+        )
+    )
+    edges = u.agg(
+        *[
+            F.percentile(F.col(c).cast("double"), F.lit(p)).alias(f"{c[0]}{i}")
+            for c in ("recency_us", "frequency", "monetary_milli")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def quartile(col, prefix):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(f"{prefix}1")).cast("int")
+            + (F.col(col) > F.col(f"{prefix}2")).cast("int")
+            + (F.col(col) > F.col(f"{prefix}3")).cast("int")
+        )
+
+    return (
+        u.crossJoin(F.broadcast(edges))
+        .select(
+            quartile("recency_us", "r").alias("r_quartile"),
+            quartile("frequency", "f").alias("f_quartile"),
+            quartile("monetary_milli", "m").alias("m_quartile"),
+        )
+        .groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
