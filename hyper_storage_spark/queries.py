@@ -6513,6 +6513,82 @@ def q_rfm_segments(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_hourly_mix_entropy",
+    """WITH c AS (
+         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                event_type, COUNT(*) AS n
+         FROM events GROUP BY 1, 2
+       ),
+       h AS (SELECT hour, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+       SELECT c.hour, h.tot AS n_events,
+              ROUND(-SUM((CAST(c.n AS DOUBLE) / h.tot)
+                         * ln(CAST(c.n AS DOUBLE) / h.tot)), 6) AS mix_entropy
+       FROM c JOIN h USING (hour)
+       GROUP BY 1, 2""",
+)
+def q_hourly_mix_entropy(spark, sf_dir):
+    """Hourly event-mix entropy: −Σ p ln p over each hour's
+    event-type distribution — the mix-shift monitor (entropy collapse
+    = one event type flooding the hour: an incident signature counts
+    alone miss). Exact hourly counts, probabilities as exact-integer
+    ratios, one ≤|types|-term log sum per hour rounded to 6. Two
+    grouped reductions + an hour-keyed join; nothing global."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    h = c.groupBy("hour").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(h, "hour")
+        .groupBy("hour", "tot")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("mix_entropy"))
+        .select("hour", F.col("tot").alias("n_events"), "mix_entropy")
+    )
+
+
+@register_extra(
+    "q_top_movers",
+    """WITH d AS (
+         SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                COUNT(*) AS n
+         FROM events GROUP BY 1, 2
+       ),
+       delta AS (
+         SELECT event_type, day, n,
+                n - LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS delta
+         FROM d
+       )
+       SELECT event_type, day, n, delta
+       FROM delta WHERE delta IS NOT NULL
+       ORDER BY ABS(delta) DESC, event_type, day
+       LIMIT 10""",
+)
+def q_top_movers(spark, sf_dir):
+    """Top day-over-day volume movers: the 10 largest absolute daily
+    count changes per event type — the triage view after an alert
+    ("what actually jumped"). Exact integer counts and deltas from a
+    per-type lag window over the day-cardinality series; the top-10
+    is a TakeOrdered on the total order (|delta| desc, type, day) so
+    the boundary cannot flap."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    delta = d.withColumn("delta", F.col("n") - F.lag("n").over(w)).filter(
+        F.col("delta").isNotNull()
+    )
+    return (
+        delta.orderBy(F.abs("delta").desc(), "event_type", "day")
+        .limit(10)
+        .select("event_type", "day", "n", "delta")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
