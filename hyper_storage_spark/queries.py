@@ -6589,6 +6589,45 @@ def q_top_movers(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_ship_delay_stats",
+    """WITH d AS (
+         SELECT o.o_orderpriority,
+                date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       )
+       SELECT o_orderpriority,
+              COUNT(*) AS n_items,
+              quantile_cont(CAST(delay_days AS DOUBLE), 0.5) AS p50_delay,
+              quantile_cont(CAST(delay_days AS DOUBLE), 0.9) AS p90_delay,
+              CAST(MAX(delay_days) AS BIGINT) AS max_delay
+       FROM d GROUP BY 1""",
+)
+def q_ship_delay_stats(spark, sf_dir):
+    """Shipping-delay distribution per order priority: exact integer
+    day gaps (order date → line-item ship date) through the
+    orders⨝lineitem equi-join, then count / exact interpolating
+    p50/p90 / max per priority — the fulfillment-SLA profile, and the
+    TPC-H-side exercise of the percentile parity (everything before
+    the interpolation is integer). Join is unhinted (AQE broadcasts
+    the orders side when it fits); the percentile state is per
+    priority group."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    d = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("delay_days"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.percentile(F.col("delay_days").cast("double"), F.lit(0.5)).alias("p50_delay"),
+        F.percentile(F.col("delay_days").cast("double"), F.lit(0.9)).alias("p90_delay"),
+        F.max("delay_days").cast("long").alias("max_delay"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
