@@ -6628,6 +6628,68 @@ def q_ship_delay_stats(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_market_basket",
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       ),
+       pf AS (SELECT l_partkey, COUNT(*) AS n_orders FROM items GROUP BY 1),
+       n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+       pairs AS (
+         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2
+       )
+       SELECT part_a, part_b, n_pair,
+              ROUND(CAST(n_pair AS DOUBLE) * n.n_baskets
+                    / (CAST(fa.n_orders AS DOUBLE) * fb.n_orders), 6) AS lift
+       FROM pairs
+       JOIN pf fa ON fa.l_partkey = part_a
+       JOIN pf fb ON fb.l_partkey = part_b
+       CROSS JOIN n
+       ORDER BY n_pair DESC, part_a, part_b
+       LIMIT 20""",
+)
+def q_market_basket(spark, sf_dir):
+    """Market-basket co-occurrence: top-20 part pairs by basket count
+    with lift = P(a,b)/(P(a)·P(b)) — association mining over orders
+    (the collocations idea lifted from token bigrams to basket
+    items). The self-join is keyed by ORDER (per-basket pair fan-out
+    is bounded by basket size, ~7 items — never a parts×parts
+    product); frequencies are exact ints, lift is one fixed IEEE
+    expression over them, top-k is TakeOrdered on the total order
+    (n_pair desc, a, b)."""
+    items = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    pf = items.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    n = items.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    return (
+        pairs.join(pf.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("na")), "part_a")
+        .join(pf.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb")), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double") * F.col("n_baskets")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_pair").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
