@@ -188,3 +188,74 @@ def test_spearman_matches_naive_midranks(spark, xs):
     den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
     naive = (n * sxy - sx * sy) / den
     assert abs(got.rho - naive) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    xs=st.lists(
+        st.tuples(st.sampled_from("ab"), st.sampled_from("uvw")),
+        min_size=4,
+        max_size=30,
+    ).filter(
+        lambda v: len({a for a, _ in v}) > 1 and len({b for _, b in v}) > 1
+    )
+)
+def test_chi2_and_mi_match_naive_contingency(spark, xs):
+    import math
+    from collections import Counter
+
+    from hyper_storage_spark.operators import profiling
+
+    df = spark.createDataFrame(xs, "a string, b string")
+    chi = profiling.chi2_independence(df, "a", "b").collect()[0]
+    mi = profiling.mutual_information(df, "a", "b").collect()[0]
+
+    n = len(xs)
+    cells = Counter(xs)
+    ra = Counter(a for a, _ in xs)
+    cb = Counter(b for _, b in xs)
+    chi2 = sum(
+        (o - ra[a] * cb[b] / n) ** 2 / (ra[a] * cb[b] / n)
+        for (a, b), o in cells.items()
+    )
+    mi_naive = sum(
+        (o / n) * math.log(o * n / (ra[a] * cb[b])) for (a, b), o in cells.items()
+    )
+    ha = -sum((c / n) * math.log(c / n) for c in ra.values())
+    hb = -sum((c / n) * math.log(c / n) for c in cb.values())
+    assert chi.n == n and abs(chi.chi2 - round(chi2, 6)) < 1e-6
+    assert abs(mi.mi - round(mi_naive, 6)) < 1e-6
+    if ha > 0 and hb > 0:
+        assert abs(mi.nmi - round(mi_naive / (ha * hb) ** 0.5, 6)) < 1e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=10),
+        min_size=2,
+        max_size=10,
+    ).filter(lambda ds: len({i % 2 for i in range(len(ds))}) > 1)
+)
+def test_kl_divergence_matches_naive(spark, docs):
+    import math
+    from collections import Counter
+
+    from hyper_storage_spark.operators import text as text_ops
+
+    rows = [(str(i % 2), " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {
+        r.lang: (r.n_tokens, r.kl)
+        for r in text_ops.kl_unigram_divergence(df, "lang").collect()
+    }
+    all_toks = [t for toks in docs for t in toks]
+    q = Counter(all_toks)
+    nq = len(all_toks)
+    for g in {str(i % 2) for i in range(len(docs))}:
+        toks_g = [t for i, toks in enumerate(docs) if str(i % 2) == g for t in toks]
+        pg = Counter(toks_g)
+        ng = len(toks_g)
+        kl = sum((c / ng) * math.log((c / ng) / (q[t] / nq)) for t, c in pg.items())
+        assert got[g][0] == ng
+        assert abs(got[g][1] - round(kl, 6)) < 1e-6
