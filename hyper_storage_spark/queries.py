@@ -6690,6 +6690,78 @@ def q_market_basket(spark, sf_dir):
     )
 
 
+@register_extra(
+    "text_ngram_novelty",
+    r"""WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+       ),
+       sh AS (
+         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+               FROM toks WHERE len(t) >= 3)
+       ),
+       df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+       per AS (
+         SELECT sh.doc_id,
+                COUNT(*) AS n_shingles,
+                CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+         FROM sh JOIN df USING (shingle) GROUP BY 1
+       )
+       SELECT d.doc_id,
+              COALESCE(per.n_shingles, 0) AS n_shingles,
+              COALESCE(per.n_unique, 0) AS n_unique,
+              CAST(per.n_unique AS DOUBLE) / per.n_shingles AS novelty
+       FROM documents d LEFT JOIN per USING (doc_id)""",
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty: the fraction of a doc's DISTINCT
+    shingles that appear in NO other document — the curation signal
+    between exact dedup (novelty 0 for copies) and true originality
+    (novelty → 1): boilerplate-heavy docs score low without being
+    literal duplicates. Exact distinct-shingle sets and document
+    frequencies (the decontamination reduction reused as a score);
+    novelty is one exact-integer division, unrounded. Docs shorter
+    than 3 tokens surface with zero shingles and NULL novelty."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text.tokens_col(F.col("text")).alias("t"))
+    sh = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i.cast("int")),
+                        F.element_at("t", (i + 1).cast("int")),
+                        F.element_at("t", (i + 2).cast("int")),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    from .operators._caches import tracked_persist
+
+    sh = tracked_persist(sh)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+        (F.col("n_unique").cast("double") / F.col("n_shingles")).alias("novelty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
