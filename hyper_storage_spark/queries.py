@@ -6762,6 +6762,43 @@ def text_ngram_novelty(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_returns_by_brand",
+    """SELECT p.p_brand,
+              COUNT(*) AS n_items,
+              CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_returned,
+              CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*) AS return_rate
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       GROUP BY 1""",
+)
+def q_returns_by_brand(spark, sf_dir):
+    """Return rate per part brand: lineitem ⨝ part (unhinted — AQE
+    broadcasts the dimension), exact flag counts, one exact-integer
+    division per brand (unrounded). The defect-rate-by-dimension
+    shape every quality dashboard runs against a 100 TB fact: the
+    dimension broadcasts, the fact never reshuffles except for the
+    brand-keyed aggregate."""
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    returned = F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            returned.alias("n_returned"),
+        )
+        .select(
+            "p_brand",
+            "n_items",
+            "n_returned",
+            (F.col("n_returned").cast("double") / F.col("n_items")).alias("return_rate"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
