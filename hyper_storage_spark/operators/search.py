@@ -16,6 +16,8 @@ scan of the raw text at query time, no driver-side scoring.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -42,6 +44,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     text_col: str = "text",
+    postings: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Top-``k`` BM25 hits per query: (query_id, doc_id, score, rank).
 
@@ -58,8 +61,9 @@ def bm25_topk(
     from ._caches import tracked_persist
 
     # postings feed the score join AND dfreq AND the doc lengths: one
-    # persisted reduction instead of three corpus scans+tokenizes
-    post = tracked_persist(term_postings(docs, text_col))
+    # persisted reduction instead of three corpus scans+tokenizes;
+    # callers composing rankers (hybrid_rrf) pass the shared reduction
+    post = postings if postings is not None else tracked_persist(term_postings(docs, text_col))
     dl = (
         docs.select("doc_id")  # column-pruned scan: tokenless docs keep dl=0
         .join(post.groupBy("doc_id").agg(F.sum("tf").alias("dl")), "doc_id", "left")
@@ -104,6 +108,7 @@ def tfidf_cosine_topk(
     queries: DataFrame,
     k: int = 10,
     text_col: str = "text",
+    postings: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Top-``k`` sparse TF-IDF cosine hits per query:
     (query_id, doc_id, score, rank) — the vector-space-model ranking
@@ -124,7 +129,7 @@ def tfidf_cosine_topk(
     cross product."""
     from ._caches import tracked_persist
 
-    tf = tracked_persist(term_postings(docs, text_col))
+    tf = postings if postings is not None else tracked_persist(term_postings(docs, text_col))
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     dw = tracked_persist(
@@ -211,12 +216,15 @@ def hybrid_rrf(
     negligible next to the legs regardless of corpus size. Ranks are
     exact integers, so the fused scores are bit-identical across
     engines by construction."""
-    bm = bm25_topk(docs, queries, k=leg_k, text_col=text_col).select(
+    from ._caches import tracked_persist
+
+    post = tracked_persist(term_postings(docs, text_col))
+    bm = bm25_topk(docs, queries, k=leg_k, text_col=text_col, postings=post).select(
         "query_id", "doc_id", F.col("rank").alias("bm25_rank")
     )
-    cos = tfidf_cosine_topk(docs, queries, k=leg_k, text_col=text_col).select(
-        "query_id", "doc_id", F.col("rank").alias("cos_rank")
-    )
+    cos = tfidf_cosine_topk(
+        docs, queries, k=leg_k, text_col=text_col, postings=post
+    ).select("query_id", "doc_id", F.col("rank").alias("cos_rank"))
     fused = bm.join(cos, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",
