@@ -6799,6 +6799,50 @@ def q_returns_by_brand(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_segment_revenue_share",
+    """WITH seg AS (
+         SELECT c.c_mktsegment,
+                COUNT(*) AS n_orders,
+                SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1
+       ),
+       t AS (SELECT SUM(rev) AS total FROM seg)
+       SELECT seg.c_mktsegment, seg.n_orders,
+              CAST(ROUND(seg.rev, 2) AS DOUBLE) AS revenue,
+              CAST(seg.rev AS DOUBLE) / CAST(t.total AS DOUBLE) AS revenue_share
+       FROM seg CROSS JOIN t""",
+)
+def q_segment_revenue_share(spark, sf_dir):
+    """Revenue mix by market segment: exact DECIMAL money sums
+    through the customer-dimension join (broadcast under AQE), then
+    each segment's share of total as ONE double division of two exact
+    decimals (identical cast-then-divide on both engines, no
+    rounding on the ratio). The contribution-analysis shape every
+    revenue dashboard runs — segment cardinality bounds everything
+    after the join."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"),
+        )
+    )
+    t = seg.agg(F.sum("rev").alias("total"))
+    return seg.crossJoin(F.broadcast(t)).select(
+        "c_mktsegment",
+        "n_orders",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / F.col("total").cast("double")).alias(
+            "revenue_share"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
