@@ -6843,6 +6843,58 @@ def q_segment_revenue_share(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_quality_length_rho",
+    r"""WITH scored AS (
+         SELECT 'all' AS g,
+                ROUND(least(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) / 100.0, 1.0) * 0.5
+                      + 0.3 * (1.0 - least(ROUND((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0
+                                                 / greatest(length(text), 1), 6) * 4, 1.0))
+                      + 0.2 * least(ROUND(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                                          x -> lower(x) IN ('the','and','of','a','is'))) * 1.0
+                                          / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')), 1), 6) * 5, 1.0),
+                      6) AS x,
+                CAST(n_chars AS DOUBLE) AS y
+         FROM documents
+       ),
+       r AS (
+         SELECT g,
+                RANK() OVER (PARTITION BY g ORDER BY x)
+                  + (COUNT(*) OVER (PARTITION BY g, x) - 1) / 2.0 AS rx,
+                RANK() OVER (PARTITION BY g ORDER BY y)
+                  + (COUNT(*) OVER (PARTITION BY g, y) - 1) / 2.0 AS ry
+         FROM scored
+       ),
+       a AS (
+         SELECT g, COUNT(*) AS n,
+                SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+                SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+         FROM r GROUP BY 1
+       )
+       SELECT n,
+              (n * sxy - sx * sy)
+                / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rho
+       FROM a""",
+)
+def q_quality_length_rho(spark, sf_dir):
+    """Is the quality score just a length proxy? Spearman rho between
+    each document's quality_score and its n_chars — the self-audit a
+    curation pipeline runs before gating on a score (rho ≈ 1 means
+    the 'quality' gate is a length gate wearing a costume). Composes
+    the quality formula (text.with_quality_score, replayed verbatim
+    in the oracle as in pipeline_filter_dedup) with the midrank
+    Spearman machinery (exact quarter-integer sums, unrounded
+    bit-parity rho)."""
+    from .operators import profiling
+
+    scored = text.with_quality_score(_t(spark, sf_dir, "documents")).select(
+        F.lit("all").alias("g"),
+        F.col("quality_score").alias("x"),
+        F.col("n_chars").cast("double").alias("y"),
+    )
+    return profiling.spearman_by_group(scored, "g", "x", "y").select("n", "rho")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
