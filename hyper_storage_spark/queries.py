@@ -6895,6 +6895,35 @@ def q_quality_length_rho(spark, sf_dir):
     return profiling.spearman_by_group(scored, "g", "x", "y").select("n", "rho")
 
 
+@register_extra(
+    "dedup_cluster_sizes",
+    f"""WITH clusters AS ({_CLUSTERS_SQL}),
+       sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY 1)
+       SELECT sz AS cluster_size,
+              COUNT(*) AS n_clusters,
+              CAST(SUM(sz) AS BIGINT) AS n_docs
+       FROM sizes GROUP BY 1""",
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-family size distribution: how many near-dup clusters
+    of each size exist and how many documents they hold — the
+    blast-radius histogram that decides between keep-one dedup (many
+    small families) and source-level remediation (one giant family =
+    a template/mirror problem upstream). Derived from the SAME
+    df-capped pair graph + connected components as dedup_clusters
+    (the oracle replays pairs, the recursive-CTE labeling, AND the
+    histogram); exact integer counts end to end."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_df=100
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
