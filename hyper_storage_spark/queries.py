@@ -6924,6 +6924,57 @@ def dedup_cluster_sizes(spark, sf_dir):
     )
 
 
+@register_extra(
+    "text_langid_confusion",
+    """WITH toks AS (
+         SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+       ), scores AS (
+         SELECT lang,
+                len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+                len(list_filter(t, x -> x IN ('the','and','of','a','is'))) AS s_en,
+                len(list_filter(t, x -> x IN ('el','la','de','los','es'))) AS s_es,
+                len(list_filter(t, x -> x IN ('le','la','et','les','est'))) AS s_fr
+         FROM toks
+       ), pred AS (
+         SELECT lang,
+                CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                     WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                     WHEN s_es >= s_fr THEN 'es'
+                     ELSE 'fr' END AS lang_pred
+         FROM scores
+       )
+       SELECT lang, lang_pred, COUNT(*) AS n,
+              CAST(SUM(CASE WHEN lang = lang_pred THEN COUNT(*) ELSE 0 END)
+                   OVER () AS DOUBLE)
+                / SUM(COUNT(*)) OVER () AS overall_accuracy
+       FROM pred GROUP BY 1, 2""",
+)
+def text_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the marker-based with_lang_id
+    predictions cross-tabulated against the table's labeled lang,
+    with the overall accuracy repeated on every cell — the
+    honest-evaluation view of our own classifier (the driver row
+    text_langid checks the predictions; this measures them). Exact
+    counts; accuracy is one exact-integer division; the windows run
+    over the ≤25-cell confusion table, not the corpus."""
+    from pyspark.sql import Window
+
+    pred = text.with_lang_id(_t(spark, sf_dir, "documents")).select("lang", "lang_pred")
+    cells = pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    correct = F.sum(
+        F.when(F.col("lang") == F.col("lang_pred"), F.col("n")).otherwise(F.lit(0))
+    ).over(w)
+    total = F.sum("n").over(w)
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n",
+        (correct.cast("double") / total).alias("overall_accuracy"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
