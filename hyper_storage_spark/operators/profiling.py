@@ -724,3 +724,51 @@ def welch_ttest(df: DataFrame, value_col: str, side_col: str) -> DataFrame:
         F.round(t, 6).alias("t_stat"),
         F.round(diff / pooled, 6).alias("cohens_d"),
     )
+
+
+def spearman_global(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Whole-table Spearman rho, one row (n, rho) — the GLOBAL variant
+    of :func:`spearman_by_group`, restructured for scale: a grouped
+    window with a constant key optimizes into an unpartitioned Window
+    (single-task corpus sort — the exact hazard tools/plan_audit.py
+    flags, and how this function came to exist). Instead, midranks
+    come from the distinct-value reduction: rank(v) = cum(≤v) − c_v +
+    (c_v + 1)/2 via the two-level distributed_cumsum, joined back to
+    the rows by value (vocabulary-sized tables, unhinted — AQE
+    broadcasts real ones).
+
+    Midranks are half-integers; the sums are order-independent-exact
+    while n³ stays under 2⁵¹ (n ≲ 10⁵ — every gate SF; beyond that
+    rho is a float estimate like any other big-data correlation)."""
+    from .sampling import distributed_cumsum
+
+    def midranks(col: str, out: str) -> DataFrame:
+        g = df.groupBy(col).agg(F.count("*").alias("c"))
+        c = distributed_cumsum(g, "c", [F.col(col).asc()], cum_col="cum")
+        return c.select(
+            F.col(col),
+            (
+                (F.col("cum") - F.col("c")).cast("double")
+                + (F.col("c") + F.lit(1)) / F.lit(2.0)
+            ).alias(out),
+        )
+
+    r = (
+        df.select(x_col, y_col)
+        .join(midranks(x_col, "rx"), x_col)
+        .join(midranks(y_col, "ry"), y_col)
+    )
+    agg = r.agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select("n", (num / den).alias("rho"))

@@ -6882,17 +6882,18 @@ def q_quality_length_rho(spark, sf_dir):
     curation pipeline runs before gating on a score (rho ≈ 1 means
     the 'quality' gate is a length gate wearing a costume). Composes
     the quality formula (text.with_quality_score, replayed verbatim
-    in the oracle as in pipeline_filter_dedup) with the midrank
-    Spearman machinery (exact quarter-integer sums, unrounded
-    bit-parity rho)."""
+    in the oracle as in pipeline_filter_dedup) with the GLOBAL
+    Spearman (profiling.spearman_global — distinct-value cumsum
+    midranks; a constant-key grouped window optimizes into the
+    single-task corpus sort the plan linter rightly flagged on this
+    entry's first draft, so the global variant exists now)."""
     from .operators import profiling
 
     scored = text.with_quality_score(_t(spark, sf_dir, "documents")).select(
-        F.lit("all").alias("g"),
         F.col("quality_score").alias("x"),
         F.col("n_chars").cast("double").alias("y"),
     )
-    return profiling.spearman_by_group(scored, "g", "x", "y").select("n", "rho")
+    return profiling.spearman_global(scored, "x", "y")
 
 
 @register_extra(

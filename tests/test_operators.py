@@ -2568,3 +2568,21 @@ def test_ols_trend_hand_computed(spark):
     )
     got2 = profiling.ols_trend(df2, "g", "ts", "value").collect()[0]
     assert got2.slope_per_day == round(-3.0 * 86400, 6) and got2.r2 == 1.0
+
+
+def test_spearman_global_matches_grouped_variant(spark):
+    from hyper_storage_spark.operators import profiling
+
+    rows = [(float(i % 7), float((i * 3) % 11)) for i in range(60)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    g = profiling.spearman_by_group(
+        df.select(F.lit("g").alias("g"), "x", "y"), "g", "x", "y"
+    ).collect()[0]
+    glob = profiling.spearman_global(df, "x", "y").collect()[0]
+    assert glob.n == g.n == 60
+    assert abs(glob.rho - g.rho) < 1e-12
+    # hand case: perfect monotone -> 1
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(9)], "x double, y double"
+    )
+    assert profiling.spearman_global(mono, "x", "y").collect()[0].rho == 1.0

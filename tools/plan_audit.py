@@ -143,6 +143,14 @@ WINDOW_WAIVERS: dict[str, list[tuple[str, str]]] = {
             "so the window input is calendar-bounded",
         )
     ],
+    "text_langid_confusion": [
+        (
+            "n#",
+            "accuracy scalar over the ≤|langs|² confusion CELLS — the "
+            "corpus collapsed through the (lang, lang_pred) groupBy "
+            "before the window",
+        )
+    ],
     "q_hash_split_contract": [
         (
             "sum(n#",
