@@ -2586,3 +2586,41 @@ def test_spearman_global_matches_grouped_variant(spark):
         [(float(i), float(i * i)) for i in range(9)], "x double, y double"
     )
     assert profiling.spearman_global(mono, "x", "y").collect()[0].rho == 1.0
+
+
+def test_collocations_pmi_hand_computed(spark):
+    import math
+
+    # "a b" always adjacent (6x), tokens a,b dominate; one doc of
+    # noise so PMI is nondegenerate. min_count=5 keeps only (a, b).
+    docs = spark.createDataFrame(
+        [(i, "a b a b a b") for i in range(2)] + [(9, "x y z")],
+        "doc_id long, text string",
+    )
+    rows = text.collocations_topk(docs, k=5, min_count=5).collect()
+    assert [(r.w1, r.w2) for r in rows] == [("a", "b")]
+    r = rows[0]
+    # pairs: per doc [ab, ba, ab, ba, ab] -> ab=6, ba=4 across 2 docs,
+    # plus xy, yz -> nb = 12; unigrams: a=6, b=6, x=y=z=1 -> nu = 15
+    assert r.n_pair == 6
+    pmi = math.log((6 / 12) / ((6 / 15) * (6 / 15)))
+    assert abs(r.pmi - round(pmi, 6)) < 1e-9
+
+
+def test_lexical_diversity_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "x y z w"), (3, "  ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.lexical_diversity(docs).collect()}
+    # doc 1: counts {a:2, b:1}; H = -(2/3 ln 2/3 + 1/3 ln 1/3)
+    h1 = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert got[1].n_tokens == 3 and got[1].n_types == 2
+    assert abs(got[1].ttr - round(2 / 3, 6)) < 1e-9
+    assert abs(got[1].entropy - round(h1, 6)) < 1e-9
+    # doc 2: all distinct -> H = ln 4, TTR = 1
+    assert got[2].ttr == 1.0 and abs(got[2].entropy - round(math.log(4), 6)) < 1e-9
+    # doc 3: tokenless -> zero counts, NULL stats (never dropped)
+    assert got[3].n_tokens == 0 and got[3].ttr is None and got[3].entropy is None
