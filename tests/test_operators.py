@@ -2624,3 +2624,49 @@ def test_lexical_diversity_hand_computed(spark):
     assert got[2].ttr == 1.0 and abs(got[2].entropy - round(math.log(4), 6)) < 1e-9
     # doc 3: tokenless -> zero counts, NULL stats (never dropped)
     assert got[3].n_tokens == 0 and got[3].ttr is None and got[3].entropy is None
+
+
+def test_zipf_alpha_hand_computed(spark):
+    import math
+
+    # token counts: a=8, b=5, c=2 -> tail (>=5) = {a, b}
+    # alpha = 1 + 2 / (ln(8/5) + ln(5/5))
+    docs = spark.createDataFrame(
+        [(1, " ".join(["a"] * 8 + ["b"] * 5 + ["c"] * 2))],
+        "doc_id long, text string",
+    )
+    r = text.zipf_alpha(docs, xmin=5).collect()[0]
+    assert (r.n_tail, r.xmin) == (2, 5)
+    assert abs(r.alpha - round(1 + 2 / math.log(8 / 5), 6)) < 1e-9
+
+
+def test_transition_matrix_hand_computed(spark):
+    from hyper_storage_spark.operators import funnel as funnel_ops
+
+    # user 1: A->B->A ; user 2: B->B
+    rows = [
+        (1, 1, 0, "A"), (1, 2, 1, "B"), (1, 3, 2, "A"),
+        (2, 4, 0, "B"), (2, 5, 1, "B"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts long, event_type string")
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in funnel_ops.transition_matrix(df).collect()
+    }
+    assert got[("A", "B")] == (1, 1.0)          # A row: only A->B
+    assert got[("B", "A")] == (1, 0.5)          # B row: B->A and B->B
+    assert got[("B", "B")] == (1, 0.5)
+    assert ("A", "A") not in got
+
+
+def test_welch_ttest_hand_computed(spark):
+    # side1 = [10, 12], side2 = [8, 8]: m1=11 v1=2, m2=8 v2=0
+    # t = 3/sqrt(2/2 + 0) = 3; pooled sd = sqrt(2/2) = 1 -> d = 3
+    from hyper_storage_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(10.0, 1), (12.0, 1), (8.0, 0), (8.0, 0)], "v double, s int"
+    )
+    r = profiling.welch_ttest(df, "v", "s").collect()[0]
+    assert (r.n1, r.n2) == (2, 2)
+    assert r.mean_diff == 3.0 and r.t_stat == 3.0 and r.cohens_d == 3.0
