@@ -2670,3 +2670,59 @@ def test_welch_ttest_hand_computed(spark):
     r = profiling.welch_ttest(df, "v", "s").collect()[0]
     assert (r.n1, r.n2) == (2, 2)
     assert r.mean_diff == 3.0 and r.t_stat == 3.0 and r.cohens_d == 3.0
+
+
+def test_psi_hand_computed_and_identical_distributions(spark):
+    import math
+
+    from hyper_storage_spark.operators import profiling
+
+    # identical ref/target -> every bin's p == q -> psi exactly 0
+    same = spark.createDataFrame(
+        [(float(i % 20), s) for i in range(200) for s in (0, 1)], "v double, s int"
+    )
+    r = profiling.psi(same, "v", "s", bins=10).collect()[0]
+    assert (r.n_ref, r.n_tgt) == (200, 200) and r.psi == 0.0
+    # 2-bin hand case: ref uniform on [0,1), target all-left
+    rows = [(0.1, 1), (0.9, 1), (0.1, 0), (0.2, 0)]
+    df = spark.createDataFrame(rows, "v double, s int")
+    got = profiling.psi(df, "v", "s", bins=2).collect()[0]
+    # ref median .5 -> ref bins (1,1); target bins (2,0); +0.5 smoothing,
+    # denominators n+1
+    p = [(1 + 0.5) / 3, (1 + 0.5) / 3]
+    q = [(2 + 0.5) / 3, (0 + 0.5) / 3]
+    want = sum((a - b) * math.log(a / b) for a, b in zip(p, q))
+    assert abs(got.psi - round(want, 6)) < 1e-9
+
+
+def test_calibration_bins_hand_computed(spark):
+    from hyper_storage_spark.operators import profiling
+
+    # scores 0..9, label = score >= 5; bins=2 -> median 4.5 edge
+    rows = [(float(i), 1 if i >= 5 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = {r.bin: r for r in profiling.calibration_bins(df, "s", "y", bins=2).collect()}
+    assert got[0].n == 5 and got[0].frac_pos == 0.0 and got[0].mean_score == 2.0
+    assert got[1].n == 5 and got[1].frac_pos == 1.0 and got[1].mean_score == 7.0
+
+
+def test_ngram_novelty_boundaries(spark):
+    from hyper_storage_spark.queries import all_specs
+    import tempfile
+
+    # identical docs -> novelty 0; a unique doc -> novelty 1; short doc
+    # -> zero shingles with NULL novelty. Drive the operator via its
+    # catalog fn against a scratch parquet dir shaped like documents.
+    rows = [
+        (1, "one two three four", "en", "s", 18),
+        (2, "one two three four", "en", "s", 18),
+        (3, "five six seven eight", "en", "s", 20),
+        (4, "hi", "en", "s", 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    d = tempfile.mkdtemp(prefix="novelty_")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in all_specs()["text_ngram_novelty"].fn(spark, d).collect()}
+    assert got[1].novelty == 0.0 and got[2].novelty == 0.0
+    assert got[3].novelty == 1.0
+    assert got[4].n_shingles == 0 and got[4].novelty is None
