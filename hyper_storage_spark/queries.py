@@ -6976,6 +6976,37 @@ def text_langid_confusion(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_peak_to_average",
+    """WITH h AS (
+         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                COUNT(*) AS n
+         FROM events GROUP BY 1
+       )
+       SELECT COUNT(*) AS n_hours,
+              CAST(SUM(n) AS BIGINT) AS n_events,
+              CAST(MAX(n) AS BIGINT) AS peak_hour_events,
+              CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n) AS peak_to_avg
+       FROM h""",
+)
+def q_peak_to_average(spark, sf_dir):
+    """Peak-to-average hourly load: max hourly event count over the
+    mean — the capacity-planning scalar (provision for peak, bill for
+    average; a ratio near 1 wants steady capacity, a high one wants
+    elasticity). Exact hourly counts; the ratio is max·hours/total
+    with ONE double expression written identically on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    return h.agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("peak_hour_events"),
+        (F.max("n").cast("double") * F.count("*") / F.sum("n")).alias("peak_to_avg"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
