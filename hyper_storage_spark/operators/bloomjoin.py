@@ -121,7 +121,30 @@ def bloom_prejoin(
     dim does NOT broadcast); pass True to hint it for small dims."""
     if how not in ("inner", "left_semi"):
         raise ValueError(f"bloom pre-filtering only helps inner/semi joins, got {how!r}")
-    words = bloom_build(dim, dim_col, num_bits=num_bits, k=k)
-    pre = fact.filter(bloom_might_contain(F.col(fact_col), words, k=k))
+    # xxhash64 is TYPE-sensitive: int 5, bigint 5 and string '5' hash to
+    # different positions, so a type mismatch between build and probe
+    # keys would make the bloom yield FALSE NEGATIVES — silently
+    # dropping genuinely matching rows and breaking the bit-identical
+    # contract. Canonicalize: identical types hash as-is; mixed
+    # integral types hash both sides widened to BIGINT (lossless, and
+    # exactly the coercion the equi-join itself applies); anything else
+    # (e.g. string vs int, decimal vs double — where the join's
+    # coercion rules and a hash-side cast can disagree on edge values
+    # like '5.0') is refused rather than risked.
+    ftype, dtype = fact.schema[fact_col].dataType, dim.schema[dim_col].dataType
+    _integral = {"byte", "short", "integer", "long"}
+    if ftype == dtype:
+        build_side, probe_col = dim, F.col(fact_col)
+    elif ftype.typeName() in _integral and dtype.typeName() in _integral:
+        build_side = dim.select(F.col(dim_col).cast("long").alias(dim_col))
+        probe_col = F.col(fact_col).cast("long")
+    else:
+        raise ValueError(
+            f"bloom_prejoin key dtypes differ and are not both integral: "
+            f"fact[{fact_col}]={ftype.simpleString()}, dim[{dim_col}]={dtype.simpleString()}; "
+            "cast one side to the other's type before calling"
+        )
+    words = bloom_build(build_side, dim_col, num_bits=num_bits, k=k)
+    pre = fact.filter(bloom_might_contain(probe_col, words, k=k))
     right = F.broadcast(dim) if broadcast_dim else dim
     return pre.join(right, on=pre[fact_col] == right[dim_col], how=how)

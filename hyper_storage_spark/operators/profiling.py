@@ -150,9 +150,12 @@ def auc_binary(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     return c.agg(
         F.sum("pos_s").alias("n_pos"),
         F.sum("neg_s").alias("n_neg"),
+        # 2·neg_s·pos_above is quadratic in corpus size (≈ n²/2 for a
+        # balanced corpus) — past int64 at 100 TB; decimal(38,0) keeps
+        # the sum exact (or NULLs on true overflow, never wraps)
         F.sum(
-            F.lit(2) * F.col("neg_s") * F.col("pos_above")
-            + F.col("neg_s") * F.col("pos_s")
+            F.lit(2) * F.col("neg_s").cast("decimal(38,0)") * F.col("pos_above")
+            + F.col("neg_s").cast("decimal(38,0)") * F.col("pos_s")
         ).alias("num2"),
     ).select(
         "n_pos",
@@ -491,18 +494,26 @@ def gini(df: DataFrame, value_col: str) -> DataFrame:
 
     g = df.groupBy(value_col).agg(F.count("*").alias("c"))
     c = distributed_cumsum(g, "c", [F.col(value_col).asc()], cum_col="cum")
-    # tie-run at v spans ranks a..b: b = cum, a = cum − c + 1
-    two_six = F.col(value_col).cast("long") * (
+    # tie-run at v spans ranks a..b: b = cum, a = cum − c + 1.
+    # v·(a+b)·c is CUBIC in corpus magnitude — at 100 TB it exceeds
+    # int64, which wraps SILENTLY under non-ANSI arithmetic.
+    # Accumulate in decimal(38,0) (the export._shard_stats checksum
+    # pattern): 10³⁸ headroom, and a true overflow surfaces as NULL
+    # instead of a wrong number. Still exact integers — the one
+    # closing division is unchanged.
+    two_six = F.col(value_col).cast("decimal(38,0)") * (
         F.lit(2) * F.col("cum") - F.col("c") + F.lit(1)
     ) * F.col("c")  # v·(a+b)·c
     agg = c.agg(
         F.sum("c").alias("n"),
-        F.sum(F.col(value_col).cast("long") * F.col("c")).alias("t"),
+        F.sum(F.col(value_col).cast("decimal(38,0)") * F.col("c")).alias("t"),
         F.sum(two_six).alias("s2"),
     )
     return agg.select(
         "n",
-        F.col("t").alias("total"),
+        # schema-stable long output; a total past int64 nulls (visible)
+        # rather than wrapping (invisible)
+        F.col("t").cast("long").alias("total"),
         (
             (F.col("s2") - (F.col("n") + F.lit(1)) * F.col("t")).cast("double")
             / (F.col("n") * F.col("t"))
@@ -660,13 +671,17 @@ def ols_trend(
             F.floor(F.col(value_col) * F.lit(1000)).cast("long").alias("y"),
         )
     )
+    # x·y / x² / y² products of milli-unit longs overflow int64 well
+    # before 100 TB group sizes; decimal(38,0) accumulation keeps the
+    # sums exact (NULL on true overflow, never a silent wrap) and the
+    # closing normal equations cast to double regardless
     s = prep.groupBy(group_col).agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
     )
     n = F.col("n").cast("double")
     num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
@@ -702,8 +717,10 @@ def welch_ttest(df: DataFrame, value_col: str, side_col: str) -> DataFrame:
         F.sum(F.lit(1) - F.col("s")).alias("n2"),
         F.sum(F.col("s") * F.col("y")).alias("s1"),
         F.sum((F.lit(1) - F.col("s")) * F.col("y")).alias("s2"),
-        F.sum(F.col("s") * F.col("y") * F.col("y")).alias("q1"),
-        F.sum((F.lit(1) - F.col("s")) * F.col("y") * F.col("y")).alias("q2"),
+        # y² of milli-unit longs can pass int64 at scale: decimal(38,0)
+        # (exact; NULL on true overflow, never a silent wrap)
+        F.sum(F.col("s") * F.col("y").cast("decimal(38,0)") * F.col("y")).alias("q1"),
+        F.sum((F.lit(1) - F.col("s")) * F.col("y").cast("decimal(38,0)") * F.col("y")).alias("q2"),
     )
     n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
     m1 = F.col("s1").cast("double") / n1

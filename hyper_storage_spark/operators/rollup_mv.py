@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import warnings
 from typing import Callable, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -295,7 +296,24 @@ def streaming_rollup(
     can only dedup within one checkpoint's id sequence, exactly
     Spark's own foreachBatch contract). State per flip is one small
     JSON + one parquet dir; superseded versions are droppable
-    (``vacuum_rollup``)."""
+    (``vacuum_rollup``).
+
+    With ``run_id=None`` the guard cannot tell a replay from a fresh
+    checkpoint restarting at batch 0 — two anonymous lineages match
+    each other, so a restarted query would silently skip every batch
+    below the old high-water mark. That is data loss, so a None
+    run_id warns at construction, and each anonymous skip warns
+    again naming the colliding batch_id."""
+    if run_id is None:
+        warnings.warn(
+            f"streaming_rollup(mv_root={mv_root!r}) has run_id=None: the "
+            "replay guard cannot distinguish a replayed micro-batch from a "
+            "NEW query restarted on a fresh checkpoint (whose batch ids "
+            "restart at 0), and will skip the new query's batches below the "
+            "old high-water mark. Pass the checkpoint location (or any "
+            "stable per-pipeline token) as run_id.",
+            stacklevel=2,
+        )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(mv_root, exist_ok=True)
@@ -305,6 +323,15 @@ def streaming_rollup(
             and cur.get("run_id") == run_id
             and batch_id <= cur["batch_id"]
         ):
+            if run_id is None:
+                warnings.warn(
+                    f"streaming_rollup({mv_root!r}): skipping batch_id="
+                    f"{batch_id} <= applied high-water {cur['batch_id']} with "
+                    "run_id=None — if this query was restarted from a fresh "
+                    "checkpoint this skip is DATA LOSS; pass run_id to "
+                    "disambiguate lineage.",
+                    stacklevel=2,
+                )
             return  # replay of an already-applied micro-batch
         delta = rollup_partials(
             batch_df,

@@ -60,12 +60,12 @@ def cosine_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
-    )
+    ).filter(F.col("qn") > 0)  # zero-norm ⇒ undefined (NULL) cosine; exclude
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
-    )
+    ).filter(F.col("cn") > 0)  # NULL-cosine rows would still take row_number ranks
     scored = (
         corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
@@ -156,7 +156,7 @@ def ivf_topk(
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),  # once per vector, not per pair
         F.col("__cell").alias("cell"),
-    )
+    ).filter(F.col("cn") > 0)  # zero-norm ⇒ undefined (NULL) cosine; exclude
 
     # tiny centroid table: query → n_probe nearest cells via broadcast
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
@@ -165,7 +165,7 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
-    )
+    ).filter(F.col("qn") > 0)  # zero-norm ⇒ undefined (NULL) cosine; exclude
     probe_w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("cell").asc())
     probes = (
         queries.crossJoin(F.broadcast(cent_df))
@@ -247,12 +247,12 @@ def lsh_bucket_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
-    )
+    ).filter(F.col("qn") > 0)  # zero-norm ⇒ undefined (NULL) cosine; exclude
     corpus_vecs = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
-    )
+    ).filter(F.col("cn") > 0)  # NULL-cosine rows would still take row_number ranks
     scored = (
         candidates.join(F.broadcast(queries), "query_id")
         .join(corpus_vecs, "neighbor_id")
@@ -359,12 +359,12 @@ def cosine_join_topk(
         F.col(qid).alias("query_id"),
         F.col(qvec).alias("qv"),
         _norm(F.col(qvec)).alias("qn"),
-    )
+    ).filter(F.col("qn") > 0)  # zero-norm ⇒ undefined (NULL) cosine; exclude
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
-    )
+    ).filter(F.col("cn") > 0)  # NULL-cosine rows would still take row_number ranks
     scored = c.crossJoin(q).withColumn(
         "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     )
@@ -439,12 +439,12 @@ def ann_join(
         F.col(qid).alias("query_id"),
         F.col(qvec).alias("qv"),
         _norm(F.col(qvec)).alias("qn"),
-    )
+    ).filter(F.col("qn") > 0)  # zero-norm ⇒ undefined (NULL) cosine; exclude
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
-    )
+    ).filter(F.col("cn") > 0)  # NULL-cosine rows would still take row_number ranks
     scored = (
         candidates.join(q, "query_id")
         .join(c, "neighbor_id")

@@ -225,7 +225,7 @@ def test_streaming_rollup_end_to_end(spark, tmp_path):
     e.write.parquet(src)
     stream = spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1).parquet(src)
     q = stream.writeStream.foreachBatch(
-        rollup_mv.streaming_rollup(mv, "ts", ["k"], "v")
+        rollup_mv.streaming_rollup(mv, "ts", ["k"], "v", run_id="t")
     ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
     try:
         q.processAllAvailable()
@@ -239,7 +239,7 @@ def test_streaming_rollup_end_to_end(spark, tmp_path):
 
 def test_streaming_rollup_replay_is_idempotent(spark, tmp_path):
     mv = str(tmp_path / "mv")
-    sink = rollup_mv.streaming_rollup(mv, "ts", ["k"], "v")
+    sink = rollup_mv.streaming_rollup(mv, "ts", ["k"], "v", run_id="t")
     e = _events(spark)
     sink(e, 0)
     once = _snap(rollup_mv.read_rollup(spark, mv))
@@ -251,7 +251,7 @@ def test_streaming_rollup_replay_is_idempotent(spark, tmp_path):
 
 def test_streaming_rollup_multi_batch_equals_direct(spark, tmp_path):
     mv = str(tmp_path / "mv")
-    sink = rollup_mv.streaming_rollup(mv, "ts", ["k"], "v")
+    sink = rollup_mv.streaming_rollup(mv, "ts", ["k"], "v", run_id="t")
     e = _events(spark)
     cut = F.lit("2024-01-02 06:00:00").cast("timestamp")
     sink(e.filter(F.col("ts") < cut), 0)
@@ -264,7 +264,7 @@ def test_streaming_rollup_vacuum_keeps_current(spark, tmp_path):
     import os
 
     mv = str(tmp_path / "mv")
-    sink = rollup_mv.streaming_rollup(mv, "ts", ["k"], "v")
+    sink = rollup_mv.streaming_rollup(mv, "ts", ["k"], "v", run_id="t")
     e = _events(spark)
     sink(e, 0)
     sink(e, 1)  # second version supersedes the first
@@ -276,7 +276,7 @@ def test_streaming_rollup_vacuum_keeps_current(spark, tmp_path):
 
 def test_rollup_time_travel_versions(spark, tmp_path):
     mv = str(tmp_path / "mv")
-    sink = rollup_mv.streaming_rollup(mv, "ts", ["k"], "v")
+    sink = rollup_mv.streaming_rollup(mv, "ts", ["k"], "v", run_id="t")
     e = _events(spark)
     cut = F.lit("2024-01-02 06:00:00").cast("timestamp")
     sink(e.filter(F.col("ts") < cut), 0)
@@ -318,7 +318,7 @@ def test_rollup_over_store_change_feed(spark, tmp_path):
     )
     q = (
         stream.writeStream.foreachBatch(
-            rollup_mv.streaming_rollup(mv, "ts_evt", ["method"], "one")
+            rollup_mv.streaming_rollup(mv, "ts_evt", ["method"], "one", run_id="t")
         )
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
@@ -590,3 +590,49 @@ def test_rollup_anomalies_flags_only_outliers(spark):
         rollup_mv.rollup_anomalies(
             df, rollup_mv.rollup_partials(df, "ts", ["k"], "v"), "ts", ["k"], "v"
         )
+
+
+def test_bloom_prejoin_mixed_integral_key_types_exact(spark):
+    # xxhash64 is type-sensitive (int 5 != bigint 5): without the
+    # canonical widening, every probe would miss and the prejoin would
+    # silently return 0 rows — the ADVICE r7 false-negative finding
+    dim = spark.range(0, 50).select(F.col("id").cast("int").alias("dk"))
+    fact = spark.range(0, 200).select(F.col("id").alias("fk"))  # bigint
+    got = sorted(
+        r.fk for r in bloomjoin.bloom_prejoin(fact, "fk", dim, "dk").select("fk").collect()
+    )
+    assert got == list(range(50))
+
+
+def test_bloom_prejoin_incompatible_key_types_refused(spark):
+    dim = spark.range(0, 10).select(F.col("id").cast("string").alias("dk"))
+    fact = spark.range(0, 10).select(F.col("id").alias("fk"))
+    with pytest.raises(ValueError, match="dtypes differ"):
+        bloomjoin.bloom_prejoin(fact, "fk", dim, "dk")
+
+
+def test_streaming_rollup_anonymous_run_id_warns(spark, tmp_path):
+    import warnings as _w
+
+    mv = str(tmp_path / "mv_warn")
+    with pytest.warns(UserWarning, match="run_id=None"):
+        sink = rollup_mv.streaming_rollup(mv, "ts", ["k"], "v")
+    df = spark.createDataFrame(
+        [("2024-01-01 01:00:00", "a", "1.5")], "ts string, k string, v string"
+    ).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "k",
+        F.col("v").cast("decimal(18,6)").alias("v"),
+    )
+    sink(df, 0)
+    # anonymous replay skip warns per-batch (could be a fresh checkpoint)
+    with pytest.warns(UserWarning, match="DATA LOSS"):
+        sink(df, 0)
+    # a named lineage does not warn at all
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        named = rollup_mv.streaming_rollup(
+            str(tmp_path / "mv_named"), "ts", ["k"], "v", run_id="ckpt-1"
+        )
+        named(df, 0)
+        named(df, 0)  # silent idempotent skip

@@ -2726,3 +2726,66 @@ def test_ngram_novelty_boundaries(spark):
     assert got[1].novelty == 0.0 and got[2].novelty == 0.0
     assert got[3].novelty == 1.0
     assert got[4].n_shingles == 0 and got[4].novelty is None
+
+
+def test_cosine_topk_excludes_zero_norm_vectors(spark):
+    # a zero vector has undefined cosine: it must not appear as a
+    # NULL-scored neighbor, and a zero-vector query returns no rows
+    import random as _random
+
+    rnd = _random.Random(3)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(6)]
+    rows.append((6, [0.0] * 8))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.cosine_topk(emb, [0, 6], k=10).collect()
+    assert all(r.neighbor_id != 6 for r in out)
+    assert all(r.query_id != 6 for r in out)
+    assert all(r.cosine is not None for r in out)
+    assert {r.query_id for r in out} == {0}
+
+
+def test_ann_join_excludes_zero_norm_vectors(spark):
+    import random as _random
+
+    rnd = _random.Random(4)
+    corpus = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(20)]
+    corpus.append((99, [0.0] * 8))
+    queries = [(0, corpus[0][1]), (1, [0.0] * 8)]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<double>")
+    out = similarity.cosine_join_topk(cdf, qdf, k=5).collect()
+    assert all(r.neighbor_id != 99 and r.cosine is not None for r in out)
+    assert {r.query_id for r in out} == {0}
+
+
+def test_profiling_integer_sums_survive_int64_overflow(spark):
+    # magnitudes crafted so the OLD bigint accumulation wraps: the
+    # decimal(38,0) path must return the exact value instead
+    from hyper_storage_spark.operators import profiling
+
+    # gini: v ~ 2^40 over 20k distinct rows → Σ v·(a+b)·c ≈ 4.4e20 > int64
+    n, v0 = 20_000, 1 << 40
+    g = spark.range(n).select((F.lit(v0) + F.col("id")).alias("v"))
+    row = profiling.gini(g, "v").collect()[0]
+    xs = [v0 + i for i in range(n)]
+    tot = sum(xs)
+    s2 = sum((i + 1) * x for i, x in enumerate(xs)) * 2
+    want = (s2 - (n + 1) * tot) / (n * tot)
+    assert row.n == n and row.total == tot
+    assert abs(row.gini - want) < 1e-9
+
+    # ols_trend: y ≈ 3e12·1000 = 3e15 → a SINGLE y² ≈ 9e30 >> int64
+    rows = [("g", f"2024-01-0{d+1} 00:00:00", 3.0e12 + d * 1.0e9) for d in range(5)]
+    df = spark.createDataFrame(rows, "g string, ts string, v double").select(
+        "g", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    t = profiling.ols_trend(df, "g", "ts", "v").collect()[0]
+    assert t.n == 5 and abs(t.slope_per_day - 1.0e9) / 1.0e9 < 1e-6
+    assert abs(t.r2 - 1.0) < 1e-9
+
+    # welch: same y² magnitude per side
+    wrows = [(3.0e12 + i, 1) for i in range(5)] + [(3.0e12 - 7.0e8 + i, 0) for i in range(5)]
+    wdf = spark.createDataFrame(wrows, "v double, side int")
+    w = profiling.welch_ttest(wdf, "v", "side").collect()[0]
+    assert w.n1 == 5 and w.n2 == 5
+    assert abs(w.mean_diff - 7.0e8) / 7.0e8 < 1e-6
