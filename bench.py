@@ -44,6 +44,36 @@ HEADLINE = [
 ]
 
 
+# Rows whose observed quiet-box band is wide (±0.4 s at sf0.1 — the two
+# LSH candidate-join entries): min-of-5 instead of min-of-3, per the
+# round-7 adjudication (two consecutive rounds burned time re-deriving
+# "it was the host" for exactly these rows).
+WIDE_BAND = {"dedup_ngram_jaccard", "dedup_minhash_lsh"}
+
+# Canonical quiet-box sentinel seconds: min over ≥6 quiet runs of
+# _sentinel() on the reference box (measurement recorded in SCALE.md
+# §noise sentinel; 64M single-partition rows chosen because the 8M
+# variant still jittered ±15% while 64M holds ±5%). The sentinel is a
+# fixed single-partition JVM scan-agg — zero shuffle, zero Python,
+# SF-independent — so its wall time moves ONLY with host co-tenancy;
+# noise_factor = measured / canonical tells the reader how loud the
+# box was during THIS run without re-deriving it from per-query deltas.
+SENTINEL_CANONICAL_SEC = 0.143
+
+
+def _sentinel(spark) -> float:
+    # one untimed pass first: the sentinel's own codegen/plan warm-up
+    # must not read as host noise
+    spark.range(0, 64_000_000, 1, 1).selectExpr("sum(id * 3 + 1) as s").collect()
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 64_000_000, 1, 1).selectExpr("sum(id * 3 + 1) as s").collect()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def _sf_number(sf: str):
     # try/except, not an isdigit heuristic: "0.0.1" passes the
     # heuristic and float() then crashes AFTER the whole query loop,
@@ -80,13 +110,16 @@ def main() -> None:
     errors: dict[str, str] = {}
     from hyper_storage_spark.operators._caches import release_tracked_caches
 
+    sentinel_start = _sentinel(spark)
+
     for name in HEADLINE:
         best, n = None, 0
         # one failing (or stale/renamed) query must cost one row, not
         # the whole bench run — the QUERIES lookup lives INSIDE the try
         try:
             fn = QUERIES[name].fn
-            for _ in range(max(runs, 1)):
+            entry_runs = max(runs + 2 if name in WIDE_BAND else runs, 1)
+            for _ in range(entry_runs):
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 # noop sink, not count(): count() lets the optimizer
@@ -112,6 +145,11 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    sentinel_end = _sentinel(spark)
+    # max of the two probes: co-tenancy at EITHER end of the run taints
+    # it; a quiet box reads ~1.0
+    noise = max(sentinel_start, sentinel_end) / SENTINEL_CANONICAL_SEC
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
@@ -119,6 +157,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_number(sf),
+        "noise_factor": round(noise, 2),
+        "sentinel_sec": {
+            "start": round(sentinel_start, 4),
+            "end": round(sentinel_end, 4),
+            "canonical": SENTINEL_CANONICAL_SEC,
+        },
     }
     if errors:
         out["errors"] = errors

@@ -1,0 +1,62 @@
+"""Measure per-entry noise bands for the bench headline set: N timed
+runs per entry (each run's individual wall, NOT min-of-N) at the given
+SF, printed as min/median/max — the source for SCALE.md's per-entry
+band table and bench.py's WIDE_BAND membership.
+
+Usage: python tools/noise_bands.py [sf_dir] [n_runs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+    import bench
+    from hyper_storage_spark.operators._caches import release_tracked_caches
+    from hyper_storage_spark.queries import all_specs
+    from hyper_storage_spark.session import get_spark
+
+    specs = all_specs()
+    spark = get_spark("noise_bands")
+    specs["q1_pricing_summary"].fn(spark, sf_dir).collect()  # session warm-up
+
+    sent_start = bench._sentinel(spark)
+    out: dict[str, dict] = {}
+    for name in bench.HEADLINE:
+        fn = specs[name].fn
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+            release_tracked_caches()
+        out[name] = {
+            "min": round(min(samples), 3),
+            "median": round(statistics.median(samples), 3),
+            "max": round(max(samples), 3),
+            "band": round(max(samples) - min(samples), 3),
+            "runs": [round(s, 3) for s in samples],
+        }
+        print(f"# {name}: min={out[name]['min']} med={out[name]['median']} "
+              f"max={out[name]['max']} band={out[name]['band']}", file=sys.stderr)
+    sent_end = bench._sentinel(spark)
+    print(json.dumps({
+        "sf_dir": sf_dir,
+        "n_runs": n_runs,
+        "noise_factor": round(max(sent_start, sent_end) / bench.SENTINEL_CANONICAL_SEC, 2),
+        "entries": out,
+    }))
+
+
+if __name__ == "__main__":
+    main()
