@@ -7007,6 +7007,66 @@ def q_peak_to_average(spark, sf_dir):
     )
 
 
+@register_extra(
+    "store_rollup_serve",
+    """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+                         CAST(value AS DECIMAL(20,6)) AS v
+                  FROM events WHERE event_id < 3000)
+       SELECT event_type,
+              CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+              COUNT(*) AS n, SUM(v) AS total
+       FROM e GROUP BY 1, 2""",
+)
+def store_rollup_serve(spark, sf_dir):
+    """A collection aggregate answered FROM a catalog-registered
+    rollup MV (store/rollups.py) — the continuous-aggregate face of
+    the store, served through the planner route the way sorted-MV
+    indexes serve filtered reads. The entry is PLAN-ASSERTED: it
+    ingests most of the subset, registers a day rollup
+    (INDEXING→NORMAL lifecycle), writes the remainder as per-item
+    PUTs, then requires aggregate() to route source="rollup" with
+    refresh_mode="merged" — proving the stale MV was brought current
+    by the delta-bounded insert-only merge (feed-classified), not a
+    rebuild, and that the merged MV equals the oracle's plain
+    aggregate over the full subset. At scale the refresh exchange is
+    bounded by the delta and touched buckets; untouched buckets pass
+    through the merge without re-aggregation."""
+    import tempfile
+
+    from .store import DocumentStore
+
+    st = DocumentStore(tempfile.mkdtemp(prefix="hs_rollup_"), spark=spark)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .withColumn("item", F.lpad(F.col("event_id").cast("string"), 10, "0"))
+        .select("event_id", "ts", "event_type", "value", "item")
+    )
+    st.ingest_collection(ev.filter(F.col("event_id") % 100 != 7), "events~", "item")
+    st.create_rollup(
+        "events~",
+        "ts",
+        ["event_type"],
+        "value",
+        resolution="day",
+        schema="event_id long, ts timestamp, event_type string, value double",
+    )
+    for r in ev.filter(F.col("event_id") % 100 == 7).collect():
+        st.put(
+            f"events~/{r.item}",
+            {
+                "event_id": r.event_id,
+                "ts": str(r.ts),
+                "event_type": r.event_type,
+                "value": r.value,
+            },
+        )
+    df, route = st.aggregate("events~", "ts", ["event_type"], "value", resolution="day")
+    if route.source != "rollup" or route.refresh_mode != "merged":
+        raise RuntimeError(f"expected a merged rollup route, got {route!r}")
+    return df.select("event_type", "bucket_start", "n", "total")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -255,8 +255,85 @@ class RestFacade:
         "DELETE": frozenset({"if_match"}),
     }
 
+    # -- rollup MV sub-resource (store/rollups.py through REST) ---------------
+
+    # reserved sub-path on a collection: `<coll>~/_rollups[/<id>]`.
+    # The reference has no aggregate surface (SURVEY §2.4); this is the
+    # engine-extension face: POST registers+builds (INDEXING→NORMAL),
+    # GET lists defs or serves the finalized view (auto-refreshed, the
+    # mode returned in the `rollup-refresh` header), DELETE drops.
+    _ROLLUPS_SEG = "~/_rollups"
+
+    def _rollup_route(self, m: str, path: str, body: Any, params: dict) -> RestResponse:
+        base, _, rest = path.partition(self._ROLLUPS_SEG)
+        uri = base + "~"
+        rollup_id = rest.lstrip("/") or None
+        try:
+            if m == "POST" and rollup_id is None:
+                spec = body or {}
+                missing = [k for k in ("ts_field", "key_fields", "value_field", "schema") if not spec.get(k)]
+                if missing:
+                    return RestResponse(400, {"error": f"missing rollup spec field(s): {', '.join(missing)}"})
+                rid = self.store.create_rollup(
+                    uri,
+                    spec["ts_field"],
+                    list(spec["key_fields"]),
+                    spec["value_field"],
+                    resolution=spec.get("resolution", "day"),
+                    schema=spec["schema"],
+                    rollup_id=spec.get("rollup_id"),
+                )
+                return RestResponse(201, {"rollup_id": rid}, {"location": f"{uri}/_rollups/{rid}"})
+            if m == "GET" and rollup_id is None:
+                defs = [
+                    {
+                        "rollup_id": d.rollup_id,
+                        "status": d.status,
+                        "ts_field": d.ts_field,
+                        "key_fields": list(d.key_fields),
+                        "value_field": d.value_field,
+                        "resolution": d.resolution,
+                        "built_revision": d.built_revision,
+                    }
+                    for d in self.store.rollup_defs(uri)
+                ]
+                return RestResponse(200, {"_embedded": {"els": defs}})
+            if m == "GET":
+                d = next((x for x in self.store.rollup_defs(uri) if x.rollup_id == rollup_id), None)
+                if d is None:
+                    return RestResponse(404)
+                mode = self.store.refresh_rollup(uri, rollup_id)
+                res = params.get("resolution")
+                df = self.store.rollup_view(uri, rollup_id, resolution=res)
+                size = int(params.get("size") or 1000)
+                order = [*d.key_fields, "bucket_start"]
+                rows = df.orderBy(*order).limit(size).collect()
+                els = [
+                    {
+                        **{k: r[k] for k in d.key_fields},
+                        "bucket_start": str(r["bucket_start"]),
+                        "n": r["n"],
+                        "total": float(r["total"]),
+                        "vmin": float(r["vmin"]),
+                        "vmax": float(r["vmax"]),
+                        "avg": r["avg"],
+                    }
+                    for r in rows
+                ]
+                return RestResponse(200, {"_embedded": {"els": els}}, {"rollup-refresh": mode})
+            if m == "DELETE" and rollup_id is not None:
+                self.store.drop_rollup(uri, rollup_id)
+                return RestResponse(200)
+            return RestResponse(405, {"error": f"{m} not supported on {path!r}"})
+        except NotFoundError:
+            return RestResponse(404)
+        except ValueError as e:
+            return RestResponse(400, {"error": str(e)})
+
     def handle(self, method: str, path: str, body: Any = None, **params) -> RestResponse:
         m = method.upper()
+        if self._ROLLUPS_SEG in path:
+            return self._rollup_route(m, path, body, params)
         allowed = self._VERB_PARAMS.get(m)
         if allowed is None:
             return RestResponse(405, {"error": f"method {method!r} not allowed"})

@@ -1669,6 +1669,46 @@ class DocumentStore:
             F.col("item_id"), F.col("revision"), parsed.alias("item")
         ).select("item_id", "revision", "item.*")
 
+    # -- rollup MVs (store/rollups.py; lifecycle mirrors create_index) --------
+
+    def create_rollup(self, uri: str, ts_field: str, key_fields, value_field: str,
+                      resolution: str = "day", schema: str = "", rollup_id=None) -> str:
+        from . import rollups
+
+        return rollups.create_rollup(
+            self, uri, ts_field, key_fields, value_field,
+            resolution=resolution, schema=schema, rollup_id=rollup_id,
+        )
+
+    def refresh_rollup(self, uri: str, rollup_id: str) -> str:
+        from . import rollups
+
+        return rollups.refresh_rollup(self, uri, rollup_id)
+
+    def drop_rollup(self, uri: str, rollup_id: str) -> None:
+        from . import rollups
+
+        rollups.drop_rollup(self, uri, rollup_id)
+
+    def rollup_defs(self, uri: str):
+        from . import rollups
+
+        return rollups.rollup_defs(self, uri)
+
+    def rollup_view(self, uri: str, rollup_id: str, resolution=None):
+        from . import rollups
+
+        return rollups.rollup_view(self, uri, rollup_id, resolution=resolution)
+
+    def aggregate(self, uri: str, ts_field: str, key_fields, value_field: str,
+                  resolution: str = "day", schema: str = "", auto_refresh: bool = True):
+        from . import rollups
+
+        return rollups.aggregate(
+            self, uri, ts_field, key_fields, value_field,
+            resolution=resolution, schema=schema, auto_refresh=auto_refresh,
+        )
+
     def vacuum(self, grace_seconds: float = 3600.0, keep_versions: Optional[int] = None) -> int:
         """Delete data files no longer referenced by any RETAINED
         manifest — current or time-travel snapshot. Returns files

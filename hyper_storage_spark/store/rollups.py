@@ -1,0 +1,461 @@
+"""Rollup materialized views registered in the store catalog and
+served through a planner route — the continuous-aggregate face of
+``operators/rollup_mv.py`` exposed on live collections.
+
+The reference is a document store with no aggregation surface at all
+(SURVEY.md §2.4 — joins/aggs are out of scope there), so this tier has
+no file-level counterpart; what it REUSES from the reference is the
+index lifecycle discipline (IndexDefTaskWorker.scala:71-110): a rollup
+is registered INDEXING, built, then flipped NORMAL — only a NORMAL
+rollup is visible to the routing in :func:`aggregate`, exactly like
+sorted-MV indexes in store/query.py.
+
+Freshness model (the part indexes don't need — they are maintained
+per-write, a rollup is refreshed on read):
+
+- every def carries ``built_revision``, the collection's gapless
+  revision counter at build time (documents.py: «monotonic, gapless
+  per-document revisions shared by all items»);
+- a read through :func:`aggregate` compares it to the collection's
+  current revision; equal ⇒ serve as-is;
+- stale ⇒ classify the delta from the FEED (every write publishes a
+  feed event stamped with its revision, so ``distinct revisions >
+  watermark`` counting ``current − built`` PROVES the feed window is
+  complete — gaplessness makes truncation detectable, not guessable):
+    * insert-only delta (all ``feed:put``, each item once, each
+      content row created-at==modified-at): partials from JUST the new
+      items, ``rollup_merge`` — delta-bounded, the 100 TB append-mostly
+      hot path; untouched buckets pass through without re-aggregation.
+    * anything else (update/delete/patch, re-put, truncated feed): the
+      old contribution of a changed row is already baked into the MV
+      and the content table keeps only the latest body, so the honest
+      move is a rebuild from content — one base scan into a
+      bucket-count-sized exchange, the same cost as the initial build.
+      (Bucket-scoped invalidation from feed bodies is the documented
+      upgrade path; it needs patch events to carry merged bodies.)
+
+Values are canonicalized to decimal(20,6) at build time so partials
+stay exact and order-independent (the rollup_mv discipline) and the MV
+parquet schema is stable across merges (sums widen per Spark's decimal
+rules; :func:`_conform` casts them back before every write).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.model import STATUS_INDEXING, STATUS_NORMAL
+
+ROLLUP_DEFS = "rollup_defs"
+ROLLUP_DEFS_SCHEMA = pa.schema(
+    [
+        ("document_uri", pa.string()),
+        ("rollup_id", pa.string()),
+        ("status", pa.int32()),
+        ("ts_field", pa.string()),
+        ("key_fields", pa.string()),  # JSON list of field names
+        ("value_field", pa.string()),
+        ("resolution", pa.string()),
+        ("body_schema", pa.string()),  # Spark DDL for the item bodies
+        ("table_name", pa.string()),
+        ("built_revision", pa.int64()),
+    ]
+)
+
+# canonical MV value typing — build-time cast keeps every engine's
+# partial sums exact and the parquet schema closed under merges
+_VALUE_DDL = "decimal(20,6)"
+_TOTAL_DDL = "decimal(30,6)"  # sum of decimal(20,6) per Spark's +10 rule
+
+# date_trunc units a finer MV can be coarsened to exactly (buckets
+# nest); week straddles months, so it only serves itself
+_RES_RANK = {"minute": 0, "hour": 1, "day": 2, "week": 3, "month": 4, "quarter": 5, "year": 6}
+_NON_NESTING = {"week"}
+
+
+@dataclass
+class RollupDef:
+    document_uri: str
+    rollup_id: str
+    status: int
+    ts_field: str
+    key_fields: tuple[str, ...]
+    value_field: str
+    resolution: str
+    body_schema: str
+    table_name: str
+    built_revision: int
+
+
+@dataclass
+class RollupRoute:
+    """What :func:`aggregate` chose — the plan-assertion face, the
+    analog of store/query.py's PlanInfo."""
+
+    source: str  # "rollup" | "content"
+    rollup_id: Optional[str] = None
+    refresh_mode: Optional[str] = None  # "fresh" | "merged" | "rebuilt" | "stale"
+    coarsened: bool = False
+
+
+def _serves(def_res: str, want_res: str) -> bool:
+    if def_res == want_res:
+        return True
+    if def_res in _NON_NESTING or want_res in _NON_NESTING:
+        return False
+    return _RES_RANK.get(def_res, 99) < _RES_RANK.get(want_res, -1)
+
+
+def rollup_defs(store, uri: str) -> list[RollupDef]:
+    out = []
+    for r in store.storage.bucket_rows(ROLLUP_DEFS, 0):
+        if r["document_uri"] != uri:
+            continue
+        out.append(
+            RollupDef(
+                r["document_uri"],
+                r["rollup_id"],
+                r["status"],
+                r["ts_field"],
+                tuple(json.loads(r["key_fields"])),
+                r["value_field"],
+                r["resolution"],
+                r["body_schema"],
+                r["table_name"],
+                r["built_revision"],
+            )
+        )
+    return out
+
+
+def _mv_ddl(store, d: RollupDef) -> str:
+    body = store.spark.createDataFrame([], d.body_schema).schema
+    types = {f.name: f.dataType.simpleString() for f in body.fields}
+    cols = [f"`{k}` {types[k]}" for k in d.key_fields]
+    return ", ".join(
+        cols
+        + [
+            "bucket_start timestamp",
+            "n long",
+            f"total {_TOTAL_DDL}",
+            f"vmin {_VALUE_DDL}",
+            f"vmax {_VALUE_DDL}",
+        ]
+    )
+
+
+def _typed_rows(store, d: RollupDef, min_revision: Optional[int] = None) -> DataFrame:
+    """The collection's typed (keys, ts, value) projection, optionally
+    restricted to rows written after ``min_revision`` (the delta cut —
+    a pushable long predicate, unlike anything inside the JSON body)."""
+    from .documents import CONTENT, CONTENT_SPARK
+
+    df = store.storage.spark_df_or_empty(store.spark, CONTENT, CONTENT_SPARK).filter(
+        (F.col("document_uri") == d.document_uri)
+        & (F.col("item_id") != "")
+        & (~F.col("is_deleted"))
+        & F.col("body").isNotNull()
+    )
+    if min_revision is not None:
+        df = df.filter(F.col("revision") > min_revision)
+    parsed = F.from_json(F.col("body"), d.body_schema)
+    proj = df.select(parsed.alias("item")).select("item.*")
+    return proj.select(
+        *[F.col(k) for k in d.key_fields],
+        F.col(d.ts_field).cast("timestamp").alias(d.ts_field),
+        F.col(d.value_field).cast(_VALUE_DDL).alias(d.value_field),
+    )
+
+
+def _conform(d: RollupDef, partials: DataFrame) -> DataFrame:
+    """Cast partials back to the canonical MV schema: merge sums widen
+    per Spark's decimal rules, and the next read's explicit parquet
+    schema must keep matching the files on disk."""
+    return partials.select(
+        *[F.col(k) for k in d.key_fields],
+        F.col("bucket_start").cast("timestamp").alias("bucket_start"),
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast(_TOTAL_DDL).alias("total"),
+        F.col("vmin").cast(_VALUE_DDL).alias("vmin"),
+        F.col("vmax").cast(_VALUE_DDL).alias("vmax"),
+    )
+
+
+def _write_mv(store, d: RollupDef, partials: DataFrame) -> None:
+    """Stage the MV as parquet and flip it into the manifest — the
+    same external-commit path as the distributed index backfill
+    (documents.py:_backfill_index_spark)."""
+    import os
+    import uuid
+
+    from .storage import _sanitize
+
+    # unique dir per write: a refresh READS the current MV files while
+    # writing the next version — overwriting in place would delete the
+    # input mid-scan (FAILED_READ_FILE); superseded dirs stay manifest-
+    # referenced for time travel until vacuum drops them
+    outdir = os.path.join(
+        store.storage.root,
+        "data",
+        f"rollup_build_{_sanitize(d.table_name)}_{uuid.uuid4().hex[:8]}",
+    )
+    _conform(d, partials).write.mode("overwrite").parquet(outdir)
+    files = [os.path.join(outdir, f) for f in os.listdir(outdir) if f.endswith(".parquet")]
+    store.storage.commit_external(d.table_name, {0: files})
+
+
+def _update_def(store, uri: str, rollup_id: str, **fields) -> None:
+    rows = store.storage.bucket_rows(ROLLUP_DEFS, 0)
+    for r in rows:
+        if r["document_uri"] == uri and r["rollup_id"] == rollup_id:
+            r.update(fields)
+    store.storage.commit({(ROLLUP_DEFS, 0): rows}, {ROLLUP_DEFS: ROLLUP_DEFS_SCHEMA})
+
+
+def create_rollup(
+    store,
+    uri: str,
+    ts_field: str,
+    key_fields: Sequence[str],
+    value_field: str,
+    resolution: str = "day",
+    schema: str = "",
+    rollup_id: Optional[str] = None,
+) -> str:
+    """Register a rollup MV on a collection and build it: INDEXING row
+    first, Spark build, flip to NORMAL with the build watermark — the
+    index lifecycle applied to a continuous aggregate. ``schema`` is
+    the body DDL (required: rebuilds must parse bodies identically
+    forever, so the type contract is pinned in the catalog, never
+    re-inferred). A crash between build and flip leaves an INDEXING
+    def that never routes; re-creating or refreshing repairs it."""
+    from ..paths import is_collection_uri
+    from .documents import NotFoundError
+    from .idgen import create_id
+
+    if not is_collection_uri(uri):
+        raise ValueError("rollups are only supported for collections")
+    if not schema:
+        raise ValueError("schema (body DDL) is required for a rollup definition")
+    if resolution not in _RES_RANK:
+        raise ValueError(f"unsupported resolution {resolution!r}; one of {sorted(_RES_RANK)}")
+    static = store._get_static(uri)
+    if static is None or static["is_deleted"]:
+        raise NotFoundError(uri)
+    body = store.spark.createDataFrame([], schema).schema
+    names = {f.name for f in body.fields}
+    for fname in (ts_field, value_field, *key_fields):
+        if fname not in names:
+            raise ValueError(f"field {fname!r} not in the supplied body schema")
+    rollup_id = rollup_id or f"rollup-{create_id()}"
+
+    with store._lock:
+        rows = store.storage.bucket_rows(ROLLUP_DEFS, 0)
+        if any(r["document_uri"] == uri and r["rollup_id"] == rollup_id for r in rows):
+            raise ValueError(f"rollup {rollup_id!r} already exists on {uri!r}")
+        from .storage import _sanitize
+
+        tname = f"rollup_{_sanitize(uri)}_{_sanitize(rollup_id)}"
+        rows.append(
+            {
+                "document_uri": uri,
+                "rollup_id": rollup_id,
+                "status": STATUS_INDEXING,
+                "ts_field": ts_field,
+                "key_fields": json.dumps(list(key_fields)),
+                "value_field": value_field,
+                "resolution": resolution,
+                "body_schema": schema,
+                "table_name": tname,
+                "built_revision": 0,
+            }
+        )
+        store.storage.commit({(ROLLUP_DEFS, 0): rows}, {ROLLUP_DEFS: ROLLUP_DEFS_SCHEMA})
+
+        d = RollupDef(
+            uri, rollup_id, STATUS_INDEXING, ts_field, tuple(key_fields),
+            value_field, resolution, schema, tname, 0,
+        )
+        built_rev = static["revision"]
+        from ..operators.rollup_mv import rollup_partials
+
+        partials = rollup_partials(
+            _typed_rows(store, d), ts_field, list(key_fields), value_field, resolution
+        )
+        _write_mv(store, d, partials)
+        # flip to NORMAL — only now does aggregate() route to it
+        # (db/Db.scala:103-107 discipline, same as create_index)
+        _update_def(store, uri, rollup_id, status=STATUS_NORMAL, built_revision=built_rev)
+        return rollup_id
+
+
+def drop_rollup(store, uri: str, rollup_id: str) -> None:
+    with store._lock:
+        rows = store.storage.bucket_rows(ROLLUP_DEFS, 0)
+        keep = [r for r in rows if not (r["document_uri"] == uri and r["rollup_id"] == rollup_id)]
+        if len(keep) == len(rows):
+            raise ValueError(f"no rollup {rollup_id!r} on {uri!r}")
+        dropped = next(
+            r for r in rows if r["document_uri"] == uri and r["rollup_id"] == rollup_id
+        )
+        store.storage.commit(
+            {(ROLLUP_DEFS, 0): keep},
+            {ROLLUP_DEFS: ROLLUP_DEFS_SCHEMA},
+            drop_tables=[dropped["table_name"]],
+        )
+
+
+def _delta_class(store, d: RollupDef, current_rev: int) -> str:
+    """Classify the writes since the build watermark: "merge" iff the
+    feed PROVES the delta is insert-only (see module docstring),
+    else "rebuild"."""
+    from .documents import CONTENT, CONTENT_SPARK, FEED, FEED_SPARK
+
+    feed = store.storage.spark_df_or_empty(store.spark, FEED, FEED_SPARK).filter(
+        (F.col("document_uri") == d.document_uri) & (F.col("revision") > d.built_revision)
+    )
+    s = feed.agg(
+        F.count("*").alias("events"),
+        F.count_distinct(F.col("revision")).alias("revs"),
+        F.count_distinct(F.col("item_id")).alias("items"),
+        F.sum((F.col("method") != "feed:put").cast("int")).alias("non_puts"),
+    ).collect()[0]
+    expected_revs = current_rev - d.built_revision
+    if s.revs != expected_revs:
+        return "rebuild"  # feed truncated under the watermark — unprovable delta
+    if (s.non_puts or 0) > 0 or s.events != s.items:
+        return "rebuild"  # updates/deletes/patches or re-puts in the window
+    # every delta item must be a fresh create (created_at == modified_at
+    # on its current content row) — a put over an existing item has an
+    # older created_at and its previous value is already in the MV
+    content = store.storage.spark_df_or_empty(store.spark, CONTENT, CONTENT_SPARK).filter(
+        (F.col("document_uri") == d.document_uri)
+        & (F.col("item_id") != "")
+        & (F.col("revision") > d.built_revision)
+    )
+    c = content.agg(
+        F.count("*").alias("rows"),
+        F.sum((F.col("created_at") == F.col("modified_at")).cast("int")).alias("creates"),
+        F.sum(F.col("is_deleted").cast("int")).alias("tombstones"),
+    ).collect()[0]
+    if c.rows != s.items or (c.creates or 0) != c.rows or (c.tombstones or 0) > 0:
+        return "rebuild"
+    return "merge"
+
+
+def refresh_rollup(store, uri: str, rollup_id: str) -> str:
+    """Bring a rollup to the collection's current revision. Returns the
+    mode taken: "fresh" (already at the watermark), "merged"
+    (delta-bounded insert-only merge), or "rebuilt"."""
+    from ..operators.rollup_mv import rollup_merge, rollup_partials
+    from .documents import NotFoundError
+
+    d = next((r for r in rollup_defs(store, uri) if r.rollup_id == rollup_id), None)
+    if d is None:
+        raise ValueError(f"no rollup {rollup_id!r} on {uri!r}")
+    with store._lock:
+        static = store._get_static(uri)
+        if static is None or static["is_deleted"]:
+            raise NotFoundError(uri)
+        current_rev = static["revision"]
+        if d.status == STATUS_NORMAL and current_rev == d.built_revision:
+            return "fresh"
+        mode = "rebuild" if d.status != STATUS_NORMAL else _delta_class(store, d, current_rev)
+        if mode == "merge":
+            delta = rollup_partials(
+                _typed_rows(store, d, min_revision=d.built_revision),
+                d.ts_field,
+                list(d.key_fields),
+                d.value_field,
+                d.resolution,
+            )
+            existing = store.storage.spark_df_or_empty(store.spark, d.table_name, _mv_ddl(store, d))
+            merged = rollup_merge(existing, _conform(d, delta), list(d.key_fields))
+            _write_mv(store, d, merged)
+            _update_def(store, uri, rollup_id, built_revision=current_rev)
+            return "merged"
+        partials = rollup_partials(
+            _typed_rows(store, d), d.ts_field, list(d.key_fields), d.value_field, d.resolution
+        )
+        _write_mv(store, d, partials)
+        _update_def(
+            store, uri, rollup_id, status=STATUS_NORMAL, built_revision=current_rev
+        )
+        return "rebuilt"
+
+
+def rollup_view(store, uri: str, rollup_id: str, resolution: Optional[str] = None) -> DataFrame:
+    """The finalized serving view of a rollup MV (keys, bucket_start,
+    n, total, vmin, vmax, avg), coarsened on the fly when a coarser
+    ``resolution`` is asked of a finer MV (exact — partials compose)."""
+    from ..operators.rollup_mv import rollup_coarsen, rollup_finalize
+
+    d = next((r for r in rollup_defs(store, uri) if r.rollup_id == rollup_id), None)
+    if d is None:
+        raise ValueError(f"no rollup {rollup_id!r} on {uri!r}")
+    mv = store.storage.spark_df_or_empty(store.spark, d.table_name, _mv_ddl(store, d))
+    if resolution is not None and resolution != d.resolution:
+        if not _serves(d.resolution, resolution):
+            raise ValueError(
+                f"rollup at {d.resolution!r} cannot serve {resolution!r} exactly"
+            )
+        mv = _conform(d, rollup_coarsen(mv, list(d.key_fields), resolution))
+    return rollup_finalize(mv)
+
+
+def aggregate(
+    store,
+    uri: str,
+    ts_field: str,
+    key_fields: Sequence[str],
+    value_field: str,
+    resolution: str = "day",
+    schema: str = "",
+    auto_refresh: bool = True,
+) -> tuple[DataFrame, RollupRoute]:
+    """The planner face: answer a (keys, time-bucket) aggregate over a
+    collection FROM a matching NORMAL rollup when one exists — the way
+    store/query.py routes filtered/sorted reads to sorted-MV indexes —
+    falling back to a direct base-collection aggregation otherwise.
+
+    A matching rollup serves if its grain equals the request or nests
+    under it (day MV answering month — rollup_coarsen, exact). A stale
+    match is refreshed first (``auto_refresh``; pass False to serve
+    the stale MV and let the route report it). The fallback needs
+    ``schema`` (the body DDL) just like collection_df."""
+    keys = tuple(key_fields)
+    for d in rollup_defs(store, uri):
+        if d.status != STATUS_NORMAL:
+            continue
+        if (d.ts_field, d.key_fields, d.value_field) != (ts_field, keys, value_field):
+            continue
+        if not _serves(d.resolution, resolution):
+            continue
+        static = store._get_static(uri)
+        stale = static is not None and static["revision"] != d.built_revision
+        if stale and auto_refresh:
+            mode = {"merged": "merged", "rebuilt": "rebuilt", "fresh": "fresh"}[
+                refresh_rollup(store, uri, d.rollup_id)
+            ]
+        else:
+            mode = "stale" if stale else "fresh"
+        df = rollup_view(store, uri, d.rollup_id, resolution=resolution)
+        return df, RollupRoute(
+            "rollup", d.rollup_id, mode, coarsened=resolution != d.resolution
+        )
+    # no servable rollup: aggregate the base collection directly
+    if not schema:
+        raise ValueError("no servable rollup and no schema for a base-collection aggregate")
+    from ..operators.rollup_mv import rollup_finalize, rollup_partials
+
+    d = RollupDef(uri, "", STATUS_NORMAL, ts_field, keys, value_field, resolution, schema, "", 0)
+    df = rollup_finalize(
+        rollup_partials(_typed_rows(store, d), ts_field, list(keys), value_field, resolution)
+    )
+    return df, RollupRoute("content")

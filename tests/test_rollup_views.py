@@ -1,0 +1,182 @@
+"""Rollup MVs registered in the store catalog (store/rollups.py):
+lifecycle INDEXING→NORMAL, planner routing + refresh-mode
+classification (fresh / merged / rebuilt / stale), exact coarsening,
+value parity against the direct base aggregation, and the REST face."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyper_storage_spark.plans.model import STATUS_INDEXING, STATUS_NORMAL
+from hyper_storage_spark.store import DocumentStore
+
+SCHEMA = "ts string, k string, v double"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    st = DocumentStore(str(tmp_path / "store"), spark=spark)
+    for i in range(20):
+        st.put(
+            f"metrics~/m{i:03d}",
+            {"ts": f"2024-01-{(i % 5) + 1:02d} 0{i % 9}:00:00", "k": f"k{i % 2}", "v": i * 1.5},
+        )
+    return st
+
+
+def _direct(st, resolution="day"):
+    base = st.collection_df("metrics~", SCHEMA)
+    return sorted(
+        (str(r.b), r.k, r.n, float(r.t))
+        for r in base.groupBy(
+            "k", F.date_trunc(resolution, F.col("ts").cast("timestamp")).alias("b")
+        )
+        .agg(F.count("*").alias("n"), F.sum(F.col("v").cast("decimal(20,6)")).alias("t"))
+        .collect()
+    )
+
+
+def _mv_rows(df):
+    return sorted((str(r.bucket_start), r.k, r.n, float(r.total)) for r in df.collect())
+
+
+def test_rollup_lifecycle_and_fresh_route(store):
+    rid = store.create_rollup("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    (d,) = store.rollup_defs("metrics~")
+    assert d.rollup_id == rid and d.status == STATUS_NORMAL
+    assert d.built_revision == store._get_static("metrics~")["revision"]
+    df, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day")
+    assert route.source == "rollup" and route.refresh_mode == "fresh"
+    assert _mv_rows(df) == _direct(store)
+
+
+def test_insert_only_delta_merges(store):
+    rid = store.create_rollup("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    for i in range(20, 25):
+        store.put(f"metrics~/m{i:03d}", {"ts": "2024-01-06 01:00:00", "k": "k0", "v": 100.0})
+    df, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day")
+    assert route.refresh_mode == "merged"
+    assert _mv_rows(df) == _direct(store)
+    # watermark advanced: the next read is fresh
+    _, route2 = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day")
+    assert route2.refresh_mode == "fresh"
+    assert store.rollup_defs("metrics~")[0].built_revision == store._get_static("metrics~")["revision"]
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda st: st.put("metrics~/m000", {"ts": "2024-01-01 00:00:00", "k": "k0", "v": 999.0}),
+        lambda st: st.patch("metrics~/m001", {"v": -5.0}),
+        lambda st: st.delete("metrics~/m002"),
+    ],
+    ids=["re-put", "patch", "delete"],
+)
+def test_mutating_delta_rebuilds(store, mutate):
+    store.create_rollup("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    mutate(store)
+    df, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day")
+    assert route.refresh_mode == "rebuilt"
+    assert _mv_rows(df) == _direct(store)
+
+
+def test_truncated_feed_forces_rebuild(store):
+    store.create_rollup("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    store.put("metrics~/m020", {"ts": "2024-01-06 01:00:00", "k": "k0", "v": 1.0})
+    # drop every feed event: the delta window is no longer provably
+    # complete, so the insert-only fast path must refuse
+    store.truncate_feed(2**62)
+    df, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day")
+    assert route.refresh_mode == "rebuilt"
+    assert _mv_rows(df) == _direct(store)
+
+
+def test_coarsen_serves_month_from_day(store):
+    store.create_rollup("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    df, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="month")
+    assert route.source == "rollup" and route.coarsened
+    assert _mv_rows(df) == _direct(store, "month")
+
+
+def test_finer_request_falls_back_to_content(store):
+    store.create_rollup("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    df, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="hour", schema=SCHEMA)
+    assert route.source == "content"
+    assert _mv_rows(df) == _direct(store, "hour")
+
+
+def test_week_never_coarsens_to_month(store):
+    store.create_rollup("metrics~", "ts", ["k"], "v", resolution="week", schema=SCHEMA)
+    _, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="month", schema=SCHEMA)
+    assert route.source == "content"  # week buckets straddle months
+
+
+def test_stale_route_without_auto_refresh(store):
+    store.create_rollup("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    before = _direct(store)
+    store.put("metrics~/m020", {"ts": "2024-01-06 01:00:00", "k": "k0", "v": 1.0})
+    df, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day", auto_refresh=False)
+    assert route.refresh_mode == "stale"
+    assert _mv_rows(df) == before  # the old snapshot, by request
+
+
+def test_indexing_def_never_routes(store):
+    from hyper_storage_spark.store import rollups
+
+    rid = store.create_rollup("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    rollups._update_def(store, "metrics~", rid, status=STATUS_INDEXING)
+    df, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    assert route.source == "content"  # half-built MV is invisible
+    # refresh repairs the crashed build and flips it back to NORMAL
+    assert store.refresh_rollup("metrics~", rid) == "rebuilt"
+    assert store.rollup_defs("metrics~")[0].status == STATUS_NORMAL
+    _, route2 = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day")
+    assert route2.source == "rollup"
+
+
+def test_drop_rollup(store):
+    rid = store.create_rollup("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    store.drop_rollup("metrics~", rid)
+    assert store.rollup_defs("metrics~") == []
+    with pytest.raises(ValueError):
+        store.drop_rollup("metrics~", rid)
+    _, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    assert route.source == "content"
+
+
+def test_validation_errors(store):
+    with pytest.raises(ValueError, match="resolution"):
+        store.create_rollup("metrics~", "ts", ["k"], "v", resolution="fortnight", schema=SCHEMA)
+    with pytest.raises(ValueError, match="schema"):
+        store.create_rollup("metrics~", "ts", ["k"], "v")
+    with pytest.raises(ValueError, match="not in the supplied body schema"):
+        store.create_rollup("metrics~", "ts", ["nope"], "v", schema=SCHEMA)
+    with pytest.raises(ValueError, match="collection"):
+        store.create_rollup("metrics~/m000", "ts", ["k"], "v", schema=SCHEMA)
+    store.create_rollup("metrics~", "ts", ["k"], "v", schema=SCHEMA, rollup_id="r1")
+    with pytest.raises(ValueError, match="already exists"):
+        store.create_rollup("metrics~", "ts", ["k"], "v", schema=SCHEMA, rollup_id="r1")
+
+
+def test_rest_rollup_surface(store):
+    from hyper_storage_spark.rest import RestFacade
+
+    rest = RestFacade(store)
+    r = rest.handle("POST", "metrics~/_rollups", {"ts_field": "ts", "key_fields": ["k"], "value_field": "v", "schema": SCHEMA})
+    assert r.status == 201
+    rid = r.body["rollup_id"]
+    r = rest.handle("GET", "metrics~/_rollups")
+    assert r.status == 200 and [d["rollup_id"] for d in r.body["_embedded"]["els"]] == [rid]
+    assert r.body["_embedded"]["els"][0]["status"] == STATUS_NORMAL
+    r = rest.handle("GET", f"metrics~/_rollups/{rid}")
+    assert r.status == 200 and r.headers["rollup-refresh"] == "fresh"
+    got = sorted((e["bucket_start"], e["k"], e["n"], e["total"]) for e in r.body["_embedded"]["els"])
+    assert got == _direct(store)
+    store.put("metrics~/m020", {"ts": "2024-01-06 01:00:00", "k": "k0", "v": 1.0})
+    r = rest.handle("GET", f"metrics~/_rollups/{rid}")
+    assert r.headers["rollup-refresh"] == "merged"
+    r = rest.handle("GET", f"metrics~/_rollups/{rid}", resolution="month")
+    assert r.status == 200 and len(r.body["_embedded"]["els"]) == 2
+    assert rest.handle("GET", "metrics~/_rollups/nope").status == 404
+    assert rest.handle("POST", "metrics~/_rollups", {"ts_field": "ts"}).status == 400
+    assert rest.handle("DELETE", f"metrics~/_rollups/{rid}").status == 200
+    assert rest.handle("GET", "metrics~/_rollups").body["_embedded"]["els"] == []
