@@ -2012,3 +2012,25 @@ def test_diff_versions_add_change_remove(spark, tmp_path):
     )
     cli = _json.loads(proc.stdout.strip().splitlines()[-1])
     assert cli["n_changes"] == 3
+
+
+def test_multi_writer_chaos_soak_invariants():
+    """Sustained cross-process chaos (tools/soak.py): 3 processes × 2
+    threads of mixed put/patch/delete/write_batch plus concurrent
+    vacuum/compact/recover, with a SIGKILL loop murdering workers
+    mid-write — then the invariant sweep: gapless feed revisions 1..R
+    per collection, content↔feed parity, the fsync'd op log as an
+    at-least-once lower bound, no dangling manifest references, a
+    drained WAL, and a state-preserving closing vacuum. A longer run
+    (4×3×120 s) is recorded in SCALE.md §chaos soak."""
+    import tempfile
+
+    import tools.soak as soak
+
+    out = soak.run_soak(
+        tempfile.mkdtemp(prefix="soak_t_"), procs=3, threads=2, seconds=15, kill_every=4.0
+    )
+    assert out["kills"] >= 1, "the kill loop never fired — not a chaos test"
+    assert out["worker_errors"] == []
+    assert out["failures"] == []
+    assert out["ops_logged"] > 0 and sum(out["revisions"].values()) > 0

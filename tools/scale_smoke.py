@@ -27,7 +27,81 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def span_realistic(replicas: int = 10, dup_pct: int = 3) -> None:
+    """Span-removal/containment at a REALISTIC duplication rate.
+
+    The main smoke's replica corpus is the worst case — identical text
+    on every replica, so every window is duplicated and every document
+    pays the HOF array rebuild. Real corpora duplicate a few percent.
+    Here only ``dup_pct``% of documents keep identical text across
+    replicas (the rest get a per-replica salt token prepended, which
+    shifts every shingle), so the flagged-start set — and therefore
+    the rebuild work — is proportional to the duplication rate, not
+    the corpus: the common case should grow near-flat vs the
+    worst-case rows recorded in SCALE.md. Prints 1×→N× growth rows for
+    both operators at the given rate."""
+    from hyper_storage_spark.operators import dedup
+    from hyper_storage_spark.operators._caches import release_tracked_caches
+    from hyper_storage_spark.session import get_spark
+    from hyper_storage_spark.sources.tables import load_table
+
+    spark = get_spark("scale_smoke_span")
+    tmp = tempfile.mkdtemp(prefix="scale_smoke_span_")
+    docs1 = load_table(spark, "/root/testdata/sf0.1", "documents").select("doc_id", "text")
+    mod = max(1, round(100 / dup_pct))
+
+    union = None
+    for r in range(replicas):
+        # the salt must be WOVEN THROUGH the text (every 4th word):
+        # shingles and span windows are content-addressed, so a prefix
+        # salt leaves every interior window identical across replicas —
+        # tested, it kept ~100% of pairs flagged
+        salted = F.regexp_replace(F.col("text"), r"(\S+ \S+ \S+ \S+) ", f"$1 u{r}q ")
+        part = docs1.select(
+            (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+            F.when(F.pmod(F.col("doc_id"), F.lit(mod)) == 0, F.col("text"))
+            .otherwise(salted)
+            .alias("text"),
+        )
+        union = part if union is None else union.unionAll(part)
+    big_path = f"{tmp}/docs_realistic"
+    union.write.mode("overwrite").parquet(big_path)
+    big = spark.read.parquet(big_path)
+    print(f"# realistic corpus: {docs1.count()} -> {big.count()} docs, "
+          f"~{dup_pct}% cross-replica duplicated text")
+
+    cases = {
+        "span_removal": lambda d: d and dedup.remove_dup_spans(d, span=8)
+        .agg(F.sum("n_removed"), F.count("clean_hash"))
+        .collect()[0][1],
+        "containment": lambda d: dedup.containment_pairs(
+            d, threshold=0.8, n=5, max_df=100
+        ).count(),
+    }
+    for name, fn in cases.items():
+        fn(docs1)
+        release_tracked_caches()
+        t0 = time.time()
+        n1 = fn(docs1)
+        t1 = time.time() - t0
+        release_tracked_caches()
+        t0 = time.time()
+        nN = fn(big)
+        tN = time.time() - t0
+        release_tracked_caches()
+        print(
+            f"# {name}@{dup_pct}%dup: 1x {t1:.2f}s ({n1} rows) -> {replicas}x "
+            f"{tN:.2f}s ({nN} rows), growth {tN / max(t1, 1e-9):.1f}x"
+        )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "span":
+        span_realistic(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 10,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
+        return
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 
     from hyper_storage_spark.operators import (
