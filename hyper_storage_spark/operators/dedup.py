@@ -237,6 +237,80 @@ def minhash_band_index(
     return _band_table(minhash_signatures(sh, num_hashes), bands, num_hashes // bands)
 
 
+def minhash_params_for(
+    corpus_rows: int,
+    threshold: float = 0.5,
+    recall: float = 0.9,
+    j_detect: Optional[float] = None,
+    background_j: float = 0.2,
+    candidate_budget: int = 64,
+    max_hashes: int = 128,
+) -> tuple[int, int]:
+    """(num_hashes, bands) sized from the corpus — the
+    ``similarity.planes_for`` occupancy rule translated to banded
+    MinHash, where the scale knob is ROWS PER BAND, not bucket count
+    (band-hash buckets are content-addressed; unrelated-pair
+    collisions per band fall as ``background_j^rows``).
+
+    Picks the smallest rows-per-band ``r`` whose expected FALSE
+    candidates per document — ``corpus_rows · bands · background_j^r``
+    with ``background_j`` the background Jaccard of unrelated docs —
+    stays within ``candidate_budget``; then the band count is the
+    smallest ``b`` with ``1-(1-j_detect^r)^b ≥ recall``, the standard
+    S-curve guarantee. ``j_detect`` (default the threshold/1.0
+    midpoint) is WHERE the recall is certified — the LSH convention:
+    pairs far above the verify threshold are caught with the stated
+    probability, pairs hugging it ride the S-curve's shoulder (the
+    fixed default (32, 8) certifies ≈0.86 at j=0.75 but only ≈0.40 at
+    exactly 0.5 — this function keeps that convention while scaling
+    selectivity). A fixed (32, 8) keeps r=4 forever: at 10⁹ docs the
+    per-document false-candidate expectation is a thousandfold 10⁶'s —
+    exactly the creep this removes. ``max_hashes`` caps the signature
+    cost (past it, the most selective affordable params return and
+    candidates grow again — raise the cap or pre-block)."""
+    import math
+
+    j_detect = (threshold + 1.0) / 2.0 if j_detect is None else j_detect
+    if not 0 < threshold <= j_detect < 1 or not 0 < recall < 1 or not 0 < background_j < threshold:
+        raise ValueError(
+            "need 0 < background_j < threshold <= j_detect < 1 and 0 < recall < 1, got "
+            f"threshold={threshold}, j_detect={j_detect}, recall={recall}, "
+            f"background_j={background_j}"
+        )
+    n_rows = max(corpus_rows, 1)
+    best = None
+    for r in range(1, 65):
+        b = max(1, math.ceil(math.log(1 - recall) / math.log(1 - j_detect**r)))
+        if b * r > max_hashes:
+            break
+        best = (b * r, b)
+        if n_rows * b * (background_j**r) <= candidate_budget:
+            return best
+    if best is None:  # even r=1 exceeds max_hashes — impossible in practice
+        raise ValueError(f"max_hashes={max_hashes} cannot satisfy recall={recall}")
+    return best  # budget not met within the cap: the most selective affordable
+
+
+def simhash_hamming_budget(corpus_rows: int, target_occupancy: int = 128) -> int:
+    """The largest ``max_hamming`` the 64-bit SimHash banding can
+    afford at this corpus size — planes_for's occupancy rule applied
+    to pigeonhole chunks. Correctness pins chunks = max_hamming + 1
+    (simhash_pairs), so chunk width w = 64 // chunks, random-bucket
+    occupancy ≈ corpus_rows / 2^w, and the per-chunk self-join cost is
+    occupancy². Returns the largest h whose width keeps expected
+    occupancy ≤ target (floor 0: exact-64-bit match always affords);
+    a corpus past h=0's budget (2^64-ish) needs pre-blocking, not a
+    wider threshold."""
+    import math
+
+    n = max(corpus_rows, 1)
+    need_w = max(0, math.ceil(math.log2(n / max(target_occupancy, 1)))) if n > target_occupancy else 0
+    for h in range(31, -1, -1):  # width = 64 // (h+1) ≥ 2 from h ≤ 31
+        if 64 // (h + 1) >= need_w:
+            return h
+    return 0
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,

@@ -2789,3 +2789,51 @@ def test_profiling_integer_sums_survive_int64_overflow(spark):
     w = profiling.welch_ttest(wdf, "v", "side").collect()[0]
     assert w.n1 == 5 and w.n2 == 5
     assert abs(w.mean_diff - 7.0e8) / 7.0e8 < 1e-6
+
+
+def test_minhash_params_for_sizing_curve():
+    # selectivity (rows per band) must grow with the corpus, recall at
+    # j_detect must hold by the S-curve for every returned pair, and
+    # the signature cap must bound the growth
+    sizes = [100, 1_000, 50_000, 5_000_000]
+    rows_seq = []
+    for n in sizes:
+        nh, b = dedup.minhash_params_for(n)
+        assert nh % b == 0 and nh <= 128
+        r = nh // b
+        rows_seq.append(r)
+        jd = 0.75  # default j_detect for threshold 0.5
+        assert 1 - (1 - jd**r) ** b >= 0.9 - 1e-9  # certified recall
+    assert rows_seq == sorted(rows_seq)  # monotone selectivity
+    assert rows_seq[-1] > rows_seq[0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.minhash_params_for(1000, threshold=0.5, background_j=0.6)
+    with _pytest.raises(ValueError):
+        dedup.minhash_params_for(1000, threshold=0.9, j_detect=0.5)
+
+
+def test_simhash_hamming_budget_curve():
+    # bigger corpus -> narrower affordable threshold; tiny corpus
+    # affords wide ones; never negative; occupancy bound honored
+    assert dedup.simhash_hamming_budget(100) >= dedup.simhash_hamming_budget(50_000)
+    assert dedup.simhash_hamming_budget(50_000) >= dedup.simhash_hamming_budget(10**9)
+    assert dedup.simhash_hamming_budget(10**12) >= 0
+    h = dedup.simhash_hamming_budget(1_000_000, target_occupancy=128)
+    w = 64 // (h + 1)
+    assert 1_000_000 / (2**w) <= 128
+
+
+def test_minhash_auto_params_match_fixed_output(spark, sf_dir):
+    # the auto-sized banding must keep the verify contract: identical
+    # verified pair set as the fixed default on the same corpus (the
+    # exact-Jaccard verify makes precision 1.0; recall certified by
+    # the S-curve at j_detect, and on this corpus the sets coincide)
+    d = docs(spark, sf_dir)
+    nh, b = dedup.minhash_params_for(d.count())
+    auto = {(r.a_id, r.b_id) for r in dedup.minhash_lsh_pairs(d, threshold=0.5, num_hashes=nh, bands=b).collect()}
+    exact = {(r.a_id, r.b_id) for r in dedup.ngram_jaccard_pairs(d, threshold=0.5).collect()}
+    assert auto <= exact
+    if exact:
+        assert len(auto) / len(exact) >= 0.9

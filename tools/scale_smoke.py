@@ -95,7 +95,69 @@ def span_realistic(replicas: int = 10, dup_pct: int = 3) -> None:
         )
 
 
+def lsh_sizing(replicas: int = 10) -> None:
+    """Bucket-occupancy smoke for the auto-sized LSH families
+    (dedup.minhash_params_for / simhash_hamming_budget — the
+    planes_for occupancy rule generalized, round 8). Builds the same
+    worst-case replica corpus as the main smoke and reports, at 1× and
+    N×: the (num_hashes, bands) / hamming budget the sizing functions
+    pick, the resulting CANDIDATE pair volume, and the hottest
+    band-bucket — fixed params beside auto params, so the table shows
+    what the sizing buys as the corpus grows."""
+    from hyper_storage_spark.operators import dedup
+    from hyper_storage_spark.operators._caches import release_tracked_caches
+    from hyper_storage_spark.session import get_spark
+    from hyper_storage_spark.sources.tables import load_table
+
+    spark = get_spark("scale_smoke_lsh")
+    tmp = tempfile.mkdtemp(prefix="scale_smoke_lsh_")
+    docs1 = load_table(spark, "/root/testdata/sf0.1", "documents").select("doc_id", "text")
+    union = None
+    for r in range(replicas):
+        salted = F.regexp_replace(F.col("text"), r"(\S+ \S+ \S+ \S+) ", f"$1 u{r}q ")
+        part = docs1.select(
+            (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+            F.when(F.pmod(F.col("doc_id"), F.lit(33)) == 0, F.col("text"))
+            .otherwise(salted)
+            .alias("text"),
+        )
+        union = part if union is None else union.unionAll(part)
+    big_path = f"{tmp}/docs"
+    union.write.mode("overwrite").parquet(big_path)
+    big = spark.read.parquet(big_path)
+    sets = [("1x", docs1, docs1.count()), (f"{replicas}x", big, big.count())]
+
+    for label, d, n in sets:
+        for mode, (nh, b) in (
+            ("fixed", (32, 8)),
+            ("auto", dedup.minhash_params_for(n)),
+        ):
+            rows = nh // b
+            sh = dedup._hashed_shingles(d, "text", 3)
+            melted = dedup._band_table(dedup.minhash_signatures(sh, nh), b, rows)
+            occ = (
+                melted.groupBy("band_id", "band_hash")
+                .count()
+                .agg(F.max("count").alias("mx"), F.avg("count").alias("avg"))
+                .collect()[0]
+            )
+            t0 = time.time()
+            cand = dedup.minhash_lsh_pairs(d, threshold=0.5, num_hashes=nh, bands=b).count()
+            wall = time.time() - t0
+            release_tracked_caches()
+            print(
+                f"# minhash {label} {mode} (h={nh},b={b},r={rows}): "
+                f"max_bucket={occ.mx} avg_bucket={occ.avg:.1f} "
+                f"verified_pairs={cand} wall={wall:.2f}s"
+            )
+        print(f"# simhash {label}: hamming budget at n={n} -> "
+              f"{dedup.simhash_hamming_budget(n)} (target occupancy 128)")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "lsh":
+        lsh_sizing(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "span":
         span_realistic(
             int(sys.argv[2]) if len(sys.argv) > 2 else 10,
