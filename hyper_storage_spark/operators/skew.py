@@ -17,6 +17,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def auto_salt(df: DataFrame, keys: list[str]) -> int:
+    """The salt factor :func:`skew_report` suggests for this frame's
+    heaviest key — ``salt_buckets="auto"`` resolves through here (one
+    extra partial-agg shuffle on the same key; pay it when you don't
+    already know the skew, skip it by passing the number when you do).
+    1 means "don't salt" (no key exceeds 2× the mean)."""
+    rows = skew_report(df, keys, k=1).collect()
+    return int(rows[0]["suggested_salt"]) if rows else 1
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
@@ -24,7 +34,7 @@ def salted_aggregate(
     min_cols: list[str] = (),
     max_cols: list[str] = (),
     count: bool = True,
-    salt_buckets: int = 16,
+    salt_buckets: int | str = 16,
 ) -> DataFrame:
     """groupBy(keys).agg(sum/min/max/count) with salted two-phase
     execution. Output columns: ``sum_<c>``, ``min_<c>``, ``max_<c>``,
@@ -39,7 +49,13 @@ def salted_aggregate(
     byte-identical duplicate rows of a hot key all hash to ONE salt
     bucket, so a corpus that is mostly literal copies of one row
     stays skewed; dedup such inputs first (or add a distinguishing
-    column) — correctness under retry wins over spread here."""
+    column) — correctness under retry wins over spread here.
+
+    ``salt_buckets="auto"`` closes the skew_report loop: the factor
+    comes from :func:`auto_salt` (the report's suggestion for the
+    heaviest key) instead of a guessed constant."""
+    if salt_buckets == "auto":
+        salt_buckets = auto_salt(df, keys)
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
     )
@@ -63,7 +79,7 @@ def salted_join(
     big: DataFrame,
     small: DataFrame,
     on: list[str],
-    salt_buckets: int = 16,
+    salt_buckets: int | str = 16,
 ) -> DataFrame:
     """Equi join resilient to hot keys on the BIG side: the big side
     gets a deterministic salt (hash of its whole row, so any hot join
@@ -75,6 +91,11 @@ def salted_join(
     small, on)`` with columns in big-then-small order."""
     if "__salt" in big.columns or "__salt" in small.columns:
         raise ValueError("inputs already carry a __salt column")
+    if salt_buckets == "auto":
+        # the BIG side's join-key skew decides the factor — small-side
+        # replication cost scales with it, so "don't salt" (1) is the
+        # suggestion for an unskewed big side
+        salt_buckets = auto_salt(big, on)
     # deterministic row-content salt, same rationale as
     # salted_aggregate: an attempt-dependent salt (e.g.
     # monotonically_increasing_id) re-buckets rows when a map stage is

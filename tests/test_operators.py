@@ -2837,3 +2837,25 @@ def test_minhash_auto_params_match_fixed_output(spark, sf_dir):
     assert auto <= exact
     if exact:
         assert len(auto) / len(exact) >= 0.9
+
+
+def test_salted_aggregate_auto_salt(spark):
+    # salt="auto" resolves through skew_report's suggestion and the
+    # values stay identical to the direct aggregation
+    rows = [("hot", i * 1.0) for i in range(300)] + [(f"k{i}", 1.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    assert skew.auto_salt(df, ["k"]) > 1  # the hot key demands salting
+    even = spark.createDataFrame([(f"k{i%10}", 1.0) for i in range(100)], "k string, v double")
+    assert skew.auto_salt(even, ["k"]) == 1  # no skew -> don't salt
+    got = {
+        r.k: (r.sum_v, r.n)
+        for r in skew.salted_aggregate(df, ["k"], sum_cols=["v"], salt_buckets="auto").collect()
+    }
+    want = {
+        r.k: (r.s, r.n)
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
+    }
+    assert got == want
+    j = skew.salted_join(df, spark.createDataFrame([("hot", "H")], "k string, lab string"),
+                         ["k"], salt_buckets="auto")
+    assert j.count() == 300

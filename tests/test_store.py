@@ -2034,3 +2034,27 @@ def test_multi_writer_chaos_soak_invariants():
     assert out["worker_errors"] == []
     assert out["failures"] == []
     assert out["ops_logged"] > 0 and sum(out["revisions"].values()) > 0
+
+
+def test_store_admin_health(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "hl")
+    store = DocumentStore(root, spark=spark)
+    for i in range(8):
+        store.put(f"c~/i{i}", {"a": i})
+    store.delete("c~/i0")
+    p = subprocess.run(
+        [sys.executable, "tools/store_admin.py", root, "health"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert p.returncode == 0, p.stderr[:500]
+    out = _json.loads(p.stdout.strip().splitlines()[-1])
+    c = out["collections"]["c~"]
+    # item delete is ROW REMOVAL + revision bump (reference semantics),
+    # not a tombstone — tombstones stay for document-level deletes
+    assert c["live_items"] == 7 and c["tombstones"] == 0 and c["revision"] == 9
+    assert c["feed_gapless"] and out["wal_incomplete"] == 0
+    assert out["orphan_files"] == 0 and out["ok"] is True

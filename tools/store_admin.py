@@ -27,6 +27,85 @@ import sys
 sys.path.insert(0, ".")
 
 
+def _health(store) -> dict:
+    """Everything a pager-holder asks first, in one driver-side pass:
+    per-collection item/tombstone/revision stats with the gapless
+    feed-parity invariant CHECKED (not assumed), content bucket skew
+    (hottest bucket ÷ mean — the reducer imbalance a collection scan
+    inherits), WAL backlog, and the orphan-file count a vacuum pass
+    would reclaim. No Spark session; manifest + parquet footer reads."""
+    import os
+
+    from hyper_storage_spark.store.documents import (
+        CONTENT,
+        FEED,
+        STATICS,
+        TRANSACTIONS,
+    )
+
+    statics = store.storage.all_rows(STATICS)
+    content = store.storage.all_rows(CONTENT)
+    feed = store.storage.all_rows(FEED)
+    wal = store.storage.all_rows(TRANSACTIONS)
+
+    colls = {}
+    for s in statics:
+        uri = s["document_uri"]
+        if s["is_deleted"]:
+            continue
+        rows = [c for c in content if c["document_uri"] == uri and c["item_id"]]
+        frevs = sorted({f["revision"] for f in feed if f["document_uri"] == uri})
+        r = s["revision"]
+        colls[uri] = {
+            "revision": r,
+            "live_items": sum(1 for c in rows if not c["is_deleted"]),
+            "tombstones": sum(1 for c in rows if c["is_deleted"]),
+            "feed_events": sum(1 for f in feed if f["document_uri"] == uri),
+            # gapless parity: feed horizon may be truncated (retention),
+            # so check contiguity from the EARLIEST retained revision up
+            "feed_gapless": (
+                frevs == list(range(frevs[0], r + 1)) if frevs else r == 0
+            ),
+        }
+    # content bucket skew: rows per manifest bucket of the content table
+    bucket_rows = {
+        b: len(store.storage.bucket_rows(CONTENT, int(b)))
+        for b in store.storage._read_manifest()["tables"].get(CONTENT, {})
+    }
+    sizes = [n for n in bucket_rows.values() if n > 0]
+    skew = round(max(sizes) * len(sizes) / sum(sizes), 2) if sizes else 1.0
+
+    # orphans: data files on disk no retained manifest references
+    referenced = set()
+    manifest = store.storage._read_manifest()
+    for t in manifest["tables"].values():
+        referenced.update(t.values())
+    for v in store.storage.versions():
+        try:
+            snap = store.at_version(v).storage._read_manifest()
+        except ValueError:
+            continue
+        for t in snap["tables"].values():
+            referenced.update(t.values())
+    on_disk = []
+    data_dir = os.path.join(store.storage.root, "data")
+    for dirpath, _, files in os.walk(data_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                on_disk.append(os.path.relpath(os.path.join(dirpath, f), store.storage.root))
+    orphans = sum(1 for f in on_disk if f not in referenced)
+
+    incomplete = [t for t in wal if not t["completed_at"]]
+    return {
+        "version": manifest["version"],
+        "collections": colls,
+        "content_bucket_skew": skew,
+        "wal_incomplete": len(incomplete),
+        "orphan_files": orphans,
+        "ok": all(c["feed_gapless"] for c in colls.values()) and not incomplete,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("root", help="store root directory")
@@ -59,6 +138,11 @@ def main(argv: list[str] | None = None) -> int:
     ret.add_argument("--grace", type=float, default=3600.0)
     ret.add_argument("--keep", type=int, default=None,
                      help="snapshot retention override passed to vacuum")
+    sub.add_parser(
+        "health",
+        help="one-shot day-2 diagnostic: per-collection stats, "
+        "revision/feed parity, bucket skew, WAL backlog, orphan files",
+    )
     dv = sub.add_parser(
         "diff", help="item-level changes between two retained versions"
     )
@@ -88,6 +172,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "diff":
         changes = store.diff_versions(args.v_from, args.v_to, uri=args.uri)
         out = {"n_changes": len(changes), "changes": changes}
+    elif args.cmd == "health":
+        out = _health(store)
     elif args.cmd == "truncate-feed":
         out = {"events_removed": store.truncate_feed(args.older_than_ms)}
     elif args.cmd == "retention":
