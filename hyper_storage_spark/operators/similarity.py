@@ -473,3 +473,183 @@ def planes_for(corpus_rows: int, target_occupancy: int = 128, lo: int = 4, hi: i
         return lo
     p = math.ceil(math.log2(max(corpus_rows / max(target_occupancy, 1), 1.0)))
     return max(lo, min(hi, p))
+
+
+# ---------------------------------------------------------------- PQ ANN
+
+
+def _pq_kmeans(pts: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd over one subspace's sample — (k, sub_d) centroids.
+    Runs on the DRIVER over a bounded sample (the FAISS training
+    convention: codebooks train on a sample, the corpus only gets
+    ENCODED — the distributed part). Deterministic: seeded init,
+    fixed iteration count, empty clusters re-seeded from the sample."""
+    rnd = np.random.RandomState(seed)
+    k = min(k, len(pts))
+    centers = pts[rnd.choice(len(pts), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = pts[assign == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+            else:
+                centers[c] = pts[rnd.randint(len(pts))]
+    return centers
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 16,
+    n_codes: int = 32,
+    sample_rows: int = 4096,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks: split the (unit-normalized)
+    vector into ``m`` subvectors and k-means each subspace to
+    ``n_codes`` centroids — (m, n_codes, dim/m). Training collects a
+    bounded ``sample_rows`` sample to the driver (same bounded-collect
+    budget as ivf_topk's centroid table); at 100 TB the sample is
+    still driver-sized while encode/search stay distributed."""
+    sample = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in emb.select(vec_col).limit(sample_rows).collect()
+    ]
+    mat = np.stack(sample)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norms == 0, 1.0, norms)
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return np.stack(
+        [_pq_kmeans(mat[:, i * sub : (i + 1) * sub], n_codes, seed=seed + i) for i in range(m)]
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each vector unit-normalized, each
+    subvector replaced by its nearest codebook index — m small ints
+    instead of dim doubles (8 codes for a 64-dim double vector is a
+    64× shrink; this compressed table is what the ADC scan reads, the
+    point of PQ at corpus scale). One Arrow-vectorized batch matmul
+    per subspace, zero shuffles; zero-norm vectors get no codes row
+    (undefined direction, same exclusion as the cosine paths)."""
+    m, _, sub = codebooks.shape
+    cb = codebooks  # captured in the UDF closure, ships once per task
+
+    @F.pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1.0, norms)
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for i in range(m):
+            seg = mat[:, i * sub : (i + 1) * sub]
+            d2 = ((seg[:, None, :] - cb[i][None, :, :]) ** 2).sum(axis=2)
+            out[:, i] = d2.argmin(axis=1)
+        return pd.Series([list(row) for row in out])
+
+    return emb.filter(_norm(F.col(vec_col)) > 0).select(
+        F.col(id_col), enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 16,
+    n_codes: int = 32,
+    refine: int = 16,
+    sample_rows: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC ANN with exact re-ranking: (query_id, neighbor_id, rank,
+    cosine) — the FAISS IVFADC recipe's flat form, Spark-first.
+
+    Search is asymmetric distance computation: per query, ONE (m ×
+    n_codes) lookup table of subvector dot products; the corpus scan
+    then scores each row by m table gathers over its codes — a single
+    pass over the compressed table, no shuffle, no per-pair O(dim)
+    math. The top ``k·refine`` ADC candidates per query (TakeOrdered-
+    sized) are re-ranked by EXACT cosine via a semi-joined vector
+    fetch, so quantization error costs recall only past the refine
+    horizon. Scale: codes table is dim·8/m× smaller than the vectors,
+    LUTs are queries-sized broadcast state, candidates bound the
+    exact work at queries × k·refine."""
+    from pyspark.sql import Window
+
+    cb = pq_train(emb, m=m, n_codes=n_codes, sample_rows=sample_rows, seed=seed, vec_col=vec_col)
+    sub = cb.shape[2]
+    codes = pq_encode(emb, cb, id_col=id_col, vec_col=vec_col)
+
+    qrows = emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+    keep = norms[:, 0] > 0
+    qids, qmat = [q for q, kq in zip(qids, keep) if kq], qmat[keep] / norms[keep]
+    # LUT[q, i, c] = <q_sub_i, codebook[i][c]>: ADC score = Σ_i LUT[q, i, code_i]
+    luts = np.stack(
+        [
+            np.stack([qv[i * sub : (i + 1) * sub] @ cb[i].T for i in range(cb.shape[0])])
+            for qv in qmat
+        ]
+    )
+
+    @F.pandas_udf("array<double>")
+    def adc(code_col: pd.Series) -> pd.Series:
+        cmat = np.stack([np.asarray(c, dtype=np.int64) for c in code_col])  # (n, m)
+        n = len(cmat)
+        scores = np.zeros((len(luts), n))
+        for i in range(luts.shape[1]):
+            scores += luts[:, i, :][:, cmat[:, i]]  # gather (q, n)
+        return pd.Series([list(col) for col in scores.T])
+
+    scored = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(adc(F.col("codes"))).alias("qidx", "adc"),
+    )
+    qmap = emb.sparkSession.createDataFrame(
+        list(enumerate(qids)), "qidx int, query_id long"
+    )
+    w = Window.partitionBy("qidx").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    cand = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k * refine)
+        .join(F.broadcast(qmap), "qidx")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: vectors fetched ONLY for the bounded candidate set
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    ).filter(F.col("qn") > 0)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    ).filter(F.col("cn") > 0)
+    rescored = (
+        cand.join(F.broadcast(queries), "query_id")
+        .join(corpus, "neighbor_id")
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

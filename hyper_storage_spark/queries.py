@@ -2281,6 +2281,25 @@ def ann_ivf(spark, sf_dir):
     return _ann_contract(ann, exact, min_recall_pct=80)
 
 
+@register_extra("ann_pq_contract", _ANN_CONTRACT_SQL)
+def ann_pq_contract(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py pq_topk — the
+    FAISS ADC recipe, round 8), driven through the standard contract:
+    10 results per query, per-query recall ≥ 0.8, corpus recall ≥ 0.9
+    vs the exact top-10 computed in-plan (measured 1.0 at every gate
+    SF with m=16/codes=32/refine=16). The scale story this entry
+    certifies: codebooks train on a bounded driver sample, the corpus
+    is ENCODED to m small ints (32× smaller than the vectors), search
+    is one pass over the compressed codes via per-query lookup tables,
+    and exact cosine re-ranks only the k·refine ADC candidates — the
+    compressed-scan ANN family next to the LSH (bucketed) and IVF
+    (clustered) entries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ann = similarity.pq_topk(emb, [0, 1, 2, 3, 4], k=10)
+    exact = similarity.cosine_topk(emb, [0, 1, 2, 3, 4], k=10)
+    return _ann_contract(ann, exact, min_recall_pct=80)
+
+
 @register_extra("ann_lsh_bucket_raw", None)  # hyperplane constants live Spark-side
 def ann_lsh_bucket_raw(spark, sf_dir):
     return similarity.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)

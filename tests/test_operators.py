@@ -2859,3 +2859,36 @@ def test_salted_aggregate_auto_salt(spark):
     j = skew.salted_join(df, spark.createDataFrame([("hot", "H")], "k string, lab string"),
                          ["k"], salt_buckets="auto")
     assert j.count() == 300
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 10, 20]
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    a = [(r.query_id, r.neighbor_id, r.rank, r.cosine) for r in similarity.pq_topk(emb, qids, k=10).collect()]
+    b = [(r.query_id, r.neighbor_id, r.rank, r.cosine) for r in similarity.pq_topk(emb, qids, k=10).collect()]
+    assert sorted(a) == sorted(b)  # seeded codebooks + hash-free ADC
+    got = {(q, n) for q, n, _, _ in a}
+    assert len(got & exact) / len(exact) >= 0.9
+    # re-ranked scores are the EXACT cosines for the pairs both found
+    exact_sc = {(r.query_id, r.neighbor_id): r.cosine
+                for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    for q, n, _, c in a:
+        if (q, n) in exact_sc:
+            assert abs(c - exact_sc[(q, n)]) < 1e-9
+
+
+def test_pq_encode_shapes_and_zero_norm(spark):
+    import random as _random
+
+    rnd = _random.Random(11)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(40)]
+    rows.append((99, [0.0] * 16))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = similarity.pq_train(emb, m=4, n_codes=8, sample_rows=40)
+    assert cb.shape == (4, 8, 4)
+    enc = similarity.pq_encode(emb, cb).collect()
+    assert all(len(r.codes) == 4 and all(0 <= c < 8 for c in r.codes) for r in enc)
+    assert all(r.vec_id != 99 for r in enc)  # zero-norm gets no codes row
+    with __import__("pytest").raises(ValueError, match="divisible"):
+        similarity.pq_train(emb, m=5, n_codes=8, sample_rows=40)

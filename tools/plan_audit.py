@@ -84,6 +84,10 @@ WAIVERS: dict[str, list[tuple[str, str]]] = {
         ("query_id", "fixed query set / exact-reference contract at gate SF"),
         ("recall", "in-plan recall certificate vs the exact top-k reference"),
     ],
+    "ann_pq_contract": [
+        ("query_id", "fixed query set / exact-reference contract at gate SF"),
+        ("recall", "in-plan recall certificate vs the exact top-k reference"),
+    ],
     "ann_ivf": [
         ("query_id", "fixed query set / exact-reference contract at gate SF"),
         ("recall", "in-plan recall certificate vs the exact top-k reference"),
