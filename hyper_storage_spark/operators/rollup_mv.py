@@ -430,6 +430,10 @@ def rollup_coarsen(
     ]
     if "dsk" in partials.columns:
         aggs.append(F.hll_union_agg("dsk").alias("dsk"))
+    if "ssq" in partials.columns:
+        # additive like total — a coarsen that dropped it would silently
+        # strip the variance face from the coarser view
+        aggs.append(F.sum("ssq").alias("ssq"))
     if "ofirst" in partials.columns:
         aggs.append(F.min("ofirst").alias("ofirst"))
         aggs.append(F.max("olast").alias("olast"))

@@ -282,6 +282,8 @@ class RestFacade:
                     resolution=spec.get("resolution", "day"),
                     schema=spec["schema"],
                     rollup_id=spec.get("rollup_id"),
+                    distinct_field=spec.get("distinct_field"),
+                    sumsq=bool(spec.get("sumsq")),
                 )
                 return RestResponse(201, {"rollup_id": rid}, {"location": f"{uri}/_rollups/{rid}"})
             if m == "GET" and rollup_id is None:
@@ -308,6 +310,10 @@ class RestFacade:
                 size = int(params.get("size") or 1000)
                 order = [*d.key_fields, "bucket_start"]
                 rows = df.orderBy(*order).limit(size).collect()
+                extra = [
+                    c for c in ("n_distinct", "var_pop", "stddev_pop")
+                    if rows and c in rows[0].__fields__
+                ]
                 els = [
                     {
                         **{k: r[k] for k in d.key_fields},
@@ -317,6 +323,7 @@ class RestFacade:
                         "vmin": float(r["vmin"]),
                         "vmax": float(r["vmax"]),
                         "avg": r["avg"],
+                        **{c: r[c] for c in extra},
                     }
                     for r in rows
                 ]

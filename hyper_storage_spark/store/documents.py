@@ -1672,12 +1672,14 @@ class DocumentStore:
     # -- rollup MVs (store/rollups.py; lifecycle mirrors create_index) --------
 
     def create_rollup(self, uri: str, ts_field: str, key_fields, value_field: str,
-                      resolution: str = "day", schema: str = "", rollup_id=None) -> str:
+                      resolution: str = "day", schema: str = "", rollup_id=None,
+                      distinct_field=None, sumsq: bool = False) -> str:
         from . import rollups
 
         return rollups.create_rollup(
             self, uri, ts_field, key_fields, value_field,
             resolution=resolution, schema=schema, rollup_id=rollup_id,
+            distinct_field=distinct_field, sumsq=sumsq,
         )
 
     def refresh_rollup(self, uri: str, rollup_id: str) -> str:
@@ -1701,12 +1703,14 @@ class DocumentStore:
         return rollups.rollup_view(self, uri, rollup_id, resolution=resolution)
 
     def aggregate(self, uri: str, ts_field: str, key_fields, value_field: str,
-                  resolution: str = "day", schema: str = "", auto_refresh: bool = True):
+                  resolution: str = "day", schema: str = "", auto_refresh: bool = True,
+                  distinct_field=None, sumsq: bool = False):
         from . import rollups
 
         return rollups.aggregate(
             self, uri, ts_field, key_fields, value_field,
             resolution=resolution, schema=schema, auto_refresh=auto_refresh,
+            distinct_field=distinct_field, sumsq=sumsq,
         )
 
     def vacuum(self, grace_seconds: float = 3600.0, keep_versions: Optional[int] = None) -> int:

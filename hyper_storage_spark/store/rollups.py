@@ -65,6 +65,10 @@ ROLLUP_DEFS_SCHEMA = pa.schema(
         ("body_schema", pa.string()),  # Spark DDL for the item bodies
         ("table_name", pa.string()),
         ("built_revision", pa.int64()),
+        # optional faces (rollup_mv): HLL distinct sketch of a field,
+        # exact decimal sum-of-squares (variance/stddev at finalize)
+        ("distinct_field", pa.string()),
+        ("sumsq", pa.bool_()),
     ]
 )
 
@@ -91,6 +95,8 @@ class RollupDef:
     body_schema: str
     table_name: str
     built_revision: int
+    distinct_field: Optional[str] = None
+    sumsq: bool = False
 
 
 @dataclass
@@ -129,6 +135,8 @@ def rollup_defs(store, uri: str) -> list[RollupDef]:
                 r["body_schema"],
                 r["table_name"],
                 r["built_revision"],
+                r.get("distinct_field"),
+                bool(r.get("sumsq")),
             )
         )
     return out
@@ -138,6 +146,11 @@ def _mv_ddl(store, d: RollupDef) -> str:
     body = store.spark.createDataFrame([], d.body_schema).schema
     types = {f.name: f.dataType.simpleString() for f in body.fields}
     cols = [f"`{k}` {types[k]}" for k in d.key_fields]
+    extra = []
+    if d.distinct_field:
+        extra.append("dsk binary")
+    if d.sumsq:
+        extra.append("ssq decimal(38,12)")
     return ", ".join(
         cols
         + [
@@ -147,6 +160,7 @@ def _mv_ddl(store, d: RollupDef) -> str:
             f"vmin {_VALUE_DDL}",
             f"vmax {_VALUE_DDL}",
         ]
+        + extra
     )
 
 
@@ -170,6 +184,7 @@ def _typed_rows(store, d: RollupDef, min_revision: Optional[int] = None) -> Data
         *[F.col(k) for k in d.key_fields],
         F.col(d.ts_field).cast("timestamp").alias(d.ts_field),
         F.col(d.value_field).cast(_VALUE_DDL).alias(d.value_field),
+        *([F.col(d.distinct_field)] if d.distinct_field else []),
     )
 
 
@@ -184,6 +199,8 @@ def _conform(d: RollupDef, partials: DataFrame) -> DataFrame:
         F.col("total").cast(_TOTAL_DDL).alias("total"),
         F.col("vmin").cast(_VALUE_DDL).alias("vmin"),
         F.col("vmax").cast(_VALUE_DDL).alias("vmax"),
+        *([F.col("dsk")] if d.distinct_field else []),
+        *([F.col("ssq").cast("decimal(38,12)").alias("ssq")] if d.sumsq else []),
     )
 
 
@@ -227,6 +244,8 @@ def create_rollup(
     resolution: str = "day",
     schema: str = "",
     rollup_id: Optional[str] = None,
+    distinct_field: Optional[str] = None,
+    sumsq: bool = False,
 ) -> str:
     """Register a rollup MV on a collection and build it: INDEXING row
     first, Spark build, flip to NORMAL with the build watermark — the
@@ -250,7 +269,7 @@ def create_rollup(
         raise NotFoundError(uri)
     body = store.spark.createDataFrame([], schema).schema
     names = {f.name for f in body.fields}
-    for fname in (ts_field, value_field, *key_fields):
+    for fname in (ts_field, value_field, *key_fields, *([distinct_field] if distinct_field else [])):
         if fname not in names:
             raise ValueError(f"field {fname!r} not in the supplied body schema")
     rollup_id = rollup_id or f"rollup-{create_id()}"
@@ -274,19 +293,22 @@ def create_rollup(
                 "body_schema": schema,
                 "table_name": tname,
                 "built_revision": 0,
+                "distinct_field": distinct_field,
+                "sumsq": sumsq,
             }
         )
         store.storage.commit({(ROLLUP_DEFS, 0): rows}, {ROLLUP_DEFS: ROLLUP_DEFS_SCHEMA})
 
         d = RollupDef(
             uri, rollup_id, STATUS_INDEXING, ts_field, tuple(key_fields),
-            value_field, resolution, schema, tname, 0,
+            value_field, resolution, schema, tname, 0, distinct_field, sumsq,
         )
         built_rev = static["revision"]
         from ..operators.rollup_mv import rollup_partials
 
         partials = rollup_partials(
-            _typed_rows(store, d), ts_field, list(key_fields), value_field, resolution
+            _typed_rows(store, d), ts_field, list(key_fields), value_field, resolution,
+            distinct_col=distinct_field, sumsq=sumsq,
         )
         _write_mv(store, d, partials)
         # flip to NORMAL — only now does aggregate() route to it
@@ -374,6 +396,8 @@ def refresh_rollup(store, uri: str, rollup_id: str) -> str:
                 list(d.key_fields),
                 d.value_field,
                 d.resolution,
+                distinct_col=d.distinct_field,
+                sumsq=d.sumsq,
             )
             existing = store.storage.spark_df_or_empty(store.spark, d.table_name, _mv_ddl(store, d))
             merged = rollup_merge(existing, _conform(d, delta), list(d.key_fields))
@@ -381,7 +405,8 @@ def refresh_rollup(store, uri: str, rollup_id: str) -> str:
             _update_def(store, uri, rollup_id, built_revision=current_rev)
             return "merged"
         partials = rollup_partials(
-            _typed_rows(store, d), d.ts_field, list(d.key_fields), d.value_field, d.resolution
+            _typed_rows(store, d), d.ts_field, list(d.key_fields), d.value_field,
+            d.resolution, distinct_col=d.distinct_field, sumsq=d.sumsq,
         )
         _write_mv(store, d, partials)
         _update_def(
@@ -418,6 +443,8 @@ def aggregate(
     resolution: str = "day",
     schema: str = "",
     auto_refresh: bool = True,
+    distinct_field: Optional[str] = None,
+    sumsq: bool = False,
 ) -> tuple[DataFrame, RollupRoute]:
     """The planner face: answer a (keys, time-bucket) aggregate over a
     collection FROM a matching NORMAL rollup when one exists — the way
@@ -434,6 +461,10 @@ def aggregate(
         if d.status != STATUS_NORMAL:
             continue
         if (d.ts_field, d.key_fields, d.value_field) != (ts_field, keys, value_field):
+            continue
+        # face match: the request's output schema is part of the route
+        # contract — a def with extra faces would change the columns
+        if (d.distinct_field or None, d.sumsq) != (distinct_field or None, sumsq):
             continue
         if not _serves(d.resolution, resolution):
             continue
@@ -454,8 +485,14 @@ def aggregate(
         raise ValueError("no servable rollup and no schema for a base-collection aggregate")
     from ..operators.rollup_mv import rollup_finalize, rollup_partials
 
-    d = RollupDef(uri, "", STATUS_NORMAL, ts_field, keys, value_field, resolution, schema, "", 0)
+    d = RollupDef(
+        uri, "", STATUS_NORMAL, ts_field, keys, value_field, resolution, schema, "", 0,
+        distinct_field, sumsq,
+    )
     df = rollup_finalize(
-        rollup_partials(_typed_rows(store, d), ts_field, list(keys), value_field, resolution)
+        rollup_partials(
+            _typed_rows(store, d), ts_field, list(keys), value_field, resolution,
+            distinct_col=distinct_field, sumsq=sumsq,
+        )
     )
     return df, RollupRoute("content")
