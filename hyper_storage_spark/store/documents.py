@@ -1209,6 +1209,97 @@ class DocumentStore:
                 )
             return revision
 
+    def expire_items(
+        self,
+        collection_uri: str,
+        ts_field: str,
+        older_than: str,
+        schema: str,
+    ) -> tuple[int, int]:
+        """Row-level retention: delete every item of the collection
+        whose body ``ts_field`` parses strictly before ``older_than``
+        (a timestamp string) — the training-data freshness op
+        (drop crawl snapshots past their window) the per-item DELETE
+        API can't do at scale. Returns (items_removed, new_revision);
+        (0, current_revision) when nothing qualifies, with NO revision
+        bump (idempotent cron semantics).
+
+        Executes as ONE executor-side bucket rewrite + manifest flip —
+        the merge_collection bulk discipline: one shared revision bump,
+        no per-item WAL/feed events (this is the backfill/maintenance
+        surface; at_version diffs recover the removed set when a
+        consumer needs it), NORMAL indexes rebuilt through the
+        distributed backfill. Items whose ``ts_field`` is missing or
+        unparseable are KEPT — retention must never eat rows on a
+        schema mismatch."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        if not collection_uri.endswith("~"):
+            raise ValueError("expire_items requires a collection~ URI")
+        with self._lock:
+            static = self._get_static(collection_uri)
+            if static is None or static["is_deleted"]:
+                raise NotFoundError(collection_uri)
+            bucket = self._bucket(collection_uri)
+            files = self.storage.bucket_files(CONTENT, bucket)
+            if not files:
+                return 0, static["revision"]
+            old = self.spark.read.schema(CONTENT_SPARK).parquet(*files)
+            cutoff = F.lit(older_than).cast("timestamp")
+            # try_cast, not cast: under ANSI a malformed timestamp THROWS
+            # mid-rewrite; retention tolerates bad rows by KEEPING them
+            ts = F.get_json_object(F.col("body"), f"$.{ts_field}").try_cast("timestamp")
+            expired_cond = (
+                (F.col("document_uri") == collection_uri)
+                & (F.col("item_id") != "")
+                & (~F.col("is_deleted"))
+                & ts.isNotNull()
+                & (ts < cutoff)
+            )
+            n_expired = old.filter(expired_cond).count()
+            if n_expired == 0:
+                return 0, static["revision"]
+            revision = static["revision"] + 1
+            now = _now_ms()
+            keep = old.filter(~expired_cond).sort("document_uri", "item_id")
+            outdir = os.path.join(
+                self.storage.root, "data", "content",
+                f"expire-b{bucket:04d}-{uuid.uuid4().hex[:8]}",
+            )
+            keep.write.mode("overwrite").parquet(outdir)
+            out_files = [
+                os.path.join(outdir, f)
+                for f in os.listdir(outdir)
+                if f.endswith(".parquet")
+            ]
+            statics_rows = [
+                r for r in self._statics_bucket(collection_uri)
+                if r["document_uri"] != collection_uri
+            ]
+            statics_rows.append(
+                {
+                    "document_uri": collection_uri,
+                    "revision": revision,
+                    "is_deleted": False,
+                    "created_at": static["created_at"],
+                    "modified_at": now,
+                }
+            )
+            statics_abs = os.path.join(
+                self.storage.root, "data", "statics",
+                f"b{bucket:04d}-expire-{uuid.uuid4().hex[:8]}.parquet",
+            )
+            write_bucket_file(statics_rows, STATICS_SCHEMA, statics_abs)
+            self.storage.commit_external_many(
+                {CONTENT: {bucket: out_files}, STATICS: {bucket: [statics_abs]}}
+            )
+            for idef in self.index_defs(collection_uri):
+                if idef.status == STATUS_NORMAL:
+                    self._backfill_index_spark(idef)
+            return n_expired, revision
+
     # -- reads (queryDocument analog) -----------------------------------------
 
     def get(self, path: str) -> tuple[Any, int]:

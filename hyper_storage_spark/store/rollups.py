@@ -180,10 +180,13 @@ def _typed_rows(store, d: RollupDef, min_revision: Optional[int] = None) -> Data
         df = df.filter(F.col("revision") > min_revision)
     parsed = F.from_json(F.col("body"), d.body_schema)
     proj = df.select(parsed.alias("item")).select("item.*")
+    # try_cast: under ANSI one malformed ts/value in one body would
+    # throw mid-build; a bad row lands in the NULL bucket (merge and
+    # finalize are NULL-safe) instead of poisoning the rollup
     return proj.select(
         *[F.col(k) for k in d.key_fields],
-        F.col(d.ts_field).cast("timestamp").alias(d.ts_field),
-        F.col(d.value_field).cast(_VALUE_DDL).alias(d.value_field),
+        F.col(d.ts_field).try_cast("timestamp").alias(d.ts_field),
+        F.col(d.value_field).try_cast(_VALUE_DDL).alias(d.value_field),
         *([F.col(d.distinct_field)] if d.distinct_field else []),
     )
 

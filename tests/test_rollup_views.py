@@ -232,3 +232,31 @@ def test_rollup_faces_distinct_and_variance(store, spark):
     dfm = store.rollup_view("metrics~", rid, resolution="month")
     m = dfm.collect()[0]
     assert m.var_pop is not None and m.n_distinct >= 6
+
+
+def test_expire_items_retention(store):
+    # 20 fixture items across 2024-01-01..05; expire everything before
+    # the 3rd: days 1-2 hold 8 items (i%5 in {0,1})
+    n, rev = store.expire_items("metrics~", "ts", "2024-01-03 00:00:00", SCHEMA)
+    assert n == 8 and rev == store._get_static("metrics~")["revision"]
+    left = {r.item_id for r in store.collection_df("metrics~", SCHEMA).select("item_id").collect()}
+    assert len(left) == 12 and all(int(i[1:]) % 5 >= 2 for i in left)
+    # idempotent: second pass removes nothing and bumps nothing
+    assert store.expire_items("metrics~", "ts", "2024-01-03 00:00:00", SCHEMA) == (0, rev)
+    # unparseable/missing ts is KEPT, never eaten
+    store.put("metrics~/odd", {"k": "k9", "v": 1.0})
+    store.put("metrics~/bad", {"ts": "not-a-time", "k": "k9", "v": 1.0})
+    n2, _ = store.expire_items("metrics~", "ts", "2099-01-01 00:00:00", SCHEMA)
+    assert n2 == 12  # every dated item went; odd/bad survive
+    left2 = {r.item_id for r in store.collection_df("metrics~", SCHEMA).select("item_id").collect()}
+    assert left2 == {"odd", "bad"}
+    # a registered rollup sees the shrink through the rebuild path
+    store.create_rollup("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    store.put("metrics~/m100", {"ts": "2024-02-01 00:00:00", "k": "k0", "v": 2.0})
+    store.expire_items("metrics~", "ts", "2024-03-01 00:00:00", SCHEMA)
+    df, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day")
+    assert route.refresh_mode == "rebuilt"
+    # the only surviving rows are the undated odd/bad items, which the
+    # rollup's try_cast routes to the NULL bucket — no dated bucket left
+    rows = df.collect()
+    assert all(r.bucket_start is None for r in rows)
