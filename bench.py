@@ -41,6 +41,9 @@ HEADLINE = [
     # per-query once the list changes — the canonical table is per-query)
     "q_countmin_heavy_hitters",
     "q_token_budget_select",
+    # round-8 addition: the PQ compressed-scan ANN (train + encode +
+    # ADC + exact re-rank end-to-end); canonical row in SCALE.md
+    "ann_pq_raw",
 ]
 
 
@@ -146,9 +149,12 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sentinel_end = _sentinel(spark)
-    # max of the two probes: co-tenancy at EITHER end of the run taints
-    # it; a quiet box reads ~1.0
-    noise = max(sentinel_start, sentinel_end) / SENTINEL_CANONICAL_SEC
+    # the END probe defines the factor: by then the JVM is fully
+    # C2-tiered, so its wall moves ONLY with co-tenancy (the start
+    # probe systematically reads ~1.2-1.3× from JIT tiering even on a
+    # quiet box — it ships in the JSON as the warm-up reference, not
+    # the verdict). A quiet box reads ~1.0.
+    noise = sentinel_end / SENTINEL_CANONICAL_SEC
 
     total = round(sum(timings.values()), 3)
     out = {

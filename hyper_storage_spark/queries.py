@@ -2300,6 +2300,15 @@ def ann_pq_contract(spark, sf_dir):
     return _ann_contract(ann, exact, min_recall_pct=80)
 
 
+@register_extra("ann_pq_raw", None)  # trained codebooks are engine-specific
+def ann_pq_raw(spark, sf_dir):
+    """Raw PQ-ADC neighbor lists (the operator ann_pq_contract
+    certifies); rows-only like the other trained-state ANN raws —
+    the codebook k-means is engine-side state no SQL oracle can
+    replay, the contract twin carries the oracle."""
+    return similarity.pq_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
 @register_extra("ann_lsh_bucket_raw", None)  # hyperplane constants live Spark-side
 def ann_lsh_bucket_raw(spark, sf_dir):
     return similarity.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
