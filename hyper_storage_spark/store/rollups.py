@@ -26,13 +26,18 @@ per-write, a rollup is refreshed on read):
       content row created-at==modified-at): partials from JUST the new
       items, ``rollup_merge`` — delta-bounded, the 100 TB append-mostly
       hot path; untouched buckets pass through without re-aggregation.
-    * anything else (update/delete/patch, re-put, truncated feed): the
-      old contribution of a changed row is already baked into the MV
-      and the content table keeps only the latest body, so the honest
-      move is a rebuild from content — one base scan into a
-      bucket-count-sized exchange, the same cost as the initial build.
-      (Bucket-scoped invalidation from feed bodies is the documented
-      upgrade path; it needs patch events to carry merged bodies.)
+    * updates/deletes/patches/re-puts with the uri's FULL per-item
+      feed history retained: bucket-scoped INVALIDATION — the old
+      state of each changed item replays from its feed events (last
+      put + subsequent patches up to the watermark; sound because
+      feed retention drops a time prefix, so retained events are a
+      per-item suffix), and only the grain groups whose membership
+      changed recompute; untouched groups pass through unshuffled
+      (:func:`_affected_groups` / :func:`_refresh_invalidated`).
+    * anything unprovable (truncated feed, bulk-written revisions
+      that publish no events, reconstruction past the event cap): a
+      rebuild from content — one base scan into a bucket-count-sized
+      exchange, the same cost as the initial build, always sound.
 
 Values are canonicalized to decimal(20,6) at build time so partials
 stay exact and order-independent (the rollup_mv discipline) and the MV
@@ -106,7 +111,8 @@ class RollupRoute:
 
     source: str  # "rollup" | "content"
     rollup_id: Optional[str] = None
-    refresh_mode: Optional[str] = None  # "fresh" | "merged" | "rebuilt" | "stale"
+    # "fresh" | "merged" | "invalidated" | "rebuilt" | "stale"
+    refresh_mode: Optional[str] = None
     coarsened: bool = False
 
 
@@ -374,10 +380,131 @@ def _delta_class(store, d: RollupDef, current_rev: int) -> str:
     return "merge"
 
 
+# collected reconstruction events per invalidation pass; past this the
+# driver-side replay stops being "delta-bounded" and a rebuild is
+# cheaper anyway
+_INVALIDATE_EVENT_CAP = 20_000
+
+
+def _affected_groups(store, d: RollupDef, current_rev: int) -> Optional[DataFrame]:
+    """The distinct (keys…, bucket_start) grain groups whose membership
+    changed since the watermark — or None when they cannot be PROVEN
+    (then the caller rebuilds).
+
+    Soundness rests on two feed properties: per-uri revisions are
+    assigned monotonically in time, and ``truncate_feed`` drops a time
+    PREFIX — so the retained events of any item are a SUFFIX of its
+    history. The path engages only when the uri's retained feed is its
+    FULL history (distinct revisions == 1..current — which also proves
+    every write was per-item-API evented; bulk ingest/merge revisions
+    publish no events and would leave gaps). Then, per affected item:
+    its state at the watermark replays from its last ``feed:put`` ≤ W
+    plus subsequent ≤ W patches (all retained, by the suffix
+    property), and an item with NO event ≤ W provably did not exist
+    at W. OLD groups come from bucketing those reconstructed states
+    through the SAME Spark expressions the MV build uses (driver-side
+    date_trunc reimplementations would drift on week/quarter rules);
+    NEW groups from the current typed rows with revision > W."""
+    from .documents import FEED, FEED_SPARK
+    from .merge import merge_patch
+
+    W = d.built_revision
+    feed = store.storage.spark_df_or_empty(store.spark, FEED, FEED_SPARK).filter(
+        (F.col("document_uri") == d.document_uri) & (F.col("item_id") != "")
+    )
+    s = feed.agg(
+        F.count_distinct("revision").alias("revs"),
+        F.min("revision").alias("rmin"),
+    ).collect()[0]
+    if s.rmin != 1 or s.revs != current_rev:
+        return None  # truncated or bulk-written history — unprovable old states
+    affected = feed.filter(F.col("revision") > W).select("item_id").distinct()
+    history = (
+        feed.filter(F.col("revision") <= W)
+        .join(F.broadcast(affected), "item_id", "left_semi")
+        .select("item_id", "revision", "method", "body")
+    )
+    if history.count() > _INVALIDATE_EVENT_CAP:
+        return None
+    by_item: dict[str, list] = {}
+    for r in history.collect():
+        by_item.setdefault(r.item_id, []).append(r)
+    old_bodies: list[str] = []
+    for item, events in by_item.items():
+        state = None
+        for e in sorted(events, key=lambda x: x.revision):
+            if e.method == "feed:put":
+                state = json.loads(e.body) if e.body is not None else None
+            elif e.method == "feed:patch":
+                patch = json.loads(e.body) if e.body is not None else None
+                state = merge_patch(state if isinstance(state, dict) else {}, patch)
+            elif e.method == "feed:delete":
+                state = None
+        if isinstance(state, dict):  # Null/deleted state contributed nothing
+            old_bodies.append(json.dumps(state))
+    grain_exprs = [
+        *[F.col(k) for k in d.key_fields],
+        F.date_trunc(d.resolution, F.col(d.ts_field).try_cast("timestamp")).alias(
+            "bucket_start"
+        ),
+    ]
+    old_groups = (
+        store.spark.createDataFrame([(b,) for b in old_bodies], "body string")
+        .select(F.from_json(F.col("body"), d.body_schema).alias("item"))
+        .select("item.*")
+        .select(*grain_exprs)
+        if old_bodies
+        else None
+    )
+    new_groups = _typed_rows(store, d, min_revision=W).select(
+        *[F.col(k) for k in d.key_fields],
+        F.date_trunc(d.resolution, F.col(d.ts_field)).alias("bucket_start"),
+    )
+    groups = new_groups if old_groups is None else new_groups.unionByName(old_groups)
+    return groups.distinct()
+
+
+def _refresh_invalidated(store, d: RollupDef, groups: DataFrame) -> None:
+    """Recompute ONLY the affected grain groups and stitch them into
+    the MV: untouched groups pass through without re-aggregation
+    (null-safe anti join — a NULL bucket/key is a real grain here),
+    affected groups re-aggregate from the current content restricted
+    to them (one base scan, exchange bounded by the affected groups),
+    and groups that lost every member vanish because the recompute
+    emits nothing for them."""
+    from ..operators.rollup_mv import rollup_partials
+
+    g = groups
+    grain = [*d.key_fields, "bucket_start"]
+    typed = _typed_rows(store, d).withColumn(
+        "bucket_start", F.date_trunc(d.resolution, F.col(d.ts_field))
+    )
+    cond_t = None
+    for c in grain:
+        e = typed[c].eqNullSafe(g[c])
+        cond_t = e if cond_t is None else (cond_t & e)
+    members = typed.join(F.broadcast(g), cond_t, "left_semi").drop("bucket_start")
+    recomputed = rollup_partials(
+        members, d.ts_field, list(d.key_fields), d.value_field, d.resolution,
+        distinct_col=d.distinct_field, sumsq=d.sumsq,
+    )
+    existing = store.storage.spark_df_or_empty(store.spark, d.table_name, _mv_ddl(store, d))
+    cond_e = None
+    for c in grain:
+        e = existing[c].eqNullSafe(g[c])
+        cond_e = e if cond_e is None else (cond_e & e)
+    untouched = existing.join(F.broadcast(g), cond_e, "left_anti")
+    _write_mv(store, d, untouched.unionByName(_conform(d, recomputed)))
+
+
 def refresh_rollup(store, uri: str, rollup_id: str) -> str:
     """Bring a rollup to the collection's current revision. Returns the
     mode taken: "fresh" (already at the watermark), "merged"
-    (delta-bounded insert-only merge), or "rebuilt"."""
+    (delta-bounded insert-only merge), "invalidated" (bucket-scoped
+    recompute of just the grain groups the updates/deletes touched —
+    engages when the feed retains the uri's full per-item history, see
+    :func:`_affected_groups`), or "rebuilt" (the always-sound
+    fallback)."""
     from ..operators.rollup_mv import rollup_merge, rollup_partials
     from .documents import NotFoundError
 
@@ -392,6 +519,12 @@ def refresh_rollup(store, uri: str, rollup_id: str) -> str:
         if d.status == STATUS_NORMAL and current_rev == d.built_revision:
             return "fresh"
         mode = "rebuild" if d.status != STATUS_NORMAL else _delta_class(store, d, current_rev)
+        if mode == "rebuild" and d.status == STATUS_NORMAL:
+            groups = _affected_groups(store, d, current_rev)
+            if groups is not None:
+                _refresh_invalidated(store, d, groups)
+                _update_def(store, uri, rollup_id, built_revision=current_rev)
+                return "invalidated"
         if mode == "merge":
             delta = rollup_partials(
                 _typed_rows(store, d, min_revision=d.built_revision),
@@ -474,9 +607,7 @@ def aggregate(
         static = store._get_static(uri)
         stale = static is not None and static["revision"] != d.built_revision
         if stale and auto_refresh:
-            mode = {"merged": "merged", "rebuilt": "rebuilt", "fresh": "fresh"}[
-                refresh_rollup(store, uri, d.rollup_id)
-            ]
+            mode = refresh_rollup(store, uri, d.rollup_id)
         else:
             mode = "stale" if stale else "fresh"
         df = rollup_view(store, uri, d.rollup_id, resolution=resolution)

@@ -68,15 +68,71 @@ def test_insert_only_delta_merges(store):
         lambda st: st.put("metrics~/m000", {"ts": "2024-01-01 00:00:00", "k": "k0", "v": 999.0}),
         lambda st: st.patch("metrics~/m001", {"v": -5.0}),
         lambda st: st.delete("metrics~/m002"),
+        # ts move across buckets: BOTH the old and the new day recompute
+        lambda st: st.put("metrics~/m003", {"ts": "2024-02-09 00:00:00", "k": "k1", "v": 4.5}),
     ],
-    ids=["re-put", "patch", "delete"],
+    ids=["re-put", "patch", "delete", "bucket-move"],
 )
-def test_mutating_delta_rebuilds(store, mutate):
+def test_mutating_delta_invalidates_touched_buckets(store, mutate):
+    # this store was built by per-item PUTs, so the feed holds its full
+    # history and the bucket-scoped invalidation path engages
     store.create_rollup("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
     mutate(store)
     df, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day")
-    assert route.refresh_mode == "rebuilt"
+    assert route.refresh_mode == "invalidated"
     assert _mv_rows(df) == _direct(store)
+
+
+def test_invalidation_drops_emptied_groups_and_respects_cap(store, monkeypatch):
+    from hyper_storage_spark.store import rollups
+
+    store.create_rollup("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    # day 5 holds items m004/m009/m014/m019 (i%5==4): k0 holds m004,m014
+    store.delete("metrics~/m004")
+    store.delete("metrics~/m014")
+    df, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day")
+    assert route.refresh_mode == "invalidated"
+    rows = _mv_rows(df)
+    assert rows == _direct(store)
+    assert not any(b.startswith("2024-01-05") and k == "k0" for b, k, _, _ in rows)
+    # past the event cap the driver-side replay stops being delta-
+    # bounded: refuse and rebuild
+    store.patch("metrics~/m000", {"v": 1.25})
+    monkeypatch.setattr(rollups, "_INVALIDATE_EVENT_CAP", 0)
+    df2, route2 = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day")
+    assert route2.refresh_mode == "rebuilt"
+    assert _mv_rows(df2) == _direct(store)
+
+
+def test_invalidation_differential_random_ops(store, spark):
+    # seeded random op mix; EVERY refresh must equal the direct
+    # aggregation regardless of which mode the classifier takes
+    import random as _random
+
+    rnd = _random.Random(8)
+    store.create_rollup("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    modes = []
+    for step in range(4):
+        for _ in range(3):
+            i = rnd.randint(0, 24)
+            roll = rnd.random()
+            try:
+                if roll < 0.4:
+                    store.put(
+                        f"metrics~/m{i:03d}",
+                        {"ts": f"2024-01-{rnd.randint(1, 9):02d} 03:00:00",
+                         "k": f"k{rnd.randint(0, 2)}", "v": rnd.randint(0, 50) * 1.0},
+                    )
+                elif roll < 0.7:
+                    store.patch(f"metrics~/m{i:03d}", {"v": rnd.randint(0, 9) * 1.0})
+                else:
+                    store.delete(f"metrics~/m{i:03d}")
+            except KeyError:
+                pass
+        df, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day")
+        modes.append(route.refresh_mode)
+        assert _mv_rows(df) == _direct(store), f"diverged at step {step} ({route})"
+    assert "invalidated" in modes  # the path actually exercised
 
 
 def test_truncated_feed_forces_rebuild(store):
