@@ -677,8 +677,10 @@ def ols_trend(
     # closing normal equations cast to double regardless
     s = prep.groupBy(group_col).agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
+        # sx/sy too — sx·sy in the closing numerator needs exact
+        # first-order sums, and Σy wraps int64 at large-magnitude y
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
         F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
@@ -706,19 +708,21 @@ def welch_ttest(df: DataFrame, value_col: str, side_col: str) -> DataFrame:
 
     Parity discipline (the ols_trend pattern): values are exactified
     to milli-unit integers first, so Σy and Σy² per side are exact
-    BIGINTs in any partition order; means, Bessel-corrected variances,
-    t and d are then one fixed IEEE expression over identical bits,
-    with /1000 de-scaling applied at the end. mean_diff is reported in
-    original units."""
+    decimal(38,0) accumulations in any partition order (int64 wraps
+    silently at corpus scale — a true >10³⁸ overflow NULLs instead);
+    means, Bessel-corrected variances, t and d are then one fixed IEEE
+    expression over identical bits, with /1000 de-scaling applied at
+    the end. mean_diff is reported in original units."""
     side = F.col(side_col).cast("long")
     y = F.floor(F.col(value_col) * F.lit(1000)).cast("long")
     s = df.select(side.alias("s"), y.alias("y")).agg(
         F.sum("s").alias("n1"),
         F.sum(F.lit(1) - F.col("s")).alias("n2"),
-        F.sum(F.col("s") * F.col("y")).alias("s1"),
-        F.sum((F.lit(1) - F.col("s")) * F.col("y")).alias("s2"),
-        # y² of milli-unit longs can pass int64 at scale: decimal(38,0)
-        # (exact; NULL on true overflow, never a silent wrap)
+        # the FIRST-order sums overflow too (Σ of 3e15 milli-units wraps
+        # past ~3100 rows), not just the squares: decimal(38,0) for all
+        # four (exact; NULL on true overflow, never a silent wrap)
+        F.sum(F.col("s") * F.col("y").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.lit(1) - F.col("s")) * F.col("y").cast("decimal(38,0)")).alias("s2"),
         F.sum(F.col("s") * F.col("y").cast("decimal(38,0)") * F.col("y")).alias("q1"),
         F.sum((F.lit(1) - F.col("s")) * F.col("y").cast("decimal(38,0)") * F.col("y")).alias("q2"),
     )

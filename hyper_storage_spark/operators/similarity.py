@@ -595,10 +595,17 @@ def pq_topk(
 
     qrows = emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
     qids = [r[0] for r in qrows]
-    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    norms = np.linalg.norm(qmat, axis=1, keepdims=True)
-    keep = norms[:, 0] > 0
-    qids, qmat = [q for q, kq in zip(qids, keep) if kq], qmat[keep] / norms[keep]
+    if qrows:
+        qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+        keep = norms[:, 0] > 0
+        qids, qmat = [q for q, kq in zip(qids, keep) if kq], qmat[keep] / norms[keep]
+    if not qids:
+        # family contract (cosine_topk et al.): unknown or zero-norm
+        # queries yield an EMPTY result, never a numpy stack crash
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
     # LUT[q, i, c] = <q_sub_i, codebook[i][c]>: ADC score = Σ_i LUT[q, i, code_i]
     luts = np.stack(
         [

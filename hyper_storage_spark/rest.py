@@ -339,7 +339,10 @@ class RestFacade:
 
     def handle(self, method: str, path: str, body: Any = None, **params) -> RestResponse:
         m = method.upper()
-        if self._ROLLUPS_SEG in path:
+        # exact segment match only: a document item named
+        # '_rollups_backup' contains the substring but is NOT the
+        # sub-resource — routing on `in` would hijack it
+        if path.endswith(self._ROLLUPS_SEG) or (self._ROLLUPS_SEG + "/") in path:
             return self._rollup_route(m, path, body, params)
         allowed = self._VERB_PARAMS.get(m)
         if allowed is None:

@@ -1238,6 +1238,16 @@ class DocumentStore:
 
         if not collection_uri.endswith("~"):
             raise ValueError("expire_items requires a collection~ URI")
+        # validate the CALLER's cutoff up front: a typo'd retention
+        # config would otherwise cast to NULL, the predicate would
+        # never match, and the cron would silently delete nothing
+        # forever while reporting (0, rev) — use Spark's own parser so
+        # accepted formats match the row-side comparison exactly
+        probe = self.spark.createDataFrame([(older_than,)], "s string").select(
+            F.col("s").try_cast("timestamp").alias("t")
+        ).collect()[0]
+        if probe.t is None:
+            raise ValueError(f"older_than {older_than!r} is not a parseable timestamp")
         with self._lock:
             static = self._get_static(collection_uri)
             if static is None or static["is_deleted"]:

@@ -312,6 +312,11 @@ def create_rollup(
             uri, rollup_id, STATUS_INDEXING, ts_field, tuple(key_fields),
             value_field, resolution, schema, tname, 0, distinct_field, sumsq,
         )
+        # re-read INSIDE the lock: a write committed between the early
+        # validation read and lock acquisition would otherwise be baked
+        # into the MV but ABOVE the recorded watermark — the next merge
+        # would add it a second time
+        static = store._get_static(uri)
         built_rev = static["revision"]
         from ..operators.rollup_mv import rollup_partials
 
@@ -508,10 +513,14 @@ def refresh_rollup(store, uri: str, rollup_id: str) -> str:
     from ..operators.rollup_mv import rollup_merge, rollup_partials
     from .documents import NotFoundError
 
-    d = next((r for r in rollup_defs(store, uri) if r.rollup_id == rollup_id), None)
-    if d is None:
-        raise ValueError(f"no rollup {rollup_id!r} on {uri!r}")
     with store._lock:
+        # def AND static read INSIDE the lock: a def read before it can
+        # carry a stale watermark — two concurrent refreshes would both
+        # classify the same delta and merge it twice, permanently
+        # double-counting the touched buckets
+        d = next((r for r in rollup_defs(store, uri) if r.rollup_id == rollup_id), None)
+        if d is None:
+            raise ValueError(f"no rollup {rollup_id!r} on {uri!r}")
         static = store._get_static(uri)
         if static is None or static["is_deleted"]:
             raise NotFoundError(uri)

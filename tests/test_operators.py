@@ -2783,11 +2783,15 @@ def test_profiling_integer_sums_survive_int64_overflow(spark):
     assert t.n == 5 and abs(t.slope_per_day - 1.0e9) / 1.0e9 < 1e-6
     assert abs(t.r2 - 1.0) < 1e-9
 
-    # welch: same y² magnitude per side
-    wrows = [(3.0e12 + i, 1) for i in range(5)] + [(3.0e12 - 7.0e8 + i, 0) for i in range(5)]
+    # welch: y² per row > int64 AND the FIRST-order Σy wraps too —
+    # 4000 rows × 3e15 milli-units ≈ 1.2e19 > 2^63 (the second-pass
+    # review finding: the squares were decimal, s1/s2 still bigint)
+    wrows = [(3.0e12 + i, 1) for i in range(4000)] + [
+        (3.0e12 - 7.0e8 + i, 0) for i in range(4000)
+    ]
     wdf = spark.createDataFrame(wrows, "v double, side int")
     w = profiling.welch_ttest(wdf, "v", "side").collect()[0]
-    assert w.n1 == 5 and w.n2 == 5
+    assert w.n1 == 4000 and w.n2 == 4000
     assert abs(w.mean_diff - 7.0e8) / 7.0e8 < 1e-6
 
 

@@ -316,3 +316,33 @@ def test_expire_items_retention(store):
     # rollup's try_cast routes to the NULL bucket — no dated bucket left
     rows = df.collect()
     assert all(r.bucket_start is None for r in rows)
+
+
+def test_rollups_segment_requires_exact_match(store):
+    # a document item merely CONTAINING the reserved segment name must
+    # route as a normal document, not be hijacked by the sub-resource
+    from hyper_storage_spark.rest import RestFacade
+
+    rest = RestFacade(store)
+    r = rest.handle("PUT", "metrics~/_rollups_backup", {"x": 1})
+    assert r.status == 201
+    assert rest.handle("GET", "metrics~/_rollups_backup").body == {"x": 1, "id": "_rollups_backup"}
+    # the exact segment still routes to the sub-resource
+    assert rest.handle("GET", "metrics~/_rollups").status == 200
+
+
+def test_expire_items_rejects_malformed_cutoff(store):
+    with pytest.raises(ValueError, match="parseable timestamp"):
+        store.expire_items("metrics~", "ts", "2024-13-40 99:00:00", SCHEMA)
+
+
+def test_pq_topk_empty_queries(store, spark):
+    from hyper_storage_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.pq_topk(emb, [99999], k=5, m=2, n_codes=4, sample_rows=30)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank", "cosine"]

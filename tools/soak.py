@@ -86,9 +86,12 @@ def writer(tid):
                         record("put", p, out[1])
         except KeyError:
             pass  # patch/delete of a not-yet-created item
-        except Exception as e:  # lock contention surfaces as retries upstream
-            if "read-only" in str(e):
-                raise
+        except Exception as e:
+            # UNEXPECTED: the write path retries conflicts internally,
+            # so anything surfacing here is a real failure — record it
+            # (a swallowed exception would let a store that fails most
+            # writes pass the soak trivially)
+            record("exception", path, f"{type(e).__name__}: {e}"[:200])
 
 def maintenance():
     rng = random.Random(wid * 7919)
@@ -163,6 +166,7 @@ def run_soak(root: str, procs: int, threads: int, seconds: int, kill_every: floa
                if r["document_uri"].startswith("soak_") and r["item_id"]]
 
     ops_logged = 0
+    op_exceptions: list[dict] = []
     logged: dict[str, list[dict]] = {}
     for fname in os.listdir(root):
         if fname.startswith("_soak_log_"):
@@ -171,6 +175,9 @@ def run_soak(root: str, procs: int, threads: int, seconds: int, kill_every: floa
                     e = json.loads(line)
                 except json.JSONDecodeError:
                     continue  # torn final line from a SIGKILL — expected
+                if e["op"] == "exception":
+                    op_exceptions.append(e)
+                    continue
                 coll = e["path"].rsplit("/", 1)[0]
                 logged.setdefault(coll, []).append(e)
                 ops_logged += 1
@@ -230,8 +237,10 @@ def run_soak(root: str, procs: int, threads: int, seconds: int, kill_every: floa
         "recovered_on_close": redriven,
         "vacuum_removed": removed,
         "worker_errors": errs,
+        "op_exceptions": op_exceptions[:20],
+        "n_op_exceptions": len(op_exceptions),
         "failures": failures,
-        "ok": not failures and not errs,
+        "ok": not failures and not errs and not op_exceptions,
     }
 
 

@@ -61,11 +61,16 @@ def _health(store) -> dict:
             "live_items": sum(1 for c in rows if not c["is_deleted"]),
             "tombstones": sum(1 for c in rows if c["is_deleted"]),
             "feed_events": sum(1 for f in feed if f["document_uri"] == uri),
-            # gapless parity: feed horizon may be truncated (retention),
-            # so check contiguity from the EARLIEST retained revision up
-            "feed_gapless": (
-                frevs == list(range(frevs[0], r + 1)) if frevs else r == 0
-            ),
+            # INVARIANT (gates ok): no published revision may exceed the
+            # counter — that would mean a lost counter bump
+            "feed_bounded": not frevs or frevs[-1] <= r,
+            # INFORMATIONAL: full per-item coverage 1..R. Bulk paths
+            # (ingest_collection / merge_collection / expire_items) bump
+            # the revision WITHOUT feed events by design, and retention
+            # truncates a prefix — so gaps here are normal for
+            # bulk-loaded or truncated stores, and this field must NOT
+            # gate ok (a healthy ingest-built store would page forever)
+            "feed_covers_all_revisions": frevs == list(range(1, r + 1)),
         }
     # content bucket skew: rows per manifest bucket of the content table
     bucket_rows = {
@@ -77,16 +82,25 @@ def _health(store) -> dict:
 
     # orphans: data files on disk no retained manifest references
     referenced = set()
+
+    def _add_refs(tables: dict) -> None:
+        for t in tables.values():
+            for v in t.values():
+                # a bucket value is one path (plain commit) or a LIST
+                # of paths (external commits: ingest/merge/backfill)
+                if isinstance(v, list):
+                    referenced.update(v)
+                else:
+                    referenced.add(v)
+
+    _add_refs(store.storage._read_manifest()["tables"])
     manifest = store.storage._read_manifest()
-    for t in manifest["tables"].values():
-        referenced.update(t.values())
     for v in store.storage.versions():
         try:
             snap = store.at_version(v).storage._read_manifest()
         except ValueError:
             continue
-        for t in snap["tables"].values():
-            referenced.update(t.values())
+        _add_refs(snap["tables"])
     on_disk = []
     data_dir = os.path.join(store.storage.root, "data")
     for dirpath, _, files in os.walk(data_dir):
@@ -102,7 +116,7 @@ def _health(store) -> dict:
         "content_bucket_skew": skew,
         "wal_incomplete": len(incomplete),
         "orphan_files": orphans,
-        "ok": all(c["feed_gapless"] for c in colls.values()) and not incomplete,
+        "ok": all(c["feed_bounded"] for c in colls.values()) and not incomplete,
     }
 
 
