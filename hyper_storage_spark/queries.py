@@ -7095,6 +7095,59 @@ def store_rollup_serve(spark, sf_dir):
     return df.select("event_type", "bucket_start", "n", "total")
 
 
+@register_extra(
+    "store_rollup_invalidate",
+    """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+                         CAST(CASE WHEN event_id % 10 = 3
+                                   THEN value + 1000 ELSE value END
+                              AS DECIMAL(20,6)) AS v
+                  FROM events WHERE event_id < 60)
+       SELECT event_type,
+              CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+              COUNT(*) AS n, SUM(v) AS total
+       FROM e GROUP BY 1, 2""",
+)
+def store_rollup_invalidate(spark, sf_dir):
+    """The bucket-scoped invalidation refresh, plan-asserted: a
+    per-item-API collection (its feed retains full history, the
+    precondition store/rollups.py:_affected_groups proves) gets a day
+    rollup, a deterministic slice of items is then PATCHED (+1000 on
+    the value — the update class that can never merge additively), and
+    the serve must take refresh_mode="invalidated": only the touched
+    grain groups recompute, the rest of the MV passes through — and
+    the result must equal the oracle's plain aggregate over the
+    post-patch state. Complements store_rollup_serve (the insert-only
+    "merged" route) so both non-trivial refresh tiers are value-gated."""
+    import tempfile
+
+    from .store import DocumentStore
+
+    st = DocumentStore(tempfile.mkdtemp(prefix="hs_rollinv_"), spark=spark)
+    rows = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 60)
+        .select("event_id", "ts", "event_type", "value")
+        .collect()
+    )
+    for r in rows:
+        st.put(
+            f"events~/{r.event_id:06d}",
+            {"event_id": r.event_id, "ts": str(r.ts),
+             "event_type": r.event_type, "value": r.value},
+        )
+    st.create_rollup(
+        "events~", "ts", ["event_type"], "value", resolution="day",
+        schema="event_id long, ts timestamp, event_type string, value double",
+    )
+    for r in rows:
+        if r.event_id % 10 == 3:
+            st.patch(f"events~/{r.event_id:06d}", {"value": r.value + 1000})
+    df, route = st.aggregate("events~", "ts", ["event_type"], "value", resolution="day")
+    if route.source != "rollup" or route.refresh_mode != "invalidated":
+        raise RuntimeError(f"expected an invalidated rollup route, got {route!r}")
+    return df.select("event_type", "bucket_start", "n", "total")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -1238,6 +1238,8 @@ class DocumentStore:
 
         if not collection_uri.endswith("~"):
             raise ValueError("expire_items requires a collection~ URI")
+        if self.spark is None:
+            raise ValueError("expire_items needs a Spark session (bulk bucket rewrite)")
         # validate the CALLER's cutoff up front: a typo'd retention
         # config would otherwise cast to NULL, the predicate would
         # never match, and the cron would silently delete nothing

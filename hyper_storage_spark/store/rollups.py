@@ -466,7 +466,13 @@ def _affected_groups(store, d: RollupDef, current_rev: int) -> Optional[DataFram
         F.date_trunc(d.resolution, F.col(d.ts_field)).alias("bucket_start"),
     )
     groups = new_groups if old_groups is None else new_groups.unionByName(old_groups)
-    return groups.distinct()
+    groups = groups.distinct()
+    # the group set broadcasts into both the semi and the anti join —
+    # a delta touching more groups than this is no longer "scoped" and
+    # a rebuild is cheaper than shipping a huge broadcast anyway
+    if groups.count() > 10_000:
+        return None
+    return groups
 
 
 def _refresh_invalidated(store, d: RollupDef, groups: DataFrame) -> None:
