@@ -154,7 +154,59 @@ def lsh_sizing(replicas: int = 10) -> None:
               f"{dedup.simhash_hamming_budget(n)} (target occupancy 128)")
 
 
+def store_rollup_modes(n_items: int = 5000) -> None:
+    """Wall-clock for the three store-rollup refresh tiers at a given
+    collection size (build via write_batch so the feed holds full
+    per-item history and ALL routes are reachable): insert-only merge,
+    bucket-scoped invalidation (1% of items patched), and the forced
+    full rebuild (feed truncated). Run at two sizes to see which
+    costs scale with the DELTA and which with the CORPUS."""
+    import tempfile as _tf
+    import time as _t
+
+    from hyper_storage_spark.session import get_spark
+    from hyper_storage_spark.store import DocumentStore
+
+    spark = get_spark("scale_smoke_rollup")
+    st = DocumentStore(_tf.mkdtemp(prefix="smoke_rollup_") + "/s", spark=spark)
+    ops = [
+        ("put", f"ev~/{i:07d}",
+         {"ts": f"2024-01-{(i % 28) + 1:02d} 00:00:00", "k": f"k{i % 7}", "v": float(i % 100)})
+        for i in range(n_items)
+    ]
+    t0 = _t.time()
+    for lo in range(0, n_items, 2000):
+        st.write_batch(ops[lo:lo + 2000])
+    print(f"# build: {n_items} items in {_t.time() - t0:.2f}s (write_batch)")
+    t0 = _t.time()
+    st.create_rollup("ev~", "ts", ["k"], "v", resolution="day",
+                     schema="ts string, k string, v double")
+    print(f"# create_rollup: {_t.time() - t0:.2f}s")
+    pct = max(n_items // 100, 1)
+    st.write_batch([
+        ("put", f"ev~/n{i:07d}",
+         {"ts": "2024-02-01 00:00:00", "k": "k0", "v": 1.0}) for i in range(pct)
+    ])
+    t0 = _t.time()
+    mode = st.refresh_rollup("ev~", st.rollup_defs("ev~")[0].rollup_id)
+    print(f"# refresh after +1% inserts: mode={mode} wall={_t.time() - t0:.2f}s")
+    st.write_batch([
+        ("patch", f"ev~/{i:07d}", {"v": 999.0}) for i in range(0, n_items, 100)
+    ])
+    t0 = _t.time()
+    mode = st.refresh_rollup("ev~", st.rollup_defs("ev~")[0].rollup_id)
+    print(f"# refresh after 1% patches: mode={mode} wall={_t.time() - t0:.2f}s")
+    st.patch("ev~/0000000", {"v": 5.0})
+    st.truncate_feed(2**62)
+    t0 = _t.time()
+    mode = st.refresh_rollup("ev~", st.rollup_defs("ev~")[0].rollup_id)
+    print(f"# refresh after feed truncation: mode={mode} wall={_t.time() - t0:.2f}s")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "storerollup":
+        store_rollup_modes(int(sys.argv[2]) if len(sys.argv) > 2 else 5000)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh_sizing(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
         return
