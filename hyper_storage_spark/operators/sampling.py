@@ -333,6 +333,57 @@ def budget_select(
     return cum.filter(F.col(cum_col) <= budget)
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split in which near-duplicates NEVER straddle a
+    boundary — the leakage control :func:`hash_split` cannot give: a
+    test document whose near-copy sits in train inflates every
+    evaluation it touches (the dedup-then-split ordering problem).
+
+    Connected components over ``pairs`` (the near-dup graph from any
+    dedup pair generator) give each document a canonical id — the
+    component minimum for clustered docs, the document's own id for
+    singletons — and the split decision hashes the CANONICAL id, so a
+    whole duplicate family moves as one unit. The draw is the
+    cross-engine :func:`md5_uniform` (not xxhash64), so an exact-set
+    SQL oracle can replay the assignment bit-for-bit. Returns
+    (id, canonical_id, split).
+
+    Scale shape: components are the O(log² n) alternating-star rounds
+    over the EDGE set (pairs, not corpus²); the canonical attach is
+    one left join against the vocabulary-of-clustered-docs (AQE
+    broadcasts real ones); the split itself is pure codegen."""
+    from .dedup import duplicate_clusters
+
+    if not fractions:
+        raise ValueError("need at least one split")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    clusters = duplicate_clusters(pairs)  # (doc_id, cluster_id)
+    canon = docs.select(F.col(id_col)).join(
+        clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("canonical_id"),
+    )
+    u = md5_uniform(F.concat(F.col("canonical_id").cast("string"), F.lit(salt)))
+    expr, acc = None, 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return canon.select(id_col, "canonical_id", expr.alias(split_col))
+
+
 def md5_uniform(id_col: Column) -> Column:
     """A deterministic uniform in the OPEN interval (0, 1): the first
     13 hex digits of md5(id) as an integer, +0.5, over 2^52. 13 hex

@@ -7095,6 +7095,46 @@ def store_rollup_serve(spark, sf_dir):
     return df.select("event_type", "bucket_start", "n", "total")
 
 
+_LEAKAGE_SPLIT_SQL = f"""
+WITH clusters AS ({_CLUSTERS_SQL}),
+canon AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+draws AS (
+  SELECT doc_id, canonical_id,
+         (('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 13))::UBIGINT::DOUBLE
+          + 0.5) / 4503599627370496.0 AS u
+  FROM canon
+)
+SELECT doc_id, canonical_id,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM draws
+"""
+
+
+@register_extra("q_leakage_safe_split", _LEAKAGE_SPLIT_SQL)
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split
+    (operators/sampling.py:leakage_safe_split): near-duplicate
+    families (connected components of the df-capped Jaccard pair
+    graph — the dedup_clusters set) are assigned AS UNITS by hashing
+    the family's canonical id, so a test document can never have a
+    near-copy in train (the eval-inflation leak a per-document
+    hash_split permits whenever splitting precedes dedup). The draw
+    is the cross-engine md5 uniform, so the oracle replays the EXACT
+    assignment: recursive-CTE components + the identical hex-prefix
+    arithmetic — end-to-end over pairs, labeling, canonicalization,
+    and thresholding."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
+    return sampling.leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 @register_extra(
     "store_rollup_invalidate",
     """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,

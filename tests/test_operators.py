@@ -2896,3 +2896,29 @@ def test_pq_encode_shapes_and_zero_norm(spark):
     assert all(r.vec_id != 99 for r in enc)  # zero-norm gets no codes row
     with __import__("pytest").raises(ValueError, match="divisible"):
         similarity.pq_train(emb, m=5, n_codes=8, sample_rows=40)
+
+
+def test_leakage_safe_split_colocates_near_duplicates(spark, sf_dir):
+    from hyper_storage_spark.operators import sampling
+
+    d = docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5, max_df=100)
+    out = sampling.leakage_safe_split(d, pairs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r.doc_id: (r.canonical_id, r.split) for r in out.collect()}
+    assert len(rows) == d.count()  # exhaustive, one row per doc
+    # THE invariant: every near-dup pair lands on the same side
+    for p in pairs.collect():
+        assert rows[p.a_id][1] == rows[p.b_id][1], (p.a_id, p.b_id)
+        assert rows[p.a_id][0] == rows[p.b_id][0]
+    # deterministic across runs
+    again = {r.doc_id: r.split for r in
+             sampling.leakage_safe_split(d, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert again == {k: v[1] for k, v in rows.items()}
+    # fractions roughly honored (families quantize the draw, so wide band)
+    n = len(rows)
+    train = sum(1 for _, s in rows.values() if s == "train")
+    assert 0.7 * n <= train <= 0.9 * n
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        sampling.leakage_safe_split(d, pairs, {"train": 0.5})
