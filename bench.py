@@ -63,6 +63,36 @@ WIDE_BAND = {"dedup_ngram_jaccard", "dedup_minhash_lsh"}
 # box was during THIS run without re-deriving it from per-query deltas.
 SENTINEL_CANONICAL_SEC = 0.143
 
+# Canonical quiet-box per-entry seconds (SCALE.md §"Canonical honest
+# per-query baseline": r6 committed table + the r7/r8 headline-addition
+# rows; text_langid uses the post-rewrite number from the table's own
+# profiling note, not the pre-rewrite 1.234). BENCH_r{N} carries the
+# ratio per entry so the judge reads deltas directly instead of
+# re-deriving them from SCALE.md each round.
+CANONICAL_SEC = {
+    "q1_pricing_summary": 1.420,
+    "q3_shipping_priority": 0.809,
+    "q5_local_supplier_volume": 0.677,
+    "q6_revenue_change": 0.198,
+    "q_window_running_total": 0.365,
+    "q_sessionization": 0.338,
+    "q_distinct_users_daily": 0.223,
+    "parity_residual_filter": 0.333,
+    "parity_topn_sort": 0.098,
+    "parity_latest_revision": 0.235,
+    "dedup_exact": 0.187,
+    "dedup_ngram_jaccard": 1.571,
+    "dedup_minhash_lsh": 1.489,
+    "dedup_simhash_raw": 0.751,
+    "ann_cosine_topk": 0.480,
+    "text_quality_score": 0.348,
+    "text_langid": 0.700,
+    "text_fingerprint": 0.707,
+    "q_countmin_heavy_hitters": 0.933,
+    "q_token_budget_select": 0.531,
+    "ann_pq_raw": 1.635,
+}
+
 
 def _sentinel(spark) -> float:
     # one untimed pass first: the sentinel's own codegen/plan warm-up
@@ -168,6 +198,13 @@ def main() -> None:
             "start": round(sentinel_start, 4),
             "end": round(sentinel_end, 4),
             "canonical": SENTINEL_CANONICAL_SEC,
+        },
+        # this run ÷ the committed quiet-box row, per entry (only
+        # meaningful at the canonical SF 0.1)
+        "vs_canonical": {
+            name: round(t / CANONICAL_SEC[name], 2)
+            for name, t in timings.items()
+            if name in CANONICAL_SEC and sf == "0.1"
         },
     }
     if errors:
