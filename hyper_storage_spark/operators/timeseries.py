@@ -609,3 +609,73 @@ def scd2_intervals(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def seasonality_profile(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Weekly seasonality of event volume: one row per observed
+    (day-of-week, hour-of-day) cell — (dow, hod, n, seasonal_index),
+    index = cell count over the mean observed cell (n·cells/total as
+    ONE double expression over exact integers). The capacity-planning
+    face next to q_peak_to_average: WHERE in the week the load lives,
+    not just how peaky it is. dow follows Spark's convention
+    (1 = Sunday … 7 = Saturday).
+
+    Scale shape: the corpus reduces to ≤168 cells in one partial-agg
+    shuffle; the two grand totals attach as a 1-row broadcast bound."""
+    cells = events.groupBy(
+        F.dayofweek(F.col(ts_col)).alias("dow"),
+        F.hour(F.col(ts_col)).alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    totals = cells.agg(F.sum("n").alias("__t"), F.count("*").alias("__c"))
+    return cells.crossJoin(F.broadcast(totals)).select(
+        "dow",
+        "hod",
+        "n",
+        F.round(
+            (F.col("n") * F.col("__c")).cast("double") / F.col("__t"), 6
+        ).alias("seasonal_index"),
+    )
+
+
+def lag_autocorrelation(events: DataFrame, ts_col: str = "ts", lag_days: int = 1) -> DataFrame:
+    """Lag-k autocorrelation of the DAILY event-count series, one row
+    (n_pairs, acf) — "does yesterday predict today": the stationarity
+    check before trusting any trend/anomaly threshold on the series
+    (an acf near 1 means daily counts are momentum-dominated and a
+    global σ-band will whipsaw; near 0 means i.i.d.-ish days).
+
+    Parity discipline: daily counts are exact integers; Pearson's
+    sums accumulate in decimal(38,0) (counts² per day would pass
+    int64 at corpus scale) and the closing expression is ONE fixed
+    IEEE form over identical bits on any engine, rounded to 6.
+
+    Scale shape: corpus → calendar-bounded daily table (one shuffle);
+    the lag pairing is a self-equi-join on day+k (calendar-sized);
+    one scalar aggregation."""
+    if lag_days < 1:
+        raise ValueError(f"lag_days must be >= 1, got {lag_days}")
+    d = events.groupBy(F.date_trunc("day", F.col(ts_col)).alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b, F.col("b.day") == F.col("a.day") + F.expr(f"INTERVAL {int(lag_days)} DAY")
+    ).select(F.col("a.n").alias("x"), F.col("b.n").alias("y"))
+    dec = "decimal(38,0)"
+    s = pairs.agg(
+        F.count("*").alias("np"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    num = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    # try_divide: a constant series has zero variance and ANSI's `/`
+    # throws DIVIDE_BY_ZERO — undefined correlation surfaces as NULL
+    return s.select(
+        F.col("np").alias("n_pairs"), F.round(F.try_divide(num, den), 6).alias("acf")
+    )

@@ -7095,6 +7095,67 @@ def store_rollup_serve(spark, sf_dir):
     return df.select("event_type", "bucket_start", "n", "total")
 
 
+@register_extra(
+    "ts_seasonality_profile",
+    """WITH cells AS (
+         SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+                hour(CAST(ts AS TIMESTAMP)) AS hod,
+                COUNT(*) AS n
+         FROM events GROUP BY 1, 2
+       ),
+       t AS (SELECT SUM(n) AS tt, COUNT(*) AS c FROM cells)
+       SELECT dow, hod, n,
+              ROUND(CAST(n * c AS DOUBLE) / tt, 6) AS seasonal_index
+       FROM cells, t""",
+)
+def ts_seasonality_profile(spark, sf_dir):
+    """Weekly seasonality of event volume
+    (operators/timeseries.py:seasonality_profile): per observed
+    (day-of-week, hour-of-day) cell, count + index over the mean cell
+    — WHERE in the week the load lives, the placement complement of
+    q_peak_to_average's peakiness scalar. The corpus reduces to ≤168
+    cells in one partial-agg shuffle; the oracle adds 1 to DuckDB's
+    0-based Sunday to match Spark's 1-based convention."""
+    from .operators import timeseries as ts_ops
+
+    return ts_ops.seasonality_profile(_t(spark, sf_dir, "events"))
+
+
+@register_extra(
+    "ts_lag_autocorrelation",
+    """WITH d AS (
+         SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                COUNT(*) AS n
+         FROM events GROUP BY 1
+       ),
+       p AS (
+         SELECT a.n AS x, b.n AS y
+         FROM d a JOIN d b ON b.day = a.day + INTERVAL 1 DAY
+       ),
+       s AS (
+         SELECT COUNT(*) AS np, SUM(x) AS sx, SUM(y) AS sy,
+                SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+         FROM p
+       )
+       SELECT CAST(np AS BIGINT) AS n_pairs,
+              ROUND(CAST(np*sxy - sx*sy AS DOUBLE)
+                    / (sqrt(CAST(np*sxx - sx*sx AS DOUBLE))
+                       * sqrt(CAST(np*syy - sy*sy AS DOUBLE))), 6) AS acf
+       FROM s""",
+)
+def ts_lag_autocorrelation(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily event-count series
+    (operators/timeseries.py:lag_autocorrelation) — the stationarity
+    gate before trusting trend/anomaly thresholds on the series.
+    Daily counts are exact integers, Pearson's sums accumulate in
+    decimal(38,0) (counts² pass int64 at corpus scale), and both
+    engines close with the identical IEEE expression; the lag pairing
+    is a calendar-sized self-equi-join on day+1."""
+    from .operators import timeseries as ts_ops
+
+    return ts_ops.lag_autocorrelation(_t(spark, sf_dir, "events"))
+
+
 _LEAKAGE_SPLIT_SQL = f"""
 WITH clusters AS ({_CLUSTERS_SQL}),
 canon AS (

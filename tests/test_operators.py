@@ -2922,3 +2922,37 @@ def test_leakage_safe_split_colocates_near_duplicates(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         sampling.leakage_safe_split(d, pairs, {"train": 0.5})
+
+
+def test_seasonality_and_autocorrelation_hand_pinned(spark):
+    # hand-computable fixture: 3 events Mon 01:00, 1 event Tue 02:00
+    # over two weeks -> cells (Mon,1)=6, (Tue,2)=2; mean cell = 4
+    from hyper_storage_spark.operators import timeseries as ts_ops
+
+    rows = []
+    for week in (0, 1):
+        for _ in range(3):
+            rows.append((f"2024-01-{8 + 7 * week:02d} 01:30:00",))
+        rows.append((f"2024-01-{9 + 7 * week:02d} 02:30:00",))
+    ev = spark.createDataFrame(rows, "ts string").select(F.col("ts").cast("timestamp").alias("ts"))
+    prof = {(r.dow, r.hod): (r.n, r.seasonal_index) for r in ts_ops.seasonality_profile(ev).collect()}
+    assert prof[(2, 1)] == (6, 1.5)  # Monday=2 in Spark's convention
+    assert prof[(3, 2)] == (2, 0.5)
+
+    # perfectly alternating daily counts 1,3,1,3,... -> lag-1 acf = -1
+    alt = []
+    for day in range(1, 11):
+        n = 1 if day % 2 else 3
+        alt += [(f"2024-02-{day:02d} 00:00:00",)] * n
+    ev2 = spark.createDataFrame(alt, "ts string").select(F.col("ts").cast("timestamp").alias("ts"))
+    row = ts_ops.lag_autocorrelation(ev2).collect()[0]
+    assert row.n_pairs == 9 and abs(row.acf - (-1.0)) < 1e-9
+    # constant series: zero variance -> NULL acf (0/0), never a crash
+    const = spark.createDataFrame([(f"2024-03-{d:02d} 00:00:00",) for d in range(1, 6)], "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    assert ts_ops.lag_autocorrelation(const).collect()[0].acf is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ts_ops.lag_autocorrelation(ev2, lag_days=0)
