@@ -7096,6 +7096,43 @@ def store_rollup_serve(spark, sf_dir):
 
 
 @register_extra(
+    "q_unpivot_metrics",
+    """WITH m AS (
+         SELECT 'quantity' AS metric, CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
+         UNION ALL
+         SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+         UNION ALL
+         SELECT 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+         UNION ALL
+         SELECT 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+       )
+       SELECT metric, COUNT(*) AS n, SUM(v) AS total
+       FROM m GROUP BY 1""",
+)
+def q_unpivot_metrics(spark, sf_dir):
+    """Wide→long reshape (UNPIVOT/melt — the inverse of the pivot the
+    catalog already covers): four lineitem measures melt into
+    (metric, value) rows, then aggregate per metric with exact DECIMAL
+    sums. Spark's native ``DataFrame.unpivot`` is an Expand node —
+    row-multiplying but shuffle-free, the right physical shape (the
+    UNION-ALL oracle form would scan the fact once per measure). The
+    melt-then-aggregate is the standard metrics-normalization step in
+    telemetry pipelines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("decimal(18,2)").alias("quantity"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("extendedprice"),
+        F.col("l_discount").cast("decimal(18,2)").alias("discount"),
+        F.col("l_tax").cast("decimal(18,2)").alias("tax"),
+    )
+    melted = li.unpivot(
+        [], ["quantity", "extendedprice", "discount", "tax"], "metric", "v"
+    )
+    return melted.groupBy("metric").agg(
+        F.count("*").alias("n"), F.sum("v").alias("total")
+    )
+
+
+@register_extra(
     "ts_seasonality_profile",
     """WITH cells AS (
          SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
