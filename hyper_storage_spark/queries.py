@@ -7096,6 +7096,46 @@ def store_rollup_serve(spark, sf_dir):
 
 
 @register_extra(
+    "q_map_functions",
+    """WITH c AS (
+         SELECT user_id, event_type, COUNT(*) AS n
+         FROM events GROUP BY 1, 2
+       )
+       SELECT user_id,
+              COUNT(*) AS n_types,
+              CAST(COALESCE(MAX(CASE WHEN event_type = 'click' THEN n END), 0)
+                   AS BIGINT) AS clicks,
+              CAST(SUM(n) AS BIGINT) AS total_events
+       FROM c GROUP BY 1
+       HAVING user_id < 50""",
+)
+def q_map_functions(spark, sf_dir):
+    """MapType column surface: per user, build event_type→count as a
+    real MAP (map_from_entries over collected structs), then read it
+    back through the map API — map_keys size, element_at point lookup
+    (NULL-safe via coalesce), and an aggregate over map_values. The
+    oracle computes identical values map-free (MAX(CASE) pivot), so
+    the map construction/lookup round-trip is value-checked rather
+    than trusted. Maps stay inside one groupBy's rows — no shuffle
+    beyond the count aggregation itself."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("by_type")
+    )
+    return m.select(
+        "user_id",
+        F.size(F.map_keys(F.col("by_type"))).cast("long").alias("n_types"),
+        F.coalesce(F.element_at(F.col("by_type"), "click"), F.lit(0)).alias("clicks"),
+        F.aggregate(
+            F.map_values(F.col("by_type")), F.lit(0).cast("long"), lambda a, v: a + v
+        ).alias("total_events"),
+    )
+
+
+@register_extra(
     "q_unpivot_metrics",
     """WITH m AS (
          SELECT 'quantity' AS metric, CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
