@@ -506,16 +506,30 @@ def pq_train(
     sample_rows: int = 4096,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Product-quantization codebooks: split the (unit-normalized)
     vector into ``m`` subvectors and k-means each subspace to
     ``n_codes`` centroids — (m, n_codes, dim/m). Training collects a
     bounded ``sample_rows`` sample to the driver (same bounded-collect
     budget as ivf_topk's centroid table); at 100 TB the sample is
-    still driver-sized while encode/search stay distributed."""
+    still driver-sized while encode/search stay distributed.
+
+    The sample is hash-ordered (xxhash64 of ``id_col``), NOT a bare
+    ``limit``: limit-without-order takes whichever partitions answer
+    first, so on a sorted/clustered corpus (the common layout after
+    ingest) the codebooks would train on one biased slice of the
+    distribution, and the rows taken would change with partition
+    layout. Hash order makes the sample a content-deterministic
+    pseudo-random draw — same codebook bits on any cluster config —
+    the md5/xxhash64-uniform discipline used by the sampling module."""
     sample = [
         np.asarray(r[0], dtype=np.float64)
-        for r in emb.select(vec_col).limit(sample_rows).collect()
+        for r in emb.select(vec_col, F.xxhash64(F.col(id_col)).alias("__h"))
+        .orderBy("__h")
+        .limit(sample_rows)
+        .select(vec_col)
+        .collect()
     ]
     mat = np.stack(sample)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -589,7 +603,10 @@ def pq_topk(
     exact work at queries × k·refine."""
     from pyspark.sql import Window
 
-    cb = pq_train(emb, m=m, n_codes=n_codes, sample_rows=sample_rows, seed=seed, vec_col=vec_col)
+    cb = pq_train(
+        emb, m=m, n_codes=n_codes, sample_rows=sample_rows, seed=seed,
+        vec_col=vec_col, id_col=id_col,
+    )
     sub = cb.shape[2]
     codes = pq_encode(emb, cb, id_col=id_col, vec_col=vec_col)
 

@@ -314,14 +314,19 @@ class RestFacade:
                     c for c in ("n_distinct", "var_pop", "stddev_pop")
                     if rows and c in rows[0].__fields__
                 ]
+                # NULL-safe numeric conversion: the build keeps a NULL
+                # bucket for rows whose value failed try_cast — its
+                # total/vmin/vmax are NULL and float(None) would raise
+                # out of handle() instead of serializing
+                fnum = lambda x: float(x) if x is not None else None
                 els = [
                     {
                         **{k: r[k] for k in d.key_fields},
                         "bucket_start": str(r["bucket_start"]),
                         "n": r["n"],
-                        "total": float(r["total"]),
-                        "vmin": float(r["vmin"]),
-                        "vmax": float(r["vmax"]),
+                        "total": fnum(r["total"]),
+                        "vmin": fnum(r["vmin"]),
+                        "vmax": fnum(r["vmax"]),
                         "avg": r["avg"],
                         **{c: r[c] for c in extra},
                     }

@@ -213,10 +213,9 @@ def _conform(d: RollupDef, partials: DataFrame) -> DataFrame:
     )
 
 
-def _write_mv(store, d: RollupDef, partials: DataFrame) -> None:
-    """Stage the MV as parquet and flip it into the manifest — the
-    same external-commit path as the distributed index backfill
-    (documents.py:_backfill_index_spark)."""
+def _stage_mv(store, d: RollupDef, partials: DataFrame) -> list[str]:
+    """Write the MV parquet files WITHOUT committing them — the caller
+    picks the flip (alone, or atomic with a rollup_defs update)."""
     import os
     import uuid
 
@@ -232,8 +231,36 @@ def _write_mv(store, d: RollupDef, partials: DataFrame) -> None:
         f"rollup_build_{_sanitize(d.table_name)}_{uuid.uuid4().hex[:8]}",
     )
     _conform(d, partials).write.mode("overwrite").parquet(outdir)
-    files = [os.path.join(outdir, f) for f in os.listdir(outdir) if f.endswith(".parquet")]
-    store.storage.commit_external(d.table_name, {0: files})
+    return [os.path.join(outdir, f) for f in os.listdir(outdir) if f.endswith(".parquet")]
+
+
+def _write_mv_and_def(store, d: RollupDef, partials: DataFrame, **def_fields) -> None:
+    """Stage the MV and flip it TOGETHER with the updated rollup_defs
+    row in ONE manifest commit (commit_external_many, the expire_items
+    CONTENT+STATICS discipline). The refresh paths need this: a crash
+    between a committed MV and a separate watermark bump would leave
+    the merged MV live with a stale built_revision, so the next
+    refresh re-classifies the same delta as insert-only and merges it
+    a SECOND time — permanent double-counting. One flip means the MV
+    and its watermark are never observable apart."""
+    import os
+    import uuid
+
+    from .storage import write_bucket_file
+
+    files = _stage_mv(store, d, partials)
+    rows = store.storage.bucket_rows(ROLLUP_DEFS, 0)
+    for r in rows:
+        if r["document_uri"] == d.document_uri and r["rollup_id"] == d.rollup_id:
+            r.update(def_fields)
+    defs_abs = os.path.join(
+        store.storage.root, "data", ROLLUP_DEFS,
+        f"b0000-rollup-{uuid.uuid4().hex[:8]}.parquet",
+    )
+    write_bucket_file(rows, ROLLUP_DEFS_SCHEMA, defs_abs)
+    store.storage.commit_external_many(
+        {d.table_name: {0: files}, ROLLUP_DEFS: {0: [defs_abs]}}
+    )
 
 
 def _update_def(store, uri: str, rollup_id: str, **fields) -> None:
@@ -324,10 +351,11 @@ def create_rollup(
             _typed_rows(store, d), ts_field, list(key_fields), value_field, resolution,
             distinct_col=distinct_field, sumsq=sumsq,
         )
-        _write_mv(store, d, partials)
-        # flip to NORMAL — only now does aggregate() route to it
-        # (db/Db.scala:103-107 discipline, same as create_index)
-        _update_def(store, uri, rollup_id, status=STATUS_NORMAL, built_revision=built_rev)
+        # MV registration and the NORMAL flip in one commit — only
+        # after it does aggregate() route here (db/Db.scala:103-107
+        # discipline, same as create_index); a crash mid-build leaves
+        # the INDEXING def that never routes
+        _write_mv_and_def(store, d, partials, status=STATUS_NORMAL, built_revision=built_rev)
         return rollup_id
 
 
@@ -476,8 +504,9 @@ def _affected_groups(store, d: RollupDef, current_rev: int) -> Optional[DataFram
 
 
 def _refresh_invalidated(store, d: RollupDef, groups: DataFrame) -> None:
-    """Recompute ONLY the affected grain groups and stitch them into
-    the MV: untouched groups pass through without re-aggregation
+    """Recompute ONLY the affected grain groups and return the stitched
+    MV frame (the caller commits it atomically with the watermark):
+    untouched groups pass through without re-aggregation
     (null-safe anti join — a NULL bucket/key is a real grain here),
     affected groups re-aggregate from the current content restricted
     to them (one base scan, exchange bounded by the affected groups),
@@ -505,7 +534,7 @@ def _refresh_invalidated(store, d: RollupDef, groups: DataFrame) -> None:
         e = existing[c].eqNullSafe(g[c])
         cond_e = e if cond_e is None else (cond_e & e)
     untouched = existing.join(F.broadcast(g), cond_e, "left_anti")
-    _write_mv(store, d, untouched.unionByName(_conform(d, recomputed)))
+    return untouched.unionByName(_conform(d, recomputed))
 
 
 def refresh_rollup(store, uri: str, rollup_id: str) -> str:
@@ -534,11 +563,16 @@ def refresh_rollup(store, uri: str, rollup_id: str) -> str:
         if d.status == STATUS_NORMAL and current_rev == d.built_revision:
             return "fresh"
         mode = "rebuild" if d.status != STATUS_NORMAL else _delta_class(store, d, current_rev)
+        # every refresh path commits the MV and its watermark in ONE
+        # manifest flip (_write_mv_and_def): the merge path in
+        # particular is NOT idempotent — a crash between a committed
+        # MV and a separate built_revision bump would re-merge the
+        # same delta on the next refresh (permanent double-count)
         if mode == "rebuild" and d.status == STATUS_NORMAL:
             groups = _affected_groups(store, d, current_rev)
             if groups is not None:
-                _refresh_invalidated(store, d, groups)
-                _update_def(store, uri, rollup_id, built_revision=current_rev)
+                stitched = _refresh_invalidated(store, d, groups)
+                _write_mv_and_def(store, d, stitched, built_revision=current_rev)
                 return "invalidated"
         if mode == "merge":
             delta = rollup_partials(
@@ -552,16 +586,14 @@ def refresh_rollup(store, uri: str, rollup_id: str) -> str:
             )
             existing = store.storage.spark_df_or_empty(store.spark, d.table_name, _mv_ddl(store, d))
             merged = rollup_merge(existing, _conform(d, delta), list(d.key_fields))
-            _write_mv(store, d, merged)
-            _update_def(store, uri, rollup_id, built_revision=current_rev)
+            _write_mv_and_def(store, d, merged, built_revision=current_rev)
             return "merged"
         partials = rollup_partials(
             _typed_rows(store, d), d.ts_field, list(d.key_fields), d.value_field,
             d.resolution, distinct_col=d.distinct_field, sumsq=d.sumsq,
         )
-        _write_mv(store, d, partials)
-        _update_def(
-            store, uri, rollup_id, status=STATUS_NORMAL, built_revision=current_rev
+        _write_mv_and_def(
+            store, d, partials, status=STATUS_NORMAL, built_revision=current_rev
         )
         return "rebuilt"
 
@@ -581,7 +613,12 @@ def rollup_view(store, uri: str, rollup_id: str, resolution: Optional[str] = Non
             raise ValueError(
                 f"rollup at {d.resolution!r} cannot serve {resolution!r} exactly"
             )
-        mv = _conform(d, rollup_coarsen(mv, list(d.key_fields), resolution))
+        # NO _conform here: this view never round-trips to parquet, and
+        # narrowing the coarse sum-of-totals back to decimal(30,6)
+        # would, under non-ANSI arithmetic, turn an overflowing coarse
+        # bucket into a silent NULL total — keep Spark's widened
+        # decimal(38,6) sum on the serve path
+        mv = rollup_coarsen(mv, list(d.key_fields), resolution)
     return rollup_finalize(mv)
 
 
@@ -603,11 +640,13 @@ def aggregate(
     falling back to a direct base-collection aggregation otherwise.
 
     A matching rollup serves if its grain equals the request or nests
-    under it (day MV answering month — rollup_coarsen, exact). A stale
-    match is refreshed first (``auto_refresh``; pass False to serve
-    the stale MV and let the route report it). The fallback needs
-    ``schema`` (the body DDL) just like collection_df."""
+    under it (day MV answering month — rollup_coarsen, exact); among
+    several servable defs the COARSEST grain wins (fewest MV rows to
+    coarsen). A stale match is refreshed first (``auto_refresh``; pass
+    False to serve the stale MV and let the route report it). The
+    fallback needs ``schema`` (the body DDL) just like collection_df."""
     keys = tuple(key_fields)
+    servable = []
     for d in rollup_defs(store, uri):
         if d.status != STATUS_NORMAL:
             continue
@@ -619,6 +658,14 @@ def aggregate(
             continue
         if not _serves(d.resolution, resolution):
             continue
+        servable.append(d)
+    if servable:
+        # cost-based pick, not first-match: among servable rollups the
+        # COARSEST grain has the fewest MV rows to coarsen (a month
+        # query routes to the day MV, not the minute MV) — weighIndex's
+        # max-not-first discipline (IndexLogic.scala:89-106) applied to
+        # grain rank; rollup_id tie-break keeps the route deterministic
+        d = max(servable, key=lambda x: (_RES_RANK[x.resolution], x.rollup_id))
         static = store._get_static(uri)
         stale = static is not None and static["revision"] != d.built_revision
         if stale and auto_refresh:

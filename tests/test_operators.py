@@ -2956,3 +2956,34 @@ def test_seasonality_and_autocorrelation_hand_pinned(spark):
 
     with _pytest.raises(ValueError):
         ts_ops.lag_autocorrelation(ev2, lag_days=0)
+
+
+def test_pq_train_sample_unbiased_on_clustered_corpus(spark):
+    # A corpus SORTED by cluster (the common post-ingest layout): a bare
+    # limit() would train codebooks on whichever partitions answer
+    # first — one cluster only — and recall on the other cluster would
+    # collapse. The hash-ordered sample must stay corpus-representative
+    # AND byte-identical across partition layouts.
+    import random as _random
+
+    import numpy as np
+
+    rnd = _random.Random(5)
+    rows = []
+    for i in range(400):
+        center = 10.0 if i < 200 else -10.0  # two far-apart clusters, id-sorted
+        rows.append((i, [center + rnd.gauss(0, 0.5) for _ in range(8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartitionByRange(8, "vec_id")
+    cb1 = similarity.pq_train(emb, m=2, n_codes=8, sample_rows=64)
+    cb2 = similarity.pq_train(emb.repartition(3, "embedding"), m=2, n_codes=8, sample_rows=64)
+    assert np.array_equal(cb1, cb2)  # content-deterministic, layout-free
+    # representative: both clusters appear in the codebooks (a biased
+    # sample would put every centroid near one cluster's sign)
+    signs = {1 if c[0] > 0 else -1 for c in cb1[0]}
+    assert signs == {1, -1}
+    # and search recall holds for queries in BOTH clusters
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.cosine_topk(emb, [0, 399], k=10).collect()}
+    got = {(r.query_id, r.neighbor_id)
+           for r in similarity.pq_topk(emb, [0, 399], k=10, m=2, n_codes=16,
+                                       refine=32, sample_rows=64).collect()}
+    assert len(got & exact) / len(exact) >= 0.9

@@ -346,3 +346,77 @@ def test_pq_topk_empty_queries(store, spark):
     out = similarity.pq_topk(emb, [99999], k=5, m=2, n_codes=4, sample_rows=30)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+
+
+def test_route_picks_coarsest_servable_grain(store):
+    # minute AND day rollups registered: a month query must coarsen
+    # from the DAY MV (fewest rows), not whichever def listed first —
+    # weighIndex's max-not-first discipline applied to grain rank
+    rid_min = store.create_rollup(
+        "metrics~", "ts", ["k"], "v", resolution="minute", schema=SCHEMA, rollup_id="a-minute"
+    )
+    rid_day = store.create_rollup(
+        "metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA, rollup_id="b-day"
+    )
+    df, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="month")
+    assert route.source == "rollup" and route.rollup_id == rid_day and route.coarsened
+    assert _mv_rows(df) == _direct(store, "month")
+    # an exact-grain request routes to the exact def (coarsened=False)
+    _, route_day = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day")
+    assert route_day.rollup_id == rid_day and not route_day.coarsened
+    # the minute MV still serves when it is the only one that can
+    _, route_min = store.aggregate("metrics~", "ts", ["k"], "v", resolution="hour")
+    assert route_min.rollup_id == rid_min and route_min.coarsened
+
+
+def test_refresh_is_one_atomic_manifest_flip(store):
+    # every refresh path commits the MV files AND the watermark bump in
+    # ONE manifest version (commit_external_many): a crash can never
+    # observe a merged MV with a stale built_revision, which would
+    # re-classify the same delta as insert-only and double-merge it
+    store.create_rollup("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    # merged path
+    store.put("metrics~/m020", {"ts": "2024-01-06 01:00:00", "k": "k0", "v": 7.0})
+    v0 = store.storage.current_version()
+    assert store.refresh_rollup("metrics~", store.rollup_defs("metrics~")[0].rollup_id) == "merged"
+    assert store.storage.current_version() == v0 + 1
+    assert store.rollup_defs("metrics~")[0].built_revision == store._get_static("metrics~")["revision"]
+    # invalidated path
+    store.patch("metrics~/m000", {"v": 123.0})
+    v1 = store.storage.current_version()
+    assert store.refresh_rollup("metrics~", store.rollup_defs("metrics~")[0].rollup_id) == "invalidated"
+    assert store.storage.current_version() == v1 + 1
+    # rebuild path (truncated feed)
+    store.put("metrics~/m021", {"ts": "2024-01-06 02:00:00", "k": "k1", "v": 8.0})
+    store.truncate_feed(2**62)
+    v2 = store.storage.current_version()
+    assert store.refresh_rollup("metrics~", store.rollup_defs("metrics~")[0].rollup_id) == "rebuilt"
+    assert store.storage.current_version() == v2 + 1
+    df, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day")
+    assert route.refresh_mode == "fresh"
+    assert _mv_rows(df) == _direct(store)
+
+
+def test_rest_null_bucket_serializes(store):
+    # an item whose value fails try_cast lands in the NULL-value bucket
+    # (n counts it, total/vmin/vmax are NULL): the REST serializer must
+    # return 200 with null fields, not raise float(None) out of handle()
+    from hyper_storage_spark.rest import RestFacade
+
+    store.put("metrics~/weird", {"ts": "2024-01-07 00:00:00", "k": "k0", "v": "not-a-number"})
+    rest = RestFacade(store)
+    r = rest.handle("POST", "metrics~/_rollups", {"ts_field": "ts", "key_fields": ["k"], "value_field": "v", "schema": SCHEMA})
+    assert r.status == 201
+    r = rest.handle("GET", f"metrics~/_rollups/{r.body['rollup_id']}")
+    assert r.status == 200
+    null_bucket = [e for e in r.body["_embedded"]["els"] if e["total"] is None]
+    assert null_bucket and all(e["vmin"] is None and e["vmax"] is None for e in null_bucket)
+
+
+def test_coarsen_serve_keeps_widened_total(store):
+    # the coarsen-serve path must NOT narrow the summed total back to
+    # decimal(30,6): the month view's total is Spark's widened sum type
+    store.create_rollup("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    df, _ = store.aggregate("metrics~", "ts", ["k"], "v", resolution="month")
+    total_type = dict(df.dtypes)["total"]
+    assert total_type == "decimal(38,6)", total_type
