@@ -576,6 +576,86 @@ def pq_encode(
     )
 
 
+class PQIndex:
+    """The persistable state of a PQ corpus — the ANN counterpart of
+    :func:`..dedup.minhash_band_index`'s band table:
+
+    - ``codebooks``: (m, n_codes, dim/m) ndarray — driver-sized model
+      state (a few KB), round-trippable through a DataFrame via
+      :func:`pq_codebook_table` / :func:`pq_codebooks_from_table` so
+      it can live next to the codes as plain parquet;
+    - ``codes``: (id, codes array<int>) DataFrame — the distributed
+      compressed corpus, O(corpus · m) small ints.
+
+    An incremental pipeline persists both once, then per batch runs
+    :func:`pq_append` (encode ONLY the new rows with the FROZEN
+    codebooks — no retrain, the FAISS add() convention) and serves
+    searches through :func:`pq_search`."""
+
+    def __init__(self, codebooks: np.ndarray, codes: DataFrame):
+        self.codebooks = codebooks
+        self.codes = codes
+
+
+def pq_codebook_table(spark, codebooks: np.ndarray) -> DataFrame:
+    """Codebooks as a (subspace, code, centroid) DataFrame — the
+    parquet-persistable face of the driver-side ndarray."""
+    rows = [
+        (i, c, [float(x) for x in codebooks[i, c]])
+        for i in range(codebooks.shape[0])
+        for c in range(codebooks.shape[1])
+    ]
+    return spark.createDataFrame(rows, "subspace int, code int, centroid array<double>")
+
+
+def pq_codebooks_from_table(df: DataFrame) -> np.ndarray:
+    """Inverse of :func:`pq_codebook_table` (codebooks are KB-sized —
+    a driver collect by design)."""
+    rows = df.collect()
+    m = max(r.subspace for r in rows) + 1
+    n_codes = max(r.code for r in rows) + 1
+    sub = len(rows[0].centroid)
+    out = np.zeros((m, n_codes, sub))
+    for r in rows:
+        out[r.subspace, r.code] = r.centroid
+    return out
+
+
+def pq_index(
+    emb: DataFrame,
+    m: int = 16,
+    n_codes: int = 32,
+    sample_rows: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PQIndex:
+    """Train codebooks (bounded hash-ordered driver sample) and encode
+    the corpus — the one-off index bootstrap. Everything after is
+    :func:`pq_append` / :func:`pq_search` against this state."""
+    cb = pq_train(
+        emb, m=m, n_codes=n_codes, sample_rows=sample_rows, seed=seed,
+        vec_col=vec_col, id_col=id_col,
+    )
+    return PQIndex(cb, pq_encode(emb, cb, id_col=id_col, vec_col=vec_col))
+
+
+def pq_append(index: PQIndex, batch: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> PQIndex:
+    """Add a batch to a persisted PQ index: encode ONLY the new rows
+    with the existing (frozen) codebooks and union the codes — O(batch)
+    Arrow-vectorized work, no retrain, no touch of the stored corpus
+    codes. Same id discipline as incremental_minhash_pairs: batch ids
+    are assumed distinct from indexed ids (route re-ingests through
+    exact dedup first). Codebooks trained on the bootstrap corpus keep
+    serving appended batches exactly the way a FAISS index does —
+    re-train (a new pq_index) only when the embedding distribution
+    itself drifts."""
+    return PQIndex(
+        index.codebooks,
+        index.codes.unionByName(pq_encode(batch, index.codebooks, id_col=id_col, vec_col=vec_col)),
+    )
+
+
 def pq_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -589,7 +669,29 @@ def pq_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """PQ-ADC ANN with exact re-ranking: (query_id, neighbor_id, rank,
-    cosine) — the FAISS IVFADC recipe's flat form, Spark-first.
+    cosine) — the FAISS IVFADC recipe's flat form, Spark-first. The
+    from-scratch convenience face: builds a throwaway :func:`pq_index`
+    and searches it; a production pipeline persists the index once and
+    calls :func:`pq_search` directly (no per-call retrain)."""
+    idx = pq_index(
+        emb, m=m, n_codes=n_codes, sample_rows=sample_rows, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return pq_search(idx, emb, query_ids, k=k, refine=refine, id_col=id_col, vec_col=vec_col)
+
+
+def pq_search(
+    index: PQIndex,
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    refine: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a (persisted) PQ index: (query_id, neighbor_id, rank,
+    cosine). ``emb`` supplies the query vectors and the exact re-rank
+    fetch; the scan itself reads ONLY the compressed codes.
 
     Search is asymmetric distance computation: per query, ONE (m ×
     n_codes) lookup table of subvector dot products; the corpus scan
@@ -603,12 +705,9 @@ def pq_topk(
     exact work at queries × k·refine."""
     from pyspark.sql import Window
 
-    cb = pq_train(
-        emb, m=m, n_codes=n_codes, sample_rows=sample_rows, seed=seed,
-        vec_col=vec_col, id_col=id_col,
-    )
+    cb = index.codebooks
     sub = cb.shape[2]
-    codes = pq_encode(emb, cb, id_col=id_col, vec_col=vec_col)
+    codes = index.codes
 
     qrows = emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
     qids = [r[0] for r in qrows]

@@ -2309,6 +2309,60 @@ def ann_pq_raw(spark, sf_dir):
     return similarity.pq_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
 
 
+_ANN_PQ_INCR_SQL = """
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(10 AS BIGINT) AS n_results,
+       true AS recall_ok,
+       true AS corpus_recall_ok,
+       true AS incremental_eq
+FROM (SELECT unnest([0, 1, 2, 3, 4]) AS query_id)
+"""
+
+
+@register_extra("ann_pq_incremental", _ANN_PQ_INCR_SQL)
+def ann_pq_incremental(spark, sf_dir):
+    """The persisted-PQ-index path (similarity.pq_index / pq_append /
+    pq_search — round 9): bootstrap the index on 90% of the corpus
+    (vec_id % 10 != 7), append the 10% "daily batch" by encoding ONLY
+    its rows with the frozen codebooks (no retrain — the FAISS add()
+    convention, the ANN twin of dedup_minhash_incremental's persisted
+    band index), then search the combined index. Two gates per query:
+    the standard recall contract vs the exact top-10, AND
+    ``incremental_eq`` — the incremental result must equal, row for
+    row (id, rank, exact cosine), a one-shot encode of the full corpus
+    under the same codebooks, proving append+search ≡ bulk-build."""
+    emb = _t(spark, sf_dir, "embeddings")
+    boot = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 7)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7)
+    qids = [0, 1, 2, 3, 4]
+    idx = similarity.pq_index(boot)
+    ann = similarity.pq_search(similarity.pq_append(idx, batch), emb, qids, k=10)
+    oneshot = similarity.pq_search(
+        similarity.PQIndex(idx.codebooks, similarity.pq_encode(emb, idx.codebooks)),
+        emb,
+        qids,
+        k=10,
+    )
+    contract = _ann_contract(ann, similarity.cosine_topk(emb, qids, k=10), min_recall_pct=80)
+    a_cnt = ann.groupBy("query_id").agg(F.count("*").alias("na"))
+    o_cnt = oneshot.groupBy("query_id").agg(F.count("*").alias("no"))
+    both = ann.join(
+        oneshot, ["query_id", "neighbor_id", "rank", "cosine"], "left_semi"
+    ).groupBy("query_id").agg(F.count("*").alias("ni"))
+    eq = (
+        a_cnt.join(o_cnt, "query_id")
+        .join(both, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                (F.col("na") == F.col("no"))
+                & (F.coalesce("ni", F.lit(0)) == F.col("na"))
+            ).alias("incremental_eq"),
+        )
+    )
+    return contract.join(eq, "query_id")
+
+
 @register_extra("ann_lsh_bucket_raw", None)  # hyperplane constants live Spark-side
 def ann_lsh_bucket_raw(spark, sf_dir):
     return similarity.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)

@@ -2987,3 +2987,44 @@ def test_pq_train_sample_unbiased_on_clustered_corpus(spark):
            for r in similarity.pq_topk(emb, [0, 399], k=10, m=2, n_codes=16,
                                        refine=32, sample_rows=64).collect()}
     assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_pq_index_reuse_append_and_roundtrip(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 10, 20]
+    # index reuse ≡ the from-scratch convenience face (pq_topk builds
+    # the identical index internally — search must not depend on WHEN
+    # the index was built)
+    idx = similarity.pq_index(emb)
+    via_index = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.cosine)
+        for r in similarity.pq_search(idx, emb, qids, k=10).collect()
+    )
+    from_scratch = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.cosine)
+        for r in similarity.pq_topk(emb, qids, k=10).collect()
+    )
+    assert via_index == from_scratch
+    # searching the same index twice retrains nothing and returns the
+    # same rows (codebooks are frozen state, encode is deterministic)
+    again = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.cosine)
+        for r in similarity.pq_search(idx, emb, qids, k=10).collect()
+    )
+    assert again == via_index
+    # append ≡ one-shot encode under the same codebooks
+    boot = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 7)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7)
+    bidx = similarity.pq_index(boot)
+    appended = similarity.pq_append(bidx, batch)
+    oneshot = similarity.PQIndex(bidx.codebooks, similarity.pq_encode(emb, bidx.codebooks))
+    a = sorted((r.query_id, r.neighbor_id, r.rank, r.cosine)
+               for r in similarity.pq_search(appended, emb, qids, k=10).collect())
+    b = sorted((r.query_id, r.neighbor_id, r.rank, r.cosine)
+               for r in similarity.pq_search(oneshot, emb, qids, k=10).collect())
+    assert a == b
+    # codebooks round-trip through their parquet-persistable table form
+    back = similarity.pq_codebooks_from_table(similarity.pq_codebook_table(spark, bidx.codebooks))
+    assert np.array_equal(back, bidx.codebooks)
