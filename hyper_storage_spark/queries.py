@@ -405,6 +405,298 @@ def q6_revenue_change(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Synthetic partsupp: the driver's parquet set has no partsupp table, which
+# blocked the TPC-H q2/q9/q11/q16/q20 join/agg shapes through rounds 5-8.
+# Both engines synthesize the IDENTICAL frame IN-PLAN from lineitem's
+# distinct (l_partkey, l_suppkey) pairs — foreign-key-consistent by
+# construction — with availqty/supplycost derived from the first 13 hex
+# digits of seeded md5 (exact in both engines; the md5-uniform discipline
+# of sampling.md5_uniform). Supply cost is kept in integer CENTS so every
+# threshold comparison is pure BIGINT/decimal-exact arithmetic.
+# --------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         CAST(1 + ('0x' || substr(md5('a:' || ps_partkey || ':' || ps_suppkey), 1, 13))::UBIGINT % 9999 AS BIGINT) AS ps_availqty,
+         CAST(100 + ('0x' || substr(md5('c:' || ps_partkey || ':' || ps_suppkey), 1, 13))::UBIGINT % 99900 AS BIGINT) AS ps_supplycost_cents
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem)
+)"""
+
+# exact decimal dollars from integer cents: multiply by DECIMAL 0.01,
+# never divide (DuckDB's / returns DOUBLE; Spark's decimal-division
+# scale rules differ) — both engines do exact decimal multiplication
+_PS_COST_SQL = "CAST(ps_supplycost_cents AS DECIMAL(14,2)) * CAST(0.01 AS DECIMAL(4,2))"
+
+
+def _synth_partsupp(spark, sf_dir):
+    """The partsupp-shaped frame, Spark side (see _PARTSUPP_SQL — the
+    DuckDB oracle builds the identical rows). One distinct over the
+    lineitem key pair (a single shuffle, O(pairs) rows ~ 86% of
+    lineitem at the gate SFs); the hash columns are codegen'd md5 over
+    the pair, no UDFs. At 100 TB the frame co-partitions with whatever
+    key the consumer joins on — it is derived, not stored."""
+    pair = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+
+    def h(salt):
+        s = F.concat_ws(":", F.lit(salt), F.col("ps_partkey"), F.col("ps_suppkey"))
+        return F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("bigint")
+
+    return pair.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (F.lit(1) + h("a") % 9999).alias("ps_availqty"),
+        (F.lit(100) + h("c") % 99900).alias("ps_supplycost_cents"),
+    )
+
+
+def _ps_cost_spark():
+    # a function, not a module-level Column: Column construction needs
+    # an active SparkContext, which imports must not assume
+    return F.col("ps_supplycost_cents").cast("decimal(14,2)") * F.expr(
+        "CAST(0.01 AS DECIMAL(4,2))"
+    )
+
+
+@register_extra(
+    "q2_min_cost_supplier",
+    f"""WITH {_PARTSUPP_SQL},
+eu AS (
+  SELECT ps_partkey, ps_supplycost_cents, s_name, s_acctbal, n_name
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+  JOIN part ON p_partkey = ps_partkey AND p_type = 'SMALL'
+),
+m AS (SELECT *, MIN(ps_supplycost_cents) OVER (PARTITION BY ps_partkey) AS min_cents FROM eu)
+SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+       CAST(ROUND({_PS_COST_SQL}, 2) AS DOUBLE) AS supplycost
+FROM m WHERE ps_supplycost_cents = min_cents
+ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): for every SMALL-type
+    part, the European supplier(s) with the minimal supply cost —
+    the correlated-min subquery expressed as a window MIN over the
+    part key (one shuffle on ps_partkey), dimension tables broadcast.
+    The min comparison runs on integer cents (exact); ties keep every
+    minimal supplier, and the top-100 order has a total tie-break."""
+    ps = _synth_partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    eu = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("ps_partkey", "ps_supplycost_cents", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        eu.withColumn("min_cents", F.min("ps_supplycost_cents").over(w))
+        .filter(F.col("ps_supplycost_cents") == F.col("min_cents"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            F.round(_ps_cost_spark(), 2).cast("double").alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register_extra(
+    "q9_product_type_profit",
+    f"""WITH {_PARTSUPP_SQL}
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))
+                      - {_PS_COST_SQL} * CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN part ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+GROUP BY 1, 2""",
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): the six-table join —
+    lineitem x orders on the order key, partsupp on the COMPOUND
+    (partkey, suppkey) key, three broadcast dims. Profit stays exact
+    decimal until the final ROUND(...,2)::DOUBLE. Scale: the two
+    fact-fact joins shuffle on their join keys (AQE picks the
+    strategy); part is filtered before the join so the like-predicate
+    prunes the build side."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    ps = _synth_partsupp(spark, sf_dir)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    qty = F.col("l_quantity").cast(DEC)
+    profit = price * (F.lit(1) - disc) - _ps_cost_spark() * qty
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(ps, (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@register_extra(
+    "q11_important_stock",
+    f"""WITH {_PARTSUPP_SQL},
+v AS (
+  SELECT ps_partkey, SUM(ps_supplycost_cents * ps_availqty) AS value_cents
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7'
+  GROUP BY 1
+),
+t AS (SELECT SUM(value_cents) AS total_cents, COUNT(*) AS n_parts FROM v)
+SELECT ps_partkey,
+       CAST(ROUND(CAST(value_cents AS DECIMAL(24,2)) * CAST(0.01 AS DECIMAL(4,2)), 2) AS DOUBLE) AS value
+FROM v, t WHERE value_cents * n_parts > 2 * total_cents
+ORDER BY value DESC, ps_partkey""",
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-part inventory value for
+    one nation's suppliers, kept when above 2x the MEAN part value —
+    TPC-H's own fraction scales with 1/SF for exactly this reason, so
+    the gate uses a scale-free threshold that binds at the gate SFs
+    (187 rows at 0.01, 1748 at 0.1; sf0.001's 10 suppliers include
+    none from NATION_7, so the frame is legitimately empty there). The
+    scalar subquery is a one-row broadcast cross join, and the
+    comparison is pure BIGINT cents (value*n_parts > 2*total),
+    bit-identical in both engines."""
+    ps = _synth_partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    v = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("value_cents"))
+    )
+    total = v.agg(F.sum("value_cents").alias("total_cents"), F.count("*").alias("n_parts"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * F.col("n_parts") > 2 * F.col("total_cents"))
+        .select(
+            "ps_partkey",
+            F.round(
+                F.col("value_cents").cast("decimal(24,2)") * F.expr("CAST(0.01 AS DECIMAL(4,2))"),
+                2,
+            )
+            .cast("double")
+            .alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+@register_extra(
+    "q16_parts_supplier_relationship",
+    f"""WITH {_PARTSUPP_SQL}
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (2, 5, 11, 28, 37, 42)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+)
+def q16_parts_supplier_relationship(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    counts per (brand, type, size) with a NOT-IN exclusion subquery —
+    the exclusion runs as a broadcast LEFT ANTI join (the supplier
+    blacklist is dim-sized), the distinct count is one expand+agg
+    shuffle on the grouping key."""
+    ps = _synth_partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(2, 5, 11, 28, 37, 42))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register_extra(
+    "q20_potential_promotion",
+    f"""WITH {_PARTSUPP_SQL},
+lq AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,4))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT DISTINCT s_name, s_acctbal
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'red%'
+JOIN lq ON lq.l_partkey = ps_partkey AND lq.l_suppkey = ps_suppkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+WHERE CAST(ps_availqty AS DECIMAL(20,4)) > CAST(100 AS DECIMAL(4,0)) * qty
+ORDER BY s_name""",
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): suppliers in one
+    nation holding excess stock (availqty > 100x the 1996 shipped
+    quantity) of red parts — the nested exists-chain expressed as a
+    pre-aggregated lineitem frame joined on the compound key, then a
+    distinct over the surviving suppliers. The quantity threshold
+    compares exact decimals; every dimension is broadcast."""
+    ps = _synth_partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    lq = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+    )
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(lq, (ps.ps_partkey == lq.l_partkey) & (ps.ps_suppkey == lq.l_suppkey))
+        .join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .filter(
+            F.col("ps_availqty").cast("decimal(20,4)")
+            > F.expr("CAST(100 AS DECIMAL(4,0))") * F.col("qty")
+        )
+        .select("s_name", "s_acctbal")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
 @register_extra(
     "q_window_running_total",
     """SELECT o_orderkey, o_custkey,
