@@ -1224,7 +1224,7 @@ def q_window_ntile(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "q_grouping_sets",
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total,
@@ -2553,7 +2553,7 @@ def ann_lsh_bucket(spark, sf_dir):
     return _ann_contract(ann, exact, min_recall_pct=80)
 
 
-@register("ann_ivf", _ANN_CONTRACT_SQL)
+@register_extra("ann_ivf", _ANN_CONTRACT_SQL)
 def ann_ivf(spark, sf_dir):
     """IVF ANN (k-means cells, 10-of-16 probing), driven through its
     contract: 10 results per query, per-query recall ≥ 0.8, AND
@@ -2573,7 +2573,7 @@ def ann_ivf(spark, sf_dir):
     return _ann_contract(ann, exact, min_recall_pct=80)
 
 
-@register_extra("ann_pq_contract", _ANN_CONTRACT_SQL)
+@register("ann_pq_contract", _ANN_CONTRACT_SQL)
 def ann_pq_contract(spark, sf_dir):
     """Product-quantization ANN (operators/similarity.py pq_topk — the
     FAISS ADC recipe, round 8), driven through the standard contract:
@@ -2730,7 +2730,7 @@ def text_langid(spark, sf_dir):
     return text.with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "lang_pred")
 
 
-@register(
+@register_extra(
     "text_fingerprint",
     """WITH toks AS (
          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
@@ -2977,7 +2977,7 @@ def mm_resize(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "mm_frame_sample",
     """WITH v AS (
          SELECT doc_id, octet_length(encode(text)) AS n FROM documents
@@ -4069,7 +4069,7 @@ def ts_range_join(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "ts_rollup_hypertable",
     """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, CAST(value AS DECIMAL(18,6)) AS v
                   FROM events)
@@ -4569,7 +4569,7 @@ def q_token_budget_select(spark, sf_dir):
     ).select("doc_id", "n_chars", "cum_chars")
 
 
-@register(
+@register_extra(
     "q_countmin_heavy_hitters",
     """SELECT value, n_exact, true AS overestimates, true AS within_eps_n
        FROM (
@@ -7381,7 +7381,7 @@ def q_peak_to_average(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "store_rollup_serve",
     """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
                          CAST(value AS DECIMAL(20,6)) AS v
@@ -7481,7 +7481,7 @@ def q_map_functions(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "q_unpivot_metrics",
     """WITH m AS (
          SELECT 'quantity' AS metric, CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
@@ -7518,7 +7518,7 @@ def q_unpivot_metrics(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "ts_seasonality_profile",
     """WITH cells AS (
          SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
@@ -7599,7 +7599,7 @@ FROM draws
 """
 
 
-@register_extra("q_leakage_safe_split", _LEAKAGE_SPLIT_SQL)
+@register("q_leakage_safe_split", _LEAKAGE_SPLIT_SQL)
 def q_leakage_safe_split(spark, sf_dir):
     """Leakage-safe train/val/test split
     (operators/sampling.py:leakage_safe_split): near-duplicate
@@ -7619,7 +7619,7 @@ def q_leakage_safe_split(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "store_rollup_invalidate",
     """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
                          CAST(CASE WHEN event_id % 10 = 3
@@ -7810,6 +7810,31 @@ def all_specs() -> dict[str, QuerySpec]:
 # index in-plan), q_stream_static_join (q_stream_interval_join
 # survives for Structured Streaming joins — the strictly harder
 # stream-stream case; the broadcast static-dim face stays in EXTRA).
+#
+# Rotated IN (r9) — round-8's strongest unrepresented work, per the
+# round-8 review: store_rollup_serve + store_rollup_invalidate (the
+# only PLAN-ASSERTED MV-routing entries — the planner choosing
+# "merged" vs "invalidated" refresh is exactly what the gate should
+# pin), ann_pq_contract (the PQ recall certificate over trained
+# codebooks + ADC scan + exact re-rank), q_leakage_safe_split
+# (near-dup families split as units, exact assignment replayed via
+# recursive CTE), ts_seasonality_profile (calendar-bounded 168-cell
+# reduction), q_unpivot_metrics (native Expand reshape, shuffle-free).
+# Rotated OUT to EXTRA, each redundant with a surviving driver row:
+# ts_rollup_hypertable (store_rollup_serve/invalidate run the rollup
+# machinery THROUGH the store — planner-routed and plan-asserted, a
+# strict superset; mv_rollup_quantile_contract keeps the mergeable-
+# partials face), mm_frame_sample (mm_feature_extract drives the same
+# mapInPandas multimodal plumbing; the mp4 path stays oracle-checked
+# in EXTRA), q_grouping_sets (q_unpivot_metrics exercises the same
+# physical Expand operator; q1/q_events_json_agg keep multi-shape
+# aggregation), text_fingerprint (text_quality_score/text_langid keep
+# the single-traversal text-struct class; the fingerprint row stays in
+# EXTRA), q_countmin_heavy_hitters (store_analyze_stats +
+# mv_rollup_quantile_contract keep sketch-sized reductions driver-
+# covered), ann_ivf (ann_pq_contract is the richer trained-state ANN
+# gate — codebook k-means IS adaptive cells — and ann_join_contract
+# keeps the hyperplane family; the IVF contract stays in EXTRA).
 if len(QUERIES) != 50:
     raise RuntimeError(
         f"driver-tier catalog has {len(QUERIES)} entries; the gate records exactly 50"
