@@ -116,6 +116,24 @@ class RollupRoute:
     coarsened: bool = False
 
 
+def _pin_current(store, attempts: int = 5):
+    """A read-only store pinned to the CURRENT manifest version. Under
+    heavy cross-process write traffic the version read and its snapshot
+    file can race a foreign flip mid-publication (or churn out of the
+    retention window between the two calls) — retry briefly; the
+    current version is re-read each attempt, so this always converges
+    on a quiescing store."""
+    import time as _time
+
+    for i in range(attempts):
+        try:
+            return store.at_version(store.storage.current_version())
+        except ValueError:
+            if i == attempts - 1:
+                raise
+            _time.sleep(0.01 * (i + 1))
+
+
 def _serves(def_res: str, want_res: str) -> bool:
     if def_res == want_res:
         return True
@@ -339,16 +357,18 @@ def create_rollup(
             uri, rollup_id, STATUS_INDEXING, ts_field, tuple(key_fields),
             value_field, resolution, schema, tname, 0, distinct_field, sumsq,
         )
-        # re-read INSIDE the lock: a write committed between the early
-        # validation read and lock acquisition would otherwise be baked
-        # into the MV but ABOVE the recorded watermark — the next merge
-        # would add it a second time
-        static = store._get_static(uri)
-        built_rev = static["revision"]
+        # build from a PINNED snapshot (same discipline as
+        # refresh_rollup): the in-process lock cannot stop a foreign
+        # process's write from landing between the static read and the
+        # partials computation — with live reads that write would be
+        # baked into the MV but ABOVE the recorded watermark, and the
+        # next merge would add it a second time
+        pinned = _pin_current(store)
+        built_rev = pinned._get_static(uri)["revision"]
         from ..operators.rollup_mv import rollup_partials
 
         partials = rollup_partials(
-            _typed_rows(store, d), ts_field, list(key_fields), value_field, resolution,
+            _typed_rows(pinned, d), ts_field, list(key_fields), value_field, resolution,
             distinct_col=distinct_field, sumsq=sumsq,
         )
         # MV registration and the NORMAL flip in one commit — only
@@ -556,27 +576,38 @@ def refresh_rollup(store, uri: str, rollup_id: str) -> str:
         d = next((r for r in rollup_defs(store, uri) if r.rollup_id == rollup_id), None)
         if d is None:
             raise ValueError(f"no rollup {rollup_id!r} on {uri!r}")
-        static = store._get_static(uri)
+        # EVERY data read below goes through a snapshot pinned to one
+        # manifest version, and built_revision records THAT snapshot's
+        # static revision. The in-process lock cannot stop a foreign
+        # PROCESS from flipping mid-refresh: with live reads, a write
+        # landing between the static read and the partials computation
+        # gets absorbed into the MV while the watermark records the
+        # older revision — the next refresh re-classifies those rows
+        # as delta and merges them a second time. Pinning makes
+        # MV-content ≡ state@built_revision true by construction at
+        # any interleaving (caught by tools/soak.py invariant 5).
+        pinned = _pin_current(store)
+        static = pinned._get_static(uri)
         if static is None or static["is_deleted"]:
             raise NotFoundError(uri)
         current_rev = static["revision"]
         if d.status == STATUS_NORMAL and current_rev == d.built_revision:
             return "fresh"
-        mode = "rebuild" if d.status != STATUS_NORMAL else _delta_class(store, d, current_rev)
+        mode = "rebuild" if d.status != STATUS_NORMAL else _delta_class(pinned, d, current_rev)
         # every refresh path commits the MV and its watermark in ONE
         # manifest flip (_write_mv_and_def): the merge path in
         # particular is NOT idempotent — a crash between a committed
         # MV and a separate built_revision bump would re-merge the
         # same delta on the next refresh (permanent double-count)
         if mode == "rebuild" and d.status == STATUS_NORMAL:
-            groups = _affected_groups(store, d, current_rev)
+            groups = _affected_groups(pinned, d, current_rev)
             if groups is not None:
-                stitched = _refresh_invalidated(store, d, groups)
+                stitched = _refresh_invalidated(pinned, d, groups)
                 _write_mv_and_def(store, d, stitched, built_revision=current_rev)
                 return "invalidated"
         if mode == "merge":
             delta = rollup_partials(
-                _typed_rows(store, d, min_revision=d.built_revision),
+                _typed_rows(pinned, d, min_revision=d.built_revision),
                 d.ts_field,
                 list(d.key_fields),
                 d.value_field,
@@ -584,12 +615,12 @@ def refresh_rollup(store, uri: str, rollup_id: str) -> str:
                 distinct_col=d.distinct_field,
                 sumsq=d.sumsq,
             )
-            existing = store.storage.spark_df_or_empty(store.spark, d.table_name, _mv_ddl(store, d))
+            existing = pinned.storage.spark_df_or_empty(store.spark, d.table_name, _mv_ddl(store, d))
             merged = rollup_merge(existing, _conform(d, delta), list(d.key_fields))
             _write_mv_and_def(store, d, merged, built_revision=current_rev)
             return "merged"
         partials = rollup_partials(
-            _typed_rows(store, d), d.ts_field, list(d.key_fields), d.value_field,
+            _typed_rows(pinned, d), d.ts_field, list(d.key_fields), d.value_field,
             d.resolution, distinct_col=d.distinct_field, sumsq=d.sumsq,
         )
         _write_mv_and_def(

@@ -2088,3 +2088,28 @@ def test_store_admin_health_ok_on_bulk_loaded_store(spark, tmp_path):
     assert c["live_items"] == 11 and c["feed_bounded"]
     assert not c["feed_covers_all_revisions"]  # informational, not gating
     assert out["ok"] is True
+
+
+def test_chaos_soak_with_rollup_readers(spark):
+    """Invariant 5 (round 9): concurrent store.aggregate() readers and
+    time-travel re-reads run THROUGH the kill loop — every comparison
+    where the refreshed MV is provably at the pinned snapshot's
+    revision must equal a direct base aggregation over the same
+    snapshot, the final quiesced refresh must compare (and hold), and
+    every retained historical answer must re-read identically after
+    the kills and concurrent vacuums. The longer run (4x3x120 s) is
+    recorded in SCALE.md §chaos soak."""
+    import tempfile
+
+    import tools.soak as soak
+
+    out = soak.run_soak(
+        tempfile.mkdtemp(prefix="soak_r_"), procs=2, threads=2, seconds=20,
+        kill_every=5.0, spark=spark,
+    )
+    assert out["kills"] >= 1, "the kill loop never fired — not a chaos test"
+    assert out["failures"] == [] and out["worker_errors"] == []
+    rr = out["rollup_reader"]
+    # the final quiesced pass guarantees at least one real comparison
+    assert rr["comparisons"] >= 1
+    assert rr["history_replayed"] >= 1

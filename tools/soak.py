@@ -20,9 +20,22 @@ Invariants asserted (not eyeballed), after a closing recover():
   4. ZERO ORPHANS — every manifest-referenced file exists on disk; no
      incomplete WAL transactions survive recovery; a closing vacuum
      removes only unreferenced files and the state re-reads intact.
+  5. ROLLUP READ PARITY (round 9, needs --spark / a session) — a
+     concurrent reader thread drives store.aggregate() (auto_refresh
+     on) against a registered rollup THROUGHOUT the kill loop; at
+     every iteration where the refreshed MV is provably at the
+     snapshot's revision, the served rollup answer must equal a
+     direct base aggregation over the SAME pinned manifest snapshot
+     (at_version) — and every recorded (version, answer) pair still in
+     snapshot retention must re-read IDENTICALLY at the end of the
+     run, after all the kills and concurrent vacuums. One final
+     quiesced refresh+compare runs unconditionally, so the invariant
+     is asserted at least once even if every in-loop iteration raced
+     a writer. Cross-process CAS conflicts during refresh are counted
+     and retried (the documented multi-writer norm), never asserted.
 
 Usage: python tools/soak.py [--procs 4] [--threads 3] [--seconds 45]
-       [--kill-every 4] [--root DIR]
+       [--kill-every 4] [--root DIR] [--no-spark]
 Prints one JSON line with op counts and invariant results; exit 0 iff
 all invariants hold. Used by tests/test_store.py's marked-slow soak.
 """
@@ -61,7 +74,9 @@ def record(op, path, rev):
         os.fsync(log.fileno())
 
 def body(rng):
-    return {"a": rng.randint(0, 99), "b": f"w{rng.randint(0, 9)}", "n": rng.random()}
+    # ts feeds the soak rollup (invariant 8): a day bucket per item
+    return {"a": rng.randint(0, 99), "b": f"w{rng.randint(0, 9)}", "n": rng.random(),
+            "ts": f"2024-01-{rng.randint(1, 9):02d} {rng.randint(0, 23):02d}:00:00"}
 
 def writer(tid):
     rng = random.Random(hash((wid, tid, os.getpid())) & 0xFFFF)
@@ -118,7 +133,129 @@ print("worker done", wid)
 """
 
 
-def run_soak(root: str, procs: int, threads: int, seconds: int, kill_every: float) -> dict:
+SOAK_SCHEMA = "a long, b string, n double, ts string"
+
+
+class _RollupReader:
+    """Invariant-5 driver: concurrent aggregate() reads + time-travel
+    parity checks against one rollup on soak_a~ (see module docstring)."""
+
+    def __init__(self, store, spark):
+        self.store = store
+        self.spark = spark
+        self.uri = "soak_a~"
+        self.comparisons = 0
+        self.stale_skips = 0
+        self.conflicts = 0
+        self.modes: dict[str, int] = {}
+        self.failures: list[str] = []
+        self.history: list[tuple[int, list]] = []  # (manifest version, rows)
+        store.put(f"{self.uri}/seed", {"a": 1, "b": "w0", "n": 0.5, "ts": "2024-01-01 00:00:00"})
+        self.rollup_id = store.create_rollup(
+            self.uri, "ts", ["b"], "a", resolution="day", schema=SOAK_SCHEMA,
+            rollup_id="soak-rollup",
+        )
+
+    def _rows(self, st, use_mv: bool):
+        """The comparable row set at a pinned store: the served MV view
+        (use_mv) or the direct base aggregation over the same content —
+        identical partial semantics (rollup_partials on _typed_rows)."""
+        from hyper_storage_spark.operators.rollup_mv import rollup_finalize, rollup_partials
+        from hyper_storage_spark.store import rollups as R
+
+        d = next(r for r in R.rollup_defs(st, self.uri) if r.rollup_id == self.rollup_id)
+        if use_mv:
+            df = R.rollup_view(st, self.uri, self.rollup_id)
+        else:
+            df = rollup_finalize(
+                rollup_partials(
+                    R._typed_rows(st, d), d.ts_field, list(d.key_fields),
+                    d.value_field, d.resolution,
+                )
+            )
+        return sorted(
+            (r["b"], str(r["bucket_start"]), r["n"], str(r["total"]),
+             str(r["vmin"]), str(r["vmax"]))
+            for r in df.collect()
+        )
+
+    def check_once(self, final: bool = False) -> None:
+        """One refresh + pinned-snapshot comparison. During the loop a
+        writer may land between the refresh and the snapshot pin — the
+        MV at the pin is then legitimately stale and the iteration is
+        skipped (counted); the FINAL quiesced call asserts instead."""
+        from hyper_storage_spark.store import rollups as R
+        from hyper_storage_spark.store.storage import ManifestConflict
+
+        try:
+            _, route = self.store.aggregate(
+                self.uri, "ts", ["b"], "a", resolution="day", schema=SOAK_SCHEMA,
+            )
+            self.modes[route.refresh_mode] = self.modes.get(route.refresh_mode, 0) + 1
+            v = self.store.storage.current_version()
+            snap = self.store.at_version(v)
+            d = next(r for r in R.rollup_defs(snap, self.uri) if r.rollup_id == self.rollup_id)
+            static = snap._get_static(self.uri)
+            if static["revision"] != d.built_revision:
+                self.stale_skips += 1
+                if final:
+                    self.failures.append(
+                        f"final quiesced refresh left MV stale: static "
+                        f"{static['revision']} vs built {d.built_revision}"
+                    )
+                return
+            served = self._rows(snap, use_mv=True)
+            direct = self._rows(snap, use_mv=False)
+            self.comparisons += 1
+            if served != direct:
+                only_s = [r for r in served if r not in direct][:5]
+                only_d = [r for r in direct if r not in served][:5]
+                self.failures.append(
+                    f"rollup parity broke at manifest v{v} (revision "
+                    f"{d.built_revision}): served-only {only_s}, direct-only {only_d}"
+                )
+            else:
+                self.history.append((v, served))
+        except ManifestConflict:
+            self.conflicts += 1  # a writer's flip won the CAS — retry next tick
+        except Exception as e:  # noqa: BLE001 — a reader crash is a finding
+            full = f"{type(e).__name__}: {e}"
+            # concurrent vacuum may drop a superseded MV file between a
+            # live read's plan and its collect (Spark surfaces it as
+            # FAILED_READ_FILE / KD001 cache invalidation); that is a
+            # documented read-retry, not a wrong answer — anything else
+            # is a failure. Pinned-snapshot reads are retention-
+            # protected and never hit this.
+            # "no snapshot for version": the reader's own at_version pin
+            # raced a foreign flip mid-publication or the 32-version
+            # retention churned under sustained multi-writer traffic —
+            # a skipped iteration, not a parity violation
+            retryable = ("FAILED_READ_FILE", "PATH_NOT_FOUND", "KD001",
+                         "FileNotFoundException", "no snapshot for version")
+            if any(t in full for t in retryable):
+                self.conflicts += 1
+            else:
+                self.failures.append(f"reader exception: {full[:300]}")
+
+    def replay_history(self) -> int:
+        """End-of-run time-travel: every recorded (version, answer)
+        still in snapshot retention must re-read identically — kills
+        and concurrent vacuums must never rewrite history."""
+        retained = set(self.store.storage.versions())
+        replayed = 0
+        for v, rows in self.history:
+            if v not in retained:
+                continue
+            got = self._rows(self.store.at_version(v), use_mv=True)
+            replayed += 1
+            if got != rows:
+                self.failures.append(f"time-travel re-read of v{v} diverged from live read")
+        return replayed
+
+
+def run_soak(
+    root: str, procs: int, threads: int, seconds: int, kill_every: float, spark=None
+) -> dict:
     from hyper_storage_spark.store import DocumentStore
     from hyper_storage_spark.store.documents import CONTENT, FEED, STATICS
 
@@ -132,6 +269,25 @@ def run_soak(root: str, procs: int, threads: int, seconds: int, kill_every: floa
             stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
         )
 
+    # rollup reader (invariant 5) registers its def BEFORE the writer
+    # fleet spawns — registration is uncontended; everything after
+    # runs concurrent with the kill loop
+    reader = None
+    rthread = None
+    if spark is not None:
+        import threading
+
+        reader = _RollupReader(DocumentStore(root, spark=spark), spark)
+        read_stop = time.time() + seconds - 2
+
+        def _read_loop():
+            while time.time() < read_stop:
+                reader.check_once()
+                time.sleep(0.3)
+
+        rthread = threading.Thread(target=_read_loop)
+        rthread.start()
+
     workers = {w: spawn(w) for w in range(procs)}
     deadline = time.time() + seconds
     kills = 0
@@ -144,6 +300,8 @@ def run_soak(root: str, procs: int, threads: int, seconds: int, kill_every: floa
             p.wait()
             kills += 1
             workers[w] = spawn(w)  # respawn: fresh process, same root
+    if rthread is not None:
+        rthread.join(timeout=seconds + 60)
     errs = []
     for w, p in workers.items():
         try:
@@ -211,14 +369,26 @@ def run_soak(root: str, procs: int, threads: int, seconds: int, kill_every: floa
     manifest = store.storage._read_manifest()
     for table, buckets in manifest["tables"].items():
         for rel in buckets.values():
-            if not os.path.exists(os.path.join(root, rel)):
-                failures.append(f"manifest references missing file {rel}")
+            # external commits (MV flips, bulk ingests) register LISTS
+            # of files per bucket; row commits register one path
+            for r in rel if isinstance(rel, list) else [rel]:
+                if not os.path.exists(os.path.join(root, r)):
+                    failures.append(f"manifest references missing file {r}")
     # 4b. WAL drained
     from hyper_storage_spark.store.documents import TRANSACTIONS
 
     incomplete = [t for t in store.storage.all_rows(TRANSACTIONS) if not t["completed_at"]]
     if incomplete:
         failures.append(f"{len(incomplete)} incomplete transactions survive recovery")
+    # 5. rollup read parity: the quiesced final refresh+compare MUST
+    # hold (no writer races left to excuse a skip), and every retained
+    # historical answer must re-read identically — both BEFORE the
+    # closing vacuum, so 4c also proves vacuum kept what they reference
+    replayed = 0
+    if reader is not None:
+        reader.check_once(final=True)
+        replayed = reader.replay_history()
+        failures.extend(reader.failures)
     # 4c. closing vacuum keeps state readable
     before = {(c["document_uri"], c["item_id"], c["revision"]) for c in content}
     removed = store.vacuum(grace_seconds=0.0, keep_versions=0)
@@ -230,7 +400,7 @@ def run_soak(root: str, procs: int, threads: int, seconds: int, kill_every: floa
     if before != after:
         failures.append("vacuum changed live state")
 
-    return {
+    out = {
         "procs": procs, "threads": threads, "seconds": seconds, "kills": kills,
         "ops_logged": ops_logged,
         "revisions": {u: s["revision"] for u, s in statics.items()},
@@ -242,6 +412,15 @@ def run_soak(root: str, procs: int, threads: int, seconds: int, kill_every: floa
         "failures": failures,
         "ok": not failures and not errs and not op_exceptions,
     }
+    if reader is not None:
+        out["rollup_reader"] = {
+            "comparisons": reader.comparisons,
+            "stale_skips": reader.stale_skips,
+            "cas_conflicts_retried": reader.conflicts,
+            "refresh_modes": reader.modes,
+            "history_replayed": replayed,
+        }
+    return out
 
 
 def main() -> None:
@@ -251,9 +430,16 @@ def main() -> None:
     ap.add_argument("--seconds", type=int, default=45)
     ap.add_argument("--kill-every", type=float, default=4.0)
     ap.add_argument("--root", default=None)
+    ap.add_argument("--no-spark", action="store_true",
+                    help="skip the rollup-reader invariant (no Spark session)")
     args = ap.parse_args()
     root = args.root or tempfile.mkdtemp(prefix="soak_")
-    out = run_soak(root, args.procs, args.threads, args.seconds, args.kill_every)
+    spark = None
+    if not args.no_spark:
+        from hyper_storage_spark.session import get_spark
+
+        spark = get_spark("soak_rollup_reader", cpus=8)
+    out = run_soak(root, args.procs, args.threads, args.seconds, args.kill_every, spark=spark)
     print(json.dumps(out))
     sys.exit(0 if out["ok"] else 1)
 
