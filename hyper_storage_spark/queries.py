@@ -697,6 +697,145 @@ def q20_potential_promotion(spark, sf_dir):
     )
 
 
+# lineitem extension for the q12/q21 shapes: the driver's lineitem has
+# no receipt/commit dates and no shipmode; both engines synthesize the
+# IDENTICAL columns from seeded md5 over (l_orderkey, l_linenumber) —
+# receipt = ship + [1,30] days, commit = ship + [-25,34] days, mode =
+# one of seven. Determinism is the contract (duplicated line numbers
+# get identical values in both engines); day offsets are integer-exact.
+_LINEITEM_EXT_SQL = """lineitem_ext AS (
+  SELECT *,
+    l_shipdate + to_days(CAST(1 + ('0x' || substr(md5('r:' || l_orderkey || ':' || l_linenumber), 1, 13))::UBIGINT % 30 AS INTEGER)) AS l_receiptdate,
+    l_shipdate + to_days(CAST(('0x' || substr(md5('m:' || l_orderkey || ':' || l_linenumber), 1, 13))::UBIGINT % 60 AS INTEGER) - 25) AS l_commitdate,
+    ['AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK'][CAST(('0x' || substr(md5('s:' || l_orderkey || ':' || l_linenumber), 1, 13))::UBIGINT % 7 AS INTEGER) + 1] AS l_shipmode
+  FROM lineitem
+)"""
+
+
+def _synth_lineitem_ext(spark, sf_dir):
+    """The extended lineitem frame, Spark side (see _LINEITEM_EXT_SQL).
+    Pure codegen column synthesis over the base scan — no shuffle, no
+    UDFs; at 100 TB it costs what the scan costs."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def h(salt):
+        s = F.concat_ws(":", F.lit(salt), F.col("l_orderkey"), F.col("l_linenumber"))
+        return F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("bigint")
+
+    return (
+        li.withColumn("__hr", (1 + h("r") % 30).cast("int"))
+        .withColumn("__hm", ((h("m") % 60).cast("int") - 25))
+        .withColumn("__hs", (h("s") % 7).cast("int"))
+        .withColumn("l_receiptdate", F.expr("timestampadd(DAY, __hr, l_shipdate)"))
+        .withColumn("l_commitdate", F.expr("timestampadd(DAY, __hm, l_shipdate)"))
+        .withColumn(
+            "l_shipmode",
+            F.expr("elt(__hs + 1, 'AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK')"),
+        )
+        .drop("__hr", "__hm", "__hs")
+    )
+
+
+@register_extra(
+    "q12_shipping_modes",
+    f"""WITH {_LINEITEM_EXT_SQL}
+SELECT l_shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem_ext ON o_orderkey = l_orderkey
+WHERE l_shipmode IN ('MAIL', 'SHIP')
+  AND l_commitdate < l_receiptdate AND l_shipdate < l_commitdate
+  AND l_receiptdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_receiptdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_shipmode ORDER BY l_shipmode""",
+)
+def q12_shipping_modes(spark, sf_dir):
+    """TPC-H Q12 shape (shipping modes & order priority): the
+    late-delivery predicate chain (ship < commit < receipt) over the
+    synthesized date columns, conditional-CASE counts per mode. One
+    fact-fact join on the order key; every filter is codegen over the
+    scan. Previously blocked — the driver's lineitem lacks
+    receipt/commit dates (FIXTURES.md)."""
+    li = _synth_lineitem_ext(spark, sf_dir).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= "1997-01-01")
+        & (F.col("l_receiptdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_line_count"),
+            F.sum((~high).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+@register_extra(
+    "q21_suppliers_kept_waiting",
+    f"""WITH {_LINEITEM_EXT_SQL},
+lall AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem_ext),
+late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem_ext
+         WHERE l_receiptdate > l_commitdate)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_5'
+WHERE EXISTS (SELECT 1 FROM lall l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
+)
+def q21_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS / NOT-EXISTS correlated pair over the same fact — a
+    multi-supplier order where exactly THIS supplier was the only late
+    one. Expressed as a left-semi (some other supplier on the order)
+    plus a left-anti (no other LATE supplier) against de-duplicated
+    (order, supplier) pair sets, then the dim joins broadcast.
+    Previously blocked on the missing date columns."""
+    ext = _synth_lineitem_ext(spark, sf_dir)
+    lall = ext.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        ext.filter(F.col("l_receiptdate") > F.col("l_commitdate"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    l1 = late.alias("l1")
+    l2 = lall.alias("l2")
+    l3 = late.alias("l3")
+    cand = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.join(o, cand.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sup), cand.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 @register_extra(
     "q_window_running_total",
     """SELECT o_orderkey, o_custkey,
