@@ -7758,6 +7758,79 @@ def q_leakage_safe_split(spark, sf_dir):
     )
 
 
+@register_extra(
+    "store_rollup_quantile",
+    """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+                         CAST(value AS DECIMAL(20,6)) AS v
+                  FROM events WHERE event_id < 3000),
+       b AS (SELECT event_type,
+                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+                    COUNT(*) AS n,
+                    (array_agg(v ORDER BY v))[CAST(ceil(0.5 * COUNT(*)) AS INTEGER)] AS p50x,
+                    (array_agg(v ORDER BY v))[CAST(ceil(0.95 * COUNT(*)) AS INTEGER)] AS p95x
+             FROM e GROUP BY 1, 2)
+       SELECT event_type, bucket_start, n,
+              CAST(p50x AS DOUBLE) AS p50, CAST(p95x AS DOUBLE) AS p95
+       FROM b""",
+)
+def store_rollup_quantile(spark, sf_dir):
+    """The quantile face of store-served rollups (round 9): the def
+    carries sample_k — a bottom-k-by-hash sample of the value per
+    bucket, the mergeable quantile substitute (rollup_mv sample face)
+    now registered, refreshed, and served THROUGH the store catalog
+    like the HLL-distinct and variance faces. PLAN-ASSERTED like its
+    siblings: the stale MV must come current via the insert-only
+    MERGE — proving the sample partials survive the delta merge, not
+    a rebuild. With sample_k ≥ every bucket size the sample keeps ALL
+    rows, so the served p50/p95 are EXACT positional quantiles
+    (element at ceil(q·n), 1-indexed) and the DuckDB oracle replays
+    the identical arithmetic; at production sizes the same machinery
+    degrades gracefully to O(1/√k) estimates."""
+    import tempfile
+
+    from .store import DocumentStore
+
+    st = DocumentStore(tempfile.mkdtemp(prefix="hs_rollup_q_"), spark=spark)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .withColumn("item", F.lpad(F.col("event_id").cast("string"), 10, "0"))
+        .select("event_id", "ts", "event_type", "value", "item")
+    )
+    st.ingest_collection(ev.filter(F.col("event_id") % 100 != 7), "events~", "item")
+    st.create_rollup(
+        "events~",
+        "ts",
+        ["event_type"],
+        "value",
+        resolution="day",
+        schema="event_id long, ts timestamp, event_type string, value double",
+        sample_k=2048,
+    )
+    for r in ev.filter(F.col("event_id") % 100 == 7).collect():
+        st.put(
+            f"events~/{r.item}",
+            {
+                "event_id": r.event_id,
+                "ts": str(r.ts),
+                "event_type": r.event_type,
+                "value": r.value,
+            },
+        )
+    df, route = st.aggregate(
+        "events~", "ts", ["event_type"], "value", resolution="day", sample_k=2048
+    )
+    if route.source != "rollup" or route.refresh_mode != "merged":
+        raise RuntimeError(f"expected a merged rollup route, got {route!r}")
+    return df.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        F.col("p50").cast("double").alias("p50"),
+        F.col("p95").cast("double").alias("p95"),
+    )
+
+
 @register(
     "store_rollup_invalidate",
     """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,

@@ -284,6 +284,7 @@ class RestFacade:
                     rollup_id=spec.get("rollup_id"),
                     distinct_field=spec.get("distinct_field"),
                     sumsq=bool(spec.get("sumsq")),
+                    sample_k=int(spec.get("sample_k") or 0),
                 )
                 return RestResponse(201, {"rollup_id": rid}, {"location": f"{uri}/_rollups/{rid}"})
             if m == "GET" and rollup_id is None:
@@ -311,7 +312,7 @@ class RestFacade:
                 order = [*d.key_fields, "bucket_start"]
                 rows = df.orderBy(*order).limit(size).collect()
                 extra = [
-                    c for c in ("n_distinct", "var_pop", "stddev_pop")
+                    c for c in ("n_distinct", "var_pop", "stddev_pop", "p50", "p95")
                     if rows and c in rows[0].__fields__
                 ]
                 # NULL-safe numeric conversion: the build keeps a NULL
@@ -328,7 +329,9 @@ class RestFacade:
                         "vmin": fnum(r["vmin"]),
                         "vmax": fnum(r["vmax"]),
                         "avg": r["avg"],
-                        **{c: r[c] for c in extra},
+                        # p50/p95 are exact decimals — float them like
+                        # the other numeric fields (NULL-safe)
+                        **{c: fnum(r[c]) if c in ("p50", "p95") else r[c] for c in extra},
                     }
                     for r in rows
                 ]

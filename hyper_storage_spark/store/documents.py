@@ -1776,13 +1776,13 @@ class DocumentStore:
 
     def create_rollup(self, uri: str, ts_field: str, key_fields, value_field: str,
                       resolution: str = "day", schema: str = "", rollup_id=None,
-                      distinct_field=None, sumsq: bool = False) -> str:
+                      distinct_field=None, sumsq: bool = False, sample_k: int = 0) -> str:
         from . import rollups
 
         return rollups.create_rollup(
             self, uri, ts_field, key_fields, value_field,
             resolution=resolution, schema=schema, rollup_id=rollup_id,
-            distinct_field=distinct_field, sumsq=sumsq,
+            distinct_field=distinct_field, sumsq=sumsq, sample_k=sample_k,
         )
 
     def refresh_rollup(self, uri: str, rollup_id: str) -> str:
@@ -1807,13 +1807,13 @@ class DocumentStore:
 
     def aggregate(self, uri: str, ts_field: str, key_fields, value_field: str,
                   resolution: str = "day", schema: str = "", auto_refresh: bool = True,
-                  distinct_field=None, sumsq: bool = False):
+                  distinct_field=None, sumsq: bool = False, sample_k: int = 0):
         from . import rollups
 
         return rollups.aggregate(
             self, uri, ts_field, key_fields, value_field,
             resolution=resolution, schema=schema, auto_refresh=auto_refresh,
-            distinct_field=distinct_field, sumsq=sumsq,
+            distinct_field=distinct_field, sumsq=sumsq, sample_k=sample_k,
         )
 
     def vacuum(self, grace_seconds: float = 3600.0, keep_versions: Optional[int] = None) -> int:

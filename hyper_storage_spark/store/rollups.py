@@ -74,6 +74,9 @@ ROLLUP_DEFS_SCHEMA = pa.schema(
         # exact decimal sum-of-squares (variance/stddev at finalize)
         ("distinct_field", pa.string()),
         ("sumsq", pa.bool_()),
+        # bottom-k-by-hash sample of the value (mergeable quantiles);
+        # 0 = face off
+        ("sample_k", pa.int32()),
     ]
 )
 
@@ -102,6 +105,7 @@ class RollupDef:
     built_revision: int
     distinct_field: Optional[str] = None
     sumsq: bool = False
+    sample_k: int = 0
 
 
 @dataclass
@@ -134,6 +138,15 @@ def _pin_current(store, attempts: int = 5):
             _time.sleep(0.01 * (i + 1))
 
 
+def _sample_kwargs(d: RollupDef) -> dict:
+    """rollup_partials kwargs for the quantile/sample face (empty when
+    the face is off): the sampled column is the value itself, hashed by
+    the row-unique item_id that _typed_rows carries as __sid."""
+    if not d.sample_k:
+        return {}
+    return {"sample_col": d.value_field, "sample_id_col": "__sid", "sample_k": d.sample_k}
+
+
 def _serves(def_res: str, want_res: str) -> bool:
     if def_res == want_res:
         return True
@@ -161,6 +174,7 @@ def rollup_defs(store, uri: str) -> list[RollupDef]:
                 r["built_revision"],
                 r.get("distinct_field"),
                 bool(r.get("sumsq")),
+                int(r.get("sample_k") or 0),
             )
         )
     return out
@@ -175,6 +189,8 @@ def _mv_ddl(store, d: RollupDef) -> str:
         extra.append("dsk binary")
     if d.sumsq:
         extra.append("ssq decimal(38,12)")
+    if d.sample_k:
+        extra.append(f"smp array<struct<h:bigint,v:{_VALUE_DDL}>>")
     return ", ".join(
         cols
         + [
@@ -203,7 +219,11 @@ def _typed_rows(store, d: RollupDef, min_revision: Optional[int] = None) -> Data
     if min_revision is not None:
         df = df.filter(F.col("revision") > min_revision)
     parsed = F.from_json(F.col("body"), d.body_schema)
-    proj = df.select(parsed.alias("item")).select("item.*")
+    # the sample face hashes a row-unique column; item_id is the one
+    # column with that guarantee, carried through as __sid
+    proj = df.select(F.col("item_id").alias("__sid"), parsed.alias("item")).select(
+        "__sid", "item.*"
+    )
     # try_cast: under ANSI one malformed ts/value in one body would
     # throw mid-build; a bad row lands in the NULL bucket (merge and
     # finalize are NULL-safe) instead of poisoning the rollup
@@ -212,6 +232,7 @@ def _typed_rows(store, d: RollupDef, min_revision: Optional[int] = None) -> Data
         F.col(d.ts_field).try_cast("timestamp").alias(d.ts_field),
         F.col(d.value_field).try_cast(_VALUE_DDL).alias(d.value_field),
         *([F.col(d.distinct_field)] if d.distinct_field else []),
+        *(["__sid"] if d.sample_k else []),
     )
 
 
@@ -228,6 +249,11 @@ def _conform(d: RollupDef, partials: DataFrame) -> DataFrame:
         F.col("vmax").cast(_VALUE_DDL).alias("vmax"),
         *([F.col("dsk")] if d.distinct_field else []),
         *([F.col("ssq").cast("decimal(38,12)").alias("ssq")] if d.sumsq else []),
+        *(
+            [F.col("smp").cast(f"array<struct<h:bigint,v:{_VALUE_DDL}>>").alias("smp")]
+            if d.sample_k
+            else []
+        ),
     )
 
 
@@ -300,6 +326,7 @@ def create_rollup(
     rollup_id: Optional[str] = None,
     distinct_field: Optional[str] = None,
     sumsq: bool = False,
+    sample_k: int = 0,
 ) -> str:
     """Register a rollup MV on a collection and build it: INDEXING row
     first, Spark build, flip to NORMAL with the build watermark — the
@@ -318,6 +345,8 @@ def create_rollup(
         raise ValueError("schema (body DDL) is required for a rollup definition")
     if resolution not in _RES_RANK:
         raise ValueError(f"unsupported resolution {resolution!r}; one of {sorted(_RES_RANK)}")
+    if sample_k < 0:
+        raise ValueError(f"sample_k must be >= 0, got {sample_k}")
     static = store._get_static(uri)
     if static is None or static["is_deleted"]:
         raise NotFoundError(uri)
@@ -349,13 +378,14 @@ def create_rollup(
                 "built_revision": 0,
                 "distinct_field": distinct_field,
                 "sumsq": sumsq,
+                "sample_k": sample_k,
             }
         )
         store.storage.commit({(ROLLUP_DEFS, 0): rows}, {ROLLUP_DEFS: ROLLUP_DEFS_SCHEMA})
 
         d = RollupDef(
             uri, rollup_id, STATUS_INDEXING, ts_field, tuple(key_fields),
-            value_field, resolution, schema, tname, 0, distinct_field, sumsq,
+            value_field, resolution, schema, tname, 0, distinct_field, sumsq, sample_k,
         )
         # build from a PINNED snapshot (same discipline as
         # refresh_rollup): the in-process lock cannot stop a foreign
@@ -370,6 +400,11 @@ def create_rollup(
         partials = rollup_partials(
             _typed_rows(pinned, d), ts_field, list(key_fields), value_field, resolution,
             distinct_col=distinct_field, sumsq=sumsq,
+            **(
+                {"sample_col": value_field, "sample_id_col": "__sid", "sample_k": sample_k}
+                if sample_k
+                else {}
+            ),
         )
         # MV registration and the NORMAL flip in one commit — only
         # after it does aggregate() route here (db/Db.scala:103-107
@@ -546,7 +581,7 @@ def _refresh_invalidated(store, d: RollupDef, groups: DataFrame) -> None:
     members = typed.join(F.broadcast(g), cond_t, "left_semi").drop("bucket_start")
     recomputed = rollup_partials(
         members, d.ts_field, list(d.key_fields), d.value_field, d.resolution,
-        distinct_col=d.distinct_field, sumsq=d.sumsq,
+        distinct_col=d.distinct_field, sumsq=d.sumsq, **_sample_kwargs(d),
     )
     existing = store.storage.spark_df_or_empty(store.spark, d.table_name, _mv_ddl(store, d))
     cond_e = None
@@ -614,14 +649,19 @@ def refresh_rollup(store, uri: str, rollup_id: str) -> str:
                 d.resolution,
                 distinct_col=d.distinct_field,
                 sumsq=d.sumsq,
+                **_sample_kwargs(d),
             )
             existing = pinned.storage.spark_df_or_empty(store.spark, d.table_name, _mv_ddl(store, d))
-            merged = rollup_merge(existing, _conform(d, delta), list(d.key_fields))
+            merged = rollup_merge(
+                existing, _conform(d, delta), list(d.key_fields),
+                **({"sample_k": d.sample_k} if d.sample_k else {}),
+            )
             _write_mv_and_def(store, d, merged, built_revision=current_rev)
             return "merged"
         partials = rollup_partials(
             _typed_rows(pinned, d), d.ts_field, list(d.key_fields), d.value_field,
             d.resolution, distinct_col=d.distinct_field, sumsq=d.sumsq,
+            **_sample_kwargs(d),
         )
         _write_mv_and_def(
             store, d, partials, status=STATUS_NORMAL, built_revision=current_rev
@@ -629,10 +669,21 @@ def refresh_rollup(store, uri: str, rollup_id: str) -> str:
         return "rebuilt"
 
 
+def _with_quantiles(df: DataFrame) -> DataFrame:
+    """Serving quantiles (p50/p95) from the bottom-k sample face —
+    exact when sample_k >= the bucket size, O(1/sqrt(k)) otherwise
+    (rollup_mv.rollup_quantile). Other percentiles: call
+    rollup_quantile on the view directly; the raw smp column stays."""
+    from ..operators.rollup_mv import rollup_quantile
+
+    return rollup_quantile(rollup_quantile(df, 0.5, "p50"), 0.95, "p95")
+
+
 def rollup_view(store, uri: str, rollup_id: str, resolution: Optional[str] = None) -> DataFrame:
     """The finalized serving view of a rollup MV (keys, bucket_start,
-    n, total, vmin, vmax, avg), coarsened on the fly when a coarser
-    ``resolution`` is asked of a finer MV (exact — partials compose)."""
+    n, total, vmin, vmax, avg[, p50, p95 when the sample face is on]),
+    coarsened on the fly when a coarser ``resolution`` is asked of a
+    finer MV (exact — partials compose)."""
     from ..operators.rollup_mv import rollup_coarsen, rollup_finalize
 
     d = next((r for r in rollup_defs(store, uri) if r.rollup_id == rollup_id), None)
@@ -649,8 +700,12 @@ def rollup_view(store, uri: str, rollup_id: str, resolution: Optional[str] = Non
         # would, under non-ANSI arithmetic, turn an overflowing coarse
         # bucket into a silent NULL total — keep Spark's widened
         # decimal(38,6) sum on the serve path
-        mv = rollup_coarsen(mv, list(d.key_fields), resolution)
-    return rollup_finalize(mv)
+        mv = rollup_coarsen(
+            mv, list(d.key_fields), resolution,
+            **({"sample_k": d.sample_k} if d.sample_k else {}),
+        )
+    out = rollup_finalize(mv)
+    return _with_quantiles(out) if d.sample_k else out
 
 
 def aggregate(
@@ -664,6 +719,7 @@ def aggregate(
     auto_refresh: bool = True,
     distinct_field: Optional[str] = None,
     sumsq: bool = False,
+    sample_k: int = 0,
 ) -> tuple[DataFrame, RollupRoute]:
     """The planner face: answer a (keys, time-bucket) aggregate over a
     collection FROM a matching NORMAL rollup when one exists — the way
@@ -685,7 +741,9 @@ def aggregate(
             continue
         # face match: the request's output schema is part of the route
         # contract — a def with extra faces would change the columns
-        if (d.distinct_field or None, d.sumsq) != (distinct_field or None, sumsq):
+        if (d.distinct_field or None, d.sumsq, d.sample_k) != (
+            distinct_field or None, sumsq, sample_k,
+        ):
             continue
         if not _serves(d.resolution, resolution):
             continue
@@ -714,12 +772,14 @@ def aggregate(
 
     d = RollupDef(
         uri, "", STATUS_NORMAL, ts_field, keys, value_field, resolution, schema, "", 0,
-        distinct_field, sumsq,
+        distinct_field, sumsq, sample_k,
     )
     df = rollup_finalize(
         rollup_partials(
             _typed_rows(store, d), ts_field, list(keys), value_field, resolution,
-            distinct_col=distinct_field, sumsq=sumsq,
+            distinct_col=distinct_field, sumsq=sumsq, **_sample_kwargs(d),
         )
     )
+    if sample_k:
+        df = _with_quantiles(df)
     return df, RollupRoute("content")

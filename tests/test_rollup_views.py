@@ -420,3 +420,68 @@ def test_coarsen_serve_keeps_widened_total(store):
     df, _ = store.aggregate("metrics~", "ts", ["k"], "v", resolution="month")
     total_type = dict(df.dtypes)["total"]
     assert total_type == "decimal(38,6)", total_type
+
+
+def test_rollup_quantile_face(store, spark):
+    # sample face: bottom-k-by-hash sample of the value per bucket —
+    # exact quantiles when sample_k >= bucket size, surviving merges
+    rid = store.create_rollup(
+        "metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA, sample_k=64
+    )
+    d = next(x for x in store.rollup_defs("metrics~") if x.rollup_id == rid)
+    assert d.sample_k == 64
+
+    # plain-face requests must not route to the faced MV
+    _, plain = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    assert plain.source == "content"
+
+    def direct_p50():
+        base = store.collection_df("metrics~", SCHEMA)
+        rows = base.select(
+            "k",
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("b"),
+            F.col("v").cast("decimal(20,6)").alias("v"),
+        ).collect()
+        got = {}
+        for r in rows:
+            got.setdefault((r.k, str(r.b)), []).append(r.v)
+        import math
+        return {
+            key: sorted(vs)[max(1, math.ceil(0.5 * len(vs))) - 1]
+            for key, vs in got.items()
+        }
+
+    df, route = store.aggregate(
+        "metrics~", "ts", ["k"], "v", resolution="day", sample_k=64
+    )
+    assert route.source == "rollup" and route.refresh_mode == "fresh"
+    served = {(r.k, str(r.bucket_start)): r.p50 for r in df.collect()}
+    assert served == direct_p50()
+
+    # the sample survives an insert-only merge exactly (k >= bucket n)
+    for i in range(30, 36):
+        store.put(f"metrics~/m{i:03d}", {"ts": "2024-01-02 05:00:00", "k": "k1", "v": i * 2.0})
+    df2, route2 = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day", sample_k=64)
+    assert route2.refresh_mode == "merged"
+    assert {(r.k, str(r.bucket_start)): r.p50 for r in df2.collect()} == direct_p50()
+
+    # coarsen-serve carries the sample; invalidation recomputes it
+    store.patch("metrics~/m030", {"v": 1.0})
+    dfm, route3 = store.aggregate("metrics~", "ts", ["k"], "v", resolution="month", sample_k=64)
+    assert route3.refresh_mode == "invalidated" and route3.coarsened
+    month = {r.k: r.p50 for r in dfm.collect()}
+    base = store.collection_df("metrics~", SCHEMA)
+    import math
+    mrows = {}
+    for r in base.select("k", F.col("v").cast("decimal(20,6)").alias("v")).collect():
+        mrows.setdefault(r.k, []).append(r.v)
+    expect = {k: sorted(vs)[max(1, math.ceil(0.5 * len(vs))) - 1] for k, vs in mrows.items()}
+    assert month == expect
+
+    # REST serializes p50/p95 as floats
+    from hyper_storage_spark.rest import RestFacade
+
+    r = RestFacade(store).handle("GET", f"metrics~/_rollups/{rid}")
+    assert r.status == 200
+    el = r.body["_embedded"]["els"][0]
+    assert isinstance(el["p50"], float) and isinstance(el["p95"], float)
