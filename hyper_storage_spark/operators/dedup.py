@@ -801,6 +801,62 @@ def keep_best_per_cluster(
     return keep_single.unionByName(keep_best)
 
 
+def contamination_radius(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 2,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Transitive contamination: (doc_id, hops) for every document
+    within ``max_hops`` of a seed in the near-dup pair graph — hops is
+    the BFS distance (0 = the seed itself).
+
+    Direct decontamination (:func:`decontaminate_against`) removes
+    documents that MATCH a benchmark; but a near-duplicate of a
+    matching document carries most of the same text and leaks the
+    benchmark just as well — the standard eval-hygiene move is to drop
+    the seed's whole near-dup neighborhood, usually 1-2 hops. This is
+    the bounded-radius companion of :func:`duplicate_clusters`
+    (unbounded components over-delete: a long similarity chain drags
+    in documents that share nothing with the benchmark).
+
+    Scale shape: ``max_hops`` rounds of (frontier ⋈ edges) — each
+    round one equi-join shuffled on the id plus an anti-join against
+    the visited set (first-reach ≡ min-hops, so no per-node min
+    aggregation is needed); a ``localCheckpoint`` per round truncates
+    the iterative lineage, the duplicate_clusters discipline. The
+    frontier is candidate-sized, never corpus-sized."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    visited = (
+        seeds.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier.select(F.col("doc_id").alias("u")), "u", "left_semi")
+            .select(F.col("v").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
 def incremental_exact_dedup(
     batch: DataFrame,
     seen_hashes: DataFrame,

@@ -2043,6 +2043,42 @@ def dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs).orderBy("doc_id")
 
 
+_CONTAM_RADIUS_SQL = f"""
+WITH RECURSIVE pairs AS ({{jaccard}}),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(doc_id, hops) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.v, r.hops + 1 FROM reach r JOIN edges e ON e.u = r.doc_id
+  WHERE r.hops < 2
+)
+SELECT doc_id, CAST(MIN(hops) AS INT) AS hops FROM reach GROUP BY doc_id
+"""
+
+
+@register_extra("dedup_contamination_radius", _CONTAM_RADIUS_SQL.format(jaccard=_JACCARD_SQL))
+def dedup_contamination_radius(spark, sf_dir):
+    """Transitive decontamination
+    (operators/dedup.py:contamination_radius): every document within
+    2 hops of a seed in the near-dup pair graph, with its BFS
+    distance — the eval-hygiene radius around benchmark matches (a
+    near-dup of a contaminated document leaks the benchmark just as
+    well as the match itself; unbounded components over-delete). The
+    seed set here is the deterministic doc_id % 97 slice standing in
+    for the decontaminate match set; the oracle replays pair
+    generation AND the bounded BFS as a hop-counting recursive CTE,
+    so the row is end-to-end (pairs + traversal + min-hop
+    labeling)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
+    seeds = docs.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0).select("doc_id")
+    return dedup.contamination_radius(pairs, seeds, max_hops=2).orderBy("doc_id")
+
+
 _KEEP_BEST_SQL = f"""
 WITH clusters AS ({_CLUSTERS_SQL}),
 sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY 1),

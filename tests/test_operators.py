@@ -3028,3 +3028,21 @@ def test_pq_index_reuse_append_and_roundtrip(spark, sf_dir):
     # codebooks round-trip through their parquet-persistable table form
     back = similarity.pq_codebooks_from_table(similarity.pq_codebook_table(spark, bidx.codebooks))
     assert np.array_equal(back, bidx.codebooks)
+
+
+def test_contamination_radius_bfs_semantics(spark):
+    # chain 1-2-3-4-5 plus a shortcut 1-4: BFS distances from seed {1}
+    # must be min-hop (4 reached at hop 1 via the shortcut, not 3),
+    # the radius bound must hold (5 at hop 2; nothing past max_hops),
+    # and an isolated seed stays at hop 0
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], "a_id long, b_id long"
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "doc_id long")
+    got = {r.doc_id: r.hops for r in dedup.contamination_radius(pairs, seeds, max_hops=2).collect()}
+    assert got == {1: 0, 99: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    # max_hops=0 returns exactly the seed set
+    got0 = {r.doc_id: r.hops for r in dedup.contamination_radius(pairs, seeds, max_hops=0).collect()}
+    assert got0 == {1: 0, 99: 0}
+    with __import__("pytest").raises(ValueError, match="max_hops"):
+        dedup.contamination_radius(pairs, seeds, max_hops=-1)
