@@ -776,3 +776,149 @@ def pq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    m: int = 16,
+    n_codes: int = 32,
+    refine: int = 16,
+    sample_rows: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN — the full FAISS IVFADC recipe: k-means cells for
+    coarse routing (ivf_topk's adaptation to clustered corpora) PLUS
+    product-quantized RESIDUALS for the in-cell scan (pq_topk's
+    compressed-scan economics). (query_id, neighbor_id, rank, cosine).
+
+    Build: cells and residual codebooks train on one hash-ordered
+    driver sample (bounded, content-deterministic — the pq_train
+    discipline); the corpus is assigned + residual-encoded in one
+    Arrow-batched pass, emitting (cell, m small ints) per vector —
+    the compressed table IVF scans at 100 TB.
+
+    Search: each query probes its ``n_probe`` nearest cells; the ADC
+    score decomposes as q·centroid(cell) + Σᵢ LUT_q[i][codeᵢ] because
+    v ≈ centroid + residual and the residual codebooks are global —
+    the per-(query,cell) work is ONE bias add over the same
+    queries-sized LUTs flat PQ uses, and rows outside probed cells are
+    never touched (the candidate volume drops by ~n_probe/n_cells vs
+    flat PQ). Top ``k·refine`` ADC candidates re-rank by exact cosine;
+    same empty-result contract as the cosine family."""
+    from pyspark.sql import Window
+
+    # ---- train on one bounded, hash-ordered sample -------------------
+    sample = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in emb.select(vec_col, F.xxhash64(F.col(id_col)).alias("__h"))
+        .orderBy("__h")
+        .limit(sample_rows)
+        .select(vec_col)
+        .collect()
+    ]
+    mat = np.stack(sample)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norms == 0, 1.0, norms)
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cents = _pq_kmeans(mat, n_cells, seed=seed)  # (n_cells, dim)
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    resid = mat - cents[d2.argmin(axis=1)]
+    cb = np.stack(
+        [_pq_kmeans(resid[:, i * sub : (i + 1) * sub], n_codes, seed=seed + i) for i in range(m)]
+    )
+
+    # ---- assign + residual-encode the corpus (one Arrow pass) --------
+    @F.pandas_udf("struct<cell:int,codes:array<int>>")
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        v = v / np.where(n == 0, 1.0, n)
+        cell = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        r = v - cents[cell]
+        out = np.empty((len(v), m), dtype=np.int32)
+        for i in range(m):
+            seg = r[:, i * sub : (i + 1) * sub]
+            out[:, i] = ((seg[:, None, :] - cb[i][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        return pd.DataFrame({"cell": cell.astype("int32"), "codes": [list(x) for x in out]})
+
+    codes = (
+        emb.filter(_norm(F.col(vec_col)) > 0)
+        .select(F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("e"))
+        .select("neighbor_id", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes"))
+    )
+
+    # ---- per-query probes, biases, and LUTs ---------------------------
+    qrows = emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    if qrows:
+        qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        keep = qn[:, 0] > 0
+        qids, qmat = [q for q, kq in zip(qids, keep) if kq], qmat[keep] / qn[keep]
+    if not qids:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double"
+        )
+    qc = qmat @ cents.T  # (queries, cells): the bias term AND the probe order
+    luts = np.stack(
+        [np.stack([qv[i * sub : (i + 1) * sub] @ cb[i].T for i in range(m)]) for qv in qmat]
+    )  # (queries, m, n_codes)
+    probe_rows = []
+    for qi, q in enumerate(qids):
+        for cell in np.argsort(-qc[qi])[:n_probe]:
+            probe_rows.append((qi, int(q), int(cell), float(qc[qi, cell])))
+    probes = emb.sparkSession.createDataFrame(
+        probe_rows, "qidx int, query_id long, cell int, bias double"
+    )
+
+    @F.pandas_udf("double")
+    def adc(qidx: pd.Series, code_col: pd.Series) -> pd.Series:
+        cmat = np.stack([np.asarray(c, dtype=np.int64) for c in code_col])
+        qi = qidx.to_numpy()
+        s = np.zeros(len(cmat))
+        for i in range(m):
+            s += luts[qi, i, cmat[:, i]]
+        return pd.Series(s)
+
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", F.col("bias") + adc(F.col("qidx"), F.col("codes")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    cand = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank, bounded at queries × k·refine (the pq_search tail)
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    ).filter(F.col("qn") > 0)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    ).filter(F.col("cn") > 0)
+    rescored = (
+        cand.join(F.broadcast(queries), "query_id")
+        .join(corpus, "neighbor_id")
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

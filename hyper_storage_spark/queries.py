@@ -2776,6 +2776,34 @@ def ann_pq_raw(spark, sf_dir):
     return similarity.pq_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
 
 
+@register_extra("ann_ivfpq_contract", _ANN_CONTRACT_SQL)
+def ann_ivfpq_contract(spark, sf_dir):
+    """IVF-PQ ANN (operators/similarity.py ivfpq_topk — the full FAISS
+    IVFADC recipe, round 9): k-means cells route each query to its
+    n_probe nearest cells, the in-cell scan reads product-quantized
+    RESIDUAL codes (ADC decomposes as q·centroid + LUT gathers since
+    the residual codebooks are global), and exact cosine re-ranks the
+    bounded candidate set. Same contract as the rest of the ANN
+    family: 10 results/query, per-query recall ≥ 0.8, corpus recall
+    ≥ 0.9 vs the exact top-10 computed in-plan. Completes the ANN
+    matrix: buckets (LSH), cells (IVF), compressed scan (PQ), and now
+    cells × compressed scan — the shape that serves billion-vector
+    corpora."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ann = similarity.ivfpq_topk(emb, [0, 1, 2, 3, 4], k=10, n_cells=16, n_probe=10)
+    exact = similarity.cosine_topk(emb, [0, 1, 2, 3, 4], k=10)
+    return _ann_contract(ann, exact, min_recall_pct=80)
+
+
+@register_extra("ann_ivfpq_raw", None)  # cells + residual codebooks are engine state
+def ann_ivfpq_raw(spark, sf_dir):
+    """Raw IVF-PQ neighbor lists (ann_ivfpq_contract certifies);
+    rows-only like the other trained-state ANN raws."""
+    return similarity.ivfpq_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10, n_cells=16, n_probe=10
+    )
+
+
 _ANN_PQ_INCR_SQL = """
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(10 AS BIGINT) AS n_results,

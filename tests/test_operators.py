@@ -3046,3 +3046,26 @@ def test_contamination_radius_bfs_semantics(spark):
     assert got0 == {1: 0, 99: 0}
     with __import__("pytest").raises(ValueError, match="max_hops"):
         dedup.contamination_radius(pairs, seeds, max_hops=-1)
+
+
+def test_ivfpq_topk_recall_and_contract(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 10, 20]
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    a = [(r.query_id, r.neighbor_id, r.rank, r.cosine)
+         for r in similarity.ivfpq_topk(emb, qids, k=10, n_cells=16, n_probe=10).collect()]
+    b = [(r.query_id, r.neighbor_id, r.rank, r.cosine)
+         for r in similarity.ivfpq_topk(emb, qids, k=10, n_cells=16, n_probe=10).collect()]
+    assert sorted(a) == sorted(b)  # seeded cells + codebooks, hash-ordered sample
+    got = {(q, n) for q, n, _, _ in a}
+    assert len(got & exact) / len(exact) >= 0.9
+    # re-ranked scores are exact cosines for pairs both found
+    exact_sc = {(r.query_id, r.neighbor_id): r.cosine
+                for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    for q, n, _, c in a:
+        if (q, n) in exact_sc:
+            assert abs(c - exact_sc[(q, n)]) < 1e-9
+    # family contracts: unknown query -> empty frame; bad m -> error
+    assert similarity.ivfpq_topk(emb, [99999], k=5).count() == 0
+    with __import__("pytest").raises(ValueError, match="divisible"):
+        similarity.ivfpq_topk(emb, qids, k=5, m=5)

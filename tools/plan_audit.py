@@ -88,6 +88,21 @@ WAIVERS: dict[str, list[tuple[str, str]]] = {
         ("query_id", "fixed query set / exact-reference contract at gate SF"),
         ("recall", "in-plan recall certificate vs the exact top-k reference"),
     ],
+    "ann_pq_incremental": [
+        ("query_id", "fixed query set / exact-reference contract at gate SF"),
+        ("recall", "in-plan recall certificate vs the exact top-k reference"),
+    ],
+    "ann_ivfpq_contract": [
+        ("query_id", "fixed query set / exact-reference contract at gate SF"),
+        ("recall", "in-plan recall certificate vs the exact top-k reference"),
+    ],
+    "ann_ivfpq_raw": [
+        (
+            "query_id",
+            "build side is the fixed query set (O(k) rows by construction); "
+            "the corpus side joins probes by cell equi-key — never all-pairs",
+        ),
+    ],
     "ann_ivf": [
         ("query_id", "fixed query set / exact-reference contract at gate SF"),
         ("recall", "in-plan recall certificate vs the exact top-k reference"),
