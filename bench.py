@@ -44,6 +44,9 @@ HEADLINE = [
     # round-8 addition: the PQ compressed-scan ANN (train + encode +
     # ADC + exact re-rank end-to-end); canonical row in SCALE.md
     "ann_pq_raw",
+    # round-9 addition: the combined IVF-PQ (cells + residual-code ADC
+    # + exact re-rank end-to-end); canonical row in SCALE.md
+    "ann_ivfpq_raw",
 ]
 
 
@@ -91,6 +94,7 @@ CANONICAL_SEC = {
     "q_countmin_heavy_hitters": 0.933,
     "q_token_budget_select": 0.531,
     "ann_pq_raw": 1.635,
+    "ann_ivfpq_raw": 2.014,
 }
 
 
