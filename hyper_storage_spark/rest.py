@@ -345,6 +345,69 @@ class RestFacade:
         except ValueError as e:
             return RestResponse(400, {"error": str(e)})
 
+    # planner-routed aggregate on a collection: GET
+    # `<coll>~/_aggregate?ts_field=&key_fields=a,b&value_field=&...` —
+    # answers FROM a matching rollup MV when one serves (coarsest
+    # grain wins; refreshed per auto_refresh), else a direct base
+    # aggregation when `schema` is supplied. The route taken ships in
+    # response headers (aggregate-source / rollup-id / rollup-refresh /
+    # coarsened) — the REST face of store/rollups.aggregate().
+    _AGGREGATE_SEG = "~/_aggregate"
+
+    def _aggregate_route(self, m: str, path: str, params: dict) -> RestResponse:
+        if m != "GET":
+            return RestResponse(405, {"error": f"{m} not supported on {path!r}"})
+        base, _, _rest = path.partition(self._AGGREGATE_SEG)
+        uri = base + "~"
+        missing = [k for k in ("ts_field", "key_fields", "value_field") if not params.get(k)]
+        if missing:
+            return RestResponse(400, {"error": f"missing parameter(s): {', '.join(missing)}"})
+        keys = [k for k in str(params["key_fields"]).split(",") if k]
+        try:
+            df, route = self.store.aggregate(
+                uri,
+                params["ts_field"],
+                keys,
+                params["value_field"],
+                resolution=params.get("resolution", "day"),
+                schema=params.get("schema", ""),
+                auto_refresh=str(params.get("auto_refresh", "true")).lower() != "false",
+                distinct_field=params.get("distinct_field"),
+                sumsq=str(params.get("sumsq", "false")).lower() == "true",
+                sample_k=int(params.get("sample_k") or 0),
+            )
+            size = int(params.get("size") or 1000)
+            rows = df.orderBy(*keys, "bucket_start").limit(size).collect()
+            fnum = lambda x: float(x) if x is not None else None
+            extra = [
+                c for c in ("n_distinct", "var_pop", "stddev_pop", "p50", "p95")
+                if rows and c in rows[0].__fields__
+            ]
+            els = [
+                {
+                    **{k: r[k] for k in keys},
+                    "bucket_start": str(r["bucket_start"]),
+                    "n": r["n"],
+                    "total": fnum(r["total"]),
+                    "vmin": fnum(r["vmin"]),
+                    "vmax": fnum(r["vmax"]),
+                    "avg": r["avg"],
+                    **{c: fnum(r[c]) if c in ("p50", "p95") else r[c] for c in extra},
+                }
+                for r in rows
+            ]
+            headers = {"aggregate-source": route.source}
+            if route.rollup_id:
+                headers["rollup-id"] = route.rollup_id
+            if route.refresh_mode:
+                headers["rollup-refresh"] = route.refresh_mode
+            headers["coarsened"] = str(route.coarsened).lower()
+            return RestResponse(200, {"_embedded": {"els": els}}, headers)
+        except NotFoundError:
+            return RestResponse(404)
+        except ValueError as e:
+            return RestResponse(400, {"error": str(e)})
+
     def handle(self, method: str, path: str, body: Any = None, **params) -> RestResponse:
         m = method.upper()
         # exact segment match only: a document item named
@@ -352,6 +415,8 @@ class RestFacade:
         # sub-resource — routing on `in` would hijack it
         if path.endswith(self._ROLLUPS_SEG) or (self._ROLLUPS_SEG + "/") in path:
             return self._rollup_route(m, path, body, params)
+        if path.endswith(self._AGGREGATE_SEG):
+            return self._aggregate_route(m, path, params)
         allowed = self._VERB_PARAMS.get(m)
         if allowed is None:
             return RestResponse(405, {"error": f"method {method!r} not allowed"})

@@ -732,6 +732,13 @@ def aggregate(
     coarsen). A stale match is refreshed first (``auto_refresh``; pass
     False to serve the stale MV and let the route report it). The
     fallback needs ``schema`` (the body DDL) just like collection_df."""
+    from .documents import NotFoundError
+
+    # 404 parity with the query path: an aggregate over a missing or
+    # deleted collection is an error, not an empty frame
+    static0 = store._get_static(uri)
+    if static0 is None or static0["is_deleted"]:
+        raise NotFoundError(uri)
     keys = tuple(key_fields)
     servable = []
     for d in rollup_defs(store, uri):

@@ -189,3 +189,39 @@ def test_dispatch_unknown_params_are_400_not_typeerror(facade):
     # the document survived every rejected call, and legit params still work
     assert facade.handle("GET", "pdoc").body == {"a": 1}
     assert facade.handle("DELETE", "pdoc", if_match="1").status == 200
+
+
+def test_rest_aggregate_route(spark, tmp_path):
+    from hyper_storage_spark.rest import RestFacade
+    from hyper_storage_spark.store import DocumentStore
+
+    st = DocumentStore(str(tmp_path / "agg_store"), spark=spark)
+    schema = "ts string, k string, v double"
+    for i in range(12):
+        st.put(f"m~/i{i}", {"ts": f"2024-01-0{(i % 3) + 1} 00:00:00", "k": f"k{i % 2}", "v": float(i)})
+    rest = RestFacade(st)
+    # content fallback needs the schema param
+    r = rest.handle("GET", "m~/_aggregate", ts_field="ts", key_fields="k",
+                    value_field="v", schema=schema)
+    assert r.status == 200 and r.headers["aggregate-source"] == "content"
+    total = sum(e["n"] for e in r.body["_embedded"]["els"])
+    assert total == 12
+    # with a registered rollup the same request routes to the MV,
+    # refreshed per auto_refresh, and a month ask coarsens
+    rid = st.create_rollup("m~", "ts", ["k"], "v", resolution="day", schema=schema)
+    r2 = rest.handle("GET", "m~/_aggregate", ts_field="ts", key_fields="k", value_field="v")
+    assert r2.headers["aggregate-source"] == "rollup" and r2.headers["rollup-id"] == rid
+    assert r2.headers["rollup-refresh"] == "fresh" and r2.headers["coarsened"] == "false"
+    assert r2.body["_embedded"]["els"] == r.body["_embedded"]["els"]
+    r3 = rest.handle("GET", "m~/_aggregate", ts_field="ts", key_fields="k",
+                     value_field="v", resolution="month")
+    assert r3.headers["coarsened"] == "true" and len(r3.body["_embedded"]["els"]) == 2
+    # parameter validation + 404 + wrong verb
+    assert rest.handle("GET", "m~/_aggregate", ts_field="ts").status == 400
+    assert rest.handle("GET", "nope~/_aggregate", ts_field="ts", key_fields="k",
+                       value_field="v", schema=schema).status == 404
+    assert rest.handle("POST", "m~/_aggregate", {"x": 1}).status == 405
+    # no servable rollup and no schema -> 400, not a crash
+    r4 = rest.handle("GET", "m~/_aggregate", ts_field="ts", key_fields="k",
+                     value_field="v", resolution="hour")
+    assert r4.status == 400 and "schema" in r4.body["error"]
