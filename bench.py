@@ -234,9 +234,18 @@ def _adjudicate(timings: dict[str, float], noise: float) -> list[dict]:
     back to 1.5x canonical — wide on purpose; they get a band row at
     the next noise_bands sweep."""
     bands_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+
+    def _round_no(fname: str) -> int:
+        # numeric sort on the r{N} suffix: lexicographic would rank
+        # noise_bands_r10.json BELOW r9 forever ('1' < '9'), silently
+        # freezing adjudication on a stale band sweep
+        digits = "".join(ch for ch in fname if ch.isdigit())
+        return int(digits) if digits else -1
+
     latest = sorted(
-        f for f in os.listdir(bands_path)
-        if f.startswith("noise_bands_") and f.endswith(".json")
+        (f for f in os.listdir(bands_path)
+         if f.startswith("noise_bands_") and f.endswith(".json")),
+        key=_round_no,
     )
     band_max: dict[str, float] = {}
     if latest:

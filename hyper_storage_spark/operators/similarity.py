@@ -499,6 +499,64 @@ def _pq_kmeans(pts: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.n
     return centers
 
 
+def _hash_ordered_sample(
+    emb, sample_rows: int, id_col: str, vec_col: str
+) -> "np.ndarray":
+    """Bounded training sample as a unit-normalized (rows, dim) matrix,
+    ordered by a content hash — NOT a bare limit(): limit-without-order
+    takes whichever partitions answer first, so on a sorted/clustered
+    corpus the trained state would see one biased slice, and the rows
+    taken would change with partition layout. Hashing ``id_col`` (or
+    the vector itself when the frame carries no such column) makes the
+    draw content-deterministic — same bits on any cluster config.
+    Shared by pq_train and ivfpq_topk so the sampling discipline can
+    never diverge between the PQ family members."""
+    order = F.xxhash64(F.col(id_col)) if id_col in emb.columns else F.xxhash64(F.col(vec_col))
+    sample = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in emb.select(vec_col, order.alias("__h"))
+        .orderBy("__h")
+        .limit(sample_rows)
+        .select(vec_col)
+        .collect()
+    ]
+    mat = np.stack(sample)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(norms == 0, 1.0, norms)
+
+
+def _exact_rerank(
+    emb, cand, query_ids: list[int], k: int, id_col: str, vec_col: str
+):
+    """Exact-cosine re-rank of a bounded candidate set — the shared
+    tail of the compressed-scan ANN family (pq_search, ivfpq_topk):
+    vectors are fetched ONLY for the candidates, queries broadcast,
+    deterministic (cosine desc, neighbor_id) rank, rounded projection."""
+    from pyspark.sql import Window
+
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    ).filter(F.col("qn") > 0)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    ).filter(F.col("cn") > 0)
+    rescored = (
+        cand.join(F.broadcast(queries), "query_id")
+        .join(corpus, "neighbor_id")
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def pq_train(
     emb: DataFrame,
     m: int = 16,
@@ -755,27 +813,7 @@ def pq_search(
         .select("query_id", "neighbor_id")
     )
     # exact re-rank: vectors fetched ONLY for the bounded candidate set
-    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
-    ).filter(F.col("qn") > 0)
-    corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-    ).filter(F.col("cn") > 0)
-    rescored = (
-        cand.join(F.broadcast(queries), "query_id")
-        .join(corpus, "neighbor_id")
-        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
-    )
+    return _exact_rerank(emb, cand, query_ids, k, id_col, vec_col)
 
 
 def ivfpq_topk(
@@ -814,17 +852,7 @@ def ivfpq_topk(
     from pyspark.sql import Window
 
     # ---- train on one bounded, hash-ordered sample -------------------
-    sample = [
-        np.asarray(r[0], dtype=np.float64)
-        for r in emb.select(vec_col, F.xxhash64(F.col(id_col)).alias("__h"))
-        .orderBy("__h")
-        .limit(sample_rows)
-        .select(vec_col)
-        .collect()
-    ]
-    mat = np.stack(sample)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat = mat / np.where(norms == 0, 1.0, norms)
+    mat = _hash_ordered_sample(emb, sample_rows, id_col, vec_col)
     dim = mat.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -900,25 +928,5 @@ def ivfpq_topk(
         .filter(F.col("r") <= k * refine)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank, bounded at queries × k·refine (the pq_search tail)
-    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
-    ).filter(F.col("qn") > 0)
-    corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-    ).filter(F.col("cn") > 0)
-    rescored = (
-        cand.join(F.broadcast(queries), "query_id")
-        .join(corpus, "neighbor_id")
-        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
-    )
+    # exact re-rank, bounded at queries × k·refine (the shared tail)
+    return _exact_rerank(emb, cand, query_ids, k, id_col, vec_col)

@@ -40,6 +40,7 @@ from typing import Any, Optional
 
 from .plans import SortBy
 from .store import DocumentStore, NotFoundError, QueryBudgetExceeded
+from .store.storage import ManifestConflict
 
 
 @dataclass
@@ -224,6 +225,8 @@ class RestFacade:
             return self._precondition_response(e)
         except NotFoundError:
             return RestResponse(404)
+        except ManifestConflict as e:
+            return RestResponse(409, {"error": f"concurrent write, retry: {e}"})
         except ValueError as e:
             return RestResponse(400, {"error": str(e)})
 
@@ -237,6 +240,8 @@ class RestFacade:
             return self._precondition_response(e)
         except NotFoundError:
             return RestResponse(404)
+        except ManifestConflict as e:
+            return RestResponse(409, {"error": f"concurrent write, retry: {e}"})
         except ValueError as e:
             return RestResponse(400, {"error": str(e)})
 
@@ -263,6 +268,34 @@ class RestFacade:
     # GET lists defs or serves the finalized view (auto-refreshed, the
     # mode returned in the `rollup-refresh` header), DELETE drops.
     _ROLLUPS_SEG = "~/_rollups"
+
+    @staticmethod
+    def _bucket_els(rows, key_fields) -> list[dict]:
+        """Serialize collected rollup/aggregate view rows. NULL-safe
+        numeric conversion throughout: the build keeps a NULL bucket
+        for rows whose value failed try_cast — its total/vmin/vmax
+        (and the sample quantiles) are NULL, and float(None) would
+        raise out of handle() instead of serializing. Shared by the
+        per-def rollup GET and the planner _aggregate route so both
+        endpoints always serve the same shape for the same MV."""
+        fnum = lambda x: float(x) if x is not None else None
+        extra = [
+            c for c in ("n_distinct", "var_pop", "stddev_pop", "p50", "p95")
+            if rows and c in rows[0].__fields__
+        ]
+        return [
+            {
+                **{k: r[k] for k in key_fields},
+                "bucket_start": str(r["bucket_start"]),
+                "n": r["n"],
+                "total": fnum(r["total"]),
+                "vmin": fnum(r["vmin"]),
+                "vmax": fnum(r["vmax"]),
+                "avg": r["avg"],
+                **{c: fnum(r[c]) if c in ("p50", "p95") else r[c] for c in extra},
+            }
+            for r in rows
+        ]
 
     def _rollup_route(self, m: str, path: str, body: Any, params: dict) -> RestResponse:
         base, _, rest = path.partition(self._ROLLUPS_SEG)
@@ -311,30 +344,7 @@ class RestFacade:
                 size = int(params.get("size") or 1000)
                 order = [*d.key_fields, "bucket_start"]
                 rows = df.orderBy(*order).limit(size).collect()
-                extra = [
-                    c for c in ("n_distinct", "var_pop", "stddev_pop", "p50", "p95")
-                    if rows and c in rows[0].__fields__
-                ]
-                # NULL-safe numeric conversion: the build keeps a NULL
-                # bucket for rows whose value failed try_cast — its
-                # total/vmin/vmax are NULL and float(None) would raise
-                # out of handle() instead of serializing
-                fnum = lambda x: float(x) if x is not None else None
-                els = [
-                    {
-                        **{k: r[k] for k in d.key_fields},
-                        "bucket_start": str(r["bucket_start"]),
-                        "n": r["n"],
-                        "total": fnum(r["total"]),
-                        "vmin": fnum(r["vmin"]),
-                        "vmax": fnum(r["vmax"]),
-                        "avg": r["avg"],
-                        # p50/p95 are exact decimals — float them like
-                        # the other numeric fields (NULL-safe)
-                        **{c: fnum(r[c]) if c in ("p50", "p95") else r[c] for c in extra},
-                    }
-                    for r in rows
-                ]
+                els = self._bucket_els(rows, d.key_fields)
                 return RestResponse(200, {"_embedded": {"els": els}}, {"rollup-refresh": mode})
             if m == "DELETE" and rollup_id is not None:
                 self.store.drop_rollup(uri, rollup_id)
@@ -342,6 +352,8 @@ class RestFacade:
             return RestResponse(405, {"error": f"{m} not supported on {path!r}"})
         except NotFoundError:
             return RestResponse(404)
+        except ManifestConflict as e:
+            return RestResponse(409, {"error": f"concurrent write, retry: {e}"})
         except ValueError as e:
             return RestResponse(400, {"error": str(e)})
 
@@ -362,7 +374,11 @@ class RestFacade:
         missing = [k for k in ("ts_field", "key_fields", "value_field") if not params.get(k)]
         if missing:
             return RestResponse(400, {"error": f"missing parameter(s): {', '.join(missing)}"})
-        keys = [k for k in str(params["key_fields"]).split(",") if k]
+        # strip per segment: "k1, k2" must mean the k2 column, and an
+        # unresolvable padded name would escape as an AnalysisException
+        keys = [k.strip() for k in str(params["key_fields"]).split(",") if k.strip()]
+        if not keys:
+            return RestResponse(400, {"error": "key_fields resolved to an empty list"})
         try:
             df, route = self.store.aggregate(
                 uri,
@@ -378,24 +394,7 @@ class RestFacade:
             )
             size = int(params.get("size") or 1000)
             rows = df.orderBy(*keys, "bucket_start").limit(size).collect()
-            fnum = lambda x: float(x) if x is not None else None
-            extra = [
-                c for c in ("n_distinct", "var_pop", "stddev_pop", "p50", "p95")
-                if rows and c in rows[0].__fields__
-            ]
-            els = [
-                {
-                    **{k: r[k] for k in keys},
-                    "bucket_start": str(r["bucket_start"]),
-                    "n": r["n"],
-                    "total": fnum(r["total"]),
-                    "vmin": fnum(r["vmin"]),
-                    "vmax": fnum(r["vmax"]),
-                    "avg": r["avg"],
-                    **{c: fnum(r[c]) if c in ("p50", "p95") else r[c] for c in extra},
-                }
-                for r in rows
-            ]
+            els = self._bucket_els(rows, keys)
             headers = {"aggregate-source": route.source}
             if route.rollup_id:
                 headers["rollup-id"] = route.rollup_id
@@ -405,6 +404,8 @@ class RestFacade:
             return RestResponse(200, {"_embedded": {"els": els}}, headers)
         except NotFoundError:
             return RestResponse(404)
+        except ManifestConflict as e:
+            return RestResponse(409, {"error": f"concurrent write, retry: {e}"})
         except ValueError as e:
             return RestResponse(400, {"error": str(e)})
 

@@ -288,31 +288,83 @@ def _write_mv_and_def(store, d: RollupDef, partials: DataFrame, **def_fields) ->
     a SECOND time — permanent double-counting. One flip means the MV
     and its watermark are never observable apart."""
     import os
+    import time as _time
     import uuid
 
-    from .storage import write_bucket_file
+    from .storage import ManifestConflict, write_bucket_file
 
-    files = _stage_mv(store, d, partials)
-    rows = store.storage.bucket_rows(ROLLUP_DEFS, 0)
-    for r in rows:
-        if r["document_uri"] == d.document_uri and r["rollup_id"] == d.rollup_id:
-            r.update(def_fields)
-    defs_abs = os.path.join(
-        store.storage.root, "data", ROLLUP_DEFS,
-        f"b0000-rollup-{uuid.uuid4().hex[:8]}.parquet",
-    )
-    write_bucket_file(rows, ROLLUP_DEFS_SCHEMA, defs_abs)
-    store.storage.commit_external_many(
-        {d.table_name: {0: files}, ROLLUP_DEFS: {0: [defs_abs]}}
-    )
+    files = _stage_mv(store, d, partials)  # the long Spark work, unpinned
+    # the defs-bucket rewrite is a read-modify-write of the WHOLE
+    # bucket, so its read must be version-pinned to the flip
+    # (expected_version) or a foreign process's concurrent defs commit
+    # (another rollup's create/refresh) would be silently reverted by
+    # our stale full-bucket file — a lost update that rolls back the
+    # OTHER rollup's watermark and reintroduces the double-merge class.
+    # The read happens AFTER staging so the pinned window is
+    # milliseconds (one file write + the CAS), and a conflict retries
+    # only this tail: the staged MV files embed state from the
+    # caller's pinned snapshot and stay valid regardless of who flips.
+    last: Exception | None = None
+    for attempt in range(5):
+        v0 = store.storage.current_version()
+        rows = store.storage.bucket_rows(ROLLUP_DEFS, 0)
+        for r in rows:
+            if r["document_uri"] == d.document_uri and r["rollup_id"] == d.rollup_id:
+                r.update(def_fields)
+        defs_abs = os.path.join(
+            store.storage.root, "data", ROLLUP_DEFS,
+            f"b0000-rollup-{uuid.uuid4().hex[:8]}.parquet",
+        )
+        write_bucket_file(rows, ROLLUP_DEFS_SCHEMA, defs_abs)
+        try:
+            store.storage.commit_external_many(
+                {d.table_name: {0: files}, ROLLUP_DEFS: {0: [defs_abs]}},
+                expected_version=v0,
+            )
+            return
+        except ManifestConflict as e:
+            last = e
+            _time.sleep(0.01 * (attempt + 1))
+    raise last
+
+
+def _commit_defs(store, mutate, drop_tables=()) -> None:
+    """Version-pinned read-modify-write of the defs bucket: ``mutate``
+    takes the freshly-read row list and returns the list to commit.
+    The bucket rewrite replaces EVERY row, so the read must be pinned
+    to the flip (expected_version) or a foreign process's concurrent
+    defs commit would be silently reverted; conflicts re-read and
+    retry (the in-process lock already serializes local callers)."""
+    import time as _time
+
+    from .storage import ManifestConflict
+
+    last: Exception | None = None
+    for attempt in range(5):
+        v0 = store.storage.current_version()
+        rows = mutate(store.storage.bucket_rows(ROLLUP_DEFS, 0))
+        try:
+            store.storage.commit(
+                {(ROLLUP_DEFS, 0): rows},
+                {ROLLUP_DEFS: ROLLUP_DEFS_SCHEMA},
+                drop_tables=drop_tables,
+                expected_version=v0,
+            )
+            return
+        except ManifestConflict as e:
+            last = e
+            _time.sleep(0.01 * (attempt + 1))
+    raise last
 
 
 def _update_def(store, uri: str, rollup_id: str, **fields) -> None:
-    rows = store.storage.bucket_rows(ROLLUP_DEFS, 0)
-    for r in rows:
-        if r["document_uri"] == uri and r["rollup_id"] == rollup_id:
-            r.update(fields)
-    store.storage.commit({(ROLLUP_DEFS, 0): rows}, {ROLLUP_DEFS: ROLLUP_DEFS_SCHEMA})
+    def mutate(rows):
+        for r in rows:
+            if r["document_uri"] == uri and r["rollup_id"] == rollup_id:
+                r.update(fields)
+        return rows
+
+    _commit_defs(store, mutate)
 
 
 def create_rollup(
@@ -358,13 +410,14 @@ def create_rollup(
     rollup_id = rollup_id or f"rollup-{create_id()}"
 
     with store._lock:
-        rows = store.storage.bucket_rows(ROLLUP_DEFS, 0)
-        if any(r["document_uri"] == uri and r["rollup_id"] == rollup_id for r in rows):
-            raise ValueError(f"rollup {rollup_id!r} already exists on {uri!r}")
         from .storage import _sanitize
 
         tname = f"rollup_{_sanitize(uri)}_{_sanitize(rollup_id)}"
-        rows.append(
+
+        def register(rows):
+            if any(r["document_uri"] == uri and r["rollup_id"] == rollup_id for r in rows):
+                raise ValueError(f"rollup {rollup_id!r} already exists on {uri!r}")
+            rows.append(
             {
                 "document_uri": uri,
                 "rollup_id": rollup_id,
@@ -378,10 +431,12 @@ def create_rollup(
                 "built_revision": 0,
                 "distinct_field": distinct_field,
                 "sumsq": sumsq,
-                "sample_k": sample_k,
-            }
-        )
-        store.storage.commit({(ROLLUP_DEFS, 0): rows}, {ROLLUP_DEFS: ROLLUP_DEFS_SCHEMA})
+                    "sample_k": sample_k,
+                }
+            )
+            return rows
+
+        _commit_defs(store, register)
 
         d = RollupDef(
             uri, rollup_id, STATUS_INDEXING, ts_field, tuple(key_fields),
@@ -416,18 +471,21 @@ def create_rollup(
 
 def drop_rollup(store, uri: str, rollup_id: str) -> None:
     with store._lock:
-        rows = store.storage.bucket_rows(ROLLUP_DEFS, 0)
-        keep = [r for r in rows if not (r["document_uri"] == uri and r["rollup_id"] == rollup_id)]
-        if len(keep) == len(rows):
-            raise ValueError(f"no rollup {rollup_id!r} on {uri!r}")
+        rows0 = store.storage.bucket_rows(ROLLUP_DEFS, 0)
         dropped = next(
-            r for r in rows if r["document_uri"] == uri and r["rollup_id"] == rollup_id
+            (r for r in rows0 if r["document_uri"] == uri and r["rollup_id"] == rollup_id),
+            None,
         )
-        store.storage.commit(
-            {(ROLLUP_DEFS, 0): keep},
-            {ROLLUP_DEFS: ROLLUP_DEFS_SCHEMA},
-            drop_tables=[dropped["table_name"]],
-        )
+        if dropped is None:
+            raise ValueError(f"no rollup {rollup_id!r} on {uri!r}")
+
+        def remove(rows):
+            return [
+                r for r in rows
+                if not (r["document_uri"] == uri and r["rollup_id"] == rollup_id)
+            ]
+
+        _commit_defs(store, remove, drop_tables=[dropped["table_name"]])
 
 
 def _delta_class(store, d: RollupDef, current_rev: int) -> str:

@@ -315,6 +315,7 @@ class Storage:
         table_bucket_files: dict[str, dict[int, list[str]]],
         drop_tables: Iterable[str] = (),
         meta: Optional[dict] = None,
+        expected_version: Optional[int] = None,
     ) -> int:
         """Register externally-written files across MANY tables (and/or
         drop tables) in ONE atomic manifest flip — the commit point of
@@ -323,8 +324,21 @@ class Storage:
         ride in the same flip (e.g. the streaming batch watermark — a
         marker that must be atomic with the data it marks). Drops apply
         BEFORE registrations, so a drop-and-recreate in one commit
-        keeps the recreated content."""
+        keeps the recreated content.
+
+        ``expected_version`` pins the caller's whole read-stage-flip
+        window, exactly like :meth:`commit`: callers whose registered
+        files embed state READ at that version (e.g. a rewritten
+        full-bucket row file) pass it, and the flip refuses if ANY
+        foreign flip landed since — without it this method's own
+        manifest re-read would silently publish the stale rewrite over
+        the foreign commit (lost update)."""
         manifest = self._read_manifest()
+        if expected_version is not None and manifest["version"] != expected_version:
+            raise ManifestConflict(
+                f"manifest version moved since staging reads: expected "
+                f"{expected_version}, found {manifest['version']}"
+            )
         version = manifest["version"] + 1
         for table in drop_tables:
             manifest["tables"].pop(table, None)

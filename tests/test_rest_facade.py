@@ -225,3 +225,19 @@ def test_rest_aggregate_route(spark, tmp_path):
     r4 = rest.handle("GET", "m~/_aggregate", ts_field="ts", key_fields="k",
                      value_field="v", resolution="hour")
     assert r4.status == 400 and "schema" in r4.body["error"]
+
+
+def test_rest_aggregate_key_fields_whitespace(spark, tmp_path):
+    from hyper_storage_spark.rest import RestFacade
+    from hyper_storage_spark.store import DocumentStore
+
+    st = DocumentStore(str(tmp_path / "ws_store"), spark=spark)
+    st.put("w~/a", {"ts": "2024-01-01 00:00:00", "k": "k0", "v": 1.0})
+    rest = RestFacade(st)
+    # padded key names must resolve to the real columns, not crash
+    r = rest.handle("GET", "w~/_aggregate", ts_field="ts", key_fields=" k ,",
+                    value_field="v", schema="ts string, k string, v double")
+    assert r.status == 200 and r.body["_embedded"]["els"][0]["k"] == "k0"
+    r2 = rest.handle("GET", "w~/_aggregate", ts_field="ts", key_fields=" , ",
+                     value_field="v", schema="ts string, k string, v double")
+    assert r2.status == 400
