@@ -148,19 +148,37 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text", n: int = 2) -> 
 
 
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+# strict international shape (+CC-NNN-NNNN): a permissive digit-run
+# pattern would eat ordinary numbers in prose
+PII_PHONE_RE = r"\+\d{1,3}-\d{3}-\d{4}"
+
+# (class, pattern, placeholder) — redaction order matters only in that
+# earlier placeholders must not match later patterns (none do)
+PII_CLASSES = (
+    ("n_emails", PII_EMAIL_RE, "[EMAIL]"),
+    ("n_ipv4", PII_IPV4_RE, "[IPV4]"),
+    ("n_phones", PII_PHONE_RE, "[PHONE]"),
+)
 
 
 def with_pii_redacted(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Email-PII scrubbing for training corpora: counts matches and
-    replaces each with ``[EMAIL]``. The pattern is deliberately
-    restricted to syntax both Java regex and RE2 interpret identically
-    (no backrefs/lookaround), so an ANSI-SQL oracle can replicate the
-    redaction byte-for-byte. Built-in regexp functions only — codegen,
-    no shuffle."""
+    """Multi-class PII scrubbing for training corpora: per-class match
+    counts (``n_emails``/``n_ipv4``/``n_phones``) and a
+    ``text_redacted`` column with every match replaced by its class
+    placeholder. Patterns are deliberately restricted to syntax both
+    Java regex and RE2 interpret identically (no backrefs/lookaround),
+    so an ANSI-SQL oracle can replicate the redaction byte-for-byte.
+    Built-in regexp functions only — codegen, no shuffle."""
     text = F.col(text_col)
-    return df.withColumn(
-        "n_emails", F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0)))
-    ).withColumn("text_redacted", F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]"))
+    out = df
+    redacted = text
+    for count_col, pattern, placeholder in PII_CLASSES:
+        out = out.withColumn(
+            count_col, F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+        )
+        redacted = F.regexp_replace(redacted, pattern, placeholder)
+    return out.withColumn("text_redacted", redacted)
 
 
 def normalized_text(text: Column) -> Column:

@@ -2981,44 +2981,77 @@ def text_repetition(spark, sf_dir):
     "text_pii_redact",
     """WITH d AS (
          SELECT doc_id,
-                CASE WHEN doc_id % 7 = 0
-                     THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
-                          || '@example.com now'
-                     ELSE text END AS text2
+                text
+                || CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                        ELSE '' END
+                || CASE WHEN doc_id % 5 = 0
+                        THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 logged'
+                        ELSE '' END
+                || CASE WHEN doc_id % 11 = 0
+                        THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ok'
+                        ELSE '' END AS text2
          FROM documents
        )
        SELECT doc_id,
               CAST(len(regexp_extract_all(
-                  text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
-                AS n_emails,
-              md5(regexp_replace(
-                  text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                  '[EMAIL]', 'g')) AS redacted_md5
+                  text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(
+                  text2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+              CAST(len(regexp_extract_all(
+                  text2, '\\+\\d{1,3}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phones,
+              md5(regexp_replace(regexp_replace(regexp_replace(
+                  text2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IPV4]', 'g'),
+                  '\\+\\d{1,3}-\\d{3}-\\d{4}', '[PHONE]', 'g')) AS redacted_md5
        FROM d""",
 )
 def text_pii_redact(spark, sf_dir):
-    """Email-PII scrubbing (operators/text.py:with_pii_redacted). The
-    synthetic corpus contains no PII, so the entry PLANTS a
-    deterministic email on every doc_id % 7 == 0 row — identically in
-    the SQL oracle — to keep the count and the byte-level redaction
-    (compared via md5) genuinely differential. The pattern sticks to
-    syntax Java regex and RE2 read identically."""
+    """Multi-class PII scrubbing (operators/text.py:with_pii_redacted —
+    emails, IPv4 addresses, international phone numbers). The
+    synthetic corpus contains no PII, so the entry PLANTS one
+    deterministic instance of each class on disjoint id slices
+    (doc_id % 7/5/11 == 0) — identically in the SQL oracle — to keep
+    every per-class count and the byte-level redaction (compared via
+    md5) genuinely differential. All three patterns stick to syntax
+    Java regex and RE2 read identically."""
     d = _t(spark, sf_dir, "documents").withColumn(
         "text2",
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com now"),
-            ),
-        ).otherwise(F.col("text")),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0.1 logged"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit(" ok"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
     )
     red = text.with_pii_redacted(d, "text2")
     return red.select(
         "doc_id",
         F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.col("n_phones").cast("bigint").alias("n_phones"),
         F.md5("text_redacted").alias("redacted_md5"),
     )
 

@@ -221,6 +221,19 @@ def test_pii_redaction_counts_and_rewrites(spark):
     assert out[0].text_redacted == "mail me at [EMAIL] or [EMAIL] today"
     assert out[1].n_emails == 0 and out[1].text_redacted == "no pii here"
     assert out[2].n_emails == 2 and out[2].text_redacted == "dup [EMAIL] [EMAIL]"
+    # multi-class (round 9): IPs and strict international phones
+    rows2 = [
+        (0, "server 192.168.0.1 then call +1-555-0100 or +44-020-7946"),
+        (1, "version 1.2 costs 3.50 and 12345678 stays"),  # no false positives
+        (2, "a@b.co at 10.0.0.1"),
+    ]
+    d2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    out2 = {r.doc_id: r for r in text.with_pii_redacted(d2).collect()}
+    assert (out2[0].n_ipv4, out2[0].n_phones) == (1, 2)
+    assert out2[0].text_redacted == "server [IPV4] then call [PHONE] or [PHONE]"
+    assert (out2[1].n_emails, out2[1].n_ipv4, out2[1].n_phones) == (0, 0, 0)
+    assert out2[1].text_redacted == rows2[1][1]
+    assert out2[2].text_redacted == "[EMAIL] at [IPV4]"
 
 
 def test_langid_accuracy_on_labeled_docs(spark, sf_dir):
