@@ -679,3 +679,56 @@ def lag_autocorrelation(events: DataFrame, ts_col: str = "ts", lag_days: int = 1
     return s.select(
         F.col("np").alias("n_pairs"), F.round(F.try_divide(num, den), 6).alias("acf")
     )
+
+
+def holt_linear(
+    series: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per key: (keys…, n,
+    level, trend, forecast) where forecast = level + trend (one step
+    ahead) after folding the ordered series through
+
+        l_t = α·y_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}      (l_0 = y_0, b_0 = 0)
+
+    The recurrence is SEQUENTIAL per key — not associative, so no
+    window/aggregate form exists; this is exactly the documented
+    custom-operator path (applyInPandas: one Arrow batch per key,
+    keys partition the work, state never leaves the executor). The
+    arithmetic is written as the literal textbook expressions so a
+    recursive-CTE oracle replays the identical IEEE operation order —
+    outputs ship UNROUNDED (bit-for-bit comparable; rounding near a
+    representability boundary is the known cross-engine hazard). For
+    cross-engine replay pick α/β with EXACT binary representations
+    (0.5, 0.25, …): (1-β) for a non-representable β rounds differently
+    as a Python expression vs a SQL literal.
+    Scale: one shuffle on the keys; per-key state is O(1)."""
+    import pandas as pd
+
+    keys = list(key_cols)
+    out_schema = ", ".join(
+        [f"{k} {dict(series.dtypes)[k]}" for k in keys]
+        + ["n bigint", "level double", "trend double", "forecast double"]
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_col)
+        ys = [float(y) for y in pdf[value_col]]
+        level, trend = ys[0], 0.0
+        for y in ys[1:]:
+            prev = level
+            level = alpha * y + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row.update(
+            {"n": [len(ys)], "level": [level], "trend": [trend],
+             "forecast": [level + trend]}
+        )
+        return pd.DataFrame(row)
+
+    return series.groupBy(*keys).applyInPandas(fold, out_schema)

@@ -2043,6 +2043,46 @@ def dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs).orderBy("doc_id")
 
 
+@register_extra(
+    "ts_holt_forecast",
+    """WITH RECURSIVE base AS (
+  SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+nb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM base),
+hw(event_type, rn, level, trend) AS (
+  SELECT event_type, 1, y, CAST(0.0 AS DOUBLE) FROM nb WHERE rn = 1
+  UNION ALL
+  SELECT b.event_type, b.rn,
+         0.5 * b.y + 0.5 * (h.level + h.trend),
+         0.25 * ((0.5 * b.y + 0.5 * (h.level + h.trend)) - h.level) + 0.75 * h.trend
+  FROM hw h JOIN nb b ON b.event_type = h.event_type AND b.rn = h.rn + 1
+),
+last AS (SELECT event_type, MAX(rn) AS n FROM hw GROUP BY 1)
+SELECT h.event_type, CAST(l.n AS BIGINT) AS n, h.level, h.trend,
+       h.level + h.trend AS forecast
+FROM hw h JOIN last l ON h.event_type = l.event_type AND h.rn = l.n""",
+)
+def ts_holt_forecast(spark, sf_dir):
+    """Holt linear-trend smoothing + one-step forecast per event type
+    over the daily value series (operators/timeseries.py:holt_linear).
+    The recurrence is sequential per key — the applyInPandas custom-
+    operator path, keys partitioning the work — and α=0.5 / β=0.25 are
+    EXACT binary fractions, so the DuckDB recursive CTE replays the
+    identical IEEE operation order and the unrounded doubles match
+    bit-for-bit (series built from exact decimal daily sums cast to
+    double identically in both engines)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("y"))
+    )
+    return timeseries.holt_linear(
+        daily, ["event_type"], "day", "y", alpha=0.5, beta=0.25
+    ).orderBy("event_type")
+
+
 _CONTAM_RADIUS_SQL = f"""
 WITH RECURSIVE pairs AS ({{jaccard}}),
 edges AS (

@@ -3082,3 +3082,27 @@ def test_ivfpq_topk_recall_and_contract(spark, sf_dir):
     assert similarity.ivfpq_topk(emb, [99999], k=5).count() == 0
     with __import__("pytest").raises(ValueError, match="divisible"):
         similarity.ivfpq_topk(emb, qids, k=5, m=5)
+
+
+def test_holt_linear_hand_computed(spark):
+    from hyper_storage_spark.operators import timeseries
+
+    # y = [10, 12, 14], alpha=0.5, beta=0.25, l0=10, b0=0:
+    #  t1: l=0.5*12+0.5*(10+0)=11;   b=0.25*(11-10)+0.75*0=0.25
+    #  t2: l=0.5*14+0.5*(11.25)=12.625; b=0.25*(12.625-11)+0.75*0.25=0.59375
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, 14.0), ("b", 1, 5.0)],
+        "k string, t int, y double",
+    )
+    out = {r.k: r for r in timeseries.holt_linear(df, ["k"], "t", "y").collect()}
+    assert out["a"].n == 3
+    assert out["a"].level == 12.625 and out["a"].trend == 0.59375
+    assert out["a"].forecast == 12.625 + 0.59375
+    # single-point series: level = y0, no trend, forecast = y0
+    assert (out["b"].n, out["b"].level, out["b"].trend) == (1, 5.0, 0.0)
+    # order independence of input row order (the fold sorts per key)
+    df2 = spark.createDataFrame(
+        [("a", 3, 14.0), ("a", 1, 10.0), ("a", 2, 12.0)], "k string, t int, y double"
+    )
+    out2 = timeseries.holt_linear(df2, ["k"], "t", "y").collect()[0]
+    assert (out2.level, out2.trend) == (12.625, 0.59375)
