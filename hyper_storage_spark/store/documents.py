@@ -264,6 +264,13 @@ class DocumentStore:
     """Library-mode document store. All writes serialize through one
     lock (single-writer ⇒ gapless revisions); queries run on Spark."""
 
+    # minimum age (s) before vacuum may reclaim an UNREFERENCED file
+    # under a staging marker (rollup_build_/index_backfill_/ingest-/
+    # merge-/expire-/-stream-): another process's staging-to-commit
+    # window must fit inside it (see vacuum). Class attribute so tests
+    # that deliberately reclaim fresh staging garbage can lower it.
+    STAGING_GRACE_S = 120.0
+
     def __init__(
         self,
         root: str,
@@ -1881,13 +1888,35 @@ class DocumentStore:
                             referenced.add(os.path.abspath(os.path.join(self.storage.root, one)))
             removed = 0
             data_root = os.path.join(self.storage.root, "data")
+            # STAGING files live on disk UNREFERENCED until their
+            # writer's manifest flip — and the writer may be ANOTHER
+            # process whose staging-to-commit window (a Spark write plus
+            # CAS retries under contention) can far exceed a short
+            # grace. Deleting one mid-window makes the subsequent commit
+            # register a dangling reference (caught by the round-9 soak:
+            # a 0.5 s-grace vacuum ate a concurrent refresh's staged MV
+            # files). Every distributed-write path stages under a
+            # recognizable marker, so those candidates get a floor grace
+            # wide enough for any realistic staging window; a crashed
+            # writer's abandoned staging files are still reclaimed, one
+            # horizon later.
+            staging_markers = (
+                "rollup_build_", "index_backfill_",
+                "ingest-", "merge-", "expire-", "-stream-",
+            )
             for dirpath, _dirs, files in os.walk(data_root):
                 for f in files:
                     p = os.path.abspath(os.path.join(dirpath, f))
                     if not p.endswith(".parquet") or p in referenced:
                         continue
+                    rel = os.path.relpath(p, data_root)
+                    floor = (
+                        max(grace_seconds, self.STAGING_GRACE_S)
+                        if any(m in rel for m in staging_markers)
+                        else grace_seconds
+                    )
                     try:
-                        if now - os.path.getmtime(p) < grace_seconds:
+                        if now - os.path.getmtime(p) < floor:
                             continue
                     except OSError:
                         continue  # vanished concurrently

@@ -2113,3 +2113,27 @@ def test_chaos_soak_with_rollup_readers(spark):
     # the final quiesced pass guarantees at least one real comparison
     assert rr["comparisons"] >= 1
     assert rr["history_replayed"] >= 1
+
+
+def test_vacuum_spares_fresh_staging_files(spark, tmp_path):
+    """The round-9 soak failure: a concurrent short-grace vacuum ate
+    ANOTHER process's staged-but-not-yet-committed MV files, so the
+    subsequent commit registered dangling references. Unreferenced
+    files under a staging marker now get a floor grace
+    (STAGING_GRACE_S) regardless of how aggressive the caller's
+    grace is — the staging-to-commit window of a foreign writer must
+    never race the reclaimer."""
+    import os
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    store.put("d", {"a": 1})
+    staged_dir = tmp_path / "store" / "data" / "rollup_build_fake_x"
+    os.makedirs(staged_dir)
+    staged = staged_dir / "part-0000.parquet"
+    staged.write_bytes(b"not-yet-committed")
+    # plain unreferenced garbage with no marker IS reclaimed at grace 0
+    loose = tmp_path / "store" / "data" / "content" / "b0000-v99999999-dead.parquet"
+    loose.write_bytes(b"orphan")
+    store.vacuum(grace_seconds=0.0, keep_versions=0)
+    assert staged.exists(), "fresh staging file must survive any grace"
+    assert not loose.exists(), "unmarked orphans still reclaim immediately"

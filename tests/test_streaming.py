@@ -369,11 +369,15 @@ def test_session_window_stream_matches_batch(spark, tmp_path, sf_dir):
         assert expected[k] == v
 
 
-def test_vacuum_reclaims_superseded_stream_staging_files(spark, tmp_path):
+def test_vacuum_reclaims_superseded_stream_staging_files(spark, tmp_path, monkeypatch):
     """Staged bucket files from streaming batches become unreferenced
-    once later writes supersede them; vacuum() must reclaim them."""
+    once later writes supersede them; vacuum() must reclaim them.
+    (The staging floor is lowered: this single-process test WANTS
+    immediate reclaim; the floor exists for concurrent cross-process
+    staging windows — see DocumentStore.STAGING_GRACE_S.)"""
     import glob
 
+    monkeypatch.setattr(DocumentStore, "STAGING_GRACE_S", 0.0)
     store = DocumentStore(str(tmp_path / "store"), spark=spark)
     cmds = str(tmp_path / "commands")
     write_commands(cmds, [{"seq": 1, "method": "put", "path": "vdoc", "body": {"a": 1}}])
@@ -580,15 +584,17 @@ def test_revision_assignment_sorts_across_arrow_chunks(spark, tmp_path):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
-def test_streaming_vacuum_reclaims_crash_orphans(spark, tmp_path):
+def test_streaming_vacuum_reclaims_crash_orphans(spark, tmp_path, monkeypatch):
     """A batch that crashes at the manifest flip leaves its staged
     bucket files on disk by design (the flip owns cleanup semantics);
     the replay stages FRESH files. The vacuum wired into the streaming
     path must reclaim the orphans, and every surviving data file must
-    be manifest-referenced."""
+    be manifest-referenced. (Staging floor lowered: no concurrent
+    writers here — see DocumentStore.STAGING_GRACE_S.)"""
     import glob
     import os
 
+    monkeypatch.setattr(DocumentStore, "STAGING_GRACE_S", 0.0)
     store = DocumentStore(str(tmp_path / "store"), spark=spark)
     cmds = str(tmp_path / "commands")
     ckpt = str(tmp_path / "ckpt")
