@@ -816,6 +816,97 @@ def pq_search(
     return _exact_rerank(emb, cand, query_ids, k, id_col, vec_col)
 
 
+class IVFPQIndex:
+    """The persistable state of an IVF-PQ corpus — the combined-index
+    twin of :class:`PQIndex`:
+
+    - ``centroids``: (n_cells, dim) coarse cells (KB-sized);
+    - ``codebooks``: (m, n_codes, dim/m) RESIDUAL codebooks (KB-sized;
+      both round-trip through :func:`pq_codebook_table`-style tables);
+    - ``codes``: (id, cell, codes) DataFrame — the distributed
+      compressed corpus, the only data-proportional piece.
+
+    Persist once, :func:`ivfpq_append` new batches (frozen cells +
+    codebooks, no retrain), serve via :func:`ivfpq_search`."""
+
+    def __init__(self, centroids: np.ndarray, codebooks: np.ndarray, codes: DataFrame):
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.codes = codes
+
+
+def _ivfpq_encode(
+    emb: DataFrame, cents: np.ndarray, cb: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id → neighbor_id, cell, codes): assign each unit-normalized
+    vector to its nearest cell and PQ-encode the residual — one
+    Arrow-batched pass, zero shuffles; zero-norm vectors are excluded
+    (undefined direction, the cosine-family contract)."""
+    m, _, sub = cb.shape
+
+    @F.pandas_udf("struct<cell:int,codes:array<int>>")
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        v = v / np.where(n == 0, 1.0, n)
+        cell = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        r = v - cents[cell]
+        out = np.empty((len(v), m), dtype=np.int32)
+        for i in range(m):
+            seg = r[:, i * sub : (i + 1) * sub]
+            out[:, i] = ((seg[:, None, :] - cb[i][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        return pd.DataFrame({"cell": cell.astype("int32"), "codes": [list(x) for x in out]})
+
+    return (
+        emb.filter(_norm(F.col(vec_col)) > 0)
+        .select(F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("e"))
+        .select("neighbor_id", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes"))
+    )
+
+
+def ivfpq_index(
+    emb: DataFrame,
+    n_cells: int = 16,
+    m: int = 16,
+    n_codes: int = 32,
+    sample_rows: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFPQIndex:
+    """Train cells + residual codebooks on one hash-ordered driver
+    sample (bounded, content-deterministic — the pq_train discipline)
+    and encode the corpus — the one-off IVF-PQ bootstrap."""
+    mat = _hash_ordered_sample(emb, sample_rows, id_col, vec_col)
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cents = _pq_kmeans(mat, n_cells, seed=seed)  # (n_cells, dim)
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    resid = mat - cents[d2.argmin(axis=1)]
+    cb = np.stack(
+        [_pq_kmeans(resid[:, i * sub : (i + 1) * sub], n_codes, seed=seed + i) for i in range(m)]
+    )
+    return IVFPQIndex(cents, cb, _ivfpq_encode(emb, cents, cb, id_col, vec_col))
+
+
+def ivfpq_append(
+    index: IVFPQIndex, batch: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> IVFPQIndex:
+    """Add a batch to a persisted IVF-PQ index: assign + encode ONLY
+    the new rows with the frozen cells/codebooks and union the codes —
+    O(batch), no retrain (the FAISS add() convention; same distinct-id
+    assumption as pq_append)."""
+    return IVFPQIndex(
+        index.centroids,
+        index.codebooks,
+        index.codes.unionByName(
+            _ivfpq_encode(batch, index.centroids, index.codebooks, id_col, vec_col)
+        ),
+    )
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -834,55 +925,42 @@ def ivfpq_topk(
     coarse routing (ivf_topk's adaptation to clustered corpora) PLUS
     product-quantized RESIDUALS for the in-cell scan (pq_topk's
     compressed-scan economics). (query_id, neighbor_id, rank, cosine).
+    The from-scratch convenience face: builds a throwaway
+    :func:`ivfpq_index` and searches it; a production pipeline
+    persists the index once and calls :func:`ivfpq_search`."""
+    idx = ivfpq_index(
+        emb, n_cells=n_cells, m=m, n_codes=n_codes, sample_rows=sample_rows,
+        seed=seed, id_col=id_col, vec_col=vec_col,
+    )
+    return ivfpq_search(
+        idx, emb, query_ids, k=k, n_probe=n_probe, refine=refine,
+        id_col=id_col, vec_col=vec_col,
+    )
 
-    Build: cells and residual codebooks train on one hash-ordered
-    driver sample (bounded, content-deterministic — the pq_train
-    discipline); the corpus is assigned + residual-encoded in one
-    Arrow-batched pass, emitting (cell, m small ints) per vector —
-    the compressed table IVF scans at 100 TB.
 
-    Search: each query probes its ``n_probe`` nearest cells; the ADC
-    score decomposes as q·centroid(cell) + Σᵢ LUT_q[i][codeᵢ] because
-    v ≈ centroid + residual and the residual codebooks are global —
-    the per-(query,cell) work is ONE bias add over the same
-    queries-sized LUTs flat PQ uses, and rows outside probed cells are
-    never touched (the candidate volume drops by ~n_probe/n_cells vs
-    flat PQ). Top ``k·refine`` ADC candidates re-rank by exact cosine;
-    same empty-result contract as the cosine family."""
+def ivfpq_search(
+    index: IVFPQIndex,
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 8,
+    refine: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a (persisted) IVF-PQ index: each query probes its
+    ``n_probe`` nearest cells; the ADC score decomposes as
+    q·centroid(cell) + Σᵢ LUT_q[i][codeᵢ] because v ≈ centroid +
+    residual and the residual codebooks are global — the
+    per-(query,cell) work is ONE bias add over the same queries-sized
+    LUTs flat PQ uses, and rows outside probed cells are never touched
+    (the candidate volume drops by ~n_probe/n_cells vs flat PQ). Top
+    ``k·refine`` ADC candidates re-rank by exact cosine; same
+    empty-result contract as the cosine family."""
     from pyspark.sql import Window
 
-    # ---- train on one bounded, hash-ordered sample -------------------
-    mat = _hash_ordered_sample(emb, sample_rows, id_col, vec_col)
-    dim = mat.shape[1]
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    cents = _pq_kmeans(mat, n_cells, seed=seed)  # (n_cells, dim)
-    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    resid = mat - cents[d2.argmin(axis=1)]
-    cb = np.stack(
-        [_pq_kmeans(resid[:, i * sub : (i + 1) * sub], n_codes, seed=seed + i) for i in range(m)]
-    )
-
-    # ---- assign + residual-encode the corpus (one Arrow pass) --------
-    @F.pandas_udf("struct<cell:int,codes:array<int>>")
-    def enc(vecs: pd.Series) -> pd.DataFrame:
-        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
-        n = np.linalg.norm(v, axis=1, keepdims=True)
-        v = v / np.where(n == 0, 1.0, n)
-        cell = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-        r = v - cents[cell]
-        out = np.empty((len(v), m), dtype=np.int32)
-        for i in range(m):
-            seg = r[:, i * sub : (i + 1) * sub]
-            out[:, i] = ((seg[:, None, :] - cb[i][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-        return pd.DataFrame({"cell": cell.astype("int32"), "codes": [list(x) for x in out]})
-
-    codes = (
-        emb.filter(_norm(F.col(vec_col)) > 0)
-        .select(F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("e"))
-        .select("neighbor_id", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes"))
-    )
+    cents, cb, codes = index.centroids, index.codebooks, index.codes
+    m, _, sub = cb.shape
 
     # ---- per-query probes, biases, and LUTs ---------------------------
     qrows = emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()

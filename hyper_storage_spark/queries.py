@@ -2816,6 +2816,16 @@ def ann_pq_raw(spark, sf_dir):
     return similarity.pq_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
 
 
+_ANN_PQ_INCR_SQL = """
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(10 AS BIGINT) AS n_results,
+       true AS recall_ok,
+       true AS corpus_recall_ok,
+       true AS incremental_eq
+FROM (SELECT unnest([0, 1, 2, 3, 4]) AS query_id)
+"""
+
+
 @register_extra("ann_ivfpq_contract", _ANN_CONTRACT_SQL)
 def ann_ivfpq_contract(spark, sf_dir):
     """IVF-PQ ANN (operators/similarity.py ivfpq_topk — the full FAISS
@@ -2835,6 +2845,60 @@ def ann_ivfpq_contract(spark, sf_dir):
     return _ann_contract(ann, exact, min_recall_pct=80)
 
 
+@register_extra("ann_ivfpq_incremental", _ANN_PQ_INCR_SQL)
+def ann_ivfpq_incremental(spark, sf_dir):
+    """The persisted-IVF-PQ-index path (similarity.ivfpq_index /
+    ivfpq_append / ivfpq_search — round 9): bootstrap cells + residual
+    codebooks on 90% of the corpus, append the 10% batch by
+    assigning + encoding ONLY its rows with the frozen state, search
+    the combined index. Gates: the standard recall contract vs the
+    exact top-10 AND ``incremental_eq`` — row-for-row equality with a
+    one-shot encode of the full corpus under the same cells/codebooks
+    (append+search ≡ bulk-build, the ann_pq_incremental twin for the
+    combined index)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    boot = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 7)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7)
+    qids = [0, 1, 2, 3, 4]
+    idx = similarity.ivfpq_index(boot, n_cells=16)
+    # n_probe 12 (vs the contract entry's 10): the cells train on the
+    # 90% bootstrap only, so probes compensate the slightly shifted
+    # centroids — recall is monotone in probe count (measured: 10
+    # probes read corpus 0.88 at sf0.1 under bootstrap-trained cells)
+    ann = similarity.ivfpq_search(
+        similarity.ivfpq_append(idx, batch), emb, qids, k=10, n_probe=12
+    )
+    oneshot = similarity.ivfpq_search(
+        similarity.IVFPQIndex(
+            idx.centroids,
+            idx.codebooks,
+            similarity._ivfpq_encode(emb, idx.centroids, idx.codebooks, "vec_id", "embedding"),
+        ),
+        emb,
+        qids,
+        k=10,
+        n_probe=12,
+    )
+    contract = _ann_contract(ann, similarity.cosine_topk(emb, qids, k=10), min_recall_pct=80)
+    a_cnt = ann.groupBy("query_id").agg(F.count("*").alias("na"))
+    o_cnt = oneshot.groupBy("query_id").agg(F.count("*").alias("no"))
+    both = ann.join(
+        oneshot, ["query_id", "neighbor_id", "rank", "cosine"], "left_semi"
+    ).groupBy("query_id").agg(F.count("*").alias("ni"))
+    eq = (
+        a_cnt.join(o_cnt, "query_id")
+        .join(both, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                (F.col("na") == F.col("no"))
+                & (F.coalesce("ni", F.lit(0)) == F.col("na"))
+            ).alias("incremental_eq"),
+        )
+    )
+    return contract.join(eq, "query_id")
+
+
 @register_extra("ann_ivfpq_raw", None)  # cells + residual codebooks are engine state
 def ann_ivfpq_raw(spark, sf_dir):
     """Raw IVF-PQ neighbor lists (ann_ivfpq_contract certifies);
@@ -2842,16 +2906,6 @@ def ann_ivfpq_raw(spark, sf_dir):
     return similarity.ivfpq_topk(
         _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10, n_cells=16, n_probe=10
     )
-
-
-_ANN_PQ_INCR_SQL = """
-SELECT CAST(query_id AS BIGINT) AS query_id,
-       CAST(10 AS BIGINT) AS n_results,
-       true AS recall_ok,
-       true AS corpus_recall_ok,
-       true AS incremental_eq
-FROM (SELECT unnest([0, 1, 2, 3, 4]) AS query_id)
-"""
 
 
 @register_extra("ann_pq_incremental", _ANN_PQ_INCR_SQL)

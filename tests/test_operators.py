@@ -3106,3 +3106,33 @@ def test_holt_linear_hand_computed(spark):
     )
     out2 = timeseries.holt_linear(df2, ["k"], "t", "y").collect()[0]
     assert (out2.level, out2.trend) == (12.625, 0.59375)
+
+
+def test_ivfpq_index_reuse_and_append(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 10, 20]
+    idx = similarity.ivfpq_index(emb)
+    via_index = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.cosine)
+        for r in similarity.ivfpq_search(idx, emb, qids, k=10, n_probe=10).collect()
+    )
+    # index reuse == the from-scratch convenience face
+    from_scratch = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.cosine)
+        for r in similarity.ivfpq_topk(emb, qids, k=10, n_probe=10).collect()
+    )
+    assert via_index == from_scratch
+    # append with frozen cells+codebooks == one-shot bulk encode
+    boot = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 7)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7)
+    bidx = similarity.ivfpq_index(boot)
+    appended = similarity.ivfpq_append(bidx, batch)
+    oneshot = similarity.IVFPQIndex(
+        bidx.centroids, bidx.codebooks,
+        similarity._ivfpq_encode(emb, bidx.centroids, bidx.codebooks, "vec_id", "embedding"),
+    )
+    a = sorted((r.query_id, r.neighbor_id, r.rank, r.cosine)
+               for r in similarity.ivfpq_search(appended, emb, qids, k=10, n_probe=12).collect())
+    b = sorted((r.query_id, r.neighbor_id, r.rank, r.cosine)
+               for r in similarity.ivfpq_search(oneshot, emb, qids, k=10, n_probe=12).collect())
+    assert a == b

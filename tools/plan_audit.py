@@ -96,6 +96,10 @@ WAIVERS: dict[str, list[tuple[str, str]]] = {
         ("query_id", "fixed query set / exact-reference contract at gate SF"),
         ("recall", "in-plan recall certificate vs the exact top-k reference"),
     ],
+    "ann_ivfpq_incremental": [
+        ("query_id", "fixed query set / exact-reference contract at gate SF"),
+        ("recall", "in-plan recall certificate vs the exact top-k reference"),
+    ],
     "ann_ivfpq_raw": [
         (
             "query_id",
