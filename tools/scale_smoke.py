@@ -319,6 +319,13 @@ def main() -> None:
         "minhash_lsh": lambda d, e: dedup.minhash_lsh_pairs(d, threshold=0.5).count(),
         "simhash": lambda d, e: dedup.simhash_pairs(d, max_hamming=3).count(),
         "ann_lsh_bucket": lambda d, e: similarity.lsh_bucket_topk(e, qids, k=10).count(),
+        # round-9 additions: the compressed-scan ANN family end-to-end
+        # (train + encode + scan + exact re-rank per call) — PQ reads
+        # every code once, IVF-PQ only the probed cells' codes; both
+        # must grow ~linearly (codes tables are m-int-sized, the ADC
+        # LUTs queries-sized, candidates bounded at k·refine)
+        "ann_pq": lambda d, e: similarity.pq_topk(e, qids, k=10).count(),
+        "ann_ivfpq": lambda d, e: similarity.ivfpq_topk(e, qids, k=10, n_probe=10).count(),
         # round-5 additions: clustering over the pair graph (edge-set
         # bounded, O(log) rounds), BM25 (posting-list reductions), and
         # packing (applyInPandas over (id, count) pairs only)
