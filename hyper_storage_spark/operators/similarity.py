@@ -907,6 +907,16 @@ def ivfpq_append(
     )
 
 
+def ivfpq_encode(
+    index: IVFPQIndex, emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(neighbor_id, cell, codes) for ``emb`` under the index's frozen
+    cells + residual codebooks — the public bulk-encode face
+    (pq_encode's twin for the combined index); ivfpq_append is this
+    plus the union with the stored codes."""
+    return _ivfpq_encode(emb, index.centroids, index.codebooks, id_col, vec_col)
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -166,16 +166,20 @@ def with_pii_redacted(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Multi-class PII scrubbing for training corpora: per-class match
     counts (``n_emails``/``n_ipv4``/``n_phones``) and a
     ``text_redacted`` column with every match replaced by its class
-    placeholder. Patterns are deliberately restricted to syntax both
-    Java regex and RE2 interpret identically (no backrefs/lookaround),
-    so an ANSI-SQL oracle can replicate the redaction byte-for-byte.
-    Built-in regexp functions only — codegen, no shuffle."""
-    text = F.col(text_col)
+    placeholder. Each class is counted on the text AS ALREADY REDACTED
+    by the earlier classes — the counts therefore agree exactly with
+    the placeholders in ``text_redacted`` (counting every class on the
+    original text would report a phantom IP inside an email's local
+    part that the sequential rewrite never redacts). Patterns are
+    deliberately restricted to syntax both Java regex and RE2
+    interpret identically (no backrefs/lookaround), so an ANSI-SQL
+    oracle can replicate the redaction byte-for-byte. Built-in regexp
+    functions only — codegen, no shuffle."""
     out = df
-    redacted = text
+    redacted = F.col(text_col)
     for count_col, pattern, placeholder in PII_CLASSES:
         out = out.withColumn(
-            count_col, F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+            count_col, F.size(F.regexp_extract_all(redacted, F.lit(pattern), F.lit(0)))
         )
         redacted = F.regexp_replace(redacted, pattern, placeholder)
     return out.withColumn("text_redacted", redacted)

@@ -2816,6 +2816,31 @@ def ann_pq_raw(spark, sf_dir):
     return similarity.pq_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
 
 
+def _incremental_eq(contract, ann, oneshot):
+    """Append-path ≡ bulk-build gate shared by the incremental ANN
+    entries: per query, the incremental result must equal the one-shot
+    result row-for-row — cardinalities equal on both sides AND every
+    incremental row present in the one-shot set (semi-join count),
+    which together prove set equality."""
+    a_cnt = ann.groupBy("query_id").agg(F.count("*").alias("na"))
+    o_cnt = oneshot.groupBy("query_id").agg(F.count("*").alias("no"))
+    both = ann.join(
+        oneshot, ["query_id", "neighbor_id", "rank", "cosine"], "left_semi"
+    ).groupBy("query_id").agg(F.count("*").alias("ni"))
+    eq = (
+        a_cnt.join(o_cnt, "query_id")
+        .join(both, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                (F.col("na") == F.col("no"))
+                & (F.coalesce("ni", F.lit(0)) == F.col("na"))
+            ).alias("incremental_eq"),
+        )
+    )
+    return contract.join(eq, "query_id")
+
+
 _ANN_PQ_INCR_SQL = """
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(10 AS BIGINT) AS n_results,
@@ -2870,9 +2895,7 @@ def ann_ivfpq_incremental(spark, sf_dir):
     )
     oneshot = similarity.ivfpq_search(
         similarity.IVFPQIndex(
-            idx.centroids,
-            idx.codebooks,
-            similarity._ivfpq_encode(emb, idx.centroids, idx.codebooks, "vec_id", "embedding"),
+            idx.centroids, idx.codebooks, similarity.ivfpq_encode(idx, emb)
         ),
         emb,
         qids,
@@ -2880,23 +2903,7 @@ def ann_ivfpq_incremental(spark, sf_dir):
         n_probe=12,
     )
     contract = _ann_contract(ann, similarity.cosine_topk(emb, qids, k=10), min_recall_pct=80)
-    a_cnt = ann.groupBy("query_id").agg(F.count("*").alias("na"))
-    o_cnt = oneshot.groupBy("query_id").agg(F.count("*").alias("no"))
-    both = ann.join(
-        oneshot, ["query_id", "neighbor_id", "rank", "cosine"], "left_semi"
-    ).groupBy("query_id").agg(F.count("*").alias("ni"))
-    eq = (
-        a_cnt.join(o_cnt, "query_id")
-        .join(both, "query_id", "left")
-        .select(
-            "query_id",
-            (
-                (F.col("na") == F.col("no"))
-                & (F.coalesce("ni", F.lit(0)) == F.col("na"))
-            ).alias("incremental_eq"),
-        )
-    )
-    return contract.join(eq, "query_id")
+    return _incremental_eq(contract, ann, oneshot)
 
 
 @register_extra("ann_ivfpq_raw", None)  # cells + residual codebooks are engine state
@@ -2933,23 +2940,7 @@ def ann_pq_incremental(spark, sf_dir):
         k=10,
     )
     contract = _ann_contract(ann, similarity.cosine_topk(emb, qids, k=10), min_recall_pct=80)
-    a_cnt = ann.groupBy("query_id").agg(F.count("*").alias("na"))
-    o_cnt = oneshot.groupBy("query_id").agg(F.count("*").alias("no"))
-    both = ann.join(
-        oneshot, ["query_id", "neighbor_id", "rank", "cosine"], "left_semi"
-    ).groupBy("query_id").agg(F.count("*").alias("ni"))
-    eq = (
-        a_cnt.join(o_cnt, "query_id")
-        .join(both, "query_id", "left")
-        .select(
-            "query_id",
-            (
-                (F.col("na") == F.col("no"))
-                & (F.coalesce("ni", F.lit(0)) == F.col("na"))
-            ).alias("incremental_eq"),
-        )
-    )
-    return contract.join(eq, "query_id")
+    return _incremental_eq(contract, ann, oneshot)
 
 
 @register_extra("ann_lsh_bucket_raw", None)  # hyperplane constants live Spark-side
@@ -3087,19 +3078,23 @@ def text_repetition(spark, sf_dir):
                         ELSE '' END AS text2
          FROM documents
        )
+       , r1 AS (SELECT doc_id, text2,
+                       regexp_replace(text2,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g') AS t1
+                FROM d)
+       , r2 AS (SELECT *, regexp_replace(t1,
+                           '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IPV4]', 'g') AS t2
+                FROM r1)
        SELECT doc_id,
               CAST(len(regexp_extract_all(
                   text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
               CAST(len(regexp_extract_all(
-                  text2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+                  t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
               CAST(len(regexp_extract_all(
-                  text2, '\\+\\d{1,3}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phones,
-              md5(regexp_replace(regexp_replace(regexp_replace(
-                  text2,
-                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-                  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IPV4]', 'g'),
-                  '\\+\\d{1,3}-\\d{3}-\\d{4}', '[PHONE]', 'g')) AS redacted_md5
-       FROM d""",
+                  t2, '\\+\\d{1,3}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phones,
+              md5(regexp_replace(t2, '\\+\\d{1,3}-\\d{3}-\\d{4}', '[PHONE]', 'g')) AS redacted_md5
+       FROM r2""",
 )
 def text_pii_redact(spark, sf_dir):
     """Multi-class PII scrubbing (operators/text.py:with_pii_redacted —

@@ -1900,10 +1900,26 @@ class DocumentStore:
             # wide enough for any realistic staging window; a crashed
             # writer's abandoned staging files are still reclaimed, one
             # horizon later.
-            staging_markers = (
-                "rollup_build_", "index_backfill_",
-                "ingest-", "merge-", "expire-", "-stream-",
-            )
+            # marker match is SHAPE-scoped, not a bare substring over
+            # the whole path: a user table whose sanitized name merely
+            # contains "merge-" must not have its ordinary garbage
+            # floored. Committed stream/ingest/merge/expire bucket
+            # files keep their staged names forever, so recently
+            # SUPERSEDED ones also wait out the floor — the accepted
+            # cost (120 s of extra garbage retention) of not being
+            # able to tell a foreign writer's in-flight staging from
+            # fresh garbage by name alone.
+            import re as _re
+
+            _staged_dir = _re.compile(r"^(rollup_build_|index_backfill_|ingest-|merge-|expire-)")
+            _staged_file = _re.compile(r"^b\d+-(ingest|merge|expire|stream)-")
+
+            def _is_staging(relpath: str) -> bool:
+                parts = relpath.split(os.sep)
+                return any(_staged_dir.match(seg) for seg in parts[:-1]) or bool(
+                    _staged_file.match(parts[-1])
+                )
+
             for dirpath, _dirs, files in os.walk(data_root):
                 for f in files:
                     p = os.path.abspath(os.path.join(dirpath, f))
@@ -1912,7 +1928,7 @@ class DocumentStore:
                     rel = os.path.relpath(p, data_root)
                     floor = (
                         max(grace_seconds, self.STAGING_GRACE_S)
-                        if any(m in rel for m in staging_markers)
+                        if _is_staging(rel)
                         else grace_seconds
                     )
                     try:

@@ -234,6 +234,13 @@ def test_pii_redaction_counts_and_rewrites(spark):
     assert (out2[1].n_emails, out2[1].n_ipv4, out2[1].n_phones) == (0, 0, 0)
     assert out2[1].text_redacted == rows2[1][1]
     assert out2[2].text_redacted == "[EMAIL] at [IPV4]"
+    # overlap: counts must agree with the placeholders actually emitted
+    # (the IP inside the email's local part is consumed by [EMAIL], so
+    # it must NOT be counted as an IP)
+    d3 = spark.createDataFrame([(0, "mail 1.2.3.4@example.com ok")], "doc_id long, text string")
+    out3 = text.with_pii_redacted(d3).collect()[0]
+    assert (out3.n_emails, out3.n_ipv4) == (1, 0)
+    assert out3.text_redacted == "mail [EMAIL] ok"
 
 
 def test_langid_accuracy_on_labeled_docs(spark, sf_dir):
@@ -3128,8 +3135,7 @@ def test_ivfpq_index_reuse_and_append(spark, sf_dir):
     bidx = similarity.ivfpq_index(boot)
     appended = similarity.ivfpq_append(bidx, batch)
     oneshot = similarity.IVFPQIndex(
-        bidx.centroids, bidx.codebooks,
-        similarity._ivfpq_encode(emb, bidx.centroids, bidx.codebooks, "vec_id", "embedding"),
+        bidx.centroids, bidx.codebooks, similarity.ivfpq_encode(bidx, emb)
     )
     a = sorted((r.query_id, r.neighbor_id, r.rank, r.cosine)
                for r in similarity.ivfpq_search(appended, emb, qids, k=10, n_probe=12).collect())
