@@ -7713,7 +7713,8 @@ def q_peak_to_average(spark, sf_dir):
                   FROM events WHERE event_id < 3000)
        SELECT event_type,
               CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
-              COUNT(*) AS n, SUM(v) AS total
+              COUNT(*) AS n,
+              CAST(ROUND(SUM(v), 6) AS DOUBLE) AS total
        FROM e GROUP BY 1, 2""",
 )
 def store_rollup_serve(spark, sf_dir):
@@ -7763,7 +7764,16 @@ def store_rollup_serve(spark, sf_dir):
     df, route = st.aggregate("events~", "ts", ["event_type"], "value", resolution="day")
     if route.source != "rollup" or route.refresh_mode != "merged":
         raise RuntimeError(f"expected a merged rollup route, got {route!r}")
-    return df.select("event_type", "bucket_start", "n", "total")
+    # the MV's exact decimal(38,6) total is canonicalized to
+    # ROUND(dec, 6)::DOUBLE in the final projection — the catalog's
+    # no-DECIMAL-output rule (q1's documented pattern; enforced
+    # mechanically by tools/check_oracles.spark_decimal_violations)
+    return df.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        F.round(F.col("total"), 6).cast("double").alias("total"),
+    )
 
 
 @register_extra(
@@ -7817,7 +7827,8 @@ def q_map_functions(spark, sf_dir):
          UNION ALL
          SELECT 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
        )
-       SELECT metric, COUNT(*) AS n, SUM(v) AS total
+       SELECT metric, COUNT(*) AS n,
+              CAST(ROUND(SUM(v), 2) AS DOUBLE) AS total
        FROM m GROUP BY 1""",
 )
 def q_unpivot_metrics(spark, sf_dir):
@@ -7838,8 +7849,13 @@ def q_unpivot_metrics(spark, sf_dir):
     melted = li.unpivot(
         [], ["quantity", "extendedprice", "discount", "tax"], "metric", "v"
     )
+    # exact DECIMAL(28,2) sums internally; the projection canonicalizes
+    # to ROUND(dec,2)::DOUBLE per the no-DECIMAL-output rule (the scaled
+    # int fits 2^53 at every gate SF, so the nearest double is the same
+    # bit pattern in both engines)
     return melted.groupBy("metric").agg(
-        F.count("*").alias("n"), F.sum("v").alias("total")
+        F.count("*").alias("n"),
+        F.round(F.sum("v"), 2).cast("double").alias("total"),
     )
 
 
@@ -8026,7 +8042,8 @@ def store_rollup_quantile(spark, sf_dir):
                   FROM events WHERE event_id < 60)
        SELECT event_type,
               CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
-              COUNT(*) AS n, SUM(v) AS total
+              COUNT(*) AS n,
+              CAST(ROUND(SUM(v), 6) AS DOUBLE) AS total
        FROM e GROUP BY 1, 2""",
 )
 def store_rollup_invalidate(spark, sf_dir):
@@ -8067,7 +8084,13 @@ def store_rollup_invalidate(spark, sf_dir):
     df, route = st.aggregate("events~", "ts", ["event_type"], "value", resolution="day")
     if route.source != "rollup" or route.refresh_mode != "invalidated":
         raise RuntimeError(f"expected an invalidated rollup route, got {route!r}")
-    return df.select("event_type", "bucket_start", "n", "total")
+    # no-DECIMAL-output rule: exact decimal total → ROUND(dec,6)::DOUBLE
+    return df.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        F.round(F.col("total"), 6).cast("double").alias("total"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

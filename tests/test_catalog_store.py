@@ -105,3 +105,38 @@ def test_query_vs_query_paged_equivalence_grid(spark, sf_dir):
             ids_one = [i["id"] for i in one.items]
             ids_paged = [i["id"] for i in paged.items]
             assert ids_one == ids_paged, (params, size, ids_one[:5], ids_paged[:5])
+
+
+def test_decimal_output_guard_rejects_driver_tier_decimals(spark):
+    """The mechanical no-DECIMAL-output rule (round 10): the driver's
+    hasher canonicalizes DECIMAL cells engine-specifically, so
+    check_oracles must REJECT any driver-tier entry whose Spark output
+    schema contains DecimalType — including nested inside struct/
+    array/map. Round 9 proved the comment-only rule does not survive
+    window rotations (three rotated-in entries went hash-red on raw
+    DECIMAL totals with values verified equal)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from check_oracles import spark_decimal_violations
+
+    # a deliberately DECIMAL-outputting entry, as rotation #5 shipped it
+    bad = spark.sql(
+        "SELECT 'a' AS metric, CAST(1.5 AS DECIMAL(18,2)) AS total"
+    )
+    assert spark_decimal_violations(bad.schema) == ["total"]
+
+    # nested decimals can't slip through
+    nested = spark.sql(
+        """SELECT named_struct('v', CAST(1 AS DECIMAL(10,2))) AS s,
+                  array(CAST(2 AS DECIMAL(10,2))) AS a,
+                  map('k', CAST(3 AS DECIMAL(10,2))) AS m,
+                  1.5D AS ok"""
+    )
+    assert spark_decimal_violations(nested.schema) == ["s", "a", "m"]
+
+    # the canonicalized projection passes
+    good = spark.sql(
+        "SELECT 'a' AS metric, CAST(ROUND(CAST(1.5 AS DECIMAL(18,2)), 2) AS DOUBLE) AS total"
+    )
+    assert spark_decimal_violations(good.schema) == []

@@ -49,13 +49,42 @@ def oracle_type_violations(dtypes) -> list[str]:
     return [str(t) for t in dtypes if str(t) in _BAD_ORACLE_INT_TYPES]
 
 
+def spark_decimal_violations(schema) -> list[str]:
+    """DRIVER-tier entries must not emit DECIMAL output columns: the
+    driver's hasher canonicalizes DECIMAL cells engine-specifically
+    (Spark decimal(30,2) vs DuckDB DECIMAL(38,2) hash differently even
+    for equal values), so every exact-decimal aggregate is projected as
+    ROUND(dec, scale)::DOUBLE before it leaves the query. The rule
+    lived only in comments until round 9, when rotation #5 moved three
+    raw-DECIMAL entries into the driver window and all three went
+    hash-red with values verified equal — this is the mechanical
+    mirror of the oracle-side HUGEINT check above. Recurses into
+    struct/array/map so a nested decimal can't slip through."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    def has_dec(dt) -> bool:
+        if isinstance(dt, DecimalType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_dec(dt.elementType)
+        if isinstance(dt, MapType):
+            return has_dec(dt.keyType) or has_dec(dt.valueType)
+        if isinstance(dt, StructType):
+            return any(has_dec(f.dataType) for f in dt.fields)
+        return False
+
+    return [f.name for f in schema.fields if has_dec(f.dataType)]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     from hyper_storage_spark.operators._caches import release_tracked_caches
-    from hyper_storage_spark.queries import all_specs
+    from hyper_storage_spark.queries import QUERIES, all_specs
     from hyper_storage_spark.session import get_spark
+
+    driver_tier = set(QUERIES)
 
     spark = get_spark("check_oracles", cpus=8)
 
@@ -73,6 +102,16 @@ def main():
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
+            if name in driver_tier:
+                dec_cols = spark_decimal_violations(sdf.schema)
+                if dec_cols:
+                    print(
+                        f"FAIL {name}: driver-tier entry emits DECIMAL "
+                        f"column(s) {dec_cols} — project ROUND(dec, "
+                        f"scale)::DOUBLE (no-DECIMAL-output rule)"
+                    )
+                    failed.append(name)
+                    continue
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as e:
