@@ -580,18 +580,12 @@ def pq_train(
     distribution, and the rows taken would change with partition
     layout. Hash order makes the sample a content-deterministic
     pseudo-random draw — same codebook bits on any cluster config —
-    the md5/xxhash64-uniform discipline used by the sampling module."""
-    sample = [
-        np.asarray(r[0], dtype=np.float64)
-        for r in emb.select(vec_col, F.xxhash64(F.col(id_col)).alias("__h"))
-        .orderBy("__h")
-        .limit(sample_rows)
-        .select(vec_col)
-        .collect()
-    ]
-    mat = np.stack(sample)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat = mat / np.where(norms == 0, 1.0, norms)
+    the md5/xxhash64-uniform discipline used by the sampling module.
+    The draw goes through the shared ``_hash_ordered_sample`` (same
+    helper as ivfpq_topk), which also falls back to hashing the vector
+    itself when the frame carries no ``id_col`` — so the sampling
+    discipline cannot diverge between the PQ family members."""
+    mat = _hash_ordered_sample(emb, sample_rows, id_col, vec_col)
     dim = mat.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -564,7 +564,8 @@ def q9_product_type_profit(spark, sf_dir):
     "q11_important_stock",
     f"""WITH {_PARTSUPP_SQL},
 v AS (
-  SELECT ps_partkey, SUM(ps_supplycost_cents * ps_availqty) AS value_cents
+  SELECT ps_partkey,
+         SUM(CAST(ps_supplycost_cents AS HUGEINT) * ps_availqty) AS value_cents
   FROM partsupp
   JOIN supplier ON s_suppkey = ps_suppkey
   JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7'
@@ -584,8 +585,12 @@ def q11_important_stock(spark, sf_dir):
     (187 rows at 0.01, 1748 at 0.1; sf0.001's 10 suppliers include
     none from NATION_7, so the frame is legitimately empty there). The
     scalar subquery is a one-row broadcast cross join, and the
-    comparison is pure BIGINT cents (value*n_parts > 2*total),
-    bit-identical in both engines."""
+    comparison is exact integer cents (value*n_parts > 2*total) —
+    accumulated in decimal(38,0) on the Spark side and HUGEINT in the
+    oracle (the cross-engine exactification pattern for sums whose
+    terms are quadratic in corpus magnitude): int64 products wrap
+    SILENTLY under non-ANSI Spark arithmetic while DuckDB promotes to
+    HUGEINT, a latent divergence outside the gate SFs."""
     ps = _synth_partsupp(spark, sf_dir)
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
@@ -593,7 +598,12 @@ def q11_important_stock(spark, sf_dir):
         ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy("ps_partkey")
-        .agg(F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("value_cents"))
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents").cast("decimal(38,0)")
+                * F.col("ps_availqty")
+            ).alias("value_cents")
+        )
     )
     total = v.agg(F.sum("value_cents").alias("total_cents"), F.count("*").alias("n_parts"))
     return (

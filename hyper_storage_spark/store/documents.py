@@ -1912,7 +1912,13 @@ class DocumentStore:
             import re as _re
 
             _staged_dir = _re.compile(r"^(rollup_build_|index_backfill_|ingest-|merge-|expire-)")
-            _staged_file = _re.compile(r"^b\d+-(ingest|merge|expire|stream)-")
+            # "rollup" covers the defs-bucket rewrite staged directly
+            # into data/rollup_defs (rollups._write_mv_and_def /
+            # b0000-rollup-<hex>.parquet) — without it a zero/short-
+            # grace foreign vacuum could reclaim the staged defs file
+            # between write_bucket_file and commit_external_many,
+            # the exact dangling-reference window the floor exists for
+            _staged_file = _re.compile(r"^b\d+-(ingest|merge|expire|stream|rollup)-")
 
             def _is_staging(relpath: str) -> bool:
                 parts = relpath.split(os.sep)

@@ -3142,3 +3142,23 @@ def test_ivfpq_index_reuse_and_append(spark, sf_dir):
     b = sorted((r.query_id, r.neighbor_id, r.rank, r.cosine)
                for r in similarity.ivfpq_search(oneshot, emb, qids, k=10, n_probe=12).collect())
     assert a == b
+
+
+def test_pq_train_falls_back_to_vector_hash_without_id_col(spark):
+    """Round-10 ADVICE closure: pq_train now draws its sample through
+    the shared _hash_ordered_sample, which hashes the VECTOR when the
+    frame carries no id column — a frame lacking vec_id must train
+    (previous rounds raised AnalysisException), deterministically
+    across partition layouts, and agree with the ivfpq family's
+    discipline by construction (same helper)."""
+    import random as _random
+
+    import numpy as np
+
+    rnd = _random.Random(7)
+    rows = [([rnd.gauss(0, 1.0) for _ in range(8)],) for _ in range(200)]
+    emb = spark.createDataFrame(rows, "embedding array<double>")
+    cb1 = similarity.pq_train(emb, m=2, n_codes=4, sample_rows=64)
+    cb2 = similarity.pq_train(emb.repartition(5), m=2, n_codes=4, sample_rows=64)
+    assert cb1.shape == (2, 4, 4)
+    assert np.array_equal(cb1, cb2)

@@ -2137,3 +2137,22 @@ def test_vacuum_spares_fresh_staging_files(spark, tmp_path):
     store.vacuum(grace_seconds=0.0, keep_versions=0)
     assert staged.exists(), "fresh staging file must survive any grace"
     assert not loose.exists(), "unmarked orphans still reclaim immediately"
+
+
+def test_vacuum_spares_staged_rollup_defs_file(spark, tmp_path):
+    """Round-10 ADVICE closure: the defs-bucket rewrite stages
+    b0000-rollup-<hex>.parquet directly into data/rollup_defs
+    (rollups._write_mv_and_def) — that name must match the staged-file
+    marker so a concurrent zero-grace vacuum in another process cannot
+    reclaim it between write_bucket_file and commit_external_many
+    (the dangling-reference window STAGING_GRACE_S exists to close)."""
+    import os
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    store.put("d", {"a": 1})
+    defs_dir = tmp_path / "store" / "data" / "rollup_defs"
+    os.makedirs(defs_dir, exist_ok=True)
+    staged = defs_dir / "b0000-rollup-deadbeef.parquet"
+    staged.write_bytes(b"not-yet-committed")
+    store.vacuum(grace_seconds=0.0, keep_versions=0)
+    assert staged.exists(), "staged rollup-defs file must get the floor grace"

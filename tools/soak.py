@@ -232,10 +232,17 @@ class _RollupReader:
             # a skipped iteration, not a parity violation
             retryable = ("FAILED_READ_FILE", "PATH_NOT_FOUND", "KD001",
                          "FileNotFoundException", "no snapshot for version")
-            if any(t in full for t in retryable):
+            if any(t in full for t in retryable) and not final:
                 self.conflicts += 1
             else:
-                self.failures.append(f"reader exception: {full[:300]}")
+                # on the FINAL quiesced call nothing is flipping or
+                # vacuuming, so even a "retryable" class is a finding —
+                # swallowing it would let invariant 5 pass without the
+                # one guaranteed comparison ever running (the in-loop
+                # iterations alone can satisfy comparisons >= 1)
+                self.failures.append(
+                    f"{'final ' if final else ''}reader exception: {full[:300]}"
+                )
 
     def replay_history(self) -> int:
         """End-of-run time-travel: every recorded (version, answer)
