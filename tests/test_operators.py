@@ -828,9 +828,11 @@ def test_embedding_cosine_all_pairs_guard(spark):
 
 
 def test_asof_join_plan_has_no_join(spark, sf_dir):
-    from hyper_storage_spark.queries import QUERIES
+    # all_specs: the entry rotated to the EXTRA tier (r10 rotation #6)
+    # and plan guarantees are tier-independent
+    from hyper_storage_spark.queries import all_specs
 
-    plan = QUERIES["ts_asof_join"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    plan = all_specs()["ts_asof_join"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # union + window, never a join
     assert "Window" in plan
 
