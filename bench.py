@@ -50,11 +50,50 @@ HEADLINE = [
 ]
 
 
-# Rows whose observed quiet-box band is wide (±0.4 s at sf0.1 — the two
-# LSH candidate-join entries): min-of-5 instead of min-of-3, per the
-# round-7 adjudication (two consecutive rounds burned time re-deriving
-# "it was the host" for exactly these rows).
-WIDE_BAND = {"dedup_ngram_jaccard", "dedup_minhash_lsh"}
+# Rows whose observed quiet-box band is wide: min-of-5 instead of
+# min-of-3, per the round-7 adjudication (two consecutive rounds burned
+# time re-deriving "it was the host" for exactly these rows). Since
+# round 10 membership is DERIVED from the newest noise_bands_r*.json at
+# bench start — any entry whose quiet-box max/min exceeds 1.5× is wide
+# (q_distinct_users_daily's 0.267-0.529 band is exactly the profile
+# that produced round-9's false regression flag); the hardcoded pair is
+# only the fallback when no bands file exists yet.
+WIDE_BAND_RATIO = 1.5
+_WIDE_BAND_FALLBACK = {"dedup_ngram_jaccard", "dedup_minhash_lsh"}
+
+
+def _latest_bands() -> dict | None:
+    """Newest tools/noise_bands_r{N}.json by numeric round, or None."""
+    bands_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+
+    def _round_no(fname: str) -> int:
+        # numeric sort on the r{N} suffix: lexicographic would rank
+        # noise_bands_r10.json BELOW r9 forever ('1' < '9'), silently
+        # freezing adjudication on a stale band sweep
+        digits = "".join(ch for ch in fname if ch.isdigit())
+        return int(digits) if digits else -1
+
+    latest = sorted(
+        (f for f in os.listdir(bands_dir)
+         if f.startswith("noise_bands_") and f.endswith(".json")),
+        key=_round_no,
+    )
+    if not latest:
+        return None
+    with open(os.path.join(bands_dir, latest[-1])) as fh:
+        bands = json.load(fh)
+    bands["_file"] = latest[-1]
+    return bands
+
+
+def _wide_band(bands: dict | None) -> set[str]:
+    if not bands:
+        return set(_WIDE_BAND_FALLBACK)
+    return {
+        name
+        for name, e in bands["entries"].items()
+        if e["min"] > 0 and e["max"] / e["min"] > WIDE_BAND_RATIO
+    }
 
 # Canonical quiet-box sentinel seconds: min over ≥6 quiet runs of
 # _sentinel() on the reference box (measurement recorded in SCALE.md
@@ -147,6 +186,8 @@ def main() -> None:
     errors: dict[str, str] = {}
     from hyper_storage_spark.operators._caches import release_tracked_caches
 
+    bands = _latest_bands()
+    wide = _wide_band(bands)
     sentinel_start = _sentinel(spark)
 
     for name in HEADLINE:
@@ -155,7 +196,7 @@ def main() -> None:
         # the whole bench run — the QUERIES lookup lives INSIDE the try
         try:
             fn = QUERIES[name].fn
-            entry_runs = max(runs + 2 if name in WIDE_BAND else runs, 1)
+            entry_runs = max(runs + 2 if name in wide else runs, 1)
             for _ in range(entry_runs):
                 t0 = time.time()
                 df = fn(spark, sf_dir)
@@ -218,13 +259,29 @@ def main() -> None:
         # sweep (tools/noise_bands_r*.json, itself noise-normalized).
         # No judge or builder ever re-derives "it was the host": the
         # verdict ships in the JSON.
-        out["regressions"] = _adjudicate(timings, noise)
+        flagged = _adjudicate(timings, noise, bands)
+        if flagged:
+            # round-10 blind-spot fix: the start/end sentinels cannot
+            # see a MID-RUN co-tenant burst (round-9's
+            # q_distinct_users_daily false flag: 4.39x canonical on the
+            # driver run, 0.267-0.529 s quiet band on the same tree).
+            # Every flagged entry is re-run once more AFTER the end
+            # sentinel, bracketed by its OWN sentinel probe so the
+            # normalization is per-entry and burst-local; only an entry
+            # that stays above its ceiling in the retest keeps the
+            # flag. SCALE.md §"Adjudication rule" documents this.
+            kept, cleared = _retest(flagged, QUERIES, spark, sf_dir, release_tracked_caches)
+            out["regressions"] = kept
+            if cleared:
+                out["regressions_cleared_by_retest"] = cleared
+        else:
+            out["regressions"] = []
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
 
 
-def _adjudicate(timings: dict[str, float], noise: float) -> list[dict]:
+def _adjudicate(timings: dict[str, float], noise: float, bands: dict | None) -> list[dict]:
     """Per-entry regression verdict at the canonical SF. Rule: divide
     this run's wall by the host-noise factor (only when the box is
     LOUDER than canonical — a quiet box must not deflate real times),
@@ -233,26 +290,12 @@ def _adjudicate(timings: dict[str, float], noise: float) -> list[dict]:
     a 5-sample estimate of the tail). Entries without a band row fall
     back to 1.5x canonical — wide on purpose; they get a band row at
     the next noise_bands sweep."""
-    bands_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
-
-    def _round_no(fname: str) -> int:
-        # numeric sort on the r{N} suffix: lexicographic would rank
-        # noise_bands_r10.json BELOW r9 forever ('1' < '9'), silently
-        # freezing adjudication on a stale band sweep
-        digits = "".join(ch for ch in fname if ch.isdigit())
-        return int(digits) if digits else -1
-
-    latest = sorted(
-        (f for f in os.listdir(bands_path)
-         if f.startswith("noise_bands_") and f.endswith(".json")),
-        key=_round_no,
-    )
     band_max: dict[str, float] = {}
-    if latest:
-        with open(os.path.join(bands_path, latest[-1])) as fh:
-            bands = json.load(fh)
+    source = "1.5x canonical"
+    if bands:
         bnoise = max(bands.get("noise_factor", 1.0), 1.0)
         band_max = {k: v["max"] / bnoise for k, v in bands["entries"].items()}
+        source = bands.get("_file", "noise_bands")
     regressions = []
     for name, t in timings.items():
         adjusted = t / max(noise, 1.0)
@@ -269,10 +312,46 @@ def _adjudicate(timings: dict[str, float], noise: float) -> list[dict]:
                     "sec": t,
                     "adjusted_sec": round(adjusted, 3),
                     "ceiling_sec": round(ceiling, 3),
-                    "band_source": latest[-1] if name in band_max else "1.5x canonical",
+                    "band_source": source if name in band_max else "1.5x canonical",
                 }
             )
     return regressions
+
+
+def _retest(flagged: list[dict], QUERIES, spark, sf_dir, release) -> tuple[list, list]:
+    """Second-chance pass for flagged entries: re-time each (min-of-3,
+    noop sink — identical discipline to the main loop) bracketed by
+    its OWN sentinel probe, and clear the flag when the probe-adjusted
+    re-run lands back inside its ceiling. A real regression re-fails
+    (the code is the same both times); a mid-run co-tenant burst
+    doesn't (the retest runs minutes later under its own probe)."""
+    kept, cleared = [], []
+    for flag in flagged:
+        name = flag["entry"]
+        try:
+            fn = QUERIES[name].fn
+            probe = _sentinel(spark) / SENTINEL_CANONICAL_SEC
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                release()
+            adjusted = best / max(probe, 1.0)
+            flag = dict(flag)
+            flag["retest_sec"] = round(best, 3)
+            flag["retest_adjusted_sec"] = round(adjusted, 3)
+            flag["retest_noise_factor"] = round(probe, 2)
+            if adjusted > flag["ceiling_sec"]:
+                kept.append(flag)
+            else:
+                cleared.append(flag)
+        except Exception:  # noqa: BLE001 — a retest crash keeps the flag
+            kept.append(flag)
+        finally:
+            release()
+    return kept, cleared
 
 
 if __name__ == "__main__":

@@ -43,6 +43,29 @@ def _norm(a):
     )
 
 
+# Ceiling on the fixed-query-batch ANN faces (pq_search/ivfpq_search —
+# and pq_topk/ivfpq_topk through them). Their per-query LUT tensor is
+# queries × m × n_codes float64 held on the driver AND shipped in every
+# task's UDF closure (plus, for IVF-PQ, a queries × n_cells probe
+# matrix): at the default m=16/n_codes=32 the ceiling below caps the
+# closure at ~32 MB — a caller passing 10⁶ query ids must fail LOUDLY
+# here instead of OOMing the driver mid-collect. For unbounded query
+# sets use ann_join: both sides stay data-proportional DataFrames and
+# nothing query-shaped ever collects to the driver.
+MAX_QUERY_BATCH = 65_536
+
+
+def _check_query_batch(query_ids, fn_name: str) -> None:
+    if len(query_ids) > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"{fn_name} got {len(query_ids)} query ids — the fixed-batch "
+            f"ANN faces hold a queries×m×n_codes LUT tensor on the driver "
+            f"and in every task closure, capped at MAX_QUERY_BATCH="
+            f"{MAX_QUERY_BATCH}. For unbounded query sets use ann_join "
+            f"(similarity.ann_join): both sides stay distributed."
+        )
+
+
 def cosine_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -475,6 +498,52 @@ def planes_for(corpus_rows: int, target_occupancy: int = 128, lo: int = 4, hi: i
     return max(lo, min(hi, p))
 
 
+def ivfpq_params_for(
+    corpus_rows: int,
+    target_occupancy: int = 4096,
+    min_cells: int = 16,
+    max_cells: int = 65_536,
+    min_probe: int = 8,
+    sample_per_cell: int = 32,
+    max_sample: int = 262_144,
+) -> tuple[int, int, int]:
+    """(n_cells, n_probe, sample_rows) sized from the corpus — the
+    ``minhash_params_for`` / ``planes_for`` occupancy discipline for
+    the IVF-PQ family. Fixed defaults (16 cells, 8 probes) keep cell
+    occupancy growing LINEARLY with the corpus, so the probed-cell ADC
+    scan silently degrades back to flat PQ's full-scan cost — exactly
+    the creep the sizing functions exist to remove.
+
+    Rules, each documented and pytest-pinned:
+    - ``n_cells`` doubles until occupancy (corpus/cells) ≤
+      ``target_occupancy`` (FAISS's IVF guidance is cells ∝ corpus
+      size for bounded cell scans), floored at ``min_cells`` (the
+      training sample must keep ≥ tens of points per centroid) and
+      capped at ``max_cells`` (the centroid table + per-query bias
+      row stay driver/closure-sized: 65536 × dim doubles ≈ 32 MB at
+      dim=64).
+    - ``n_probe`` grows as ⌈√n_cells⌉ (floored at ``min_probe``): the
+      scanned volume per query is n_probe × occupancy ≈ √cells ×
+      occupancy — sublinear in the corpus — while the PROBED FRACTION
+      n_probe/n_cells falls as cells grow, which is what preserves the
+      advantage over flat PQ at scale. Recall loss from probing a
+      smaller fraction is offset by each cell covering a finer
+      partition of the space (and recall is monotone in n_probe — the
+      knob a caller raises if a recall gate demands it; the round-9
+      incremental-index entries did exactly that).
+    - ``sample_rows`` scales with cells (``sample_per_cell`` training
+      points per centroid, floor 4096) and caps at ``max_sample`` —
+      the driver-side k-means stays bounded no matter the corpus.
+    At gate sizes (≤ ~65k vectors) this returns the family defaults
+    (16, 8, 4096), so contract entries are unchanged by sizing."""
+    n_cells = min_cells
+    while corpus_rows / n_cells > target_occupancy and n_cells < max_cells:
+        n_cells *= 2
+    n_probe = max(min_probe, math.ceil(math.sqrt(n_cells)))
+    sample_rows = min(max_sample, max(4096, sample_per_cell * n_cells))
+    return n_cells, n_probe, sample_rows
+
+
 # ---------------------------------------------------------------- PQ ANN
 
 
@@ -757,6 +826,7 @@ def pq_search(
     exact work at queries × k·refine."""
     from pyspark.sql import Window
 
+    _check_query_batch(query_ids, "pq_search")
     cb = index.codebooks
     sub = cb.shape[2]
     codes = index.codes
@@ -963,6 +1033,7 @@ def ivfpq_search(
     empty-result contract as the cosine family."""
     from pyspark.sql import Window
 
+    _check_query_batch(query_ids, "ivfpq_search")
     cents, cb, codes = index.centroids, index.codebooks, index.codes
     m, _, sub = cb.shape
 

@@ -3164,3 +3164,44 @@ def test_pq_train_falls_back_to_vector_hash_without_id_col(spark):
     cb2 = similarity.pq_train(emb.repartition(5), m=2, n_codes=4, sample_rows=64)
     assert cb1.shape == (2, 4, 4)
     assert np.array_equal(cb1, cb2)
+
+
+def test_pq_family_query_batch_ceiling(spark):
+    """The fixed-query-batch ANN faces hold a queries×m×n_codes LUT
+    tensor on the driver and in every task closure — a caller passing
+    an unbounded id list must fail LOUDLY (naming ann_join as the
+    distributed alternative) instead of OOMing the driver. The guard
+    fires BEFORE any collect: no Spark job may run for a rejected
+    batch."""
+    import pytest as _pytest
+
+    idx_stub = object.__new__(similarity.PQIndex)
+    ividx_stub = object.__new__(similarity.IVFPQIndex)
+    too_many = list(range(similarity.MAX_QUERY_BATCH + 1))
+    emb = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="ann_join"):
+        similarity.pq_search(idx_stub, emb, too_many)
+    with _pytest.raises(ValueError, match="ann_join"):
+        similarity.ivfpq_search(ividx_stub, emb, too_many)
+
+
+def test_ivfpq_params_sizing_curve():
+    """ivfpq_params_for pins the sizing discipline: occupancy bounded
+    (or cells capped), cells/probes monotone in the corpus, probed
+    FRACTION non-increasing (the flat-PQ-advantage invariant), sample
+    covering the centroid count, and gate-size corpora keeping the
+    family defaults so contract entries are unchanged by sizing."""
+    prev_cells, prev_frac = 0, 1.0
+    for rows in (1_000, 65_536, 500_000, 5_000_000, 50_000_000, 1_000_000_000):
+        n_cells, n_probe, sample = similarity.ivfpq_params_for(rows)
+        assert rows / n_cells <= 4096 or n_cells == 65_536, (rows, n_cells)
+        assert n_cells >= prev_cells
+        frac = n_probe / n_cells
+        assert frac <= prev_frac + 1e-12, (rows, frac, prev_frac)
+        assert sample >= min(32 * n_cells, 262_144) and sample >= 4096
+        assert sample <= 262_144
+        prev_cells, prev_frac = n_cells, frac
+    # gate sizes return the family defaults — sizing never perturbs
+    # the oracle-gated contract entries
+    assert similarity.ivfpq_params_for(5_000) == (16, 8, 4096)
+    assert similarity.ivfpq_params_for(65_536) == (16, 8, 4096)

@@ -3,7 +3,9 @@ runs per entry (each run's individual wall, NOT min-of-N) at the given
 SF, printed as min/median/max — the source for SCALE.md's per-entry
 band table and bench.py's WIDE_BAND membership.
 
-Usage: python tools/noise_bands.py [sf_dir] [n_runs]
+Usage: python tools/noise_bands.py [sf_dir] [n_runs] [entry ...]
+(with entries given, only those are swept — the targeted clean-run
+record for closing a flagged regression without a full sweep)
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    only = set(sys.argv[3:])
 
     import bench
     from hyper_storage_spark.operators._caches import release_tracked_caches
@@ -33,6 +36,8 @@ def main() -> None:
     sent_start = bench._sentinel(spark)
     out: dict[str, dict] = {}
     for name in bench.HEADLINE:
+        if only and name not in only:
+            continue
         fn = specs[name].fn
         samples = []
         for _ in range(n_runs):
