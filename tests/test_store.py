@@ -2113,6 +2113,12 @@ def test_chaos_soak_with_rollup_readers(spark):
     # the final quiesced pass guarantees at least one real comparison
     assert rr["comparisons"] >= 1
     assert rr["history_replayed"] >= 1
+    # invariant 6 (round 10): the REST face ran through the kill loop —
+    # writes landed, revisions stayed monotonic (else failures above),
+    # and the final quiesced aggregate matched the shadow model
+    rd = out["rest_driver"]
+    assert rd["writes"] >= 1
+    assert rd["aggregate_checks"] >= 1
 
 
 def test_vacuum_spares_fresh_staging_files(spark, tmp_path):

@@ -33,6 +33,18 @@ Invariants asserted (not eyeballed), after a closing recover():
      is asserted at least once even if every in-loop iteration raced
      a writer. Cross-process CAS conflicts during refresh are counted
      and retried (the documented multi-writer norm), never asserted.
+  6. REST FACE (round 10, needs a session) — a concurrent thread owns
+     one collection END-TO-END through RestFacade.handle (PUT/PATCH/
+     DELETE/GET + the planner _aggregate route) while the worker
+     fleet, kills, and vacuums rage on sibling collections in the
+     same root: write revisions must be strictly monotonic per
+     document, GET must return exactly the last written revision and
+     body (read-your-write through the verb surface), and the served
+     aggregate must equal an independent in-memory shadow model of
+     everything this thread wrote (count/sum/min/max per key+day).
+     One final quiesced aggregate-vs-shadow comparison runs
+     unconditionally; retryable read races mid-loop are counted, a
+     retryable error on the FINAL check is a failure.
 
 Usage: python tools/soak.py [--procs 4] [--threads 3] [--seconds 45]
        [--kill-every 4] [--root DIR] [--no-spark]
@@ -260,6 +272,188 @@ class _RollupReader:
         return replayed
 
 
+class _RestDriver:
+    """Invariant-6 driver (round 10): the REST face runs THROUGH the
+    kill loop. One driver-side thread owns ``soak_rest~`` (the worker
+    fleet hammers soak_a/b/c in the SAME store root, so manifest
+    flips, compactions, vacuums, and SIGKILLs are all foreign
+    contention against this thread's commits) and drives
+    PUT/PATCH/DELETE/GET plus the planner ``_aggregate`` route via
+    RestFacade.handle, checking:
+
+    - write-revision monotonicity: every successful write's
+      ``revision`` header strictly exceeds the previous one (one
+      static revision per document URI — foreign collections must
+      never bleed into ours), and GET(path) returns EXACTLY the last
+      written revision and body (read-your-write through the verb
+      surface);
+    - the aggregate route equals an independent in-memory SHADOW
+      model of the collection — count/sum/min/max per (key, day)
+      recomputed client-side from the bodies this thread wrote — so
+      ingest, rollup refresh classification, planner routing, and
+      HAL serialization are checked end-to-end against something that
+      never touched the store;
+    - routing headers stay legal (aggregate-source ∈ {rollup, base},
+      observed refresh modes recorded for the report).
+    """
+
+    _RETRYABLE = ("FAILED_READ_FILE", "PATH_NOT_FOUND", "KD001",
+                  "FileNotFoundException", "no snapshot for version",
+                  "ManifestConflict")
+
+    def __init__(self, store, spark):
+        from hyper_storage_spark.rest import RestFacade
+
+        self.facade = RestFacade(store)
+        self.rng = random.Random(20241010)
+        self.uri = "soak_rest~"
+        self.items = [f"r{i:02d}" for i in range(12)]
+        self.shadow: dict[str, dict] = {}
+        self.item_rev: dict[str, int] = {}
+        self.last_write_rev = 0
+        self.failures: list[str] = []
+        self.ops = 0
+        self.agg_checks = 0
+        self.retries = 0
+        self.modes: dict[str, int] = {}
+        # a permanent seed row (never patched/deleted) keeps the
+        # aggregate non-degenerate even if every rotating item is
+        # deleted at once; registration before the kill loop, like
+        # the rollup reader's
+        seed = f"{self.uri}/seed"
+        resp = self.facade.handle("PUT", seed, self._body())
+        self.shadow[seed] = dict(self._last_body)
+        self._bump(seed, int(resp.headers["revision"]))
+        store.create_rollup(
+            self.uri, "ts", ["b"], "a", resolution="day", schema=SOAK_SCHEMA,
+            rollup_id="soak-rest-rollup",
+        )
+
+    def _body(self) -> dict:
+        self._last_body = {
+            "a": self.rng.randint(0, 99), "b": f"w{self.rng.randint(0, 3)}",
+            "n": self.rng.random(),
+            "ts": f"2024-01-{self.rng.randint(1, 9):02d} {self.rng.randint(0, 23):02d}:00:00",
+        }
+        return dict(self._last_body)
+
+    def _bump(self, path: str, rev: int) -> None:
+        if rev <= self.last_write_rev:
+            self.failures.append(
+                f"rest revision not monotonic: {path} got {rev} after {self.last_write_rev}"
+            )
+        self.last_write_rev = rev
+        self.item_rev[path] = rev
+
+    def _one_write(self) -> None:
+        item = self.rng.choice(self.items)
+        path = f"{self.uri}/{item}"
+        roll = self.rng.random()
+        if roll < 0.6 or path not in self.shadow:
+            b = self._body()
+            resp = self.facade.handle("PUT", path, dict(b))
+            if resp.status not in (200, 201):
+                self.failures.append(f"PUT {path} -> {resp.status}: {resp.body}")
+                return
+            self._bump(path, int(resp.headers["revision"]))
+            self.shadow[path] = b
+        elif roll < 0.85:
+            newa = self.rng.randint(100, 199)
+            resp = self.facade.handle("PATCH", path, {"a": newa})
+            if resp.status == 409:
+                self.retries += 1
+                return
+            if resp.status != 200:
+                self.failures.append(f"PATCH {path} -> {resp.status}: {resp.body}")
+                return
+            self._bump(path, int(resp.headers["revision"]))
+            self.shadow[path]["a"] = newa
+        else:
+            resp = self.facade.handle("DELETE", path)
+            if resp.status == 409:
+                self.retries += 1
+                return
+            if resp.status != 200:
+                self.failures.append(f"DELETE {path} -> {resp.status}: {resp.body}")
+                return
+            self._bump(path, int(resp.headers["revision"]))
+            self.shadow.pop(path)
+        self.ops += 1
+        # read-your-write through the verb surface
+        g = self.facade.handle("GET", path)
+        if path in self.shadow:
+            if g.status != 200:
+                self.failures.append(f"GET {path} after write -> {g.status}")
+            elif int(g.headers["revision"]) != self.item_rev[path]:
+                self.failures.append(
+                    f"GET {path} revision {g.headers['revision']} != "
+                    f"last write {self.item_rev[path]}"
+                )
+            elif any(g.body.get(k) != self.shadow[path][k] for k in ("a", "b", "ts")):
+                self.failures.append(f"GET {path} body diverged from write: {g.body}")
+        elif g.status != 404:
+            self.failures.append(f"GET deleted {path} -> {g.status}, want 404")
+
+    def _check_aggregate(self, final: bool) -> None:
+        resp = self.facade.handle(
+            "GET", f"{self.uri}/_aggregate",
+            ts_field="ts", key_fields="b", value_field="a",
+            resolution="day", schema=SOAK_SCHEMA,
+        )
+        if resp.status == 409:
+            self.retries += 1
+            return
+        if resp.status != 200:
+            self.failures.append(f"aggregate -> {resp.status}: {resp.body}")
+            return
+        src = resp.headers.get("aggregate-source")
+        if src not in ("rollup", "base"):
+            self.failures.append(f"aggregate-source {src!r} not in the legal set")
+        mode = resp.headers.get("rollup-refresh", src)
+        self.modes[mode] = self.modes.get(mode, 0) + 1
+        exp: dict[tuple, list] = {}
+        for b in self.shadow.values():
+            key = (b["b"], b["ts"][:10] + " 00:00:00")
+            e = exp.setdefault(key, [0, 0, None, None])
+            e[0] += 1
+            e[1] += b["a"]
+            e[2] = b["a"] if e[2] is None else min(e[2], b["a"])
+            e[3] = b["a"] if e[3] is None else max(e[3], b["a"])
+        expf = {k: (n, float(t), float(mn), float(mx)) for k, (n, t, mn, mx) in exp.items()}
+        got = {
+            (el["b"], el["bucket_start"]): (el["n"], el["total"], el["vmin"], el["vmax"])
+            for el in resp.body["_embedded"]["els"]
+        }
+        if got != expf:
+            only_g = {k: v for k, v in got.items() if expf.get(k) != v}
+            only_e = {k: v for k, v in expf.items() if got.get(k) != v}
+            self.failures.append(
+                f"{'final ' if final else ''}aggregate != shadow model: "
+                f"served {dict(list(only_g.items())[:3])} vs expected "
+                f"{dict(list(only_e.items())[:3])}"
+            )
+        else:
+            self.agg_checks += 1
+
+    def step(self, final: bool = False) -> None:
+        try:
+            if not final:
+                self._one_write()
+            if final or self.rng.random() < 0.34:
+                self._check_aggregate(final)
+        except Exception as e:  # noqa: BLE001 — a REST crash is a finding
+            full = f"{type(e).__name__}: {e}"
+            if any(t in full for t in self._RETRYABLE) and not final:
+                self.retries += 1
+            else:
+                # final=True runs quiesced: nothing is flipping, so
+                # even retryable classes are findings (same rule as
+                # the rollup reader's final check)
+                self.failures.append(
+                    f"rest {'final ' if final else ''}exception: {full[:300]}"
+                )
+
+
 def run_soak(
     root: str, procs: int, threads: int, seconds: int, kill_every: float, spark=None
 ) -> dict:
@@ -281,10 +475,13 @@ def run_soak(
     # runs concurrent with the kill loop
     reader = None
     rthread = None
+    rest_driver = None
+    rest_thread = None
     if spark is not None:
         import threading
 
         reader = _RollupReader(DocumentStore(root, spark=spark), spark)
+        rest_driver = _RestDriver(DocumentStore(root, spark=spark), spark)
         read_stop = time.time() + seconds - 2
 
         def _read_loop():
@@ -292,8 +489,15 @@ def run_soak(
                 reader.check_once()
                 time.sleep(0.3)
 
+        def _rest_loop():
+            while time.time() < read_stop:
+                rest_driver.step()
+                time.sleep(0.2)
+
         rthread = threading.Thread(target=_read_loop)
         rthread.start()
+        rest_thread = threading.Thread(target=_rest_loop)
+        rest_thread.start()
 
     workers = {w: spawn(w) for w in range(procs)}
     deadline = time.time() + seconds
@@ -309,6 +513,8 @@ def run_soak(
             workers[w] = spawn(w)  # respawn: fresh process, same root
     if rthread is not None:
         rthread.join(timeout=seconds + 60)
+    if rest_thread is not None:
+        rest_thread.join(timeout=seconds + 60)
     errs = []
     for w, p in workers.items():
         try:
@@ -396,6 +602,11 @@ def run_soak(
         reader.check_once(final=True)
         replayed = reader.replay_history()
         failures.extend(reader.failures)
+    # 6. REST face (round 10): the final quiesced aggregate-vs-shadow
+    # comparison must hold, same rule as the rollup reader's
+    if rest_driver is not None:
+        rest_driver.step(final=True)
+        failures.extend(rest_driver.failures)
     # 4c. closing vacuum keeps state readable
     before = {(c["document_uri"], c["item_id"], c["revision"]) for c in content}
     removed = store.vacuum(grace_seconds=0.0, keep_versions=0)
@@ -426,6 +637,14 @@ def run_soak(
             "cas_conflicts_retried": reader.conflicts,
             "refresh_modes": reader.modes,
             "history_replayed": replayed,
+        }
+    if rest_driver is not None:
+        out["rest_driver"] = {
+            "writes": rest_driver.ops,
+            "aggregate_checks": rest_driver.agg_checks,
+            "retries": rest_driver.retries,
+            "last_revision": rest_driver.last_write_rev,
+            "routes": rest_driver.modes,
         }
     return out
 
