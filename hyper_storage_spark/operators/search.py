@@ -248,3 +248,96 @@ def hybrid_rrf(
             "rank",
         )
     )
+
+
+def ranking_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Retrieval-evaluation metrics per query — the eval face of the
+    search stack (trec_eval's core set over any ranker this module or
+    similarity.py produces): (query_id, ndcg, mrr, precision, recall,
+    hits, positives) at cutoff ``k``.
+
+    ``run``: (query_id, doc_id, rank) with rank 1-based (rows past
+    ``k`` are ignored, so a leg_k>k run evaluates at k).
+    ``qrels``: (query_id, doc_id, rel) graded relevance, rel >= 0;
+    missing (query, doc) pairs are grade 0.
+
+    - nDCG@k (trec_eval graded form): DCG = Σ rel_r · 1/log2(r+1)
+      over the run's ranks, IDCG the same sum over the rel-descending
+      ideal ordering, nDCG = DCG/IDCG (0 when the query has no
+      positives).
+    - MRR@k: 1/rank of the first positive in the run (0 if none).
+    - precision@k = positives-retrieved / k; recall@k =
+      positives-retrieved / positives (0 when the query has none).
+
+    Cross-engine bit-exactness (the catalog's hash-compare contract):
+    the 1/log2(r+1) discount table is PRECOMPUTED in Python and
+    embedded as shortest-repr double literals — no runtime
+    transcendental, whose last-ulp may differ between libm and
+    java.lang.Math — and both DCG and IDCG fold their term lists in
+    pinned rank order (array_sort + left fold), never a re-associating
+    SUM over doubles. Every remaining op (int products, divisions of
+    exact values) has one IEEE result.
+
+    Scale shape: one equi-join of the k-bounded run against qrels,
+    then two grouped folds over ≤ k-element arrays per query — the
+    work is O(queries · k) after the join, no corpus scan."""
+    import math
+
+    w = [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+    warr = F.expr("array(" + ", ".join(f"{x!r}D" for x in w) + ")")
+
+    j = (
+        run.filter(F.col(rank_col) <= k)
+        .join(qrels, [query_col, doc_col], "left")
+        .withColumn("_rel", F.coalesce(F.col(rel_col), F.lit(0)).cast("long"))
+    )
+    run_m = j.groupBy(query_col).agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(rank_col).alias("r"), F.col("_rel").alias("g")))),
+                lambda x: x["g"].cast("double") * F.element_at(warr, x["r"].cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("dcg"),
+        F.min(F.when(F.col("_rel") > 0, F.col(rank_col))).alias("first_hit"),
+        F.sum((F.col("_rel") > 0).cast("long")).alias("hits"),
+    )
+    ideal = qrels.groupBy(query_col).agg(
+        F.aggregate(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(F.collect_list(F.col(rel_col).cast("long")))),
+                    1,
+                    k,
+                ),
+                lambda g, i: g.cast("double") * F.element_at(warr, i + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("idcg"),
+        F.sum((F.col(rel_col) > 0).cast("long")).alias("positives"),
+    )
+    return (
+        run_m.join(ideal, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce(F.try_divide(F.col("dcg"), F.col("idcg")), F.lit(0.0)).alias("ndcg"),
+            F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)).alias("mrr"),
+            (F.col("hits").cast("double") / F.lit(float(k))).alias("precision"),
+            F.coalesce(
+                F.try_divide(F.col("hits").cast("double"), F.col("positives").cast("double")),
+                F.lit(0.0),
+            ).alias("recall"),
+            "hits",
+            F.coalesce(F.col("positives"), F.lit(0)).alias("positives"),
+        )
+    )

@@ -2278,6 +2278,124 @@ def search_bm25_topk(spark, sf_dir):
     return search.bm25_topk(_t(spark, sf_dir, "documents"), queries, k=10)
 
 
+# 1/log2(r+1) discount table, precomputed ONCE and embedded as
+# shortest-repr double literals in BOTH engines: no runtime log2, whose
+# last ulp may differ between libm and java.lang.Math (the same
+# reasoning as the catalog's no-runtime-transcendental rule for
+# hash-compared outputs). operators/search.py:ranking_metrics computes
+# the identical list with the identical formula in the same process.
+_NDCG_W = [1.0 / __import__("math").log2(r + 1) for r in range(1, 11)]
+# string→DOUBLE cast per element, NOT a bare numeric array literal:
+# DuckDB parses `0.38685280723454163` as DECIMAL(17,17) first and the
+# decimal→double conversion lands one ulp off the correctly-rounded
+# string parse for 3 of the 10 weights (measured) — the exact
+# last-ulp class the precomputed table exists to eliminate
+_NDCG_W_SQL = "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in _NDCG_W) + "]"
+
+_RANKING_METRICS_SQL = f"""
+{_BM25_SQL.split("SELECT query_id, doc_id, ROUND")[0]}
+, qrels AS (
+  SELECT query_id, doc_id,
+         CASE WHEN m = 0 THEN 3 WHEN m <= 2 THEN 2 WHEN m <= 4 THEN 1 ELSE 0 END AS rel
+  FROM (
+    SELECT q.query_id, d.doc_id,
+           CAST(('0x' || substr(md5(q.query_id || '|' || CAST(d.doc_id AS VARCHAR)), 1, 13))
+                AS UBIGINT) % 20 AS m
+    FROM (SELECT DISTINCT query_id FROM q) q
+    CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id < 400) d
+  )
+  WHERE (CASE WHEN m = 0 THEN 3 WHEN m <= 2 THEN 2 WHEN m <= 4 THEN 1 ELSE 0 END) > 0
+),
+joined AS (
+  SELECT r.query_id, r.rank, COALESCE(qr.rel, 0) AS rel
+  FROM ranked r LEFT JOIN qrels qr ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+  WHERE r.rank <= 10
+),
+run_m AS (
+  SELECT query_id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_sort(list({{'r': rank, 'g': rel}})),
+                          x -> CAST(x.g AS DOUBLE) * ({_NDCG_W_SQL})[x.r])),
+           (a, b) -> a + b) AS dcg,
+         MIN(CASE WHEN rel > 0 THEN rank END) AS first_hit,
+         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM joined GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_reverse(list_sort(list(CAST(rel AS BIGINT))))[1:10],
+                          (g, i) -> CAST(g AS DOUBLE) * ({_NDCG_W_SQL})[i])),
+           (a, b) -> a + b) AS idcg,
+         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS positives
+  FROM qrels GROUP BY query_id
+)
+SELECT r.query_id,
+       COALESCE(CASE WHEN i.idcg > 0 THEN r.dcg / i.idcg END, 0.0) AS ndcg,
+       COALESCE(1.0 / r.first_hit, 0.0) AS mrr,
+       CAST(r.hits AS DOUBLE) / 10.0 AS precision,
+       COALESCE(CASE WHEN i.positives > 0
+                     THEN CAST(r.hits AS DOUBLE) / CAST(i.positives AS DOUBLE) END,
+                0.0) AS recall,
+       r.hits,
+       COALESCE(i.positives, 0) AS positives
+FROM run_m r LEFT JOIN ideal i ON r.query_id = i.query_id
+"""
+
+
+@register_extra("search_ranking_metrics", _RANKING_METRICS_SQL)
+def search_ranking_metrics(spark, sf_dir):
+    """Retrieval-eval metrics (operators/search.py:ranking_metrics —
+    nDCG@10 / MRR / precision / recall, the trec_eval core set) over
+    the REAL BM25 ranker's run: the run is bm25_topk in-plan (the
+    search_bm25_topk precedent — the oracle replays the identical
+    Okapi formula in SQL), qrels are md5-derived graded relevance
+    (integer 52-bit hash % 20 → grades 3/2/1 at 5%/10%/10% — the
+    cross-engine md5-uniform discipline, zero doubles in the grade).
+    DCG/IDCG fold their term lists in pinned rank order with a
+    precomputed discount table (no runtime log2, no re-associating
+    SUM), so every output double is bit-identical across engines.
+    Scale: metric work is O(queries × k) after one k-bounded
+    run↔qrels equi-join."""
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [("q1", "table scan"), ("q2", "hash merge batch"), ("q3", "window sort fast")],
+        "query_id string, query string",
+    )
+    run = search.bm25_topk(docs, queries, k=10).select("query_id", "doc_id", "rank")
+    # qrels via explode, not crossJoin: 3 literal query ids per doc row
+    # keeps the plan CartesianProduct-free (the oracle's CROSS JOIN is
+    # DuckDB-side only)
+    v = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("query_id"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 20
+    )
+    qrels = (
+        docs.filter(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            F.explode(F.array(F.lit("q1"), F.lit("q2"), F.lit("q3"))).alias("query_id"),
+        )
+        .withColumn(
+            "rel",
+            F.when(v == 0, 3).when(v <= 2, 2).when(v <= 4, 1).otherwise(0),
+        )
+        .filter(F.col("rel") > 0)
+        .select("query_id", "doc_id", "rel")
+    )
+    return search.ranking_metrics(run, qrels, k=10).select(
+        "query_id", "ndcg", "mrr", "precision", "recall", "hits", "positives"
+    )
+
+
 @register_extra(
     "q_cap_per_group",
     """WITH ranked AS (

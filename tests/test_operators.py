@@ -3205,3 +3205,36 @@ def test_ivfpq_params_sizing_curve():
     # the oracle-gated contract entries
     assert similarity.ivfpq_params_for(5_000) == (16, 8, 4096)
     assert similarity.ivfpq_params_for(65_536) == (16, 8, 4096)
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """A symmetric formula bug can hide behind the oracle (both sides
+    computing the same wrong thing 'match'), so the metric definitions
+    are pinned by hand: run q1 = [d1(rel 3, rank 1), d2(rel 0, rank 2),
+    d3(rel 1, rank 3)], qrels also hold an unretrieved d9(rel 2).
+    DCG@3 = 3/log2(2) + 0 + 1/log2(4) = 3.5; ideal grades [3,2,1] give
+    IDCG = 3 + 2/log2(3) + 0.5 = 4.761859507142915; q2 retrieves no
+    positives -> all zeros with positives=1."""
+    import math
+
+    from hyper_storage_spark.operators import search
+
+    run = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3), ("q2", "d1", 1), ("q2", "d2", 2)],
+        "query_id string, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "d1", 3), ("q1", "d3", 1), ("q1", "d9", 2), ("q2", "d5", 1)],
+        "query_id string, doc_id string, rel int",
+    )
+    rows = {r.query_id: r for r in search.ranking_metrics(run, qrels, k=3).collect()}
+    q1 = rows["q1"]
+    idcg = 3.0 + 2.0 / math.log2(3) + 1.0 * 0.5
+    assert abs(q1.ndcg - 3.5 / idcg) < 1e-12
+    assert q1.mrr == 1.0 and q1.hits == 2 and q1.positives == 3
+    assert abs(q1.precision - 2 / 3) < 1e-12 and abs(q1.recall - 2 / 3) < 1e-12
+    q2 = rows["q2"]
+    assert q2.ndcg == 0.0 and q2.mrr == 0.0 and q2.hits == 0 and q2.positives == 1
+    # rows past the cutoff are ignored: at k=1 only d1 counts
+    r1 = {r.query_id: r for r in search.ranking_metrics(run, qrels, k=1).collect()}["q1"]
+    assert r1.hits == 1 and r1.precision == 1.0 and abs(r1.ndcg - 1.0) < 1e-12
