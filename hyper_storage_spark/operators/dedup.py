@@ -754,6 +754,28 @@ def duplicate_clusters(
     return members.union(roots).distinct()
 
 
+def cluster_stats(
+    clusters: DataFrame,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Dedup savings report from a cluster labeling — the sizing
+    answer every dedup run ends with ("how much does removal buy?"):
+    one row per observed CLUSTER SIZE with (cluster_size, n_clusters,
+    n_docs, removable), where removable = (size-1)·count is the rows a
+    keep-one-per-cluster pass deletes at that size. All-integer
+    output, exact in any engine.
+
+    Scale: two shuffles over the cluster table (component-sized, far
+    smaller than the corpus) — sizes then the histogram; the heavy
+    work already happened in the pair generator + CC."""
+    sizes = clusters.groupBy(cluster_col).agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).alias("n_docs"),
+        ((F.col("cluster_size") - F.lit(1)) * F.count("*")).alias("removable"),
+    )
+
+
 def keep_best_per_cluster(
     docs: DataFrame,
     clusters: DataFrame,

@@ -2037,6 +2037,31 @@ SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
 """
 
 
+@register_extra(
+    "dedup_cluster_stats",
+    f"""WITH clusters AS ({_CLUSTERS_SQL}),
+s AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY 1)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS removable
+FROM s GROUP BY 1""",
+)
+def dedup_cluster_stats(spark, sf_dir):
+    """The dedup savings report (operators/dedup.py:cluster_stats):
+    cluster-size histogram over the near-dup components with the rows
+    a keep-one-per-cluster pass would delete at each size — the
+    sizing summary a 100 TB dedup run ends with before committing to
+    the rewrite. Runs the full pair generator + distributed CC
+    in-plan (the dedup_clusters stack); the oracle replays pairs +
+    recursive-CTE labeling + the same integer histogram, so the check
+    is end-to-end. All-integer output, exact in both engines."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_df=100
+    )
+    return dedup.cluster_stats(dedup.duplicate_clusters(pairs))
+
+
 @register_extra("dedup_clusters", _CLUSTERS_SQL)
 def dedup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS (operators/dedup.py:duplicate_clusters):

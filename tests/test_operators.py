@@ -3238,3 +3238,17 @@ def test_ranking_metrics_hand_computed(spark):
     # rows past the cutoff are ignored: at k=1 only d1 counts
     r1 = {r.query_id: r for r in search.ranking_metrics(run, qrels, k=1).collect()}["q1"]
     assert r1.hits == 1 and r1.precision == 1.0 and abs(r1.ndcg - 1.0) < 1e-12
+
+
+def test_cluster_stats_hand_computed(spark):
+    """cluster_stats histogram pinned by hand: components {1,2,3},
+    {10,11}, {20,21} -> one size-3 cluster (2 removable) and two
+    size-2 clusters (1 removable each)."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)],
+        "doc_id long, cluster_id long",
+    )
+    rows = {r.cluster_size: r for r in dedup.cluster_stats(clusters).collect()}
+    assert rows[3].n_clusters == 1 and rows[3].n_docs == 3 and rows[3].removable == 2
+    assert rows[2].n_clusters == 2 and rows[2].n_docs == 4 and rows[2].removable == 2
+    assert set(rows) == {2, 3}
