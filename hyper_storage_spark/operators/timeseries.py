@@ -637,6 +637,66 @@ def seasonality_profile(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def cusum_changepoint(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Single most-likely level-shift changepoint of the daily event
+    count series, by the classic CUSUM statistic: with daily counts
+    x_1..x_n and prefix sums P_i, the centered cusum is
+    S_i = P_i − i·mean; the changepoint is the day maximizing |S_i|
+    (the standard at-most-one-change estimator). One row:
+    (change_day, n_days, total, scaled_score, mean_before, mean_after).
+
+    Exactness: S_i·n = n·P_i − i·total is EXACT integer arithmetic
+    (the catalog's exactification pattern) — the argmax is taken over
+    scaled_score = |n·P_i − i·total| with an earliest-day tie-break,
+    so engines can never disagree on the chosen day; the two means
+    are each ONE double division over exact integers, rounded to 6.
+    Products accumulate in decimal(38,0) on the Spark side (int64
+    would wrap silently at n·P ~ corpus² magnitudes).
+
+    Scale shape: the corpus reduces to one daily-count row per day in
+    a single partial-agg shuffle; the cusum window runs over that
+    calendar-bounded series (≤ a few thousand rows for years of
+    data), the same single-series discipline as lag_autocorrelation."""
+    from pyspark.sql import Window
+
+    daily = (
+        events.groupBy(F.date_trunc("day", F.col(ts_col)).alias("day"))
+        .agg(F.count("*").alias("x"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = (
+        daily.withColumn("p", F.sum("x").over(w))
+        .withColumn("i", F.row_number().over(Window.orderBy("day")))
+    )
+    tot = daily.agg(
+        F.sum("x").cast("decimal(38,0)").alias("total"),
+        F.count("*").alias("n_days"),
+    )
+    scored = pre.crossJoin(F.broadcast(tot)).withColumn(
+        "s",
+        F.col("n_days").cast("decimal(38,0)") * F.col("p").cast("decimal(38,0)")
+        - F.col("i").cast("decimal(38,0)") * F.col("total"),
+    ).withColumn("score", F.abs(F.col("s")))
+    best = scored.orderBy(F.col("score").desc(), F.col("day").asc()).limit(1)
+    return best.select(
+        F.col("day").alias("change_day"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("total").cast("long").alias("total"),
+        F.col("score").cast("long").alias("scaled_score"),
+        F.round(F.col("p").cast("double") / F.col("i"), 6).alias("mean_before"),
+        # try_divide: a changepoint at the last day (constant 1-day
+        # series) has no "after" segment — NULL, not DIVIDE_BY_ZERO
+        # (ANSI doubles throw on /0 too)
+        F.round(
+            F.try_divide(
+                (F.col("total") - F.col("p")).cast("double"),
+                (F.col("n_days") - F.col("i")).cast("double"),
+            ),
+            6,
+        ).alias("mean_after"),
+    )
+
+
 def lag_autocorrelation(events: DataFrame, ts_col: str = "ts", lag_days: int = 1) -> DataFrame:
     """Lag-k autocorrelation of the DAILY event-count series, one row
     (n_pairs, acf) — "does yesterday predict today": the stationarity

@@ -8039,6 +8039,52 @@ def ts_seasonality_profile(spark, sf_dir):
 
 
 @register_extra(
+    "ts_cusum_changepoint",
+    """WITH daily AS (
+         SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                COUNT(*) AS x
+         FROM events GROUP BY 1
+       ),
+       pre AS (
+         SELECT day, x,
+                SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS p,
+                ROW_NUMBER() OVER (ORDER BY day) AS i
+         FROM daily
+       ),
+       t AS (SELECT SUM(x) AS total, COUNT(*) AS n_days FROM daily),
+       scored AS (
+         SELECT day, p, i, total, n_days,
+                abs(CAST(n_days AS HUGEINT) * p - CAST(i AS HUGEINT) * total) AS score
+         FROM pre, t
+       )
+       SELECT day AS change_day,
+              CAST(n_days AS BIGINT) AS n_days,
+              CAST(total AS BIGINT) AS total,
+              CAST(score AS BIGINT) AS scaled_score,
+              ROUND(CAST(p AS DOUBLE) / i, 6) AS mean_before,
+              ROUND(CASE WHEN n_days > i
+                         THEN CAST(total - p AS DOUBLE) / (n_days - i) END,
+                    6) AS mean_after
+       FROM scored
+       ORDER BY score DESC, day ASC LIMIT 1""",
+)
+def ts_cusum_changepoint(spark, sf_dir):
+    """Level-shift changepoint of the daily event series
+    (operators/timeseries.py:cusum_changepoint) — the at-most-one-
+    change CUSUM estimator, argmax |n·P_i − i·total| with an
+    earliest-day tie-break. The argmax statistic is EXACT integer
+    arithmetic (decimal(38,0) products on the Spark side, HUGEINT in
+    the oracle — n·P is corpus²-magnitude and would wrap int64
+    silently), so both engines pick the identical day; the two
+    segment means are one rounded double division each. Completes the
+    series-diagnostics trio: seasonality (where load lives), lag-ACF
+    (is it stationary), CUSUM (did the level shift)."""
+    from .operators import timeseries as ts_ops
+
+    return ts_ops.cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
+@register_extra(
     "ts_lag_autocorrelation",
     """WITH d AS (
          SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,

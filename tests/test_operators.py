@@ -3252,3 +3252,29 @@ def test_cluster_stats_hand_computed(spark):
     assert rows[3].n_clusters == 1 and rows[3].n_docs == 3 and rows[3].removable == 2
     assert rows[2].n_clusters == 2 and rows[2].n_docs == 4 and rows[2].removable == 2
     assert set(rows) == {2, 3}
+
+
+def test_cusum_changepoint_hand_computed(spark):
+    """CUSUM pinned by hand: daily counts [2,2,2,8,8] (n=5, total=22).
+    S_i·n = 5·P_i − i·22: i=1: −12, i=2: −24, i=3: −36, i=4: −18,
+    i=5: 0 → max |S| at i=3 (the last low day), the level shift
+    boundary. mean_before = 6/3 = 2, mean_after = 16/2 = 8."""
+    from hyper_storage_spark.operators import timeseries as ts_ops
+
+    rows = []
+    for d, cnt in [(1, 2), (2, 2), (3, 2), (4, 8), (5, 8)]:
+        rows += [(f"2024-03-0{d} 0{h}:00:00",) for h in range(cnt)]
+    ev = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    r = ts_ops.cusum_changepoint(ev).collect()[0]
+    assert str(r.change_day).startswith("2024-03-03")
+    assert r.n_days == 5 and r.total == 22 and r.scaled_score == 36
+    assert r.mean_before == 2.0 and r.mean_after == 8.0
+    # degenerate single-day series: changepoint at the only day,
+    # no "after" segment -> NULL, never DIVIDE_BY_ZERO
+    one = spark.createDataFrame([("2024-03-01 01:00:00",)], "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    r1 = ts_ops.cusum_changepoint(one).collect()[0]
+    assert r1.scaled_score == 0 and r1.mean_after is None

@@ -189,6 +189,15 @@ WINDOW_WAIVERS: dict[str, list[tuple[str, str]]] = {
             "by the PAA pruning stage, not corpus-proportional",
         )
     ],
+    "ts_cusum_changepoint": [
+        (
+            "day#",
+            "prefix-sum window over the pre-aggregated DAILY count "
+            "series — calendar-bounded rows (thousands for years of "
+            "data) after the corpus collapsed through the per-day "
+            "groupBy; same class as q_moving_average",
+        )
+    ],
 }
 
 _WRAPPERS = ("Project", "Filter", "BroadcastExchange", "Exchange", "AQEShuffleRead",
