@@ -39,6 +39,17 @@ def main() -> None:
         if only and name not in only:
             continue
         fn = specs[name].fn
+        # one UNTIMED warm-up per entry (round 10): the first execution
+        # pays Catalyst compile + codegen, which inflated `max` ~1.5-4x
+        # for cheap entries in the r8/r9 sweeps — the band then measured
+        # compile, not host noise, widening adjudication ceilings (a
+        # real 1.4x regression could hide under a compile-inflated max)
+        # and putting 14/22 entries in derived WIDE_BAND. Bands from
+        # r10 on measure steady-state runs only.
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        finally:
+            release_tracked_caches()
         samples = []
         for _ in range(n_runs):
             t0 = time.time()
