@@ -3278,3 +3278,34 @@ def test_cusum_changepoint_hand_computed(spark):
     )
     r1 = ts_ops.cusum_changepoint(one).collect()[0]
     assert r1.scaled_score == 0 and r1.mean_after is None
+
+
+def test_pagerank_hand_computed(spark):
+    """PageRank pinned by hand on the classic 3-node graph
+    (1->2, 1->3, 2->3, 3->1), one iteration from the uniform start:
+    v(1) = t + d*(p/1)        [all of 3's mass]
+    v(2) = t + d*(p/2)        [half of 1's]
+    v(3) = t + d*(p/2 + p/1)  [half of 1's + all of 2's]
+    with p = 1/3, d = 0.85, t = (1-d)/3. Plus the dangling variant
+    (edges 1->2 only): node 2 has no out-edges, so after one round
+    node 1 holds ONLY the teleport term — dangling mass is dropped,
+    the documented no-redistribution variant."""
+    from hyper_storage_spark.operators import graph as graph_ops
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r.node: r.val for r in graph_ops.pagerank(e, iters=1).collect()}
+    p, d = 1.0 / 3, 0.85
+    t = (1.0 - d) / 3
+    assert abs(got[1] - (t + d * p)) < 1e-15
+    assert abs(got[2] - (t + d * (p / 2))) < 1e-15
+    assert abs(got[3] - (t + d * (p / 2 + p))) < 1e-15
+    # mass conservation on a dangling-free graph: sums to 1 each round
+    got8 = {r.node: r.val for r in graph_ops.pagerank(e, iters=8).collect()}
+    assert abs(sum(got8.values()) - 1.0) < 1e-9
+    dang = spark.createDataFrame([(1, 2)], "src long, dst long")
+    gd = {r.node: r.val for r in graph_ops.pagerank(dang, iters=1).collect()}
+    td = (1.0 - d) / 2
+    assert gd[1] == td  # teleport only: 2's mass is dropped, not recycled
+    assert abs(gd[2] - (td + d * 0.5)) < 1e-15
