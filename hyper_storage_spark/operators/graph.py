@@ -23,12 +23,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+from typing import Optional
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     iters: int = 8,
     src_col: str = "src",
     dst_col: str = "dst",
+    seeds: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge table:
     (node, val) after ``iters`` synchronous updates of
@@ -39,6 +43,14 @@ def pagerank(
     teleport term (no dangling-mass redistribution — the common
     simplification for quality-signal use); fixed iteration count, no
     convergence test (replayable by construction).
+
+    ``seeds`` (optional, a one-column ``node`` frame) switches to
+    PERSONALIZED PageRank: the walk restarts only at seed nodes —
+    initial mass and the (1−d) teleport term concentrate uniformly on
+    the seeds (seeds outside the graph are ignored), everything else
+    starts at 0 and earns rank purely by proximity to the seed set.
+    The data-curation use: seed the trusted/known-good nodes and rank
+    the rest by how strongly the link structure ties them to quality.
 
     Mechanics: every node carries a zero-weight self-edge so it
     appears in every iteration's reduction even with no in-edges (and
@@ -81,8 +93,32 @@ def pagerank(
         .withColumn("d", F.coalesce(F.col("d"), F.lit(1)))
         .localCheckpoint()
     )
-    teleport = (1.0 - damping) / n  # two IEEE ops, mirrored in oracles
-    pr = nodes.withColumn("val", F.lit(1.0 / n))
+    if seeds is not None:
+        # seed flag joined once; mass and teleport concentrate on the
+        # seed ∩ graph intersection (a seed with no edges can receive
+        # no rank flow anyway)
+        sset = (
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .join(nodes, "node", "left_semi")
+            .withColumn("__seed", F.lit(True))
+            .localCheckpoint()
+        )
+        n_seed = sset.count()
+        if n_seed == 0:
+            raise ValueError("personalized pagerank: no seed appears in the graph")
+        flagged = nodes.join(sset, "node", "left")
+        teleport_of = lambda: F.when(  # noqa: E731 — tiny expression factory
+            F.col("__seed").isNotNull(), F.lit((1.0 - damping) / n_seed)
+        ).otherwise(F.lit(0.0))
+        pr = flagged.withColumn(
+            "val",
+            F.when(F.col("__seed").isNotNull(), F.lit(1.0 / n_seed)).otherwise(F.lit(0.0)),
+        ).select("node", "val")
+    else:
+        flagged = None
+        teleport = (1.0 - damping) / n  # two IEEE ops, mirrored in oracles
+        pr = nodes.withColumn("val", F.lit(1.0 / n))
     for _ in range(iters):
         contribs = e2.join(pr, e2["src"] == pr["node"]).select(
             "dst",
@@ -99,8 +135,19 @@ def pagerank(
                 lambda acc, x: acc + x,
             ).alias("s")
         )
-        pr = folded.select(
-            F.col("dst").alias("node"),
-            (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("val"),
-        ).localCheckpoint(eager=False)
+        if seeds is not None:
+            pr = (
+                folded.select(F.col("dst").alias("node"), "s")
+                .join(flagged.select("node", "__seed"), "node", "left")
+                .select(
+                    "node",
+                    (teleport_of() + F.lit(damping) * F.col("s")).alias("val"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        else:
+            pr = folded.select(
+                F.col("dst").alias("node"),
+                (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("val"),
+            ).localCheckpoint(eager=False)
     return pr

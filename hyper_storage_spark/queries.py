@@ -8118,6 +8118,98 @@ def graph_pagerank(spark, sf_dir):
     )
 
 
+_PPR_SQL = f"""
+WITH RECURSIVE ce AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_custkey < 500
+),
+e AS (SELECT DISTINCT * FROM (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+e2 AS (
+  SELECT e.src, e.dst, CAST(1 AS DOUBLE) AS w, COALESCE(deg.d, 1) AS d
+  FROM e LEFT JOIN deg ON deg.src = e.src
+  UNION ALL
+  SELECT node, node, CAST(0 AS DOUBLE), COALESCE(deg.d, 1)
+  FROM nodes LEFT JOIN deg ON deg.src = nodes.node
+),
+seeds AS (
+  SELECT s.node FROM (
+    SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+    FROM supplier WHERE s_suppkey <= 10
+  ) s WHERE s.node IN (SELECT node FROM nodes)
+),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds),
+pr(it, node, val) AS (
+  SELECT 0, n.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN CAST(1 AS DOUBLE) / (SELECT n FROM ns)
+              ELSE CAST(0 AS DOUBLE) END
+  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+  UNION ALL
+  SELECT x.it + 1, x.dst,
+         CASE WHEN s.node IS NOT NULL
+              THEN (CAST(1 AS DOUBLE) - CAST('{_PAGERANK_D!r}' AS DOUBLE))
+                   / (SELECT n FROM ns)
+              ELSE CAST(0 AS DOUBLE) END
+         + CAST('{_PAGERANK_D!r}' AS DOUBLE) * x.s
+  FROM (
+    SELECT pr.it AS it, e2.dst AS dst,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_sort(list({{'u': e2.src, 'c': e2.w * pr.val / e2.d}})),
+                            t -> t.c)),
+             (a, b) -> a + b) AS s
+    FROM pr JOIN e2 ON e2.src = pr.node
+    WHERE pr.it < 8
+    GROUP BY pr.it, e2.dst
+  ) x
+  LEFT JOIN seeds s ON s.node = x.dst
+)
+SELECT node, val AS pr FROM pr WHERE it = 8
+ORDER BY pr DESC, node LIMIT 20
+"""
+
+
+@register_extra("graph_pagerank_personalized", _PPR_SQL)
+def graph_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank (operators/graph.py:pagerank with
+    ``seeds``) — the quality-PROPAGATION face of the graph signal:
+    the walk restarts only at a trusted seed set (suppliers 1–10
+    here), so every other node's rank measures how strongly the link
+    structure ties it to the seeds — the standard
+    seed-known-good-then-propagate curation recipe. Same bit-exact
+    discipline as graph_pagerank (pinned-order folds, shared repr
+    literals, seed-conditional teleport is one CASE both engines
+    evaluate identically); oracle replays the full personalized
+    iteration as a recursive CTE."""
+    from .operators import graph as graph_ops
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    li = _t(spark, sf_dir, "lineitem")
+    ce = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = ce.unionByName(ce.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 10)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    ranks = graph_ops.pagerank(edges, damping=_PAGERANK_D, iters=8, seeds=seeds)
+    return (
+        ranks.select("node", F.col("val").alias("pr"))
+        .orderBy(F.col("pr").desc(), "node")
+        .limit(20)
+    )
+
+
 @register_extra(
     "ts_cusum_changepoint",
     """WITH daily AS (

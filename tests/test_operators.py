@@ -3309,3 +3309,25 @@ def test_pagerank_hand_computed(spark):
     td = (1.0 - d) / 2
     assert gd[1] == td  # teleport only: 2's mass is dropped, not recycled
     assert abs(gd[2] - (td + d * 0.5)) < 1e-15
+
+
+def test_personalized_pagerank_hand_computed(spark):
+    """Personalized PageRank pinned by hand on 1->2, 2->1, 2->3 with
+    seed {1}: start val(1)=1, others 0. One iteration:
+    v(1) = 0.15 + 0.85*(val2/2) = 0.15 (val2 starts 0)
+    v(2) = 0.85*(val1/1) = 0.85 (non-seed: no teleport term)
+    v(3) = 0.85*(val2/2) = 0.0
+    Seeds outside the graph are ignored; an all-foreign seed set
+    raises."""
+    import pytest as _pytest
+
+    from hyper_storage_spark.operators import graph as graph_ops
+
+    e = spark.createDataFrame([(1, 2), (2, 1), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")  # 99 not in graph
+    got = {r.node: r.val for r in graph_ops.pagerank(e, iters=1, seeds=seeds).collect()}
+    assert got[1] == 0.15000000000000002  # (1.0-0.85)/1, the IEEE value
+    assert got[2] == 0.85
+    assert got[3] == 0.0
+    with _pytest.raises(ValueError, match="no seed"):
+        graph_ops.pagerank(e, iters=1, seeds=spark.createDataFrame([(99,)], "node long"))
