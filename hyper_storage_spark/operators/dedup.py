@@ -754,6 +754,70 @@ def duplicate_clusters(
     return members.union(roots).distinct()
 
 
+def fuzzy_key_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_df: int = 64,
+) -> DataFrame:
+    """Entity resolution by fuzzy key: all id pairs whose keys are
+    within edit distance 1 — (a_id, b_id, dist) — via FastSS deletion
+    neighborhoods (Bocek et al., "Fast Similarity Search in Large
+    Dictionaries", 2007): each key expands to itself plus its
+    length-many single-character deletions; two keys at edit
+    distance ≤ 1 ALWAYS share a neighborhood string (a substitution
+    at position i collides on delete-i of both; an insertion collides
+    the shorter key with the longer's deletion), so an equi-join on
+    the variant is a complete candidate generator and the exact
+    ``levenshtein`` verify runs only on candidates — never an
+    all-pairs cross join.
+
+    ``max_df`` caps a variant's block size (the posting-list
+    discipline every blocking join here uses): a variant shared by
+    more than ``max_df`` keys is dropped from candidate generation —
+    at web scale a degenerate hot key (empty, "unknown", …) would
+    otherwise explode one block quadratically. Dropped blocks lose
+    only pairs of near-identical DEGENERATE keys, the standard
+    trade.
+
+    Scale shape: neighborhood size is O(key length) per row, the join
+    is variant-hash-partitioned, pair output is bounded by
+    Σ block·(block−1)/2 ≤ max_df²/2 per variant, and the verify is
+    candidate-only. All-integer output (ids + the exact distance)."""
+    s = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("k")).filter(
+        F.col("k").isNotNull()
+    )
+    v = s.select(
+        "id",
+        "k",
+        F.explode(
+            F.array_append(
+                F.expr(
+                    "transform(sequence(1, length(k)),"
+                    " i -> concat(substr(k, 1, i-1), substr(k, i+1, length(k))))"
+                ),
+                F.col("k"),
+            )
+        ).alias("var"),
+    )
+    hot = v.groupBy("var").agg(F.count("*").alias("__df")).filter(F.col("__df") > max_df)
+    v = v.join(F.broadcast(hot.select("var")), "var", "left_anti")
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(b, (F.col("a.var") == F.col("b.var")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.k").alias("ak"),
+            F.col("b.k").alias("bk"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("ak", "bk") <= 1).select(
+        "a_id", "b_id", F.levenshtein("ak", "bk").cast("long").alias("dist")
+    )
+
+
 def cluster_stats(
     clusters: DataFrame,
     cluster_col: str = "cluster_id",

@@ -8038,6 +8038,44 @@ def ts_seasonality_profile(spark, sf_dir):
     return ts_ops.seasonality_profile(_t(spark, sf_dir, "events"))
 
 
+@register_extra(
+    "dedup_fuzzy_keys",
+    """WITH s AS (SELECT c_custkey AS id, c_name AS k
+                  FROM customer WHERE c_custkey < 1500 AND c_name IS NOT NULL),
+       v0 AS (
+         SELECT id, k,
+                unnest(list_append(
+                  list_transform(range(1, len(k)+1),
+                                 i -> substr(k, 1, i-1) || substr(k, i+1, len(k))),
+                  k)) AS var
+         FROM s
+       ),
+       hot AS (SELECT var FROM v0 GROUP BY var HAVING COUNT(*) > 64),
+       v AS (SELECT * FROM v0 WHERE var NOT IN (SELECT var FROM hot)),
+       cand AS (
+         SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.k AS ak, b.k AS bk
+         FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+       )
+       SELECT a_id, b_id, CAST(levenshtein(ak, bk) AS BIGINT) AS dist
+       FROM cand WHERE levenshtein(ak, bk) <= 1""",
+)
+def dedup_fuzzy_keys(spark, sf_dir):
+    """Fuzzy-key entity resolution (operators/dedup.py:
+    fuzzy_key_pairs): all customer pairs whose NAMES sit within edit
+    distance 1, via FastSS deletion-neighborhood blocking — the
+    scalable fuzzy join (complete candidate generation from an
+    equi-join on O(len) variants per key, exact levenshtein verify on
+    candidates only, df-capped blocks, never a cross join). The
+    entity-resolution face of the dedup family: near-identical KEYS
+    rather than near-identical documents. All-integer output; the
+    oracle replays neighborhoods + cap + verify end-to-end."""
+    return dedup.fuzzy_key_pairs(
+        _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1500),
+        key_col="c_name",
+        id_col="c_custkey",
+    )
+
+
 _PAGERANK_D = 0.85
 _PAGERANK_SQL = f"""
 WITH RECURSIVE ce AS (

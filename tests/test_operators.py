@@ -3331,3 +3331,26 @@ def test_personalized_pagerank_hand_computed(spark):
     assert got[3] == 0.0
     with _pytest.raises(ValueError, match="no seed"):
         graph_ops.pagerank(e, iters=1, seeds=spark.createDataFrame([(99,)], "node long"))
+
+
+def test_fuzzy_key_pairs_hand_computed(spark):
+    """FastSS completeness and the df cap pinned by hand:
+    'cat'~'cut' (substitution), 'cat'~'cart' (insertion), 'cat'~'at'
+    (deletion) all pair at dist 1; 'cat'~'dog' never pairs; exact
+    duplicates pair at dist 0; a degenerate hot key ('x' shared by
+    many rows) is dropped by the cap instead of exploding the block."""
+    rows = [(1, "cat"), (2, "cut"), (3, "cart"), (4, "at"), (5, "dog"), (6, "cat")]
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = {
+        (r.a_id, r.b_id): r.dist
+        for r in dedup.fuzzy_key_pairs(df, "k", "id").collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert got[(1, 6)] == 0  # exact duplicate keys
+    assert not any(5 in p for p in got)  # 'dog' pairs with nothing
+    # hot-key cap: 70 rows sharing key 'x' -> block dropped, no pairs
+    hot = spark.createDataFrame([(i, "x") for i in range(70)], "id long, k string")
+    assert dedup.fuzzy_key_pairs(hot, "k", "id").count() == 0
+    # under the cap the same block pairs fully: 5 rows -> C(5,2)
+    cold = spark.createDataFrame([(i, "x") for i in range(5)], "id long, k string")
+    assert dedup.fuzzy_key_pairs(cold, "k", "id").count() == 10
