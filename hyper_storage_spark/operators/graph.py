@@ -33,6 +33,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     seeds: Optional[DataFrame] = None,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge table:
     (node, val) after ``iters`` synchronous updates of
@@ -52,6 +53,15 @@ def pagerank(
     The data-curation use: seed the trusted/known-good nodes and rank
     the rest by how strongly the link structure ties them to quality.
 
+    ``weight_col`` switches to WEIGHTED PageRank: a node's mass splits
+    across out-edges proportionally to edge weight
+    (val·w_e / Σ_out w). Duplicate (src, dst) rows sum their weights;
+    zero/negative-weight edges are dropped (a zero total out-weight
+    would divide by zero, and negative flow is undefined). For
+    bit-exact oracle replay keep weights INTEGER-VALUED (counts,
+    cents): integer-valued doubles sum exactly in any order, so the
+    one division per edge stays IEEE-single-result.
+
     Mechanics: every node carries a zero-weight self-edge so it
     appears in every iteration's reduction even with no in-edges (and
     so both engines fold the IDENTICAL term list per node — the zero
@@ -65,11 +75,24 @@ def pagerank(
     for power-law graphs with mega-degree hubs, pre-aggregate per
     (dst, src-bucket) first — at the catalog's gate scope in-degrees
     are dimension-bounded."""
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    if weight_col is None:
+        e = (
+            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .withColumn("w", F.lit(1.0))
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .filter((F.col("src") != F.col("dst")) & (F.col("w") > 0))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -79,18 +102,17 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("val", F.lit(0.0))
-    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    deg = e.groupBy("src").agg(F.sum("w").alias("d"))
     # zero-weight self-edges: the per-node carrier (see docstring)
     e2 = (
-        e.withColumn("w", F.lit(1.0))
-        .unionByName(
+        e.unionByName(
             nodes.select(
                 F.col("node").alias("src"), F.col("node").alias("dst"),
                 F.lit(0.0).alias("w"),
             )
         )
         .join(deg, "src", "left")
-        .withColumn("d", F.coalesce(F.col("d"), F.lit(1)))
+        .withColumn("d", F.coalesce(F.col("d"), F.lit(1.0)))
         .localCheckpoint()
     )
     if seeds is not None:

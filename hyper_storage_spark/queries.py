@@ -8156,6 +8156,81 @@ def graph_pagerank(spark, sf_dir):
     )
 
 
+_WEIGHTED_PR_SQL = """
+WITH RECURSIVE ce AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_custkey < 500
+  GROUP BY 1, 2
+),
+e AS (SELECT src, dst, w FROM ce UNION ALL SELECT dst, src, w FROM ce),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+deg AS (SELECT src, SUM(w) AS d FROM e GROUP BY 1),
+e2 AS (
+  SELECT e.src, e.dst, e.w, COALESCE(deg.d, CAST(1 AS DOUBLE)) AS d
+  FROM e LEFT JOIN deg ON deg.src = e.src
+  UNION ALL
+  SELECT node, node, CAST(0 AS DOUBLE), COALESCE(deg.d, CAST(1 AS DOUBLE))
+  FROM nodes LEFT JOIN deg ON deg.src = nodes.node
+),
+pr(it, node, val) AS (
+  SELECT 0, node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) FROM nodes
+  UNION ALL
+  SELECT x.it + 1, x.dst,
+         (CAST(1 AS DOUBLE) - CAST('__D__' AS DOUBLE)) / (SELECT n FROM nn)
+         + CAST('__D__' AS DOUBLE) * x.s
+  FROM (
+    SELECT pr.it AS it, e2.dst AS dst,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_sort(list({'u': e2.src, 'c': e2.w * pr.val / e2.d})),
+                            t -> t.c)),
+             (a, b) -> a + b) AS s
+    FROM pr JOIN e2 ON e2.src = pr.node
+    WHERE pr.it < 8
+    GROUP BY pr.it, e2.dst
+  ) x
+)
+SELECT node, val AS pr FROM pr WHERE it = 8
+ORDER BY pr DESC, node LIMIT 20
+""".replace("__D__", repr(_PAGERANK_D))
+
+
+@register_extra("graph_pagerank_weighted", _WEIGHTED_PR_SQL)
+def graph_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank (operators/graph.py:pagerank with
+    ``weight_col``) — each customer's mass splits across suppliers
+    proportionally to TRADE VOLUME (lineitem rows per pair), the
+    volume-weighted importance signal rather than the mere-existence
+    one. Weights are integer-valued (counts), so the per-src weight
+    sums are exact in any order and the single division per edge
+    keeps the bit-exact contract; the oracle replays the weighted
+    iteration as a recursive CTE."""
+    from .operators import graph as graph_ops
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    li = _t(spark, sf_dir, "lineitem")
+    ce = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    edges = ce.unionByName(
+        ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    ranks = graph_ops.pagerank(edges, damping=_PAGERANK_D, iters=8, weight_col="w")
+    return (
+        ranks.select("node", F.col("val").alias("pr"))
+        .orderBy(F.col("pr").desc(), "node")
+        .limit(20)
+    )
+
+
 _PPR_SQL = f"""
 WITH RECURSIVE ce AS (
   SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,

@@ -3354,3 +3354,23 @@ def test_fuzzy_key_pairs_hand_computed(spark):
     # under the cap the same block pairs fully: 5 rows -> C(5,2)
     cold = spark.createDataFrame([(i, "x") for i in range(5)], "id long, k string")
     assert dedup.fuzzy_key_pairs(cold, "k", "id").count() == 10
+
+
+def test_weighted_pagerank_hand_computed(spark):
+    """Weighted PageRank pinned by hand: 1->2 (w=3), 1->3 (w=1),
+    2->1 (w=1). Out-weight of 1 is 4, so one iteration from uniform
+    p=1/3 splits 1's mass 3:1:
+    v(2) = t + d*(p*3/4); v(3) = t + d*(p*1/4); v(1) = t + d*(p*1/1).
+    Duplicate edges sum weights; zero-weight edges are dropped."""
+    from hyper_storage_spark.operators import graph as graph_ops
+
+    e = spark.createDataFrame(
+        [(1, 2, 2.0), (1, 2, 1.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 0.0)],
+        "src long, dst long, w double",
+    )
+    got = {r.node: r.val for r in graph_ops.pagerank(e, iters=1, weight_col="w").collect()}
+    p, d = 1.0 / 3, 0.85
+    t = (1.0 - d) / 3
+    assert abs(got[2] - (t + d * (p * 3.0 / 4.0))) < 1e-15
+    assert abs(got[3] - (t + d * (p * 1.0 / 4.0))) < 1e-15
+    assert abs(got[1] - (t + d * p)) < 1e-15
