@@ -1807,6 +1807,37 @@ def q_string_agg_raw_array(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_skew_salted_join",
+    """SELECT c_mktsegment,
+              COUNT(*) AS n,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY 1""",
+)
+def q_skew_salted_join(spark, sf_dir):
+    """The explicit skew-resilient equi join
+    (operators/skew.py:salted_join) proven at catalog level: the big
+    side (orders) carries a deterministic row-content salt, the small
+    side (customer) replicates once per salt value, and the result
+    must equal the PLAIN join — the oracle runs exactly that, so the
+    salt/replicate/join/unsalt pipeline is value-gated end-to-end
+    (the salted-aggregation twin q_skew_salted_agg has held a driver
+    row since round 6). Money closes with the q1 ROUND(dec,2)::DOUBLE
+    canonicalization."""
+    big = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    small = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = skew.salted_join(big, small, on=["custkey"], salt_buckets=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)), 2).cast("double").alias("total"),
+    )
+
+
 @register(
     "q_skew_salted_agg",
     """SELECT event_type,
