@@ -1095,3 +1095,70 @@ def test_streaming_ewma_carries_state_across_batches(spark, tmp_path):
     for i in range(6):
         assert got[(1, i * 2)] == want1[i]       # exact: same IEEE fold
         assert got[(2, i * 2 + 1)] == want2[i]
+
+
+def test_streaming_ivfpq_ingest_appends_and_serves(spark, tmp_path, sf_dir):
+    """The persisted-ANN-index faces compose with Structured
+    Streaming: bootstrap an IVF-PQ index on a corpus prefix, stream
+    the remainder in micro-batches through foreachBatch →
+    ivfpq_append (frozen cells/codebooks, codes table persisted to
+    parquet per batch — the incremental-ingest deployment shape),
+    then a search against the streamed-in index must return EXACTLY
+    what a one-shot bulk index over the full corpus returns (same
+    frozen training state, so encode order cannot matter — the
+    append/search equality gate the batch incremental entries pin,
+    now driven through readStream)."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import similarity
+    from hyper_storage_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    boot = emb.filter(F.col("vec_id") % 3 == 0)
+    rest = emb.filter(F.col("vec_id") % 3 != 0)
+
+    idx = similarity.ivfpq_index(boot, n_cells=8, sample_rows=512)
+    codes_dir = str(tmp_path / "codes")
+    idx.codes.write.mode("overwrite").parquet(codes_dir)
+
+    src = str(tmp_path / "src")
+    rest.repartition(4).write.mode("overwrite").parquet(src)
+
+    cents, cb = idx.centroids, idx.codebooks
+
+    def sink(batch_df, batch_id):
+        # frozen-state encode of just this micro-batch, appended to the
+        # persisted codes table (idempotence across replays comes from
+        # the checkpoint; this test replays nothing)
+        enc = similarity.ivfpq_encode(
+            similarity.IVFPQIndex(cents, cb, None), batch_df
+        )
+        enc.write.mode("append").parquet(codes_dir)
+
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = similarity.IVFPQIndex(cents, cb, spark.read.parquet(codes_dir))
+    bulk = similarity.IVFPQIndex(cents, cb, similarity.ivfpq_encode(
+        similarity.IVFPQIndex(cents, cb, None), emb
+    ))
+    qids = [0, 1, 2]
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivfpq_search(streamed, emb, qids, k=5, n_probe=8).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivfpq_search(bulk, emb, qids, k=5, n_probe=8).collect()
+    )
+    assert got == want and len(got) == 15
