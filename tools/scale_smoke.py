@@ -219,6 +219,67 @@ def ivfpq_century(scales=(1, 10, 100)) -> None:
     print("# ivfpq century smoke done")
 
 
+def graph_fuzzy(scopes=(500, 2000, 8000)) -> None:
+    """Round-10 families under scope growth: PageRank on the trade
+    graph as the customer scope widens (edges grow with scope; wall
+    must grow ~linearly — 8 fixed iterations of edge-partitioned
+    joins), and FastSS fuzzy-key pairs as the key universe widens
+    (candidates are block-bounded; an all-pairs regression would read
+    quadratic). Plans asserted CartesianProduct-free."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import dedup, graph
+    from hyper_storage_spark.operators._caches import release_tracked_caches
+    from hyper_storage_spark.session import get_spark
+    from hyper_storage_spark.sources.tables import load_table
+
+    spark = get_spark("scale_smoke_graph")
+    sf_dir = "/root/testdata/sf0.1"
+    o_all = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    base_pr = base_fz = None
+    for scope in scopes:
+        ce = (
+            o_all.filter(F.col("o_custkey") < scope)
+            .join(li, o_all["o_orderkey"] == li["l_orderkey"])
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            )
+            .distinct()
+        )
+        edges = ce.unionByName(
+            ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        n_edges = edges.count()
+        t0 = time.time()
+        pr = graph.pagerank(edges, iters=8)
+        nrows = pr.count()
+        w_pr = time.time() - t0
+        plan = pr._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        g = "" if base_pr is None else f" growth={w_pr / base_pr:.2f}x"
+        base_pr = base_pr or w_pr
+        print(f"# pagerank scope<{scope}: edges={n_edges} nodes={nrows} wall={w_pr:.2f}s{g}")
+        release_tracked_caches()
+
+        keys = cust.filter(F.col("c_custkey") < scope * 10)
+        n_keys = keys.count()
+        t0 = time.time()
+        fz = dedup.fuzzy_key_pairs(keys, "c_name", "c_custkey")
+        pairs = fz.count()
+        w_fz = time.time() - t0
+        plan = fz._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        g = "" if base_fz is None else f" growth={w_fz / base_fz:.2f}x"
+        base_fz = base_fz or w_fz
+        print(f"# fuzzy_keys n={n_keys}: pairs={pairs} wall={w_fz:.2f}s{g}")
+        release_tracked_caches()
+    print("# graph/fuzzy smoke done")
+
+
 def store_rollup_modes(n_items: int = 5000) -> None:
     """Wall-clock for the three store-rollup refresh tiers at a given
     collection size (build via write_batch so the feed holds full
@@ -274,6 +335,11 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh_sizing(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "graphfuzzy":
+        graph_fuzzy(
+            tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (500, 2000, 8000)
+        )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivfpq":
         ivfpq_century(
