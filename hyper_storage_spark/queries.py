@@ -8802,6 +8802,14 @@ def all_specs() -> dict[str, QuerySpec]:
 # EXTRA), q5_local_supplier_volume (q9 is the strictly heavier
 # multi-table join + agg of the same class; q3 keeps the
 # join-then-topN shape).
+#
+# Rotation #7 candidates (round-10's strongest new work, all
+# oracle-green at sf0.001/0.01/0.1 and guard-checked): graph_pagerank
+# (or the weighted variant — the iterative-graph class has no driver
+# row), dedup_fuzzy_keys (entity resolution by key — a new dedup
+# face), search_ranking_metrics (the eval face of retrieval),
+# ts_cusum_changepoint (exact-integer changepoint), q_skew_salted_join
+# (the explicit skew-join face), dedup_cluster_stats.
 if len(QUERIES) != 50:
     raise RuntimeError(
         f"driver-tier catalog has {len(QUERIES)} entries; the gate records exactly 50"
