@@ -173,3 +173,66 @@ def pagerank(
                 (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("val"),
             ).localCheckpoint(eager=False)
     return pr
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation: (node, label) after
+    ``iters`` synchronous majority votes — each node takes the most
+    common label among its in-neighbors' current labels, ties broken
+    by the lexicographically smallest label, and SEED nodes stay
+    clamped to their given label forever. The data-curation use:
+    transfer known labels (quality tier, domain, language) from a
+    labeled subset across a similarity/link graph to the unlabeled
+    rest.
+
+    Determinism is structural, not numeric: votes are integer counts
+    and the (count desc, label asc) argmax is a lexicographic struct
+    MIN — no floating point anywhere, so any engine replays it
+    bit-identically. Unlabeled nodes with no labeled in-neighbor stay
+    absent until the frontier reaches them (the output may therefore
+    have fewer rows than the graph has nodes). Every seed carries a
+    self-edge so its row survives rounds where no neighbor is labeled
+    yet (and feeds only its OWN vote, which the clamp overrides
+    anyway).
+
+    Scale shape: per iteration one edge⋈label join (hash-partitioned
+    on the join key) and two grouped reductions; label state is one
+    row per labeled node; lineage truncates per round via lazy
+    localCheckpoint (duplicate_clusters' discipline)."""
+    s = seeds.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("slabel")
+    ).distinct()
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .unionByName(s.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+        .localCheckpoint()
+    )
+    lab = s.select("node", F.col("slabel").alias("label"))
+    for _ in range(iters):
+        votes = (
+            e.join(lab, e["src"] == lab["node"])
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("lab"))
+                )["lab"].alias("vote")
+            )
+        )
+        lab = (
+            votes.select(F.col("dst").alias("node"), "vote")
+            .join(s, "node", "left")
+            .select("node", F.coalesce(F.col("slabel"), F.col("vote")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return lab

@@ -8262,6 +8262,82 @@ def graph_pagerank_weighted(spark, sf_dir):
     )
 
 
+@register_extra(
+    "graph_label_propagation",
+    """WITH RECURSIVE ce AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_custkey < 500
+),
+seeds AS (
+  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node, r_name AS label
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+  WHERE s_suppkey % 2 = 0
+),
+e AS (SELECT DISTINCT * FROM (
+  SELECT src, dst FROM ce
+  UNION ALL SELECT dst, src FROM ce
+  UNION ALL SELECT node, node FROM seeds
+)),
+lab(it, node, label) AS (
+  SELECT 0, node, label FROM seeds
+  UNION ALL
+  SELECT x.it + 1, x.node, COALESCE(s.label, x.vote)
+  FROM (
+    SELECT it, node, (MIN(struct_pack(nc := -cnt, lab := label))).lab AS vote
+    FROM (
+      SELECT l.it AS it, e.dst AS node, l.label AS label, COUNT(*) AS cnt
+      FROM lab l JOIN e ON e.src = l.node
+      WHERE l.it < 4
+      GROUP BY 1, 2, 3
+    )
+    GROUP BY it, node
+  ) x
+  LEFT JOIN seeds s ON s.node = x.node
+)
+SELECT node, label FROM lab WHERE it = 4""",
+)
+def graph_label_propagation(spark, sf_dir):
+    """Semi-supervised label propagation
+    (operators/graph.py:label_propagation): HALF the suppliers are
+    seeded with their nation's REGION name, then four synchronous
+    majority votes spread the labels across the trade graph —
+    customers inherit the region their labeled suppliers concentrate
+    in, and the label flows onward to the unseeded suppliers through
+    them (the transfer-known-labels-to-near-neighbors curation
+    recipe). Determinism is structural: integer vote counts, ties by
+    lexicographically smallest label via a struct MIN both engines
+    order identically, seeds clamped — no floating point anywhere.
+    The oracle replays the full vote loop as a recursive CTE."""
+    from .operators import graph as graph_ops
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    li = _t(spark, sf_dir, "lineitem")
+    ce = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = ce.unionByName(ce.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 2 == 0)
+    seeds = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"),
+            F.col("r_name").alias("label"),
+        )
+    )
+    return graph_ops.label_propagation(edges, seeds, iters=4)
+
+
 _PPR_SQL = f"""
 WITH RECURSIVE ce AS (
   SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,

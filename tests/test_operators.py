@@ -3374,3 +3374,26 @@ def test_weighted_pagerank_hand_computed(spark):
     assert abs(got[2] - (t + d * (p * 3.0 / 4.0))) < 1e-15
     assert abs(got[3] - (t + d * (p * 1.0 / 4.0))) < 1e-15
     assert abs(got[1] - (t + d * p)) < 1e-15
+
+
+def test_label_propagation_hand_computed(spark):
+    """Label propagation pinned by hand on the path 1-2-3-4 with
+    seeds {1:'a', 4:'b'}: after one vote the seeds' neighbors take
+    their labels (2->'a', 3->'b', seeds persist via self-edges); at
+    convergence the midpoint tie at node 3 (neighbors 'a' and 'b',
+    count 1 each) breaks to the lexicographically smaller 'a'. Seeds
+    stay clamped forever."""
+    from hyper_storage_spark.operators import graph as graph_ops
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1, "a"), (4, "b")], "node long, label string")
+    it1 = {r.node: r.label for r in graph_ops.label_propagation(e, seeds, iters=1).collect()}
+    assert it1 == {1: "a", 2: "a", 3: "b", 4: "b"}
+    it4 = {r.node: r.label for r in graph_ops.label_propagation(e, seeds, iters=4).collect()}
+    assert it4 == {1: "a", 2: "a", 3: "a", 4: "b"}  # tie at 3 -> min label
+    # an isolated seed survives on its self-edge alone
+    lone = spark.createDataFrame([(9, "z")], "node long, label string")
+    out = {r.node: r.label for r in graph_ops.label_propagation(e, lone, iters=2).collect()}
+    assert out[9] == "z"
