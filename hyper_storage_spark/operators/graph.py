@@ -236,3 +236,76 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return lab
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Triangle census of an undirected graph, one summary row:
+    (n_nodes, n_edges, n_triangles, n_wedges, transitivity).
+    Transitivity = 3·triangles / wedges (wedges = Σ deg·(deg−1)/2) —
+    the global clustering coefficient. The dedup-graph diagnostic:
+    near-dup components that are CLIQUES (transitivity → 1) are safe
+    to collapse to one representative; long CHAINS (→ 0) warn that
+    connected-components clustering is bridging dissimilar documents
+    through intermediates.
+
+    Exactness: counts are integers accumulated in decimal(38,0)
+    (wedges are quadratic in degree — int64 would wrap silently on a
+    power-law hub), and transitivity is ONE double division at the
+    end. Triangle enumeration uses the canonical-ordering trick:
+    every triangle {a<b<c} is counted exactly once as the edge pair
+    (a,b),(b,c) closed by (a,c) — two equi-joins over the
+    canonicalized edge table, no direction double-counting.
+
+    Scale shape: two hash joins on node keys plus one degree
+    reduction. For power-law graphs the standard refinement (join
+    low-degree endpoints first) applies; at catalog scope the near-dup
+    graph's components are dimension-bounded."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = nbrs.groupBy("u").agg(F.count("*").alias("d"))
+    base = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (
+            F.sum(
+                F.col("d").cast("decimal(38,0)")
+                * (F.col("d") - F.lit(1)).cast("decimal(38,0)")
+            )
+            / F.lit(2)
+        ).cast("decimal(38,0)").alias("n_wedges"),
+    )
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"]).agg(
+        F.count("*").cast("decimal(38,0)").alias("n_triangles")
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        base.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.round(
+                F.try_divide(
+                    (F.lit(3).cast("decimal(38,0)") * F.col("n_triangles")).cast("double"),
+                    F.col("n_wedges").cast("double"),
+                ),
+                6,
+            ).alias("transitivity"),
+        )
+    )

@@ -2069,6 +2069,46 @@ SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
 
 
 @register_extra(
+    "graph_triangle_stats",
+    f"""WITH pairs AS ({{JACCARD}}),
+e AS (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v
+      FROM pairs WHERE a_id <> b_id),
+nbrs AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT u, COUNT(*) AS d FROM nbrs GROUP BY 1),
+base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                CAST(SUM(CAST(d AS HUGEINT) * (d - 1)) // 2 AS BIGINT) AS n_wedges
+         FROM deg),
+tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e ab JOIN e bc ON ab.v = bc.u
+                  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       ROUND(CASE WHEN n_wedges > 0
+                  THEN CAST(3 * CAST(n_triangles AS HUGEINT) AS DOUBLE)
+                       / CAST(n_wedges AS DOUBLE) END, 6) AS transitivity
+FROM base, tri, ne""".replace("{JACCARD}", _JACCARD_SQL),
+)
+def graph_triangle_stats(spark, sf_dir):
+    """Triangle census of the near-dup pair graph
+    (operators/graph.py:triangle_stats): n_triangles, wedges, and the
+    global transitivity 3T/W — the clique-ness diagnostic for
+    connected-components dedup (transitivity near 1 = components are
+    cliques, safe to collapse; near 0 = chains, CC is bridging
+    dissimilar documents through intermediates). Canonical-order
+    enumeration counts each triangle once via two equi-joins; wedge
+    sums accumulate in decimal(38,0)/HUGEINT (quadratic in degree);
+    transitivity is one rounded double division. The oracle replays
+    the identical pair set (the _JACCARD_SQL reused by the cluster
+    entries) plus the same census."""
+    from .operators import graph as graph_ops
+
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_df=100
+    )
+    return graph_ops.triangle_stats(pairs, src_col="a_id", dst_col="b_id")
+
+
+@register_extra(
     "dedup_cluster_stats",
     f"""WITH clusters AS ({_CLUSTERS_SQL}),
 s AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY 1)

@@ -3397,3 +3397,22 @@ def test_label_propagation_hand_computed(spark):
     lone = spark.createDataFrame([(9, "z")], "node long, label string")
     out = {r.node: r.label for r in graph_ops.label_propagation(e, lone, iters=2).collect()}
     assert out[9] == "z"
+
+
+def test_triangle_stats_hand_computed(spark):
+    """Triangle census pinned by hand: triangle {1,2,3} plus pendant
+    3-4 -> degrees (2,2,3,1), wedges 1+1+3+0 = 5, one triangle,
+    transitivity 3/5 = 0.6. Direction/duplicate/self-loop inputs
+    canonicalize away; a triangle-free star has transitivity 0; the
+    empty graph yields NULL (0/0 undefined, never DIVIDE_BY_ZERO)."""
+    from hyper_storage_spark.operators import graph as graph_ops
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 1), (4, 4)], "src long, dst long"
+    )
+    r = graph_ops.triangle_stats(e).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (4, 4, 1, 5)
+    assert r.transitivity == 0.6
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], "src long, dst long")
+    rs = graph_ops.triangle_stats(star).collect()[0]
+    assert rs.n_triangles == 0 and rs.n_wedges == 6 and rs.transitivity == 0.0
