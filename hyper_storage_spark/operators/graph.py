@@ -1,20 +1,28 @@
 """Graph analytics over edge tables — the link-signal family next to
-dedup.py's connected components.
+dedup.py's connected components:
 
-PageRank is the classic pretraining-data quality signal (crawl-graph
-importance feeds page-level quality filters), and the operator here is
-the standard Spark Pregel-ish shape: the graph never leaves the
-executors, every iteration is one edge⋈rank join plus one grouped
-reduction, and the driver holds only scalars (node count, iteration
-index).
+- :func:`pagerank` (uniform / personalized / weighted) — the classic
+  crawl-graph quality signal (page importance feeds pretraining-data
+  quality filters; the personalized variant propagates trust from a
+  known-good seed set, the weighted one splits mass by interaction
+  volume);
+- :func:`label_propagation` — transfer KNOWN labels (quality tier,
+  domain, language) across a similarity/link graph by clamped
+  synchronous majority vote;
+- :func:`triangle_stats` — triangle census / global transitivity, the
+  clique-ness diagnostic for connected-components dedup.
 
-Cross-engine exactness (the catalog's hash-compare contract): per-node
-contribution sums fold in PINNED source-id order (array_sort + left
-fold — a plain SUM over doubles re-associates per partition), every
-constant enters both engines through the same shortest-repr literal,
-and each remaining op (one multiply, one divide per edge; one
-multiply-add per node) has a single IEEE result — so ranks are
-bit-identical and even the ORDER of the final ranking cannot diverge.
+All three are the standard Spark Pregel-ish shape: the graph never
+leaves the executors, every iteration is one edge⋈state join plus one
+grouped reduction, and the driver holds only scalars.
+
+Cross-engine exactness (the catalog's hash-compare contract): PageRank
+folds per-node contribution sums in PINNED source-id order (array_sort
++ left fold — a plain SUM over doubles re-associates per partition)
+with every constant entering both engines through the same
+shortest-repr literal; label propagation and the triangle census are
+pure integer/string arithmetic with lexicographic tie-breaks — so
+outputs are bit-identical and even final orderings cannot diverge.
 """
 
 from __future__ import annotations
