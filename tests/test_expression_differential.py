@@ -470,3 +470,45 @@ def test_variant_array_equality_and_has_are_typed(spark):
         got = sorted(r.i for r in df.filter(compile_filter(ast, resolver)).collect())
         expected = sorted(i for i, c in enumerate(ctxs) if evaluate_bool(ast, c))
         assert got == expected, (text, got, expected)
+
+
+def test_differential_random_corpus_round10_fresh_seeds(spark):
+    """Cumulative fuzz extension (round 10): a FRESH seed batch — 400
+    expressions × 30 contexts, deeper nesting allowed — over the
+    variant resolver. Every round adds a never-before-run region of
+    the expression space; earlier batches stay pinned under their own
+    seeds, so a regression in either engine path trips SOME seed."""
+    rnd = random.Random(20260815)
+    contexts = [gen_context(rnd) for _ in range(30)]
+    exprs = []
+    while len(exprs) < 400:
+        text = gen_expr(rnd, depth=rnd.choice([0, 0, 1]))
+        try:
+            ast = parse(text)
+        except Exception:  # pragma: no cover
+            continue
+        exprs.append((text, ast))
+
+    df = spark.createDataFrame(
+        [(i, json.dumps(ctx)) for i, ctx in enumerate(contexts)], "ctx_id int, body string"
+    )
+    resolver = variant_resolver(F.col("body"))
+    cols, compiled_idx = [], []
+    for i, (text, ast) in enumerate(exprs):
+        try:
+            cols.append(compile_filter(ast, resolver).alias(f"e{i}"))
+            compiled_idx.append(i)
+        except CompileError:
+            continue
+    assert len(compiled_idx) >= 250  # the corpus must mostly compile
+
+    rows = {r.ctx_id: r for r in df.select("ctx_id", *cols).collect()}
+    mismatches = []
+    for ctx_id, ctx in enumerate(contexts):
+        for i in compiled_idx:
+            text, ast = exprs[i]
+            expected = evaluate_bool(ast, ctx)
+            got = rows[ctx_id][f"e{i}"]
+            if bool(got) != bool(expected):
+                mismatches.append((text, ctx, expected, got))
+    assert not mismatches, mismatches[:5]
