@@ -818,6 +818,82 @@ def fuzzy_key_pairs(
     )
 
 
+def fuzzy_key_index(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The persistable FastSS state of a key corpus: (id, k, var) —
+    one row per deletion-neighborhood variant (the key itself plus
+    each single-character deletion). Write it once, append new
+    batches' variants, and run :func:`fuzzy_key_pairs_incremental`
+    against it — the same persisted-index discipline as the MinHash /
+    embedding / PQ incremental faces."""
+    s = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("k")).filter(
+        F.col("k").isNotNull()
+    )
+    return s.select(
+        "id",
+        "k",
+        F.explode(
+            F.array_append(
+                F.expr(
+                    "transform(sequence(1, length(k)),"
+                    " i -> concat(substr(k, 1, i-1), substr(k, i+1, length(k))))"
+                ),
+                F.col("k"),
+            )
+        ).alias("var"),
+    )
+
+
+def fuzzy_key_pairs_incremental(
+    index: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_df: int = 64,
+) -> DataFrame:
+    """Edit-distance-≤1 pairs INVOLVING a new batch, against a
+    persisted :func:`fuzzy_key_index` — O(batch × block) instead of
+    re-blocking the whole corpus: candidates are batch-variants ⋈
+    (index ∪ batch-variants) restricted to pairs touching the batch,
+    then the exact levenshtein verify. By the FastSS completeness
+    property, ``pairs(corpus) ∪ incremental(batch, index(corpus)) ==
+    pairs(corpus ∪ batch)`` — the decomposition contract the catalog
+    entry value-gates against a one-shot oracle over the union.
+
+    ``max_df`` blocks are capped over the UNION universe (index +
+    batch), so the incremental path drops exactly the blocks the
+    one-shot run would drop — the cap can never make the
+    decomposition diverge."""
+    bvar = fuzzy_key_index(batch, key_col, id_col)
+    allvar = index.unionByName(bvar)
+    hot = (
+        allvar.groupBy("var").agg(F.count("*").alias("__df")).filter(F.col("__df") > max_df)
+    )
+    allvar = allvar.join(F.broadcast(hot.select("var")), "var", "left_anti")
+    bv = bvar.join(F.broadcast(hot.select("var")), "var", "left_anti")
+    a, b = bv.alias("a"), allvar.alias("b")
+    cand = (
+        a.join(b, (F.col("a.var") == F.col("b.var")) & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("a_id"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("b_id"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("a.k"))
+            .otherwise(F.col("b.k"))
+            .alias("ak"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("b.k"))
+            .otherwise(F.col("a.k"))
+            .alias("bk"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("ak", "bk") <= 1).select(
+        "a_id", "b_id", F.levenshtein("ak", "bk").cast("long").alias("dist")
+    )
+
+
 def cluster_stats(
     clusters: DataFrame,
     cluster_col: str = "cluster_id",

@@ -2069,6 +2069,52 @@ SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
 
 
 @register_extra(
+    "dedup_fuzzy_incremental",
+    """WITH s AS (SELECT c_custkey AS id, c_name AS k
+                  FROM customer WHERE c_custkey < 1500 AND c_name IS NOT NULL),
+       v0 AS (
+         SELECT id, k,
+                unnest(list_append(
+                  list_transform(range(1, len(k)+1),
+                                 i -> substr(k, 1, i-1) || substr(k, i+1, len(k))),
+                  k)) AS var
+         FROM s
+       ),
+       hot AS (SELECT var FROM v0 GROUP BY var HAVING COUNT(*) > 64),
+       v AS (SELECT * FROM v0 WHERE var NOT IN (SELECT var FROM hot)),
+       cand AS (
+         SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.k AS ak, b.k AS bk
+         FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+       )
+       SELECT a_id, b_id, CAST(levenshtein(ak, bk) AS BIGINT) AS dist
+       FROM cand WHERE levenshtein(ak, bk) <= 1""",
+)
+def dedup_fuzzy_incremental(spark, sf_dir):
+    """The persisted-index incremental face of fuzzy-key resolution
+    (operators/dedup.py:fuzzy_key_index / fuzzy_key_pairs_incremental)
+    — the same discipline as the MinHash/embedding/PQ incremental
+    entries: an index built on the corpus (custkey<1200), a new batch
+    (1200–1499) joined against it at O(batch × block), and the
+    DECOMPOSITION contract value-gated — pairs(corpus) ∪
+    incremental(batch, index) must equal the oracle's ONE-SHOT FastSS
+    run over the union, row for row. The incremental side caps blocks
+    over the union universe so the cap can never make ITS half
+    diverge; the base half caps over the corpus — customer-name
+    blocks top out at 10 (digit positions), far under 64, so no cap
+    binds anywhere at gate scope (the cap is a scale valve, not
+    semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    corpus = cust.filter(F.col("c_custkey") < 1200)
+    batch = cust.filter((F.col("c_custkey") >= 1200) & (F.col("c_custkey") < 1500))
+    idx = dedup.fuzzy_key_index(corpus, key_col="c_name", id_col="c_custkey")
+    inc = dedup.fuzzy_key_pairs_incremental(
+        idx, batch, key_col="c_name", id_col="c_custkey"
+    )
+    base = dedup.fuzzy_key_pairs(corpus, key_col="c_name", id_col="c_custkey")
+    return base.unionByName(inc).distinct()
+
+
+@register_extra(
     "graph_triangle_stats",
     f"""WITH pairs AS ({{JACCARD}}),
 e AS (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v

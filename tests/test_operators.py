@@ -3416,3 +3416,35 @@ def test_triangle_stats_hand_computed(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 5)], "src long, dst long")
     rs = graph_ops.triangle_stats(star).collect()[0]
     assert rs.n_triangles == 0 and rs.n_wedges == 6 and rs.transitivity == 0.0
+
+
+def test_fuzzy_incremental_decomposition(spark):
+    """The FastSS decomposition contract on a hand-built corpus: with
+    index(corpus) and a new batch, pairs(corpus) ∪ incremental(batch)
+    must equal the one-shot pairs(corpus ∪ batch) — including
+    batch-internal pairs, batch↔corpus pairs at every edit class, and
+    NO duplicated or direction-flipped rows."""
+    corpus = spark.createDataFrame(
+        [(1, "cat"), (2, "cut"), (5, "dog")], "id long, k string"
+    )
+    batch = spark.createDataFrame(
+        [(3, "cart"), (4, "at"), (6, "dig"), (7, "dig")], "id long, k string"
+    )
+    idx = dedup.fuzzy_key_index(corpus, "k", "id")
+    inc = dedup.fuzzy_key_pairs_incremental(idx, batch, "k", "id")
+    base = dedup.fuzzy_key_pairs(corpus, "k", "id")
+    got = sorted(
+        (r.a_id, r.b_id, r.dist) for r in base.unionByName(inc).distinct().collect()
+    )
+    full = spark.createDataFrame(
+        [(1, "cat"), (2, "cut"), (5, "dog"), (3, "cart"), (4, "at"), (6, "dig"), (7, "dig")],
+        "id long, k string",
+    )
+    want = sorted(
+        (r.a_id, r.b_id, r.dist) for r in dedup.fuzzy_key_pairs(full, "k", "id").collect()
+    )
+    assert got == want
+    # incremental half contains only batch-touching pairs
+    inc_pairs = [(r.a_id, r.b_id) for r in inc.collect()]
+    assert all(a in (3, 4, 6, 7) or b in (3, 4, 6, 7) for a, b in inc_pairs)
+    assert (6, 7) in inc_pairs  # batch-internal exact-dup pair
