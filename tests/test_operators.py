@@ -3448,3 +3448,39 @@ def test_fuzzy_incremental_decomposition(spark):
     inc_pairs = [(r.a_id, r.b_id) for r in inc.collect()]
     assert all(a in (3, 4, 6, 7) or b in (3, 4, 6, 7) for a, b in inc_pairs)
     assert (6, 7) in inc_pairs  # batch-internal exact-dup pair
+
+
+def test_fuzzy_key_pairs_completeness_property(spark):
+    """FastSS completeness property-checked against brute force: 80
+    random keys over a 3-letter alphabet (lengths 1-5, duplicates
+    likely) — the operator's pair set must EQUAL the all-pairs
+    levenshtein<=1 set computed in Python. Small alphabet forces
+    heavy block sharing, the regime where a blocking bug (missed
+    deletion variant, broken canonicalization) actually shows."""
+    import random as _random
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    rnd = _random.Random(42)
+    keys = [
+        (i, "".join(rnd.choice("abc") for _ in range(rnd.randint(1, 5))))
+        for i in range(80)
+    ]
+    want = sorted(
+        (i, j, lev(a, b))
+        for (i, a) in keys
+        for (j, b) in keys
+        if i < j and lev(a, b) <= 1
+    )
+    df = spark.createDataFrame(keys, "id long, k string")
+    got = sorted(
+        (r.a_id, r.b_id, r.dist)
+        for r in dedup.fuzzy_key_pairs(df, "k", "id", max_df=10_000).collect()
+    )
+    assert got == want and len(want) > 50  # the regime is non-trivial
