@@ -317,3 +317,117 @@ def triangle_stats(
             ).alias("transitivity"),
         )
     )
+
+
+def link_scores(
+    edges: DataFrame,
+    top_k: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link prediction over an undirected graph: score the node pairs
+    that are NOT yet connected but share neighbors, by the three
+    classic neighborhood indices —
+
+    - ``cn``  common neighbors |Γ(a) ∩ Γ(b)| (integer),
+    - ``jaccard``  |Γ(a) ∩ Γ(b)| / |Γ(a) ∪ Γ(b)| (one division),
+    - ``ra``  the resource-allocation index
+      Σ_{z ∈ Γ(a)∩Γ(b)} 1/deg(z) (Zhou/Lü/Zhang 2009 — rare shared
+      neighbors weigh more than promiscuous hubs),
+    - ``adamic_adar``  Σ_{z ∈ Γ(a)∩Γ(b)} 1/ln(deg z) (the same idea
+      with a log-damped hub penalty).
+
+    The curation use on the near-dup / citation / trade graphs:
+    predicted links are the pairs a human would CHECK — documents that
+    share many near-dup neighbors without being flagged as dups
+    themselves (a transitivity gap), or entities the link structure
+    says belong together. Returns the ``top_k`` rows as
+    (a, b, cn, deg_a, deg_b, jaccard, ra, adamic_adar) ordered by
+    (cn desc, a, b) — an integer-first ordering both engines replay
+    identically, doubles only in the projection.
+
+    Cross-engine exactness: cn/deg are integers; jaccard is ONE
+    double division rounded to 6; ra folds 1/deg(z) — each term one
+    correctly-rounded IEEE division — in PINNED common-neighbor order
+    (array_sort + left fold — pagerank's discipline; a plain SUM
+    re-associates per partition), so it is BIT-exact cross-engine.
+    adamic_adar is NOT: ln is a transcendental and Java's Math.log
+    disagrees with DuckDB's glibc ln by 1 ulp on ~1% of integer
+    inputs (measured over 2..100000), so the catalog entry gates
+    cn/jaccard/ra and pins adamic_adar in pytest instead. Every
+    common neighbor has deg ≥ 2 by construction — no division by
+    zero in either index.
+
+    Scale shape: one self-join of the adjacency list on the shared
+    neighbor z (the wedge enumeration — output bounded by Σ deg²/2,
+    the same budget triangle_stats pays), one anti-join to drop
+    existing edges, one grouped fold per candidate pair, TakeOrdered
+    for the top-k (no global sort). For power-law graphs cap or
+    pre-bucket mega-hubs first; at catalog scope degrees are
+    dimension-bounded."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = nbrs.groupBy("u").agg(F.count("*").alias("d"))
+    # wedge enumeration: z adjacent to both a and b, emitted once per
+    # unordered pair via a < b
+    za = nbrs.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    zb = nbrs.select(F.col("u").alias("z"), F.col("v").alias("b"))
+    wedges = (
+        za.join(zb, "z")
+        .filter(F.col("a") < F.col("b"))
+        .join(deg.select(F.col("u").alias("z"), F.col("d").alias("dz")), "z")
+    )
+    cand = (
+        wedges.join(
+            e.select(F.col("u").alias("a"), F.col("v").alias("b")),
+            ["a", "b"],
+            "left_anti",
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("cn"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("z", "dz"))),
+                    lambda t: F.lit(1.0) / t["dz"].cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("ra_raw"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("z", "dz"))),
+                    lambda t: F.lit(1.0) / F.log(t["dz"].cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("aa"),
+        )
+    )
+    scored = (
+        cand.join(deg.select(F.col("u").alias("a"), F.col("d").alias("deg_a")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("d").alias("deg_b")), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("ra_raw"), 6).alias("ra"),
+            F.round(F.col("aa"), 6).alias("adamic_adar"),
+        )
+    )
+    return scored.orderBy(F.col("cn").desc(), "a", "b").limit(top_k)

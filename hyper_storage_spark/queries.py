@@ -8770,6 +8770,68 @@ def store_rollup_invalidate(spark, sf_dir):
     )
 
 
+
+_LINK_PRED_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 300 AND b.l_partkey < 300
+),
+nbrs AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT u, COUNT(*) AS d FROM nbrs GROUP BY 1),
+wedges AS (
+  SELECT za.v AS a, zb.v AS b, za.u AS z, dz.d AS dz
+  FROM nbrs za JOIN nbrs zb ON za.u = zb.u AND za.v < zb.v
+  JOIN deg dz ON dz.u = za.u
+),
+cand AS (
+  SELECT w.a, w.b, COUNT(*) AS cn,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_sort(list(struct_pack(z := w.z, dz := w.dz))),
+                          t -> CAST(1 AS DOUBLE) / CAST(t.dz AS DOUBLE))),
+           (acc, x) -> acc + x) AS ra_raw
+  FROM wedges w
+  ANTI JOIN e ON e.u = w.a AND e.v = w.b
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b, c.cn, da.d AS deg_a, db.d AS deg_b,
+       ROUND(CAST(c.cn AS DOUBLE) / CAST(da.d + db.d - c.cn AS DOUBLE), 6) AS jaccard,
+       ROUND(c.ra_raw, 6) AS ra
+FROM cand c JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b
+ORDER BY c.cn DESC, c.a, c.b LIMIT 20
+"""
+
+
+@register_extra("graph_link_prediction", _LINK_PRED_SQL)
+def graph_link_prediction(spark, sf_dir):
+    """Link prediction over the co-purchase graph
+    (operators/graph.py:link_scores): parts are linked when they ship
+    in the same order (partkey < 300 bounds the projection), and the
+    top-20 NOT-yet-linked pairs are ranked by common neighbors with
+    jaccard and resource-allocation scores alongside — the
+    find-what-the-dedup/link-graph-almost-says curation face next to
+    triangle_stats' transitivity gap. cn/deg are integers; jaccard is
+    one rounded division; RA folds 1/deg(z) in pinned common-neighbor
+    order, each term a single correctly-rounded IEEE division, so the
+    hash compare is exact. adamic_adar (ln-damped) stays OUT of the
+    projection: Java Math.log and glibc ln disagree at the ulp on ~1%%
+    of integer inputs (measured), so it is pytest-pinned instead —
+    the documented cross-engine-transcendental rule."""
+    from .operators import graph as graph_ops
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 300)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+    )
+    return graph_ops.link_scores(edges, top_k=20).drop("adamic_adar")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

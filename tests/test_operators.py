@@ -3484,3 +3484,34 @@ def test_fuzzy_key_pairs_completeness_property(spark):
         for r in dedup.fuzzy_key_pairs(df, "k", "id", max_df=10_000).collect()
     )
     assert got == want and len(want) > 50  # the regime is non-trivial
+
+
+def test_link_scores_hand_computed(spark):
+    """Link prediction pinned by hand on the 4-cycle 1-2-3-4-1 with a
+    pendant 5-1: deg = (1:3, 2:2, 3:2, 4:2, 5:1). Predicted pairs
+    (existing edges excluded): (1,3) via {2,4}; (2,4) via {1,3};
+    (2,5)/(4,5) via {1}. (3,5) shares nothing. RA and jaccard are
+    exact rationals here; adamic_adar checked to 6 decimals against
+    math.log (pytest-pinned because ln is engine-specific at the
+    ulp — the catalog entry gates cn/jaccard/ra only)."""
+    import math
+
+    from hyper_storage_spark.operators import graph as graph_ops
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (5, 1)], "src long, dst long"
+    )
+    rows = {(r.a, r.b): r for r in graph_ops.link_scores(e, top_k=10).collect()}
+    assert set(rows) == {(1, 3), (2, 4), (2, 5), (4, 5)}
+    r13 = rows[(1, 3)]
+    assert (r13.cn, r13.deg_a, r13.deg_b) == (2, 3, 2)
+    assert r13.jaccard == round(2 / 3, 6) and r13.ra == round(1 / 2 + 1 / 2, 6)
+    assert r13.adamic_adar == round(1 / math.log(2) + 1 / math.log(2), 6)
+    r24 = rows[(2, 4)]
+    assert (r24.cn, r24.jaccard) == (2, 1.0)
+    assert r24.ra == round(1 / 3 + 1 / 2, 6)
+    assert r24.adamic_adar == round(1 / math.log(3) + 1 / math.log(2), 6)
+    assert rows[(2, 5)].cn == 1 and rows[(2, 5)].ra == round(1 / 3, 6)
+    # ordering is (cn desc, a, b) and top_k truncates deterministically
+    top2 = [(r.a, r.b) for r in graph_ops.link_scores(e, top_k=2).collect()]
+    assert top2 == [(1, 3), (2, 4)]
