@@ -792,3 +792,80 @@ def holt_linear(
         return pd.DataFrame(row)
 
     return series.groupBy(*keys).applyInPandas(fold, out_schema)
+
+
+def holt_winters(
+    series: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    period: int = 7,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE-seasonal smoothing per key: (keys…, n,
+    level, trend, s_next, forecast) after folding the ordered series
+    through the textbook triple recurrence with season length m =
+    ``period``:
+
+        l_t = α·(y_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(y_t − l_t) + (1−γ)·s_{t−m}
+
+    Initialization is the simple deterministic textbook scheme,
+    chosen for exact replayability: the first m observations seed
+    level = their mean (folded LEFT-TO-RIGHT — a plain mean
+    re-associates), trend = 0, and s_i = y_i − level; smoothing then
+    consumes observations m+1…n. The one-step-ahead forecast is
+    level + trend + s_next where s_next is the oldest live seasonal.
+    Keys with fewer than m observations are DROPPED (no seasonal
+    estimate exists); n is the full per-key count.
+
+    Like :func:`holt_linear` this is the documented custom-operator
+    path (applyInPandas; the recurrence is sequential per key, the
+    seasonal RING is O(m) executor state). Outputs ship UNROUNDED —
+    pick α/β/γ with exact binary representations (0.5, 0.25, …) and a
+    recursive-CTE oracle carrying the seasonal ring as a list replays
+    the identical IEEE operation order bit-for-bit.
+    Scale: one shuffle on the keys; per-key state is O(period)."""
+    import pandas as pd
+
+    keys = list(key_cols)
+    m = int(period)
+    if m < 2:
+        raise ValueError(f"holt_winters: period must be >= 2, got {period}")
+    out_schema = ", ".join(
+        [f"{k} {dict(series.dtypes)[k]}" for k in keys]
+        + ["n bigint", "level double", "trend double", "s_next double",
+           "forecast double"]
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_col)
+        ys = [float(y) for y in pdf[value_col]]
+        if len(ys) < m:
+            return pd.DataFrame(
+                {c.split(" ")[0]: [] for c in out_schema.split(", ")}
+            ).astype("object")
+        acc = 0.0
+        for y in ys[:m]:
+            acc = acc + y
+        level = acc / m
+        trend = 0.0
+        seas = [y - level for y in ys[:m]]
+        for y in ys[m:]:
+            s_used = seas[0]
+            prev = level
+            level = alpha * (y - s_used) + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+            s_new = gamma * (y - level) + (1 - gamma) * s_used
+            seas = seas[1:] + [s_new]
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row.update(
+            {"n": [len(ys)], "level": [level], "trend": [trend],
+             "s_next": [seas[0]], "forecast": [level + trend + seas[0]]}
+        )
+        return pd.DataFrame(row)
+
+    return series.groupBy(*keys).applyInPandas(fold, out_schema)

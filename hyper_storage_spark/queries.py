@@ -8832,6 +8832,67 @@ def graph_link_prediction(spark, sf_dir):
     return graph_ops.link_scores(edges, top_k=20).drop("adamic_adar")
 
 
+
+_HOLT_WINTERS_SQL = """
+WITH RECURSIVE base AS (
+  SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+nb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS cnt
+       FROM base),
+init AS (
+  SELECT event_type, cnt,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(y ORDER BY rn) FILTER (rn <= 7)), (a, b) -> a + b) / 7.0 AS l0,
+         list(y ORDER BY rn) FILTER (rn <= 7) AS y7
+  FROM nb WHERE cnt >= 7 GROUP BY event_type, cnt
+),
+hw(event_type, rn, level, trend, seas) AS (
+  SELECT event_type, 7, l0, CAST(0.0 AS DOUBLE),
+         list_transform(y7, y -> y - l0)
+  FROM init
+  UNION ALL
+  SELECT b.event_type, b.rn,
+         0.5 * (b.y - h.seas[1]) + 0.5 * (h.level + h.trend),
+         0.25 * ((0.5 * (b.y - h.seas[1]) + 0.5 * (h.level + h.trend)) - h.level)
+           + 0.75 * h.trend,
+         list_append(h.seas[2:],
+           0.25 * (b.y - (0.5 * (b.y - h.seas[1]) + 0.5 * (h.level + h.trend)))
+             + 0.75 * h.seas[1])
+  FROM hw h JOIN nb b ON b.event_type = h.event_type AND b.rn = h.rn + 1
+)
+SELECT h.event_type, CAST(i.cnt AS BIGINT) AS n, h.level, h.trend,
+       h.seas[1] AS s_next, h.level + h.trend + h.seas[1] AS forecast
+FROM hw h JOIN init i ON h.event_type = i.event_type AND h.rn = i.cnt
+"""
+
+
+@register_extra("ts_holt_winters", _HOLT_WINTERS_SQL)
+def ts_holt_winters(spark, sf_dir):
+    """Holt-Winters ADDITIVE-seasonal smoothing + one-step forecast
+    per event type over the daily value series
+    (operators/timeseries.py:holt_winters, m=7 weekly season) —
+    ts_holt_forecast's big sibling: level AND trend AND a seasonal
+    ring folded sequentially per key on the applyInPandas custom-
+    operator path. α=0.5/β=0.25/γ=0.25 are exact binary fractions and
+    the DuckDB oracle carries the 7-slot seasonal ring as a LIST
+    through the recursive CTE (slice + append per step), replaying
+    the identical IEEE operation order — the unrounded doubles match
+    bit-for-bit, init mean included (left-to-right fold, not a
+    re-associating SUM)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("y"))
+    )
+    return timeseries.holt_winters(
+        daily, ["event_type"], "day", "y",
+        alpha=0.5, beta=0.25, gamma=0.25, period=7,
+    ).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

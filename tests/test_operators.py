@@ -3515,3 +3515,31 @@ def test_link_scores_hand_computed(spark):
     # ordering is (cn desc, a, b) and top_k truncates deterministically
     top2 = [(r.a, r.b) for r in graph_ops.link_scores(e, top_k=2).collect()]
     assert top2 == [(1, 3), (2, 4)]
+
+
+def test_holt_winters_hand_computed(spark):
+    """Holt-Winters additive (m=2, α=β=γ=0.5) pinned by hand on
+    y = [1, 3, 5]: init level=(1+3)/2=2, trend=0, seas=[-1, 1];
+    step y=5: level' = .5·(5−(−1)) + .5·(2+0) = 4,
+    trend' = .5·(4−2) + .5·0 = 1, s_new = .5·(5−4) + .5·(−1) = 0,
+    ring → [1, 0]; forecast = 4 + 1 + 1 = 6. A key with fewer than m
+    rows is dropped; n counts the full series."""
+    from hyper_storage_spark.operators import timeseries as ts_ops
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 3.0), ("a", 3, 5.0), ("b", 1, 9.0)],
+        "k string, t int, y double",
+    )
+    out = {r.k: r for r in ts_ops.holt_winters(
+        df, ["k"], "t", "y", alpha=0.5, beta=0.5, gamma=0.5, period=2
+    ).collect()}
+    assert set(out) == {"a"}
+    r = out["a"]
+    assert (r.n, r.level, r.trend, r.s_next, r.forecast) == (3, 4.0, 1.0, 1.0, 6.0)
+    # a key with exactly m rows: pure init state, forecast = mean + s_1
+    just_m = ts_ops.holt_winters(
+        df.filter("k = 'a' and t <= 2"), ["k"], "t", "y",
+        alpha=0.5, beta=0.5, gamma=0.5, period=2,
+    ).collect()[0]
+    assert (just_m.level, just_m.trend, just_m.s_next) == (2.0, 0.0, -1.0)
+    assert just_m.forecast == 1.0
