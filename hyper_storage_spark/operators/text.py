@@ -615,3 +615,95 @@ def zipf_alpha(
             6,
         ).alias("alpha"),
     )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-feature importance scores for data selection — the
+    Moore-Lewis (2010) cross-entropy-difference selector in its
+    DSIR hashed-unigram form (Xie et al. 2023): every document in
+    ``raw`` is scored by the mean per-token log-likelihood RATIO
+    between a unigram model of the ``target`` domain and one of the
+    raw corpus,
+
+        score(x) = (1/|x|) Σ_t  ln p̂_target(h(t)) − ln p̂_raw(h(t))
+
+    with tokens hashed into ``n_buckets`` buckets (the fixed-size
+    feature space that makes the model corpus-size-independent) and
+    Laplace (+1) smoothing on both sides. High scores read "looks
+    like the target, unlike the average of the corpus" — rank by it
+    and take the head (Moore-Lewis), or resample ∝ exp(score)
+    (DSIR). Returns (id_col, n_tokens, score) for documents with at
+    least one token.
+
+    Cross-engine exactness: the bucket id is the md5-prefix integer
+    mod ``n_buckets`` (the repo's md5-order convention — any engine
+    parsing the same 8 hex digits agrees); per-token log-ratios are
+    cast to DECIMAL(20,10) BEFORE the per-document sum (char_lm's
+    order-independence discipline) and the mean is one IEEE division
+    of the exact decimal sum.
+
+    Scale shape: two bucket-count aggregations whose exchanges are
+    ``n_buckets``-sized (NOT corpus-sized), one broadcast join of the
+    2·n_buckets-row ratio table against the exploded token stream,
+    one per-document sum. The target table is typically a curated
+    sliver — pass a sample; scoring stays one scan either way."""
+    if n_buckets < 2:
+        raise ValueError(f"dsir_scores: n_buckets must be >= 2, got {n_buckets}")
+    b = int(n_buckets)
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        ).select(
+            F.col(id_col),
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint"),
+                F.lit(b),
+            ).alias("bucket"),
+        )
+
+    raw_toks = bucketed(raw)
+    tgt_counts = (
+        bucketed(target).groupBy("bucket").agg(F.count("*").alias("ct"))
+    )
+    raw_counts = raw_toks.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt_total = tgt_counts.agg(F.sum("ct").alias("tt"))
+    raw_total = raw_counts.agg(F.sum("cr").alias("rt"))
+    # full bucket table (buckets absent from a side smooth to +1 mass)
+    ratios = (
+        raw_counts.join(tgt_counts, "bucket", "full")
+        .crossJoin(F.broadcast(tgt_total))
+        .crossJoin(F.broadcast(raw_total))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("tt") + F.lit(b)).cast("double")
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("rt") + F.lit(b)).cast("double")
+                )
+            )
+            .cast("decimal(20,10)")
+            .alias("lr"),
+        )
+    )
+    scored = (
+        raw_toks.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("lr").alias("sum_lr"))
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        (F.col("sum_lr").cast("double") / F.col("n_tokens")).alias("score"),
+    )

@@ -8893,6 +8893,52 @@ def ts_holt_winters(spark, sf_dir):
     ).orderBy("event_type")
 
 
+
+_DSIR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+), toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+rb AS (SELECT doc_id, CAST(('0x' || substring(md5(term),1,8)) AS UBIGINT) % 1024 AS bucket FROM toks2),
+tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+tb AS (SELECT bucket FROM rb WHERE doc_id IN (SELECT doc_id FROM tgt)),
+tc AS (SELECT bucket, COUNT(*) AS ct FROM tb GROUP BY 1),
+rc AS (SELECT bucket, COUNT(*) AS cr FROM rb GROUP BY 1),
+tt AS (SELECT SUM(ct) AS tt FROM tc), rt AS (SELECT SUM(cr) AS rt FROM rc),
+ratios AS (
+  SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+         CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE))
+            - ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE) / CAST(rt + 1024 AS DOUBLE))
+            AS DECIMAL(20,10)) AS lr
+  FROM rc FULL JOIN tc ON rc.bucket = tc.bucket CROSS JOIN tt CROSS JOIN rt
+),
+scored AS (
+  SELECT rb.doc_id, COUNT(*) AS n_tokens, SUM(lr) AS sum_lr
+  FROM rb JOIN ratios USING (bucket) GROUP BY 1
+)
+SELECT doc_id, n_tokens, CAST(sum_lr AS DOUBLE) / n_tokens AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 200
+"""
+
+
+@register_extra("text_dsir_select", _DSIR_SQL)
+def text_dsir_select(spark, sf_dir):
+    """Domain-targeted data selection (operators/text.py:dsir_scores):
+    the Moore-Lewis cross-entropy-difference selector in its DSIR
+    hashed-unigram form — every document scored by the mean per-token
+    log-likelihood ratio between a 1024-bucket hashed unigram model
+    of the TARGET domain (the English slice here) and one of the raw
+    corpus, head-200 selected by (score desc, doc_id). The feature
+    exchanges are bucket-count-sized, the ratio table broadcasts, and
+    the ordering is cross-engine total: md5-prefix buckets, per-token
+    log-ratios quantized to DECIMAL(20,10) before the order-
+    independent sum (char_lm's discipline), one IEEE division per
+    doc. The oracle replays tokenization, hashing, smoothing, and the
+    selection end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text.dsir_scores(docs, docs.filter(F.col("lang") == "en"), n_buckets=1024)
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

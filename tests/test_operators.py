@@ -3543,3 +3543,33 @@ def test_holt_winters_hand_computed(spark):
     ).collect()[0]
     assert (just_m.level, just_m.trend, just_m.s_next) == (2.0, 0.0, -1.0)
     assert just_m.forecast == 1.0
+
+
+def test_dsir_scores_orders_by_target_likeness(spark):
+    """DSIR/Moore-Lewis hashed importance scores: a document made of
+    target-domain tokens must outscore one made of tokens the target
+    never uses; a mixed document lands between. Zero-token documents
+    are dropped, n_tokens is the real count, and the validation gate
+    rejects a degenerate bucket space."""
+    import pytest
+
+    from hyper_storage_spark.operators import text as T
+
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta"),
+            (2, "gamma delta gamma"),
+            (3, "alpha gamma"),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "alpha beta alpha beta")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in T.dsir_scores(raw, target, n_buckets=64).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 3 and out[3].n_tokens == 2
+    assert out[1].score > out[3].score > out[2].score
+    with pytest.raises(ValueError):
+        T.dsir_scores(raw, target, n_buckets=1)
