@@ -8939,6 +8939,72 @@ def text_dsir_select(spark, sf_dir):
     return scored.orderBy(F.col("score").desc(), "doc_id").limit(200)
 
 
+
+_BPE_SQL = r"""
+WITH RECURSIVE words0 AS (
+  SELECT term AS w, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+  ) WHERE term <> '' GROUP BY 1
+),
+bpe(it, w, cnt, s, ba, bb, bc) AS (
+  SELECT 0, w, cnt,
+         chr(31) || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i:i]), chr(31)),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+  FROM words0
+  UNION ALL
+  SELECT it + 1, w, cnt,
+         replace(s, chr(31) || best.a || chr(31) || best.b, chr(31) || best.a || best.b),
+         best.a, best.b, -best.nc
+  FROM (
+    SELECT it, w, cnt, s, MIN(best1) OVER () AS best
+    FROM (
+      SELECT it, w, cnt, s,
+             CASE WHEN pr.list_2 IS NOT NULL
+                  THEN struct_pack(
+                    nc := -SUM(cnt) OVER (PARTITION BY pr.list_1, pr.list_2),
+                    a := pr.list_1, b := pr.list_2) END AS best1
+      FROM (
+        SELECT it, w, cnt, s,
+               unnest(list_concat(
+                 list_zip(syms, syms[2:]),
+                 [CAST(NULL AS STRUCT(list_1 VARCHAR, list_2 VARCHAR))])) AS pr
+        FROM (SELECT it, w, cnt, s, string_split(s[2:], chr(31)) AS syms
+              FROM bpe WHERE it < 20)
+      )
+    )
+    GROUP BY it, w, cnt, s, best1
+  )
+  WHERE best IS NOT NULL AND best.nc <= -2
+  GROUP BY it, w, cnt, s, best
+)
+SELECT DISTINCT it AS rank, ba AS left_sym, bb AS right_sym, ba || bb AS merged, bc AS pair_count
+FROM bpe WHERE it > 0
+"""
+
+
+@register_extra("text_bpe_merges", _BPE_SQL)
+def text_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (operators/bpe.py:bpe_train,
+    20 merges, min count 2): the learn-the-tokenizer step of an LLM
+    pipeline, run on the corpus's WORD-FREQUENCY table so every round
+    is vocabulary-sized regardless of corpus size — one pair-count
+    aggregation, one TakeOrdered argmax with a (count desc, pair lex)
+    tie-break, one JVM array-fold applying the merge greedily
+    left-to-right. All-integer decisions: any engine replays training
+    bit-identically, and the oracle replays the ENTIRE loop as a
+    recursive CTE — each word's symbols ride as a chr(31)-prefixed
+    string where SQL replace() IS the greedy non-overlapping merge,
+    and the per-round argmax is a windowed min-struct over the
+    exploded pair stream. Differentially pinned against a pure-Python
+    Sennrich reference in pytest (training AND the encode-reproduces-
+    final-state invariant)."""
+    from .operators import bpe
+
+    return bpe.bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=20, min_count=2
+    ).orderBy("rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

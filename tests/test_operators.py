@@ -3573,3 +3573,94 @@ def test_dsir_scores_orders_by_target_likeness(spark):
     assert out[1].score > out[3].score > out[2].score
     with pytest.raises(ValueError):
         T.dsir_scores(raw, target, n_buckets=1)
+
+
+def _bpe_reference(word_counts, n_merges, min_count=2):
+    """Pure-Python Sennrich BPE over a word-frequency dict — the
+    differential reference for the distributed trainer."""
+    from collections import Counter
+
+    vocab = {w: (c, list(w)) for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, (cnt, syms) in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += cnt
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < min_count:
+            break
+        merges.append((rank, a, b, a + b, c))
+        for w, (cnt, syms) in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = (cnt, out)
+    return merges, {w: syms for w, (c, syms) in vocab.items()}
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Distributed BPE training == the pure-Python Sennrich reference
+    on the same word counts: merge-for-merge including ranks, pair
+    counts, the (count desc, lex) tie-break, and the min_count stop;
+    overlapping runs merge greedily left-to-right ("aaaa" -> aa+aa)."""
+    from hyper_storage_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lower newest newest newest"),
+            (2, "newest widest widest aaaa aaaa aaaa"),
+            (3, "low newest   "),
+        ],
+        "doc_id long, text string",
+    )
+    counts = {}
+    for _, txt in docs.collect():
+        for w in txt.split():
+            counts[w] = counts.get(w, 0) + 1
+    ref_merges, ref_state = _bpe_reference(counts, 12)
+    merges_df, state = bpe.bpe_train(docs, n_merges=12, with_state=True)
+    got = [
+        (r.rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    assert got == ref_merges
+    assert {r.w: list(r.syms) for r in state.collect()} == ref_state
+
+
+def test_bpe_encode_reproduces_training_state(spark):
+    """Encoding the training corpus with the learned table reproduces
+    the final training state word-for-word (the Sennrich invariant:
+    train and encode apply the identical greedy merge), the encoded
+    stream is lossless (concat == original words), and validation
+    rejects degenerate parameters."""
+    import pytest
+
+    from hyper_storage_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana ban"), (2, "banana banana cabana"), (3, "")],
+        "doc_id long, text string",
+    )
+    merges_df, state = bpe.bpe_train(docs, n_merges=8, with_state=True)
+    state_map = {r.w: list(r.syms) for r in state.collect()}
+    words = sorted(state_map)
+    wdf = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    enc = {r.doc_id: r for r in bpe.bpe_encode(wdf, merges_df).collect()}
+    for i, w in enumerate(words):
+        assert list(enc[i].tokens) == state_map[w]
+        assert "".join(enc[i].tokens) == w
+        assert enc[i].n_words == 1
+    empty = {r.doc_id: r for r in bpe.bpe_encode(docs, merges_df).collect()}[3]
+    assert empty.n_words == 0 and empty.n_bpe_tokens == 0 and list(empty.tokens) == []
+    with pytest.raises(ValueError):
+        bpe.bpe_train(docs, n_merges=0)
+    with pytest.raises(ValueError):
+        bpe.bpe_train(docs, min_count=0)
