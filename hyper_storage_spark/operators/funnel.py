@@ -180,3 +180,139 @@ def transition_matrix(
         "n",
         F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_seconds: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-model marketing attribution: for every CONVERSION event,
+    find the user's TOUCH events inside the ``lookback_seconds``
+    window ending at the conversion and credit each touch channel
+    (the touch's event type) under three standard models at once —
+
+    - ``first_touch``  conversions whose EARLIEST in-window touch was
+      this channel,
+    - ``last_touch``   conversions whose LATEST in-window touch was
+      this channel,
+    - ``linear``       fractional credit 1/n per in-window touch.
+
+    Conversions with NO in-window touch are credited to the
+    ``(direct)`` channel in every model, so each model's column sums
+    to the total conversion count (the conservation invariant the
+    pytest pins). Returns one row per channel:
+    (channel, first_touch, last_touch, linear).
+
+    Spark-first shape: NO self-join — one RANGE window per user
+    ordered by epoch MICROseconds (full timestamp precision, the
+    q_sessionization convention) carries the whole lookback (touches
+    enter min/max-struct and collect_list aggregates; non-touch rows
+    contribute NULLs, which every engine's min/max/collect skip), so
+    the cost is one shuffle on the user key regardless of window
+    width. first/last inside the frame are struct-min/max with the
+    unique event id as tie-break — deterministic even for same-second
+    touches. The linear credits are folded per channel in PINNED
+    (conversion id) order, each term one correctly-rounded IEEE
+    division — pagerank's bit-exact fold discipline.
+
+    Scale: one user-key shuffle + one channel-sized aggregation; the
+    per-conversion frame list is bounded by the lookback window."""
+    if conversion_type in touch_types:
+        raise ValueError("attribution: conversion_type cannot be a touch type")
+    if lookback_seconds <= 0:
+        raise ValueError(
+            f"attribution: lookback_seconds must be > 0, got {lookback_seconds}"
+        )
+    from pyspark.sql import Window
+
+    # NTZ → TIMESTAMP under the engine's pinned UTC session zone
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    touch_ch = F.when(F.col(type_col).isin(list(touch_types)), F.col(type_col))
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("etype"),
+        epoch.alias("ep"),
+        touch_ch.alias("tch"),
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("ep")
+        .rangeBetween(-int(lookback_seconds) * 1_000_000, 0)
+    )
+    tstruct = F.when(
+        F.col("tch").isNotNull(), F.struct("ep", "eid", F.col("tch").alias("ch"))
+    )
+    convs = (
+        base.withColumn("ft", F.min(tstruct).over(w))
+        .withColumn("lt", F.max(tstruct).over(w))
+        .withColumn("chs", F.filter(F.collect_list("tch").over(w), lambda x: x.isNotNull()))
+        .filter(F.col("etype") == conversion_type)
+        .select(
+            "eid",
+            F.coalesce(F.col("ft")["ch"], F.lit("(direct)")).alias("first_ch"),
+            F.coalesce(F.col("lt")["ch"], F.lit("(direct)")).alias("last_ch"),
+            F.col("chs"),
+        )
+    )
+    # per-conversion channel multiplicities: (channel, cnt, n) triples;
+    # an untouched conversion credits ("(direct)", 1, 1)
+    credit = convs.select(
+        "eid",
+        F.explode(
+            F.when(
+                F.size("chs") == 0,
+                F.array(
+                    F.struct(
+                        F.lit("(direct)").alias("ch"),
+                        F.lit(1).cast("int").alias("cnt"),
+                        F.lit(1).cast("int").alias("n"),
+                    )
+                ),
+            ).otherwise(
+                F.transform(
+                    F.array_distinct("chs"),
+                    lambda c: F.struct(
+                        c.alias("ch"),
+                        F.size(F.filter(F.col("chs"), lambda y: y == c)).alias("cnt"),
+                        F.size("chs").alias("n"),
+                    ),
+                )
+            )
+        ).alias("t"),
+    )
+    linear = (
+        credit.groupBy(F.col("t.ch").alias("channel"))
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("eid", "t.cnt", "t.n"))),
+                    lambda s: s["cnt"].cast("double") / s["n"].cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("linear")
+        )
+    )
+    firsts = convs.groupBy(F.col("first_ch").alias("channel")).agg(
+        F.count("*").alias("first_touch")
+    )
+    lasts = convs.groupBy(F.col("last_ch").alias("channel")).agg(
+        F.count("*").alias("last_touch")
+    )
+    return (
+        firsts.join(lasts, "channel", "full")
+        .join(linear, "channel", "full")
+        .select(
+            "channel",
+            F.coalesce(F.col("first_touch"), F.lit(0)).alias("first_touch"),
+            F.coalesce(F.col("last_touch"), F.lit(0)).alias("last_touch"),
+            F.round(F.coalesce(F.col("linear"), F.lit(0.0)), 6).alias("linear"),
+        )
+    )

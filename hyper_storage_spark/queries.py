@@ -9005,6 +9005,82 @@ def text_bpe_merges(spark, sf_dir):
     ).orderBy("rank")
 
 
+
+_ATTRIBUTION_SQL = """
+WITH base AS (
+  SELECT user_id AS u, event_id AS eid, event_type AS etype,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ep,
+         CASE WHEN event_type IN ('click','view') THEN event_type END AS tch
+  FROM events
+),
+win AS (
+  SELECT u, eid, etype,
+         MIN(CASE WHEN tch IS NOT NULL THEN struct_pack(ep := ep, eid := eid, ch := tch) END)
+           OVER w AS ft,
+         MAX(CASE WHEN tch IS NOT NULL THEN struct_pack(ep := ep, eid := eid, ch := tch) END)
+           OVER w AS lt,
+         list_filter(list(tch) OVER w, x -> x IS NOT NULL) AS chs
+  FROM base
+  WINDOW w AS (PARTITION BY u ORDER BY ep RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)
+),
+convs AS (
+  SELECT eid, COALESCE(ft.ch, '(direct)') AS first_ch,
+         COALESCE(lt.ch, '(direct)') AS last_ch, chs
+  FROM win WHERE etype = 'purchase'
+),
+credit AS (
+  SELECT eid, t.ch AS ch, t.cnt AS cnt, t.n AS n
+  FROM (
+    SELECT eid, unnest(CASE WHEN len(chs) = 0
+      THEN [struct_pack(ch := '(direct)', cnt := 1, n := 1)]
+      ELSE list_transform(list_distinct(chs),
+             c -> struct_pack(ch := c,
+                              cnt := CAST(len(list_filter(chs, y -> y = c)) AS INT),
+                              n := CAST(len(chs) AS INT))) END) AS t
+    FROM convs
+  )
+),
+lin AS (
+  SELECT ch AS channel,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_sort(list(struct_pack(eid := eid, cnt := cnt, n := n))),
+                          s -> CAST(s.cnt AS DOUBLE) / CAST(s.n AS DOUBLE))),
+           (a, b) -> a + b) AS linear
+  FROM credit GROUP BY 1
+),
+f AS (SELECT first_ch AS channel, COUNT(*) AS first_touch FROM convs GROUP BY 1),
+l AS (SELECT last_ch AS channel, COUNT(*) AS last_touch FROM convs GROUP BY 1)
+SELECT COALESCE(f.channel, l.channel, lin.channel) AS channel,
+       CAST(COALESCE(first_touch, 0) AS BIGINT) AS first_touch,
+       CAST(COALESCE(last_touch, 0) AS BIGINT) AS last_touch,
+       ROUND(COALESCE(linear, 0.0), 6) AS linear
+FROM f FULL JOIN l ON f.channel = l.channel
+       FULL JOIN lin ON COALESCE(f.channel, l.channel) = lin.channel
+"""
+
+
+@register_extra("q_attribution_models", _ATTRIBUTION_SQL)
+def q_attribution_models(spark, sf_dir):
+    """Multi-model marketing attribution
+    (operators/funnel.py:attribution): every purchase credits its
+    user's click/view touches inside a 3-day lookback under first-
+    touch, last-touch, and linear models simultaneously; untouched
+    conversions credit "(direct)", so every model column sums to the
+    conversion count (the conservation invariant the pytest pins).
+    NO self-join: one RANGE window per user over epoch MICROseconds
+    carries the lookback; first/last are struct-min/max with the
+    unique event id as tie-break, and linear credits fold per channel
+    in pinned conversion-id order (one correctly-rounded IEEE
+    division per term) — bit-exact cross-engine, the full window +
+    fold replayed in the oracle."""
+    return funnel.attribution(
+        _t(spark, sf_dir, "events"),
+        "purchase",
+        ["click", "view"],
+        lookback_seconds=3 * 86400,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -3664,3 +3664,49 @@ def test_bpe_encode_reproduces_training_state(spark):
         bpe.bpe_train(docs, n_merges=0)
     with pytest.raises(ValueError):
         bpe.bpe_train(docs, min_count=0)
+
+
+def test_attribution_hand_computed(spark):
+    """Attribution pinned by hand. User 1: click(t1), view(t2),
+    purchase(t3) all within the lookback -> first=click, last=view,
+    linear click 0.5 / view 0.5. User 2: a click OUTSIDE the lookback
+    then purchase -> all three models credit (direct). User 3: two
+    clicks then purchase -> first=last=click, linear click 1.0.
+    Every model column sums to the 3 conversions; validation rejects
+    a conversion type that is also a touch type."""
+    import datetime as dt
+
+    import pytest
+
+    from hyper_storage_spark.operators import funnel as fn
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        (1, 1, "click", s(0)),
+        (2, 1, "view", s(50)),
+        (3, 1, "purchase", s(100)),
+        (4, 2, "click", s(0)),
+        (5, 2, "purchase", s(5000)),
+        (6, 3, "click", s(0)),
+        (7, 3, "click", s(10)),
+        (8, 3, "purchase", s(20)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r.channel: r for r in fn.attribution(
+        ev, "purchase", ["click", "view"], lookback_seconds=1000
+    ).collect()}
+    assert set(out) == {"click", "view", "(direct)"}
+    assert (out["click"].first_touch, out["click"].last_touch) == (2, 1)
+    assert (out["view"].first_touch, out["view"].last_touch) == (0, 1)
+    assert (out["(direct)"].first_touch, out["(direct)"].last_touch) == (1, 1)
+    assert out["click"].linear == 1.5 and out["view"].linear == 0.5
+    assert out["(direct)"].linear == 1.0
+    for col in ("first_touch", "last_touch", "linear"):
+        assert sum(getattr(r, col) for r in out.values()) == 3
+    with pytest.raises(ValueError):
+        fn.attribution(ev, "purchase", ["purchase", "view"], 1000)
+    with pytest.raises(ValueError):
+        fn.attribution(ev, "purchase", ["view"], 0)
