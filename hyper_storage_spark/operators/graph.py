@@ -431,3 +431,56 @@ def link_scores(
         )
     )
     return scored.orderBy(F.col("cn").desc(), "a", "b").limit(top_k)
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """The k-CORE of an undirected graph: the maximal subgraph where
+    every node keeps degree ≥ k, found by the classic peel — delete
+    all nodes of degree < k, recompute, repeat to fixpoint. Returns
+    (node, degree) with degree measured INSIDE the core. The dedup /
+    link-graph use: the k-core is the noise-robust "dense heart" of a
+    near-dup or interaction graph (cores survive spurious-edge
+    deletion that cuts chains apart), the standard precursor to
+    community mining and influence seeding.
+
+    Determinism is structural: the k-core is UNIQUE (the peel order
+    never changes the fixpoint), and everything is integer counting.
+    An empty core returns an empty frame (the peel's last non-empty
+    intermediate state is NOT the core — the fixpoint guard matters,
+    and the pytest pins it).
+
+    Scale shape: each round is one degree aggregation + two left-anti
+    joins on the node key, lineage truncated per round
+    (localCheckpoint, pagerank's discipline); rounds are bounded by
+    the peel depth (tiny for power-law graphs — most mass peels in
+    the first rounds). The driver holds one boolean per round. For
+    adversarial long-chain graphs prefer batching all degrees < k per
+    round (this does) over one-node-at-a-time peeling."""
+    if k < 1:
+        raise ValueError(f"kcore: k must be >= 1, got {k}")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint()
+    while True:
+        deg = sym.groupBy("u").agg(F.count("*").alias("degree"))
+        low = deg.filter(F.col("degree") < k).select("u").localCheckpoint()
+        if low.isEmpty():
+            return deg.select(F.col("u").alias("node"), "degree")
+        sym = (
+            sym.join(low, "u", "left_anti")
+            .join(low.select(F.col("u").alias("v")), "v", "left_anti")
+            .localCheckpoint()
+        )
+        if sym.isEmpty():
+            return deg.select(F.col("u").alias("node"), "degree").limit(0)

@@ -9081,6 +9081,67 @@ def q_attribution_models(spark, sf_dir):
     )
 
 
+
+_KCORE_SQL = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey < 300 AND b.l_partkey < 300
+),
+sym0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+peel(it, u, v) AS (
+  SELECT 0, u, v FROM sym0
+  UNION ALL
+  SELECT it + 1, u, v FROM (
+    SELECT p.it, p.u, p.v,
+           COUNT(*) OVER (PARTITION BY p.it, p.u) AS du,
+           COUNT(*) OVER (PARTITION BY p.it, p.v) AS dv,
+           MIN(cnt_low) OVER (PARTITION BY p.it) AS any_low
+    FROM (
+      SELECT it, u, v,
+             CASE WHEN MIN(c) OVER (PARTITION BY it) < 8 THEN 1 ELSE 0 END AS cnt_low
+      FROM (SELECT it, u, v, COUNT(*) OVER (PARTITION BY it, u) AS c
+            FROM peel WHERE it < 60)
+    ) p
+  ) WHERE du >= 8 AND dv >= 8 AND any_low = 1
+),
+last AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM peel WHERE it = (SELECT MAX(it) FROM peel)
+  GROUP BY u
+)
+SELECT node, degree FROM last
+WHERE (SELECT MIN(degree) FROM last) >= 8
+"""
+
+
+@register_extra("graph_kcore", _KCORE_SQL)
+def graph_kcore(spark, sf_dir):
+    """The 8-core of the co-purchase graph
+    (operators/graph.py:kcore): iterative degree-peel to the unique
+    fixpoint, (node, in-core degree) — the noise-robust dense heart
+    of a link/near-dup graph, completing the graph family next to
+    link prediction and the triangle census. Pure integer counting
+    (the k-core is order-independent, so no tie-break is even
+    needed); the oracle replays the peel as a recursive CTE whose
+    per-iteration windowed degree test mirrors the batch-peel rounds,
+    INCLUDING the empty-core fixpoint guard (an exhausted peel's last
+    non-empty state is not a core — pytest-pinned)."""
+    from .operators import graph as graph_ops
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 300)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+    )
+    return graph_ops.kcore(edges, k=8).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

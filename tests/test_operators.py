@@ -3710,3 +3710,25 @@ def test_attribution_hand_computed(spark):
         fn.attribution(ev, "purchase", ["purchase", "view"], 1000)
     with pytest.raises(ValueError):
         fn.attribution(ev, "purchase", ["view"], 0)
+
+
+def test_kcore_hand_computed(spark):
+    """k-core pinned by hand: triangle {1,2,3} with pendant 3-4 — the
+    2-core is exactly the triangle with degrees 2; the path 5-6-7
+    has an EMPTY 2-core (the fixpoint guard: the peel's last
+    non-empty state is not a core); k=1 keeps every non-isolated
+    node; validation rejects k < 1."""
+    import pytest
+
+    from hyper_storage_spark.operators import graph as graph_ops
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    core = {r.node: r.degree for r in graph_ops.kcore(e, k=2).collect()}
+    assert core == {1: 2, 2: 2, 3: 2}
+    path = spark.createDataFrame([(5, 6), (6, 7)], "src long, dst long")
+    assert graph_ops.kcore(path, k=2).count() == 0
+    assert {r.node for r in graph_ops.kcore(path, k=1).collect()} == {5, 6, 7}
+    with pytest.raises(ValueError):
+        graph_ops.kcore(e, k=0)
