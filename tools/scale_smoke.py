@@ -329,6 +329,49 @@ def store_rollup_modes(n_items: int = 5000) -> None:
     print(f"# refresh after feed truncation: mode={mode} wall={_t.time() - t0:.2f}s")
 
 
+def bpe_vocab_bound(replicas=(1, 4, 16)) -> None:
+    """BPE training's scale claim is that rounds are VOCABULARY-sized,
+    not corpus-sized: replicating the corpus N× multiplies token
+    counts but barely moves the distinct-word table, so 20-merge
+    training wall should grow far sublinearly in corpus size (the
+    pair-count exchange and the argmax are unchanged; only the first
+    word-count scan sees more rows). An implementation that counted
+    pairs over the raw token stream would read ~linear instead."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import bpe
+    from hyper_storage_spark.operators._caches import release_tracked_caches
+    from hyper_storage_spark.session import get_spark
+    from hyper_storage_spark.sources.tables import load_table
+
+    spark = get_spark("scale_smoke_bpe")
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    base = None
+    for r in replicas:
+        big = docs
+        for i in range(1, r):
+            big = big.unionByName(
+                docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            )
+        n = big.count()
+        vocab = (
+            big.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+            .filter(F.col("w") != "")
+            .select("w")
+            .distinct()
+            .count()
+        )
+        t0 = time.time()
+        merges = bpe.bpe_train(big, n_merges=20)
+        k = merges.count()
+        wall = time.time() - t0
+        g = "" if base is None else f" growth={wall / base:.2f}x"
+        base = base or wall
+        print(f"# bpe docs={n} vocab={vocab}: merges={k} wall={wall:.2f}s{g}")
+        release_tracked_caches()
+    print("# bpe smoke done")
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "storerollup":
         store_rollup_modes(int(sys.argv[2]) if len(sys.argv) > 2 else 5000)
@@ -344,6 +387,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ivfpq":
         ivfpq_century(
             tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (1, 10, 100)
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bpe":
+        bpe_vocab_bound(
+            tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (1, 4, 16)
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "span":
