@@ -707,3 +707,72 @@ def dsir_scores(
         "n_tokens",
         (F.col("sum_lr").cast("double") / F.col("n_tokens")).alias("score"),
     )
+
+
+def quality_train(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    n_features: int = 4096,
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+):
+    """Train a fastText-style quality classifier — the model-based
+    corpus-filtering step (CCNet's fastText filter, FineWeb-Edu's
+    classifier distilled from LLM labels, done Spark-first): tokens →
+    hashed bag-of-words (``n_features`` murmur buckets, the fixed-size
+    feature space that makes the model corpus-size-independent) →
+    L2-regularized logistic regression (pyspark.ml LBFGS — gradient
+    partials are executor-side treeAggregate; the driver holds one
+    d-dimensional coefficient vector). ``label_col`` is a 0/1 double —
+    typically WEAK labels (a heuristic, a teacher model's verdicts on
+    a sample). Returns the fitted pyspark.ml model; score held-out
+    corpora with :func:`quality_score` and gate on
+    profiling.auc_binary.
+
+    Scale: training cost is one tokenize+hash scan per LBFGS pass
+    over the TRAINING slice (typically a sample, not the corpus);
+    scoring any corpus is one scan + a broadcast coefficient dot."""
+    if n_features < 2:
+        raise ValueError(f"quality_train: n_features must be >= 2, got {n_features}")
+    if max_iter < 1:
+        raise ValueError(f"quality_train: max_iter must be >= 1, got {max_iter}")
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    tf = HashingTF(
+        inputCol="__toks", outputCol="__features", numFeatures=int(n_features)
+    )
+    feats = tf.transform(docs.withColumn("__toks", tokens_col(F.col(text_col))))
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol=label_col,
+        maxIter=int(max_iter),
+        regParam=float(reg_param),
+        standardization=False,
+    )
+    return lr.fit(feats)
+
+
+def quality_score(
+    docs: DataFrame,
+    model,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score a corpus with a :func:`quality_train` model: the input
+    rows plus ``quality_p`` = P(label=1). One tokenize+hash scan and
+    a broadcast coefficient dot per row — no shuffle."""
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    tf = HashingTF(
+        inputCol="__toks",
+        outputCol="__features",
+        numFeatures=model.numFeatures,
+    )
+    feats = tf.transform(docs.withColumn("__toks", tokens_col(F.col(text_col))))
+    return (
+        model.transform(feats)
+        .withColumn("quality_p", F.element_at(vector_to_array("probability"), 2))
+        .drop("__toks", "__features", "rawPrediction", "probability", "prediction")
+    )

@@ -9142,6 +9142,67 @@ def graph_kcore(spark, sf_dir):
     return graph_ops.kcore(edges, k=8).orderBy("node")
 
 
+
+@register_extra(
+    "text_quality_model_contract",
+    """SELECT CAST(COUNT(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS n_train,
+              CAST(COUNT(*) FILTER (doc_id % 2 = 1) AS BIGINT) AS n_test,
+              true AS auc_ok, true AS scores_in_unit_interval,
+              true AS both_classes_held_out
+       FROM documents""",
+)
+def text_quality_model_contract(spark, sf_dir):
+    """Model-based corpus filtering with a held-out quality gate
+    (operators/text.py:quality_train/quality_score — the CCNet/
+    FineWeb classifier-filter step): a fastText-style hashed-BoW
+    logistic regression is trained on the even-doc_id half against a
+    WEAK content label (≥3 occurrences of the token "slow" — the
+    heuristic-teacher pattern; the synthetic corpus's lang/source
+    metadata is deliberately textless, measured AUC 0.51, so a
+    metadata label would gate nothing) and must rank the UNSEEN odd
+    half at exact Mann-Whitney AUC > 0.95 (profiling.auc_binary,
+    all-integer until one division), with every score inside (0,1)
+    and both classes present held-out. Training is executor-side
+    LBFGS over hashed features; scoring is one broadcast-coefficient
+    scan. Booleans gate the contract because LBFGS float partials are
+    legitimately ulp-unstable across engines — the integers (split
+    sizes) are exact."""
+    from .operators import profiling
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens_col(F.col("text"))
+    labeled = docs.withColumn(
+        "label",
+        (F.size(F.filter(toks, lambda t: t == "slow")) >= 3).cast("double"),
+    )
+    train = labeled.filter(F.col("doc_id") % 2 == 0)
+    test = labeled.filter(F.col("doc_id") % 2 == 1)
+    model = text.quality_train(train, "label")
+    scored = text.quality_score(test, model).select("doc_id", "label", "quality_p")
+    auc_row = profiling.auc_binary(scored, "quality_p", "label")
+    bounds = scored.agg(
+        F.min("quality_p").alias("mn"),
+        F.max("quality_p").alias("mx"),
+        F.sum(F.col("label")).alias("pos"),
+        F.count("*").alias("n"),
+    )
+    n_train = train.count()
+    return (
+        auc_row.crossJoin(F.broadcast(bounds))
+        .select(
+            F.lit(n_train).cast("long").alias("n_train"),
+            F.col("n").cast("long").alias("n_test"),
+            (F.col("auc") > 0.95).alias("auc_ok"),
+            ((F.col("mn") > 0.0) & (F.col("mx") < 1.0)).alias(
+                "scores_in_unit_interval"
+            ),
+            ((F.col("pos") > 0) & (F.col("pos") < F.col("n"))).alias(
+                "both_classes_held_out"
+            ),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

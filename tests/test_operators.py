@@ -3732,3 +3732,33 @@ def test_kcore_hand_computed(spark):
     assert {r.node for r in graph_ops.kcore(path, k=1).collect()} == {5, 6, 7}
     with pytest.raises(ValueError):
         graph_ops.kcore(e, k=0)
+
+
+def test_quality_classifier_separates_constructed_corpus(spark):
+    """The hashed-LR quality model must perfectly rank a corpus built
+    from two disjoint token distributions (train on half, AUC == 1.0
+    on the unseen half), scores must live strictly inside (0,1), and
+    validation rejects degenerate hyperparameters."""
+    import pytest
+
+    from hyper_storage_spark.operators import profiling
+    from hyper_storage_spark.operators import text as T
+
+    rows = []
+    for i in range(60):
+        good = i % 2 == 0
+        words = ("useful insight clear " if good else "spam junk noise ") * 5
+        rows.append((i, words.strip(), float(good)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    train = docs.filter(F.col("doc_id") % 4 < 2)
+    test = docs.filter(F.col("doc_id") % 4 >= 2)
+    model = T.quality_train(train, "label", n_features=256, max_iter=20)
+    scored = T.quality_score(test, model)
+    r = profiling.auc_binary(scored, "quality_p", "label").collect()[0]
+    assert r.auc == 1.0 and r.n_pos > 0 and r.n_neg > 0
+    b = scored.agg(F.min("quality_p"), F.max("quality_p")).collect()[0]
+    assert 0.0 < b[0] and b[1] < 1.0
+    with pytest.raises(ValueError):
+        T.quality_train(train, "label", n_features=1)
+    with pytest.raises(ValueError):
+        T.quality_train(train, "label", max_iter=0)
