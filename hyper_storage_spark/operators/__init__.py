@@ -26,6 +26,12 @@ expressed as DataFrame transformations (JVM-side, shuffle-aware):
   parquet data skipping.
 - :mod:`export` — sharded, order-preserving training-data writes
   with a verifiable manifest (counts, order bounds, id checksums).
+- :mod:`graph` — PageRank (uniform/personalized/weighted), label
+  propagation, triangle census, link prediction, k-core.
+- :mod:`bpe` — distributed BPE tokenizer training (vocabulary-sized
+  rounds at any corpus size) and Arrow-batched encoding.
+- :mod:`funnel` — ordered funnels, cohort retention, transition
+  matrices, multi-model (first/last/linear) attribution.
 - :mod:`_caches` — tracked persist() so harnesses release operator
   caches between catalog entries.
 """

@@ -1083,3 +1083,76 @@ def ivfpq_search(
     )
     # exact re-rank, bounded at queries × k·refine (the shared tail)
     return _exact_rerank(emb, cand, query_ids, k, id_col, vec_col)
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-CENTER coreset selection (Gonzalez 1985, the farthest-
+    point traversal): pick the corpus's ``k`` most mutually distant
+    vectors — the classic diversity-sampling step for training-data
+    curation (a 2-approximation of the optimal covering radius: cover
+    the embedding space with few exemplars instead of sampling the
+    dense blobs redundantly). Returns (sel_rank, id, radius): the
+    selection order and, for each pick after the first, its distance
+    to the already-selected set at selection time — a non-increasing
+    sequence whose tail estimates the corpus covering radius. The
+    first center is the MINIMUM id (deterministic anchor; Gonzalez
+    starts anywhere); squared L2 is the metric (monotone in L2 — no
+    sqrt, so every arithmetic op is correctly-rounded mul/add/sub and
+    any engine replays the run bit-identically, ties broken by id).
+
+    Duplicate vectors: once selected, a point's own dmin is 0, so
+    re-selection can only happen when EVERY remaining dmin is 0
+    (k > distinct vectors) — documented degenerate case.
+
+    Scale shape: k−1 rounds; each is one broadcast-literal distance
+    map over the corpus (the 64-double center rides the plan) + one
+    TakeOrdered(1) argmax; per-point state is ONE double (dmin),
+    lineage truncated per round. The driver holds k vectors. The
+    classic trade: exact greedy needs k passes — for k beyond a few
+    hundred, switch to kmeans_clusters (one Lloyd pass per iteration,
+    approximate diversity) or sample-then-select."""
+    if k < 1:
+        raise ValueError(f"kcenter_select: k must be >= 1, got {k}")
+    first = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("id")
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("kcenter_select: empty corpus")
+    spark = emb.sparkSession
+    c0_id, c0_vec = first[0].id, list(first[0].v)
+
+    def dist_to(center_vec):
+        lit = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    state = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("dmin", dist_to(c0_vec))
+        .localCheckpoint()
+    )
+    picks = [(1, c0_id, None)]
+    for rank in range(2, k + 1):
+        best = state.orderBy(F.col("dmin").desc(), "id").limit(1).collect()[0]
+        picks.append((rank, best.id, float(best.dmin)))
+        state = state.withColumn(
+            "dmin", F.least(F.col("dmin"), dist_to(list(best.v)))
+        ).localCheckpoint()
+    id_type = dict(emb.dtypes)[id_col]
+    return spark.createDataFrame(
+        picks, f"sel_rank int, {id_col} {id_type}, radius double"
+    )

@@ -9203,6 +9203,59 @@ def text_quality_model_contract(spark, sf_dir):
     )
 
 
+
+_KCENTER_SQL = """
+WITH RECURSIVE c0 AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  ORDER BY vec_id LIMIT 1
+),
+state(it, id, vec, dmin, bid, bd) AS (
+  SELECT 0, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, len(CAST(e.embedding AS DOUBLE[])) + 1),
+             i -> (CAST(e.embedding AS DOUBLE[])[i] - (c0.v)[i])
+                * (CAST(e.embedding AS DOUBLE[])[i] - (c0.v)[i]))),
+           (a, b) -> a + b),
+         c0.id, CAST(NULL AS DOUBLE)
+  FROM embeddings e, c0
+  UNION ALL
+  SELECT it + 1, id, vec,
+         LEAST(dmin,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(vec) + 1),
+               i -> (vec[i] - (best.v)[i]) * (vec[i] - (best.v)[i]))),
+             (a, b) -> a + b)),
+         best.id, -best.nd
+  FROM (
+    SELECT it, id, vec, dmin,
+           MIN(struct_pack(nd := -dmin, id := id, v := vec)) OVER () AS best
+    FROM state WHERE it < 7
+  )
+)
+SELECT 1 AS sel_rank, (SELECT id FROM c0) AS vec_id, CAST(NULL AS DOUBLE) AS radius
+UNION ALL
+SELECT it + 1, bid, bd FROM (SELECT DISTINCT it, bid, bd FROM state WHERE it > 0)
+"""
+
+
+@register_extra("emb_kcenter_select", _KCENTER_SQL)
+def emb_kcenter_select(spark, sf_dir):
+    """Greedy k-center coreset selection
+    (operators/similarity.py:kcenter_select, k=8): the farthest-point
+    traversal picks the corpus's 8 most mutually distant embeddings —
+    diversity sampling with a 2-approximation covering guarantee, the
+    exemplar-picking counterpart to kmeans' density clustering.
+    Squared L2 in PINNED element order means every arithmetic op is a
+    correctly-rounded mul/add/sub, so the selection sequence AND the
+    unrounded selection radii are bit-identical cross-engine; the
+    oracle replays the whole traversal as a recursive CTE whose state
+    carries each point's running distance-to-selected-set and whose
+    per-round argmax is a windowed min-struct (id tie-break)."""
+    return similarity.kcenter_select(
+        _t(spark, sf_dir, "embeddings"), k=8
+    ).orderBy("sel_rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -3762,3 +3762,35 @@ def test_quality_classifier_separates_constructed_corpus(spark):
         T.quality_train(train, "label", n_features=1)
     with pytest.raises(ValueError):
         T.quality_train(train, "label", max_iter=0)
+
+
+def test_kcenter_select_hand_computed(spark):
+    """Farthest-point traversal pinned by hand on 1-D points
+    {0, 1, 9, 10} (ids 1..4): anchor = min id (point 0); pick 2 is
+    point 10 (d² = 100); then dmin(point 1) = dmin(point 9) = 1 — the
+    tie breaks to the smaller id, so pick 3 is id 2 (point 1) and
+    pick 4 is id 3 (point 9), both radius 1. Radii are
+    non-increasing; k=1 returns just the anchor; the empty corpus and
+    k<1 raise."""
+    import pytest
+
+    from hyper_storage_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(1, [0.0]), (2, [1.0]), (3, [9.0]), (4, [10.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = [(r.sel_rank, r.vec_id, r.radius) for r in
+           similarity.kcenter_select(emb, k=4).orderBy("sel_rank").collect()]
+    assert out[0] == (1, 1, None)
+    assert out[1] == (2, 4, 100.0)
+    assert out[2] == (3, 2, 1.0)
+    assert out[3] == (4, 3, 1.0)
+    radii = [r for _, _, r in out[1:]]
+    assert radii == sorted(radii, reverse=True)
+    one = similarity.kcenter_select(emb, k=1).collect()
+    assert len(one) == 1 and one[0].vec_id == 1
+    with pytest.raises(ValueError):
+        similarity.kcenter_select(emb, k=0)
+    with pytest.raises(ValueError):
+        similarity.kcenter_select(emb.limit(0), k=2)
