@@ -3794,3 +3794,140 @@ def test_kcenter_select_hand_computed(spark):
         similarity.kcenter_select(emb, k=0)
     with pytest.raises(ValueError):
         similarity.kcenter_select(emb.limit(0), k=2)
+
+
+def test_graph_family_seeded_random_vs_bruteforce(spark):
+    """Seeded randomized differential for the round-10 graph family:
+    on 30 random graphs, link_scores equals a quadratic brute force
+    (every non-edge pair's cn/jaccard/ra over explicit neighbor
+    sets) and kcore equals the sequential peel, for random k. Random
+    structure is where wedge enumeration and batch peeling hide
+    bugs hand-picked fixtures miss."""
+    import math
+    import random
+
+    from hyper_storage_spark.operators import graph as graph_ops
+
+    rng = random.Random(421)
+    for trial in range(30):
+        n = rng.randint(4, 14)
+        p = rng.uniform(0.15, 0.6)
+        edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+                 if rng.random() < p]
+        if not edges:
+            continue
+        e = spark.createDataFrame(edges, "src long, dst long")
+        adj = {i: set() for i in range(n)}
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        nodes = [i for i in range(n) if adj[i]]
+
+        # --- link_scores vs brute force ---
+        exp = {}
+        eset = set(edges)
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                if (a, b) in eset:
+                    continue
+                cn = adj[a] & adj[b]
+                if not cn:
+                    continue
+                da, db = len(adj[a]), len(adj[b])
+                ra = 0.0
+                for z in sorted(cn):
+                    ra = ra + 1.0 / len(adj[z])
+                aa = 0.0
+                for z in sorted(cn):
+                    aa = aa + 1.0 / math.log(len(adj[z]))
+                exp[(a, b)] = (len(cn), da, db,
+                               round(len(cn) / (da + db - len(cn)), 6),
+                               round(ra, 6), round(aa, 6))
+        got = {(r.a, r.b): (r.cn, r.deg_a, r.deg_b, r.jaccard, r.ra,
+                            r.adamic_adar)
+               for r in graph_ops.link_scores(e, top_k=10_000).collect()}
+        assert got == exp, f"link_scores trial {trial}"
+
+        # --- kcore vs sequential peel ---
+        k = rng.randint(1, 4)
+        peel = {u: set(vs) for u, vs in adj.items() if vs}
+        changed = True
+        while changed:
+            changed = False
+            for u in list(peel):
+                if len(peel[u]) < k:
+                    for v in peel[u]:
+                        peel[v].discard(u)
+                    del peel[u]
+                    changed = True
+        expected_core = {u: len(vs) for u, vs in peel.items()}
+        got_core = {r.node: r.degree
+                    for r in graph_ops.kcore(e, k=k).collect()}
+        assert got_core == expected_core, f"kcore trial {trial} k={k}"
+
+
+def test_attribution_seeded_random_vs_bruteforce(spark):
+    """Seeded randomized differential for attribution: on 20 random
+    event streams (random users, types, second-offset timestamps with
+    deliberate collisions), the operator's three models equal a
+    brute-force replay that scans each conversion's lookback window
+    explicitly. Exercises same-timestamp tie-breaks, overlapping
+    windows, and multi-conversion users."""
+    import datetime as dt
+    import random
+
+    from hyper_storage_spark.operators import funnel as fn
+
+    rng = random.Random(911)
+    t0 = dt.datetime(2024, 3, 1)
+    for trial in range(20):
+        n = rng.randint(6, 40)
+        look = rng.choice([5, 20, 60])
+        rows = []
+        for eid in range(n):
+            rows.append(
+                (eid, rng.randint(1, 4),
+                 rng.choice(["click", "view", "buy", "other"]),
+                 t0 + dt.timedelta(seconds=rng.randint(0, 80)))
+            )
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        got = {r.channel: (r.first_touch, r.last_touch, r.linear)
+               for r in fn.attribution(ev, "buy", ["click", "view"], look).collect()}
+
+        first: dict = {}
+        last: dict = {}
+        linear_terms: dict = {}
+        n_convs = 0
+        for eid, u, ty, ts in rows:
+            if ty != "buy":
+                continue
+            n_convs += 1
+            win = [(e2, ts2, ty2) for e2, u2, ty2, ts2 in rows
+                   if u2 == u and ty2 in ("click", "view")
+                   and ts - dt.timedelta(seconds=look) <= ts2 <= ts]
+            if not win:
+                for d in (first, last):
+                    d["(direct)"] = d.get("(direct)", 0) + 1
+                linear_terms.setdefault("(direct)", []).append((eid, 1, 1))
+                continue
+            fch = min(win, key=lambda t: (t[1], t[0]))[2]
+            lch = max(win, key=lambda t: (t[1], t[0]))[2]
+            first[fch] = first.get(fch, 0) + 1
+            last[lch] = last.get(lch, 0) + 1
+            chs = [t[2] for t in win]
+            for c in set(chs):
+                linear_terms.setdefault(c, []).append(
+                    (eid, chs.count(c), len(chs))
+                )
+        if n_convs == 0:
+            assert got == {}, f"trial {trial}"
+            continue
+        exp = {}
+        for ch in set(first) | set(last) | set(linear_terms):
+            lin = 0.0
+            for eid, cnt, nn in sorted(linear_terms.get(ch, [])):
+                lin = lin + cnt / nn
+            exp[ch] = (first.get(ch, 0), last.get(ch, 0), round(lin, 6))
+        assert got == exp, f"attribution trial {trial} lookback={look}"
