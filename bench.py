@@ -47,6 +47,11 @@ HEADLINE = [
     # round-9 addition: the combined IVF-PQ (cells + residual-code ADC
     # + exact re-rank end-to-end); canonical row in SCALE.md
     "ann_ivfpq_raw",
+    # round-10 addition: the iterative graph family's flagship
+    # (8-iteration PageRank end-to-end, localCheckpoint-bounded
+    # lineage); quiet-box canonical row landed in SCALE.md this round,
+    # closing the candidacy recorded at the smoke
+    "graph_pagerank",
 ]
 
 
@@ -134,6 +139,7 @@ CANONICAL_SEC = {
     "q_token_budget_select": 0.531,
     "ann_pq_raw": 1.635,
     "ann_ivfpq_raw": 2.014,
+    "graph_pagerank": 3.653,
 }
 
 
