@@ -2195,7 +2195,7 @@ def dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs).orderBy("doc_id")
 
 
-@register(
+@register_extra(
     "ts_holt_forecast",
     """WITH RECURSIVE base AS (
   SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
@@ -2287,7 +2287,7 @@ FROM ranked r JOIN sizes s USING (cluster_id) WHERE r.rn = 1
 """
 
 
-@register("dedup_keep_best", _KEEP_BEST_SQL)
+@register_extra("dedup_keep_best", _KEEP_BEST_SQL)
 def dedup_keep_best(spark, sf_dir):
     """The dedup DECISION (operators/dedup.py:keep_best_per_cluster):
     one surviving document per near-dup cluster, chosen by max n_chars
@@ -4210,7 +4210,7 @@ def _run_to_memory(spark, out, name, mode):
     return spark.table(name)
 
 
-@register(
+@register_extra(
     "q_stream_window_counts",
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
               COUNT(*) AS n,
@@ -5486,7 +5486,7 @@ def mv_rollup_ohlc(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "q_weighted_sample_per_group",
     """WITH keyed AS (
          SELECT doc_id, lang, n_chars,
@@ -8869,7 +8869,7 @@ FROM hw h JOIN init i ON h.event_type = i.event_type AND h.rn = i.cnt
 """
 
 
-@register_extra("ts_holt_winters", _HOLT_WINTERS_SQL)
+@register("ts_holt_winters", _HOLT_WINTERS_SQL)
 def ts_holt_winters(spark, sf_dir):
     """Holt-Winters ADDITIVE-seasonal smoothing + one-step forecast
     per event type over the daily value series
@@ -8982,7 +8982,7 @@ FROM bpe WHERE it > 0
 """
 
 
-@register_extra("text_bpe_merges", _BPE_SQL)
+@register("text_bpe_merges", _BPE_SQL)
 def text_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer TRAINING (operators/bpe.py:bpe_train,
     20 merges, min count 2): the learn-the-tokenizer step of an LLM
@@ -9059,7 +9059,7 @@ FROM f FULL JOIN l ON f.channel = l.channel
 """
 
 
-@register_extra("q_attribution_models", _ATTRIBUTION_SQL)
+@register("q_attribution_models", _ATTRIBUTION_SQL)
 def q_attribution_models(spark, sf_dir):
     """Multi-model marketing attribution
     (operators/funnel.py:attribution): every purchase credits its
@@ -9238,7 +9238,7 @@ SELECT it + 1, bid, bd FROM (SELECT DISTINCT it, bid, bd FROM state WHERE it > 0
 """
 
 
-@register_extra("emb_kcenter_select", _KCENTER_SQL)
+@register("emb_kcenter_select", _KCENTER_SQL)
 def emb_kcenter_select(spark, sf_dir):
     """Greedy k-center coreset selection
     (operators/similarity.py:kcenter_select, k=8): the farthest-point
@@ -9450,6 +9450,24 @@ def all_specs() -> dict[str, QuerySpec]:
 # EXTRA), q5_local_supplier_volume (q9 is the strictly heavier
 # multi-table join + agg of the same class; q3 keeps the
 # join-then-topN shape).
+#
+# Rotated IN (r10, second half) — the round's own strongest new work,
+# guard-first (every IN entry passes the DecimalType registration
+# guard and was oracle-green at all three SFs before the swap):
+# ts_holt_winters, text_bpe_merges, q_attribution_models,
+# emb_kcenter_select. Rotated OUT to EXTRA, each redundant with a
+# surviving driver row of the same operator class: ts_holt_forecast
+# (ts_holt_winters runs the identical applyInPandas sequential-
+# smoothing recipe with level+trend PLUS the seasonal ring — a strict
+# superset, same bit-exact recursive-CTE oracle discipline),
+# dedup_keep_best (pipeline_corpus_prep executes clustering +
+# keep-one-per-component end-to-end inside its surviving driver row),
+# q_weighted_sample_per_group (q_token_budget_select keeps the
+# deterministic md5-uniform selection class; the global
+# q_weighted_sample twin stays oracle-verified in EXTRA),
+# q_stream_window_counts (q_stream_session_windows keeps the
+# watermarked stateful windowed-agg class with the strictly harder
+# window type; tumbling counts stay oracled in EXTRA).
 #
 # Rotation #7 candidates (round-10's strongest new work, all
 # oracle-green at sf0.001/0.01/0.1 and guard-checked): graph_pagerank
