@@ -8894,8 +8894,7 @@ def ts_holt_winters(spark, sf_dir):
 
 
 
-_DSIR_SQL = r"""
-WITH toks AS (
+_DSIR_CTES = r"""toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
 ), toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
 rb AS (SELECT doc_id, CAST(('0x' || substring(md5(term),1,8)) AS UBIGINT) % 1024 AS bucket FROM toks2),
@@ -8914,10 +8913,17 @@ ratios AS (
 scored AS (
   SELECT rb.doc_id, COUNT(*) AS n_tokens, SUM(lr) AS sum_lr
   FROM rb JOIN ratios USING (bucket) GROUP BY 1
+),
+dsir AS (
+  SELECT doc_id, n_tokens, CAST(sum_lr AS DOUBLE) / n_tokens AS score
+  FROM scored
+)"""
+
+_DSIR_SQL = (
+    "WITH " + _DSIR_CTES
+    + " SELECT doc_id, n_tokens, score FROM dsir"
+    + " ORDER BY score DESC, doc_id LIMIT 200"
 )
-SELECT doc_id, n_tokens, CAST(sum_lr AS DOUBLE) / n_tokens AS score
-FROM scored ORDER BY score DESC, doc_id LIMIT 200
-"""
 
 
 @register_extra("text_dsir_select", _DSIR_SQL)
@@ -9254,6 +9260,59 @@ def emb_kcenter_select(spark, sf_dir):
     return similarity.kcenter_select(
         _t(spark, sf_dir, "embeddings"), k=8
     ).orderBy("sel_rank")
+
+
+
+_TARGETED_PIPELINE_SQL = (
+    "WITH " + _DSIR_CTES + """,
+sel AS (SELECT doc_id FROM dsir ORDER BY score DESC, doc_id LIMIT 300),
+kept AS (SELECT d.* FROM documents d JOIN sel USING (doc_id)),
+canonical AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+uniq AS (
+  SELECT k.lang, k.doc_id,
+         len(list_filter(string_split_regex(trim(k.text), '\\s+'), x -> x <> '')) AS n_toks,
+         s.score
+  FROM kept k JOIN canonical c ON k.doc_id = c.doc_id
+              JOIN dsir s ON s.doc_id = k.doc_id
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       MIN(score) AS min_score, MAX(score) AS max_score
+FROM uniq GROUP BY lang"""
+)
+
+
+@register_extra("pipeline_targeted_corpus", _TARGETED_PIPELINE_SQL)
+def pipeline_targeted_corpus(spark, sf_dir):
+    """Round-10 composition in ONE Catalyst plan: DSIR importance
+    scoring against the English target (text.dsir_scores) → top-300
+    selection → exact dedup keeping the canonical (min doc_id) copy →
+    per-language corpus stats (docs, total whitespace tokens, min/max
+    selection score). The point is cross-operator optimization: the
+    selection TakeOrdered, the digest groupBy, and the final
+    aggregation pipeline as plain DataFrame stages, and the oracle
+    replays the ENTIRE composition (shared _DSIR_CTES block — the
+    score arithmetic cannot drift between the standalone entry and
+    the pipeline). min/max score instead of an average: the per-doc
+    scores are exact by the decimal-quantized-fold discipline, and
+    min/max are order-independent, so no float-sum re-association can
+    enter the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text.dsir_scores(docs, docs.filter(F.col("lang") == "en"), n_buckets=1024)
+    sel = scored.orderBy(F.col("score").desc(), "doc_id").limit(300)
+    kept = docs.join(sel.select("doc_id", "score"), "doc_id")
+    canonical = kept.groupBy(F.md5(F.col("text")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    uniq = kept.join(canonical.select("doc_id"), "doc_id").select(
+        "lang", F.size(text.tokens_col(F.col("text"))).alias("n_toks"), "score"
+    )
+    return uniq.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
