@@ -653,31 +653,40 @@ def dsir_scores(
     2·n_buckets-row ratio table against the exploded token stream,
     one per-document sum. The target table is typically a curated
     sliver — pass a sample; scoring stays one scan either way."""
+    ratios = _dsir_ratio_table(raw, target, n_buckets, text_col, id_col)
+    return _dsir_apply(raw, ratios, n_buckets, text_col, id_col)
+
+
+def _dsir_bucketed(df: DataFrame, b: int, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    ).select(
+        F.col(id_col),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint"),
+            F.lit(b),
+        ).alias("bucket"),
+    )
+
+
+def _dsir_ratio_table(
+    raw: DataFrame, target: DataFrame, n_buckets: int, text_col: str, id_col: str
+) -> DataFrame:
     if n_buckets < 2:
         raise ValueError(f"dsir_scores: n_buckets must be >= 2, got {n_buckets}")
     b = int(n_buckets)
-
-    def bucketed(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            F.explode(tokens_col(F.col(text_col))).alias("term"),
-        ).select(
-            F.col(id_col),
-            F.pmod(
-                F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint"),
-                F.lit(b),
-            ).alias("bucket"),
-        )
-
-    raw_toks = bucketed(raw)
+    raw_toks = _dsir_bucketed(raw, b, text_col, id_col)
     tgt_counts = (
-        bucketed(target).groupBy("bucket").agg(F.count("*").alias("ct"))
+        _dsir_bucketed(target, b, text_col, id_col)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
     )
     raw_counts = raw_toks.groupBy("bucket").agg(F.count("*").alias("cr"))
     tgt_total = tgt_counts.agg(F.sum("ct").alias("tt"))
     raw_total = raw_counts.agg(F.sum("cr").alias("rt"))
     # full bucket table (buckets absent from a side smooth to +1 mass)
-    ratios = (
+    return (
         raw_counts.join(tgt_counts, "bucket", "full")
         .crossJoin(F.broadcast(tgt_total))
         .crossJoin(F.broadcast(raw_total))
@@ -695,10 +704,29 @@ def dsir_scores(
             )
             .cast("decimal(20,10)")
             .alias("lr"),
+            # the never-seen-bucket default (both sides smooth to +1):
+            # frozen-model scoring of NEW corpora needs it — a token
+            # hashing outside the training bucket set must score the
+            # neutral smoothed ratio, not silently vanish from n_tokens
+            (
+                F.log(F.lit(1.0) / (F.col("tt") + F.lit(b)).cast("double"))
+                - F.log(F.lit(1.0) / (F.col("rt") + F.lit(b)).cast("double"))
+            )
+            .cast("decimal(20,10)")
+            .alias("lr0"),
         )
     )
+
+
+def _dsir_apply(
+    docs: DataFrame, ratios: DataFrame, n_buckets: int, text_col: str, id_col: str
+) -> DataFrame:
+    toks = _dsir_bucketed(docs, int(n_buckets), text_col, id_col)
+    defaults = ratios.agg(F.max("lr0").alias("lr0_all"))
     scored = (
-        raw_toks.join(F.broadcast(ratios), "bucket")
+        toks.join(F.broadcast(ratios), "bucket", "left")
+        .crossJoin(F.broadcast(defaults))
+        .withColumn("lr", F.coalesce(F.col("lr"), F.col("lr0_all")))
         .groupBy(id_col)
         .agg(F.count("*").alias("n_tokens"), F.sum("lr").alias("sum_lr"))
     )
@@ -707,6 +735,46 @@ def dsir_scores(
         "n_tokens",
         (F.col("sum_lr").cast("double") / F.col("n_tokens")).alias("score"),
     )
+
+
+def dsir_model(
+    raw: DataFrame,
+    target: DataFrame,
+    path: str,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist a DSIR importance model: the per-bucket log-likelihood
+    ratio table written as ONE tiny parquet (at most n_buckets rows
+    regardless of corpus size) — the persisted-index pattern of the
+    PQ/LSH families. Train once on the big corpus, then score any
+    number of later corpora/batches with
+    :func:`dsir_score_with_model` without touching the training data
+    again (the frozen-model discipline: cross-batch scores stay
+    comparable because the model never drifts — the exact analog of
+    pq_append's frozen codebooks)."""
+    ratios = _dsir_ratio_table(raw, target, n_buckets, text_col, id_col)
+    ratios.withColumn("n_buckets", F.lit(int(n_buckets))).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def dsir_score_with_model(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a corpus against a persisted :func:`dsir_model`:
+    (id_col, n_tokens, score) — identical arithmetic to
+    :func:`dsir_scores` (the pytest pins frozen-model scoring of the
+    training corpus to the in-memory run, row for row). One scan +
+    one broadcast join; the model parquet is KB-sized."""
+    spark = docs.sparkSession
+    ratios = spark.read.parquet(path)
+    b = int(ratios.select("n_buckets").first().n_buckets)
+    return _dsir_apply(docs, ratios.select("bucket", "lr", "lr0"), b, text_col, id_col)
 
 
 def quality_train(
@@ -776,3 +844,4 @@ def quality_score(
         .withColumn("quality_p", F.element_at(vector_to_array("probability"), 2))
         .drop("__toks", "__features", "rawPrediction", "probability", "prediction")
     )
+

@@ -3931,3 +3931,48 @@ def test_attribution_seeded_random_vs_bruteforce(spark):
                 lin = lin + cnt / nn
             exp[ch] = (first.get(ch, 0), last.get(ch, 0), round(lin, 6))
         assert got == exp, f"attribution trial {trial} lookback={look}"
+
+
+def test_dsir_persisted_model_matches_in_memory(spark, tmp_path):
+    """Frozen-model DSIR scoring: dsir_model persists the ratio table
+    once; dsir_score_with_model over the training corpus reproduces
+    dsir_scores row for row (ids, n_tokens, bit-identical scores),
+    and scoring a NEW batch against the frozen model works without
+    the training data. Save/load of the hashed-LR quality classifier
+    round-trips to identical scores too (the pyspark.ml persistence
+    face)."""
+    from hyper_storage_spark.operators import text as T
+
+    raw = spark.createDataFrame(
+        [(i, ("alpha beta " * (i % 3 + 1)) + ("gamma " * (i % 2)))
+         for i in range(1, 21)],
+        "doc_id long, text string",
+    )
+    target = raw.filter(F.col("doc_id") % 4 == 0)
+    p = str(tmp_path / "dsir_model")
+    T.dsir_model(raw, target, p, n_buckets=64)
+    in_mem = {r.doc_id: (r.n_tokens, r.score)
+              for r in T.dsir_scores(raw, target, n_buckets=64).collect()}
+    frozen = {r.doc_id: (r.n_tokens, r.score)
+              for r in T.dsir_score_with_model(raw, p).collect()}
+    assert frozen == in_mem
+    batch = spark.createDataFrame(
+        [(100, "alpha alpha beta"), (101, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.dsir_score_with_model(batch, p).collect()}
+    assert set(out) == {100, 101} and out[100].n_tokens == 3
+
+    # classifier persistence: identical held-out scores after load
+    labeled = raw.withColumn(
+        "label", (F.col("doc_id") % 2 == 0).cast("double")
+    )
+    model = T.quality_train(labeled, "label", n_features=128, max_iter=10)
+    mp = str(tmp_path / "qmodel")
+    model.write().overwrite().save(mp)
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    loaded = LogisticRegressionModel.load(mp)
+    a = {r.doc_id: r.quality_p for r in T.quality_score(labeled, model).collect()}
+    b = {r.doc_id: r.quality_p for r in T.quality_score(labeled, loaded).collect()}
+    assert a == b
