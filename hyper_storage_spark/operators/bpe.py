@@ -24,8 +24,10 @@ Determinism: integer pair counts, lexicographic tie-breaks, no
 floating point anywhere — any engine replays training bit-identically.
 The catalog oracle (queries.py:text_bpe_merges) replays the FULL
 training loop as a DuckDB recursive CTE, carrying each word's symbol
-sequence as a delimiter-prefixed string where `replace()` is exactly
-the greedy left-to-right non-overlapping merge.
+sequence as a string with every symbol delimiter-wrapped on both
+sides, where the fully-anchored `replace()` is exactly the greedy
+left-to-right non-overlapping merge (a prefix-anchored-only encoding
+has a latent corruption bug — pinned by the adversarial oracle test).
 """
 
 from __future__ import annotations

@@ -8953,13 +8953,20 @@ WITH RECURSIVE words0 AS (
   ) WHERE term <> '' GROUP BY 1
 ),
 bpe(it, w, cnt, s, ba, bb, bc) AS (
+  -- every symbol is wrapped chr(31)...chr(31) on BOTH sides, so the
+  -- replace() pattern is fully anchored: a right symbol that merely
+  -- STARTS with b (e.g. [a, bc] under merge (a,b)) cannot match.
+  -- A single-separator encoding had exactly that latent prefix bug —
+  -- pinned by test_bpe_oracle_sql_prefix_adversarial.
   SELECT 0, w, cnt,
-         chr(31) || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i:i]), chr(31)),
+         chr(31) || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i:i]),
+                                    chr(31) || chr(31)) || chr(31),
          CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
   FROM words0
   UNION ALL
   SELECT it + 1, w, cnt,
-         replace(s, chr(31) || best.a || chr(31) || best.b, chr(31) || best.a || best.b),
+         replace(s, chr(31) || best.a || chr(31) || chr(31) || best.b || chr(31),
+                    chr(31) || best.a || best.b || chr(31)),
          best.a, best.b, -best.nc
   FROM (
     SELECT it, w, cnt, s, MIN(best1) OVER () AS best
@@ -8974,7 +8981,8 @@ bpe(it, w, cnt, s, ba, bb, bc) AS (
                unnest(list_concat(
                  list_zip(syms, syms[2:]),
                  [CAST(NULL AS STRUCT(list_1 VARCHAR, list_2 VARCHAR))])) AS pr
-        FROM (SELECT it, w, cnt, s, string_split(s[2:], chr(31)) AS syms
+        FROM (SELECT it, w, cnt, s,
+                     string_split(s[2:length(s) - 1], chr(31) || chr(31)) AS syms
               FROM bpe WHERE it < 20)
       )
     )
@@ -8998,8 +9006,10 @@ def text_bpe_merges(spark, sf_dir):
     tie-break, one JVM array-fold applying the merge greedily
     left-to-right. All-integer decisions: any engine replays training
     bit-identically, and the oracle replays the ENTIRE loop as a
-    recursive CTE — each word's symbols ride as a chr(31)-prefixed
-    string where SQL replace() IS the greedy non-overlapping merge,
+    recursive CTE — each word's symbols ride as a string with every
+    symbol chr(31)-wrapped on BOTH sides (fully anchored, so a right
+    symbol that merely starts with the pattern cannot match) where
+    SQL replace() IS the greedy non-overlapping merge,
     and the per-round argmax is a windowed min-struct over the
     exploded pair stream. Differentially pinned against a pure-Python
     Sennrich reference in pytest (training AND the encode-reproduces-

@@ -3976,3 +3976,44 @@ def test_dsir_persisted_model_matches_in_memory(spark, tmp_path):
     a = {r.doc_id: r.quality_p for r in T.quality_score(labeled, model).collect()}
     b = {r.doc_id: r.quality_p for r in T.quality_score(labeled, loaded).collect()}
     assert a == b
+
+
+def test_bpe_oracle_sql_prefix_adversarial(spark):
+    """The DuckDB BPE oracle itself, run on an adversarial corpus
+    where a later merge's RIGHT symbol is a strict prefix of an
+    earlier merged symbol ('bc'×10, 'ab'×8, 'abc'×5): after merge 1
+    (b,c) the word 'abc' is [a, bc], and merge 2 (a,b) must NOT touch
+    it. A prefix-anchored-only string encoding corrupted exactly this
+    state (replace '\\x1fa\\x1fb' matched '\\x1fa\\x1fbc'); the
+    double-wrapped encoding is fully anchored. Oracle == pure-Python
+    reference == the Spark trainer, merge for merge."""
+    import duckdb
+    import pandas as pd
+
+    from hyper_storage_spark.operators import bpe
+    from hyper_storage_spark.queries import _BPE_SQL
+
+    texts = ["bc"] * 10 + ["ab"] * 8 + ["abc"] * 5
+    counts = {}
+    for t in texts:
+        counts[t] = counts.get(t, 0) + 1
+    ref_merges, _ = _bpe_reference(counts, 20)
+    assert [m[:3] for m in ref_merges] == [
+        (1, "b", "c"), (2, "a", "b"), (3, "a", "bc")
+    ]  # the third merge only exists if 'abc' survived merge 2 intact
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got_sql = [tuple(r) for r in con.execute(_BPE_SQL + " ORDER BY rank").fetchall()]
+    assert got_sql == ref_merges
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got_spark = [
+        (r.rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe.bpe_train(docs, n_merges=20).orderBy("rank").collect()
+    ]
+    assert got_spark == ref_merges
