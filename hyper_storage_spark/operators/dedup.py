@@ -860,13 +860,24 @@ def fuzzy_key_pairs_incremental(
     (index ∪ batch-variants) restricted to pairs touching the batch,
     then the exact levenshtein verify. By the FastSS completeness
     property, ``pairs(corpus) ∪ incremental(batch, index(corpus)) ==
-    pairs(corpus ∪ batch)`` — the decomposition contract the catalog
-    entry value-gates against a one-shot oracle over the union.
+    pairs(corpus ∪ batch)`` WHENEVER no block's document frequency
+    crosses ``max_df`` at the corpus/union boundary — the
+    decomposition contract the catalog entry value-gates against a
+    one-shot oracle over the union.
 
-    ``max_df`` blocks are capped over the UNION universe (index +
-    batch), so the incremental path drops exactly the blocks the
-    one-shot run would drop — the cap can never make the
-    decomposition diverge."""
+    Cap semantics, precisely: THIS function caps blocks over the
+    UNION universe (index + batch), so the incremental half drops
+    exactly the blocks the one-shot run would drop. The BASE half of
+    the decomposition (``fuzzy_key_pairs(corpus)``) caps over the
+    corpus alone, so a block that is ≤ max_df in the corpus but
+    > max_df in the union keeps its corpus-corpus pairs in the base
+    run while the one-shot union run drops them — the decomposition
+    is exact only when no block straddles the cap across the
+    boundary (true at every catalog gate scope: customer-name blocks
+    top out at 10, far under 64; the cap is a scale valve, not
+    semantics). For an exact decomposition under a binding cap,
+    rebuild the base pairs against the union block list, or raise
+    ``max_df`` past the hottest expected block."""
     bvar = fuzzy_key_index(batch, key_col, id_col)
     allvar = index.unionByName(bvar)
     hot = (

@@ -394,18 +394,23 @@ def link_scores(
         .groupBy("a", "b")
         .agg(
             F.count("*").alias("cn"),
+            # ONE sorted common-neighbor list; both index folds derive
+            # from it in the projection below (a second collect_list +
+            # array_sort here would double the dominant per-group cost)
+            F.array_sort(F.collect_list(F.struct("z", "dz"))).alias("zs"),
+        )
+        .select(
+            "a",
+            "b",
+            "cn",
             F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("z", "dz"))),
-                    lambda t: F.lit(1.0) / t["dz"].cast("double"),
-                ),
+                F.transform(F.col("zs"), lambda t: F.lit(1.0) / t["dz"].cast("double")),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             ).alias("ra_raw"),
             F.aggregate(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("z", "dz"))),
-                    lambda t: F.lit(1.0) / F.log(t["dz"].cast("double")),
+                    F.col("zs"), lambda t: F.lit(1.0) / F.log(t["dz"].cast("double"))
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,

@@ -2068,9 +2068,11 @@ SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
 """
 
 
-@register_extra(
-    "dedup_fuzzy_incremental",
-    """WITH s AS (SELECT c_custkey AS id, c_name AS k
+# ONE FastSS one-shot oracle (deletion neighborhoods + hot-block cap +
+# levenshtein verify over custkey<1500) shared by dedup_fuzzy_keys and
+# dedup_fuzzy_incremental — two verbatim copies previously had to be
+# edited in lockstep (the _CLUSTERS_SQL/_JACCARD_SQL sharing pattern).
+_FASTSS_SQL = """WITH s AS (SELECT c_custkey AS id, c_name AS k
                   FROM customer WHERE c_custkey < 1500 AND c_name IS NOT NULL),
        v0 AS (
          SELECT id, k,
@@ -2087,7 +2089,12 @@ SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
          FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
        )
        SELECT a_id, b_id, CAST(levenshtein(ak, bk) AS BIGINT) AS dist
-       FROM cand WHERE levenshtein(ak, bk) <= 1""",
+       FROM cand WHERE levenshtein(ak, bk) <= 1"""
+
+
+@register_extra(
+    "dedup_fuzzy_incremental",
+    _FASTSS_SQL,
 )
 def dedup_fuzzy_incremental(spark, sf_dir):
     """The persisted-index incremental face of fuzzy-key resolution
@@ -8157,24 +8164,7 @@ def ts_seasonality_profile(spark, sf_dir):
 
 @register_extra(
     "dedup_fuzzy_keys",
-    """WITH s AS (SELECT c_custkey AS id, c_name AS k
-                  FROM customer WHERE c_custkey < 1500 AND c_name IS NOT NULL),
-       v0 AS (
-         SELECT id, k,
-                unnest(list_append(
-                  list_transform(range(1, len(k)+1),
-                                 i -> substr(k, 1, i-1) || substr(k, i+1, len(k))),
-                  k)) AS var
-         FROM s
-       ),
-       hot AS (SELECT var FROM v0 GROUP BY var HAVING COUNT(*) > 64),
-       v AS (SELECT * FROM v0 WHERE var NOT IN (SELECT var FROM hot)),
-       cand AS (
-         SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.k AS ak, b.k AS bk
-         FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
-       )
-       SELECT a_id, b_id, CAST(levenshtein(ak, bk) AS BIGINT) AS dist
-       FROM cand WHERE levenshtein(ak, bk) <= 1""",
+    _FASTSS_SQL,
 )
 def dedup_fuzzy_keys(spark, sf_dir):
     """Fuzzy-key entity resolution (operators/dedup.py:
@@ -8190,6 +8180,44 @@ def dedup_fuzzy_keys(spark, sf_dir):
         _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1500),
         key_col="c_name",
         id_col="c_custkey",
+    )
+
+
+
+def _trade_edges(spark, sf_dir, custkey_lt: int = 500):
+    """Symmetric customer↔supplier trade edges ("c<key>"/"s<key>"
+    nodes, custkey < ``custkey_lt``) — ONE construction shared by
+    every graph entry over this graph so a scope tweak can never
+    desynchronize an entry from its oracle's ce CTE (the six entries
+    previously each carried a verbatim copy)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < custkey_lt)
+    li = _t(spark, sf_dir, "lineitem")
+    ce = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return ce.unionByName(
+        ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _copurchase_edges(spark, sf_dir, partkey_lt: int = 300):
+    """Undirected co-purchase edges: parts shipping in the same order
+    (partkey < ``partkey_lt``), canonical src < dst — shared by the
+    link-prediction and k-core entries (same de-duplication rationale
+    as :func:`_trade_edges`)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < partkey_lt)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
     )
 
 
@@ -8254,17 +8282,7 @@ def graph_pagerank(spark, sf_dir):
     components (dedup_clusters) enters the catalog here."""
     from .operators import graph as graph_ops
 
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
-    li = _t(spark, sf_dir, "lineitem")
-    ce = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = ce.unionByName(ce.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = _trade_edges(spark, sf_dir)
     ranks = graph_ops.pagerank(edges, damping=_PAGERANK_D, iters=8)
     return (
         ranks.select("node", F.col("val").alias("pr"))
@@ -8399,17 +8417,7 @@ def graph_label_propagation(spark, sf_dir):
     The oracle replays the full vote loop as a recursive CTE."""
     from .operators import graph as graph_ops
 
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
-    li = _t(spark, sf_dir, "lineitem")
-    ce = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = ce.unionByName(ce.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = _trade_edges(spark, sf_dir)
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
     sup = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 2 == 0)
@@ -8492,17 +8500,7 @@ def graph_pagerank_personalized(spark, sf_dir):
     iteration as a recursive CTE."""
     from .operators import graph as graph_ops
 
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
-    li = _t(spark, sf_dir, "lineitem")
-    ce = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = ce.unionByName(ce.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = _trade_edges(spark, sf_dir)
     seeds = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") <= 10)
@@ -8820,15 +8818,7 @@ def graph_link_prediction(spark, sf_dir):
     the documented cross-engine-transcendental rule."""
     from .operators import graph as graph_ops
 
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 300)
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return graph_ops.link_scores(edges, top_k=20).drop("adamic_adar")
 
 
@@ -9107,6 +9097,11 @@ WITH RECURSIVE e0 AS (
 ),
 sym0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
 peel(it, u, v) AS (
+  -- it < 60 bounds the recursion as a runaway guard, NOT semantics:
+  -- the peel reaches its fixpoint when an iteration removes nothing,
+  -- and the co-purchase graph peels in < 10 rounds at every gate SF
+  -- (a pathological onion graph needing > 60 layers would diverge
+  -- from the uncapped Spark operator — documented, unreachable here)
   SELECT 0, u, v FROM sym0
   UNION ALL
   SELECT it + 1, u, v FROM (
@@ -9143,18 +9138,13 @@ def graph_kcore(spark, sf_dir):
     needed); the oracle replays the peel as a recursive CTE whose
     per-iteration windowed degree test mirrors the batch-peel rounds,
     INCLUDING the empty-core fixpoint guard (an exhausted peel's last
-    non-empty state is not a core — pytest-pinned)."""
+    non-empty state is not a core — pytest-pinned). The oracle's
+    recursion carries a 60-round runaway guard; the operator itself
+    peels to the true fixpoint (gate graphs peel in < 10 rounds, so
+    the guard is unreachable — noted in the SQL)."""
     from .operators import graph as graph_ops
 
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 300)
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return graph_ops.kcore(edges, k=8).orderBy("node")
 
 

@@ -322,8 +322,13 @@ class _RestDriver:
         # the rollup reader's
         seed = f"{self.uri}/seed"
         resp = self.facade.handle("PUT", seed, self._body())
-        self.shadow[seed] = dict(self._last_body)
-        self._bump(seed, int(resp.headers["revision"]))
+        # a failed seed write must surface as a recorded REST failure,
+        # not a KeyError that aborts run_soak before workers spawn
+        if resp.status // 100 != 2 or "revision" not in resp.headers:
+            self.failures.append(f"seed PUT failed: status={resp.status}")
+        else:
+            self.shadow[seed] = dict(self._last_body)
+            self._bump(seed, int(resp.headers["revision"]))
         store.create_rollup(
             self.uri, "ts", ["b"], "a", resolution="day", schema=SOAK_SCHEMA,
             rollup_id="soak-rest-rollup",
