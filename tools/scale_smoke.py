@@ -372,6 +372,56 @@ def bpe_vocab_bound(replicas=(1, 4, 16)) -> None:
     print("# bpe smoke done")
 
 
+def link_core_growth(scopes=(300, 1200, 4800)) -> None:
+    """Round-10 second-half graph family under scope growth: link
+    prediction and the 8-core on the co-purchase graph as the part
+    universe widens. Link prediction's budget is the wedge count
+    (Σ deg²/2) — wall must track wedges, not the node-pair square;
+    k-core's wall tracks edges × peel rounds. Plans asserted
+    CartesianProduct-free."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import graph
+    from hyper_storage_spark.operators._caches import release_tracked_caches
+    from hyper_storage_spark.session import get_spark
+    from hyper_storage_spark.sources.tables import load_table
+
+    spark = get_spark("scale_smoke_linkcore")
+    li_all = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+    base_lp = base_kc = None
+    for scope in scopes:
+        li = li_all.filter(F.col("l_partkey") < scope)
+        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+        edges = (
+            a.join(b, "ok")
+            .filter(F.col("u") < F.col("v"))
+            .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+            .distinct()
+        )
+        n_edges = edges.count()
+        t0 = time.time()
+        lp = graph.link_scores(edges, top_k=20)
+        nrows = lp.count()
+        w_lp = time.time() - t0
+        plan = lp._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        g = "" if base_lp is None else f" growth={w_lp / base_lp:.2f}x"
+        base_lp = base_lp or w_lp
+        print(f"# link_scores scope<{scope}: edges={n_edges} rows={nrows} wall={w_lp:.2f}s{g}")
+        release_tracked_caches()
+
+        t0 = time.time()
+        kc = graph.kcore(edges, k=8)
+        ncore = kc.count()
+        w_kc = time.time() - t0
+        g = "" if base_kc is None else f" growth={w_kc / base_kc:.2f}x"
+        base_kc = base_kc or w_kc
+        print(f"# kcore scope<{scope}: core_nodes={ncore} wall={w_kc:.2f}s{g}")
+        release_tracked_caches()
+    print("# link/core smoke done")
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "storerollup":
         store_rollup_modes(int(sys.argv[2]) if len(sys.argv) > 2 else 5000)
@@ -387,6 +437,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ivfpq":
         ivfpq_century(
             tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (1, 10, 100)
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "linkcore":
+        link_core_growth(
+            tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (300, 1200, 4800)
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "bpe":
