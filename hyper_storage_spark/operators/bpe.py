@@ -32,8 +32,6 @@ has a latent corruption bug — pinned by the adversarial oracle test).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
