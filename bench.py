@@ -52,6 +52,11 @@ HEADLINE = [
     # lineage); quiet-box canonical row landed in SCALE.md this round,
     # closing the candidacy recorded at the smoke
     "graph_pagerank",
+    # round-10 addition: distributed BPE tokenizer training
+    # (20 merge rounds end-to-end on the word-frequency table) — the
+    # driver-loop-iteration class the headline set did not yet time;
+    # quiet-box canonical row in SCALE.md
+    "text_bpe_merges",
 ]
 
 
@@ -140,6 +145,7 @@ CANONICAL_SEC = {
     "ann_pq_raw": 1.635,
     "ann_ivfpq_raw": 2.014,
     "graph_pagerank": 3.653,
+    "text_bpe_merges": 6.412,
 }
 
 
