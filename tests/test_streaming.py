@@ -1162,3 +1162,55 @@ def test_streaming_ivfpq_ingest_appends_and_serves(spark, tmp_path, sf_dir):
         for r in similarity.ivfpq_search(bulk, emb, qids, k=5, n_probe=8).collect()
     )
     assert got == want and len(got) == 15
+
+
+def test_streaming_dsir_scoring_matches_bulk(spark, tmp_path, sf_dir):
+    """The frozen DSIR model composes with Structured Streaming the
+    same way the persisted ANN indexes do: train dsir_model once on
+    the corpus, stream the corpus back in micro-batches through
+    foreachBatch → dsir_score_with_model (scores appended to parquet
+    per batch), and the streamed-in score table must equal the bulk
+    dsir_scores run row for row — the frozen-model discipline means
+    batch boundaries cannot move any score."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import text as T
+    from hyper_storage_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    model_path = str(tmp_path / "dsir_model")
+    T.dsir_model(docs, docs.filter(F.col("lang") == "en"), model_path, n_buckets=256)
+
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    scores_dir = str(tmp_path / "scores")
+
+    def sink(batch_df, batch_id):
+        T.dsir_score_with_model(batch_df, model_path).write.mode("append").parquet(
+            scores_dir
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r.doc_id: (r.n_tokens, r.score)
+        for r in spark.read.parquet(scores_dir).collect()
+    }
+    bulk = {
+        r.doc_id: (r.n_tokens, r.score)
+        for r in T.dsir_scores(
+            docs, docs.filter(F.col("lang") == "en"), n_buckets=256
+        ).collect()
+    }
+    assert streamed == bulk
