@@ -845,3 +845,59 @@ def quality_score(
         .drop("__toks", "__features", "rawPrediction", "probability", "prediction")
     )
 
+
+
+def label_noise_candidates(
+    docs: DataFrame,
+    label_col: str,
+    top_k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_folds: int = 2,
+    n_features: int = 4096,
+    max_iter: int = 50,
+    reg_param: float = 0.1,
+) -> DataFrame:
+    """Label-noise detection for weakly-labeled corpora — the
+    confident-learning recipe (Northcutt et al. 2021) in its
+    cross-fitted ranking form: split the corpus into ``n_folds`` by
+    id hash, score each fold with a :func:`quality_train` model
+    trained on the OTHER folds (cross-fitting is what separates
+    "the label disagrees with the data" from "the model memorized
+    its own noise"), and return the ``top_k`` rows by
+    ``disagreement`` = |P(label=1|text) − label| — the examples most
+    likely mislabeled, i.e. the ones a curation pass should re-check
+    or drop. Stronger regularization helps here (default 0.1): a
+    model free to fit the noise reports no disagreement with it.
+    The fold split hashes the id — it must be INDEPENDENT of the
+    label (a class⊥fold confound trains each fold's model on one
+    class and inverts every score; the pytest pins exactly that
+    failure shape).
+
+    Returns the input columns plus (quality_p, disagreement), ordered
+    by (disagreement desc, id) and truncated to ``top_k``.
+
+    Scale: n_folds model fits over (n_folds−1)/n_folds of the corpus
+    each (LBFGS gradient passes, executor-side), one broadcast-
+    coefficient scoring scan per fold, one TakeOrdered."""
+    if n_folds < 2:
+        raise ValueError(f"label_noise_candidates: n_folds must be >= 2, got {n_folds}")
+    if top_k < 1:
+        raise ValueError(f"label_noise_candidates: top_k must be >= 1, got {top_k}")
+    parts = None
+    for fold in range(int(n_folds)):
+        train = docs.filter(F.pmod(F.col(id_col), F.lit(int(n_folds))) != fold)
+        test = docs.filter(F.pmod(F.col(id_col), F.lit(int(n_folds))) == fold)
+        model = quality_train(
+            train, label_col, text_col=text_col,
+            n_features=n_features, max_iter=max_iter, reg_param=reg_param,
+        )
+        scored = quality_score(test, model, text_col=text_col)
+        parts = scored if parts is None else parts.unionByName(scored)
+    return (
+        parts.withColumn(
+            "disagreement", F.abs(F.col("quality_p") - F.col(label_col))
+        )
+        .orderBy(F.col("disagreement").desc(), id_col)
+        .limit(int(top_k))
+    )

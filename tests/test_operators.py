@@ -4017,3 +4017,40 @@ def test_bpe_oracle_sql_prefix_adversarial(spark):
         for r in bpe.bpe_train(docs, n_merges=20).orderBy("rank").collect()
     ]
     assert got_spark == ref_merges
+
+
+def test_label_noise_candidates_recovers_planted_flips(spark):
+    """On a cleanly-separable constructed corpus with 6 planted label
+    flips, cross-fitted disagreement ranking surfaces ALL flips at
+    the very top (recall@n = 1.0) — the separable case where
+    confident learning is exact. Validation rejects degenerate
+    n_folds/top_k."""
+    import pytest
+
+    from hyper_storage_spark.operators import text as T
+
+    rows = []
+    for i in range(80):
+        # class alternates INDEPENDENTLY of the %2 fold split (i%4<2
+        # puts both classes in both folds — a class⊥fold confound
+        # would leave each fold's model trained on one class only)
+        good = i % 4 < 2
+        words = ("useful insight clear " if good else "spam junk noise ") * 4
+        label = float(good)
+        if i % 13 == 0:  # planted flips: ids 0,13,26,39,52,65,78
+            label = 1.0 - label
+        rows.append((i, words.strip(), label, float(good)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, label double, clean double"
+    )
+    n_flips = sum(1 for _, _, lab, cl in rows if lab != cl)
+    sus = T.label_noise_candidates(
+        docs, "label", top_k=n_flips, n_features=256, max_iter=20
+    ).collect()
+    assert len(sus) == n_flips
+    assert all(r.label != r.clean for r in sus)  # every candidate IS a flip
+    assert all(0.0 <= r.disagreement <= 1.0 for r in sus)
+    with pytest.raises(ValueError):
+        T.label_noise_candidates(docs, "label", top_k=5, n_folds=1)
+    with pytest.raises(ValueError):
+        T.label_noise_candidates(docs, "label", top_k=0)
