@@ -9358,6 +9358,60 @@ def text_label_noise_contract(spark, sf_dir):
     )
 
 
+
+@register_extra(
+    "q_temporal_embargo_split",
+    """WITH base AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-24 00:00:00'
+                       THEN 'test'
+                     WHEN CAST(ts AS TIMESTAMP)
+                          < TIMESTAMP '2024-01-24 00:00:00' - INTERVAL 86400 SECOND
+                       THEN 'train'
+                     ELSE 'embargo' END AS split
+         FROM events
+       ),
+       ft AS (SELECT user_id, MIN(ts) AS fts FROM base WHERE split = 'test' GROUP BY 1),
+       lab AS (
+         SELECT b.user_id, b.ts,
+                CASE WHEN b.split = 'train' AND ft.fts IS NOT NULL
+                          AND b.ts >= ft.fts - INTERVAL 172800 SECOND
+                     THEN 'purged' ELSE b.split END AS split
+         FROM base b LEFT JOIN ft USING (user_id)
+       )
+       SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+              MIN(ts) AS min_ts, MAX(ts) AS max_ts
+       FROM lab GROUP BY 1""",
+)
+def q_temporal_embargo_split(spark, sf_dir):
+    """Leakage-safe TIME split with purging
+    (operators/sampling.py:temporal_embargo_split — the de Prado
+    purged/embargoed split): cutoff 2024-01-24, a 1-day global
+    embargo gap dropped between train and test, and a 2-day
+    per-entity purge — a user\'s train rows within 2 days of their
+    own first test event are excised (an entity\'s recent history is
+    the strongest leak). The time-axis complement of
+    q_leakage_safe_split\'s similarity-axis family splitting. Pure
+    deterministic timestamp arithmetic; the oracle replays labeling
+    end-to-end and the entry emits the per-split census."""
+    labeled = sampling.temporal_embargo_split(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        "2024-01-24 00:00:00",
+        embargo_seconds=86400,
+        entity_col="user_id",
+        entity_embargo_seconds=172800,
+    )
+    ts = F.col("ts").cast("timestamp")
+    return labeled.groupBy("split").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min(ts).alias("min_ts"),
+        F.max(ts).alias("max_ts"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

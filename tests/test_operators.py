@@ -4054,3 +4054,44 @@ def test_label_noise_candidates_recovers_planted_flips(spark):
         T.label_noise_candidates(docs, "label", top_k=5, n_folds=1)
     with pytest.raises(ValueError):
         T.label_noise_candidates(docs, "label", top_k=0)
+
+
+def test_temporal_embargo_split_hand_computed(spark):
+    """Purged time split pinned by hand: cutoff t=100, embargo 10 —
+    rows at ts≥100 are test, ts<90 train, [90,100) embargo. User 7's
+    first test event is at t=100 with entity embargo 25, so their
+    train rows in [75, 90) become purged while user 8 (no test rows)
+    keeps theirs. Validation: negative embargo and a dangling
+    entity_col both raise."""
+    import datetime as dt
+
+    import pytest
+
+    from hyper_storage_spark.operators import sampling
+
+    t0 = dt.datetime(2024, 6, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        (1, 7, s(50)),   # train (outside entity embargo: 50 < 75)
+        (2, 7, s(80)),   # purged (within 25s-embargo of 7's first test@100... 80 >= 75)
+        (3, 7, s(95)),   # embargo
+        (4, 7, s(100)),  # test (first test for user 7)
+        (5, 8, s(80)),   # train (user 8 never in test)
+        (6, 8, s(110)),  # wait — this IS a test row for user 8
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    cutoff = (t0 + dt.timedelta(seconds=100)).strftime("%Y-%m-%d %H:%M:%S")
+    out = {r.event_id: r.split for r in sampling.temporal_embargo_split(
+        ev, "ts", cutoff, embargo_seconds=10,
+        entity_col="user_id", entity_embargo_seconds=25,
+    ).collect()}
+    # user 8's first test is at t=110, entity embargo reaches [85, 90)
+    # in train space — their t=80 row survives as train
+    assert out == {1: "train", 2: "purged", 3: "embargo",
+                   4: "test", 5: "train", 6: "test"}
+    with pytest.raises(ValueError):
+        sampling.temporal_embargo_split(ev, "ts", cutoff, embargo_seconds=-1)
+    with pytest.raises(ValueError):
+        sampling.temporal_embargo_split(ev, "ts", cutoff, entity_col="user_id")
