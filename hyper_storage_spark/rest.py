@@ -409,6 +409,55 @@ class RestFacade:
         except ValueError as e:
             return RestResponse(400, {"error": str(e)})
 
+    # `<coll>~/_explain?filter=&sort=` — plan a collection query
+    # WITHOUT executing it: chosen access path (base/MV physical
+    # table), pushed sargable conjuncts, clustering-prefix usage, scan
+    # direction, exact-vs-residual sort, and the ANALYZE row estimate
+    # when stats exist. The REST face of DocumentStore.explain (the
+    # reference's future-work explain surface).
+    _EXPLAIN_SEG = "~/_explain"
+
+    def _explain_route(self, m: str, path: str, params: dict) -> RestResponse:
+        if m != "GET":
+            return RestResponse(405, {"error": f"{m} not supported on {path!r}"})
+        base, _, _rest = path.partition(self._EXPLAIN_SEG)
+        uri = base + "~"
+        try:
+            # collection-existence check mirrors the collection GET
+            # (query() 404s unknown collections; planning alone is
+            # existence-agnostic, so the route must check explicitly)
+            static = self.store._get_static(uri)
+            if static is None or static["is_deleted"]:
+                return RestResponse(404)
+            plan = self.store.explain(
+                uri,
+                filter=params.get("filter"),
+                sort=parse_sort(params.get("sort")),
+            )
+            return RestResponse(200, {
+                "table": plan.table_name,
+                "index_id": plan.index_id,
+                "pushed_filters": [
+                    {"field": f.name, "op": f.op.name, "value": f.value}
+                    for f in plan.filter_fields
+                ],
+                "ck_fields": [
+                    {"field": c.name, "ascending": c.ascending}
+                    for c in plan.ck_fields
+                ],
+                "reversed": plan.reversed,
+                "exact_sort": plan.exact_sort,
+                "residual_compiled": plan.residual_compiled,
+                "default_order": [
+                    {"field": f, "ascending": a} for f, a in plan.default_order
+                ],
+                "estimated_rows": plan.estimated_rows,
+            })
+        except NotFoundError:
+            return RestResponse(404)
+        except ValueError as e:
+            return RestResponse(400, {"error": str(e)})
+
     def handle(self, method: str, path: str, body: Any = None, **params) -> RestResponse:
         m = method.upper()
         # exact segment match only: a document item named
@@ -418,6 +467,8 @@ class RestFacade:
             return self._rollup_route(m, path, body, params)
         if path.endswith(self._AGGREGATE_SEG):
             return self._aggregate_route(m, path, params)
+        if path.endswith(self._EXPLAIN_SEG):
+            return self._explain_route(m, path, params)
         allowed = self._VERB_PARAMS.get(m)
         if allowed is None:
             return RestResponse(405, {"error": f"method {method!r} not allowed"})

@@ -241,3 +241,38 @@ def test_rest_aggregate_key_fields_whitespace(spark, tmp_path):
     r2 = rest.handle("GET", "w~/_aggregate", ts_field="ts", key_fields=" , ",
                      value_field="v", schema="ts string, k string, v double")
     assert r2.status == 400
+
+
+def test_explain_route_surface(spark, tmp_path):
+    """GET <coll>~/_explain plans without executing: base-table route
+    with pushed sargable conjuncts and the residual-compiled flag for
+    a plain filter; an index route (physical table + exact sort) once
+    a matching index exists; 405 on non-GET; 404 on an unknown
+    collection; 400 on an unparsable filter."""
+    from hyper_storage_spark.plans import SortItem
+
+    store = DocumentStore(str(tmp_path / "explain_rest"), spark=spark)
+    facade = RestFacade(store)
+    facade.put("docs~/i1", {"a": 5, "b": "x"})
+    facade.put("docs~/i2", {"a": 1, "b": "y"})
+
+    r = facade.handle("GET", "docs~/_explain", filter="a > 3")
+    assert r.status == 200
+    assert r.body["table"] == "content" and r.body["index_id"] is None
+    # base-table route: nothing is sargable against the id clustering,
+    # the whole predicate stays residual (and compiles)
+    assert r.body["pushed_filters"] == [] and r.body["residual_compiled"] is True
+
+    store.create_index("docs~", "by_b", [SortItem("b", "text", "asc")], None)
+    r2 = facade.handle("GET", "docs~/_explain", filter='b = "x"', sort="b")
+    assert r2.status == 200
+    assert r2.body["index_id"] == "by_b" and r2.body["table"] != "content"
+    # the EQ conjunct is pushed onto the index's physical sort column
+    # and doubles as the clustering prefix
+    assert [f["op"] for f in r2.body["pushed_filters"]] == ["EQ"]
+    assert len(r2.body["ck_fields"]) == 1
+    assert r2.body["exact_sort"] is True
+
+    assert facade.handle("PUT", "docs~/_explain", {}).status == 405
+    assert facade.handle("GET", "nope~/_explain").status == 404
+    assert facade.handle("GET", "docs~/_explain", filter="a >").status == 400
