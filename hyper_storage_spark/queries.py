@@ -9412,6 +9412,29 @@ def q_temporal_embargo_split(spark, sf_dir):
     )
 
 
+
+@register_extra(
+    "mm_scene_changes",
+    """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+              CAST(0.0 AS DOUBLE) AS l1_change,
+              false AS is_scene_change
+       FROM documents, range(1, 6) t(i)
+       WHERE doc_id % 3 = 2""",
+)
+def mm_scene_changes(spark, sf_dir):
+    """Shot-boundary detection over the video corpus
+    (operators/multimodal.py:scene_changes): REAL BMFF demux of every
+    mp4 payload, mean-absolute-byte difference per consecutive frame
+    pair, thresholded. The synthetic videos carry 6 IDENTICAL frames
+    (every byte = doc_id %% 256), so the whole table is
+    SQL-predictable — 5 pairs per video doc, l1 exactly 0, no
+    boundary — which makes the end-to-end mux→demux→diff pipeline
+    value-checkable like the other mm entries; the pytest drives the
+    REAL signal with constructed multi-scene videos."""
+    media = multimodal.attach_media(_t(spark, sf_dir, "documents"))
+    return multimodal.scene_changes(media, threshold=16.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

@@ -4095,3 +4095,35 @@ def test_temporal_embargo_split_hand_computed(spark):
         sampling.temporal_embargo_split(ev, "ts", cutoff, embargo_seconds=-1)
     with pytest.raises(ValueError):
         sampling.temporal_embargo_split(ev, "ts", cutoff, entity_col="user_id")
+
+
+def test_scene_changes_detects_constructed_cuts(spark):
+    """Scene-change detection on constructed mp4s: a video whose
+    frames jump 0→200 at index 2 and back at index 4 flags exactly
+    those boundaries (l1 = 200), identical consecutive frames score
+    0, a sub-threshold wobble (|diff| = 3) stays unflagged, and
+    non-video rows contribute nothing. Threshold validation raises."""
+    import pytest
+
+    from hyper_storage_spark.operators import media_codecs, multimodal
+
+    w, h = 4, 3
+    mk = lambda v: bytes([v]) * (w * h)  # noqa: E731
+    vid = media_codecs.mp4_encode([mk(0), mk(0), mk(200), mk(200), mk(0), mk(3)], w, h)
+    rows = [
+        (1, "video/mp4", bytearray(vid)),
+        (2, "image/png", bytearray(b"not video")),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    out = {r.frame_idx: r for r in multimodal.scene_changes(media, threshold=16.0).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert all(r.doc_id == 1 for r in out.values())
+    assert out[1].l1_change == 0.0 and not out[1].is_scene_change
+    assert out[2].l1_change == 200.0 and out[2].is_scene_change
+    assert out[3].l1_change == 0.0 and not out[3].is_scene_change
+    assert out[4].l1_change == 200.0 and out[4].is_scene_change
+    assert out[5].l1_change == 3.0 and not out[5].is_scene_change
+    with pytest.raises(ValueError):
+        multimodal.scene_changes(media, threshold=-1)
