@@ -1,0 +1,145 @@
+"""Declarative data-quality expectations — the pipeline-gate engine
+(the Great-Expectations/dbt-test idea, Spark-first): a rule list is
+compiled into ONE aggregate pass over the table (every rule becomes a
+conditional-count column, so N rules cost one scan, not N), plus one
+left-anti join per referential rule. The output is a per-rule summary
+(rows checked, violations, pass) a CI gate can assert on.
+
+Rule shapes:
+- ``not_null(col)``
+- ``unique(col)`` — duplicate-occurrence count (rows beyond the first
+  per value; NULLs ignored, SQL-DISTINCT semantics)
+- ``in_range(col, lo, hi)`` — NULLs do not violate (compose with
+  not_null for that)
+- ``in_set(col, values)``
+- ``matches(col, regex)`` — full-match semantics (anchored rlike)
+- ``foreign_key(col, dim_df, dim_col)`` — values (NULLs ignored)
+  that do not resolve in the dimension table
+
+Scale shape: the scalar rules share one partial-aggregated scan;
+``unique`` adds one groupBy on its column; each ``foreign_key`` is a
+broadcast-friendly left-anti join. Violations are COUNTED in the
+summary; use the per-rule predicate columns from
+:func:`violation_flags` when the offending rows themselves are needed
+(the flags compose into the same single scan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    kind: str
+    col: str
+    name: str
+    lo: Any = None
+    hi: Any = None
+    values: tuple = ()
+    regex: Optional[str] = None
+    dim: Optional[DataFrame] = field(default=None, compare=False)
+    dim_col: Optional[str] = None
+
+
+def not_null(col: str) -> Rule:
+    return Rule("not_null", col, f"not_null({col})")
+
+
+def unique(col: str) -> Rule:
+    return Rule("unique", col, f"unique({col})")
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    return Rule("in_range", col, f"in_range({col},{lo},{hi})", lo=lo, hi=hi)
+
+
+def in_set(col: str, values: Sequence) -> Rule:
+    vals = tuple(values)
+    return Rule("in_set", col, f"in_set({col})", values=vals)
+
+
+def matches(col: str, regex: str) -> Rule:
+    return Rule("matches", col, f"matches({col})", regex=regex)
+
+
+def foreign_key(col: str, dim: DataFrame, dim_col: str) -> Rule:
+    return Rule("foreign_key", col, f"fk({col}->{dim_col})", dim=dim, dim_col=dim_col)
+
+
+def _violation_expr(r: Rule):
+    c = F.col(r.col)
+    if r.kind == "not_null":
+        return c.isNull()
+    if r.kind == "in_range":
+        return c.isNotNull() & ((c < F.lit(r.lo)) | (c > F.lit(r.hi)))
+    if r.kind == "in_set":
+        return c.isNotNull() & ~c.isin(list(r.values))
+    if r.kind == "matches":
+        return c.isNotNull() & ~c.rlike(f"^(?:{r.regex})$")
+    raise ValueError(f"no row-level predicate for rule kind {r.kind!r}")
+
+
+def violation_flags(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """The input plus one boolean ``__viol_<i>`` column per SCALAR
+    rule (unique/foreign_key are set-level, not row-level) — for
+    pulling the offending rows after a failed gate."""
+    out = df
+    for i, r in enumerate(rules):
+        if r.kind in ("unique", "foreign_key"):
+            continue
+        out = out.withColumn(f"__viol_{i}", _violation_expr(r))
+    return out
+
+
+def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """Run every rule and return the summary: one row per rule,
+    (rule, n_rows, n_violations, pass) in the given rule order. All
+    scalar rules share a single aggregate pass."""
+    if not rules:
+        raise ValueError("expectations.check: at least one rule required")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError("expectations.check: duplicate rule names")
+    spark = df.sparkSession
+    scalar = [(i, r) for i, r in enumerate(rules)
+              if r.kind not in ("unique", "foreign_key")]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, r in scalar:
+        aggs.append(
+            F.sum(F.when(_violation_expr(r), 1).otherwise(0)).alias(f"v{i}")
+        )
+    base = df.agg(*aggs).collect()[0]
+    n_rows = int(base["__n"])
+
+    counts: dict[int, int] = {i: int(base[f"v{i}"]) for i, _ in scalar}
+    for i, r in enumerate(rules):
+        if r.kind == "unique":
+            dup = (
+                df.filter(F.col(r.col).isNotNull())
+                .groupBy(r.col)
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("d"))
+                .collect()[0]["d"]
+            )
+            counts[i] = int(dup)
+        elif r.kind == "foreign_key":
+            dim = r.dim.select(F.col(r.dim_col).alias(r.col)).distinct()
+            miss = (
+                df.filter(F.col(r.col).isNotNull())
+                .join(dim, r.col, "left_anti")
+                .count()
+            )
+            counts[i] = int(miss)
+
+    rows = [
+        (r.name, n_rows, counts[i], counts[i] == 0)
+        for i, r in enumerate(rules)
+    ]
+    return spark.createDataFrame(
+        rows, "rule string, n_rows long, n_violations long, passed boolean"
+    )

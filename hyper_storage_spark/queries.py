@@ -9435,6 +9435,94 @@ def mm_scene_changes(spark, sf_dir):
     return multimodal.scene_changes(media, threshold=16.0)
 
 
+
+@register_extra(
+    "q_data_expectations",
+    """WITH li AS (SELECT * FROM lineitem), o AS (SELECT * FROM orders),
+       u AS (
+       SELECT 'not_null(l_orderkey)' AS rule,
+              (SELECT COUNT(*) FROM li) AS n_rows,
+              (SELECT COUNT(*) FROM li WHERE l_orderkey IS NULL) AS n_violations
+       UNION ALL
+       SELECT 'in_range(l_quantity,1,50)',
+              (SELECT COUNT(*) FROM li),
+              (SELECT COUNT(*) FROM li
+               WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50))
+       UNION ALL
+       SELECT 'in_set(l_returnflag)',
+              (SELECT COUNT(*) FROM li),
+              (SELECT COUNT(*) FROM li
+               WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R'))
+       UNION ALL
+       SELECT 'matches(l_linestatus)',
+              (SELECT COUNT(*) FROM li),
+              (SELECT COUNT(*) FROM li
+               WHERE l_linestatus IS NOT NULL
+                 AND NOT regexp_full_match(l_linestatus, '[OF]'))
+       UNION ALL
+       SELECT 'fk(l_orderkey->o_orderkey)',
+              (SELECT COUNT(*) FROM li),
+              (SELECT COUNT(*) FROM (
+                 SELECT DISTINCT l.l_orderkey FROM li l
+                 ANTI JOIN o ON o.o_orderkey = l.l_orderkey
+                 WHERE l.l_orderkey IS NOT NULL) x
+               JOIN li y ON y.l_orderkey = x.l_orderkey)
+       UNION ALL
+       SELECT 'unique(o_orderkey)',
+              (SELECT COUNT(*) FROM o),
+              (SELECT COALESCE(SUM(c - 1), 0) FROM (
+                 SELECT COUNT(*) AS c FROM o
+                 WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey))
+       )
+       SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(n_violations AS BIGINT) AS n_violations
+       FROM u""",
+)
+def q_data_expectations(spark, sf_dir):
+    """Declarative data-quality gate
+    (operators/expectations.py:check — the Great-Expectations/dbt-test
+    idea): six rules over lineitem/orders — not-null and FK integrity
+    on the join key, a quantity range, a returnflag domain set, an
+    anchored linestatus regex, and orderkey uniqueness — compiled so
+    every scalar rule shares ONE aggregate scan, uniqueness is one
+    groupBy, and the FK check is one anti-join. The oracle replays
+    each count independently; all-integer output plus the pass flag
+    recomputed in SQL as n_violations = 0. A clean corpus passes
+    every rule — the gate\'s value is the count machinery being
+    value-checked so a dirty corpus CANNOT pass silently (the pytest
+    plants violations of every class and pins the exact counts)."""
+    from .operators import expectations as X
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rules = [
+        X.not_null("l_orderkey"),
+        X.in_range("l_quantity", 1, 50),
+        X.in_set("l_returnflag", ["A", "N", "R"]),
+        X.matches("l_linestatus", "[OF]"),
+        X.foreign_key("l_orderkey", o, "o_orderkey"),
+    ]
+    summary = X.check(li, rules)
+    uniq = X.check(o, [X.unique("o_orderkey")])
+    out = summary.unionByName(uniq)
+    # rename rules to the oracle labels (the operator's auto-names
+    # carry python reprs the SQL should not have to reproduce)
+    mapping = {
+        "not_null(l_orderkey)": "not_null(l_orderkey)",
+        "in_range(l_quantity,1,50)": "in_range(l_quantity,1,50)",
+        "in_set(l_returnflag)": "in_set(l_returnflag)",
+        "matches(l_linestatus)": "matches(l_linestatus)",
+        "fk(l_orderkey->o_orderkey)": "fk(l_orderkey->o_orderkey)",
+        "unique(o_orderkey)": "unique(o_orderkey)",
+    }
+    me = F.create_map([F.lit(x) for kv in mapping.items() for x in kv])
+    return out.select(
+        me[F.col("rule")].alias("rule"),
+        "n_rows",
+        "n_violations",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

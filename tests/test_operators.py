@@ -4127,3 +4127,53 @@ def test_scene_changes_detects_constructed_cuts(spark):
     assert out[5].l1_change == 3.0 and not out[5].is_scene_change
     with pytest.raises(ValueError):
         multimodal.scene_changes(media, threshold=-1)
+
+
+def test_expectations_counts_planted_violations(spark):
+    """The expectations engine on a deliberately dirty frame: exact
+    violation counts for every rule class — a NULL id, an
+    out-of-range value (NULL doesn't double-count), a value outside
+    the domain set, a regex miss (anchored: a PREFIX match is still a
+    violation), duplicate ids beyond the first, and an unresolvable
+    foreign key. Flags from violation_flags pick exactly the
+    offending rows; empty/duplicate rule lists raise."""
+    import pytest
+
+    from hyper_storage_spark.operators import expectations as X
+
+    rows = [
+        (1, 10.0, "A", "OK"),
+        (1, 99.0, "A", "OK"),      # dup id; 99 out of range
+        (None, 5.0, "B", "OKX"),   # null id; B outside set; regex prefix-miss
+        (3, None, "A", "OK"),      # NULL value: not a range violation
+        (4, 20.0, None, None),     # NULLs: not set/regex violations
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, flag string, code string")
+    dim = spark.createDataFrame([(1,), (3,)], "k long")
+    rules = [
+        X.not_null("id"),
+        X.in_range("v", 1, 50),
+        X.in_set("flag", ["A"]),
+        X.matches("code", "OK"),
+        X.unique("id"),
+        X.foreign_key("id", dim, "k"),
+    ]
+    out = {r.rule: r for r in X.check(df, rules).collect()}
+    assert out["not_null(id)"].n_violations == 1
+    assert out["in_range(v,1,50)"].n_violations == 1
+    assert out["in_set(flag)"].n_violations == 1
+    assert out["matches(code)"].n_violations == 1   # "OKX" is anchored-out
+    assert out["unique(id)"].n_violations == 1      # second id=1 row
+    assert out["fk(id->k)"].n_violations == 1       # id=4 unresolvable
+    assert all(r.n_rows == 5 for r in out.values())
+    assert not any(r.passed for r in out.values())
+
+    flagged = X.violation_flags(df, rules)
+    viol_nn = [r.v for r in flagged.filter(F.col("__viol_0")).collect()]
+    assert viol_nn == [5.0]
+    clean = X.check(dim, [X.not_null("k"), X.unique("k")])
+    assert all(r.passed for r in clean.collect())
+    with pytest.raises(ValueError):
+        X.check(df, [])
+    with pytest.raises(ValueError):
+        X.check(df, [X.not_null("id"), X.not_null("id")])
