@@ -869,3 +869,58 @@ def holt_winters(
         return pd.DataFrame(row)
 
     return series.groupBy(*keys).applyInPandas(fold, out_schema)
+
+
+def seasonal_outliers(
+    events: DataFrame,
+    ts_col: str = "ts",
+    k: float = 3.0,
+) -> DataFrame:
+    """Seasonally-adjusted anomaly detection on the daily event-count
+    series: remove the DAY-OF-WEEK profile (per-weekday median of the
+    daily counts — a weekend dip is seasonality, not an anomaly),
+    then flag days whose residual exceeds ``k`` × MAD of all
+    residuals (the robust z-score rule of q_robust_outliers, applied
+    AFTER deseasonalization — raw MAD flags every weekend; adjusted
+    MAD flags genuine level breaks). Returns one row per day:
+    (day, n, dow, dow_median, residual, is_outlier).
+
+    Exactness: counts are integers; medians of integers are exact
+    halves (both engines interpolate the even-n middle pair
+    identically); residuals and the k·MAD compare are a handful of
+    exactly-representable arithmetic ops — bit-exact cross-engine
+    with no rounding needed.
+
+    Scale shape: one day-grain aggregation, one 7-row weekday median
+    table broadcast back, one global MAD reduction — nothing wider
+    than the daily series ever shuffles."""
+    if k <= 0:
+        raise ValueError(f"seasonal_outliers: k must be > 0, got {k}")
+    daily = (
+        events.groupBy(F.date_trunc("day", F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    prof = daily.groupBy("dow").agg(
+        F.expr("percentile(n, 0.5)").alias("dow_median")
+    )
+    resid = (
+        daily.join(F.broadcast(prof), "dow")
+        .withColumn("residual", F.col("n") - F.col("dow_median"))
+    )
+    mad = resid.agg(
+        F.expr("percentile(abs(residual), 0.5)").alias("mad")
+    )
+    return (
+        resid.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "n",
+            "dow",
+            "dow_median",
+            "residual",
+            (F.abs(F.col("residual")) > F.lit(float(k)) * F.col("mad")).alias(
+                "is_outlier"
+            ),
+        )
+    )

@@ -9523,6 +9523,43 @@ def q_data_expectations(spark, sf_dir):
     )
 
 
+
+@register_extra(
+    "ts_seasonal_outliers",
+    """WITH daily AS (
+         SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                COUNT(*) AS n
+         FROM events GROUP BY 1
+       ),
+       d2 AS (SELECT day, n, CAST(dayofweek(day) + 1 AS INT) AS dow FROM daily),
+       prof AS (SELECT dow, median(n) AS dow_median FROM d2 GROUP BY 1),
+       resid AS (
+         SELECT d2.day, d2.n, d2.dow, prof.dow_median,
+                d2.n - prof.dow_median AS residual
+         FROM d2 JOIN prof USING (dow)
+       ),
+       m AS (SELECT median(abs(residual)) AS mad FROM resid)
+       SELECT day, CAST(n AS BIGINT) AS n, dow,
+              CAST(dow_median AS DOUBLE) AS dow_median,
+              CAST(residual AS DOUBLE) AS residual,
+              abs(residual) > 3.0 * (SELECT mad FROM m) AS is_outlier
+       FROM resid""",
+)
+def ts_seasonal_outliers(spark, sf_dir):
+    """Seasonally-adjusted anomaly detection
+    (operators/timeseries.py:seasonal_outliers): the daily event
+    count minus its DAY-OF-WEEK median profile, flagged at 3×MAD of
+    the residuals — the deseasonalized counterpart of
+    q_robust_outliers (raw MAD would flag every weekend; adjusted MAD
+    flags genuine level breaks). Integer counts, exact-half medians
+    (both engines average the even-n middle pair), one multiply and
+    one compare — bit-exact with no rounding. DuckDB\'s dayofweek is
+    0=Sunday vs Spark\'s 1=Sunday, bridged by the +1 in the oracle."""
+    return timeseries.seasonal_outliers(
+        _t(spark, sf_dir, "events"), "ts", k=3.0
+    ).orderBy("day")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

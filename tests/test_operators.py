@@ -4177,3 +4177,42 @@ def test_expectations_counts_planted_violations(spark):
         X.check(df, [])
     with pytest.raises(ValueError):
         X.check(df, [X.not_null("id"), X.not_null("id")])
+
+
+def test_seasonal_outliers_hand_computed(spark):
+    """Deseasonalized MAD outliers pinned by hand: FOUR weeks of daily
+    events where every Sunday has 2 events and every other day 10,
+    plus ONE Wednesday spiking to 100 (four samples per weekday keep
+    the weekday median robust to the single spike — with only two
+    weeks the Wednesday median splits the difference and flags BOTH
+    Wednesdays, the degenerate case this test originally tripped).
+    Raw MAD would flag the Sundays; the day-of-week profile absorbs
+    them (residual 0), and only the spiked Wednesday survives at
+    3×MAD. k validation raises."""
+    import datetime as dt
+
+    import pytest
+
+    from hyper_storage_spark.operators import timeseries as ts_ops
+
+    rows = []
+    eid = 0
+    start = dt.date(2024, 1, 7)  # a Sunday
+    for d in range(28):
+        day = start + dt.timedelta(days=d)
+        n = 2 if day.weekday() == 6 else 10
+        if d == 3:  # one Wednesday spikes
+            n = 100
+        for _ in range(n):
+            rows.append((eid, dt.datetime(day.year, day.month, day.day, 12)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r.day.date(): r for r in ts_ops.seasonal_outliers(ev, "ts").collect()}
+    spiked = start + dt.timedelta(days=3)
+    assert out[spiked].is_outlier and out[spiked].n == 100
+    flagged = [d for d, r in out.items() if r.is_outlier]
+    assert flagged == [spiked]
+    sundays = [d for d, r in out.items() if d.weekday() == 6]
+    assert all(out[d].residual == 0.0 and not out[d].is_outlier for d in sundays)
+    with pytest.raises(ValueError):
+        ts_ops.seasonal_outliers(ev, "ts", k=0)
