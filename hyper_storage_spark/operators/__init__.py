@@ -32,6 +32,8 @@ expressed as DataFrame transformations (JVM-side, shuffle-aware):
   rounds at any corpus size) and Arrow-batched encoding.
 - :mod:`funnel` — ordered funnels, cohort retention, transition
   matrices, multi-model (first/last/linear) attribution.
+- :mod:`expectations` — declarative data-quality gates compiled into
+  one aggregate pass (not_null/unique/range/set/regex/foreign-key).
 - :mod:`_caches` — tracked persist() so harnesses release operator
   caches between catalog entries.
 """
