@@ -34,6 +34,8 @@ expressed as DataFrame transformations (JVM-side, shuffle-aware):
   matrices, multi-model (first/last/linear) attribution.
 - :mod:`expectations` — declarative data-quality gates compiled into
   one aggregate pass (not_null/unique/range/set/regex/foreign-key).
+- :mod:`versioning` — corpus snapshot diffing (added/removed/changed/
+  unchanged by content digest; payload never crosses the exchange).
 - :mod:`_caches` — tracked persist() so harnesses release operator
   caches between catalog entries.
 """

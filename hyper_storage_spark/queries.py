@@ -40,7 +40,18 @@ from pyspark.sql import functions as F
 
 from .expression import parse
 from .expression.compiler import apply_filter
-from .operators import dedup, funnel, multimodal, sampling, search, similarity, skew, text, timeseries
+from .operators import (
+    dedup,
+    funnel,
+    multimodal,
+    sampling,
+    search,
+    similarity,
+    skew,
+    text,
+    timeseries,
+    versioning,
+)
 from .plans import FieldFilter, FilterOp, SortBy, SortItem, least_rows_filter_fields
 from .sources import load_table
 
@@ -9558,6 +9569,90 @@ def ts_seasonal_outliers(spark, sf_dir):
     return timeseries.seasonal_outliers(
         _t(spark, sf_dir, "events"), "ts", k=3.0
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Corpus snapshot diffing (operators/versioning.py): v2 is built
+# IN-PLAN from the documents table by the seeded-md5 discipline of
+# _synth_partsupp — both engines construct the identical second
+# version, so the diff classification is fully oracle-checkable.
+# Bands on the deterministic uniform u = md5_uniform('v2:'||doc_id):
+# u < 0.06 removed, 0.06 ≤ u < 0.12 changed (text gets a ' [rev2]'
+# suffix), u ≥ 0.94 also spawns a brand-new doc at doc_id+10'000'000.
+# --------------------------------------------------------------------------
+
+_CORPUS_V2_SQL = """u AS (
+  SELECT doc_id, text, lang,
+         (('0x' || substr(md5('v2:' || doc_id), 1, 13))::UBIGINT::DOUBLE + 0.5)
+           / 4503599627370496.0 AS u
+  FROM documents
+),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN u < 0.12 THEN text || ' [rev2]' ELSE text END AS text,
+         lang
+  FROM u WHERE u >= 0.06
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, txt AS text, lang
+  FROM (SELECT doc_id, 'added:' || doc_id AS txt, lang FROM u WHERE u >= 0.94)
+)"""
+
+
+@register_extra(
+    "q_corpus_diff",
+    f"""WITH {_CORPUS_V2_SQL},
+od AS (SELECT doc_id, lang, {versioning.content_digest_sql(('text', 'lang'))} AS dg FROM documents),
+nd AS (SELECT doc_id, lang, {versioning.content_digest_sql(('text', 'lang'))} AS dg FROM v2),
+j AS (
+  SELECT COALESCE(nd.doc_id, od.doc_id) AS doc_id,
+         COALESCE(nd.lang, od.lang) AS lang,
+         CASE WHEN od.doc_id IS NULL THEN 'added'
+              WHEN nd.doc_id IS NULL THEN 'removed'
+              WHEN od.dg <> nd.dg THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM od FULL OUTER JOIN nd ON od.doc_id = nd.doc_id
+)
+SELECT status, lang, COUNT(*) AS n
+FROM j GROUP BY status, lang ORDER BY status, lang""",
+)
+def q_corpus_diff(spark, sf_dir):
+    """Corpus version diff (operators/versioning.py corpus_diff): v2
+    of the documents corpus is synthesized in-plan (seeded-md5 bands:
+    ~6% removed, ~6% text-edited, ~6% fresh ids appended) and every
+    id in either version is classified added/removed/changed/
+    unchanged by digest comparison, summarized per (status, lang).
+    Scale shape: both sides reduce to (id, digest, lang) AT THE SCAN
+    — the full-outer join shuffles two slim 3-column frames, never
+    the text payload; bucketed-by-id storage makes it exchange-free.
+    The oracle replays v2 construction, the 0x1F/0x1E digest encoding
+    (versioning.content_digest_sql — the same constant builds both
+    sides), and the classification end-to-end."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    u = sampling.md5_uniform(F.concat(F.lit("v2:"), F.col("doc_id").cast("string")))
+    base = docs.withColumn("u", u)
+    surviving = base.filter(F.col("u") >= 0.06).select(
+        "doc_id",
+        F.when(
+            F.col("u") < 0.12, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    added = base.filter(F.col("u") >= 0.94).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("added:"), F.col("doc_id").cast("string")).alias("text"),
+        "lang",
+    )
+    v2 = surviving.unionByName(added)
+    return (
+        versioning.corpus_diff(
+            docs, v2, "doc_id", ("text", "lang"), carry_cols=("lang",)
+        )
+        .groupBy("status", "lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("status", "lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -4216,3 +4216,47 @@ def test_seasonal_outliers_hand_computed(spark):
     assert all(out[d].residual == 0.0 and not out[d].is_outlier for d in sundays)
     with pytest.raises(ValueError):
         ts_ops.seasonal_outliers(ev, "ts", k=0)
+
+
+def test_corpus_diff_classification(spark):
+    """corpus_diff classifies added/removed/changed/unchanged, carries
+    group columns from the right side (falling back left for removed
+    rows), and the NULL sentinel keeps rows differing only in WHICH
+    column is NULL from colliding (concat_ws alone would drop nulls
+    and digest ('x', NULL) == (NULL, 'x'))."""
+    from hyper_storage_spark.operators import versioning
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha", "en"),
+            (2, "beta", "en"),
+            (3, "gamma", "de"),
+            (4, "x", None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha", "en"),          # unchanged
+            (2, "beta EDITED", "en"),    # changed text
+            (4, None, "x"),              # null moved columns -> changed
+            (5, "delta", "fr"),          # added
+        ],                                # 3 removed
+        "doc_id long, text string, lang string",
+    )
+    d = versioning.corpus_diff(
+        old, new, "doc_id", ("text", "lang"), carry_cols=("lang",)
+    )
+    got = {r.doc_id: (r.status, r.lang) for r in d.collect()}
+    assert got == {
+        1: ("unchanged", "en"),
+        2: ("changed", "en"),
+        3: ("removed", "de"),   # lang carried from the old side
+        4: ("changed", "x"),
+        5: ("added", "fr"),
+    }
+
+    s = versioning.corpus_diff_summary(old, new, "doc_id", ("text",))
+    counts = {r.status: r.n for r in s.collect()}
+    # by text alone, doc 4 flips: old 'x' vs new NULL is still changed
+    assert counts == {"unchanged": 1, "changed": 2, "removed": 1, "added": 1}
