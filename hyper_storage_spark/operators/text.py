@@ -417,6 +417,59 @@ def char_lm_score(
     )
 
 
+def ppl_buckets(
+    docs: DataFrame,
+    by_col: str = "lang",
+    n_buckets: int = 3,
+    n: int = 3,
+    top_k: int = 50_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document with the corpus-trained char-LM
+    (:func:`char_lm_score`), then split each ``by_col`` group (CCNet:
+    language) into equal-depth buckets by score — bucket 1 = 'head'
+    (most fluent, lowest perplexity), last = 'tail'. Downstream
+    mixing policies keep head+middle or re-weight by bucket.
+
+    Returns (id_col, by_col, n_grams, lm_score, bucket, bucket_label)
+    for every document with at least one full n-gram. Determinism:
+    the ntile order is (lm_score DESC, id_col) — lm_score is
+    bit-identical cross-engine (decimal gram sums, IEEE division), so
+    the equal-depth cut is exactly replayable.
+
+    Scale shape: scoring is one scan + one broadcast join
+    (char_lm_score); the ntile window shuffles (id, score) pairs on
+    ``by_col`` — group-sized partitions, slim rows. A group too big
+    for one partition's sort uses the documented alternative: cut on
+    APPROX percentiles of lm_score instead of ntile (one pass, no
+    per-group total order), trading exact equal depth for unbounded
+    group size."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    scored = char_lm_score(
+        docs.select(id_col, text_col), n=n, top_k=top_k, text_col=text_col, id_col=id_col
+    )
+    lab = scored.join(docs.select(id_col, by_col), id_col)
+    w = Window.partitionBy(by_col).orderBy(F.col("lm_score").desc(), F.col(id_col))
+    bucket = F.ntile(n_buckets).over(w)
+    label = (
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return lab.select(
+        id_col,
+        by_col,
+        "n_grams",
+        "lm_score",
+        bucket.alias("bucket"),
+        label.alias("bucket_label"),
+    )
+
+
 def collocations_topk(
     docs: DataFrame,
     k: int = 20,

@@ -5610,27 +5610,41 @@ def mv_rollup_coarsen(spark, sf_dir):
     )
 
 
+# The char-trigram LM replayed in SQL — ends in doc_scores with the
+# UNROUNDED per-doc mean log-prob (bit-identical cross-engine: decimal
+# gram sums, IEEE division), shared by text_lm_perplexity and
+# text_ppl_buckets so the score arithmetic cannot drift between them
+# (the _DSIR_CTES discipline).
+_CHAR_LM_CTES = """grams AS (
+  SELECT d.doc_id, substr(d.text, CAST(i AS INT), 3) AS g
+  FROM documents d,
+       UNNEST(range(1, greatest(length(d.text) - 1, 1))) AS t(i)
+),
+tot AS (SELECT COUNT(*) AS total FROM grams),
+model AS (
+  SELECT g, COUNT(*) AS cnt FROM grams GROUP BY g
+  ORDER BY cnt DESC, g LIMIT 50000
+),
+scored AS (
+  SELECT gr.doc_id,
+         CAST(ln(COALESCE(m.cnt, 0.5) / t.total) AS DECIMAL(20,10)) AS lp
+  FROM grams gr LEFT JOIN model m USING (g), tot t
+),
+doc_scores AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS lm_score
+  FROM scored GROUP BY doc_id
+)"""
+
+
 @register(
     "text_lm_perplexity",
-    """WITH grams AS (
-         SELECT d.doc_id, substr(d.text, CAST(i AS INT), 3) AS g
-         FROM documents d,
-              UNNEST(range(1, greatest(length(d.text) - 1, 1))) AS t(i)
-       ),
-       tot AS (SELECT COUNT(*) AS total FROM grams),
-       model AS (
-         SELECT g, COUNT(*) AS cnt FROM grams GROUP BY g
-         ORDER BY cnt DESC, g LIMIT 50000
-       ),
-       scored AS (
-         SELECT gr.doc_id,
-                CAST(ln(COALESCE(m.cnt, 0.5) / t.total) AS DECIMAL(20,10)) AS lp
-         FROM grams gr LEFT JOIN model m USING (g), tot t
-       )
-       SELECT doc_id, COUNT(*) AS n_grams,
-              CAST(ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
-                  AS lm_score
-       FROM scored GROUP BY doc_id""",
+    "WITH "
+    + _CHAR_LM_CTES
+    + """
+       SELECT doc_id, n_grams,
+              CAST(ROUND(lm_score, 6) AS DOUBLE) AS lm_score
+       FROM doc_scores""",
 )
 def text_lm_perplexity(spark, sf_dir):
     """Character-trigram LM quality score (operators/text.py
@@ -5650,6 +5664,52 @@ def text_lm_perplexity(spark, sf_dir):
         "doc_id",
         "n_grams",
         F.round("lm_score", 6).cast("double").alias("lm_score"),
+    )
+
+
+@register_extra(
+    "text_ppl_buckets",
+    "WITH "
+    + _CHAR_LM_CTES
+    + """,
+lab AS (
+  SELECT d.lang, ds.lm_score,
+         NTILE(3) OVER (PARTITION BY d.lang
+                        ORDER BY ds.lm_score DESC, ds.doc_id) AS nt
+  FROM doc_scores ds JOIN documents d USING (doc_id)
+)
+SELECT lang, nt AS bucket,
+       CASE nt WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END
+           AS bucket_label,
+       COUNT(*) AS n_docs,
+       CAST(ROUND(MIN(lm_score), 6) AS DOUBLE) AS min_score,
+       CAST(ROUND(MAX(lm_score), 6) AS DOUBLE) AS max_score
+FROM lab GROUP BY lang, nt ORDER BY lang, nt""",
+)
+def text_ppl_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity bucketing (operators/
+    text.py ppl_buckets; Wenzek et al. 2020): every language's
+    documents split into equal-depth head/middle/tail thirds by the
+    corpus-trained char-LM score — the standard crawl-quality
+    stratification a mixing policy consumes. Summarized per (lang,
+    bucket) with the score range. The oracle shares _CHAR_LM_CTES
+    with text_lm_perplexity (the score arithmetic cannot drift) and
+    replays the ntile cut on the identical (score DESC, doc_id)
+    total order — lm_score is bit-identical cross-engine, so the
+    equal-depth boundaries match exactly. Scale shape: scoring is a
+    scan + broadcast join; the window shuffles slim (id, score) rows
+    on lang; the docstring documents the approx-percentile cut for
+    groups too large to sort per-partition."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    lab = text.ppl_buckets(docs, by_col="lang", n_buckets=3)
+    return (
+        lab.groupBy("lang", "bucket", "bucket_label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("lm_score"), 6).cast("double").alias("min_score"),
+            F.round(F.max("lm_score"), 6).cast("double").alias("max_score"),
+        )
+        .orderBy("lang", "bucket")
     )
 
 

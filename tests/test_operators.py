@@ -4260,3 +4260,38 @@ def test_corpus_diff_classification(spark):
     counts = {r.status: r.n for r in s.collect()}
     # by text alone, doc 4 flips: old 'x' vs new NULL is still changed
     assert counts == {"unchanged": 1, "changed": 2, "removed": 1, "added": 1}
+
+
+def test_ppl_buckets_equal_depth_and_order(spark):
+    """ppl_buckets: equal-depth per-group thirds on the (score desc,
+    id) total order — recomputed independently from the returned
+    scores — garbled text lands in the tail, and n_buckets validates."""
+    import pytest
+
+    from hyper_storage_spark.operators import text as text_ops
+
+    fluent = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "the lazy dog sleeps near the quick river while the fox jumps",
+        "a brown fox and a lazy dog share the quiet river bank today",
+        "the dog and the fox rest near the brown river bank at dusk",
+        "quick foxes jump over lazy dogs near quiet river banks daily",
+    ]
+    garbled = "zq9#x@!kv%7jw^\x60pf&4um*"
+    rows = [(i, t, "en") for i, t in enumerate(fluent)] + [(99, garbled, "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = text_ops.ppl_buckets(docs, by_col="lang", n_buckets=3).collect()
+    assert len(out) == 6
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert {b: len(v) for b, v in by_bucket.items()} == {1: 2, 2: 2, 3: 2}
+    # independent replay of the cut: sort by (score desc, id), chunk
+    order = sorted(out, key=lambda r: (-r.lm_score, r.doc_id))
+    for i, r in enumerate(order):
+        assert r.bucket == i // 2 + 1, (r.doc_id, r.bucket)
+    labels = {r.bucket: r.bucket_label for r in out}
+    assert labels == {1: "head", 2: "middle", 3: "tail"}
+    assert any(r.doc_id == 99 and r.bucket_label == "tail" for r in out)
+    with pytest.raises(ValueError):
+        text_ops.ppl_buckets(docs, n_buckets=1)
