@@ -551,6 +551,71 @@ def embedding_lsh_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 10,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): cluster
+    the embeddings with k-means, then within each cluster drop every
+    vector whose cosine to ANY earlier (lower-id) vector of the same
+    cluster reaches ``tau``. The id order replaces the paper's
+    arbitrary index order, making the decision deterministic; like
+    the paper, earlier vectors suppress later ones whether or not
+    they were themselves kept — a one-pass rule, not greedy MIS, so
+    each vector's fate depends only on its prior set.
+
+    Returns (id_col, cluster, kept, max_prior_cos) for every input
+    vector; ``max_prior_cos`` is the max cosine to earlier same-
+    cluster vectors (−1.0 for the cluster's first vector), emitted so
+    a verifier can audit the decision without re-running the pruning.
+
+    Scale shape: k-means is the distributed part (linear passes,
+    k×d driver state); pruning runs per cluster in one
+    ``applyInPandas`` — a BLAS gram matrix in row blocks, O(c²·d)
+    flops but only O(block·c) memory per task. Cluster size c is a
+    SIZING parameter: the paper runs k ≈ n/⟨c⟩ so c stays bounded
+    (tens of thousands) at any corpus size — pass k accordingly; the
+    quadratic is per-cluster, never corpus-wide.
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    from .similarity import kmeans_clusters
+
+    assigned = kmeans_clusters(emb, k=k, seed=seed, id_col=id_col, vec_col=vec_col)
+    joined = assigned.join(emb.select(id_col, vec_col), id_col)
+    schema = f"{id_col} long, cluster int, kept boolean, max_prior_cos double"
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        n = len(pdf)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: cosine treated as 0
+        Xn = X / norms[:, None]
+        max_prior = np.full(n, -1.0)
+        block = 1024
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            gb = Xn[s:e] @ Xn[:e].T  # rows s..e vs ALL prior columns
+            for r in range(max(s, 1), e):
+                max_prior[r] = gb[r - s, :r].max()
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                "cluster": pdf["cluster"].values,
+                "kept": max_prior < tau,
+                "max_prior_cos": max_prior,
+            }
+        )
+
+    return joined.groupBy("cluster").applyInPandas(_prune, schema)
+
+
 def embedding_signature_index(
     emb: DataFrame,
     n_tables: int = 16,

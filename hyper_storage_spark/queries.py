@@ -4955,6 +4955,70 @@ def emb_kmeans_contract(spark, sf_dir):
     )
 
 
+@register_extra(
+    "emb_semantic_dedup_contract",
+    """SELECT COUNT(*) AS n_rows, true AS removal_sound, true AS keep_sound,
+              true AS cos_agree, true AS some_removed
+       FROM embeddings""",
+)
+def emb_semantic_dedup_contract(spark, sf_dir):
+    """SemDeDup (dedup.semantic_dedup) with an independently-verified
+    decision audit: the operator prunes via per-cluster numpy gram
+    blocks inside applyInPandas; the contract RECOMPUTES every
+    vector's max-cosine-to-earlier-same-cluster-vector through a
+    completely different path (a JVM expression equi-join on the
+    cluster id + zip_with/aggregate dot products) and asserts
+    (a) every removed vector really has a prior neighbor ≥ τ,
+    (b) every kept vector really has none, (c) the operator's
+    reported max_prior_cos agrees with the recomputation to 1e-9,
+    (d) the corpus actually contains removals at τ=0.4 (measured:
+    ~6-15% across the gate SFs). n_rows doubles as the partition-
+    completeness check: every input vector must be classified.
+    k-means assignments are not SQL-replayable, so this is a
+    contract entry (the emb_kmeans_contract precedent)."""
+    from .operators.similarity import _dot, _norm
+
+    tau = 0.4
+    emb = _t(spark, sf_dir, "embeddings")
+    res = dedup.semantic_dedup(emb, k=10, tau=tau, seed=7)
+    withv = res.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = withv.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cluster").alias("a_cl"),
+        F.col("embedding").alias("av"),
+        _norm(F.col("embedding")).alias("an"),
+    )
+    b = withv.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cluster").alias("b_cl"),
+        F.col("embedding").alias("bv"),
+        _norm(F.col("embedding")).alias("bn"),
+    )
+    cos = _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    prior = (
+        a.join(b, (F.col("a_cl") == F.col("b_cl")) & (F.col("a_id") < F.col("b_id")))
+        .select(F.col("b_id").alias("vec_id"), cos.alias("c"))
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("chk"))
+    )
+    checked = res.join(prior, "vec_id", "left").select(
+        "kept",
+        "max_prior_cos",
+        F.coalesce(F.col("chk"), F.lit(-1.0)).alias("chk"),
+    )
+    return checked.agg(
+        F.count("*").alias("n_rows"),
+        F.min(
+            F.when(~F.col("kept"), F.col("chk") >= tau).otherwise(F.lit(True))
+        ).alias("removal_sound"),
+        F.min(
+            F.when(F.col("kept"), F.col("chk") < tau).otherwise(F.lit(True))
+        ).alias("keep_sound"),
+        F.min(F.abs(F.col("chk") - F.col("max_prior_cos")) < 1e-9).alias("cos_agree"),
+        (F.sum((~F.col("kept")).cast("int")) > 0).alias("some_removed"),
+    )
+
+
 @register(
     "store_time_travel",
     """SELECT doc_id, lang, n_chars FROM documents

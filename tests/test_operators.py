@@ -4295,3 +4295,40 @@ def test_ppl_buckets_equal_depth_and_order(spark):
     assert any(r.doc_id == 99 and r.bucket_label == "tail" for r in out)
     with pytest.raises(ValueError):
         text_ops.ppl_buckets(docs, n_buckets=1)
+
+
+def test_semantic_dedup_one_pass_rule(spark):
+    """semantic_dedup pins the SemDeDup one-pass decision: earlier
+    vectors suppress later ones whether or not they were themselves
+    removed (NOT greedy MIS), the cluster's first vector is always
+    kept, zero vectors never divide by zero, and tau validates."""
+    import math
+
+    import pytest
+
+    from hyper_storage_spark.operators import dedup as dd
+
+    def rot(theta):  # unit vector at angle theta in the xy-plane
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    t1 = math.acos(0.98)
+    rows = [
+        (0, rot(0.0)),        # A: first -> kept
+        (1, rot(t1)),         # B: cos(A,B)=0.98 >= tau -> removed
+        (2, rot(2 * t1)),     # C: cos(B,C)=0.98, cos(A,C)=0.92 < tau
+                              #    -> removed BECAUSE OF removed B
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: cosine 0 -> kept
+        (4, [0.0, 0.0, 1.0, 0.0]),  # orthogonal -> kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in dd.semantic_dedup(emb, k=2, tau=0.97).collect()}
+    assert out[0].kept and out[0].max_prior_cos == -1.0
+    assert not out[1].kept and abs(out[1].max_prior_cos - 0.98) < 1e-9
+    assert not out[2].kept and abs(out[2].max_prior_cos - 0.98) < 1e-9
+    # {3, 4} form the second cluster: the zero vector is its first
+    # member; vec 4's only prior is the ZERO vector, so the zero-norm
+    # guard must yield cosine 0.0, not NaN
+    assert out[3].kept and out[3].max_prior_cos == -1.0
+    assert out[4].kept and abs(out[4].max_prior_cos) < 1e-12
+    with pytest.raises(ValueError):
+        dd.semantic_dedup(emb, k=2, tau=0.0)
