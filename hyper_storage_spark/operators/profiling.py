@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -115,6 +115,76 @@ def grouped_percentiles(
         for p in percentiles
     ]
     return df.groupBy(group_col).agg(*aggs)
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: Sequence[str] = (),
+    qs: Sequence[float] = (0.5,),
+    weight_dec: str = "decimal(20,6)",
+) -> DataFrame:
+    """EXACT weighted quantiles: per group, the smallest value v such
+    that the cumulative weight of all values ≤ v reaches q·W (the
+    lower weighted quantile — a real data point, not an
+    interpolation). The mixing-policy primitive: "the token-weighted
+    median quality score", "the byte-weighted p90 document length" —
+    places where every row counts proportionally to its tokens/bytes,
+    not once.
+
+    Exactness: weights are cast to DECIMAL before summing and q·W is
+    a decimal·decimal product, so the threshold comparison is exact
+    in any engine — no IEEE cumsum drift can flip the selected value.
+    Ties on the value are collapsed FIRST (groupBy value, sum weight),
+    so the cumulative order is a total order and the result does not
+    depend on intra-tie row order. q must have ≤ 6 decimal digits
+    (asserted) so its decimal literal is exact.
+
+    Scale shape: one shuffle to collapse (group, value) duplicates,
+    then a per-group cumulative window over DISTINCT values — bounded
+    by value cardinality, not row count (a 100 TB log with a
+    12-bit-quantized score column cumulates ≤ 4096 rows per group).
+    For unbounded-cardinality values in one giant group, quantize
+    first or use the approx-percentile sketch path; returns one row
+    per group with a p<q> column per requested quantile."""
+    from decimal import Decimal
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile must be in (0, 1], got {q}")
+        if Decimal(str(q)).as_tuple().exponent < -6:
+            raise ValueError(f"quantile needs <= 6 decimal digits, got {q}")
+
+    def _name(q: float) -> str:
+        return "p" + f"{q * 100:g}".replace(".", "_")
+
+    groups = list(group_cols)
+    g = (
+        df.groupBy(*groups, value_col)
+        .agg(F.sum(F.col(weight_col).cast(weight_dec)).alias("__w"))
+    )
+    cum_w = Window.partitionBy(*groups).orderBy(value_col)
+    tot_w = Window.partitionBy(*groups)
+    c = g.select(
+        *groups,
+        F.col(value_col),
+        F.sum("__w").over(cum_w).alias("__cw"),
+        F.sum("__w").over(tot_w).alias("__tw"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cw")
+                >= F.expr(f"CAST({Decimal(str(q))} AS DECIMAL(8,6))") * F.col("__tw"),
+                F.col(value_col),
+            )
+        ).alias(_name(q))
+        for q in qs
+    ]
+    return c.groupBy(*groups).agg(*aggs)
 
 
 def auc_binary(df: DataFrame, score_col: str, label_col: str) -> DataFrame:

@@ -6462,6 +6462,52 @@ def q_exact_percentiles(spark, sf_dir):
     )
 
 
+@register_extra(
+    "q_weighted_quantiles",
+    """WITH g AS (
+         SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,4)) AS v,
+                SUM(CAST(l_quantity AS DECIMAL(20,6))) AS w
+         FROM lineitem GROUP BY 1, 2
+       ),
+       c AS (
+         SELECT l_returnflag, v,
+                SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+                SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+         FROM g
+       )
+       SELECT l_returnflag,
+              CAST(ROUND(MIN(CASE WHEN cw >= CAST(0.5 AS DECIMAL(8,6)) * tw
+                                  THEN v END), 2) AS DOUBLE) AS p50,
+              CAST(ROUND(MIN(CASE WHEN cw >= CAST(0.9 AS DECIMAL(8,6)) * tw
+                                  THEN v END), 2) AS DOUBLE) AS p90
+       FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def q_weighted_quantiles(spark, sf_dir):
+    """EXACT weighted quantiles (operators/profiling.py
+    weighted_quantiles): per return flag, the quantity-weighted
+    median and p90 of extended price — the lower weighted quantile
+    (smallest value whose cumulative weight reaches q·W), with
+    DECIMAL weights so the threshold comparison is exact in both
+    engines and ties collapsed before cumulating so intra-tie row
+    order cannot matter. The mixing-policy primitive (token-weighted
+    medians) demonstrated on the densest table. Scale shape: one
+    (group, value) collapse shuffle, then a cumulative window over
+    DISTINCT values — cardinality-bounded, not row-bounded."""
+    from .operators import profiling
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast(DEC).alias("v"), "l_quantity"
+    )
+    out = profiling.weighted_quantiles(
+        li, "v", "l_quantity", group_cols=("l_returnflag",), qs=(0.5, 0.9)
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("p50", 2).cast("double").alias("p50"),
+        F.round("p90", 2).cast("double").alias("p90"),
+    ).orderBy("l_returnflag")
+
+
 @register(
     "q_auc_score",
     """WITH b AS (

@@ -133,3 +133,42 @@ def test_estimate_join_rows_system_r_and_range_overlap(analyzed):
     # un-analyzed side → None; un-analyzed field → None
     assert store.estimate_join_rows("coll~", "nosuch~", "a") is None
     assert store.estimate_join_rows("coll~", "other~", "zzz") is None
+
+
+def test_weighted_quantiles_hand_computed(spark):
+    """weighted_quantiles: lower weighted quantile against hand
+    arithmetic — tie collapse, exact q*W boundary (cum == threshold
+    selects that value), ungrouped mode, and validation."""
+    import pytest
+
+    from hyper_storage_spark.operators import profiling
+
+    # values 10,20,30 with collapsed weights 2,3,5 (W=10):
+    #  p50: threshold 5.0 -> cum(10)=2 <5, cum(20)=5 >=5 -> 20 (boundary)
+    #  p90: threshold 9.0 -> cum(30)=10 >=9 -> 30
+    #  p20: threshold 2.0 -> cum(10)=2 >=2 -> 10 (boundary again)
+    rows = [
+        ("a", 10, 1), ("a", 10, 1),           # tie rows collapse to w=2
+        ("a", 20, 3), ("a", 30, 5),
+        ("b", 1, 1), ("b", 2, 1), ("b", 3, 98),  # heavy tail wins
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    out = {
+        r.g: r
+        for r in profiling.weighted_quantiles(
+            df, "v", "w", group_cols=("g",), qs=(0.2, 0.5, 0.9)
+        ).collect()
+    }
+    assert (out["a"].p20, out["a"].p50, out["a"].p90) == (10, 20, 30)
+    # unweighted median would be 2; byte-weighting pulls it to 3
+    assert (out["b"].p50, out["b"].p90) == (3, 3)
+
+    glob = profiling.weighted_quantiles(df.filter("g = 'a'"), "v", "w", qs=(1.0,))
+    assert glob.collect()[0].p100 == 30
+
+    with pytest.raises(ValueError):
+        profiling.weighted_quantiles(df, "v", "w", qs=())
+    with pytest.raises(ValueError):
+        profiling.weighted_quantiles(df, "v", "w", qs=(0.1234567,))
+    with pytest.raises(ValueError):
+        profiling.weighted_quantiles(df, "v", "w", qs=(0.0,))
