@@ -211,6 +211,47 @@ def _pointer_path(mv_root: str) -> str:
     return os.path.join(mv_root, "_CURRENT")
 
 
+def _warn_if_anonymous(run_id: Optional[str], label: str) -> None:
+    """Construction-time warning shared by every foreachBatch state
+    sink here and in operators/sampling.py: with run_id=None the
+    replay guard cannot distinguish a replayed micro-batch from a NEW
+    query restarted on a fresh checkpoint (whose batch ids restart at
+    0), and will skip the new query's batches below the old
+    high-water mark."""
+    if run_id is None:
+        warnings.warn(
+            f"{label} has run_id=None: the replay guard cannot distinguish "
+            "a replayed micro-batch from a NEW query restarted on a fresh "
+            "checkpoint (whose batch ids restart at 0), and will skip the "
+            "new query's batches below the old high-water mark. Pass the "
+            "checkpoint location (or any stable per-pipeline token) as "
+            "run_id.",
+            stacklevel=3,
+        )
+
+
+def _is_replayed_batch(
+    cur: Optional[dict], batch_id: int, run_id: Optional[str], label: str
+) -> bool:
+    """The foreachBatch exactly-once guard: True iff this batch_id was
+    already applied under the same lineage (run_id) — the caller must
+    skip it, because re-applying a state merge would double-count.
+    Batches of an unrecognized run_id always apply (the guard can
+    only dedup within one checkpoint's id sequence — exactly Spark's
+    own foreachBatch contract)."""
+    if cur is not None and cur.get("run_id") == run_id and batch_id <= cur["batch_id"]:
+        if run_id is None:
+            warnings.warn(
+                f"{label}: skipping batch_id={batch_id} <= applied "
+                f"high-water {cur['batch_id']} with run_id=None — if this "
+                "query was restarted from a fresh checkpoint this skip is "
+                "DATA LOSS; pass run_id to disambiguate lineage.",
+                stacklevel=3,
+            )
+        return True
+    return False
+
+
 def _read_pointer(mv_root: str) -> Optional[dict]:
     try:
         with open(_pointer_path(mv_root), "r", encoding="utf-8") as fh:
@@ -304,34 +345,12 @@ def streaming_rollup(
     below the old high-water mark. That is data loss, so a None
     run_id warns at construction, and each anonymous skip warns
     again naming the colliding batch_id."""
-    if run_id is None:
-        warnings.warn(
-            f"streaming_rollup(mv_root={mv_root!r}) has run_id=None: the "
-            "replay guard cannot distinguish a replayed micro-batch from a "
-            "NEW query restarted on a fresh checkpoint (whose batch ids "
-            "restart at 0), and will skip the new query's batches below the "
-            "old high-water mark. Pass the checkpoint location (or any "
-            "stable per-pipeline token) as run_id.",
-            stacklevel=2,
-        )
+    _warn_if_anonymous(run_id, f"streaming_rollup(mv_root={mv_root!r})")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(mv_root, exist_ok=True)
         cur = _read_pointer(mv_root)
-        if (
-            cur is not None
-            and cur.get("run_id") == run_id
-            and batch_id <= cur["batch_id"]
-        ):
-            if run_id is None:
-                warnings.warn(
-                    f"streaming_rollup({mv_root!r}): skipping batch_id="
-                    f"{batch_id} <= applied high-water {cur['batch_id']} with "
-                    "run_id=None — if this query was restarted from a fresh "
-                    "checkpoint this skip is DATA LOSS; pass run_id to "
-                    "disambiguate lineage.",
-                    stacklevel=2,
-                )
+        if _is_replayed_batch(cur, batch_id, run_id, f"streaming_rollup({mv_root!r})"):
             return  # replay of an already-applied micro-batch
         delta = rollup_partials(
             batch_df,

@@ -600,3 +600,106 @@ def temporal_embargo_split(
         )
         .drop("__first_test_ts")
     )
+
+
+def streaming_uniform_sample(
+    state_root: str,
+    id_col: str = "event_id",
+    payload_cols: "Sequence[str]" = (),
+    k: int = 256,
+    salt: str = "smp",
+    run_id: "Optional[str]" = None,
+):
+    """``foreachBatch`` sink maintaining a DETERMINISTIC uniform
+    sample of everything the stream has ever delivered — the
+    monitoring face of sampling: eyeball k documents of an infinite
+    ingest, feed a drift detector, or seed a quality audit, without
+    retaining the stream.
+
+    Rather than a random reservoir (whose contents depend on arrival
+    order and RNG state, so no two runs agree), the sample is
+    BOTTOM-K BY HASH: every row draws the md5 order key
+    ``md5(salt:id)`` and the k smallest keys win. bottom-k(A ∪ B) ≡
+    bottom-k(bottom-k(A) ∪ B), so folding each micro-batch's local
+    bottom-k into the persisted state is EXACT — after any prefix of
+    the stream, the state equals the batch bottom-k over all rows so
+    far, which is what makes the catalog entry's SQL oracle possible
+    (rollup_mv's sample_col discipline, promoted to a standalone
+    corpus-wide sample).
+
+    State is one ≤ k-row parquet behind a tmp+rename pointer flip
+    with the shared replayed-batch guard (operators/rollup_mv.py):
+    re-delivered micro-batches are skipped by recorded batch_id, so
+    at-least-once foreachBatch cannot re-merge. Ids must be unique
+    across the stream (exact duplicate rows are dropped by a
+    distinct() on the k-bounded union; two rows sharing an id with
+    DIFFERENT payloads would both qualify and are the caller's
+    upstream dedup problem — documented, not hidden).
+
+    Scale shape: per batch, one TakeOrdered(k) over the batch (no
+    full sort — Spark plans orderBy+limit as a partial top-k) plus a
+    union with ≤ k state rows; state size is k rows forever, and the
+    driver never sees row data. Read back with
+    :func:`read_uniform_sample`.
+    """
+    import os
+
+    from .rollup_mv import (
+        _flip_pointer,
+        _is_replayed_batch,
+        _read_pointer,
+        _warn_if_anonymous,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    label = f"streaming_uniform_sample({state_root!r})"
+    _warn_if_anonymous(run_id, label)
+    payload = list(payload_cols)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(state_root, exist_ok=True)
+        cur = _read_pointer(state_root)
+        if _is_replayed_batch(cur, batch_id, run_id, label):
+            return
+        ordk = F.md5(
+            F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+        ).alias("__ord")
+        bk = (
+            batch_df.select(F.col(id_col), *[F.col(c) for c in payload], ordk)
+            .orderBy("__ord", id_col)
+            .limit(k)
+        )
+        if cur is not None:
+            prev = batch_df.sparkSession.read.parquet(
+                os.path.join(state_root, cur["path"])
+            )
+            merged = (
+                prev.unionByName(bk).distinct().orderBy("__ord", id_col).limit(k)
+            )
+            version = cur["version"] + 1
+        else:
+            merged = bk
+            version = 1
+        rel = f"v{version:06d}"
+        merged.write.mode("overwrite").parquet(os.path.join(state_root, rel))
+        _flip_pointer(
+            state_root,
+            {"version": version, "batch_id": batch_id, "path": rel, "run_id": run_id},
+        )
+
+    return apply_batch
+
+
+def read_uniform_sample(spark, state_root: str) -> DataFrame:
+    """Current contents of a :func:`streaming_uniform_sample` state
+    dir (≤ k rows, including the ``__ord`` hash key). Raises if no
+    batch has committed yet."""
+    import os
+
+    from .rollup_mv import _read_pointer
+
+    cur = _read_pointer(state_root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed sample state under {state_root}")
+    return spark.read.parquet(os.path.join(state_root, cur["path"]))

@@ -4264,6 +4264,49 @@ def q_stream_window_counts(spark, sf_dir):
     )
 
 
+_STREAM_SAMPLE_RESULTS: dict[str, DataFrame] = {}
+
+
+@register_extra(
+    "q_stream_uniform_sample",
+    """SELECT event_id, event_type FROM events
+       ORDER BY md5('smp:' || event_id), event_id LIMIT 256""",
+)
+def q_stream_uniform_sample(spark, sf_dir):
+    """Streaming deterministic uniform sample (operators/sampling.py
+    streaming_uniform_sample): the events table replayed through a
+    real readStream into the bottom-k-by-hash foreachBatch sink, then
+    the persisted ≤256-row state read back — and it must equal the
+    SQL bottom-k over the entire table, because bottom-k(A∪B) ≡
+    bottom-k(bottom-k(A)∪B) makes the incremental fold exact after
+    any prefix. The only streaming sample with a full-value oracle:
+    a random reservoir could never be gated this way. Memoized per
+    (session, sf_dir) like the other stream entries."""
+    import tempfile
+
+    df = _STREAM_SAMPLE_RESULTS.get(sf_dir)
+    if df is None:
+        _, stream = _events_stream(spark, sf_dir, prefix="hs_stream_smp_")
+        state = tempfile.mkdtemp(prefix="hs_smp_state_")
+        sink = sampling.streaming_uniform_sample(
+            state,
+            id_col="event_id",
+            payload_cols=("event_type",),
+            k=256,
+            run_id=state,
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_smp_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+        df = sampling.read_uniform_sample(spark, state)
+        _STREAM_SAMPLE_RESULTS[sf_dir] = df
+    return df.select("event_id", "event_type").orderBy("event_id")
+
+
 @register(
     "q_stream_session_windows",
     """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -1214,3 +1214,71 @@ def test_streaming_dsir_scoring_matches_bulk(spark, tmp_path, sf_dir):
         ).collect()
     }
     assert streamed == bulk
+
+
+def test_streaming_uniform_sample_equals_batch_bottomk(spark, tmp_path):
+    """The bottom-k-by-hash sample after a 3-micro-batch stream must
+    equal the batch bottom-k over ALL rows (the merge identity), and
+    a replayed batch id must be skipped, leaving state untouched."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import sampling
+
+    src = tmp_path / "smpsrc"
+    src.mkdir()
+    all_rows = spark.range(300).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("event_type"),
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([("event_id", pa.int64()), ("event_type", pa.string())])
+    for i in range(3):
+        rows = [
+            {"event_id": n, "event_type": f"t{n % 3}"}
+            for n in range(300)
+            if n % 3 == i
+        ]
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), str(src / f"f{i}.parquet"))
+    stream = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "smpstate")
+    sink = sampling.streaming_uniform_sample(
+        state, id_col="event_id", payload_cols=("event_type",), k=20, run_id="t"
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "smpckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sampling.read_uniform_sample(spark, state)
+    expect = (
+        all_rows.withColumn(
+            "__ord",
+            F.md5(F.concat_ws(":", F.lit("smp"), F.col("event_id").cast("string"))),
+        )
+        .orderBy("__ord", "event_id")
+        .limit(20)
+    )
+    g = sorted((r.event_id, r.event_type) for r in got.collect())
+    e = sorted((r.event_id, r.event_type) for r in expect.collect())
+    assert g == e and len(g) == 20
+
+    # replayed batch id (same lineage): state version must not advance
+    from hyper_storage_spark.operators.rollup_mv import _read_pointer
+
+    v_before = _read_pointer(state)["version"]
+    sink(all_rows.limit(5), 0)
+    assert _read_pointer(state)["version"] == v_before
+
+    # a NEW batch id merges; exact duplicate rows cannot double-enter
+    sink(all_rows.limit(5), 99)
+    after = sampling.read_uniform_sample(spark, state)
+    assert sorted((r.event_id, r.event_type) for r in after.collect()) == e
