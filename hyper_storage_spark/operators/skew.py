@@ -138,11 +138,20 @@ def skew_report(df: DataFrame, keys: list[str], k: int = 10) -> DataFrame:
     )
     top = counts.orderBy(F.col("n").desc(), *keys).limit(k)
     skew_factor = F.col("n") * F.col("__nkeys") / F.col("__total")
+    # the two reported ratios are rounded by EXACT integer half-up
+    # (floor((2·x·scale + t) / 2t)), not ROUND on a double: a ratio
+    # landing on a half boundary (1.005 at sf0.001) rounds through the
+    # shortest-decimal repr in Spark but through the binary value in
+    # DuckDB, and the two disagree. Integer arithmetic caps n at
+    # ~4.6e12 rows per key before bigint overflow — far beyond any
+    # per-key count this diagnostic would ever report.
+    share4 = F.expr("(n * CAST(2000000 AS BIGINT) + __total) div (2 * __total)")
+    skew2 = F.expr("(n * __nkeys * CAST(200 AS BIGINT) + __total) div (2 * __total)")
     return top.crossJoin(F.broadcast(totals)).select(
         *keys,
         "n",
-        F.round(F.col("n") * 100.0 / F.col("__total"), 4).alias("share_pct"),
-        F.round(skew_factor, 2).alias("skew_factor"),
+        (share4.cast("double") / F.lit(10_000.0)).alias("share_pct"),
+        (skew2.cast("double") / F.lit(100.0)).alias("skew_factor"),
         F.when(skew_factor <= 2.0, F.lit(1))
         .otherwise(F.least(F.ceil(skew_factor), F.lit(1024)))
         .cast("int")

@@ -1885,8 +1885,10 @@ def q_skew_salted_agg(spark, sf_dir):
        ),
        totals AS (SELECT SUM(n) AS total, COUNT(*) AS nkeys FROM counts)
        SELECT event_type, n,
-              ROUND(CAST(n AS DOUBLE) * 100.0 / total, 4) AS share_pct,
-              ROUND(CAST(n AS DOUBLE) * nkeys / total, 2) AS skew_factor,
+              CAST((n * 2000000 + total) // (2 * total) AS DOUBLE) / 10000.0
+                  AS share_pct,
+              CAST((n * nkeys * 200 + total) // (2 * total) AS DOUBLE) / 100.0
+                  AS skew_factor,
               CAST(CASE WHEN CAST(n AS DOUBLE) * nkeys / total <= 2.0 THEN 1
                         ELSE LEAST(CAST(CEIL(CAST(n AS DOUBLE) * nkeys / total) AS BIGINT), 1024)
                    END AS INTEGER) AS suggested_salt
@@ -4583,29 +4585,48 @@ def q_cohort_retention(spark, sf_dir):
 )
 def q_approx_percentile_contract(spark, sf_dir):
     """Quantile-sketch surface with an honest gate (the
-    q_approx_distinct_contract pattern for percentile_approx):
-    per-group approximate p50/p99 must land within 2% of the group's
-    value RANGE of the exact interpolated percentile, computed
-    in-plan. At 100 TB the sketch is the only viable path — bounded
-    per-group state and mergeable partials vs a per-group sort; the
-    exact percentile twin is also emitted and oracle-matched, so the
-    row checks both the exact algebra and the sketch's bound."""
+    q_approx_distinct_contract pattern for percentile_approx), stated
+    in the sketch's OWN terms: Greenwald–Khanna guarantees the
+    returned element's rank window [count(<a)+1, count(≤a)] overlaps
+    q·n ± εn (ε = 1/accuracy), so the gate recomputes both counts
+    in-plan and asserts exactly that, ±1 for rank-definition
+    discretization. A value-distance band was the previous gate and
+    mis-fired at sf0.001: with 200 rows/group the sketch legally
+    returns an exact order statistic whose DISTANCE to the
+    interpolated p99 is one tail gap — large in value, zero in rank.
+    The rank gate is scale-free: it is the contract GK actually
+    makes at n=200 and at 100 TB alike. The exact percentile twins
+    are still emitted and oracle-matched."""
     e = _t(spark, sf_dir, "events")
+    acc = 10_000
     agg = e.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_exact"),
-        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("a50"),
-        F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("a99"),
-        F.min("value").alias("mn"),
-        F.max("value").alias("mx"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("a50"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(acc)).alias("a99"),
+        F.count("value").alias("n"),
     )
-    tol = (F.col("mx") - F.col("mn")) * 0.02
-    return agg.select(
+    j = e.select("event_type", "value").join(F.broadcast(agg), "event_type")
+    chk = j.groupBy(
+        "event_type", "p50_exact", "p99_exact", "n", "a50", "a99"
+    ).agg(
+        F.sum((F.col("value") <= F.col("a50")).cast("long")).alias("le50"),
+        F.sum((F.col("value") < F.col("a50")).cast("long")).alias("lt50"),
+        F.sum((F.col("value") <= F.col("a99")).cast("long")).alias("le99"),
+        F.sum((F.col("value") < F.col("a99")).cast("long")).alias("lt99"),
+    )
+
+    def rank_ok(q, le, lt):
+        target = F.col("n") * F.lit(q)
+        slack = F.col("n") * F.lit(1.0 / acc) + F.lit(1.0)
+        return (F.col(le) >= target - slack) & (F.col(lt) + 1 <= target + slack)
+
+    return chk.select(
         "event_type",
         "p50_exact",
         "p99_exact",
-        (F.abs(F.col("a50") - F.col("p50_exact")) <= tol).alias("p50_ok"),
-        (F.abs(F.col("a99") - F.col("p99_exact")) <= tol).alias("p99_ok"),
+        rank_ok(0.5, "le50", "lt50").alias("p50_ok"),
+        rank_ok(0.99, "le99", "lt99").alias("p99_ok"),
     )
 
 
@@ -5453,7 +5474,9 @@ def q_bloom_prejoin(spark, sf_dir):
               CAST(ROUND(SUM(v), 2) AS DOUBLE) AS total,
               CAST(ROUND(MIN(v), 4) AS DOUBLE) AS vmin,
               CAST(ROUND(MAX(v), 4) AS DOUBLE) AS vmax,
-              CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(v), 4) AS DOUBLE)
+              CAST((CAST(SUM(v) * 1000000 AS HUGEINT) * 20000
+                    + COUNT(v) * 1000000)
+                   // (COUNT(v) * 2000000) AS DOUBLE) / 10000.0
                   AS avg_value
        FROM e GROUP BY 1, 2""",
 )
@@ -5466,7 +5489,14 @@ def mv_incremental_rollup(spark, sf_dir):
     merged result must equal the oracle's direct aggregation over ALL
     events (merge(partials(A), partials(B)) ≡ partials(A ∪ B)); at
     100 TB the refresh cost is delta + touched buckets, never a
-    rescan of the full MV."""
+    rescan of the full MV. avg_value is rounded by EXACT integer
+    half-up (floor((2·sum·10¹⁰ + n·10⁶)/(2n·10⁶)) on the decimal
+    sum's integer micros) instead of ROUND on the double quotient:
+    power-of-two bucket counts make the quotient TERMINATE, so
+    4-decimal half boundaries (307.03/8 = 38.37875 at sf0.001) are
+    systematic, and Spark (shortest-decimal) vs DuckDB (binary)
+    round them apart. Positive domain: Spark `div` truncates,
+    DuckDB `//` floors — identical only because value ≥ 0."""
     from .operators import rollup_mv
 
     e = _t(spark, sf_dir, "events").select(
@@ -5476,6 +5506,11 @@ def mv_incremental_rollup(spark, sf_dir):
     base = rollup_mv.rollup_partials(e.filter(F.col("ts") < cutoff), "ts", ["event_type"], "v")
     delta = rollup_mv.rollup_partials(e.filter(F.col("ts") >= cutoff), "ts", ["event_type"], "v")
     mv = rollup_mv.rollup_finalize(rollup_mv.rollup_merge(base, delta, ["event_type"]))
+    avg4 = F.expr(
+        "(CAST(total * 1000000 AS DECIMAL(38,0)) * 20000"
+        " + CAST(n AS DECIMAL(38,0)) * 1000000)"
+        " div (CAST(n AS DECIMAL(38,0)) * 2000000)"
+    )
     return mv.select(
         "event_type",
         "bucket_start",
@@ -5483,7 +5518,7 @@ def mv_incremental_rollup(spark, sf_dir):
         F.round("total", 2).cast("double").alias("total"),
         F.round("vmin", 4).cast("double").alias("vmin"),
         F.round("vmax", 4).cast("double").alias("vmax"),
-        F.round("avg", 4).cast("double").alias("avg_value"),
+        (avg4.cast("double") / F.lit(10_000.0)).alias("avg_value"),
     )
 
 
@@ -5840,11 +5875,16 @@ def mv_rollup_quantile_contract(spark, sf_dir):
     a reservoir, which needs sampler state. Contracts per
     (event_type, day), all in-plan: (a) the base+delta MERGED
     sample's p50 must EQUAL the single-pass sample's p50 — the exact
-    mergeability the MV depends on; (b) the sample p50 must land
-    within 10% of the bucket's value range of the exact interpolated
-    median (k=128; measured max deviation 3.0% at sf0.1, 1.3% at
-    sf0.01 — the band is 3× the observed worst case and the draw is
-    a pure content hash, so the margin cannot drift run-to-run)."""
+    mergeability the MV depends on; (b) buckets with n ≤ k carry the
+    WHOLE bucket as their sample, so the estimator must EQUAL the
+    exact nearest-rank median (decimal positional equality — the
+    sf0.001 tiny-bucket case, where an interpolated-median band is
+    the wrong yardstick and flagged a correct answer); larger buckets
+    must land within 10% of the bucket's value range of the exact
+    interpolated median (k=128; measured max deviation 3.0% at
+    sf0.1, 1.3% at sf0.01 — the band is 3× the observed worst case
+    and the draw is a pure content hash, so the margin cannot drift
+    run-to-run)."""
     from .operators import rollup_mv
 
     e = _t(spark, sf_dir, "events").select(
@@ -5873,6 +5913,11 @@ def mv_rollup_quantile_contract(spark, sf_dir):
     ).agg(
         F.percentile(F.col("v").cast("double"), F.lit(0.5)).alias("p50_exact"),
         (F.max("v") - F.min("v")).cast("double").alias("rng"),
+        F.count("v").alias("bn"),
+        F.element_at(
+            F.array_sort(F.collect_list("v")),
+            F.ceil(F.count("v") * F.lit(0.5)).cast("int"),
+        ).alias("nr50"),
     )
     grain = ["event_type", "bucket_start"]
     return (
@@ -5882,10 +5927,12 @@ def mv_rollup_quantile_contract(spark, sf_dir):
             *grain,
             F.round("p50_exact", 6).cast("double").alias("p50_exact"),
             (F.col("p50_m") == F.col("p50_d")).alias("merge_consistent"),
-            (
+            F.when(F.col("bn") <= 128, F.col("p50_m") == F.col("nr50"))
+            .otherwise(
                 F.abs(F.col("p50_m").cast("double") - F.col("p50_exact"))
                 <= F.col("rng") * 0.10
-            ).alias("within_band"),
+            )
+            .alias("within_band"),
         )
     )
 
@@ -7723,7 +7770,7 @@ def q_rfm_segments(spark, sf_dir):
        h AS (SELECT hour, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
        SELECT c.hour, h.tot AS n_events,
               ROUND(-SUM((CAST(c.n AS DOUBLE) / h.tot)
-                         * ln(CAST(c.n AS DOUBLE) / h.tot)), 6) AS mix_entropy
+                         * ln(CAST(c.n AS DOUBLE) / h.tot)) + 0.0, 6) AS mix_entropy
        FROM c JOIN h USING (hour)
        GROUP BY 1, 2""",
 )
@@ -7732,7 +7779,10 @@ def q_hourly_mix_entropy(spark, sf_dir):
     event-type distribution — the mix-shift monitor (entropy collapse
     = one event type flooding the hour: an incident signature counts
     alone miss). Exact hourly counts, probabilities as exact-integer
-    ratios, one ≤|types|-term log sum per hour rounded to 6. Two
+    ratios, one ≤|types|-term log sum per hour rounded to 6; the
+    ``+ 0.0`` normalizes the IEEE −0.0 a single-type hour produces
+    (−(1·ln 1) negates a positive zero; engines disagree on printing
+    the sign, surfaced by the sf0.001 sweep). Two
     grouped reductions + an hour-keyed join; nothing global."""
     ev = _t(spark, sf_dir, "events")
     c = ev.groupBy(
@@ -7743,7 +7793,7 @@ def q_hourly_mix_entropy(spark, sf_dir):
     return (
         c.join(h, "hour")
         .groupBy("hour", "tot")
-        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("mix_entropy"))
+        .agg(F.round(-F.sum(p * F.log(p)) + F.lit(0.0), 6).alias("mix_entropy"))
         .select("hour", F.col("tot").alias("n_events"), "mix_entropy")
     )
 
