@@ -422,6 +422,55 @@ def link_core_growth(scopes=(300, 1200, 4800)) -> None:
     print("# link/core smoke done")
 
 
+def semdedup_growth(scales=(1, 10)) -> None:
+    """SemDeDup at corpus-replica growth: each scale replicates the
+    sf0.1 embeddings with fresh ids (replicas are EXACT duplicates of
+    their source vector, cosine 1.0), and k scales with the corpus to
+    hold the mean cluster size near 500 — the paper's sizing rule
+    that keeps the per-cluster O(c²·d) gram work flat. Checks:
+    (a) wall growth stays near-linear (a corpus-wide quadratic would
+    show ~scale²); (b) the duplicate structure is actually found —
+    every replica beyond a vector's first surviving copy has
+    max_prior_cos ≈ 1.0, so kept plateaus near the 1× count."""
+    from hyper_storage_spark.operators import dedup
+    from hyper_storage_spark.operators._caches import release_tracked_caches
+    from hyper_storage_spark.session import get_spark
+    from hyper_storage_spark.sources.tables import load_table
+
+    spark = get_spark("scale_smoke_semdedup")
+    tmp = tempfile.mkdtemp(prefix="scale_smoke_semdedup_")
+    emb1 = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    base_wall = base_kept = None
+
+    for s in scales:
+        union = None
+        for r in range(s):
+            part = emb1.select(
+                (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"), "embedding"
+            )
+            union = part if union is None else union.unionAll(part)
+        path = f"{tmp}/emb{s}x"
+        union.write.mode("overwrite").parquet(path)
+        emb = spark.read.parquet(path)
+        n = emb.count()
+        k = max(2, n // 500)
+
+        t0 = time.time()
+        res = dedup.semantic_dedup(emb, k=k, tau=0.95)
+        kept = res.filter("kept").count()
+        wall = time.time() - t0
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        g = ""
+        if base_wall is not None:
+            g = f" growth={wall / base_wall:.2f}x kept_vs_1x={kept / base_kept:.2f}x"
+        else:
+            base_wall, base_kept = wall, kept
+        print(f"# semdedup n={n} k={k} kept={kept} wall={wall:.2f}s{g}")
+        release_tracked_caches()
+    print("# semdedup smoke done")
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "storerollup":
         store_rollup_modes(int(sys.argv[2]) if len(sys.argv) > 2 else 5000)
@@ -432,6 +481,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "graphfuzzy":
         graph_fuzzy(
             tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (500, 2000, 8000)
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
+        semdedup_growth(
+            tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (1, 10)
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivfpq":
