@@ -57,6 +57,14 @@ HEADLINE = [
     # driver-loop-iteration class the headline set did not yet time;
     # quiet-box canonical row in SCALE.md
     "text_bpe_merges",
+    # round-10 second-half additions: the digest-only snapshot diff
+    # (slim full-outer join class — nothing in the headline timed a
+    # payload-free wide join before) and CCNet perplexity bucketing
+    # (char-LM scoring + per-group ntile window). Canonical rows
+    # derived from the refreshed noise_bands_r10 sweep, noise-
+    # normalized per SCALE.md §"Canonical honest per-query baseline"
+    "q_corpus_diff",
+    "text_ppl_buckets",
 ]
 
 
@@ -146,6 +154,10 @@ CANONICAL_SEC = {
     "ann_ivfpq_raw": 2.014,
     "graph_pagerank": 3.653,
     "text_bpe_merges": 6.412,
+    # round-10 second-half additions, from the refreshed quiet-box
+    # sweep (noise_bands_r10.json: end-sentinel noise 0.81, min-of-6)
+    "q_corpus_diff": 0.378,
+    "text_ppl_buckets": 6.856,
 }
 
 
