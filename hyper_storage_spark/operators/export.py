@@ -196,3 +196,262 @@ def verify_training_shards(
     if manifest["total_rows"] != sum(s["n_rows"] for s in ordered):
         return False, "total_rows does not match shard sum"
     return True, None
+
+
+# --------------------------------------------------------------------------
+# WebDataset tar shards — the multimodal training-data delivery format
+# --------------------------------------------------------------------------
+
+_WDS_MANIFEST = "wds_manifest.json"
+
+
+def _wds_digest_update(h, name: str, payload: bytes) -> None:
+    # length-prefixed so (name, payload) framing is unambiguous
+    h.update(len(name).to_bytes(4, "big"))
+    h.update(name.encode("utf-8"))
+    h.update(len(payload).to_bytes(8, "big"))
+    h.update(payload)
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    key_col: str,
+    columns: dict,
+    seed: int = 0,
+) -> dict:
+    """Export samples as WebDataset tar shards: ``n_shards`` tar files
+    whose members are named ``{key}.{ext}`` with consecutive members
+    of one key forming a sample — the layout multimodal data loaders
+    (webdataset/tarp) stream sequentially, which is the whole point:
+    a trainer reads big contiguous tars, never 10⁹ small files.
+
+    ``columns`` maps column → member extension (e.g. ``{"text":
+    "txt", "meta": "json", "image": "png"}``): binary columns are
+    written raw, strings as UTF-8, anything else as its JSON literal.
+    Samples are hash-sharded by xxhash64(key) (deterministic,
+    balanced, retry-invariant) and ordered INSIDE each shard by the
+    seeded content-hash shuffle order — so the byte stream of every
+    shard is a pure function of (content, seed), and re-running the
+    export bit-reproduces it. That determinism is what the manifest
+    pins: per shard, sample count, payload bytes, and an
+    ORDER-SENSITIVE sha256 over the length-prefixed (member name,
+    payload) stream; :func:`verify_webdataset_shards` recomputes all
+    three from the tars alone.
+
+    Scale shape: one narrow projection + hash partition; each shard
+    is written by exactly ONE task (groupBy shard → applyInPandas),
+    streaming members through the stdlib tar writer — executor-local
+    sequential IO, no driver data path, no shuffle of anything wider
+    than the sample payloads themselves. On an object store, point
+    ``out_dir`` at the mounted bucket or swap the open() for a
+    multipart upload; the layout and manifest are unchanged. Shard
+    tasks are independent, so stragglers/retries re-write their own
+    tar atomically (tmp + rename) without touching the rest.
+    """
+    import hashlib
+    import io
+    import json as _json
+    import tarfile
+
+    import pandas as pd
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if not columns:
+        raise ValueError("columns must map at least one column to an extension")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    binary_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "binary"}
+    string_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "string"}
+    col_list = list(columns)
+
+    shuffled = seeded_shuffle(df, key_col, seed=seed, ord_col="__ord")
+    with_shard = shuffled.select(
+        F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.lit(n_shards))
+        .cast("int")
+        .alias("__shard"),
+        F.col(key_col).cast("string").alias("__key"),
+        F.col("__ord"),
+        *[F.col(c) for c in col_list],
+    )
+
+    def _payload(col: str, v) -> bytes:
+        if v is None:
+            return b""
+        if col in binary_cols:
+            return bytes(v)
+        if col in string_cols:
+            return str(v).encode("utf-8")
+        return _json.dumps(v, sort_keys=True, default=str).encode("utf-8")
+
+    def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ord", "__key"]).reset_index(drop=True)
+        shard = int(pdf["__shard"].iloc[0])
+        name = f"shard-{shard:05d}.tar"
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        h = hashlib.sha256()
+        n_bytes = 0
+        with tarfile.open(tmp, "w") as tf:
+            for _, row in pdf.iterrows():
+                for c in col_list:
+                    member = f"{row['__key']}.{columns[c]}"
+                    payload = _payload(c, row[c])
+                    info = tarfile.TarInfo(member)
+                    info.size = len(payload)
+                    info.mtime = 0  # fixed: tar bytes must be reproducible
+                    tf.addfile(info, io.BytesIO(payload))
+                    _wds_digest_update(h, member, payload)
+                    n_bytes += len(payload)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "file": [name],
+                "n_samples": [len(pdf)],
+                "n_bytes": [n_bytes],
+                "digest": [h.hexdigest()],
+            }
+        )
+
+    manifest_rows = (
+        with_shard.groupBy("__shard")
+        .applyInPandas(
+            _write_shard,
+            "shard int, file string, n_samples long, n_bytes long, digest string",
+        )
+        .collect()
+    )
+    manifest = {
+        "format": "webdataset",
+        "n_shards": n_shards,
+        "key_col": key_col,
+        "columns": {c: columns[c] for c in col_list},
+        "seed": seed,
+        "shards": sorted(
+            (
+                {
+                    "shard": r.shard,
+                    "file": r.file,
+                    "n_samples": r.n_samples,
+                    "n_bytes": r.n_bytes,
+                    "digest": r.digest,
+                }
+                for r in manifest_rows
+            ),
+            key=lambda d: d["shard"],
+        ),
+    }
+    with open(os.path.join(out_dir, _WDS_MANIFEST), "w", encoding="utf-8") as fh:
+        _json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+def verify_webdataset_shards(spark: SparkSession, out_dir: str) -> dict:
+    """Re-derive every shard's (n_samples, n_bytes, order-sensitive
+    digest) from the tar bytes alone and compare to the manifest.
+    Any missing/extra/reordered/altered member fails — tar member
+    ORDER is part of the contract (loaders stream sequentially), so
+    unlike the parquet shards' order-insensitive sums, this digest is
+    a running hash. Returns {"ok": bool, "mismatches": [...]} —
+    verification is one task per shard, embarrassingly parallel."""
+    import hashlib
+    import json as _json
+    import tarfile
+
+    import pandas as pd
+
+    with open(os.path.join(out_dir, _WDS_MANIFEST), "r", encoding="utf-8") as fh:
+        manifest = _json.load(fh)
+    ext_per_sample = len(manifest["columns"])
+    files = [(s["file"],) for s in manifest["shards"]]
+
+    def _check(pdfs):
+        for pdf in pdfs:
+            out = []
+            for fname in pdf["file"]:
+                h = hashlib.sha256()
+                n_bytes = 0
+                n_members = 0
+                try:
+                    with tarfile.open(os.path.join(out_dir, fname), "r") as tf:
+                        for m in tf:
+                            payload = tf.extractfile(m).read() if m.size else b""
+                            _wds_digest_update(h, m.name, payload)
+                            n_bytes += len(payload)
+                            n_members += 1
+                    out.append((fname, n_members, n_bytes, h.hexdigest(), None))
+                except (OSError, tarfile.TarError) as ex:
+                    out.append((fname, 0, 0, "", f"{type(ex).__name__}: {ex}"))
+            yield pd.DataFrame(
+                out, columns=["file", "n_members", "n_bytes", "digest", "err"]
+            )
+
+    got = {
+        r.file: r
+        for r in spark.createDataFrame(files, "file string")
+        .repartition(max(1, len(files)))
+        .mapInPandas(
+            _check,
+            "file string, n_members long, n_bytes long, digest string, err string",
+        )
+        .collect()
+    }
+    mismatches = []
+    for s in manifest["shards"]:
+        r = got.get(s["file"])
+        if r is None:
+            mismatches.append({"file": s["file"], "why": "shard not read back"})
+            continue
+        if r.err:
+            mismatches.append({"file": s["file"], "why": r.err})
+            continue
+        if r.n_members != s["n_samples"] * ext_per_sample:
+            mismatches.append(
+                {"file": s["file"], "why": f"member count {r.n_members} != "
+                 f"{s['n_samples']} samples x {ext_per_sample} exts"}
+            )
+        if r.n_bytes != s["n_bytes"]:
+            mismatches.append({"file": s["file"], "why": "payload byte total differs"})
+        if r.digest != s["digest"]:
+            mismatches.append({"file": s["file"], "why": "order-sensitive digest differs"})
+    return {"ok": not mismatches, "mismatches": mismatches}
+
+
+def read_webdataset_shards(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read WebDataset shards back as (shard, key, ext, content:
+    binary) rows — one task per shard, each streaming its tar
+    sequentially (the same access pattern a trainer uses). The
+    inverse is lossy only in type: every member comes back as bytes;
+    the manifest records which extension was which column."""
+    import json as _json
+    import tarfile
+
+    import pandas as pd
+
+    with open(os.path.join(out_dir, _WDS_MANIFEST), "r", encoding="utf-8") as fh:
+        manifest = _json.load(fh)
+    files = [(s["shard"], s["file"]) for s in manifest["shards"]]
+
+    def _read(pdfs):
+        for pdf in pdfs:
+            for shard, fname in zip(pdf["shard"], pdf["file"]):
+                rows = []
+                with tarfile.open(os.path.join(out_dir, fname), "r") as tf:
+                    for m in tf:
+                        payload = tf.extractfile(m).read() if m.size else b""
+                        key, _, ext = m.name.rpartition(".")
+                        rows.append((int(shard), key, ext, payload))
+                yield pd.DataFrame(
+                    rows, columns=["shard", "key", "ext", "content"]
+                )
+
+    return (
+        spark.createDataFrame(files, "shard int, file string")
+        .repartition(max(1, len(files)))
+        .mapInPandas(_read, "shard int, key string, ext string, content binary")
+    )

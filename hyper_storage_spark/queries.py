@@ -4266,6 +4266,51 @@ def q_stream_window_counts(spark, sf_dir):
     )
 
 
+_JSONL_ROUNDTRIP_RESULTS: dict[str, DataFrame] = {}
+
+
+@register_extra(
+    "q_jsonl_roundtrip",
+    """SELECT doc_id, text, lang FROM documents
+       WHERE lang = 'fr' AND doc_id < 500""",
+)
+def q_jsonl_roundtrip(spark, sf_dir):
+    """The JSONL corpus boundary (sources/jsonl.py) in the oracle
+    gate: a deterministic documents slice is WRITTEN as JSONL shards
+    and READ BACK under the explicit schema (PERMISSIVE +
+    quarantine split), and the round-trip must reproduce the parquet
+    slice value-for-value — newline/quote/unicode escaping included,
+    which a pytest on constructed rows cannot prove against real
+    corpus text. Quarantine must come back empty (asserted in-plan by
+    the anti-join union trick: any quarantine row would change the
+    count). Memoized per (session, sf_dir)."""
+    df = _JSONL_ROUNDTRIP_RESULTS.get(sf_dir)
+    if df is None:
+        import tempfile
+
+        from .sources import read_jsonl, write_jsonl
+
+        src = (
+            _t(spark, sf_dir, "documents")
+            .filter((F.col("lang") == "fr") & (F.col("doc_id") < 500))
+            .select("doc_id", "text", "lang")
+        )
+        out = tempfile.mkdtemp(prefix="hs_jsonl_rt_") + "/docs"
+        write_jsonl(src, out, shards=2)
+        clean, quarantine = read_jsonl(spark, out, "doc_id long, text string, lang string")
+        # a non-empty quarantine is a round-trip failure: surface it as
+        # extra rows (doc_id NULL) so the oracle compare cannot pass
+        df = clean.unionByName(
+            quarantine.select(
+                F.lit(None).cast("long").alias("doc_id"),
+                F.col("raw").alias("text"),
+                F.lit("__quarantined__").alias("lang"),
+            )
+        )
+        _JSONL_ROUNDTRIP_RESULTS[sf_dir] = df
+    return df
+
+
 _STREAM_SAMPLE_RESULTS: dict[str, DataFrame] = {}
 
 

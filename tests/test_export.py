@@ -229,3 +229,75 @@ def test_orc_shards_round_trip_and_checksum_parity(spark, corpus, tmp_path):
         export.write_training_shards(
             corpus, str(tmp_path / "x"), 2, "doc_id", fmt="xml"
         )
+
+
+def test_webdataset_shards_roundtrip_verify_tamper(spark, tmp_path):
+    """WebDataset export: tar members named {key}.{ext} in the seeded
+    deterministic order, manifest digests verify from the bytes
+    alone, read-back reproduces every payload, re-export is
+    bit-reproducible, and a tampered member fails verification."""
+    import hashlib
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import export
+
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text of doc "), F.col("id").cast("string")).alias("text"),
+        F.struct(
+            (F.col("id") % 3).alias("lbl"), F.lit("src").alias("source")
+        ).alias("meta"),
+        F.col("id").cast("string").cast("binary").alias("img"),
+    )
+    out = str(tmp_path / "wds")
+    cols = {"text": "txt", "meta": "json", "img": "png"}
+    manifest = export.write_webdataset_shards(df, out, 4, "doc_id", cols, seed=7)
+    assert len(manifest["shards"]) == 4
+    assert sum(s["n_samples"] for s in manifest["shards"]) == 40
+
+    assert export.verify_webdataset_shards(spark, out)["ok"]
+
+    back = export.read_webdataset_shards(spark, out)
+    txt = {r.key: bytes(r.content).decode() for r in back.filter("ext = 'txt'").collect()}
+    assert txt["7"] == "text of doc 7" and len(txt) == 40
+    js = {r.key: json.loads(bytes(r.content)) for r in back.filter("ext = 'json'").collect()}
+    assert js["3"]["lbl"] == 0 and js["3"]["source"] == "src"
+    img = {r.key: bytes(r.content) for r in back.filter("ext = 'png'").collect()}
+    assert img["11"] == b"11"
+
+    # bit-reproducibility: same content + seed => identical tar bytes
+    def tar_md5s(d):
+        return {
+            f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(d))
+            if f.endswith(".tar")
+        }
+
+    out2 = str(tmp_path / "wds2")
+    export.write_webdataset_shards(df, out2, 4, "doc_id", cols, seed=7)
+    assert tar_md5s(out) == tar_md5s(out2)
+
+    # tamper one byte inside a member payload -> digest mismatch
+    victim = os.path.join(out, manifest["shards"][0]["file"])
+    blob = bytearray(open(victim, "rb").read())
+    # flip a byte INSIDE a member payload (flipping tar padding would
+    # not change any extracted payload and must not fail verification)
+    at = bytes(blob).index(b"text of doc")
+    blob[at] ^= 0xFF
+    open(victim, "wb").write(bytes(blob))
+    res = export.verify_webdataset_shards(spark, out)
+    assert not res["ok"] and res["mismatches"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        export.write_webdataset_shards(df, str(tmp_path / "x"), 0, "doc_id", cols)
+    with pytest.raises(ValueError):
+        export.write_webdataset_shards(df, str(tmp_path / "x"), 2, "doc_id", {})
+    with pytest.raises(ValueError):
+        export.write_webdataset_shards(
+            df, str(tmp_path / "x"), 2, "doc_id", {"nope": "txt"}
+        )
