@@ -9906,6 +9906,30 @@ v2 AS (
 )"""
 
 
+def _corpus_v2(spark, sf_dir):
+    """The synthesized second corpus version, Spark side (see
+    _CORPUS_V2_SQL — the oracle builds the identical rows). Shared by
+    q_corpus_diff and pipeline_incremental_stats."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    u = sampling.md5_uniform(F.concat(F.lit("v2:"), F.col("doc_id").cast("string")))
+    base = docs.withColumn("u", u)
+    surviving = base.filter(F.col("u") >= 0.06).select(
+        "doc_id",
+        F.when(
+            F.col("u") < 0.12, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    added = base.filter(F.col("u") >= 0.94).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("added:"), F.col("doc_id").cast("string")).alias("text"),
+        "lang",
+    )
+    return docs, surviving.unionByName(added)
+
+
 @register_extra(
     "q_corpus_diff",
     f"""WITH {_CORPUS_V2_SQL},
@@ -9935,24 +9959,7 @@ def q_corpus_diff(spark, sf_dir):
     The oracle replays v2 construction, the 0x1F/0x1E digest encoding
     (versioning.content_digest_sql — the same constant builds both
     sides), and the classification end-to-end."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    u = sampling.md5_uniform(F.concat(F.lit("v2:"), F.col("doc_id").cast("string")))
-    base = docs.withColumn("u", u)
-    surviving = base.filter(F.col("u") >= 0.06).select(
-        "doc_id",
-        F.when(
-            F.col("u") < 0.12, F.concat(F.col("text"), F.lit(" [rev2]"))
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-        "lang",
-    )
-    added = base.filter(F.col("u") >= 0.94).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.concat(F.lit("added:"), F.col("doc_id").cast("string")).alias("text"),
-        "lang",
-    )
-    v2 = surviving.unionByName(added)
+    docs, v2 = _corpus_v2(spark, sf_dir)
     return (
         versioning.corpus_diff(
             docs, v2, "doc_id", ("text", "lang"), carry_cols=("lang",)
@@ -9961,6 +9968,51 @@ def q_corpus_diff(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("status", "lang")
     )
+
+
+@register_extra(
+    "pipeline_incremental_stats",
+    f"""WITH {_CORPUS_V2_SQL}
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM v2 GROUP BY lang ORDER BY lang""",
+)
+def pipeline_incremental_stats(spark, sf_dir):
+    """Incremental pipeline maintenance: per-language corpus stats for
+    v2 computed WITHOUT rescanning v2 — v1's stats plus delta
+    adjustments driven by the corpus diff (removed/changed rows
+    subtract their OLD doc at the old language, added/changed rows
+    add their NEW doc at the new language; language moves fall out of
+    the same algebra). The oracle aggregates v2 DIRECTLY, so equality
+    proves the maintenance identity stats(v2) = stats(v1) + Δ(diff)
+    end-to-end — the 100 TB shape where a nightly corpus update
+    re-aggregates only the delta (three slim joins on id, each
+    delta-sized) instead of re-reading the corpus. Unchanged rows
+    never join back to their payload; only classified delta ids do."""
+    docs, v2 = _corpus_v2(spark, sf_dir)
+    diff = versioning.corpus_diff(docs, v2, "doc_id", ("text", "lang"))
+    v1_stats = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum(F.length("text")).alias("sum_chars")
+    )
+    old_side = (
+        diff.filter(F.col("status").isin("removed", "changed"))
+        .join(docs, "doc_id")
+        .select("lang", F.lit(-1).alias("d_docs"), (-F.length("text")).alias("d_chars"))
+    )
+    new_side = (
+        diff.filter(F.col("status").isin("added", "changed"))
+        .join(v2, "doc_id")
+        .select("lang", F.lit(1).alias("d_docs"), F.length("text").alias("d_chars"))
+    )
+    adj = old_side.unionByName(new_side)
+    merged = (
+        v1_stats.select("lang", F.col("n_docs").alias("d_docs"), F.col("sum_chars").alias("d_chars"))
+        .unionByName(adj.select("lang", F.col("d_docs").cast("long"), F.col("d_chars").cast("long")))
+        .groupBy("lang")
+        .agg(F.sum("d_docs").alias("n_docs"), F.sum("d_chars").alias("sum_chars"))
+        .filter(F.col("n_docs") > 0)
+    )
+    return merged.orderBy("lang")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
