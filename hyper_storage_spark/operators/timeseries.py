@@ -924,3 +924,65 @@ def seasonal_outliers(
             ),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_cols: Sequence[str] = (),
+    value_dec: str = "decimal(18,6)",
+) -> DataFrame:
+    """Time-weighted average of an IRREGULARLY-sampled series — the
+    TWAP/sensor-mean primitive: each observation holds its value
+    until the next one (LOCF weighting), so
+    twa = Σ vᵢ·(tᵢ₊₁−tᵢ) / (tₙ−t₁) per group. A plain AVG
+    over-weights bursts (ten ticks in one second count ten times); a
+    time-weighted mean weights by how long each value was in force.
+    The last observation carries no duration; groups with fewer than
+    two observations return NULL (no time span to weight over).
+
+    Exactness: durations are integer MICROSECONDS (epoch-µs longs),
+    values are cast to DECIMAL, so Σ v·dur is exact decimal
+    arithmetic and the final 6-decimal rounding is the exact-integer
+    half-up of the true rational — no IEEE accumulation anywhere
+    (the skew_report / rollup-avg discipline). Positive-domain note:
+    the integer half-up uses truncating division, identical to floor
+    only for non-negative sums — hold values ≥ 0 (or shift first).
+
+    Returns one row per group: (*group_cols, n_obs, span_us, twa).
+    Scale shape: one window over each group's time order (slim
+    (ts, value) rows) + one grouped sum — per-key series are the
+    partition unit, the same shape every other per-key series op
+    here uses."""
+    groups = list(group_cols)
+    us = (F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("__us")
+    obs = df.select(*groups, us, F.col(value_col).cast(value_dec).alias("__v"))
+    # duplicate-timestamp observations: order ties by value so the
+    # segment chain is deterministic (zero-duration segments between
+    # ties contribute nothing to the sum either way; the tie-break
+    # only pins which row is 'last' at a shared final timestamp)
+    nxt = F.lead(F.col("__us")).over(
+        Window.partitionBy(*groups).orderBy(F.col("__us"), F.col("__v"))
+    )
+    seg = obs.withColumn("__dur", nxt - F.col("__us"))
+    agg = seg.groupBy(*groups).agg(
+        F.count("*").alias("n_obs"),
+        F.sum("__dur").alias("span_us"),
+        F.sum(F.col("__v") * F.col("__dur")).alias("__wsum"),
+    )
+    # exact 6-decimal half-up: floor((2·wsum·10⁶·10⁶ + span)/(2·span))
+    # on integer micro-value-micro-seconds; see docstring
+    r6 = F.expr(
+        "(CAST(__wsum * 1000000 AS DECIMAL(38,0)) * 2"
+        " + CAST(span_us AS DECIMAL(38,0)))"
+        " div (CAST(span_us AS DECIMAL(38,0)) * 2)"
+    )
+    return agg.select(
+        *groups,
+        "n_obs",
+        "span_us",
+        F.when(F.col("span_us") > 0, r6.cast("double") / F.lit(1_000_000.0))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("twa"),
+    )

@@ -9971,6 +9971,45 @@ def q_corpus_diff(spark, sf_dir):
 
 
 @register_extra(
+    "ts_time_weighted_avg",
+    """WITH o AS (
+         SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                CAST(value AS DECIMAL(18,6)) AS v
+         FROM events
+       ),
+       seg AS (
+         SELECT event_type, v,
+                LEAD(us) OVER (PARTITION BY event_type ORDER BY us, v) - us AS dur
+         FROM o
+       ),
+       a AS (
+         SELECT event_type, COUNT(*) AS n_obs,
+                SUM(dur) AS span_us, SUM(v * dur) AS wsum
+         FROM seg GROUP BY 1
+       )
+       SELECT event_type, n_obs, CAST(span_us AS BIGINT) AS span_us,
+              CAST((CAST(wsum * 1000000 AS HUGEINT) * 2 + span_us)
+                   // (CAST(span_us AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
+                  AS twa
+       FROM a ORDER BY event_type""",
+)
+def ts_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per event type (operators/timeseries.py
+    time_weighted_avg): LOCF-weighted mean over the irregular event
+    series — each value weighted by how long it was in force, the
+    TWAP/sensor primitive a burst-skewed plain AVG gets wrong.
+    Integer-microsecond durations × decimal values keep Σ v·dur
+    exact, and the 6-decimal output is the exact-integer half-up of
+    the true rational (no IEEE accumulation). The oracle replays
+    segmentation (LEAD over the same (us, v) tie-broken order),
+    accumulation, and the division bit-for-bit."""
+    e = _t(spark, sf_dir, "events")
+    return timeseries.time_weighted_avg(
+        e, "ts", "value", group_cols=("event_type",)
+    ).orderBy("event_type")
+
+
+@register_extra(
     "pipeline_incremental_stats",
     f"""WITH {_CORPUS_V2_SQL}
 SELECT lang, COUNT(*) AS n_docs,

@@ -4332,3 +4332,40 @@ def test_semantic_dedup_one_pass_rule(spark):
     assert out[4].kept and abs(out[4].max_prior_cos) < 1e-12
     with pytest.raises(ValueError):
         dd.semantic_dedup(emb, k=2, tau=0.0)
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """TWAP vs hand arithmetic: LOCF segment weighting, single-obs
+    NULL, duplicate-timestamp ties contribute zero duration, and the
+    burst case where plain AVG and TWAP disagree."""
+    import datetime as dt
+
+    from hyper_storage_spark.operators import timeseries as ts_ops
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # g1: 10 for 10s, 20 for 20s -> (100+400)/30 = 16.666667
+        ("g1", at(0), 10.0), ("g1", at(10), 20.0), ("g1", at(30), 40.0),
+        # g2: burst — 100 ten times in the first second, then 0 for 99s
+        *[("g2", at(i / 10), 100.0) for i in range(10)],
+        ("g2", at(1), 0.0), ("g2", at(100), 0.0),
+        # g3: single observation -> NULL
+        ("g3", at(0), 7.0),
+        # g4: duplicate timestamps (tie) -> zero-duration segment
+        ("g4", at(0), 1.0), ("g4", at(0), 9.0), ("g4", at(10), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {
+        r.g: r
+        for r in ts_ops.time_weighted_avg(df, "ts", "v", group_cols=("g",)).collect()
+    }
+    assert out["g1"].twa == 16.666667 and out["g1"].span_us == 30_000_000
+    # g2: 100 held 0.1s x9 + 0.1s (to t=1) => 100*1s, then 0 for 99s
+    assert out["g2"].twa == 1.0
+    assert out["g3"].twa is None and out["g3"].n_obs == 1
+    # g4: tie at t=0 -> (1.0 x 0s) + (9.0 x 10s) / 10s = 9.0
+    assert out["g4"].twa == 9.0
