@@ -551,6 +551,78 @@ def embedding_lsh_pairs(
     )
 
 
+def golden_records(
+    df: DataFrame,
+    cluster_col: str,
+    policies: dict,
+) -> DataFrame:
+    """Field-level survivorship merge — the MDM "golden record" step
+    AFTER duplicate clustering: where :func:`keep_best_per_cluster`
+    keeps one whole ROW per cluster, this builds a synthetic record
+    whose every field follows its own survivorship policy across the
+    cluster's members:
+
+    - ``"mode"``    — most frequent non-null value (the consensus
+      field: a typo'd city loses to the three correct copies),
+    - ``"max"`` / ``"min"`` — extremal value (latest timestamp,
+      lowest price),
+    - ``"longest"`` — longest non-null string (the most complete
+      address/description wins).
+
+    Every policy is deterministic: ties break to the GREATEST value
+    (max_by over a (count|length, value) struct; SQL-replayable as
+    ORDER BY cnt DESC, value DESC LIMIT 1). NULLs never win a field
+    unless the cluster has no non-null value for it.
+
+    Scale shape: one grouped aggregate on the cluster key for all
+    max/min/longest fields together, plus one (cluster, value)
+    count + argmax pair of aggregates PER mode field — every shuffle
+    is keyed on the cluster id, nothing is quadratic in cluster
+    size. Returns one row per cluster: (cluster_col, *policies)."""
+    valid = {"mode", "max", "min", "longest"}
+    bad = {c: p for c, p in policies.items() if p not in valid}
+    if bad:
+        raise ValueError(f"unknown survivorship policies: {bad}; valid: {sorted(valid)}")
+    missing = [c for c in policies if c not in df.columns]
+    if missing:
+        raise ValueError(f"policy columns not in frame: {missing}")
+
+    out = df.select(cluster_col).distinct()
+    direct = []
+    for col, pol in policies.items():
+        if pol == "max":
+            direct.append(F.max(col).alias(col))
+        elif pol == "min":
+            direct.append(F.min(col).alias(col))
+        elif pol == "longest":
+            direct.append(
+                F.max_by(
+                    col,
+                    F.when(
+                        F.col(col).isNotNull(),
+                        F.struct(F.length(col).alias("l"), F.col(col).alias("v")),
+                    ),
+                ).alias(col)
+            )
+    if direct:
+        out = out.join(df.groupBy(cluster_col).agg(*direct), cluster_col, "left")
+    for col, pol in policies.items():
+        if pol != "mode":
+            continue
+        counts = (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(cluster_col, col)
+            .agg(F.count("*").alias("__cnt"))
+        )
+        pick = counts.groupBy(cluster_col).agg(
+            F.max_by(
+                col, F.struct(F.col("__cnt").alias("c"), F.col(col).alias("v"))
+            ).alias(col)
+        )
+        out = out.join(pick, cluster_col, "left")
+    return out.select(cluster_col, *policies)
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: int = 10,

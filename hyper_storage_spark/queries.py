@@ -9971,6 +9971,57 @@ def q_corpus_diff(spark, sf_dir):
 
 
 @register_extra(
+    "q_golden_records",
+    """WITH d AS (
+         SELECT doc_id // 5 AS cluster, lang, n_chars, text
+         FROM documents WHERE doc_id < 1000
+       ),
+       m AS (
+         SELECT cluster, lang FROM (
+           SELECT cluster, lang,
+                  ROW_NUMBER() OVER (PARTITION BY cluster
+                                     ORDER BY cnt DESC, lang DESC) AS rn
+           FROM (SELECT cluster, lang, COUNT(*) AS cnt
+                 FROM d WHERE lang IS NOT NULL GROUP BY 1, 2)
+         ) WHERE rn = 1
+       ),
+       x AS (SELECT cluster, MAX(n_chars) AS n_chars FROM d GROUP BY 1),
+       t AS (
+         SELECT cluster, text FROM (
+           SELECT cluster, text,
+                  ROW_NUMBER() OVER (PARTITION BY cluster
+                                     ORDER BY length(text) DESC, text DESC) AS rn
+           FROM d WHERE text IS NOT NULL
+         ) WHERE rn = 1
+       )
+       SELECT x.cluster, m.lang, x.n_chars, t.text
+       FROM x LEFT JOIN m USING (cluster) LEFT JOIN t USING (cluster)
+       ORDER BY cluster""",
+)
+def q_golden_records(spark, sf_dir):
+    """Golden-record survivorship (operators/dedup.py golden_records):
+    entity clusters (deterministic doc_id÷5 blocks over the scoped
+    corpus) merged field-by-field — consensus language (mode),
+    maximal n_chars, most complete text (longest) — each with the
+    documented greatest-value tie-break the oracle replays via
+    ORDER BY ... DESC ROW_NUMBER. The step AFTER near-dup clustering
+    that keep_best (whole-row survivor) cannot express: the golden
+    row may combine fields from DIFFERENT members. Every shuffle is
+    keyed on the cluster id; mode fields cost one count+argmax pair
+    each."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select(
+            F.expr("doc_id div 5").alias("cluster"), "lang", "n_chars", "text"
+        )
+    )
+    return dedup.golden_records(
+        d, "cluster", {"lang": "mode", "n_chars": "max", "text": "longest"}
+    ).orderBy("cluster")
+
+
+@register_extra(
     "ts_time_weighted_avg",
     """WITH o AS (
          SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,

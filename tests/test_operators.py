@@ -4369,3 +4369,45 @@ def test_time_weighted_avg_hand_computed(spark):
     assert out["g3"].twa is None and out["g3"].n_obs == 1
     # g4: tie at t=0 -> (1.0 x 0s) + (9.0 x 10s) / 10s = 9.0
     assert out["g4"].twa == 9.0
+
+
+def test_golden_records_survivorship(spark):
+    """golden_records: per-field survivorship with hand-checked mode /
+    max / min / longest winners, greatest-value tie-breaks, NULLs
+    never beating a non-null, all-null fields staying NULL, and
+    validation of unknown policies/columns."""
+    import pytest
+
+    from hyper_storage_spark.operators import dedup as dd
+
+    rows = [
+        # c1: mode city=paris (2 vs 1); max n=9; longest name wins
+        (1, "paris", 3, "jean-pierre"),
+        (1, "paris", 9, "jp"),
+        (1, "lyon", 5, None),
+        # c2: mode tie london/berlin 1-1 -> greatest value 'london';
+        #     longest tie 'bb' vs 'aa' (len 2) -> greatest 'bb'
+        (2, "london", 1, "aa"),
+        (2, "berlin", 2, "bb"),
+        # c3: city all NULL -> stays NULL; name single non-null wins
+        (3, None, 7, "only"),
+        (3, None, 4, None),
+    ]
+    df = spark.createDataFrame(rows, "cluster long, city string, n long, name string")
+    got = {
+        r.cluster: (r.city, r.n, r.name)
+        for r in dd.golden_records(
+            df, "cluster", {"city": "mode", "n": "max", "name": "longest"}
+        ).collect()
+    }
+    assert got == {
+        1: ("paris", 9, "jean-pierre"),
+        2: ("london", 2, "bb"),
+        3: (None, 7, "only"),
+    }
+    mins = {r.cluster: r.n for r in dd.golden_records(df, "cluster", {"n": "min"}).collect()}
+    assert mins == {1: 3, 2: 1, 3: 4}
+    with pytest.raises(ValueError):
+        dd.golden_records(df, "cluster", {"city": "median"})
+    with pytest.raises(ValueError):
+        dd.golden_records(df, "cluster", {"nope": "max"})
