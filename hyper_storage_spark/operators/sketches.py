@@ -116,3 +116,140 @@ def heavy_hitters_cms(
         (F.col("cms_estimate") >= F.col("n_exact")).alias("overestimates"),
         (F.col("cms_estimate") <= F.col("n_exact") + F.lit(bound)).alias("within_eps_n"),
     ).orderBy(F.col("n_exact").desc(), F.col("value"))
+
+
+def streaming_heavy_hitters(
+    state_root: str,
+    col: str,
+    phi: float = 0.01,
+    depth: int = 5,
+    width: int = 2719,
+    run_id: "str | None" = None,
+):
+    """``foreachBatch`` sink maintaining φ-heavy-hitter state over an
+    unbounded stream with BOUNDED storage: a persisted sparse
+    Count-Min grid (≤ depth×width cells — the partials are mergeable,
+    so each micro-batch's grid just union-sums into the state) plus a
+    candidate table fed by the pigeonhole admission rule.
+
+    The admission rule is what makes the candidate set sound AND
+    small: an item whose TOTAL frequency ends ≥ φ·N must have batch
+    share ≥ φ in at least one micro-batch (if f_b < φ·n_b for every
+    batch, summing gives f < φ·N), so admitting exactly the items
+    with batch share ≥ φ — at most ⌊1/φ⌋ per batch — guarantees every
+    final φ-heavy item enters the candidate table at some batch.
+    Candidates are never pruned (pruning on a running estimate can
+    evict an item that only becomes heavy later; the table grows at
+    ≤ 1/φ rows per batch, KB-scale for any real cadence), and the
+    serving face filters at READ time against the current total.
+
+    Guarantees (both directions testable): the served set is a
+    SUPERSET of the true φ-heavy items (admission soundness + CM
+    never underestimating), and each estimate overshoots the true
+    count by at most (e/width)·N per grid row w.h.p. Replayed
+    micro-batches are skipped by the shared batch-id guard
+    (operators/rollup_mv.py), so at-least-once foreachBatch cannot
+    double-count the grid. Scale shape: per batch one sketch-sized
+    exchange (cms_build's map-side collapse), one ≤1/φ-row admission
+    aggregate, one grid union — state is (depth×width + candidates)
+    rows forever. Read back with :func:`read_heavy_hitters`."""
+    import os
+
+    from .rollup_mv import (
+        _flip_pointer,
+        _is_replayed_batch,
+        _read_pointer,
+        _warn_if_anonymous,
+    )
+
+    if not 0.0 < phi < 1.0:
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    label = f"streaming_heavy_hitters({state_root!r})"
+    _warn_if_anonymous(run_id, label)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(state_root, exist_ok=True)
+        cur = _read_pointer(state_root)
+        if _is_replayed_batch(cur, batch_id, run_id, label):
+            return
+        spark = batch_df.sparkSession
+        vals = batch_df.filter(F.col(col).isNotNull())
+        n_b = vals.count()
+        version = (cur["version"] + 1) if cur else 1
+        rel_grid = f"v{version:06d}_grid"
+        rel_cand = f"v{version:06d}_cand"
+        if n_b == 0:
+            # advance the batch watermark without touching state
+            if cur is None:
+                return
+            _flip_pointer(
+                state_root,
+                {**cur, "batch_id": batch_id, "run_id": run_id},
+            )
+            return
+        admitted = (
+            vals.groupBy(col)
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") >= F.lit(float(phi)) * F.lit(float(n_b)))
+            .select(F.col(col).cast("string").alias("value"))
+        )
+        batch_grid = cms_build(vals.select(F.col(col).cast("string").alias(col)), col, depth, width)
+        if cur is not None:
+            prev_grid = spark.read.parquet(os.path.join(state_root, cur["grid"]))
+            grid = (
+                prev_grid.unionByName(batch_grid)
+                .groupBy("row", "cell")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            prev_cand = spark.read.parquet(os.path.join(state_root, cur["cand"]))
+            cand = prev_cand.unionByName(admitted).distinct()
+            n_total = cur["n_total"] + n_b
+        else:
+            grid, cand, n_total = batch_grid, admitted, n_b
+        grid.write.mode("overwrite").parquet(os.path.join(state_root, rel_grid))
+        cand.write.mode("overwrite").parquet(os.path.join(state_root, rel_cand))
+        _flip_pointer(
+            state_root,
+            {
+                "version": version,
+                "batch_id": batch_id,
+                "grid": rel_grid,
+                "cand": rel_cand,
+                "n_total": n_total,
+                "phi": phi,
+                "depth": depth,
+                "width": width,
+                "run_id": run_id,
+            },
+        )
+
+    return apply_batch
+
+
+def read_heavy_hitters(spark, state_root: str, phi: "float | None" = None) -> DataFrame:
+    """Current φ-heavy-hitter estimates from a
+    :func:`streaming_heavy_hitters` state dir: (value, cms_estimate,
+    n_total), filtered to estimate ≥ φ·n_total (state's φ unless
+    overridden with a LARGER one — a smaller φ would need admissions
+    the stream never recorded, so it raises)."""
+    import os
+
+    from .rollup_mv import _read_pointer
+
+    cur = _read_pointer(state_root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed sketch state under {state_root}")
+    state_phi = cur["phi"]
+    phi = state_phi if phi is None else phi
+    if phi < state_phi:
+        raise ValueError(
+            f"requested phi={phi} below the stream's admission phi={state_phi}: "
+            "items between the two were never admitted, the answer would be "
+            "silently incomplete"
+        )
+    grid = spark.read.parquet(os.path.join(state_root, cur["grid"]))
+    cand = spark.read.parquet(os.path.join(state_root, cur["cand"]))
+    est = cms_estimate(grid, cand, "value", cur["depth"], cur["width"])
+    return est.filter(
+        F.col("cms_estimate") >= F.lit(float(phi)) * F.lit(float(cur["n_total"]))
+    ).select("value", "cms_estimate", F.lit(cur["n_total"]).alias("n_total"))

@@ -1282,3 +1282,58 @@ def test_streaming_uniform_sample_equals_batch_bottomk(spark, tmp_path):
     sink(all_rows.limit(5), 99)
     after = sampling.read_uniform_sample(spark, state)
     assert sorted((r.event_id, r.event_type) for r in after.collect()) == e
+
+
+def test_streaming_heavy_hitters_guarantees(spark, tmp_path):
+    """streaming_heavy_hitters: the served set is a SUPERSET of the
+    true phi-heavy items (incl. the pigeonhole edge case heavy only
+    in aggregate), never-admitted light items cannot appear, CM never
+    underestimates and overshoots within the grid bound, replays are
+    skipped, and a below-admission phi read is refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import sketches as sk
+    from hyper_storage_spark.operators.rollup_mv import _read_pointer
+
+    # three 1000-row batches, phi = 0.05 (threshold 150 of N=3000):
+    #   hot:     200/50/50  = 300  (admitted via batch 0's 20% share)
+    #   creeper:  60/60/60  = 180  (admitted every batch at 6%)
+    #   edge:     50/50/50  = 150  (exactly phi*N; every batch exactly
+    #                               at the 5% admission boundary)
+    #   light:    34/33/33  = 100  (3.3% share: never admitted)
+    # filler: unique values pad each batch to 1000 rows
+    plan = {"hot": (200, 50, 50), "creeper": (60, 60, 60),
+            "edge": (50, 50, 50), "light": (34, 33, 33)}
+    state = str(tmp_path / "hh")
+    sink = sk.streaming_heavy_hitters(state, "v", phi=0.05, run_id="t")
+    true_total = {k: sum(v) for k, v in plan.items()}
+    for b in range(3):
+        named = [(k,) for k, counts in plan.items() for _ in range(counts[b])]
+        pad = 1000 - len(named)
+        filler = [(f"f{b}_{i}",) for i in range(pad)]
+        batch = spark.createDataFrame(named + filler, "v string")
+        sink(batch, b)
+
+    served = {r.value: r for r in sk.read_heavy_hitters(spark, state).collect()}
+    assert {"hot", "creeper", "edge"} <= set(served)
+    assert "light" not in served  # never admitted, cannot surface
+    for k in ("hot", "creeper", "edge"):
+        est = served[k].cms_estimate
+        assert est >= true_total[k]          # CM never underestimates
+        assert est <= true_total[k] + 50     # grid-bound overshoot
+        assert served[k].n_total == 3000
+
+    # replayed batch id: state untouched
+    v_before = _read_pointer(state)["version"]
+    sink(spark.createDataFrame([("hot",)] * 500, "v string"), 1)
+    assert _read_pointer(state)["version"] == v_before
+    assert sk.read_heavy_hitters(spark, state).filter(
+        F.col("value") == "hot"
+    ).collect()[0].n_total == 3000
+
+    # a stricter read-time phi only shrinks the set; a looser one raises
+    strict = {r.value for r in sk.read_heavy_hitters(spark, state, phi=0.09).collect()}
+    assert strict == {"hot"}
+    with pytest.raises(ValueError):
+        sk.read_heavy_hitters(spark, state, phi=0.01)
