@@ -25,7 +25,13 @@ expressed as DataFrame transformations (JVM-side, shuffle-aware):
 - :mod:`layout` — Z-order (Morton) clustering for multi-dimensional
   parquet data skipping.
 - :mod:`export` — sharded, order-preserving training-data writes
-  with a verifiable manifest (counts, order bounds, id checksums).
+  with a verifiable manifest (counts, order bounds, id checksums),
+  plus WebDataset tar shards (bit-reproducible, order-sensitive
+  digest verification) for multimodal delivery.
+- :mod:`sketches` — Count-Min heavy hitters with certificates, batch
+  and streaming (persisted mergeable grid + pigeonhole admission).
+- :mod:`profiling` — exact statistics suite (AUC/KS/Gini/Spearman/
+  OLS/Welch/MI/χ², exact and weighted quantiles, PSI, calibration).
 - :mod:`graph` — PageRank (uniform/personalized/weighted), label
   propagation, triangle census, link prediction, k-core.
 - :mod:`bpe` — distributed BPE tokenizer training (vocabulary-sized
