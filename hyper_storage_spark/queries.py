@@ -310,7 +310,7 @@ def q1_pricing_summary(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "q3_shipping_priority",
     """SELECT l_orderkey, CAST(ROUND(revenue_x, 2) AS DOUBLE) AS revenue,
               o_orderdate, o_orderpriority
@@ -916,7 +916,7 @@ def q_semi_anti_join(spark, sf_dir):
     return semi.unionAll(anti)
 
 
-@register(
+@register_extra(
     "q_events_json_agg",
     """SELECT event_type, COUNT(*) AS n,
               ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_k,
@@ -4314,7 +4314,7 @@ def q_jsonl_roundtrip(spark, sf_dir):
 _STREAM_SAMPLE_RESULTS: dict[str, DataFrame] = {}
 
 
-@register_extra(
+@register(
     "q_stream_uniform_sample",
     """SELECT event_id, event_type FROM events
        ORDER BY md5('smp:' || event_id), event_id LIMIT 256""",
@@ -4354,7 +4354,7 @@ def q_stream_uniform_sample(spark, sf_dir):
     return df.select("event_id", "event_type").orderBy("event_id")
 
 
-@register(
+@register_extra(
     "q_stream_session_windows",
     """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
        b AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS cutoff FROM ev),
@@ -6021,7 +6021,7 @@ def dedup_containment(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "dedup_span_removal",
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
        w AS (SELECT doc_id, i AS start, array_to_string(t[i:i+7], chr(31)) AS win
@@ -6643,7 +6643,7 @@ def q_weighted_quantiles(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
-@register(
+@register_extra(
     "q_auc_score",
     """WITH b AS (
          SELECT embedding[1] AS score,
@@ -8455,7 +8455,7 @@ def q_unpivot_metrics(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "ts_seasonality_profile",
     """WITH cells AS (
          SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
@@ -8585,7 +8585,7 @@ ORDER BY pr DESC, node LIMIT 20
 """
 
 
-@register_extra("graph_pagerank", _PAGERANK_SQL)
+@register("graph_pagerank", _PAGERANK_SQL)
 def graph_pagerank(spark, sf_dir):
     """PageRank (operators/graph.py:pagerank) — the crawl-graph
     quality signal, run over the customer↔supplier trade graph
@@ -9930,7 +9930,7 @@ def _corpus_v2(spark, sf_dir):
     return docs, surviving.unionByName(added)
 
 
-@register_extra(
+@register(
     "q_corpus_diff",
     f"""WITH {_CORPUS_V2_SQL},
 od AS (SELECT doc_id, lang, {versioning.content_digest_sql(('text', 'lang'))} AS dg FROM documents),
@@ -9970,7 +9970,7 @@ def q_corpus_diff(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "q_golden_records",
     """WITH d AS (
          SELECT doc_id // 5 AS cluster, lang, n_chars, text
@@ -10021,7 +10021,7 @@ def q_golden_records(spark, sf_dir):
     ).orderBy("cluster")
 
 
-@register_extra(
+@register(
     "ts_time_weighted_avg",
     """WITH o AS (
          SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
@@ -10060,7 +10060,7 @@ def ts_time_weighted_avg(spark, sf_dir):
     ).orderBy("event_type")
 
 
-@register_extra(
+@register(
     "pipeline_incremental_stats",
     f"""WITH {_CORPUS_V2_SQL}
 SELECT lang, COUNT(*) AS n_docs,
@@ -10318,13 +10318,30 @@ def all_specs() -> dict[str, QuerySpec]:
 # watermarked stateful windowed-agg class with the strictly harder
 # window type; tumbling counts stay oracled in EXTRA).
 #
-# Rotation #7 candidates (round-10's strongest new work, all
-# oracle-green at sf0.001/0.01/0.1 and guard-checked): graph_pagerank
-# (or the weighted variant — the iterative-graph class has no driver
-# row), dedup_fuzzy_keys (entity resolution by key — a new dedup
-# face), search_ranking_metrics (the eval face of retrieval),
-# ts_cusum_changepoint (exact-integer changepoint), q_skew_salted_join
-# (the explicit skew-join face), dedup_cluster_stats.
+# Rotation #7 (r10, second half — executed): every IN entry was
+# oracle-green at ALL THREE SFs and DecimalType-guard-clean before
+# the swap. IN: graph_pagerank (the iterative-graph class's first
+# driver row — 8-iteration Pregel-shape PageRank with the
+# recursive-CTE oracle), q_corpus_diff (corpus snapshot diffing — a
+# class the window never had), ts_time_weighted_avg (exact
+# decimal-microsecond TWAP), q_golden_records (field-level
+# survivorship merge), q_stream_uniform_sample (the only STREAMING
+# entry with a full-value oracle — persisted bottom-k state == SQL
+# bottom-k over the whole table), pipeline_incremental_stats
+# (stats(v2) = stats(v1) + Δ(diff) maintenance identity). OUT to
+# EXTRA, each redundant with surviving driver rows of its class:
+# q3_shipping_priority (q1/q9/store_collection_join keep the
+# join+agg+TopN class, q9 with the heavier tree),
+# q_events_json_agg (parity_residual_filter keeps the JSON
+# expression-language class end-to-end), ts_seasonality_profile
+# (ts_holt_winters keeps per-key series smoothing; the calendar
+# profile shape also lives inside ts_seasonal_outliers' oracle),
+# q_auc_score (q_robust_outliers keeps the exact-stats class; AUC
+# stays oracle-verified in EXTRA), dedup_span_removal (five dedup
+# driver rows survive incl. the span class's shingle machinery in
+# text_decontaminate), q_stream_session_windows (q_stream_ingest /
+# q_stream_interval_join / q_stream_uniform_sample keep stateful
+# streaming; session windows stay oracled in EXTRA).
 if len(QUERIES) != 50:
     raise RuntimeError(
         f"driver-tier catalog has {len(QUERIES)} entries; the gate records exactly 50"
