@@ -567,7 +567,9 @@ def golden_records(
     - ``"max"`` / ``"min"`` — extremal value (latest timestamp,
       lowest price),
     - ``"longest"`` — longest non-null string (the most complete
-      address/description wins).
+      address/description wins); string/binary columns only —
+      ``length()`` is NULL for other types, which makes every row
+      lose and the field come back NULL.
 
     Every policy is deterministic: ties break to the GREATEST value
     (max_by over a (count|length, value) struct; SQL-replayable as

@@ -139,7 +139,11 @@ def weighted_quantiles(
     Ties on the value are collapsed FIRST (groupBy value, sum weight),
     so the cumulative order is a total order and the result does not
     depend on intra-tie row order. q must have ≤ 6 decimal digits
-    (asserted) so its decimal literal is exact.
+    (asserted) so its decimal literal is exact. Weights must be
+    NON-NEGATIVE — a negative weight makes the cumulative sum
+    non-monotone and the "first value reaching q·W" selection
+    meaningless (not checked at runtime: the check would cost a full
+    extra pass; the caller owns the invariant).
 
     Scale shape: one shuffle to collapse (group, value) duplicates,
     then a per-group cumulative window over DISTINCT values — bounded

@@ -187,10 +187,19 @@ def streaming_heavy_hitters(
                 {**cur, "batch_id": batch_id, "run_id": run_id},
             )
             return
+        # the admission compare carries a 1e-9 RELATIVE slack: the
+        # float product phi*n_b can land one ulp ABOVE the exact
+        # rational boundary (0.035*200 = 7.000000000000001), which
+        # would silently reject an exactly-phi item and void the
+        # no-false-negative guarantee; the slack can only OVER-admit
+        # (more candidates), never under-admit
         admitted = (
             vals.groupBy(col)
             .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") >= F.lit(float(phi)) * F.lit(float(n_b)))
+            .filter(
+                F.col("__n")
+                >= F.lit(float(phi)) * F.lit(float(n_b)) * F.lit(1.0 - 1e-9)
+            )
             .select(F.col(col).cast("string").alias("value"))
         )
         batch_grid = cms_build(vals.select(F.col(col).cast("string").alias(col)), col, depth, width)
@@ -250,6 +259,10 @@ def read_heavy_hitters(spark, state_root: str, phi: "float | None" = None) -> Da
     grid = spark.read.parquet(os.path.join(state_root, cur["grid"]))
     cand = spark.read.parquet(os.path.join(state_root, cur["cand"]))
     est = cms_estimate(grid, cand, "value", cur["depth"], cur["width"])
+    # same 1e-9 relative slack as the admission compare (see
+    # streaming_heavy_hitters): never exclude an exactly-phi item
+    # over a float-product ulp
     return est.filter(
-        F.col("cms_estimate") >= F.lit(float(phi)) * F.lit(float(cur["n_total"]))
+        F.col("cms_estimate")
+        >= F.lit(float(phi)) * F.lit(float(cur["n_total"])) * F.lit(1.0 - 1e-9)
     ).select("value", "cms_estimate", F.lit(cur["n_total"]).alias("n_total"))

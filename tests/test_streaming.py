@@ -1306,6 +1306,10 @@ def test_streaming_heavy_hitters_guarantees(spark, tmp_path):
     plan = {"hot": (200, 50, 50), "creeper": (60, 60, 60),
             "edge": (50, 50, 50), "light": (34, 33, 33)}
     state = str(tmp_path / "hh")
+    # phi=0.05 would hide the float-boundary class this test must pin:
+    # 0.035*200 = 7.000000000000001 rejects an exactly-phi item
+    # without the relative-slack compare. Scope check below.
+    assert not (7 >= 0.035 * 200)  # the hazard is real on this host
     sink = sk.streaming_heavy_hitters(state, "v", phi=0.05, run_id="t")
     true_total = {k: sum(v) for k, v in plan.items()}
     for b in range(3):
@@ -1337,3 +1341,17 @@ def test_streaming_heavy_hitters_guarantees(spark, tmp_path):
     assert strict == {"hot"}
     with pytest.raises(ValueError):
         sk.read_heavy_hitters(spark, state, phi=0.01)
+
+
+def test_streaming_heavy_hitters_float_boundary_admission(spark, tmp_path):
+    """phi=0.035 over a 200-row batch: the float product phi*n is one
+    ulp ABOVE the exact boundary 7, so an exactly-phi item (7/200)
+    must still be admitted — the relative-slack compare, pinned."""
+    from hyper_storage_spark.operators import sketches as sk
+
+    state = str(tmp_path / "hhb")
+    sink = sk.streaming_heavy_hitters(state, "v", phi=0.035, run_id="t")
+    rows = [("boundary",)] * 7 + [(f"u{i}",) for i in range(193)]
+    sink(spark.createDataFrame(rows, "v string"), 0)
+    served = {r.value for r in sk.read_heavy_hitters(spark, state).collect()}
+    assert "boundary" in served
