@@ -986,3 +986,77 @@ def time_weighted_avg(
         .otherwise(F.lit(None).cast("double"))
         .alias("twa"),
     )
+
+
+def rolling_trend(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = (),
+    window_days: int = 7,
+) -> DataFrame:
+    """Per-key rolling OLS trend: for every (group, day), the
+    least-squares slope of the DAILY EVENT COUNT over the trailing
+    ``window_days`` calendar days — the "is this key heating up or
+    cooling down" monitor (crawl sources, error classes, user
+    cohorts), robust to the window's missing days because x is the
+    real calendar day index, not a row number.
+
+    Exactness: the slope n·Σxy−Σx·Σy / n·Σx²−(Σx)² is computed on
+    INTEGER day indexes and integer counts — both moment sums are
+    exact — and the final 6-decimal value is the exact-integer
+    half-away-from-zero of the true rational (sign · floor on the
+    absolute value; Spark `div` truncates and DuckDB `//` floors, so
+    the division always runs on non-negative operands). Days with
+    fewer than two distinct x in the window (a single day) have an
+    undefined slope and return NULL.
+
+    Scale shape: the corpus collapses to (group, day) counts in one
+    partial-agg shuffle; the RANGE window then runs over
+    calendar-bounded daily rows per group — thousands of rows per
+    key regardless of corpus size, the hypertable_rollup argument.
+    Returns (*group_cols, day, n_days, slope)."""
+    if window_days < 2:
+        raise ValueError(f"window_days must be >= 2, got {window_days}")
+    groups = list(group_cols)
+    daily = df.groupBy(
+        *groups, F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.count("*").alias("y"))
+    d0 = "1970-01-01"
+    daily = daily.withColumn(
+        "di", F.datediff(F.col("day"), F.lit(d0).cast("date")).cast("long")
+    )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("di")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    stats = daily.select(
+        *groups,
+        "day",
+        F.count("*").over(w).alias("n"),
+        F.sum("di").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("di") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("di") * F.col("di")).over(w).alias("sxx"),
+    )
+    num = F.expr(
+        "CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))"
+        " - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))"
+    )
+    den = F.expr(
+        "CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))"
+        " - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))"
+    )
+    st = stats.withColumn("__num", num).withColumn("__den", den)
+    r6 = F.expr(
+        "CASE WHEN __num < 0 THEN -1 ELSE 1 END"
+        " * ((2 * abs(__num) * 1000000 + __den) div (2 * __den))"
+    )
+    return st.select(
+        *groups,
+        "day",
+        F.col("n").alias("n_days"),
+        F.when(F.col("__den") > 0, r6.cast("double") / F.lit(1_000_000.0))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("slope"),
+    )

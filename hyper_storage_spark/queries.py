@@ -10021,6 +10021,57 @@ def q_golden_records(spark, sf_dir):
     ).orderBy("cluster")
 
 
+@register_extra(
+    "ts_rolling_trend",
+    """WITH daily AS (
+         SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                COUNT(*) AS y
+         FROM events GROUP BY 1, 2
+       ),
+       idx AS (
+         SELECT event_type, day, y,
+                datediff('day', DATE '1970-01-01', CAST(day AS DATE)) AS di
+         FROM daily
+       ),
+       st AS (
+         SELECT event_type, day,
+                COUNT(*) OVER w AS n,
+                SUM(di) OVER w AS sx, SUM(y) OVER w AS sy,
+                SUM(di * y) OVER w AS sxy, SUM(di * di) OVER w AS sxx
+         FROM idx
+         WINDOW w AS (PARTITION BY event_type ORDER BY di
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+       ),
+       m AS (
+         SELECT event_type, day, n,
+                CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+                CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+         FROM st
+       )
+       SELECT event_type, day, CAST(n AS BIGINT) AS n_days,
+              CASE WHEN den > 0 THEN
+                CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                     * ((2 * abs(num) * 1000000 + den) // (2 * den)) AS DOUBLE)
+                / 1000000.0
+              END AS slope
+       FROM m ORDER BY event_type, day""",
+)
+def ts_rolling_trend(spark, sf_dir):
+    """Rolling 7-day OLS trend of the daily count per event type
+    (operators/timeseries.py rolling_trend): integer moment sums over
+    a calendar RANGE window, slope emitted as the exact-integer
+    half-away-from-zero of the true rational — the heating-up/
+    cooling-down monitor with no IEEE accumulation anywhere. The
+    oracle replays day indexing, the RANGE frame, the moment algebra,
+    and the signed division bit-for-bit. Scale: corpus → (key, day)
+    counts in one partial-agg shuffle; windows run over
+    calendar-bounded rows."""
+    e = _t(spark, sf_dir, "events")
+    return timeseries.rolling_trend(
+        e, "ts", group_cols=("event_type",), window_days=7
+    ).orderBy("event_type", "day")
+
+
 @register(
     "ts_time_weighted_avg",
     """WITH o AS (

@@ -4411,3 +4411,40 @@ def test_golden_records_survivorship(spark):
         dd.golden_records(df, "cluster", {"city": "median"})
     with pytest.raises(ValueError):
         dd.golden_records(df, "cluster", {"nope": "max"})
+
+
+def test_rolling_trend_hand_computed(spark):
+    """rolling_trend vs hand OLS: known slopes on a constructed daily
+    series, missing-day handling through the calendar RANGE frame,
+    single-day NULL, negative slope sign handling, and validation."""
+    import datetime as dt
+
+    import pytest
+
+    from hyper_storage_spark.operators import timeseries as ts_ops
+
+    rows = []
+    # key 'up': counts 1,2,3,4 on days 0-3 -> slope 1.0 everywhere
+    for d, n in enumerate([1, 2, 3, 4]):
+        for _ in range(n):
+            rows.append(("up", dt.datetime(2024, 1, 1 + d, 12)))
+    # key 'gap': 5 events day 0, 1 event day 4 (days 1-3 missing):
+    # x = {0, 4}, y = {5, 1} -> slope (over the 2 present days) = -1.0
+    for _ in range(5):
+        rows.append(("gap", dt.datetime(2024, 1, 1, 12)))
+    rows.append(("gap", dt.datetime(2024, 1, 5, 12)))
+    # key 'one': a single day -> NULL slope
+    rows.append(("one", dt.datetime(2024, 1, 1, 12)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = {
+        (r.k, r.day.day): r
+        for r in ts_ops.rolling_trend(df, "ts", ("k",), window_days=7).collect()
+    }
+    assert out[("up", 1)].slope is None          # first day: one point
+    assert out[("up", 2)].slope == 1.0           # two points, slope 1
+    assert out[("up", 4)].slope == 1.0 and out[("up", 4)].n_days == 4
+    assert out[("gap", 1)].slope is None
+    assert out[("gap", 5)].slope == -1.0 and out[("gap", 5)].n_days == 2
+    assert out[("one", 1)].slope is None
+    with pytest.raises(ValueError):
+        ts_ops.rolling_trend(df, "ts", ("k",), window_days=1)
