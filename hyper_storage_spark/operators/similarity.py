@@ -101,6 +101,64 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the ``k`` nearest vectors whose ``label_col`` DIFFERS — the
+    near-but-wrong examples a triplet/InfoNCE loss learns most from
+    (random negatives are trivially far; hard ones define the
+    decision boundary). Returns (query_id, query_label, neighbor_id,
+    neighbor_label, rank, cosine) with the exact cosine_topk
+    shape/tie-break discipline.
+
+    NULL labels never match each other (SQL inequality semantics:
+    NULL != NULL is unknown ⇒ excluded) — an unlabeled vector mines
+    no negatives and serves as none. Scale shape: identical to
+    cosine_topk (anchors broadcast, one corpus scan) — this is the
+    exact baseline face; at corpus scale mine through the ANN index
+    (ivfpq_search on the anchor batch, then filter labels and
+    re-rank) exactly as ann_join does for the unlabeled case."""
+    from pyspark.sql import Window
+
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    ).filter(F.col("qn") > 0)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    ).filter(F.col("cn") > 0)
+    scored = corpus.join(
+        F.broadcast(queries),
+        F.col("neighbor_label") != F.col("query_label"),
+    ).withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rnd = random.Random(seed)
     return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]

@@ -2970,6 +2970,39 @@ FROM ranked WHERE rank <= 10
 """
 
 
+_HARDNEG_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+  FROM embeddings WHERE vec_id IN (0,1,2,3,4)
+),
+scored AS (
+  SELECT query_id, query_label, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q JOIN embeddings e ON e.label != query_label
+),
+ranked AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, rank,
+       ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register_extra("emb_hard_negatives", _HARDNEG_SQL)
+def emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.py hard_negatives):
+    per anchor, the 5 nearest OTHER-label vectors — the contrastive-
+    training pair miner, exact-baseline face (the ANN route for
+    corpus scale is documented in the operator). Full SQL replay
+    incl. the label-inequality join and tie-break."""
+    return similarity.hard_negatives(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5
+    )
+
+
 @register_extra("ann_cosine_topk", _ANN_SQL)
 def ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)

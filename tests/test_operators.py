@@ -4448,3 +4448,27 @@ def test_rolling_trend_hand_computed(spark):
     assert out[("one", 1)].slope is None
     with pytest.raises(ValueError):
         ts_ops.rolling_trend(df, "ts", ("k",), window_days=1)
+
+
+def test_hard_negatives_label_semantics(spark):
+    """hard_negatives: only other-label vectors qualify, nearest-first
+    ranking, NULL labels mine nothing and serve as nothing, zero-norm
+    vectors excluded."""
+    from hyper_storage_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.99, 0.14], "a"),   # same label: never a negative for 0
+        (2, [0.9, 0.44], "b"),    # nearest other-label
+        (3, [0.0, 1.0], "b"),     # far other-label
+        (4, [0.5, 0.87], None),   # NULL label: excluded both ways
+        (5, [0.0, 0.0], "b"),     # zero norm: excluded
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = sim.hard_negatives(emb, [0, 4], k=3, label_col="label")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.neighbor_label))
+    assert 4 not in got                       # NULL-label anchor mines nothing
+    assert [n for _, n, _ in sorted(got[0])] == [2, 3]
+    assert all(lbl == "b" for _, _, lbl in got[0])

@@ -72,6 +72,16 @@ WAIVERS: dict[str, list[tuple[str, str]]] = {
             "the scale output is dedup_simhash_raw",
         )
     ],
+    "emb_hard_negatives": [
+        (
+            "query_label",
+            "build side is the fixed anchor set (5 rows by construction); "
+            "the label-inequality residual makes the join non-equi, but the "
+            "shape is exactly ann_cosine_topk's broadcast-queries x "
+            "one-corpus-scan baseline — the documented ANN route covers "
+            "corpus-scale mining",
+        )
+    ],
     "ann_cosine_topk": [
         (
             "query_id",
