@@ -703,3 +703,82 @@ def read_uniform_sample(spark, state_root: str) -> DataFrame:
     if cur is None:
         raise FileNotFoundError(f"no committed sample state under {state_root}")
     return spark.read.parquet(os.path.join(state_root, cur["path"]))
+
+
+def waterfill_quota(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+) -> DataFrame:
+    """Water-filling budget allocation across groups — the fair
+    mixing policy "cap the big domains, keep the small ones whole":
+    every group receives quota = min(its row count, a common level t),
+    with t the largest level the ``budget`` affords; the sub-level
+    remainder (budget − Σ quotas < #capped groups) goes +1 each to
+    the first capped groups in (count, name) order, so the quotas sum
+    to EXACTLY min(budget, total rows) and the whole allocation is a
+    deterministic pure function of the counts.
+
+    Closed form, all integer arithmetic: with groups sorted by count
+    ascending (prefix sums P_j, m_j groups remaining at row j), the
+    candidate level at row j is t_j = (B − P_{j−1}) div m_j, and the
+    water line sits at the FIRST row where t_j < c_j — every earlier
+    group is below the line and keeps all its rows. No iteration, no
+    floats; replayable as three SQL window functions.
+
+    Returns (group_col, n, quota). Scale shape: one grouped count
+    collapses the corpus; everything after runs on the GROUP-
+    CARDINALITY frame (domains/languages — thousands at most), where
+    an unpartitioned window is a deliberate scalar-bounds computation,
+    not a corpus sort. Row selection INSIDE each group (which rows
+    fill the quota) is the caller's policy — md5-rank via
+    cap_per_group(quota) keeps it deterministic."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n"))
+    w_ord = Window.orderBy("n", group_col)
+    w_all = Window.partitionBy()
+    base = counts.select(
+        group_col,
+        "n",
+        F.row_number().over(w_ord).alias("j"),
+        (F.sum("n").over(w_ord) - F.col("n")).alias("p_prev"),
+        F.count("*").over(w_all).alias("ng"),
+    )
+    b = F.lit(int(budget))
+    m = F.col("ng") - F.col("j") + 1
+    tj = F.expr(f"({int(budget)} - p_prev) div (ng - j + 1)")
+    flagged = base.select(
+        group_col,
+        "n",
+        "j",
+        "p_prev",
+        "ng",
+        m.alias("m"),
+        tj.alias("tj"),
+        (tj < F.col("n")).alias("capped_here"),
+    )
+    cut = flagged.select(
+        F.min(F.when(F.col("capped_here"), F.col("j"))).alias("cut_j")
+    )
+    joined = flagged.crossJoin(F.broadcast(cut))
+    # level + remainder at the cut row ride along via a second window
+    # pass: every row can recompute them from its own (p_prev, m)
+    # only AT the cut, so broadcast the cut row's scalars
+    cut_row = joined.filter(F.col("j") == F.col("cut_j")).select(
+        F.col("tj").alias("t_level"),
+        (b - F.col("p_prev") - F.col("tj") * F.col("m")).alias("leftover"),
+        F.col("cut_j").alias("cj"),
+    )
+    out = joined.join(F.broadcast(cut_row), F.col("cut_j") == F.col("cj"), "left")
+    quota = (
+        F.when(F.col("cut_j").isNull(), F.col("n"))  # budget covers everything
+        .when(F.col("j") < F.col("cut_j"), F.col("n"))
+        .otherwise(
+            F.col("t_level")
+            + F.when(
+                F.col("j") - F.col("cut_j") < F.col("leftover"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+    )
+    return out.select(group_col, "n", quota.cast("long").alias("quota"))

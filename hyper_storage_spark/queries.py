@@ -10055,6 +10055,52 @@ def q_golden_records(spark, sf_dir):
 
 
 @register_extra(
+    "q_waterfill_budget",
+    """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+       b AS (
+         SELECT lang, n,
+                ROW_NUMBER() OVER w AS j,
+                SUM(n) OVER w - n AS p_prev,
+                COUNT(*) OVER () AS ng
+         FROM c WINDOW w AS (ORDER BY n, lang)
+       ),
+       f AS (
+         SELECT *, CAST((300 - p_prev) // (ng - j + 1) AS BIGINT) AS tj FROM b
+       ),
+       cut AS (SELECT MIN(CASE WHEN tj < n THEN j END) AS cut_j FROM f),
+       cr AS (
+         SELECT tj AS t_level,
+                300 - p_prev - tj * (ng - j + 1) AS leftover, j AS cj
+         FROM f, cut WHERE j = cut_j
+       )
+       SELECT f.lang, f.n,
+              CAST(CASE WHEN cut.cut_j IS NULL THEN f.n
+                        WHEN f.j < cut.cut_j THEN f.n
+                        ELSE cr.t_level
+                             + CASE WHEN f.j - cr.cj < cr.leftover
+                                    THEN 1 ELSE 0 END
+                   END AS BIGINT) AS quota
+       FROM f CROSS JOIN cut LEFT JOIN cr ON cut.cut_j = cr.cj
+       ORDER BY lang""",
+)
+def q_waterfill_budget(spark, sf_dir):
+    """Water-filling budget allocation across languages
+    (operators/sampling.py waterfill_quota, budget 300): cap the big
+    groups at a common level, keep small groups whole, distribute the
+    integer remainder deterministically — quotas sum to EXACTLY
+    min(budget, corpus). Closed-form integer windows, no iteration;
+    the oracle replays ordering, prefix algebra, the water-line cut,
+    and remainder placement. (Beyond-cut candidate levels can go
+    negative, where Spark `div` truncates and DuckDB `//` floors —
+    harmless by construction: only the cut row's non-negative level
+    reaches the output, and the capped-flag comparison agrees under
+    either rounding.) The corpus collapses to group counts first; all
+    window work runs on the group-cardinality frame."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.waterfill_quota(docs, "lang", 300).orderBy("lang")
+
+
+@register_extra(
     "ts_rolling_trend",
     """WITH daily AS (
          SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,

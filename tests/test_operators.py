@@ -4472,3 +4472,31 @@ def test_hard_negatives_label_semantics(spark):
     assert 4 not in got                       # NULL-label anchor mines nothing
     assert [n for _, n, _ in sorted(got[0])] == [2, 3]
     assert all(lbl == "b" for _, _, lbl in got[0])
+
+
+def test_waterfill_quota_hand_computed(spark):
+    """waterfill_quota: exact-sum allocation across the regimes —
+    zero budget, sub-level remainder (+1 to first groups in (count,
+    name) order), mixed whole/capped, and budget >= corpus."""
+    import pytest
+
+    from hyper_storage_spark.operators import sampling
+
+    rows = [("a",)] * 5 + [("b",)] * 10 + [("c",)] * 100 + [("d",)] * 3
+    df = spark.createDataFrame(rows, "g string")
+
+    def alloc(budget):
+        out = {r.g: r.quota for r in sampling.waterfill_quota(df, "g", budget).collect()}
+        return out, sum(out.values())
+
+    assert alloc(0) == ({"a": 0, "b": 0, "c": 0, "d": 0}, 0)
+    # level 0, leftover 3 -> +1 to d(3), a(5), b(10); c waits
+    assert alloc(3) == ({"d": 1, "a": 1, "b": 1, "c": 0}, 3)
+    # d, a whole; level 6 for b and c
+    assert alloc(20) == ({"d": 3, "a": 5, "b": 6, "c": 6}, 20)
+    # only c capped
+    assert alloc(50) == ({"d": 3, "a": 5, "b": 10, "c": 32}, 50)
+    # budget >= corpus: everyone whole, sum = corpus not budget
+    assert alloc(500) == ({"d": 3, "a": 5, "b": 10, "c": 100}, 118)
+    with pytest.raises(ValueError):
+        sampling.waterfill_quota(df, "g", -1)

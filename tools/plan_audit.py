@@ -160,6 +160,20 @@ WAIVERS: dict[str, list[tuple[str, str]]] = {
 # corpus-proportional must restructure (partitioned window, TakeOrdered,
 # or the two-level prefix sum in operators/sampling.distributed_cumsum).
 WINDOW_WAIVERS: dict[str, list[tuple[str, str]]] = {
+    "q_waterfill_budget": [
+        (
+            "lang#",
+            "window input is the per-GROUP count frame (the corpus "
+            "collapses through the groupBy first): rows bounded by group "
+            "cardinality (languages/domains), the deliberate scalar-bounds "
+            "computation waterfill_quota's docstring documents",
+        ),
+        (
+            "count(1) windowspecdefinition",
+            "the ng group-count scalar over the same group-cardinality "
+            "frame (COUNT(*) OVER ()) — same bounded input as above",
+        ),
+    ],
     "q_moving_average": [
         (
             "day#",
