@@ -471,6 +471,75 @@ def semdedup_growth(scales=(1, 10)) -> None:
     print("# semdedup smoke done")
 
 
+def corpusdiff_growth(scales=(1, 10)) -> None:
+    """Corpus diff under replica growth: v1 is the sf0.1 documents
+    replicated with fresh ids; v2 mutates ~12% of rows and appends
+    ~6% new ids (the q_corpus_diff band recipe). The claim under
+    test: the full-outer join shuffles digests, not payloads, so
+    wall growth tracks row count (near-linear), and the classified
+    counts scale exactly with the replicas (the bands are per-id
+    deterministic)."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import versioning
+    from hyper_storage_spark.operators._caches import release_tracked_caches
+    from hyper_storage_spark.session import get_spark
+    from hyper_storage_spark.sources.tables import load_table
+
+    spark = get_spark("scale_smoke_corpusdiff")
+    tmp = tempfile.mkdtemp(prefix="scale_smoke_cdiff_")
+    docs1 = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    base_wall = base_counts = None
+    for sc in scales:
+        union = None
+        for r in range(sc):
+            part = docs1.select(
+                (F.col("doc_id") + F.lit(r * 1_000_000)).alias("doc_id"),
+                "text",
+                "lang",
+            )
+            union = part if union is None else union.unionAll(part)
+        path = f"{tmp}/docs{sc}x"
+        union.write.mode("overwrite").parquet(path)
+        v1 = spark.read.parquet(path)
+        u = F.conv(
+            F.substring(F.md5(F.concat(F.lit("v2:"), F.col("doc_id").cast("string"))), 1, 13),
+            16,
+            10,
+        ).cast("double") / F.lit(float(1 << 52))
+        base = v1.withColumn("u", u)
+        surv = base.filter(F.col("u") >= 0.06).select(
+            "doc_id",
+            F.when(F.col("u") < 0.12, F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+        )
+        added = base.filter(F.col("u") >= 0.94).select(
+            (F.col("doc_id") + 100_000_000).alias("doc_id"),
+            F.concat(F.lit("added:"), F.col("doc_id").cast("string")).alias("text"),
+            "lang",
+        )
+        v2 = surv.unionByName(added)
+        t0 = time.time()
+        d = versioning.corpus_diff(v1, v2, "doc_id", ("text", "lang"))
+        counts = {r["status"]: r["n"] for r in d.groupBy("status").agg(F.count("*").alias("n")).collect()}
+        wall = time.time() - t0
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        g = ""
+        if base_wall is not None:
+            ratios = {k: counts[k] / base_counts[k] for k in counts}
+            g = f" growth={wall / base_wall:.2f}x class_ratios={ratios}"
+        else:
+            base_wall, base_counts = wall, counts
+        print(f"# corpusdiff rows={v1.count()} counts={counts} wall={wall:.2f}s{g}")
+        release_tracked_caches()
+    print("# corpusdiff smoke done")
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "storerollup":
         store_rollup_modes(int(sys.argv[2]) if len(sys.argv) > 2 else 5000)
@@ -481,6 +550,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "graphfuzzy":
         graph_fuzzy(
             tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (500, 2000, 8000)
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "corpusdiff":
+        corpusdiff_growth(
+            tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (1, 10)
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
