@@ -185,6 +185,40 @@ def with_pii_redacted(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("text_redacted", redacted)
 
 
+def collapse_repeats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Collapse CONSECUTIVE duplicate tokens ("the the the" → "the")
+    — the stutter-cleanup rewrite for OCR/scrape/ASR corpora, the
+    within-document complement of the cross-document span removal.
+    Returns (doc_id, n_tokens, n_collapsed, clean_hash, clean_text)
+    where clean_hash = md5 of the surviving tokens joined by single
+    spaces (the SQL-replayable certificate, the remove_dup_spans
+    convention).
+
+    Pure per-row HOF work — the token array never leaves its row, no
+    shuffle, whole-stage codegen: an index-aware ``filter`` keeps
+    each token whose predecessor differs. Only EXACT adjacent
+    duplicates collapse; legitimate repetition at distance ("buffalo
+    buffalo" split by punctuation tokens) survives."""
+    toks = tokens_col(F.col(text_col))
+    kept = F.expr(
+        "filter(__toks, (x, i) -> i = 0 OR x != element_at(__toks, i))"
+    )
+    base = df.select(
+        "doc_id", toks.alias("__toks")
+    ).select(
+        "doc_id",
+        F.size("__toks").alias("n_tokens"),
+        kept.alias("__kept"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("__kept")).alias("n_collapsed"),
+        F.md5(F.concat_ws(" ", F.col("__kept"))).alias("clean_hash"),
+        F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
+    )
+
+
 def normalized_text(text: Column) -> Column:
     """Canonical text form for robust dedup hashing: lowercase, strip
     punctuation, collapse runs of whitespace, trim. Exact dedup on the

@@ -10055,6 +10055,49 @@ def q_golden_records(spark, sf_dir):
 
 
 @register_extra(
+    "text_collapse_repeats",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '') AS l
+         FROM documents
+       ),
+       flat AS (
+         SELECT doc_id, l, CAST(i AS INT) AS ord, l[CAST(i AS INT)] AS tok
+         FROM toks, UNNEST(range(1, len(l) + 1)) AS t(i)
+       ),
+       marked AS (
+         SELECT doc_id, tok, ord,
+                (ord = 1 OR tok <> l[ord - 1]) AS keep
+         FROM flat
+       ),
+       agg AS (
+         SELECT doc_id, COUNT(*) AS n_tokens,
+                COUNT(*) FILTER (WHERE NOT keep) AS n_collapsed,
+                string_agg(tok, ' ' ORDER BY ord) FILTER (WHERE keep) AS ct
+         FROM marked GROUP BY doc_id
+       )
+       SELECT t.doc_id,
+              CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+              CAST(COALESCE(a.n_collapsed, 0) AS BIGINT) AS n_collapsed,
+              md5(COALESCE(a.ct, '')) AS clean_hash
+       FROM toks t LEFT JOIN agg a USING (doc_id)""",
+)
+def text_collapse_repeats(spark, sf_dir):
+    """Consecutive-duplicate token collapse (operators/text.py
+    collapse_repeats): the stutter-cleanup rewrite for OCR/scrape/ASR
+    text, certified by md5 of the surviving token stream — the oracle
+    rebuilds the keep-set from token ordinality and the hash compares
+    byte-for-byte (the remove_dup_spans convention). Per-row HOFs in
+    codegen, zero shuffle; the synthetic corpus genuinely stutters
+    ("batch batch batch"), so n_collapsed is non-trivially nonzero."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.collapse_repeats(docs).select(
+        "doc_id", "n_tokens", "n_collapsed", "clean_hash"
+    )
+
+
+@register_extra(
     "q_waterfill_budget",
     """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
        b AS (

@@ -4500,3 +4500,30 @@ def test_waterfill_quota_hand_computed(spark):
     assert alloc(500) == ({"d": 3, "a": 5, "b": 10, "c": 100}, 118)
     with pytest.raises(ValueError):
         sampling.waterfill_quota(df, "g", -1)
+
+
+def test_collapse_repeats_hand_computed(spark):
+    """collapse_repeats: adjacency-only collapse (distance-2 repeats
+    survive), runs of any length collapse to one, empty text yields
+    zero counts and md5('')."""
+    import hashlib
+
+    from hyper_storage_spark.operators import text as text_ops
+
+    rows = [
+        (1, "a a a b a"),       # run of 3 -> 'a b a' (distant 'a' kept)
+        (2, "x y x y"),          # nothing adjacent -> unchanged
+        (3, "  "),               # whitespace only -> empty
+        (4, "z"),                # single token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_ops.collapse_repeats(df).collect()}
+    assert (out[1].n_tokens, out[1].n_collapsed) == (5, 2)
+    assert out[1].clean_text == "a b a"
+    assert out[1].clean_hash == hashlib.md5(b"a b a").hexdigest()
+    assert (out[2].n_collapsed, out[2].clean_text) == (0, "x y x y")
+    assert (out[3].n_tokens, out[3].clean_hash) == (
+        0,
+        hashlib.md5(b"").hexdigest(),
+    )
+    assert out[4].clean_text == "z"
