@@ -265,3 +265,93 @@ def test_kl_divergence_matches_naive(spark, docs):
         kl = sum((c / ng) * math.log((c / ng) / (q[t] / nq)) for t, c in pg.items())
         assert got[g][0] == ng
         assert abs(got[g][1] - kl) <= 5.01e-7
+
+
+def test_waterfill_quota_randomized_differential(spark):
+    """waterfill_quota vs a brute-force Python water-filler across
+    seeded random count vectors and budgets: exact quota agreement,
+    exact-sum property, and the remainder discipline."""
+    import random
+
+    from hyper_storage_spark.operators import sampling
+
+    def py_waterfill(counts: dict, budget: int) -> dict:
+        items = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(items)
+        quotas = {}
+        remaining, m = budget, n
+        # fully take groups below the rising water line
+        i = 0
+        while i < n:
+            name, c = items[i]
+            level = remaining // m
+            if level >= c:
+                quotas[name] = c
+                remaining -= c
+                m -= 1
+                i += 1
+            else:
+                break
+        if i < n:
+            level = remaining // m
+            leftover = remaining - level * m
+            for j, (name, c) in enumerate(items[i:]):
+                quotas[name] = level + (1 if j < leftover else 0)
+        return quotas
+
+    rng = random.Random(20260816)
+    for case in range(25):
+        n_groups = rng.randint(1, 9)
+        counts = {f"g{i}": rng.randint(1, 40) for i in range(n_groups)}
+        total = sum(counts.values())
+        budget = rng.choice([0, rng.randint(1, total), total, total + 7])
+        rows = [(g,) for g, c in counts.items() for _ in range(c)]
+        df = spark.createDataFrame(rows, "g string")
+        got = {
+            r.g: r.quota
+            for r in sampling.waterfill_quota(df, "g", budget).collect()
+        }
+        want = py_waterfill(counts, budget)
+        assert got == want, (case, counts, budget, got, want)
+        assert sum(got.values()) == min(budget, total)
+
+
+def test_corpus_diff_randomized_differential(spark):
+    """corpus_diff vs a Python dict diff across seeded random version
+    pairs with nullable content columns."""
+    import random
+
+    from hyper_storage_spark.operators import versioning
+
+    rng = random.Random(7777)
+    for case in range(10):
+        ids = list(range(rng.randint(1, 30)))
+        def mk(seed):
+            r = random.Random(seed)
+            out = {}
+            for i in ids:
+                if r.random() < 0.8:
+                    out[i] = (
+                        None if r.random() < 0.1 else f"t{r.randint(0, 5)}",
+                        None if r.random() < 0.1 else f"l{r.randint(0, 2)}",
+                    )
+            return out
+        old, new = mk(case * 2), mk(case * 2 + 1)
+        want = {}
+        for i in set(old) | set(new):
+            if i not in old:
+                want[i] = "added"
+            elif i not in new:
+                want[i] = "removed"
+            elif old[i] != new[i]:
+                want[i] = "changed"
+            else:
+                want[i] = "unchanged"
+        schema = "doc_id long, text string, lang string"
+        odf = spark.createDataFrame([(i, *v) for i, v in old.items()], schema)
+        ndf = spark.createDataFrame([(i, *v) for i, v in new.items()], schema)
+        got = {
+            r.doc_id: r.status
+            for r in versioning.corpus_diff(odf, ndf, "doc_id", ("text", "lang")).collect()
+        }
+        assert got == want, (case, got, want)
