@@ -10055,6 +10055,62 @@ def q_golden_records(spark, sf_dir):
 
 
 @register_extra(
+    "pipeline_ccnet_prep",
+    "WITH "
+    + _CHAR_LM_CTES
+    + """,
+lab AS (
+  SELECT d.doc_id, d.text, d.lang,
+         NTILE(3) OVER (PARTITION BY d.lang
+                        ORDER BY ds.lm_score DESC, ds.doc_id) AS nt
+  FROM doc_scores ds JOIN documents d USING (doc_id)
+),
+kept AS (SELECT doc_id, text, lang FROM lab WHERE nt <= 2),
+dedup AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM dedup GROUP BY lang ORDER BY lang""",
+)
+def pipeline_ccnet_prep(spark, sf_dir):
+    """The CCNet corpus-prep recipe END-TO-END in one Catalyst plan:
+    char-LM perplexity scoring → per-language head+middle cut (drop
+    the tail third) → exact dedup (first doc per text digest) →
+    per-language stats. The oracle shares _CHAR_LM_CTES with
+    text_lm_perplexity/text_ppl_buckets (one definition of the score
+    arithmetic across all three entries) and replays the cut, the
+    digest dedup tie-break, and the final aggregate. Scale shape:
+    scoring is scan + broadcast model join; the cut's window moves
+    slim (id, score) rows; dedup shuffles (digest, id) — at no stage
+    does the payload cross an exchange except the final
+    delta-to-stats aggregation."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    lab = text.ppl_buckets(docs, by_col="lang", n_buckets=3)
+    kept = (
+        lab.filter(F.col("bucket") <= 2)
+        .select("doc_id")
+        .join(docs, "doc_id")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register_extra(
     "text_collapse_repeats",
     r"""WITH toks AS (
          SELECT doc_id,
