@@ -988,3 +988,49 @@ def label_noise_candidates(
         .orderBy(F.col("disagreement").desc(), id_col)
         .limit(int(top_k))
     )
+
+
+def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document zlib compression ratio (compressed bytes ÷ UTF-8
+    bytes) — the corpus-free quality signal the regex features miss:
+    heavily REPETITIVE boilerplate compresses far below normal prose
+    (low ratio), while binary-ish/garbled text barely compresses at
+    all (ratio near or above 1). Downstream filters cut both tails.
+
+    The one text operator here that is NOT pure Column work: zlib
+    has no JVM/SQL expression equivalent, so this is an Arrow-batched
+    ``mapInPandas`` (the multimodal codec path, not a row-at-a-time
+    UDF) — per-batch Python cost amortized over thousands of rows,
+    no shuffle, columns pass through. Ratio is deterministic for a
+    fixed zlib level (6): the same corpus always scores identically.
+    NULL text → NULL ratio; empty text → NULL (no bytes to measure,
+    and the header-only compressed size would read as a huge ratio).
+    """
+    import zlib
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # build a NEW StructType: StructType.add mutates in place, and
+    # df.schema hands back the DataFrame's cached schema object —
+    # mutating it poisons df.columns with the phantom output column
+    schema_out = StructType(
+        list(df.schema.fields) + [StructField("compression_ratio", DoubleType())]
+    )
+
+    def _batches(pdfs):
+        for pdf in pdfs:
+            ratios = []
+            for t in pdf[text_col]:
+                if t is None:
+                    ratios.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                if not raw:
+                    ratios.append(None)
+                    continue
+                ratios.append(len(zlib.compress(raw, 6)) / len(raw))
+            pdf = pdf.copy()
+            pdf["compression_ratio"] = ratios
+            yield pdf
+
+    return df.mapInPandas(_batches, schema_out)

@@ -4527,3 +4527,33 @@ def test_collapse_repeats_hand_computed(spark):
         hashlib.md5(b"").hexdigest(),
     )
     assert out[4].clean_text == "z"
+
+
+def test_compression_ratio_signal(spark):
+    """with_compression_ratio: boilerplate compresses far below
+    prose, random-ish text barely compresses, NULL/empty yield NULL,
+    other columns pass through, and the score is deterministic."""
+    import random
+
+    from hyper_storage_spark.operators import text as text_ops
+
+    rng = random.Random(3)
+    noise = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(120)
+    )
+    rows = [
+        (1, "terms of service apply " * 100, "en"),
+        (2, noise, "en"),
+        (3, None, "de"),
+        (4, "", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in text_ops.with_compression_ratio(df).collect()}
+    assert out[1].compression_ratio < 0.05          # boilerplate collapses
+    assert out[2].compression_ratio > 0.5           # noise barely compresses
+    assert out[3].compression_ratio is None
+    assert out[4].compression_ratio is None
+    assert out[1].lang == "en" and out[3].lang == "de"  # passthrough
+    again = {r.doc_id: r.compression_ratio for r in text_ops.with_compression_ratio(df).collect()}
+    assert again[1] == out[1].compression_ratio and again[2] == out[2].compression_ratio
