@@ -192,3 +192,49 @@ def test_explain_entry_cli_lists_and_explains(spark, sf_dir):
         capture_output=True, text=True,
     )
     assert bad.returncode == 2 and "unknown entry" in bad.stderr
+
+
+def test_streaming_sample_batch_bottomk_is_take_ordered(spark):
+    """streaming_uniform_sample's per-batch bottom-k must plan as
+    TakeOrdered (partial top-k per partition), never a global Sort —
+    the operator's docstring claims it, and at scale a global sort
+    per micro-batch would dominate the sink."""
+    from pyspark.sql import functions as F
+
+    batch = spark.range(10_000).select(
+        F.col("id").alias("event_id"),
+        F.lit("t").alias("event_type"),
+    )
+    ordk = F.md5(
+        F.concat_ws(":", F.lit("smp"), F.col("event_id").cast("string"))
+    ).alias("__ord")
+    bk = (
+        batch.select(F.col("event_id"), F.col("event_type"), ordk)
+        .orderBy("__ord", "event_id")
+        .limit(256)
+    )
+    plan = bk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_corpus_diff_join_carries_digests_not_payload(spark):
+    """corpus_diff's full-outer join must shuffle (id, digest, carry)
+    projections — the text payload must be dropped BEFORE the
+    exchange (the operator's whole scale claim)."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import versioning
+
+    big = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("payload "), F.col("id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    d = versioning.corpus_diff(big, big, "doc_id", ("text", "lang"), carry_cols=("lang",))
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    # the join inputs project md5 digests; the raw text column must
+    # not appear in any exchange's output schema
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
