@@ -1835,3 +1835,98 @@ def jaccard_threshold_profile(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def streaming_corpus_stats(
+    state_root: str,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    run_id: "str | None" = None,
+):
+    """``foreachBatch`` sink for the STREAMING corpus-prep capstone:
+    exact-dedup every micro-batch against the persisted digest index
+    (:func:`incremental_exact_dedup` — the daily-crawl face, driven
+    continuously) and maintain per-language (n_docs, n_chars)
+    statistics over the UNIQUE documents only. After any prefix of
+    the stream, the state equals the batch pipeline (dedup keep-first
+    + grouped stats) over all rows so far — the invariant the pytest
+    pins across cross-batch duplicates and replays.
+
+    State per version: the digest index (one 32-byte hash per unique
+    document — the data-proportional piece, exactly what the batch
+    incremental pipeline persists anyway), a group-cardinality stats
+    parquet, and the shared pointer/replay-guard discipline
+    (operators/rollup_mv.py) so at-least-once delivery cannot
+    double-count. Per batch: one anti-join on the digest (batch-side
+    shuffle only), one within-batch first-row window, one stats
+    merge by union+sum on the language key. Read back with
+    :func:`read_corpus_stats`."""
+    import os
+
+    from .rollup_mv import (
+        _flip_pointer,
+        _is_replayed_batch,
+        _read_pointer,
+        _warn_if_anonymous,
+    )
+
+    label = f"streaming_corpus_stats({state_root!r})"
+    _warn_if_anonymous(run_id, label)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(state_root, exist_ok=True)
+        cur = _read_pointer(state_root)
+        if _is_replayed_batch(cur, batch_id, run_id, label):
+            return
+        spark = batch_df.sparkSession
+        if cur is not None:
+            seen = spark.read.parquet(os.path.join(state_root, cur["index"]))
+            prev_stats = spark.read.parquet(os.path.join(state_root, cur["stats"]))
+        else:
+            seen = spark.createDataFrame([], "text_hash string")
+            prev_stats = spark.createDataFrame(
+                [], f"{lang_col} string, n_docs long, n_chars long"
+            )
+        admitted = incremental_exact_dedup(
+            batch_df, seen, text_col=text_col, id_col=id_col
+        )
+        delta = admitted.groupBy(lang_col).agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length(text_col)).alias("n_chars"),
+        )
+        stats = (
+            prev_stats.unionByName(delta)
+            .groupBy(lang_col)
+            .agg(F.sum("n_docs").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+        )
+        index = seen.unionByName(admitted.select("text_hash")).distinct()
+        version = (cur["version"] + 1) if cur else 1
+        rel_idx, rel_st = f"v{version:06d}_index", f"v{version:06d}_stats"
+        index.write.mode("overwrite").parquet(os.path.join(state_root, rel_idx))
+        stats.write.mode("overwrite").parquet(os.path.join(state_root, rel_st))
+        _flip_pointer(
+            state_root,
+            {
+                "version": version,
+                "batch_id": batch_id,
+                "index": rel_idx,
+                "stats": rel_st,
+                "run_id": run_id,
+            },
+        )
+
+    return apply_batch
+
+
+def read_corpus_stats(spark, state_root: str) -> DataFrame:
+    """Current per-language stats of a :func:`streaming_corpus_stats`
+    state dir. Raises if no batch has committed yet."""
+    import os
+
+    from .rollup_mv import _read_pointer
+
+    cur = _read_pointer(state_root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed corpus-stats state under {state_root}")
+    return spark.read.parquet(os.path.join(state_root, cur["stats"]))

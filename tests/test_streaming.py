@@ -1355,3 +1355,75 @@ def test_streaming_heavy_hitters_float_boundary_admission(spark, tmp_path):
     sink(spark.createDataFrame(rows, "v string"), 0)
     served = {r.value for r in sk.read_heavy_hitters(spark, state).collect()}
     assert "boundary" in served
+
+
+def test_streaming_corpus_stats_equals_batch_pipeline(spark, tmp_path):
+    """streaming_corpus_stats: after a real 3-micro-batch stream with
+    cross-batch duplicates, the persisted per-language stats equal
+    the batch pipeline (dedup keep-first + grouped stats) over ALL
+    rows — and a replayed batch changes nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import dedup as dd
+    from hyper_storage_spark.operators.rollup_mv import _read_pointer
+
+    src = tmp_path / "csrc"
+    src.mkdir()
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string())]
+    )
+    # 90 docs over 3 files; text repeats every 30 ids WITHIN a lang
+    # stripe, so batch 2/3 re-deliver batch 1's content under new ids
+    all_rows = [
+        {
+            "doc_id": i,
+            "text": f"doc content {i % 30}",
+            "lang": ["en", "de", "fr"][i % 3],
+        }
+        for i in range(90)
+    ]
+    for b in range(3):
+        pq.write_table(
+            pa.Table.from_pylist(all_rows[b * 30 : (b + 1) * 30], schema=schema),
+            str(src / f"f{b}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "cstate")
+    sink = dd.streaming_corpus_stats(state, run_id="t")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r.lang: (r.n_docs, r.n_chars)
+        for r in dd.read_corpus_stats(spark, state).collect()
+    }
+    batch = spark.createDataFrame(all_rows)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    uniq = batch.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    want = {
+        r.lang: (r.n_docs, r.n_chars)
+        for r in uniq.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum(F.length("text")).alias("n_chars"))
+        .collect()
+    }
+    assert got == want and sum(n for n, _ in got.values()) == 30
+
+    v = _read_pointer(state)["version"]
+    sink(batch.limit(10), 0)  # replay: must be skipped wholesale
+    assert _read_pointer(state)["version"] == v
+    assert {
+        r.lang: (r.n_docs, r.n_chars)
+        for r in dd.read_corpus_stats(spark, state).collect()
+    } == want
