@@ -143,3 +143,117 @@ def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     return spark.createDataFrame(
         rows, "rule string, n_rows long, n_violations long, passed boolean"
     )
+
+
+def streaming_expectations(
+    state_root: str,
+    rules: Sequence[Rule],
+    run_id: Optional[str] = None,
+):
+    """``foreachBatch`` sink running the expectations engine
+    CONTINUOUSLY: every micro-batch is checked against the rule list,
+    per-rule violation counts accumulate in persisted state, and rows
+    violating any SCALAR rule land in a per-batch quarantine file —
+    the streaming ingest gate (dead-letter discipline) the batch
+    :func:`check` gives CI pipelines.
+
+    State: a rule-cardinality counts parquet (merged by union+sum
+    each batch) plus one quarantine parquet PER BATCH (written even
+    when empty, so the quarantine schema is always readable; a
+    replayed batch overwrites its own file — no duplicates) behind
+    the shared pointer/replay-guard discipline
+    (operators/rollup_mv.py). Set-level rules (unique/foreign_key)
+    are checked per batch and counted, but their violations are not
+    row-attributable, so they never quarantine rows — exactly the
+    batch engine's violation_flags contract. Note the semantics:
+    per-batch `unique` cannot see cross-batch duplicates (that is
+    :func:`~hyper_storage_spark.operators.dedup.streaming_corpus_stats`'s
+    digest index job); it gates within-delivery duplication only.
+
+    Read back with :func:`read_expectation_counts` /
+    :func:`read_quarantine`."""
+    import os
+
+    from .rollup_mv import (
+        _flip_pointer,
+        _is_replayed_batch,
+        _read_pointer,
+        _warn_if_anonymous,
+    )
+
+    if not rules:
+        raise ValueError("streaming_expectations: at least one rule required")
+    label = f"streaming_expectations({state_root!r})"
+    _warn_if_anonymous(run_id, label)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(state_root, exist_ok=True)
+        cur = _read_pointer(state_root)
+        if _is_replayed_batch(cur, batch_id, run_id, label):
+            return
+        spark = batch_df.sparkSession
+        summary = check(batch_df, rules).select("rule", "n_rows", "n_violations")
+        if cur is not None:
+            prev = spark.read.parquet(os.path.join(state_root, cur["counts"]))
+            summary = (
+                prev.unionByName(summary)
+                .groupBy("rule")
+                .agg(
+                    F.sum("n_rows").alias("n_rows"),
+                    F.sum("n_violations").alias("n_violations"),
+                )
+            )
+        flagged = violation_flags(batch_df, rules)
+        viol_cols = [c for c in flagged.columns if c.startswith("__viol_")]
+        bad = flagged
+        if viol_cols:
+            pred = None
+            for c in viol_cols:
+                e = F.coalesce(F.col(c), F.lit(False))
+                pred = e if pred is None else (pred | e)
+            bad = flagged.filter(pred)
+        bad = bad.drop(*viol_cols).withColumn("__batch_id", F.lit(batch_id))
+        version = (cur["version"] + 1) if cur else 1
+        rel_counts = f"v{version:06d}_counts"
+        summary.write.mode("overwrite").parquet(os.path.join(state_root, rel_counts))
+        # one quarantine file per batch, overwrite-idempotent on replay
+        bad.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"q_{batch_id:06d}")
+        )
+        _flip_pointer(
+            state_root,
+            {
+                "version": version,
+                "batch_id": batch_id,
+                "counts": rel_counts,
+                "run_id": run_id,
+            },
+        )
+
+    return apply_batch
+
+
+def read_expectation_counts(spark, state_root: str) -> DataFrame:
+    """Cumulative per-rule (rule, n_rows, n_violations, passed) from a
+    :func:`streaming_expectations` state dir."""
+    import os
+
+    from .rollup_mv import _read_pointer
+
+    cur = _read_pointer(state_root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed expectations state under {state_root}")
+    return spark.read.parquet(os.path.join(state_root, cur["counts"])).select(
+        "rule", "n_rows", "n_violations", (F.col("n_violations") == 0).alias("passed")
+    )
+
+
+def read_quarantine(spark, state_root: str) -> DataFrame:
+    """Every quarantined row so far (original columns + __batch_id)."""
+    import os
+
+    from .rollup_mv import _read_pointer
+
+    if _read_pointer(state_root) is None:
+        raise FileNotFoundError(f"no committed expectations state under {state_root}")
+    return spark.read.parquet(os.path.join(state_root, "q_*"))

@@ -1427,3 +1427,67 @@ def test_streaming_corpus_stats_equals_batch_pipeline(spark, tmp_path):
         r.lang: (r.n_docs, r.n_chars)
         for r in dd.read_corpus_stats(spark, state).collect()
     } == want
+
+
+def test_streaming_expectations_accumulates_and_quarantines(spark, tmp_path):
+    """streaming_expectations over a real 2-batch stream: cumulative
+    per-rule counts equal the batch engine over all rows, scalar
+    violations land in quarantine with their batch id, set-level
+    rules count but never quarantine, replay is a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyper_storage_spark.operators import expectations as ex
+    from hyper_storage_spark.operators.rollup_mv import _read_pointer
+
+    src = tmp_path / "esrc"
+    src.mkdir()
+    schema = pa.schema([("id", pa.int64()), ("score", pa.float64()), ("tag", pa.string())])
+    b1 = [
+        {"id": 1, "score": 0.5, "tag": "ok"},
+        {"id": 2, "score": 1.7, "tag": "ok"},      # out of range
+        {"id": 3, "score": 0.2, "tag": None},      # null tag
+    ]
+    b2 = [
+        {"id": 4, "score": 0.9, "tag": "ok"},
+        {"id": 4, "score": 0.1, "tag": "ok"},      # duplicate id (set-level)
+        {"id": 5, "score": -2.0, "tag": "ok"},     # out of range
+    ]
+    pq.write_table(pa.Table.from_pylist(b1, schema=schema), str(src / "f1.parquet"))
+    pq.write_table(pa.Table.from_pylist(b2, schema=schema), str(src / "f2.parquet"))
+
+    rules = [ex.not_null("tag"), ex.in_range("score", 0.0, 1.0), ex.unique("id")]
+    state = str(tmp_path / "estate")
+    sink = ex.streaming_expectations(state, rules, run_id="t")
+    stream = (
+        spark.readStream.schema("id long, score double, tag string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "eckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    counts = {
+        r.rule: (r.n_rows, r.n_violations, r.passed)
+        for r in ex.read_expectation_counts(spark, state).collect()
+    }
+    assert counts["not_null(tag)"] == (6, 1, False)
+    assert counts["in_range(score,0.0,1.0)"] == (6, 2, False)
+    assert counts["unique(id)"] == (6, 1, False)
+
+    quar = ex.read_quarantine(spark, state).collect()
+    assert sorted((r.id, r["__batch_id"] is not None) for r in quar) == [
+        (2, True), (3, True), (5, True)
+    ]  # the duplicate id=4 rows are set-level: counted, not quarantined
+
+    v = _read_pointer(state)["version"]
+    sink(spark.createDataFrame(b1), 0)
+    assert _read_pointer(state)["version"] == v
+    assert {
+        r.rule: r.n_rows for r in ex.read_expectation_counts(spark, state).collect()
+    }["unique(id)"] == 6
