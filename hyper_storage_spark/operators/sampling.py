@@ -333,6 +333,22 @@ def budget_select(
     return cum.filter(F.col(cum_col) <= budget)
 
 
+def _canonical_ids(docs: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """(id, canonical_id): the near-dup family representative — the
+    component minimum for clustered docs, the doc's own id for
+    singletons. Shared by leakage_safe_split and leakage_safe_kfold
+    so the family definition cannot drift between protocols."""
+    from .dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(pairs)  # (doc_id, cluster_id)
+    return docs.select(F.col(id_col)).join(
+        clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("canonical_id"),
+    )
+
+
 def leakage_safe_split(
     docs: DataFrame,
     pairs: DataFrame,
@@ -359,20 +375,12 @@ def leakage_safe_split(
     over the EDGE set (pairs, not corpus²); the canonical attach is
     one left join against the vocabulary-of-clustered-docs (AQE
     broadcasts real ones); the split itself is pure codegen."""
-    from .dedup import duplicate_clusters
-
     if not fractions:
         raise ValueError("need at least one split")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    clusters = duplicate_clusters(pairs)  # (doc_id, cluster_id)
-    canon = docs.select(F.col(id_col)).join(
-        clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
-    ).select(
-        F.col(id_col),
-        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("canonical_id"),
-    )
+    canon = _canonical_ids(docs, pairs, id_col)
     u = md5_uniform(F.concat(F.col("canonical_id").cast("string"), F.lit(salt)))
     expr, acc = None, 0.0
     names = list(fractions)
@@ -782,3 +790,33 @@ def waterfill_quota(
         )
     )
     return out.select(group_col, "n", quota.cast("long").alias("quota"))
+
+
+def leakage_safe_kfold(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """K-fold assignment with the same leakage control as
+    :func:`leakage_safe_split`: near-duplicate FAMILIES are assigned
+    to folds as units (fold = ⌊u·k⌋ on the canonical id's md5
+    uniform), so cross-validation never evaluates on a near-copy of
+    its own training data — per-fold hashing of raw ids breaks
+    exactly the way a fractions split does. Returns
+    (id, canonical_id, fold ∈ [0, k)).
+
+    The LEAST(⌊u·k⌋, k−1) clamp guards the one-ulp edge where the
+    float product of a u within an ulp of 1 rounds to exactly k;
+    both engines clamp identically, so the oracle replays the exact
+    assignment. Scale shape identical to the fractions split:
+    components over the EDGE set, one canonical attach join, pure
+    codegen for the draw."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    canon = _canonical_ids(docs, pairs, id_col)
+    u = md5_uniform(F.concat(F.col("canonical_id").cast("string"), F.lit(salt)))
+    fold = F.least(F.floor(u * F.lit(float(k))), F.lit(k - 1)).cast("int")
+    return canon.withColumn(fold_col, fold)

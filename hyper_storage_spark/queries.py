@@ -8967,6 +8967,38 @@ FROM draws
 """
 
 
+_LEAKAGE_KFOLD_SQL = f"""
+WITH clusters AS ({_CLUSTERS_SQL}),
+canon AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+draws AS (
+  SELECT doc_id, canonical_id,
+         (('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 13))::UBIGINT::DOUBLE
+          + 0.5) / 4503599627370496.0 AS u
+  FROM canon
+)
+SELECT doc_id, canonical_id,
+       CAST(LEAST(FLOOR(u * 5), 4) AS INT) AS fold
+FROM draws
+"""
+
+
+@register_extra("q_leakage_safe_kfold", _LEAKAGE_KFOLD_SQL)
+def q_leakage_safe_kfold(spark, sf_dir):
+    """Leakage-safe 5-fold cross-validation assignment
+    (operators/sampling.py leakage_safe_kfold): near-duplicate
+    families fold as UNITS via the canonical-id md5 uniform — the
+    k-fold twin of q_leakage_safe_split sharing _canonical_ids (one
+    family definition for both protocols) and _CLUSTERS_SQL (one
+    recursive-CTE component replay). The one-ulp LEAST clamp on
+    ⌊u·k⌋ is mirrored in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
+    return sampling.leakage_safe_kfold(docs, pairs, k=5)
+
+
 @register("q_leakage_safe_split", _LEAKAGE_SPLIT_SQL)
 def q_leakage_safe_split(spark, sf_dir):
     """Leakage-safe train/val/test split

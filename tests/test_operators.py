@@ -4557,3 +4557,28 @@ def test_compression_ratio_signal(spark):
     assert out[1].lang == "en" and out[3].lang == "de"  # passthrough
     again = {r.doc_id: r.compression_ratio for r in text_ops.with_compression_ratio(df).collect()}
     assert again[1] == out[1].compression_ratio and again[2] == out[2].compression_ratio
+
+
+def test_leakage_safe_kfold_families_move_together(spark):
+    """leakage_safe_kfold: every near-dup family lands in ONE fold,
+    folds are within [0, k), the assignment matches the split
+    function's family definition, and k validates."""
+    import pytest
+
+    from hyper_storage_spark.operators import sampling
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    # two families: {0,1,2} and {10,11}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "a_id long, b_id long"
+    )
+    out = sampling.leakage_safe_kfold(docs, pairs, k=4).collect()
+    folds = {r.doc_id: r.fold for r in out}
+    canon = {r.doc_id: r.canonical_id for r in out}
+    assert len(folds) == 40
+    assert all(0 <= f < 4 for f in folds.values())
+    assert folds[0] == folds[1] == folds[2] and canon[2] == 0
+    assert folds[10] == folds[11] and canon[11] == 10
+    assert len(set(folds.values())) > 1  # spread across folds
+    with pytest.raises(ValueError):
+        sampling.leakage_safe_kfold(docs, pairs, k=1)
