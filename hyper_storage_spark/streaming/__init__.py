@@ -12,6 +12,17 @@
 - :mod:`kafka` — the production transport: command topic in, feed
   topic out (``format("kafka")`` wiring + payload codecs; the codecs
   and option plumbing are broker-free testable).
+
+Operator-side ``foreachBatch`` STATE SINKS (persisted pointer-flip
+state with the shared replay guard, operators/rollup_mv.py) live next
+to their batch twins: ``operators.rollup_mv.streaming_rollup``
+(continuous aggregates), ``operators.sampling.
+streaming_uniform_sample`` (deterministic bottom-k corpus sample),
+``operators.sketches.streaming_heavy_hitters`` (mergeable count-min +
+pigeonhole admission), ``operators.dedup.streaming_corpus_stats``
+(continuous incremental dedup + per-language stats), and
+``operators.expectations.streaming_expectations`` (continuous
+data-quality gate with quarantine).
 """
 
 from .feed import feed_readstream
