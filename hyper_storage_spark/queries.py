@@ -4344,6 +4344,63 @@ def q_jsonl_roundtrip(spark, sf_dir):
     return df
 
 
+_STREAM_CORPUS_STATS_RESULTS: dict[str, DataFrame] = {}
+
+
+@register_extra(
+    "q_stream_corpus_stats",
+    """WITH uniq AS (
+         SELECT doc_id, text, lang FROM (
+           SELECT doc_id, text, lang,
+                  ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+           FROM documents WHERE text IS NOT NULL
+         ) WHERE rn = 1
+       )
+       SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(length(text)) AS BIGINT) AS n_chars
+       FROM uniq GROUP BY lang ORDER BY lang""",
+)
+def q_stream_corpus_stats(spark, sf_dir):
+    """The streaming corpus-prep capstone in the oracle gate
+    (operators/dedup.py streaming_corpus_stats): the documents table
+    replayed through a real readStream into the continuous
+    incremental-dedup + stats sink, then the persisted per-language
+    state read back — and it must equal the SQL batch pipeline
+    (digest keep-first dedup + grouped stats) over the whole table,
+    because after any stream prefix the state equals the batch
+    computation over the rows so far. Memoized per (session, sf_dir)
+    like the other stream entries."""
+    import os
+    import tempfile
+
+    df = _STREAM_CORPUS_STATS_RESULTS.get(sf_dir)
+    if df is None:
+        from .operators.dedup import read_corpus_stats, streaming_corpus_stats
+
+        batch = _t(spark, sf_dir, "documents")
+        d = tempfile.mkdtemp(prefix="hs_stream_cstats_")
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
+            os.path.join(d, "documents.parquet"),
+        )
+        stream = spark.readStream.schema(batch.schema).parquet(d)
+        state = tempfile.mkdtemp(prefix="hs_cstats_state_")
+        sink = streaming_corpus_stats(state, run_id=state)
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="hs_cstats_ckpt_")
+            )
+            .start()
+        )
+        q.awaitTermination()
+        df = read_corpus_stats(spark, state)
+        _STREAM_CORPUS_STATS_RESULTS[sf_dir] = df
+    return df.select("lang", "n_docs", "n_chars").orderBy("lang")
+
+
 _STREAM_SAMPLE_RESULTS: dict[str, DataFrame] = {}
 
 
