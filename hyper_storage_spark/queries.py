@@ -4344,6 +4344,64 @@ def q_jsonl_roundtrip(spark, sf_dir):
     return df
 
 
+_STREAM_HH_RESULTS: dict[str, DataFrame] = {}
+
+
+@register_extra(
+    "q_stream_heavy_hitters",
+    """WITH t AS (SELECT COUNT(*) AS n FROM events)
+       SELECT event_type AS value, COUNT(*) AS exact_n,
+              true AS est_sound, CAST(t.n AS BIGINT) AS n_total
+       FROM events, t GROUP BY event_type, t.n ORDER BY event_type""",
+)
+def q_stream_heavy_hitters(spark, sf_dir):
+    """Streaming heavy hitters in the oracle gate (operators/
+    sketches.py streaming_heavy_hitters): the events table replayed
+    through a real readStream into the persisted count-min +
+    pigeonhole-admission sink at φ=0.05, then the served set audited
+    in-plan — every event type holds ≥ ~20% share, so the served set
+    must be EXACTLY the 5 types (oracle pins value + exact count +
+    total), and each estimate must satisfy the CM contract
+    exact ≤ est ≤ exact + (e/width)·N (emitted as est_sound; the
+    grid hash is engine-specific, the CONTRACT is not). Memoized per
+    (session, sf_dir)."""
+    df = _STREAM_HH_RESULTS.get(sf_dir)
+    if df is None:
+        import tempfile
+
+        from .operators.sketches import read_heavy_hitters, streaming_heavy_hitters
+
+        batch, stream = _events_stream(spark, sf_dir, prefix="hs_stream_hh_")
+        state = tempfile.mkdtemp(prefix="hs_hh_state_")
+        sink = streaming_heavy_hitters(state, "event_type", phi=0.05, run_id=state)
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_hh_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+        served = read_heavy_hitters(spark, state)
+        exact = batch.groupBy(F.col("event_type").alias("value")).agg(
+            F.count("*").alias("exact_n")
+        )
+        bound = F.lit(2.718281828459045 / 2719.0) * F.col("n_total")
+        df = (
+            served.join(exact, "value")
+            .select(
+                "value",
+                "exact_n",
+                (
+                    (F.col("cms_estimate") >= F.col("exact_n"))
+                    & (F.col("cms_estimate") <= F.col("exact_n") + bound)
+                ).alias("est_sound"),
+                F.col("n_total").cast("long").alias("n_total"),
+            )
+        )
+        _STREAM_HH_RESULTS[sf_dir] = df
+    return df.orderBy("value")
+
+
 _STREAM_CORPUS_STATS_RESULTS: dict[str, DataFrame] = {}
 
 
