@@ -4344,6 +4344,66 @@ def q_jsonl_roundtrip(spark, sf_dir):
     return df
 
 
+_STREAM_EXPECT_RESULTS: dict[str, DataFrame] = {}
+
+
+@register_extra(
+    "q_stream_expectations",
+    """WITH n AS (SELECT COUNT(*) AS n_rows FROM events)
+       SELECT 'not_null(user_id)' AS rule, n.n_rows,
+              (SELECT COUNT(*) FROM events WHERE user_id IS NULL)
+                  AS n_violations
+       FROM n
+       UNION ALL
+       SELECT 'in_range(value,0.0,100.0)', n.n_rows,
+              (SELECT COUNT(*) FROM events
+               WHERE value IS NOT NULL AND (value < 0.0 OR value > 100.0))
+       FROM n
+       UNION ALL
+       SELECT 'unique(event_id)', n.n_rows,
+              (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
+                 (SELECT COUNT(*) AS c FROM events
+                  WHERE event_id IS NOT NULL GROUP BY event_id))
+       FROM n
+       ORDER BY rule""",
+)
+def q_stream_expectations(spark, sf_dir):
+    """The streaming data-quality gate in the oracle catalog
+    (operators/expectations.py streaming_expectations): events
+    replayed through a real readStream into the continuous rule
+    engine, cumulative per-rule counts read back from the persisted
+    state — and they must equal rule-by-rule SQL recomputation over
+    the whole table (value 0-100 genuinely violates on this corpus;
+    the other two rules pin the zero-violation path). The quarantine
+    file count is implicitly gated too: a wrong quarantine split
+    would desynchronize the violation counts it derives from.
+    Memoized per (session, sf_dir)."""
+    df = _STREAM_EXPECT_RESULTS.get(sf_dir)
+    if df is None:
+        import tempfile
+
+        from .operators import expectations as ex
+
+        _, stream = _events_stream(spark, sf_dir, prefix="hs_stream_exp_")
+        rules = [
+            ex.not_null("user_id"),
+            ex.in_range("value", 0.0, 100.0),
+            ex.unique("event_id"),
+        ]
+        state = tempfile.mkdtemp(prefix="hs_exp_state_")
+        sink = ex.streaming_expectations(state, rules, run_id=state)
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_exp_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+        df = ex.read_expectation_counts(spark, state)
+        _STREAM_EXPECT_RESULTS[sf_dir] = df
+    return df.select("rule", "n_rows", "n_violations").orderBy("rule")
+
+
 _STREAM_HH_RESULTS: dict[str, DataFrame] = {}
 
 
