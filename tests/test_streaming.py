@@ -1491,3 +1491,25 @@ def test_streaming_expectations_accumulates_and_quarantines(spark, tmp_path):
     assert {
         r.rule: r.n_rows for r in ex.read_expectation_counts(spark, state).collect()
     }["unique(id)"] == 6
+
+
+def test_state_sink_readers_fail_loudly_without_state(spark, tmp_path):
+    """Every foreachBatch state-sink reader must raise a clear
+    FileNotFoundError on an uncommitted state dir — a silent empty
+    frame would read as 'no data' instead of 'no pipeline ran'."""
+    import pytest
+
+    from hyper_storage_spark.operators import dedup as dd
+    from hyper_storage_spark.operators import expectations as ex
+    from hyper_storage_spark.operators import sampling, sketches
+
+    empty = str(tmp_path / "nostate")
+    for reader in (
+        sampling.read_uniform_sample,
+        sketches.read_heavy_hitters,
+        dd.read_corpus_stats,
+        ex.read_expectation_counts,
+        ex.read_quarantine,
+    ):
+        with pytest.raises(FileNotFoundError):
+            reader(spark, empty)
