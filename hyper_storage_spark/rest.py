@@ -39,7 +39,7 @@ from dataclasses import dataclass, field
 from typing import Any, Optional
 
 from .plans import SortBy
-from .store import DocumentStore, NotFoundError, QueryBudgetExceeded
+from .store import DocumentStore, IndexAlreadyExists, NotFoundError, QueryBudgetExceeded
 from .store.storage import ManifestConflict
 
 
@@ -195,8 +195,17 @@ class RestFacade:
             # not bump the revision between precondition and apply
             with self.store._lock:
                 self._check_preconditions(path, if_match, if_none_match)
-                created, revision = self.store.put(path, body)
-            return RestResponse(201 if created else 200, None, {"revision": str(revision)})
+                created, revision, txn_id = self.store.put_txn(path, body)
+            # response body is the WAL transaction envelope
+            # (hyperstorage.raml:57-68: 201 → HyperStorageTransactionCreated
+            # {transactionId, path}, 200 → HyperStorageTransaction) —
+            # clients poll GET _transactions/{id} for completion
+            body_out: dict[str, Any] = {"transactionId": txn_id}
+            if created:
+                body_out["path"] = path
+            return RestResponse(
+                201 if created else 200, body_out, {"revision": str(revision)}
+            )
         except PreconditionFailed as e:
             return self._precondition_response(e)
         except ValueError as e:
@@ -206,10 +215,14 @@ class RestFacade:
         """POST to a collection: server-generated item id (the
         reference's POST→PUT id-generation, L14)."""
         try:
-            item_path, revision = self.store.post(path, body)
+            item_path, revision, txn_id = self.store.post_txn(path, body)
             return RestResponse(
                 201,
-                {"id": item_path.rsplit("/", 1)[-1]},
+                {
+                    "id": item_path.rsplit("/", 1)[-1],
+                    "transactionId": txn_id,
+                    "path": item_path,
+                },
                 {"revision": str(revision), "location": item_path},
             )
         except ValueError as e:
@@ -219,8 +232,10 @@ class RestFacade:
         try:
             with self.store._lock:
                 self._check_preconditions(path, if_match, None)
-                _, revision = self.store.patch(path, body)
-            return RestResponse(200, None, {"revision": str(revision)})
+                _, revision, txn_id = self.store.patch_txn(path, body)
+            return RestResponse(
+                200, {"transactionId": txn_id}, {"revision": str(revision)}
+            )
         except PreconditionFailed as e:
             return self._precondition_response(e)
         except NotFoundError:
@@ -234,8 +249,10 @@ class RestFacade:
         try:
             with self.store._lock:
                 self._check_preconditions(path, if_match, None)
-                revision = self.store.delete(path)
-            return RestResponse(200, None, {"revision": str(revision)})
+                revision, txn_id = self.store.delete_txn(path)
+            return RestResponse(
+                200, {"transactionId": txn_id}, {"revision": str(revision)}
+            )
         except PreconditionFailed as e:
             return self._precondition_response(e)
         except NotFoundError:
@@ -409,6 +426,118 @@ class RestFacade:
         except ValueError as e:
             return RestResponse(400, {"error": str(e)})
 
+    # -- index DDL sub-resource (hyperstorage.raml:100-123) -------------------
+
+    # reserved sub-path on a collection: `<coll>~/_indexes[/<indexId>]`,
+    # the engine's face of the reference's `/hyper-storage/indexes/{path}`
+    # routes (the same reserved-segment convention as `_rollups`):
+    #   POST `<coll>~/_indexes` {indexId?, sortBy?, filterBy?, background?}
+    #     → 201 {indexId, path} + location (HyperStorageIndexCreated);
+    #       duplicate id → 409 (IndexDefTaskWorker.scala:85-88);
+    #       invalid collection/filter → 400
+    #   GET  `<coll>~/_indexes` → 200 HAL list of defs
+    #   GET  `<coll>~/_indexes/<id>` → 200 {indexId, sortBy, filterBy,
+    #       status} (HyperStorageIndex + lifecycle status)
+    #   DELETE `<coll>~/_indexes/<id>` → 204 (reference NoContent,
+    #       IndexDefTaskWorker.scala:127); missing → 404
+    _INDEXES_SEG = "~/_indexes"
+
+    _STATUS_NAMES = {0: "INDEXING", 1: "DELETING", 2: "NORMAL"}
+
+    @staticmethod
+    def _sort_item_out(s) -> dict:
+        # serialize EFFECTIVE type/order (raml marks both optional with
+        # text/asc defaults) so clients always see the semantics in force
+        return {
+            "fieldName": s.field_name,
+            "fieldType": s.effective_type,
+            "order": "asc" if s.ascending else "desc",
+        }
+
+    def _indexes_route(self, m: str, path: str, body: Any, params: dict) -> RestResponse:
+        from .plans import SortItem
+
+        base, _, rest = path.partition(self._INDEXES_SEG)
+        uri = base + "~"
+        index_id = rest.lstrip("/") or None
+        try:
+            if m == "POST" and index_id is None:
+                spec = body or {}
+                sort_by = [
+                    SortItem(
+                        s.get("fieldName") or s.get("field_name"),
+                        s.get("fieldType") or s.get("field_type"),
+                        s.get("order"),
+                    )
+                    for s in spec.get("sortBy") or []
+                ]
+                if any(s.field_name is None for s in sort_by):
+                    return RestResponse(400, {"error": "sortBy items need a fieldName"})
+                new_id = self.store.create_index(
+                    uri,
+                    spec.get("indexId"),
+                    sort_by,
+                    filter_by=spec.get("filterBy"),
+                    background=bool(spec.get("background")),
+                )
+                return RestResponse(
+                    201,
+                    {"indexId": new_id, "path": uri},
+                    {"location": f"{uri}/_indexes/{new_id}"},
+                )
+            if m == "GET":
+                defs = self.store.index_defs(uri)
+                if index_id is None:
+                    els = [
+                        {
+                            "indexId": d.index_id,
+                            "sortBy": [self._sort_item_out(s) for s in d.sort_by],
+                            "filterBy": d.filter_by,
+                            "status": self._STATUS_NAMES.get(d.status, str(d.status)),
+                        }
+                        for d in defs
+                    ]
+                    return RestResponse(200, {"_embedded": {"els": els}})
+                d = next((x for x in defs if x.index_id == index_id), None)
+                if d is None:
+                    return RestResponse(404)
+                return RestResponse(200, {
+                    "indexId": d.index_id,
+                    "sortBy": [self._sort_item_out(s) for s in d.sort_by],
+                    "filterBy": d.filter_by,
+                    "status": self._STATUS_NAMES.get(d.status, str(d.status)),
+                })
+            if m == "DELETE" and index_id is not None:
+                self.store.delete_index(uri, index_id)
+                return RestResponse(204)
+            return RestResponse(405, {"error": f"{m} not supported on {path!r}"})
+        except IndexAlreadyExists as e:
+            return RestResponse(409, {"error": str(e)})
+        except NotFoundError:
+            return RestResponse(404)
+        except ManifestConflict as e:
+            return RestResponse(409, {"error": f"concurrent write, retry: {e}"})
+        except ValueError as e:
+            return RestResponse(400, {"error": str(e)})
+
+    # -- transaction status (hyperstorage.raml:90-98) -------------------------
+
+    # reserved top-level namespace `_transactions/{transactionId}` — the
+    # face of GET /hyper-storage/transactions/{id}. The id is the WAL
+    # primary key (dt_quantum-partition-uuid), so the lookup is a point
+    # read of one bucket; completed-and-pruned ids 404 (the reference's
+    # recovery horizon applies to status lookups too).
+    _TRANSACTIONS_PREFIX = "_transactions/"
+
+    def _transactions_route(self, m: str, path: str) -> RestResponse:
+        if m != "GET":
+            return RestResponse(405, {"error": f"{m} not supported on {path!r}"})
+        txn_id = path[len(self._TRANSACTIONS_PREFIX):]
+        try:
+            return RestResponse(200, self.store.get_transaction(txn_id))
+        except NotFoundError:
+            return RestResponse(404)
+
     # `<coll>~/_explain?filter=&sort=` — plan a collection query
     # WITHOUT executing it: chosen access path (base/MV physical
     # table), pushed sargable conjuncts, clustering-prefix usage, scan
@@ -465,6 +594,10 @@ class RestFacade:
         # sub-resource — routing on `in` would hijack it
         if path.endswith(self._ROLLUPS_SEG) or (self._ROLLUPS_SEG + "/") in path:
             return self._rollup_route(m, path, body, params)
+        if path.endswith(self._INDEXES_SEG) or (self._INDEXES_SEG + "/") in path:
+            return self._indexes_route(m, path, body, params)
+        if path.startswith(self._TRANSACTIONS_PREFIX):
+            return self._transactions_route(m, path)
         if path.endswith(self._AGGREGATE_SEG):
             return self._aggregate_route(m, path, params)
         if path.endswith(self._EXPLAIN_SEG):

@@ -12,12 +12,13 @@ Delta-style commit protocol), plus the CRUD/indexing/query engine on top.
   (a reference future-work item).
 """
 
-from .documents import DocumentStore, NotFoundError
+from .documents import DocumentStore, IndexAlreadyExists, NotFoundError
 from .query import QueryBudgetExceeded, QueryResult
 from .stats import FieldStats, analyze_collection, collection_stats, estimate_rows
 
 __all__ = [
     "DocumentStore",
+    "IndexAlreadyExists",
     "NotFoundError",
     "QueryResult",
     "QueryBudgetExceeded",

@@ -225,6 +225,24 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+class IndexAlreadyExists(ValueError):
+    """POSTing an index id that already exists on the collection — the
+    reference answers Conflict (IndexDefTaskWorker.scala:85-88), so the
+    REST facade needs to tell this apart from a plain 400."""
+
+
+def transaction_id_of(txn: dict) -> str:
+    """Public transaction id: ``{dt_quantum}-{partition}-{uuid}``.
+
+    The reference's transactions table is keyed (dt_quantum, partition,
+    uuid) (TransactionLogic.scala:15-34, db/scheme.cql), so encoding all
+    three into the id makes the status lookup a POINT READ of one WAL
+    bucket with a pushed dt_quantum+uuid predicate — at 100 TB the
+    lookup cost is one row-group-pruned parquet scan of one bucket,
+    never a sweep of the whole WAL."""
+    return f"{txn['dt_quantum']}-{txn['partition']}-{txn['uuid']}"
+
+
 def _sort_value(item: SortItem, value: Any):
     """Typed sort-column value (IndexLogic.scala:177-182 type semantics)."""
     if value is None:
@@ -249,7 +267,7 @@ class _PendingWrite:
     done?" check serializes 1:1 with submissions and batches of more
     than one op never form (measured: 384 of 385 batches had size 1)."""
 
-    __slots__ = ("method", "path", "body", "result", "error", "done")
+    __slots__ = ("method", "path", "body", "result", "error", "done", "txn_id")
 
     def __init__(self, method: str, path: str, body: Any):
         self.method = method
@@ -258,6 +276,7 @@ class _PendingWrite:
         self.result: Optional[tuple] = None
         self.error: Optional[BaseException] = None
         self.done = False
+        self.txn_id: Optional[str] = None  # public WAL transaction id
 
 
 class DocumentStore:
@@ -363,7 +382,71 @@ class DocumentStore:
         _, revision = self._write("delete", path, None)
         return revision
 
+    def put_txn(self, path: str, body: Any) -> tuple[bool, int, str]:
+        """PUT returning ``(created, revision, transaction_id)`` — the
+        reference's write responses carry the WAL transaction id
+        (hyperstorage.raml HyperStorageTransaction/-Created), which
+        clients poll via :meth:`get_transaction`."""
+        op = self._submit("put", path, body)
+        return (*op.result, op.txn_id)
+
+    def post_txn(self, path: str, body: Any) -> tuple[str, int, str]:
+        """POST returning ``(generated_path, revision, transaction_id)``."""
+        rp = split_path(path)
+        if not (is_collection_uri(rp.document_uri) and rp.item_id == ""):
+            raise ValueError("POST is allowed only for a collection~")
+        item_id = create_id()
+        op = self._submit("put", f"{path}/{item_id}", body)
+        return f"{path}/{item_id}", op.result[1], op.txn_id
+
+    def patch_txn(self, path: str, body: Any) -> tuple[bool, int, str]:
+        op = self._submit("patch", path, body)
+        return (*op.result, op.txn_id)
+
+    def delete_txn(self, path: str) -> tuple[int, str]:
+        op = self._submit("delete", path, None)
+        return op.result[1], op.txn_id
+
+    def get_transaction(self, transaction_id: str) -> dict:
+        """Transaction status by public id (GET
+        /hyper-storage/transactions/{transactionId},
+        hyperstorage.raml:90-98). The id encodes the WAL primary key
+        (see :func:`transaction_id_of`), so this is a point read of ONE
+        bucket with dt_quantum+uuid pushed into the parquet scan.
+        Raises NotFoundError for unknown, malformed, or
+        expired-and-pruned ids (completed WAL entries older than
+        WAL_KEEP_MS are gone — same horizon as the reference's
+        recovery window)."""
+        try:
+            quantum_s, partition_s, uid = transaction_id.split("-", 2)
+            quantum, partition = int(quantum_s), int(partition_s)
+        except (ValueError, AttributeError):
+            raise NotFoundError(f"transaction {transaction_id!r}")
+        rows = self.storage.bucket_rows(
+            TRANSACTIONS,
+            partition,
+            filters=[("dt_quantum", "==", quantum), ("uuid", "==", uid)],
+        )
+        row = next((r for r in rows if r["uuid"] == uid), None)
+        if row is None:
+            raise NotFoundError(f"transaction {transaction_id!r}")
+        return {
+            "transactionId": transaction_id,
+            "path": (
+                f"{row['document_uri']}/{row['item_id']}"
+                if row["item_id"]
+                else row["document_uri"]
+            ),
+            "revision": row["revision"],
+            "method": row["method"],
+            "completed": row["completed_at"] is not None,
+            "completedAt": row["completed_at"],
+        }
+
     def _write(self, method: str, path: str, body: Any) -> tuple[bool, int]:
+        return self._submit(method, path, body).result
+
+    def _submit(self, method: str, path: str, body: Any) -> "_PendingWrite":
         """Single-op front door with GROUP COMMIT: the op is queued and
         whichever caller next holds the writer lock drains the queue and
         applies every queued op in ONE staged manifest flip (plus one
@@ -406,7 +489,7 @@ class DocumentStore:
                         self._gc_cond.wait(timeout=0.05)
         if op.error is not None:
             raise op.error
-        return op.result
+        return op
 
     def write_batch(self, ops) -> list:
         """Apply many ``(method, path, body)`` ops in one staged flip.
@@ -534,7 +617,11 @@ class DocumentStore:
         for op in batch:
             op.result = op.error = None  # re-stage cleanly on retry
             try:
-                op.result = self._stage_op(op.method, op.path, op.body, cache, dirty, now)
+                created, revision, txn_id = self._stage_op(
+                    op.method, op.path, op.body, cache, dirty, now
+                )
+                op.result = (created, revision)
+                op.txn_id = txn_id
             except Exception as e:  # noqa: BLE001 — per-op isolation
                 op.error = e
             else:
@@ -598,7 +685,7 @@ class DocumentStore:
 
     def _stage_op(
         self, method: str, path: str, body: Any, cache: dict, dirty: set, now: int
-    ) -> tuple[bool, int]:
+    ) -> tuple[bool, int, str]:
         """One op's in-memory mutation against the batch cache — the
         exact serial ``_write`` logic, with bucket reads served from
         (and results staged back into) ``cache`` so later ops in the
@@ -720,7 +807,7 @@ class DocumentStore:
             # collection get its template indexes back
             self._templated_uris.discard(uri)
 
-        return created, revision
+        return created, revision, transaction_id_of(txn)
 
     # -- background completion (BackgroundContentTaskCompleter analog) --------
 
@@ -1486,24 +1573,39 @@ class DocumentStore:
         with self._lock:
             defs_rows = self.storage.bucket_rows(INDEX_DEFS, 0)
             if any(r["document_uri"] == uri and r["index_id"] == index_id for r in defs_rows):
-                raise ValueError(f"index {index_id!r} already exists on {uri!r}")
+                raise IndexAlreadyExists(f"index {index_id!r} already exists on {uri!r}")
             tname = table_name(sort_by)
+            sort_by_json = json.dumps(
+                [
+                    {"field_name": s.field_name, "field_type": s.field_type, "order": s.order}
+                    for s in sort_by
+                ]
+            )
             defs_rows.append(
                 {
                     "document_uri": uri,
                     "index_id": index_id,
                     "status": STATUS_INDEXING,
-                    "sort_by": json.dumps(
-                        [
-                            {"field_name": s.field_name, "field_type": s.field_type, "order": s.order}
-                            for s in sort_by
-                        ]
-                    ),
+                    "sort_by": sort_by_json,
                     "filter_by": filter_by,
                     "table_name": tname,
                 }
             )
-            self.storage.commit({(INDEX_DEFS, 0): defs_rows}, {INDEX_DEFS: INDEX_DEFS_SCHEMA})
+            # the index-DDL feed event rides in the same flip as the
+            # registration (the reference publishes lifecycle events on
+            # the IndexDefTaskWorker accept path) — CDC consumers see
+            # the DDL in stream order with the content events
+            self.storage.commit(
+                {(INDEX_DEFS, 0): defs_rows},
+                {INDEX_DEFS: INDEX_DEFS_SCHEMA},
+                appends={
+                    FEED: (
+                        [self._index_ddl_event("feed:indexpost", uri, index_id,
+                                               sort_by_json, filter_by)],
+                        FEED_SCHEMA,
+                    )
+                },
+            )
 
             idef = IndexDef(uri, index_id, STATUS_INDEXING, tuple(sort_by), filter_by, tname)
             if background:
@@ -1741,11 +1843,40 @@ class DocumentStore:
             if target is None:
                 raise NotFoundError(index_id)
             remaining = [r for r in defs_rows if r is not target]
+            # drop + DDL feed event in one flip (reference publishes
+            # on the IndexDefTaskWorker delete-accept path)
             self.storage.commit(
                 {(INDEX_DEFS, 0): remaining},
                 {INDEX_DEFS: INDEX_DEFS_SCHEMA},
                 drop_tables=[f"index::{uri}::{index_id}"],
+                appends={
+                    FEED: (
+                        [self._index_ddl_event("feed:indexdelete", uri, index_id,
+                                               target["sort_by"], target["filter_by"])],
+                        FEED_SCHEMA,
+                    )
+                },
             )
+
+    @staticmethod
+    def _index_ddl_event(method: str, uri: str, index_id: str,
+                         sort_by_json: Optional[str], filter_by: Optional[str]) -> dict:
+        """Feed envelope for an index-lifecycle event: item_id carries
+        the index id, body the definition; revision 0 marks it as DDL
+        (content revisions start at 1, so consumers can't confuse the
+        two)."""
+        return {
+            "uuid": uuid.uuid4().hex,
+            "document_uri": uri,
+            "item_id": index_id,
+            "revision": 0,
+            "method": method,
+            "body": json.dumps(
+                {"indexId": index_id, "sortBy": json.loads(sort_by_json or "[]"),
+                 "filterBy": filter_by}
+            ),
+            "ts": _now_ms(),
+        }
 
     # -- feed ------------------------------------------------------------------
 

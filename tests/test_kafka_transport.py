@@ -115,3 +115,36 @@ def test_undecodable_payload_becomes_dead_letterable_row(spark):
     assert rows["put"].path == "d" and rows["put"].seq == 1
     bad = rows["__undecodable__"]
     assert bad.path == "" and bad.body == "not json"
+
+
+def test_index_ddl_events_ride_the_kafka_envelope(spark, tmp_path):
+    """Index-lifecycle CDC (feed:indexpost/feed:indexdelete) flows
+    through the same Kafka payload codec as content events: keyed by
+    the collection uri (per-document partition ordering holds for DDL
+    too), value = the full feed envelope with the definition body."""
+    import json
+
+    from hyper_storage_spark.store import DocumentStore
+    from hyper_storage_spark.streaming.kafka import encode_feed_payload
+
+    store = DocumentStore(str(tmp_path / "ddl_kafka"), spark=spark)
+    store.put("k~/i1", {"b": "x"})
+    store.create_index("k~", "by_b", [], filter_by=None)
+    store.delete_index("k~", "by_b")
+
+    feed = spark.createDataFrame(
+        store.feed_events(),
+        "uuid string, document_uri string, item_id string, revision long, "
+        "method string, body string, ts long",
+    )
+    recs = encode_feed_payload(feed).collect()
+    ddl = [r for r in recs if json.loads(r.value)["method"].startswith("feed:index")]
+    assert len(ddl) == 2
+    for rec in ddl:
+        assert rec.key == "k~"  # same partition as the collection's content events
+        env = json.loads(rec.value)
+        assert env["item_id"] == "by_b" and env["revision"] == 0
+        assert json.loads(env["body"])["indexId"] == "by_b"
+    assert {json.loads(r.value)["method"] for r in ddl} == {
+        "feed:indexpost", "feed:indexdelete"
+    }

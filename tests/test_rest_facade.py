@@ -276,3 +276,158 @@ def test_explain_route_surface(spark, tmp_path):
     assert facade.handle("PUT", "docs~/_explain", {}).status == 405
     assert facade.handle("GET", "nope~/_explain").status == 404
     assert facade.handle("GET", "docs~/_explain", filter="a >").status == 400
+
+
+def test_index_ddl_routes(spark, tmp_path):
+    """The reference's index-DDL HTTP surface (hyperstorage.raml:100-123)
+    on the reserved `<coll>~/_indexes` segment: POST → 201 {indexId,
+    path}; duplicate → 409; GET per-id shape; DELETE → 204 then 404;
+    invalid targets → 400/404."""
+    store = DocumentStore(str(tmp_path / "ddl"), spark=spark)
+    facade = RestFacade(store)
+    facade.put("docs~/i1", {"a": 5, "b": "x"})
+    facade.put("docs~/i2", {"a": 1, "b": "y"})
+
+    r = facade.handle(
+        "POST", "docs~/_indexes",
+        {"indexId": "by_b", "sortBy": [{"fieldName": "b"}]},
+    )
+    assert r.status == 201
+    assert r.body == {"indexId": "by_b", "path": "docs~"}
+    assert r.headers["location"] == "docs~/_indexes/by_b"
+
+    # duplicate id → 409 Conflict (IndexDefTaskWorker.scala:85-88)
+    r2 = facade.handle("POST", "docs~/_indexes",
+                       {"indexId": "by_b", "sortBy": [{"fieldName": "b"}]})
+    assert r2.status == 409
+
+    # server-generated id when omitted
+    r3 = facade.handle("POST", "docs~/_indexes", {"sortBy": [{"fieldName": "a", "fieldType": "decimal", "order": "desc"}]})
+    assert r3.status == 201 and r3.body["indexId"]
+
+    # GET one: HyperStorageIndex shape + lifecycle status
+    g = facade.handle("GET", "docs~/_indexes/by_b")
+    assert g.status == 200
+    assert g.body["indexId"] == "by_b" and g.body["status"] == "NORMAL"
+    assert g.body["sortBy"] == [{"fieldName": "b", "fieldType": "text", "order": "asc"}]
+    assert g.body["filterBy"] is None
+
+    # filterBy round-trips on a filtered index
+    facade.handle("POST", "docs~/_indexes",
+                  {"indexId": "pos_a", "sortBy": [{"fieldName": "b"}], "filterBy": "a > 0"})
+    assert facade.handle("GET", "docs~/_indexes/pos_a").body["filterBy"] == "a > 0"
+    assert facade.handle("DELETE", "docs~/_indexes/pos_a").status == 204
+
+    # GET list contains both
+    lst = facade.handle("GET", "docs~/_indexes")
+    assert {e["indexId"] for e in lst.body["_embedded"]["els"]} == {"by_b", r3.body["indexId"]}
+
+    # the created index actually serves queries (planner visibility)
+    ex = facade.handle("GET", "docs~/_explain", filter='b = "x"', sort="b")
+    assert ex.body["index_id"] == "by_b"
+
+    # DELETE → 204 (reference NoContent); gone afterwards; planner falls back
+    d = facade.handle("DELETE", "docs~/_indexes/by_b")
+    assert d.status == 204
+    assert facade.handle("GET", "docs~/_indexes/by_b").status == 404
+    assert facade.handle("DELETE", "docs~/_indexes/by_b").status == 404
+    ex2 = facade.handle("GET", "docs~/_explain", filter='b = "x"', sort="b")
+    assert ex2.status == 200 and ex2.body["index_id"] is None
+    # collection query still answers correctly off the base table
+    q = facade.get("docs~", filter='b = "x"')
+    assert q.status == 200 and [e["id"] for e in q.body["_embedded"]["els"]] == ["i1"]
+
+    # errors: non-collection target, bad filter, bad verb, bad sort item
+    assert facade.handle("POST", "plain_doc/_indexes", {"sortBy": []}).status == 400
+    assert facade.handle(
+        "POST", "docs~/_indexes", {"sortBy": [{"fieldName": "b"}], "filterBy": "a >"}
+    ).status == 400
+    assert facade.handle("PATCH", "docs~/_indexes", {}).status == 405
+    assert facade.handle("POST", "docs~/_indexes", {"sortBy": [{"order": "asc"}]}).status == 400
+
+
+def test_index_ddl_background_lifecycle(spark, tmp_path):
+    """POST with background=true registers INDEXING (visible in GET but
+    not serving), and process_pending_indexes flips it to NORMAL — the
+    reference's async IndexDefTaskWorker → IndexContentTaskWorker path."""
+    store = DocumentStore(str(tmp_path / "ddl_bg"), spark=spark)
+    facade = RestFacade(store)
+    for i in range(5):
+        facade.put(f"bg~/i{i}", {"v": i})
+
+    r = facade.handle("POST", "bg~/_indexes",
+                      {"indexId": "by_v", "sortBy": [{"fieldName": "v", "fieldType": "decimal"}],
+                       "background": True})
+    assert r.status == 201
+    g = facade.handle("GET", "bg~/_indexes/by_v")
+    assert g.body["status"] == "INDEXING"
+    # an INDEXING index must not serve queries yet
+    ex = facade.handle("GET", "bg~/_explain", sort="v")
+    assert ex.body["index_id"] is None
+
+    store.process_pending_indexes()
+    g2 = facade.handle("GET", "bg~/_indexes/by_v")
+    assert g2.body["status"] == "NORMAL"
+    ex2 = facade.handle("GET", "bg~/_explain", sort="v")
+    assert ex2.body["index_id"] == "by_v"
+
+
+def test_transaction_status_route(spark, tmp_path):
+    """GET _transactions/{transactionId} (hyperstorage.raml:90-98): every
+    write verb returns a transactionId body; the status route point-reads
+    the WAL and reports completion; unknown/malformed ids → 404."""
+    store = DocumentStore(str(tmp_path / "txns"), spark=spark)
+    facade = RestFacade(store)
+
+    r = facade.put("t~/i1", {"v": 1})
+    assert r.status == 201
+    tid = r.body["transactionId"]
+    assert r.body["path"] == "t~/i1"
+    g = facade.handle("GET", f"_transactions/{tid}")
+    assert g.status == 200
+    assert g.body["transactionId"] == tid
+    assert g.body["path"] == "t~/i1" and g.body["revision"] == 1
+    assert g.body["method"] == "feed:put" and g.body["completed"] is True
+
+    # replace (200) / patch / delete / post all carry transaction ids
+    r2 = facade.put("t~/i1", {"v": 2})
+    assert r2.status == 200 and "path" not in r2.body
+    p = facade.patch("t~/i1", {"w": 3})
+    d = facade.delete("t~/i1")
+    c = facade.post("t~", {"v": 9})
+    for resp, meth in ((r2, "feed:put"), (p, "feed:patch"), (d, "feed:delete"), (c, "feed:put")):
+        body = facade.handle("GET", f"_transactions/{resp.body['transactionId']}").body
+        assert body["method"] == meth and body["completed"] is True
+
+    # incomplete transaction reports completed=false until completion runs
+    store2 = DocumentStore(str(tmp_path / "txns2"), spark=spark, auto_complete=False)
+    f2 = RestFacade(store2)
+    rr = f2.put("u~/x", {"v": 1})
+    tid2 = rr.body["transactionId"]
+    assert f2.handle("GET", f"_transactions/{tid2}").body["completed"] is False
+    store2.complete_transactions("u~")
+    assert f2.handle("GET", f"_transactions/{tid2}").body["completed"] is True
+
+    assert facade.handle("GET", "_transactions/not-a-real-id").status == 404
+    assert facade.handle("GET", "_transactions/12345-0-deadbeef").status == 404
+    assert facade.handle("DELETE", "_transactions/x").status == 405
+
+
+def test_index_ddl_feed_events(spark, tmp_path):
+    """Index create/delete publish CDC events on the feed log (the
+    reference's IndexDefTaskWorker lifecycle path): method
+    feed:indexpost / feed:indexdelete, item_id = index id, revision 0,
+    body = the index definition envelope."""
+    import json
+
+    store = DocumentStore(str(tmp_path / "ddlfeed"), spark=spark)
+    store.put("f~/i1", {"b": "x"})
+    store.create_index("f~", "by_b", [], filter_by=None)
+    store.delete_index("f~", "by_b")
+
+    ddl = [e for e in store.feed_events() if e["method"].startswith("feed:index")]
+    assert [e["method"] for e in ddl] == ["feed:indexpost", "feed:indexdelete"]
+    for e in ddl:
+        assert e["document_uri"] == "f~" and e["item_id"] == "by_b" and e["revision"] == 0
+        env = json.loads(e["body"])
+        assert env["indexId"] == "by_b" and "sortBy" in env and "filterBy" in env
