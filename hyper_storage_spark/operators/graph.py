@@ -17,11 +17,12 @@ leaves the executors, every iteration is one edge⋈state join plus one
 grouped reduction, and the driver holds only scalars.
 
 Cross-engine exactness (the catalog's hash-compare contract): PageRank
-folds per-node contribution sums in PINNED source-id order (array_sort
-+ left fold — a plain SUM over doubles re-associates per partition)
-with every constant entering both engines through the same
-shortest-repr literal; label propagation and the triangle census are
-pure integer/string arithmetic with lexicographic tie-breaks — so
+folds per-node contribution sums in a PINNED two-level order —
+md5-bucketed by source id, source-id-sorted within buckets,
+bucket-sorted across them (a plain SUM over doubles re-associates per
+partition) — with every constant entering both engines through the
+same shortest-repr literal; label propagation and the triangle census
+are pure integer/string arithmetic with lexicographic tie-breaks — so
 outputs are bit-identical and even final orderings cannot diverge.
 """
 
@@ -42,6 +43,8 @@ def pagerank(
     dst_col: str = "dst",
     seeds: Optional[DataFrame] = None,
     weight_col: Optional[str] = None,
+    exact: bool = True,
+    hub_buckets: int = 32,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge table:
     (node, val) after ``iters`` synchronous updates of
@@ -77,12 +80,30 @@ def pagerank(
     truncate lineage (duplicate_clusters' discipline; swap for
     ``checkpoint`` with a reliable dir on a real cluster).
 
+    ``exact=True`` (default): deterministic TWO-LEVEL fold. Each
+    node's contribution terms are bucketed by a cross-engine-stable
+    hash of the source id (13 hex digits of md5, mod ``hub_buckets``
+    — the catalog's md5-uniform discipline), folded in pinned
+    source-id order within each bucket, and the bucket partials
+    folded in pinned bucket order. Deterministic regardless of
+    physical partitioning AND hub-safe: a mega-in-degree node's term
+    list splits across ``hub_buckets`` groups, so no single task ever
+    materializes the whole list (the flat collect-list fold held a
+    hub's entire in-edge array in one task — the power-law
+    scale-killer this replaces). Oracles replay the identical
+    two-level fold.
+
+    ``exact=False``: production IEEE fast path — a plain SUM with
+    map-side partial aggregation (no collect_list, no md5, hot keys
+    combine before the shuffle). Results differ from exact mode only
+    by float re-association (~1 ulp/term) and are NOT bit-reproducible
+    across runs; use for throughput, keep exact mode for gates.
+
     Scale shape: iterations are edge-partitioned joins + grouped
     folds — the textbook distributed PageRank; driver state is two
-    scalars. The collect-list fold per node is bounded by in-degree;
-    for power-law graphs with mega-degree hubs, pre-aggregate per
-    (dst, src-bucket) first — at the catalog's gate scope in-degrees
-    are dimension-bounded."""
+    scalars."""
+    if hub_buckets < 1:
+        raise ValueError(f"pagerank: hub_buckets must be >= 1, got {hub_buckets}")
     if weight_col is None:
         e = (
             edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -121,8 +142,20 @@ def pagerank(
         )
         .join(deg, "src", "left")
         .withColumn("d", F.coalesce(F.col("d"), F.lit(1.0)))
-        .localCheckpoint()
     )
+    if exact:
+        # cross-engine-stable source bucket, computed ONCE (it rides
+        # the checkpointed edge table through every iteration): 13 hex
+        # digits of md5 of the string id, mod hub_buckets — replayable
+        # verbatim in SQL (('0x' || substr(md5(src),1,13))::UBIGINT % B)
+        e2 = e2.withColumn(
+            "b",
+            (
+                F.conv(F.substring(F.md5(F.col("src").cast("string")), 1, 13), 16, 10)
+                .cast("bigint") % hub_buckets
+            ).cast("int"),
+        )
+    e2 = e2.localCheckpoint()
     if seeds is not None:
         # seed flag joined once; mass and teleport concentrate on the
         # seed ∩ graph intersection (a seed with no edges can receive
@@ -149,22 +182,35 @@ def pagerank(
         flagged = None
         teleport = (1.0 - damping) / n  # two IEEE ops, mirrored in oracles
         pr = nodes.withColumn("val", F.lit(1.0 / n))
+    def _pinned_fold(pairs_col, val_field):
+        return F.aggregate(
+            F.transform(F.array_sort(pairs_col), lambda t: t[val_field]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     for _ in range(iters):
-        contribs = e2.join(pr, e2["src"] == pr["node"]).select(
-            "dst",
-            F.col("src").alias("u"),
-            (F.col("w") * F.col("val") / F.col("d")).alias("c"),
-        )
-        folded = contribs.groupBy("dst").agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("u", "c"))),
-                    lambda t: t["c"],
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("s")
-        )
+        if exact:
+            contribs = e2.join(pr, e2["src"] == pr["node"]).select(
+                "dst",
+                "b",
+                F.col("src").alias("u"),
+                (F.col("w") * F.col("val") / F.col("d")).alias("c"),
+            )
+            # level 1: pinned fold within (dst, src-bucket) — a hub's
+            # terms split across hub_buckets groups; level 2: pinned
+            # fold of the bucket partials (bounded at hub_buckets rows)
+            folded = (
+                contribs.groupBy("dst", "b")
+                .agg(_pinned_fold(F.collect_list(F.struct("u", "c")), "c").alias("sb"))
+                .groupBy("dst")
+                .agg(_pinned_fold(F.collect_list(F.struct("b", "sb")), "sb").alias("s"))
+            )
+        else:
+            contribs = e2.join(pr, e2["src"] == pr["node"]).select(
+                "dst", (F.col("w") * F.col("val") / F.col("d")).alias("c")
+            )
+            folded = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
         if seeds is not None:
             pr = (
                 folded.select(F.col("dst").alias("node"), "s")

@@ -8749,6 +8749,12 @@ def _copurchase_edges(spark, sf_dir, partkey_lt: int = 300):
 
 
 _PAGERANK_D = 0.85
+# cross-engine source bucket for the two-level pagerank fold: 13 hex
+# digits of md5 of the string id, mod 32 — MUST equal graph.pagerank's
+# default hub_buckets and its Spark expression (conv(substr(md5,1,13)))
+_PR_BUCKET_OF = (
+    "CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 13))::UBIGINT % 32 AS INTEGER)"
+)
 _PAGERANK_SQL = f"""
 WITH RECURSIVE ce AS (
   SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
@@ -8765,10 +8771,12 @@ nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT 
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
 deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
 e2 AS (
-  SELECT e.src, e.dst, CAST(1 AS DOUBLE) AS w, COALESCE(deg.d, 1) AS d
+  SELECT e.src, e.dst, CAST(1 AS DOUBLE) AS w, COALESCE(deg.d, 1) AS d,
+         {_PR_BUCKET_OF.format(col='e.src')} AS b
   FROM e LEFT JOIN deg ON deg.src = e.src
   UNION ALL
-  SELECT node, node, CAST(0 AS DOUBLE), COALESCE(deg.d, 1)
+  SELECT node, node, CAST(0 AS DOUBLE), COALESCE(deg.d, 1),
+         {_PR_BUCKET_OF.format(col='node')}
   FROM nodes LEFT JOIN deg ON deg.src = nodes.node
 ),
 pr(it, node, val) AS (
@@ -8778,14 +8786,23 @@ pr(it, node, val) AS (
          (CAST(1 AS DOUBLE) - CAST('{_PAGERANK_D!r}' AS DOUBLE)) / (SELECT n FROM nn)
          + CAST('{_PAGERANK_D!r}' AS DOUBLE) * x.s
   FROM (
-    SELECT pr.it AS it, e2.dst AS dst,
+    -- two-level pinned fold (graph.pagerank exact mode): per-bucket
+    -- source-id-sorted partials, then bucket-sorted final fold
+    SELECT it, dst,
            list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list_transform(list_sort(list({{'u': e2.src, 'c': e2.w * pr.val / e2.d}})),
-                            t -> t.c)),
-             (a, b) -> a + b) AS s
-    FROM pr JOIN e2 ON e2.src = pr.node
-    WHERE pr.it < 8
-    GROUP BY pr.it, e2.dst
+             list_transform(list_sort(list({{'b': b, 's': sb}})), t -> t.s)),
+             (a, v) -> a + v) AS s
+    FROM (
+      SELECT pr.it AS it, e2.dst AS dst, e2.b AS b,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_sort(list({{'u': e2.src, 'c': e2.w * pr.val / e2.d}})),
+                              t -> t.c)),
+               (a, v) -> a + v) AS sb
+      FROM pr JOIN e2 ON e2.src = pr.node
+      WHERE pr.it < 8
+      GROUP BY pr.it, e2.dst, e2.b
+    )
+    GROUP BY it, dst
   ) x
 )
 SELECT node, val AS pr FROM pr WHERE it = 8
@@ -8832,10 +8849,12 @@ nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT 
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
 deg AS (SELECT src, SUM(w) AS d FROM e GROUP BY 1),
 e2 AS (
-  SELECT e.src, e.dst, e.w, COALESCE(deg.d, CAST(1 AS DOUBLE)) AS d
+  SELECT e.src, e.dst, e.w, COALESCE(deg.d, CAST(1 AS DOUBLE)) AS d,
+         __B_SRC__ AS b
   FROM e LEFT JOIN deg ON deg.src = e.src
   UNION ALL
-  SELECT node, node, CAST(0 AS DOUBLE), COALESCE(deg.d, CAST(1 AS DOUBLE))
+  SELECT node, node, CAST(0 AS DOUBLE), COALESCE(deg.d, CAST(1 AS DOUBLE)),
+         __B_NODE__
   FROM nodes LEFT JOIN deg ON deg.src = nodes.node
 ),
 pr(it, node, val) AS (
@@ -8845,19 +8864,28 @@ pr(it, node, val) AS (
          (CAST(1 AS DOUBLE) - CAST('__D__' AS DOUBLE)) / (SELECT n FROM nn)
          + CAST('__D__' AS DOUBLE) * x.s
   FROM (
-    SELECT pr.it AS it, e2.dst AS dst,
+    SELECT it, dst,
            list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list_transform(list_sort(list({'u': e2.src, 'c': e2.w * pr.val / e2.d})),
-                            t -> t.c)),
-             (a, b) -> a + b) AS s
-    FROM pr JOIN e2 ON e2.src = pr.node
-    WHERE pr.it < 8
-    GROUP BY pr.it, e2.dst
+             list_transform(list_sort(list({'b': b, 's': sb})), t -> t.s)),
+             (a, v) -> a + v) AS s
+    FROM (
+      SELECT pr.it AS it, e2.dst AS dst, e2.b AS b,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_sort(list({'u': e2.src, 'c': e2.w * pr.val / e2.d})),
+                              t -> t.c)),
+               (a, v) -> a + v) AS sb
+      FROM pr JOIN e2 ON e2.src = pr.node
+      WHERE pr.it < 8
+      GROUP BY pr.it, e2.dst, e2.b
+    )
+    GROUP BY it, dst
   ) x
 )
 SELECT node, val AS pr FROM pr WHERE it = 8
 ORDER BY pr DESC, node LIMIT 20
-""".replace("__D__", repr(_PAGERANK_D))
+""".replace("__D__", repr(_PAGERANK_D)).replace(
+    "__B_SRC__", _PR_BUCKET_OF.format(col="e.src")
+).replace("__B_NODE__", _PR_BUCKET_OF.format(col="node"))
 
 
 @register_extra("graph_pagerank_weighted", _WEIGHTED_PR_SQL)
@@ -8970,10 +8998,12 @@ e AS (SELECT DISTINCT * FROM (SELECT src, dst FROM ce UNION ALL SELECT dst, src 
 nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
 deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
 e2 AS (
-  SELECT e.src, e.dst, CAST(1 AS DOUBLE) AS w, COALESCE(deg.d, 1) AS d
+  SELECT e.src, e.dst, CAST(1 AS DOUBLE) AS w, COALESCE(deg.d, 1) AS d,
+         {_PR_BUCKET_OF.format(col='e.src')} AS b
   FROM e LEFT JOIN deg ON deg.src = e.src
   UNION ALL
-  SELECT node, node, CAST(0 AS DOUBLE), COALESCE(deg.d, 1)
+  SELECT node, node, CAST(0 AS DOUBLE), COALESCE(deg.d, 1),
+         {_PR_BUCKET_OF.format(col='node')}
   FROM nodes LEFT JOIN deg ON deg.src = nodes.node
 ),
 seeds AS (
@@ -8997,14 +9027,21 @@ pr(it, node, val) AS (
               ELSE CAST(0 AS DOUBLE) END
          + CAST('{_PAGERANK_D!r}' AS DOUBLE) * x.s
   FROM (
-    SELECT pr.it AS it, e2.dst AS dst,
+    SELECT it, dst,
            list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list_transform(list_sort(list({{'u': e2.src, 'c': e2.w * pr.val / e2.d}})),
-                            t -> t.c)),
-             (a, b) -> a + b) AS s
-    FROM pr JOIN e2 ON e2.src = pr.node
-    WHERE pr.it < 8
-    GROUP BY pr.it, e2.dst
+             list_transform(list_sort(list({{'b': b, 's': sb}})), t -> t.s)),
+             (a, v) -> a + v) AS s
+    FROM (
+      SELECT pr.it AS it, e2.dst AS dst, e2.b AS b,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_sort(list({{'u': e2.src, 'c': e2.w * pr.val / e2.d}})),
+                              t -> t.c)),
+               (a, v) -> a + v) AS sb
+      FROM pr JOIN e2 ON e2.src = pr.node
+      WHERE pr.it < 8
+      GROUP BY pr.it, e2.dst, e2.b
+    )
+    GROUP BY it, dst
   ) x
   LEFT JOIN seeds s ON s.node = x.dst
 )

@@ -280,6 +280,69 @@ def graph_fuzzy(scopes=(500, 2000, 8000)) -> None:
     print("# graph/fuzzy smoke done")
 
 
+def pagerank_hub(scales=(1, 4, 16), base_spokes: int = 20_000) -> None:
+    """Power-law hub hardening: PageRank on a graph dominated by ONE
+    mega-in-degree hub (``base_spokes``·scale spokes all pointing at
+    node 0, plus a uniform background ring so the rank flow is
+    non-trivial). The flat collect-list fold materialized the hub's
+    whole in-edge term list in one task — wall (and memory) grew with
+    the hub. The two-level fold splits it across 32 md5 buckets, so
+    exact-mode wall should track EDGE COUNT (~linear), not hub degree
+    alone; the exact=False IEEE path (map-side combine) is the
+    production floor, printed alongside. Plans asserted
+    CartesianProduct-free at every scale."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import graph
+    from hyper_storage_spark.operators._caches import release_tracked_caches
+    from hyper_storage_spark.session import get_spark
+
+    spark = get_spark("scale_smoke_pagerank_hub")
+    base_ex = base_fast = None
+    for s in scales:
+        n = base_spokes * s
+        spokes = spark.range(1, n + 1).select(
+            F.col("id").cast("string").alias("src"), F.lit("0").alias("dst")
+        )
+        # background ring i -> i+1 keeps out-degrees > 0 beyond the hub
+        ring = spark.range(1, n + 1).select(
+            F.col("id").cast("string").alias("src"),
+            ((F.col("id") % n) + 1).cast("string").alias("dst"),
+        )
+        hub_out = spark.range(1, 101).select(
+            F.lit("0").alias("src"), F.col("id").cast("string").alias("dst")
+        )
+        edges = spokes.unionByName(ring).unionByName(hub_out)
+        n_edges = edges.count()
+
+        t0 = time.time()
+        pr = graph.pagerank(edges, iters=4)
+        top = pr.orderBy(F.col("val").desc()).limit(3).collect()
+        w_ex = time.time() - t0
+        plan = pr._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert top[0].node == "0"  # the hub must rank first
+        g = "" if base_ex is None else f" growth={w_ex / base_ex:.2f}x"
+        base_ex = base_ex or w_ex
+        print(f"# pagerank_hub exact scale={s} edges={n_edges} "
+              f"hub_indeg={n} wall={w_ex:.2f}s{g}")
+        release_tracked_caches()
+
+        t0 = time.time()
+        prf = graph.pagerank(edges, iters=4, exact=False)
+        topf = prf.orderBy(F.col("val").desc()).limit(3).collect()
+        w_fast = time.time() - t0
+        assert topf[0].node == "0"
+        # fast and exact agree to float re-association noise
+        assert abs(topf[0].val - top[0].val) < 1e-9 * max(1.0, abs(top[0].val))
+        g = "" if base_fast is None else f" growth={w_fast / base_fast:.2f}x"
+        base_fast = base_fast or w_fast
+        print(f"# pagerank_hub fast  scale={s} edges={n_edges} "
+              f"wall={w_fast:.2f}s{g}")
+        release_tracked_caches()
+    print("# pagerank hub smoke done")
+
+
 def store_rollup_modes(n_items: int = 5000) -> None:
     """Wall-clock for the three store-rollup refresh tiers at a given
     collection size (build via write_batch so the feed holds full
@@ -546,6 +609,11 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh_sizing(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "pagerankhub":
+        pagerank_hub(
+            tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (1, 4, 16)
+        )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "graphfuzzy":
         graph_fuzzy(
