@@ -383,6 +383,7 @@ def char_lm_score(
     top_k: int = 50_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact: bool = True,
 ) -> DataFrame:
     """Character n-gram language-model quality score (the CCNet /
     KenLM-style perplexity proxy): train a unigram-over-n-grams model
@@ -402,9 +403,14 @@ def char_lm_score(
     equi-join of exploded grams against that bounded table — Catalyst
     broadcasts it — with unseen grams backed off to a floor of
     0.5/total. Per-gram log-probs are cast to DECIMAL(20,10) BEFORE
-    the per-document sum, so the mean is order-independent and
-    cross-engine exact (an IEEE double sum would depend on partition
-    order). At 100 TB, train the counts on a sample (pass a sampled
+    the per-document sum (``exact=True``, default), so the mean is
+    order-independent and cross-engine exact (an IEEE double sum
+    would depend on partition order) — the catalog's gate mode.
+    ``exact=False`` is the production fast path: plain IEEE double
+    sums (map-side combine, no decimal arithmetic in the hot
+    aggregation) — scores differ from exact mode only by float
+    re-association (~1 ulp/gram) and are not bit-reproducible across
+    runs. At 100 TB, train the counts on a sample (pass a sampled
     ``docs`` to a first call and reuse the join table); scoring
     stays one scan + one broadcast join either way."""
     if n < 1:
@@ -432,9 +438,9 @@ def char_lm_score(
     model = counts.orderBy(F.col("cnt").desc(), F.col("g")).limit(top_k)
     total = grams.count()
     floor = 0.5
-    lp = F.log((F.coalesce(F.col("cnt"), F.lit(floor))) / F.lit(float(total))).cast(
-        "decimal(20,10)"
-    )
+    lp = F.log((F.coalesce(F.col("cnt"), F.lit(floor))) / F.lit(float(total)))
+    if exact:
+        lp = lp.cast("decimal(20,10)")
     scored = (
         grams.join(model, on="g", how="left")
         .select(F.col(id_col), lp.alias("lp"))
@@ -459,6 +465,7 @@ def ppl_buckets(
     top_k: int = 50_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact: bool = True,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl
@@ -472,7 +479,9 @@ def ppl_buckets(
     for every document with at least one full n-gram. Determinism:
     the ntile order is (lm_score DESC, id_col) — lm_score is
     bit-identical cross-engine (decimal gram sums, IEEE division), so
-    the equal-depth cut is exactly replayable.
+    the equal-depth cut is exactly replayable. ``exact=False`` passes
+    the IEEE fast path through to char_lm_score: scores (and near-tie
+    bucket boundaries) may then drift ~1 ulp between runs.
 
     Scale shape: scoring is one scan + one broadcast join
     (char_lm_score); the ntile window shuffles (id, score) pairs on
@@ -484,7 +493,8 @@ def ppl_buckets(
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     scored = char_lm_score(
-        docs.select(id_col, text_col), n=n, top_k=top_k, text_col=text_col, id_col=id_col
+        docs.select(id_col, text_col), n=n, top_k=top_k, text_col=text_col,
+        id_col=id_col, exact=exact,
     )
     lab = scored.join(docs.select(id_col, by_col), id_col)
     w = Window.partitionBy(by_col).orderBy(F.col("lm_score").desc(), F.col(id_col))

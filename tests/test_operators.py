@@ -4582,3 +4582,41 @@ def test_leakage_safe_kfold_families_move_together(spark):
     assert len(set(folds.values())) > 1  # spread across folds
     with pytest.raises(ValueError):
         sampling.leakage_safe_kfold(docs, pairs, k=1)
+
+
+def test_char_lm_and_pagerank_fast_paths_agree(spark):
+    """exact=False production paths (IEEE sums, map-side combine) agree
+    with the deterministic gate modes to float re-association noise:
+    char_lm_score per-doc means and pagerank values within 1e-9
+    relative, identical row sets either way."""
+    from hyper_storage_spark.operators import graph as graph_ops
+    from hyper_storage_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, ("the quick brown fox %d " % i) * 8) for i in range(40)],
+        "doc_id long, text string",
+    )
+    ex = {r.doc_id: r for r in text_ops.char_lm_score(docs, n=3).collect()}
+    fa = {r.doc_id: r for r in text_ops.char_lm_score(docs, n=3, exact=False).collect()}
+    assert ex.keys() == fa.keys()
+    for k in ex:
+        assert ex[k].n_grams == fa[k].n_grams
+        assert abs(ex[k].lm_score - fa[k].lm_score) <= 1e-9 * abs(ex[k].lm_score)
+
+    e = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(50)] + [(i, 0) for i in range(50)],
+        "src long, dst long",
+    )
+    pe = {r.node: r.val for r in graph_ops.pagerank(e, iters=4).collect()}
+    pf = {r.node: r.val for r in graph_ops.pagerank(e, iters=4, exact=False).collect()}
+    assert pe.keys() == pf.keys()
+    for k in pe:
+        assert abs(pe[k] - pf[k]) <= 1e-9 * max(1.0, abs(pe[k]))
+    # hub_buckets=1 degenerates to the flat pinned fold and must raise on 0
+    p1 = {r.node: r.val for r in graph_ops.pagerank(e, iters=4, hub_buckets=1).collect()}
+    for k in pe:
+        assert abs(pe[k] - p1[k]) <= 1e-12 * max(1.0, abs(pe[k]))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hub_buckets"):
+        graph_ops.pagerank(e, hub_buckets=0)
