@@ -1029,6 +1029,114 @@ def ivfpq_append(
     )
 
 
+def ivfpq_occupancy(index: IVFPQIndex) -> dict:
+    """Occupancy census of a persisted IVF-PQ index in ONE aggregation
+    over the codes table: total rows, cells in use vs trained, and the
+    max/mean per-cell occupancy. The monitoring face of the
+    ``ivfpq_params_for`` sizing rule — at 100 TB this is the only scan
+    the health check pays (a single groupBy on a compact codes
+    table), and it returns scalars, never per-cell rows, to the
+    driver."""
+    n_cells = int(index.centroids.shape[0])
+    row = (
+        index.codes.groupBy("cell")
+        .agg(F.count("*").alias("occ"))
+        .agg(
+            F.coalesce(F.sum("occ"), F.lit(0)).alias("n_rows"),
+            F.count("*").alias("cells_used"),
+            F.coalesce(F.max("occ"), F.lit(0)).alias("max_occupancy"),
+        )
+        .collect()[0]
+    )
+    n_rows = int(row["n_rows"])
+    return {
+        "n_rows": n_rows,
+        "n_cells": n_cells,
+        "cells_used": int(row["cells_used"]),
+        "max_occupancy": int(row["max_occupancy"]),
+        "mean_occupancy": (n_rows / n_cells) if n_cells else 0.0,
+    }
+
+
+def ivfpq_health(
+    index: IVFPQIndex,
+    target_occupancy: int = 4096,
+    skew_factor: float = 4.0,
+) -> dict:
+    """Occupancy census + the REBUILD VERDICT for a persisted index.
+
+    :func:`ivfpq_append` freezes cells and codebooks forever (the
+    FAISS add() convention), so sustained appends degrade the index
+    two ways, each with its own trigger here:
+
+    - **undersized**: the corpus outgrew the cell count — re-running
+      :func:`ivfpq_params_for` at the current row count wants more
+      cells than the index has. Probed-cell scans then degrade toward
+      flat-PQ full-scan cost (the linear-occupancy creep the sizing
+      rule exists to remove).
+    - **skewed**: drift concentrated mass in few cells —
+      ``max_occupancy > skew_factor × (n_rows / n_cells)``. Queries
+      probing a hot cell scan far more than the sizing budget, and
+      recall drifts for vectors crowded out of their true cell's
+      top-k ADC.
+
+    Returns the :func:`ivfpq_occupancy` dict plus ``undersized``,
+    ``skewed``, ``needs_rebuild``, and ``want_cells`` (the cell count
+    a rebuild would use). Pure decision logic over one aggregation —
+    callers schedule :func:`ivfpq_rebuild_if_needed` on it."""
+    stats = ivfpq_occupancy(index)
+    want_cells, _, _ = ivfpq_params_for(stats["n_rows"], target_occupancy=target_occupancy)
+    undersized = want_cells > stats["n_cells"]
+    skewed = (
+        stats["n_rows"] > 0
+        and stats["max_occupancy"] > skew_factor * max(stats["mean_occupancy"], 1.0)
+    )
+    return {
+        **stats,
+        "want_cells": want_cells,
+        "undersized": undersized,
+        "skewed": skewed,
+        "needs_rebuild": undersized or skewed,
+    }
+
+
+def ivfpq_rebuild_if_needed(
+    index: IVFPQIndex,
+    emb: DataFrame,
+    target_occupancy: int = 4096,
+    skew_factor: float = 4.0,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[IVFPQIndex, bool, dict]:
+    """The append-lifecycle maintenance step: check :func:`ivfpq_health`
+    and, when it votes rebuild, retrain cells + residual codebooks at
+    the CURRENT corpus size (``ivfpq_params_for`` sizing, same m /
+    n_codes as the existing index) and re-encode from the source
+    vectors. Returns ``(index, rebuilt, health)`` — unchanged index
+    when healthy, so callers can run this unconditionally after every
+    append burst.
+
+    ``emb`` is the source vector table (ids ⊇ the index's codes): PQ
+    codes are lossy, so a rebuild must re-encode from vectors — the
+    same table appends came from. Scale shape: the health check is one
+    aggregation; the rebuild itself is one bounded driver-side k-means
+    train plus one Arrow encode pass over the corpus (the
+    :func:`ivfpq_index` bootstrap, now at the right cell count)."""
+    health = ivfpq_health(index, target_occupancy=target_occupancy, skew_factor=skew_factor)
+    if not health["needs_rebuild"]:
+        return index, False, health
+    m, n_codes, _ = index.codebooks.shape
+    n_cells, _, sample_rows = ivfpq_params_for(
+        health["n_rows"], target_occupancy=target_occupancy
+    )
+    rebuilt = ivfpq_index(
+        emb, n_cells=n_cells, m=int(m), n_codes=int(n_codes),
+        sample_rows=sample_rows, seed=seed, id_col=id_col, vec_col=vec_col,
+    )
+    return rebuilt, True, health
+
+
 def ivfpq_encode(
     index: IVFPQIndex, emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

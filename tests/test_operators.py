@@ -4620,3 +4620,82 @@ def test_char_lm_and_pagerank_fast_paths_agree(spark):
 
     with _pytest.raises(ValueError, match="hub_buckets"):
         graph_ops.pagerank(e, hub_buckets=0)
+
+
+def test_ivfpq_lifecycle_monitor_and_rebuild(spark, sf_dir):
+    """The persisted-index append lifecycle (round-11): ivfpq_append
+    freezes cells/codebooks, so after the corpus quadruples the health
+    check must flag the index undersized and ivfpq_rebuild_if_needed
+    must retrain at the ivfpq_params_for cell count — and the rebuilt
+    index must still clear the family's 0.85 recall floor vs exact
+    cosine. A right-sized index passes through untouched, and a
+    hot-pile append (every new vector near one boot vector) trips the
+    skew trigger even when the size rule alone would not."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    boot = emb.filter(F.col("vec_id") < 250)
+    idx = similarity.ivfpq_index(boot, n_cells=16)
+
+    # healthy at boot size: no rebuild, same object back
+    same, rebuilt, h0 = similarity.ivfpq_rebuild_if_needed(
+        idx, boot, target_occupancy=32
+    )
+    assert rebuilt is False and same is idx
+    assert h0["n_rows"] == 250 and h0["n_cells"] == 16 and not h0["needs_rebuild"]
+
+    # quadruple the corpus via appends (jittered copies: new ids, ~same
+    # directions — realistic drift-free growth)
+    grown = boot
+    full = boot.select("vec_id", "embedding")
+    for r in (1, 2, 3):
+        batch = emb.filter(F.col("vec_id") < 250).select(
+            (F.col("vec_id") + F.lit(100_000 * r)).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x * F.lit(1.0 + 0.003 * r)
+            ).alias("embedding"),
+        )
+        grown = similarity.ivfpq_append(grown if r > 1 else idx, batch)
+        full = full.unionByName(batch)
+    full = full.localCheckpoint()
+
+    h1 = similarity.ivfpq_health(grown, target_occupancy=32)
+    assert h1["n_rows"] == 1000 and h1["undersized"] and h1["needs_rebuild"]
+    assert h1["want_cells"] == 32 and h1["n_cells"] == 16
+
+    new_idx, rebuilt, _ = similarity.ivfpq_rebuild_if_needed(
+        grown, full, target_occupancy=32
+    )
+    assert rebuilt is True
+    assert new_idx.centroids.shape[0] == 32
+    # same compression geometry carried over
+    assert new_idx.codebooks.shape[:2] == grown.codebooks.shape[:2]
+    h2 = similarity.ivfpq_health(new_idx, target_occupancy=32)
+    assert not h2["undersized"] and h2["n_rows"] == 1000
+
+    # contract floor after rebuild: recall >= 0.85 vs exact cosine
+    qids = [0, 10, 20]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(full, qids, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivfpq_search(new_idx, full, qids, k=10, n_probe=12).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.85
+
+    # skew trigger: pile 300 near-copies of ONE boot vector onto the
+    # fresh right-sized index — size rule alone stays quiet, skew fires
+    base_idx = similarity.ivfpq_index(boot, n_cells=16)
+    one = emb.filter(F.col("vec_id") == 0)
+    pile = (
+        spark.range(1, 301)
+        .crossJoin(one.select("embedding"))
+        .select(
+            (F.col("id") + F.lit(500_000)).alias("vec_id"),
+            F.col("embedding"),
+        )
+    )
+    hot = similarity.ivfpq_append(base_idx, pile)
+    h3 = similarity.ivfpq_health(hot, target_occupancy=64, skew_factor=4.0)
+    assert h3["skewed"] and h3["needs_rebuild"] and not h3["undersized"]
+    assert h3["max_occupancy"] > 300
