@@ -662,7 +662,10 @@ def semantic_dedup(
 
     assigned = kmeans_clusters(emb, k=k, seed=seed, id_col=id_col, vec_col=vec_col)
     joined = assigned.join(emb.select(id_col, vec_col), id_col)
-    schema = f"{id_col} long, cluster int, kept boolean, max_prior_cos double"
+    # id type mirrors the INPUT schema (string doc ids are as valid as
+    # bigints — a hardcoded 'long' here miscast or crashed them)
+    id_type = emb.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, cluster int, kept boolean, max_prior_cos double"
 
     def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)

@@ -249,11 +249,20 @@ def read_expectation_counts(spark, state_root: str) -> DataFrame:
 
 
 def read_quarantine(spark, state_root: str) -> DataFrame:
-    """Every quarantined row so far (original columns + __batch_id)."""
+    """Every quarantined row so far (original columns + __batch_id).
+
+    Committed-pointer read discipline, same as the other state-sink
+    readers: only quarantine files whose batch id is ≤ the pointer's
+    high-water mark are surfaced — a q_* file written by a batch that
+    crashed BEFORE its pointer flip is uncommitted state (the retried
+    batch will overwrite it) and must not leak to readers."""
     import os
 
     from .rollup_mv import _read_pointer
 
-    if _read_pointer(state_root) is None:
+    cur = _read_pointer(state_root)
+    if cur is None:
         raise FileNotFoundError(f"no committed expectations state under {state_root}")
-    return spark.read.parquet(os.path.join(state_root, "q_*"))
+    return spark.read.parquet(os.path.join(state_root, "q_*")).filter(
+        F.col("__batch_id") <= int(cur["batch_id"])
+    )

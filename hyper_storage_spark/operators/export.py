@@ -264,6 +264,25 @@ def write_webdataset_shards(
     missing = [c for c in columns if c not in df.columns]
     if missing:
         raise ValueError(f"columns not in frame: {missing}")
+    # keys MUST be unique: duplicate keys would get identical
+    # (__ord, __key) sort positions (intra-shard order — and thus the
+    # "bit-reproducible" digest — would depend on pandas' incidental
+    # order) and produce duplicate {key}.{ext} tar member names, which
+    # WebDataset loaders merge into one corrupt sample. One aggregation
+    # up front; the contract is documented, not silently repaired.
+    dup = (
+        df.groupBy(F.col(key_col).cast("string").alias("__k"))
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(3)
+        .collect()
+    )
+    if dup:
+        examples = ", ".join(repr(r["__k"]) for r in dup)
+        raise ValueError(
+            f"write_webdataset_shards: key_col {key_col!r} has duplicate "
+            f"keys (e.g. {examples}) — sample keys must be unique"
+        )
     os.makedirs(out_dir, exist_ok=True)
 
     binary_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "binary"}

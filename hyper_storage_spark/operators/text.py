@@ -199,7 +199,12 @@ def collapse_repeats(df: DataFrame, text_col: str = "text") -> DataFrame:
     each token whose predecessor differs. Only EXACT adjacent
     duplicates collapse; legitimate repetition at distance ("buffalo
     buffalo" split by punctuation tokens) survives."""
-    toks = tokens_col(F.col(text_col))
+    # NULL text coalesces to an EMPTY token array: size(NULL) is -1 in
+    # Spark, which would report n_tokens = -1 while the SQL oracle's
+    # COALESCE(..., 0) says 0 — a latent cross-engine divergence
+    toks = F.coalesce(
+        tokens_col(F.col(text_col)), F.array().cast("array<string>")
+    )
     kept = F.expr(
         "filter(__toks, (x, i) -> i = 0 OR x != element_at(__toks, i))"
     )

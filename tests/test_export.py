@@ -331,3 +331,29 @@ def test_webdataset_ships_real_png_payloads(spark, tmp_path):
         w, h, ch, pixels = png_decode(pngs[str(i)])
         assert (w, h, ch) == (4, 3, 1)
         assert bytes(pixels) == px(i)
+
+
+def test_webdataset_rejects_duplicate_keys(spark, tmp_path):
+    """ADVICE r10: duplicate sample keys would produce duplicate
+    {key}.{ext} tar members (loaders merge them into corrupt samples)
+    and make the 'bit-reproducible' digest depend on pandas' incidental
+    order — the export must refuse up front, naming offenders."""
+    import pytest
+
+    from hyper_storage_spark.operators import export as ex
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (1, "c")], "k long, text string"
+    )
+    with pytest.raises(ValueError, match="duplicate") as ei:
+        ex.write_webdataset_shards(
+            df, str(tmp_path / "wds_dup"), n_shards=1, key_col="k",
+            columns={"text": "txt"},
+        )
+    assert "'1'" in str(ei.value)
+    # unique keys still export fine
+    ok = ex.write_webdataset_shards(
+        df.filter("text != 'c'"), str(tmp_path / "wds_ok"), n_shards=1,
+        key_col="k", columns={"text": "txt"},
+    )
+    assert sum(sh["n_samples"] for sh in ok["shards"]) == 2

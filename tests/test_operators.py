@@ -4699,3 +4699,43 @@ def test_ivfpq_lifecycle_monitor_and_rebuild(spark, sf_dir):
     h3 = similarity.ivfpq_health(hot, target_occupancy=64, skew_factor=4.0)
     assert h3["skewed"] and h3["needs_rebuild"] and not h3["undersized"]
     assert h3["max_occupancy"] > 300
+
+
+def test_semantic_dedup_string_ids(spark):
+    """ADVICE r10: the applyInPandas output schema must derive the id
+    type from the input — string doc ids are as valid as bigints."""
+    import math
+
+    from hyper_storage_spark.operators import dedup as dd
+
+    def rot(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    t1 = math.acos(0.98)
+    rows = [("docA", rot(0.0)), ("docB", rot(t1)), ("docC", rot(math.pi / 2))]
+    emb = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    out = {
+        r.doc_id: r.kept
+        for r in dd.semantic_dedup(
+            emb, k=2, tau=0.95, id_col="doc_id", vec_col="embedding"
+        ).collect()
+    }
+    # lexicographic id order: docA first (kept), docB within tau of A
+    # (removed), docC orthogonal (kept)
+    assert out == {"docA": True, "docB": False, "docC": True}
+
+
+def test_collapse_repeats_null_text_is_zero_tokens(spark):
+    """ADVICE r10: NULL text must report n_tokens = 0 (the oracle's
+    COALESCE semantics), not Spark's size(NULL) = -1."""
+    from hyper_storage_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "go go stop"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text_ops.collapse_repeats(docs).collect()}
+    assert (out[1].n_tokens, out[1].n_collapsed) == (3, 1)
+    assert (out[2].n_tokens, out[2].n_collapsed) == (0, 0)
+    assert (out[3].n_tokens, out[3].n_collapsed) == (0, 0)
+    # NULL and empty text canonicalize to the same empty clean stream
+    assert out[2].clean_hash == out[3].clean_hash
