@@ -136,6 +136,238 @@ def bpe_train(
     return merges_df
 
 
+def _greedy_merge(syms: list, a: str, b: str) -> list:
+    """One greedy left-to-right non-overlapping merge pass — the single
+    semantics every trainer/encoder path in this module shares."""
+    out: list = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    n_merges: int = 500,
+    min_count: int = 2,
+    round_size: int = 64,
+    text_col: str = "text",
+    pair_table_cap: int = 200_000,
+    max_affected_rows: int = 500_000,
+    with_state: bool = False,
+):
+    """:func:`bpe_train` at realistic merge counts — BIT-IDENTICAL
+    output, ~``round_size`` merges per distributed round instead of
+    one (Sennrich's practical recompute-every-N variant, made exact).
+
+    Why the sequential trainer is the wrong shape at 30k merges: each
+    merge costs one distributed pair aggregation + one fold pass, so
+    the per-round localCheckpoint floor dominates. This trainer pays
+    ONE distributed round per ``round_size`` merges:
+
+    1. aggregate pair counts (as before) and collect the top
+       ``pair_table_cap`` rows (count desc, pair lex asc). θ = the
+       smallest collected count when the cap truncated, else 0 —
+       counts ≤ θ are unknown territory.
+    2. collect the AFFECTED word sub-vocabulary: words whose symbol
+       sequence contains any of the top ``4·round_size`` candidate
+       pairs (halving the candidate set while the subset exceeds
+       ``max_affected_rows``).
+    3. replay merges EXACTLY on the driver: pick the argmax of the
+       tracked pair table, apply it greedily to the affected words,
+       and update counts by exact per-word deltas. Soundness
+       invariants (each pytest-pinned via equivalence to bpe_train):
+       - an old pair's count NEVER increases under a merge (new
+         adjacencies always involve the just-created symbol), so
+         uncollected pairs stay ≤ θ forever within the round;
+       - pairs created in-round exist ONLY in affected words (the
+         merged symbol exists nowhere else), so their counts are
+         exactly the driver-computed ones;
+       - the round therefore stops early the moment the argmax is ≤ θ
+         or is an original pair outside the candidate set (its
+         affected words weren't collected) — the next distributed
+         round recomputes from truth. A round that can accept nothing
+         falls back to one sequential-style merge (the collected top
+         row IS the global argmax), so progress is guaranteed.
+    4. apply the round's accepted merges, in learned order, to the
+       distributed state in ONE Arrow ``mapInPandas`` pass with a
+       per-batch distinct-sequence cache.
+
+    Scale shape: per ~round_size merges, one vocabulary-sized
+    aggregation + one map pass; driver state is the bounded pair
+    table + the bounded affected sub-vocabulary (both capped, with
+    the documented fallback when a cap bites). Same output contract
+    as bpe_train; the text_bpe_merges oracle gates this path."""
+    if n_merges < 1:
+        raise ValueError(f"bpe_train_batched: n_merges must be >= 1, got {n_merges}")
+    if min_count < 1:
+        raise ValueError(f"bpe_train_batched: min_count must be >= 1, got {min_count}")
+    if round_size < 1:
+        raise ValueError(f"bpe_train_batched: round_size must be >= 1, got {round_size}")
+    from collections import Counter, defaultdict
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    state = words.select(
+        "w",
+        "cnt",
+        F.transform(
+            F.sequence(F.lit(1), F.length(F.col("w"))),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("syms"),
+    ).localCheckpoint()
+
+    SEP = "\x1f"
+
+    def _adj_pairs_col():
+        syms = F.col("syms")
+        return F.filter(
+            F.zip_with(
+                syms,
+                F.slice(syms, F.lit(2), F.size(syms) - 1),
+                lambda x, y: F.when(y.isNotNull(), F.concat(x, F.lit(SEP), y)),
+            ),
+            lambda s: s.isNotNull(),
+        )
+
+    merges: list = []
+    done = False
+    while not done and len(merges) < n_merges:
+        # ---- 1. distributed pair counts, top table to the driver ----
+        pair_rows = (
+            state.select("cnt", F.explode(_adj_pairs_col()).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "p")
+            .limit(pair_table_cap)
+            .collect()
+        )
+        if not pair_rows or pair_rows[0].c < min_count:
+            break
+        theta = pair_rows[-1].c if len(pair_rows) == pair_table_cap else 0
+        P = {tuple(r.p.split(SEP, 1)): int(r.c) for r in pair_rows}
+
+        # ---- 2. affected sub-vocabulary for the candidate set -------
+        room = n_merges - len(merges)
+        cand = [tuple(r.p.split(SEP, 1)) for r in pair_rows[: 4 * min(round_size, room)]]
+        aff = None
+        while cand:
+            cand_lits = F.array(*[F.lit(a + SEP + b) for a, b in cand])
+            flt = state.filter(F.arrays_overlap(_adj_pairs_col(), cand_lits))
+            if flt.limit(max_affected_rows + 1).count() <= max_affected_rows:
+                aff = flt.select("cnt", "syms").collect()
+                break
+            cand = cand[: max(len(cand) // 2, 1) if len(cand) > 1 else 0]
+        if aff is None:
+            # even the single top pair exceeds the driver budget: apply
+            # the global argmax (= the collected top row) distributedly
+            a, b = tuple(pair_rows[0].p.split(SEP, 1))
+            merges.append((len(merges) + 1, a, b, a + b, int(pair_rows[0].c)))
+            state = _apply_merges_distributed(state, [(a, b)]).localCheckpoint()
+            continue
+
+        # ---- 3. exact driver replay over the affected words ---------
+        cand_set = set(cand)
+        created_syms: set = set()
+        wlist = [(list(r.syms), int(r.cnt)) for r in aff]
+        pair_words: dict = defaultdict(set)
+        for i, (s, _) in enumerate(wlist):
+            for q in zip(s, s[1:]):
+                pair_words[q].add(i)
+        accepted: list = []
+        while len(merges) + len(accepted) < n_merges and len(accepted) < round_size:
+            if not P:
+                done = True
+                break
+            best = min(P.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), c = best
+            if c < min_count:
+                done = True
+                break
+            if c <= theta:
+                break  # below the trusted horizon: recompute from truth
+            if (a, b) not in cand_set and a not in created_syms and b not in created_syms:
+                break  # original pair outside the collected sub-vocab
+            accepted.append((len(merges) + len(accepted) + 1, a, b, a + b, c))
+            created_syms.add(a + b)
+            for i in sorted(pair_words.get((a, b), ())):
+                syms, cnt = wlist[i]
+                old = Counter(zip(syms, syms[1:]))
+                new_syms = _greedy_merge(syms, a, b)
+                new = Counter(zip(new_syms, new_syms[1:]))
+                for q in set(old) | set(new):
+                    d = (new.get(q, 0) - old.get(q, 0)) * cnt
+                    if d == 0:
+                        continue
+                    if q in P:
+                        P[q] += d
+                        if P[q] <= 0:
+                            del P[q]
+                    elif q[0] in created_syms or q[1] in created_syms:
+                        if d > 0:
+                            P[q] = d
+                    # else: old pair below θ — it can never be selected
+                    if q in new and i not in pair_words[q]:
+                        pair_words[q].add(i)
+                for q in set(old) - set(new):
+                    pair_words[q].discard(i)
+                wlist[i] = (new_syms, cnt)
+            if not pair_words.get((a, b)):
+                pair_words.pop((a, b), None)
+
+        if not accepted and not done:
+            # conservative stops fired before accepting anything (all
+            # counts at θ): the collected top row is still the global
+            # argmax — take it sequentially so the loop always advances
+            a, b = tuple(pair_rows[0].p.split(SEP, 1))
+            merges.append((len(merges) + 1, a, b, a + b, int(pair_rows[0].c)))
+            state = _apply_merges_distributed(state, [(a, b)]).localCheckpoint()
+            continue
+        if accepted:
+            merges.extend(accepted)
+            state = _apply_merges_distributed(
+                state, [(a, b) for _, a, b, _, _ in accepted]
+            ).localCheckpoint()
+
+    merges_df = spark.createDataFrame(merges, MERGES_SCHEMA)
+    if with_state:
+        return merges_df, state
+    return merges_df
+
+
+def _apply_merges_distributed(state: DataFrame, mlist: list) -> DataFrame:
+    """Apply a round's merges, in learned order, to the (w, cnt, syms)
+    vocabulary state in one Arrow pass (per-batch distinct-sequence
+    cache — a word's fold runs once per batch however often it recurs)."""
+
+    def fn(batches):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            out = []
+            for syms in pdf["syms"]:
+                key = tuple(syms)
+                got = cache.get(key)
+                if got is None:
+                    s = list(syms)
+                    for a, b in mlist:
+                        s = _greedy_merge(s, a, b)
+                    got = cache[key] = s
+                out.append(got)
+            pdf = pdf.copy()
+            pdf["syms"] = out
+            yield pdf
+
+    return state.mapInPandas(fn, "w string, cnt long, syms array<string>")
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: DataFrame,

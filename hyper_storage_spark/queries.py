@@ -9599,11 +9599,15 @@ def text_bpe_merges(spark, sf_dir):
     and the per-round argmax is a windowed min-struct over the
     exploded pair stream. Differentially pinned against a pure-Python
     Sennrich reference in pytest (training AND the encode-reproduces-
-    final-state invariant)."""
+    final-state invariant). Round 11: the entry runs the BATCHED
+    trainer (bpe_train_batched, ~round_size merges per distributed
+    round, Sennrich's recompute-every-N variant made exact) — pinned
+    bit-identical to bpe_train in pytest, and gated here against the
+    same recursive-CTE oracle."""
     from .operators import bpe
 
-    return bpe.bpe_train(
-        _t(spark, sf_dir, "documents"), n_merges=20, min_count=2
+    return bpe.bpe_train_batched(
+        _t(spark, sf_dir, "documents"), n_merges=20, min_count=2, round_size=8
     ).orderBy("rank")
 
 

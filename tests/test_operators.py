@@ -4739,3 +4739,56 @@ def test_collapse_repeats_null_text_is_zero_tokens(spark):
     assert (out[3].n_tokens, out[3].n_collapsed) == (0, 0)
     # NULL and empty text canonicalize to the same empty clean stream
     assert out[2].clean_hash == out[3].clean_hash
+
+
+def test_bpe_train_batched_is_bit_identical(spark):
+    """bpe_train_batched == bpe_train merge-for-merge (ranks, pairs,
+    counts) on corpora that exercise every round boundary: the
+    reference corpus, an overlap-adversarial corpus, and a corpus run
+    with round_size 1 / tiny caps (forcing the fallback and early-stop
+    paths). The batched trainer is Sennrich's recompute-every-N
+    practical variant made exact — equivalence IS the contract."""
+    from hyper_storage_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lower newest newest newest"),
+            (2, "newest widest widest aaaa aaaa aaaa"),
+            (3, "low newest   "),
+            (4, "banana bandana ananas an na nan"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def table(df):
+        return [
+            (r.rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+            for r in df.orderBy("rank").collect()
+        ]
+
+    seq = table(bpe.bpe_train(docs, n_merges=15))
+    assert seq  # non-trivial corpus
+    for kwargs in (
+        {"round_size": 64},
+        {"round_size": 4},
+        {"round_size": 1},
+        # θ-horizon + affected-row cap bite constantly: every
+        # conservative stop and the single-merge fallback get exercised
+        {"round_size": 8, "pair_table_cap": 3, "max_affected_rows": 2},
+    ):
+        got = table(bpe.bpe_train_batched(docs, n_merges=15, **kwargs))
+        assert got == seq, f"diverged under {kwargs}"
+
+    # with_state: final vocabulary state matches the sequential trainer
+    _, st_seq = bpe.bpe_train(docs, n_merges=10, with_state=True)
+    _, st_bat = bpe.bpe_train_batched(docs, n_merges=10, round_size=5, with_state=True)
+    assert {r.w: list(r.syms) for r in st_seq.collect()} == {
+        r.w: list(r.syms) for r in st_bat.collect()
+    }
+
+    # validation contract parity
+    import pytest
+
+    for bad in ({"n_merges": 0}, {"min_count": 0}, {"round_size": 0}):
+        with pytest.raises(ValueError):
+            bpe.bpe_train_batched(docs, **{"n_merges": 5, **bad})

@@ -435,6 +435,40 @@ def bpe_vocab_bound(replicas=(1, 4, 16)) -> None:
     print("# bpe smoke done")
 
 
+def bpe_merge_depth(n_merges: int = 500, seq_merges: int = 100) -> None:
+    """Realistic merge counts: a real tokenizer learns 30k+ merges, and
+    the sequential trainer's per-merge localCheckpoint becomes the
+    floor. The batched trainer (bpe_train_batched, exact — pytest pins
+    bit-identity) pays one distributed round per ~round_size merges.
+    Prints the sequential wall at ``seq_merges`` (its per-merge rate
+    extrapolates linearly) and the batched wall at ``n_merges``."""
+    from hyper_storage_spark.operators import bpe
+    from hyper_storage_spark.operators._caches import release_tracked_caches
+    from hyper_storage_spark.session import get_spark
+    from hyper_storage_spark.sources.tables import load_table
+
+    spark = get_spark("scale_smoke_bpe_depth")
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+
+    # min_count=1 so the synthetic corpus doesn't saturate before
+    # n_merges — the point is merge DEPTH, not the stop rule
+    t0 = time.time()
+    k_seq = bpe.bpe_train(docs, n_merges=seq_merges, min_count=1).count()
+    w_seq = time.time() - t0
+    print(f"# bpe sequential merges={k_seq} wall={w_seq:.2f}s "
+          f"({w_seq / max(k_seq, 1):.3f}s/merge -> ~{w_seq / max(k_seq, 1) * n_merges:.0f}s at {n_merges})")
+    release_tracked_caches()
+
+    for rs in (64, 128):
+        t0 = time.time()
+        k_bat = bpe.bpe_train_batched(docs, n_merges=n_merges, round_size=rs, min_count=1).count()
+        w_bat = time.time() - t0
+        print(f"# bpe batched round_size={rs} merges={k_bat} wall={w_bat:.2f}s "
+              f"({w_bat / max(k_bat, 1):.3f}s/merge)")
+        release_tracked_caches()
+    print("# bpe merge-depth smoke done")
+
+
 def link_core_growth(scopes=(300, 1200, 4800)) -> None:
     """Round-10 second-half graph family under scope growth: link
     prediction and the 8-core on the co-purchase graph as the part
@@ -638,6 +672,12 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "linkcore":
         link_core_growth(
             tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (300, 1200, 4800)
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bpedepth":
+        bpe_merge_depth(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 500,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 100,
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "bpe":
