@@ -1846,6 +1846,7 @@ def streaming_corpus_stats(
     lang_col: str = "lang",
     id_col: str = "doc_id",
     run_id: "str | None" = None,
+    n_index_buckets: int = 64,
 ):
     """``foreachBatch`` sink for the STREAMING corpus-prep capstone:
     exact-dedup every micro-batch against the persisted digest index
@@ -1861,10 +1862,27 @@ def streaming_corpus_stats(
     incremental pipeline persists anyway), a group-cardinality stats
     parquet, and the shared pointer/replay-guard discipline
     (operators/rollup_mv.py) so at-least-once delivery cannot
-    double-count. Per batch: one anti-join on the digest (batch-side
-    shuffle only), one within-batch first-row window, one stats
-    merge by union+sum on the language key. Read back with
-    :func:`read_corpus_stats`."""
+    double-count.
+
+    The digest index is LSM-sharded into ``n_index_buckets`` hash
+    buckets of the digest (round-11 scale fix): each batch APPENDS one
+    delta file per touched bucket holding only its NEWLY admitted
+    digests — O(batch) bytes written per batch, never O(corpus) (the
+    unsharded sink rewrote the whole index every batch). A bucket
+    whose delta chain exceeds ``_COMPACT_AT`` files is compacted —
+    rewritten as one file — in the same commit; compaction cost is
+    O(that bucket) and amortizes over the ≥``_COMPACT_AT`` batches
+    that grew the chain, so per-batch amortized index IO stays
+    O(batch + corpus/``n_index_buckets``·touched-overfull). Reads
+    (the dedup anti-join) union only the touched buckets' chains;
+    dedup completeness is unaffected because a duplicate of a batch
+    digest can only live in that digest's own bucket. The
+    bucket→chain map rides in the pointer; a pre-sharding state dir
+    is migrated in one partitioned rewrite on its first batch. Per
+    batch: one anti-join on the touched buckets (batch-side shuffle
+    only), one within-batch first-row window, one stats merge by
+    union+sum on the language key, one partitioned delta write. Read
+    back with :func:`read_corpus_stats`."""
     import os
 
     from .rollup_mv import (
@@ -1874,8 +1892,13 @@ def streaming_corpus_stats(
         _warn_if_anonymous,
     )
 
+    if n_index_buckets < 1:
+        raise ValueError(f"n_index_buckets must be >= 1, got {n_index_buckets}")
     label = f"streaming_corpus_stats({state_root!r})"
     _warn_if_anonymous(run_id, label)
+
+    def _bucket_of(col):
+        return F.pmod(F.xxhash64(col), F.lit(n_index_buckets)).cast("int")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(state_root, exist_ok=True)
@@ -1883,14 +1906,51 @@ def streaming_corpus_stats(
         if _is_replayed_batch(cur, batch_id, run_id, label):
             return
         spark = batch_df.sparkSession
+        version = (cur["version"] + 1) if cur else 1
+        # bucket -> delta-file chain (oldest first)
+        buckets_map: dict = {
+            k: list(v) for k, v in (cur.get("buckets", {}) if cur else {}).items()
+        }
+        if cur is not None and "buckets" not in cur:
+            # one-time migration of a pre-sharding state dir: bucket
+            # the monolithic index in ONE partitioned write
+            legacy = spark.read.parquet(os.path.join(state_root, cur["index"]))
+            rel_mig = f"v{version:06d}_migrated"
+            legacy.withColumn("__b", _bucket_of(F.col("text_hash"))).write.partitionBy(
+                "__b"
+            ).mode("overwrite").parquet(os.path.join(state_root, rel_mig))
+            buckets_map = {
+                str(k): [f"{rel_mig}/__b={k}"]
+                for k in range(n_index_buckets)
+                if os.path.isdir(os.path.join(state_root, rel_mig, f"__b={k}"))
+            }
         if cur is not None:
-            seen = spark.read.parquet(os.path.join(state_root, cur["index"]))
             prev_stats = spark.read.parquet(os.path.join(state_root, cur["stats"]))
         else:
-            seen = spark.createDataFrame([], "text_hash string")
             prev_stats = spark.createDataFrame(
                 [], f"{lang_col} string, n_docs long, n_chars long"
             )
+
+        # the batch's digests decide which index buckets this batch
+        # touches — only their delta chains are read
+        batch_digests = (
+            batch_df.filter(F.col(text_col).isNotNull())
+            .select(F.md5(F.col(text_col)).alias("text_hash"))
+            .withColumn("__b", _bucket_of(F.col("text_hash")))
+        )
+        touched = sorted(
+            r["__b"] for r in batch_digests.select("__b").distinct().collect()
+        )
+        paths = [
+            os.path.join(state_root, rel)
+            for k in touched
+            for rel in buckets_map.get(str(k), ())
+        ]
+        seen = (
+            spark.read.parquet(*paths).select("text_hash")
+            if paths
+            else spark.createDataFrame([], "text_hash string")
+        )
         admitted = incremental_exact_dedup(
             batch_df, seen, text_col=text_col, id_col=id_col
         )
@@ -1903,23 +1963,56 @@ def streaming_corpus_stats(
             .groupBy(lang_col)
             .agg(F.sum("n_docs").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
         )
-        index = seen.unionByName(admitted.select("text_hash")).distinct()
-        version = (cur["version"] + 1) if cur else 1
-        rel_idx, rel_st = f"v{version:06d}_index", f"v{version:06d}_stats"
-        index.write.mode("overwrite").parquet(os.path.join(state_root, rel_idx))
+        rel_st = f"v{version:06d}_stats"
         stats.write.mode("overwrite").parquet(os.path.join(state_root, rel_st))
+
+        # APPEND one delta per touched bucket: O(batch) bytes, one job
+        rel_delta = f"v{version:06d}_delta"
+        admitted.select("text_hash").withColumn(
+            "__b", _bucket_of(F.col("text_hash"))
+        ).write.partitionBy("__b").mode("overwrite").parquet(
+            os.path.join(state_root, rel_delta)
+        )
+        for k in touched:
+            if os.path.isdir(os.path.join(state_root, rel_delta, f"__b={k}")):
+                buckets_map.setdefault(str(k), []).append(f"{rel_delta}/__b={k}")
+
+        # compact overfull chains (one partitioned job for all of
+        # them): read-amplification stays ≤ _COMPACT_AT files/bucket,
+        # cost amortizes over the batches that grew each chain
+        overfull = [k for k, chain in buckets_map.items() if len(chain) > _COMPACT_AT]
+        if overfull:
+            rel_cmp = f"v{version:06d}_compact"
+            src = spark.read.parquet(
+                *[
+                    os.path.join(state_root, rel)
+                    for k in overfull
+                    for rel in buckets_map[k]
+                ]
+            ).select("text_hash")
+            src.withColumn("__b", _bucket_of(F.col("text_hash"))).write.partitionBy(
+                "__b"
+            ).mode("overwrite").parquet(os.path.join(state_root, rel_cmp))
+            for k in overfull:
+                buckets_map[k] = [f"{rel_cmp}/__b={k}"]
+
         _flip_pointer(
             state_root,
             {
                 "version": version,
                 "batch_id": batch_id,
-                "index": rel_idx,
+                "buckets": buckets_map,
+                "n_index_buckets": n_index_buckets,
                 "stats": rel_st,
                 "run_id": run_id,
             },
         )
 
     return apply_batch
+
+
+# delta files a bucket chain may hold before it is compacted into one
+_COMPACT_AT = 8
 
 
 def read_corpus_stats(spark, state_root: str) -> DataFrame:

@@ -1513,3 +1513,125 @@ def test_state_sink_readers_fail_loudly_without_state(spark, tmp_path):
     ):
         with pytest.raises(FileNotFoundError):
             reader(spark, empty)
+
+
+def test_corpus_stats_sharded_index_touched_buckets_only(spark, tmp_path):
+    """Round-11 scale fix: the digest index is bucket-sharded and a
+    batch rewrites ONLY the buckets its digests hash into. After two
+    disjoint-keyspace batches, the first batch's untouched bucket
+    files are byte-identical (same inode paths in the pointer map),
+    the pointer tracks per-bucket versions, and the dedup/stats
+    invariant holds across the bucket boundary. A legacy monolithic
+    state dir (pointer with 'index') migrates on its first batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import dedup as dd
+    from hyper_storage_spark.operators.rollup_mv import _flip_pointer, _read_pointer
+
+    state = str(tmp_path / "shardstate")
+    sink = dd.streaming_corpus_stats(state, run_id="t", n_index_buckets=64)
+
+    b0 = spark.createDataFrame(
+        [(i, f"alpha {i}", "en") for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    sink(b0, 0)
+    p0 = _read_pointer(state)
+    assert p0["n_index_buckets"] == 64 and p0["buckets"]
+    m0 = dict(p0["buckets"])
+
+    # batch 2: half duplicates of batch 1 (cross-batch dedup through
+    # the sharded index), half fresh keys
+    b1 = spark.createDataFrame(
+        [(100 + i, f"alpha {i}", "en") for i in range(3)]  # duplicates
+        + [(200 + i, f"beta {i}", "de") for i in range(3)],  # fresh
+        "doc_id long, text string, lang string",
+    )
+    sink(b1, 1)
+    p1 = _read_pointer(state)
+    m1 = dict(p1["buckets"])
+    touched = {k for k in m1 if m0.get(k) != m1[k]}
+    untouched = {k for k in m0 if m0.get(k) == m1.get(k)}
+    # batch 2's keyspace must not have touched every bucket, untouched
+    # chains still serve their ORIGINAL files, and touched chains
+    # APPEND (LSM delta) rather than rewrite — the old file leads the
+    # chain
+    assert touched and untouched, (m0, m1)
+    for k in untouched:
+        for rel in m0[k]:
+            assert os.path.isdir(os.path.join(state, rel))
+    for k in touched & set(m0):
+        assert m1[k][: len(m0[k])] == m0[k]  # append-only chain growth
+
+    got = {
+        r.lang: (r.n_docs, r.n_chars)
+        for r in dd.read_corpus_stats(spark, state).collect()
+    }
+    assert got["en"] == (40, sum(len(f"alpha {i}") for i in range(40)))
+    assert got["de"] == (3, sum(len(f"beta {i}") for i in range(3)))
+    # total unique digests across all bucket files == 50
+    idx = spark.read.parquet(
+        *[os.path.join(state, rel) for chain in m1.values() for rel in chain]
+    )
+    assert idx.count() == 43 and idx.distinct().count() == 43
+
+    # ---- legacy migration: build a monolithic v1 state by hand ------
+    legacy = str(tmp_path / "legacystate")
+    os.makedirs(legacy)
+    seen = b0.select(F.md5("text").alias("text_hash"))
+    seen.write.parquet(os.path.join(legacy, "v000001_index"))
+    b0.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum(F.length("text")).alias("n_chars")
+    ).write.parquet(os.path.join(legacy, "v000001_stats"))
+    _flip_pointer(
+        legacy,
+        {"version": 1, "batch_id": 0, "index": "v000001_index",
+         "stats": "v000001_stats", "run_id": "t"},
+    )
+    sink2 = dd.streaming_corpus_stats(legacy, run_id="t", n_index_buckets=64)
+    sink2(b1, 1)
+    p = _read_pointer(legacy)
+    assert "buckets" in p and "index" not in p
+    got2 = {
+        r.lang: (r.n_docs, r.n_chars)
+        for r in dd.read_corpus_stats(spark, legacy).collect()
+    }
+    assert got2 == got  # migrated state converges to the sharded one
+
+
+def test_corpus_stats_chain_compaction(spark, tmp_path):
+    """A bucket's delta chain compacts once it exceeds _COMPACT_AT
+    files — chains stay bounded across many batches and the dedup
+    invariant survives compaction."""
+    import os
+
+    from hyper_storage_spark.operators import dedup as dd
+    from hyper_storage_spark.operators.rollup_mv import _read_pointer
+
+    state = str(tmp_path / "cmpstate")
+    sink = dd.streaming_corpus_stats(state, run_id="t", n_index_buckets=4)
+    n_batches = dd._COMPACT_AT + 4
+    for b in range(n_batches):
+        df = spark.createDataFrame(
+            [(b * 100 + i, f"text {b}-{i}", "en") for i in range(8)]
+            + ([(9999, "text 0-0", "en")] if b > 0 else []),  # cross-batch dup
+            "doc_id long, text string, lang string",
+        )
+        sink(df, b)
+    p = _read_pointer(state)
+    chains = p["buckets"]
+    assert all(len(c) <= dd._COMPACT_AT + 1 for c in chains.values()), {
+        k: len(c) for k, c in chains.items()
+    }
+    # compaction fired: chains are far shorter than the batch count
+    # and a compacted file leads at least one chain
+    assert all(len(c) < n_batches for c in chains.values())
+    assert any(c[0].startswith("v") and "_compact/" in c[0] for c in chains.values()), chains
+    got = {r.lang: r.n_docs for r in dd.read_corpus_stats(spark, state).collect()}
+    assert got["en"] == n_batches * 8  # dups never double-counted
+    idx = spark.read.parquet(
+        *[os.path.join(state, rel) for chain in chains.values() for rel in chain]
+    )
+    assert idx.count() == n_batches * 8 and idx.distinct().count() == n_batches * 8

@@ -343,6 +343,72 @@ def pagerank_hub(scales=(1, 4, 16), base_spokes: int = 20_000) -> None:
     print("# pagerank hub smoke done")
 
 
+def state_bound(keyspaces=(20_000, 200_000), batch_rows: int = 2_000) -> None:
+    """Streaming state-sink bounding (round-11): the corpus-stats
+    digest index is bucket-sharded, so a batch's index IO must track
+    the BATCH, not the corpus. Grow the index to each keyspace size,
+    then time one fixed-size batch and count the bytes it rewrote —
+    at 10× the keyspace both should stay ~flat (the unsharded sink
+    rewrote the whole index: 10× bytes per batch)."""
+    import os
+    import tempfile as _tf
+
+    from hyper_storage_spark.operators import dedup as dd
+    from hyper_storage_spark.operators.rollup_mv import _read_pointer
+    from hyper_storage_spark.session import get_spark
+
+    spark = get_spark("scale_smoke_statebound")
+
+    def mkbatch(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("document body "), F.col("id")).alias("text"),
+            F.lit("en").alias("lang"),
+        )
+
+    def tree_bytes(root, rels):
+        total = 0
+        for rel in rels:
+            d = os.path.join(root, rel)
+            for dirpath, _, files in os.walk(d):
+                total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        return total
+
+    for ks in keyspaces:
+        state = _tf.mkdtemp(prefix=f"statebound_{ks}_")
+        sink = dd.streaming_corpus_stats(state, run_id="smoke", n_index_buckets=256)
+        bid = 0
+        lo = 0
+        while lo < ks:
+            sink(mkbatch(lo, min(batch_rows * 10, ks - lo)), bid)
+            lo += batch_rows * 10
+            bid += 1
+        ver_before = _read_pointer(state)["version"]
+        t0 = time.time()
+        sink(mkbatch(ks, batch_rows), bid)
+        wall = time.time() - t0
+        p_after = _read_pointer(state)
+        # bytes THIS batch wrote = its delta (+ compaction, when fired)
+        written_rels = [
+            f"v{p_after['version']:06d}_delta",
+            f"v{p_after['version']:06d}_compact",
+        ]
+        written_rels = [r for r in written_rels if os.path.isdir(os.path.join(state, r))]
+        written = tree_bytes(state, written_rels)
+        total = tree_bytes(
+            state,
+            {rel for chain in p_after["buckets"].values() for rel in chain},
+        )
+        compacted = any(r.endswith("_compact") for r in written_rels)
+        assert p_after["version"] == ver_before + 1
+        print(
+            f"# statebound keyspace={ks}: batch={batch_rows} rows wrote "
+            f"{written/1024:.0f} KiB (index total {total/1024:.0f} KiB, "
+            f"compaction={'yes' if compacted else 'no'}), wall={wall:.2f}s"
+        )
+    print("# statebound smoke done")
+
+
 def store_rollup_modes(n_items: int = 5000) -> None:
     """Wall-clock for the three store-rollup refresh tiers at a given
     collection size (build via write_batch so the feed holds full
@@ -643,6 +709,11 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "lsh":
         lsh_sizing(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "statebound":
+        state_bound(
+            tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (20_000, 200_000)
+        )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "pagerankhub":
         pagerank_hub(
