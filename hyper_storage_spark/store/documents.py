@@ -1453,33 +1453,39 @@ class DocumentStore:
             raise ValueError(f"invalid filter expression: {filter_by!r}")
         sort_by = list(sort_by or [])
         with self._lock:
-            rows = self.storage.bucket_rows(TEMPLATE_INDEXES, 0)
-            if any(
-                r["uri_pattern"] == uri_pattern and r["index_id"] == index_id for r in rows
-            ):
-                raise ValueError(
-                    f"template {index_id!r} already exists for {uri_pattern!r}"
+
+            def register_template():
+                rows = self.storage.bucket_rows(TEMPLATE_INDEXES, 0)
+                if any(
+                    r["uri_pattern"] == uri_pattern and r["index_id"] == index_id
+                    for r in rows
+                ):
+                    raise ValueError(
+                        f"template {index_id!r} already exists for {uri_pattern!r}"
+                    )
+                rows.append(
+                    {
+                        "uri_pattern": uri_pattern,
+                        "index_id": index_id,
+                        "sort_by": json.dumps(
+                            [
+                                {
+                                    "field_name": s.field_name,
+                                    "field_type": s.field_type,
+                                    "order": s.order,
+                                }
+                                for s in sort_by
+                            ]
+                        ),
+                        "filter_by": filter_by,
+                    }
                 )
-            rows.append(
-                {
-                    "uri_pattern": uri_pattern,
-                    "index_id": index_id,
-                    "sort_by": json.dumps(
-                        [
-                            {
-                                "field_name": s.field_name,
-                                "field_type": s.field_type,
-                                "order": s.order,
-                            }
-                            for s in sort_by
-                        ]
-                    ),
-                    "filter_by": filter_by,
-                }
-            )
-            self.storage.commit(
-                {(TEMPLATE_INDEXES, 0): rows}, {TEMPLATE_INDEXES: TEMPLATE_INDEXES_SCHEMA}
-            )
+                self.storage.commit(
+                    {(TEMPLATE_INDEXES, 0): rows},
+                    {TEMPLATE_INDEXES: TEMPLATE_INDEXES_SCHEMA},
+                )
+
+            self._admin_commit(register_template)
             self._templated_uris.clear()  # re-check every collection once
 
     def delete_index_template(self, uri_pattern: str, index_id: str) -> None:
@@ -1487,17 +1493,22 @@ class DocumentStore:
         stay (they are ordinary indexes owned by their collections —
         drop them with delete_index); only future instantiation stops."""
         with self._lock:
-            rows = self.storage.bucket_rows(TEMPLATE_INDEXES, 0)
-            kept = [
-                r
-                for r in rows
-                if not (r["uri_pattern"] == uri_pattern and r["index_id"] == index_id)
-            ]
-            if len(kept) == len(rows):
-                raise NotFoundError(f"no template {index_id!r} for {uri_pattern!r}")
-            self.storage.commit(
-                {(TEMPLATE_INDEXES, 0): kept}, {TEMPLATE_INDEXES: TEMPLATE_INDEXES_SCHEMA}
-            )
+
+            def drop_template():
+                rows = self.storage.bucket_rows(TEMPLATE_INDEXES, 0)
+                kept = [
+                    r
+                    for r in rows
+                    if not (r["uri_pattern"] == uri_pattern and r["index_id"] == index_id)
+                ]
+                if len(kept) == len(rows):
+                    raise NotFoundError(f"no template {index_id!r} for {uri_pattern!r}")
+                self.storage.commit(
+                    {(TEMPLATE_INDEXES, 0): kept},
+                    {TEMPLATE_INDEXES: TEMPLATE_INDEXES_SCHEMA},
+                )
+
+            self._admin_commit(drop_template)
             self._templated_uris.clear()
 
     def index_templates(self) -> list[dict]:
@@ -1542,6 +1553,29 @@ class DocumentStore:
             self._templated_uris.add(uri)
         return created
 
+    def _admin_commit(self, attempt_fn):
+        """Run an admin read-stage-commit closure with the WRITE PATH's
+        concurrency discipline: the cross-process write-window lock
+        plus CAS retries with jittered backoff. Admin commits
+        (index/template DDL) used to flip unprotected and simply LOSE
+        to a concurrent writer fleet (ManifestConflict surfaced to the
+        caller — the round-11 DDL soak caught exactly this). The
+        closure re-reads whatever state it stages, so each retry
+        merges against the fresh manifest; non-conflict exceptions
+        (e.g. IndexAlreadyExists) propagate immediately."""
+        from .storage import ManifestConflict
+
+        last: Optional[BaseException] = None
+        for attempt in range(self.WRITE_CAS_RETRIES):
+            try:
+                with self.storage.write_lock():
+                    return attempt_fn()
+            except ManifestConflict as e:
+                last = e
+            if attempt < self.WRITE_CAS_RETRIES - 1:
+                self._cas_backoff(attempt)
+        raise last  # type: ignore[misc]
+
     def create_index(
         self,
         uri: str,
@@ -1571,9 +1605,6 @@ class DocumentStore:
         index_id = index_id or f"index-{create_id()}"
 
         with self._lock:
-            defs_rows = self.storage.bucket_rows(INDEX_DEFS, 0)
-            if any(r["document_uri"] == uri and r["index_id"] == index_id for r in defs_rows):
-                raise IndexAlreadyExists(f"index {index_id!r} already exists on {uri!r}")
             tname = table_name(sort_by)
             sort_by_json = json.dumps(
                 [
@@ -1581,47 +1612,64 @@ class DocumentStore:
                     for s in sort_by
                 ]
             )
-            defs_rows.append(
-                {
-                    "document_uri": uri,
-                    "index_id": index_id,
-                    "status": STATUS_INDEXING,
-                    "sort_by": sort_by_json,
-                    "filter_by": filter_by,
-                    "table_name": tname,
-                }
-            )
-            # the index-DDL feed event rides in the same flip as the
-            # registration (the reference publishes lifecycle events on
-            # the IndexDefTaskWorker accept path) — CDC consumers see
-            # the DDL in stream order with the content events
-            self.storage.commit(
-                {(INDEX_DEFS, 0): defs_rows},
-                {INDEX_DEFS: INDEX_DEFS_SCHEMA},
-                appends={
-                    FEED: (
-                        [self._index_ddl_event("feed:indexpost", uri, index_id,
-                                               sort_by_json, filter_by)],
-                        FEED_SCHEMA,
-                    )
-                },
-            )
 
-            idef = IndexDef(uri, index_id, STATUS_INDEXING, tuple(sort_by), filter_by, tname)
-            if background:
-                pending = self.storage.bucket_rows(PENDING_INDEXES, 0)
-                pending.append(
+            def register():
+                defs_rows = self.storage.bucket_rows(INDEX_DEFS, 0)
+                if any(
+                    r["document_uri"] == uri and r["index_id"] == index_id
+                    for r in defs_rows
+                ):
+                    raise IndexAlreadyExists(
+                        f"index {index_id!r} already exists on {uri!r}"
+                    )
+                defs_rows.append(
                     {
                         "document_uri": uri,
                         "index_id": index_id,
-                        "last_item_id": "",
-                        "retry_count": 0,
-                        "next_retry_at": 0,
+                        "status": STATUS_INDEXING,
+                        "sort_by": sort_by_json,
+                        "filter_by": filter_by,
+                        "table_name": tname,
                     }
                 )
+                # the index-DDL feed event rides in the same flip as the
+                # registration (the reference publishes lifecycle events
+                # on the IndexDefTaskWorker accept path) — CDC consumers
+                # see the DDL in stream order with the content events
                 self.storage.commit(
-                    {(PENDING_INDEXES, 0): pending}, {PENDING_INDEXES: PENDING_INDEXES_SCHEMA}
+                    {(INDEX_DEFS, 0): defs_rows},
+                    {INDEX_DEFS: INDEX_DEFS_SCHEMA},
+                    appends={
+                        FEED: (
+                            [self._index_ddl_event("feed:indexpost", uri, index_id,
+                                                   sort_by_json, filter_by)],
+                            FEED_SCHEMA,
+                        )
+                    },
                 )
+
+            self._admin_commit(register)
+
+            idef = IndexDef(uri, index_id, STATUS_INDEXING, tuple(sort_by), filter_by, tname)
+            if background:
+
+                def register_pending():
+                    pending = self.storage.bucket_rows(PENDING_INDEXES, 0)
+                    pending.append(
+                        {
+                            "document_uri": uri,
+                            "index_id": index_id,
+                            "last_item_id": "",
+                            "retry_count": 0,
+                            "next_retry_at": 0,
+                        }
+                    )
+                    self.storage.commit(
+                        {(PENDING_INDEXES, 0): pending},
+                        {PENDING_INDEXES: PENDING_INDEXES_SCHEMA},
+                    )
+
+                self._admin_commit(register_pending)
                 return index_id
             if use_spark is None:
                 # footer metadata row count — deciding "too big for the
@@ -1637,30 +1685,41 @@ class DocumentStore:
                 self._backfill_index_spark(idef)
             else:
                 # driver-side backfill (IndexContentTaskWorker.scala:39-90;
-                # keyset-resume buckets are unnecessary — one bucket)
-                rows = []
-                for c in sorted(
-                    (
-                        r
-                        for r in self._content_bucket(uri)
-                        if r["document_uri"] == uri and r["item_id"]
-                    ),
-                    key=lambda r: r["item_id"],
-                ):
-                    row = self._index_row(idef, c)
-                    if row is not None:
-                        rows.append(row)
-                self.storage.commit(
-                    {(idef.storage_table, 0): rows},
-                    {idef.storage_table: _index_schema(idef.sort_by)},
-                )
+                # keyset-resume buckets are unnecessary — one bucket).
+                # Content re-reads INSIDE the retry closure: a retried
+                # commit must index the rows of the manifest it lands on
+                def backfill():
+                    rows = []
+                    for c in sorted(
+                        (
+                            r
+                            for r in self._content_bucket(uri)
+                            if r["document_uri"] == uri and r["item_id"]
+                        ),
+                        key=lambda r: r["item_id"],
+                    ):
+                        row = self._index_row(idef, c)
+                        if row is not None:
+                            rows.append(row)
+                    self.storage.commit(
+                        {(idef.storage_table, 0): rows},
+                        {idef.storage_table: _index_schema(idef.sort_by)},
+                    )
+
+                self._admin_commit(backfill)
 
             # flip to NORMAL — only now is the index visible to the planner
             # (db/Db.scala:103-107, HyperbusAdapter.scala:152)
-            for r in defs_rows:
-                if r["document_uri"] == uri and r["index_id"] == index_id:
-                    r["status"] = STATUS_NORMAL
-            self.storage.commit({(INDEX_DEFS, 0): defs_rows}, {INDEX_DEFS: INDEX_DEFS_SCHEMA})
+            def flip_normal():
+                defs_rows = self.storage.bucket_rows(INDEX_DEFS, 0)
+                for r in defs_rows:
+                    if r["document_uri"] == uri and r["index_id"] == index_id:
+                        r["status"] = STATUS_NORMAL
+                self.storage.commit(
+                    {(INDEX_DEFS, 0): defs_rows}, {INDEX_DEFS: INDEX_DEFS_SCHEMA}
+                )
+
+            self._admin_commit(flip_normal)
             return index_id
 
     def _backfill_index_spark(self, idef: IndexDef) -> None:
@@ -1712,7 +1771,12 @@ class DocumentStore:
         )
         df.select(*cols).write.mode("overwrite").parquet(outdir)
         files = [os.path.join(outdir, f) for f in os.listdir(outdir) if f.endswith(".parquet")]
-        self.storage.commit_external(idef.storage_table, {0: files})
+        # only the FLIP retries under the write window (files are
+        # already staged) — holding the lock across the Spark job
+        # would stall every concurrent writer for the build's duration
+        self._admin_commit(
+            lambda: self.storage.commit_external(idef.storage_table, {0: files})
+        )
 
     # retry backoff for failed background builds — the reference's
     # PendingIndexWorker re-arms a 60 s timer (PendingIndexWorker.scala:24-98)
@@ -1741,46 +1805,70 @@ class DocumentStore:
             pending = self.storage.bucket_rows(PENDING_INDEXES, 0)
             eligible = [p for p in pending if p["next_retry_at"] <= now][:max_concurrent]
             for p in eligible:
+                # every commit below runs through _admin_commit with a
+                # FRESH read of the staged buckets (the r11 admin-race
+                # discipline): under a concurrent writer fleet the old
+                # in-place commits simply lost their flips
+                def match(q):
+                    return (
+                        q["document_uri"] == p["document_uri"]
+                        and q["index_id"] == p["index_id"]
+                    )
+
                 try:
                     done, new_last = self._backfill_chunk(
                         p["document_uri"], p["index_id"], p["last_item_id"], chunk_size
                     )
                 except Exception:
-                    p["retry_count"] += 1
-                    p["next_retry_at"] = now + self.INDEX_RETRY_MS
-                    self.storage.commit(
-                        {(PENDING_INDEXES, 0): pending},
-                        {PENDING_INDEXES: PENDING_INDEXES_SCHEMA},
-                    )
+
+                    def bump_retry():
+                        rows = self.storage.bucket_rows(PENDING_INDEXES, 0)
+                        for q in rows:
+                            if match(q):
+                                q["retry_count"] += 1
+                                q["next_retry_at"] = now + self.INDEX_RETRY_MS
+                        self.storage.commit(
+                            {(PENDING_INDEXES, 0): rows},
+                            {PENDING_INDEXES: PENDING_INDEXES_SCHEMA},
+                        )
+
+                    self._admin_commit(bump_retry)
                     continue
                 progressed += 1
                 if done:
-                    defs_rows = self.storage.bucket_rows(INDEX_DEFS, 0)
-                    for r in defs_rows:
-                        if (
-                            r["document_uri"] == p["document_uri"]
-                            and r["index_id"] == p["index_id"]
-                            and r["status"] == STATUS_INDEXING
-                        ):
-                            r["status"] = STATUS_NORMAL
-                    pending = [
-                        q
-                        for q in pending
-                        if not (
-                            q["document_uri"] == p["document_uri"]
-                            and q["index_id"] == p["index_id"]
+
+                    def finish():
+                        defs_rows = self.storage.bucket_rows(INDEX_DEFS, 0)
+                        for r in defs_rows:
+                            if match(r) and r["status"] == STATUS_INDEXING:
+                                r["status"] = STATUS_NORMAL
+                        rows = [
+                            q
+                            for q in self.storage.bucket_rows(PENDING_INDEXES, 0)
+                            if not match(q)
+                        ]
+                        self.storage.commit(
+                            {(INDEX_DEFS, 0): defs_rows, (PENDING_INDEXES, 0): rows},
+                            {
+                                INDEX_DEFS: INDEX_DEFS_SCHEMA,
+                                PENDING_INDEXES: PENDING_INDEXES_SCHEMA,
+                            },
                         )
-                    ]
-                    self.storage.commit(
-                        {(INDEX_DEFS, 0): defs_rows, (PENDING_INDEXES, 0): pending},
-                        {INDEX_DEFS: INDEX_DEFS_SCHEMA, PENDING_INDEXES: PENDING_INDEXES_SCHEMA},
-                    )
+
+                    self._admin_commit(finish)
                 else:
-                    p["last_item_id"] = new_last
-                    self.storage.commit(
-                        {(PENDING_INDEXES, 0): pending},
-                        {PENDING_INDEXES: PENDING_INDEXES_SCHEMA},
-                    )
+
+                    def advance():
+                        rows = self.storage.bucket_rows(PENDING_INDEXES, 0)
+                        for q in rows:
+                            if match(q):
+                                q["last_item_id"] = new_last
+                        self.storage.commit(
+                            {(PENDING_INDEXES, 0): rows},
+                            {PENDING_INDEXES: PENDING_INDEXES_SCHEMA},
+                        )
+
+                    self._admin_commit(advance)
         return progressed
 
     def _backfill_chunk(
@@ -1819,44 +1907,56 @@ class DocumentStore:
         )
         chunk = items[:chunk_size]
         if chunk:
-            existing = self.storage.bucket_rows(idef.storage_table, 0)
-            chunk_ids = {c["item_id"] for c in chunk}
-            merged = [r for r in existing if r["item_id"] not in chunk_ids]
-            for c in chunk:
-                row = self._index_row(idef, c)
-                if row is not None:
-                    merged.append(row)
-            self.storage.commit(
-                {(idef.storage_table, 0): merged},
-                {idef.storage_table: _index_schema(idef.sort_by)},
-            )
+
+            def merge_chunk():
+                existing = self.storage.bucket_rows(idef.storage_table, 0)
+                chunk_ids = {c["item_id"] for c in chunk}
+                merged = [r for r in existing if r["item_id"] not in chunk_ids]
+                for c in chunk:
+                    row = self._index_row(idef, c)
+                    if row is not None:
+                        merged.append(row)
+                self.storage.commit(
+                    {(idef.storage_table, 0): merged},
+                    {idef.storage_table: _index_schema(idef.sort_by)},
+                )
+
+            self._admin_commit(merge_chunk)
         done = len(items) <= chunk_size
         return done, (chunk[-1]["item_id"] if chunk else last_item_id)
 
     def delete_index(self, uri: str, index_id: str) -> None:
         with self._lock:
-            defs_rows = self.storage.bucket_rows(INDEX_DEFS, 0)
-            target = next(
-                (r for r in defs_rows if r["document_uri"] == uri and r["index_id"] == index_id),
-                None,
-            )
-            if target is None:
-                raise NotFoundError(index_id)
-            remaining = [r for r in defs_rows if r is not target]
-            # drop + DDL feed event in one flip (reference publishes
-            # on the IndexDefTaskWorker delete-accept path)
-            self.storage.commit(
-                {(INDEX_DEFS, 0): remaining},
-                {INDEX_DEFS: INDEX_DEFS_SCHEMA},
-                drop_tables=[f"index::{uri}::{index_id}"],
-                appends={
-                    FEED: (
-                        [self._index_ddl_event("feed:indexdelete", uri, index_id,
-                                               target["sort_by"], target["filter_by"])],
-                        FEED_SCHEMA,
-                    )
-                },
-            )
+
+            def drop():
+                defs_rows = self.storage.bucket_rows(INDEX_DEFS, 0)
+                target = next(
+                    (
+                        r
+                        for r in defs_rows
+                        if r["document_uri"] == uri and r["index_id"] == index_id
+                    ),
+                    None,
+                )
+                if target is None:
+                    raise NotFoundError(index_id)
+                remaining = [r for r in defs_rows if r is not target]
+                # drop + DDL feed event in one flip (reference publishes
+                # on the IndexDefTaskWorker delete-accept path)
+                self.storage.commit(
+                    {(INDEX_DEFS, 0): remaining},
+                    {INDEX_DEFS: INDEX_DEFS_SCHEMA},
+                    drop_tables=[f"index::{uri}::{index_id}"],
+                    appends={
+                        FEED: (
+                            [self._index_ddl_event("feed:indexdelete", uri, index_id,
+                                                   target["sort_by"], target["filter_by"])],
+                            FEED_SCHEMA,
+                        )
+                    },
+                )
+
+            self._admin_commit(drop)
 
     @staticmethod
     def _index_ddl_event(method: str, uri: str, index_id: str,

@@ -192,26 +192,34 @@ def analyze_collection(
         )
 
     with store._lock:
-        rows = [r for r in store.storage.bucket_rows(STATS, 0) if r["document_uri"] != uri]
-        for s in out:
-            rows.append(
-                {
-                    "document_uri": uri,
-                    "field_name": s.field_name,
-                    "field_type": s.field_type,
-                    "n_rows": s.n_rows,
-                    "n_nonnull": s.n_nonnull,
-                    "ndv": s.ndv,
-                    "min_num": s.min_num,
-                    "max_num": s.max_num,
-                    "min_text": s.min_text,
-                    "max_text": s.max_text,
-                    "histogram": json.dumps(s.histogram) if s.histogram is not None else None,
-                    "bounds": json.dumps(s.bounds) if s.bounds is not None else None,
-                    "analyzed_at": now,
-                }
-            )
-        store.storage.commit({(STATS, 0): rows}, {STATS: STATS_SCHEMA})
+        # _admin_commit: fresh STATS re-read per attempt, write-window
+        # lock + CAS retries (the r11 admin-race discipline) — an
+        # ANALYZE racing a writer fleet must not lose its flip
+        def commit_stats():
+            rows = [
+                r for r in store.storage.bucket_rows(STATS, 0) if r["document_uri"] != uri
+            ]
+            for s in out:
+                rows.append(
+                    {
+                        "document_uri": uri,
+                        "field_name": s.field_name,
+                        "field_type": s.field_type,
+                        "n_rows": s.n_rows,
+                        "n_nonnull": s.n_nonnull,
+                        "ndv": s.ndv,
+                        "min_num": s.min_num,
+                        "max_num": s.max_num,
+                        "min_text": s.min_text,
+                        "max_text": s.max_text,
+                        "histogram": json.dumps(s.histogram) if s.histogram is not None else None,
+                        "bounds": json.dumps(s.bounds) if s.bounds is not None else None,
+                        "analyzed_at": now,
+                    }
+                )
+            store.storage.commit({(STATS, 0): rows}, {STATS: STATS_SCHEMA})
+
+        store._admin_commit(commit_stats)
     return out
 
 

@@ -316,6 +316,8 @@ class _RestDriver:
         self.agg_checks = 0
         self.retries = 0
         self.modes: dict[str, int] = {}
+        self.txn_checks = 0
+        self.ddl_cycles = 0
         # a permanent seed row (never patched/deleted) keeps the
         # aggregate non-degenerate even if every rotating item is
         # deleted at once; registration before the kill loop, like
@@ -384,6 +386,23 @@ class _RestDriver:
             self._bump(path, int(resp.headers["revision"]))
             self.shadow.pop(path)
         self.ops += 1
+        # transaction-status route (r11): every write's transactionId
+        # must resolve to a 200 whose revision matches the header —
+        # the WAL point-read face under the same chaos as the writes
+        tid = (resp.body or {}).get("transactionId")
+        if tid is None:
+            self.failures.append(f"write {path} returned no transactionId")
+        elif self.rng.random() < 0.3:
+            t = self.facade.handle("GET", f"_transactions/{tid}")
+            if t.status != 200:
+                self.failures.append(f"txn {tid} -> {t.status}, want 200")
+            elif t.body["revision"] != self.item_rev[path]:
+                self.failures.append(
+                    f"txn {tid} revision {t.body['revision']} != "
+                    f"write header {self.item_rev[path]}"
+                )
+            else:
+                self.txn_checks += 1
         # read-your-write through the verb surface
         g = self.facade.handle("GET", path)
         if path in self.shadow:
@@ -440,10 +459,44 @@ class _RestDriver:
         else:
             self.agg_checks += 1
 
+    def _ddl_cycle(self) -> None:
+        """One index-DDL lifecycle through the REST face (r11 routes):
+        POST → 201 + serving GET, duplicate POST → 409, DELETE → 204 →
+        404 — run concurrently with the kill loop and the writer fleet,
+        so a crash mid-backfill must never leave the route surface
+        inconsistent with the def table."""
+        r = self.facade.handle(
+            "POST", f"{self.uri}/_indexes",
+            {"indexId": "soak_ddl", "sortBy": [{"fieldName": "b"}]},
+        )
+        if r.status not in (201, 409):  # 409: a previous cycle's delete lost a race
+            self.failures.append(f"index POST -> {r.status}: {r.body}")
+            return
+        g = self.facade.handle("GET", f"{self.uri}/_indexes/soak_ddl")
+        if g.status != 200 or g.body["status"] not in ("NORMAL", "INDEXING"):
+            self.failures.append(f"index GET -> {g.status}: {g.body}")
+            return
+        dup = self.facade.handle(
+            "POST", f"{self.uri}/_indexes",
+            {"indexId": "soak_ddl", "sortBy": []},
+        )
+        if dup.status != 409:
+            self.failures.append(f"duplicate index POST -> {dup.status}, want 409")
+        d = self.facade.handle("DELETE", f"{self.uri}/_indexes/soak_ddl")
+        if d.status != 204:
+            self.failures.append(f"index DELETE -> {d.status}: {d.body}")
+            return
+        if self.facade.handle("GET", f"{self.uri}/_indexes/soak_ddl").status != 404:
+            self.failures.append("index GET after DELETE != 404")
+            return
+        self.ddl_cycles += 1
+
     def step(self, final: bool = False) -> None:
         try:
             if not final:
                 self._one_write()
+                if self.rng.random() < 0.08:
+                    self._ddl_cycle()
             if final or self.rng.random() < 0.34:
                 self._check_aggregate(final)
         except Exception as e:  # noqa: BLE001 — a REST crash is a finding
@@ -560,7 +613,14 @@ def run_soak(
 
     for uri, s in statics.items():
         r_max = s["revision"]
-        feed_revs = sorted({f["revision"] for f in feed if f["document_uri"] == uri})
+        # index-DDL events (feed:indexpost/feed:indexdelete) carry
+        # revision 0 BY DESIGN — they are lifecycle CDC, not content
+        # writes, and must not trip the content gapless check
+        feed_revs = sorted({
+            f["revision"]
+            for f in feed
+            if f["document_uri"] == uri and not f["method"].startswith("feed:index")
+        })
         # 1. gapless: distinct feed revisions are exactly 1..R
         if feed_revs != list(range(1, r_max + 1)):
             missing = sorted(set(range(1, r_max + 1)) - set(feed_revs))[:10]
@@ -650,6 +710,8 @@ def run_soak(
             "retries": rest_driver.retries,
             "last_revision": rest_driver.last_write_rev,
             "routes": rest_driver.modes,
+            "txn_checks": rest_driver.txn_checks,
+            "ddl_cycles": rest_driver.ddl_cycles,
         }
     return out
 
