@@ -20,6 +20,8 @@ join probe cells against the sparse grid and take the per-value min.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -130,29 +132,34 @@ def streaming_heavy_hitters(
     unbounded stream with BOUNDED storage: a persisted sparse
     Count-Min grid (≤ depth×width cells — the partials are mergeable,
     so each micro-batch's grid just union-sums into the state) plus a
-    candidate table fed by the pigeonhole admission rule.
+    candidate table bounded by the MERGEABLE MISRA-GRIES reduction
+    (Agarwal et al. 2013, "Mergeable Summaries").
 
-    The admission rule is what makes the candidate set sound AND
-    small: an item whose TOTAL frequency ends ≥ φ·N must have batch
-    share ≥ φ in at least one micro-batch (if f_b < φ·n_b for every
-    batch, summing gives f < φ·N), so admitting exactly the items
-    with batch share ≥ φ — at most ⌊1/φ⌋ per batch — guarantees every
-    final φ-heavy item enters the candidate table at some batch.
-    Candidates are never pruned (pruning on a running estimate can
-    evict an item that only becomes heavy later; the table grows at
-    ≤ 1/φ rows per batch, KB-scale for any real cadence), and the
-    serving face filters at READ time against the current total.
+    The candidate table holds (value, mg) counters capped at
+    K = ⌈2/φ⌉ rows FOREVER (round-11 bounding — the previous
+    admission-rule table grew ≤1/φ rows per batch without bound over
+    months): each batch's exact counts union-sum into the counters,
+    and whenever the table exceeds K the (K+1)-th largest count is
+    subtracted from every counter and non-positives drop — the
+    classic MG merge step. Soundness: total subtracted mass is at
+    most N/(K+1) < φ·N/2, so any item with true frequency ≥ φ·N
+    keeps mg > φ·N/2 > 0 and can NEVER be evicted — the candidate
+    set stays a superset of the true φ-heavy items at every prefix.
+    The serving face filters at READ time by the CM estimate against
+    the current total (CM never underestimates), so light items that
+    merely linger in the MG table cannot surface.
 
     Guarantees (both directions testable): the served set is a
-    SUPERSET of the true φ-heavy items (admission soundness + CM
-    never underestimating), and each estimate overshoots the true
-    count by at most (e/width)·N per grid row w.h.p. Replayed
-    micro-batches are skipped by the shared batch-id guard
-    (operators/rollup_mv.py), so at-least-once foreachBatch cannot
-    double-count the grid. Scale shape: per batch one sketch-sized
-    exchange (cms_build's map-side collapse), one ≤1/φ-row admission
-    aggregate, one grid union — state is (depth×width + candidates)
-    rows forever. Read back with :func:`read_heavy_hitters`."""
+    SUPERSET of the true φ-heavy items (MG retention + CM never
+    underestimating), and each estimate overshoots the true count by
+    at most (e/width)·N per grid row w.h.p. Replayed micro-batches
+    are skipped by the shared batch-id guard (operators/rollup_mv.py),
+    so at-least-once foreachBatch cannot double-count. Scale shape:
+    per batch one sketch-sized exchange (cms_build's map-side
+    collapse), one batch-count aggregate, one ≤(K+1)-row TakeOrdered
+    for the reduction threshold, one grid union — state is
+    (depth×width + K) rows forever, independent of stream length and
+    keyspace. Read back with :func:`read_heavy_hitters`."""
     import os
 
     from .rollup_mv import (
@@ -187,20 +194,9 @@ def streaming_heavy_hitters(
                 {**cur, "batch_id": batch_id, "run_id": run_id},
             )
             return
-        # the admission compare carries a 1e-9 RELATIVE slack: the
-        # float product phi*n_b can land one ulp ABOVE the exact
-        # rational boundary (0.035*200 = 7.000000000000001), which
-        # would silently reject an exactly-phi item and void the
-        # no-false-negative guarantee; the slack can only OVER-admit
-        # (more candidates), never under-admit
-        admitted = (
-            vals.groupBy(col)
-            .agg(F.count("*").alias("__n"))
-            .filter(
-                F.col("__n")
-                >= F.lit(float(phi)) * F.lit(float(n_b)) * F.lit(1.0 - 1e-9)
-            )
-            .select(F.col(col).cast("string").alias("value"))
+        batch_counts = (
+            vals.groupBy(F.col(col).cast("string").alias("value"))
+            .agg(F.count("*").alias("mg"))
         )
         batch_grid = cms_build(vals.select(F.col(col).cast("string").alias(col)), col, depth, width)
         if cur is not None:
@@ -211,10 +207,32 @@ def streaming_heavy_hitters(
                 .agg(F.sum("cnt").alias("cnt"))
             )
             prev_cand = spark.read.parquet(os.path.join(state_root, cur["cand"]))
-            cand = prev_cand.unionByName(admitted).distinct()
+            if "mg" not in prev_cand.columns:
+                # pre-r11 admission-table state: counts unknown — pin
+                # them at the running total (an upper bound no MG
+                # reduction can evict), so legacy candidates keep the
+                # superset guarantee through the migration
+                prev_cand = prev_cand.select(
+                    "value", F.lit(int(cur["n_total"])).alias("mg")
+                )
+            cand = (
+                prev_cand.unionByName(batch_counts)
+                .groupBy("value")
+                .agg(F.sum("mg").alias("mg"))
+            )
             n_total = cur["n_total"] + n_b
         else:
-            grid, cand, n_total = batch_grid, admitted, n_b
+            grid, cand, n_total = batch_grid, batch_counts, n_b
+        # mergeable Misra-Gries reduction: bound the table at K rows
+        # by subtracting the (K+1)-th largest counter from everyone
+        # (TakeOrdered of K+1 rows — never a full sort or collect)
+        k_cap = math.ceil(2.0 / phi)
+        top = cand.orderBy(F.col("mg").desc(), "value").limit(k_cap + 1).collect()
+        if len(top) > k_cap:
+            d = int(top[-1]["mg"])
+            cand = cand.select(
+                "value", (F.col("mg") - F.lit(d)).alias("mg")
+            ).filter(F.col("mg") > 0)
         grid.write.mode("overwrite").parquet(os.path.join(state_root, rel_grid))
         cand.write.mode("overwrite").parquet(os.path.join(state_root, rel_cand))
         _flip_pointer(

@@ -1635,3 +1635,54 @@ def test_corpus_stats_chain_compaction(spark, tmp_path):
         *[os.path.join(state, rel) for chain in chains.values() for rel in chain]
     )
     assert idx.count() == n_batches * 8 and idx.distinct().count() == n_batches * 8
+
+
+def test_heavy_hitters_candidate_table_bounded(spark, tmp_path):
+    """Round-11 bounding: the Misra-Gries candidate table stays ≤ ⌈2/φ⌉
+    rows across many wide-keyspace batches (the admission table grew
+    forever), while a genuinely heavy item survives every reduction and
+    still serves. A pre-r11 state dir (value-only candidate file)
+    migrates without losing its candidates."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import sketches as sk
+    from hyper_storage_spark.operators.rollup_mv import _flip_pointer, _read_pointer
+
+    state = str(tmp_path / "hhmg")
+    phi = 0.05
+    k_cap = math.ceil(2.0 / phi)
+    sink = sk.streaming_heavy_hitters(state, "v", phi=phi, run_id="t")
+    # 8 batches × 400 rows: 'whale' holds 25% of every batch; the other
+    # 300 rows are batch-unique keys (2400 distinct light keys total)
+    for b in range(8):
+        rows = [("whale",)] * 100 + [(f"u{b}_{i}",) for i in range(300)]
+        sink(spark.createDataFrame(rows, "v string"), b)
+    cur = _read_pointer(state)
+    cand = spark.read.parquet(os.path.join(state, cur["cand"]))
+    assert cand.count() <= k_cap, cand.count()
+    served = {r.value: r for r in sk.read_heavy_hitters(spark, state).collect()}
+    assert "whale" in served
+    assert served["whale"].cms_estimate >= 800  # CM never underestimates
+    assert served["whale"].n_total == 3200
+
+    # legacy migration: hand-build a value-only candidate state
+    legacy = str(tmp_path / "hhlegacy")
+    os.makedirs(legacy)
+    spark.createDataFrame([("old_heavy",)], "value string").write.parquet(
+        os.path.join(legacy, "v000001_cand")
+    )
+    grid = sk.cms_build(
+        spark.createDataFrame([("old_heavy",)] * 50 + [("x", )] * 50, "v string"),
+        "v", 5, 2719,
+    )
+    grid.write.parquet(os.path.join(legacy, "v000001_grid"))
+    _flip_pointer(legacy, {"version": 1, "batch_id": 0, "grid": "v000001_grid",
+                           "cand": "v000001_cand", "n_total": 100, "phi": phi,
+                           "depth": 5, "width": 2719, "run_id": "t"})
+    sink2 = sk.streaming_heavy_hitters(legacy, "v", phi=phi, run_id="t")
+    sink2(spark.createDataFrame([("old_heavy",)] * 10 + [("y",)] * 10, "v string"), 1)
+    served2 = {r.value for r in sk.read_heavy_hitters(spark, legacy).collect()}
+    assert "old_heavy" in served2  # migration kept the legacy candidate
