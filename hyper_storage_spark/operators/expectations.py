@@ -216,21 +216,44 @@ def streaming_expectations(
         version = (cur["version"] + 1) if cur else 1
         rel_counts = f"v{version:06d}_counts"
         summary.write.mode("overwrite").parquet(os.path.join(state_root, rel_counts))
-        # one quarantine file per batch, overwrite-idempotent on replay
-        bad.write.mode("overwrite").parquet(
-            os.path.join(state_root, f"q_{batch_id:06d}")
-        )
+        # one quarantine file per batch, overwrite-idempotent on replay;
+        # the pointer tracks the committed chain (r11: a year of
+        # 5-minute batches is ~100k dirs — the chain compacts into one
+        # file past _Q_COMPACT_AT, the corpus-stats LSM discipline)
+        chain = list(cur.get("quarantine", [])) if cur else []
+        if cur is not None and "quarantine" not in cur:
+            # legacy glob state: adopt the already-committed q_* dirs
+            chain = sorted(
+                n
+                for n in os.listdir(state_root)
+                if n.startswith("q_") and int(n[2:]) <= cur["batch_id"]
+            )
+        rel_q = f"q_{batch_id:06d}"
+        bad.write.mode("overwrite").parquet(os.path.join(state_root, rel_q))
+        if rel_q not in chain:
+            chain.append(rel_q)
+        if len(chain) > _Q_COMPACT_AT:
+            rel_qc = f"qc_{version:06d}"
+            spark.read.parquet(
+                *[os.path.join(state_root, r) for r in chain]
+            ).write.mode("overwrite").parquet(os.path.join(state_root, rel_qc))
+            chain = [rel_qc]
         _flip_pointer(
             state_root,
             {
                 "version": version,
                 "batch_id": batch_id,
                 "counts": rel_counts,
+                "quarantine": chain,
                 "run_id": run_id,
             },
         )
 
     return apply_batch
+
+
+# quarantine chain files before the per-batch dirs compact into one
+_Q_COMPACT_AT = 16
 
 
 def read_expectation_counts(spark, state_root: str) -> DataFrame:
@@ -252,10 +275,11 @@ def read_quarantine(spark, state_root: str) -> DataFrame:
     """Every quarantined row so far (original columns + __batch_id).
 
     Committed-pointer read discipline, same as the other state-sink
-    readers: only quarantine files whose batch id is ≤ the pointer's
-    high-water mark are surfaced — a q_* file written by a batch that
-    crashed BEFORE its pointer flip is uncommitted state (the retried
-    batch will overwrite it) and must not leak to readers."""
+    readers: only the pointer's committed quarantine chain is read —
+    a q_* file written by a batch that crashed BEFORE its pointer
+    flip is uncommitted state (the retried batch will overwrite it)
+    and must not leak to readers. Pre-chain state dirs fall back to
+    the glob filtered by the batch high-water mark."""
     import os
 
     from .rollup_mv import _read_pointer
@@ -263,6 +287,11 @@ def read_quarantine(spark, state_root: str) -> DataFrame:
     cur = _read_pointer(state_root)
     if cur is None:
         raise FileNotFoundError(f"no committed expectations state under {state_root}")
+    chain = cur.get("quarantine")
+    if chain is not None:
+        if not chain:
+            return spark.createDataFrame([], "__batch_id long")
+        return spark.read.parquet(*[os.path.join(state_root, r) for r in chain])
     return spark.read.parquet(os.path.join(state_root, "q_*")).filter(
         F.col("__batch_id") <= int(cur["batch_id"])
     )

@@ -276,6 +276,76 @@ def _flip_pointer(mv_root: str, meta: dict) -> None:
         raise
 
 
+def vacuum_state_dir(
+    state_root: str, keep_versions: int = 3, grace_seconds: float = 300.0
+) -> int:
+    """Reclaim superseded files from ANY foreachBatch state dir (the
+    five sinks share the pointer discipline, so one vacuum serves all):
+    every batch writes new version-named files and flips the pointer,
+    leaving the previous versions behind forever — disk grows linearly
+    with batch count until this runs.
+
+    Keeps: everything the CURRENT pointer references (rel paths are
+    collected from every string / list-of-strings / dict-of-chains
+    value in it — counts, grid, cand, stats, bucket chains, quarantine
+    chains), the last ``keep_versions`` versions' files (in-flight
+    readers pinned to a just-superseded pointer), anything younger
+    than ``grace_seconds`` (a concurrent batch's staged-but-unflipped
+    files), and — for pre-chain expectations state — all q_* files
+    (the legacy reader globs them). Deletes the rest; returns the
+    number of entries removed. Run it from maintenance, like the
+    store's vacuum — it is safe beside a live stream because of the
+    grace window, but quiesced is simplest."""
+    import re
+    import shutil
+    import time as _time
+
+    cur = _read_pointer(state_root)
+    if cur is None:
+        return 0
+
+    referenced: set[str] = set()
+
+    def collect(v) -> None:
+        if isinstance(v, str) and ("/" in v or re.match(r"^(v\d{6}|qc?_\d{6})", v)):
+            referenced.add(v.split("/", 1)[0])
+        elif isinstance(v, list):
+            for x in v:
+                collect(x)
+        elif isinstance(v, dict):
+            for x in v.values():
+                collect(x)
+
+    collect(cur)
+    legacy_quarantine = "quarantine" not in cur and "counts" in cur
+    cutoff = int(cur.get("version", 0)) - keep_versions
+    now = _time.time()
+    removed = 0
+    for name in os.listdir(state_root):
+        if name in referenced or name.startswith("_CURRENT"):
+            continue
+        m = re.match(r"^v(\d{6})_", name)
+        is_q = re.match(r"^qc?_\d{6}$", name)
+        if m is None and not is_q:
+            continue  # never touch entries this module didn't write
+        if m is not None and int(m.group(1)) >= cutoff:
+            continue
+        if is_q and legacy_quarantine:
+            continue  # the legacy reader still globs q_*
+        path = os.path.join(state_root, name)
+        try:
+            if now - os.path.getmtime(path) < grace_seconds:
+                continue
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            else:
+                os.unlink(path)
+            removed += 1
+        except OSError:
+            continue  # raced another maintainer — its delete counts
+    return removed
+
+
 def read_rollup(
     spark: SparkSession, mv_root: str, version: Optional[int] = None
 ) -> Optional[DataFrame]:

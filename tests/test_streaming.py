@@ -1686,3 +1686,45 @@ def test_heavy_hitters_candidate_table_bounded(spark, tmp_path):
     sink2(spark.createDataFrame([("old_heavy",)] * 10 + [("y",)] * 10, "v string"), 1)
     served2 = {r.value for r in sk.read_heavy_hitters(spark, legacy).collect()}
     assert "old_heavy" in served2  # migration kept the legacy candidate
+
+
+def test_quarantine_chain_compaction_and_state_vacuum(spark, tmp_path):
+    """Round-11 state hygiene: (a) the quarantine chain compacts into
+    one file past _Q_COMPACT_AT batches while read_quarantine keeps
+    serving every committed row; (b) vacuum_state_dir reclaims
+    superseded version files from any sink's state dir, never touching
+    anything the pointer references or the retention window."""
+    import os
+
+    from hyper_storage_spark.operators import expectations as ex
+    from hyper_storage_spark.operators.rollup_mv import _read_pointer, vacuum_state_dir
+
+    state = str(tmp_path / "qchain")
+    sink = ex.streaming_expectations(state, [ex.in_range("score", 0.0, 1.0)], run_id="t")
+    n_batches = ex._Q_COMPACT_AT + 4
+    for b in range(n_batches):
+        df = spark.createDataFrame(
+            [(b * 10 + i, 0.5) for i in range(3)] + [(b * 10 + 9, 5.0)],  # one violation
+            "id long, score double",
+        )
+        sink(df, b)
+    p = _read_pointer(state)
+    assert len(p["quarantine"]) <= ex._Q_COMPACT_AT + 1
+    assert any(r.startswith("qc_") for r in p["quarantine"])  # compaction happened
+    quar = ex.read_quarantine(spark, state).collect()
+    assert len(quar) == n_batches  # one violation per batch, all preserved
+    assert {r["__batch_id"] for r in quar} == set(range(n_batches))
+
+    # vacuum: superseded version files reclaimed, referenced ones kept
+    before = set(os.listdir(state))
+    removed = vacuum_state_dir(state, keep_versions=2, grace_seconds=0.0)
+    assert removed > 0
+    after = set(os.listdir(state))
+    for rel in [p["counts"], *p["quarantine"]]:
+        assert rel.split("/", 1)[0] in after
+    # reads still serve identically after the vacuum
+    counts = {r.rule: r.n_violations for r in ex.read_expectation_counts(spark, state).collect()}
+    assert sum(counts.values()) == n_batches
+    assert len(ex.read_quarantine(spark, state).collect()) == n_batches
+    # second vacuum is a no-op (nothing left to reclaim)
+    assert vacuum_state_dir(state, keep_versions=2, grace_seconds=0.0) == 0
