@@ -1049,3 +1049,139 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(_batches, schema_out)
+
+
+# the Gopher required-stopword set (Rae et al. 2021, §A1.1: a document
+# must contain at least two of these); shared verbatim with the oracle
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, "Scaling
+    Language Models: ...Gopher", §A1.1) — the canonical doc-level
+    filter battery a pretraining pipeline runs before anything
+    heavier. Emits the raw signals, one boolean per rule, and the
+    conjunction:
+
+    - ``r_word_count``: 50 ≤ words ≤ 100,000;
+    - ``r_mean_word_len``: mean word length in [3, 10];
+    - ``r_symbol_ratio``: (# of '#' chars + '...' occurrences) / words
+      ≤ 0.1;
+    - ``r_bullet_lines``: ≤ 90% of lines start with a bullet
+      (-, *, •);
+    - ``r_ellipsis_lines``: ≤ 30% of lines end with '...';
+    - ``r_alpha_words``: ≥ 80% of words contain ≥ 1 alphabetic char;
+    - ``r_stopwords``: ≥ 2 distinct hits from the 8-word required
+      set (GOPHER_STOPWORDS).
+
+    Pure per-row HOF/regexp columns — zero shuffle, whole-stage
+    codegen; ratios are single rounded divisions of integer counts, so
+    the SQL oracle replays bit-identically. NULL text fails every rule
+    (0 words). At 100 TB this is one scan-stage projection fused with
+    whatever runs next."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(
+        F.split(F.trim(text), TOKEN_SPLIT), lambda t: t != F.lit("")
+    )
+    lines = F.filter(
+        F.split(text, r"\n"), lambda ln: F.trim(ln) != F.lit("")
+    )
+    n_words = F.size(toks)
+    n_lines = F.size(lines)
+    words1 = F.greatest(n_words, F.lit(1))
+    lines1 = F.greatest(n_lines, F.lit(1))
+    n_chars_in_words = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mean_word_len = F.round(n_chars_in_words / words1, 6)
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis = F.size(F.split(text, r"\.\.\.")) - F.lit(1)
+    symbol_ratio = F.round((n_hash + n_ellipsis) / words1, 6)
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+        / lines1,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$"))) / lines1, 6
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike(r"[A-Za-z]"))) / words1, 6
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(F.transform(toks, F.lower), s),
+        )
+    )
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_word_len.cast("double"))
+        .withColumn("symbol_ratio", symbol_ratio.cast("double"))
+        .withColumn("bullet_frac", bullet_frac.cast("double"))
+        .withColumn("ellipsis_frac", ellipsis_frac.cast("double"))
+        .withColumn("alpha_frac", alpha_frac.cast("double"))
+        .withColumn("stop_hits", stop_hits)
+    )
+    rules = {
+        "r_word_count": (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000),
+        "r_mean_word_len": (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0),
+        "r_symbol_ratio": F.col("symbol_ratio") <= 0.1,
+        "r_bullet_lines": F.col("bullet_frac") <= 0.9,
+        "r_ellipsis_lines": F.col("ellipsis_frac") <= 0.3,
+        "r_alpha_words": F.col("alpha_frac") >= 0.8,
+        "r_stopwords": F.col("stop_hits") >= 2,
+    }
+    passed = None
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        passed = cond if passed is None else (passed & cond)
+    return out.withColumn("gopher_pass", passed)
+
+
+def c4_line_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The C4 line-level cleaning recipe (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning...", §2.2): keep only lines that
+    end in terminal punctuation AND hold ≥ 3 words; flag documents
+    containing 'lorem ipsum' or a curly brace (code). Emits
+    (n_lines, n_lines_kept, has_lorem_ipsum, has_curly_brace,
+    clean_text, clean_hash, c4_keep) — ``c4_keep`` is the document
+    policy: ≥ 3 surviving lines and neither flag.
+
+    Per-row HOFs only (line split → two-predicate filter → join), no
+    shuffle; the md5 over the surviving line stream is the byte-exact
+    cross-engine certificate (the collapse_repeats convention). NULL
+    text yields zero lines and c4_keep = false."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(text, r"\n"), lambda ln: F.trim(ln) != F.lit(""))
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(r"[.!?\"]$")
+        & (
+            F.size(
+                F.filter(F.split(F.trim(ln), TOKEN_SPLIT), lambda t: t != F.lit(""))
+            )
+            >= 3
+        ),
+    )
+    clean = F.concat_ws("\n", kept)
+    lower = F.lower(text)
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("__kept", kept)
+        .withColumn("n_lines_kept", F.size(F.col("__kept")))
+        .withColumn("has_lorem_ipsum", lower.contains("lorem ipsum"))
+        .withColumn(
+            "has_curly_brace", text.contains("{") | text.contains("}")
+        )
+        .withColumn("clean_text", clean)
+        .withColumn("clean_hash", F.md5(clean))
+        .withColumn(
+            "c4_keep",
+            (F.col("n_lines_kept") >= 3)
+            & ~F.col("has_lorem_ipsum")
+            & ~F.col("has_curly_brace"),
+        )
+        .drop("__kept")
+    )

@@ -10402,6 +10402,107 @@ def text_collapse_repeats(spark, sf_dir):
 
 
 @register_extra(
+    "text_gopher_rules",
+    r"""WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+       toks AS (
+         SELECT doc_id, t,
+                list_filter(string_split_regex(trim(t), '\s+'), x -> x <> '') AS w,
+                list_filter(string_split(t, chr(10)), ln -> trim(ln) <> '') AS lines
+         FROM base
+       ),
+       sig AS (
+         SELECT doc_id,
+                len(w) AS n_words,
+                ROUND(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) * 1.0
+                      / greatest(len(w), 1), 6) AS mean_word_len,
+                ROUND(((length(t) - length(replace(t, '#', '')))
+                       + (len(string_split(t, '...')) - 1)) * 1.0
+                      / greatest(len(w), 1), 6) AS symbol_ratio,
+                ROUND(len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[-*•]')))
+                      * 1.0 / greatest(len(lines), 1), 6) AS bullet_frac,
+                ROUND(len(list_filter(lines, ln -> regexp_matches(trim(ln), '\.\.\.$')))
+                      * 1.0 / greatest(len(lines), 1), 6) AS ellipsis_frac,
+                ROUND(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                      * 1.0 / greatest(len(w), 1), 6) AS alpha_frac,
+                len(list_filter(['the','be','to','of','and','that','have','with'],
+                    s -> list_contains(list_transform(w, x -> lower(x)), s))) AS stop_hits
+         FROM toks
+       )
+       SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+              symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac,
+              CAST(stop_hits AS BIGINT) AS stop_hits,
+              (n_words BETWEEN 50 AND 100000) AS r_word_count,
+              (mean_word_len BETWEEN 3.0 AND 10.0) AS r_mean_word_len,
+              (symbol_ratio <= 0.1) AS r_symbol_ratio,
+              (bullet_frac <= 0.9) AS r_bullet_lines,
+              (ellipsis_frac <= 0.3) AS r_ellipsis_lines,
+              (alpha_frac >= 0.8) AS r_alpha_words,
+              (stop_hits >= 2) AS r_stopwords,
+              ((n_words BETWEEN 50 AND 100000)
+               AND (mean_word_len BETWEEN 3.0 AND 10.0)
+               AND (symbol_ratio <= 0.1) AND (bullet_frac <= 0.9)
+               AND (ellipsis_frac <= 0.3) AND (alpha_frac >= 0.8)
+               AND (stop_hits >= 2)) AS gopher_pass
+       FROM sig""",
+)
+def text_gopher_rules(spark, sf_dir):
+    """The Gopher doc-quality rule battery (operators/text.py
+    gopher_rules; Rae et al. 2021 §A1.1): word-count bounds, mean word
+    length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, and the required-stopword rule — the
+    canonical pretraining pre-filter, emitted as raw signals + per-rule
+    booleans + the conjunction. Pure per-row HOF columns in codegen
+    (zero shuffle); every ratio is one rounded division of integer
+    counts, replayed bit-identically by the oracle."""
+    return text.gopher_rules(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+        "ellipsis_frac", "alpha_frac", "stop_hits", "r_word_count",
+        "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
+        "r_ellipsis_lines", "r_alpha_words", "r_stopwords", "gopher_pass",
+    )
+
+
+@register_extra(
+    "text_c4_line_filters",
+    r"""WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+       l AS (
+         SELECT doc_id, t,
+                list_filter(string_split(t, chr(10)), ln -> trim(ln) <> '') AS lines
+         FROM base
+       ),
+       k AS (
+         SELECT doc_id, t, lines,
+                list_filter(lines, ln ->
+                  regexp_matches(trim(ln), '[.!?"]$')
+                  AND len(list_filter(string_split_regex(trim(ln), '\s+'),
+                                      x -> x <> '')) >= 3) AS kept
+         FROM l
+       )
+       SELECT doc_id,
+              CAST(len(lines) AS BIGINT) AS n_lines,
+              CAST(len(kept) AS BIGINT) AS n_lines_kept,
+              contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+              (contains(t, '{') OR contains(t, '}')) AS has_curly_brace,
+              md5(COALESCE(array_to_string(kept, chr(10)), '')) AS clean_hash,
+              (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+               AND NOT (contains(t, '{') OR contains(t, '}'))) AS c4_keep
+       FROM k""",
+)
+def text_c4_line_filters(spark, sf_dir):
+    """The C4 line-level cleaning recipe (operators/text.py
+    c4_line_filters; Raffel et al. 2020 §2.2): keep lines ending in
+    terminal punctuation with ≥ 3 words, flag lorem-ipsum and
+    curly-brace documents, and certify the surviving line stream by
+    md5 (byte-exact cross-engine, the collapse_repeats convention).
+    Per-row HOFs only — no shuffle; the document policy (≥ 3 kept
+    lines, neither flag) ships as ``c4_keep``."""
+    return text.c4_line_filters(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_lines", "n_lines_kept", "has_lorem_ipsum",
+        "has_curly_brace", "clean_hash", "c4_keep",
+    )
+
+
+@register_extra(
     "q_waterfill_budget",
     """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
        b AS (

@@ -4792,3 +4792,65 @@ def test_bpe_train_batched_is_bit_identical(spark):
     for bad in ({"n_merges": 0}, {"min_count": 0}, {"round_size": 0}):
         with pytest.raises(ValueError):
             bpe.bpe_train_batched(docs, **{"n_merges": 5, **bad})
+
+
+def test_gopher_rules_hand_computed(spark):
+    """Gopher rule battery pinned by hand: a clean prose doc passes all
+    seven rules; a bullet wall, a symbol-heavy doc, a non-alphabetic
+    doc, and NULL text each fail exactly the expected rule."""
+    from hyper_storage_spark.operators import text as text_ops
+
+    prose = ("the quick brown fox jumps over and over with plenty of " * 6).strip()
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    symbols = "the " + "# " * 30 + "of and that have with be to"
+    digits = " ".join(str(i) for i in range(60))
+    rows = [(1, prose), (2, bullets), (3, symbols), (4, digits), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_ops.gopher_rules(df).collect()}
+
+    assert out[1].gopher_pass and out[1].n_words == 66
+    assert out[1].stop_hits >= 2 and out[1].r_alpha_words
+
+    assert not out[2].gopher_pass
+    assert out[2].bullet_frac == 1.0 and not out[2].r_bullet_lines
+
+    assert not out[3].gopher_pass
+    assert out[3].symbol_ratio > 0.1 and not out[3].r_symbol_ratio
+
+    assert not out[4].gopher_pass
+    assert out[4].alpha_frac == 0.0 and not out[4].r_alpha_words
+
+    assert out[5].n_words == 0 and not out[5].gopher_pass
+
+
+def test_c4_line_filters_hand_computed(spark):
+    """C4 line filter pinned by hand: terminal-punctuation + 3-word
+    minimum decide line survival; lorem-ipsum and curly-brace flags
+    veto the document; the clean hash certifies the byte stream."""
+    import hashlib
+
+    from hyper_storage_spark.operators import text as text_ops
+
+    doc = "\n".join([
+        "This line survives the filter.",   # kept
+        "Too short.",                        # < 3 words
+        "no terminal punctuation here",      # no terminal punct
+        "Another good line stays here!",     # kept
+        "Is this a question line?",          # kept
+        "",                                   # blank: not even counted
+    ])
+    rows = [(1, doc), (2, "Lorem ipsum dolor sit amet. More text follows here."),
+            (3, "A code doc { return 1; } with braces."), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_ops.c4_line_filters(df).collect()}
+
+    kept = ["This line survives the filter.", "Another good line stays here!",
+            "Is this a question line?"]
+    assert out[1].n_lines == 5 and out[1].n_lines_kept == 3
+    assert out[1].c4_keep
+    assert out[1].clean_hash == hashlib.md5("\n".join(kept).encode()).hexdigest()
+    assert out[1].clean_text == "\n".join(kept)
+
+    assert out[2].has_lorem_ipsum and not out[2].c4_keep
+    assert out[3].has_curly_brace and not out[3].c4_keep
+    assert out[4].n_lines == 0 and not out[4].c4_keep
