@@ -1280,11 +1280,18 @@ class DocumentStore:
             self.storage.commit_external_many(
                 {CONTENT: {bucket: out_files}, STATICS: {bucket: [statics_abs]}}
             )
-            # indexes: the touched-item set is the whole batch — the
-            # distributed full rebuild IS the incremental form here
+            # indexes: upsert mode refreshes INCREMENTALLY (only the
+            # batch's ids re-extract; untouched MV rows copy columnar —
+            # the full rebuild re-parsed every body per merge, an
+            # O(collection) cost for an O(batch) change). Full-snapshot
+            # mode touches everything by definition: full rebuild.
+            touched = new_rows.select(F.col("item_id"))
             for idef in self.index_defs(collection_uri):
                 if idef.status == STATUS_NORMAL:
-                    self._backfill_index_spark(idef)
+                    if delete_missing:
+                        self._backfill_index_spark(idef)
+                    else:
+                        self._refresh_index_spark_incremental(idef, touched)
             # in-flight BACKGROUND builds may already have materialized
             # chunks for items this merge replaced — restart their keyset
             # scan from the top (chunk merges are item-id idempotent, so
@@ -1401,9 +1408,15 @@ class DocumentStore:
             self.storage.commit_external_many(
                 {CONTENT: {bucket: out_files}, STATICS: {bucket: [statics_abs]}}
             )
+            # incremental index refresh: only the expired ids drop out
+            # of each MV (their content is gone, so the fresh side is
+            # empty by construction); untouched rows copy columnar.
+            # The old bucket files back the expired-id frame and stay
+            # on disk until vacuum — safe to read after the flip.
+            expired_ids = old.filter(expired_cond).select("item_id")
             for idef in self.index_defs(collection_uri):
                 if idef.status == STATUS_NORMAL:
-                    self._backfill_index_spark(idef)
+                    self._refresh_index_spark_incremental(idef, expired_ids)
             return n_expired, revision
 
     # -- reads (queryDocument analog) -----------------------------------------
@@ -1722,26 +1735,17 @@ class DocumentStore:
             self._admin_commit(flip_normal)
             return index_id
 
-    def _backfill_index_spark(self, idef: IndexDef) -> None:
-        """Distributed index backfill: membership filter + sort-column
-        extraction run as Column expressions on executors; the MV lands
-        via one manifest flip. This is the L19 path that scales to
-        collections far beyond driver memory."""
-        import os
-
+    def _index_rows_df(self, idef: IndexDef, content_df):
+        """Index-row projection over live content rows: membership
+        filter + sort-column extraction as Column expressions (the
+        distributed twin of the driver-side ``_index_row``)."""
         from pyspark.sql import functions as F
 
-        from ..expression.compiler import apply_filter
+        from ..expression.compiler import apply_filter, variant_parts
 
-        df = self.storage.spark_df_or_empty(self.spark, CONTENT, CONTENT_SPARK).filter(
-            (F.col("document_uri") == idef.document_uri)
-            & (F.col("item_id") != "")
-            & (~F.col("is_deleted"))
-        )
+        df = content_df
         if idef.filter_by:
             df = apply_filter(df, idef.filter_by, json_col="body", json_only=True)
-        from ..expression.compiler import variant_parts
-
         v = F.try_parse_json(F.col("body"))
         cols = [
             F.col("document_uri"),
@@ -1761,22 +1765,81 @@ class DocumentStore:
             # scalar string forms (containers → NULL)
             val = parts["n"] if item.effective_type == DECIMAL else parts["s"]
             cols.append(val.alias(name))
-        # staging dir keyed by the PHYSICAL table (collection + index):
-        # the same index_id on two collections (routine with template
-        # indexes) must never overwrite the other's committed files
+        return df.select(*cols)
+
+    def _live_content_df(self, uri: str):
+        from pyspark.sql import functions as F
+
+        return self.storage.spark_df_or_empty(self.spark, CONTENT, CONTENT_SPARK).filter(
+            (F.col("document_uri") == uri)
+            & (F.col("item_id") != "")
+            & (~F.col("is_deleted"))
+        )
+
+    def _commit_index_files(self, idef: IndexDef, df) -> None:
+        """Stage the index MV's files and flip. Staging dir keyed by the
+        PHYSICAL table (collection + index): the same index_id on two
+        collections (routine with template indexes) must never
+        overwrite the other's committed files. Only the FLIP retries
+        under the write window (files are already staged) — holding the
+        lock across the Spark job would stall every concurrent writer
+        for the build's duration."""
+        import os
+
         from .storage import _sanitize
 
+        # UNIQUE dir per build: the incremental refresh READS the
+        # currently-committed files (which live in the previous build's
+        # dir) while writing the next — a fixed path would overwrite
+        # its own lazy input. Superseded dirs become unreferenced at
+        # the flip and vacuum reclaims them (the index_backfill_
+        # staging marker).
         outdir = os.path.join(
-            self.storage.root, "data", f"index_backfill_{_sanitize(idef.storage_table)}"
+            self.storage.root,
+            "data",
+            f"index_backfill_{_sanitize(idef.storage_table)}_{uuid.uuid4().hex[:8]}",
         )
-        df.select(*cols).write.mode("overwrite").parquet(outdir)
+        df.write.mode("overwrite").parquet(outdir)
         files = [os.path.join(outdir, f) for f in os.listdir(outdir) if f.endswith(".parquet")]
-        # only the FLIP retries under the write window (files are
-        # already staged) — holding the lock across the Spark job
-        # would stall every concurrent writer for the build's duration
         self._admin_commit(
             lambda: self.storage.commit_external(idef.storage_table, {0: files})
         )
+
+    def _backfill_index_spark(self, idef: IndexDef) -> None:
+        """Distributed FULL index backfill: membership filter +
+        sort-column extraction run as Column expressions on executors;
+        the MV lands via one manifest flip. This is the L19 path that
+        scales to collections far beyond driver memory."""
+        self._commit_index_files(
+            idef, self._index_rows_df(idef, self._live_content_df(idef.document_uri))
+        )
+
+    def _refresh_index_spark_incremental(self, idef: IndexDef, touched_ids) -> None:
+        """Distributed INCREMENTAL index refresh for bulk writes
+        (round 11): ``touched_ids`` is a one-column (item_id) frame of
+        the items a merge/expire batch touched. Existing MV rows of
+        untouched items are KEPT AS-IS (a columnar copy — no JSON
+        re-parse), touched items' rows are anti-joined out and
+        re-extracted from the post-flip content. The full rebuild
+        re-parsed EVERY body per batch — O(collection) variant
+        extraction for an O(batch) change; this pays extraction only
+        for the batch (the rewrite of the MV files is a columnar
+        union, the cheap part). Result is row-identical to a full
+        rebuild (pytest-pinned)."""
+        from pyspark.sql import functions as F
+
+        touched = touched_ids.select(F.col(touched_ids.columns[0]).alias("item_id"))
+        existing = self.storage.spark_df_or_empty(
+            self.spark, idef.storage_table, index_spark_schema(idef.sort_by)
+        )
+        keep = existing.join(touched, "item_id", "left_anti").select(
+            *[f.name for f in existing.schema.fields]
+        )
+        fresh_content = self._live_content_df(idef.document_uri).join(
+            touched, "item_id", "left_semi"
+        )
+        fresh = self._index_rows_df(idef, fresh_content)
+        self._commit_index_files(idef, keep.unionByName(fresh.select(*keep.columns)))
 
     # retry backoff for failed background builds — the reference's
     # PendingIndexWorker re-arms a 60 s timer (PendingIndexWorker.scala:24-98)

@@ -2162,3 +2162,62 @@ def test_vacuum_spares_staged_rollup_defs_file(spark, tmp_path):
     staged.write_bytes(b"not-yet-committed")
     store.vacuum(grace_seconds=0.0, keep_versions=0)
     assert staged.exists(), "staged rollup-defs file must get the floor grace"
+
+
+def test_incremental_index_refresh_equals_full_rebuild(spark, tmp_path):
+    """Round-11: bulk merges refresh NORMAL indexes incrementally (only
+    the batch's ids re-extract; untouched MV rows copy columnar). The
+    incremental result must be row-identical to a full rebuild —
+    including a FILTERED index where a touched item enters, leaves, or
+    re-enters membership — and expire_items must drop exactly the
+    expired ids from the MV."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.plans import SortBy, SortItem
+
+    store = DocumentStore(str(tmp_path / "incidx"), spark=spark)
+    for i in range(30):
+        store.put(f"inc~/i{i:02d}", {"v": i, "ts": f"2024-01-{(i % 9) + 1:02d} 00:00:00"})
+    store.create_index("inc~", "byv", [SortItem("v", "decimal", "asc")], None)
+    store.create_index("inc~", "big", [SortItem("v", "decimal", "asc")], "v >= 10")
+
+    # merge: replace two items (one leaves the filtered index, one
+    # enters it) and insert one new
+    batch = spark.createDataFrame(
+        [("i05", 50), ("i15", 5), ("i99", 99)], "item string, v long"
+    )
+    store.merge_collection(batch, "inc~", "item")
+
+    def mv_rows(index_id):
+        from hyper_storage_spark.store.documents import index_spark_schema
+
+        idef = next(d for d in store.index_defs("inc~") if d.index_id == index_id)
+        return {
+            tuple(r[k] for k in ("item_id", "revision", "body"))
+            for r in store.storage.spark_df_or_empty(
+                spark, idef.storage_table, index_spark_schema(idef.sort_by)
+            ).collect()
+        }
+
+    got_byv, got_big = mv_rows("byv"), mv_rows("big")
+    # full rebuild ground truth
+    for d in store.index_defs("inc~"):
+        store._backfill_index_spark(d)
+    assert mv_rows("byv") == got_byv
+    assert mv_rows("big") == got_big
+    # membership transitions landed: i05 (v=50) now in 'big', i15 (v=5) out
+    big_ids = {t[0] for t in got_big}
+    assert "i05" in big_ids and "i15" not in big_ids and "i99" in big_ids
+    # the planner still routes and answers correctly off the MV
+    res = store.query("inc~", filter="v >= 40", sort=[SortBy("v")], size=5)
+    assert [i["id"] for i in res.items] == ["i05", "i99"]
+    assert res.plan.index_id == "big"
+
+    # expire: drop old-ts items; MV loses exactly those ids
+    n, _ = store.expire_items("inc~", "ts", "2024-01-03 00:00:00",
+                              "v long, ts string")
+    assert n > 0
+    got_after = mv_rows("byv")
+    for d in store.index_defs("inc~"):
+        store._backfill_index_spark(d)
+    assert mv_rows("byv") == got_after
