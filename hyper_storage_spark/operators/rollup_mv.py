@@ -324,7 +324,9 @@ def vacuum_state_dir(
     for name in os.listdir(state_root):
         if name in referenced or name.startswith("_CURRENT"):
             continue
-        m = re.match(r"^v(\d{6})_", name)
+        # version entries are either bare v000007 (uniform sample,
+        # rollup streams) or v000007_suffix (counts/grid/idx/...)
+        m = re.match(r"^v(\d{6})(_|$)", name)
         is_q = re.match(r"^qc?_\d{6}$", name)
         if m is None and not is_q:
             continue  # never touch entries this module didn't write
