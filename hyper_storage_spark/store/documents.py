@@ -1190,8 +1190,9 @@ class DocumentStore:
         to FULL-SNAPSHOT semantics: the batch IS the collection, and
         items absent from it are removed in the same flip. Executors
         write the merged bucket (sorted, so point-read pruning holds);
-        NORMAL indexes are rebuilt through the distributed backfill
-        afterwards.
+        NORMAL indexes refresh INCREMENTALLY afterwards (only the
+        batch's ids re-extract — r11; full-snapshot mode still runs the
+        full distributed backfill, everything is touched by definition).
 
         Like ingest_collection, the bulk path publishes no per-item
         feed events and writes no WAL rows — it is the backfill
