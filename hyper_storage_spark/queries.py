@@ -3229,6 +3229,58 @@ def ann_ivfpq_incremental(spark, sf_dir):
     return _incremental_eq(contract, ann, oneshot)
 
 
+@register_extra(
+    "ann_ivfpq_lifecycle",
+    """SELECT CAST(500 AS BIGINT) AS n_rows,
+              CAST(16 AS BIGINT) AS cells_before,
+              true AS undersized, true AS rebuilt,
+              CAST(64 AS BIGINT) AS cells_after,
+              true AS recall_ok""",
+)
+def ann_ivfpq_lifecycle(spark, sf_dir):
+    """The persisted-index APPEND LIFECYCLE behind the oracle gate
+    (similarity.ivfpq_health / ivfpq_rebuild_if_needed — round 11):
+    bootstrap 16 cells on half a fixed 500-vector scope, append the
+    other half with frozen state, let the health check flag the index
+    undersized (ivfpq_params_for at target_occupancy=8 wants 64 cells
+    for 500 rows), rebuild at the sized cell count, and verify the
+    rebuilt index still clears the family's 0.8 recall floor vs exact
+    cosine (n_probe=32 of 64 cells: at this deliberately tiny scope
+    the fine cells hold ~8 vectors each, so the recall knob is probe
+    count, exactly as the sizing docs prescribe). Every output is deterministic (seeded k-means,
+    hash-ordered samples, fixed scope), so the oracle pins the whole
+    lifecycle as constants."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    boot = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter(F.col("vec_id") >= 250)
+    idx = similarity.ivfpq_index(boot, n_cells=16)
+    grown = similarity.ivfpq_append(idx, batch)
+    health = similarity.ivfpq_health(grown, target_occupancy=8)
+    rebuilt_idx, rebuilt, _ = similarity.ivfpq_rebuild_if_needed(
+        grown, emb, target_occupancy=8
+    )
+    qids = [0, 10, 20]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivfpq_search(
+            rebuilt_idx, emb, qids, k=10, n_probe=32
+        ).collect()
+    }
+    recall_ok = len(got & exact) / len(exact) >= 0.8
+    return spark.createDataFrame(
+        [(
+            health["n_rows"], health["n_cells"], health["undersized"],
+            bool(rebuilt), int(rebuilt_idx.centroids.shape[0]), bool(recall_ok),
+        )],
+        "n_rows long, cells_before long, undersized boolean, rebuilt boolean, "
+        "cells_after long, recall_ok boolean",
+    )
+
+
 @register_extra("ann_ivfpq_raw", None)  # cells + residual codebooks are engine state
 def ann_ivfpq_raw(spark, sf_dir):
     """Raw IVF-PQ neighbor lists (ann_ivfpq_contract certifies);
