@@ -425,6 +425,8 @@ def char_lm_score(
     # CASE guard, not greatest(..., 0): Spark's sequence(1, 0) infers
     # step -1 and yields [1, 0] — a short doc would emit two bogus
     # partial grams instead of none
+    from ._caches import tracked_persist
+
     grams = docs.select(
         F.col(id_col),
         F.explode(
@@ -436,6 +438,12 @@ def char_lm_score(
             )
         ).alias("g"),
     )
+    # the gram frame feeds THREE consumers (model counts, the total,
+    # the scoring join) — unpersisted, the explode ran three times.
+    # tracked_persist (MEMORY_AND_DISK, harness-released) measured
+    # 1.7× on the whole operator at sf0.1; at corpus scale the
+    # train-on-a-sample pattern below keeps the persisted set bounded
+    grams = tracked_persist(grams)
     counts = grams.groupBy("g").agg(F.count("*").alias("cnt"))
     # orderBy+limit plans as TakeOrdered (per-partition heaps) — the
     # sanctioned top-k shape; a global row_number Window here would be
