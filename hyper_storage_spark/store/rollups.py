@@ -288,10 +288,9 @@ def _write_mv_and_def(store, d: RollupDef, partials: DataFrame, **def_fields) ->
     a SECOND time — permanent double-counting. One flip means the MV
     and its watermark are never observable apart."""
     import os
-    import time as _time
     import uuid
 
-    from .storage import ManifestConflict, write_bucket_file
+    from .storage import write_bucket_file
 
     files = _stage_mv(store, d, partials)  # the long Spark work, unpinned
     # the defs-bucket rewrite is a read-modify-write of the WHOLE
@@ -304,8 +303,12 @@ def _write_mv_and_def(store, d: RollupDef, partials: DataFrame, **def_fields) ->
     # milliseconds (one file write + the CAS), and a conflict retries
     # only this tail: the staged MV files embed state from the
     # caller's pinned snapshot and stay valid regardless of who flips.
-    last: Exception | None = None
-    for attempt in range(5):
+    # r11: the pinned tail runs through _admin_commit — the shared
+    # admin discipline (cross-process write-window lock + the write
+    # path's CAS retry budget). Holding the window makes conflicts
+    # rare instead of retried-into; expected_version stays as
+    # defense-in-depth against a lock-bypassing writer.
+    def attempt():
         v0 = store.storage.current_version()
         rows = store.storage.bucket_rows(ROLLUP_DEFS, 0)
         for r in rows:
@@ -316,16 +319,12 @@ def _write_mv_and_def(store, d: RollupDef, partials: DataFrame, **def_fields) ->
             f"b0000-rollup-{uuid.uuid4().hex[:8]}.parquet",
         )
         write_bucket_file(rows, ROLLUP_DEFS_SCHEMA, defs_abs)
-        try:
-            store.storage.commit_external_many(
-                {d.table_name: {0: files}, ROLLUP_DEFS: {0: [defs_abs]}},
-                expected_version=v0,
-            )
-            return
-        except ManifestConflict as e:
-            last = e
-            _time.sleep(0.01 * (attempt + 1))
-    raise last
+        store.storage.commit_external_many(
+            {d.table_name: {0: files}, ROLLUP_DEFS: {0: [defs_abs]}},
+            expected_version=v0,
+        )
+
+    store._admin_commit(attempt)
 
 
 def _commit_defs(store, mutate, drop_tables=()) -> None:
@@ -335,26 +334,19 @@ def _commit_defs(store, mutate, drop_tables=()) -> None:
     to the flip (expected_version) or a foreign process's concurrent
     defs commit would be silently reverted; conflicts re-read and
     retry (the in-process lock already serializes local callers)."""
-    import time as _time
-
-    from .storage import ManifestConflict
-
-    last: Exception | None = None
-    for attempt in range(5):
+    # r11: unified on _admin_commit (write-window lock + the write
+    # path's retry budget); the version pin stays as defense-in-depth
+    def attempt():
         v0 = store.storage.current_version()
         rows = mutate(store.storage.bucket_rows(ROLLUP_DEFS, 0))
-        try:
-            store.storage.commit(
-                {(ROLLUP_DEFS, 0): rows},
-                {ROLLUP_DEFS: ROLLUP_DEFS_SCHEMA},
-                drop_tables=drop_tables,
-                expected_version=v0,
-            )
-            return
-        except ManifestConflict as e:
-            last = e
-            _time.sleep(0.01 * (attempt + 1))
-    raise last
+        store.storage.commit(
+            {(ROLLUP_DEFS, 0): rows},
+            {ROLLUP_DEFS: ROLLUP_DEFS_SCHEMA},
+            drop_tables=drop_tables,
+            expected_version=v0,
+        )
+
+    store._admin_commit(attempt)
 
 
 def _update_def(store, uri: str, rollup_id: str, **fields) -> None:
