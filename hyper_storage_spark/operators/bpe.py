@@ -223,17 +223,20 @@ def bpe_train_batched(
         ).alias("syms"),
     ).localCheckpoint()
 
-    SEP = "\x1f"
-
+    # pairs ride as STRUCTS end to end — a string encoding with a
+    # separator char would mis-parse any symbol containing that char
+    # (r11 review: \x1f survives whitespace tokenization in
+    # binary-contaminated text) and its concatenated tie-break order
+    # could diverge from bpe_train's (a, b) column order
     def _adj_pairs_col():
         syms = F.col("syms")
         return F.filter(
             F.zip_with(
                 syms,
                 F.slice(syms, F.lit(2), F.size(syms) - 1),
-                lambda x, y: F.when(y.isNotNull(), F.concat(x, F.lit(SEP), y)),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
             ),
-            lambda s: s.isNotNull(),
+            lambda t: t["b"].isNotNull(),
         )
 
     merges: list = []
@@ -242,23 +245,28 @@ def bpe_train_batched(
         # ---- 1. distributed pair counts, top table to the driver ----
         pair_rows = (
             state.select("cnt", F.explode(_adj_pairs_col()).alias("p"))
-            .groupBy("p")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.col("c").desc(), "p")
+            .orderBy(F.col("c").desc(), "a", "b")
             .limit(pair_table_cap)
             .collect()
         )
         if not pair_rows or pair_rows[0].c < min_count:
             break
         theta = pair_rows[-1].c if len(pair_rows) == pair_table_cap else 0
-        P = {tuple(r.p.split(SEP, 1)): int(r.c) for r in pair_rows}
+        P = {(r.a, r.b): int(r.c) for r in pair_rows}
 
         # ---- 2. affected sub-vocabulary for the candidate set -------
         room = n_merges - len(merges)
-        cand = [tuple(r.p.split(SEP, 1)) for r in pair_rows[: 4 * min(round_size, room)]]
+        cand = [(r.a, r.b) for r in pair_rows[: 4 * min(round_size, room)]]
         aff = None
         while cand:
-            cand_lits = F.array(*[F.lit(a + SEP + b) for a, b in cand])
+            cand_lits = F.array(
+                *[
+                    F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                    for a, b in cand
+                ]
+            )
             flt = state.filter(F.arrays_overlap(_adj_pairs_col(), cand_lits))
             if flt.limit(max_affected_rows + 1).count() <= max_affected_rows:
                 aff = flt.select("cnt", "syms").collect()
@@ -267,7 +275,7 @@ def bpe_train_batched(
         if aff is None:
             # even the single top pair exceeds the driver budget: apply
             # the global argmax (= the collected top row) distributedly
-            a, b = tuple(pair_rows[0].p.split(SEP, 1))
+            a, b = pair_rows[0].a, pair_rows[0].b
             merges.append((len(merges) + 1, a, b, a + b, int(pair_rows[0].c)))
             state = _apply_merges_distributed(state, [(a, b)]).localCheckpoint()
             continue
@@ -325,7 +333,7 @@ def bpe_train_batched(
             # conservative stops fired before accepting anything (all
             # counts at θ): the collected top row is still the global
             # argmax — take it sequentially so the loop always advances
-            a, b = tuple(pair_rows[0].p.split(SEP, 1))
+            a, b = pair_rows[0].a, pair_rows[0].b
             merges.append((len(merges) + 1, a, b, a + b, int(pair_rows[0].c)))
             state = _apply_merges_distributed(state, [(a, b)]).localCheckpoint()
             continue

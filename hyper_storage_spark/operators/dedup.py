@@ -1897,9 +1897,6 @@ def streaming_corpus_stats(
     label = f"streaming_corpus_stats({state_root!r})"
     _warn_if_anonymous(run_id, label)
 
-    def _bucket_of(col):
-        return F.pmod(F.xxhash64(col), F.lit(n_index_buckets)).cast("int")
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(state_root, exist_ok=True)
         cur = _read_pointer(state_root)
@@ -1907,6 +1904,24 @@ def streaming_corpus_stats(
             return
         spark = batch_df.sparkSession
         version = (cur["version"] + 1) if cur else 1
+        # the STATE owns its bucketing: chains were keyed by the count
+        # the dir was built with, so a restart passing a different
+        # n_index_buckets must use the persisted value — hashing into
+        # a different modulus would miss the existing chains, re-admit
+        # duplicates, and silently corrupt dedup AND stats
+        eff_buckets = int(cur.get("n_index_buckets", n_index_buckets)) if cur else n_index_buckets
+        if cur is not None and eff_buckets != n_index_buckets:
+            import warnings
+
+            warnings.warn(
+                f"{label}: state dir was built with n_index_buckets="
+                f"{eff_buckets}; ignoring the configured {n_index_buckets}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+        def _bucket_of(col):
+            return F.pmod(F.xxhash64(col), F.lit(eff_buckets)).cast("int")
         # bucket -> delta-file chain (oldest first)
         buckets_map: dict = {
             k: list(v) for k, v in (cur.get("buckets", {}) if cur else {}).items()
@@ -1921,7 +1936,7 @@ def streaming_corpus_stats(
             ).mode("overwrite").parquet(os.path.join(state_root, rel_mig))
             buckets_map = {
                 str(k): [f"{rel_mig}/__b={k}"]
-                for k in range(n_index_buckets)
+                for k in range(eff_buckets)
                 if os.path.isdir(os.path.join(state_root, rel_mig, f"__b={k}"))
             }
         if cur is not None:
@@ -2002,7 +2017,7 @@ def streaming_corpus_stats(
                 "version": version,
                 "batch_id": batch_id,
                 "buckets": buckets_map,
-                "n_index_buckets": n_index_buckets,
+                "n_index_buckets": eff_buckets,
                 "stats": rel_st,
                 "run_id": run_id,
             },

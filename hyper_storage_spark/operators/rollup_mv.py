@@ -319,6 +319,12 @@ def vacuum_state_dir(
     collect(cur)
     legacy_quarantine = "quarantine" not in cur and "counts" in cur
     cutoff = int(cur.get("version", 0)) - keep_versions
+    # quarantine entries carry a BATCH id (q_N) or a version (qc_N);
+    # both get the same retention window as version files, so a reader
+    # pinned to one of the last keep_versions pointers (whose chain may
+    # reference dirs the newest pointer dropped after a compaction)
+    # never races a delete
+    batch_cutoff = int(cur.get("batch_id", 0)) - keep_versions
     now = _time.time()
     removed = 0
     for name in os.listdir(state_root):
@@ -327,12 +333,17 @@ def vacuum_state_dir(
         # version entries are either bare v000007 (uniform sample,
         # rollup streams) or v000007_suffix (counts/grid/idx/...)
         m = re.match(r"^v(\d{6})(_|$)", name)
-        is_q = re.match(r"^qc?_\d{6}$", name)
-        if m is None and not is_q:
+        is_qc = re.match(r"^qc_(\d{6})$", name)
+        is_q = re.match(r"^q_(\d{6})$", name)
+        if m is None and not is_q and not is_qc:
             continue  # never touch entries this module didn't write
         if m is not None and int(m.group(1)) >= cutoff:
             continue
-        if is_q and legacy_quarantine:
+        if is_qc is not None and int(is_qc.group(1)) >= cutoff:
+            continue
+        if is_q is not None and int(is_q.group(1)) >= batch_cutoff:
+            continue
+        if (is_q or is_qc) and legacy_quarantine:
             continue  # the legacy reader still globs q_*
         path = os.path.join(state_root, name)
         try:

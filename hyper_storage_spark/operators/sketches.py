@@ -208,13 +208,24 @@ def streaming_heavy_hitters(
             )
             prev_cand = spark.read.parquet(os.path.join(state_root, cur["cand"]))
             if "mg" not in prev_cand.columns:
-                # pre-r11 admission-table state: counts unknown — pin
-                # them at the running total (an upper bound no MG
-                # reduction can evict), so legacy candidates keep the
-                # superset guarantee through the migration
-                prev_cand = prev_cand.select(
-                    "value", F.lit(int(cur["n_total"])).alias("mg")
+                # pre-r11 admission-table state: the legacy counts are
+                # unknown and the table may hold MORE than K values, so
+                # no bounded seeding keeps MG's eviction math sound
+                # (pinning them all at n_total makes one reduction
+                # evict the entire tied cohort — review r11). Instead
+                # seed each legacy value with its CM ESTIMATE from the
+                # grid in the same state dir: estimates are per-value
+                # upper bounds on the true counts, so true φ-heavy
+                # legacy items rank at the top and survive every
+                # reduction, while genuinely light legacy values drain
+                # out — the behavior the admission table wanted anyway
+                prev_grid_for_seed = spark.read.parquet(
+                    os.path.join(state_root, cur["grid"])
                 )
+                prev_cand = cms_estimate(
+                    prev_grid_for_seed, prev_cand, "value",
+                    cur["depth"], cur["width"],
+                ).select("value", F.col("cms_estimate").alias("mg"))
             cand = (
                 prev_cand.unionByName(batch_counts)
                 .groupBy("value")

@@ -463,13 +463,25 @@ class RestFacade:
         try:
             if m == "POST" and index_id is None:
                 spec = body or {}
+                # malformed bodies must be a 400, never an
+                # AttributeError escaping handle() (the facade's
+                # uniform contract for client errors)
+                if not isinstance(spec, dict):
+                    return RestResponse(400, {"error": "index spec must be a JSON object"})
+                raw_sort = spec.get("sortBy") or []
+                if not isinstance(raw_sort, list) or any(
+                    not isinstance(s, dict) for s in raw_sort
+                ):
+                    return RestResponse(
+                        400, {"error": "sortBy must be a list of objects"}
+                    )
                 sort_by = [
                     SortItem(
                         s.get("fieldName") or s.get("field_name"),
                         s.get("fieldType") or s.get("field_type"),
                         s.get("order"),
                     )
-                    for s in spec.get("sortBy") or []
+                    for s in raw_sort
                 ]
                 if any(s.field_name is None for s in sort_by):
                     return RestResponse(400, {"error": "sortBy items need a fieldName"})

@@ -1302,13 +1302,18 @@ class DocumentStore:
                 p["document_uri"] == collection_uri and p["last_item_id"]
                 for p in pending
             ):
-                for p in pending:
-                    if p["document_uri"] == collection_uri:
-                        p["last_item_id"] = ""
-                self.storage.commit(
-                    {(PENDING_INDEXES, 0): pending},
-                    {PENDING_INDEXES: PENDING_INDEXES_SCHEMA},
-                )
+
+                def rewind_pending():
+                    rows = self.storage.bucket_rows(PENDING_INDEXES, 0)
+                    for p in rows:
+                        if p["document_uri"] == collection_uri:
+                            p["last_item_id"] = ""
+                    self.storage.commit(
+                        {(PENDING_INDEXES, 0): rows},
+                        {PENDING_INDEXES: PENDING_INDEXES_SCHEMA},
+                    )
+
+                self._admin_commit(rewind_pending)
             return revision
 
     def expire_items(
@@ -1777,17 +1782,23 @@ class DocumentStore:
             & (~F.col("is_deleted"))
         )
 
-    def _commit_index_files(self, idef: IndexDef, df) -> None:
+    def _commit_index_files(self, idef: IndexDef, df, expect_table_files=None) -> None:
         """Stage the index MV's files and flip. Staging dir keyed by the
         PHYSICAL table (collection + index): the same index_id on two
         collections (routine with template indexes) must never
         overwrite the other's committed files. Only the FLIP retries
         under the write window (files are already staged) — holding the
         lock across the Spark job would stall every concurrent writer
-        for the build's duration."""
+        for the build's duration. With ``expect_table_files`` the flip
+        is ONE attempt pinned on THIS TABLE's committed file list
+        (checked under the window lock): callers whose staged files
+        embed a snapshot of the table own the retry — they must
+        re-stage, not re-flip. Pinning per-table, not on the global
+        manifest version, means unrelated content flips (the busy
+        writer fleet) never force a re-stage."""
         import os
 
-        from .storage import _sanitize
+        from .storage import ManifestConflict, _sanitize
 
         # UNIQUE dir per build: the incremental refresh READS the
         # currently-committed files (which live in the previous build's
@@ -1802,9 +1813,19 @@ class DocumentStore:
         )
         df.write.mode("overwrite").parquet(outdir)
         files = [os.path.join(outdir, f) for f in os.listdir(outdir) if f.endswith(".parquet")]
-        self._admin_commit(
-            lambda: self.storage.commit_external(idef.storage_table, {0: files})
-        )
+        if expect_table_files is None:
+            self._admin_commit(
+                lambda: self.storage.commit_external(idef.storage_table, {0: files})
+            )
+        else:
+            with self.storage.write_lock():
+                current = self.storage.bucket_files(idef.storage_table, 0)
+                if sorted(current) != sorted(expect_table_files):
+                    raise ManifestConflict(
+                        f"{idef.storage_table}: committed files moved since "
+                        "the incremental snapshot was read"
+                    )
+                self.storage.commit_external(idef.storage_table, {0: files})
 
     def _backfill_index_spark(self, idef: IndexDef) -> None:
         """Distributed FULL index backfill: membership filter +
@@ -1829,18 +1850,40 @@ class DocumentStore:
         rebuild (pytest-pinned)."""
         from pyspark.sql import functions as F
 
+        from .storage import ManifestConflict
+
         touched = touched_ids.select(F.col(touched_ids.columns[0]).alias("item_id"))
-        existing = self.storage.spark_df_or_empty(
-            self.spark, idef.storage_table, index_spark_schema(idef.sort_by)
-        )
-        keep = existing.join(touched, "item_id", "left_anti").select(
-            *[f.name for f in existing.schema.fields]
-        )
-        fresh_content = self._live_content_df(idef.document_uri).join(
-            touched, "item_id", "left_semi"
-        )
-        fresh = self._index_rows_df(idef, fresh_content)
-        self._commit_index_files(idef, keep.unionByName(fresh.select(*keep.columns)))
+        # the keep-side is a SNAPSHOT of the committed MV, so the flip
+        # is version-pinned and a lost race RE-STAGES from the fresh
+        # manifest (the write path's discipline): without the pin, two
+        # concurrent bulk merges would each flip a keep-side missing
+        # the other's fresh rows — a permanent lost update the old
+        # full-rebuild path could never produce (review r11)
+        last: Optional[BaseException] = None
+        for attempt in range(self.WRITE_CAS_RETRIES):
+            snapshot_files = self.storage.bucket_files(idef.storage_table, 0)
+            existing = self.storage.spark_df_or_empty(
+                self.spark, idef.storage_table, index_spark_schema(idef.sort_by)
+            )
+            keep = existing.join(touched, "item_id", "left_anti").select(
+                *[f.name for f in existing.schema.fields]
+            )
+            fresh_content = self._live_content_df(idef.document_uri).join(
+                touched, "item_id", "left_semi"
+            )
+            fresh = self._index_rows_df(idef, fresh_content)
+            try:
+                self._commit_index_files(
+                    idef,
+                    keep.unionByName(fresh.select(*keep.columns)),
+                    expect_table_files=snapshot_files,
+                )
+                return
+            except ManifestConflict as e:
+                last = e
+            if attempt < self.WRITE_CAS_RETRIES - 1:
+                self._cas_backoff(attempt)
+        raise last  # type: ignore[misc]
 
     # retry backoff for failed background builds — the reference's
     # PendingIndexWorker re-arms a 60 s timer (PendingIndexWorker.scala:24-98)

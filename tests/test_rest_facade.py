@@ -431,3 +431,15 @@ def test_index_ddl_feed_events(spark, tmp_path):
         assert e["document_uri"] == "f~" and e["item_id"] == "by_b" and e["revision"] == 0
         env = json.loads(e["body"])
         assert env["indexId"] == "by_b" and "sortBy" in env and "filterBy" in env
+
+
+def test_index_ddl_malformed_bodies_are_400(spark, tmp_path):
+    """r11 review: non-dict bodies and non-dict sortBy items must map to
+    400, never an AttributeError escaping handle()."""
+    store = DocumentStore(str(tmp_path / "ddl400"), spark=spark)
+    facade = RestFacade(store)
+    facade.put("docs~/i1", {"b": "x"})
+    for bad_body in (["not", "a", "dict"], "str", 42,
+                     {"sortBy": ["b"]}, {"sortBy": "b"}, {"sortBy": [1]}):
+        r = facade.handle("POST", "docs~/_indexes", bad_body)
+        assert r.status == 400, (bad_body, r.status, r.body)

@@ -1728,3 +1728,70 @@ def test_quarantine_chain_compaction_and_state_vacuum(spark, tmp_path):
     assert len(ex.read_quarantine(spark, state).collect()) == n_batches
     # second vacuum is a no-op (nothing left to reclaim)
     assert vacuum_state_dir(state, keep_versions=2, grace_seconds=0.0) == 0
+
+
+def test_heavy_hitters_legacy_migration_survives_reduction(spark, tmp_path):
+    """r11 review: a pre-r11 admission table LARGER than the MG cap must
+    migrate without evicting a true phi-heavy item — even when that
+    item is absent from the migration batch. Legacy counts seed from
+    the CM grid (per-value upper bounds), so heavy items rank above
+    the light cohort and survive the reduction."""
+    import math
+    import os
+
+    from hyper_storage_spark.operators import sketches as sk
+    from hyper_storage_spark.operators.rollup_mv import _flip_pointer
+
+    phi = 0.05
+    k_cap = math.ceil(2.0 / phi)  # 40
+    legacy = str(tmp_path / "hhbig")
+    os.makedirs(legacy)
+    # historical stream: 'whale' is 20% of 1000 rows; 60 light values
+    # (> k_cap of them) were all admitted by the old per-batch rule
+    hist_rows = [("whale",)] * 200 + [(f"l{i}",) for i in range(60) for _ in range(5)]
+    hist_rows += [(f"pad{i}",) for i in range(1000 - len(hist_rows))]
+    hist = spark.createDataFrame(hist_rows, "v string")
+    sk.cms_build(hist, "v", 5, 2719).write.parquet(os.path.join(legacy, "v000001_grid"))
+    spark.createDataFrame(
+        [("whale",)] + [(f"l{i}",) for i in range(60)], "value string"
+    ).write.parquet(os.path.join(legacy, "v000001_cand"))
+    _flip_pointer(legacy, {"version": 1, "batch_id": 0, "grid": "v000001_grid",
+                           "cand": "v000001_cand", "n_total": 1000, "phi": phi,
+                           "depth": 5, "width": 2719, "run_id": "t"})
+
+    # migration batch does NOT contain 'whale' at all
+    sink = sk.streaming_heavy_hitters(legacy, "v", phi=phi, run_id="t")
+    sink(spark.createDataFrame([(f"new{i}",) for i in range(100)], "v string"), 1)
+
+    served = {r.value for r in sk.read_heavy_hitters(spark, legacy).collect()}
+    assert "whale" in served  # 200/1100 = 18% >> phi: must still serve
+
+
+def test_corpus_stats_bucket_count_pinned_by_state(spark, tmp_path):
+    """r11 review: restarting the corpus-stats stream with a DIFFERENT
+    n_index_buckets must keep using the state dir's persisted count —
+    a modulus switch would miss the existing chains and re-admit
+    duplicates."""
+    import warnings
+
+    from hyper_storage_spark.operators import dedup as dd
+    from hyper_storage_spark.operators.rollup_mv import _read_pointer
+
+    state = str(tmp_path / "bucketpin")
+    dd.streaming_corpus_stats(state, run_id="t", n_index_buckets=16)(
+        spark.createDataFrame([(i, f"t {i}", "en") for i in range(40)],
+                              "doc_id long, text string, lang string"), 0)
+    assert _read_pointer(state)["n_index_buckets"] == 16
+
+    # restart with a different configured count + re-deliver the same
+    # texts under new ids: dedup must still catch every duplicate
+    sink2 = dd.streaming_corpus_stats(state, run_id="t", n_index_buckets=256)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sink2(spark.createDataFrame(
+            [(100 + i, f"t {i}", "en") for i in range(40)],
+            "doc_id long, text string, lang string"), 1)
+    assert any("n_index_buckets" in str(x.message) for x in w)
+    assert _read_pointer(state)["n_index_buckets"] == 16  # state owns it
+    got = {r.lang: r.n_docs for r in dd.read_corpus_stats(spark, state).collect()}
+    assert got["en"] == 40  # zero re-admissions
