@@ -245,6 +245,11 @@ def streaming_expectations(
                 "batch_id": batch_id,
                 "counts": rel_counts,
                 "quarantine": chain,
+                # full quarantine schema rides in the pointer so an
+                # empty chain reads back with the SAME columns as a
+                # populated one (review r12) — callers selecting data
+                # columns must not break only in the empty case
+                "quarantine_schema": bad.schema.json(),
                 "run_id": run_id,
             },
         )
@@ -290,6 +295,19 @@ def read_quarantine(spark, state_root: str) -> DataFrame:
     chain = cur.get("quarantine")
     if chain is not None:
         if not chain:
+            # empty chain returns the sink's FULL quarantine schema
+            # (persisted in the pointer at every flip) so callers
+            # selecting/unioning on data columns see identical shape
+            # whether or not anything was ever quarantined. Pointers
+            # from before the schema rode along fall back to the
+            # marker-only frame (documented legacy shape).
+            sj = cur.get("quarantine_schema")
+            if sj is not None:
+                import json as _json
+
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame([], StructType.fromJson(_json.loads(sj)))
             return spark.createDataFrame([], "__batch_id long")
         return spark.read.parquet(*[os.path.join(state_root, r) for r in chain])
     return spark.read.parquet(os.path.join(state_root, "q_*")).filter(

@@ -274,6 +274,25 @@ def _flip_pointer(mv_root: str, meta: dict) -> None:
         except OSError:
             pass
         raise
+    # pointer HISTORY (review r12): a version-named copy of every
+    # flipped pointer, so vacuum_state_dir can protect EXACTLY what the
+    # last keep_versions pointers reference. The version cutoff alone
+    # cannot: after a chain compaction the newest pointer drops delta
+    # dirs that an in-window reader pinned to a superseded pointer
+    # still needs, and those dirs can be arbitrarily old (a rarely-
+    # touched LSM bucket's chain entries). One tiny json per batch;
+    # vacuum prunes history past its keep window. Best-effort and
+    # atomic per file — a torn/missing history entry degrades to the
+    # pre-history cutoff guard, never to a torn read.
+    v = meta.get("version")
+    if isinstance(v, int):
+        try:
+            fd, tmp = tempfile.mkstemp(dir=mv_root, prefix="_CURRENT.tmp")
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                json.dump(meta, fh)
+            os.replace(tmp, _pointer_path(mv_root) + f".v{v:09d}")
+        except OSError:
+            pass
 
 
 def vacuum_state_dir(
@@ -288,7 +307,10 @@ def vacuum_state_dir(
     Keeps: everything the CURRENT pointer references (rel paths are
     collected from every string / list-of-strings / dict-of-chains
     value in it — counts, grid, cand, stats, bucket chains, quarantine
-    chains), the last ``keep_versions`` versions' files (in-flight
+    chains), everything the last ``keep_versions`` superseded POINTERS
+    reference (pointer history, r12 — covers chain entries a
+    compaction dropped from the newest pointer), the last
+    ``keep_versions`` versions' files (in-flight
     readers pinned to a just-superseded pointer), anything younger
     than ``grace_seconds`` (a concurrent batch's staged-but-unflipped
     files), and — for pre-chain expectations state — all q_* files
@@ -317,13 +339,39 @@ def vacuum_state_dir(
                 collect(x)
 
     collect(cur)
+    # pointer history (review r12): also protect everything the last
+    # keep_versions SUPERSEDED pointers reference. The version/batch
+    # cutoffs below cannot cover a reader pinned to an in-window
+    # pointer whose chain references dirs the newest pointer DROPPED
+    # at a compaction — those entries can be arbitrarily old (a
+    # rarely-touched LSM bucket's deltas), so only the pinned
+    # pointers' own reference lists bound them. History files past
+    # the keep window are pruned here (same maintenance contract as
+    # the version dirs). State dirs from before history existed
+    # degrade to the cutoff guards.
+    hist_re = re.compile(r"^_CURRENT\.v(\d{9})$")
+    hists = sorted(
+        (int(m.group(1)), n)
+        for n in os.listdir(state_root)
+        for m in [hist_re.match(n)]
+        if m is not None
+    )
+    protected_hist = hists[-(keep_versions + 1):] if keep_versions >= 0 else hists
+    for _, hname in protected_hist:
+        try:
+            with open(os.path.join(state_root, hname), "r", encoding="utf-8") as fh:
+                collect(json.load(fh))
+        except (OSError, ValueError):
+            continue  # torn/raced history entry — cutoff guards still apply
+    for _, hname in hists[: len(hists) - len(protected_hist)]:
+        try:
+            os.unlink(os.path.join(state_root, hname))
+        except OSError:
+            continue
     legacy_quarantine = "quarantine" not in cur and "counts" in cur
     cutoff = int(cur.get("version", 0)) - keep_versions
     # quarantine entries carry a BATCH id (q_N) or a version (qc_N);
-    # both get the same retention window as version files, so a reader
-    # pinned to one of the last keep_versions pointers (whose chain may
-    # reference dirs the newest pointer dropped after a compaction)
-    # never races a delete
+    # both get the same retention window as version files
     batch_cutoff = int(cur.get("batch_id", 0)) - keep_versions
     now = _time.time()
     removed = 0

@@ -1831,10 +1831,32 @@ class DocumentStore:
         """Distributed FULL index backfill: membership filter +
         sort-column extraction run as Column expressions on executors;
         the MV lands via one manifest flip. This is the L19 path that
-        scales to collections far beyond driver memory."""
-        self._commit_index_files(
-            idef, self._index_rows_df(idef, self._live_content_df(idef.document_uri))
-        )
+        scales to collections far beyond driver memory.
+
+        The flip is PINNED on the index table's committed file list,
+        snapshotted BEFORE the content frame is constructed (review
+        r12): per-item writes commit content + index MV rows in ONE
+        atomic manifest flip (``_refresh_indexes`` feeds the same
+        ``updates`` dict), so any write landing after our content
+        snapshot necessarily moved the index table's files and the
+        one-attempt flip inside ``_commit_index_files`` raises
+        ``ManifestConflict`` — we re-snapshot and re-stage instead of
+        silently overwriting that write's fresh MV row (which would
+        leave content and index permanently divergent)."""
+        from .storage import ManifestConflict
+
+        last: Optional[BaseException] = None
+        for attempt in range(self.WRITE_CAS_RETRIES):
+            snapshot_files = self.storage.bucket_files(idef.storage_table, 0)
+            df = self._index_rows_df(idef, self._live_content_df(idef.document_uri))
+            try:
+                self._commit_index_files(idef, df, expect_table_files=snapshot_files)
+                return
+            except ManifestConflict as e:
+                last = e
+            if attempt < self.WRITE_CAS_RETRIES - 1:
+                self._cas_backoff(attempt)
+        raise last  # type: ignore[misc]
 
     def _refresh_index_spark_incremental(self, idef: IndexDef, touched_ids) -> None:
         """Distributed INCREMENTAL index refresh for bulk writes
@@ -1857,8 +1879,10 @@ class DocumentStore:
         # is version-pinned and a lost race RE-STAGES from the fresh
         # manifest (the write path's discipline): without the pin, two
         # concurrent bulk merges would each flip a keep-side missing
-        # the other's fresh rows — a permanent lost update the old
-        # full-rebuild path could never produce (review r11)
+        # the other's fresh rows — a permanent lost update. The full
+        # rebuild has the same stage-then-flip window (a per-item write
+        # between its content snapshot and its flip) and is pinned the
+        # same way since r12 (_backfill_index_spark)
         last: Optional[BaseException] = None
         for attempt in range(self.WRITE_CAS_RETRIES):
             snapshot_files = self.storage.bucket_files(idef.storage_table, 0)

@@ -386,3 +386,44 @@ def test_has_index_routing_is_sound(spark, tmp_path):
     res = store.query("hs~", filter="x has [1,2]", sort=[SortBy("r")], size=10)
     assert res.plan.index_id != "idx_sup"
     assert [b["id"] for b in res.items] == ["a", "b"]
+
+
+def test_full_rebuild_flip_pinned_against_concurrent_write(spark, tmp_path):
+    """A per-item write landing between the full rebuild's content
+    snapshot and its manifest flip must NOT have its freshly-maintained
+    MV row overwritten (review r12): the flip is pinned on the index
+    table's committed file list, conflicts, and re-stages from the
+    post-write content — so the backfilled index includes the
+    concurrent item."""
+    from hyper_storage_spark.store import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "pin"), spark=spark)
+    store.put("col~/item1", {"b": 100})
+    store.put("col~/item2", {"b": 5})
+    # an independent writer handle on the same root — contends only via
+    # the storage manifest, exactly like a second process
+    writer = DocumentStore(store.storage.root, spark=spark)
+
+    staged = {"n": 0}
+    orig = store._index_rows_df
+
+    def hooked(idef, content_df):
+        # fires after the content snapshot is pinned, before the flip:
+        # the classic stage/flip window
+        if staged["n"] == 0:
+            staged["n"] += 1
+            writer.put("col~/item3", {"b": 300})
+        return orig(idef, content_df)
+
+    store._index_rows_df = hooked
+    try:
+        store.create_index("col~", "index1", [], "b > 10", use_spark=True)
+    finally:
+        store._index_rows_df = orig
+    # the hook ran (the window was exercised) and the concurrent item
+    # survived the flip
+    assert staged["n"] == 1
+    assert index_items(store, "col~", "index1") == ["item1", "item3"]
+    # and the index keeps serving writes afterwards
+    store.put("col~/item4", {"b": 400})
+    assert index_items(store, "col~", "index1") == ["item1", "item3", "item4"]

@@ -1795,3 +1795,77 @@ def test_corpus_stats_bucket_count_pinned_by_state(spark, tmp_path):
     assert _read_pointer(state)["n_index_buckets"] == 16  # state owns it
     got = {r.lang: r.n_docs for r in dd.read_corpus_stats(spark, state).collect()}
     assert got["en"] == 40  # zero re-admissions
+
+
+def test_vacuum_protects_chain_dirs_of_pinned_pointers(spark, tmp_path):
+    """r12 review: after a quarantine-chain compaction the newest
+    pointer drops the per-batch q_* dirs, but a reader pinned to the
+    just-superseded pointer (inside the keep window) still references
+    them — vacuum must protect everything the last keep_versions
+    pointers reference (pointer history), not just recent-numbered
+    entries."""
+    import glob
+    import json
+    import os
+
+    from hyper_storage_spark.operators import expectations as ex
+    from hyper_storage_spark.operators.rollup_mv import _read_pointer, vacuum_state_dir
+
+    state = str(tmp_path / "pinned")
+    sink = ex.streaming_expectations(state, [ex.in_range("score", 0.0, 1.0)], run_id="t")
+    n = ex._Q_COMPACT_AT + 1  # compaction fires exactly on the last flip
+    for b in range(n):
+        df = spark.createDataFrame(
+            [(b * 10 + i, 0.5) for i in range(3)] + [(b * 10 + 9, 5.0)],
+            "id long, score double",
+        )
+        sink(df, b)
+    p = _read_pointer(state)
+    assert p["quarantine"] == [f"qc_{p['version']:06d}"]  # compacted this flip
+    hist = sorted(glob.glob(os.path.join(state, "_CURRENT.v*")))
+    assert len(hist) == n  # one history entry per flip
+    with open(hist[-2], "r", encoding="utf-8") as fh:
+        prev = json.load(fh)
+    # the superseded pointer's chain is all per-batch dirs, including
+    # ones far older than any version/batch cutoff window
+    assert len(prev["quarantine"]) == ex._Q_COMPACT_AT
+    assert all(r.startswith("q_") for r in prev["quarantine"])
+    removed = vacuum_state_dir(state, keep_versions=2, grace_seconds=0.0)
+    assert removed > 0  # superseded counts versions were reclaimed
+    after = set(os.listdir(state))
+    for rel in prev["quarantine"]:
+        assert rel in after, f"pinned reader's chain dir {rel} was vacuumed"
+    # the pinned pointer still serves every row it committed
+    rows = spark.read.parquet(
+        *[os.path.join(state, r) for r in prev["quarantine"]]
+    ).count()
+    assert rows == n - 1
+    # history itself is pruned to the keep window
+    assert len(glob.glob(os.path.join(state, "_CURRENT.v*"))) == 3
+
+
+def test_read_quarantine_empty_chain_has_full_schema(spark, tmp_path):
+    """r12 review: a committed-but-empty quarantine chain must read
+    back with the sink's FULL quarantine schema (persisted in the
+    pointer), not a marker-only frame — callers selecting data columns
+    must behave identically in the empty and populated cases."""
+    import os
+
+    from hyper_storage_spark.operators import expectations as ex
+    from hyper_storage_spark.operators.rollup_mv import _flip_pointer, _read_pointer
+
+    state = str(tmp_path / "emptyq")
+    sink = ex.streaming_expectations(state, [ex.in_range("score", 0.0, 1.0)], run_id="t")
+    sink(spark.createDataFrame([(1, 0.5)], "id long, score double"), 0)
+    p = _read_pointer(state)
+    assert "quarantine_schema" in p
+    populated_cols = ex.read_quarantine(spark, state).columns
+    # simulate the empty-chain state (e.g. legacy adoption with no q_*)
+    _flip_pointer(state, {**p, "version": p["version"] + 1, "quarantine": []})
+    empty = ex.read_quarantine(spark, state)
+    assert empty.columns == populated_cols == ["id", "score", "__batch_id"]
+    assert empty.count() == 0
+    # pointers from before the schema rode along keep the legacy shape
+    legacy = {k: v for k, v in p.items() if k != "quarantine_schema"}
+    _flip_pointer(state, {**legacy, "version": p["version"] + 2, "quarantine": []})
+    assert ex.read_quarantine(spark, state).columns == ["__batch_id"]
