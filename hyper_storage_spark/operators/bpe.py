@@ -290,16 +290,25 @@ def bpe_train_batched(
                 pair_words[q].add(i)
         accepted: list = []
         while len(merges) + len(accepted) < n_merges and len(accepted) < round_size:
+            # when the cap truncated the table AT OR ABOVE min_count
+            # (theta >= min_count), an exhausted/decayed tracked view
+            # proves nothing about UNTRACKED pairs with true counts in
+            # [min_count, theta] — break to the outer recompute-from-
+            # truth instead of ending training (review r12). done=True
+            # is only sound when theta < min_count: untracked counts
+            # are <= theta, hence below min_count globally.
             if not P:
+                if theta >= min_count:
+                    break
                 done = True
                 break
             best = min(P.items(), key=lambda kv: (-kv[1], kv[0]))
             (a, b), c = best
+            if c <= theta and theta > 0:
+                break  # below the trusted horizon: recompute from truth
             if c < min_count:
                 done = True
                 break
-            if c <= theta:
-                break  # below the trusted horizon: recompute from truth
             if (a, b) not in cand_set and a not in created_syms and b not in created_syms:
                 break  # original pair outside the collected sub-vocab
             accepted.append((len(merges) + len(accepted) + 1, a, b, a + b, c))

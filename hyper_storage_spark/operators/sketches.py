@@ -226,6 +226,25 @@ def streaming_heavy_hitters(
                     prev_grid_for_seed, prev_cand, "value",
                     cur["depth"], cur["width"],
                 ).select("value", F.col("cms_estimate").alias("mg"))
+                # CM estimates are OVER-estimates, so the seeded mass
+                # can exceed the legacy n_total — which breaks the MG
+                # eviction bound (subtracted mass <= N/(K+1) needs
+                # table mass <= N). Cap it: scale seeds so their sum
+                # is <= n_total (review r12). Scaling preserves rank
+                # order among legacy values, so true heavy items still
+                # out-rank the light cohort; per-value legacy carry is
+                # best-effort either way (the served ESTIMATE always
+                # comes from the CM grid at read time, not from these
+                # counters — only candidate-table membership is at
+                # stake here).
+                seed_mass = prev_cand.agg(F.sum("mg")).collect()[0][0] or 0
+                legacy_total = int(cur["n_total"])
+                if seed_mass > legacy_total > 0:
+                    factor = legacy_total / float(seed_mass)
+                    prev_cand = prev_cand.select(
+                        "value",
+                        F.floor(F.col("mg") * F.lit(factor)).cast("long").alias("mg"),
+                    ).filter(F.col("mg") > 0)
             cand = (
                 prev_cand.unionByName(batch_counts)
                 .groupBy("value")

@@ -4854,3 +4854,40 @@ def test_c4_line_filters_hand_computed(spark):
     assert out[2].has_lorem_ipsum and not out[2].c4_keep
     assert out[3].has_curly_brace and not out[3].c4_keep
     assert out[4].n_lines == 0 and not out[4].c4_keep
+
+
+def test_bpe_batched_cap_truncation_does_not_end_training(spark):
+    """r12 review: with the pair table cap-truncated at or above
+    min_count (theta >= min_count), an exhausted/decayed TRACKED pair
+    view proves nothing about untracked pairs with true counts in
+    [min_count, theta] — the round must break to the distributed
+    recompute, not end training. This corpus (found by differential
+    search against the sequential trainer) made the pre-fix code stop
+    at 5 merges where bpe_train learns 7."""
+    from hyper_storage_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [
+            (0, "cbb caac cca bb ac cacb"),
+            (1, "ccc acac aa ac bb cac"),
+            (2, "cb aca cbb acbb cb ac"),
+            (3, "ba baa aaaa bcb acc cb"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def table(df):
+        return [
+            (r.rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+            for r in df.orderBy("rank").collect()
+        ]
+
+    seq = table(bpe.bpe_train(docs, n_merges=8, min_count=2))
+    assert len(seq) == 7  # the corpus supports exactly 7 merges
+    got = table(
+        bpe.bpe_train_batched(
+            docs, n_merges=8, min_count=2, round_size=8,
+            pair_table_cap=2, max_affected_rows=1000,
+        )
+    )
+    assert got == seq

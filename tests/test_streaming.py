@@ -1869,3 +1869,49 @@ def test_read_quarantine_empty_chain_has_full_schema(spark, tmp_path):
     legacy = {k: v for k, v in p.items() if k != "quarantine_schema"}
     _flip_pointer(state, {**legacy, "version": p["version"] + 2, "quarantine": []})
     assert ex.read_quarantine(spark, state).columns == ["__batch_id"]
+
+
+def test_heavy_hitters_migration_seed_mass_capped(spark, tmp_path):
+    """r12 review: CM estimates are over-estimates, so seeding legacy
+    MG counters from them can put more mass in the table than n_total
+    — which breaks the subtracted-mass bound behind 'a phi-heavy item
+    is never evicted'. The seeds are scaled so their sum stays <=
+    n_total, preserving rank order; the committed table mass must
+    never exceed the stream's true row count."""
+    import math
+    import os
+
+    from hyper_storage_spark.operators import sketches as sk
+    from hyper_storage_spark.operators.rollup_mv import _flip_pointer, _read_pointer
+    from pyspark.sql import functions as F
+
+    phi = 0.05
+    legacy = str(tmp_path / "hhmass")
+    os.makedirs(legacy)
+    # a TINY grid (width 2) makes every estimate collide toward the
+    # full stream mass: 50 legacy candidates, each estimated near 200,
+    # would seed ~10000 of mass against n_total=200 without the cap
+    hist_rows = [(f"v{i}",) for i in range(50) for _ in range(4)]
+    hist = spark.createDataFrame(hist_rows, "v string")
+    sk.cms_build(hist, "v", 3, 2).write.parquet(os.path.join(legacy, "v000001_grid"))
+    spark.createDataFrame(
+        [(f"v{i}",) for i in range(50)], "value string"
+    ).write.parquet(os.path.join(legacy, "v000001_cand"))
+    _flip_pointer(legacy, {"version": 1, "batch_id": 0, "grid": "v000001_grid",
+                           "cand": "v000001_cand", "n_total": 200, "phi": phi,
+                           "depth": 3, "width": 2, "run_id": "t"})
+
+    sink = sk.streaming_heavy_hitters(legacy, "v", phi=phi, run_id="t")
+    sink(spark.createDataFrame([("fresh",)] * 30, "v string"), 1)
+
+    cur = _read_pointer(legacy)
+    cand = spark.read.parquet(os.path.join(legacy, cur["cand"]))
+    mass = cand.agg(F.sum("mg")).collect()[0][0] or 0
+    # MG invariant: table mass never exceeds the true stream length
+    # (230 rows total; the reduction can only subtract further)
+    assert mass <= cur["n_total"] == 230, mass
+    # and the fresh batch's true counts are intact
+    k_cap = math.ceil(2.0 / phi)
+    assert cand.count() <= k_cap
+    served = {r.value for r in sk.read_heavy_hitters(spark, legacy).collect()}
+    assert "fresh" in served  # 30/230 = 13% >> phi
