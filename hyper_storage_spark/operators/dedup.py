@@ -164,12 +164,21 @@ def _jaccard_from_shingles(
     return j.filter(F.col("jaccard") >= threshold)
 
 
+class HotCorpusError(ValueError):
+    """Raised by :func:`ngram_jaccard_pairs` (``hot_action="raise"``)
+    when the measured posting mass exceeds ``candidate_budget`` — the
+    corpus is too pair-dense for exact inverted-index Jaccard; route
+    it to :func:`minhash_lsh_pairs`."""
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     n: int = 3,
     text_col: str = "text",
     max_df: Optional[int] = None,
+    candidate_budget: Optional[int] = None,
+    hot_action: str = "route",
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard for every pair sharing ≥1 surviving
     shingle: (a_id, b_id, jaccard ≥ threshold), rounded to 6.
@@ -180,13 +189,59 @@ def ngram_jaccard_pairs(
     sizes): stop-shingles carry no discriminative signal and their
     posting lists are the quadratic skew term of the self-join —
     standard practice for inverted-index Jaccard at corpus scale, and
-    what the catalog entry does (max_df=100). Corpora where even
-    capped lists are too hot should route to
-    :func:`minhash_lsh_pairs`. Note the cap keys on xxhash64 shingle
-    hashes, so an oracle capping raw shingle strings can diverge on a
-    hash collision (~2^-64 per shingle pair — negligible, but the
-    asymmetry is real)."""
-    return _jaccard_from_shingles(_hashed_shingles(docs, text_col, n), threshold, None, max_df)
+    what the catalog entry does (max_df=100). Note the cap keys on
+    xxhash64 shingle hashes, so an oracle capping raw shingle strings
+    can diverge on a hash collision (~2^-64 per shingle pair —
+    negligible, but the asymmetry is real).
+
+    ``candidate_budget`` (r12) bounds the BELOW-cap quadratic region
+    the df cap cannot see: the cap fixes the asymptote (lists past it
+    drop), but a corpus whose lists sit just under the cap still emits
+    ~Σ C(df,2) candidate pairs — measured 79× pair growth on 10× data
+    at sf1. With a budget set, that posting mass is measured FIRST
+    (one count-distinct-free aggregation over the capped posting
+    sizes; it equals the exact number of pair rows the explosion
+    would emit), and when it exceeds the budget the call either
+    reroutes to :func:`minhash_lsh_pairs` (``hot_action="route"``,
+    auto-sized via :func:`minhash_params_for`, with a warning — the
+    result is then LSH-recall, not exact) or raises
+    :class:`HotCorpusError` naming that path (``hot_action="raise"``).
+    ``candidate_budget=None`` (default) keeps the exact contract
+    unconditionally — the oracle-gated catalog entry runs that way."""
+    if hot_action not in ("route", "raise"):
+        raise ValueError(f"hot_action must be 'route' or 'raise', got {hot_action!r}")
+    sh = _hashed_shingles(docs, text_col, n)
+    if candidate_budget is not None:
+        posting_sizes = sh.groupBy("h").agg(F.count("*").alias("df"))
+        if max_df is not None:
+            posting_sizes = posting_sizes.filter(F.col("df") <= max_df)
+        mass = posting_sizes.agg(
+            F.coalesce(F.sum(F.col("df") * (F.col("df") - 1) / 2), F.lit(0.0)).alias("m")
+        ).collect()[0]["m"]
+        if mass > candidate_budget:
+            if hot_action == "raise":
+                raise HotCorpusError(
+                    f"posting mass {int(mass)} candidate pairs exceeds "
+                    f"candidate_budget={candidate_budget} — exact inverted-"
+                    "index Jaccard is quadratic on this corpus; use "
+                    "minhash_lsh_pairs (or hot_action='route')"
+                )
+            import warnings
+
+            n_docs = docs.count()
+            num_hashes, bands = minhash_params_for(n_docs, threshold)
+            warnings.warn(
+                f"ngram_jaccard_pairs: posting mass {int(mass)} exceeds "
+                f"candidate_budget={candidate_budget}; rerouting to "
+                f"minhash_lsh_pairs(num_hashes={num_hashes}, bands={bands}) "
+                "— result recall follows the LSH S-curve, not the exact "
+                "contract",
+                stacklevel=2,
+            )
+            return minhash_lsh_pairs(
+                docs, threshold, num_hashes, bands, n=n, text_col=text_col
+            )
+    return _jaccard_from_shingles(sh, threshold, None, max_df)
 
 
 def minhash_signatures(

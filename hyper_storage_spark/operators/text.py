@@ -479,6 +479,8 @@ def ppl_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     exact: bool = True,
+    exact_depth: bool = True,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl
@@ -498,11 +500,19 @@ def ppl_buckets(
 
     Scale shape: scoring is one scan + one broadcast join
     (char_lm_score); the ntile window shuffles (id, score) pairs on
-    ``by_col`` — group-sized partitions, slim rows. A group too big
-    for one partition's sort uses the documented alternative: cut on
-    APPROX percentiles of lm_score instead of ntile (one pass, no
-    per-group total order), trading exact equal depth for unbounded
-    group size."""
+    ``by_col`` — group-sized partitions, slim rows, so the default
+    needs ONE partition to hold a whole group's pairs. That breaks at
+    100 TB when one language dominates: ``exact_depth=False`` (r12)
+    cuts each group on APPROX percentiles of lm_score instead —
+    ``percentile_approx`` is a partial-aggregable sketch (no per-group
+    total order, no single-task window), the cuts frame is
+    |groups|·(n_buckets-1) scalars broadcast back, and bucket b is
+    'score above the (n_buckets-b)-th ascending cut'. Buckets stay
+    exactly score-monotone (bucket 1 strictly above bucket 2, etc.);
+    depths are equal only to sketch accuracy (``approx_accuracy``,
+    Greenwald-Khanna error ≤ 1/accuracy) and boundary ties all land
+    in the lower bucket rather than splitting by id — the agreement
+    pytest pins both paths on gate-sized data."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     scored = char_lm_score(
@@ -510,8 +520,20 @@ def ppl_buckets(
         id_col=id_col, exact=exact,
     )
     lab = scored.join(docs.select(id_col, by_col), id_col)
-    w = Window.partitionBy(by_col).orderBy(F.col("lm_score").desc(), F.col(id_col))
-    bucket = F.ntile(n_buckets).over(w)
+    if exact_depth:
+        w = Window.partitionBy(by_col).orderBy(F.col("lm_score").desc(), F.col(id_col))
+        bucket = F.ntile(n_buckets).over(w)
+    else:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = lab.groupBy(by_col).agg(
+            F.percentile_approx("lm_score", probs, approx_accuracy).alias("__cuts")
+        )
+        lab = lab.join(F.broadcast(cuts), by_col)
+        # ascending cuts q_1..q_{k-1}; desc-bucket = n_buckets - #{q_j < s}
+        bucket = (
+            F.lit(n_buckets)
+            - F.size(F.filter(F.col("__cuts"), lambda c: c < F.col("lm_score")))
+        )
     label = (
         F.when(bucket == 1, F.lit("head"))
         .when(bucket == n_buckets, F.lit("tail"))
@@ -522,7 +544,7 @@ def ppl_buckets(
         by_col,
         "n_grams",
         "lm_score",
-        bucket.alias("bucket"),
+        bucket.cast("int").alias("bucket"),
         label.alias("bucket_label"),
     )
 

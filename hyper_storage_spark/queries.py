@@ -2001,6 +2001,25 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, max_df=100)
 
 
+@register_extra("dedup_ngram_autoroute", _JACCARD_SQL)
+def dedup_ngram_autoroute(spark, sf_dir):
+    """dedup_ngram_jaccard with the r12 posting-mass budget armed: the
+    production spelling of the exact path. At the gate SFs the measured
+    mass (Σ C(df,2) over retained lists — sf0.1: ~1.3M) sits far below
+    the 10M budget, so this is bit-identical to the exact entry and the
+    same oracle gates it; past the budget (the sf1 smoke's replicated
+    corpus measures ~100M) the call reroutes itself to auto-sized
+    minhash_lsh_pairs instead of emitting a quadratic candidate set —
+    closing the one superlinear region r11 measured (79× pairs on 10×
+    data below the df cap, SCALE.md)."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        max_df=100,
+        candidate_budget=10_000_000,
+    )
+
+
 @register_extra(
     "dedup_embedding_cosine",
     """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -6158,6 +6177,71 @@ def text_ppl_buckets(spark, sf_dir):
         )
         .orderBy("lang", "bucket")
     )
+
+
+@register_extra(
+    "text_ppl_buckets_approx",
+    "WITH "
+    + _CHAR_LM_CTES
+    + """,
+langs AS (
+  SELECT d.lang, COUNT(*) AS n_docs
+  FROM doc_scores ds JOIN documents d USING (doc_id)
+  GROUP BY d.lang
+)
+SELECT lang, n_docs, true AS buckets_valid, true AS monotone_ok, true AS depth_ok
+FROM langs ORDER BY lang""",
+)
+def text_ppl_buckets_approx(spark, sf_dir):
+    """The UNBOUNDED-GROUP spelling of text_ppl_buckets (r12):
+    ``ppl_buckets(exact_depth=False)`` cuts each language on
+    percentile_approx sketches of lm_score instead of an ntile window
+    — no partition ever holds a whole language's (id, score) pairs,
+    so a dominant language at 100 TB cannot single-task the plan.
+    Approx cut points are sketch-dependent, so per-doc buckets are
+    not oracle-replayable; the entry gates the CONTRACT instead:
+    per language, (a) every scored document got a bucket in [1, 3]
+    and the coverage count matches the oracle's exact scored-doc
+    count, (b) buckets are score-monotone (min of bucket b ≥ max of
+    bucket b+1 — exact by construction of the cut predicate), and
+    (c) for languages with ≥ 30 docs, all 3 buckets exist with depth
+    within max(6, 20%) of equal — the sketch-accuracy envelope. The
+    exact-vs-approx per-doc agreement is pinned separately in pytest
+    (test_ppl_buckets_approx_agreement)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    lab = text.ppl_buckets(docs, by_col="lang", n_buckets=3, exact_depth=False)
+    per = lab.groupBy("lang", "bucket").agg(
+        F.count("*").alias("nb"),
+        F.min("lm_score").alias("mn"),
+        F.max("lm_score").alias("mx"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.sum("nb").alias("n_docs"),
+        F.sort_array(F.collect_list(F.struct("bucket", "nb", "mn", "mx"))).alias("bs"),
+    )
+    third = F.col("n_docs") / F.lit(3.0)
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.expr("forall(bs, b -> b.bucket >= 1 AND b.bucket <= 3)").alias(
+            "buckets_valid"
+        ),
+        F.expr(
+            "forall(transform(sequence(1, size(bs) - 1),"
+            " i -> bs[i - 1].mn >= bs[i].mx), x -> x)"
+        ).alias("monotone_ok"),
+        (
+            (F.col("n_docs") < 30)
+            | (
+                (F.size("bs") == 3)
+                & F.forall(
+                    F.col("bs"),
+                    lambda b: F.abs(b["nb"] - third)
+                    <= F.greatest(F.lit(6.0), third * 0.2),
+                )
+            )
+        ).alias("depth_ok"),
+    ).orderBy("lang")
 
 
 @register_extra(

@@ -4891,3 +4891,119 @@ def test_bpe_batched_cap_truncation_does_not_end_training(spark):
         )
     )
     assert got == seq
+
+
+def test_ngram_jaccard_candidate_budget_routing(spark):
+    """r12: the posting-mass budget routes hot corpora out of exact
+    inverted-index Jaccard. The mass is Σ C(df,2) over retained
+    shingle lists — exactly the pair rows the explosion would emit —
+    so the threshold is pinned by construction: 'aaaa bbbb cccc'
+    shared by 3 docs gives every shingle df=3, C(3,2)=3 pairs each."""
+    import warnings
+
+    import pytest
+
+    from hyper_storage_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "aaaa bbbb cccc") for i in range(3)] + [(9, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+    # shingles of the triple doc: 'aaaa bbbb cccc' → one 3-gram, df=3,
+    # mass = 3; the singleton doc adds df=1 lists (mass 0)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    expect = {(r.a_id, r.b_id, r.jaccard) for r in exact.collect()}
+    assert expect == {(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0)}
+
+    # at the budget: stays exact (strictly-greater routes)
+    at = dedup.ngram_jaccard_pairs(docs, threshold=0.5, candidate_budget=3)
+    assert {(r.a_id, r.b_id, r.jaccard) for r in at.collect()} == expect
+
+    # above the budget with raise: names the scale path
+    with pytest.raises(dedup.HotCorpusError, match="minhash_lsh_pairs"):
+        dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, candidate_budget=2, hot_action="raise"
+        )
+
+    # above the budget with route: warns and returns the auto-sized
+    # minhash_lsh_pairs result
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        routed = dedup.ngram_jaccard_pairs(docs, threshold=0.5, candidate_budget=2)
+        got = {(r.a_id, r.b_id, r.jaccard) for r in routed.collect()}
+    assert any("rerouting to minhash_lsh_pairs" in str(x.message) for x in w)
+    nh, nb = dedup.minhash_params_for(4, 0.5)
+    want = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(docs, 0.5, nh, nb).collect()
+    }
+    assert got == want
+    # identical docs have jaccard 1.0 — LSH catches them at any sizing
+    assert got == expect
+
+    # the df cap feeds the estimate: capped-out lists carry no mass
+    capped = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_df=2, candidate_budget=0, hot_action="raise"
+    )
+    assert capped.count() == 0  # every shared shingle had df=3 > cap
+
+    with pytest.raises(ValueError, match="hot_action"):
+        dedup.ngram_jaccard_pairs(docs, candidate_budget=1, hot_action="explode")
+
+
+def test_ppl_buckets_approx_agreement(spark):
+    """r12: exact_depth=False (percentile_approx cuts, no per-group
+    window) agrees with the exact ntile path on gate-sized data: same
+    output coverage, score-monotone buckets, near-equal depths, and
+    high per-doc bucket agreement. A skewed corpus (one language
+    holding ~all docs) exercises exactly the shape that breaks the
+    window at scale."""
+    import random
+
+    from hyper_storage_spark.operators import text as text_ops
+
+    random.seed(3)
+    words = ["the", "quick", "brown", "fox", "dog", "river", "bank",
+             "jumps", "lazy", "near", "quiet", "dusk", "today", "daily"]
+    rows = []
+    for i in range(300):  # dominant language
+        rows.append((i, " ".join(random.choice(words) for _ in range(12)), "en"))
+    for i in range(300, 312):  # minority language
+        rows.append((i, " ".join(random.choice(words[::-1]) for _ in range(8)), "fr"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    exact = {r.doc_id: r for r in text_ops.ppl_buckets(docs, n_buckets=3).collect()}
+    approx = {
+        r.doc_id: r
+        for r in text_ops.ppl_buckets(docs, n_buckets=3, exact_depth=False).collect()
+    }
+    # identical coverage and identical scores (the scoring path is shared)
+    assert set(exact) == set(approx)
+    for i in exact:
+        assert exact[i].lm_score == approx[i].lm_score
+
+    # score-monotone buckets (exact by construction of the cut predicate)
+    from collections import defaultdict
+
+    spans = defaultdict(lambda: defaultdict(list))
+    for r in approx.values():
+        spans[r.lang][r.bucket].append(r.lm_score)
+    for lang, bs in spans.items():
+        assert set(bs) <= {1, 2, 3}
+        for b in sorted(bs)[:-1]:
+            if b + 1 in bs:
+                assert min(bs[b]) >= max(bs[b + 1]), (lang, b)
+
+    # near-equal depths for the dominant group
+    en_depths = [len(spans["en"][b]) for b in (1, 2, 3)]
+    assert sum(en_depths) == 300
+    assert all(abs(d - 100) <= 20 for d in en_depths), en_depths
+
+    # per-doc agreement: only boundary-tie docs may differ
+    agree = sum(1 for i in exact if exact[i].bucket == approx[i].bucket)
+    assert agree / len(exact) >= 0.9, agree / len(exact)
+
+    # labels follow buckets in the approx path too
+    for r in approx.values():
+        want = {1: "head", 3: "tail"}.get(r.bucket, "middle")
+        assert r.bucket_label == want

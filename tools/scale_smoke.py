@@ -535,6 +535,74 @@ def bpe_merge_depth(n_merges: int = 500, seq_merges: int = 100) -> None:
     print("# bpe merge-depth smoke done")
 
 
+def ppl_bucket_skew(scales=(1, 8)) -> None:
+    """r12 (VERDICT item 2): ppl_buckets' default ntile window needs
+    ONE partition to hold a whole language's (id, score) pairs — a
+    corpus dominated by one language single-tasks the cut at 100 TB.
+    exact_depth=False cuts on percentile_approx sketches instead (no
+    window at all). This smoke builds a single-language corpus, shows
+    the exact path concentrating every row into one non-empty output
+    partition while the approx path stays spread, and times both
+    under scale growth."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import text as text_ops
+    from hyper_storage_spark.operators._caches import release_tracked_caches
+    from hyper_storage_spark.session import get_spark
+
+    spark = get_spark("scale_smoke_pplskew")
+    base = 20_000
+
+    def mkdocs(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(10)),
+                    lambda i: F.substring(
+                        F.md5(F.concat(F.col("id").cast("string"), i.cast("string"))),
+                        1,
+                        4,
+                    ),
+                ),
+            ).alias("text"),
+            F.lit("en").alias("lang"),  # ONE language = worst window skew
+        )
+
+    def nonempty_parts(df):
+        # keep `bucket` in the projection (selecting pid alone lets
+        # column pruning delete the Window and its SinglePartition
+        # exchange from the probed plan) and dedupe DRIVER-side: a
+        # groupBy(pid) probe re-plans the nondeterministic pid below
+        # the exchange and reads 32 where execution uses 1
+        rows = df.select(F.spark_partition_id().alias("pid"), "bucket").collect()
+        return len({r.pid for r in rows})
+
+    for s in scales:
+        docs = mkdocs(base * s).localCheckpoint()
+        for label, kw in (("exact ntile", {}), ("approx cuts", {"exact_depth": False})):
+            t0 = time.time()
+            out = text_ops.ppl_buckets(docs, n_buckets=3, **kw)
+            n = out.count()
+            w = time.time() - t0
+            p = nonempty_parts(out)
+            print(
+                f"# pplskew x{s} ({base * s} docs, 1 lang) {label}: "
+                f"{n} rows wall={w:.2f}s non-empty output partitions={p}"
+            )
+            release_tracked_caches()
+    plan = (
+        text_ops.ppl_buckets(mkdocs(100), n_buckets=3, exact_depth=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, "approx path must not plan a Window"
+    print("# pplskew: approx plan contains no Window node")
+    print("# ppl bucket skew smoke done")
+
+
 def link_core_growth(scopes=(300, 1200, 4800)) -> None:
     """Round-10 second-half graph family under scope growth: link
     prediction and the 8-core on the co-purchase graph as the part
@@ -743,6 +811,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "linkcore":
         link_core_growth(
             tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (300, 1200, 4800)
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "pplskew":
+        ppl_bucket_skew(
+            tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (1, 8)
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "bpedepth":

@@ -33,6 +33,11 @@ DEFAULT_ENTRIES = [
     "graph_pagerank",
     "ann_ivfpq_raw",
     "dedup_ngram_jaccard",
+    # r12: the budget-armed twin — identical (exact) below the 10M
+    # posting-mass budget, auto-routed to minhash_lsh_pairs above it,
+    # so its sf1 row should read near-linear where dedup_ngram_jaccard
+    # reads the documented below-cap quadratic region
+    "dedup_ngram_autoroute",
 ]
 
 # per-table integer columns to offset per replica (keys + the FKs that
