@@ -65,6 +65,12 @@ HEADLINE = [
     # normalized per SCALE.md §"Canonical honest per-query baseline"
     "q_corpus_diff",
     "text_ppl_buckets",
+    # round-12 additions: the IEEE fast twins of the DECIMAL money
+    # aggregates (double hash-agg accumulators; exact entries unchanged
+    # and still the oracle rows) — the bench rows quantify what the
+    # fast mode buys at sf0.1
+    "q1_pricing_fast",
+    "q5_volume_fast",
 ]
 
 

@@ -2021,28 +2021,43 @@ def streaming_corpus_stats(
             if paths
             else spark.createDataFrame([], "text_hash string")
         )
+        # admitted feeds TWO actions (the stats write and the digest-
+        # delta write); unpersisted, the whole admit pipeline — md5,
+        # touched-chain read, left_anti join, first-row window — ran
+        # twice per micro-batch, doubling the per-batch latency floor
+        # (review r12). Persist for the batch, release before return:
+        # in a long-running stream a tracked-but-unreleased per-batch
+        # cache would accumulate until the harness hook runs.
         admitted = incremental_exact_dedup(
             batch_df, seen, text_col=text_col, id_col=id_col
-        )
-        delta = admitted.groupBy(lang_col).agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.length(text_col)).alias("n_chars"),
-        )
-        stats = (
-            prev_stats.unionByName(delta)
-            .groupBy(lang_col)
-            .agg(F.sum("n_docs").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
-        )
-        rel_st = f"v{version:06d}_stats"
-        stats.write.mode("overwrite").parquet(os.path.join(state_root, rel_st))
+        ).persist()
+        try:
+            delta = admitted.groupBy(lang_col).agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.length(text_col)).alias("n_chars"),
+            )
+            stats = (
+                prev_stats.unionByName(delta)
+                .groupBy(lang_col)
+                .agg(F.sum("n_docs").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+            )
+            rel_st = f"v{version:06d}_stats"
+            stats.write.mode("overwrite").parquet(os.path.join(state_root, rel_st))
 
-        # APPEND one delta per touched bucket: O(batch) bytes, one job
-        rel_delta = f"v{version:06d}_delta"
-        admitted.select("text_hash").withColumn(
-            "__b", _bucket_of(F.col("text_hash"))
-        ).write.partitionBy("__b").mode("overwrite").parquet(
-            os.path.join(state_root, rel_delta)
-        )
+            # APPEND one delta per touched bucket: O(batch) bytes, one
+            # job. repartition("__b") first — ONE file per bucket dir:
+            # writing straight from the cached frame fans every storage
+            # partition into every dir (measured 5× the bytes in pure
+            # parquet footer overhead), and chain length is read
+            # amplification
+            rel_delta = f"v{version:06d}_delta"
+            admitted.select("text_hash").withColumn(
+                "__b", _bucket_of(F.col("text_hash"))
+            ).repartition(F.col("__b")).write.partitionBy("__b").mode(
+                "overwrite"
+            ).parquet(os.path.join(state_root, rel_delta))
+        finally:
+            admitted.unpersist()
         for k in touched:
             if os.path.isdir(os.path.join(state_root, rel_delta, f"__b={k}")):
                 buckets_map.setdefault(str(k), []).append(f"{rel_delta}/__b={k}")

@@ -295,11 +295,24 @@ def q1_pricing_summary(spark, sf_dir):
     both engines) until the final projection, which canonicalizes to
     ROUND(dec, 2)::DOUBLE — the driver's hasher treats DECIMAL cells
     engine-specifically, doubles are bit-identical across engines."""
+    return _q1_impl(spark, sf_dir, exact=True)
+
+
+def _q1_impl(spark, sf_dir, exact: bool):
+    """Shared Q1 body. ``exact=False`` is the r12 production fast path:
+    DECIMAL hash-agg accumulators are the profiled cost of this query
+    (SCALE.md r6 note: double accumulators are ~5× faster), so the
+    money expressions run in IEEE doubles instead — sums then carry
+    ~1-ulp partition-order sensitivity and a half-boundary ROUND can
+    differ from the exact value, which is why the ORACLE entry stays
+    on exact and the fast twin (q1_pricing_fast) is rows-only gated
+    plus an agreement pytest (rel diff ≤ 1e-9 on gate data)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
-    qty = F.col("l_quantity").cast(DEC)
-    price = F.col("l_extendedprice").cast(DEC)
-    disc = F.col("l_discount").cast(DEC)
-    tax = F.col("l_tax").cast(DEC)
+    typ = DEC if exact else "double"
+    qty = F.col("l_quantity").cast(typ)
+    price = F.col("l_extendedprice").cast(typ)
+    disc = F.col("l_discount").cast(typ)
+    tax = F.col("l_tax").cast(typ)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
         F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
@@ -308,6 +321,17 @@ def q1_pricing_summary(spark, sf_dir):
         F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
         F.count("*").alias("count_order"),
     )
+
+
+@register_extra("q1_pricing_fast", None)
+def q1_pricing_fast(spark, sf_dir):
+    """q1_pricing_summary's IEEE fast path (``_q1_impl(exact=False)``)
+    — same plan shape, double accumulators instead of DECIMAL. No SQL
+    oracle on purpose: a double sum is partition-order-sensitive in
+    its last ulps, so cross-engine hashing would flake; correctness is
+    gated by the agreement pytest against the exact entry
+    (test_q1_fast_agreement) and the driver's rows/schema check."""
+    return _q1_impl(spark, sf_dir, exact=False)
 
 
 @register_extra(
@@ -371,6 +395,12 @@ def q5_local_supplier_volume(spark, sf_dir):
     orders (a year of the fact table) and customer (data-proportional)
     carry no hint, so AQE picks broadcast at small SF and a shuffle
     join at 100 TB instead of OOMing a forced broadcast."""
+    return _q5_impl(spark, sf_dir, exact=True)
+
+
+def _q5_impl(spark, sf_dir, exact: bool):
+    """Shared Q5 body; ``exact=False`` runs the revenue expression in
+    IEEE doubles (the q1 fast-path rationale — see _q1_impl)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
@@ -379,7 +409,8 @@ def q5_local_supplier_volume(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    typ = DEC if exact else "double"
+    rev = F.col("l_extendedprice").cast(typ) * (F.lit(1) - F.col("l_discount").cast(typ))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -389,6 +420,13 @@ def q5_local_supplier_volume(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
     )
+
+
+@register_extra("q5_volume_fast", None)
+def q5_volume_fast(spark, sf_dir):
+    """q5's IEEE fast path — rows-only gated, agreement pytest against
+    the exact entry (see q1_pricing_fast for why no SQL oracle)."""
+    return _q5_impl(spark, sf_dir, exact=False)
 
 
 @register_extra(

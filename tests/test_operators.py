@@ -5007,3 +5007,36 @@ def test_ppl_buckets_approx_agreement(spark):
     for r in approx.values():
         want = {1: "head", 3: "tail"}.get(r.bucket, "middle")
         assert r.bucket_label == want
+
+
+def test_q1_q5_fast_agreement(spark, sf_dir):
+    """r12: the money-aggregate IEEE fast paths (q1_pricing_fast,
+    q5_volume_fast — double accumulators where the exact entries use
+    DECIMAL(12,4)) agree with the exact entries to float
+    re-association noise on gate data: identical group sets, every
+    numeric cell within 1e-9 relative after the shared ROUND."""
+    from hyper_storage_spark import queries as Q
+
+    def keyed(df, keys):
+        rows = df.collect()
+        out = {}
+        for r in rows:
+            d = r.asDict()
+            out[tuple(d.pop(k) for k in keys)] = d
+        return out
+
+    ex = keyed(Q._q1_impl(spark, sf_dir, exact=True), ["l_returnflag", "l_linestatus"])
+    fa = keyed(Q._q1_impl(spark, sf_dir, exact=False), ["l_returnflag", "l_linestatus"])
+    assert ex.keys() == fa.keys() and ex
+    for k in ex:
+        assert ex[k]["count_order"] == fa[k]["count_order"]
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty"):
+            assert abs(ex[k][c] - fa[k][c]) <= 1e-9 * max(1.0, abs(ex[k][c])), (k, c)
+
+    ex5 = keyed(Q._q5_impl(spark, sf_dir, exact=True), ["n_name"])
+    fa5 = keyed(Q._q5_impl(spark, sf_dir, exact=False), ["n_name"])
+    assert ex5.keys() == fa5.keys() and ex5
+    for k in ex5:
+        assert abs(ex5[k]["revenue"] - fa5[k]["revenue"]) <= 1e-9 * max(
+            1.0, abs(ex5[k]["revenue"])
+        ), k

@@ -603,6 +603,56 @@ def ppl_bucket_skew(scales=(1, 8)) -> None:
     print("# ppl bucket skew smoke done")
 
 
+def bpe_deep_depth(depths=(1000, 5000), round_size: int = 256) -> None:
+    """r12 (VERDICT item 4): the sf0.1 corpus saturates at ~89 merges,
+    so the 30k-merge claim was extrapolated from shallow runs. This
+    builds a synthetic high-entropy corpus that genuinely sustains ≥5k
+    merges — 600 distinct 32-hex-char words (merge capacity ≈ 600×31 ≈
+    18.6k, with heavy cross-word 2-4-gram sharing so merged symbols
+    recur across the vocabulary, the expensive case for the affected-
+    sub-vocab replay) — and records s/merge at increasing depth. Flat
+    s/merge = the batched trainer's per-round cost is bounded by the
+    vocabulary, not by how deep training already is."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import bpe
+    from hyper_storage_spark.operators._caches import release_tracked_caches
+    from hyper_storage_spark.session import get_spark
+
+    spark = get_spark("scale_smoke_bpe_deep")
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.md5((F.col("id") % 600).cast("string")),
+            F.md5(((F.col("id") * 7 + 1) % 600).cast("string")),
+            F.md5(((F.col("id") * 13 + 2) % 600).cast("string")),
+        ).alias("text"),
+    ).localCheckpoint()
+
+    rates = []
+    for n_merges in depths:
+        t0 = time.time()
+        k = bpe.bpe_train_batched(
+            docs, n_merges=n_merges, round_size=round_size, min_count=1
+        ).count()
+        w = time.time() - t0
+        rates.append(w / max(k, 1))
+        print(
+            f"# bpedeep merges={k} (asked {n_merges}) wall={w:.1f}s "
+            f"({w / max(k, 1) * 1000:.1f} ms/merge)"
+        )
+        release_tracked_caches()
+    if len(rates) >= 2:
+        growth = rates[-1] / rates[0]
+        verdict = "flat" if growth <= 1.5 else "GROWING — investigate"
+        print(
+            f"# bpedeep s/merge at {depths[-1]} vs {depths[0]}: "
+            f"{growth:.2f}x -> {verdict}"
+        )
+    print("# bpe deep-depth smoke done")
+
+
 def link_core_growth(scopes=(300, 1200, 4800)) -> None:
     """Round-10 second-half graph family under scope growth: link
     prediction and the 8-core on the co-purchase graph as the part
@@ -816,6 +866,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "pplskew":
         ppl_bucket_skew(
             tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (1, 8)
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bpedeep":
+        bpe_deep_depth(
+            tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (1000, 5000)
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "bpedepth":
