@@ -1137,6 +1137,99 @@ def ivfpq_rebuild_if_needed(
     return rebuilt, True, health
 
 
+def ivfpq_split_cells(
+    index: IVFPQIndex,
+    emb: DataFrame,
+    skew_factor: float = 4.0,
+    max_splits: int = 8,
+    sample_rows: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[IVFPQIndex, dict]:
+    """INCREMENTAL IVF-PQ maintenance (r12, VERDICT item 7): split the
+    overfull cells in place instead of retraining the whole index.
+
+    :func:`ivfpq_rebuild_if_needed` answers occupancy drift with a FULL
+    rebuild — new cells, new codebooks, a re-encode of every vector. At
+    100 TB that is the expensive path, and it is almost always
+    overkill: drift concentrates mass in a few hot cells while the
+    rest of the index is fine. This splits ONLY those cells:
+
+    - overfull = occupancy > ``skew_factor`` × mean (the
+      :func:`ivfpq_health` skew rule), hottest ``max_splits`` per call
+      (callers loop until healthy — each call is one bounded pass);
+    - per overfull cell, k-means children are trained on a bounded
+      hash-ordered sample of THAT CELL's vectors (semi-join pushdown —
+      only the hot cells' vectors are ever re-read), child count sized
+      so expected child occupancy ≈ the index mean;
+    - the cell's centroid row is REPLACED by its first child and the
+      rest append, so every untouched cell keeps its id and its codes
+      are byte-identical — no re-encode outside the split cells;
+    - codebooks stay FROZEN (they are global residual quantizers; the
+      FAISS IVFADC convention), so re-encoding a split cell is one
+      Arrow pass over its own vectors.
+
+    Returns ``(index, report)`` — unchanged index and
+    ``report["split"] == 0`` when nothing is overfull. Known
+    approximation (documented, recall-gated by the catalog entry): a
+    vector in an UNTOUCHED cell whose true nearest centroid becomes a
+    new child keeps its stale assignment until its own cell is next
+    refined — queries still find it through their n_probe neighborhood,
+    and the ann_ivfpq_refine entry pins recall parity with the full
+    rebuild."""
+    occ_rows = index.codes.groupBy("cell").agg(F.count("*").alias("occ")).collect()
+    n_cells = int(index.centroids.shape[0])
+    n_rows = sum(int(r["occ"]) for r in occ_rows)
+    mean = n_rows / max(n_cells, 1)
+    overfull = sorted(
+        (r for r in occ_rows if r["occ"] > skew_factor * max(mean, 1.0)),
+        key=lambda r: -r["occ"],
+    )[:max_splits]
+    report = {
+        "n_rows": n_rows,
+        "cells_before": n_cells,
+        "split": len(overfull),
+        "split_cell_ids": [int(r["cell"]) for r in overfull],
+        "reencoded_rows": 0,
+    }
+    if not overfull:
+        report["cells_after"] = n_cells
+        return index, report
+
+    cents = index.centroids.copy()
+    new_rows: list[np.ndarray] = []
+    hot_ids = [int(r["cell"]) for r in overfull]
+    hot_vec = emb.join(
+        index.codes.filter(F.col("cell").isin(hot_ids)).select(
+            F.col("neighbor_id").alias(id_col), "cell"
+        ),
+        id_col,
+    )
+    for r in overfull:
+        cell_id, occ = int(r["cell"]), int(r["occ"])
+        n_children = max(2, int(round(occ / max(mean, 1.0))))
+        mat = _hash_ordered_sample(
+            hot_vec.filter(F.col("cell") == cell_id).drop("cell"),
+            min(sample_rows, occ),
+            id_col,
+            vec_col,
+        )
+        children = _pq_kmeans(mat, min(n_children, len(mat)), seed=seed + cell_id)
+        cents[cell_id] = children[0]
+        new_rows.extend(children[1:])
+    new_cents = np.vstack([cents] + new_rows) if new_rows else cents
+
+    # re-assign + re-encode ONLY the split cells' vectors against the
+    # full new centroid set (they may legitimately move to an untouched
+    # neighbor cell) with the frozen codebooks
+    touched = _ivfpq_encode(hot_vec.drop("cell"), new_cents, index.codebooks, id_col, vec_col)
+    codes = index.codes.filter(~F.col("cell").isin(hot_ids)).unionByName(touched)
+    report["cells_after"] = int(new_cents.shape[0])
+    report["reencoded_rows"] = sum(int(r["occ"]) for r in overfull)
+    return IVFPQIndex(new_cents, index.codebooks, codes), report
+
+
 def ivfpq_encode(
     index: IVFPQIndex, emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -5040,3 +5040,83 @@ def test_q1_q5_fast_agreement(spark, sf_dir):
         assert abs(ex5[k]["revenue"] - fa5[k]["revenue"]) <= 1e-9 * max(
             1.0, abs(ex5[k]["revenue"])
         ), k
+
+
+def test_ivfpq_split_cells_incremental_maintenance(spark):
+    """r12 (VERDICT item 7): ivfpq_split_cells splits only the overfull
+    cells — untouched cells' codes are byte-identical, only the hot
+    mass re-encodes (with frozen codebooks), the cell count grows, and
+    recall matches a full rebuild at the same cell count."""
+    import math
+    import random
+
+    from hyper_storage_spark.operators import similarity as sim
+
+    random.seed(5)
+    dim, m, n_codes = 8, 4, 4
+
+    def vec(center, spread):
+        return [center[i] + random.uniform(-spread, spread) for i in range(dim)]
+
+    c_a = [1.0, 0, 0, 0, 0, 0, 0, 0]
+    c_b = [0, 1.0, 0, 0, 0, 0, 0, 0]
+    c_hot = [0, 0, 1.0, 0, 0, 0, 0, 0]
+    rows = [(i, vec(c_a, 0.05)) for i in range(30)]
+    rows += [(100 + i, vec(c_b, 0.05)) for i in range(30)]
+    boot = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # hot batch: 300 near-identical vectors -> one cell swallows them
+    batch = spark.createDataFrame(
+        [(1000 + i, vec(c_hot, 0.01)) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = boot.unionByName(batch)
+
+    idx = sim.ivfpq_index(boot, n_cells=4, m=m, n_codes=n_codes)
+    grown = sim.ivfpq_append(idx, batch)
+    health = sim.ivfpq_health(grown, target_occupancy=4096, skew_factor=2.0)
+    assert health["skewed"]
+
+    before = {
+        (r.neighbor_id, r.cell, tuple(r.codes)) for r in grown.codes.collect()
+    }
+    refined, report = sim.ivfpq_split_cells(
+        grown, corpus, skew_factor=2.0, seed=7
+    )
+    assert report["split"] >= 1
+    assert report["cells_after"] > report["cells_before"] == 4
+    hot = set(report["split_cell_ids"])
+    # untouched cells: codes byte-identical
+    after = {
+        (r.neighbor_id, r.cell, tuple(r.codes)) for r in refined.codes.collect()
+    }
+    assert {t for t in before if t[1] not in hot} <= after
+    # only the hot mass re-encoded
+    assert report["reencoded_rows"] == sum(
+        1 for t in before if t[1] in hot
+    )
+    # total coverage preserved
+    assert len(after) == len(before)
+
+    # recall parity with a full rebuild at the same cell count
+    qids = [0, 100, 1000]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(corpus, qids, k=10).collect()
+    }
+    def recall(index):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.ivfpq_search(index, corpus, qids, k=10, n_probe=4).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    rebuilt = sim.ivfpq_index(
+        corpus, n_cells=report["cells_after"], m=m, n_codes=n_codes
+    )
+    r_ref, r_reb = recall(refined), recall(rebuilt)
+    assert r_ref >= 0.8, r_ref
+    assert r_ref >= r_reb - 0.1, (r_ref, r_reb)
+
+    # a healthy index passes through untouched
+    same, rep2 = sim.ivfpq_split_cells(refined, corpus, skew_factor=1000.0)
+    assert rep2["split"] == 0 and same is refined or rep2["cells_after"] == report["cells_after"]

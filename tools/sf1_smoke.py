@@ -112,6 +112,11 @@ def main() -> None:
 
     spark = get_spark("sf1_smoke")
     qs = entry_mod.queries()
+    # "all" = the WHOLE driver window (r12, VERDICT item 6): rows-only,
+    # no oracle — superlinear creep anywhere in the gate, not just the
+    # known-expensive tail, shows up as a growth factor > replicas
+    if entries == ["all"]:
+        entries = sorted(qs)
     extra = getattr(entry_mod, "extra_queries", None)
     all_qs = dict(qs)
     if callable(extra):
@@ -121,20 +126,32 @@ def main() -> None:
 
         all_qs.update({k: v.fn for k, v in all_specs().items()})
 
+    from hyper_storage_spark.operators._caches import release_tracked_caches
+
     sf1 = build_sf1(spark, replicas)
+    results: list[tuple[str, float, float, float]] = []
+    failed: list[str] = []
     for name in entries:
         fn = all_qs.get(name)
         if fn is None:
             print(f"# {name}: NOT FOUND, skipped")
             continue
-        fn(spark, SRC).count()  # untimed warmup: JIT + codegen + IO cache
-        walls = {}
-        for label, d in (("sf0.1", SRC), (f"sf1(x{replicas})", sf1)):
-            t0 = time.time()
-            n = fn(spark, d).count()
-            walls[label] = time.time() - t0
-            print(f"#   {name} @{label}: {n} rows, {walls[label]:.2f}s")
+        try:
+            fn(spark, SRC).count()  # untimed warmup: JIT + codegen + IO cache
+            release_tracked_caches()
+            walls = {}
+            for label, d in (("sf0.1", SRC), (f"sf1(x{replicas})", sf1)):
+                t0 = time.time()
+                n = fn(spark, d).count()
+                walls[label] = time.time() - t0
+                release_tracked_caches()
+                print(f"#   {name} @{label}: {n} rows, {walls[label]:.2f}s")
+        except Exception as e:  # noqa: BLE001 — one entry, one row
+            failed.append(name)
+            print(f"# {name}: ERROR {type(e).__name__}: {e}"[:300])
+            continue
         g = walls[f"sf1(x{replicas})"] / max(walls["sf0.1"], 1e-9)
+        results.append((name, walls["sf0.1"], walls[f"sf1(x{replicas})"], g))
         verdict = "OK (≤ data growth)" if g <= replicas else "SUPERLINEAR — investigate"
         print(f"# {name}: growth {g:.2f}x vs data {replicas}x -> {verdict}")
         if g > replicas:
@@ -146,6 +163,16 @@ def main() -> None:
                 f"faster than data (measured r11: ngram pair volume 79x on "
                 f"10x data, wall 21x = sublinear in work)"
             )
+    if len(results) > 1:
+        print("# ---- summary (growth desc) ----")
+        for name, w01, w1, g in sorted(results, key=lambda r: -r[3]):
+            flag = " <-- SUPERLINEAR" if g > replicas else ""
+            print(f"# {name}: {w01:.2f}s -> {w1:.2f}s = {g:.2f}x{flag}")
+        over = [r for r in results if r[3] > replicas]
+        print(
+            f"# sf1 smoke summary: {len(results)} entries, "
+            f"{len(over)} above data growth, {len(failed)} failed"
+        )
     print("# sf1 smoke done")
 
 
