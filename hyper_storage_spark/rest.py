@@ -73,8 +73,17 @@ class PreconditionFailed(Exception):
 
 
 class RestFacade:
-    def __init__(self, store: DocumentStore):
+    def __init__(self, store: DocumentStore, streams: Optional[dict[str, str]] = None):
+        """``streams`` registers foreachBatch state dirs for the
+        ``_streams`` read-back routes (r12, VERDICT item 8): logical
+        name → state root. The reference serves everything over HTTP;
+        the store's streaming state (corpus stats, heavy hitters,
+        expectations, quarantine) was the one surface REST did not
+        reach. Registration at construction — not a raw path in the
+        URL — keeps the HTTP surface from becoming a filesystem
+        browser."""
         self.store = store
+        self.streams = dict(streams or {})
 
     # -- conditional requests (reference's revision-header concurrency) ------
 
@@ -599,6 +608,71 @@ class RestFacade:
         except ValueError as e:
             return RestResponse(400, {"error": str(e)})
 
+    # `_streams` → registered stream names; `_streams/<name>/<kind>`
+    # reads a registered foreachBatch state dir back over the facade:
+    # corpus-stats (per-language totals), heavy-hitters (?phi= larger
+    # override allowed — the read_heavy_hitters contract), expectations
+    # (per-rule cumulative counts), quarantine (?size= row cap, total
+    # count in the header — the chain can be corpus-sized). Committed-
+    # pointer discipline rides along from the readers themselves; a
+    # state dir with no committed batch yet → 404, like any missing
+    # resource.
+    _STREAMS_PREFIX = "_streams"
+
+    def _streams_route(self, m: str, path: str, params: dict) -> RestResponse:
+        if m != "GET":
+            return RestResponse(405, {"error": f"{m} not supported on {path!r}"})
+        rest = path[len(self._STREAMS_PREFIX):].strip("/")
+        if not rest:
+            return RestResponse(200, {"streams": sorted(self.streams)})
+        name, _, kind = rest.partition("/")
+        root = self.streams.get(name)
+        if root is None:
+            return RestResponse(404)
+        spark = self.store.spark
+        if spark is None:
+            return RestResponse(400, {"error": "stream read-back requires a SparkSession"})
+        from .operators import dedup as _dd
+        from .operators import expectations as _ex
+        from .operators import sketches as _sk
+
+        try:
+            if kind == "corpus-stats":
+                rows = _dd.read_corpus_stats(spark, root).collect()
+                return RestResponse(200, {"stats": [r.asDict() for r in rows]})
+            if kind == "heavy-hitters":
+                phi = params.get("phi")
+                df = _sk.read_heavy_hitters(
+                    spark, root, phi=float(phi) if phi is not None else None
+                )
+                return RestResponse(
+                    200, {"heavy_hitters": [r.asDict() for r in df.collect()]}
+                )
+            if kind == "expectations":
+                rows = _ex.read_expectation_counts(spark, root).collect()
+                return RestResponse(200, {"rules": [r.asDict() for r in rows]})
+            if kind == "quarantine":
+                size = int(params.get("size", 100))
+                df = _ex.read_quarantine(spark, root)
+                total = df.count()
+                cols = df.columns
+                order = [c for c in ("__batch_id",) if c in cols] + [
+                    c for c in cols if c != "__batch_id"
+                ]
+                rows = df.orderBy(*order).limit(size).collect()
+                return RestResponse(
+                    200,
+                    {"quarantined": [r.asDict() for r in rows]},
+                    {"total-count": str(total)},
+                )
+            return RestResponse(
+                400, {"error": f"unknown stream surface {kind!r}"}
+            )
+        except FileNotFoundError:
+            return RestResponse(404)
+        except ValueError as e:
+            return RestResponse(400, {"error": str(e)})
+
     def handle(self, method: str, path: str, body: Any = None, **params) -> RestResponse:
         m = method.upper()
         # exact segment match only: a document item named
@@ -610,6 +684,8 @@ class RestFacade:
             return self._indexes_route(m, path, body, params)
         if path.startswith(self._TRANSACTIONS_PREFIX):
             return self._transactions_route(m, path)
+        if path == self._STREAMS_PREFIX or path.startswith(self._STREAMS_PREFIX + "/"):
+            return self._streams_route(m, path, params)
         if path.endswith(self._AGGREGATE_SEG):
             return self._aggregate_route(m, path, params)
         if path.endswith(self._EXPLAIN_SEG):

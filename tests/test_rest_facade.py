@@ -443,3 +443,76 @@ def test_index_ddl_malformed_bodies_are_400(spark, tmp_path):
                      {"sortBy": ["b"]}, {"sortBy": "b"}, {"sortBy": [1]}):
         r = facade.handle("POST", "docs~/_indexes", bad_body)
         assert r.status == 400, (bad_body, r.status, r.body)
+
+
+def test_streams_readback_routes(spark, tmp_path):
+    """r12 (VERDICT item 8): the `_streams` routes serve registered
+    foreachBatch state dirs over the facade — corpus stats, heavy
+    hitters, expectations counts, and the quarantine (size-capped,
+    total in the header). Streaming state was the one store surface
+    REST did not reach."""
+    from hyper_storage_spark.operators import dedup as dd
+    from hyper_storage_spark.operators import expectations as ex
+    from hyper_storage_spark.operators import sketches as sk
+
+    cs = str(tmp_path / "cs")
+    dd.streaming_corpus_stats(cs, run_id="t")(
+        spark.createDataFrame(
+            [(i, f"text {i}", "en" if i % 2 else "fr") for i in range(20)],
+            "doc_id long, text string, lang string",
+        ),
+        0,
+    )
+    hh = str(tmp_path / "hh")
+    sk.streaming_heavy_hitters(hh, "v", phi=0.2, run_id="t")(
+        spark.createDataFrame([("whale",)] * 30 + [("x",), ("y",)], "v string"), 0
+    )
+    exp = str(tmp_path / "exp")
+    ex.streaming_expectations(exp, [ex.in_range("score", 0.0, 1.0)], run_id="t")(
+        spark.createDataFrame(
+            [(i, 0.5) for i in range(5)] + [(9, 7.0), (10, 8.0)],
+            "id long, score double",
+        ),
+        0,
+    )
+    empty = str(tmp_path / "empty")  # registered but never committed
+
+    facade = RestFacade(
+        DocumentStore(str(tmp_path / "store"), spark=spark),
+        streams={"corpus": cs, "hot": hh, "gate": exp, "cold": empty},
+    )
+
+    r = facade.handle("GET", "_streams")
+    assert r.status == 200
+    assert r.body == {"streams": ["cold", "corpus", "gate", "hot"]}
+
+    r = facade.handle("GET", "_streams/corpus/corpus-stats")
+    assert r.status == 200
+    got = {s["lang"]: s["n_docs"] for s in r.body["stats"]}
+    assert got == {"en": 10, "fr": 10}
+
+    r = facade.handle("GET", "_streams/hot/heavy-hitters")
+    assert r.status == 200
+    vals = {h["value"] for h in r.body["heavy_hitters"]}
+    assert "whale" in vals
+    # phi override: larger allowed, smaller is the reader's ValueError -> 400
+    assert facade.handle("GET", "_streams/hot/heavy-hitters", phi="0.5").status == 200
+    assert facade.handle("GET", "_streams/hot/heavy-hitters", phi="0.01").status == 400
+
+    r = facade.handle("GET", "_streams/gate/expectations")
+    assert r.status == 200
+    assert r.body["rules"] == [
+        {"rule": "in_range(score,0.0,1.0)", "n_rows": 7, "n_violations": 2, "passed": False}
+    ]
+
+    r = facade.handle("GET", "_streams/gate/quarantine", size="1")
+    assert r.status == 200
+    assert r.headers["total-count"] == "2"
+    assert len(r.body["quarantined"]) == 1
+    assert r.body["quarantined"][0]["id"] == 9  # deterministic order
+
+    # error surface: unknown stream / kind, uncommitted state, verb
+    assert facade.handle("GET", "_streams/ghost/corpus-stats").status == 404
+    assert facade.handle("GET", "_streams/corpus/nope").status == 400
+    assert facade.handle("GET", "_streams/cold/corpus-stats").status == 404
+    assert facade.handle("PUT", "_streams/corpus/corpus-stats", {}).status == 405
