@@ -304,7 +304,33 @@ class _RestDriver:
     def __init__(self, store, spark):
         from hyper_storage_spark.rest import RestFacade
 
-        self.facade = RestFacade(store)
+        # streams read-back surface (r12): a corpus-stats and a
+        # heavy-hitters state dir built ONCE here (uncontended, before
+        # the kill loop — the registration discipline), then read
+        # through `_streams` concurrently with the writer fleet +
+        # SIGKILLs; the answers are constants, so any drift under fire
+        # is a finding
+        self.spark = spark
+        self._streams_root = os.path.join(store.storage.root, "_soak_streams")
+        cs = os.path.join(self._streams_root, "cs")
+        hh = os.path.join(self._streams_root, "hh")
+        from hyper_storage_spark.operators import dedup as _dd
+        from hyper_storage_spark.operators import sketches as _sk
+
+        _dd.streaming_corpus_stats(cs, run_id="soak")(
+            spark.createDataFrame(
+                [(i, f"soak text {i}", "en" if i % 2 else "fr") for i in range(40)],
+                "doc_id long, text string, lang string",
+            ),
+            0,
+        )
+        _sk.streaming_heavy_hitters(hh, "v", phi=0.2, run_id="soak")(
+            spark.createDataFrame([("whale",)] * 60 + [(f"u{i}",) for i in range(20)],
+                                  "v string"),
+            0,
+        )
+        self.facade = RestFacade(store, streams={"cs": cs, "hh": hh})
+        self.streams_checks = 0
         self.rng = random.Random(20241010)
         self.uri = "soak_rest~"
         self.items = [f"r{i:02d}" for i in range(12)]
@@ -491,14 +517,44 @@ class _RestDriver:
             return
         self.ddl_cycles += 1
 
+    def _check_streams(self) -> None:
+        """The `_streams` routes must answer with the EXACT constants
+        the state dirs were committed with — no writer ever touches
+        them, so drift (or a non-200, or a wrong 404) under the kill
+        loop is a finding."""
+        ls = self.facade.handle("GET", "_streams")
+        if ls.status != 200 or ls.body != {"streams": ["cs", "hh"]}:
+            self.failures.append(f"streams list -> {ls.status}: {ls.body}")
+            return
+        r = self.facade.handle("GET", "_streams/cs/corpus-stats")
+        if r.status != 200:
+            self.failures.append(f"streams corpus-stats -> {r.status}: {r.body}")
+            return
+        got = {s["lang"]: s["n_docs"] for s in r.body["stats"]}
+        if got != {"en": 20, "fr": 20}:
+            self.failures.append(f"streams corpus-stats drifted: {got}")
+            return
+        h = self.facade.handle("GET", "_streams/hh/heavy-hitters")
+        if h.status != 200 or "whale" not in {x["value"] for x in h.body["heavy_hitters"]}:
+            self.failures.append(f"streams heavy-hitters -> {h.status}: {h.body}")
+            return
+        if self.facade.handle("GET", "_streams/ghost/corpus-stats").status != 404:
+            self.failures.append("streams unknown name != 404")
+            return
+        self.streams_checks += 1
+
     def step(self, final: bool = False) -> None:
         try:
             if not final:
                 self._one_write()
                 if self.rng.random() < 0.08:
                     self._ddl_cycle()
+                if self.rng.random() < 0.15:
+                    self._check_streams()
             if final or self.rng.random() < 0.34:
                 self._check_aggregate(final)
+                if final:
+                    self._check_streams()
         except Exception as e:  # noqa: BLE001 — a REST crash is a finding
             full = f"{type(e).__name__}: {e}"
             if any(t in full for t in self._RETRYABLE) and not final:
@@ -712,6 +768,7 @@ def run_soak(
             "routes": rest_driver.modes,
             "txn_checks": rest_driver.txn_checks,
             "ddl_cycles": rest_driver.ddl_cycles,
+            "streams_checks": rest_driver.streams_checks,
         }
     return out
 
