@@ -1684,6 +1684,7 @@ def containment_pairs(
     n: int = 5,
     text_col: str = "text",
     max_df: Optional[int] = None,
+    candidate_budget: Optional[int] = None,
 ) -> DataFrame:
     """Asymmetric shingle containment: pairs where the SMALLER
     document's shingle set is mostly inside the larger one's —
@@ -1705,6 +1706,15 @@ def containment_pairs(
     arithmetic (c·1000 ≥ ⌊th·1000⌋·min) so an oracle engine with
     different float rounding cannot diverge at the boundary.
 
+    ``candidate_budget`` (r12): containment shares ngram_jaccard's
+    below-cap quadratic region, so it gets the same guard — posting
+    mass Σ C(df,2) over the retained lists is measured first (one
+    aggregation) and the call raises :class:`HotCorpusError` above
+    the budget. No auto-route here: containment is ASYMMETRIC, and
+    the MinHash S-curve certifies symmetric Jaccard, not the
+    min-normalized metric — the error names per-doc blocking and
+    :func:`minhash_lsh_pairs`-prefiltering as the manual paths.
+
     Reference parity note: the reference (InnovaCo/hyper-storage) is a
     document store with no corpus analytics; this extends the dedup
     tier mandated by the build brief, not a reference operator."""
@@ -1712,6 +1722,20 @@ def containment_pairs(
     posting = sh.groupBy("h").agg(F.collect_list("doc_id").alias("docs"))
     if max_df is not None:
         posting = posting.filter(F.size("docs") <= max_df)
+    if candidate_budget is not None:
+        mass = posting.agg(
+            F.coalesce(
+                F.sum(F.size("docs") * (F.size("docs") - 1) / 2), F.lit(0.0)
+            ).alias("m")
+        ).collect()[0]["m"]
+        if mass > candidate_budget:
+            raise HotCorpusError(
+                f"posting mass {int(mass)} candidate pairs exceeds "
+                f"candidate_budget={candidate_budget} — containment's pair "
+                "explosion is quadratic below the df cap on this corpus; "
+                "pre-block the documents (or prefilter candidates with "
+                "minhash_lsh_pairs and verify containment on the survivors)"
+            )
     posting = tracked_persist(posting)
     docs_sorted = F.array_sort(F.col("docs"))
     pair_arrays = F.flatten(

@@ -1230,6 +1230,52 @@ def ivfpq_split_cells(
     return IVFPQIndex(new_cents, index.codebooks, codes), report
 
 
+def ivfpq_maintain(
+    index: IVFPQIndex,
+    emb: DataFrame,
+    target_occupancy: int = 4096,
+    skew_factor: float = 4.0,
+    max_splits: int = 8,
+    sample_rows: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[IVFPQIndex, str, dict]:
+    """The append-lifecycle POLICY (r12): one health check, then the
+    cheapest sufficient action — the function a maintenance scheduler
+    calls after every append burst.
+
+    - healthy → ``(index, "none", health)``, untouched;
+    - **skewed only** → :func:`ivfpq_split_cells` (O(hot-mass):
+      drift concentrated mass in a few cells, the rest of the index
+      is fine — splitting is recall-parity with a rebuild at far
+      lower cost, gated by ann_ivfpq_refine);
+    - **undersized** (with or without skew) → full
+      :func:`ivfpq_rebuild_if_needed` path: the corpus outgrew the
+      trained state itself, so the codebooks are stale everywhere and
+      cell-local surgery cannot restore the sizing rule — re-train at
+      the current row count.
+
+    Returns ``(index, action, health)`` with action ∈
+    {"none", "split", "rebuild"}."""
+    health = ivfpq_health(
+        index, target_occupancy=target_occupancy, skew_factor=skew_factor
+    )
+    if not health["needs_rebuild"]:
+        return index, "none", health
+    if health["undersized"]:
+        rebuilt, _, _ = ivfpq_rebuild_if_needed(
+            index, emb, target_occupancy=target_occupancy,
+            skew_factor=skew_factor, seed=seed, id_col=id_col, vec_col=vec_col,
+        )
+        return rebuilt, "rebuild", health
+    refined, report = ivfpq_split_cells(
+        index, emb, skew_factor=skew_factor, max_splits=max_splits,
+        sample_rows=sample_rows, seed=seed, id_col=id_col, vec_col=vec_col,
+    )
+    return refined, ("split" if report["split"] else "none"), health
+
+
 def ivfpq_encode(
     index: IVFPQIndex, emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -613,7 +613,8 @@ class RestFacade:
     # corpus-stats (per-language totals), heavy-hitters (?phi= larger
     # override allowed — the read_heavy_hitters contract), expectations
     # (per-rule cumulative counts), quarantine (?size= row cap, total
-    # count in the header — the chain can be corpus-sized). Committed-
+    # count in the header — the chain can be corpus-sized), sample
+    # (the ≤k-row bottom-k-by-hash uniform sample). Committed-
     # pointer discipline rides along from the readers themselves; a
     # state dir with no committed batch yet → 404, like any missing
     # resource.
@@ -651,6 +652,15 @@ class RestFacade:
             if kind == "expectations":
                 rows = _ex.read_expectation_counts(spark, root).collect()
                 return RestResponse(200, {"rules": [r.asDict() for r in rows]})
+            if kind == "sample":
+                from .operators import sampling as _sm
+
+                df = _sm.read_uniform_sample(spark, root)
+                order = [c for c in ("__ord",) if c in df.columns] + [
+                    c for c in df.columns if c != "__ord"
+                ]
+                rows = df.orderBy(*order).collect()
+                return RestResponse(200, {"sample": [r.asDict() for r in rows]})
             if kind == "quarantine":
                 size = int(params.get("size", 100))
                 df = _ex.read_quarantine(spark, root)

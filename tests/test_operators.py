@@ -5120,3 +5120,69 @@ def test_ivfpq_split_cells_incremental_maintenance(spark):
     # a healthy index passes through untouched
     same, rep2 = sim.ivfpq_split_cells(refined, corpus, skew_factor=1000.0)
     assert rep2["split"] == 0 and same is refined or rep2["cells_after"] == report["cells_after"]
+
+
+def test_containment_budget_and_ivfpq_maintain_policy(spark):
+    """r12 follow-ups: (a) containment_pairs shares ngram's posting-
+    mass budget (raise-only — the metric is asymmetric, MinHash can't
+    certify it); (b) ivfpq_maintain picks the cheapest sufficient
+    action: none when healthy, split when skewed-only, rebuild when
+    undersized."""
+    import pytest
+
+    from hyper_storage_spark.operators import dedup, similarity as sim
+
+    docs = spark.createDataFrame(
+        [(i, "aaaa bbbb cccc dddd eeee ffff") for i in range(3)],
+        "doc_id long, text string",
+    )
+    # 2 distinct 5-gram shingles, each df=3 -> mass = 2 * C(3,2) = 6
+    ok = dedup.containment_pairs(docs, n=5, candidate_budget=6)
+    assert ok.count() == 3
+    with pytest.raises(dedup.HotCorpusError, match="pre-block"):
+        dedup.containment_pairs(docs, n=5, candidate_budget=5)
+
+    import random
+
+    random.seed(9)
+    dim, m, n_codes = 8, 4, 4
+
+    def vec(c, s):
+        return [c[i] + random.uniform(-s, s) for i in range(dim)]
+
+    a = [1.0, 0, 0, 0, 0, 0, 0, 0]
+    b = [0, 1.0, 0, 0, 0, 0, 0, 0]
+    h = [0, 0, 1.0, 0, 0, 0, 0, 0]
+    boot = spark.createDataFrame(
+        [(i, vec(a, 0.05)) for i in range(25)]
+        + [(100 + i, vec(b, 0.05)) for i in range(25)],
+        "vec_id long, embedding array<double>",
+    )
+    # 16 cells = the ivfpq_params_for floor, so the healthy case is
+    # not spuriously "undersized"
+    idx = sim.ivfpq_index(boot, n_cells=16, m=m, n_codes=n_codes)
+
+    # healthy: generous occupancy target, no skew
+    same, action, health = sim.ivfpq_maintain(idx, boot, target_occupancy=4096,
+                                              skew_factor=1000.0)
+    assert action == "none" and same is idx
+
+    # skewed only: hot batch, occupancy target still generous
+    hot = spark.createDataFrame(
+        [(1000 + i, vec(h, 0.01)) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    grown = sim.ivfpq_append(idx, hot)
+    corpus = boot.unionByName(hot)
+    refined, action, health = sim.ivfpq_maintain(
+        grown, corpus, target_occupancy=4096, skew_factor=2.0
+    )
+    assert action == "split" and health["skewed"] and not health["undersized"]
+    assert refined.centroids.shape[0] > 16
+
+    # undersized: tiny occupancy target forces the full-retrain path
+    rebuilt, action, health = sim.ivfpq_maintain(
+        grown, corpus, target_occupancy=4, skew_factor=2.0
+    )
+    assert action == "rebuild" and health["undersized"]
+    assert rebuilt.codebooks.shape == (m, n_codes, dim // m)

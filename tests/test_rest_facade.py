@@ -516,3 +516,27 @@ def test_streams_readback_routes(spark, tmp_path):
     assert facade.handle("GET", "_streams/corpus/nope").status == 400
     assert facade.handle("GET", "_streams/cold/corpus-stats").status == 404
     assert facade.handle("PUT", "_streams/corpus/corpus-stats", {}).status == 405
+
+
+def test_streams_sample_route(spark, tmp_path):
+    """r12 follow-up: the `_streams/<name>/sample` route serves the
+    persisted bottom-k-by-hash uniform sample."""
+    from hyper_storage_spark.operators import sampling as sm
+
+    st = str(tmp_path / "smp")
+    sm.streaming_uniform_sample(st, id_col="event_id", payload_cols=("v",),
+                                k=4, run_id="t")(
+        spark.createDataFrame([(i, f"p{i}") for i in range(50)],
+                              "event_id long, v string"),
+        0,
+    )
+    facade = RestFacade(
+        DocumentStore(str(tmp_path / "store"), spark=spark), streams={"s": st}
+    )
+    r = facade.handle("GET", "_streams/s/sample")
+    assert r.status == 200
+    rows = r.body["sample"]
+    assert len(rows) == 4
+    assert all("event_id" in x and "v" in x for x in rows)
+    # deterministic: re-read returns the identical payload
+    assert facade.handle("GET", "_streams/s/sample").body["sample"] == rows
