@@ -164,6 +164,10 @@ CANONICAL_SEC = {
     # sweep (noise_bands_r10.json: end-sentinel noise 0.81, min-of-6)
     "q_corpus_diff": 0.378,
     "text_ppl_buckets": 6.856,
+    # round-12 additions: the IEEE money-aggregate twins, from the
+    # noise_bands_r12 quiet-box sweep (noise 0.84, min-of-6)
+    "q1_pricing_fast": 0.269,
+    "q5_volume_fast": 0.568,
 }
 
 
