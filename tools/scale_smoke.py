@@ -653,6 +653,74 @@ def bpe_deep_depth(depths=(1000, 5000), round_size: int = 256) -> None:
     print("# bpe deep-depth smoke done")
 
 
+def ivfpq_split_vs_rebuild(corpus_sizes=(50_000, 200_000), hot_rows: int = 5_000) -> None:
+    """r12: ivfpq_split_cells' claim is O(hot-mass), not O(corpus) —
+    a FIXED-SIZE hot append should cost the same to repair whether the
+    surrounding corpus is 50k or 200k vectors, while the full rebuild
+    re-encodes everything and grows with the corpus. Deterministic
+    synthetic vectors (md5-derived, no RNG), one tight hot cluster
+    appended to trip the skew rule."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import similarity as sim
+    from hyper_storage_spark.session import get_spark
+
+    spark = get_spark("scale_smoke_ivfpqsplit")
+
+    def mkvecs(n, offset=0, hot=False):
+        if hot:
+            # near-duplicates of one fixed direction: unit e0 + tiny
+            # per-id jitter in the last coordinate
+            arr = F.array(
+                *([F.lit(1.0)] + [F.lit(0.0)] * 62
+                  + [(F.pmod(F.col("id"), F.lit(97)).cast("double") * 1e-4)])
+            )
+        else:
+            arr = F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: (
+                    F.pmod(
+                        F.xxhash64(F.concat(F.col("id").cast("string"), i.cast("string"))),
+                        F.lit(1000),
+                    ).cast("double")
+                    / 1000.0
+                    - 0.5
+                ),
+            )
+        return spark.range(offset, offset + n).select(
+            F.col("id").alias("vec_id"), arr.alias("embedding")
+        )
+
+    for n in corpus_sizes:
+        boot = mkvecs(n).localCheckpoint()
+        hot = mkvecs(hot_rows, offset=10_000_000, hot=True).localCheckpoint()
+        n_cells, _, sample_rows = sim.ivfpq_params_for(n, target_occupancy=1024)
+        idx = sim.ivfpq_index(boot, n_cells=n_cells, sample_rows=sample_rows)
+        grown = sim.ivfpq_append(idx, hot)
+        grown = sim.IVFPQIndex(
+            grown.centroids, grown.codebooks, grown.codes.localCheckpoint()
+        )
+        corpus = boot.unionByName(hot).localCheckpoint()
+
+        t0 = time.time()
+        refined, report = sim.ivfpq_split_cells(grown, corpus, skew_factor=4.0)
+        refined.codes.write.format("noop").mode("overwrite").save()
+        w_split = time.time() - t0
+
+        t0 = time.time()
+        rebuilt = sim.ivfpq_index(
+            corpus, n_cells=report["cells_after"], sample_rows=sample_rows
+        )
+        rebuilt.codes.write.format("noop").mode("overwrite").save()
+        w_rebuild = time.time() - t0
+        print(
+            f"# ivfpqsplit corpus={n} cells={n_cells} split={report['split']} "
+            f"reencoded={report['reencoded_rows']} split_wall={w_split:.2f}s "
+            f"rebuild_wall={w_rebuild:.2f}s ratio={w_rebuild / max(w_split, 1e-9):.2f}x"
+        )
+    print("# ivfpq split-vs-rebuild smoke done")
+
+
 def link_core_growth(scopes=(300, 1200, 4800)) -> None:
     """Round-10 second-half graph family under scope growth: link
     prediction and the 8-core on the co-purchase graph as the part
@@ -861,6 +929,13 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "linkcore":
         link_core_growth(
             tuple(int(x) for x in sys.argv[2:]) if len(sys.argv) > 2 else (300, 1200, 4800)
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ivfpqsplit":
+        ivfpq_split_vs_rebuild(
+            tuple(int(x) for x in sys.argv[2:])
+            if len(sys.argv) > 2
+            else (50_000, 200_000)
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "pplskew":
