@@ -229,7 +229,13 @@ def ngram_jaccard_pairs(
             import warnings
 
             n_docs = docs.count()
-            num_hashes, bands = minhash_params_for(n_docs, threshold)
+            # params_for validates background_j < threshold; a caller
+            # routing at a low threshold (<= the 0.2 default) must not
+            # hit that as an opaque ValueError — clamp the background
+            # assumption under the threshold instead
+            num_hashes, bands = minhash_params_for(
+                n_docs, threshold, background_j=min(0.2, threshold / 2)
+            )
             warnings.warn(
                 f"ngram_jaccard_pairs: posting mass {int(mass)} exceeds "
                 f"candidate_budget={candidate_budget}; rerouting to "

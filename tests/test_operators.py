@@ -4950,6 +4950,14 @@ def test_ngram_jaccard_candidate_budget_routing(spark):
     with pytest.raises(ValueError, match="hot_action"):
         dedup.ngram_jaccard_pairs(docs, candidate_budget=1, hot_action="explode")
 
+    # a LOW threshold must still route (params_for's background_j
+    # precondition is clamped under the threshold, not surfaced as an
+    # opaque ValueError)
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        low = dedup.ngram_jaccard_pairs(docs, threshold=0.1, candidate_budget=2)
+        assert {(r.a_id, r.b_id) for r in low.collect()} >= {(0, 1), (0, 2), (1, 2)}
+
 
 def test_ppl_buckets_approx_agreement(spark):
     """r12: exact_depth=False (percentile_approx cuts, no per-group
