@@ -656,20 +656,28 @@ class RestFacade:
                 from .operators import sampling as _sm
 
                 df = _sm.read_uniform_sample(spark, root)
-                order = [c for c in ("__ord",) if c in df.columns] + [
-                    c for c in df.columns if c != "__ord"
-                ]
-                rows = df.orderBy(*order).collect()
+                # __ord (the bottom-k hash) is a unique long — a total
+                # order by itself; payload columns may be non-orderable
+                rows = (
+                    df.orderBy("__ord") if "__ord" in df.columns else df
+                ).collect()
                 return RestResponse(200, {"sample": [r.asDict() for r in rows]})
             if kind == "quarantine":
                 size = int(params.get("size", 100))
                 df = _ex.read_quarantine(spark, root)
                 total = df.count()
-                cols = df.columns
-                order = [c for c in ("__batch_id",) if c in cols] + [
-                    c for c in cols if c != "__batch_id"
+                # deterministic page order, but only ATOMIC columns are
+                # orderable — a quarantined array/map column must not
+                # break the read route
+                from pyspark.sql.types import AtomicType
+
+                atomic = [
+                    f.name
+                    for f in df.schema.fields
+                    if isinstance(f.dataType, AtomicType) and f.name != "__batch_id"
                 ]
-                rows = df.orderBy(*order).limit(size).collect()
+                order = [c for c in ("__batch_id",) if c in df.columns] + atomic
+                rows = (df.orderBy(*order) if order else df).limit(size).collect()
                 return RestResponse(
                     200,
                     {"quarantined": [r.asDict() for r in rows]},

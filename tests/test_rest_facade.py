@@ -511,6 +511,23 @@ def test_streams_readback_routes(spark, tmp_path):
     assert len(r.body["quarantined"]) == 1
     assert r.body["quarantined"][0]["id"] == 9  # deterministic order
 
+    # array payloads must not break the quarantine page order (only
+    # atomic columns participate in the sort)
+    import pyspark.sql.functions as F
+
+    exp2 = str(tmp_path / "exp2")
+    ex.streaming_expectations(exp2, [ex.not_null("id")], run_id="t")(
+        spark.createDataFrame([(1, [1, 2]), (None, [3])],
+                              "id long, tags array<long>"),
+        0,
+    )
+    facade2 = RestFacade(
+        DocumentStore(str(tmp_path / "store2"), spark=spark), streams={"g": exp2}
+    )
+    r2 = facade2.handle("GET", "_streams/g/quarantine")
+    assert r2.status == 200 and r2.headers["total-count"] == "1"
+    assert r2.body["quarantined"][0]["tags"] == [3]
+
     # error surface: unknown stream / kind, uncommitted state, verb
     assert facade.handle("GET", "_streams/ghost/corpus-stats").status == 404
     assert facade.handle("GET", "_streams/corpus/nope").status == 400
