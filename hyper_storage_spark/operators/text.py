@@ -528,7 +528,12 @@ def ppl_buckets(
         cuts = lab.groupBy(by_col).agg(
             F.percentile_approx("lm_score", probs, approx_accuracy).alias("__cuts")
         )
-        lab = lab.join(F.broadcast(cuts), by_col)
+        # NO broadcast hint: cuts is |groups|·(n_buckets-1) scalars —
+        # tiny for languages, but by_col could be a high-cardinality
+        # key (domain, source shard) at 100 TB, and a forced broadcast
+        # of that is a driver OOM. AQE broadcasts when it is actually
+        # small (the ann_join policy).
+        lab = lab.join(cuts, by_col)
         # ascending cuts q_1..q_{k-1}; desc-bucket = n_buckets - #{q_j < s}
         bucket = (
             F.lit(n_buckets)
