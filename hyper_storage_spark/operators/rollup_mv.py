@@ -349,7 +349,7 @@ def vacuum_state_dir(
     # the keep window are pruned here (same maintenance contract as
     # the version dirs). State dirs from before history existed
     # degrade to the cutoff guards.
-    hist_re = re.compile(r"^_CURRENT\.v(\d{9})$")
+    hist_re = re.compile(r"^_CURRENT\.v(\d{9,})$")  # %09d pads, never truncates
     hists = sorted(
         (int(m.group(1)), n)
         for n in os.listdir(state_root)
