@@ -2944,6 +2944,26 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register_extra(
+    "dedup_contam_routed",
+    _CONTAM_RADIUS_SQL.format(jaccard=_JACCARD_SQL_UNCAPPED),
+)
+def dedup_contam_routed(spark, sf_dir):
+    """dedup_contamination_radius on the SCALE-PATH pair source
+    (the q_leakage_split_routed pattern): the bounded BFS consumes
+    minhash_lsh_pairs instead of the exact ngram pair graph whose
+    volume drove the consumer family's sf1 growth rows (SCALE.md).
+    Oracle: the same hop-counting recursive CTE over the UNCAPPED
+    exact pair set — equal to the LSH output whenever banding recall
+    is 1.0 (the dedup_minhash_lsh pin), so seeds, traversal, and
+    min-hop labeling replay exactly while the pair generation stays
+    banded-candidates-only."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    seeds = docs.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0).select("doc_id")
+    return dedup.contamination_radius(pairs, seeds, max_hops=2).orderBy("doc_id")
+
+
+@register_extra(
     "dedup_simhash",
     """SELECT true AS banding_complete, true AS hamming_bound_ok""",
 )
@@ -9528,6 +9548,39 @@ def q_leakage_safe_split(spark, sf_dir):
     and thresholding."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
+    return sampling.leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+# The routed twin's oracle: the SAME split SQL with the df-capped pair
+# CTE swapped for the uncapped exact set — the substitution keeps the
+# two oracles in lockstep the way _CLUSTERS_SQL shares _JACCARD_SQL.
+# Valid for the MinHash-fed entry on the dedup_minhash_lsh argument:
+# banding recall is 1.0 at the gate corpora and the verify step makes
+# every emitted pair exact, so the routed pair set EQUALS the uncapped
+# exact set and the component labels + md5 draws replay bit-for-bit.
+_LEAKAGE_SPLIT_ROUTED_SQL = _LEAKAGE_SPLIT_SQL.replace(
+    _JACCARD_SQL, _JACCARD_SQL_UNCAPPED
+)
+
+
+@register_extra("q_leakage_split_routed", _LEAKAGE_SPLIT_ROUTED_SQL)
+def q_leakage_split_routed(spark, sf_dir):
+    """q_leakage_safe_split on the SCALE-PATH pair source: the sf1
+    smoke attributed the split family's 3.8-7.5× growth rows to the
+    exact ngram pair graph they consume (SCALE.md) — this entry gates
+    the production composition that avoids that region, feeding
+    leakage_safe_split from minhash_lsh_pairs (banded candidates, no
+    posting-list explosion) instead of ngram_jaccard_pairs. Oracle:
+    the split replay over the UNCAPPED exact pair set, which the LSH
+    output equals whenever banding recall is 1.0 (the dedup_minhash_lsh
+    pin — any recall miss changes a family and goes red here too).
+    Downstream of the pair source, nothing changes: components,
+    canonical ids, and the md5 draw are the same code path the exact
+    entry gates."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
     return sampling.leakage_safe_split(
         docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
     )

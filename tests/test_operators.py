@@ -2946,6 +2946,35 @@ def test_leakage_safe_split_colocates_near_duplicates(spark, sf_dir):
         sampling.leakage_safe_split(d, pairs, {"train": 0.5})
 
 
+def test_leakage_split_routed_twin_matches_uncapped_exact(spark, sf_dir):
+    """q_leakage_split_routed's premise, pinned engine-side: feeding
+    leakage_safe_split from minhash_lsh_pairs yields the IDENTICAL
+    assignment as the uncapped exact pair graph (recall-1.0 banding +
+    exact verify ⇒ equal pair sets ⇒ equal components ⇒ equal md5
+    draws). Also pins that the routed oracle actually swapped the
+    pair CTE — a silent no-op replace would gate the wrong SQL."""
+    from hyper_storage_spark import queries as Q
+    from hyper_storage_spark.operators import sampling
+
+    assert Q._LEAKAGE_SPLIT_ROUTED_SQL != Q._LEAKAGE_SPLIT_SQL
+    assert "HAVING COUNT(*) <= 100" not in Q._LEAKAGE_SPLIT_ROUTED_SQL
+    d = docs(spark, sf_dir)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    routed = {
+        r.doc_id: (r.canonical_id, r.split)
+        for r in sampling.leakage_safe_split(
+            d, dedup.minhash_lsh_pairs(d, threshold=0.5), fr
+        ).collect()
+    }
+    exact = {
+        r.doc_id: (r.canonical_id, r.split)
+        for r in sampling.leakage_safe_split(
+            d, dedup.ngram_jaccard_pairs(d, threshold=0.5), fr
+        ).collect()
+    }
+    assert routed == exact
+
+
 def test_seasonality_and_autocorrelation_hand_pinned(spark):
     # hand-computable fixture: 3 events Mon 01:00, 1 event Tue 02:00
     # over two weeks -> cells (Mon,1)=6, (Tue,2)=2; mean cell = 4
