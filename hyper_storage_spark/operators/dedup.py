@@ -80,6 +80,7 @@ def _jaccard_from_shingles(
     threshold: float,
     candidates: DataFrame | None,
     max_df: int | None = None,
+    posting: DataFrame | None = None,
 ) -> DataFrame:
     """(a_id, b_id, jaccard≥threshold) from a (doc_id, h) shingle set.
 
@@ -100,10 +101,14 @@ def _jaccard_from_shingles(
         # pairs directly (array HOFs, no self-join shuffle). One
         # groupBy(h) + one groupBy(pair) replaces df-count + cap-join +
         # the a×b join — two fewer shuffles of the full shingle set.
-        posting = sh.groupBy("h").agg(F.collect_list("doc_id").alias("docs"))
-        if max_df is not None:
-            posting = posting.filter(F.size("docs") <= max_df)
-        posting = tracked_persist(posting)
+        # A caller that already built (and persisted) the capped
+        # posting frame — the budget probe — passes it in so the
+        # heaviest shuffle runs once.
+        if posting is None:
+            posting = sh.groupBy("h").agg(F.collect_list("doc_id").alias("docs"))
+            if max_df is not None:
+                posting = posting.filter(F.size("docs") <= max_df)
+            posting = tracked_persist(posting)
         docs_sorted = F.array_sort(F.col("docs"))
         pair_arrays = F.flatten(
             F.transform(
@@ -211,14 +216,23 @@ def ngram_jaccard_pairs(
     if hot_action not in ("route", "raise"):
         raise ValueError(f"hot_action must be 'route' or 'raise', got {hot_action!r}")
     sh = _hashed_shingles(docs, text_col, n)
+    posting = None
     if candidate_budget is not None:
-        posting_sizes = sh.groupBy("h").agg(F.count("*").alias("df"))
+        # build the capped posting lists ONCE and persist before the
+        # probe: the mass aggregation materializes the same cached
+        # frame the below-budget pair generation then consumes, so the
+        # guard costs one cache fill instead of running the corpus's
+        # heaviest shuffle twice
+        posting = sh.groupBy("h").agg(F.collect_list("doc_id").alias("docs"))
         if max_df is not None:
-            posting_sizes = posting_sizes.filter(F.col("df") <= max_df)
-        mass = posting_sizes.agg(
-            F.coalesce(F.sum(F.col("df") * (F.col("df") - 1) / 2), F.lit(0.0)).alias("m")
+            posting = posting.filter(F.size("docs") <= max_df)
+        posting = tracked_persist(posting)
+        sz = F.size("docs")
+        mass = posting.agg(
+            F.coalesce(F.sum(sz * (sz - 1) / 2), F.lit(0.0)).alias("m")
         ).collect()[0]["m"]
         if mass > candidate_budget:
+            posting.unpersist()  # neither the raise nor the reroute reads it
             if hot_action == "raise":
                 raise HotCorpusError(
                     f"posting mass {int(mass)} candidate pairs exceeds "
@@ -229,25 +243,33 @@ def ngram_jaccard_pairs(
             import warnings
 
             n_docs = docs.count()
-            # params_for validates background_j < threshold; a caller
-            # routing at a low threshold (<= the 0.2 default) must not
-            # hit that as an opaque ValueError — clamp the background
-            # assumption under the threshold instead
+            # params_for validates background_j < threshold <= j_detect
+            # < 1; a caller routing at a low threshold (<= the 0.2
+            # default) or at threshold 1.0 (exact-duplicate setting,
+            # where j_detect = (t+1)/2 = 1.0 fails the open bound) must
+            # not hit that as an opaque ValueError — clamp the sizing
+            # threshold into the valid open interval. Sizing at a
+            # slightly lower threshold is conservative (more selective
+            # params, recall certified below the verify threshold); the
+            # verify itself still filters at the caller's threshold.
+            t_size = min(threshold, 0.98)
             num_hashes, bands = minhash_params_for(
-                n_docs, threshold, background_j=min(0.2, threshold / 2)
+                n_docs, t_size, background_j=min(0.2, t_size / 2)
             )
             warnings.warn(
                 f"ngram_jaccard_pairs: posting mass {int(mass)} exceeds "
                 f"candidate_budget={candidate_budget}; rerouting to "
-                f"minhash_lsh_pairs(num_hashes={num_hashes}, bands={bands}) "
-                "— result recall follows the LSH S-curve, not the exact "
-                "contract",
+                f"minhash_lsh_pairs(num_hashes={num_hashes}, bands={bands}, "
+                f"max_df={max_df}) — the capped-Jaccard metric is "
+                "preserved; result recall follows the LSH S-curve, not "
+                "the exact contract",
                 stacklevel=2,
             )
             return minhash_lsh_pairs(
-                docs, threshold, num_hashes, bands, n=n, text_col=text_col
+                docs, threshold, num_hashes, bands, n=n, text_col=text_col,
+                max_df=max_df,
             )
-    return _jaccard_from_shingles(sh, threshold, None, max_df)
+    return _jaccard_from_shingles(sh, threshold, None, max_df, posting=posting)
 
 
 def minhash_signatures(
@@ -379,6 +401,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     text_col: str = "text",
+    max_df: Optional[int] = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verify.
 
@@ -386,6 +409,14 @@ def minhash_lsh_pairs(
     32 hashes / 8 bands (rows=4), j=0.5 → ~86% per-band ∪, well above
     the verify threshold, while keeping the candidate join selective.
     Returns (a_id, b_id, jaccard ≥ threshold).
+
+    ``max_df`` applies :func:`ngram_jaccard_pairs`'s df cap BEFORE the
+    signatures, so banding and the exact verify both measure the SAME
+    capped-Jaccard metric the exact operator computes — without it, a
+    budget reroute from the capped exact path would silently change
+    the metric (boilerplate-heavy unrelated pairs can exceed the
+    threshold on uncapped Jaccard), not just trade exactness for the
+    LSH recall curve.
     """
     if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
         raise ValueError(
@@ -404,6 +435,12 @@ def minhash_lsh_pairs(
     # intermediates — at 100 TB a cache larger than the corpus spills
     # and loses to a parallel re-scan for the same reason.
     sh = _hashed_shingles(docs, text_col, n)
+    if max_df is not None:
+        # cap before signatures: the df is the FULL corpus's, exactly
+        # like the exact path, and a doc whose shingles are all capped
+        # away drops out of both paths identically
+        keep = sh.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+        sh = sh.join(keep.select("h"), "h")
     melted = _band_table(minhash_signatures(sh, num_hashes), bands, rows)
     a = melted.alias("a")
     b = melted.alias("b")
@@ -1728,6 +1765,11 @@ def containment_pairs(
     posting = sh.groupBy("h").agg(F.collect_list("doc_id").alias("docs"))
     if max_df is not None:
         posting = posting.filter(F.size("docs") <= max_df)
+    # persist BEFORE the budget probe: the probe's aggregation then
+    # materializes the same cached frame the pair generation consumes,
+    # so the guard costs one cache fill, not a second full shingle
+    # shuffle
+    posting = tracked_persist(posting)
     if candidate_budget is not None:
         mass = posting.agg(
             F.coalesce(
@@ -1742,7 +1784,6 @@ def containment_pairs(
                 "pre-block the documents (or prefilter candidates with "
                 "minhash_lsh_pairs and verify containment on the survivors)"
             )
-    posting = tracked_persist(posting)
     docs_sorted = F.array_sort(F.col("docs"))
     pair_arrays = F.flatten(
         F.transform(

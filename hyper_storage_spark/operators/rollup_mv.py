@@ -377,12 +377,27 @@ def vacuum_state_dir(
     removed = 0
     for name in os.listdir(state_root):
         if name in referenced or name.startswith("_CURRENT"):
+            # exception: a SIGKILL between the flip's mkstemp and its
+            # os.replace orphans a _CURRENT.tmp* file that nothing
+            # will ever read or rename — reclaim those past the grace
+            # window (the pointer itself and .v* history never match)
+            if re.match(r"^_CURRENT\.tmp", name):
+                path = os.path.join(state_root, name)
+                try:
+                    if now - os.path.getmtime(path) >= grace_seconds:
+                        os.unlink(path)
+                        removed += 1
+                except OSError:
+                    pass
             continue
         # version entries are either bare v000007 (uniform sample,
-        # rollup streams) or v000007_suffix (counts/grid/idx/...)
-        m = re.match(r"^v(\d{6})(_|$)", name)
-        is_qc = re.match(r"^qc_(\d{6})$", name)
-        is_q = re.match(r"^q_(\d{6})$", name)
+        # rollup streams) or v000007_suffix (counts/grid/idx/...);
+        # \d{6,} because %06d PADS — past version 999999 the names
+        # widen and a fixed-width match would skip them forever (the
+        # same overflow the .v history regex guards against)
+        m = re.match(r"^v(\d{6,})(_|$)", name)
+        is_qc = re.match(r"^qc_(\d{6,})$", name)
+        is_q = re.match(r"^q_(\d{6,})$", name)
         if m is None and not is_q and not is_qc:
             continue  # never touch entries this module didn't write
         if m is not None and int(m.group(1)) >= cutoff:

@@ -532,8 +532,13 @@ def ppl_buckets(
         # tiny for languages, but by_col could be a high-cardinality
         # key (domain, source shard) at 100 TB, and a forced broadcast
         # of that is a driver OOM. AQE broadcasts when it is actually
-        # small (the ann_join policy).
-        lab = lab.join(cuts, by_col)
+        # small (the ann_join policy). Null-SAFE join: groupBy makes a
+        # group for a NULL by_col (unidentified language) but an
+        # equi-join would silently drop its rows — the exact ntile
+        # path windows them into a null partition and keeps them.
+        lab = lab.join(cuts, lab[by_col].eqNullSafe(cuts[by_col])).drop(
+            cuts[by_col]
+        )
         # ascending cuts q_1..q_{k-1}; desc-bucket = n_buckets - #{q_j < s}
         bucket = (
             F.lit(n_buckets)

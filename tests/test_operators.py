@@ -4987,6 +4987,60 @@ def test_ngram_jaccard_candidate_budget_routing(spark):
         low = dedup.ngram_jaccard_pairs(docs, threshold=0.1, candidate_budget=2)
         assert {(r.a_id, r.b_id) for r in low.collect()} >= {(0, 1), (0, 2), (1, 2)}
 
+    # threshold 1.0 (the exact-duplicate setting) must route too: the
+    # SIZING threshold is clamped into params_for's open interval
+    # (j_detect=(1+1)/2=1.0 fails its j_detect<1 bound otherwise); the
+    # verify still filters at the caller's 1.0
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        t1 = dedup.ngram_jaccard_pairs(docs, threshold=1.0, candidate_budget=2)
+        assert {(r.a_id, r.b_id) for r in t1.collect()} == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_budget_reroute_preserves_capped_metric(spark):
+    """r12 review fix: max_df survives the budget reroute — the routed
+    path caps shingles BEFORE signatures, so it measures the same
+    capped Jaccard as the exact operator (boilerplate dropped from
+    numerator AND set sizes). Without the pass-through, unrelated
+    boilerplate-heavy docs exceed the threshold on uncapped Jaccard
+    and the reroute would change the METRIC, not just the recall."""
+    import warnings
+
+    from hyper_storage_spark.operators import dedup
+
+    rows = [(i, "x1 x2 x3 x4 x5") for i in range(8)]  # boiler df=10 > cap
+    rows += [(100, "x1 x2 x3 x4 x5 a1"), (101, "x1 x2 x3 x4 x5 b1")]
+    rows += [(i, "m1 m2 m3") for i in range(200, 204)]  # df=4 ≤ cap: the mass
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want = {(a, b) for a in range(200, 204) for b in range(a + 1, 204)}
+    exact = {
+        (r.a_id, r.b_id)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=4).collect()
+    }
+    assert exact == want
+
+    # m1m2m3 has df=4: mass C(4,2)=6 > budget 2 → reroute, cap kept
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        routed = {
+            (r.a_id, r.b_id)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=0.5, max_df=4, candidate_budget=2
+            ).collect()
+        }
+    assert any("capped-Jaccard metric is preserved" in str(x.message) for x in w)
+    assert routed == exact
+
+    # sanity: without the cap the boilerplate family DOES clear the
+    # threshold (identical uncapped sets) — the pass-through is what
+    # keeps the metric, not an accident of the corpus
+    uncapped = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in uncapped
+
 
 def test_ppl_buckets_approx_agreement(spark):
     """r12: exact_depth=False (percentile_approx cuts, no per-group
@@ -5007,6 +5061,8 @@ def test_ppl_buckets_approx_agreement(spark):
         rows.append((i, " ".join(random.choice(words) for _ in range(12)), "en"))
     for i in range(300, 312):  # minority language
         rows.append((i, " ".join(random.choice(words[::-1]) for _ in range(8)), "fr"))
+    for i in range(312, 318):  # unidentified language: by_col NULL
+        rows.append((i, " ".join(random.choice(words) for _ in range(10)), None))
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
 
     exact = {r.doc_id: r for r in text_ops.ppl_buckets(docs, n_buckets=3).collect()}
@@ -5014,8 +5070,11 @@ def test_ppl_buckets_approx_agreement(spark):
         r.doc_id: r
         for r in text_ops.ppl_buckets(docs, n_buckets=3, exact_depth=False).collect()
     }
-    # identical coverage and identical scores (the scoring path is shared)
+    # identical coverage and identical scores (the scoring path is
+    # shared); the NULL-lang group must survive BOTH paths — the cuts
+    # join is null-safe, not a null-dropping equi-join
     assert set(exact) == set(approx)
+    assert {i for i in range(312, 318)} <= set(approx)
     for i in exact:
         assert exact[i].lm_score == approx[i].lm_score
 

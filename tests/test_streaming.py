@@ -1730,6 +1730,45 @@ def test_quarantine_chain_compaction_and_state_vacuum(spark, tmp_path):
     assert vacuum_state_dir(state, keep_versions=2, grace_seconds=0.0) == 0
 
 
+def test_vacuum_wide_versions_and_orphaned_tmp(tmp_path):
+    """r12 review: (a) version names past 999999 still match the
+    reclamation regexes (%06d PADS — a fixed-width \\d{6} would skip
+    every wide name forever and disk would grow unboundedly); (b) a
+    flip tempfile orphaned by a kill between mkstemp and os.replace is
+    reclaimed once it ages past the grace window, while the pointer
+    and its .v history stay untouched."""
+    import json
+    import os
+    import time
+
+    from hyper_storage_spark.operators.rollup_mv import vacuum_state_dir
+
+    state = str(tmp_path / "wide")
+    os.makedirs(state)
+    cur = {"version": 1000005, "stats": "v1000005_stats/part.parquet"}
+    with open(os.path.join(state, "_CURRENT"), "w", encoding="utf-8") as fh:
+        json.dump(cur, fh)
+    with open(os.path.join(state, "_CURRENT.v001000005"), "w", encoding="utf-8") as fh:
+        json.dump(cur, fh)
+    for v in (1000000, 1000001, 1000005):
+        d = os.path.join(state, f"v{v:06d}_stats")
+        os.makedirs(d)
+        open(os.path.join(d, "part.parquet"), "w").close()
+    open(os.path.join(state, "_CURRENT.tmpdead"), "w").close()
+    old = time.time() - 3600
+    for name in os.listdir(state):
+        os.utime(os.path.join(state, name), (old, old))
+
+    removed = vacuum_state_dir(state, keep_versions=2, grace_seconds=300.0)
+    left = set(os.listdir(state))
+    assert "v1000000_stats" not in left  # below the 1000003 cutoff
+    assert "v1000001_stats" not in left
+    assert "v1000005_stats" in left  # referenced + in window
+    assert "_CURRENT.tmpdead" not in left  # orphan reclaimed
+    assert "_CURRENT" in left and "_CURRENT.v001000005" in left
+    assert removed == 3
+
+
 def test_heavy_hitters_legacy_migration_survives_reduction(spark, tmp_path):
     """r11 review: a pre-r11 admission table LARGER than the MG cap must
     migrate without evicting a true phi-heavy item — even when that
