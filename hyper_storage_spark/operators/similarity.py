@@ -1200,11 +1200,19 @@ def ivfpq_split_cells(
     cents = index.centroids.copy()
     new_rows: list[np.ndarray] = []
     hot_ids = [int(r["cell"]) for r in overfull]
-    hot_vec = emb.join(
-        index.codes.filter(F.col("cell").isin(hot_ids)).select(
-            F.col("neighbor_id").alias(id_col), "cell"
-        ),
-        id_col,
+    from ._caches import tracked_persist
+
+    # persisted: consumed once per split cell (the per-cell training
+    # sample collects) plus once by the final re-encode — unpersisted,
+    # each of those up to max_splits+1 actions re-runs the emb⨝codes
+    # join from scratch and the claimed O(hot-mass) pass multiplies
+    hot_vec = tracked_persist(
+        emb.join(
+            index.codes.filter(F.col("cell").isin(hot_ids)).select(
+                F.col("neighbor_id").alias(id_col), "cell"
+            ),
+            id_col,
+        )
     )
     for r in overfull:
         cell_id, occ = int(r["cell"]), int(r["occ"])

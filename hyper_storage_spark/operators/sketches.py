@@ -145,6 +145,14 @@ def streaming_heavy_hitters(
     most N/(K+1) < φ·N/2, so any item with true frequency ≥ φ·N
     keeps mg > φ·N/2 > 0 and can NEVER be evicted — the candidate
     set stays a superset of the true φ-heavy items at every prefix.
+    One documented exception: for the first reductions after a
+    pre-r11 LEGACY state migration the superset is best-effort —
+    legacy counters are seeded from CM estimates scaled down to the
+    legacy mass (true per-value counts are unrecoverable), and a
+    borderline φ-heavy legacy value whose scaled seed undershoots
+    its true count can be evicted before fresh batches re-establish
+    it; the MG bound is unconditional again for everything counted
+    after the migration point.
     The serving face filters at READ time by the CM estimate against
     the current total (CM never underestimates), so light items that
     merely linger in the MG table cannot surface.
@@ -216,9 +224,13 @@ def streaming_heavy_hitters(
                 # seed each legacy value with its CM ESTIMATE from the
                 # grid in the same state dir: estimates are per-value
                 # upper bounds on the true counts, so true φ-heavy
-                # legacy items rank at the top and survive every
-                # reduction, while genuinely light legacy values drain
-                # out — the behavior the admission table wanted anyway
+                # legacy items rank at the top of the legacy cohort,
+                # while genuinely light legacy values drain out — the
+                # behavior the admission table wanted anyway. Retention
+                # through the migration is BEST-EFFORT (see the module
+                # docstring's legacy exception): the scaling cap below
+                # can push a borderline heavy item's seed under the
+                # next reduction threshold
                 prev_grid_for_seed = spark.read.parquet(
                     os.path.join(state_root, cur["grid"])
                 )

@@ -1782,37 +1782,46 @@ class DocumentStore:
             & (~F.col("is_deleted"))
         )
 
-    def _commit_index_files(self, idef: IndexDef, df, expect_table_files=None) -> None:
-        """Stage the index MV's files and flip. Staging dir keyed by the
+    def _stage_index_files(self, idef: IndexDef, df, suffix: str = "") -> tuple[str, list]:
+        """Write a frame to a unique backfill staging dir; returns
+        (outdir, staged parquet paths). Staging dir keyed by the
         PHYSICAL table (collection + index): the same index_id on two
         collections (routine with template indexes) must never
-        overwrite the other's committed files. Only the FLIP retries
-        under the write window (files are already staged) — holding the
-        lock across the Spark job would stall every concurrent writer
-        for the build's duration. With ``expect_table_files`` the flip
-        is ONE attempt pinned on THIS TABLE's committed file list
-        (checked under the window lock): callers whose staged files
-        embed a snapshot of the table own the retry — they must
-        re-stage, not re-flip. Pinning per-table, not on the global
-        manifest version, means unrelated content flips (the busy
-        writer fleet) never force a re-stage."""
+        overwrite the other's committed files.
+
+        UNIQUE dir per build: the incremental refresh READS the
+        currently-committed files (which live in the previous build's
+        dir) while writing the next — a fixed path would overwrite
+        its own lazy input. Superseded dirs become unreferenced at
+        the flip and vacuum reclaims them (the index_backfill_
+        staging marker, which also covers ``suffix``-named side
+        frames like the catch-up rev snapshots)."""
         import os
 
-        from .storage import ManifestConflict, _sanitize
+        from .storage import _sanitize
 
-        # UNIQUE dir per build: the incremental refresh READS the
-        # currently-committed files (which live in the previous build's
-        # dir) while writing the next — a fixed path would overwrite
-        # its own lazy input. Superseded dirs become unreferenced at
-        # the flip and vacuum reclaims them (the index_backfill_
-        # staging marker).
         outdir = os.path.join(
             self.storage.root,
             "data",
-            f"index_backfill_{_sanitize(idef.storage_table)}_{uuid.uuid4().hex[:8]}",
+            f"index_backfill_{_sanitize(idef.storage_table)}_{uuid.uuid4().hex[:8]}{suffix}",
         )
         df.write.mode("overwrite").parquet(outdir)
         files = [os.path.join(outdir, f) for f in os.listdir(outdir) if f.endswith(".parquet")]
+        return outdir, files
+
+    def _flip_index_files(self, idef: IndexDef, files, expect_table_files=None) -> None:
+        """Flip the staged MV files in. Only the FLIP retries under the
+        write window (files are already staged) — holding the lock
+        across the Spark job would stall every concurrent writer for
+        the build's duration. With ``expect_table_files`` the flip is
+        ONE attempt pinned on THIS TABLE's committed file list (checked
+        under the window lock): callers whose staged files embed a
+        snapshot of the table own the retry — they must re-stage, not
+        re-flip. Pinning per-table, not on the global manifest version,
+        means unrelated content flips (the busy writer fleet) never
+        force a re-stage."""
+        from .storage import ManifestConflict
+
         if expect_table_files is None:
             self._admin_commit(
                 lambda: self.storage.commit_external(idef.storage_table, {0: files})
@@ -1827,6 +1836,12 @@ class DocumentStore:
                     )
                 self.storage.commit_external(idef.storage_table, {0: files})
 
+    def _commit_index_files(self, idef: IndexDef, df, expect_table_files=None) -> None:
+        """Stage the index MV's files and flip — see
+        :meth:`_stage_index_files` / :meth:`_flip_index_files`."""
+        _, files = self._stage_index_files(idef, df)
+        self._flip_index_files(idef, files, expect_table_files)
+
     def _backfill_index_spark(self, idef: IndexDef) -> None:
         """Distributed FULL index backfill: membership filter +
         sort-column extraction run as Column expressions on executors;
@@ -1839,21 +1854,68 @@ class DocumentStore:
         atomic manifest flip (``_refresh_indexes`` feeds the same
         ``updates`` dict), so any write landing after our content
         snapshot necessarily moved the index table's files and the
-        one-attempt flip inside ``_commit_index_files`` raises
+        one-attempt ``_flip_index_files`` raises
         ``ManifestConflict`` — we re-snapshot and re-stage instead of
         silently overwriting that write's fresh MV row (which would
-        leave content and index permanently divergent)."""
+        leave content and index permanently divergent).
+
+        Convergence under sustained writes (review r12): only the FIRST
+        attempt stages the whole collection; every retry is an O(delta)
+        CATCH-UP, not another full rebuild. Alongside each staged MV we
+        stage the content (item_id, revision) pairs the extraction saw
+        — revisions are per-item monotonic and bump on every write, so
+        equal revision ⇒ identical body ⇒ identical index row. On
+        conflict the next round re-extracts only items whose revision
+        moved (or that appeared/disappeared), keeps the previous staged
+        rows for everything else (a columnar copy, no JSON re-parse),
+        and re-pins. A busy writer fleet then races a seconds-long
+        delta stage instead of a full rebuild it can outrun 24 times —
+        the starvation mode of the naive retry. The rev snapshot is
+        staged BEFORE the MV extraction, so an item written between the
+        two stagings is flagged and re-extracted (redundantly but
+        correctly) next round — never kept stale."""
+        from pyspark.sql import functions as F
+
         from .storage import ManifestConflict
 
         last: Optional[BaseException] = None
+        staged = None  # previous round's MV rows, parquet-backed
+        prev_revs = None  # the (item_id, revision) pairs that staging saw
         for attempt in range(self.WRITE_CAS_RETRIES):
             snapshot_files = self.storage.bucket_files(idef.storage_table, 0)
-            df = self._index_rows_df(idef, self._live_content_df(idef.document_uri))
+            content = self._live_content_df(idef.document_uri)
+            revs = content.select("item_id", "revision")
+            if staged is None:
+                df = self._index_rows_df(idef, content)
+            else:
+                n, o = revs.alias("n"), prev_revs.alias("o")
+                touched = (
+                    n.join(o, F.col("n.item_id") == F.col("o.item_id"), "full_outer")
+                    .filter(
+                        F.col("n.revision").isNull()
+                        | F.col("o.revision").isNull()
+                        | (F.col("n.revision") != F.col("o.revision"))
+                    )
+                    .select(
+                        F.coalesce(F.col("n.item_id"), F.col("o.item_id")).alias("item_id")
+                    )
+                )
+                keep = staged.join(touched, "item_id", "left_anti").select(
+                    *[f.name for f in staged.schema.fields]
+                )
+                fresh = self._index_rows_df(
+                    idef, content.join(touched, "item_id", "left_semi")
+                )
+                df = keep.unionByName(fresh)
+            rev_dir, _ = self._stage_index_files(idef, revs, suffix="_revs")
+            mv_dir, files = self._stage_index_files(idef, df)
             try:
-                self._commit_index_files(idef, df, expect_table_files=snapshot_files)
+                self._flip_index_files(idef, files, expect_table_files=snapshot_files)
                 return
             except ManifestConflict as e:
                 last = e
+            staged = self.spark.read.parquet(mv_dir)
+            prev_revs = self.spark.read.parquet(rev_dir)
             if attempt < self.WRITE_CAS_RETRIES - 1:
                 self._cas_backoff(attempt)
         raise last  # type: ignore[misc]

@@ -427,3 +427,49 @@ def test_full_rebuild_flip_pinned_against_concurrent_write(spark, tmp_path):
     # and the index keeps serving writes afterwards
     store.put("col~/item4", {"b": 400})
     assert index_items(store, "col~", "index1") == ["item1", "item3", "item4"]
+
+
+def test_full_rebuild_converges_via_delta_catchup(spark, tmp_path):
+    """review r12: sustained writes during a full Spark backfill must
+    not force repeated FULL rebuilds (the naive retry loses that race
+    up to WRITE_CAS_RETRIES times and then raises) — every retry
+    re-extracts only the items whose revision moved since the previous
+    staging, and the merged flip still lands the exact index."""
+    from hyper_storage_spark.store import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "cu"), spark=spark)
+    for i in range(6):
+        store.put(f"col~/item{i}", {"b": 100 + i})
+    writer = DocumentStore(store.storage.root, spark=spark)
+
+    calls = []
+    orig = store._index_rows_df
+
+    def hooked(idef, content_df):
+        # the frame is file-pinned at construction, so this count is
+        # the number of items THIS round actually re-extracts
+        calls.append(content_df.count())
+        if len(calls) == 1:
+            writer.put("col~/item6", {"b": 300})  # new item, in filter
+            writer.put("col~/item0", {"b": 5})  # falls OUT of the filter
+        elif len(calls) == 2:
+            writer.put("col~/item1", {"b": 999})  # rewrite, stays in
+        return orig(idef, content_df)
+
+    store._index_rows_df = hooked
+    try:
+        store.create_index("col~", "index1", [], "b > 10", use_spark=True)
+    finally:
+        store._index_rows_df = orig
+
+    # one full extraction, then O(delta) catch-ups: {item0, item6},
+    # then {item1} — never a second full rebuild
+    assert calls == [6, 2, 1]
+    assert index_items(store, "col~", "index1") == [
+        "item1", "item2", "item3", "item4", "item5", "item6",
+    ]
+    # the catch-up kept non-members out (item0 left the filter mid-build)
+    store.put("col~/item7", {"b": 700})
+    assert index_items(store, "col~", "index1") == [
+        "item1", "item2", "item3", "item4", "item5", "item6", "item7",
+    ]
