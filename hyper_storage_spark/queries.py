@@ -9553,16 +9553,32 @@ def q_leakage_safe_split(spark, sf_dir):
     )
 
 
-# The routed twin's oracle: the SAME split SQL with the df-capped pair
-# CTE swapped for the uncapped exact set — the substitution keeps the
-# two oracles in lockstep the way _CLUSTERS_SQL shares _JACCARD_SQL.
-# Valid for the MinHash-fed entry on the dedup_minhash_lsh argument:
-# banding recall is 1.0 at the gate corpora and the verify step makes
-# every emitted pair exact, so the routed pair set EQUALS the uncapped
-# exact set and the component labels + md5 draws replay bit-for-bit.
+# The routed twins' oracles: the SAME split/kfold SQL with the
+# df-capped pair CTE swapped for the uncapped exact set — the
+# substitution keeps the oracles in lockstep the way _CLUSTERS_SQL
+# shares _JACCARD_SQL. Valid for the MinHash-fed entries on the
+# dedup_minhash_lsh argument: banding recall is 1.0 at the gate
+# corpora and the verify step makes every emitted pair exact, so the
+# routed pair set EQUALS the uncapped exact set and the component
+# labels + md5 draws replay bit-for-bit.
 _LEAKAGE_SPLIT_ROUTED_SQL = _LEAKAGE_SPLIT_SQL.replace(
     _JACCARD_SQL, _JACCARD_SQL_UNCAPPED
 )
+_LEAKAGE_KFOLD_ROUTED_SQL = _LEAKAGE_KFOLD_SQL.replace(
+    _JACCARD_SQL, _JACCARD_SQL_UNCAPPED
+)
+
+
+@register_extra("q_leakage_kfold_routed", _LEAKAGE_KFOLD_ROUTED_SQL)
+def q_leakage_kfold_routed(spark, sf_dir):
+    """leakage_safe_kfold on the SCALE-PATH pair source — the k-fold
+    face of q_leakage_split_routed (one family definition, both
+    protocols): folds assigned over minhash_lsh_pairs families, oracle
+    replayed over the uncapped exact pair set the LSH output equals at
+    recall 1.0."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return sampling.leakage_safe_kfold(docs, pairs, k=5)
 
 
 @register_extra("q_leakage_split_routed", _LEAKAGE_SPLIT_ROUTED_SQL)
