@@ -38,7 +38,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .sampling import seeded_shuffle
+from .sampling import seeded_ord, seeded_shuffle
 
 MANIFEST = "manifest.json"
 
@@ -289,7 +289,13 @@ def write_webdataset_shards(
     string_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "string"}
     col_list = list(columns)
 
-    shuffled = seeded_shuffle(df, key_col, seed=seed, ord_col="__ord")
+    # the ORDER COLUMN only, not seeded_shuffle's global orderBy: the
+    # groupBy(__shard) hash exchange below destroys any input order
+    # (and applyInPandas is not a sort-eliminating consumer, so the
+    # range exchange + full corpus sort would really run — pure waste
+    # at 100 TB); each shard re-establishes its order locally from the
+    # same md5 key, so the published tar bytes are identical
+    shuffled = df.withColumn("__ord", seeded_ord(F.col(key_col), seed))
     with_shard = shuffled.select(
         F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.lit(n_shards))
         .cast("int")
@@ -312,7 +318,14 @@ def write_webdataset_shards(
         pdf = pdf.sort_values(["__ord", "__key"]).reset_index(drop=True)
         shard = int(pdf["__shard"].iloc[0])
         name = f"shard-{shard:05d}.tar"
-        tmp = os.path.join(out_dir, f".{name}.tmp")
+        # per-ATTEMPT unique tmp (the storage.py staging discipline): a
+        # speculative duplicate or zombie retry of this shard task on a
+        # shared out_dir must not interleave writes into one tmp file —
+        # each attempt streams its own and the os.replace publish is
+        # last-writer-wins with identical bytes
+        import uuid as _uuid
+
+        tmp = os.path.join(out_dir, f".{name}.{_uuid.uuid4().hex[:8]}.tmp")
         h = hashlib.sha256()
         n_bytes = 0
         with tarfile.open(tmp, "w") as tf:
@@ -347,7 +360,11 @@ def write_webdataset_shards(
     )
     manifest = {
         "format": "webdataset",
-        "n_shards": n_shards,
+        # the POPULATED shard count (the parquet path's convention):
+        # hash buckets left empty by small corpora write no tar, and a
+        # loader enumerating n_shards names must not 404 on the gap
+        "n_shards": len(manifest_rows),
+        "n_shards_requested": n_shards,
         "key_col": key_col,
         "columns": {c: columns[c] for c in col_list},
         "seed": seed,
@@ -365,8 +382,14 @@ def write_webdataset_shards(
             key=lambda d: d["shard"],
         ),
     }
-    with open(os.path.join(out_dir, _WDS_MANIFEST), "w", encoding="utf-8") as fh:
+    # atomic publish (the parquet path's idiom): a crash mid-dump must
+    # not leave a truncated manifest, nor destroy a previous valid one
+    # on re-export
+    path = os.path.join(out_dir, _WDS_MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
         _json.dump(manifest, fh, indent=1)
+    os.replace(tmp, path)
     return manifest
 
 
@@ -421,6 +444,18 @@ def verify_webdataset_shards(spark: SparkSession, out_dir: str) -> dict:
         .collect()
     }
     mismatches = []
+    # the delivered set must be EXACTLY the manifest's (the parquet
+    # verifier's set-difference check): a stale tar from a previous
+    # larger export, or an injected one, is a verification failure —
+    # trainers glob *.tar and would consume the unverified extra
+    import glob as _glob
+
+    on_disk = {
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(out_dir, "shard-*.tar"))
+    }
+    for extra in sorted(on_disk - {s["file"] for s in manifest["shards"]}):
+        mismatches.append({"file": extra, "why": "extra shard not in manifest"})
     for s in manifest["shards"]:
         r = got.get(s["file"])
         if r is None:

@@ -84,8 +84,20 @@ def seeded_shuffle(
     xxhash64) so external systems and SQL engines can reproduce the
     exact order from the published recipe. ``id_col`` ties any hash
     collisions deterministically."""
-    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
-    return df.withColumn(ord_col, key).orderBy(ord_col, id_col)
+    return df.withColumn(ord_col, seeded_ord(F.col(id_col), seed)).orderBy(
+        ord_col, id_col
+    )
+
+
+def seeded_ord(id_col: Column, seed: int = 0) -> Column:
+    """:func:`seeded_shuffle`'s order key as a bare Column — for
+    consumers that need the deterministic position WITHOUT paying the
+    global sort: when the next operator is a hash exchange (a groupBy,
+    a hash-shard assignment) the order would be destroyed anyway and
+    re-established per group locally, so the range-exchange + full
+    corpus sort is pure waste at scale. Same md5 recipe, so positions
+    agree bit-for-bit with seeded_shuffle's."""
+    return F.md5(F.concat_ws(":", id_col.cast("string"), F.lit(str(seed))))
 
 
 def stratified_sample(

@@ -294,7 +294,7 @@ class DocumentStore:
         self,
         root: str,
         spark=None,
-        n_buckets: int = 16,
+        n_buckets: Optional[int] = None,
         auto_complete: bool = True,
         storage: Optional[Storage] = None,
     ):
@@ -2283,11 +2283,17 @@ class DocumentStore:
             # (current or historical) references it
             snapdir = self.storage._snapshot_dir()
             try:
+                # NUMERIC sort (review r12, same as _write_manifest's
+                # pruning): past 8-digit versions a lexical sort would
+                # cut the NEWEST snapshots instead of the oldest
                 snaps = sorted(
-                    n for n in os.listdir(snapdir)
-                    if n.startswith("v") and n.endswith(".json")
+                    (
+                        n for n in os.listdir(snapdir)
+                        if n.startswith("v") and n.endswith(".json")
+                    ),
+                    key=lambda n: int(n[1:-5]),
                 )
-            except OSError:
+            except (OSError, ValueError):
                 snaps = []
             if keep_versions is not None:
                 # clamp so keep_versions > len(snaps) keeps everything —
@@ -2529,16 +2535,36 @@ class DocumentStore:
         read, exactly as with an expired Kafka offset — the dead-letter
         log has the same shape and can be truncated the same way via
         ``Storage.replace_append_table``."""
+        from .storage import ManifestConflict
+
         with self._lock:
-            rows = self.storage.all_rows(FEED)
-            keep = sorted(
-                (r for r in rows if r["ts"] is not None and r["ts"] >= older_than_ms),
-                key=lambda r: (r["document_uri"], r["revision"]),
-            )
-            removed = len(rows) - len(keep)
-            if removed:
-                self.storage.replace_append_table(FEED, keep, FEED_SCHEMA)
-            return removed
+            last: Optional[BaseException] = None
+            for attempt in range(self.WRITE_CAS_RETRIES):
+                # version read BEFORE the rows (review r12): the flip is
+                # pinned on it, so an append landing anywhere in the
+                # read-compute window conflicts and we recompute —
+                # never strip a winner's a-key while dropping its rows.
+                # (Reading it after would let an append slip between
+                # the rows read and the version read and be erased.)
+                v0 = self.storage.current_version()
+                rows = self.storage.all_rows(FEED)
+                keep = sorted(
+                    (r for r in rows if r["ts"] is not None and r["ts"] >= older_than_ms),
+                    key=lambda r: (r["document_uri"], r["revision"]),
+                )
+                removed = len(rows) - len(keep)
+                if not removed:
+                    return 0
+                try:
+                    self.storage.replace_append_table(
+                        FEED, keep, FEED_SCHEMA, expected_version=v0
+                    )
+                    return removed
+                except ManifestConflict as e:
+                    last = e
+                if attempt < self.WRITE_CAS_RETRIES - 1:
+                    self._cas_backoff(attempt)
+            raise last  # type: ignore[misc]
 
     def feed_events(self) -> list[dict]:
         """The published change feed, in publication order (Kafka-topic

@@ -80,11 +80,27 @@ ROW_GROUP_SIZE = 8192
 class Storage:
     """Versioned, bucketed parquet tables under one root directory."""
 
-    def __init__(self, root: str, n_buckets: int = 16):
+    def __init__(self, root: str, n_buckets: Optional[int] = None):
         self.root = root
-        self.n_buckets = n_buckets
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         self._manifest_path = os.path.join(root, "manifest.json")
+        # the manifest's recorded modulus is AUTHORITATIVE on reopen
+        # (review r12): bucket_of(uri, wrong_n) silently routes every
+        # read and write to the wrong bucket — point GETs miss
+        # committed items, new writes fork divergent state. None
+        # (the default) adopts the recorded value; an explicit
+        # mismatching value is a hard error, never a silent rebucket.
+        if os.path.exists(self._manifest_path):
+            recorded = int(self._read_manifest().get("n_buckets", 16))
+            if n_buckets is not None and n_buckets != recorded:
+                raise ValueError(
+                    f"store at {root!r} was created with n_buckets="
+                    f"{recorded}, reopened with {n_buckets} — the bucket "
+                    "modulus is immutable for the life of a store"
+                )
+            self.n_buckets = recorded
+        else:
+            self.n_buckets = 16 if n_buckets is None else n_buckets
         # reentrant flock state for write_lock()/_cas_write_manifest —
         # per-(instance, THREAD) ownership: only the holding thread
         # re-enters via the depth counter; any other thread (e.g. a
@@ -97,7 +113,9 @@ class Storage:
         self._flock_owner: Optional[int] = None
         self._flock_mutex = _threading.Lock()
         if not os.path.exists(self._manifest_path):
-            self._write_manifest({"version": 0, "n_buckets": n_buckets, "tables": {}})
+            self._write_manifest(
+                {"version": 0, "n_buckets": self.n_buckets, "tables": {}}
+            )
 
     # -- manifest -----------------------------------------------------------
 
@@ -129,8 +147,12 @@ class Storage:
         with open(stmp, "w") as f:
             json.dump(manifest, f)
         os.replace(stmp, snap)
+        # NUMERIC sort (review r12): %08d pads, never truncates — past
+        # version 99,999,999 a lexical sort would rank the newest
+        # snapshot FIRST and prune the fresh window instead of the old
         kept = sorted(
-            (n for n in os.listdir(snapdir) if n.startswith("v") and n.endswith(".json"))
+            (n for n in os.listdir(snapdir) if n.startswith("v") and n.endswith(".json")),
+            key=lambda n: int(n[1:-5]),
         )
         for name in kept[: -self.SNAPSHOT_KEEP]:
             try:
@@ -534,12 +556,31 @@ class Storage:
                     raise
         raise AssertionError("unreachable")  # pragma: no cover
 
-    def replace_append_table(self, table: str, rows: list[dict], schema: pa.Schema) -> int:
+    def replace_append_table(
+        self,
+        table: str,
+        rows: list[dict],
+        schema: pa.Schema,
+        expected_version: Optional[int] = None,
+    ) -> int:
         """Swap an append-only table's ENTIRE content for ``rows`` in
         one CAS flip (retention truncation; compaction's backstop).
         The new file takes an ``a{version}`` key, so later appends
-        (higher versions) keep sorting after it."""
+        (higher versions) keep sorting after it.
+
+        ``expected_version`` pins the flip on the manifest version the
+        caller's read began at (review r12): without it, an append
+        landing between the caller's table read and this flip has its
+        a-key stripped here while its rows are absent from ``rows`` —
+        the winner's events silently erased, exactly the lost update
+        the class comment forbids for read-modify-write commits.
+        Callers own the retry: re-read, recompute, re-call."""
         manifest = self._read_manifest()
+        if expected_version is not None and manifest["version"] != expected_version:
+            raise ManifestConflict(
+                f"{table}: manifest moved to v{manifest['version']} since the "
+                f"replacement was computed at v{expected_version}"
+            )
         version = manifest["version"] + 1
         rel = os.path.join(
             "data", _sanitize(table), f"retain-v{version:08d}-{uuid.uuid4().hex[:6]}.parquet"
@@ -627,6 +668,12 @@ class SnapshotStorage(Storage):
         raise RuntimeError("SnapshotStorage is read-only (time-travel view)")
 
     def compact_append_table(self, table):
+        raise RuntimeError("SnapshotStorage is read-only (time-travel view)")
+
+    def replace_append_table(self, table, rows, schema, expected_version=None):
+        # inherited, this would stage a retain-*.parquet into the LIVE
+        # data dir before failing at the CAS — an orphan written
+        # through the read-only facade (review r12)
         raise RuntimeError("SnapshotStorage is read-only (time-travel view)")
 
 

@@ -31,11 +31,17 @@ def feed_readstream(
 
     ``dedup_within`` upgrades delivery to consumer-side exactly-once:
     pass a watermark duration (e.g. ``"1 hour"``) and re-deliveries of
-    the same (document_uri, item_id, revision) key arriving within that
-    event-time bound are dropped via
-    ``dropDuplicatesWithinWatermark`` — state is bounded by the
+    the same event arriving within that event-time bound are dropped
+    via ``dropDuplicatesWithinWatermark`` — state is bounded by the
     watermark, so this scales to an unbounded feed (a plain
-    dropDuplicates would accumulate every key forever). Crash-replay
+    dropDuplicates would accumulate every key forever). The dedup key
+    is the event ``uuid`` — the stable event identity: crash-replay
+    re-publications carry the originating WAL transaction's uuid, so
+    they collapse, while DISTINCT events that share
+    (document_uri, item_id, revision) do not — index-DDL events all
+    carry revision 0 with item_id = index_id, so keying on that triple
+    would silently drop a delete-after-create (or a re-create) of the
+    same index inside the bound (review r12). Crash-replay
     re-publications (the WAL's at-least-once completion path) land
     within seconds of the original, so any operationally sane bound
     covers them; events re-delivered LATER than the bound (e.g. a feed
@@ -51,6 +57,6 @@ def feed_readstream(
     return (
         df.withColumn("event_time", F.timestamp_millis(F.col("ts")))
         .withWatermark("event_time", dedup_within)
-        .dropDuplicatesWithinWatermark(["document_uri", "item_id", "revision"])
+        .dropDuplicatesWithinWatermark(["uuid"])
         .drop("event_time")
     )

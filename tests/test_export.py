@@ -259,6 +259,17 @@ def test_webdataset_shards_roundtrip_verify_tamper(spark, tmp_path):
     assert sum(s["n_samples"] for s in manifest["shards"]) == 40
 
     assert export.verify_webdataset_shards(spark, out)["ok"]
+    assert manifest["n_shards"] == 4 and manifest["n_shards_requested"] == 4
+
+    # an extra tar on disk (stale larger export / injected file) must
+    # fail verification — trainers glob *.tar (r12 review)
+    stray = os.path.join(out, "shard-00099.tar")
+    open(stray, "wb").write(b"not a tar")
+    res = export.verify_webdataset_shards(spark, out)
+    assert not res["ok"]
+    assert any(m["file"] == "shard-00099.tar" for m in res["mismatches"])
+    os.unlink(stray)
+    assert export.verify_webdataset_shards(spark, out)["ok"]
 
     back = export.read_webdataset_shards(spark, out)
     txt = {r.key: bytes(r.content).decode() for r in back.filter("ext = 'txt'").collect()}
@@ -301,6 +312,27 @@ def test_webdataset_shards_roundtrip_verify_tamper(spark, tmp_path):
         export.write_webdataset_shards(
             df, str(tmp_path / "x"), 2, "doc_id", {"nope": "txt"}
         )
+
+
+def test_webdataset_empty_bucket_consistency(spark, tmp_path):
+    """r12 review: hash buckets a small corpus leaves empty write no
+    tar — the manifest's n_shards must record the POPULATED count (the
+    parquet path's convention) so a loader enumerating shard names
+    never 404s, and verification stays green over the gap."""
+    from pyspark.sql import functions as F
+
+    from hyper_storage_spark.operators import export
+
+    df = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("text"),
+    )
+    out = str(tmp_path / "gaps")
+    manifest = export.write_webdataset_shards(df, out, 16, "doc_id", {"text": "txt"}, seed=1)
+    assert manifest["n_shards"] == len(manifest["shards"]) <= 5
+    assert manifest["n_shards_requested"] == 16
+    assert sum(s["n_samples"] for s in manifest["shards"]) == 5
+    assert export.verify_webdataset_shards(spark, out)["ok"]
 
 
 def test_webdataset_ships_real_png_payloads(spark, tmp_path):

@@ -2221,3 +2221,135 @@ def test_incremental_index_refresh_equals_full_rebuild(spark, tmp_path):
     for d in store.index_defs("inc~"):
         store._backfill_index_spark(d)
     assert mv_rows("byv") == got_after
+
+
+def test_n_buckets_recorded_and_authoritative(tmp_path):
+    """review r12: the manifest's bucket modulus is authoritative on
+    reopen — bucket_of(uri, wrong_n) would silently route every read
+    and write to the wrong bucket. Default adopts; explicit mismatch
+    raises."""
+    from hyper_storage_spark.store.storage import Storage
+
+    root = str(tmp_path / "s")
+    assert Storage(root, 8).n_buckets == 8
+    assert Storage(root).n_buckets == 8  # reopen with default: adopt
+    with pytest.raises(ValueError, match="n_buckets"):
+        Storage(root, 16)
+    ds = DocumentStore(root)  # store facade adopts too
+    assert ds.storage.n_buckets == 8
+
+
+def test_replace_append_table_pinned_against_concurrent_append(tmp_path):
+    """review r12: an append landing between the caller's table read
+    and the replace flip must conflict, not be silently erased (its
+    a-key stripped while its rows are absent from the replacement)."""
+    import pyarrow as pa
+
+    from hyper_storage_spark.store.storage import ManifestConflict, Storage
+
+    s = Storage(str(tmp_path / "s"))
+    schema = pa.schema([("v", pa.string())])
+    s.append("t", [{"v": "a"}], schema)
+    v0 = s.current_version()
+    rows = s.all_rows("t")
+    s.append("t", [{"v": "b"}], schema)  # the concurrent winner
+    with pytest.raises(ManifestConflict):
+        s.replace_append_table("t", rows, schema, expected_version=v0)
+    assert sorted(r["v"] for r in s.all_rows("t")) == ["a", "b"]  # b survived
+    # recompute at the fresh version: succeeds
+    v1 = s.current_version()
+    keep = [r for r in s.all_rows("t") if r["v"] != "a"]
+    s.replace_append_table("t", keep, schema, expected_version=v1)
+    assert [r["v"] for r in s.all_rows("t")] == ["b"]
+    # unpinned call keeps working (compaction's backstop path)
+    s.replace_append_table("t", [], schema)
+    assert s.all_rows("t") == []
+
+
+def test_truncate_feed_retries_past_concurrent_append(spark, tmp_path):
+    """truncate_feed's read-compute window is pinned: a feed append
+    landing inside it forces a recompute, and the late event survives
+    the truncation."""
+    from hyper_storage_spark.store.documents import FEED, FEED_SCHEMA
+
+    store = DocumentStore(str(tmp_path / "store"), spark=spark)
+    store.put("doc1", {"a": 1})
+    store.put("doc2", {"a": 2})
+    cutoff = max(r["ts"] for r in store.feed_events()) + 1
+
+    real = store.storage.replace_append_table
+    hits = {"n": 0}
+
+    def racing(table, rows, schema, expected_version=None):
+        if hits["n"] == 0:
+            hits["n"] += 1
+            late = dict(store.feed_events()[0])
+            late["uuid"] = "late-event"
+            late["ts"] = cutoff + 1000
+            store.storage.append(FEED, [late], FEED_SCHEMA)
+        return real(table, rows, schema, expected_version=expected_version)
+
+    store.storage.replace_append_table = racing
+    try:
+        removed = store.truncate_feed(cutoff)
+    finally:
+        store.storage.replace_append_table = real
+    assert removed == 2 and hits["n"] == 1
+    assert [r["uuid"] for r in store.feed_events()] == ["late-event"]
+
+
+def test_snapshot_prune_numeric_past_eight_digits(tmp_path):
+    """review r12: snapshot retention must sort NUMERICALLY — past
+    version 99,999,999 a lexical sort ranks the newest snapshot first
+    and prunes the fresh window instead of the old."""
+    import json
+    import os
+
+    from hyper_storage_spark.store.storage import Storage
+
+    s = Storage(str(tmp_path / "s"))
+    snapdir = s._snapshot_dir()
+    # fabricate a window straddling the 8->9 digit boundary
+    for v in range(99_999_980, 100_000_020):
+        with open(os.path.join(snapdir, f"v{v:08d}.json"), "w") as f:
+            json.dump({"version": v, "tables": {}}, f)
+    import pyarrow as pa
+
+    s.append("t", [{"v": "x"}], pa.schema([("v", pa.string())]))  # triggers a flip + prune
+    left = sorted(
+        int(n[1:-5])
+        for n in os.listdir(snapdir)
+        if n.startswith("v") and n.endswith(".json")
+    )
+    assert len(left) == Storage.SNAPSHOT_KEEP
+    assert left[-1] == 100_000_019  # newest retained
+    assert 99_999_980 not in left  # oldest pruned
+
+
+def test_snapshot_storage_replace_append_is_readonly(tmp_path):
+    """review r12: replace_append_table through a snapshot view must
+    fail BEFORE staging any file — no orphans behind the read-only
+    facade."""
+    import os
+
+    import pyarrow as pa
+
+    from hyper_storage_spark.store.storage import SnapshotStorage, Storage
+
+    s = Storage(str(tmp_path / "s"))
+    schema = pa.schema([("v", pa.string())])
+    s.append("t", [{"v": "a"}], schema)
+    snap = SnapshotStorage(s, s.current_version())
+    before = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(s.root, "data"))
+        for f in fs
+    )
+    with pytest.raises(RuntimeError, match="read-only"):
+        snap.replace_append_table("t", [], schema)
+    after = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(s.root, "data"))
+        for f in fs
+    )
+    assert before == after

@@ -747,6 +747,31 @@ def test_feed_readstream_exactly_once_dedup(spark, tmp_path):
     # deduped stream keeps the raw schema (no watermark column leaks)
     assert "event_time" not in feed_readstream(spark, store, dedup_within="1 hour").columns
 
+    # DDL events all share (uri, item_id=index_id, revision=0) but are
+    # DISTINCT events — the uuid dedup key must keep a delete-after-
+    # create and a re-create inside the watermark (review r12: a
+    # (uri, item, revision) key silently dropped them as duplicates)
+    from hyper_storage_spark.plans import SortItem
+
+    store.create_index("col~", "by_b", [SortItem("b", "decimal", "asc")], None)
+    store.delete_index("col~", "by_b")
+    store.create_index("col~", "by_b", [SortItem("b", "decimal", "asc")], None)
+    q = (
+        feed_readstream(spark, store, dedup_within="1 hour")
+        .writeStream.format("memory")
+        .queryName("feed_ddl")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ddl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ddl = spark.sql(
+        "SELECT method FROM feed_ddl WHERE revision = 0 AND item_id = 'by_b'"
+    ).collect()
+    assert sorted(r.method for r in ddl) == [
+        "feed:indexdelete", "feed:indexpost", "feed:indexpost",
+    ]
+
 
 def test_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
     from pyspark.sql import functions as F
