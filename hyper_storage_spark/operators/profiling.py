@@ -166,8 +166,14 @@ def weighted_quantiles(
         return "p" + f"{q * 100:g}".replace(".", "_")
 
     groups = list(group_cols)
+    # complete-case on the value (review r12): a NULL value's weight
+    # would otherwise enter BOTH the total and the head of the
+    # ascending cumulation (Spark sorts NULLS FIRST), shifting every
+    # selected quantile of the real data — the standard convention is
+    # quantiles over the non-null values only
     g = (
-        df.groupBy(*groups, value_col)
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*groups, value_col)
         .agg(F.sum(F.col(weight_col).cast(weight_dec)).alias("__w"))
     )
     cum_w = Window.partitionBy(*groups).orderBy(value_col)
@@ -338,10 +344,18 @@ def chi2_independence(
 
     Scale shape: ONE groupBy over the corpus produces the r·c
     contingency table; marginals and the statistic are aggregations of
-    that tiny table (two broadcast joins). Never a corpus self-join."""
-    cells = df.groupBy(
-        F.col(col_a).alias("a"), F.col(col_b).alias("b")
-    ).agg(F.count("*").alias("o"))
+    that tiny table (two broadcast joins). Never a corpus self-join.
+
+    NULL categories are excluded up front (complete-case, review r12):
+    without the filter, NULL-keyed cells survive the groupBy and
+    inflate n, but the null-rejecting marginal joins silently drop
+    them from the chi2 sum — every expectation e = ra·cb/n is then
+    computed against a total the summed table doesn't have."""
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count("*").alias("o"))
+    )
     from ._caches import tracked_persist
 
     cells = tracked_persist(cells)
@@ -661,10 +675,16 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     log per cell/margin, summed over the r·c contingency (tiny) and
     rounded to 6 after summing. Same one-groupBy contingency shape as
     :func:`chi2_independence`; H terms come from the margins of that
-    same reduction."""
-    cells = df.groupBy(
-        F.col(col_a).alias("a"), F.col(col_b).alias("b")
-    ).agg(F.count("*").alias("o"))
+    same reduction — and the same complete-case NULL exclusion
+    (review r12): without it, NULL-keyed cells enter n and the
+    entropies but are dropped from mi_raw by the null-rejecting
+    joins, so mi sums a sub-distribution whose probabilities don't
+    reach 1 while nmi normalizes by entropies of a different one."""
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count("*").alias("o"))
+    )
     from ._caches import tracked_persist
 
     cells = tracked_persist(cells)

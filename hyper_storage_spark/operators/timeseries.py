@@ -118,7 +118,14 @@ def asof_join(
             else []
         ),
     )
-    r2 = right.select(
+    # a NULL-timestamp RIGHT row matches nothing (merge_asof
+    # semantics, review r12): unfiltered it sorts NULLS-FIRST in the
+    # backward scan and its struct carries forward as a phantom match
+    # for every left row until a real right row supersedes it, while
+    # forward (desc = nulls last) never sees it — direction-
+    # inconsistent phantoms. The left-side NULL guard below is the
+    # mirrored half of the same rule.
+    r2 = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
@@ -383,9 +390,16 @@ def hypertable_rollup(
     months/quarters/years and vice versa."""
     _RANK = {"second": 0, "minute": 1, "hour": 2, "day": 3,
              "week": 4, "month": 4, "quarter": 5, "year": 6}
+    if not resolutions:
+        raise ValueError("resolutions must be non-empty")
+    # each unit validated INDIVIDUALLY (review r12): the pairwise zip
+    # is empty for a single-element list, and an unknown unit would
+    # sail through to date_trunc, which returns NULL — the whole table
+    # silently collapsed into one NULL bucket
+    for res in resolutions:
+        if res not in _RANK:
+            raise ValueError(f"unsupported resolution {res!r}")
     for fine, coarse in zip(resolutions, resolutions[1:]):
-        if fine not in _RANK or coarse not in _RANK:
-            raise ValueError(f"unsupported resolution {fine!r}/{coarse!r}")
         nests = _RANK[coarse] > _RANK[fine] and not (
             # week and month/quarter/year don't tile each other
             ("week" in (fine, coarse) and _RANK[fine] >= 4)
@@ -445,7 +459,14 @@ def series_similarity_topk(
     n_segments-float sketch participates in the ranking shuffle; full
     vectors are touched for ~candidate_factor*k rows."""
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
-    daily = (
+    from ._caches import tracked_persist
+
+    # persisted (review r12): the daily reduction feeds the span probe
+    # AND the series build; the series frame then feeds the query-
+    # existence probe, the broadcast query row, and both branches of
+    # the candidate split — unpersisted, each of those five actions
+    # re-ran the full events scan + aggregation
+    daily = tracked_persist(
         events.groupBy(F.col(id_col).alias("sid"), day.alias("d"))
         .agg(F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("v"))
     )
@@ -461,7 +482,7 @@ def series_similarity_topk(
         F.sequence(F.lit(0), F.lit(n_days - 1)),
         lambda i: F.coalesce(F.element_at(F.col("mp"), i.cast("int")), F.lit(0.0)),
     )
-    series = (
+    series = tracked_persist(
         daily.withColumn("di", F.datediff(F.col("d"), F.lit(d0)))
         .groupBy("sid")
         .agg(F.map_from_arrays(F.collect_list("di"), F.collect_list("v")).alias("mp"))

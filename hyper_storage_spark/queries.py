@@ -7132,7 +7132,9 @@ def q_exact_percentiles(spark, sf_dir):
     """WITH g AS (
          SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,4)) AS v,
                 SUM(CAST(l_quantity AS DECIMAL(20,6))) AS w
-         FROM lineitem GROUP BY 1, 2
+         FROM lineitem
+         WHERE l_extendedprice IS NOT NULL
+         GROUP BY 1, 2
        ),
        c AS (
          SELECT l_returnflag, v,
@@ -7382,7 +7384,9 @@ def q_winsorize(spark, sf_dir):
     "q_chi2_independence",
     """WITH cells AS (
          SELECT lang AS a, source AS b, COUNT(*) AS o
-         FROM documents GROUP BY 1, 2
+         FROM documents
+         WHERE lang IS NOT NULL AND source IS NOT NULL
+         GROUP BY 1, 2
        ),
        ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
        cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
@@ -7655,7 +7659,9 @@ def q_calibration_bins(spark, sf_dir):
     "q_mutual_information",
     """WITH cells AS (
          SELECT lang AS a, source AS b, COUNT(*) AS o
-         FROM documents GROUP BY 1, 2
+         FROM documents
+         WHERE lang IS NOT NULL AND source IS NOT NULL
+         GROUP BY 1, 2
        ),
        ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
        cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),

@@ -40,6 +40,7 @@ from ..plans.field_filters import FieldFiltersExtractor
 from ..plans.index_logic import (
     least_rows_filter_fields,
     merge_least_query_filter_fields,
+    table_field_name,
     weigh_index,
 )
 from ..plans.model import (
@@ -365,6 +366,29 @@ def _collection_ordering_sort(items: list[Any], sort: list[SortBy]) -> list[Any]
     return sorted(items, key=functools.cmp_to_key(cmp))
 
 
+def _resume_value_from_row(index_sort_fields: list, row) -> dict:
+    """Synthetic resume mapping for :func:`least_rows_filter_fields`
+    built from a fetched row's PHYSICAL sort columns — used when the
+    row's body is None (a legal live state: PATCH merging to Null) and
+    the body-path walk has nothing to extract. The physical cell is the
+    committed sort position, so the keyset filters it yields are exact."""
+    out: dict = {}
+    size = len(index_sort_fields)
+    for i, item in enumerate(index_sort_fields):
+        try:
+            v = row[table_field_name(item, size, i)]
+        except (KeyError, ValueError, TypeError):
+            continue
+        if v is None:
+            continue
+        cur = out
+        segs = item.field_name.split(".")
+        for seg in segs[:-1]:
+            cur = cur.setdefault(seg, {})
+        cur[segs[-1]] = v
+    return out
+
+
 def query_paged(
     store: DocumentStore,
     uri: str,
@@ -425,9 +449,11 @@ def query_paged(
         selects.append({"table": plan.table_name, "filters": merged, "limit": fetch_limit})
 
         accepted = []
+        last_row = None
         for r in fetched:
             body = json.loads(r.body) if r.body is not None else None
             last_value = body
+            last_row = r
             if residual_ok(body):
                 accepted.append(body)
         items.extend(accepted)
@@ -443,8 +469,16 @@ def query_paged(
             and total_fetched < fetch_limit
         ):
             break
+        if total_fetched == 0:
+            break  # no progress possible — the resume filters cannot move
         if last_value is None:
-            break
+            # a LIVE row may legally carry body=None (a PATCH merging to
+            # Null stores body=None, is_deleted=false) — review r12:
+            # breaking here silently truncated pagination while query()
+            # over the same data kept going. Resume from the fetched
+            # row's PHYSICAL sort cells instead; the committed cell is
+            # the authoritative keyset position regardless of the body.
+            last_value = _resume_value_from_row(index_sort_fields, last_row)
         next_least = least_rows_filter_fields(
             index_sort_fields,
             plan.filter_fields,

@@ -547,8 +547,16 @@ def _affected_groups(store, d: RollupDef, current_rev: int) -> Optional[DataFram
     from .merge import merge_patch
 
     W = d.built_revision
+    # CONTENT events only (review r12): index-DDL events ride the same
+    # feed with item_id = index_id and revision 0 (the DDL marker), so
+    # without the revision floor a collection that ever created or
+    # dropped an index fails the rmin==1 completeness proof forever
+    # and every refresh silently takes the full-rebuild path — the
+    # delta-bounded invalidation this module exists for never engages
     feed = store.storage.spark_df_or_empty(store.spark, FEED, FEED_SPARK).filter(
-        (F.col("document_uri") == d.document_uri) & (F.col("item_id") != "")
+        (F.col("document_uri") == d.document_uri)
+        & (F.col("item_id") != "")
+        & (F.col("revision") >= 1)
     )
     s = feed.agg(
         F.count_distinct("revision").alias("revs"),
@@ -608,7 +616,7 @@ def _affected_groups(store, d: RollupDef, current_rev: int) -> Optional[DataFram
     return groups
 
 
-def _refresh_invalidated(store, d: RollupDef, groups: DataFrame) -> None:
+def _refresh_invalidated(store, d: RollupDef, groups: DataFrame) -> DataFrame:
     """Recompute ONLY the affected grain groups and return the stitched
     MV frame (the caller commits it atomically with the watermark):
     untouched groups pass through without re-aggregation

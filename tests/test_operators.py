@@ -629,6 +629,24 @@ def test_asof_join_directions(spark):
     with pytest.raises(ValueError, match="direction"):
         timeseries.asof_join(left, right, on=["k"], right_cols=["v"], direction="both")
 
+    # a NULL-timestamp right row matches NOTHING in any direction
+    # (merge_asof semantics, review r12): before the fix it sorted
+    # nulls-first in the backward scan and phantom-matched every left
+    # row until a real right row superseded it
+    right_null = spark.createDataFrame(
+        [("u2", None, 7.0), ("u2", 5, 9.0)], "k string, ts long, v double"
+    )
+    for direction, want in (("backward", 9.0), ("forward", None), ("nearest", 9.0)):
+        got = {
+            (r.k, r.ts): r.v
+            for r in timeseries.asof_join(
+                left, right_null, on=["k"], right_cols=["v"], how="left",
+                direction=direction,
+            ).collect()
+        }
+        assert got[("u2", 10)] == want, direction  # the real row or nothing
+        assert all(v != 7.0 for v in got.values()), direction  # never the phantom
+
 
 def test_hash_split_properties(spark):
     """The properties a corpus split lives and dies by: exhaustive and
@@ -986,6 +1004,13 @@ def test_hypertable_rollup_rejects_non_nesting_resolutions(spark, sf_dir):
         timeseries.hypertable_rollup(e, "ts", "v", resolutions=("week", "month"))
     # nesting chains still fine
     timeseries.hypertable_rollup(e, "ts", "v", resolutions=("hour", "day", "month", "year"))
+    # review r12: a SINGLE unknown unit must raise too — the pairwise
+    # check is empty for one element and date_trunc on a bad unit
+    # silently collapses everything into one NULL bucket
+    with _pytest.raises(ValueError, match="unsupported resolution"):
+        timeseries.hypertable_rollup(e, "ts", "v", resolutions=("fortnight",))
+    with _pytest.raises(ValueError, match="non-empty"):
+        timeseries.hypertable_rollup(e, "ts", "v", resolutions=())
 
 
 def test_resize_empty_payload_keeps_fixed_shape(spark):
@@ -2478,6 +2503,18 @@ def test_chi2_independence_hand_computed(spark):
     got0 = profiling.chi2_independence(indep, "a", "b").collect()[0]
     assert got0.chi2 == 0.0 and got0.cramers_v == 0.0
 
+    # NULL categories are complete-case excluded (review r12): adding
+    # NULL-keyed rows must not change the statistic — before the fix
+    # they inflated n while the null-rejecting marginal joins dropped
+    # their cells from the sum
+    with_nulls = spark.createDataFrame(
+        rows + [(None, "u")] * 25 + [("x", None)] * 25 + [(None, None)] * 25,
+        "a string, b string",
+    )
+    gotn = profiling.chi2_independence(with_nulls, "a", "b").collect()[0]
+    assert gotn.n == 100 and gotn.dof == 1
+    assert gotn.chi2 == got.chi2 and gotn.cramers_v == got.cramers_v
+
 
 def test_spearman_hand_computed_and_ties(spark):
     from hyper_storage_spark.operators import profiling
@@ -2564,6 +2601,26 @@ def test_mutual_information_hand_computed(spark):
     )
     row0 = profiling.mutual_information(indep, "a", "b").collect()[0]
     assert row0.mi == 0.0 and row0.nmi == 0.0
+    # NULL categories are complete-case excluded (review r12): same
+    # statistic with NULL-keyed rows present
+    depn = spark.createDataFrame(
+        [("x", "u")] * 5 + [("y", "v")] * 5 + [(None, "u")] * 4 + [("x", None)] * 4,
+        "a string, b string",
+    )
+    rown = profiling.mutual_information(depn, "a", "b").collect()[0]
+    assert rown.n == 10 and rown.mi == row.mi and rown.nmi == 1.0
+
+
+def test_weighted_quantiles_exclude_null_values(spark):
+    """review r12: a NULL value's weight must not enter the total or
+    the cumulation head — quantiles are over the non-null values."""
+    from hyper_storage_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(None, 100.0), (10.0, 1.0), (20.0, 1.0)], "v double, w double"
+    )
+    got = profiling.weighted_quantiles(df, "v", "w", qs=(0.75,)).collect()[0]
+    assert got.p75 == 20.0  # with the null's weight counted it was 10.0
 
 
 def test_ols_trend_hand_computed(spark):

@@ -83,6 +83,22 @@ def test_mutating_delta_invalidates_touched_buckets(store, mutate):
     assert _mv_rows(df) == _direct(store)
 
 
+def test_invalidation_survives_index_ddl_events(store):
+    """review r12: index-DDL feed events (item_id = index_id, revision
+    0) must not poison the invalidation completeness proof — before
+    the revision floor, a collection that ever created an index failed
+    rmin==1 forever and every refresh fell back to a full rebuild."""
+    from hyper_storage_spark.plans.model import SortItem
+
+    store.create_rollup("metrics~", "ts", ["k"], "v", resolution="day", schema=SCHEMA)
+    store.create_index("metrics~", "by_k", [SortItem("k", "text", "asc")], None)
+    store.delete_index("metrics~", "by_k")
+    store.patch("metrics~/m001", {"v": -5.0})
+    df, route = store.aggregate("metrics~", "ts", ["k"], "v", resolution="day")
+    assert route.refresh_mode == "invalidated"  # not "rebuilt"
+    assert _mv_rows(df) == _direct(store)
+
+
 def test_invalidation_drops_emptied_groups_and_respects_cap(store, monkeypatch):
     from hyper_storage_spark.store import rollups
 

@@ -566,6 +566,22 @@ def test_patch_merging_to_null_body_is_query_safe(store):
     assert store.collection_df("nb~").count() == 0
 
 
+def test_query_paged_resumes_past_null_body_row(store):
+    """review r12: a live null-body row (PATCH merging to Null) landing
+    as the LAST fetched row of a keyset page must not end pagination —
+    the old loop broke on last_value None and silently truncated the
+    result while query() over the same data kept going. The resume
+    filters now derive from the row's PHYSICAL sort cells."""
+    for i in range(1, 7):
+        store.put(f"nbp~/x{i}", {"v": i})
+    store.patch("nbp~/x3", None)  # live row, body=None, filter rejects it
+    full = store.query("nbp~", filter="v > 0", size=10).items
+    assert [b["v"] for b in full] == [1, 2, 4, 5, 6]
+    paged = store.query_paged("nbp~", filter="v > 0", size=3)
+    assert [b["v"] for b in paged.items] == [1, 2, 4]
+    assert len(paged.selects) >= 2  # it paged PAST the null-body row
+
+
 def test_manifest_cas_rejects_lost_flip(tmp_path):
     """Two stores on one root: a writer whose manifest snapshot went
     stale must have its flip REFUSED (ManifestConflict), not silently
