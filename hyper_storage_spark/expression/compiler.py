@@ -150,7 +150,7 @@ def from_literal(value) -> DynCol:
     if isinstance(value, Decimal):
         return DynCol(
             s=F.lit(canonical_str(value)),
-            n=F.lit(value).cast(DEC),
+            n=F.lit(value).try_cast(DEC),
             isnum=F.lit(True),
             isbool=_false(),
             bval=_null_b(),
@@ -253,11 +253,14 @@ def _canon_num_str(c: Column) -> Column:
 
     Known divergence at extreme magnitudes: |x| < 1e-7 prints in
     scientific notation evaluator-side ('1E-7') but positionally here,
-    and |x| ≥ 1e26 overflows the decimal(38,12) working type to NULL.
+    and |x| ≥ 1e26 overflows the decimal(38,12) working type to NULL
+    (try_cast, review r12 — a plain cast under Spark 4's default ANSI
+    mode would ABORT the whole query on one out-of-range value
+    instead of rejecting the row).
     The engine's numeric domain (money/quantities/counts) sits far
     inside both bounds; numeric COMPARISONS are unaffected (they use
     the decimal form, not the string form)."""
-    s = c.cast(DEC).cast("string")
+    s = c.try_cast(DEC).cast("string")
     s = F.regexp_replace(s, r"(\.\d*?)0+$", "$1")
     return F.regexp_replace(s, r"\.$", "")
 
@@ -269,7 +272,7 @@ def from_typed_column(col: Column, dtype: str) -> DynCol:
     if dtype.startswith(_NUMERIC_PREFIXES):
         return DynCol(
             s=_canon_num_str(col),
-            n=col.cast(DEC),
+            n=col.try_cast(DEC),
             isnum=col.isNotNull(),
             isbool=_false(),
             bval=_null_b(),

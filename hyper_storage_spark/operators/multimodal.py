@@ -125,15 +125,21 @@ def _intensities(payload: bytes, media_type: str) -> list[int]:
     )
 
 
-def _decode_real(payload: bytes, media_type: str) -> list[float]:
-    """Real feature extraction: decode to intensities, normalized
-    16-bin intensity histogram (bin = value // 16)."""
-    vals = _intensities(payload, media_type)
+def _hist_features(vals) -> list[float]:
+    """Normalized FEATURE_DIM-bin intensity histogram — the ONE
+    definition of the real feature vector (review r12: _row_features
+    previously inlined a copy that could drift from this one)."""
     hist = [0] * FEATURE_DIM
     for v in vals:
         hist[v // FEATURE_DIM] += 1
     total = max(len(vals), 1)
     return [round(h / total, 6) for h in hist]
+
+
+def _decode_real(payload: bytes, media_type: str) -> list[float]:
+    """Real feature extraction: decode to intensities, normalized
+    16-bin intensity histogram (bin = value // 16)."""
+    return _hist_features(_intensities(payload, media_type))
 
 
 def _decode_fake(payload: bytes, media_type: str) -> list[float]:
@@ -178,11 +184,7 @@ def _row_features(payload, media_type: str, mode: str) -> tuple[int, int, list[f
                 raise
             vals = None
         if vals is not None:
-            hist = [0] * FEATURE_DIM
-            for v in vals:
-                hist[v // FEATURE_DIM] += 1
-            total = max(len(vals), 1)
-            return len(p), len(vals), [round(h / total, 6) for h in hist]
+            return len(p), len(vals), _hist_features(vals)
     return len(p), len(p), _decode_fake(p, media_type)
 
 
@@ -282,7 +284,11 @@ def resize_images(media: DataFrame, width: int, height: int, mode: str = "auto")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            is_img = pdf["media_type"].str.startswith("image/")
+            # na=False: .str.startswith returns NaN for a NULL
+            # media_type and NaN is truthy (review r12) — a typeless
+            # row must take the documented non-image pass-through with
+            # -1 sentinels, not be resized as an image
+            is_img = pdf["media_type"].str.startswith("image/", na=False)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -475,13 +481,21 @@ def scene_changes(media: DataFrame, threshold: float = 16.0) -> DataFrame:
                     continue
                 if not _decodable(payload, "video/mp4"):
                     continue
+                import numpy as np
+
                 _w, _h, frames = media_codecs.mp4_decode(bytes(payload))
                 for i in range(1, len(frames)):
                     a, b = frames[i - 1], frames[i]
                     n = min(len(a), len(b))
                     if n == 0:
                         continue
-                    total = sum(abs(a[j] - b[j]) for j in range(n))
+                    # vectorized (review r12): the per-byte Python
+                    # generator ran the interpreter once per pixel per
+                    # pair — ~1M iterations per real-size frame pair.
+                    # int16 before subtracting: uint8 difference wraps.
+                    av = np.frombuffer(bytes(a[:n]), dtype=np.uint8).astype(np.int16)
+                    bv = np.frombuffer(bytes(b[:n]), dtype=np.uint8).astype(np.int16)
+                    total = int(np.abs(av - bv).sum())
                     l1 = total / n
                     rows.append((doc_id, i, l1, l1 > threshold))
             yield pd.DataFrame(

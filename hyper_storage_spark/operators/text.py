@@ -712,13 +712,22 @@ def kl_unigram_divergence(
     n = gt.agg(F.sum("c").alias("n"))
     p = F.col("c").cast("double") / F.col("ng")
     q = F.col("ct").cast("double") / F.col("n")
-    return (
+    # null-SAFE joins on the group key (the ppl_buckets fix, review
+    # r12): a NULL group (unidentified language) survives the groupBys
+    # but a null-rejecting equi-join would silently drop its KL row.
+    # The totals side is renamed to dodge same-lineage ambiguity.
+    gtot2 = gtot.withColumnRenamed("g", "__g")
+    scored = (
         gt.join(ttot, "term")
-        .join(F.broadcast(gtot), "g")
+        .join(F.broadcast(gtot2), F.col("g").eqNullSafe(F.col("__g")))
+        .drop("__g")
         .crossJoin(F.broadcast(n))
         .groupBy("g")
         .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
-        .join(gtot, "g")
+    )
+    return (
+        scored.join(gtot2, F.col("g").eqNullSafe(F.col("__g")))
+        .drop("__g")
         .select(F.col("g").alias(group_col), F.col("ng").alias("n_tokens"), "kl")
     )
 
@@ -1120,9 +1129,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     (0 words). At 100 TB this is one scan-stage projection fused with
     whatever runs next."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.filter(
-        F.split(F.trim(text), TOKEN_SPLIT), lambda t: t != F.lit("")
-    )
+    toks = tokens_col(text)  # the module's one tokenization (review r12)
     lines = F.filter(
         F.split(text, r"\n"), lambda ln: F.trim(ln) != F.lit("")
     )
@@ -1198,12 +1205,7 @@ def c4_line_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
     kept = F.filter(
         lines,
         lambda ln: F.trim(ln).rlike(r"[.!?\"]$")
-        & (
-            F.size(
-                F.filter(F.split(F.trim(ln), TOKEN_SPLIT), lambda t: t != F.lit(""))
-            )
-            >= 3
-        ),
+        & (F.size(tokens_col(ln)) >= 3),  # the module's one tokenization
     )
     clean = F.concat_ws("\n", kept)
     lower = F.lower(text)

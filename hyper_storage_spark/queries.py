@@ -7262,7 +7262,7 @@ def q_event_transitions(spark, sf_dir):
                              / (CAST(ttot.ct AS DOUBLE) / n.n))), 6) AS kl
        FROM gt
        JOIN ttot USING (term)
-       JOIN gtot USING (g)
+       JOIN gtot ON gt.g IS NOT DISTINCT FROM gtot.g
        CROSS JOIN n
        GROUP BY 1, 2""",
 )

@@ -330,6 +330,11 @@ class RestFacade:
         try:
             if m == "POST" and rollup_id is None:
                 spec = body or {}
+                if not isinstance(spec, dict):
+                    # malformed body must be a 400, never an
+                    # AttributeError escaping handle() (the _indexes_
+                    # route's guard, review r12)
+                    return RestResponse(400, {"error": "rollup spec must be a JSON object"})
                 missing = [k for k in ("ts_field", "key_fields", "value_field", "schema") if not spec.get(k)]
                 if missing:
                     return RestResponse(400, {"error": f"missing rollup spec field(s): {', '.join(missing)}"})

@@ -34,7 +34,11 @@ def read_csv(
         schema = T.StructType.fromDDL(schema)
     if CORRUPT_COL in schema.fieldNames():
         raise ValueError(f"{CORRUPT_COL!r} is reserved")
-    read_schema = schema.add(T.StructField(CORRUPT_COL, T.StringType()))
+    # fresh StructType, NOT schema.add(...) — add() mutates the
+    # caller's schema in place (review r12, same as read_jsonl)
+    read_schema = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
     from ..operators._caches import tracked_persist
 
     df = tracked_persist(

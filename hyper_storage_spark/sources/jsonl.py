@@ -45,7 +45,13 @@ def read_jsonl(
         schema = T.StructType.fromDDL(schema)
     if CORRUPT_COL in schema.fieldNames():
         raise ValueError(f"{CORRUPT_COL!r} is reserved")
-    read_schema = schema.add(T.StructField(CORRUPT_COL, T.StringType()))
+    # fresh StructType, NOT schema.add(...): add() mutates the caller's
+    # schema in place (review r12) — a reused schema object would carry
+    # a phantom corrupt column and fail the reserved-name check above
+    # on its second read
+    read_schema = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
     # Spark requires the corrupt-capture frame to be materialized from
     # the raw source (referencing only _corrupt_record from a bare
     # read is unsupported); cache once, split, both halves reuse it

@@ -108,7 +108,12 @@ def analyze_collection(
     cols = {}
     for name, ftype in fields:
         raw = F.get_json_object("body", f"$.{name}")
-        cols[name] = raw.cast("double") if ftype == DECIMAL else raw
+        # try_cast, not cast: bodies are schemaless JSON, and under
+        # Spark 4's default ANSI mode one non-numeric value in a
+        # decimal-ANALYZEd field would abort the whole scan instead of
+        # NULLing the cell (review r12; the rollups/documents typing
+        # paths follow the same convention)
+        cols[name] = raw.try_cast("double") if ftype == DECIMAL else raw
     proj = df.select([c.alias(n) for n, c in cols.items()] or [F.lit(1).alias("__one")])
 
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
@@ -257,11 +262,20 @@ def _range_fraction(s: FieldStats, op: FilterOp, value: float) -> float:
     if s.min_num is None or s.max_num is None or not s.histogram or s.n_nonnull == 0:
         return 1 / 3  # the no-stats default
     if s.max_num == s.min_num:
+        # the degenerate point mass IS separable exactly (review r12):
+        # lumping < with <= here made frac_in(lo..hi) collapse to 0
+        # for an overlapping constant-field side in estimate_join_rows
         eq_mass = 1.0 if value == s.min_num else 0.0
         below = 1.0 if value > s.min_num else 0.0
-        return below + eq_mass if op in (FilterOp.LT, FilterOp.LTEQ) else (
-            (1.0 - below) if op in (FilterOp.GT, FilterOp.GTEQ) else eq_mass
-        )
+        if op == FilterOp.LT:
+            return below
+        if op == FilterOp.LTEQ:
+            return below + eq_mass
+        if op == FilterOp.GT:
+            return 1.0 - below - eq_mass
+        if op == FilterOp.GTEQ:
+            return 1.0 - below
+        return eq_mass
     k = len(s.histogram)
     edges = s.bounds
     if not edges or len(edges) != k + 1:  # stats row predating explicit edges

@@ -95,6 +95,16 @@ def test_typed_resolver_on_real_table(spark, sf_dir):
     assert got == expected and got > 0
 
 
+def test_typed_overflow_rejects_instead_of_crashing(spark):
+    """review r12: a typed double beyond decimal(38,12)'s range must
+    reject its row (try_cast → NULL → condition falsy), not abort the
+    whole query with ANSI NUMERIC_VALUE_OUT_OF_RANGE — the documented
+    overflow-to-NULL divergence."""
+    df = spark.createDataFrame([(1, 1e30), (2, 5.0)], "id long, x double")
+    col = compile_filter(parse("x > 1"), typed_resolver(df))
+    assert [r.id for r in df.filter(col).collect()] == [2]
+
+
 def test_typed_resolver_json_fallthrough(spark, sf_dir):
     from hyper_storage_spark.sources import load_table
 

@@ -389,3 +389,21 @@ def test_webdataset_rejects_duplicate_keys(spark, tmp_path):
         key_col="k", columns={"text": "txt"},
     )
     assert sum(sh["n_samples"] for sh in ok["shards"]) == 2
+
+
+def test_jsonl_read_does_not_mutate_caller_schema(spark, tmp_path):
+    """review r12: StructType.add mutates in place — a reused schema
+    object must not grow a phantom _corrupt_record field (the second
+    read then died on the reserved-name check)."""
+    from pyspark.sql import types as T
+
+    from hyper_storage_spark.sources.jsonl import read_jsonl
+
+    p = str(tmp_path / "a.jsonl")
+    open(p, "w").write('{"x": 1}\n{"x": 2}\n')
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    clean, quarantine = read_jsonl(spark, p, schema)
+    assert clean.count() == 2 and quarantine.count() == 0
+    assert [f.name for f in schema.fields] == ["x"]
+    clean2, _ = read_jsonl(spark, p, schema)  # same object, second read
+    assert clean2.count() == 2
