@@ -251,9 +251,11 @@ def _canon_num_str(c: Column) -> Column:
     doubles and '2.000000000000' for scaled decimals — neither equals
     what `has [2]` or string comparisons canonicalize to.
 
-    Known divergence at extreme magnitudes: |x| < 1e-7 prints in
-    scientific notation evaluator-side ('1E-7') but positionally here,
-    and |x| ≥ 1e26 overflows the decimal(38,12) working type to NULL
+    Known divergence at extreme magnitudes: values finer than the
+    decimal(38,12) scale (|x| < 1e-12) keep full precision
+    evaluator-side but round here (the r12 canonical_str fix removed
+    the older 1e-7 scientific-notation divergence), and |x| ≥ 1e26
+    overflows the decimal(38,12) working type to NULL
     (try_cast, review r12 — a plain cast under Spark 4's default ANSI
     mode would ABORT the whole query on one out-of-range value
     instead of rejecting the row).

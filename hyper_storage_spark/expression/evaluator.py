@@ -56,7 +56,14 @@ def canonical_str(v: Any) -> str:
             # the EvalError contract entirely; ':f' renders any size
             # in plain digits and an integral has nothing to strip
             return f"{d.to_integral_value():f}"
-        return str(d.normalize())
+        # f-format for fractions too (review r12): str(normalize())
+        # emitted scientific notation below 1e-6 ('1E-7') and silently
+        # ROUNDED past 28 significant digits — both leak into text
+        # index sort cells, string concat, and lexicographic compares
+        # ('1E-7' sorts above '0.5'). ':f' is exact at any scale; strip
+        # the trailing zeros normalize() used to remove.
+        s = f"{d:f}".rstrip("0")
+        return s.rstrip(".") if s.endswith(".") else s
     if isinstance(v, str):
         return v
     raise EvalError(f"no string form for {v!r}")

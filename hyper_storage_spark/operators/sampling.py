@@ -190,7 +190,8 @@ def pack_sequences(
     salt: int = 0,
 ) -> DataFrame:
     """Pack documents into fixed-token-budget training sequences:
-    (doc_id, n_tokens, group_id, seq_id, oversize).
+    (``id_col``, n_tokens, group_id, seq_id, oversize) — the id column
+    keeps its input name and type.
 
     Training batches want sequences filled to ``max_tokens`` — padding
     waste is compute waste — so corpus prep bin-packs document token
@@ -251,7 +252,7 @@ def pack_sequences(
             out_over.append(False)
         return pd.DataFrame(
             {
-                "doc_id": pdf[id_col].values,
+                id_col: pdf[id_col].values,
                 "n_tokens": pdf[count_col].astype("int64").values,
                 "group_id": gid,
                 "seq_id": out_seq,
@@ -262,8 +263,14 @@ def pack_sequences(
     grouped = df.select(id_col, count_col).withColumn(
         "__g", F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(n_groups))
     )
+    # the id field's type follows the INPUT (review r12): the schema
+    # previously hardcoded 'doc_id long', so a string id — accepted
+    # happily by the hash grouping — crashed every task at Arrow
+    # conversion
+    id_type = dict(df.dtypes)[id_col]
     return grouped.groupBy("__g").applyInPandas(
-        pack, "doc_id long, n_tokens long, group_id int, seq_id long, oversize boolean"
+        pack,
+        f"{id_col} {id_type}, n_tokens long, group_id int, seq_id long, oversize boolean",
     )
 
 

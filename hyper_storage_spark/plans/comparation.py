@@ -89,7 +89,29 @@ def _aggregate(results: list[AstComparation]) -> AstComparation:
     return out
 
 
+_MIRROR = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+
+def _norm_range(x: BinaryOp) -> BinaryOp:
+    """Canonicalize a range comparison to constant-on-RIGHT. The
+    widening table below is built for ``ident OP const``; feeding it
+    ``5 < x`` as-is applies the containment formula with the semantic
+    direction INVERTED (x>5 declared Wider than x>3 — an MV missing
+    3<x≤5, review r12). Mirroring the operator preserves semantics
+    exactly, and two mirrored-equal forms (``5 < x`` vs ``x > 5``)
+    now also compare Equal structurally."""
+    if (
+        x.op in _MIRROR
+        and is_constant_expression(x.left)
+        and not is_constant_expression(x.right)
+    ):
+        return BinaryOp(_MIRROR[x.op], x.right, x.left)
+    return x
+
+
 def _compare_binary(a: BinaryOp, b: BinaryOp) -> AstComparation:
+    if a.op in _MIRROR or b.op in _MIRROR:
+        a, b = _norm_range(a), _norm_range(b)
     if a == b:
         return Equal
     ops = (a.op, b.op)
@@ -119,6 +141,21 @@ def _compare_binary(a: BinaryOp, b: BinaryOp) -> AstComparation:
     return r
 
 
+def _same_kind(x: Any, y: Any) -> bool:
+    """True when two evaluated constants are order-comparable under the
+    evaluator's TYPED rules (numbers with numbers, strings with
+    strings, ...); bool is not a number here, mirroring the
+    evaluator."""
+    from decimal import Decimal as _D
+
+    if isinstance(x, bool) or isinstance(y, bool):
+        return isinstance(x, bool) and isinstance(y, bool)
+    num = (int, float, _D)
+    if isinstance(x, num) and isinstance(y, num):
+        return True
+    return type(x) is type(y)
+
+
 def _safe_has(l: Any, r: Any) -> bool:
     try:
         return has_bop(l, r)
@@ -144,6 +181,13 @@ def _compare_operand(a: Expression, b: Expression, wider: Callable[[Any, Any], b
             return NotEqual
         if value_eq(ac, bc):
             return Equal
+        if not _same_kind(ac, bc):
+            # mixed-type constants (review r12): the evaluator's
+            # ORDERED comparisons reject mixed types per row (error ⇒
+            # false), so a Wider verdict from value_greater's
+            # canonical-string fallback would route to an MV whose
+            # filter rejects every row of the type the query accepts
+            return NotEqual
         if wider(ac, bc):
             return Wider
         return NotEqual

@@ -201,6 +201,13 @@ def least_rows_filter_fields(
     if prev_filter_fields_size == 0 or not prev_filter_reached_end:
         last_index = size - 1
     else:
+        # prev_filter_fields_size counts the MERGED filter the caller
+        # just issued (EQ query prefix + resume fields — the reference
+        # test vectors pin this convention: ff=[t0 EQ], prev=4 on a
+        # 4-field sort shrinks to [t1 EQ, t2 GT]), so the -2 lands on
+        # an absolute sort-field index. A caller passing the
+        # resume-only count would shrink below start_index and end
+        # pagination early (review r12 — query_paged did exactly that).
         last_index = prev_filter_fields_size - 2
 
     out: list[FieldFilter] = []

@@ -433,6 +433,9 @@ def query_paged(
     skipped = 0
     recursion = 0
     last_value: Optional[dict] = None
+    last_row = None  # persists across pages: an EMPTY page must shrink
+    # the resume (reached_end) from the previous page's position, not
+    # lose it
     while True:
         if recursion >= MAX_COLLECTION_SELECTS:
             raise QueryBudgetExceeded(f"Maximum query count is reached: {recursion}")
@@ -449,7 +452,6 @@ def query_paged(
         selects.append({"table": plan.table_name, "filters": merged, "limit": fetch_limit})
 
         accepted = []
-        last_row = None
         for r in fetched:
             body = json.loads(r.body) if r.body is not None else None
             last_value = body
@@ -469,8 +471,10 @@ def query_paged(
             and total_fetched < fetch_limit
         ):
             break
-        if total_fetched == 0:
-            break  # no progress possible — the resume filters cannot move
+        if last_row is None:
+            break  # nothing EVER fetched — no resume position exists.
+            # (An empty page after non-empty ones proceeds: reached_end
+            # is True and the shrink widens the previous resume.)
         if last_value is None:
             # a LIVE row may legally carry body=None (a PATCH merging to
             # Null stores body=None, is_deleted=false) — review r12:
@@ -479,10 +483,16 @@ def query_paged(
             # row's PHYSICAL sort cells instead; the committed cell is
             # the authoritative keyset position regardless of the body.
             last_value = _resume_value_from_row(index_sort_fields, last_row)
+        # prev size = the MERGED filter just issued (EQ prefix + resume
+        # — the convention the reference's shrink vectors pin), not the
+        # resume-only count: with an EQ query filter on a sort prefix,
+        # passing len(least) made the shrink land below start_index —
+        # an empty resume that ended pagination with rows unread
+        # (review r12)
         next_least = least_rows_filter_fields(
             index_sort_fields,
             plan.filter_fields,
-            len(least),
+            len(merged) if least else 0,
             total_fetched < fetch_limit,
             last_value,
             plan.reversed,

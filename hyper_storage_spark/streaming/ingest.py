@@ -258,39 +258,81 @@ def apply_commands_distributed(
     func = _apply_bucket_commands(
         store.storage.root, n_buckets, store.auto_complete, batch_id
     )
-    results = ann.groupBy("bucket").applyInPandas(func, _RESULT_SCHEMA).collect()
+    from ..store.storage import ManifestConflict
 
-    feed_rows = sorted(
-        (json.loads(r.payload) for r in results if r.kind == "append" and r.table == FEED),
-        key=lambda d: (d["document_uri"], d["revision"]),
-    )
-    dead_rows = [
-        json.loads(r.payload) for r in results if r.kind == "append" and r.table == DEAD_LETTER
-    ]
-    files: dict[str, dict[int, list[str]]] = {}
-    drops: list[str] = []
-    for r in results:
-        if r.kind == "file":
-            files.setdefault(r.table, {})[r.bucket] = [os.path.join(store.storage.root, r.path)]
-        elif r.kind == "drop":
-            drops.append(r.table)
-    # Everything below holds store._lock: the driver flip must not
-    # interleave with recover() or library-mode writes on the same
-    # store object (in-process read-modify-write race; cross-process
-    # interleavings are fenced by the manifest CAS, which would fail
-    # this flip rather than lose one).
-    # Feed first, manifest flip second: a crash in between re-applies
-    # the whole batch (the watermark rides INSIDE the flip, so it has
-    # not advanced) — store state stays exactly-once, feed delivery is
-    # at-least-once and consumers dedup by (uri, revision), the
-    # reference's delivery model.
-    with store._lock:
-        if feed_rows:
-            store.storage.append(FEED, feed_rows, FEED_SCHEMA)
-        if dead_rows:
-            store.storage.append(DEAD_LETTER, dead_rows, DEAD_LETTER_SCHEMA)
-        if files or drops or commit_meta:
-            store.storage.commit_external_many(files, drop_tables=drops, meta=commit_meta)
+    # The flip is PINNED on the manifest version read BEFORE the
+    # executors stage (review r12): executor tasks read bucket contents
+    # through their own manifest read, so a foreign (cross-process)
+    # commit landing anywhere in the stage window would otherwise be
+    # silently overwritten by the full-bucket staged files — the exact
+    # lost update commit_external_many's docstring warns about. On
+    # conflict the whole batch re-stages against fresh state (bounded
+    # retries); a crash/retry after the feed append duplicates feed
+    # events, which is the documented at-least-once floor (consumers
+    # dedup by uuid).
+    last: Optional[BaseException] = None
+    for _attempt in range(store.WRITE_CAS_RETRIES):
+        v0 = store.storage.current_version()
+        results = ann.groupBy("bucket").applyInPandas(func, _RESULT_SCHEMA).collect()
+
+        feed_rows = sorted(
+            (json.loads(r.payload) for r in results if r.kind == "append" and r.table == FEED),
+            key=lambda d: (d["document_uri"], d["revision"]),
+        )
+        dead_rows = [
+            json.loads(r.payload) for r in results if r.kind == "append" and r.table == DEAD_LETTER
+        ]
+        files: dict[str, dict[int, list[str]]] = {}
+        drops: list[str] = []
+        for r in results:
+            if r.kind == "file":
+                files.setdefault(r.table, {})[r.bucket] = [os.path.join(store.storage.root, r.path)]
+            elif r.kind == "drop":
+                drops.append(r.table)
+        # store._lock excludes in-process writers during the publish;
+        # the version chain below excludes cross-process ones.
+        # Feed first, manifest flip second: a crash in between
+        # re-applies the whole batch (the watermark rides INSIDE the
+        # flip, so it has not advanced) — store state stays
+        # exactly-once, feed delivery is at-least-once.
+        with store._lock:
+            try:
+                expected = v0
+                if feed_rows:
+                    expected = _chained_append(
+                        store, FEED, feed_rows, FEED_SCHEMA, expected
+                    )
+                if dead_rows:
+                    expected = _chained_append(
+                        store, DEAD_LETTER, dead_rows, DEAD_LETTER_SCHEMA, expected
+                    )
+                if files or drops or commit_meta:
+                    store.storage.commit_external_many(
+                        files, drop_tables=drops, meta=commit_meta,
+                        expected_version=expected,
+                    )
+            except ManifestConflict as e:
+                last = e
+                continue
+        return
+    raise last  # type: ignore[misc]
+
+
+def _chained_append(store, table, rows, schema, expected: int) -> int:
+    """Append that extends the caller's version pin: returns the new
+    manifest version, raising ManifestConflict if any FOREIGN flip
+    landed since ``expected`` (the append itself is append-only-safe,
+    but a silent version jump means the caller's staged bucket files
+    embed stale reads)."""
+    from ..store.storage import ManifestConflict
+
+    v = store.storage.append(table, rows, schema)
+    if v != expected + 1:
+        raise ManifestConflict(
+            f"foreign flip interleaved with the stream publish "
+            f"(expected v{expected + 1}, append landed at v{v})"
+        )
+    return v
 
 
 def _apply_serial_staged(
@@ -310,57 +352,80 @@ def _apply_serial_staged(
     consumers dedup by (uri, revision) — the reference's model)."""
     from ..paths import split_path
     from ..store.documents import DocumentStore as _DS, FEED
-    from ..store.storage import OverlayStorage, _sanitize, write_bucket_file
-
-    overlay = OverlayStorage(store.storage)
-    ds = _DS(store.storage.root, auto_complete=store.auto_complete, storage=overlay)
+    from ..store.storage import ManifestConflict, OverlayStorage, _sanitize, write_bucket_file
 
     def _key(r):
+        # null seq must not poison the sort (review r12: None vs int
+        # comparison raised out of foreachBatch and the stream retried
+        # the batch forever) — order it first, deterministically
+        seq = r.seq if r.seq is not None else -1
         try:
-            return (split_path(r.path).document_uri, r.seq)
+            return (split_path(r.path).document_uri, seq)
         except Exception:  # malformed/None path: order stably, dead-letter below
-            return (str(r.path), r.seq if r.seq is not None else -1)
+            return (str(r.path), seq)
 
-    collection_deleted = False
-    for r in sorted(rows, key=_key):
-        err = _dispatch(ds, r.method, r.path, r.body)
-        if err is not None:
-            overlay.append(
-                DEAD_LETTER,
-                [_dead_letter_row(r.seq, r.method, r.path, r.body, err)],
-                DEAD_LETTER_SCHEMA,
+    # the flip is pinned on the version read before the overlay's base
+    # reads (review r12) — same discipline as the distributed path
+    last: Optional[BaseException] = None
+    for _attempt in range(store.WRITE_CAS_RETRIES):
+        v0 = store.storage.current_version()
+        overlay = OverlayStorage(store.storage)
+        ds = _DS(store.storage.root, auto_complete=store.auto_complete, storage=overlay)
+
+        collection_deleted = False
+        for r in sorted(rows, key=_key):
+            err = _dispatch(ds, r.method, r.path, r.body)
+            if err is not None:
+                overlay.append(
+                    DEAD_LETTER,
+                    [_dead_letter_row(r.seq, r.method, r.path, r.body, err)],
+                    DEAD_LETTER_SCHEMA,
+                )
+            elif r.method == "delete" and str(r.path).endswith("~"):
+                collection_deleted = True
+
+        files: dict[str, dict[int, list[str]]] = {}
+        for (table, bucket), bucket_rows in overlay.overlay.items():
+            rel = os.path.join(
+                "data",
+                _sanitize(table),
+                f"b{bucket:04d}-stream-{batch_id}-{uuid.uuid4().hex[:8]}.parquet",
             )
-        elif r.method == "delete" and str(r.path).endswith("~"):
-            collection_deleted = True
+            write_bucket_file(bucket_rows, overlay.schemas[table], os.path.join(store.storage.root, rel))
+            files.setdefault(table, {})[int(bucket)] = [os.path.join(store.storage.root, rel)]
+        # drop EVER-dropped tables (not just still-dropped): the flip drops
+        # before registering, so a drop-and-recreate keeps the staged
+        # recreation while stale base buckets of the old table disappear
+        drops = sorted(overlay.ever_dropped)
 
-    files: dict[str, dict[int, list[str]]] = {}
-    for (table, bucket), bucket_rows in overlay.overlay.items():
-        rel = os.path.join(
-            "data",
-            _sanitize(table),
-            f"b{bucket:04d}-stream-{batch_id}-{uuid.uuid4().hex[:8]}.parquet",
-        )
-        write_bucket_file(bucket_rows, overlay.schemas[table], os.path.join(store.storage.root, rel))
-        files.setdefault(table, {})[int(bucket)] = [os.path.join(store.storage.root, rel)]
-    # drop EVER-dropped tables (not just still-dropped): the flip drops
-    # before registering, so a drop-and-recreate keeps the staged
-    # recreation while stale base buckets of the old table disappear
-    drops = sorted(overlay.ever_dropped)
-
-    with store._lock:
-        for table, appended in overlay.appended.items():
-            if not appended:
+        with store._lock:
+            try:
+                expected = v0
+                for table, appended in overlay.appended.items():
+                    if not appended:
+                        continue
+                    if table == FEED:
+                        appended = sorted(
+                            appended, key=lambda d: (d["document_uri"], d["revision"])
+                        )
+                    expected = _chained_append(
+                        store, table, appended, overlay.append_schemas[table], expected
+                    )
+                if files or drops or commit_meta:
+                    store.storage.commit_external_many(
+                        files, drop_tables=drops, meta=commit_meta,
+                        expected_version=expected,
+                    )
+            except ManifestConflict as e:
+                last = e
                 continue
-            if table == FEED:
-                appended = sorted(appended, key=lambda d: (d["document_uri"], d["revision"]))
-            store.storage.append(table, appended, overlay.append_schemas[table])
-        if files or drops or commit_meta:
-            store.storage.commit_external_many(files, drop_tables=drops, meta=commit_meta)
-        if collection_deleted:
-            # the overlay store's memo discard doesn't reach the REAL
-            # store object: forget its template memo so a re-created
-            # collection gets template indexes back on its next write
-            store._templated_uris.clear()
+            if collection_deleted:
+                # the overlay store's memo discard doesn't reach the REAL
+                # store object: forget its template memo so a re-created
+                # collection gets template indexes back on its next write
+                store._templated_uris.clear()
+        return
+    raise last  # type: ignore[misc]
 
 
 def _watermark_key(checkpoint_dir: str) -> str:

@@ -53,6 +53,25 @@ def test_narrower_is_not_equal():
     assert compare(parse("x has [1,2,3]"), parse("x has [1,2]")) is NotEqual
 
 
+def test_const_on_left_normalized_and_mixed_types_rejected():
+    """review r12: '5 < x' is x > 5 — the widening table must see the
+    canonical constant-on-right form, and mixed-type constant pairs
+    must never claim Wider (the evaluator rejects mixed-type ordered
+    comparisons per row, so such an MV is missing every row of the
+    query's type)."""
+    from hyper_storage_spark.expression import parse
+    from hyper_storage_spark.plans.comparation import Equal, NotEqual, Wider, compare
+
+    assert compare(parse("5 < x"), parse("3 < x")) is NotEqual  # x>5 ⊉ x>3
+    assert compare(parse("3 < x"), parse("5 < x")) is Wider  # x>3 ⊇ x>5
+    assert compare(parse("5 < x"), parse("x > 5")) is Equal  # mirrored forms
+    assert compare(parse("5 > x"), parse("3 > x")) is Wider  # x<5 ⊇ x<3
+    assert compare(parse("3 > x"), parse("5 > x")) is NotEqual
+    assert compare(parse("5 <= x"), parse("3 <= x")) is NotEqual
+    assert compare(parse('x > "100"'), parse("x > 20")) is NotEqual
+    assert compare(parse('x > "a"'), parse('x > "b"')) is Wider  # same-kind ok
+
+
 def test_implication_claims_are_semantically_sound():
     """Soundness fuzz for the MV router's implication engine: whenever
     compare(a, b) claims Equal, a and b must evaluate identically on
@@ -90,7 +109,19 @@ def test_implication_claims_are_semantically_sound():
                 lo, hi = sorted(rnd.sample(range(0, 12), 2))
                 op = rnd.choice([">", ">=", "<", "<="])
                 wide, narrow = (lo, hi) if op in (">", ">=") else (hi, lo)
-                return f"{ident} {op} {wide}", f"{ident} {op} {narrow}"
+                mirror = {">": "<", ">=": "<=", "<": ">", "<=": ">="}
+                sa, sb = f"{ident} {op} {wide}", f"{ident} {op} {narrow}"
+                # r12 review: constant-on-LEFT forms inverted the
+                # widening direction — mirror random sides so the fuzz
+                # keeps covering the normalization
+                if rnd.random() < 0.4:
+                    sa = f"{wide} {mirror[op]} {ident}"
+                if rnd.random() < 0.4:
+                    sb = f"{narrow} {mirror[op]} {ident}"
+                # mixed-type constants must never be claimed Wider
+                if rnd.random() < 0.15:
+                    sb = f'{ident} {op} "{narrow}"'
+                return sa, sb
             elif mode < 0.85:
                 # has-shapes: the round-5 review found the ported
                 # direction unsound and the fuzz never generated these

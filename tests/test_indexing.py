@@ -473,3 +473,30 @@ def test_full_rebuild_converges_via_delta_catchup(spark, tmp_path):
     assert index_items(store, "col~", "index1") == [
         "item1", "item2", "item3", "item4", "item5", "item6", "item7",
     ]
+
+
+def test_query_paged_shrinks_past_eq_prefix(spark, tmp_path):
+    """review r12: with an EQ query filter on a sort PREFIX, the keyset
+    shrink must widen the next sort field when a range exhausts —
+    query_paged previously passed the resume-only filter count where
+    the reference's shrink convention expects the merged count, landed
+    below start_index, got an empty resume, and silently truncated."""
+    from hyper_storage_spark.plans.model import SortBy, SortItem
+    from hyper_storage_spark.store import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "kp"), spark=spark)
+    for i in range(1, 7):
+        store.put(f"kp~/x{i}", {"a": "x", "b": i, "flag": i % 2})
+    for i in range(7, 10):
+        store.put(f"kp~/y{i}", {"a": "y", "b": i, "flag": 1})
+    store.create_index(
+        "kp~", "by_ab",
+        [SortItem("a", "text", "asc"), SortItem("b", "decimal", "asc")],
+        None,
+    )
+    res = store.query_paged(
+        "kp~", filter='a = "x" and flag = 1',
+        sort=[SortBy("a"), SortBy("b")], size=3,
+    )
+    assert [int(b["b"]) for b in res.items] == [1, 3, 5]
+    assert len(res.selects) >= 2  # the loop actually paged

@@ -1185,6 +1185,15 @@ def test_pack_sequences_deterministic(spark):
     )
     assert a == b
 
+    # review r12: a STRING id (the corpus-wide convention elsewhere)
+    # must work — the output schema derives the id type from the input
+    # instead of hardcoding long
+    sdf = spark.createDataFrame(
+        [(f"d{i}", 10 + i) for i in range(20)], "item string, n_tokens long"
+    )
+    out = sampling.pack_sequences(sdf, 64, id_col="item", n_groups=2).collect()
+    assert len(out) == 20 and all(isinstance(r.item, str) for r in out)
+
 
 def test_bm25_scores_match_hand_formula(spark):
     import math

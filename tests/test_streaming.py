@@ -1979,3 +1979,42 @@ def test_heavy_hitters_migration_seed_mass_capped(spark, tmp_path):
     assert cand.count() <= k_cap
     served = {r.value for r in sk.read_heavy_hitters(spark, legacy).collect()}
     assert "fresh" in served  # 30/230 = 13% >> phi
+
+
+def test_stream_flip_pinned_against_foreign_write(spark, tmp_path):
+    """review r12: a foreign (second-handle) write landing between the
+    stream's staging reads and its manifest flip must conflict and
+    re-stage, not be silently overwritten by the stale full-bucket
+    staged file. Also covers the null-seq command (previously a
+    TypeError poison pill in the serial sort)."""
+    from types import SimpleNamespace
+
+    from hyper_storage_spark.store import DocumentStore
+    from hyper_storage_spark.streaming import ingest as ing
+
+    store = DocumentStore(str(tmp_path / "s"), spark=spark)
+    store.put("col~/seed", {"v": 0})
+    writer = DocumentStore(store.storage.root, spark=spark)
+
+    hits = {"n": 0}
+    orig = ing._dispatch
+
+    def hooked(ds, method, path, body):
+        if hits["n"] == 0:
+            hits["n"] += 1
+            writer.put("col~/foreign", {"v": 99})  # same content bucket
+        return orig(ds, method, path, body)
+
+    rows = [
+        SimpleNamespace(seq=None, method="put", path="col~/itemA", body='{"v": 1}'),
+        SimpleNamespace(seq=2, method="put", path="col~/itemB", body='{"v": 2}'),
+    ]
+    ing._dispatch = hooked
+    try:
+        ing._apply_serial_staged(store, rows, batch_id=7)
+    finally:
+        ing._dispatch = orig
+    assert hits["n"] == 1  # the window was exercised exactly once
+    assert store.get("col~/foreign")[0]["v"] == 99  # foreign write survived
+    assert store.get("col~/itemA")[0]["v"] == 1  # and the batch landed
+    assert store.get("col~/itemB")[0]["v"] == 2
