@@ -438,25 +438,36 @@ def char_lm_score(
             )
         ).alias("g"),
     )
-    # the gram frame feeds THREE consumers (model counts, the total,
-    # the scoring join) — unpersisted, the explode ran three times.
-    # tracked_persist (MEMORY_AND_DISK, harness-released) measured
-    # 1.7× on the whole operator at sf0.1; at corpus scale the
-    # train-on-a-sample pattern below keeps the persisted set bounded
-    grams = tracked_persist(grams)
-    counts = grams.groupBy("g").agg(F.count("*").alias("cnt"))
+    # persist the COUNTS table (one row per distinct gram), not the
+    # raw gram stream: model, total, and the scoring join's build side
+    # all derive from it, so the explode runs twice (counts pass +
+    # scoring pass) and nothing corpus-sized is ever cached. (r11
+    # persisted the exploded gram frame itself — strictly more rows
+    # than distinct grams, a cache fill the r12 measurement showed was
+    # the operator's single biggest stage.)
+    counts = tracked_persist(grams.groupBy("g").agg(F.count("*").alias("cnt")))
     # orderBy+limit plans as TakeOrdered (per-partition heaps) — the
     # sanctioned top-k shape; a global row_number Window here would be
     # the single-task sort the plan linter exists to catch
     model = counts.orderBy(F.col("cnt").desc(), F.col("g")).limit(top_k)
-    total = grams.count()
+    # Σ cnt over the counts table == grams.count(), one cache read
+    # instead of a second corpus pass
+    total = int(counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0])
     floor = 0.5
-    lp = F.log((F.coalesce(F.col("cnt"), F.lit(floor))) / F.lit(float(total)))
+    # log-prob ONCE per DISTINCT gram (in the top_k model projection)
+    # plus ONE constant for the unseen-gram backoff — the per-
+    # occurrence spelling paid an ln() + decimal cast on every gram of
+    # every document for the identical per-gram value (same inputs,
+    # same IEEE ln, same cast: bit-identical scores)
+    lp_model = F.log(F.col("cnt") / F.lit(float(total)))
+    lp_floor = F.log(F.lit(floor) / F.lit(float(total)))
     if exact:
-        lp = lp.cast("decimal(20,10)")
+        lp_model = lp_model.cast("decimal(20,10)")
+        lp_floor = lp_floor.cast("decimal(20,10)")
+    model_lp = model.select("g", lp_model.alias("__lp"))
     scored = (
-        grams.join(model, on="g", how="left")
-        .select(F.col(id_col), lp.alias("lp"))
+        grams.join(model_lp, on="g", how="left")
+        .select(F.col(id_col), F.coalesce(F.col("__lp"), lp_floor).alias("lp"))
         .groupBy(id_col)
         .agg(F.count("*").alias("n_grams"), F.sum("lp").alias("sum_lp"))
     )
