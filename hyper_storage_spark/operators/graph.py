@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._caches import tracked_persist
 
 from typing import Optional
 
@@ -45,6 +46,8 @@ def pagerank(
     weight_col: Optional[str] = None,
     exact: bool = True,
     hub_buckets: int = 32,
+    broadcast_state_rows: int = 2_000_000,
+    partition_edges: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge table:
     (node, val) after ``iters`` synchronous updates of
@@ -101,7 +104,36 @@ def pagerank(
 
     Scale shape: iterations are edge-partitioned joins + grouped
     folds — the textbook distributed PageRank; driver state is two
-    scalars."""
+    scalars.
+
+    r12 loop layout (guide §2.4 "remove shuffles outright", §3.1),
+    chosen by the MEASURED node count ``n``, never an estimate:
+
+    - ``n <= broadcast_state_rows`` (default 2M ≈ ~100 MB built
+      relation — inside the guide's "few hundred MB is fine" band,
+      far under the 8 GB/512M-row broadcast cap): the per-iteration
+      rank state — |nodes| slim rows — is BROADCAST into the edge
+      join, so the edges never cross the join exchange (the
+      checkpointed state scan has no stats, so the planner never
+      found this join on its own — it sort-merged both sides every
+      iteration). ``partition_edges=True`` additionally caches the
+      edges hash-partitioned by the level-1 fold key ``(dst, b)``
+      (fast mode: ``dst``) so the contribs exchange disappears too —
+      a persisted cache ADVERTISES its partitioning where a
+      checkpoint reports Unknown, and hub-safety becomes the
+      partitioning itself (the hub's buckets live in different
+      partitions). That trades a per-iteration columnar cache read
+      for the fold exchange: a win only when the contribs are
+      edge-dense (measured at sf0.1 gate scale the cache read LOSES,
+      6.9 s vs 4.4 s, so the default keeps the localCheckpoint and
+      pays the slim fold shuffles).
+    - larger graphs: edges persisted hash-partitioned by ``src`` —
+      the per-iteration join reuses that layout and shuffles ONLY the
+      rank state (|nodes| rows, hinted SHUFFLE_HASH so neither side
+      sorts); the fold exchanges are unchanged.
+
+    Every layout folds in the same pinned order — results are
+    bit-identical to the r11 loop (oracle-gated at three SFs)."""
     if hub_buckets < 1:
         raise ValueError(f"pagerank: hub_buckets must be >= 1, got {hub_buckets}")
     if weight_col is None:
@@ -155,7 +187,29 @@ def pagerank(
                 .cast("bigint") % hub_buckets
             ).cast("int"),
         )
-    e2 = e2.localCheckpoint()
+    # persist pre-partitioned instead of localCheckpoint (docstring
+    # "r12 loop layout"): the cache ADVERTISES this partitioning to
+    # every iteration's plan, a checkpoint scan reports Unknown and
+    # re-shuffles the edges 8× over
+    use_bcast = n <= broadcast_state_rows
+    if not use_bcast:
+        # big-graph regime: persist the edges hash-partitioned by src
+        # (a cache ADVERTISES its partitioning; a checkpoint scan
+        # reports Unknown) so the per-iteration join moves only the
+        # slim rank state into the edges' layout, never the edges
+        e2 = tracked_persist(e2.repartition("src"))
+    elif partition_edges:
+        # broadcast-sized node set but edge-dense (the 2M-host web
+        # graph with 10^10 links): cache the edges clustered by the
+        # level-1 fold key so the contribs NEVER cross an exchange —
+        # the per-iteration columnar cache read costs more than the
+        # tiny shuffles at gate scale (measured: 6.9 s vs 4.4 s at
+        # sf0.1), which is why this is opt-in, not the default
+        e2 = tracked_persist(
+            e2.repartition("dst", "b") if exact else e2.repartition("dst")
+        )
+    else:
+        e2 = e2.localCheckpoint()
     if seeds is not None:
         # seed flag joined once; mass and teleport concentrate on the
         # seed ∩ graph intersection (a seed with no edges can receive
@@ -190,16 +244,24 @@ def pagerank(
         )
 
     for _ in range(iters):
+        # rank state into the join WITHOUT moving the edges: broadcast
+        # it outright when the graph is broadcast-sized (the n-gated
+        # regime above), else shuffle only the slim state rows into
+        # the edges' cached src-partitioning — SHUFFLE_HASH because a
+        # sort-merge would sort the edge side every iteration
+        state = F.broadcast(pr) if use_bcast else pr.hint("SHUFFLE_HASH")
         if exact:
-            contribs = e2.join(pr, e2["src"] == pr["node"]).select(
+            contribs = e2.join(state, e2["src"] == state["node"]).select(
                 "dst",
                 "b",
                 F.col("src").alias("u"),
                 (F.col("w") * F.col("val") / F.col("d")).alias("c"),
             )
             # level 1: pinned fold within (dst, src-bucket) — a hub's
-            # terms split across hub_buckets groups; level 2: pinned
-            # fold of the bucket partials (bounded at hub_buckets rows)
+            # terms split across hub_buckets groups (zero exchange in
+            # the broadcast regime: the cache partitioning already
+            # clusters (dst, b)); level 2: pinned fold of the bucket
+            # partials (bounded at hub_buckets rows per node)
             folded = (
                 contribs.groupBy("dst", "b")
                 .agg(_pinned_fold(F.collect_list(F.struct("u", "c")), "c").alias("sb"))
@@ -207,25 +269,34 @@ def pagerank(
                 .agg(_pinned_fold(F.collect_list(F.struct("b", "sb")), "sb").alias("s"))
             )
         else:
-            contribs = e2.join(pr, e2["src"] == pr["node"]).select(
+            contribs = e2.join(state, e2["src"] == state["node"]).select(
                 "dst", (F.col("w") * F.col("val") / F.col("d")).alias("c")
             )
             folded = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
         if seeds is not None:
+            # the static flag frame reads from a checkpoint scan whose
+            # stats the planner can't see — broadcast it explicitly in
+            # the broadcast regime instead of letting it sort-merge
+            flag_side = flagged.select("node", "__seed")
             pr = (
                 folded.select(F.col("dst").alias("node"), "s")
-                .join(flagged.select("node", "__seed"), "node", "left")
+                .join(F.broadcast(flag_side) if use_bcast else flag_side, "node", "left")
                 .select(
                     "node",
                     (teleport_of() + F.lit(damping) * F.col("s")).alias("val"),
                 )
-                .localCheckpoint(eager=False)
             )
         else:
             pr = folded.select(
                 F.col("dst").alias("node"),
                 (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("val"),
-            ).localCheckpoint(eager=False)
+            )
+        # lazy checkpoint per iteration: bounds the analyzed plan at
+        # one iteration deep (an unbounded chain re-analyzes a growing
+        # tree per op — measured SLOWER than the checkpoint at 8
+        # iterations: 5.5 s vs 4.4 s at sf0.1) without eagerly running
+        # a job per iteration the way an eager checkpoint would
+        pr = pr.localCheckpoint(eager=False)
     return pr
 
 
