@@ -438,21 +438,21 @@ def char_lm_score(
             )
         ).alias("g"),
     )
-    # persist the COUNTS table (one row per distinct gram), not the
-    # raw gram stream: model, total, and the scoring join's build side
-    # all derive from it, so the explode runs twice (counts pass +
-    # scoring pass) and nothing corpus-sized is ever cached. (r11
-    # persisted the exploded gram frame itself — strictly more rows
-    # than distinct grams, a cache fill the r12 measurement showed was
-    # the operator's single biggest stage.)
-    counts = tracked_persist(grams.groupBy("g").agg(F.count("*").alias("cnt")))
+    # persist the exploded gram frame: it feeds THREE consumers (model
+    # counts, the total, the scoring join) and the explode is the
+    # operator's expensive stage, so caching the counts table instead
+    # (smaller cache, explode runs twice) measures ~30% SLOWER at
+    # sf0.1 (interleaved min 3.50 s vs 4.93 s) — the second explode
+    # pass costs more than the bigger cache fill. At corpus scale the
+    # persisted set is bounded by the train-on-a-sample pattern in the
+    # docstring, not by this cache choice.
+    grams = tracked_persist(grams)
+    counts = grams.groupBy("g").agg(F.count("*").alias("cnt"))
     # orderBy+limit plans as TakeOrdered (per-partition heaps) — the
     # sanctioned top-k shape; a global row_number Window here would be
     # the single-task sort the plan linter exists to catch
     model = counts.orderBy(F.col("cnt").desc(), F.col("g")).limit(top_k)
-    # Σ cnt over the counts table == grams.count(), one cache read
-    # instead of a second corpus pass
-    total = int(counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0])
+    total = grams.count()  # a cache read, not a second corpus pass
     floor = 0.5
     # log-prob ONCE per DISTINCT gram (in the top_k model projection)
     # plus ONE constant for the unseen-gram backoff — the per-
