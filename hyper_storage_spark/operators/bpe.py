@@ -268,8 +268,15 @@ def bpe_train_batched(
                 ]
             )
             flt = state.filter(F.arrays_overlap(_adj_pairs_col(), cand_lits))
-            if flt.limit(max_affected_rows + 1).count() <= max_affected_rows:
-                aff = flt.select("cnt", "syms").collect()
+            # ONE job for budget check + fetch: limit(max+1) returns
+            # every affected row when the budget holds — the previous
+            # separate count-then-collect paid the vocab filter scan
+            # twice per round. Over-budget probes now transfer up to
+            # max+1 rows before halving (bounded: same order as the
+            # accepted collect itself) instead of paying a second scan
+            rows = flt.select("cnt", "syms").limit(max_affected_rows + 1).collect()
+            if len(rows) <= max_affected_rows:
+                aff = rows
                 break
             cand = cand[: max(len(cand) // 2, 1) if len(cand) > 1 else 0]
         if aff is None:
@@ -277,7 +284,7 @@ def bpe_train_batched(
             # the global argmax (= the collected top row) distributedly
             a, b = pair_rows[0].a, pair_rows[0].b
             merges.append((len(merges) + 1, a, b, a + b, int(pair_rows[0].c)))
-            state = _apply_merges_distributed(state, [(a, b)]).localCheckpoint()
+            state = _apply_merges_distributed(state, [(a, b)]).localCheckpoint(eager=False)
             continue
 
         # ---- 3. exact driver replay over the affected words ---------
@@ -344,13 +351,13 @@ def bpe_train_batched(
             # argmax — take it sequentially so the loop always advances
             a, b = pair_rows[0].a, pair_rows[0].b
             merges.append((len(merges) + 1, a, b, a + b, int(pair_rows[0].c)))
-            state = _apply_merges_distributed(state, [(a, b)]).localCheckpoint()
+            state = _apply_merges_distributed(state, [(a, b)]).localCheckpoint(eager=False)
             continue
         if accepted:
             merges.extend(accepted)
             state = _apply_merges_distributed(
                 state, [(a, b) for _, a, b, _, _ in accepted]
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
 
     merges_df = spark.createDataFrame(merges, MERGES_SCHEMA)
     if with_state:
