@@ -278,28 +278,32 @@ def minhash_signatures(
     """(doc_id, sig: array<bigint>) MinHash signatures over a
     (doc_id, h) shingle set. Hash family: murmur3(h, seed=i) — one
     aggregation over the shingle list, all JVM-side."""
-    mins = [F.min(F.hash(F.col("h"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    # ONE expression string, not num_hashes Column trees: each
+    # F.min(F.hash(...)).alias(...) costs ~6 py4j roundtrips and the
+    # 32-column spelling dominated the operator's driver-side
+    # construction (cProfile at sf0.1: ~0.37 s of socket chatter for
+    # this helper alone). Identical plan and values — array() of the
+    # same min(hash(h, i)) aggregates.
+    arr = ", ".join(f"min(hash(h, {i}))" for i in range(num_hashes))
+    return sh.groupBy("doc_id").agg(F.expr(f"array({arr})").alias("sig"))
 
 
 def _band_table(sig: DataFrame, bands: int, rows: int) -> DataFrame:
     """(doc_id, band_id, band_hash) from a (doc_id, sig) signature
     frame — the melted banded form both the self-join and the
     persistable incremental index use."""
-    band_cols = [
-        F.hash(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias(f"band{b}")
+    # one expression string for the same reason as minhash_signatures:
+    # the per-band Column spelling (bands × rows element_at + struct +
+    # explode trees) was pure py4j chatter; sig[i] is the same 0-based
+    # getItem, hash(...) the same multi-arg murmur3, values identical
+    structs = ", ".join(
+        "named_struct('band_id', {b}, 'band_hash', hash({args}))".format(
+            b=b, args=", ".join(f"sig[{b * rows + r}]" for r in range(rows))
+        )
         for b in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    return banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_hash"))
-                for b in range(bands)
-            ])
-        ).alias("bh"),
+    )
+    return sig.select(
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bh")
     ).select("doc_id", F.col("bh.band_id"), F.col("bh.band_hash"))
 
 
