@@ -109,15 +109,24 @@ def heavy_hitters_cms(
     counts = df.groupBy(F.col(col).alias("value")).agg(F.count("*").alias("n_exact"))
     top = counts.orderBy(F.col("n_exact").desc(), F.col("value")).limit(k)
     est = cms_estimate(grid, top, "value", depth, width)
-    total = df.count()
-    bound = int(math.ceil(math.e / width * total))
-    return est.select(
-        "value",
-        "n_exact",
-        "cms_estimate",
-        (F.col("cms_estimate") >= F.col("n_exact")).alias("overestimates"),
-        (F.col("cms_estimate") <= F.col("n_exact") + F.lit(bound)).alias("within_eps_n"),
-    ).orderBy(F.col("n_exact").desc(), F.col("value"))
+    # N as an in-plan scalar (Σ n_exact re-derives the counts agg in
+    # the same action) instead of a df.count(): the count was a THIRD
+    # full scan of df AND a separate driver-blocking job before the
+    # real plan even started. CEIL over the identical double product
+    # equals the old Python ceil — int64 bound, same certificate.
+    tot = counts.agg(F.sum("n_exact").alias("__total"))
+    bound = F.ceil(F.lit(math.e / width) * F.col("__total"))
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .select(
+            "value",
+            "n_exact",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("n_exact")).alias("overestimates"),
+            (F.col("cms_estimate") <= F.col("n_exact") + bound).alias("within_eps_n"),
+        )
+        .orderBy(F.col("n_exact").desc(), F.col("value"))
+    )
 
 
 def streaming_heavy_hitters(
