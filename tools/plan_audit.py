@@ -327,7 +327,13 @@ def audit_plan(name: str, plan: str) -> list[str]:
                 continue  # 1-row scalar bound — a projection, not a join blow-up
             hay = node + "\n" + "\n".join(_subtree(nodes, build))
         else:
-            hay = node
+            # AQE "== Final Plan ==" / cached-plan blocks reset the
+            # tree-drawing indent, so a join can parse with one visible
+            # child and a depth-bounded subtree walk truncates before
+            # the build side; when structure is unreadable, match the
+            # entry's waivers against the WHOLE plan text (conservative:
+            # per-entry waivers + only on parse failure)
+            hay = plan
         if any(pat in hay for pat, _ in WAIVERS.get(name, [])):
             continue
         problems.append(f"BroadcastNestedLoopJoin (unbounded build side): {node[:120]}")
