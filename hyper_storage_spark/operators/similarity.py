@@ -78,20 +78,24 @@ def cosine_topk(
 
     # norms project ONCE per vector before the join — inlining them in
     # the joined projection would re-run the O(dim) aggregate per
-    # (query, candidate) pair (same rationale as embedding_cosine_pairs)
-    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
-    ).filter(F.col("qn") > 0)  # zero-norm ⇒ undefined (NULL) cosine; exclude
-    corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-    ).filter(F.col("cn") > 0)  # NULL-cosine rows would still take row_number ranks
+    # (query, candidate) pair (same rationale as embedding_cosine_pairs).
+    # SQL-string expressions: same trees as _dot/_norm, one roundtrip
+    # each (see _norm_sql)
+    queries = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .selectExpr(
+            f"{id_col} AS query_id", f"{vec_col} AS qv", f"{_norm_sql(vec_col)} AS qn"
+        )
+        .filter("qn > 0")  # zero-norm ⇒ undefined (NULL) cosine; exclude
+    )
+    corpus = emb.selectExpr(
+        f"{id_col} AS neighbor_id", f"{vec_col} AS cv", f"{_norm_sql(vec_col)} AS cn"
+    ).filter("cn > 0")  # NULL-cosine rows would still take row_number ranks
     scored = (
         corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn(
+            "cosine", F.expr(_DOT_SQL.format(a="qv", b="cv") + " / (qn * cn)")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -652,29 +656,52 @@ def _hash_ordered_sample(
     return mat / np.where(norms == 0, 1.0, norms)
 
 
+def _norm_sql(col: str) -> str:
+    """:func:`_norm` as one SQL string — the same
+    sqrt(aggregate(transform(x → x²))) expression tree, built in ONE
+    py4j roundtrip instead of the ~15 the nested-lambda Column
+    spelling costs (the MinHash construction-chatter fix, applied to
+    the ANN family's shared tail)."""
+    return (
+        f"sqrt(aggregate(transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
+_DOT_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
 def _exact_rerank(
     emb, cand, query_ids: list[int], k: int, id_col: str, vec_col: str
 ):
     """Exact-cosine re-rank of a bounded candidate set — the shared
     tail of the compressed-scan ANN family (pq_search, ivfpq_topk):
     vectors are fetched ONLY for the candidates, queries broadcast,
-    deterministic (cosine desc, neighbor_id) rank, rounded projection."""
+    deterministic (cosine desc, neighbor_id) rank, rounded projection.
+    Expressions ride as SQL strings (same Catalyst trees as the
+    _dot/_norm Column builders — bit-identical results, a fraction of
+    the plan-construction roundtrips)."""
     from pyspark.sql import Window
 
-    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
-    ).filter(F.col("qn") > 0)
-    corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-    ).filter(F.col("cn") > 0)
+    queries = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .selectExpr(
+            f"{id_col} AS query_id", f"{vec_col} AS qv", f"{_norm_sql(vec_col)} AS qn"
+        )
+        .filter("qn > 0")
+    )
+    corpus = emb.selectExpr(
+        f"{id_col} AS neighbor_id", f"{vec_col} AS cv", f"{_norm_sql(vec_col)} AS cn"
+    ).filter("cn > 0")
     rescored = (
         cand.join(F.broadcast(queries), "query_id")
         .join(corpus, "neighbor_id")
-        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn(
+            "cosine", F.expr(_DOT_SQL.format(a="qv", b="cv") + " / (qn * cn)")
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
