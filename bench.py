@@ -217,6 +217,7 @@ def main() -> None:
     # phantom dedup regressions survived min-of-2, hence 3)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    phases: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
     from hyper_storage_spark.operators._caches import release_tracked_caches
 
@@ -234,14 +235,29 @@ def main() -> None:
             for _ in range(entry_runs):
                 t0 = time.time()
                 df = fn(spark, sf_dir)
+                t1 = time.time()
                 # noop sink, not count(): count() lets the optimizer
                 # PRUNE projection-only queries (text_quality_score /
                 # text_langid were timing a bare row-count of the
                 # source table); the noop write materializes every
                 # output column without collecting to the driver
                 df.write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+                t2 = time.time()
+                dt = t2 - t0
+                if best is None or dt < best:
+                    best = dt
+                    # r13 additive measurement (the r12 carry-over #4):
+                    # the best run's construct (DataFrame build, incl.
+                    # any in-construction collects) vs execute (noop
+                    # write) split — the same timed region, reported in
+                    # two additive pieces so driver-side vs
+                    # executor-side time is data, not prose. The
+                    # "queries" seconds are UNCHANGED (t2 - t0, min-of-N
+                    # as always).
+                    phases[name] = {
+                        "construct_sec": round(t1 - t0, 3),
+                        "execute_sec": round(t2 - t1, 3),
+                    }
                 # caches from THIS run must not warm the next run: a
                 # re-persisted identical plan hits the CacheManager and
                 # min-of-N would report warm-cache times for caching
@@ -251,6 +267,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            phases.pop(name, None)  # no timing row -> no phase row
             continue
         finally:
             release_tracked_caches()
@@ -271,6 +288,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # additive per-entry phase split of each entry's BEST run (see
+        # the loop comment); consumers that only read "queries" are
+        # unaffected
+        "phases": phases,
         "sf": _sf_number(sf),
         "noise_factor": round(noise, 2),
         "sentinel_sec": {

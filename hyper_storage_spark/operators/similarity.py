@@ -84,12 +84,12 @@ def cosine_topk(
     queries = (
         emb.filter(F.col(id_col).isin(query_ids))
         .selectExpr(
-            f"{id_col} AS query_id", f"{vec_col} AS qv", f"{_norm_sql(vec_col)} AS qn"
+            f"`{id_col}` AS query_id", f"`{vec_col}` AS qv", f"{_norm_sql(vec_col)} AS qn"
         )
         .filter("qn > 0")  # zero-norm ⇒ undefined (NULL) cosine; exclude
     )
     corpus = emb.selectExpr(
-        f"{id_col} AS neighbor_id", f"{vec_col} AS cv", f"{_norm_sql(vec_col)} AS cn"
+        f"`{id_col}` AS neighbor_id", f"`{vec_col}` AS cv", f"{_norm_sql(vec_col)} AS cn"
     ).filter("cn > 0")  # NULL-cosine rows would still take row_number ranks
     scored = (
         corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
@@ -661,9 +661,11 @@ def _norm_sql(col: str) -> str:
     sqrt(aggregate(transform(x → x²))) expression tree, built in ONE
     py4j roundtrip instead of the ~15 the nested-lambda Column
     spelling costs (the MinHash construction-chatter fix, applied to
-    the ANN family's shared tail)."""
+    the ANN family's shared tail). The identifier is backtick-quoted
+    so reserved-word / special-character column names resolve exactly
+    the way the F.col Column spelling did (review r12)."""
     return (
-        f"sqrt(aggregate(transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"sqrt(aggregate(transform(`{col}`, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
     )
 
@@ -689,12 +691,12 @@ def _exact_rerank(
     queries = (
         emb.filter(F.col(id_col).isin(query_ids))
         .selectExpr(
-            f"{id_col} AS query_id", f"{vec_col} AS qv", f"{_norm_sql(vec_col)} AS qn"
+            f"`{id_col}` AS query_id", f"`{vec_col}` AS qv", f"{_norm_sql(vec_col)} AS qn"
         )
         .filter("qn > 0")
     )
     corpus = emb.selectExpr(
-        f"{id_col} AS neighbor_id", f"{vec_col} AS cv", f"{_norm_sql(vec_col)} AS cn"
+        f"`{id_col}` AS neighbor_id", f"`{vec_col}` AS cv", f"{_norm_sql(vec_col)} AS cn"
     ).filter("cn > 0")
     rescored = (
         cand.join(F.broadcast(queries), "query_id")

@@ -47,7 +47,27 @@ TABLE_NAMES = [
 _ANALYZED: dict = {}
 
 
+def clear_table_cache() -> int:
+    """Drop every memoized fixture frame; returns how many were held.
+
+    The memo assumes IMMUTABLE fixture directories (load_table pins the
+    parquet file listing and resolved schema for the session): any
+    in-session path that regenerates, appends to, or deletes fixture
+    files must call this first, or later load_table calls silently read
+    the stale file set (review r12). Keying on applicationId already
+    bounds growth to one session's (sf_dir, table) grid — ~30 entries
+    across the three SFs — but an explicit clear also caps multi-sf_dir
+    sweeps that touch many generated directories."""
+    n = len(_ANALYZED)
+    _ANALYZED.clear()
+    return n
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized fixture loader — metadata-only caching (see _ANALYZED).
+    Assumes ``sf_dir`` is immutable for the life of the Spark
+    application; call :func:`clear_table_cache` after any in-session
+    fixture regeneration."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
     got = _ANALYZED.get(key)
     if got is not None:
