@@ -24,19 +24,34 @@ JSON body column via Spark 4 VARIANT (``try_parse_json`` +
 DataFrame's native columns (used for the oracle-checked queries over
 parquet tables), optionally falling through to a JSON column for
 unknown names.
+
+r13 construction-cost rewrite (guide §1.2 "per-task work" applied to
+the DRIVER, the r12 MinHash/ANN expression-string recipe): the bundle
+members are now SQL-text fragments (:mod:`.sqlexpr`) instead of py4j
+Column objects, and the finished filter crosses the Python↔JVM boundary
+ONCE as ``F.expr(text)``. Building the same trees as Columns cost a
+measured ~1,040 py4j roundtrips per compiled expression (~0.2 s quiet,
+multiples under host noise) in the store's query/prepared-filter/index
+paths; the text form is a handful. The EMITTED expressions are the
+same Catalyst operators (CASE WHEN for when-chains, AND/OR/NOT, typed
+casts), so analyzed plans and results are unchanged — pinned by the
+differential corpus (tests/test_expression_differential.py), the
+compiler tests, and the store oracle entries.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from decimal import Decimal
-from typing import Callable, Optional
+from typing import Callable, Optional, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import sqlexpr as S
 from .ast_nodes import BinaryOp, Constant, Expression, FunctionCall, Identifier, UnaryOp
 from .evaluator import EvalError, canonical_str
+from .sqlexpr import E
 
 DEC = "decimal(38,12)"
 
@@ -46,37 +61,38 @@ class CompileError(ValueError):
     callers fall back to the Arrow-batched Python evaluator."""
 
 
-@dataclass
+@dataclass(eq=False)
 class DynCol:
-    """A dynamically-typed value as a bundle of typed columns.
+    """A dynamically-typed value as a bundle of typed expression
+    fragments (SQL text — see the module docstring's r13 note).
 
     ``kind`` statically tags values whose runtime type is known
     ('num'/'str'/'bool'/'arr'; 'dyn' = per-row) so comparisons compile
     to direct column ops instead of the generic type-dispatch CASE —
     the difference between a 40-node and a 2000-node Catalyst tree."""
 
-    s: Column  # string form (NULL when value has none)
-    n: Column  # decimal(38,12) form (NULL unless isnum)
-    isnum: Column  # bool: value is a number
-    isbool: Column  # bool: value is a boolean
-    bval: Column  # boolean form (NULL unless isbool)
-    arr: Optional[Column] = None  # array<string> form when value is an array
-    arrv: Optional[Column] = None  # array<variant> form (typed element compare)
-    obj: Optional[Column] = None  # raw JSON text when value is an object
-    isnull: Optional[Column] = None  # value exists and is JSON null
-    defined: Optional[Column] = None  # value exists at all (vs missing field)
+    s: E  # string form (NULL when value has none)
+    n: E  # decimal(38,12) form (NULL unless isnum)
+    isnum: E  # bool: value is a number
+    isbool: E  # bool: value is a boolean
+    bval: E  # boolean form (NULL unless isbool)
+    arr: Optional[E] = None  # array<string> form when value is an array
+    arrv: Optional[E] = None  # array<variant> form (typed element compare)
+    obj: Optional[E] = None  # raw JSON text when value is an object
+    isnull: Optional[E] = None  # value exists and is JSON null
+    defined: Optional[E] = None  # value exists at all (vs missing field)
     kind: str = "dyn"  # 'num' | 'str' | 'bool' | 'arr' | 'null' | 'dyn'
 
     @property
-    def isstr(self) -> Column:
+    def isstr(self) -> E:
         return self.s.isNotNull() & ~self.isnum & ~self.isbool
 
     @property
-    def isnull_c(self) -> Column:
-        return self.isnull if self.isnull is not None else F.lit(False)
+    def isnull_c(self) -> E:
+        return self.isnull if self.isnull is not None else S.lit(False)
 
     @property
-    def defined_c(self) -> Column:
+    def defined_c(self) -> E:
         if self.defined is not None:
             return self.defined
         base = self.isnum | self.isbool | self.s.isNotNull()
@@ -87,29 +103,41 @@ class DynCol:
 
 Resolver = Callable[[str], DynCol]
 
-def _false() -> Column:
-    return F.lit(False)
+def _false() -> E:
+    return S.lit(False)
 
 
-def _null_s() -> Column:
-    return F.lit(None).cast("string")
+def _null_s() -> E:
+    return S.null("string")
 
 
-def _null_n() -> Column:
-    return F.lit(None).cast(DEC)
+def _null_n() -> E:
+    return S.null(DEC)
 
 
-def _null_b() -> Column:
-    return F.lit(None).cast("boolean")
+def _null_b() -> E:
+    return S.null("boolean")
 
 
-def _bool_dyn(c: Column) -> DynCol:
+def _col_sql(c: Union[Column, E, str]) -> E:
+    """SQL text of a caller-supplied column reference. Accepts a plain
+    name (backtick-quoted), a ready fragment, or a real Column (whose
+    Catalyst expression prints its own SQL — the one py4j roundtrip the
+    text compiler still pays, once per resolver)."""
+    if isinstance(c, E):
+        return c
+    if isinstance(c, str):
+        return S.col(c)
+    return E("(" + c._jc.node().sql() + ")")
+
+
+def _bool_dyn(c: E) -> DynCol:
     # s must be NULL-preserving: .otherwise("false") would turn an
     # ERRORED comparison (NULL c) into the defined string "false",
     # which lower()/concat/equality then treat as a real value while
     # the evaluator rejects the row (EvalError)
     return DynCol(
-        s=F.when(c, F.lit("true")).when(~c, F.lit("false")),
+        s=S.when(c, S.lit("true")).when(~c, S.lit("false")),
         n=_null_n(),
         isnum=_false(),
         isbool=c.isNotNull(),
@@ -118,7 +146,7 @@ def _bool_dyn(c: Column) -> DynCol:
     )
 
 
-def _num_dyn(n: Column) -> DynCol:
+def _num_dyn(n: E) -> DynCol:
     # the string form must be canonical ('2', not '2.000000000000') —
     # lower/upper/concat and string comparisons read it
     return DynCol(
@@ -134,31 +162,31 @@ def from_literal(value) -> DynCol:
             isnum=_false(),
             isbool=_false(),
             bval=_null_b(),
-            isnull=F.lit(True),
-            defined=F.lit(True),
+            isnull=S.lit(True),
+            defined=S.lit(True),
             kind="null",
         )
     if isinstance(value, bool):
         return DynCol(
-            s=F.lit("true" if value else "false"),
+            s=S.lit("true" if value else "false"),
             n=_null_n(),
             isnum=_false(),
-            isbool=F.lit(True),
-            bval=F.lit(value),
+            isbool=S.lit(True),
+            bval=S.lit(value),
             kind="bool",
         )
     if isinstance(value, Decimal):
         return DynCol(
-            s=F.lit(canonical_str(value)),
-            n=F.lit(value).try_cast(DEC),
-            isnum=F.lit(True),
+            s=S.lit(canonical_str(value)),
+            n=S.lit(value).try_cast(DEC),
+            isnum=S.lit(True),
             isbool=_false(),
             bval=_null_b(),
             kind="num",
         )
     if isinstance(value, str):
         return DynCol(
-            s=F.lit(value), n=_null_n(), isnum=_false(), isbool=_false(), bval=_null_b(), kind="str"
+            s=S.lit(value), n=_null_n(), isnum=_false(), isbool=_false(), bval=_null_b(), kind="str"
         )
     if isinstance(value, tuple):
         return DynCol(
@@ -167,50 +195,65 @@ def from_literal(value) -> DynCol:
             isnum=_false(),
             isbool=_false(),
             bval=_null_b(),
-            arr=F.array(*[F.lit(canonical_str(v)) for v in value]),
+            arr=S.array(*[S.lit(canonical_str(v)) for v in value]),
             kind="arr",
         )
     raise CompileError(f"unsupported literal {value!r}")
 
 
-def variant_raw(v: Column, path: str) -> Column:
+def _variant_raw_sql(v: E, path: str) -> E:
     """Raw JSON text of a variant field (the per-row type tag: first
     character distinguishes number/string/bool/null/array/object)."""
-    return F.to_json(F.try_variant_get(v, path, "variant"))
+    return S.fn("to_json", S.try_variant_get(v, path, "variant"))
 
 
-def variant_parts(v: Column, path: str, raw: Optional[Column] = None) -> dict[str, Column]:
-    """The dynamic-typing column bundle for one schemaless field —
-    THE single definition of the engine's variant typing rules, shared
-    by the resolver, the prepared-filter frame, index backfill, and
-    dynamic sort keys. The string form is scalar-only (containers must
-    not order/compare like strings)."""
+def variant_raw(v: Column, path: str) -> Column:
+    return F.expr(_variant_raw_sql(_col_sql(v), path).sql)
+
+
+def _variant_parts_sql(v: E, path: str, raw: Optional[E] = None) -> dict[str, E]:
+    """The dynamic-typing bundle for one schemaless field — THE single
+    definition of the engine's variant typing rules, shared by the
+    resolver, the prepared-filter frame, index backfill, and dynamic
+    sort keys (the Column face is :func:`variant_parts`). The string
+    form is scalar-only (containers must not order/compare like
+    strings)."""
     if raw is None:
-        raw = variant_raw(v, path)
+        raw = _variant_raw_sql(v, path)
     isnum = raw.rlike(r"^-?[0-9]")
     isbool = raw.isin("true", "false")
     is_container = raw.startswith("[") | raw.startswith("{")
-    num_form = F.when(isnum, F.try_variant_get(v, path, DEC)).otherwise(_null_n())
+    num_form = S.when(isnum, S.try_variant_get(v, path, DEC)).otherwise(_null_n())
     return {
         "raw": raw,
         # numbers canonicalize ('2.0' → '2') so the string form agrees
         # with the evaluator's canonical_str wherever it's read
-        "s": F.when(isnum, _canon_num_str(num_form)).otherwise(
-            F.when(~is_container, F.try_variant_get(v, path, "string"))
+        "s": S.when(isnum, _canon_num_str(num_form)).when(
+            ~is_container, S.try_variant_get(v, path, "string")
         ),
         "n": num_form,
-        "isnum": F.coalesce(isnum, F.lit(False)),
-        "isbool": F.coalesce(isbool, F.lit(False)),
-        "bval": F.when(isbool, raw == "true").otherwise(_null_b()),
-        "arr": F.when(raw.startswith("["), F.try_variant_get(v, path, "array<string>")),
-        "arrv": F.when(raw.startswith("["), F.try_variant_get(v, path, "array<variant>")),
-        "obj": F.when(raw.startswith("{"), raw),
-        "isnull": F.coalesce(raw == "null", F.lit(False)),
+        "isnum": S.coalesce(isnum, S.lit(False)),
+        "isbool": S.coalesce(isbool, S.lit(False)),
+        "bval": S.when(isbool, raw == "true").otherwise(_null_b()),
+        "arr": S.when(raw.startswith("["), S.try_variant_get(v, path, "array<string>")),
+        "arrv": S.when(raw.startswith("["), S.try_variant_get(v, path, "array<variant>")),
+        "obj": S.when(raw.startswith("{"), raw),
+        "isnull": S.coalesce(raw == "null", S.lit(False)),
         "defined": raw.isNotNull(),
     }
 
 
-def dyncol_from_parts(p: dict[str, Column]) -> DynCol:
+def variant_parts(v: Column, path: str, raw: Optional[Column] = None) -> dict[str, Column]:
+    """Column face of the variant typing rules (consumed by index
+    backfill / dynamic sort keys, which need real Columns to alias):
+    the SQL-text bundle from :func:`_variant_parts_sql`, each field
+    crossing py4j once as F.expr."""
+    vs = _col_sql(v)
+    raw_e = _col_sql(raw) if raw is not None else None
+    return {k: F.expr(e.sql) for k, e in _variant_parts_sql(vs, path, raw_e).items()}
+
+
+def dyncol_from_parts(p: dict[str, E]) -> DynCol:
     return DynCol(
         s=p["s"],
         n=p["n"],
@@ -225,17 +268,23 @@ def dyncol_from_parts(p: dict[str, Column]) -> DynCol:
     )
 
 
-def variant_resolver(body_col: Column) -> Resolver:
+def variant_resolver(body_col: Union[Column, str]) -> Resolver:
     """Resolve identifiers as paths into a schemaless JSON body column.
 
     Uses VARIANT so the field's runtime JSON type is observable per row
     (the raw JSON text's first character tags numbers/strings/bools),
-    mirroring the reference's binders Value dynamic typing.
+    mirroring the reference's binders Value dynamic typing. Resolved
+    bundles are memoized per identifier: one filter referencing a field
+    five times builds its typing bundle once.
     """
-    v = F.try_parse_json(body_col)
+    v = E(f"try_parse_json({_col_sql(body_col).sql})")
+    memo: dict[str, DynCol] = {}
 
     def resolve(name: str) -> DynCol:
-        return dyncol_from_parts(variant_parts(v, "$." + name))
+        got = memo.get(name)
+        if got is None:
+            got = memo[name] = dyncol_from_parts(_variant_parts_sql(v, "$." + name))
+        return got
 
     return resolve
 
@@ -243,7 +292,7 @@ def variant_resolver(body_col: Column) -> Resolver:
 _NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "long")
 
 
-def _canon_num_str(c: Column) -> Column:
+def _canon_num_str(c: E) -> E:
     """Canonical string form of a numeric column, matching the
     evaluator's canonical_str: integral values print with no decimal
     point, others with trailing zeros stripped ('2.0' → '2',
@@ -263,14 +312,15 @@ def _canon_num_str(c: Column) -> Column:
     inside both bounds; numeric COMPARISONS are unaffected (they use
     the decimal form, not the string form)."""
     s = c.try_cast(DEC).cast("string")
-    s = F.regexp_replace(s, r"(\.\d*?)0+$", "$1")
-    return F.regexp_replace(s, r"\.$", "")
+    s = S.regexp_replace(s, r"(\.\d*?)0+$", "$1")
+    return S.regexp_replace(s, r"\.$", "")
 
 
-def from_typed_column(col: Column, dtype: str) -> DynCol:
+def from_typed_column(col: Union[Column, E, str], dtype: str) -> DynCol:
+    col = _col_sql(col)
     dtype = dtype.lower()
     isnull = col.isNull()
-    defined = F.lit(True)
+    defined = S.lit(True)
     if dtype.startswith(_NUMERIC_PREFIXES):
         return DynCol(
             s=_canon_num_str(col),
@@ -298,12 +348,15 @@ def from_typed_column(col: Column, dtype: str) -> DynCol:
         if elem.startswith(_NUMERIC_PREFIXES):
             # element-wise canonical form: [2.0] must contain "2" (the
             # evaluator's canonical_str), not "2.0"
-            arr = F.transform(col, _canon_num_str)
+            arr = S.transform(col, _canon_num_str)
         elif elem == "boolean":
             # NULL elements stay NULL — otherwise('false') would make a
             # null element match `has [false]`, unlike the evaluator
-            arr = F.transform(
-                col, lambda x: F.when(x.isNull(), _null_s()).when(x, "true").otherwise("false")
+            arr = S.transform(
+                col,
+                lambda x: S.when(x.isNull(), _null_s())
+                .when(x, S.lit("true"))
+                .otherwise(S.lit("false")),
             )
         else:
             arr = col.cast("array<string>")
@@ -333,75 +386,83 @@ def from_typed_column(col: Column, dtype: str) -> DynCol:
 
 def typed_resolver(df: DataFrame, json_col: Optional[str] = None) -> Resolver:
     """Resolve against a typed DataFrame's columns; unknown identifiers
-    fall through to paths inside ``json_col`` (a JSON-string column)."""
+    fall through to paths inside ``json_col`` (a JSON-string column).
+    Memoized per identifier, like variant_resolver."""
     dtypes = dict(df.dtypes)
-    json_resolver = variant_resolver(F.col(json_col)) if json_col else None
+    json_resolver = variant_resolver(json_col) if json_col else None
+    memo: dict[str, DynCol] = {}
 
     def resolve(name: str) -> DynCol:
+        got = memo.get(name)
+        if got is not None:
+            return got
         root = name.split(".", 1)[0]
         if root in dtypes and "." not in name:
-            return from_typed_column(F.col(name), dtypes[name])
-        if json_resolver is not None:
-            return json_resolver(name)
-        raise CompileError(f"unknown identifier {name!r}")
+            got = from_typed_column(S.col(name), dtypes[name])
+        elif json_resolver is not None:
+            got = json_resolver(name)
+        else:
+            raise CompileError(f"unknown identifier {name!r}")
+        memo[name] = got
+        return got
 
     return resolve
 
 
-def _truthy(d: DynCol) -> Column:
+def _truthy(d: DynCol) -> E:
     # every kind fast path must honor isnull first: the evaluator's
     # truthy(None) is False, so a present-but-null typed value is falsy
     # — NOT SQL-NULL (which would poison enclosing and/or into rejecting
     # rows the evaluator accepts, e.g. 'not nullcol').
     if d.kind == "bool":
-        return F.when(d.isnull_c, F.lit(False)).otherwise(d.bval)
+        return S.when(d.isnull_c, S.lit(False)).otherwise(d.bval)
     if d.kind == "num":
-        return F.when(d.isnull_c, F.lit(False)).otherwise(d.n != F.lit(0))
+        return S.when(d.isnull_c, S.lit(False)).otherwise(d.n != S.lit(0))
     if d.kind == "null":
-        return F.lit(False)
+        return S.lit(False)
     if d.kind == "arr":
-        return F.when(d.isnull_c, F.lit(False)).otherwise(F.size(d.arr) > 0)
-    s_low = F.lower(d.s)
+        return S.when(d.isnull_c, S.lit(False)).otherwise(S.fn("size", d.arr) > S.lit(0))
+    s_low = S.fn("lower", d.s)
     str_truth = (
-        F.when(s_low.isin("true", "1", "y", "yes", "on"), F.lit(True))
-        .when(s_low.isin("false", "0", "n", "no", "off"), F.lit(False))
+        S.when(s_low.isin("true", "1", "y", "yes", "on"), S.lit(True))
+        .when(s_low.isin("false", "0", "n", "no", "off"), S.lit(False))
         .otherwise(_null_b())
     )
     if d.kind == "str":
-        return F.when(d.isnull_c, F.lit(False)).otherwise(str_truth)
+        return S.when(d.isnull_c, S.lit(False)).otherwise(str_truth)
     c = (
-        F.when(d.isnull_c, F.lit(False))
+        S.when(d.isnull_c, S.lit(False))
         .when(d.isbool, d.bval)
-        .when(d.isnum, d.n != F.lit(0))
+        .when(d.isnum, d.n != S.lit(0))
         .otherwise(str_truth)
     )
     if d.arr is not None:
-        c = F.when(~d.isnull_c & d.arr.isNotNull(), F.size(d.arr) > 0).otherwise(c)
+        c = S.when(~d.isnull_c & d.arr.isNotNull(), S.fn("size", d.arr) > S.lit(0)).otherwise(c)
     if d.obj is not None:
         # binders Value.asBoolean on Obj: non-empty is truthy (the
         # evaluator's len(dict) > 0); '{}' is the canonical empty form
-        c = F.when(~d.isnull_c & d.obj.isNotNull(), d.obj != F.lit("{}")).otherwise(c)
+        c = S.when(~d.isnull_c & d.obj.isNotNull(), d.obj != S.lit("{}")).otherwise(c)
     return c
 
 
 _VALUED = {"num", "str", "bool"}
 
 
-def _variant_elem_eq(x: Column, y: Column) -> Column:
+def _variant_elem_eq(x: E, y: E) -> E:
     """Typed equality of two VARIANT array elements (value_eq analog):
     numeric pairs compare as decimals, any other pair by raw JSON text
     (first character tags the type, so cross-type never matches; null
     elements compare equal as 'null' == 'null')."""
-    xr, yr = F.to_json(x), F.to_json(y)
+    xr, yr = S.fn("to_json", x), S.fn("to_json", y)
     xnum = xr.rlike(r"^-?[0-9]")
     ynum = yr.rlike(r"^-?[0-9]")
-    return F.when(
+    return S.when(
         xnum & ynum,
-        F.try_variant_get(x, "$", DEC) == F.try_variant_get(y, "$", DEC),
+        S.try_variant_get(x, "$", DEC) == S.try_variant_get(y, "$", DEC),
     ).otherwise(xr == yr)
 
 
-def _eq(l: DynCol, r: DynCol) -> Column:
+def _eq(l: DynCol, r: DynCol) -> E:
     # fast paths: both runtime types known statically (typed values are
     # always defined; a NULL value compares equal only to null)
     if l.kind in _VALUED and r.kind in _VALUED:
@@ -413,19 +474,19 @@ def _eq(l: DynCol, r: DynCol) -> Column:
             # missed it until the round-5 differential corpus hit
             # `flag != a` with both cells NULL)
             return (
-                F.when(l.isnull_c | r.isnull_c, l.isnull_c & r.isnull_c)
+                S.when(l.isnull_c | r.isnull_c, l.isnull_c & r.isnull_c)
                 # an ERRORED subexpression keeps its static kind but is
                 # undefined — it must compare as NULL (row rejected),
                 # not as defined-unequal (which != would flip to True)
-                .when(l.defined_c & r.defined_c, F.lit(False))
+                .when(l.defined_c & r.defined_c, S.lit(False))
                 .otherwise(_null_b())
             )
         direct = {"num": l.n == r.n, "bool": l.bval == r.bval, "str": l.s == r.s}[l.kind]
-        return F.when(l.isnull_c | r.isnull_c, l.isnull_c & r.isnull_c).otherwise(direct)
+        return S.when(l.isnull_c | r.isnull_c, l.isnull_c & r.isnull_c).otherwise(direct)
     # typed equality; present-but-null equals only null; cross-type is
     # unequal; a missing field yields NULL (row rejected at the top)
     c = (
-        F.when(l.isnum & r.isnum, l.n == r.n)
+        S.when(l.isnum & r.isnum, l.n == r.n)
         .when(l.isbool & r.isbool, l.bval == r.bval)
         .when(l.isstr & r.isstr, l.s == r.s)
     )
@@ -437,10 +498,10 @@ def _eq(l: DynCol, r: DynCol) -> Column:
         # preserves the type tag in its first character.
         c = c.when(
             l.arrv.isNotNull() & r.arrv.isNotNull(),
-            (F.size(l.arrv) == F.size(r.arrv))
-            & F.aggregate(
-                F.zip_with(l.arrv, r.arrv, _variant_elem_eq),
-                F.lit(True),
+            (S.fn("size", l.arrv) == S.fn("size", r.arrv))
+            & S.aggregate(
+                S.zip_with(l.arrv, r.arrv, _variant_elem_eq),
+                S.lit(True),
                 lambda acc, z: acc & z,
             ),
         )
@@ -449,13 +510,13 @@ def _eq(l: DynCol, r: DynCol) -> Column:
         # form compares exactly
         c = c.when(l.arr.isNotNull() & r.arr.isNotNull(), l.arr == r.arr)
     return (
-        c.when(l.isnull_c & r.isnull_c, F.lit(True))
-        .when(l.defined_c & r.defined_c, F.lit(False))
+        c.when(l.isnull_c & r.isnull_c, S.lit(True))
+        .when(l.defined_c & r.defined_c, S.lit(False))
         .otherwise(_null_b())
     )
 
 
-def _gt(l: DynCol, r: DynCol) -> Column:
+def _gt(l: DynCol, r: DynCol) -> E:
     if l.kind in _VALUED and r.kind in _VALUED:
         if l.kind == "num" and r.kind == "num":
             return l.n > r.n
@@ -463,7 +524,7 @@ def _gt(l: DynCol, r: DynCol) -> Column:
             return l.s > r.s
         return _null_b()  # unorderable types ⇒ eval error ⇒ rejected
     return (
-        F.when(l.isnum & r.isnum, l.n > r.n)
+        S.when(l.isnum & r.isnum, l.n > r.n)
         .when(l.isstr & r.isstr, l.s > r.s)
         .otherwise(_null_b())
     )
@@ -485,62 +546,65 @@ def _arith(op: str, l: DynCol, r: DynCol) -> DynCol:
         # concatenates the canonical forms; number + number adds;
         # anything else (bool arithmetic, containers) is an eval error
         # (undefined ⇒ reject).
-        def concat_ok(d: DynCol) -> Column:
+        def concat_ok(d: DynCol) -> E:
             return d.isstr | d.isnum | d.isbool
 
         both_defined = l.defined_c & r.defined_c
-        isnull_res = F.coalesce(both_defined & (l.isnull_c | r.isnull_c), _false())
+        isnull_res = S.coalesce(both_defined & (l.isnull_c | r.isnull_c), _false())
         concat_case = ~isnull_res & (l.isstr | r.isstr) & concat_ok(l) & concat_ok(r)
-        n = F.when(both_num, F.try_add(l.n, r.n))
+        n = S.when(both_num, S.fn("try_add", l.n, r.n))
         # canonical, not cast("string"): '2', never '2.000000000000'
-        s = F.when(both_num, _canon_num_str(n)).when(concat_case, F.concat(l.s, r.s))
+        s = S.when(both_num, _canon_num_str(n)).when(concat_case, S.fn("concat", l.s, r.s))
         return DynCol(
             s=s,
             n=n,
-            isnum=F.coalesce(both_num, _false()),
+            isnum=S.coalesce(both_num, _false()),
             isbool=_false(),
             bval=_null_b(),
             isnull=isnull_res,
-            defined=F.coalesce(isnull_res | both_num | concat_case, _false()),
+            defined=S.coalesce(isnull_res | both_num | concat_case, _false()),
         )
     if op == "-":
-        n = F.when(both_num, F.try_subtract(l.n, r.n))
+        n = S.when(both_num, S.fn("try_subtract", l.n, r.n))
     elif op == "*":
-        n = F.when(both_num, F.try_multiply(l.n, r.n))
+        n = S.when(both_num, S.fn("try_multiply", l.n, r.n))
     elif op == "/":
-        n = F.when(both_num, F.try_divide(l.n, r.n))
+        n = S.when(both_num, S.fn("try_divide", l.n, r.n))
     elif op == "%":
-        n = F.when(both_num, F.try_mod(l.n, r.n))
+        n = S.when(both_num, S.fn("try_mod", l.n, r.n))
     else:  # pragma: no cover
         raise CompileError(f"unknown arithmetic op {op!r}")
     return _num_dyn(n)
 
 
-def _typed_contains(arrv: Column, value) -> Column:
+def _typed_contains(arrv: E, value) -> E:
     """value ∈ variant array, with the evaluator's TYPED value_eq per
     element — canonical-string array_contains would call Number(1) a
     member of ["1"]."""
     import json as _json
 
     if isinstance(value, bool):
-        return F.exists(arrv, lambda x: F.to_json(x) == F.lit("true" if value else "false"))
+        return S.exists(
+            arrv, lambda x: S.fn("to_json", x) == S.lit("true" if value else "false")
+        )
     if value is None:
-        return F.exists(arrv, lambda x: F.to_json(x) == F.lit("null"))
+        return S.exists(arrv, lambda x: S.fn("to_json", x) == S.lit("null"))
     if isinstance(value, str):
         # ensure_ascii=False: Spark/Jackson to_json emits raw UTF-8,
         # Python's default \uXXXX escaping would never match non-ASCII
-        return F.exists(
-            arrv, lambda x: F.to_json(x) == F.lit(_json.dumps(value, ensure_ascii=False))
+        return S.exists(
+            arrv,
+            lambda x: S.fn("to_json", x) == S.lit(_json.dumps(value, ensure_ascii=False)),
         )
     dv = value if isinstance(value, Decimal) else Decimal(str(value))
-    return F.exists(
+    return S.exists(
         arrv,
-        lambda x: F.to_json(x).rlike(r"^-?[0-9]")
-        & (F.try_variant_get(x, "$", DEC) == F.lit(dv)),
+        lambda x: S.fn("to_json", x).rlike(r"^-?[0-9]")
+        & (S.try_variant_get(x, "$", DEC) == S.lit(dv)),
     )
 
 
-def _has(l: DynCol, r_expr: Expression) -> Column:
+def _has(l: DynCol, r_expr: Expression) -> E:
     if not isinstance(r_expr, Constant):
         raise CompileError("'has' requires a constant right-hand side to compile")
     rv = r_expr.value
@@ -548,9 +612,9 @@ def _has(l: DynCol, r_expr: Expression) -> Column:
     if l.arr is None:
         # no array form: only string-contains is possible
         if isinstance(rv, str):
-            return F.when(l.isstr, l.s.contains(rv)).otherwise(_null_b())
+            return S.when(l.isstr, l.s.contains(rv)).otherwise(_null_b())
         raise CompileError("'has' on a non-array value")
-    arr_check = F.lit(True)
+    arr_check = S.lit(True)
     if l.arrv is not None:
         for e in elems:
             arr_check = arr_check & _typed_contains(l.arrv, e)
@@ -558,12 +622,12 @@ def _has(l: DynCol, r_expr: Expression) -> Column:
         # typed array columns are homogeneous: canonical-string
         # membership is exact
         for e in elems:
-            arr_check = arr_check & F.array_contains(l.arr, canonical_str(e))
+            arr_check = arr_check & S.fn("array_contains", l.arr, S.lit(canonical_str(e)))
     if isinstance(rv, str):
-        str_check = F.when(l.isstr, l.s.contains(rv)).otherwise(_null_b())
+        str_check = S.when(l.isstr, l.s.contains(rv)).otherwise(_null_b())
     else:
         str_check = _null_b()
-    return F.when(l.arr.isNotNull(), arr_check).otherwise(str_check)
+    return S.when(l.arr.isNotNull(), arr_check).otherwise(str_check)
 
 
 def compile_dyn(node: Expression, resolve: Resolver) -> DynCol:
@@ -576,7 +640,7 @@ def compile_dyn(node: Expression, resolve: Resolver) -> DynCol:
         if node.op == "not":
             return _bool_dyn(~_truthy(arg))
         if node.op == "-":
-            return _num_dyn(F.when(arg.isnum, -arg.n))
+            return _num_dyn(S.when(arg.isnum, -arg.n))
         raise CompileError(f"unknown unary op {node.op!r}")
     if isinstance(node, BinaryOp):
         op = node.op
@@ -586,11 +650,13 @@ def compile_dyn(node: Expression, resolve: Resolver) -> DynCol:
         if op == "and":
             lb = _truthy(compile_dyn(node.left, resolve))
             rb = _truthy(compile_dyn(node.right, resolve))
-            return _bool_dyn(F.when(lb.isNull(), _null_b()).when(~lb, F.lit(False)).otherwise(rb))
+            return _bool_dyn(
+                S.when(lb.isNull(), _null_b()).when(~lb, S.lit(False)).otherwise(rb)
+            )
         if op == "or":
             lb = _truthy(compile_dyn(node.left, resolve))
             rb = _truthy(compile_dyn(node.right, resolve))
-            return _bool_dyn(F.when(lb, F.lit(True)).when(lb.isNull(), _null_b()).otherwise(rb))
+            return _bool_dyn(S.when(lb, S.lit(True)).when(lb.isNull(), _null_b()).otherwise(rb))
         l = compile_dyn(node.left, resolve)
         if op == "has":
             return _bool_dyn(_has(l, node.right))
@@ -619,9 +685,9 @@ def compile_dyn(node: Expression, resolve: Resolver) -> DynCol:
             # an eval error (⇒ NULL here ⇒ row rejected) — counting the
             # canonical string form of a number would diverge
             a = args[0]
-            n = F.when(a.isstr, F.length(a.s).cast(DEC))
+            n = S.when(a.isstr, S.fn("length", a.s).cast(DEC))
             if a.arr is not None:
-                n = F.when(a.arr.isNotNull(), F.size(a.arr).cast(DEC)).otherwise(n)
+                n = S.when(a.arr.isNotNull(), S.fn("size", a.arr).cast(DEC)).otherwise(n)
             return _num_dyn(n)
         if node.name in ("lower", "upper") and len(args) == 1:
             # present-but-null canonicalizes to '' (evaluator
@@ -629,22 +695,28 @@ def compile_dyn(node: Expression, resolve: Resolver) -> DynCol:
             # the enclosing comparison rejects, like the evaluator's
             # identifier-not-found error
             a = args[0]
-            s_in = F.when(a.isnull_c, F.lit("")).otherwise(a.s)
-            out = F.lower(s_in) if node.name == "lower" else F.upper(s_in)
+            s_in = S.when(a.isnull_c, S.lit("")).otherwise(a.s)
+            out = S.fn("lower", s_in) if node.name == "lower" else S.fn("upper", s_in)
             return DynCol(s=out, n=_null_n(), isnum=_false(), isbool=_false(), bval=_null_b())
         if node.name == "abs" and len(args) == 1:
-            return _num_dyn(F.when(args[0].isnum, F.abs(args[0].n)))
+            return _num_dyn(S.when(args[0].isnum, S.fn("abs", args[0].n)))
         if node.name == "round" and len(args) == 1:
             # evaluator: Decimal.to_integral_value() = banker's rounding
             # (HALF_EVEN) — Spark's bround, NOT round (HALF_UP)
-            return _num_dyn(F.when(args[0].isnum, F.bround(args[0].n).cast(DEC)))
+            return _num_dyn(S.when(args[0].isnum, S.fn("bround", args[0].n).cast(DEC)))
         raise CompileError(f"unknown function {node.name!r}")
     raise CompileError(f"unknown node {node!r}")
 
 
+def compile_filter_sql(node: Expression, resolve: Resolver) -> str:
+    """The compiled filter as SQL text (eval-error⇒false semantics) —
+    the zero-roundtrip face, for callers that assemble bigger texts."""
+    return S.coalesce(_truthy(compile_dyn(node, resolve)), S.lit(False)).sql
+
+
 def compile_filter(node: Expression, resolve: Resolver) -> Column:
     """Compile to a boolean Column with eval-error⇒false semantics."""
-    return F.coalesce(_truthy(compile_dyn(node, resolve)), _false())
+    return F.expr(compile_filter_sql(node, resolve))
 
 
 def compile_filter_str(text: str, resolve: Resolver) -> Column:
@@ -713,31 +785,31 @@ def apply_filter(
         # once each: (1) variant parse, (2) per-identifier raw JSON
         # text, (3) typed forms referencing the materialized columns
         vcol = "__hs_v"
-        df = df.withColumns({vcol: F.try_parse_json(F.col(json_col))})
+        df = df.withColumns({vcol: F.expr(f"try_parse_json({S.col(json_col).sql})")})
         raws: dict[str, Column] = {}
         for i, name in enumerate(json_names):
-            raws[f"__hs_raw_{i}"] = F.to_json(
-                F.try_variant_get(F.col(vcol), "$." + name, "variant")
+            raws[f"__hs_raw_{i}"] = F.expr(
+                _variant_raw_sql(S.col(vcol), "$." + name).sql
             )
         df = df.withColumns(raws)
         base: dict[str, Column] = {}
         parts = []  # one bundle per identifier, shared by both loops
         for i, name in enumerate(json_names):
-            p = variant_parts(F.col(vcol), "$." + name, raw=F.col(f"__hs_raw_{i}"))
+            p = _variant_parts_sql(S.col(vcol), "$." + name, raw=S.col(f"__hs_raw_{i}"))
             parts.append(p)
-            base[f"__hs_s_{i}"] = p["s"]
-            base[f"__hs_n_{i}"] = p["n"]
-            base[f"__hs_arr_{i}"] = p["arr"]
+            base[f"__hs_s_{i}"] = F.expr(p["s"].sql)
+            base[f"__hs_n_{i}"] = F.expr(p["n"].sql)
+            base[f"__hs_arr_{i}"] = F.expr(p["arr"].sql)
         df = df.withColumns(base)
         for i, name in enumerate(json_names):
             p = parts[i]
             dyncols[name] = DynCol(
-                s=F.col(f"__hs_s_{i}"),
-                n=F.col(f"__hs_n_{i}"),
+                s=S.col(f"__hs_s_{i}"),
+                n=S.col(f"__hs_n_{i}"),
                 isnum=p["isnum"],
                 isbool=p["isbool"],
                 bval=p["bval"],
-                arr=F.col(f"__hs_arr_{i}"),
+                arr=S.col(f"__hs_arr_{i}"),
                 arrv=p["arrv"],
                 obj=p["obj"],
                 isnull=p["isnull"],
@@ -750,7 +822,7 @@ def apply_filter(
     def resolve(name: str) -> DynCol:
         if name in dyncols:
             return dyncols[name]
-        return from_typed_column(F.col(name), dtypes[name])
+        return from_typed_column(S.col(name), dtypes[name])
 
     # top-level AND conjuncts apply as separate filters, typed-column
     # conjuncts first: Catalyst pushes those into the parquet scan
