@@ -225,9 +225,6 @@ def pagerank(
         if n_seed == 0:
             raise ValueError("personalized pagerank: no seed appears in the graph")
         flagged = nodes.join(sset, "node", "left")
-        teleport_of = lambda: F.when(  # noqa: E731 — tiny expression factory
-            F.col("__seed").isNotNull(), F.lit((1.0 - damping) / n_seed)
-        ).otherwise(F.lit(0.0))
         pr = flagged.withColumn(
             "val",
             F.when(F.col("__seed").isNotNull(), F.lit(1.0 / n_seed)).otherwise(F.lit(0.0)),
@@ -236,13 +233,24 @@ def pagerank(
         flagged = None
         teleport = (1.0 - damping) / n  # two IEEE ops, mirrored in oracles
         pr = nodes.withColumn("val", F.lit(1.0 / n))
-    def _pinned_fold(pairs_col, val_field):
-        return F.aggregate(
-            F.transform(F.array_sort(pairs_col), lambda t: t[val_field]),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # The per-iteration expressions ride as SQL strings (r13, the
+    # catalog's expression-string discipline): the Column spelling of
+    # the two-level pinned fold cost ~680 py4j roundtrips PER ITERATION
+    # (measured 5,431 for the 8-iteration entry construction — pure
+    # driver latency, multiplied under host noise). The strings parse
+    # to the IDENTICAL Catalyst trees: same array_sort/transform/
+    # aggregate fold (CAST(0 AS DOUBLE) is F.lit(0.0)'s double zero),
+    # same left-assoc w*val/d, and the damping/teleport constants enter
+    # through repr round-trip string→double casts — bit-identical
+    # results (oracle-gated at three SFs, plus the direct old-vs-new
+    # output equality probe run for this change).
+    def _fold_sql(pair_a: str, pair_b: str, out: str) -> str:
+        return (
+            f"aggregate(transform(array_sort(collect_list(struct({pair_a}, {pair_b}))), "
+            f"t -> t.{pair_b}), CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS {out}"
         )
 
+    _dlit = f"CAST('{damping!r}' AS DOUBLE)"
     for _ in range(iters):
         # rank state into the join WITHOUT moving the edges: broadcast
         # it outright when the graph is broadcast-sized (the n-gated
@@ -251,11 +259,8 @@ def pagerank(
         # sort-merge would sort the edge side every iteration
         state = F.broadcast(pr) if use_bcast else pr.hint("SHUFFLE_HASH")
         if exact:
-            contribs = e2.join(state, e2["src"] == state["node"]).select(
-                "dst",
-                "b",
-                F.col("src").alias("u"),
-                (F.col("w") * F.col("val") / F.col("d")).alias("c"),
+            contribs = e2.join(state, e2["src"] == state["node"]).selectExpr(
+                "dst", "b", "src AS u", "w * val / d AS c"
             )
             # level 1: pinned fold within (dst, src-bucket) — a hub's
             # terms split across hub_buckets groups (zero exchange in
@@ -264,13 +269,13 @@ def pagerank(
             # partials (bounded at hub_buckets rows per node)
             folded = (
                 contribs.groupBy("dst", "b")
-                .agg(_pinned_fold(F.collect_list(F.struct("u", "c")), "c").alias("sb"))
+                .agg(F.expr(_fold_sql("u", "c", "sb")))
                 .groupBy("dst")
-                .agg(_pinned_fold(F.collect_list(F.struct("b", "sb")), "sb").alias("s"))
+                .agg(F.expr(_fold_sql("b", "sb", "s")))
             )
         else:
-            contribs = e2.join(state, e2["src"] == state["node"]).select(
-                "dst", (F.col("w") * F.col("val") / F.col("d")).alias("c")
+            contribs = e2.join(state, e2["src"] == state["node"]).selectExpr(
+                "dst", "w * val / d AS c"
             )
             folded = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
         if seeds is not None:
@@ -279,17 +284,17 @@ def pagerank(
             # the broadcast regime instead of letting it sort-merge
             flag_side = flagged.select("node", "__seed")
             pr = (
-                folded.select(F.col("dst").alias("node"), "s")
+                folded.selectExpr("dst AS node", "s")
                 .join(F.broadcast(flag_side) if use_bcast else flag_side, "node", "left")
-                .select(
+                .selectExpr(
                     "node",
-                    (teleport_of() + F.lit(damping) * F.col("s")).alias("val"),
+                    f"(CASE WHEN __seed IS NOT NULL THEN CAST('{(1.0 - damping) / n_seed!r}' "
+                    f"AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) + {_dlit} * s AS val",
                 )
             )
         else:
-            pr = folded.select(
-                F.col("dst").alias("node"),
-                (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("val"),
+            pr = folded.selectExpr(
+                "dst AS node", f"CAST('{teleport!r}' AS DOUBLE) + {_dlit} * s AS val"
             )
         # lazy checkpoint per iteration: bounds the analyzed plan at
         # one iteration deep (an unbounded chain re-analyzes a growing
