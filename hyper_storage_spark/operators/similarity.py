@@ -74,7 +74,6 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank, cosine)."""
-    from pyspark.sql import Window
 
     # norms project ONCE per vector before the join — inlining them in
     # the joined projection would re-run the O(dim) aggregate per
@@ -97,9 +96,8 @@ def cosine_topk(
             "cosine", F.expr(_DOT_SQL.format(a="qv", b="cv") + " / (qn * cn)")
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.expr(_RANK_OVER_COSINE))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
@@ -675,6 +673,13 @@ _DOT_SQL = (
     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 )
 
+# the family's deterministic rank, as ONE expression string (the
+# Window/WindowSpec Column spelling costs ~20 py4j roundtrips per use;
+# the parsed tree — row_number over the same partition/order — is
+# identical, including the WindowGroupLimit top-k pushdown the
+# rank<=k filter triggers)
+_RANK_OVER_COSINE = "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)"
+
 
 def _exact_rerank(
     emb, cand, query_ids: list[int], k: int, id_col: str, vec_col: str
@@ -686,7 +691,6 @@ def _exact_rerank(
     Expressions ride as SQL strings (same Catalyst trees as the
     _dot/_norm Column builders — bit-identical results, a fraction of
     the plan-construction roundtrips)."""
-    from pyspark.sql import Window
 
     queries = (
         emb.filter(F.col(id_col).isin(query_ids))
@@ -705,9 +709,8 @@ def _exact_rerank(
             "cosine", F.expr(_DOT_SQL.format(a="qv", b="cv") + " / (qn * cn)")
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        rescored.withColumn("rank", F.row_number().over(w2))
+        rescored.withColumn("rank", F.expr(_RANK_OVER_COSINE))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
@@ -911,7 +914,6 @@ def pq_search(
     horizon. Scale: codes table is dim·8/m× smaller than the vectors,
     LUTs are queries-sized broadcast state, candidates bound the
     exact work at queries × k·refine."""
-    from pyspark.sql import Window
 
     _check_query_batch(query_ids, "pq_search")
     cb = index.codebooks
@@ -952,14 +954,20 @@ def pq_search(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode(adc(F.col("codes"))).alias("qidx", "adc"),
     )
-    qmap = emb.sparkSession.createDataFrame(
-        list(enumerate(qids)), "qidx int, query_id long"
-    )
-    w = Window.partitionBy("qidx").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    # qidx → query_id as an array-literal gather (r13): the old
+    # qidx-keyed broadcast join shipped a createDataFrame + broadcast
+    # exchange for a ≤MAX_QUERY_BATCH-row static map — the literal is
+    # one expression, one less exchange in the plan, same rows (the
+    # rank filter runs before the gather exactly as it ran before the
+    # join; self-matches are dropped after, as before)
+    qarr = "array(" + ",".join(f"{int(q)}L" for q in qids) + ")"
     cand = (
-        scored.withColumn("r", F.row_number().over(w))
+        scored.withColumn(
+            "r",
+            F.expr("row_number() OVER (PARTITION BY qidx ORDER BY adc DESC, neighbor_id)"),
+        )
         .filter(F.col("r") <= k * refine)
-        .join(F.broadcast(qmap), "qidx")
+        .selectExpr(f"{qarr}[qidx] AS query_id", "neighbor_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
@@ -1373,7 +1381,6 @@ def ivfpq_search(
     (the candidate volume drops by ~n_probe/n_cells vs flat PQ). Top
     ``k·refine`` ADC candidates re-rank by exact cosine; same
     empty-result contract as the cosine family."""
-    from pyspark.sql import Window
 
     _check_query_batch(query_ids, "ivfpq_search")
     cents, cb, codes = index.centroids, index.codebooks, index.codes
@@ -1417,9 +1424,13 @@ def ivfpq_search(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("adc", F.col("bias") + adc(F.col("qidx"), F.col("codes")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
     cand = (
-        scored.withColumn("r", F.row_number().over(w))
+        scored.withColumn(
+            "r",
+            F.expr(
+                "row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id)"
+            ),
+        )
         .filter(F.col("r") <= k * refine)
         .select("query_id", "neighbor_id")
     )
