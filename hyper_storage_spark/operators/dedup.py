@@ -109,7 +109,11 @@ def _jaccard_from_shingles(
             if max_df is not None:
                 posting = posting.filter(F.size("docs") <= max_df)
             posting = tracked_persist(posting)
-        docs_sorted = F.array_sort(F.col("docs"))
+        # sort ONCE per posting row in a projection: referencing
+        # array_sort(docs) three times inside the pair expression
+        # re-sorted the list at every reference (no common-subexpression
+        # elimination inside one Generate input) — r13, guide §1.2
+        docs_sorted = F.col("__ds")
         pair_arrays = F.flatten(
             F.transform(
                 docs_sorted,
@@ -120,12 +124,18 @@ def _jaccard_from_shingles(
             )
         )
         inter = (
-            posting.select(F.explode(pair_arrays).alias("p"))
+            posting.select(F.array_sort(F.col("docs")).alias("__ds"))
+            .select(F.explode(pair_arrays).alias("p"))
             .select("p.a_id", "p.b_id")
             .groupBy("a_id", "b_id")
             .agg(F.count("*").alias("c"))
         )
-        sizes = (
+        # the per-doc surviving-shingle counts feed BOTH broadcast join
+        # sides below; unpersisted, each side re-ran the full posting
+        # explode + aggregation (visible as two identical Generate
+        # subtrees in the r12 plan) — persist the tiny (doc, n_sh)
+        # frame so the explode pass runs once (r13, guide §2.4)
+        sizes = tracked_persist(
             posting.select(F.explode("docs").alias("doc_id"))
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_sh"))
