@@ -214,37 +214,43 @@ def bpe_train_batched(
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
-    state = words.select(
+    state = words.selectExpr(
         "w",
         "cnt",
-        F.transform(
-            F.sequence(F.lit(1), F.length(F.col("w"))),
-            lambda i: F.col("w").substr(i, F.lit(1)),
-        ).alias("syms"),
+        # the Column spelling (transform + Column.substr) is identical;
+        # the string is one roundtrip (r13 — see _ADJ_SQL below)
+        "transform(sequence(1, length(w)), i -> substr(w, i, 1)) AS syms",
     ).localCheckpoint()
 
     # pairs ride as STRUCTS end to end — a string encoding with a
     # separator char would mis-parse any symbol containing that char
     # (r11 review: \x1f survives whitespace tokenization in
     # binary-contaminated text) and its concatenated tie-break order
-    # could diverge from bpe_train's (a, b) column order
-    def _adj_pairs_col():
-        syms = F.col("syms")
-        return F.filter(
-            F.zip_with(
-                syms,
-                F.slice(syms, F.lit(2), F.size(syms) - 1),
-                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-            lambda t: t["b"].isNotNull(),
-        )
+    # could diverge from bpe_train's (a, b) column order.
+    # r13: the adjacency expression rides as ONE SQL string — the
+    # Column spelling (zip_with/slice/filter lambdas) cost ~70 py4j
+    # roundtrips and was rebuilt TWICE PER ROUND (pair counts + the
+    # affected-vocab filter; 5,919 roundtrips measured for the
+    # 20-merge entry construction). Identical Catalyst tree: same
+    # zip_with(slice) adjacency, same struct field names, same
+    # null-tail filter.
+    _ADJ_SQL = (
+        "filter(zip_with(syms, slice(syms, 2, size(syms) - 1), "
+        "(x, y) -> struct(x AS a, y AS b)), t -> t.b IS NOT NULL)"
+    )
+
+    def _sql_str(s: str) -> str:
+        # exact round-trip under Spark's default backslash-escaping
+        # string parser (symbols can be ANY bytes that survive
+        # whitespace tokenization, incl. quotes and backslashes)
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
     merges: list = []
     done = False
     while not done and len(merges) < n_merges:
         # ---- 1. distributed pair counts, top table to the driver ----
         pair_rows = (
-            state.select("cnt", F.explode(_adj_pairs_col()).alias("p"))
+            state.selectExpr("cnt", f"explode({_ADJ_SQL}) AS p")
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("c"))
             .orderBy(F.col("c").desc(), "a", "b")
@@ -261,13 +267,11 @@ def bpe_train_batched(
         cand = [(r.a, r.b) for r in pair_rows[: 4 * min(round_size, room)]]
         aff = None
         while cand:
-            cand_lits = F.array(
-                *[
-                    F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-                    for a, b in cand
-                ]
-            )
-            flt = state.filter(F.arrays_overlap(_adj_pairs_col(), cand_lits))
+            cand_lits = "array(" + ", ".join(
+                f"named_struct('a', {_sql_str(a)}, 'b', {_sql_str(b)})"
+                for a, b in cand
+            ) + ")"
+            flt = state.filter(F.expr(f"arrays_overlap({_ADJ_SQL}, {cand_lits})"))
             # ONE job for budget check + fetch: limit(max+1) returns
             # every affected row when the budget holds — the previous
             # separate count-then-collect paid the vocab filter scan
