@@ -160,7 +160,16 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
-    n = nodes.count()
+    # node count AND mean id width in the ONE aggregation job the count
+    # already paid: the broadcast-regime gate below is byte-aware (an
+    # 8-iteration loop retains up to 8 driver-held broadcasts of the
+    # rank state, and long string node ids can blow past what the row
+    # count alone estimates — review r12)
+    _stat = nodes.agg(
+        F.count("*").alias("n"),
+        F.avg(F.length(F.col("node").cast("string"))).alias("w"),
+    ).collect()[0]
+    n = int(_stat["n"])
     if n == 0:
         return nodes.withColumn("val", F.lit(0.0))
     deg = e.groupBy("src").agg(F.sum("w").alias("d"))
@@ -191,7 +200,13 @@ def pagerank(
     # "r12 loop layout"): the cache ADVERTISES this partitioning to
     # every iteration's plan, a checkpoint scan reports Unknown and
     # re-shuffles the edges 8× over
-    use_bcast = n <= broadcast_state_rows
+    # rows gate + byte estimate: (node, val) rows ≈ UTF16 id + double +
+    # ~48 B object/row overhead in the built relation; cap the regime at
+    # ~256 MB of estimated broadcast (inside the guide's "few hundred
+    # MB" band, far under the 8 GB hard cap) so id-heavy graphs fall to
+    # the partitioned-edges regime instead of pressuring the driver
+    _est_bytes = n * (2.0 * float(_stat["w"] or 0.0) + 8 + 48)
+    use_bcast = n <= broadcast_state_rows and _est_bytes <= 256 * 1024 * 1024
     if not use_bcast:
         # big-graph regime: persist the edges hash-partitioned by src
         # (a cache ADVERTISES its partitioning; a checkpoint scan
